@@ -15,7 +15,18 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default. Read nanos as long and convert to a microsecond timestamp
+    * with exact integral division (`div` — a double division would lose
+    * precision above 2^53 ns). Truncation toward zero matches DuckDB's
+    * own ns→µs narrowing, so oracle comparisons stay exact.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Batch event analytics over the `events` table: tumbling time
+  * windows, JSON property extraction, gap-based sessionization. These
+  * are the batch duals of the Structured Streaming operators in
+  * `graft.streaming` — same `window()` semantics, but oracle-checkable
+  * in DuckDB (`time_bucket`/`json_extract`).
+  *
+  * Scale: the tumbling window is a plain groupBy on a derived column —
+  * partitions by (window, type) like any hash aggregation. The
+  * sessionization window partitions by `user_id`, which is the natural
+  * shard key; per-user state is a single lag, so no skew concern unless
+  * one user dominates (then: salt by day first).
+  */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour window counts per event type. `window()` is the
+    // real Spark windowing operator; its .start equals date_trunc hour.
+    "ev_tumbling_hour" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // JSON property extraction: props is a JSON string {"k": <int>}.
+    // Integer sums are exact, so avg = sum/count is bit-deterministic.
+    "ev_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // Gap-based sessionization: a new session starts after a >30 min
+    // silence per user. Microsecond-integer arithmetic on both engines.
+    "ev_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+               unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ev_tumbling_hour" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "ev_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |    / count(*) AS avg_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_sessionize" ->
+      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL
+        |              OR epoch_us(ts) - prev_us > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts, event_id,
+        |               lag(epoch_us(ts), 1) OVER
+        |                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |        FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
