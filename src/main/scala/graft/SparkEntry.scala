@@ -20,11 +20,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    WordCountQueries.queries ++ StarQueries.queries ++ EventQueries.queries
+    WordCountQueries.queries ++ StarQueries.queries ++ EventQueries.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    WordCountQueries.oracleSql ++ StarQueries.oracleSql ++ EventQueries.oracleSql
+    WordCountQueries.oracleSql ++ StarQueries.oracleSql ++ EventQueries.oracleSql ++
+      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql
 }

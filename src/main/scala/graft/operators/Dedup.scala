@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import TextOps._
+
+/** Deduplication operators for an LLM data pipeline, each with a
+  * different cost/recall point:
+  *
+  *  - exact:      hash-groupBy on the raw text — one shuffle on md5.
+  *  - minhash:    MinHash + banded LSH. Signature = 16 independent
+  *                min-hashes over word 3-gram shingles (permutations
+  *                simulated by salted md5; taking the lexicographic MIN
+  *                of a salted hash is a valid uniform min-hash).
+  *                4 bands × 4 rows → candidate pairs share a full band.
+  *                At 100 TB the only wide ops are the signature
+  *                aggregation (shuffle keyed by doc) and the band
+  *                self-join (shuffle keyed by band hash — bounded
+  *                bucket sizes, no O(n²) blow-up).
+  *  - simhash:    16-bit sign-of-sums simhash from per-token md5 bits;
+  *                equal-simhash buckets are near-dup candidates.
+  *  - ngram:      exact 3-gram Jaccard via shingle self-join. Safe here
+  *                because shingle frequencies are tiny (measured max 7
+  *                at sf0.01); at true 100 TB scale the join would be
+  *                restricted to rare shingles (freq cap) — the standard
+  *                blocking trick — which the `freq <= 1000` guard
+  *                below encodes.
+  *  - embedding:  cosine near-dup with sign-bit LSH blocking (8-bit
+  *                bucket from the signs of the first 8 dims) — turns
+  *                O(n²) into per-bucket O(c²).
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val Bands     = 4
+  val RowsPerBand = NumHashes / Bands
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingleDF(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("shingle"))
+      .distinct()
+
+  /** (doc_id, sig0..sig15): salted-md5 min-hash signature. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"${i}_"), col("shingle")))).as(s"sig$i"))
+    shingleDF(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band_idx, band_hash): one md5 per band of 4 signature rows. */
+  private def bands(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { j =>
+      val cols = (0 until RowsPerBand).map(i => col(s"sig${j * RowsPerBand + i}"))
+      struct(lit(j).as("band_idx"), md5(concat_ws("|", cols: _*)).as("band_hash"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: one hash-shuffle; min(doc_id) is the deterministic
+    // survivor ("keep first").
+    "dd_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .orderBy("fp")
+    }),
+
+    // MinHash LSH candidate pairs + signature-estimated Jaccard.
+    "dd_minhash" -> ((s, dir) => {
+      val sigs = signatures(s, dir)
+      val b    = bands(sigs)
+      val pairs = b.as("a")
+        .join(b.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+      val sigEq = (0 until NumHashes)
+        .map(i => when(col(s"sa.sig$i") === col(s"sb.sig$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs
+        .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          (sigEq.cast("double") / NumHashes).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // 16-bit SimHash per document from per-token md5 nibbles.
+    "dd_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .withColumn("h", expr("substring(md5(word), 1, 4)"))
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("nib",
+          expr("instr('0123456789abcdef', substring(h, (b div 4) + 1, 1)) - 1"))
+        .withColumn("contrib",
+          expr("CASE WHEN ((nib >> (3 - (b % 4))) & 1) = 1 THEN 1 ELSE -1 END"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("contrib")).as("s"))
+        .withColumn("bit", expr("CASE WHEN s > 0 THEN 1 ELSE 0 END"))
+        .groupBy("doc_id")
+        .agg(sum(expr("bit * shiftleft(1, b)")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact n-gram Jaccard over candidate pairs from the shingle join,
+    // with a frequency cap on blocking shingles (scale guard).
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      val sh   = shingleDF(s, dir)
+      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val rare = sh.join(freq.filter(col("df") <= 1000), "shingle")
+      val cnt  = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = rare.as("a")
+        .join(rare.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .withColumn("jaccard",
+          round(col("n_inter").cast("double") /
+            (col("ca.n") + col("cb.n") - col("n_inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding cosine near-dup with sign-bit LSH blocking.
+    "dd_embed_cos" -> ((s, dir) => {
+      val signBits = (1 to 8)
+        .map(i => when(element_at(col("embedding"), i) >= 0, "1").otherwise("0"))
+      val v = Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          toDouble(col("embedding")).as("e"),
+          concat(signBits: _*).as("bucket"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      v.as("a")
+        .join(v.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          round(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 4))
+        .filter(col("cos") >= 0.3)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private val shinglesSql =
+    s"""SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+       |FROM (SELECT doc_id, $toksSql AS t FROM documents),
+       |     UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+       |WHERE len(t) >= 3""".stripMargin
+  private val sigSelect = (0 until NumHashes)
+    .map(i => s"min(md5(concat('${i}_', shingle))) AS sig$i").mkString(",\n    ")
+  private val bandSelects = (0 until Bands).map { j =>
+    val cols = (0 until RowsPerBand).map(i => s"sig${j * RowsPerBand + i}")
+    s"SELECT doc_id, $j AS band_idx, md5(concat_ws('|', ${cols.mkString(", ")})) AS band_hash FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+  private val sigEqSql = (0 until NumHashes)
+    .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dd_minhash" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sigs AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects
+         |),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared_bands,
+         |  CAST($sigEqSql AS DOUBLE) / $NumHashes AS est_jaccard
+         |FROM pairs
+         |JOIN sigs sa ON doc_a = sa.doc_id
+         |JOIN sigs sb ON doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_simhash" ->
+      """SELECT doc_id, CAST(sum(bit * (1 << b)) AS BIGINT) AS simhash FROM (
+        |  SELECT doc_id, b, CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM (
+        |    SELECT doc_id, b,
+        |      CASE WHEN ((strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1)
+        |                 >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+        |    FROM (SELECT doc_id, substring(md5(w), 1, 4) AS h
+        |          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |                FROM documents)
+        |          WHERE w <> ''),
+        |         UNNEST(range(0, 16)) AS u(b))
+        |  GROUP BY doc_id, b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH sh AS ($shinglesSql),
+         |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |rare AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE df <= 1000),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM rare a JOIN rare b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter,
+         |  round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 4) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_embed_cos" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    concat(
+        |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+        |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+        |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+        |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+        |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+        |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+        |      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+        |      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
+        |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

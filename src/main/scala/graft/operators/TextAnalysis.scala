@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import TextOps._
+
+/** Text-analysis operators for an LLM data pipeline over `documents`:
+  * language identification (stopword-hit heuristic), quality scoring,
+  * token statistics, and normalized document fingerprinting. All are
+  * per-document narrow transforms + one aggregation — embarrassingly
+  * parallel at 100 TB (no shuffle except the final small group/sort).
+  */
+object TextAnalysis {
+
+  // Tiny per-language stopword lists (public common-word lists). The
+  // heuristic is argmax of stopword hits with a fixed tie-break order.
+  val stopEn = Seq("the", "and", "of", "to", "in", "a", "is")
+  val stopDe = Seq("der", "die", "und", "das", "ist", "ein")
+  val stopEs = Seq("el", "la", "de", "que", "y", "un")
+  val stopFr = Seq("le", "les", "des", "et", "une", "est")
+  val stopZh = Seq("的", "是", "不", "了", "在")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Language ID: stopword-hit argmax, reported as a confusion matrix
+    // against the labeled `lang` column.
+    "ta_langid" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("s_en", vocabHits(col("toks"), stopEn))
+        .withColumn("s_de", vocabHits(col("toks"), stopDe))
+        .withColumn("s_es", vocabHits(col("toks"), stopEs))
+        .withColumn("s_fr", vocabHits(col("toks"), stopFr))
+        .withColumn("s_zh", vocabHits(col("toks"), stopZh))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+               col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+                col("s_de") >= col("s_zh"), "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+      scored.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Quality scoring: deterministic per-doc ratios (integer sums →
+    // single double division, bit-stable across engines).
+    "ta_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("sum_len",
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)))
+        .withColumn("n_stop", vocabHits(col("toks"), stopEn).cast("long"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_obs"),
+          (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+          round(
+            least(col("n_tokens"), lit(100L)).cast("double") / 100.0 * 0.4
+              + col("n_stop").cast("double") / col("n_tokens") * 0.3
+              + when((col("sum_len").cast("double") / col("n_tokens").cast("double"))
+                       .between(3.0, 8.0), 0.3).otherwise(0.1),
+            4).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Token statistics: whitespace tokens, distinct tokens, regex
+    // tokens (BPE-ish [a-z0-9]+ word pieces), type-token ratio.
+    "ta_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("n_re_tokens"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks"))).as("ttr"))
+        .orderBy("doc_id")
+    }),
+
+    // Normalized fingerprint: md5 over the sorted distinct token set —
+    // the blocking key for order-insensitive exact dedup.
+    "ta_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private def hitsSql(ws: Seq[String]) =
+    s"len(list_filter(t, x -> list_contains(${sqlList(ws)}, x)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "ta_langid" ->
+      s"""SELECT lang, pred_lang, count(*) AS n_docs FROM (
+         |  SELECT lang,
+         |    CASE
+         |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |      WHEN s_fr >= s_zh THEN 'fr'
+         |      ELSE 'zh' END AS pred_lang
+         |  FROM (
+         |    SELECT lang,
+         |      ${hitsSql(stopEn)} AS s_en, ${hitsSql(stopDe)} AS s_de,
+         |      ${hitsSql(stopEs)} AS s_es, ${hitsSql(stopFr)} AS s_fr,
+         |      ${hitsSql(stopZh)} AS s_zh
+         |    FROM (SELECT lang, $toksSql AS t FROM documents)))
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "ta_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_obs,
+         |  CAST(sum_len AS DOUBLE) / len(t) AS avg_token_len,
+         |  CAST(n_stop AS DOUBLE) / len(t) AS stop_ratio,
+         |  round(
+         |    CAST(least(len(t), 100) AS DOUBLE) / 100.0 * 0.4
+         |      + CAST(n_stop AS DOUBLE) / len(t) * 0.3
+         |      + CASE WHEN CAST(sum_len AS DOUBLE) / CAST(len(t) AS DOUBLE)
+         |                  BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.1 END,
+         |    4) AS quality_score
+         |FROM (
+         |  SELECT doc_id, text, t,
+         |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(${hitsSql(stopEn)} AS BIGINT) AS n_stop
+         |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "ta_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re_tokens,
+         |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+         |FROM (SELECT doc_id, text, $toksSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

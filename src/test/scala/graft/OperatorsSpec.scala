@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Cross-module operator properties on sf0.001 (fast, in-memory). */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q1_agg: one row per (returnflag, linestatus) combination") {
+    val rows = run("q1_agg").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("count_order"))).sum > 0)
+  }
+
+  test("q_topk: exactly 10 rows in non-increasing price order") {
+    val prices = run("q_topk").collect().map(_.getDouble(2))
+    assert(prices.length == 10)
+    assert(prices.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("q_rollup: grand-total row equals table count") {
+    val rows = run("q_rollup").collect()
+    val grand = rows.filter(r => r.getInt(r.fieldIndex("g_nation")) == 1 &&
+      r.getInt(r.fieldIndex("g_segment")) == 1)
+    assert(grand.length == 1)
+    val total = Tables.customer(spark, sf).count()
+    assert(grand.head.getLong(grand.head.fieldIndex("n_customers")) == total)
+  }
+
+  test("set ops: union = except + intersect partitions hold") {
+    val u = run("q_union").collect().map(_.getLong(0)).toSet
+    val e = run("q_except").collect().map(_.getLong(0)).toSet
+    val i = run("q_intersect").collect().map(_.getLong(0)).toSet
+    assert((e & i).isEmpty)
+    assert((e | i).subsetOf(u))
+  }
+
+  test("dd_exact: group sizes sum to document count") {
+    val total = Tables.documents(spark, sf).count()
+    val sum = run("dd_exact").agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0)
+    assert(sum == total)
+  }
+
+  test("dd_minhash: pairs ordered, est_jaccard within [0,1]") {
+    val rows = run("dd_minhash").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall { r =>
+      val j = r.getDouble(r.fieldIndex("est_jaccard")); j >= 0.0 && j <= 1.0
+    })
+  }
+
+  test("dd_minhash agrees with exact jaccard on high-similarity pairs") {
+    val mh = run("dd_minhash").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("dd_ngram_jaccard").filter($"jaccard" >= 0.9)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banded LSH with 4 bands of 4 catches essentially all j>=0.9 pairs
+    assert(exact.subsetOf(mh), s"missed: ${exact -- mh}")
+  }
+
+  test("dd_simhash: 16-bit range, one row per doc") {
+    val rows = run("dd_simhash").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall { r => val h = r.getLong(1); h >= 0 && h < 65536 })
+  }
+
+  test("ta_fingerprint: invariant under token order permutation") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val fps = df.select(
+      md5(concat_ws(" ", array_sort(array_distinct(TextOps.tokens(col("text")))))).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("ta_quality: ratios within bounds") {
+    val rows = run("ta_quality").collect()
+    assert(rows.forall { r =>
+      val sr = r.getDouble(r.fieldIndex("stop_ratio"))
+      val q = r.getDouble(r.fieldIndex("quality_score"))
+      sr >= 0.0 && sr <= 1.0 && q >= 0.0 && q <= 1.0
+    })
+  }
+
+  test("ss_bruteforce_topk: K results per query, ranks 1..K, cos <= 1") {
+    val rows = run("ss_bruteforce_topk").collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == Similarity.NumQueries)
+    byQuery.values.foreach { rs =>
+      assert(rs.length == Similarity.K)
+      assert(rs.map(_.getInt(rs.head.fieldIndex("rn"))).sorted.toSeq == (1 to Similarity.K))
+      assert(rs.forall(_.getDouble(rs.head.fieldIndex("cos")) <= 1.0001))
+    }
+  }
+
+  test("ss_lsh_topk: subset of brute-force candidate scores, self excluded") {
+    val rows = run("ss_lsh_topk").collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("ev_sessionize: session count positive and <= event count") {
+    val rows = run("ev_sessionize").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getLong(1); val n = r.getLong(2); s >= 1 && s <= n
+    })
+  }
+}
