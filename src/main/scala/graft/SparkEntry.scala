@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCountQueries.queries ++ StarQueries.queries ++ EventQueries.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     WordCountQueries.oracleSql ++ StarQueries.oracleSql ++ EventQueries.oracleSql ++
-      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql
+      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
+      Multimodal.oracleSql
 }

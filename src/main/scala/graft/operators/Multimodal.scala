@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media treated as opaque `binary`
+  * payloads with typed metadata, plus a decode/feature-extract stage.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic stub ([[fakeDecode]]) — but the
+  * Spark-side plumbing is real: binary columns, schema, partition-wise
+  * batch processing (`mapPartitions`, the Scala analog of a Pandas-UDF
+  * batch), and a typed `Dataset` feature output. Swapping
+  * [[fakeDecode]] for a real codec changes no plan shape.
+  *
+  * Scale: both queries are narrow per-row/per-partition transforms — no
+  * shuffle at all until the final presentation sort, which at 100 TB
+  * would be dropped (sinks don't need order).
+  */
+object Multimodal {
+
+  /** Deterministic stand-in for a media decoder: 16-dim byte-value
+    * histogram of the payload, L1-normalized. STUB — replace with a
+    * real decoder where codecs exist.
+    */
+  def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xff) % 16) += 1f; i += 1 }
+    val n = math.max(payload.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  final case class MediaFeature(doc_id: Long, n_bytes: Int, features: Array[Float])
+
+  /** Typed partition-batched feature extraction over binary payloads. */
+  def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeature] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        MediaFeature(id, payload.length, fakeDecode(payload))
+      })
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Metadata over opaque binary payloads: byte length, checksum,
+    // stub-decoded "dimensions", frame count, first-frame sample hash.
+    "mm_meta" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(col("text")).as("checksum"),
+          (lit(64) + octet_length(col("text")) % 512).cast("int").as("width"),
+          (lit(64) + (octet_length(col("text")) * 7) % 512).cast("int").as("height"),
+          (lit(1) + expr("octet_length(text) div 64")).cast("int").as("n_frames"),
+          md5(substring(col("text"), 1, 32)).as("frame0_checksum"))
+        .orderBy("doc_id")
+    }),
+
+    // Feature extraction through the typed mapPartitions path; the
+    // aggregate projection keeps the output oracle-exempt but
+    // deterministic (row count + exact integer sums).
+    "mm_features" -> ((s, dir) => {
+      extractFeatures(s, dir).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 16).cast("double"), 4).as("f15"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
+        |  CAST(1 + octet_length(encode(text)) // 64 AS INT) AS n_frames,
+        |  md5(substring(text, 1, 32)) AS frame0_checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // mm_features: decode stub is not SQL-expressible → rows-only check.
+  )
+}

@@ -96,6 +96,17 @@ object TextAnalysis {
           col("doc_id"),
           md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // Rolling-hash fingerprint via the native codegen Expression
+    // (graft.functions.RollingHash). Not SQL-expressible in DuckDB
+    // without recursion → oracle-exempt; exactness is pinned by
+    // RollingHashSpec against a reference JVM fold.
+    "ta_rolling_fp" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.RollingHash.rolling_hash(col("text")).as("rfp"))
+        .orderBy("doc_id")
     })
   )
 

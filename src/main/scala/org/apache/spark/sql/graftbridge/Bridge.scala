@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression↔Column bridge for custom Catalyst expressions.
+  * `ExpressionUtils` is `private[sql]` in Spark 4's classic module, so
+  * this lives under the `org.apache.spark.sql` package — the standard
+  * pattern for Spark extension libraries that define native
+  * expressions.
+  */
+object Bridge {
+  def column(e: Expression): Column   = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

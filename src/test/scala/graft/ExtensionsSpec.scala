@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RollingHash
+import graft.operators.Multimodal
+import graft.plans.JobEventLog
+import graft.streaming.StreamingWordCount
+
+/** Custom Expression, multimodal plumbing, streaming, and the O13
+  * event-log listener.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("RollingHash matches the reference JVM fold (codegen path)") {
+    val inputs = Seq("", "a", "hello world", "the quick brown fox", "ü∂é")
+    val got = inputs.toDF("s")
+      .select(RollingHash.rolling_hash(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    val expected = inputs.map(s => RollingHash.hashBytes(s.getBytes("UTF-8")))
+    assert(got.toSeq == expected)
+  }
+
+  test("RollingHash interpreted path agrees with codegen") {
+    // force the interpreted (eval) path via a non-codegen context:
+    // evaluate on a literal through the expression API
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = RollingHash(Literal("hello world"))
+    assert(e.eval(null) == RollingHash.hashBytes("hello world".getBytes("UTF-8")))
+  }
+
+  test("ta_rolling_fp: one fingerprint per doc, deterministic") {
+    val a = SparkEntry.queries("ta_rolling_fp")(spark, sf).collect()
+    val b = SparkEntry.queries("ta_rolling_fp")(spark, sf).collect()
+    assert(a.length == Tables.documents(spark, sf).count())
+    assert(a.map(_.getLong(1)).toSeq == b.map(_.getLong(1)).toSeq)
+  }
+
+  test("mm_features: fake decode produces normalized 16-dim histograms") {
+    val ds = Multimodal.extractFeatures(spark, sf).collect()
+    assert(ds.nonEmpty)
+    ds.take(20).foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("mm_meta matches stub decode arithmetic") {
+    val r = SparkEntry.queries("mm_meta")(spark, sf).head()
+    val nBytes = r.getLong(r.fieldIndex("n_bytes"))
+    assert(r.getInt(r.fieldIndex("width")) == 64 + nBytes % 512)
+    assert(r.getInt(r.fieldIndex("n_frames")) == 1 + nBytes / 64)
+  }
+
+  test("streaming wordcount equals batch wordcount on the same files") {
+    val dir = Files.createTempDirectory("stream_in")
+    Files.writeString(dir.resolve("a.txt"), "the cat sat\nthe dog sat\n")
+    Files.writeString(dir.resolve("b.txt"), "cat and dog\n")
+    val q = StreamingWordCount.runToMemory(
+      StreamingWordCount.wordCountStream(spark, dir.toString), "wc_stream")
+    try {
+      val got = spark.sql("SELECT word, count FROM wc_stream ORDER BY word")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.toSeq == Seq(("and", 1L), ("cat", 2L), ("dog", 2L), ("sat", 2L), ("the", 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming windowed event counts run against parquet input") {
+    val dir = Files.createTempDirectory("stream_ev")
+    Tables.events(spark, sf).select("ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val q = StreamingWordCount.runToMemory(
+      StreamingWordCount.windowedEventCounts(spark, dir.toString, schema),
+      "ev_stream", mode = "append")
+    try {
+      // append mode emits only watermark-closed windows; just assert the
+      // stream ran and the sink table exists with the right schema
+      val cols = spark.table("ev_stream").columns.toSeq
+      assert(cols == Seq("hour", "event_type", "n_events"))
+    } finally q.stop()
+  }
+
+  test("JobEventLog captures the reference's event vocabulary") {
+    val path = Files.createTempFile("joblog", ".csv").toString
+    val listener = new JobEventLog(path)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // a query with a shuffle → map stage + reduce (result) stage
+      Tables.lineitem(spark, sf).groupBy("l_returnflag").count().collect()
+      Thread.sleep(1000) // let the async listener bus drain
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      listener.close()
+    }
+    val events = Files.readAllLines(java.nio.file.Paths.get(path))
+    def has(e: String) = events.stream().anyMatch(_.contains(e))
+    assert(has("Start_Job") && has("FinishJob"))
+    assert(has("Dispatch_MapTask") && has("Complete_MapTask"))
+    assert(has("Dispatch_ReduceTask") && has("Complete_ReduceTask"))
+    assert(has("Start_Shuffle") && has("Finish_Shuffle"))
+  }
+}
