@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev utility: print formatted physical plans for selected queries. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args.last else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.dropRight(1).toSeq
+      else Seq("q_filter_project", "q_join_broadcast", "wordcount", "q1_agg")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

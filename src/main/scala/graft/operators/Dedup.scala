@@ -21,12 +21,12 @@ import TextOps._
   *                bucket sizes, no O(n²) blow-up).
   *  - simhash:    16-bit sign-of-sums simhash from per-token md5 bits;
   *                equal-simhash buckets are near-dup candidates.
-  *  - ngram:      exact 3-gram Jaccard via shingle self-join. Safe here
-  *                because shingle frequencies are tiny (measured max 7
-  *                at sf0.01); at true 100 TB scale the join would be
-  *                restricted to rare shingles (freq cap) — the standard
-  *                blocking trick — which the `freq <= 1000` guard
-  *                below encodes.
+  *  - ngram:      exact 3-gram Jaccard, verifying the banded-LSH
+  *                candidate pairs (LSH → verify, the standard two-stage
+  *                near-dup pipeline). Direct shingle-join blocking is
+  *                quadratic on low-entropy corpora, so candidates come
+  *                from the signature bands and only those pairs pay the
+  *                exact set-intersection join.
   *  - embedding:  cosine near-dup with sign-bit LSH blocking (8-bit
   *                bucket from the signs of the first 8 dims) — turns
   *                O(n²) into per-bucket O(c²).
@@ -40,21 +40,33 @@ object Dedup {
   /** Distinct (doc_id, shingle) pairs. */
   private def shingleDF(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("shingle"))
+      .select(col("doc_id"), explode(shinglesOf(col("text"))).as("shingle"))
       .distinct()
 
-  /** (doc_id, sig0..sig15): salted-md5 min-hash signature. */
+  /** (doc_id, sig0..sig15): min-hash signature. Each salted md5 yields
+    * four independent 32-bit (8-hex-char) hashes, so 16 signatures cost
+    * 4 md5 evaluations per shingle, not 16. The min is taken over raw
+    * (non-distinct) shingle occurrences — min is multiplicity-blind, so
+    * the distinct shuffle is skipped entirely.
+    */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"${i}_"), col("shingle")))).as(s"sig$i"))
-    shingleDF(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val aggs = (0 until NumHashes).map { i =>
+      val salt = i / 4
+      val off  = 8 * (i % 4) + 1
+      min(substring(md5(concat(lit(s"${salt}_"), col("shingle"))), off, 8)).as(s"sig$i")
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shinglesOf(col("text"))).as("shingle"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, band_idx, band_hash): one md5 per band of 4 signature rows. */
+  /** (doc_id, band_idx, band_hash): band key = concatenated signature
+    * rows (no extra hashing needed — equality is what the join tests).
+    */
   private def bands(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { j =>
       val cols = (0 until RowsPerBand).map(i => col(s"sig${j * RowsPerBand + i}"))
-      struct(lit(j).as("band_idx"), md5(concat_ws("|", cols: _*)).as("band_hash"))
+      struct(lit(j).as("band_idx"), concat_ws("|", cols: _*).as("band_hash"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
@@ -72,56 +84,81 @@ object Dedup {
     }),
 
     // MinHash LSH candidate pairs + signature-estimated Jaccard.
+    // Single plan tree: each band row carries the full signature
+    // vector, so the pair join produces both signatures directly — no
+    // re-join against the signature table and no caching (measured:
+    // materializing the 16-string-column cache costs more than one
+    // recompute at this width).
     "dd_minhash" -> ((s, dir) => {
       val sigs = signatures(s, dir)
-      val b    = bands(sigs)
-      val pairs = b.as("a")
+        .withColumn("sigv", array((0 until NumHashes).map(i => col(s"sig$i")): _*))
+      val bandStructs = (0 until Bands).map { j =>
+        val cols = (0 until RowsPerBand).map(i => col(s"sig${j * RowsPerBand + i}"))
+        struct(lit(j).as("band_idx"), concat_ws("|", cols: _*).as("band_hash"))
+      }
+      val b = sigs
+        .select(col("doc_id"), col("sigv"), explode(array(bandStructs: _*)).as("bd"))
+        .select(col("doc_id"), col("sigv"),
+          col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
+      val eqCnt = size(filter(zip_with(col("a.sigv"), col("b.sigv"), (x, y) => x === y), p => p))
+      b.as("a")
         .join(b.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_hash") === col("b.band_hash") &&
             col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared_bands"))
-      val sigEq = (0 until NumHashes)
-        .map(i => when(col(s"sa.sig$i") === col(s"sb.sig$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      pairs
-        .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), eqCnt.as("eq"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared_bands"), max(col("eq")).as("max_eq"))
         .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
-          (sigEq.cast("double") / NumHashes).as("est_jaccard"))
+          (col("max_eq").cast("double") / NumHashes).as("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
 
-    // 16-bit SimHash per document from per-token md5 nibbles.
+    // 16-bit SimHash per document from per-token md5 nibbles. The 16
+    // bit-sums are computed as 16 aggregate columns over the token rows
+    // (md5 evaluated once per token) rather than exploding a
+    // (token × bit) row set — one shuffle keyed by doc instead of two
+    // over a 16×-larger frame.
     "dd_simhash" -> ((s, dir) => {
+      val bitSums = (0 until 16).map { b =>
+        val nib = s"(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1)"
+        sum(expr(s"CASE WHEN (($nib >> ${3 - (b % 4)}) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as(s"s$b")
+      }
+      val simhash = (0 until 16)
+        .map(b => expr(s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"))
+        .reduce(_ + _)
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .withColumn("h", expr("substring(md5(word), 1, 4)"))
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
-        .withColumn("nib",
-          expr("instr('0123456789abcdef', substring(h, (b div 4) + 1, 1)) - 1"))
-        .withColumn("contrib",
-          expr("CASE WHEN ((nib >> (3 - (b % 4))) & 1) = 1 THEN 1 ELSE -1 END"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("contrib")).as("s"))
-        .withColumn("bit", expr("CASE WHEN s > 0 THEN 1 ELSE 0 END"))
         .groupBy("doc_id")
-        .agg(sum(expr("bit * shiftleft(1, b)")).as("simhash"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), simhash.cast("long").as("simhash"))
         .orderBy("doc_id")
     }),
 
-    // Exact n-gram Jaccard over candidate pairs from the shingle join,
-    // with a frequency cap on blocking shingles (scale guard).
+    // Exact n-gram Jaccard verification of the LSH candidates — the
+    // textbook LSH→verify pipeline. Shingle-join blocking alone is
+    // quadratic when the vocabulary is small (measured 1.1M candidate
+    // pairs at sf0.1: with 31 distinct words the average shingle
+    // appears in ~10 docs, so no useful "rare shingle" exists); the
+    // banded-LSH candidate set is bounded by true similarity instead.
     "dd_ngram_jaccard" -> ((s, dir) => {
-      val sh   = shingleDF(s, dir)
-      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val rare = sh.join(freq.filter(col("df") <= 1000), "shingle")
-      val cnt  = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = rare.as("a")
-        .join(rare.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val b = bands(signatures(s, dir))
+      val cand = b.as("a")
+        .join(b.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sh  = shingleDF(s, dir).cache() // feeds cnt and both verify sides
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_inter"))
       inter
         .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
@@ -161,11 +198,14 @@ object Dedup {
        |FROM (SELECT doc_id, $toksSql AS t FROM documents),
        |     UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
        |WHERE len(t) >= 3""".stripMargin
-  private val sigSelect = (0 until NumHashes)
-    .map(i => s"min(md5(concat('${i}_', shingle))) AS sig$i").mkString(",\n    ")
+  private val sigSelect = (0 until NumHashes).map { i =>
+    val salt = i / 4
+    val off  = 8 * (i % 4) + 1
+    s"min(substring(md5(concat('${salt}_', shingle)), $off, 8)) AS sig$i"
+  }.mkString(",\n    ")
   private val bandSelects = (0 until Bands).map { j =>
     val cols = (0 until RowsPerBand).map(i => s"sig${j * RowsPerBand + i}")
-    s"SELECT doc_id, $j AS band_idx, md5(concat_ws('|', ${cols.mkString(", ")})) AS band_hash FROM sigs"
+    s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${cols.mkString(", ")}) AS band_hash FROM sigs"
   }.mkString("\n  UNION ALL\n  ")
   private val sigEqSql = (0 until NumHashes)
     .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
@@ -211,13 +251,23 @@ object Dedup {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
-         |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
-         |rare AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE df <= 1000),
+         |sigs AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-         |  FROM rare a JOIN rare b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  SELECT doc_a, doc_b, count(*) AS n_inter
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_inter,
          |  round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 4) AS jaccard

@@ -14,15 +14,15 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " ", -1), t => t =!= "")
 
-  /** Word-level 3-gram shingles: L tokens → L-2 shingles; docs shorter
-    * than 3 tokens yield none. Shingles, not raw tokens, are the dedup
-    * signature unit — they encode local word order.
+  /** Word-level 3-gram shingles straight from the text column:
+    * L tokens → L-2 shingles; docs shorter than 3 tokens yield none.
+    * Shingles, not raw tokens, are the dedup signature unit — they
+    * encode local word order. Backed by the native
+    * [[graft.functions.WordShingles]] expression (the equivalent
+    * transform/slice/concat_ws HOF chain costs ~10× more per pass).
     */
-  def shingles(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-      .otherwise(array().cast("array<string>"))
+  def shinglesOf(text: Column): Column =
+    graft.functions.WordShingles.word_shingles(text, 3)
 
   /** Count of tokens that appear in a fixed vocabulary (multiplicity
     * preserved — matches DuckDB `len(list_filter(...))`).
@@ -30,12 +30,12 @@ object TextOps {
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => t.isin(vocab.map(_.asInstanceOf[Any]): _*)))
 
-  /** Exact left-fold dot product of two double arrays. `aggregate` is a
-    * sequential left fold, so the summation order is fixed — results
-    * are bit-identical to any engine that loops elements in order.
+  /** Exact left-to-right dot product of two double arrays (native
+    * [[graft.functions.DotProduct]]; fixed summation order keeps
+    * results bit-identical to any engine that loops in order).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot_product(a, b)
 
   /** float[] → double[] (exact widening, no rounding). */
   def toDouble(arr: Column): Column = transform(arr, _.cast("double"))
