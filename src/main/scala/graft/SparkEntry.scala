@@ -20,7 +20,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    WordCountQueries.queries ++ StarQueries.queries ++ EventQueries.queries ++
+    WordCountQueries.queries ++ StarQueries.queries ++ StarQueries2.queries ++
+      EventQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries
 
@@ -28,7 +29,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    WordCountQueries.oracleSql ++ StarQueries.oracleSql ++ EventQueries.oracleSql ++
+    WordCountQueries.oracleSql ++ StarQueries.oracleSql ++ StarQueries2.oracleSql ++
+      EventQueries.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       Multimodal.oracleSql
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Second relational batch: TPC-H-shaped multi-join analytics, explicit
+  * grouping sets, exact percentiles, null-handling and string-function
+  * surfaces, and the SQL-string entry point (`spark.sql`) with a
+  * correlated subquery — the analyst-facing API shape.
+  *
+  * Same determinism rules as [[StarQueries]] (DECIMAL sums, total sort
+  * keys); same scale posture (broadcast dims, one shuffle per agg).
+  */
+object StarQueries2 {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q3 shape: 3-way join, filtered both sides, revenue top-10.
+    "q3_shipping" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > to_timestamp(lit("1996-01-01")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 5-way join through the full dimension chain.
+    "q5_region_volume" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Explicit GROUPING SETS (beyond rollup/cube) via the SQL API.
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
+    // Exact percentiles (Spark `percentile` = exact with linear
+    // interpolation, matching DuckDB `quantile_cont`).
+    "q_percentiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Null-handling surface: coalesce / nullif / nvl2-style CASE.
+    "q_null_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_x"),
+          when(col("o_totalprice") > 200000, col("o_totalprice")).as("big_price"),
+          coalesce(when(col("o_totalprice") > 200000, col("o_totalprice")), lit(0.0))
+            .as("big_price_or_zero"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Extended string functions: regexp, pad, trim, split_part, repeat.
+    "q_string_funcs" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          regexp_replace(col("p_name"), lit("[aeiou]"), lit("_")).as("name_novowel"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_first_word"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          trim(lit(" x "), " ").as("trimmed"),
+          element_at(split(col("p_type"), " ", -1), 1).as("type_part1"),
+          repeat(lit("ab"), 3).as("rep"),
+          expr("replace(p_brand, '#', 'No')").as("brand_tr"),
+          expr("left(p_name, 5)").as("name_l5"),
+          expr("right(p_name, 5)").as("name_r5"))
+        .orderBy("p_partkey")
+    }),
+
+    // Correlated EXISTS through the SQL-string entry point.
+    "q_exists_sql" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("ex_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("ex_orders")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment
+          |FROM ex_customer
+          |WHERE EXISTS (SELECT 1 FROM ex_orders
+          |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Date arithmetic surface.
+    "q_date_arith" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          date_add(to_date(col("o_orderdate")), 30).as("d_plus30"),
+          add_months(to_date(col("o_orderdate")), 2).as("d_plus2m"),
+          last_day(col("o_orderdate")).as("d_eom"),
+          datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate")))
+            .as("days_to_2002"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  private val dsumSql = (x: String) => s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1996-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_region_volume" ->
+      s"""SELECT r_name, n_name,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x,
+        |  CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_price,
+        |  coalesce(CASE WHEN o_totalprice > 200000 THEN o_totalprice END, 0.0)
+        |    AS big_price_or_zero
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
+        |  coalesce(regexp_extract(p_type, '^([A-Z]+)', 1), '') AS type_first_word,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  trim(' x ', ' ') AS trimmed,
+        |  string_split(p_type, ' ')[1] AS type_part1,
+        |  repeat('ab', 3) AS rep,
+        |  replace(p_brand, '#', 'No') AS brand_tr,
+        |  left(p_name, 5) AS name_l5,
+        |  right(p_name, 5) AS name_r5
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_exists_sql" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS d_plus2m,
+        |  CAST(last_day(o_orderdate) AS DATE) AS d_eom,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+        |    AS days_to_2002,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

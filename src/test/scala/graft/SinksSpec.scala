@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MapReduceJob, MapReducePipeline}
+import graft.sources.{LineFile, WordCountOutput}
+
+/** Sinks and source roundtrips: reference-format text output (O8/W4),
+  * CSV and JSON source/sink parity.
+  */
+class SinksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("WordCountOutput: per-reducer sorted text files in reference format") {
+    val tmpIn = Files.createTempFile("wc_in", ".txt")
+    Files.writeString(tmpIn, "the cat sat\nthe dog sat\ncat and dog\n")
+    val counts = MapReducePipeline.run(
+      LineFile.read(spark, tmpIn.toString), MapReduceJob(keyCol = "line_no"))
+    val out = Files.createTempDirectory("wc_out").toString
+    WordCountOutput.write(counts, 3, out)
+
+    // every bucket=K dir holds `word count` lines sorted by word (W4)
+    val bucketDirs = Files.list(Paths.get(out)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket=")).toSeq
+    assert(bucketDirs.nonEmpty)
+    val all = bucketDirs.flatMap { d =>
+      val lines = Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".txt"))
+        .flatMap(f => Files.readAllLines(f).asScala)
+        .toSeq
+      val words = lines.map(_.split(" ")(0))
+      assert(words == words.sorted, s"bucket ${d.getFileName} not sorted")
+      lines
+    }
+    assert(all.sorted == Seq("and 1", "cat 2", "dog 2", "sat 2", "the 2"))
+  }
+
+  test("CSV sink/source roundtrip preserves values") {
+    val dir = Files.createTempDirectory("csv_rt").toString
+    val df = Tables.nation(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == df.count())
+    assert(back.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq ==
+      df.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq)
+  }
+
+  test("JSON sink/source roundtrip preserves values") {
+    val dir = Files.createTempDirectory("json_rt").toString
+    val df = Tables.region(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == df.count())
+    assert(back.select("r_name").orderBy("r_name").collect().map(_.getString(0)).toSeq ==
+      df.select("r_name").orderBy("r_name").collect().map(_.getString(0)).toSeq)
+  }
+
+  test("stateful streaming: mapGroupsWithState running count per key") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("state_in")
+    Files.writeString(dir.resolve("a.txt"), "x\ny\nx\n")
+    val words = spark.readStream.text(dir.toString).as[String]
+    val counted = words.groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (word: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (word, n)
+      }
+    val q = counted.toDF("word", "n").writeStream
+      .outputMode(OutputMode.Update).format("memory").queryName("state_wc").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT word, n FROM state_wc ORDER BY word")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.toSeq == Seq(("x", 2L), ("y", 1L)))
+    } finally q.stop()
+  }
+}
