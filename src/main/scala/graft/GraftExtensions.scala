@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.functions.{DotProduct, RollingHash, WordShingles}
+
+/** Session extension registering graft's native expressions as SQL
+  * functions, so the SQL-string surface can use them:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or on an existing session:
+  * GraftExtensions.register(spark)
+  * spark.sql("SELECT rolling_hash(text), word_shingles(text, 3) FROM docs")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functionDefs.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  val functionDefs: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("rolling_hash"),
+        info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash"),
+        (exprs: Seq[Expression]) => RollingHash(exprs.head)),
+      (FunctionIdentifier("word_shingles"),
+        info("word_shingles", "word_shingles(str[, n]) - word n-gram shingles (default n=3)"),
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(c) => WordShingles(c, 3)
+          case Seq(c, n) =>
+            WordShingles(c, n.eval(null).asInstanceOf[Number].intValue())
+          case _ => throw new IllegalArgumentException("word_shingles(str[, n])")
+        }),
+      (FunctionIdentifier("dot_product"),
+        info("dot_product", "dot_product(arr, arr) - sequential double dot product"),
+        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+    )
+
+  /** Register on an already-built session (the driver owns session
+    * construction, so injection-at-build isn't always available).
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    functionDefs.foreach { case (ident, inf, builder) =>
+      registry.registerFunction(ident, inf, builder)
+    }
+  }
+}

@@ -121,6 +121,20 @@ object StarQueries2 {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Sketch aggregation: HyperLogLog approximate distinct counts next
+    // to the exact value. Oracle-exempt (Spark's HLL++ and DuckDB's HLL
+    // give different estimates by construction) → rows-only check; the
+    // relative-error bound is asserted in ScalaTest instead.
+    "q_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy("l_returnflag")
+    }),
+
     // Date arithmetic surface.
     "q_date_arith" -> ((s, dir) => {
       Tables.orders(s, dir)

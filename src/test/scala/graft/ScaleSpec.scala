@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewOps
+
+/** Executable evidence for the scale claims in SCALE.md: bucketed
+  * co-located joins eliminate the exchange, salted aggregation matches
+  * plain aggregation, SQL function registration works, and hot plans
+  * use the optimized operators (WindowGroupLimit, TakeOrdered).
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val df = Tables.orders(spark, sf)
+    val plain = df.groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("n"), sum(col("o_orderkey")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SkewOps.saltedSumCount(df, col("o_orderstatus"), col("o_orderkey"), 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("graft SQL functions usable from spark.sql after registration") {
+    val out = Graft.sql(spark, sf,
+      """SELECT doc_id, rolling_hash(text) AS rh,
+        |       size(word_shingles(text, 3)) AS n_sh
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(out.length == 5)
+    assert(out.forall(r => !r.isNullAt(1)))
+    val dp = Graft.sql(spark, sf,
+      "SELECT dot_product(CAST(ARRAY(1.0,2.0) AS ARRAY<DOUBLE>), CAST(ARRAY(3.0,4.0) AS ARRAY<DOUBLE>)) AS d")
+      .head().getDouble(0)
+    assert(dp == 11.0)
+  }
+
+  test("grouped top-k plans use WindowGroupLimit (no full-partition materialization)") {
+    val plan = SparkEntry.queries("q_window_rank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan missing WindowGroupLimit:\n$plan")
+  }
+
+  test("approx_count_distinct within its error bound of the exact count") {
+    SparkEntry.queries("q_approx_distinct")(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
+      val exact  = r.getLong(r.fieldIndex("exact_parts")).toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("q_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+}
