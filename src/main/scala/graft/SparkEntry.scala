@@ -23,7 +23,7 @@ object SparkEntry {
     WordCountQueries.queries ++ StarQueries.queries ++ StarQueries2.queries ++
       EventQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +32,5 @@ object SparkEntry {
     WordCountQueries.oracleSql ++ StarQueries.oracleSql ++ StarQueries2.oracleSql ++
       EventQueries.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      Multimodal.oracleSql
+      Multimodal.oracleSql ++ PipelineQueries.oracleSql
 }

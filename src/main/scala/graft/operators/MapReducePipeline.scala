@@ -91,6 +91,16 @@ object MapReducePipeline {
     }
   }
 
+  /** O12 global intermediate-KV count (`Worker.cc:94-99`,
+    * `Scheduler.cc:134-139`): the reference MPI_Reduce-sums per-worker
+    * intermediate pair counts and logs them at Start_Shuffle. Spark
+    * analog: count the exploded token frame (a distributed count; the
+    * reference's number equals ours because it also has no combiner
+    * before this point).
+    */
+  def intermediatePairCount(records: DataFrame, job: MapReduceJob): Long =
+    tokens(records, job).count()
+
   /** Per-record term frequency — the pre-Reduce view of the pipeline
     * keyed by the reference's record key (line number ≈ doc_id).
     */

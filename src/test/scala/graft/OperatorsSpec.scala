@@ -44,6 +44,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert((e | i).subsetOf(u))
   }
 
+  test("O12: intermediate pair count equals total token count") {
+    val docs = Tables.documents(spark, sf)
+    val n = MapReducePipeline.intermediatePairCount(docs, MapReduceJob())
+    val expected = docs
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(n == expected && n > 0)
+  }
+
   test("dd_exact: group sizes sum to document count") {
     val total = Tables.documents(spark, sf).count()
     val sum = run("dd_exact").agg(org.apache.spark.sql.functions.sum("n_docs"))
