@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RollingHash
+import graft.operators.{MapReduceJob, MapReducePipeline}
+
+/** Property-based checks for the reference-semantics warts (SURVEY §2
+  * W1/W2) and the native expressions, per the §5 test strategy. Raw
+  * ScalaCheck (no scalatest bridge in the offline dependency set).
+  */
+class PropertiesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val line: Gen[List[String]] = Gen.listOfN(6, word)
+
+  test("property: pipeline counts equal naive Scala counts on well-formed text") {
+    check(Prop.forAll(Gen.listOfN(8, line)) { lines =>
+      val texts = lines.map(_.mkString(" "))
+      val expected = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = MapReducePipeline.run(df, MapReduceJob())
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got == expected
+    }, n = 10)
+  }
+
+  test("property: W1 — extra whitespace never changes counts") {
+    check(Prop.forAll(line) { ws =>
+      ws.isEmpty || {
+        val clean = ws.mkString(" ")
+        val messy = "  " + ws.mkString("   ") + " "
+        val df = Seq((1L, clean), (2L, messy)).toDF("doc_id", "text")
+        val perDoc = MapReducePipeline.termFrequency(df, MapReduceJob())
+          .collect().groupBy(_.getLong(0))
+          .view.mapValues(_.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
+        perDoc(1L) == perDoc(2L)
+      }
+    }, n = 10)
+  }
+
+  test("property: W2 — bucket is always within [0, R) for any word") {
+    val anyWord = Gen.nonEmptyListOf(Gen.asciiPrintableChar)
+      .map(_.mkString.replace(" ", "x"))
+    // evaluate in one batch per sample set to keep Spark job count low
+    check(Prop.forAll(Gen.listOfN(10, anyWord), Gen.choose(1, 26)) { (wsRaw, r) =>
+      val ws = wsRaw.filter(_.nonEmpty)
+      ws.isEmpty || {
+        val buckets = ws.toDF("word")
+          .select(MapReducePipeline.bucketOf(col("word"), r))
+          .collect().map(_.getInt(0))
+        buckets.forall(b => b >= 0 && b < r)
+      }
+    }, n = 10)
+  }
+
+  test("property: RollingHash equals reference fold for arbitrary strings") {
+    check(Prop.forAll(Gen.listOfN(10, Gen.asciiPrintableStr)) { ss =>
+      val got = ss.toDF("s")
+        .select(RollingHash.rolling_hash(col("s")))
+        .collect().map(_.getLong(0)).toSeq
+      got == ss.map(s => RollingHash.hashBytes(s.getBytes("UTF-8")))
+    }, n = 10)
+  }
+}
