@@ -37,6 +37,21 @@ object StreamingWordCount {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
 
+  /** Streaming deduplication: drop exact-duplicate documents by
+    * fingerprint as they arrive. The watermark bounds the dedup state
+    * (fingerprints older than the horizon are dropped) — without it
+    * state grows forever; with it this is the standard streaming arm of
+    * the dedup family (exact; the minhash-LSH batch pass catches
+    * near-dups in compaction).
+    */
+  def dedupStream(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fp")
+
   /** Run a streaming frame to a named in-memory sink and process all
     * currently-available input (synchronous — for tests/smoke).
     */

@@ -89,6 +89,25 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops exact duplicates within the watermark") {
+    val dir = Files.createTempDirectory("stream_dd")
+    Seq(
+      (1L, "the cat sat", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "the dog sat", java.sql.Timestamp.valueOf("2024-01-01 10:01:00")),
+      (3L, "the cat sat", java.sql.Timestamp.valueOf("2024-01-01 10:02:00"))
+    ).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val q = StreamingWordCount.runToMemory(
+      StreamingWordCount.dedupStream(spark, dir.toString, schema),
+      "dd_stream", mode = "append")
+    try {
+      val texts = spark.sql("SELECT text FROM dd_stream ORDER BY text")
+        .collect().map(_.getString(0))
+      assert(texts.toSeq == Seq("the cat sat", "the dog sat"))
+    } finally q.stop()
+  }
+
   test("JobEventLog captures the reference's event vocabulary") {
     val path = Files.createTempFile("joblog", ".csv").toString
     val listener = new JobEventLog(path)
