@@ -54,6 +54,33 @@ object PipelineQueries {
         .orderBy("cent_id")
     }),
 
+    // TF-IDF top terms: tf × (N/df) with the rarity kept as an exact
+    // rational (tf·N as integer, one double division) — no logarithm,
+    // so no libm divergence between engines. Top-3 terms per doc for a
+    // bounded doc set; N arrives as a broadcast 1-row aggregate, df via
+    // one shuffle keyed by word.
+    "ta_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word").asc)
+      tf.join(df, "word")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("tfidf"),
+          col("rk").cast("int").as("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // Clean-corpus pipeline: quality gate (enough tokens, some
     // stopwords) → exact-dedup survivors (min doc_id per fingerprint)
     // → surviving doc count + token volume per language.
@@ -101,6 +128,28 @@ object PipelineQueries {
          |SELECT cent_id, count(*) AS n_vectors
          |FROM assigned WHERE rk = 1
          |GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+    "ta_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w AS word, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents WHERE doc_id < 50)
+         |  WHERE w <> '' GROUP BY doc_id, w),
+         |dfreq AS (
+         |  SELECT word, count(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, w AS word
+         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |    WHERE w <> '')
+         |  GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, word, tf,
+         |    CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+         |  FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+         |SELECT doc_id, word, tf, tfidf, CAST(rk AS INT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, word ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "pipe_clean_corpus" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, md5(text) AS fp,
