@@ -33,16 +33,43 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  final case class MediaFeature(doc_id: Long, n_bytes: Int, features: Array[Float])
+  /** Deterministic stand-in for a resize: nearest-neighbor
+    * down/up-sample of the byte payload to `n` bytes. STUB — the real
+    * pipeline would resize decoded frames, not raw bytes; the partition
+    * shape and signature are what carry over.
+    */
+  def fakeResize(payload: Array[Byte], n: Int): Array[Byte] = {
+    if (payload.isEmpty) new Array[Byte](n)
+    else Array.tabulate(n)(i => payload((i.toLong * payload.length / n).toInt))
+  }
 
-  /** Typed partition-batched feature extraction over binary payloads. */
+  /** Deterministic stand-in for frame sampling: every `stride`-th byte
+    * starting at `offset`. STUB for keyframe extraction.
+    */
+  def sampleFrames(payload: Array[Byte], stride: Int, offset: Int = 0): Array[Byte] =
+    Iterator.from(offset, stride).takeWhile(_ < payload.length).map(payload).toArray
+
+  final case class MediaFeature(
+      doc_id: Long,
+      n_bytes: Int,
+      features: Array[Float],
+      resized: Array[Byte],
+      frame_sample: Array[Byte])
+
+  /** Typed partition-batched decode → resize → frame-sample →
+    * feature-extract pipeline over binary payloads (the Scala analog of
+    * a Pandas-UDF batch stage; swap the fake* stubs for real codecs and
+    * nothing about schema/partitioning/batching changes).
+    */
   def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeature] = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        MediaFeature(id, payload.length, fakeDecode(payload))
+        val resized = fakeResize(payload, 64)
+        MediaFeature(id, payload.length, fakeDecode(resized),
+          resized, sampleFrames(payload, stride = 16))
       })
   }
 

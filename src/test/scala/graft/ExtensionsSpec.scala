@@ -44,13 +44,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a.map(_.getLong(1)).toSeq == b.map(_.getLong(1)).toSeq)
   }
 
-  test("mm_features: fake decode produces normalized 16-dim histograms") {
+  test("mm_features: decode→resize→frame-sample pipeline shapes and determinism") {
     val ds = Multimodal.extractFeatures(spark, sf).collect()
     assert(ds.nonEmpty)
     ds.take(20).foreach { f =>
       assert(f.features.length == 16)
       assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+      assert(f.resized.length == 64)
+      assert(f.frame_sample.length == (f.n_bytes + 15) / 16)
     }
+    // stubs are pure functions of the payload
+    val again = Multimodal.extractFeatures(spark, sf).collect()
+    assert(ds.map(_.resized.toSeq).toSeq == again.map(_.resized.toSeq).toSeq)
   }
 
   test("mm_meta matches stub decode arithmetic") {

@@ -63,6 +63,29 @@ class SinksSpec extends AnyFunSuite {
       df.select("r_name").orderBy("r_name").collect().map(_.getString(0)).toSeq)
   }
 
+  test("stateful streaming: flatMapGroupsWithState emits deltas per key") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = Files.createTempDirectory("fstate_in")
+    Files.writeString(dir.resolve("a.txt"), "a\nb\na\na\n")
+    val words = spark.readStream.text(dir.toString).as[String]
+    val deltas = words.groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (word: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rows.size
+          state.update(after)
+          Iterator.single((word, before, after))
+      }
+    val q = deltas.toDF("word", "before", "after").writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("fstate_wc").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT word, before, after FROM fstate_wc ORDER BY word")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq(("a", 0L, 3L), ("b", 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("stateful streaming: mapGroupsWithState running count per key") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val dir = Files.createTempDirectory("state_in")
