@@ -64,12 +64,15 @@ object TextAnalysis {
           length(col("text")).cast("long").as("n_chars_obs"),
           (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
           (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
-          round(
-            least(col("n_tokens"), lit(100L)).cast("double") / 100.0 * 0.4
-              + col("n_stop").cast("double") / col("n_tokens") * 0.3
-              + when((col("sum_len").cast("double") / col("n_tokens").cast("double"))
-                       .between(3.0, 8.0), 0.3).otherwise(0.1),
-            4).as("quality_score"))
+          // no rounding: the op-for-op identical expression tree yields
+          // bit-identical doubles in both engines, whereas round(x,4)
+          // near a decimal boundary diverges (Spark rounds the exact
+          // binary value, DuckDB rounds x*10^4 — different tie sides
+          // within 1 ulp; observed at sf0.1)
+          (least(col("n_tokens"), lit(100L)).cast("double") / 100.0 * 0.4
+            + col("n_stop").cast("double") / col("n_tokens") * 0.3
+            + when((col("sum_len").cast("double") / col("n_tokens").cast("double"))
+                     .between(3.0, 8.0), 0.3).otherwise(0.1)).as("quality_score"))
         .orderBy("doc_id")
     }),
 
@@ -137,12 +140,11 @@ object TextAnalysis {
          |  CAST(length(text) AS BIGINT) AS n_chars_obs,
          |  CAST(sum_len AS DOUBLE) / len(t) AS avg_token_len,
          |  CAST(n_stop AS DOUBLE) / len(t) AS stop_ratio,
-         |  round(
-         |    CAST(least(len(t), 100) AS DOUBLE) / 100.0 * 0.4
-         |      + CAST(n_stop AS DOUBLE) / len(t) * 0.3
-         |      + CASE WHEN CAST(sum_len AS DOUBLE) / CAST(len(t) AS DOUBLE)
-         |                  BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.1 END,
-         |    4) AS quality_score
+         |  CAST(least(len(t), 100) AS DOUBLE) / 100.0 * 0.4
+         |    + CAST(n_stop AS DOUBLE) / len(t) * 0.3
+         |    + CASE WHEN CAST(sum_len AS DOUBLE) / CAST(len(t) AS DOUBLE)
+         |                BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.1 END
+         |    AS quality_score
          |FROM (
          |  SELECT doc_id, text, t,
          |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
