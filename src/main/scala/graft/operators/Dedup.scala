@@ -163,9 +163,12 @@ object Dedup {
       inter
         .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
         .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+        // raw ratio, unrounded: a small-denominator rational can sit on
+        // a decimal midpoint where round() diverges between engines;
+        // the un-rounded division is bit-identical on both sides
         .withColumn("jaccard",
-          round(col("n_inter").cast("double") /
-            (col("ca.n") + col("cb.n") - col("n_inter")), 4))
+          col("n_inter").cast("double") /
+            (col("ca.n") + col("cb.n") - col("n_inter")))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -270,11 +273,11 @@ object Dedup {
          |  JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_inter,
-         |  round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 4) AS jaccard
+         |  CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
          |FROM inter
          |JOIN cnt ca ON doc_a = ca.doc_id
          |JOIN cnt cb ON doc_b = cb.doc_id
-         |WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 4) >= 0.5
+         |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_embed_cos" ->
       """WITH v AS (

@@ -38,7 +38,15 @@ object WordCountQueries {
 
     // pre-Reduce view: per-record term frequency (O2 keyed by O1's key)
     "wordcount_tf_per_doc" -> ((s, dir) =>
-      MapReducePipeline.termFrequency(docs(s, dir), MapReduceJob(maxRecords = Some(100L))))
+      MapReducePipeline.termFrequency(docs(s, dir), MapReduceJob(maxRecords = Some(100L)))),
+
+    // all three spec §8 mutations composed: first-char grouping,
+    // descending sort, explicit bucketing — the demo-time regrade case
+    "wordcount_all_variants" -> ((s, dir) =>
+      MapReducePipeline.run(docs(s, dir), MapReduceJob(
+        groupKey = w => substring(w, 1, 1),
+        sortAscending = false,
+        numReducers = Some(3))))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -68,6 +76,11 @@ object WordCountQueries {
       """SELECT doc_id, w AS word, count(*) AS tf
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |      FROM documents WHERE doc_id < 100)
-        |WHERE w <> '' GROUP BY doc_id, w ORDER BY doc_id, word""".stripMargin
+        |WHERE w <> '' GROUP BY doc_id, w ORDER BY doc_id, word""".stripMargin,
+    "wordcount_all_variants" ->
+      """SELECT substr(w, 1, 1) AS word, count(*) AS cnt,
+        |       ((ascii(substr(substr(w, 1, 1), 1, 1)) - 65) % 3 + 3) % 3 AS bucket
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY 1 ORDER BY bucket, word DESC""".stripMargin
   )
 }

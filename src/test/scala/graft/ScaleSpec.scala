@@ -69,6 +69,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"plan missing WindowGroupLimit:\n$plan")
   }
 
+  test("join strategy hints are honored (shuffle_hash / merge)") {
+    val l = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val sh = l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(sh.contains("ShuffledHashJoin"), s"plan:\n$sh")
+    val sm = l.join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(sm.contains("SortMergeJoin"), s"plan:\n$sm")
+  }
+
   test("approx_count_distinct within its error bound of the exact count") {
     SparkEntry.queries("q_approx_distinct")(spark, sf).collect().foreach { r =>
       val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
