@@ -175,6 +175,12 @@ object Dedup {
     }),
 
     // Embedding cosine near-dup with sign-bit LSH blocking.
+    // Deliberate rounding asymmetry vs the jaccard queries: a cosine is
+    // quasi-continuous (midpoint hit probability ~1e-12 per value), so
+    // round(,4) is midpoint-safe here and buys robustness against any
+    // future accumulation-order difference in either engine's dot
+    // product. Small-denominator rationals (jaccard, quality) are the
+    // opposite: they LAND on midpoints, so those stay unrounded.
     "dd_embed_cos" -> ((s, dir) => {
       val signBits = (1 to 8)
         .map(i => when(element_at(col("embedding"), i) >= 0, "1").otherwise("0"))

@@ -49,6 +49,10 @@ object WordCountQueries {
         numReducers = Some(3))))
   )
 
+  /** DuckDB mirror of [[MapReducePipeline.bucketOf]] (W2 pmod). */
+  private def bucketSql(wordExpr: String, r: Int): String =
+    s"((ascii(substr($wordExpr, 1, 1)) - 65) % $r + $r) % $r"
+
   val oracleSql: Map[String, String] = Map(
     "wordcount" ->
       """SELECT w AS word, count(*) AS cnt
@@ -63,10 +67,10 @@ object WordCountQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |WHERE w <> '' GROUP BY 1 ORDER BY word""".stripMargin,
     "wordcount_bucketed" ->
-      """SELECT w AS word, count(*) AS cnt,
-        |       ((ascii(substr(w, 1, 1)) - 65) % 4 + 4) % 4 AS bucket
-        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |WHERE w <> '' GROUP BY w ORDER BY bucket, word""".stripMargin,
+      s"""SELECT w AS word, count(*) AS cnt,
+         |       ${bucketSql("w", 4)} AS bucket
+         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |WHERE w <> '' GROUP BY w ORDER BY bucket, word""".stripMargin,
     "wordcount_limited" ->
       """SELECT w AS word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS w
@@ -78,9 +82,9 @@ object WordCountQueries {
         |      FROM documents WHERE doc_id < 100)
         |WHERE w <> '' GROUP BY doc_id, w ORDER BY doc_id, word""".stripMargin,
     "wordcount_all_variants" ->
-      """SELECT substr(w, 1, 1) AS word, count(*) AS cnt,
-        |       ((ascii(substr(substr(w, 1, 1), 1, 1)) - 65) % 3 + 3) % 3 AS bucket
-        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |WHERE w <> '' GROUP BY 1 ORDER BY bucket, word DESC""".stripMargin
+      s"""SELECT substr(w, 1, 1) AS word, count(*) AS cnt,
+         |       ${bucketSql("substr(w, 1, 1)", 3)} AS bucket
+         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |WHERE w <> '' GROUP BY 1 ORDER BY bucket, word DESC""".stripMargin
   )
 }
