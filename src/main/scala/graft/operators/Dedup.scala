@@ -198,6 +198,38 @@ object Dedup {
         .filter(col("cos") >= 0.3)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // Multi-probe variant: each vector also probes the 8 buckets at
+    // Hamming distance 1 from its own (flip one sign bit), recovering
+    // pairs that a single sign-LSH bucket misses when a coordinate sits
+    // near zero. Candidate volume grows 9×, still O(n·c) — the standard
+    // recall/cost dial of LSH at scale.
+    "dd_embed_multiprobe" -> ((s, dir) => {
+      val signBits = (1 to 8)
+        .map(i => when(element_at(col("embedding"), i) >= 0, "1").otherwise("0"))
+      val v = Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          toDouble(col("embedding")).as("e"),
+          concat(signBits: _*).as("bucket"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val flips: Seq[org.apache.spark.sql.Column] = col("bucket") +: (1 to 8).map { i =>
+        concat(
+          substring(col("bucket"), 1, i - 1),
+          when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
+          substring(col("bucket"), i + 1, 8 - i))
+      }
+      val probes = v.select(col("vec_id"), col("e"), col("nrm"),
+        explode(array(flips: _*)).as("probe"))
+      probes.as("a")
+        .join(v.as("b"),
+          col("a.probe") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .distinct()
+        .orderBy("vec_a", "vec_b")
     })
   )
 
@@ -285,6 +317,35 @@ object Dedup {
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_embed_multiprobe" -> {
+      val flipsSql = "bucket" +: (1 to 8).map { i =>
+        s"substr(bucket, 1, ${i - 1}) || " +
+          s"(CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || " +
+          s"substr(bucket, ${i + 1}, ${8 - i})"
+      }
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    concat(
+         |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+         |      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |probes AS (
+         |  SELECT vec_id, e, nrm,
+         |    unnest([${flipsSql.mkString(",\n      ")}]) AS probe
+         |  FROM v)
+         |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
+         |FROM probes a JOIN v b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
     "dd_embed_cos" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e,
