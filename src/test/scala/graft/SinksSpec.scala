@@ -63,6 +63,26 @@ class SinksSpec extends AnyFunSuite {
       df.select("r_name").orderBy("r_name").collect().map(_.getString(0)).toSeq)
   }
 
+  test("foreachBatch: idempotent batch-id-keyed parquet sink") {
+    val in = Files.createTempDirectory("fb_in")
+    val out = Files.createTempDirectory("fb_out").toString
+    Files.writeString(in.resolve("a.txt"), "x\ny\n")
+    val q = spark.readStream.text(in.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // exactly-once pattern: partition path keyed by batch id; a
+        // replayed batch overwrites its own partition idempotently
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$out/batch_id=0").count()
+      assert(rows == 2)
+    } finally q.stop()
+  }
+
   test("stateful streaming: flatMapGroupsWithState emits deltas per key") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val dir = Files.createTempDirectory("fstate_in")
