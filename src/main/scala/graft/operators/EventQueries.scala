@@ -49,6 +49,21 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Native session windows: Spark's session_window merges events
+    // within a 30-minute gap. The oracle derives the same sessions from
+    // first principles (lag → new-session flags → cumulative island
+    // ids), pinning down the operator's merge semantics.
+    "ev_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // Gap-based sessionization: a new session starts after a >30 min
     // silence per user. Microsecond-integer arithmetic on both engines.
     "ev_sessionize" -> ((s, dir) => {
@@ -79,6 +94,22 @@ object EventQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_session_window" ->
+      """SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev_us IS NULL
+        |                OR epoch_us(ts) - prev_us >= 1800 * 1000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM (SELECT user_id, ts, event_id,
+        |                 lag(epoch_us(ts), 1) OVER
+        |                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |          FROM events)))
+        |GROUP BY user_id, island ORDER BY user_id, session_start""".stripMargin,
     "ev_sessionize" ->
       """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
         |FROM (
