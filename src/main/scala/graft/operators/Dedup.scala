@@ -182,13 +182,11 @@ object Dedup {
     // product. Small-denominator rationals (jaccard, quality) are the
     // opposite: they LAND on midpoints, so those stay unrounded.
     "dd_embed_cos" -> ((s, dir) => {
-      val signBits = (1 to 8)
-        .map(i => when(element_at(col("embedding"), i) >= 0, "1").otherwise("0"))
       val v = Tables.embeddings(s, dir)
         .select(
           col("vec_id"),
           toDouble(col("embedding")).as("e"),
-          concat(signBits: _*).as("bucket"))
+          Vec.signBucket(col("embedding")).as("bucket"))
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
       v.as("a")
         .join(v.as("b"),
@@ -206,13 +204,11 @@ object Dedup {
     // near zero. Candidate volume grows 9×, still O(n·c) — the standard
     // recall/cost dial of LSH at scale.
     "dd_embed_multiprobe" -> ((s, dir) => {
-      val signBits = (1 to 8)
-        .map(i => when(element_at(col("embedding"), i) >= 0, "1").otherwise("0"))
       val v = Tables.embeddings(s, dir)
         .select(
           col("vec_id"),
           toDouble(col("embedding")).as("e"),
-          concat(signBits: _*).as("bucket"))
+          Vec.signBucket(col("embedding")).as("bucket"))
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
       val flips: Seq[org.apache.spark.sql.Column] = col("bucket") +: (1 to 8).map { i =>
         concat(
@@ -323,19 +319,7 @@ object Dedup {
           s"(CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || " +
           s"substr(bucket, ${i + 1}, ${8 - i})"
       }
-      s"""WITH v AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS e,
-         |    concat(
-         |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
-         |      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
-         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |  FROM embeddings),
+      s"""WITH v AS (${OracleSql.vectors}),
          |probes AS (
          |  SELECT vec_id, e, nrm,
          |    unnest([${flipsSql.mkString(",\n      ")}]) AS probe
@@ -347,19 +331,7 @@ object Dedup {
          |ORDER BY vec_a, vec_b""".stripMargin
     },
     "dd_embed_cos" ->
-      """WITH v AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS e,
-        |    concat(
-        |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-        |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-        |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-        |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-        |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-        |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
-        |      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
-        |      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
-        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        |  FROM embeddings)
+      s"""WITH v AS (${OracleSql.vectors})
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
         |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -30,7 +30,7 @@ object EventQueries {
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+          Agg.dsum(col("value")).as("sum_value"))
         .orderBy("hour", "event_type")
     }),
 

@@ -79,7 +79,6 @@ object Multimodal {
     // stub-decoded "dimensions", frame count, first-frame sample hash.
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .withColumn("payload", col("text").cast("binary"))
         .select(
           col("doc_id"),
           octet_length(col("text")).cast("long").as("n_bytes"),

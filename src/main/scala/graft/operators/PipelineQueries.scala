@@ -101,7 +101,7 @@ object PipelineQueries {
     })
   )
 
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private val toksSql = OracleSql.toks
 
   val oracleSql: Map[String, String] = Map(
     "ta_top_words_per_lang" ->

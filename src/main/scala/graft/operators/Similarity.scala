@@ -25,11 +25,9 @@ object Similarity {
   val NumQueries = 5 // query set: vec_id < 5
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
-    val signBits = (1 to 8)
-      .map(i => when(element_at(col("embedding"), i) >= 0, "1").otherwise("0"))
     Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"),
-        concat(signBits: _*).as("bucket"))
+        Vec.signBucket(col("embedding")).as("bucket"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
   }
 
@@ -67,19 +65,7 @@ object Similarity {
     })
   )
 
-  private val vSql =
-    """SELECT vec_id, embedding::DOUBLE[] AS e,
-      |    concat(
-      |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
-      |      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
-      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |  FROM embeddings""".stripMargin
+  private val vSql = OracleSql.vectors
 
   private def topkSql(joinCond: String) =
     s"""WITH v AS ($vSql)

@@ -33,11 +33,7 @@ import graft.Tables
   */
 object StarQueries {
 
-  /** Exact order-independent sum of a double measure: decimal-sum then
-    * back to double. Scale 4 covers the 2-decimal monetary columns and
-    * 2 more digits for discount products.
-    */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  import Agg.dsum
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -230,7 +226,7 @@ object StarQueries {
     })
   )
 
-  private val dsumSql = (x: String) => s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  private val dsumSql = OracleSql.dsum _
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -16,8 +16,7 @@ import graft.Tables
   */
 object StarQueries2 {
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 4))).cast("double")
+  import Agg.dsum
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -152,7 +151,7 @@ object StarQueries2 {
     })
   )
 
-  private val dsumSql = (x: String) => s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  private val dsumSql = OracleSql.dsum _
 
   val oracleSql: Map[String, String] = Map(
     "q3_shipping" ->

@@ -113,7 +113,7 @@ object TextAnalysis {
     })
   )
 
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private val toksSql = OracleSql.toks
   private def hitsSql(ws: Seq[String]) =
     s"len(list_filter(t, x -> list_contains(${sqlList(ws)}, x)))"
 

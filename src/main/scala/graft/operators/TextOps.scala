@@ -28,7 +28,7 @@ object TextOps {
     * preserved — matches DuckDB `len(list_filter(...))`).
     */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
-    size(filter(toks, t => t.isin(vocab.map(_.asInstanceOf[Any]): _*)))
+    size(filter(toks, t => t.isin(vocab: _*)))
 
   /** Exact left-to-right dot product of two double arrays (native
     * [[graft.functions.DotProduct]]; fixed summation order keeps
