@@ -137,6 +137,44 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // 64-bit SimHash near-dup pairs via Hamming banding: the 64 bits
+    // split into 4 × 16-bit bands; a pair within Hamming distance 3
+    // must agree on at least one whole band (pigeonhole), so the
+    // band-equality join is a complete candidate generator for d≤3.
+    // Exact Hamming distance then filters via bit_count(xor).
+    "dd_simhash64_pairs" -> ((s, dir) => {
+      val bitSums = (0 until 64).map { b =>
+        val nib = s"(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1)"
+        sum(expr(s"CASE WHEN (($nib >> ${3 - (b % 4)}) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as(s"s$b")
+      }
+      val simhash = (0 until 64)
+        .map(b => expr(s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        .reduce(_ + _)
+      val hashes = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .withColumn("h", expr("substring(md5(word), 1, 16)"))
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), simhash.as("sh"))
+      val banded = hashes.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band_idx"),
+            expr(s"(sh >> ${16 * j}) & 65535").as("band_val"))): _*)).as("bd"))
+        .select(col("doc_id"), col("sh"),
+          col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Exact n-gram Jaccard verification of the LSH candidates — the
     // textbook LSH→verify pipeline. Shingle-join blocking alone is
     // quadratic when the vocabulary is small (measured 1.1M candidate
@@ -286,6 +324,36 @@ object Dedup {
         |         UNNEST(range(0, 16)) AS u(b))
         |  GROUP BY doc_id, b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_simhash64_pairs" -> {
+      val bitSums = (0 until 64).map { b =>
+        val nib = s"(strpos('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1)"
+        s"sum(CASE WHEN (($nib >> ${3 - (b % 4)}) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n      ")
+      val shExpr = (0 until 64)
+        .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      val bandRows = (0 until 4)
+        .map(j => s"SELECT doc_id, sh, $j AS band_idx, (sh >> ${16 * j}) & 65535 AS band_val FROM hashes")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH sums AS (
+         |  SELECT doc_id,
+         |      $bitSums
+         |  FROM (SELECT doc_id, substring(md5(w), 1, 16) AS h
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |        WHERE w <> '')
+         |  GROUP BY doc_id),
+         |hashes AS (SELECT doc_id, $shExpr AS sh FROM sums),
+         |banded AS (
+         |  $bandRows
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         | AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dd_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
          |sigs AS (SELECT doc_id,
