@@ -192,7 +192,11 @@ object Dedup {
         .distinct()
       val sh  = shingleDF(s, dir).cache() // feeds cnt and both verify sides
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
+      // merge-join hint: the candidate set's size is data-dependent
+      // (dup-heavy corpora yield millions of pairs) and its stats
+      // mislead the planner into broadcasting it — observed OOM at a
+      // 2 GB heap under 20× amplification. Sort-merge spills instead.
+      val inter = cand.hint("merge")
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sh.as("sb"),
           col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
