@@ -68,6 +68,21 @@ class PropertiesSpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("property: WordShingles equals naive sliding n-grams for arbitrary text") {
+    val messyText = Gen.listOf(Gen.oneOf(word, Gen.const(""), Gen.const(" ")))
+      .map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(6, messyText)) { texts =>
+      val got = texts.toDF("text")
+        .select(graft.functions.WordShingles.word_shingles(col("text"), 3))
+        .collect().map(_.getSeq[String](0).toList)
+      val expected = texts.map { t =>
+        t.split(" ").filter(_.nonEmpty).toList.sliding(3).toList
+          .filter(_.size == 3).map(_.mkString(" "))
+      }
+      got.toList == expected
+    }, n = 10)
+  }
+
   test("property: RollingHash equals reference fold for arbitrary strings") {
     check(Prop.forAll(Gen.listOfN(10, Gen.asciiPrintableStr)) { ss =>
       val got = ss.toDF("s")
