@@ -134,6 +134,29 @@ object StarQueries2 {
         .orderBy("l_returnflag")
     }),
 
+    // HAVING: aggregate-level filtering (post-group predicate).
+    "q_having" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("n_items") >= 35)
+        .orderBy("l_partkey")
+    }),
+
+    // Correlated scalar subquery through the SQL entry point: orders
+    // beating their own customer's average order value.
+    "q_corr_scalar" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("cs_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM cs_orders o
+          |WHERE o_totalprice > 2 * (
+          |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          |           / count(*)
+          |  FROM cs_orders i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Date arithmetic surface.
     "q_date_arith" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -213,6 +236,19 @@ object StarQueries2 {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_having" ->
+      s"""SELECT l_partkey, count(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_partkey
+         |HAVING count(*) >= 35
+         |ORDER BY l_partkey""".stripMargin,
+    "q_corr_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |           / count(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_date_arith" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS d,
