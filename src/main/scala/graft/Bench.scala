@@ -33,20 +33,26 @@ object Bench {
     try SparkEntry.queries("wordcount")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // A failed query must be distinguishable from a fast one: its time
+    // is recorded as -1 and excluded from the total, and its name lands
+    // in the errors list.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     // The reference's published numbers (BASELINE.md) time its single
     // workload — WordCount end-to-end — so surface that one separately
     // next to the full 53-query suite total.
-    val wcSec = results.toMap.getOrElse("wordcount", -1.0)
+    val wcSec = results.collectFirst { case ("wordcount", v, true) => v }.getOrElse(-1.0)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
       s""""baseline_comparable":{"workload":"wordcount (the reference's only job)","sec":$wcSec,"n_queries_in_total":${results.size}}}""")
     spark.stop()
   }

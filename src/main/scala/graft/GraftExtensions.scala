@@ -35,9 +35,14 @@ object GraftExtensions {
         info("word_shingles", "word_shingles(str[, n]) - word n-gram shingles (default n=3)"),
         (exprs: Seq[Expression]) => exprs match {
           case Seq(c) => WordShingles(c, 3)
-          case Seq(c, n) =>
-            WordShingles(c, n.eval(null).asInstanceOf[Number].intValue())
-          case _ => throw new IllegalArgumentException("word_shingles(str[, n])")
+          case Seq(c, n) if n.foldable =>
+            n.eval(null) match {
+              case num: Number => WordShingles(c, num.intValue())
+              case _ => throw new IllegalArgumentException(
+                "word_shingles: n must be a non-null integer literal")
+            }
+          case _ => throw new IllegalArgumentException(
+            "word_shingles(str[, n]) — n must be a foldable integer")
         }),
       (FunctionIdentifier("dot_product"),
         info("dot_product", "dot_product(arr, arr) - sequential double dot product"),

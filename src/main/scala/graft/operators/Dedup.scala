@@ -271,7 +271,7 @@ object Dedup {
     })
   )
 
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private val toksSql = OracleSql.toks
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
        |FROM (SELECT doc_id, $toksSql AS t FROM documents),

@@ -17,11 +17,17 @@ object SkewOps {
   /** Two-phase salted sum/count aggregation: semantically identical to
     * `df.groupBy(key).agg(count, sum(valueCol))` for any salt count,
     * but the phase-1 shuffle spreads each key over `saltBuckets` tasks.
+    *
+    * The salt is a deterministic hash of the row content — NOT
+    * `spark_partition_id`/`monotonically_increasing_id`, which change
+    * on stage retry and silently double-count or drop rows when only
+    * part of a shuffle map output is recomputed (the SPARK-23207 class
+    * of bug). Tradeoff: rows with identical (key, value) share a salt,
+    * so salting is weaker when a hot key carries few distinct values.
     */
   def saltedSumCount(df: DataFrame, key: Column, valueCol: Column, saltBuckets: Int): DataFrame = {
     df.select(key.as("k"), valueCol.as("v"))
-      .withColumn("salt", pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets)))
+      .withColumn("salt", pmod(hash(col("k"), col("v")), lit(saltBuckets)))
       .groupBy(col("k"), col("salt"))
       .agg(count(lit(1)).as("pc"), sum(col("v")).as("ps"))
       .groupBy(col("k"))

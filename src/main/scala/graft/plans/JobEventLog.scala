@@ -12,17 +12,23 @@ import org.apache.spark.scheduler._
   * Finish_Shuffle, Dispatch_ReduceTask, Complete_ReduceTask,
   * FinishJob). Spark's scheduler already emits the equivalent facts as
   * listener events; this listener maps them onto the reference's
-  * vocabulary: each job's final stage (its result stage) plays the
-  * reduce phase, earlier stages play the map phase, and the boundary
-  * between them is the shuffle.
+  * vocabulary: shuffle-producing stages play the map phase, others the
+  * reduce phase, and the boundary between them is the shuffle.
+  *
+  * Scoping: the reference's "job" corresponds to one SQL *execution*,
+  * not one Spark job — under AQE each stage can run as its own job, so
+  * map/reduce bookkeeping is keyed by `spark.sql.execution.id` (falling
+  * back to a per-job key for non-SQL RDD jobs). Without that scoping, a
+  * map stage from one query would make later shuffle-free queries log
+  * spurious Finish_Shuffle events.
   *
   * Format: `epoch_ms,Event,args...` — same shape as the reference log.
   */
 class JobEventLog(path: String) extends SparkListener {
   private val out = new PrintWriter(new File(path))
-  // stages that produce shuffle output (StageInfo.shuffleDepId defined)
-  // play the reference's map phase; result stages play the reduce phase.
-  private val mapStages = mutable.Set.empty[Int]
+  private val mapStages    = mutable.Set.empty[Int]
+  private val stageToScope = mutable.Map.empty[Int, String]
+  private val scopesWithMap = mutable.Set.empty[String]
 
   private def log(event: String, args: Any*): Unit = synchronized {
     out.println((System.currentTimeMillis() +: (event +: args)).mkString(","))
@@ -30,15 +36,23 @@ class JobEventLog(path: String) extends SparkListener {
   }
   private def isMap(stageId: Int): Boolean = synchronized(mapStages.contains(stageId))
 
-  override def onJobStart(e: SparkListenerJobStart): Unit =
+  override def onJobStart(e: SparkListenerJobStart): Unit = {
+    val scope = Option(e.properties)
+      .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+      .map("exec-" + _)
+      .getOrElse("job-" + e.jobId)
+    synchronized(e.stageIds.foreach(sid => stageToScope(sid) = scope))
     log("Start_Job", e.jobId, e.stageIds.mkString("|"))
+  }
 
   override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
     val id = e.stageInfo.stageId
     if (org.apache.spark.graftbridge.SchedulerBridge.producesShuffleOutput(e.stageInfo))
-      synchronized(mapStages += id)
-    // a reduce stage starting after map output exists = shuffle read done
-    else if (synchronized(mapStages.nonEmpty)) log("Finish_Shuffle", id)
+      synchronized { mapStages += id; stageToScope.get(id).foreach(scopesWithMap += _) }
+    // a reduce stage starting after ITS execution produced map output =
+    // shuffle read beginning for that query
+    else if (synchronized(stageToScope.get(id).exists(scopesWithMap.contains)))
+      log("Finish_Shuffle", id)
   }
 
   override def onTaskStart(e: SparkListenerTaskStart): Unit =
@@ -56,6 +70,22 @@ class JobEventLog(path: String) extends SparkListener {
 
   override def onJobEnd(e: SparkListenerJobEnd): Unit =
     log("FinishJob", e.jobId)
+
+  override def onOtherEvent(event: SparkListenerEvent): Unit =
+    // SQL execution finished → drop that scope's bookkeeping (matched
+    // by class name; the event class lives in the sql-execution-ui
+    // package and carries executionId)
+    if (event.getClass.getSimpleName == "SparkListenerSQLExecutionEnd") {
+      try {
+        val execId = event.getClass.getMethod("executionId").invoke(event).toString
+        val scope = "exec-" + execId
+        synchronized {
+          val stages = stageToScope.collect { case (sid, sc) if sc == scope => sid }
+          stages.foreach { sid => stageToScope -= sid; mapStages -= sid }
+          scopesWithMap -= scope
+        }
+      } catch { case _: ReflectiveOperationException => () }
+    }
 
   def close(): Unit = out.close()
 }

@@ -38,11 +38,12 @@ object StreamingWordCount {
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
 
   /** Streaming deduplication: drop exact-duplicate documents by
-    * fingerprint as they arrive. The watermark bounds the dedup state
-    * (fingerprints older than the horizon are dropped) — without it
-    * state grows forever; with it this is the standard streaming arm of
-    * the dedup family (exact; the minhash-LSH batch pass catches
-    * near-dups in compaction).
+    * fingerprint as they arrive. `dropDuplicatesWithinWatermark` is the
+    * state-bounded form — fingerprint state older than the watermark
+    * horizon is evicted (plain `dropDuplicates("fp")` would keep one
+    * state row per distinct fingerprint forever, the unbounded-state
+    * failure mode). The minhash-LSH batch pass catches near-dups in
+    * compaction.
     */
   def dedupStream(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
     spark.readStream
@@ -50,7 +51,7 @@ object StreamingWordCount {
       .parquet(inputDir)
       .withColumn("fp", md5(col("text")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Run a streaming frame to a named in-memory sink and process all
     * currently-available input (synchronous — for tests/smoke).

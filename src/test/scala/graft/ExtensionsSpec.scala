@@ -113,6 +113,26 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("JobEventLog: shuffle-free queries after a shuffle log no spurious Finish_Shuffle") {
+    val path = Files.createTempFile("joblog2", ".csv").toString
+    val listener = new JobEventLog(path)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Tables.lineitem(spark, sf).groupBy("l_returnflag").count().collect() // shuffle query
+      Thread.sleep(800)
+      val before = Files.readAllLines(java.nio.file.Paths.get(path))
+        .stream().filter(_.contains("Finish_Shuffle")).count()
+      Tables.region(spark, sf).collect() // scan-only query, no shuffle anywhere
+      Thread.sleep(800)
+      val after = Files.readAllLines(java.nio.file.Paths.get(path))
+        .stream().filter(_.contains("Finish_Shuffle")).count()
+      assert(after == before, s"scan-only query logged ${after - before} spurious Finish_Shuffle")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      listener.close()
+    }
+  }
+
   test("JobEventLog captures the reference's event vocabulary") {
     val path = Files.createTempFile("joblog", ".csv").toString
     val listener = new JobEventLog(path)
