@@ -134,6 +134,19 @@ object StarQueries2 {
         .orderBy("l_returnflag")
     }),
 
+    // PIVOT: order-status columns per market segment. The oracle is the
+    // equivalent conditional aggregation — identical column names are
+    // what make the hash compare line up.
+    "q_pivot" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy("c_mktsegment")
+    }),
+
     // HAVING: aggregate-level filtering (post-group predicate).
     "q_having" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -236,6 +249,13 @@ object StarQueries2 {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT c_mktsegment,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_having" ->
       s"""SELECT l_partkey, count(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_partkey
