@@ -49,6 +49,24 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Custom as-of join operator (graft.plans.AsOfJoin — the full
+    // LogicalPlan+Strategy+SparkPlan extension path): each event picks
+    // up the user's most recent order at-or-before the event time.
+    // The right side is pre-aggregated to unique (key, time) pairs so
+    // the match is deterministic; DuckDB's native ASOF LEFT JOIN is the
+    // oracle.
+    "ev_asof_order" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("ord_key"))
+      graft.plans.AsOfJoin
+        .joinAsOf(ev, ord, ev("user_id"), ord("o_custkey"), ev("ts"), ord("o_orderdate"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderdate").as("ord_date"), col("ord_key"))
+        .orderBy("event_id")
+    }),
+
     // Native session windows: Spark's session_window merges events
     // within a 30-minute gap. The oracle derives the same sessions from
     // first principles (lag → new-session flags → cumulative island
@@ -94,6 +112,13 @@ object EventQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_asof_order" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ord_key
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT event_id, user_id, r.o_orderdate AS ord_date, r.ord_key
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
     "ev_session_window" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         |FROM (

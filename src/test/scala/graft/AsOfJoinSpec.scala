@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOfJoin
+
+/** Custom as-of join operator: golden semantics, null handling, and
+  * physical-plan shape (strategy fires, exchanges+sorts inserted by
+  * EnsureRequirements).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private def leftDF = Seq(
+    (1L, 5L, "l-a"), (1L, 9L, "l-b"), (2L, 3L, "l-c"), (3L, 7L, "l-d")
+  ).toDF("k", "t", "lv")
+
+  private def rightDF = Seq(
+    (1L, 4L, "r-x"), (1L, 7L, "r-y"), (2L, 9L, "r-z")
+  ).toDF("rk", "rt", "rv")
+
+  test("backward as-of: latest right row at-or-before each left time") {
+    val l = leftDF; val r = rightDF
+    val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      .orderBy("k", "t")
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(4)) null else row.getLong(4),
+        if (row.isNullAt(5)) null else row.getString(5)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 4L, "r-x"),   // 4 <= 5 < 7
+      (1L, 9L, 7L, "r-y"),   // latest <= 9
+      (2L, 3L, null, null),  // right row at t=9 is after 3
+      (3L, 7L, null, null))) // no right rows for key 3
+  }
+
+  test("exact time tie is inclusive (t >= rt)") {
+    val l = Seq((1L, 4L, "l")).toDF("k", "t", "lv")
+    val r = rightDF
+    val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt")).collect()
+    assert(out.head.getLong(4) == 4L)
+  }
+
+  test("physical plan: AsOfJoinExec with exchanges and sorts inserted") {
+    val l = leftDF; val r = rightDF
+    val plan = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // nodeName strips the Exec suffix
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Sort ["), plan)
+  }
+
+  test("timestamp-typed time columns work (micros-backed)") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "t")
+    val r = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 100L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 200L)
+    ).toDF("rk", "rt", "rv")
+    val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt")).collect()
+    assert(out.head.getLong(4) == 100L) // rv of the 09:00 row, not the 11:00 one
+  }
+}
