@@ -10,8 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `ReadSchema`).
   */
 object Tables {
+  // Memoized per (session, path): re-reading a table otherwise re-lists
+  // the directory and re-reads parquet footers on every query — pure
+  // overhead when a bench/verify session touches each table dozens of
+  // times. The cached object is just the resolved DataFrame handle
+  // (plan + file index), not materialized data.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
