@@ -53,6 +53,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("Sort ["), plan)
   }
 
+  test("property: as-of join equals brute-force reference on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pairGen = for {
+      k <- Gen.choose(0L, 6L)
+      t <- Gen.choose(0L, 50L)
+    } yield (k, t)
+    val prop = Prop.forAll(
+      Gen.listOfN(40, pairGen), Gen.listOfN(25, pairGen)) { (ls, rsRaw) =>
+      val rs = rsRaw.distinct // unique (k,t) pairs for determinism
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val r = rs.map { case (k, t) => (k, t, k * 1000 + t) }
+        .toDF("rk", "rt", "rv")
+      val got = graft.plans.AsOfJoin
+        .joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+        .collect()
+        .map(row => (row.getLong(0),
+          if (row.isNullAt(5)) None else Some(row.getLong(5))))
+        .toMap
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val m = rs.filter { case (rk, rt) => rk == k && rt <= t }
+        i.toLong -> (if (m.isEmpty) None
+                     else { val (mk, mt) = m.maxBy(_._2); Some(mk * 1000 + mt) })
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("timestamp-typed time columns work (micros-backed)") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
       .toDF("k", "t")
