@@ -49,11 +49,19 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     // The reference's published numbers (BASELINE.md) time its single
     // workload — WordCount end-to-end — so surface that one separately
-    // next to the full 53-query suite total.
+    // next to the full suite total (one entry per SparkEntry query).
     val wcSec = results.collectFirst { case ("wordcount", v, true) => v }.getOrElse(-1.0)
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
-      s""""baseline_comparable":{"workload":"wordcount (the reference's only job)","sec":$wcSec,"n_queries_in_total":${results.size}}}""")
+      s""""baseline_comparable":{"workload":"wordcount (the reference's only job)","sec":$wcSec,"n_queries_in_total":${results.size}}}"""
+    println(json)
+    // Under sbt, stdout is [info]-prefixed and hard to scrape; the file
+    // is the machine-readable channel (path overridable for tests).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

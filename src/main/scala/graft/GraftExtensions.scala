@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{DotProduct, RollingHash, WordShingles}
+import graft.functions.{DotProduct, Md5PrefixLong, RollingHash, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so the SQL-string surface can use them:
@@ -46,7 +46,10 @@ object GraftExtensions {
         }),
       (FunctionIdentifier("dot_product"),
         info("dot_product", "dot_product(arr, arr) - sequential double dot product"),
-        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+      (FunctionIdentifier("md5_prefix_long"),
+        info("md5_prefix_long", "md5_prefix_long(str) - first 8 md5 bytes as big-endian long"),
+        (exprs: Seq[Expression]) => Md5PrefixLong(exprs.head))
     )
 
   /** Register on an already-built session (the driver owns session

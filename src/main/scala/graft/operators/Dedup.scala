@@ -114,25 +114,23 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // 16-bit SimHash per document from per-token md5 nibbles. The 16
-    // bit-sums are computed as 16 aggregate columns over the token rows
-    // (md5 evaluated once per token) rather than exploding a
-    // (token × bit) row set — one shuffle keyed by doc instead of two
-    // over a 16×-larger frame.
+    // 16-bit SimHash per document from per-token md5 bits. Per token,
+    // the native Md5PrefixLong expression yields the digest's top 64
+    // bits as ONE long; the 16 bit-sums are then pure integer
+    // shift/mask aggregates (codegen'd, no string ops) over the token
+    // rows — one shuffle keyed by doc, no (token × bit) row explosion.
+    // sign(sum ±1) > 0 ⇔ 2·ones > n_tokens, so only ones-counts and one
+    // count(*) are aggregated.
     "dd_simhash" -> ((s, dir) => {
-      val bitSums = (0 until 16).map { b =>
-        val nib = s"(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1)"
-        sum(expr(s"CASE WHEN (($nib >> ${3 - (b % 4)}) & 1) = 1 THEN 1 ELSE -1 END"))
-          .as(s"s$b")
-      }
+      val ones = (0 until 16).map(b => sum(expr(s"(hl >> ${63 - b}) & 1")).as(s"o$b"))
       val simhash = (0 until 16)
-        .map(b => expr(s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"))
+        .map(b => expr(s"CASE WHEN 2 * o$b > n THEN ${1L << b} ELSE 0 END"))
         .reduce(_ + _)
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .withColumn("h", expr("substring(md5(word), 1, 4)"))
+        .withColumn("hl", graft.functions.Md5PrefixLong.md5_prefix_long(col("word")))
         .groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
+        .agg(count(lit(1)).as("n"), ones: _*)
         .select(col("doc_id"), simhash.cast("long").as("simhash"))
         .orderBy("doc_id")
     }),
@@ -143,19 +141,17 @@ object Dedup {
     // band-equality join is a complete candidate generator for d≤3.
     // Exact Hamming distance then filters via bit_count(xor).
     "dd_simhash64_pairs" -> ((s, dir) => {
-      val bitSums = (0 until 64).map { b =>
-        val nib = s"(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1)"
-        sum(expr(s"CASE WHEN (($nib >> ${3 - (b % 4)}) & 1) = 1 THEN 1 ELSE -1 END"))
-          .as(s"s$b")
-      }
+      // Same native-long bit extraction as dd_simhash, over all 64 bits
+      // (was: 64 instr-based nibble decodes = 21% of the whole bench).
+      val ones = (0 until 64).map(b => sum(expr(s"(hl >> ${63 - b}) & 1")).as(s"o$b"))
       val simhash = (0 until 64)
-        .map(b => expr(s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        .map(b => expr(s"CASE WHEN 2 * o$b > n THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
         .reduce(_ + _)
       val hashes = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .withColumn("h", expr("substring(md5(word), 1, 16)"))
+        .withColumn("hl", graft.functions.Md5PrefixLong.md5_prefix_long(col("word")))
         .groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
+        .agg(count(lit(1)).as("n"), ones: _*)
         .select(col("doc_id"), simhash.as("sh"))
       val banded = hashes.select(col("doc_id"), col("sh"),
         explode(array((0 until 4).map(j =>
@@ -190,7 +186,13 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val sh  = shingleDF(s, dir).cache() // feeds cnt and both verify sides
+      // Feeds cnt and both verify sides. Deliberately NOT cached: the
+      // shingle set is the largest intermediate in the repo (tokens ×
+      // shingle width), so pinning it is the one memory-unbounded
+      // structure a 100 TB run can't afford — and the native
+      // WordShingles recompute is cheaper than materializing the cache
+      // (measured; see SCALE.md). Catalyst plans three scans instead.
+      val sh  = shingleDF(s, dir)
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // merge-join hint: the candidate set's size is data-dependent
       // (dup-heavy corpora yield millions of pairs) and its stats

@@ -106,7 +106,7 @@ object EventQueries {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |    / count(*) AS avg_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
@@ -136,7 +136,7 @@ object EventQueries {
         |          FROM events)))
         |GROUP BY user_id, island ORDER BY user_id, session_start""".stripMargin,
     "ev_sessionize" ->
-      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_us IS NULL

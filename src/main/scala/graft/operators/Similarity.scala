@@ -62,6 +62,31 @@ object Similarity {
         .join(v.as("c"),
           col("q.bucket") === col("c.bucket") &&
             col("q.vec_id") =!= col("c.vec_id")))
+    }),
+
+    // Same rows as ss_bruteforce_topk, but via the bounded-heap
+    // TopKAggregator UDAF instead of a window sort: each partial
+    // aggregate keeps exactly K candidates and heaps merge, so a group
+    // with a million candidates shuffles K rows, not a million — the
+    // scale path for grouped top-k (window row_number materializes and
+    // sorts every partition's rows first). Ordering matches the window
+    // form exactly: rounded cos desc, vec_id asc.
+    "ss_topk_agg" -> ((s, dir) => {
+      val v = vecs(s, dir)
+      val q = v.filter(col("vec_id") < NumQueries)
+      val scored = broadcast(q).as("q")
+        .join(v.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(
+          col("q.vec_id").as("query_id"),
+          col("c.vec_id").as("cand_id"),
+          round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 4).as("cos"))
+      val topkAgg = udaf(new graft.functions.TopKAggregator(K))
+      scored.groupBy("query_id")
+        .agg(topkAgg(col("cand_id"), col("cos")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("query_id"), col("e._1").as("vec_id"), col("e._2").as("cos"),
+          (col("pos") + 1).cast("int").as("rn"))
+        .orderBy("query_id", "rn")
     })
   )
 
@@ -82,6 +107,8 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "ss_bruteforce_topk" -> topkSql("q.vec_id <> c.vec_id"),
-    "ss_lsh_topk" -> topkSql("q.bucket = c.bucket AND q.vec_id <> c.vec_id")
+    "ss_lsh_topk" -> topkSql("q.bucket = c.bucket AND q.vec_id <> c.vec_id"),
+    // Aggregated top-k must produce exactly the window form's rows.
+    "ss_topk_agg" -> topkSql("q.vec_id <> c.vec_id")
   )
 }

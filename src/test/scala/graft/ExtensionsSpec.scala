@@ -37,6 +37,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.eval(null) == RollingHash.hashBytes("hello world".getBytes("UTF-8")))
   }
 
+  test("Md5PrefixLong equals the hex-string nibble decode, both eval paths") {
+    import graft.functions.Md5PrefixLong
+    val inputs = Seq("a", "hello", "wordcount", "ü∂é", "x" * 100)
+    // codegen path vs. the SQL decode it replaces: bit b of the SimHash
+    // scheme = ((nibble b/4 of md5 hex) >> (3 - b%4)) & 1 = bit (63-b)
+    // of md5_prefix_long.
+    GraftExtensions.register(spark)
+    val rows = inputs.toDF("s").selectExpr(
+      "md5_prefix_long(s) AS hl",
+      "substring(md5(s), 1, 16) AS hex")
+    rows.collect().foreach { r =>
+      val hl = r.getLong(0)
+      val hex = r.getString(1)
+      (0 until 64).foreach { b =>
+        val nib = Integer.parseInt(hex.charAt(b / 4).toString, 16)
+        val bitFromHex = (nib >> (3 - (b % 4))) & 1
+        val bitFromLong = ((hl >>> (63 - b)) & 1L).toInt
+        assert(bitFromHex == bitFromLong, s"bit $b of $hex vs $hl")
+      }
+    }
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = Md5PrefixLong(Literal("hello"))
+    assert(e.eval(null) == Md5PrefixLong.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello")))
+  }
+
   test("ta_rolling_fp: one fingerprint per doc, deterministic") {
     val a = SparkEntry.queries("ta_rolling_fp")(spark, sf).collect()
     val b = SparkEntry.queries("ta_rolling_fp")(spark, sf).collect()

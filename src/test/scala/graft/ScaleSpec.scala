@@ -89,6 +89,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ss_topk_agg aggregates with the bounded heap (no window sort)") {
+    val df = SparkEntry.queries("ss_topk_agg")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // The UDAF path must plan as an (object) aggregation, not a window:
+    // partial aggregates keep K rows each, so the shuffle is O(K·groups).
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"plan missing aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"plan still windows:\n$plan")
+    // And it must produce exactly the window form's rows.
+    val viaWindow = SparkEntry.queries("ss_bruteforce_topk")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == viaWindow)
+  }
+
   test("global top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q_topk")(spark, sf)
       .queryExecution.executedPlan.toString
