@@ -10,17 +10,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `ReadSchema`).
   */
 object Tables {
-  // Memoized per (session, path): re-reading a table otherwise re-lists
-  // the directory and re-reads parquet footers on every query — pure
-  // overhead when a bench/verify session touches each table dozens of
-  // times. The cached object is just the resolved DataFrame handle
-  // (plan + file index), not materialized data.
+  // Memoized per (sessionUUID, path): re-reading a table otherwise
+  // re-lists the directory and re-reads parquet footers on every
+  // query — pure overhead when a bench/verify session touches each
+  // table dozens of times. The cached object is just the resolved
+  // DataFrame handle (plan + file index), not materialized data.
+  // Caveats (by design, for these short-lived driver sessions): the
+  // handle serves a STALE file listing if the path's files are
+  // rewritten — writers must call invalidate(path) — and entries for a
+  // stopped session linger until invalidateSession; keying by the UUID
+  // string (not the session object) at least keeps the key itself from
+  // pinning anything.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  // sessionUUID lives on the classic session (the only runtime flavor
+  // here) and is private[sql] — accessed via the bridge
+  private def uuidOf(spark: SparkSession): String =
+    org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      key => key._1.read.parquet(key._2))
+    cache.computeIfAbsent((uuidOf(spark), s"$dir/$name.parquet"),
+      key => spark.read.parquet(key._2))
+
+  /** Drop every cached handle under `pathPrefix` (all sessions). Call
+    * after rewriting parquet files in place, or the cached file index
+    * serves deleted/stale files.
+    */
+  def invalidate(pathPrefix: String): Unit =
+    cache.keySet.removeIf(_._2.startsWith(pathPrefix))
+
+  /** Drop a session's cached handles (call when done with a session so
+    * its resolved file indexes are not pinned for the JVM lifetime).
+    */
+  def invalidateSession(spark: SparkSession): Unit =
+    cache.keySet.removeIf(_._1 == uuidOf(spark))
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
@@ -30,6 +54,16 @@ object Tables {
     * with exact integral division (`div` — a double division would lose
     * precision above 2^53 ns). Truncation toward zero matches DuckDB's
     * own ns→µs narrowing, so oracle comparisons stay exact.
+    *
+    * SESSION-WIDE SIDE EFFECT (documented, deliberate): nanosAsLong has
+    * no per-read DataSource option (verified against Spark 4.1's
+    * ParquetOptions — only rebase/compression/mergeSchema exist), so
+    * this sets `spark.sql.legacy.parquet.nanosAsLong` on the session,
+    * changing how EVERY later nanos-parquet read in the session infers
+    * its schema (they get a LongType instead of an AnalysisException).
+    * All graft callers (Graft.openViews, Stress, the query maps) want
+    * exactly that; an embedding application that doesn't should scope
+    * its reads with `spark.newSession()`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -111,7 +111,21 @@ object Multimodal {
         |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
         |  CAST(1 + octet_length(encode(text)) // 64 AS INT) AS n_frames,
         |  md5(substring(text, 1, 32)) AS frame0_checksum
-        |FROM documents ORDER BY doc_id""".stripMargin
-    // mm_features: decode stub is not SQL-expressible → rows-only check.
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The decode stub IS SQL-expressible on this corpus (all-ASCII, so
+    // character position == byte position — asserted by the n_bytes
+    // column, which would diverge otherwise): re-derive the 64-byte
+    // nearest-neighbor resize via substring indexing, then the 16-bin
+    // histogram bins for positions 0 and 15. k/64 is dyadic, so the
+    // float→double widening and the 4dp round agree bit-exactly.
+    "mm_features" ->
+      """WITH bytes AS (
+        |  SELECT doc_id, length(text) AS n_bytes,
+        |    ord(substring(text, CAST(i * length(text) // 64 AS INT) + 1, 1)) % 16 AS bin
+        |  FROM documents, UNNEST(range(0, 64)) AS u(i))
+        |SELECT doc_id, CAST(max(n_bytes) AS INT) AS n_bytes,
+        |  round(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) / 64.0, 4) AS f0,
+        |  round(sum(CASE WHEN bin = 15 THEN 1 ELSE 0 END) / 64.0, 4) AS f15
+        |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Backward as-of join — the canonical "operator Spark lacks" extension
   * (builder guidance path (c): LogicalPlan + Strategy + SparkPlan).
@@ -96,21 +97,34 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val kt = lKT(lRow)
+          // A null key or time never matches (ASOF semantics, same as
+          // DuckDB): the left row keeps the null right side. Null rows
+          // sort first (Spark ASC = NULLS FIRST), so not advancing the
+          // right cursor here is safe for the rows that follow.
+          if (kt.isNullAt(0) || kt.isNullAt(1)) {
+            return resultProj(joiner(lRow, nullRight))
+          }
           val lKeyV = kt.getLong(0)
           val lTimeV = kt.getLong(1)
           // advance the right side past every row at-or-before
-          // (lKey, lTime), remembering the last same-key row seen
+          // (lKey, lTime), remembering the last same-key row seen;
+          // null-keyed/timed right rows (sorted first) can never match
+          // and are drained without being remembered
           var advance = true
           while (advance && rBuf.hasNext) {
             val peek = rKT(rBuf.head)
-            val rKeyV = peek.getLong(0)
-            val rTimeV = peek.getLong(1)
-            if (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV <= lTimeV)) {
-              val row = rBuf.next()
-              if (rKeyV == lKeyV) {
-                matchedRow = row.copy(); matchedKey = rKeyV; hasMatch = true
-              }
-            } else advance = false
+            if (peek.isNullAt(0) || peek.isNullAt(1)) {
+              rBuf.next()
+            } else {
+              val rKeyV = peek.getLong(0)
+              val rTimeV = peek.getLong(1)
+              if (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV <= lTimeV)) {
+                val row = rBuf.next()
+                if (rKeyV == lKeyV) {
+                  matchedRow = row.copy(); matchedKey = rKeyV; hasMatch = true
+                }
+              } else advance = false
+            }
           }
           val rSide = if (hasMatch && matchedKey == lKeyV) matchedRow else nullRight
           resultProj(joiner(lRow, rSide))
@@ -141,19 +155,65 @@ object AsOfJoin {
       spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
   }
 
+  /** Normalize a key/time expression so the exec's `getLong` reads are
+    * well-defined for its type: ints widen to long (UnsafeRow slots are
+    * zero-extended, so a raw `getLong` on a negative int would compare
+    * as a large positive), dates widen to timestamp (micros). Any other
+    * type is rejected here rather than reading garbage at runtime.
+    */
+  private def normalize(e: Expression, what: String): Expression = e.dataType match {
+    case LongType | TimestampType | TimestampNTZType => e
+    case IntegerType | ShortType | ByteType => Cast(e, LongType)
+    case DateType => Cast(e, TimestampType)
+    case other => throw new IllegalArgumentException(
+      s"joinAsOf: $what must be long/int/timestamp/date-typed, got $other")
+  }
+
+  private def sameFamily(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (LongType, LongType) => true
+    case (TimestampType | TimestampNTZType, TimestampType | TimestampNTZType) => true
+    case _ => false
+  }
+
   /** `left ASOF LEFT JOIN right ON leftKey = rightKey AND leftTime >= rightTime`.
     * Pass resolved columns (`df("col")` style). Key/time columns must be
-    * long/int/timestamp-backed.
+    * long/int/timestamp/date-typed (ints and dates are widened); left
+    * and right must agree on the widened family, so a date column never
+    * silently compares day-counts against microseconds. Null keys/times
+    * never match: such left rows keep the null right side, such right
+    * rows are skipped — DuckDB ASOF semantics. A right side sharing
+    * attribute ids with the left (self as-of join) is re-aliased with
+    * fresh ids, like Dataset.join does.
     */
   def joinAsOf(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column): DataFrame = {
     val spark = left.sparkSession
     install(spark)
-    val plan = AsOfJoinPlan(
-      left.queryExecution.analyzed, right.queryExecution.analyzed,
-      Bridge.expression(leftKey), Bridge.expression(rightKey),
-      Bridge.expression(leftTime), Bridge.expression(rightTime))
+    val lPlan = left.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    val lk = normalize(Bridge.expression(leftKey), "leftKey")
+    val lt = normalize(Bridge.expression(leftTime), "leftTime")
+    var rk = normalize(Bridge.expression(rightKey), "rightKey")
+    var rt = normalize(Bridge.expression(rightTime), "rightTime")
+    require(sameFamily(lk.dataType, rk.dataType),
+      s"joinAsOf: key types disagree after widening: ${lk.dataType} vs ${rk.dataType}")
+    require(sameFamily(lt.dataType, rt.dataType),
+      s"joinAsOf: time types disagree after widening: ${lt.dataType} vs ${rt.dataType}")
+    // Self-join attribute dedup: duplicate exprIds would make the right
+    // key/time bind ambiguously (or to the left side).
+    val leftIds = lPlan.output.map(_.exprId).toSet
+    val rPlan =
+      if (rPlan0.output.exists(a => leftIds.contains(a.exprId))) {
+        val aliases = rPlan0.output.map(a => Alias(a, a.name)())
+        val remap = rPlan0.output.map(_.exprId).zip(aliases.map(_.toAttribute)).toMap
+        def rewrite(e: Expression): Expression = e.transform {
+          case a: AttributeReference if remap.contains(a.exprId) => remap(a.exprId)
+        }
+        rk = rewrite(rk); rt = rewrite(rt)
+        Project(aliases, rPlan0)
+      } else rPlan0
+    val plan = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt)
     Bridge.ofRows(spark, plan)
   }
 }

@@ -29,6 +29,17 @@ class JobEventLog(path: String) extends SparkListener {
   private val mapStages    = mutable.Set.empty[Int]
   private val stageToScope = mutable.Map.empty[Int, String]
   private val scopesWithMap = mutable.Set.empty[String]
+  private var announcedPairs: Option[Long] = None
+
+  /** O12→O13 bridge: callers that know the exact pre-combine
+    * intermediate pair count (the reference MPI_Reduce-sums it with no
+    * combiner — `Worker.cc:94-99`, `Scheduler.cc:134-139`) announce it
+    * here; the next Start_Shuffle line carries it. Without an
+    * announcement the line carries the stage's shuffle-write record
+    * count — the pairs that actually cross Spark's shuffle, which is
+    * the post-map-side-combine number.
+    */
+  def announceIntermediatePairs(n: Long): Unit = synchronized { announcedPairs = Some(n) }
 
   private def log(event: String, args: Any*): Unit = synchronized {
     out.println((System.currentTimeMillis() +: (event +: args)).mkString(","))
@@ -64,9 +75,15 @@ class JobEventLog(path: String) extends SparkListener {
       e.stageId, e.taskInfo.taskId, e.taskInfo.duration)
 
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
-    // map stage completion = shuffle files materialized
-    if (isMap(e.stageInfo.stageId))
-      log("Start_Shuffle", e.stageInfo.stageId, e.stageInfo.numTasks)
+    // map stage completion = shuffle files materialized. Reference
+    // format (`Scheduler.cc:134-139`): `epoch_ms,Start_Shuffle,<total
+    // KV count>` — one argument, the global intermediate pair count.
+    if (isMap(e.stageInfo.stageId)) {
+      val kvCount = synchronized { val a = announcedPairs; announcedPairs = None; a }
+        .getOrElse(Option(e.stageInfo.taskMetrics)
+          .map(_.shuffleWriteMetrics.recordsWritten).getOrElse(-1L))
+      log("Start_Shuffle", kvCount)
+    }
 
   override def onJobEnd(e: SparkListenerJobEnd): Unit =
     log("FinishJob", e.jobId)

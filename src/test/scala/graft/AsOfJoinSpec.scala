@@ -83,6 +83,97 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("null keys/times never match: left keeps nulls, right rows skipped") {
+    val l = Seq(
+      (Option(1L), Option(5L), "ok"),
+      (None: Option[Long], Option(5L), "nullkey"),
+      (Option(1L), None: Option[Long], "nulltime")
+    ).toDF("k", "t", "lv")
+    val r = Seq(
+      (Option(1L), Option(4L), "r-match"),
+      (None: Option[Long], Option(1L), "r-nullkey"), // sorts first; must be drained, never matched
+      (Option(1L), None: Option[Long], "r-nulltime")
+    ).toDF("rk", "rt", "rv")
+    val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      .collect()
+      .map(row => (row.getString(2), if (row.isNullAt(5)) null else row.getString(5)))
+      .toMap
+    assert(out == Map("ok" -> "r-match", "nullkey" -> null, "nulltime" -> null))
+  }
+
+  test("property: null keys/times behave as no-match on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val optGen = for {
+      k <- Gen.frequency(8 -> Gen.choose(0L, 4L).map(Option(_)), 2 -> Gen.const(None))
+      t <- Gen.frequency(8 -> Gen.choose(0L, 30L).map(Option(_)), 2 -> Gen.const(None))
+    } yield (k, t)
+    val prop = Prop.forAll(
+      Gen.listOfN(30, optGen), Gen.listOfN(20, optGen)) { (ls, rsRaw) =>
+      val rs = rsRaw.distinct
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val r = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("rk", "rt", "rv")
+      val got = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+        .collect()
+        .map(row => (row.getLong(0),
+          if (row.isNullAt(5)) None else Some(row.getLong(5))))
+        .toMap
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val m = (k, t) match {
+          case (Some(kk), Some(tt)) => rs.zipWithIndex.filter {
+            case ((Some(rk), Some(rt)), _) => rk == kk && rt <= tt
+            case _ => false
+          }
+          case _ => Nil
+        }
+        i.toLong -> (if (m.isEmpty) None
+                     else Some(m.maxBy(_._1._2.get)._2.toLong))
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("negative int keys widen to long (no zero-extension artifacts)") {
+    val l = Seq((-1, 10L, "neg"), (2, 10L, "pos")).toDF("k", "t", "lv")
+    val r = Seq((-1, 4L, "r-neg"), (2, 5L, "r-pos")).toDF("rk", "rt", "rv")
+    val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      .collect()
+      .map(row => (row.getString(2), row.getString(5)))
+      .toMap
+    assert(out == Map("neg" -> "r-neg", "pos" -> "r-pos"))
+  }
+
+  test("self as-of join re-aliases the right side (no ambiguous exprIds)") {
+    val d = Seq((1L, 5L, "a"), (1L, 9L, "b"), (2L, 3L, "c")).toDF("k", "t", "v")
+    val out = AsOfJoin.joinAsOf(d, d, d("k"), d("k"), d("t"), d("t"))
+      .collect()
+      .map(row => (row.getString(2), row.getString(5)))
+    // each row's as-of match at its own time is itself ((k,t) unique)
+    assert(out.toMap == Map("a" -> "a", "b" -> "b", "c" -> "c"))
+  }
+
+  test("date-typed time widens to timestamp and matches timestamp semantics") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-03-15 12:00:00")))
+      .toDF("k", "t")
+    val r = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-15"), "same-day-midnight"),
+      (1L, java.sql.Date.valueOf("2024-03-16"), "next-day")
+    ).toDF("rk", "rt", "rv")
+    val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt")).collect()
+    assert(out.head.getString(4) == "same-day-midnight")
+  }
+
+  test("unsupported key type is rejected at plan time") {
+    val l = Seq(("a", 1L)).toDF("k", "t")
+    val r = Seq(("a", 1L, 1L)).toDF("rk", "rt", "rv")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+    }
+  }
+
   test("timestamp-typed time columns work (micros-backed)") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
       .toDF("k", "t")

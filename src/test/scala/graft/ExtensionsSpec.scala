@@ -178,5 +178,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(has("Dispatch_MapTask") && has("Complete_MapTask"))
     assert(has("Dispatch_ReduceTask") && has("Complete_ReduceTask"))
     assert(has("Start_Shuffle") && has("Finish_Shuffle"))
+    // Reference format (Scheduler.cc:134-139): epoch,Start_Shuffle,<kv-count>
+    // — exactly one numeric argument, the intermediate pair count.
+    import scala.jdk.CollectionConverters._
+    val shuffleLines = events.asScala.filter(_.contains("Start_Shuffle"))
+    assert(shuffleLines.nonEmpty)
+    shuffleLines.foreach { line =>
+      val parts = line.split(",")
+      assert(parts.length == 3, s"expected epoch,Start_Shuffle,<count>: $line")
+      assert(parts(2).toLong >= 0, s"KV count not a number: $line")
+    }
+  }
+
+  test("O12→O13: announced intermediate pair count lands in Start_Shuffle") {
+    import graft.operators.{MapReduceJob, MapReducePipeline}
+    val path = Files.createTempFile("joblog3", ".csv").toString
+    val listener = new JobEventLog(path)
+    val docs = Tables.documents(spark, sf)
+    val job = MapReduceJob()
+    // the O12 global KV count the reference MPI_Reduces (no combiner)
+    val pairs = MapReducePipeline.intermediatePairCount(docs, job)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      listener.announceIntermediatePairs(pairs)
+      MapReducePipeline.run(docs, job).collect()
+      Thread.sleep(1000)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      listener.close()
+    }
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(java.nio.file.Paths.get(path)).asScala
+    val counts = lines.filter(_.contains("Start_Shuffle")).map(_.split(",")(2).toLong)
+    assert(counts.contains(pairs),
+      s"no Start_Shuffle line carries the announced O12 count $pairs: $counts")
   }
 }
