@@ -21,8 +21,9 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCountQueries.queries ++ StarQueries.queries ++ StarQueries2.queries ++
-      EventQueries.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      EventQueries.queries ++ RangeJoin.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ DedupClusters.queries ++
+      Similarity.queries ++
       Multimodal.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,7 +31,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     WordCountQueries.oracleSql ++ StarQueries.oracleSql ++ StarQueries2.oracleSql ++
-      EventQueries.oracleSql ++
-      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
+      EventQueries.oracleSql ++ RangeJoin.oracleSql ++
+      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ DedupClusters.oracleSql ++
+      Similarity.oracleSql ++
       Multimodal.oracleSql ++ PipelineQueries.oracleSql
 }

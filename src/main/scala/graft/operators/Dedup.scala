@@ -177,46 +177,7 @@ object Dedup {
     // pairs at sf0.1: with 31 distinct words the average shingle
     // appears in ~10 docs, so no useful "rare shingle" exists); the
     // banded-LSH candidate set is bounded by true similarity instead.
-    "dd_ngram_jaccard" -> ((s, dir) => {
-      val b = bands(signatures(s, dir))
-      val cand = b.as("a")
-        .join(b.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // Feeds cnt and both verify sides. Deliberately NOT cached: the
-      // shingle set is the largest intermediate in the repo (tokens ×
-      // shingle width), so pinning it is the one memory-unbounded
-      // structure a 100 TB run can't afford — and the native
-      // WordShingles recompute is cheaper than materializing the cache
-      // (measured; see SCALE.md). Catalyst plans three scans instead.
-      val sh  = shingleDF(s, dir)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // merge-join hint: the candidate set's size is data-dependent
-      // (dup-heavy corpora yield millions of pairs) and its stats
-      // mislead the planner into broadcasting it — observed OOM at a
-      // 2 GB heap under 20× amplification. Sort-merge spills instead.
-      val inter = cand.hint("merge")
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-        // raw ratio, unrounded: a small-denominator rational can sit on
-        // a decimal midpoint where round() diverges between engines;
-        // the un-rounded division is bit-identical on both sides
-        .withColumn("jaccard",
-          col("n_inter").cast("double") /
-            (col("ca.n") + col("cb.n") - col("n_inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
     // Embedding cosine near-dup with sign-bit LSH blocking.
     // Deliberate rounding asymmetry vs the jaccard queries: a cosine is
@@ -272,6 +233,53 @@ object Dedup {
         .orderBy("vec_a", "vec_b")
     })
   )
+
+  /** Verified near-dup pairs (LSH candidates → exact 3-gram Jaccard
+    * ≥ 0.5) — the textbook LSH→verify pipeline, exposed for
+    * [[DedupClusters]]'s connected components as well as the
+    * dd_ngram_jaccard query.
+    */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+
+      val b = bands(signatures(s, dir))
+      val cand = b.as("a")
+        .join(b.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // Feeds cnt and both verify sides. Deliberately NOT cached: the
+      // shingle set is the largest intermediate in the repo (tokens ×
+      // shingle width), so pinning it is the one memory-unbounded
+      // structure a 100 TB run can't afford — and the native
+      // WordShingles recompute is cheaper than materializing the cache
+      // (measured; see SCALE.md). Catalyst plans three scans instead.
+      val sh  = shingleDF(s, dir)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // merge-join hint: the candidate set's size is data-dependent
+      // (dup-heavy corpora yield millions of pairs) and its stats
+      // mislead the planner into broadcasting it — observed OOM at a
+      // 2 GB heap under 20× amplification. Sort-merge spills instead.
+      val inter = cand.hint("merge")
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+        // raw ratio, unrounded: a small-denominator rational can sit on
+        // a decimal midpoint where round() diverges between engines;
+        // the un-rounded division is bit-identical on both sides
+        .withColumn("jaccard",
+          col("n_inter").cast("double") /
+            (col("ca.n") + col("cb.n") - col("n_inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+  }
 
   private val toksSql = OracleSql.toks
   private val shinglesSql =
@@ -412,4 +420,10 @@ object Dedup {
         |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin
   )
+
+  /** DuckDB SQL for the same verified pairs (= the dd_ngram_jaccard
+    * oracle), exposed so other oracles ([[DedupClusters]]) can embed it
+    * as a CTE.
+    */
+  def ngramJaccardPairsSql: String = oracleSql("dd_ngram_jaccard")
 }

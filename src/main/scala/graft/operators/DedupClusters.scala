@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Pairs → clusters: the last stage of a real dedup pipeline. Verified
+  * near-dup pairs (LSH → exact-Jaccard, [[Dedup]]) form an undirected
+  * graph; each connected component is one duplicate cluster, and the
+  * canonical representative is the minimum doc_id in the component
+  * (deterministic "keep first").
+  *
+  * Spark-first algorithm: iterative min-label propagation —
+  * `label(v) ← min(label(v), min over neighbors of label(u))` until a
+  * fixpoint, which is exactly the component minimum. Each iteration is
+  * one shuffle-join + one aggregation on the (tiny relative to the
+  * corpus) edge set; the edge set is persisted once, and label lineage
+  * is cut per iteration with `localCheckpoint` so the plan doesn't grow
+  * exponentially. Near-dup clusters are dense (quasi-cliques), so the
+  * effective diameter — and the iteration count — is small; on a
+  * 100 TB corpus with adversarially long chains, swap the loop body for
+  * the large-star/small-star contractions (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond"), which keeps the same
+  * join+min shape but converges in O(log²) rounds.
+  */
+object DedupClusters {
+
+  /** (id, label) per node of `pairs` (cols doc_a < doc_b); label = min
+    * doc_id reachable in the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // Both edge directions in ONE pass over `pairs` (a union of two
+    // selects would execute the upstream pair pipeline twice), then
+    // persist: the edge set is re-joined every iteration.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nmin"))
+      // carry the previous label through, and let the convergence
+      // count be the one materializing action of the iteration: the
+      // lazy localCheckpoint caches `next` as a side effect of count()
+      // (count computes every partition, unlike isEmpty/limit), so
+      // each round costs exactly one job
+      val next = labels.as("l")
+        .join(neighborMin, col("l.id") === neighborMin("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"),
+          col("l.label").as("old"))
+        .localCheckpoint(false)
+      converged = next.filter(col("label") =!= col("old")).count() == 0
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Duplicate clusters from the LSH→verify pairs (jaccard ≥ 0.5):
+    // every doc appearing in a verified pair, labeled with its
+    // component's minimum doc_id, plus the component size.
+    "dd_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+      val labeled = connectedComponents(pairs)
+      val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labeled
+        .join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Same clusters from first principles: transitive closure with a
+    // recursive CTE (UNION, not UNION ALL — dedup makes cycles
+    // terminate), component id = min reachable doc_id.
+    "dd_clusters" ->
+      s"""WITH RECURSIVE pairs AS (${Dedup.ngramJaccardPairsSql}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (
+         |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+         |SELECT a.id AS doc_id, a.cluster_id,
+         |  b.cluster_size
+         |FROM comp a
+         |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) b
+         |  USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -16,6 +16,7 @@ import TextOps._
 object PipelineQueries {
 
   val NumCentroids = 4 // IVF coarse centroids = embeddings of vec_id 0..3
+  val PackBudget = 256L // tokens per packed sequence
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -79,6 +80,40 @@ object PipelineQueries {
         .select(col("doc_id"), col("word"), col("tf"), col("tfidf"),
           col("rk").cast("int").as("rk"))
         .orderBy("doc_id", "rk")
+    }),
+
+    // Sequence packing — the canonical LLM-training-data op: fill
+    // fixed-token-budget packs greedily, per language, in doc_id order
+    // (docs longer than the budget get their own pack). Packing is
+    // inherently sequential per group, so the Spark shape is
+    // repartition-by-group + sorted per-partition scan: one shuffle,
+    // then a stateful O(n) pass. At 100 TB the group key becomes
+    // (lang, shard) — hash-bucketed shards pack independently with the
+    // same quality statistics, and pack ids are namespaced by shard;
+    // the per-partition scan shape is unchanged.
+    "pipe_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val budget = PackBudget
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .repartition(col("lang"))
+        .sortWithinPartitions("lang", "doc_id")
+        .as[(Long, String, Long)]
+      docs.mapPartitions { it =>
+        // per-partition scan; state resets at each lang boundary (all
+        // rows of a lang are co-partitioned and contiguous here)
+        var curLang: String = null
+        var packId = 0L
+        var fill = 0L
+        it.map { case (id, lang, n) =>
+          if (lang != curLang) { curLang = lang; packId = 1L; fill = n }
+          else if (fill + n > budget) { packId += 1; fill = n }
+          else fill += n
+          (id, lang, n, packId)
+        }
+      }.toDF("doc_id", "lang", "n_tokens", "pack_id")
+        .orderBy("lang", "doc_id")
     }),
 
     // Clean-corpus pipeline: quality gate (enough tokens, some
@@ -150,6 +185,27 @@ object PipelineQueries {
          |    ORDER BY tfidf DESC, word ASC) AS rk
          |  FROM scored)
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // The same greedy fold, stated recursively: each lang's rn-th doc
+    // extends or closes the pack of the (rn-1)-th. The recursive
+    // working set is one frontier row per lang, so the recursion depth
+    // is max docs-per-lang — fine at oracle scale.
+    "pipe_pack_sequences" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |pack AS (
+         |  SELECT doc_id, lang, n_tokens, rn, 1 AS pack_id, n_tokens AS fill
+         |  FROM docs WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
+         |    CASE WHEN p.fill + d.n_tokens > $PackBudget
+         |         THEN p.pack_id + 1 ELSE p.pack_id END,
+         |    CASE WHEN p.fill + d.n_tokens > $PackBudget
+         |         THEN d.n_tokens ELSE p.fill + d.n_tokens END
+         |  FROM pack p JOIN docs d ON d.lang = p.lang AND d.rn = p.rn + 1)
+         |SELECT doc_id, lang, n_tokens, CAST(pack_id AS BIGINT) AS pack_id
+         |FROM pack ORDER BY lang, doc_id""".stripMargin,
     "pipe_clean_corpus" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, md5(text) AS fp,

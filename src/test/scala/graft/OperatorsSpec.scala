@@ -53,6 +53,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == expected && n > 0)
   }
 
+  test("connectedComponents: chain + separate component converge to minima") {
+    // path graph 1-2-3-4 needs multiple label-propagation iterations
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = DedupClusters.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dd_clusters: pair endpoints co-clustered, id is the member minimum") {
+    val dir = "/root/testdata/sf0.01" // planted near-dup pairs exist here
+    val out = SparkEntry.queries("dd_clusters")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val cl = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.ngramJaccardPairs(spark, dir).select("doc_a", "doc_b").collect()
+      .foreach(p => assert(cl(p.getLong(0)) == cl(p.getLong(1))))
+    out.groupBy(_.getLong(1)).foreach { case (cid, rows) =>
+      assert(rows.map(_.getLong(0)).min == cid) // representative = min member
+      rows.foreach(r => assert(r.getLong(2) == rows.size)) // size column
+    }
+  }
+
   test("dd_exact: group sizes sum to document count") {
     val total = Tables.documents(spark, sf).count()
     val sum = run("dd_exact").agg(org.apache.spark.sql.functions.sum("n_docs"))

@@ -103,6 +103,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSeq == viaWindow)
   }
 
+  test("binned range join plans as an equi-join, not a nested loop") {
+    import graft.operators.RangeJoin
+    val df = SparkEntry.queries("ev_range_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range join fell back to a loop:\n$plan")
+    // and it agrees with the naive inequality join on this small scale
+    val ev = Tables.events(spark, sf)
+    val iv = ev.filter(col("event_id") < 40)
+      .select(col("event_id").as("interval_id"), col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    val naive = ev.select(col("user_id"), col("ts")).join(iv,
+        col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("interval_id")
+    assert(df.collect().map(_.toSeq).toSeq == naive.collect().map(_.toSeq).toSeq)
+  }
+
   test("global top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q_topk")(spark, sf)
       .queryExecution.executedPlan.toString
