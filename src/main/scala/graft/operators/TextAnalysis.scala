@@ -91,6 +91,24 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // GPT-2-style pre-tokenization count: the space-prefixed
+    // letter-run / digit-run / punctuation-run alternation that BPE
+    // tokenizers segment on, restricted to its ASCII core (the corpus
+    // is all-ASCII; RE2 and Java regex agree on leftmost-first
+    // alternation for this pattern). chars_per_token is the integer
+    // ratio left unrounded — small-denominator rationals land on
+    // round() midpoints where the engines disagree.
+    "ta_bpe_tokens" -> ((s, dir) => {
+      val pat = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_bpe_tokens"),
+          (length(col("text")).cast("double") /
+            regexp_count(col("text"), lit(pat))).as("chars_per_token"))
+        .orderBy("doc_id")
+    }),
+
     // Normalized fingerprint: md5 over the sorted distinct token set —
     // the blocking key for order-insensitive exact dedup.
     "ta_fingerprint" -> ((s, dir) => {
@@ -159,6 +177,14 @@ object TextAnalysis {
          |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
          |FROM (SELECT doc_id, text, $toksSql AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "ta_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
+        |    AS n_bpe_tokens,
+        |  CAST(length(text) AS DOUBLE)
+        |    / len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+        |    AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp

@@ -88,21 +88,17 @@ class JobEventLog(path: String) extends SparkListener {
   override def onJobEnd(e: SparkListenerJobEnd): Unit =
     log("FinishJob", e.jobId)
 
-  override def onOtherEvent(event: SparkListenerEvent): Unit =
-    // SQL execution finished → drop that scope's bookkeeping (matched
-    // by class name; the event class lives in the sql-execution-ui
-    // package and carries executionId)
-    if (event.getClass.getSimpleName == "SparkListenerSQLExecutionEnd") {
-      try {
-        val execId = event.getClass.getMethod("executionId").invoke(event).toString
-        val scope = "exec-" + execId
-        synchronized {
-          val stages = stageToScope.collect { case (sid, sc) if sc == scope => sid }
-          stages.foreach { sid => stageToScope -= sid; mapStages -= sid }
-          scopesWithMap -= scope
-        }
-      } catch { case _: ReflectiveOperationException => () }
-    }
+  override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+    // SQL execution finished → drop that scope's bookkeeping
+    case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+      val scope = "exec-" + e.executionId
+      synchronized {
+        val stages = stageToScope.collect { case (sid, sc) if sc == scope => sid }
+        stages.foreach { sid => stageToScope -= sid; mapStages -= sid }
+        scopesWithMap -= scope
+      }
+    case _ => ()
+  }
 
   def close(): Unit = out.close()
 }
