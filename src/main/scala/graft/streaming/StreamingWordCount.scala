@@ -53,6 +53,34 @@ object StreamingWordCount {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming session windows — the incremental dual of the batch
+    * `ev_session_window` query: events within a 30-minute gap per user
+    * merge into one session; the watermark finalizes (and emits, in
+    * append mode) sessions once no earlier event can arrive, bounding
+    * state to open sessions.
+    */
+  def sessionWindowStream(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Stream-static enrichment: each streaming event joins a static
+    * (broadcast) dimension — stateless, re-planned per micro-batch, the
+    * standard streaming lookup-join shape. The dimension re-reads its
+    * source each batch, so slowly-changing dims pick up updates.
+    */
+  def enrichStream(spark: SparkSession, inputDir: String, schema: StructType,
+      dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** Run a streaming frame to a named in-memory sink and process all
     * currently-available input (synchronous — for tests/smoke).
     */

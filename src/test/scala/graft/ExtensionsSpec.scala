@@ -140,6 +140,48 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows agree with the batch sessionization (closed sessions)") {
+    val dir = Files.createTempDirectory("stream_sw")
+    Tables.events(spark, sf).select("ts", "user_id")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val q = StreamingWordCount.runToMemory(
+      StreamingWordCount.sessionWindowStream(spark, dir.toString, schema),
+      "sw_stream", mode = "append")
+    try {
+      val streamed = spark.sql("SELECT user_id, session_start, n_events FROM sw_stream")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty, "no session closed below the watermark")
+      // append mode emits only watermark-finalized sessions; each must
+      // appear identically in the batch session_window result
+      val batch = SparkEntry.queries("ev_session_window")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(streamed.subsetOf(batch),
+        s"streamed sessions not in batch result: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast enrichment is stateless and matches the batch join") {
+    val dir = Files.createTempDirectory("stream_en")
+    Tables.events(spark, sf).select("event_id", "user_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val dim = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+    val q = StreamingWordCount.runToMemory(
+      StreamingWordCount.enrichStream(spark, dir.toString, schema, dim,
+        "user_id", "c_custkey"),
+      "en_stream", mode = "append")
+    try {
+      val got = spark.table("en_stream").count()
+      val expected = spark.read.parquet(dir.toString)
+        .join(dim, col("user_id") === col("c_custkey")).count()
+      assert(got == expected)
+      // stateless: no state-store operator in the streaming plan
+      assert(!q.lastProgress.json.contains("stateOperators\":[{"),
+        q.lastProgress.json)
+    } finally q.stop()
+  }
+
   test("JobEventLog: shuffle-free queries after a shuffle log no spurious Finish_Shuffle") {
     val path = Files.createTempFile("joblog2", ".csv").toString
     val listener = new JobEventLog(path)

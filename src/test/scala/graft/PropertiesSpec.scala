@@ -91,4 +91,61 @@ class PropertiesSpec extends AnyFunSuite {
       got == ss.map(s => RollingHash.hashBytes(s.getBytes("UTF-8")))
     }, n = 10)
   }
+
+  test("property: binned range join equals the naive containment join") {
+    import graft.operators.RangeJoin
+    val ts = Gen.choose(0L, 500L) // micros, tiny domain to force bin-edge hits
+    val binUs = 64L
+    check(Prop.forAll(
+      Gen.listOfN(30, ts), Gen.listOfN(10, Gen.zip(ts, Gen.choose(1L, 200L)))) {
+      (points, ivRaw) =>
+        val p = points.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("pid", "pt").withColumn("pt", expr("timestamp_micros(pt)"))
+        val iv = ivRaw.zipWithIndex.map { case ((s, len), i) => (i.toLong, s, s + len) }
+          .toDF("iid", "s_us", "e_us")
+          .select(col("iid"), expr("timestamp_micros(s_us)").as("s_ts"),
+            expr("timestamp_micros(e_us)").as("e_ts"))
+        val got = RangeJoin.binnedIntervalJoin(p, "pt", iv, "s_ts", "e_ts", binUs)
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expected = (for {
+          (t, i) <- points.zipWithIndex
+          ((s, len), j) <- ivRaw.zipWithIndex
+          if t >= s && t < s + len
+        } yield (i.toLong, j.toLong)).toSet
+        got == expected
+    }, n = 10)
+  }
+
+  test("property: pack_sequences equals the sequential greedy fold") {
+    val docGen = Gen.zip(Gen.oneOf("aa", "bb"), Gen.choose(1L, 120L))
+    val budget = 100L
+    check(Prop.forAll(Gen.listOfN(25, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case ((lang, n), i) => (i.toLong, lang, n) }
+        .toDF("doc_id", "lang", "n_tokens")
+      // the same shape the query uses: co-partition by lang, scan sorted
+      import org.apache.spark.sql.Dataset
+      val packed = df.repartition(col("lang")).sortWithinPartitions("lang", "doc_id")
+        .as[(Long, String, Long)]
+        .mapPartitions { it =>
+          var curLang: String = null; var packId = 0L; var fill = 0L
+          it.map { case (id, lang, n) =>
+            if (lang != curLang) { curLang = lang; packId = 1L; fill = n }
+            else if (fill + n > budget) { packId += 1; fill = n }
+            else fill += n
+            (id, packId)
+          }
+        }.collect().toMap
+      // driver-side greedy reference per lang in doc_id order
+      val expected = docs.zipWithIndex.groupBy(_._1._1).flatMap { case (_, ds) =>
+        var packId = 0L; var fill = 0L
+        ds.sortBy(_._2).map { case ((_, n), i) =>
+          if (packId == 0L) { packId = 1L; fill = n }
+          else if (fill + n > budget) { packId += 1; fill = n }
+          else fill += n
+          i.toLong -> packId
+        }
+      }
+      packed == expected
+    }, n = 10)
+  }
 }
