@@ -16,6 +16,7 @@ object Stress {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("wordcount", "q1_agg", "q_join_large", "ta_tfidf",
         "dd_exact", "dd_minhash", "dd_ngram_jaccard", "dd_embed_multiprobe",
+        "dd_clusters", "ev_range_join", "pipe_pack_sequences",
         "ss_bruteforce_topk", "pipe_clean_corpus")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString

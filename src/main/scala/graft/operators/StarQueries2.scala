@@ -147,6 +147,57 @@ object StarQueries2 {
         .orderBy("c_mktsegment")
     }),
 
+    // UNPIVOT (pivot's inverse): the wide per-segment status counts
+    // fold back to (segment, status, n) rows. Cells with no orders are
+    // normalized to 0 on both sides (Spark pivot yields NULL there,
+    // DuckDB's filtered count yields 0).
+    "q_unpivot" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val wide = c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+      wide.unpivot(Array(col("c_mktsegment")),
+          Array(col("F"), col("O"), col("P")), "status", "n_raw")
+        .select(col("c_mktsegment"), col("status"),
+          coalesce(col("n_raw"), lit(0L)).as("n_orders"))
+        .orderBy("c_mktsegment", "status")
+    }),
+
+    // Value-range window frame (RANGE BETWEEN, not ROWS BETWEEN):
+    // the frame is defined by the ORDER BY value's distance, so peers
+    // (ties) are always included — deterministic without a unique sort
+    // key inside the frame. Decimal-cast window sum per the playbook.
+    "q_window_range" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("wr_lineitem")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+          |  count(*) OVER w AS n_within5,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE)
+          |    AS qty_within5
+          |FROM wr_lineitem WHERE l_partkey < 50
+          |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+          |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+          |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin)
+    }),
+
+    // LATERAL join: a correlated top-2-orders subquery per customer —
+    // the "for each row, run this query" shape (Catalyst decorrelates
+    // it into a window-ranked join under the hood).
+    "q_lateral" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("lx_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("lx_orders")
+      s.sql(
+        """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM lx_customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM lx_orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c_custkey < 200
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    }),
+
     // HAVING: aggregate-level filtering (post-group predicate).
     "q_having" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -190,6 +241,37 @@ object StarQueries2 {
   private val dsumSql = OracleSql.dsum _
 
   val oracleSql: Map[String, String] = Map(
+    "q_unpivot" ->
+      """SELECT c_mktsegment, status, n_orders FROM (
+        |  SELECT c_mktsegment, 'F' AS status,
+        |    count(*) FILTER (o_orderstatus = 'F') AS n_orders
+        |  FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1
+        |  UNION ALL
+        |  SELECT c_mktsegment, 'O',
+        |    count(*) FILTER (o_orderstatus = 'O')
+        |  FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1
+        |  UNION ALL
+        |  SELECT c_mktsegment, 'P',
+        |    count(*) FILTER (o_orderstatus = 'P')
+        |  FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1)
+        |ORDER BY c_mktsegment, status""".stripMargin,
+    "q_window_range" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  count(*) OVER w AS n_within5,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS qty_within5
+        |FROM lineitem WHERE l_partkey < 50
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+        |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin,
+    "q_lateral" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q3_shipping" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
          |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
