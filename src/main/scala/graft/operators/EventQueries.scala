@@ -82,6 +82,31 @@ object EventQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // Ordered funnel: how far does each user get through
+    // view → click → purchase, where each stage must happen strictly
+    // after the previous one? Three chained min-after aggregations —
+    // each a hash shuffle keyed by user, the natural shard key; no
+    // window over full event history needed.
+    "ev_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      v.join(c.select(col("user_id"), col("c_ts")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("p_ts")), Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("p_ts").isNotNull, 3)
+            .when(col("c_ts").isNotNull, 2).otherwise(1).cast("int"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    }),
+
     // Gap-based sessionization: a new session starts after a >30 min
     // silence per user. Microsecond-integer arithmetic on both engines.
     "ev_sessionize" -> ((s, dir) => {
@@ -135,6 +160,22 @@ object EventQueries {
         |                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |          FROM events)))
         |GROUP BY user_id, island ORDER BY user_id, session_start""".stripMargin,
+    "ev_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT v.user_id,
+        |    CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |              WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage
+        |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |         LEFT JOIN p ON v.user_id = p.user_id)
+        |GROUP BY stage ORDER BY stage""".stripMargin,
     "ev_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM (

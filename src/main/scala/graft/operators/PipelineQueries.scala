@@ -82,6 +82,31 @@ object PipelineQueries {
         .orderBy("doc_id", "rk")
     }),
 
+    // Hash-based reproducible sampling — THE corpus-subsampling
+    // mechanism at scale: membership depends only on the stable doc
+    // key's hash, so the sample is identical across runs, machines and
+    // engines, needs no global coordination, and composes with any
+    // partitioning (a seeded random() does none of these). ~10% =
+    // md5 prefix below 0x199a of the 16-bit hex space.
+    "pipe_hash_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "199a")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Hash-based train/val/test split (90/5/5) by the same mechanism:
+    // disjoint hash ranges give leak-proof, reproducible assignment.
+    "pipe_split" -> ((s, dir) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(h < "e666", "train").when(h < "f333", "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    }),
+
     // Sequence packing — the canonical LLM-training-data op: fill
     // fixed-token-budget packs greedily, per language, in doc_id order
     // (docs longer than the budget get their own pack). Packing is
@@ -185,6 +210,17 @@ object PipelineQueries {
          |    ORDER BY tfidf DESC, word ASC) AS rk
          |  FROM scored)
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "pipe_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+        |ORDER BY doc_id""".stripMargin,
+    "pipe_split" ->
+      """SELECT lang,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     // The same greedy fold, stated recursively: each lang's rn-th doc
     // extends or closes the pack of the (rn-1)-th. The recursive
     // working set is one frontier row per lang, so the recursion depth

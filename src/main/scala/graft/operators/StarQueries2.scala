@@ -198,6 +198,19 @@ object StarQueries2 {
           |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
     }),
 
+    // Fixed-width numeric histogram — the data-profiling staple. Bin
+    // boundaries via floor of an exact double division (both engines
+    // compute the identical double, so bin assignment agrees bit-wise).
+    "q_histogram" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("bin", floor(col("o_totalprice") / 50000.0).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("bin")
+    }),
+
     // HAVING: aggregate-level filtering (post-group predicate).
     "q_having" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -241,6 +254,12 @@ object StarQueries2 {
   private val dsumSql = OracleSql.dsum _
 
   val oracleSql: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  count(*) AS n_orders,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_unpivot" ->
       """SELECT c_mktsegment, status, n_orders FROM (
         |  SELECT c_mktsegment, 'F' AS status,
