@@ -103,6 +103,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSeq == viaWindow)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // one hot key dominating the fact side — the shape salting guards
+    // against; with thresholds scaled down to test size, AQE's
+    // OptimizeSkewedJoin must split the hot partition instead of
+    // letting one task drag the stage
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"),
+      "spark.sql.adaptive.coalescePartitions.enabled" -> conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+      "spark.sql.autoBroadcastJoinThreshold" -> conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val fact = spark.range(0, 60000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("payload_payload_payload_"), col("id")).as(("v")))
+      val dim = spark.range(0, 60000).select(col("id").as("k"), lit("d").as("dv"))
+      val joined = fact.join(dim.hint("merge"), "k")
+      joined.collect() // materialize THIS plan so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in plan:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("partitioned parquet write prunes partitions at read time") {
     val dir = Files.createTempDirectory("graft_part").toString
     Tables.documents(spark, sf).write.mode("overwrite").partitionBy("lang").parquet(dir)
