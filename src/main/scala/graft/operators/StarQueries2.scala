@@ -198,6 +198,26 @@ object StarQueries2 {
           |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
     }),
 
+    // Complex-type surface: array aggregation (collect_set), sorted for
+    // determinism, higher-order transform, and struct construction —
+    // serialized to strings so the result stays hash-comparable across
+    // engines (the driver hashes scalar columns).
+    "q_complex_types" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          concat_ws("|", array_sort(collect_set(col("o_orderpriority"))))
+            .as("priorities"),
+          concat_ws("|",
+            transform(array_sort(collect_set(col("o_orderpriority"))),
+              p => substring(p, 1, 1))).as("priority_codes"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("summary",
+          concat(lit("{status:"), col("o_orderstatus"),
+            lit(",n:"), col("n_orders").cast("string"), lit("}")))
+        .orderBy("o_orderstatus")
+    }),
+
     // Fixed-width numeric histogram — the data-profiling staple. Bin
     // boundaries via floor of an exact double division (both engines
     // compute the identical double, so bin assignment agrees bit-wise).
@@ -254,6 +274,17 @@ object StarQueries2 {
   private val dsumSql = OracleSql.dsum _
 
   val oracleSql: Map[String, String] = Map(
+    "q_complex_types" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
+        |    AS priorities,
+        |  array_to_string(
+        |    list_transform(list_sort(list(DISTINCT o_orderpriority)),
+        |                   p -> substring(p, 1, 1)), '|') AS priority_codes,
+        |  count(*) AS n_orders,
+        |  '{status:' || o_orderstatus || ',n:' || CAST(count(*) AS VARCHAR) || '}'
+        |    AS summary
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |  count(*) AS n_orders,

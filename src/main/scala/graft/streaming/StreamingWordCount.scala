@@ -81,6 +81,27 @@ object StreamingWordCount {
       .parquet(inputDir)
       .join(broadcast(dim), col(streamKey) === col(dimKey))
 
+  /** Stream-stream interval join: views joined to the same user's
+    * clicks within the following 30 minutes. Both sides carry
+    * watermarks so the join state (buffered unmatched rows) is evicted
+    * once no counterpart can still arrive — the state-bounded form of
+    * streaming correlation; without the time bound the state grows
+    * forever.
+    */
+  def clickAfterViewJoin(spark: SparkSession, inputDir: String, schema: StructType): DataFrame = {
+    val events = spark.readStream.schema(schema).parquet(inputDir)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    views.join(clicks,
+      expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"))
+  }
+
   /** Run a streaming frame to a named in-memory sink and process all
     * currently-available input (synchronous — for tests/smoke).
     */

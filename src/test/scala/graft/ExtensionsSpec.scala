@@ -182,6 +182,31 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join (inner, eager emission)") {
+    val dir = Files.createTempDirectory("stream_ss")
+    Tables.events(spark, sf).select("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val q = StreamingWordCount.runToMemory(
+      StreamingWordCount.clickAfterViewJoin(spark, dir.toString, schema),
+      "ss_join", mode = "append")
+    try {
+      val got = spark.table("ss_join")
+        .select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // inner stream-stream joins emit eagerly, so one full batch must
+      // produce exactly the batch-join result
+      val ev = spark.read.parquet(dir.toString)
+      val expected = ev.filter(col("event_type") === "view").as("v")
+        .join(ev.filter(col("event_type") === "click").as("c"),
+          expr("v.user_id = c.user_id AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTES"))
+        .select(col("v.event_id"), col("c.event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("JobEventLog: shuffle-free queries after a shuffle log no spurious Finish_Shuffle") {
     val path = Files.createTempFile("joblog2", ".csv").toString
     val listener = new JobEventLog(path)
