@@ -1,11 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** User-facing convenience surface: register every testdata table as a
   * temp view (documents/embeddings get their typed/normalized forms)
   * and run arbitrary SQL against them — the "switch your engine, keep
-  * your SQL" entry point.
+  * your SQL" entry point — plus stable aliases for the operators Spark
+  * itself lacks, so library users don't reach into internal packages.
   */
 object Graft {
 
@@ -24,4 +25,27 @@ object Graft {
     GraftExtensions.register(spark)
     spark.sql(query)
   }
+
+  // ---- operator API (the pieces Spark has no built-in form of) ----
+
+  /** Backward as-of join (see [[graft.plans.AsOfJoin.joinAsOf]]). */
+  def joinAsOf(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column): DataFrame =
+    plans.AsOfJoin.joinAsOf(left, right, leftKey, rightKey, leftTime, rightTime)
+
+  /** Large×large interval-containment join via time binning
+    * (see [[graft.operators.RangeJoin.binnedIntervalJoin]]).
+    */
+  def intervalJoin(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binMicros: Long): DataFrame =
+    operators.RangeJoin.binnedIntervalJoin(points, tsCol, intervals, startCol, endCol, binMicros)
+
+  /** Connected components over an undirected pair list with columns
+    * (doc_a, doc_b) → (id, label = component minimum)
+    * (see [[graft.operators.DedupClusters.connectedComponents]]).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    operators.DedupClusters.connectedComponents(pairs)
 }

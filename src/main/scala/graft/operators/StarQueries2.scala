@@ -218,6 +218,32 @@ object StarQueries2 {
         .orderBy("o_orderstatus")
     }),
 
+    // Column profiling — the other data-profiling staple: one summary
+    // row per column (rows, non-nulls, distincts, min/max). Numeric
+    // extremes go through DECIMAL(18,2) before stringifying so both
+    // engines render identically (raw double→string formatting
+    // diverges at scientific-notation thresholds).
+    "q_profile" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def prof(c: String, dec: Boolean) = {
+        val mn = if (dec) min(col(c)).cast(DecimalType(18, 2)).cast("string")
+                 else min(col(c)).cast("string")
+        val mx = if (dec) max(col(c)).cast(DecimalType(18, 2)).cast("string")
+                 else max(col(c)).cast("string")
+        o.agg(
+          count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"),
+          mn.as("min_val"), mx.as("max_val"))
+          .select(lit(c).as("column"), col("n_rows"), col("n_nonnull"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      }
+      prof("o_totalprice", dec = true)
+        .union(prof("o_orderstatus", dec = false))
+        .union(prof("o_custkey", dec = false))
+        .orderBy("column")
+    }),
+
     // Fixed-width numeric histogram — the data-profiling staple. Bin
     // boundaries via floor of an exact double division (both engines
     // compute the identical double, so bin assignment agrees bit-wise).
@@ -285,6 +311,24 @@ object StarQueries2 {
         |  '{status:' || o_orderstatus || ',n:' || CAST(count(*) AS VARCHAR) || '}'
         |    AS summary
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_profile" ->
+      """SELECT 'o_totalprice' AS "column", count(*) AS n_rows,
+        |  count(o_totalprice) AS n_nonnull,
+        |  count(DISTINCT o_totalprice) AS n_distinct,
+        |  CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS min_val,
+        |  CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
+        |ORDER BY "column"""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |  count(*) AS n_orders,

@@ -53,6 +53,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == expected && n > 0)
   }
 
+  test("Graft facade exposes the custom operators") {
+    val l = Seq((1L, 5L)).toDF("k", "t")
+    val r = Seq((1L, 4L, "x")).toDF("rk", "rt", "rv")
+    assert(Graft.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt")).count() == 1)
+    val pts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00")))
+      .toDF("pid", "pt")
+    val iv = Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+      .toDF("iid", "s_ts", "e_ts")
+    assert(Graft.intervalJoin(pts, "pt", iv, "s_ts", "e_ts", 3600L * 1000000L).count() == 1)
+    val cc = Graft.connectedComponents(Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("connectedComponents: chain + separate component converge to minima") {
     // path graph 1-2-3-4 needs multiple label-propagation iterations
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
