@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.Tables
+
 /** Pairs → clusters: the last stage of a real dedup pipeline. Verified
   * near-dup pairs (LSH → exact-Jaccard, [[Dedup]]) form an undirected
   * graph; each connected component is one duplicate cluster, and the
@@ -78,6 +80,22 @@ object DedupClusters {
         .join(sizes, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
+    }),
+
+    // The end product of the dedup pipeline: the cleaned corpus. Keep
+    // every doc that is not a non-representative member of a near-dup
+    // cluster (representative = component minimum). One anti-join
+    // against the (tiny relative) victim set — the corpus never
+    // shuffles by anything but its own partitioning.
+    "dd_survivors" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+      val victims = connectedComponents(pairs)
+        .filter(col("id") =!= col("label"))
+        .select(col("id"))
+      Tables.documents(s, dir)
+        .join(victims, Tables.documents(s, dir)("doc_id") === victims("id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     })
   )
 
@@ -102,6 +120,22 @@ object DedupClusters {
          |FROM comp a
          |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) b
          |  USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+    // Survivors = all docs minus non-representative cluster members.
+    "dd_survivors" ->
+      s"""WITH RECURSIVE pairs AS (${Dedup.ngramJaccardPairsSql}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (
+         |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
          |ORDER BY doc_id""".stripMargin
   )
 }

@@ -82,6 +82,26 @@ object EventQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // Time-series gap filling: purchase counts per 15-minute bucket
+    // with EVERY bucket present (missing ones as 0) — the resample
+    // operator every monitoring/training-curve pipeline needs. The
+    // bucket spine comes from sequence() between the observed bounds
+    // (a 1-row broadcast), so no bucket table needs to exist. Bucket
+    // math is integer micros on both engines.
+    "ev_gapfill" -> ((s, dir) => {
+      val binUs = 15L * 60L * 1000000L
+      val counts = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr(s"timestamp_micros((unix_micros(ts) div $binUs) * $binUs)").as("bucket"))
+        .agg(count(lit(1)).as("n_purchases"))
+      val spine = counts
+        .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 15 minutes)")).as("bucket"))
+      spine.join(counts, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("bucket")
+    }),
+
     // Ordered funnel: how far does each user get through
     // view → click → purchase, where each stage must happen strictly
     // after the previous one? Three chained min-after aggregations —
@@ -160,6 +180,19 @@ object EventQueries {
         |                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |          FROM events)))
         |GROUP BY user_id, island ORDER BY user_id, session_start""".stripMargin,
+    "ev_gapfill" ->
+      """WITH counts AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+        |         count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(min(bucket), max(bucket),
+        |                                INTERVAL 15 MINUTE)) AS bucket
+        |  FROM counts)
+        |SELECT spine.bucket AS bucket,
+        |  CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases
+        |FROM spine LEFT JOIN counts ON spine.bucket = counts.bucket
+        |ORDER BY 1""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

@@ -218,6 +218,22 @@ object StarQueries2 {
         .orderBy("o_orderstatus")
     }),
 
+    // NTILE quartile stats over the global price order. A global NTILE
+    // requires a total sort — at 100 TB that is a range-partitioned
+    // sort (Spark's sort does exactly this); the (price, orderkey)
+    // compound key makes tile assignment deterministic under ties.
+    "q_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("quartile", ntile(4).over(w).cast("int"))
+        .groupBy("quartile")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("quartile")
+    }),
+
     // Column profiling — the other data-profiling staple: one summary
     // row per column (rows, non-nulls, distincts, min/max). Numeric
     // extremes go through DECIMAL(18,2) before stringifying so both
@@ -311,6 +327,14 @@ object StarQueries2 {
         |  '{status:' || o_orderstatus || ',n:' || CAST(count(*) AS VARCHAR) || '}'
         |    AS summary
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_ntile" ->
+      """SELECT quartile, count(*) AS n_orders,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM (SELECT o_totalprice,
+        |        CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+        |          AS quartile
+        |      FROM orders)
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
     "q_profile" ->
       """SELECT 'o_totalprice' AS "column", count(*) AS n_rows,
         |  count(o_totalprice) AS n_nonnull,
