@@ -218,10 +218,16 @@ object StarQueries2 {
         .orderBy("o_orderstatus")
     }),
 
-    // NTILE quartile stats over the global price order. A global NTILE
-    // requires a total sort — at 100 TB that is a range-partitioned
-    // sort (Spark's sort does exactly this); the (price, orderkey)
-    // compound key makes tile assignment deterministic under ties.
+    // NTILE quartile stats over the global price order — the window-
+    // function surface for quantile bucketing. HONEST SCALE CAVEAT: an
+    // unpartitioned window moves ALL rows to one partition (WindowExec
+    // has no range-partitioned mode), so this exact form caps at
+    // one-executor volume (measured: 7 s at 3M rows). The 100 TB form
+    // computes the three cutoffs with `percentile` (q_percentiles) and
+    // assigns by broadcast comparison — same buckets up to tie
+    // placement, fully parallel. Kept as NTILE here because the tile
+    // semantics (exact n/4 counts under ties) are what the operator
+    // contract specifies; (price, orderkey) makes it deterministic.
     "q_ntile" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
