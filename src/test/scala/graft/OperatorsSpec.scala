@@ -89,6 +89,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_survivors: partition invariant — survivors + victims = corpus, one rep per cluster") {
+    val dir = "/root/testdata/sf0.01"
+    val survivors = SparkEntry.queries("dd_survivors")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val clusters = SparkEntry.queries("dd_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val victims = clusters.filter { case (id, cid) => id != cid }.map(_._1).toSet
+    val all = Tables.documents(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(victims).isEmpty)
+    assert(survivors.union(victims) == all)
+    // each cluster keeps exactly its representative
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).toSet.intersect(survivors) == Set(cid))
+    }
+  }
+
   test("dd_exact: group sizes sum to document count") {
     val total = Tables.documents(spark, sf).count()
     val sum = run("dd_exact").agg(org.apache.spark.sql.functions.sum("n_docs"))
