@@ -240,6 +240,24 @@ object StarQueries2 {
         .orderBy("quartile")
     }),
 
+    // Window navigation functions: lag/lead and the two frame-extreme
+    // value pickers over a unique per-partition order — pure value
+    // movement, no arithmetic, so cross-engine equality is exact.
+    "q_window_nav" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 3000)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(wFull).as("last_price"))
+        .orderBy("o_orderkey")
+    }),
+
     // Column profiling — the other data-profiling staple: one summary
     // row per column (rows, non-nulls, distincts, min/max). Numeric
     // extremes go through DECIMAL(18,2) before stringifying so both
@@ -333,6 +351,18 @@ object StarQueries2 {
         |  '{status:' || o_orderstatus || ',n:' || CAST(count(*) AS VARCHAR) || '}'
         |    AS summary
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_price
+        |FROM orders WHERE o_orderkey < 3000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_ntile" ->
       """SELECT quartile, count(*) AS n_orders,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
