@@ -134,6 +134,21 @@ object StarQueries2 {
         .orderBy("l_returnflag")
     }),
 
+    // Sketch quantiles: approx_percentile (the mergeable KLL-style
+    // sketch Spark uses for SQL approx quantiles) next to the exact
+    // value. Oracle-exempt like the HLL query — sketch estimates are
+    // engine-specific by construction; the relative-error bound is
+    // asserted in ScalaTest (`ScaleSpec`) instead.
+    "q_approx_quantile" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("approx_p95"))
+        .orderBy("l_returnflag")
+    }),
+
     // PIVOT: order-status columns per market segment. The oracle is the
     // equivalent conditional aggregation — identical column names are
     // what make the hash compare line up.

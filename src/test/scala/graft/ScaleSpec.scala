@@ -80,6 +80,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(sm.contains("SortMergeJoin"), s"plan:\n$sm")
   }
 
+  test("approx_percentile within 5% of the exact quantile") {
+    SparkEntry.queries("q_approx_quantile")(spark, sf).collect().foreach { r =>
+      val approx = r.getDouble(r.fieldIndex("approx_median"))
+      val exact  = r.getDouble(r.fieldIndex("exact_median"))
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
   test("approx_count_distinct within its error bound of the exact count") {
     SparkEntry.queries("q_approx_distinct")(spark, sf).collect().foreach { r =>
       val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble

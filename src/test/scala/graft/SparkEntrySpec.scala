@@ -11,7 +11,8 @@ class SparkEntrySpec extends AnyFunSuite {
 
   // The only queries allowed to lack DuckDB oracle SQL, each justified
   // in COVERAGE.md/README and pinned by a ScalaTest instead.
-  val oracleExempt: Set[String] = Set("ta_rolling_fp", "q_approx_distinct")
+  val oracleExempt: Set[String] = Set(
+    "ta_rolling_fp", "q_approx_distinct", "q_approx_quantile")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
