@@ -99,6 +99,19 @@ object Multimodal {
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
           round(element_at(col("features"), 16).cast("double"), 4).as("f15"))
         .orderBy("doc_id")
+    }),
+
+    // Frame-sampling leg of the typed pipeline: every-16th payload byte
+    // (keyframe stand-in), checksummed. The oracle re-derives the exact
+    // byte selection by character indexing (all-ASCII corpus ⇒ char
+    // position = byte position) — so the mapPartitions batch path is
+    // oracle-pinned end to end, not just shape-tested.
+    "mm_frames" -> ((s, dir) => {
+      extractFeatures(s, dir).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          octet_length(col("frame_sample")).cast("long").as("n_frames"),
+          md5(col("frame_sample")).as("frames_checksum"))
+        .orderBy("doc_id")
     })
   )
 
@@ -126,6 +139,14 @@ object Multimodal {
         |SELECT doc_id, CAST(max(n_bytes) AS INT) AS n_bytes,
         |  round(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) / 64.0, 4) AS f0,
         |  round(sum(CASE WHEN bin = 15 THEN 1 ELSE 0 END) / 64.0, 4) AS f15
-        |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+        |  CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames,
+        |  md5(array_to_string(
+        |    list_transform(range(0, (length(text) + 15) // 16),
+        |                   i -> substring(text, CAST(i * 16 + 1 AS INT), 1)),
+        |    '')) AS frames_checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
