@@ -104,6 +104,21 @@ object StarQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // FULL OUTER join: both unmatched sides preserved. The aggregate
+    // classifies rows into matched / customer-only / order-only, so
+    // the null-extension behavior on each side is what's checked.
+    "q_join_outer" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("o_orderkey").isNull, 1)).as("n_customer_only"),
+          count(when(col("c_custkey").isNull, 1)).as("n_order_only"),
+          count(when(col("o_orderkey").isNotNull && col("c_custkey").isNotNull, 1))
+            .as("n_matched"))
+    }),
+
     // ROLLUP over nation ⋈ customer; grouping() flags disambiguate the
     // subtotal rows; NULLS FIRST pinned on both sides.
     "q_rollup" -> ((s, dir) => {
@@ -266,6 +281,15 @@ object StarQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_outer" ->
+      """SELECT count(*) AS n_rows,
+        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_customer_only,
+        |  count(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_order_only,
+        |  count(CASE WHEN o_orderkey IS NOT NULL AND c_custkey IS NOT NULL
+        |             THEN 1 END) AS n_matched
+        |FROM customer
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o_custkey""".stripMargin,
     "q_rollup" ->
       s"""SELECT n_name, c_mktsegment,
          |  count(*) AS n_customers, ${dsumSql("c_acctbal")} AS sum_acctbal,
