@@ -203,6 +203,22 @@ object StarQueries {
         .orderBy("c_custkey")
     }),
 
+    // Multiset (ALL) set operations: duplicates carry multiplicity, so
+    // the orderstatus bag intersect/except counts differ from the
+    // distinct forms — that difference is what the aggregate checks.
+    "q_setops_all" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_totalprice") > 150000).select(col("o_orderstatus"))
+      val b = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderstatus"))
+      val inter = a.intersectAll(b).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val exc = a.exceptAll(b).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      inter.union(exc)
+        .select(col("op"), col("o_orderstatus"), col("n"))
+        .orderBy("op", "o_orderstatus")
+    }),
+
     // Scalar function surface: string / date / IEEE-safe math.
     "q_scalar_funcs" -> ((s, dir) => {
       Tables.part(s, dir)
@@ -344,6 +360,17 @@ object StarQueries {
         |INTERSECT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |ORDER BY c_custkey""".stripMargin,
+    "q_setops_all" ->
+      """WITH a AS (SELECT o_orderstatus FROM orders WHERE o_totalprice > 150000),
+        |b AS (SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'intersect_all' AS op, o_orderstatus, count(*) AS n
+        |FROM (SELECT o_orderstatus FROM a INTERSECT ALL SELECT o_orderstatus FROM b)
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all', o_orderstatus, count(*)
+        |FROM (SELECT o_orderstatus FROM a EXCEPT ALL SELECT o_orderstatus FROM b)
+        |GROUP BY 2
+        |ORDER BY op, o_orderstatus""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT p_partkey,
         |  upper(p_brand) AS brand_u,

@@ -109,6 +109,21 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Edit distance between neighboring docs — the fuzzy-matching
+    // primitive (record linkage, OCR cleanup). Levenshtein is O(len²)
+    // per pair, so production use always sits BEHIND a blocking stage
+    // (the LSH candidates); the bounded consecutive-pair set here keeps
+    // the oracle small while pinning the distance function itself.
+    "ta_edit_distance" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      d.as("a")
+        .join(d.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text")).as("dist"))
+        .orderBy("doc_a")
+    }),
+
     // Normalized fingerprint: md5 over the sorted distinct token set —
     // the blocking key for order-insensitive exact dedup.
     "ta_fingerprint" -> ((s, dir) => {
@@ -177,6 +192,12 @@ object TextAnalysis {
          |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
          |FROM (SELECT doc_id, text, $toksSql AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "ta_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+        |WHERE a.doc_id < 100 AND b.doc_id < 100
+        |ORDER BY doc_a""".stripMargin,
     "ta_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
