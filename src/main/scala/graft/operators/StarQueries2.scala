@@ -299,6 +299,29 @@ object StarQueries2 {
         .orderBy("column")
     }),
 
+    // Map-type surface: build a status→count map per segment
+    // (map_from_entries over grouped counts — key order in the map is
+    // irrelevant because only keyed lookups leave the query), then
+    // extract by key. The oracle states the same values as conditional
+    // counts; what's under test is that Spark's map construction and
+    // element_at produce them.
+    "q_map_funcs" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val counts = c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("c_mktsegment"))
+        .agg(map_from_entries(
+          collect_list(struct(col("o_orderstatus"), col("n")))).as("m"))
+        .select(col("c_mktsegment"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+          coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
+          coalesce(element_at(col("m"), "P"), lit(0L)).as("n_p"),
+          size(col("m")).cast("int").as("n_statuses"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Fixed-width numeric histogram — the data-profiling staple. Bin
     // boundaries via floor of an exact double division (both engines
     // compute the identical double, so bin assignment agrees bit-wise).
@@ -404,6 +427,14 @@ object StarQueries2 {
         |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
         |FROM orders
         |ORDER BY "column"""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT c_mktsegment,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (o_orderstatus = 'P') AS n_p,
+        |  CAST(count(DISTINCT o_orderstatus) AS INT) AS n_statuses
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |  count(*) AS n_orders,
