@@ -24,6 +24,11 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", aqe)
+      // Typed-accumulator aggregates (simhash, top-k) run in
+      // ObjectHashAggregate; the default 128-group fallback would
+      // switch them to sort-based almost immediately. Buffers are
+      // O(100 B)/group, so a millions-size hash map is the right trade.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -62,8 +67,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_$reps","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
       s""""baseline_comparable":{"workload":"wordcount (the reference's only job)","sec":$wcSec,"n_queries_in_total":${results.size}}}"""
     println(json)
-    // Under sbt, stdout is [info]-prefixed and hard to scrape; the file
-    // is the machine-readable channel (path overridable for tests).
+    // Three machine-readable channels: raw stdout (unprefixed via
+    // build.sbt's StdoutOutput), stderr (never [info]-prefixed even
+    // under a logging output strategy), and the file below.
+    System.err.println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),

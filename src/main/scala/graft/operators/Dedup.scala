@@ -37,12 +37,6 @@ object Dedup {
   val Bands     = 4
   val RowsPerBand = NumHashes / Bands
 
-  /** Distinct (doc_id, shingle) pairs. */
-  private def shingleDF(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shinglesOf(col("text"))).as("shingle"))
-      .distinct()
-
   /** (doc_id, sig0..sig15): min-hash signature. Each salted md5 yields
     * four independent 32-bit (8-hex-char) hashes, so 16 signatures cost
     * 4 md5 evaluations per shingle, not 16. The min is taken over raw
@@ -100,12 +94,18 @@ object Dedup {
         .select(col("doc_id"), col("sigv"), explode(array(bandStructs: _*)).as("bd"))
         .select(col("doc_id"), col("sigv"),
           col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
+      // within-bucket pair generation (groupBy band → collect_list →
+      // ordered pairs): the band self-join form executes the signature
+      // aggregation twice (two scan legs of an un-persisted frame);
+      // LSH bounds each bucket, so materializing one bucket's members
+      // per group is the scale-safe direction
       val eqCnt = size(filter(zip_with(col("a.sigv"), col("b.sigv"), (x, y) => x === y), p => p))
-      b.as("a")
-        .join(b.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
+      b.groupBy("band_idx", "band_hash")
+        .agg(collect_list(struct(col("doc_id"), col("sigv"))).as("m"))
+        .filter(size(col("m")) > 1)
+        .select(explode(col("m")).as("a"), col("m"))
+        .select(col("a"), explode(col("m")).as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), eqCnt.as("eq"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_shared_bands"), max(col("eq")).as("max_eq"))
@@ -116,22 +116,16 @@ object Dedup {
 
     // 16-bit SimHash per document from per-token md5 bits. Per token,
     // the native Md5PrefixLong expression yields the digest's top 64
-    // bits as ONE long; the 16 bit-sums are then pure integer
-    // shift/mask aggregates (codegen'd, no string ops) over the token
-    // rows — one shuffle keyed by doc, no (token × bit) row explosion.
-    // sign(sum ±1) > 0 ⇔ 2·ones > n_tokens, so only ones-counts and one
-    // count(*) are aggregated.
+    // bits as ONE long; the bit-majority vote is a single typed
+    // accumulator aggregate (one int[17] buffer per doc, one tight
+    // update loop per token row) — one shuffle keyed by doc, no
+    // (token × bit) row explosion and no per-bit aggregate columns.
     "dd_simhash" -> ((s, dir) => {
-      val ones = (0 until 16).map(b => sum(expr(s"(hl >> ${63 - b}) & 1")).as(s"o$b"))
-      val simhash = (0 until 16)
-        .map(b => expr(s"CASE WHEN 2 * o$b > n THEN ${1L << b} ELSE 0 END"))
-        .reduce(_ + _)
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .withColumn("hl", graft.functions.Md5PrefixLong.md5_prefix_long(col("word")))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n"), ones: _*)
-        .select(col("doc_id"), simhash.cast("long").as("simhash"))
+        .agg(graft.functions.SimhashAgg.simhash(16)(col("hl")).as("simhash"))
         .orderBy("doc_id")
     }),
 
@@ -141,33 +135,38 @@ object Dedup {
     // band-equality join is a complete candidate generator for d≤3.
     // Exact Hamming distance then filters via bit_count(xor).
     "dd_simhash64_pairs" -> ((s, dir) => {
-      // Same native-long bit extraction as dd_simhash, over all 64 bits
-      // (was: 64 instr-based nibble decodes = 21% of the whole bench).
-      val ones = (0 until 64).map(b => sum(expr(s"(hl >> ${63 - b}) & 1")).as(s"o$b"))
-      val simhash = (0 until 64)
-        .map(b => expr(s"CASE WHEN 2 * o$b > n THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-        .reduce(_ + _)
+      // Same native-long bit extraction as dd_simhash; the 64-bit
+      // majority vote is ONE typed accumulator aggregate (int[65]
+      // buffer per doc), not 64 per-bit sum columns. Candidate pairs
+      // come from WITHIN-BUCKET pair generation (groupBy band →
+      // collect_list → ordered pairs) instead of a band self-join: the
+      // self-join form executes the whole token aggregation twice (the
+      // two scan legs of an un-persisted derived frame), and at 100 TB
+      // a per-band bucket is LSH-bounded small while the hash table
+      // is corpus-sized — so materializing buckets, never the hashes,
+      // is the scale-safe direction.
       val hashes = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .withColumn("hl", graft.functions.Md5PrefixLong.md5_prefix_long(col("word")))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n"), ones: _*)
-        .select(col("doc_id"), simhash.as("sh"))
+        .agg(graft.functions.SimhashAgg.simhash(64)(col("hl")).as("sh"))
       val banded = hashes.select(col("doc_id"), col("sh"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band_idx"),
             expr(s"(sh >> ${16 * j}) & 65535").as("band_val"))): _*)).as("bd"))
         .select(col("doc_id"), col("sh"),
           col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
+      banded
+        .groupBy("band_idx", "band_val")
+        .agg(collect_list(struct(col("doc_id"), col("sh"))).as("m"))
+        .filter(size(col("m")) > 1)
+        .select(explode(col("m")).as("a"), col("m"))
+        .select(col("a"), explode(col("m")).as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").as("hamming"))
-        .distinct()
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -239,46 +238,60 @@ object Dedup {
     * [[DedupClusters]]'s connected components as well as the
     * dd_ngram_jaccard query.
     */
-  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir, dedup = true).orderBy("doc_a", "doc_b")
 
+  /** The LSH→verify pipeline without the presentation sort.
+    * `dedup = false` additionally skips the candidate-pair distinct —
+    * consumers that are multiplicity-blind (connected components: a
+    * duplicate edge changes no min) save that exchange; the verify
+    * joins then process each pair once per shared band (≤ Bands×).
+    */
+  private[operators] def verifiedPairs(
+      s: SparkSession, dir: String, dedup: Boolean): DataFrame = {
+
+      // Candidates via within-bucket pair generation — one execution
+      // of the signature pipeline (a band self-join would run it twice)
       val b = bands(signatures(s, dir))
-      val cand = b.as("a")
-        .join(b.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // Feeds cnt and both verify sides. Deliberately NOT cached: the
-      // shingle set is the largest intermediate in the repo (tokens ×
-      // shingle width), so pinning it is the one memory-unbounded
-      // structure a 100 TB run can't afford — and the native
-      // WordShingles recompute is cheaper than materializing the cache
-      // (measured; see SCALE.md). Catalyst plans three scans instead.
-      val sh  = shingleDF(s, dir)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val candRaw = b.groupBy("band_idx", "band_hash")
+        .agg(collect_list(col("doc_id")).as("m"))
+        .filter(size(col("m")) > 1)
+        .select(explode(col("m")).as("doc_a"), col("m"))
+        .select(col("doc_a"), explode(col("m")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      val cand = if (dedup) candRaw.distinct() else candRaw
+      // Verify with per-doc shingle SETS carried as array columns:
+      // n_inter = |array_intersect| — the same distinct-shingle
+      // intersection the row-explosion form computes, without the
+      // (doc, shingle) distinct shuffle, the two shingle-keyed joins,
+      // or the separate per-doc count aggregation (that form cost 3
+      // executions of the exploded shingle set plus ~5 exchanges). A
+      // doc's shingle array is the same order of bytes as its text, so
+      // the two doc-keyed joins shuffle candidate-bounded text-sized
+      // rows — the scale ceiling is the candidate count, as before.
       // merge-join hint: the candidate set's size is data-dependent
       // (dup-heavy corpora yield millions of pairs) and its stats
       // mislead the planner into broadcasting it — observed OOM at a
       // 2 GB heap under 20× amplification. Sort-merge spills instead.
-      val inter = cand.hint("merge")
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(shinglesOf(col("text"))).as("shset"))
+        .select(col("doc_id"), col("shset"), size(col("shset")).cast("long").as("n"))
+      cand.hint("merge")
+        .join(docs.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(docs.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ca.shset"), col("cb.shset"))).cast("long")
+            .as("n_inter"),
+          col("ca.n").as("na"), col("cb.n").as("nb"))
         // raw ratio, unrounded: a small-denominator rational can sit on
         // a decimal midpoint where round() diverges between engines;
         // the un-rounded division is bit-identical on both sides
         .withColumn("jaccard",
           col("n_inter").cast("double") /
-            (col("ca.n") + col("cb.n") - col("n_inter")))
+            (col("na") + col("nb") - col("n_inter")))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-        .orderBy("doc_a", "doc_b")
   }
 
   private val toksSql = OracleSql.toks

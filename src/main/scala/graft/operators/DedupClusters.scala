@@ -39,31 +39,57 @@ object DedupClusters {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels: DataFrame = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src"))
-        .agg(min(col("label")).as("nmin"))
-      // carry the previous label through, and let the convergence
-      // count be the one materializing action of the iteration: the
-      // lazy localCheckpoint caches `next` as a side effect of count()
-      // (count computes every partition, unlike isEmpty/limit), so
+      // Round 1 needs no node table and no join: every node appears as
+      // `src` (edges are bidirectional), so label₁(v) = min(v, min
+      // neighbor id) is ONE aggregation over the edge set — it also
+      // subsumes the identity-label initialization (saving the
+      // init-distinct job the loop used to pay up front). Later rounds
+      // gather lbl(v) ← min(label(v), label(u) for u ∈ N(v)) as a
+      // single union+min aggregation: incoming rows cover every
+      // neighbor, and the node's own row both joins the min and
+      // carries the previous label out for the convergence check — no
+      // separate left join. Dense near-dup clusters converge in two
+      // rounds (propagate + confirm, the minimum — measured via
+      // GRAFT_CC_DEBUG); adversarially long chains take O(diameter),
+      // where the documented upgrade is pointer jumping
+      // (label ← label(label)) or the large-star/small-star
+      // contraction — same join+min round shape, O(log) rounds.
+      val gathered =
+        if (iter == 0)
+          edges.groupBy(col("src"))
+            .agg(min(col("dst")).as("nmin"))
+            .select(col("src").as("id"),
+              least(col("src"), col("nmin")).as("label"),
+              col("src").as("old"))
+        else
+          edges.join(labels, edges("dst") === labels("id"))
+            .select(col("src").as("id"), col("label").as("cand"))
+            .withColumn("own", lit(false))
+            .unionByName(labels.select(col("id"), col("label").as("cand"))
+              .withColumn("own", lit(true)))
+            .groupBy("id")
+            .agg(min(col("cand")).as("label"),
+              max(when(col("own"), col("cand"))).as("old"))
+      // the lazy localCheckpoint caches `next` as a side effect of
+      // count() (count computes every partition, unlike isEmpty), so
       // each round costs exactly one job
-      val next = labels.as("l")
-        .join(neighborMin, col("l.id") === neighborMin("src"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nmin"), col("l.label"))).as("label"),
-          col("l.label").as("old"))
-        .localCheckpoint(false)
-      converged = next.filter(col("label") =!= col("old")).count() == 0
+      val next = gathered.localCheckpoint(false)
+      // Round 1 of a nonempty edge set ALWAYS changes labels (each
+      // pair's larger endpoint drops to the smaller), so its
+      // convergence job is skipped — round 2's action materializes the
+      // round-1 checkpoint as part of its lineage (block-level compute
+      // locks keep the doubly-referenced label table computed once).
+      if (iter > 0)
+        converged = next.filter(col("label") =!= col("old")).count() == 0
       labels = next.select("id", "label")
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged after $iter rounds")
     edges.unpersist()
     labels
   }
@@ -73,12 +99,18 @@ object DedupClusters {
     // every doc appearing in a verified pair, labeled with its
     // component's minimum doc_id, plus the component size.
     "dd_clusters" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
-      val labeled = connectedComponents(pairs)
-      val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      labeled
-        .join(sizes, "label")
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      // CC is multiplicity-blind and order-blind → feed it the
+      // unsorted, un-deduped verified pairs (two fewer exchanges than
+      // the presentation-form query). cluster_size via a window count
+      // over the label partition: one shuffle by label instead of a
+      // size aggregation plus a join back (label groups are duplicate
+      // clusters — bounded small, no window-skew concern).
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.verifiedPairs(s, dir, dedup = false)
+        .select("doc_a", "doc_b")
+      connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))
         .orderBy("doc_id")
     }),
 
@@ -88,7 +120,8 @@ object DedupClusters {
     // against the (tiny relative) victim set — the corpus never
     // shuffles by anything but its own partitioning.
     "dd_survivors" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+      val pairs = Dedup.verifiedPairs(s, dir, dedup = false)
+        .select("doc_a", "doc_b")
       val victims = connectedComponents(pairs)
         .filter(col("id") =!= col("label"))
         .select(col("id"))

@@ -207,15 +207,26 @@ object StarQueries {
     // the orderstatus bag intersect/except counts differ from the
     // distinct forms — that difference is what the aggregate checks.
     "q_setops_all" -> ((s, dir) => {
+      // Single-pass multiset algebra: both ALL-ops are functions of the
+      // per-key multiplicities — |A ∩all B| = min(na, nb) and
+      // |A \all B| = max(na − nb, 0) — so ONE scan + ONE groupBy
+      // replaces two set-op exchanges over the same table (each
+      // intersectAll/exceptAll plans its own pair of shuffles). A key
+      // appears in a set-op result only with multiplicity > 0, hence
+      // the final filter.
       val o = Tables.orders(s, dir)
-      val a = o.filter(col("o_totalprice") > 150000).select(col("o_orderstatus"))
-      val b = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderstatus"))
-      val inter = a.intersectAll(b).groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
-      val exc = a.exceptAll(b).groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
-      inter.union(exc)
-        .select(col("op"), col("o_orderstatus"), col("n"))
+      o.select(col("o_orderstatus"),
+          (col("o_totalprice") > 150000).cast("long").as("in_a"),
+          (col("o_orderpriority") === "1-URGENT").cast("long").as("in_b"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("in_a")).as("na"), sum(col("in_b")).as("nb"))
+        .select(col("o_orderstatus"), explode(array(
+          struct(lit("intersect_all").as("op"),
+            least(col("na"), col("nb")).as("n")),
+          struct(lit("except_all").as("op"),
+            greatest(col("na") - col("nb"), lit(0L)).as("n")))).as("x"))
+        .select(col("x.op").as("op"), col("o_orderstatus"), col("x.n").as("n"))
+        .filter(col("n") > 0)
         .orderBy("op", "o_orderstatus")
     }),
 

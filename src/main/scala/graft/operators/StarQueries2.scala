@@ -233,21 +233,32 @@ object StarQueries2 {
         .orderBy("o_orderstatus")
     }),
 
-    // NTILE quartile stats over the global price order — the window-
-    // function surface for quantile bucketing. HONEST SCALE CAVEAT: an
-    // unpartitioned window moves ALL rows to one partition (WindowExec
-    // has no range-partitioned mode), so this exact form caps at
-    // one-executor volume (measured: 7 s at 3M rows). The 100 TB form
-    // computes the three cutoffs with `percentile` (q_percentiles) and
-    // assigns by broadcast comparison — same buckets up to tie
-    // placement, fully parallel. Kept as NTILE here because the tile
-    // semantics (exact n/4 counts under ties) are what the operator
-    // contract specifies; (price, orderkey) makes it deterministic.
+    // Quartile bucketing at scale: percentile cutoffs + broadcast
+    // assignment. An unpartitioned NTILE window would move ALL rows to
+    // one partition (WindowExec has no range-partitioned mode; measured
+    // 7 s at 3M rows), so the registered form computes the three
+    // cutoffs with exact `percentile` and assigns each row by comparing
+    // against the broadcast 1-row cutoff frame — fully parallel, no
+    // window anywhere in the plan (asserted in ScaleSpec). Ties at a
+    // cutoff go to the lower bucket on both engines; cutoffs are
+    // rounded to 4 dp per the FP-interpolation parity rule. Exact-NTILE
+    // tile semantics (precise n/4 counts under ties) remain covered as
+    // a ScalaTest variant (NtileSpec). At 100 TB the exact percentile
+    // swaps for approx_percentile — same plan shape, bounded memory.
     "q_ntile" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, dir)
-        .withColumn("quartile", ntile(4).over(w).cast("int"))
+      val o = Tables.orders(s, dir)
+      // one percentile buffer for all three cutoffs (the array form),
+      // not three independent value-buffering aggregates
+      val cuts = o.agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("cs"))
+        .select(
+          round(element_at(col("cs"), 1), 4).as("c1"),
+          round(element_at(col("cs"), 2), 4).as("c2"),
+          round(element_at(col("cs"), 3), 4).as("c3"))
+      o.crossJoin(broadcast(cuts))
+        .withColumn("quartile",
+          (lit(1) + (col("o_totalprice") > col("c1")).cast("int")
+            + (col("o_totalprice") > col("c2")).cast("int")
+            + (col("o_totalprice") > col("c3")).cast("int")).cast("int"))
         .groupBy("quartile")
         .agg(count(lit(1)).as("n_orders"),
           min(col("o_totalprice")).as("min_price"),
@@ -402,12 +413,18 @@ object StarQueries2 {
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
     "q_ntile" ->
-      """SELECT quartile, count(*) AS n_orders,
+      """WITH cuts AS (
+        |  SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS c1,
+        |         round(quantile_cont(o_totalprice, 0.50), 4) AS c2,
+        |         round(quantile_cont(o_totalprice, 0.75), 4) AS c3
+        |  FROM orders)
+        |SELECT quartile, count(*) AS n_orders,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM (SELECT o_totalprice,
-        |        CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
-        |          AS quartile
-        |      FROM orders)
+        |        CAST(1 + CAST(o_totalprice > c1 AS INT)
+        |               + CAST(o_totalprice > c2 AS INT)
+        |               + CAST(o_totalprice > c3 AS INT) AS INT) AS quartile
+        |      FROM orders, cuts)
         |GROUP BY quartile ORDER BY quartile""".stripMargin,
     "q_profile" ->
       """SELECT 'o_totalprice' AS "column", count(*) AS n_rows,

@@ -135,9 +135,11 @@ object TextAnalysis {
     }),
 
     // Rolling-hash fingerprint via the native codegen Expression
-    // (graft.functions.RollingHash). Not SQL-expressible in DuckDB
-    // without recursion → oracle-exempt; exactness is pinned by
-    // RollingHashSpec against a reference JVM fold.
+    // (graft.functions.RollingHash). The DuckDB oracle replays the
+    // same 64-bit wraparound fold in HUGEINT arithmetic mod 2^64
+    // (list_reduce over the char codes — the corpus is all-ASCII, so
+    // code point = UTF-8 byte); exactness against a reference JVM fold
+    // is additionally pinned by RollingHashSpec.
     "ta_rolling_fp" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -209,6 +211,20 @@ object TextAnalysis {
     "ta_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // h ← (h·31 + byte) mod 2^64 in HUGEINT, then two's-complement map
+    // to signed BIGINT — bit-identical to the JVM's wrapping long fold.
+    "ta_rolling_fp" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808
+        |            THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS rfp
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+        |      (a, c) -> (a * 31 + c) % 18446744073709551616) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -10,9 +10,9 @@ class SparkEntrySpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   // The only queries allowed to lack DuckDB oracle SQL, each justified
-  // in COVERAGE.md/README and pinned by a ScalaTest instead.
-  val oracleExempt: Set[String] = Set(
-    "ta_rolling_fp", "q_approx_distinct", "q_approx_quantile")
+  // in COVERAGE.md/README and pinned by a ScalaTest instead. Both are
+  // sketch queries whose estimates are engine-specific by construction.
+  val oracleExempt: Set[String] = Set("q_approx_distinct", "q_approx_quantile")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
