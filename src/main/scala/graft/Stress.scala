@@ -15,8 +15,9 @@ object Stress {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("wordcount", "q1_agg", "q_join_large", "ta_tfidf",
-        "dd_exact", "dd_minhash", "dd_ngram_jaccard", "dd_embed_multiprobe",
-        "dd_clusters", "ev_range_join", "pipe_pack_sequences",
+        "dd_exact", "dd_minhash", "dd_ngram_jaccard", "dd_simhash64_pairs",
+        "dd_embed_multiprobe", "dd_clusters", "ev_range_join",
+        "pipe_pack_sequences", "q_ntile",
         "ss_bruteforce_topk", "pipe_clean_corpus")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
@@ -55,6 +56,55 @@ object Stress {
       val rows = try SparkEntry.queries(n)(spark, dst).count()
       catch { case e: Throwable => System.err.println(s"$n FAILED: ${e.getMessage}"); -1L }
       println(f"STRESS $n rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+
+    def timed(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = try df.count()
+      catch { case e: Throwable => System.err.println(s"$name FAILED: ${e.getMessage}"); -1L }
+      println(f"STRESS $name rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+
+    // Sharded sequence packing: the (lang, shard) re-keying SCALE.md
+    // names as the 100 TB form — parallelism = langs × shards instead
+    // of capping at the language count.
+    timed("pack_by_lang_shard") {
+      graft.operators.PipelineQueries.packBySharded(spark, dst, 32)
+    }
+
+    // AsOfJoinExec skew probe: the custom exec declares a
+    // ClusteredDistribution, so AQE's OptimizeSkewedJoin never splits a
+    // hot key for it (it only rewrites SortMergeJoin/ShuffledHashJoin).
+    // Measure the uniform baseline, the hot-key worst case (90% of the
+    // left on one key → one straggler task), and the salting recovery:
+    // left key spread over S sub-keys, right side replicated once per
+    // salt — identical join results, S-way parallel again.
+    val nLeft = 4000000L
+    val nRight = 100000L
+    val salts = 32
+    def rightQuotes = spark.range(0, nRight).select(
+      (col("id") % 1000).as("k"), (expr("id DIV 1000") * 100).as("t"),
+      col("id").as("quote"))
+    def leftOf(hot: Boolean) = spark.range(0, nLeft).select(
+      (if (hot) when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 1000)
+       else col("id") % 1000).as("k"),
+      (col("id") * 7 % 100000).as("t"))
+    timed("asof_uniform_keys") {
+      val l = leftOf(hot = false); val r = rightQuotes
+      graft.plans.AsOfJoin.joinAsOf(l, r, l("k"), r("k"), l("t"), r("t"))
+    }
+    timed("asof_hot_key") {
+      val l = leftOf(hot = true); val r = rightQuotes
+      graft.plans.AsOfJoin.joinAsOf(l, r, l("k"), r("k"), l("t"), r("t"))
+    }
+    timed("asof_hot_key_salted") {
+      val l = leftOf(hot = true)
+        .withColumn("ks", col("k") * salts + pmod(col("t"), lit(salts)))
+      val r = rightQuotes
+        .select(col("k"), col("t"), col("quote"),
+          explode(array((0 until salts).map(lit(_)): _*)).as("salt"))
+        .withColumn("ks", col("k") * salts + col("salt"))
+      graft.plans.AsOfJoin.joinAsOf(l, r, l("ks"), r("ks"), l("t"), r("t"))
     }
     spark.stop()
   }

@@ -161,6 +161,37 @@ object PipelineQueries {
     })
   )
 
+  /** The 100 TB form of sequence packing: group key re-keyed from
+    * `lang` to `(lang, shard)` — hash-bucketed shards pack
+    * independently (identical quality statistics, pack ids namespaced
+    * by shard), so parallelism scales with the shard count instead of
+    * capping at the number of languages. Same one-shuffle +
+    * sorted-per-partition-scan shape as the registered query;
+    * exercised at amplified scale by [[graft.Stress]].
+    */
+  def packBySharded(s: SparkSession, dir: String, shards: Int): DataFrame = {
+    import s.implicits._
+    val budget = PackBudget
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(crc32(col("doc_id").cast("string")), lit(shards)).cast("int").as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartition(col("lang"), col("shard"))
+      .sortWithinPartitions("lang", "shard", "doc_id")
+      .as[(Long, String, Int, Long)]
+    docs.mapPartitions { it =>
+      var cur: (String, Int) = null
+      var packId = 0L
+      var fill = 0L
+      it.map { case (id, lang, shard, n) =>
+        if ((lang, shard) != cur) { cur = (lang, shard); packId = 1L; fill = n }
+        else if (fill + n > budget) { packId += 1; fill = n }
+        else fill += n
+        (id, lang, shard, n, packId)
+      }
+    }.toDF("doc_id", "lang", "shard", "n_tokens", "pack_id")
+  }
+
   private val toksSql = OracleSql.toks
 
   val oracleSql: Map[String, String] = Map(
