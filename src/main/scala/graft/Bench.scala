@@ -33,6 +33,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
 
     // Warm-up: one small action through parquet scan + shuffle + codegen.
     try SparkEntry.queries("wordcount")(spark, sfDir).count()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{DotProduct, Md5PrefixLong, RollingHash, WordShingles}
+import graft.functions.{DotProduct, Md5PrefixLong, RollingHash, TokenCount, TokenCountRewrite, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so the SQL-string surface can use them:
@@ -17,8 +17,10 @@ import graft.functions.{DotProduct, Md5PrefixLong, RollingHash, WordShingles}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functionDefs.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => TokenCountRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -49,11 +51,17 @@ object GraftExtensions {
         (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
       (FunctionIdentifier("md5_prefix_long"),
         info("md5_prefix_long", "md5_prefix_long(str) - first 8 md5 bytes as big-endian long"),
-        (exprs: Seq[Expression]) => Md5PrefixLong(exprs.head))
+        (exprs: Seq[Expression]) => Md5PrefixLong(exprs.head)),
+      (FunctionIdentifier("token_count"),
+        info("token_count", "token_count(str) - non-empty space-separated token count"),
+        (exprs: Seq[Expression]) => TokenCount(exprs.head))
     )
 
   /** Register on an already-built session (the driver owns session
     * construction, so injection-at-build isn't always available).
+    * Installs the SQL functions AND the [[TokenCountRewrite]] optimizer
+    * rule (via `experimental.extraOptimizations`, the post-build
+    * injection point).
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -61,5 +69,8 @@ object GraftExtensions {
     functionDefs.foreach { case (ident, inf, builder) =>
       registry.registerFunction(ident, inf, builder)
     }
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(TokenCountRewrite))
+      spark.experimental.extraOptimizations = opts :+ TokenCountRewrite
   }
 }

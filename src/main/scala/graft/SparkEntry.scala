@@ -24,7 +24,7 @@ object SparkEntry {
       EventQueries.queries ++ RangeJoin.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ DedupClusters.queries ++
       Similarity.queries ++
-      Multimodal.queries ++ PipelineQueries.queries
+      Multimodal.queries ++ PipelineQueries.queries ++ SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +34,5 @@ object SparkEntry {
       EventQueries.oracleSql ++ RangeJoin.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ DedupClusters.oracleSql ++
       Similarity.oracleSql ++
-      Multimodal.oracleSql ++ PipelineQueries.oracleSql
+      Multimodal.oracleSql ++ PipelineQueries.oracleSql ++ SourceQueries.oracleSql
 }

@@ -141,6 +141,47 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Benchmark decontamination — the training-pipeline gate that
+    // keeps eval data out of the corpus: flag every training doc
+    // sharing a word 3-gram with the benchmark set (here: doc_id < 10
+    // stands in for the benchmark). The benchmark shingle set is tiny
+    // relative to the corpus, so at 100 TB it BROADCASTS and the
+    // corpus never shuffles — the join below keeps that shape.
+    // Contamination rate = overlapping / total distinct shingles,
+    // unrounded (small-denominator rational).
+    "pipe_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") < 10)
+        .select(explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+        .distinct()
+      val corpus = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), array_distinct(shinglesOf(col("text"))).as("shset"))
+        .select(col("doc_id"), size(col("shset")).cast("long").as("n_shingles"),
+          explode(col("shset")).as("shingle"))
+      corpus.join(broadcast(bench), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+          (col("n_hits").cast("double") / col("n_shingles")).as("contamination"))
+        .orderBy("doc_id")
+    }),
+
+    // Taboo-term scrubbing: mask a target vocabulary everywhere and
+    // report per-doc redaction counts plus a fingerprint of the
+    // scrubbed text (the PII-removal shape — swap the term list for
+    // email/phone patterns; ASCII word-boundary regex behaves
+    // identically in Java regex and RE2). Narrow per-row transform, no
+    // shuffle before the final sort.
+    "pipe_redact" -> ((s, dir) => {
+      val pat = "\\b(spark|table)\\b"
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_redacted"),
+          md5(regexp_replace(col("text"), pat, "<MASK>")).as("redacted_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Clean-corpus pipeline: quality gate (enough tokens, some
     // stopwords) → exact-dedup survivors (min doc_id per fingerprint)
     // → surviving doc count + token volume per language.
@@ -273,6 +314,28 @@ object PipelineQueries {
          |  FROM pack p JOIN docs d ON d.lang = p.lang AND d.rn = p.rn + 1)
          |SELECT doc_id, lang, n_tokens, CAST(pack_id AS BIGINT) AS pack_id
          |FROM pack ORDER BY lang, doc_id""".stripMargin,
+    "pipe_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+         |  WHERE len(t) >= 3),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+         |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 10),
+         |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+         |hits AS (SELECT doc_id, count(*) AS n_hits
+         |         FROM corpus JOIN bench USING (shingle) GROUP BY 1)
+         |SELECT doc_id, n_hits, n_shingles,
+         |  CAST(n_hits AS DOUBLE) / n_shingles AS contamination
+         |FROM hits JOIN cnt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "pipe_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(spark|table)\b')) AS BIGINT)
+        |    AS n_redacted,
+        |  md5(regexp_replace(text, '\b(spark|table)\b', '<MASK>', 'g'))
+        |    AS redacted_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "pipe_clean_corpus" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, md5(text) AS fp,

@@ -369,6 +369,45 @@ object StarQueries2 {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // Statistical moments — variance, stddev, correlation — computed
+    // EXACTLY from decimal power sums instead of the built-in
+    // stddev/corr aggregates: the built-ins accumulate doubles, so
+    // their result depends on partial-aggregation order (different
+    // every run, never matching another engine bit-for-bit). Decimal
+    // Σx, Σx², Σxy are order-free and exact; the closed-form moment
+    // arithmetic is then ONE deterministic double expression per
+    // output, identical in both engines. Same one-shuffle plan as any
+    // grouped aggregate.
+    "q_stats_moments" -> ((s, dir) => {
+      val dec = DecimalType(18, 4)
+      val q = col("l_quantity").cast(dec)
+      val p = col("l_extendedprice").cast(dec)
+      val nD = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).as("sx"), sum(q * q).as("sxx"),
+          sum(p).as("sy"), sum(p * p).as("syy"),
+          sum(q * p).as("sxy"))
+        .select(
+          col("l_returnflag"),
+          col("n").as("n_items"),
+          (d("sx") / nD).as("mean_qty"),
+          // var/std/corr are rounded to 6 dp: DuckDB's int128-decimal →
+          // double cast double-rounds once the power sums pass 2^53, so
+          // the raw doubles differ in the last ulps. Quasi-continuous
+          // many-term statistics never sit on a 6-dp midpoint (unlike
+          // the small-denominator rationals kept unrounded elsewhere).
+          round((d("sxx") - d("sx") * d("sx") / nD) / (nD - 1), 6).as("var_qty"),
+          round(sqrt((d("sxx") - d("sx") * d("sx") / nD) / (nD - 1)), 6).as("std_qty"),
+          round((nD * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(nD * d("sxx") - d("sx") * d("sx")) *
+              sqrt(nD * d("syy") - d("sy") * d("sy"))), 6).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Date arithmetic surface.
     "q_date_arith" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -568,6 +607,30 @@ object StarQueries2 {
         |           / count(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    // Product terms use asymmetric decimal widths (22,4)×(16,4): DuckDB
+    // executes an (18,4)×(18,4) multiply in int64 and overflows; a
+    // combined width ≤ 38 with one side widened runs in int128. The
+    // values are identical exact rationals either way.
+    "q_stats_moments" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+        |    sum(CAST(l_quantity AS DECIMAL(22,4)) * CAST(l_quantity AS DECIMAL(16,4))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+        |    sum(CAST(l_extendedprice AS DECIMAL(22,4)) * CAST(l_extendedprice AS DECIMAL(16,4))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(22,4)) * CAST(l_extendedprice AS DECIMAL(16,4))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n AS n_items,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1), 6) AS var_qty,
+        |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1)), 6) AS std_qty,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS corr_qty_price
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
     "q_date_arith" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS d,

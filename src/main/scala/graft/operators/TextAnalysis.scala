@@ -134,6 +134,19 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Positional tokenization: (doc, position, token) rows — the
+    // layout feeding positional indexes and n-gram-with-offset
+    // features. posexplode keeps the array index (0-based) alongside
+    // each element; a narrow per-doc transform, embarrassingly
+    // parallel.
+    "ta_posexplode" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("col").as("word"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Rolling-hash fingerprint via the native codegen Expression
     // (graft.functions.RollingHash). The DuckDB oracle replays the
     // same 64-bit wraparound fold in HUGEINT arithmetic mod 2^64
@@ -212,6 +225,11 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_posexplode" ->
+      s"""SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS word
+         |FROM (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id < 20),
+         |     UNNEST(range(1, len(t) + 1)) AS u(i)
+         |ORDER BY doc_id, pos""".stripMargin,
     // h ← (h·31 + byte) mod 2^64 in HUGEINT, then two's-complement map
     // to signed BIGINT — bit-identical to the JVM's wrapping long fold.
     "ta_rolling_fp" ->

