@@ -42,16 +42,34 @@ object Dedup {
     * 4 md5 evaluations per shingle, not 16. The min is taken over raw
     * (non-distinct) shingle occurrences — min is multiplicity-blind, so
     * the distinct shuffle is skipped entirely.
+    *
+    * Signatures are LONGS — the four 32-bit digest pieces extracted
+    * from the native [[graft.functions.Md5Longs]] `[hi, lo]` halves
+    * with shifts/masks, never a 32-char hex string: `min(string)`
+    * forces SortAggregate (string agg buffers aren't
+    * HashAggregate-mutable), which sorts every shingle row; `min(long)`
+    * stays in hash aggregation. Fixed-width lowercase hex is
+    * order-isomorphic to its numeric value, so the minimum picks the
+    * SAME hash — and no output column surfaces the representation, so
+    * the hex-string oracle is unchanged.
     */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val withDigests = (0 until NumHashes / 4).foldLeft(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(shinglesOf(col("text"))).as("shingle"))) {
+      (df, salt) =>
+        df.withColumn(s"h$salt",
+          graft.functions.Md5Longs.md5_longs(concat(lit(s"${salt}_"), col("shingle"))))
+    }
     val aggs = (0 until NumHashes).map { i =>
       val salt = i / 4
-      val off  = 8 * (i % 4) + 1
-      min(substring(md5(concat(lit(s"${salt}_"), col("shingle"))), off, 8)).as(s"sig$i")
+      val half = if (i % 4 < 2) s"h$salt[0]" else s"h$salt[1]"
+      val piece =
+        if (i % 2 == 0) s"shiftrightunsigned($half, 32)"
+        else s"$half & 4294967295"
+      min(expr(piece)).as(s"sig$i")
     }
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shinglesOf(col("text"))).as("shingle"))
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    withDigests.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** (doc_id, band_idx, band_hash): band key = concatenated signature

@@ -134,6 +134,26 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Repetition detection — the C4-style boilerplate/spam gate: the
+    // most-repeated word 3-gram per document and its multiplicity.
+    // High max-repetition flags templated or looping text. Shingles
+    // explode once, one (doc, shingle) count, one per-doc max; ties
+    // break to the lexicographically smallest shingle via a single
+    // min-by struct aggregation (no window).
+    "ta_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(shinglesOf(col("text"))).as("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(count(lit(1)).as("rep"))
+        .groupBy("doc_id")
+        .agg(
+          max(col("rep")).as("max_rep"),
+          min_by(col("shingle"), struct(negate(col("rep")), col("shingle")))
+            .as("top_shingle"),
+          count(lit(1)).cast("long").as("n_distinct_shingles"))
+        .orderBy("doc_id")
+    }),
+
     // Positional tokenization: (doc, position, token) rows — the
     // layout feeding positional indexes and n-gram-with-offset
     // features. posexplode keeps the array index (0-based) alongside
@@ -225,6 +245,23 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Multiplicity-preserving shingles (no DISTINCT — repetition IS
+    // the signal); top shingle = min shingle among max-count ones.
+    "ta_repetition" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+         |  WHERE len(t) >= 3),
+         |cnt AS (SELECT doc_id, shingle, count(*) AS rep FROM sh GROUP BY 1, 2),
+         |mx AS (SELECT doc_id, max(rep) AS max_rep,
+         |              count(*) AS n_distinct_shingles
+         |       FROM cnt GROUP BY 1)
+         |SELECT doc_id, max_rep, min(shingle) AS top_shingle, n_distinct_shingles
+         |FROM cnt JOIN mx USING (doc_id)
+         |WHERE rep = max_rep
+         |GROUP BY doc_id, max_rep, n_distinct_shingles
+         |ORDER BY doc_id""".stripMargin,
     "ta_posexplode" ->
       s"""SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS word
          |FROM (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id < 20),
