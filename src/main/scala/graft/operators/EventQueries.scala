@@ -67,6 +67,29 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: for every view event, the same user's NEXT
+    // purchase at-or-after it — the attribution/conversion-lag shape.
+    // Same custom operator, forward direction (smallest right time ≥
+    // left time); right (key, time) pairs made unique by the max-id
+    // pre-aggregation, per the operator contract.
+    "ev_asof_next_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.plans.AsOfJoin
+        .joinAsOf(views, purchases,
+          views("user_id"), purchases("p_user"),
+          views("ts"), purchases("p_ts"), forward = true)
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          // integral micros diff + DIV: `/` on longs is double division
+          expr("(unix_micros(p_ts) - unix_micros(ts)) DIV 1000000")
+            .as("secs_to_purchase"))
+        .orderBy("event_id")
+    }),
+
     // Native session windows: Spark's session_window merges events
     // within a 30-minute gap. The oracle derives the same sessions from
     // first principles (lag → new-session flags → cumulative island
@@ -163,6 +186,14 @@ object EventQueries {
         |SELECT event_id, user_id, r.o_orderdate AS ord_date, r.ord_key
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+    "ev_asof_next_purchase" ->
+      """WITH p AS (SELECT user_id AS p_user, ts AS p_ts, max(event_id) AS purchase_id
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, p.purchase_id,
+        |  (epoch_us(p.p_ts) - epoch_us(e.ts)) // 1000000 AS secs_to_purchase
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') e
+        |ASOF LEFT JOIN p ON e.user_id = p.p_user AND e.ts <= p.p_ts
         |ORDER BY event_id""".stripMargin,
     "ev_session_window" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events

@@ -64,6 +64,43 @@ object Similarity {
             col("q.vec_id") =!= col("c.vec_id")))
     }),
 
+    // IVF search — the missing half of ss_ivf_assign: route every
+    // vector (queries included) to its nearest coarse centroid, then
+    // run exact top-k only within the query's cell (nprobe = 1). At
+    // 100 TB the cell id is the table's physical partition key, so a
+    // query reads ONE partition; centroids broadcast. Recall comes
+    // from probing more cells (same plan, more cent_ids per query) —
+    // the standard IVF cost/recall dial.
+    "ss_ivf_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val cents = v.filter(col("vec_id") < PipelineQueries.NumCentroids)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          round(dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6))
+        .withColumn("ark", row_number().over(wAssign))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))
+      val q = assigned.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      q.as("q")
+        .join(assigned.as("c"),
+          col("q.cent_id") === col("c.cent_id") &&
+            col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"),
+          round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 4)
+            .as("score"))
+        .withColumn("rk", row_number().over(wTop).cast("int"))
+        .filter(col("rk") <= 3)
+        .orderBy("query_id", "rk")
+    }),
+
     // Same rows as ss_bruteforce_topk, but via the bounded-heap
     // TopKAggregator UDAF instead of a window sort: each partial
     // aggregate keeps exactly K candidates and heaps merge, so a group
@@ -109,6 +146,27 @@ object Similarity {
     "ss_bruteforce_topk" -> topkSql("q.vec_id <> c.vec_id"),
     "ss_lsh_topk" -> topkSql("q.bucket = c.bucket AND q.vec_id <> c.vec_id"),
     // Aggregated top-k must produce exactly the window form's rows.
-    "ss_topk_agg" -> topkSql("q.vec_id <> c.vec_id")
+    "ss_topk_agg" -> topkSql("q.vec_id <> c.vec_id"),
+    "ss_ivf_search" ->
+      s"""WITH v AS ($vSql),
+         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
+         |          FROM v WHERE vec_id < ${PipelineQueries.NumCentroids}),
+         |assigned AS (
+         |  SELECT vec_id, e, nrm, cent_id FROM (
+         |    SELECT v.vec_id, v.e, v.nrm, cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(list_dot_product(e, ce) / (nrm * cnrm), 6) DESC,
+         |                 cent_id ASC) AS ark
+         |    FROM v CROSS JOIN cents)
+         |  WHERE ark = 1)
+         |SELECT query_id, cand_id, score, CAST(rk AS INT) AS rk FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) DESC,
+         |               c.vec_id ASC) AS rk
+         |  FROM (SELECT * FROM assigned WHERE vec_id >= 100 AND vec_id < 105) q
+         |  JOIN assigned c ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id)
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
   )
 }

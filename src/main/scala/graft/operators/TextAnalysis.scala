@@ -134,6 +134,32 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Bigram language model — corpus-level P(w2 | w1) as exact
+    // rationals (bigram count / w1-start count): the n-gram LM shape
+    // (perplexity-filter precursor) without a logarithm, so no libm
+    // divergence between engines. Top-5 continuations per head word;
+    // one bigram aggregation + two bounded windows over the small
+    // (w1, w2) domain.
+    "ta_bigram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bg = Tables.documents(s, dir)
+        .select(explode(
+          graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bg"))
+        .select(
+          element_at(split(col("bg"), " ", -1), 1).as("w1"),
+          element_at(split(col("bg"), " ", -1), 2).as("w2"))
+      val wSum = Window.partitionBy(col("w1"))
+      val wTop = Window.partitionBy(col("w1"))
+        .orderBy(col("c12").desc, col("w2").asc)
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum(col("c12")).over(wSum))
+        .withColumn("p", col("c12").cast("double") / col("c1"))
+        .withColumn("rk", row_number().over(wTop).cast("int"))
+        .filter(col("rk") <= 5)
+        .select("w1", "w2", "c12", "c1", "p", "rk")
+        .orderBy("w1", "rk")
+    }),
+
     // Repetition detection — the C4-style boilerplate/spam gate: the
     // most-repeated word 3-gram per document and its multiplicity.
     // High max-repetition flags templated or looping text. Shingles
@@ -245,6 +271,21 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB window sum(BIGINT) yields HUGEINT → explicit BIGINT cast.
+    "ta_bigram_lm" ->
+      s"""WITH bg AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT w1, w2, c12,
+         |    CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+         |    row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2 ASC) AS rk
+         |  FROM cnt)
+         |SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS p, CAST(rk AS INT) AS rk
+         |FROM scored WHERE rk <= 5 ORDER BY w1, rk""".stripMargin,
     // Multiplicity-preserving shingles (no DISTINCT — repetition IS
     // the signal); top shingle = min shingle among max-count ones.
     "ta_repetition" ->

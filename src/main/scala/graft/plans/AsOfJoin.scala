@@ -40,7 +40,8 @@ case class AsOfJoinPlan(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -57,7 +58,8 @@ case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean)
   extends SparkPlan with BinaryExecNode {
 
   private def rightOutNullable = right.output.map(_.withNullability(true))
@@ -80,6 +82,7 @@ case class AsOfJoinExec(
     val rOut = right.output
     val rOutN = rightOutNullable
     val lk = leftKey; val lt = leftTime; val rk = rightKey; val rt = rightTime
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKT = UnsafeProjection.create(Seq(lk, lt), lOut)
       val rKT = UnsafeProjection.create(Seq(rk, rt), rOut)
@@ -106,28 +109,53 @@ case class AsOfJoinExec(
           }
           val lKeyV = kt.getLong(0)
           val lTimeV = kt.getLong(1)
-          // advance the right side past every row at-or-before
-          // (lKey, lTime), remembering the last same-key row seen;
-          // null-keyed/timed right rows (sorted first) can never match
-          // and are drained without being remembered
-          var advance = true
-          while (advance && rBuf.hasNext) {
-            val peek = rKT(rBuf.head)
-            if (peek.isNullAt(0) || peek.isNullAt(1)) {
-              rBuf.next()
-            } else {
-              val rKeyV = peek.getLong(0)
-              val rTimeV = peek.getLong(1)
-              if (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV <= lTimeV)) {
-                val row = rBuf.next()
-                if (rKeyV == lKeyV) {
-                  matchedRow = row.copy(); matchedKey = rKeyV; hasMatch = true
-                }
-              } else advance = false
+          if (fwd) {
+            // FORWARD (smallest right time ≥ left time): drain right
+            // rows strictly before (lKey, lTime) — they can never match
+            // this or any later left row — then PEEK (don't consume):
+            // the head may also serve later left rows of the same key.
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val peek = rKT(rBuf.head)
+              if (peek.isNullAt(0) || peek.isNullAt(1)) rBuf.next()
+              else {
+                val rKeyV = peek.getLong(0)
+                val rTimeV = peek.getLong(1)
+                if (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV < lTimeV)) rBuf.next()
+                else advance = false
+              }
             }
+            val rSide =
+              if (rBuf.hasNext) {
+                val peek = rKT(rBuf.head)
+                if (!peek.isNullAt(0) && peek.getLong(0) == lKeyV) rBuf.head
+                else nullRight
+              } else nullRight
+            resultProj(joiner(lRow, rSide))
+          } else {
+            // BACKWARD (greatest right time ≤ left time): advance past
+            // every row at-or-before (lKey, lTime), remembering the
+            // last same-key row seen; null-keyed/timed right rows
+            // (sorted first) are drained without being remembered.
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val peek = rKT(rBuf.head)
+              if (peek.isNullAt(0) || peek.isNullAt(1)) {
+                rBuf.next()
+              } else {
+                val rKeyV = peek.getLong(0)
+                val rTimeV = peek.getLong(1)
+                if (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV <= lTimeV)) {
+                  val row = rBuf.next()
+                  if (rKeyV == lKeyV) {
+                    matchedRow = row.copy(); matchedKey = rKeyV; hasMatch = true
+                  }
+                } else advance = false
+              }
+            }
+            val rSide = if (hasMatch && matchedKey == lKeyV) matchedRow else nullRight
+            resultProj(joiner(lRow, rSide))
           }
-          val rSide = if (hasMatch && matchedKey == lKeyV) matchedRow else nullRight
-          resultProj(joiner(lRow, rSide))
         }
       }
     }
@@ -140,8 +168,8 @@ case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -175,7 +203,10 @@ object AsOfJoin {
     case _ => false
   }
 
-  /** `left ASOF LEFT JOIN right ON leftKey = rightKey AND leftTime >= rightTime`.
+  /** `left ASOF LEFT JOIN right ON leftKey = rightKey AND leftTime >= rightTime`
+    * (backward, the default) or `... leftTime <= rightTime` (forward:
+    * the SMALLEST right time at-or-after the left time — the
+    * "next event" lookup, e.g. time-to-next-purchase).
     * Pass resolved columns (`df("col")` style). Key/time columns must be
     * long/int/timestamp/date-typed (ints and dates are widened); left
     * and right must agree on the widened family, so a date column never
@@ -187,7 +218,8 @@ object AsOfJoin {
     */
   def joinAsOf(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
-      leftTime: Column, rightTime: Column): DataFrame = {
+      leftTime: Column, rightTime: Column,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -213,7 +245,7 @@ object AsOfJoin {
         rk = rewrite(rk); rt = rewrite(rt)
         Project(aliases, rPlan0)
       } else rPlan0
-    val plan = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt)
+    val plan = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, forward)
     Bridge.ofRows(spark, plan)
   }
 }

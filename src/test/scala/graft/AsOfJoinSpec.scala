@@ -83,6 +83,52 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("forward as-of: earliest right row at-or-after each left time") {
+    val l = leftDF; val r = rightDF
+    val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"),
+        forward = true)
+      .orderBy("k", "t")
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(4)) null else row.getLong(4),
+        if (row.isNullAt(5)) null else row.getString(5)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 7L, "r-y"),   // earliest >= 5 (tie-free)
+      (1L, 9L, null, null),  // nothing at-or-after 9
+      (2L, 3L, 9L, "r-z"),   // earliest >= 3
+      (3L, 7L, null, null))) // no right rows for key 3
+  }
+
+  test("property: forward as-of equals brute-force reference (incl. shared matches)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pairGen = for {
+      k <- Gen.choose(0L, 6L)
+      t <- Gen.choose(0L, 50L)
+    } yield (k, t)
+    val prop = Prop.forAll(
+      Gen.listOfN(40, pairGen), Gen.listOfN(25, pairGen)) { (ls, rsRaw) =>
+      val rs = rsRaw.distinct
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val r = rs.map { case (k, t) => (k, t, k * 1000 + t) }
+        .toDF("rk", "rt", "rv")
+      val got = graft.plans.AsOfJoin
+        .joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"), forward = true)
+        .collect()
+        .map(row => (row.getLong(0),
+          if (row.isNullAt(5)) None else Some(row.getLong(5))))
+        .toMap
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val m = rs.filter { case (rk, rt) => rk == k && rt >= t }
+        i.toLong -> (if (m.isEmpty) None
+                     else { val (mk, mt) = m.minBy(_._2); Some(mk * 1000 + mt) })
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("null keys/times never match: left keeps nulls, right rows skipped") {
     val l = Seq(
       (Option(1L), Option(5L), "ok"),
