@@ -28,11 +28,15 @@ object Graft {
 
   // ---- operator API (the pieces Spark has no built-in form of) ----
 
-  /** Backward as-of join (see [[graft.plans.AsOfJoin.joinAsOf]]). */
+  /** As-of join, backward by default; `forward = true` picks the
+    * earliest right row at-or-after the left time instead
+    * (see [[graft.plans.AsOfJoin.joinAsOf]]).
+    */
   def joinAsOf(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
-      leftTime: Column, rightTime: Column): DataFrame =
-    plans.AsOfJoin.joinAsOf(left, right, leftKey, rightKey, leftTime, rightTime)
+      leftTime: Column, rightTime: Column,
+      forward: Boolean = false): DataFrame =
+    plans.AsOfJoin.joinAsOf(left, right, leftKey, rightKey, leftTime, rightTime, forward)
 
   /** Large×large interval-containment join via time binning
     * (see [[graft.operators.RangeJoin.binnedIntervalJoin]]).
@@ -48,4 +52,11 @@ object Graft {
     */
   def connectedComponents(pairs: DataFrame): DataFrame =
     operators.DedupClusters.connectedComponents(pairs)
+
+  /** Token-budget sequence packing keyed by (lang, shard) — the
+    * horizontally-scalable form (see
+    * [[graft.operators.PipelineQueries.packBySharded]]).
+    */
+  def packSequences(spark: SparkSession, dir: String, shards: Int): DataFrame =
+    operators.PipelineQueries.packBySharded(spark, dir, shards)
 }
