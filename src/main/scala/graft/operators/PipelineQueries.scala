@@ -182,6 +182,51 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The WHOLE cleaning pipeline composed end-to-end — the query a
+    // training-data team actually ships: quality gate → exact-dedup
+    // keep-first → near-dup victim removal (LSH→verify→connected
+    // components, full-corpus victims) → benchmark decontamination
+    // (drop docs sharing ANY 3-gram with the doc_id<10 benchmark) →
+    // per-language survivor counts and token volume. Each stage is the
+    // operator already oracle-pinned on its own; this row pins their
+    // composition. Shapes at 100 TB: two narrow filters, one md5
+    // shuffle, one anti-join vs the (small) victim set, one semi-join
+    // vs the broadcast benchmark shingles.
+    "pipe_full_clean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val gated = docs
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .filter(col("n_tokens") >= 12)
+        .withColumn("fp", md5(col("text")))
+      val exactKept = gated
+        .withColumn("keep",
+          row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)) === 1)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("text"))
+      val ndVictims = DedupClusters
+        .connectedComponents(
+          Dedup.verifiedPairs(s, dir, dedup = false).select("doc_a", "doc_b"))
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("nd_victim"))
+      val benchShingles = docs.filter(col("doc_id") < 10)
+        .select(explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+        .distinct()
+      val contaminated = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("ct_victim"),
+          explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+        .join(broadcast(benchShingles), "shingle")
+        .select(col("ct_victim")).distinct()
+      exactKept
+        .join(ndVictims, exactKept("doc_id") === ndVictims("nd_victim"), "left_anti")
+        .join(contaminated, exactKept("doc_id") === contaminated("ct_victim"),
+          "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_total"))
+        .orderBy("lang")
+    }),
+
     // Clean-corpus pipeline: quality gate (enough tokens, some
     // stopwords) → exact-dedup survivors (min doc_id per fingerprint)
     // → surviving doc count + token volume per language.
@@ -314,6 +359,41 @@ object PipelineQueries {
          |  FROM pack p JOIN docs d ON d.lang = p.lang AND d.rn = p.rn + 1)
          |SELECT doc_id, lang, n_tokens, CAST(pack_id AS BIGINT) AS pack_id
          |FROM pack ORDER BY lang, doc_id""".stripMargin,
+    "pipe_full_clean" ->
+      s"""WITH RECURSIVE pairs AS (${Dedup.ngramJaccardPairsSql}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+         |scored AS (
+         |  SELECT doc_id, lang, md5(text) AS fp,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE len($toksSql) >= 12),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+         |    FROM scored)
+         |  WHERE rn = 1),
+         |sh2 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+         |  WHERE len(t) >= 3),
+         |bench AS (SELECT DISTINCT shingle FROM sh2 WHERE doc_id < 10),
+         |contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM sh2 s JOIN bench USING (shingle)
+         |  WHERE s.doc_id >= 10)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+         |FROM kept
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "pipe_decontaminate" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
