@@ -43,6 +43,18 @@ object SourceQueries {
       base.write.mode(SaveMode.Overwrite).json(path)
       s.read.schema(base.schema).json(path)
         .orderBy("r_regionkey")
+    }),
+
+    // The "switch your engine, keep your SQL" surface, through the
+    // driver gate: Graft.sql registers every table as a view plus the
+    // graft-native SQL functions, and runs the query string — here
+    // using two of those functions (token_count, rolling_hash), so the
+    // whole registration path is oracle-pinned, not just ScalaTested.
+    "src_sql_entry" -> ((s, dir) => {
+      graft.Graft.sql(s, dir,
+        """SELECT doc_id, lang, token_count(text) AS n_tokens,
+          |       rolling_hash(text) AS rfp
+          |FROM documents ORDER BY doc_id""".stripMargin)
     })
   )
 
@@ -50,6 +62,21 @@ object SourceQueries {
     "src_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "src_json_roundtrip" ->
-      "SELECT * FROM region ORDER BY r_regionkey"
+      "SELECT * FROM region ORDER BY r_regionkey",
+    // token count + the HUGEINT mod-2^64 rolling-hash fold (see
+    // ta_rolling_fp for the fold's derivation).
+    "src_sql_entry" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(${OracleSql.toks}) AS INT) AS n_tokens,
+         |  CAST(CASE WHEN h >= 9223372036854775808
+         |            THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS rfp
+         |FROM (
+         |  SELECT doc_id, lang, text,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS HUGEINT),
+         |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+         |      (a, c) -> (a * 31 + c) % 18446744073709551616) AS h
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -159,6 +159,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(scan.toString.contains("PartitionFilters"), scan.toString)
   }
 
+  test("parquet schema evolution: mergeSchema unions batches with added columns") {
+    // the ingestion reality at 100 TB: later batches carry new columns;
+    // a mergeSchema read must union the schemas and null-fill old rows
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    val v1 = Tables.region(spark, sf).select(col("r_regionkey"), col("r_name"))
+    val v2 = Tables.region(spark, sf)
+      .select(col("r_regionkey"), col("r_name"),
+        length(col("r_name")).cast("long").as("comment_len"))
+    v1.write.parquet(s"$dir/batch=1")
+    v2.write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("r_regionkey", "r_name", "comment_len", "batch"))
+    assert(merged.count() == v1.count() * 2)
+    // old-batch rows are null-filled in the new column; new-batch rows aren't
+    assert(merged.filter(col("batch") === 1 && col("comment_len").isNotNull).count() == 0)
+    assert(merged.filter(col("batch") === 2 && col("comment_len").isNull).count() == 0)
+  }
+
   test("ORC round-trip preserves rows and schema") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val src = Tables.orders(spark, sf)
