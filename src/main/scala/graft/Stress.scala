@@ -16,9 +16,9 @@ object Stress {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("wordcount", "q1_agg", "q_join_large", "ta_tfidf",
         "dd_exact", "dd_minhash", "dd_ngram_jaccard", "dd_simhash64_pairs",
-        "dd_embed_multiprobe", "dd_clusters", "ev_range_join",
-        "pipe_pack_sequences", "q_ntile",
-        "ss_bruteforce_topk", "pipe_clean_corpus")
+        "dd_embed_multiprobe", "dd_clusters", "dd_survivors", "ev_range_join",
+        "pipe_pack_sequences", "q_ntile", "ta_repetition",
+        "ss_bruteforce_topk", "pipe_clean_corpus", "pipe_full_clean")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")

@@ -74,11 +74,14 @@ object TokenCountRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // legacySizeOfNull must be false: under
+      // spark.sql.legacy.sizeOfNull=true, size(NULL) is -1 while
+      // TokenCount(NULL) is NULL — rewriting would change results.
       case Size(
             ArrayFilter(
               StringSplit(str, Literal(delim, StringType), Literal(-1, _)),
               LambdaFunction(cond, Seq(v: NamedLambdaVariable), _)),
-            _)
+            false)
           if delim == UTF8String.fromString(" ") && isNonEmptyCheck(cond, v) =>
         TokenCount(str)
     }

@@ -279,6 +279,14 @@ object Dedup {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
       val cand = if (dedup) candRaw.distinct() else candRaw
+      // Bucket-size caveat (applies to every collect_list pair-gen in
+      // this file): one bucket's members materialize in a group buffer,
+      // so the LARGEST bucket must fit executor memory. True LSH
+      // buckets are similarity-bounded, but an exact-duplicate class
+      // lands whole in one bucket — which is why the documented
+      // pipeline order runs exact dedup FIRST (pipe_clean_corpus /
+      // pipe_full_clean); see SCALE.md for the measured dup-heavy
+      // worst case and the oversized-bucket handling options.
       // Verify with per-doc shingle SETS carried as array columns:
       // n_inter = |array_intersect| — the same distinct-shingle
       // intersection the row-explosion form computes, without the

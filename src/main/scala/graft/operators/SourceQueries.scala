@@ -21,8 +21,12 @@ import graft.Tables
   */
 object SourceQueries {
 
+  // Per-process path segment: two concurrent JVMs (e.g. parallel CI
+  // jobs) must not race each other's Overwrite-then-read on a shared
+  // fixed directory; within one process reps reuse the same path.
+  private val runId = java.util.UUID.randomUUID().toString.take(8)
   private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_src/$name"
+    s"${System.getProperty("java.io.tmpdir")}/graft_src_$runId/$name"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

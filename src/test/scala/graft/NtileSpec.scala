@@ -27,7 +27,7 @@ class NtileSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_orders")).sum == total)
     assert(rows.map(_.getAs[Int]("quartile")).toSeq == (1 to rows.length))
     // ties at a cutoff go to the lower bucket → ranges never overlap
-    rows.sliding(2).foreach { case Array(lo, hi) =>
+    rows.zip(rows.drop(1)).foreach { case (lo, hi) =>
       assert(lo.getAs[Double]("max_price") <= hi.getAs[Double]("min_price"),
         s"overlapping buckets: $lo vs $hi")
     }

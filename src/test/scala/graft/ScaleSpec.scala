@@ -159,6 +159,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(scan.toString.contains("PartitionFilters"), scan.toString)
   }
 
+  test("Dataset.intersectAll/exceptAll agree with q_setops_all's single-pass form") {
+    // the registered query computes the multiset ops from one
+    // multiplicity aggregation; this pins Spark's native ALL-operators
+    // against it, so the operator surface itself stays exercised
+    val o = Tables.orders(spark, sf)
+    val a = o.filter(col("o_totalprice") > 150000).select(col("o_orderstatus"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderstatus"))
+    val native =
+      a.intersectAll(b).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        .union(a.exceptAll(b).groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+        .select(col("op"), col("o_orderstatus"), col("n"))
+        .orderBy("op", "o_orderstatus")
+        .collect().map(_.toSeq).toSeq
+    val emulated = SparkEntry.queries("q_setops_all")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(native == emulated)
+  }
+
   test("parquet schema evolution: mergeSchema unions batches with added columns") {
     // the ingestion reality at 100 TB: later batches carry new columns;
     // a mergeSchema read must union the schemas and null-fill old rows
