@@ -74,10 +74,25 @@ object DedupClusters {
             .groupBy("id")
             .agg(min(col("cand")).as("label"),
               max(when(col("own"), col("cand"))).as("old"))
+      // Adaptive pointer jumping: still unconverged at round 3 means
+      // the graph has real chains (a clique family finishes in 2
+      // rounds), so from here each round also applies
+      // label(v) ← label(label(v)) — a self-join on the node-sized
+      // label table. Labels are node ids of the same component, so the
+      // lookup stays in-component; gather+jump doubles effective reach
+      // per round → O(log diameter) rounds, and maxIters = 25 covers
+      // diameters past 2^20 instead of 25.
+      val jumped =
+        if (iter < 2) gathered
+        else gathered.as("x")
+          .join(gathered.as("y"), col("x.label") === col("y.id"), "left")
+          .select(col("x.id").as("id"),
+            coalesce(col("y.label"), col("x.label")).as("label"),
+            col("x.old").as("old"))
       // the lazy localCheckpoint caches `next` as a side effect of
       // count() (count computes every partition, unlike isEmpty), so
       // each round costs exactly one job
-      val next = gathered.localCheckpoint(false)
+      val next = jumped.localCheckpoint(false)
       // Round 1 of a nonempty edge set ALWAYS changes labels (each
       // pair's larger endpoint drops to the smaller), so its
       // convergence job is skipped — round 2's action materializes the
@@ -91,6 +106,12 @@ object DedupClusters {
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged after $iter rounds")
     edges.unpersist()
+    // An unconverged result is silently WRONG (labels are not yet
+    // component minima) — fail loudly instead. With pointer jumping,
+    // maxIters = 25 covers any realistic diameter, so hitting this
+    // means something is genuinely broken.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters rounds")
     labels
   }
 

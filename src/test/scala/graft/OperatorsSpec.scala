@@ -76,6 +76,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: 200-node path converges via pointer jumping") {
+    // plain min-propagation moves the minimum one hop per round, so a
+    // 200-node chain would blow past maxIters = 25 and (before the
+    // loud-failure guard) silently return non-minimum labels; the
+    // adaptive jump from round 3 doubles reach per round instead
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = DedupClusters.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 0L), s"non-minimum labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("dd_clusters: pair endpoints co-clustered, id is the member minimum") {
     val dir = "/root/testdata/sf0.01" // planted near-dup pairs exist here
     val out = SparkEntry.queries("dd_clusters")(spark, dir).collect()
