@@ -140,6 +140,19 @@ object DedupClusters {
     // cluster (representative = component minimum). One anti-join
     // against the (tiny relative) victim set — the corpus never
     // shuffles by anything but its own partitioning.
+    // Degree histogram of the verified near-dup graph — the health
+    // check run before clustering: a fat tail (hub documents paired
+    // with everything) flags boilerplate that should have died in
+    // exact dedup, and predicts CC round counts. Two small
+    // aggregations over the pair list.
+    "dd_degree_hist" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(s, dir)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    }),
+
     "dd_survivors" -> ((s, dir) => {
       val pairs = Dedup.verifiedPairs(s, dir, dedup = false)
         .select("doc_a", "doc_b")
@@ -175,6 +188,16 @@ object DedupClusters {
          |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) b
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    "dd_degree_hist" ->
+      s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql}),
+         |deg AS (
+         |  SELECT id, count(*) AS degree FROM (
+         |    SELECT doc_a AS id FROM pairs
+         |    UNION ALL
+         |    SELECT doc_b AS id FROM pairs)
+         |  GROUP BY id)
+         |SELECT degree, count(*) AS n_docs FROM deg
+         |GROUP BY degree ORDER BY degree""".stripMargin,
     // Survivors = all docs minus non-representative cluster members.
     "dd_survivors" ->
       s"""WITH RECURSIVE pairs AS (${Dedup.ngramJaccardPairsSql}),

@@ -141,6 +141,33 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Snapshot diff — the CDC shape for corpus versioning: FULL OUTER
+    // join two corpus versions on the stable key, classify every doc
+    // as added / removed / changed / unchanged by fingerprint compare,
+    // report counts. Versions are derived deterministically from the
+    // one table (hash ranges membership + a simulated edit range), so
+    // both engines see identical snapshots. One co-partitioned
+    // full-outer join on the key — the natural 100 TB shape when both
+    // snapshots are bucketed by doc_id at write time.
+    "pipe_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+      val old = docs.filter(h < "f000")
+        .select(col("doc_id").as("old_id"), md5(col("text")).as("old_fp"))
+      val nw = docs.filter(h >= "1000")
+        .select(col("doc_id").as("new_id"),
+          md5(when(h < "3000", concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))).as("new_fp"))
+      old.join(nw, old("old_id") === nw("new_id"), "full_outer")
+        .select(
+          when(col("old_id").isNull, "added")
+            .when(col("new_id").isNull, "removed")
+            .when(col("old_fp") =!= col("new_fp"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("status")
+    }),
+
     // Benchmark decontamination — the training-pipeline gate that
     // keeps eval data out of the corpus: flag every training doc
     // sharing a word 3-gram with the benchmark set (here: doc_id < 10
@@ -394,6 +421,23 @@ object PipelineQueries {
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipe_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id AS old_id, md5(text) AS old_fp FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f000'),
+        |nw AS (
+        |  SELECT doc_id AS new_id,
+        |    md5(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3000'
+        |             THEN text || ' edited' ELSE text END) AS new_fp
+        |  FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '1000')
+        |SELECT status, count(*) AS n_docs FROM (
+        |  SELECT CASE WHEN old_id IS NULL THEN 'added'
+        |              WHEN new_id IS NULL THEN 'removed'
+        |              WHEN old_fp <> new_fp THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM old FULL OUTER JOIN nw ON old_id = new_id)
+        |GROUP BY status ORDER BY status""".stripMargin,
     "pipe_decontaminate" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle

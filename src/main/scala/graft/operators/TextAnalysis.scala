@@ -134,6 +134,26 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Inverted index construction — the IR/search staple: per token,
+    // its document frequency and the sorted posting list. Postings
+    // sort NUMERICALLY before serialization (string sort would put
+    // doc 10 before doc 2). One distinct + one shuffle keyed by word;
+    // at 100 TB the word key shards naturally and a posting list is
+    // bounded by df (cap or chunk ultra-common terms — they're
+    // stopwords to the retrieval layer anyway).
+    "ta_inverted_index" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .distinct()
+        .groupBy("word")
+        .agg(
+          count(lit(1)).as("df"),
+          concat_ws(",",
+            transform(array_sort(collect_set(col("doc_id"))), _.cast("string")))
+            .as("postings"))
+        .orderBy("word")
+    }),
+
     // Bigram language model — corpus-level P(w2 | w1) as exact
     // rationals (bigram count / w1-start count): the n-gram LM shape
     // (perplexity-filter precursor) without a logarithm, so no libm
@@ -271,6 +291,11 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_inverted_index" ->
+      s"""SELECT w AS word, count(*) AS df,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+         |FROM (SELECT DISTINCT doc_id, unnest($toksSql) AS w FROM documents)
+         |GROUP BY w ORDER BY word""".stripMargin,
     // DuckDB window sum(BIGINT) yields HUGEINT → explicit BIGINT cast.
     "ta_bigram_lm" ->
       s"""WITH bg AS (
