@@ -110,4 +110,19 @@ object StreamingWordCount {
     q.processAllAvailable()
     q
   }
+
+  /** Same, with a durable checkpoint: source progress (processed files)
+    * and aggregation state live under `checkpointDir`, so stopping and
+    * re-starting with the SAME checkpoint resumes instead of
+    * reprocessing — the exactly-once recovery contract.
+    */
+  def runToMemoryCheckpointed(
+      df: DataFrame, name: String, checkpointDir: String,
+      mode: String = "complete"): StreamingQuery = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q
+  }
 }

@@ -105,6 +105,29 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming restart from checkpoint resumes state without reprocessing") {
+    // run 1 processes file a; after stop, file b arrives; run 2 shares
+    // the checkpoint, so its complete-mode output must be counts(a+b)
+    // from RECOVERED state + the new file — if state were lost, the
+    // counts would cover b only; if files were reprocessed, a's words
+    // would double
+    val in = Files.createTempDirectory("stream_ckpt_in")
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    Files.writeString(in.resolve("a.txt"), "the cat sat\n")
+    val q1 = StreamingWordCount.runToMemoryCheckpointed(
+      StreamingWordCount.wordCountStream(spark, in.toString), "wc_ckpt1", ckpt)
+    q1.stop()
+    Files.writeString(in.resolve("b.txt"), "the dog\n")
+    val q2 = StreamingWordCount.runToMemoryCheckpointed(
+      StreamingWordCount.wordCountStream(spark, in.toString), "wc_ckpt2", ckpt)
+    try {
+      val got = spark.sql("SELECT word, count FROM wc_ckpt2 ORDER BY word")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.toSeq ==
+        Seq(("cat", 1L), ("dog", 1L), ("sat", 1L), ("the", 2L)))
+    } finally q2.stop()
+  }
+
   test("streaming windowed event counts run against parquet input") {
     val dir = Files.createTempDirectory("stream_ev")
     Tables.events(spark, sf).select("ts", "event_type", "value")
