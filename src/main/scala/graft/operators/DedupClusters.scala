@@ -146,7 +146,9 @@ object DedupClusters {
     // exact dedup, and predicts CC round counts. Two small
     // aggregations over the pair list.
     "dd_degree_hist" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(s, dir)
+      // distinct pairs (degree must not double-count a pair seen in
+      // two bands) but no presentation sort — the histogram re-sorts
+      Dedup.verifiedPairs(s, dir, dedup = true)
         .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_docs"))

@@ -226,6 +226,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSeq == naive.collect().map(_.toSeq).toSeq)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // the partition-elimination story for star joins at 100 TB: the
+    // fact side is partitioned by the join key's column, the dim side
+    // is filtered, and the fact scan must carry a dynamicpruning
+    // subquery instead of reading every partition
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    Tables.documents(spark, sf).write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10")
+    try {
+      val fact = spark.read.parquet(dir)
+      // DPP fires only when the build side carries a selective filter —
+      // and the filter must survive optimization, so the dim is a file
+      // source (a local relation would constant-fold the predicate away)
+      val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+      Seq(("en", 1), ("de", 2), ("es", 3)).toDF("d_lang", "flag")
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir).filter(col("flag") === 1)
+      val j = fact.join(dim, fact("lang") === dim("d_lang"))
+        .groupBy("lang").count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), s"no DPP subquery in plan:\n${plan.take(2000)}")
+      assert(j.collect().length == 1)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("runtime bloom filter injected from a selective dim filter (100 TB semi-join pruning)") {
     // InjectRuntimeFilter: when one shuffle-join side carries a
     // selective filter, Spark builds a bloom filter over its join keys
