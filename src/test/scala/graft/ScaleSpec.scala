@@ -197,6 +197,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(merged.filter(col("batch") === 2 && col("comment_len").isNull).count() == 0)
   }
 
+  test("nested schema pruning: struct field selection reaches the parquet scan") {
+    // multimodal/metadata structs at 100 TB: selecting one field of a
+    // struct must prune the scan to that subfield, not read the struct
+    val dir = Files.createTempDirectory("graft_nested").toString
+    Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        struct(col("lang").as("l"), col("text").as("t"),
+          length(col("text")).as("len")).as("meta"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).select(col("doc_id"), col("meta.len"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val readSchema = scan.requiredSchema.catalogString
+    assert(readSchema.contains("len") && !readSchema.contains("t:string"),
+      s"struct not pruned: $readSchema")
+    assert(df.count() == Tables.documents(spark, sf).count())
+  }
+
   test("ORC round-trip preserves rows and schema") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val src = Tables.orders(spark, sf)
