@@ -266,6 +266,26 @@ object StarQueries2 {
         .orderBy("quartile")
     }),
 
+    // Distribution window functions over a PARTITIONED window — the
+    // scale-safe home for NTILE (each priority's rows stay on their
+    // partition, unlike the global form q_ntile replaced): quartile,
+    // percent_rank and cume_dist per order priority, over the unique
+    // (totalprice, orderkey) order. percent_rank/cume_dist are exact
+    // integer-derived rationals — identical doubles in both engines.
+    "q_window_dist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 4000)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"))
+        .orderBy("o_orderkey")
+    }),
+
     // Window navigation functions: lag/lead and the two frame-extreme
     // value pickers over a unique per-partition order — pure value
     // movement, no arithmetic, so cross-engine equality is exact.
@@ -439,6 +459,15 @@ object StarQueries2 {
         |  '{status:' || o_orderstatus || ',n:' || CAST(count(*) AS VARCHAR) || '}'
         |    AS summary
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist
+        |FROM orders WHERE o_orderkey < 4000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_window_nav" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  lag(o_totalprice, 1) OVER w AS prev_price,
