@@ -6,7 +6,8 @@ object Explain {
     val dir = if (args.nonEmpty) args.last else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.dropRight(1).toSeq
       else Seq("q_filter_project", "q_join_broadcast", "wordcount", "q1_agg",
-        "ev_asof_order", "ev_range_join", "dd_minhash", "ss_topk_agg")
+        "ev_asof_order", "ev_range_join", "dd_minhash", "dd_simhash64_pairs",
+        "q_ntile", "ss_topk_agg")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -129,6 +129,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("bucketed tables satisfy the exec's distribution — no exchange") {
+    // the 100 TB claim in SCALE.md: AsOfJoinExec declares
+    // ClusteredDistribution(key), so tables bucketed by the key at
+    // write time feed it without any shuffle exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      leftDF.write.mode("overwrite")
+        .bucketBy(4, "k").sortBy("k", "t").saveAsTable("asof_l")
+      rightDF.write.mode("overwrite")
+        .bucketBy(4, "rk").sortBy("rk", "rt").saveAsTable("asof_r")
+      val l = spark.table("asof_l")
+      val r = spark.table("asof_r")
+      val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed as-of join still shuffles:\n$plan")
+      assert(out.count() == leftDF.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_l")
+      spark.sql("DROP TABLE IF EXISTS asof_r")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("null keys/times never match: left keeps nulls, right rows skipped") {
     val l = Seq(
       (Option(1L), Option(5L), "ok"),
