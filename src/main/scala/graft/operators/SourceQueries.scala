@@ -49,6 +49,21 @@ object SourceQueries {
         .orderBy("r_regionkey")
     }),
 
+    // The reference's ACTUAL input modality through the driver gate:
+    // corpus text lands as a plain text file, the `graftlines`
+    // DataSource V2 connector (reference-exact chunked line scan, O1)
+    // reads it back, and the reference pipeline counts words — same
+    // oracle as `wordcount`, different scan leg.
+    "src_graftlines_wordcount" -> ((s, dir) => {
+      val out = tmp("docs_txt")
+      Tables.documents(s, dir).orderBy("doc_id").select("text")
+        .coalesce(1).write.mode(SaveMode.Overwrite).text(out)
+      val part = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).head.getPath
+      val lines = s.read.format("graftlines").option("chunkSize", "64").load(part)
+      MapReducePipeline.run(lines, MapReduceJob())
+    }),
+
     // The "switch your engine, keep your SQL" surface, through the
     // driver gate: Graft.sql registers every table as a view plus the
     // graft-native SQL functions, and runs the query string — here
@@ -67,6 +82,11 @@ object SourceQueries {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "src_json_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    // Lines are exactly documents.text, so the counts equal wordcount's.
+    "src_graftlines_wordcount" ->
+      """SELECT w AS word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY w ORDER BY word""".stripMargin,
     // token count + the HUGEINT mod-2^64 rolling-hash fold (see
     // ta_rolling_fp for the fold's derivation).
     "src_sql_entry" ->
