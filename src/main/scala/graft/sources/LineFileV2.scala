@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -125,15 +125,48 @@ object LineFileV2 {
     override def capabilities(): util.Set[TableCapability] =
       Set(TableCapability.BATCH_READ).asJava
     override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-      () => new LineScan(opts)
+      new LineScanBuilder(opts)
   }
 
-  class LineScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
+  /** Filter pushdown: an upper bound on `line_no` prunes chunk PLANNING
+    * — `line_no <= N` needs only the first ⌈N / chunkSize⌉ chunks, so
+    * the W3 bound falls out of the query's own predicate. Chunk
+    * granularity over-reads up to one chunk, so every filter is also
+    * kept as a residual for Spark to re-apply — pushdown here is pure
+    * partition pruning, never a correctness dependency.
+    */
+  class LineScanBuilder(opts: CaseInsensitiveStringMap)
+      extends ScanBuilder with SupportsPushDownFilters {
+    private var bound: Option[Long] = None
+    private var pushed: Array[Filter] = Array.empty
+
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      val usable = filters.collect {
+        case f @ LessThanOrEqual("line_no", v: Number) => (f, v.longValue())
+        case f @ LessThan("line_no", v: Number) => (f, v.longValue() - 1)
+      }
+      if (usable.nonEmpty) {
+        val n = usable.map(_._2).min
+        bound = Some(bound.fold(n)(math.min(_, n)))
+        pushed = usable.map(_._1)
+      }
+      filters // all residual: chunk granularity over-reads
+    }
+    override def pushedFilters(): Array[Filter] = pushed
+    override def build(): Scan = new LineScan(opts, bound)
+  }
+
+  class LineScan(options: CaseInsensitiveStringMap, lineBound: Option[Long] = None)
+      extends Scan with Batch {
     private val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graftlines: 'path' is required"))
     private val chunkSize = options.getInt("chunkSize", 64)
-    private val maxChunks =
-      Option(options.get("maxChunks")).map(_.toInt)
+    private val maxChunks = {
+      val explicit = Option(options.get("maxChunks")).map(_.toInt)
+      val fromBound = lineBound.map(n =>
+        math.max(0L, (n + chunkSize - 1) / chunkSize).toInt)
+      (explicit ++ fromBound).reduceOption(math.min)
+    }
     private val hosts =
       Option(options.get("localityFile"))
         .map(f => hostsFromConfig(f, options.getInt("numWorkers", 4)))
@@ -141,7 +174,7 @@ object LineFileV2 {
 
     override def readSchema(): StructType = LineFileV2.schema
     override def description(): String =
-      s"graftlines $path chunkSize=$chunkSize maxChunks=$maxChunks"
+      s"graftlines $path chunkSize=$chunkSize maxChunks=$maxChunks lineBound=$lineBound"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       planChunks(path, chunkSize, maxChunks, hosts).toArray

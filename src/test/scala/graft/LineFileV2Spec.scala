@@ -71,6 +71,20 @@ class LineFileV2Spec extends AnyFunSuite {
     assert(rows.length == 4)
   }
 
+  test("line_no upper-bound filter prunes chunk planning (pushdown)") {
+    val path = writeFile((1 to 10).map(i => s"line$i").mkString("", "\n", "\n"))
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graftlines").option("chunkSize", "2").load(path)
+    val bounded = df.filter(col("line_no") <= 3)
+    // ceil(3/2) = 2 of 5 chunks planned; residual filter trims the rest
+    assert(bounded.rdd.getNumPartitions == 2)
+    assert(bounded.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // strict bound: line_no < 5 → ceil(4/2) = 2 chunks
+    assert(df.filter(col("line_no") < 5).rdd.getNumPartitions == 2)
+    // unbounded read still plans every chunk
+    assert(df.rdd.getNumPartitions == 5)
+  }
+
   test("wordcount over graftlines equals wordcount over LineFile") {
     val path = writeFile("the cat sat\nthe dog sat\ncat and dog\n")
     import org.apache.spark.sql.functions._
