@@ -180,6 +180,37 @@ object TextAnalysis {
         .orderBy("w1", "rk")
     }),
 
+    // Per-document LM scoring — the perplexity-filter shape riding on
+    // the corpus bigram model: each doc's bigrams look up their
+    // conditional probability and the doc scores by the MEAN. The
+    // probability is carried as an exact INTEGER micro-prob
+    // (c12·10⁶ div c1), so the per-doc sum is order-free and
+    // bit-identical across engines — the trick that makes an
+    // aggregate of per-row ratios oracle-matchable without a libm log.
+    // Plan: one bigram explode, one broadcast-joinable model (vocab²
+    // bounded), one doc-keyed aggregation.
+    "ta_doc_lm_score" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(
+          graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bgr"))
+        .select(col("doc_id"),
+          element_at(split(col("bgr"), " ", -1), 1).as("w1"),
+          element_at(split(col("bgr"), " ", -1), 2).as("w2"))
+      val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .withColumn("c1",
+          sum(col("c12")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("w1"))))
+        .select(col("w1"), col("w2"),
+          expr("c12 * 1000000 DIV c1").as("microp"))
+      bg.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("microp")).as("sum_microp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sum_microp").cast("double") / col("n_bigrams") / 1000000.0)
+            .as("mean_bigram_p"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition detection — the C4-style boilerplate/spam gate: the
     // most-repeated word 3-gram per document and its multiplicity.
     // High max-repetition flags templated or looping text. Shingles
@@ -291,6 +322,21 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_doc_lm_score" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |model AS (
+         |  SELECT w1, w2,
+         |    (c12 * 1000000) // CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT)
+         |      AS microp
+         |  FROM (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(microp) AS DOUBLE) / count(*) / 1000000.0 AS mean_bigram_p
+         |FROM bg JOIN model USING (w1, w2)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_inverted_index" ->
       s"""SELECT w AS word, count(*) AS df,
          |  array_to_string(list_sort(list(doc_id)), ',') AS postings
