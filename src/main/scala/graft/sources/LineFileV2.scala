@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -136,9 +136,11 @@ object LineFileV2 {
     * partition pruning, never a correctness dependency.
     */
   class LineScanBuilder(opts: CaseInsensitiveStringMap)
-      extends ScanBuilder with SupportsPushDownFilters {
+      extends ScanBuilder with SupportsPushDownFilters
+      with SupportsPushDownRequiredColumns {
     private var bound: Option[Long] = None
     private var pushed: Array[Filter] = Array.empty
+    private var required: StructType = LineFileV2.schema
 
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
       val usable = filters.collect {
@@ -153,10 +155,17 @@ object LineFileV2 {
       filters // all residual: chunk granularity over-reads
     }
     override def pushedFilters(): Array[Filter] = pushed
-    override def build(): Scan = new LineScan(opts, bound)
+    // Column pruning: a text-only projection (the wordcount shape)
+    // skips materializing line numbers per row.
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      if (requiredSchema.fields.nonEmpty) required = requiredSchema
+    override def build(): Scan = new LineScan(opts, bound, required)
   }
 
-  class LineScan(options: CaseInsensitiveStringMap, lineBound: Option[Long] = None)
+  class LineScan(
+      options: CaseInsensitiveStringMap,
+      lineBound: Option[Long] = None,
+      required: StructType = LineFileV2.schema)
       extends Scan with Batch {
     private val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graftlines: 'path' is required"))
@@ -172,17 +181,18 @@ object LineFileV2 {
         .map(f => hostsFromConfig(f, options.getInt("numWorkers", 4)))
         .getOrElse(Map.empty[Int, String])
 
-    override def readSchema(): StructType = LineFileV2.schema
+    override def readSchema(): StructType = required
     override def description(): String =
       s"graftlines $path chunkSize=$chunkSize maxChunks=$maxChunks lineBound=$lineBound"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       planChunks(path, chunkSize, maxChunks, hosts).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      LineReaderFactory(path)
+      LineReaderFactory(path, required.fieldNames)
   }
 
-  case class LineReaderFactory(path: String) extends PartitionReaderFactory {
+  case class LineReaderFactory(path: String, fields: Array[String])
+      extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val c = partition.asInstanceOf[LineChunk]
       new PartitionReader[InternalRow] {
@@ -205,8 +215,12 @@ object LineFileV2 {
           var e = pos
           while (e < bytes.length && bytes(e) != '\n') e += 1
           lineNo += 1
-          current = new GenericInternalRow(Array[Any](
-            lineNo, UTF8String.fromBytes(bytes, pos, e - pos)))
+          // emit values in the PRUNED schema's field order
+          val values: Array[Any] = fields.map {
+            case "line_no" => lineNo: Any
+            case "text" => UTF8String.fromBytes(bytes, pos, e - pos): Any
+          }
+          current = new GenericInternalRow(values)
           pos = e + 1 // skip the newline; a final line without one ends the loop
           true
         }

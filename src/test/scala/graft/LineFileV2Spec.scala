@@ -85,6 +85,20 @@ class LineFileV2Spec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 5)
   }
 
+  test("column pruning: text-only and reversed projections read correctly") {
+    val path = writeFile("aa\nbb\ncc\n")
+    val df = spark.read.format("graftlines").option("chunkSize", "2").load(path)
+    assert(df.select("text").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("aa", "bb", "cc"))
+    assert(df.select("line_no").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // projection order differing from the table schema must round-trip
+    assert(df.select("text", "line_no").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq ==
+      Seq(("aa", 1L), ("bb", 2L), ("cc", 3L)))
+    assert(df.count() == 3)
+  }
+
   test("wordcount over graftlines equals wordcount over LineFile") {
     val path = writeFile("the cat sat\nthe dog sat\ncat and dog\n")
     import org.apache.spark.sql.functions._
