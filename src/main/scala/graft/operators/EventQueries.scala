@@ -67,6 +67,32 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Cohort retention — the product-analytics staple: of the users
+    // active in hour H, what fraction is also active in hour H+1?
+    // Computed from per-(user, hour) activity via a self-equi-join on
+    // (user, hour+1) — two shuffles on the natural user key, no
+    // windows, no cross products; at 100 TB this is the shape retention
+    // jobs actually run (activity table joined to itself shifted).
+    "ev_retention" -> ((s, dir) => {
+      val active = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val perHour = active.groupBy("h").agg(count(lit(1)).as("n_active"))
+      val retained = active.as("a")
+        .join(active.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.h") + expr("INTERVAL 1 HOUR") === col("b.h"))
+        .groupBy(col("a.h").as("h"))
+        .agg(count(lit(1)).as("n_retained"))
+      perHour.join(retained, Seq("h"), "left")
+        .select(col("h"),
+          col("n_active"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          (coalesce(col("n_retained"), lit(0L)).cast("double") / col("n_active"))
+            .as("retention"))
+        .orderBy("h")
+    }),
+
     // Forward as-of: for every view event, the same user's NEXT
     // purchase at-or-after it — the attribution/conversion-lag shape.
     // Same custom operator, forward direction (smallest right time ≥
@@ -187,6 +213,20 @@ object EventQueries {
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         |ORDER BY event_id""".stripMargin,
+    "ev_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+        |per_hour AS (SELECT h, count(*) AS n_active FROM active GROUP BY 1),
+        |retained AS (
+        |  SELECT a.h, count(*) AS n_retained
+        |  FROM active a JOIN active b
+        |    ON a.user_id = b.user_id AND a.h + INTERVAL 1 HOUR = b.h
+        |  GROUP BY 1)
+        |SELECT h, n_active,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  CAST(coalesce(n_retained, 0) AS DOUBLE) / n_active AS retention
+        |FROM per_hour LEFT JOIN retained USING (h)
+        |ORDER BY h""".stripMargin,
     "ev_asof_next_purchase" ->
       """WITH p AS (SELECT user_id AS p_user, ts AS p_ts, max(event_id) AS purchase_id
         |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)

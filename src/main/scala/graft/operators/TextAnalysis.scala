@@ -180,6 +180,27 @@ object TextAnalysis {
         .orderBy("w1", "rk")
     }),
 
+    // Zipf rank-frequency table — the corpus-statistics view every
+    // tokenizer/vocab decision starts from: words ranked by count with
+    // their frequency ratio to the top word (exact rational). The
+    // global window runs over the POST-AGGREGATION vocabulary table
+    // (bounded domain), not the corpus — the documented safe use of an
+    // unpartitioned window.
+    "ta_zipf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val top = counts.agg(max(col("cnt")).as("top_cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("word").asc)
+      counts.crossJoin(broadcast(top))
+        .select(
+          row_number().over(w).cast("int").as("rk"),
+          col("word"), col("cnt"),
+          (col("cnt").cast("double") / col("top_cnt")).as("freq_ratio"))
+        .orderBy("rk")
+    }),
+
     // Per-document LM scoring — the perplexity-filter shape riding on
     // the corpus bigram model: each doc's bigrams look up their
     // conditional probability and the doc scores by the MEAN. The
@@ -322,6 +343,15 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_zipf" ->
+      s"""WITH counts AS (
+         |  SELECT w AS word, count(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  GROUP BY w),
+         |top AS (SELECT max(cnt) AS top_cnt FROM counts)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS INT) AS rk,
+         |  word, cnt, CAST(cnt AS DOUBLE) / top_cnt AS freq_ratio
+         |FROM counts, top ORDER BY rk""".stripMargin,
     "ta_doc_lm_score" ->
       s"""WITH bg AS (
          |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
