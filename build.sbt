@@ -15,6 +15,11 @@ run / fork := true
 // LoggedOutput prefixes every line with [info], which breaks machines
 // scraping Bench's one-line JSON from the run output.
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's closing "[success] Total time" banner, which
+// otherwise prints AFTER the JSON and becomes the last stdout line a
+// last-line parser sees.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
