@@ -23,7 +23,8 @@ object SparkEntry {
     WordCountQueries.queries ++ StarQueries.queries ++ StarQueries2.queries ++
       EventQueries.queries ++ RangeJoin.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ DedupClusters.queries ++
-      Similarity.queries ++
+      Similarity.queries ++ RankQueries.queries ++ GraphQueries.queries ++
+      QualityQueries.queries ++
       Multimodal.queries ++ PipelineQueries.queries ++ SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,6 +34,7 @@ object SparkEntry {
     WordCountQueries.oracleSql ++ StarQueries.oracleSql ++ StarQueries2.oracleSql ++
       EventQueries.oracleSql ++ RangeJoin.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ DedupClusters.oracleSql ++
-      Similarity.oracleSql ++
+      Similarity.oracleSql ++ RankQueries.oracleSql ++ GraphQueries.oracleSql ++
+      QualityQueries.oracleSql ++
       Multimodal.oracleSql ++ PipelineQueries.oracleSql ++ SourceQueries.oracleSql
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import TextOps._
+
+/** Corpus-quality gating and sampling — the Gopher-style rule stack
+  * (Rae et al. 2021 §A1.1: document length, mean word length, stopword
+  * presence) and exact stratified sampling. All signals are integers
+  * (counts, summed lengths) and every threshold is an integer
+  * cross-multiplication, so results are engine-exact by construction —
+  * no floating point anywhere in the filter decisions.
+  */
+object QualityQueries {
+
+  val MinTokens = 12
+  val MaxTokens = 1000
+  val MinMeanWordLen = 3 // mean token length bounds, as integer
+  val MaxMeanWordLen = 8 //   cross-multiplications: lo·n ≤ Σlen ≤ hi·n
+  val Stopwords = Seq("a", "the")
+  val MinStopwordHits = 2
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-language quality report of the three-rule Gopher gate. One
+    // narrow pass computes all signals from the token array (no
+    // explode, no shuffle before the final per-lang aggregation).
+    "pipe_quality_gopher" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("lang"), tokens(col("text")).as("toks"))
+        .select(col("lang"),
+          size(col("toks")).cast("long").as("nt"),
+          aggregate(transform(col("toks"), t => length(t)),
+            lit(0), (acc, x) => acc + x).cast("long").as("sumlen"),
+          vocabHits(col("toks"), Stopwords).cast("long").as("stop_hits"))
+      val okNtok = col("nt") >= MinTokens && col("nt") <= MaxTokens
+      val okWlen = col("sumlen") >= lit(MinMeanWordLen) * col("nt") &&
+        col("sumlen") <= lit(MaxMeanWordLen) * col("nt")
+      val okStop = col("stop_hits") >= MinStopwordHits
+      base.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(okNtok && okWlen && okStop, 1L).otherwise(0L)).as("n_pass"),
+          sum(when(!okNtok, 1L).otherwise(0L)).as("fail_ntok"),
+          sum(when(!okWlen, 1L).otherwise(0L)).as("fail_wlen"),
+          sum(when(!okStop, 1L).otherwise(0L)).as("fail_stop"))
+        .orderBy("lang")
+    }),
+
+    // Exact stratified sample: ceil(10%) of every language, membership
+    // by md5 order — reproducible across runs/engines (same mechanism
+    // as pipe_hash_sample, but with per-stratum proportional
+    // allocation: rn ≤ ⌈n/10⌉ ⇔ 10·rn ≤ n + 9, integers only).
+    // Both window functions share one partitioning ⇒ one exchange; at
+    // 100 TB strata are languages/sources — thousands of groups, each
+    // windowed independently.
+    "pipe_stratified_sample" -> ((s, dir) => {
+      val byHash = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val whole = Window.partitionBy(col("lang"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(byHash))
+        .withColumn("n_lang", count(lit(1)).over(whole))
+        .filter(col("rn") * 10 <= col("n_lang") + 9)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pipe_quality_gopher" ->
+      s"""WITH base AS (
+         |  SELECT lang,
+         |    CAST(len(t) AS BIGINT) AS nt,
+         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sumlen,
+         |    CAST(len(list_filter(t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS stop_hits
+         |  FROM (SELECT lang, ${OracleSql.toks} AS t FROM documents)),
+         |flagged AS (
+         |  SELECT lang,
+         |    (nt >= $MinTokens AND nt <= $MaxTokens) AS ok_ntok,
+         |    (sumlen >= $MinMeanWordLen * nt AND sumlen <= $MaxMeanWordLen * nt) AS ok_wlen,
+         |    (stop_hits >= $MinStopwordHits) AS ok_stop
+         |  FROM base)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN ok_ntok AND ok_wlen AND ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN NOT ok_ntok THEN 1 ELSE 0 END) AS BIGINT) AS fail_ntok,
+         |  CAST(sum(CASE WHEN NOT ok_wlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wlen,
+         |  CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
+         |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipe_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM documents)
+        |WHERE rn * 10 <= n_lang + 9
+        |ORDER BY doc_id""".stripMargin
+  )
+}

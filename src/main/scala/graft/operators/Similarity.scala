@@ -31,6 +31,28 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
   }
 
+  /** Every vector routed to its nearest coarse centroid (centroids =
+    * vec_id < NumCentroids, broadcast): the IVF assignment relation
+    * (vec_id, e, nrm, cent_id) shared by ss_ivf_search and the k-means
+    * update step.
+    */
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val cents = v.filter(col("vec_id") < PipelineQueries.NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    v.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))
+  }
+
   private def topk(joined: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
@@ -73,19 +95,7 @@ object Similarity {
     // the standard IVF cost/recall dial.
     "ss_ivf_search" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val v = Tables.embeddings(s, dir)
-        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      val cents = v.filter(col("vec_id") < PipelineQueries.NumCentroids)
-        .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id").asc)
-      val assigned = v.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          round(dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6))
-        .withColumn("ark", row_number().over(wAssign))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"))
+      val assigned = ivfAssigned(s, dir)
       val q = assigned.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       val wTop = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cand_id").asc)
@@ -124,10 +134,46 @@ object Similarity {
         .select(col("query_id"), col("e._1").as("vec_id"), col("e._2").as("cos"),
           (col("pos") + 1).cast("int").as("rn"))
         .orderBy("query_id", "rn")
+    }),
+
+    // One Lloyd iteration of k-means (the update step): vectors →
+    // nearest coarse centroid (the IVF assignment), then the new
+    // centroid = per-dimension mean of the assigned vectors. Means are
+    // order-free exact: each coordinate is quantized to a micro-integer
+    // (floor(x·10⁶) — floor and ×10⁶ are IEEE-exact ops), summed as
+    // longs (associative), divided once at the end. Plan shape at
+    // 100 TB: broadcast centroids, one narrow posexplode, one
+    // aggregation keyed by (centroid, dim) — k·d groups, no skew.
+    "ss_kmeans_step" -> ((s, dir) => {
+      ivfAssigned(s, dir)
+        .select(col("cent_id"), posexplode(col("e")).as(Seq("pos", "x")))
+        .select(col("cent_id"), (col("pos") + 1).cast("int").as("dim"),
+          floor(col("x") * lit(1000000.0)).cast("long").as("micro"))
+        .groupBy("cent_id", "dim")
+        .agg(sum(col("micro")).as("s"), count(lit(1)).as("n"))
+        .select(col("cent_id"), col("dim"),
+          (col("s").cast("double") / col("n") / lit(1000000.0)).as("mean"))
+        .orderBy("cent_id", "dim")
     })
   )
 
   private val vSql = OracleSql.vectors
+
+  /** Shared CTE chain: vectors → broadcast centroids → IVF assignment
+    * (DuckDB mirror of [[ivfAssigned]]).
+    */
+  private val assignedCtes =
+    s"""WITH v AS ($vSql),
+       |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
+       |          FROM v WHERE vec_id < ${PipelineQueries.NumCentroids}),
+       |assigned AS (
+       |  SELECT vec_id, e, nrm, cent_id FROM (
+       |    SELECT v.vec_id, v.e, v.nrm, cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(list_dot_product(e, ce) / (nrm * cnrm), 6) DESC,
+       |                 cent_id ASC) AS ark
+       |    FROM v CROSS JOIN cents)
+       |  WHERE ark = 1)""".stripMargin
 
   private def topkSql(joinCond: String) =
     s"""WITH v AS ($vSql)
@@ -148,17 +194,7 @@ object Similarity {
     // Aggregated top-k must produce exactly the window form's rows.
     "ss_topk_agg" -> topkSql("q.vec_id <> c.vec_id"),
     "ss_ivf_search" ->
-      s"""WITH v AS ($vSql),
-         |cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
-         |          FROM v WHERE vec_id < ${PipelineQueries.NumCentroids}),
-         |assigned AS (
-         |  SELECT vec_id, e, nrm, cent_id FROM (
-         |    SELECT v.vec_id, v.e, v.nrm, cent_id,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY round(list_dot_product(e, ce) / (nrm * cnrm), 6) DESC,
-         |                 cent_id ASC) AS ark
-         |    FROM v CROSS JOIN cents)
-         |  WHERE ark = 1)
+      s"""$assignedCtes
          |SELECT query_id, cand_id, score, CAST(rk AS INT) AS rk FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS score,
@@ -167,6 +203,17 @@ object Similarity {
          |               c.vec_id ASC) AS rk
          |  FROM (SELECT * FROM assigned WHERE vec_id >= 100 AND vec_id < 105) q
          |  JOIN assigned c ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id)
-         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "ss_kmeans_step" ->
+      s"""$assignedCtes
+         |SELECT cent_id, CAST(i AS INT) AS dim,
+         |  CAST(s AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE) AS mean
+         |FROM (
+         |  SELECT cent_id, i,
+         |    CAST(sum(CAST(floor(e[i] * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM assigned, UNNEST(range(1, len(e) + 1)) AS u(i)
+         |  GROUP BY cent_id, i)
+         |ORDER BY cent_id, dim""".stripMargin
   )
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Properties of the round-4 operators: BM25 / hybrid ranking, the
+  * kNN graph, graph analytics (PageRank, triangles), quality gating,
+  * and stratified sampling. Deterministic structural assertions on
+  * sf0.001 plus synthetic-graph ground truths.
+  */
+class RankGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("ta_bm25: 10 rows, scores non-increasing, all non-negative") {
+    val rows = run("ta_bm25").collect()
+    assert(rows.length == 10)
+    val scores = rows.map(r => r.getDouble(r.fieldIndex("score")))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
+    assert(scores.forall(_ >= 0.0))
+    assert(scores.head > 0.0) // the corpus does contain the query terms
+  }
+
+  test("ss_hybrid_rrf: fused score equals the sum of its rank terms") {
+    val rows = run("ss_hybrid_rrf").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val rt = if (r.isNullAt(r.fieldIndex("rt"))) None else Some(r.getInt(r.fieldIndex("rt")))
+      val rv = if (r.isNullAt(r.fieldIndex("rv"))) None else Some(r.getInt(r.fieldIndex("rv")))
+      val expected = rt.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(r.getDouble(r.fieldIndex("rrf")) == expected)
+      assert(rt.isDefined || rv.isDefined)
+    }
+  }
+
+  test("dd_knn_graph: at most 3 neighbors per vector, cos non-increasing") {
+    val rows = run("dd_knn_graph").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      val byRank = g.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to g.length))
+      val cos = byRank.map(_.getDouble(2))
+      assert(cos.sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      })
+    }
+  }
+
+  test("pageRankMicro: known path graph, mass conserved up to truncation") {
+    // path 1-2-3 plus isolated edge 4-5
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val pr = GraphQueries.pageRankMicro(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // symmetric positions get identical ranks; the path's center
+    // out-ranks its leaves
+    assert(pr(1L) == pr(3L))
+    assert(pr(4L) == pr(5L))
+    assert(pr(2L) > pr(1L))
+    // total mass ≈ 10^6, only truncating-division loss (each of the 3
+    // rounds loses < 1 micro-unit per node and per edge division)
+    val total = pr.values.sum
+    assert(total <= 1000000L && total > 990000L)
+  }
+
+  test("dd_triangles matches a naive count on the same pairs") {
+    val pairs = run("dd_ngram_jaccard")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (a, b) <- pairs
+      (b2, c) <- pairs if b2 == b
+      if pairs.contains((a, c))
+    } yield (a, b, c)).size.toLong
+    val got = run("dd_triangles").collect().head.getLong(0)
+    assert(got == naive)
+  }
+
+  test("pipe_quality_gopher: per-lang accounting is consistent") {
+    val rows = run("pipe_quality_gopher").collect()
+    assert(rows.nonEmpty)
+    val langs = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (lang, n, pass) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val fails = (3 to 5).map(r.getLong).sum
+      assert(n == langs(lang))
+      assert(pass <= n)
+      // every non-passing doc fails at least one rule (rules can overlap)
+      assert(n - pass <= fails)
+    }
+  }
+
+  test("pipe_stratified_sample: exactly ceil(10%) per language") {
+    val got = run("pipe_stratified_sample").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val langs = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == langs.keySet)
+    got.foreach { case (lang, n) => assert(n == (langs(lang) + 9) / 10) }
+  }
+
+  test("ss_kmeans_step: one mean per (centroid, dimension)") {
+    val rows = run("ss_kmeans_step").collect()
+    val dims = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")))
+      .head().getInt(0)
+    val cents = rows.map(_.getLong(0)).distinct
+    assert(cents.nonEmpty && cents.length <= PipelineQueries.NumCentroids)
+    assert(rows.length == cents.length * dims)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) < 1e6))
+  }
+}
