@@ -67,16 +67,24 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_$reps","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
       s""""baseline_comparable":{"workload":"wordcount (the reference's only job)","sec":$wcSec,"n_queries_in_total":${results.size}}}"""
+    // The full per-query map (~3.4 KB for 113 queries) overflows the
+    // driver's captured stdout tail, so the LAST stdout line must be a
+    // short self-contained summary; the full map goes to bench.json and
+    // stderr. Print order: full line first, compact line last.
+    val compact =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec",""" +
+      s""""sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(!_._3)},""" +
+      s""""timing":"min_of_$reps","baseline_comparable":{"workload":"wordcount","sec":$wcSec},""" +
+      s""""detail":"bench.json"}"""
     println(json)
-    // Three machine-readable channels: raw stdout (unprefixed via
-    // build.sbt's StdoutOutput), stderr (never [info]-prefixed even
-    // under a logging output strategy), and the file below.
     System.err.println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    println(compact)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -30,8 +30,24 @@ object GraphQueries {
     * (`localCheckpoint`) — the verify pipeline upstream must not re-run
     * per round; each round is one join + one aggregation keyed by the
     * destination, the same shape GraphX/Pregel lowers to.
+    *
+    * Iteration discipline (same as the CC loop in
+    * [[DedupClusters]]): the rank frame is `localCheckpoint`ed every
+    * round, so lineage stays one-round deep no matter how large
+    * `iters` is. With `tolMicro >= 0` the loop also stops early once
+    * max |Δpr| over all nodes is ≤ tolMicro — integer arithmetic makes
+    * this an exact, deterministic fixpoint test, not a float
+    * tolerance. It is OFF by default because early stopping makes the
+    * result depend on the convergence path, and the oracle pins the
+    * exact `iters`-round value.
+    *
+    * Note the no-dangling-nodes argument (every node has deg ≥ 1, so
+    * the left join never fabricates mass) holds for THIS undirected
+    * construction only; a directed edge list would need an explicit
+    * dangling-mass redistribution term.
     */
-  def pageRankMicro(pairs: DataFrame, iters: Int = Iters): DataFrame = {
+  def pageRankMicro(pairs: DataFrame, iters: Int = Iters,
+                    tolMicro: Long = -1L): DataFrame = {
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
@@ -40,23 +56,73 @@ object GraphQueries {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
     val n = deg.agg(count(lit(1)).as("n_nodes"))
-    // Undirected graph ⇒ no dangling nodes: every node has deg ≥ 1 and
-    // receives at least one contribution, so the left join below only
-    // guards the types, never fabricates mass.
     var pr = deg.crossJoin(broadcast(n))
       .select(col("id"), col("deg"), col("n_nodes"),
         expr("1000000 DIV n_nodes").as("pr"))
-    for (_ <- 1 to iters) {
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       val contrib = edges.join(pr, edges("src") === pr("id"))
         .select(edges("dst").as("id"), expr("pr DIV deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("cs"))
-      pr = pr.select("id", "deg", "n_nodes")
+      val next = pr.select(col("id"), col("deg"), col("n_nodes"),
+          col("pr").as("pr_prev"))
         .join(contrib, Seq("id"), "left")
-        .select(col("id"), col("deg"), col("n_nodes"),
+        .select(col("id"), col("deg"), col("n_nodes"), col("pr_prev"),
           (expr(s"$JumpMicro DIV n_nodes") +
             expr(s"($DampMicro * coalesce(cs, 0)) DIV 1000000")).as("pr"))
+        .localCheckpoint(true) // eager: lineage is cut before the next round
+      if (tolMicro >= 0L) {
+        val delta = next
+          .agg(coalesce(max(abs(col("pr") - col("pr_prev"))), lit(0L)).as("d"))
+          .head().getLong(0)
+        converged = delta <= tolMicro
+      }
+      pr = next.select("id", "deg", "n_nodes", "pr")
+      round += 1
     }
     pr.select(col("id"), col("pr"))
+  }
+
+  /** Exact triangle count over an undirected (doc_a, doc_b) pair list
+    * using degree orientation: every edge is directed from its lower-
+    * to its higher-degree endpoint (ties broken by id), wedges are
+    * generated per source over its out-neighbors ordered by the same
+    * (deg, id) key, and closed by one membership join. Out-degree
+    * under this orientation is O(√m), so total wedge volume is
+    * O(m^1.5) even on hub-dominated graphs — the standard Suri &
+    * Vassilvitskii / Cohen MapReduce formulation, as join+agg
+    * dataflow.
+    */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    // Both directions once, so degrees fall out of one groupBy.
+    val und = pairs.select(explode(array(
+        struct(col("doc_a").as("x"), col("doc_b").as("y")),
+        struct(col("doc_b").as("x"), col("doc_a").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .localCheckpoint(true)
+    val deg = und.groupBy("x").agg(count(lit(1)).as("d"))
+      .select(col("x").as("id"), col("d"))
+    // Keep the direction whose source precedes its destination in the
+    // (deg, id) total order; each undirected edge survives exactly
+    // once. ddeg rides along so wedge generation can order
+    // out-neighbors without re-joining degrees.
+    val oriented = und
+      .join(deg.select(col("id").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("id").as("y"), col("d").as("dy")), "y")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("x").as("src"), col("y").as("dst"), col("dy").as("ddeg"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+    wedges.join(oriented.as("e3"),
+        col("u") === col("e3.src") && col("v") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -67,21 +133,18 @@ object GraphQueries {
         .select(col("id").as("doc_id"), col("pr").as("pr_micro"))
         .orderBy("doc_id")),
 
-    // Triangle count via the canonical two-join dataflow: pairs are
-    // already oriented (doc_a < doc_b), so wedges a<b<c are generated
-    // once and closed by one membership join — never an all-pairs
-    // product; cost is Σ deg(v)² over the (similarity-bounded) graph.
-    "dd_triangles" -> ((s, dir) => {
-      val e = Dedup.verifiedPairs(s, dir, dedup = true)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .localCheckpoint(true)
-      e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-        .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-        .as("w")
-        .join(e.as("e3"),
-          col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
-        .agg(count(lit(1)).as("n_triangles"))
-    })
+    // Triangle count via the canonical two-join dataflow, with edges
+    // DEGREE-oriented (low-degree → high-degree endpoint, ties by id)
+    // before wedge generation: wedges are generated only at each
+    // triangle's minimum vertex in the (deg, id) total order, which
+    // caps wedge volume at O(m^1.5) regardless of hubs — id-oriented
+    // wedges are Σ deg²(v) and go quadratic on a single boilerplate
+    // hub, exactly the shape dd_degree_hist exists to detect. The
+    // count is orientation-invariant, so the oracle keeps the simple
+    // id-oriented SQL.
+    "dd_triangles" -> ((s, dir) =>
+      triangleCount(Dedup.verifiedPairs(s, dir, dedup = true)
+        .select(col("doc_a"), col("doc_b"))))
   )
 
   private def prRoundSql(prev: String, next: String): String =
@@ -105,11 +168,9 @@ object GraphQueries {
          |n AS (SELECT count(*) AS n_nodes FROM deg),
          |pr0 AS (
          |  SELECT id, deg, 1000000 // (SELECT n_nodes FROM n) AS pr FROM deg),
-         |${prRoundSql("pr0", "pr1")},
-         |${prRoundSql("pr1", "pr2")},
-         |${prRoundSql("pr2", "pr3")}
+         |${(1 to Iters).map(i => prRoundSql(s"pr${i - 1}", s"pr$i")).mkString(",\n")}
          |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_micro
-         |FROM pr3 ORDER BY doc_id""".stripMargin,
+         |FROM pr$Iters ORDER BY doc_id""".stripMargin,
     "dd_triangles" ->
       s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql}),
          |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)

@@ -33,8 +33,11 @@ object QualityQueries {
         .select(col("lang"), tokens(col("text")).as("toks"))
         .select(col("lang"),
           size(col("toks")).cast("long").as("nt"),
-          aggregate(transform(col("toks"), t => length(t)),
-            lit(0), (acc, x) => acc + x).cast("long").as("sumlen"),
+          // LONG accumulation from the seed: an INT accumulator would
+          // overflow on a document whose total token characters exceed
+          // 2^31 (DuckDB's list_sum accumulates in HUGEINT).
+          aggregate(transform(col("toks"), t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("sumlen"),
           vocabHits(col("toks"), Stopwords).cast("long").as("stop_hits"))
       val okNtok = col("nt") >= MinTokens && col("nt") <= MaxTokens
       val okWlen = col("sumlen") >= lit(MinMeanWordLen) * col("nt") &&
@@ -50,23 +53,50 @@ object QualityQueries {
     }),
 
     // Exact stratified sample: ceil(10%) of every language, membership
-    // by md5 order — reproducible across runs/engines (same mechanism
-    // as pipe_hash_sample, but with per-stratum proportional
-    // allocation: rn ≤ ⌈n/10⌉ ⇔ 10·rn ≤ n + 9, integers only).
-    // Both window functions share one partitioning ⇒ one exchange; at
-    // 100 TB strata are languages/sources — thousands of groups, each
-    // windowed independently.
+    // by md5 order — reproducible across runs/engines. Defined as the
+    // first ⌈n/10⌉ rows of each stratum ordered by (md5(doc_id),
+    // doc_id), but NOT computed as a per-stratum window: corpus strata
+    // are Zipfian (one language can be half a 100 TB corpus), so
+    // ranking a whole stratum would push ~50 TB through one task.
+    // Two-phase exact allocation instead:
+    //   1. per-(lang, md5-prefix-bucket) counts — a langs×256-row
+    //      aggregate; cumulative counts and the ⌈n/10⌉ quota are
+    //      computed over that bounded frame and broadcast;
+    //   2. buckets wholly below the quota boundary are ALL-IN by
+    //      membership (no window at all); the single bucket straddling
+    //      the boundary is ranked within itself — a group of
+    //      ~stratum/256 rows, the only sort anywhere.
+    // The bucket is the first 2 hex chars of the md5, so bucket order
+    // is a prefix of the full (md5, doc_id) order and the result is
+    // row-identical to the single-window definition the oracle states.
+    // The two union legs re-scan the 2-column projection — at scale
+    // that is far cheaper than any full-stratum sort.
     "pipe_stratified_sample" -> ((s, dir) => {
-      val byHash = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      val whole = Window.partitionBy(col("lang"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"))
-        .withColumn("rn", row_number().over(byHash))
-        .withColumn("n_lang", count(lit(1)).over(whole))
-        .filter(col("rn") * 10 <= col("n_lang") + 9)
-        .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bucket", substring(col("h"), 1, 2))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      val wLang = Window.partitionBy(col("lang"))
+      val stats = docs.groupBy("lang", "bucket").agg(count(lit(1)).as("bcnt"))
+        .withColumn("cum_before", coalesce(
+          sum(col("bcnt")).over(wCum.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("n_lang", sum(col("bcnt")).over(wLang))
+        .withColumn("quota", expr("(n_lang + 9) DIV 10"))
+        .select("lang", "bucket", "bcnt", "cum_before", "quota")
+      val joined = docs.join(broadcast(stats), Seq("lang", "bucket"))
+        .withColumn("take", col("quota") - col("cum_before"))
+      val allIn = joined.filter(col("bcnt") <= col("take"))
+        .select("doc_id", "lang")
+      val wBucket = Window.partitionBy(col("lang"), col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+      val boundary = joined
+        .filter(col("take") > 0 && col("bcnt") > col("take"))
+        .withColumn("rn", row_number().over(wBucket))
+        .filter(col("rn") <= col("take"))
+        .select("doc_id", "lang")
+      allIn.union(boundary).orderBy("doc_id")
     })
   )
 

@@ -140,8 +140,12 @@ object Similarity {
     // nearest coarse centroid (the IVF assignment), then the new
     // centroid = per-dimension mean of the assigned vectors. Means are
     // order-free exact: each coordinate is quantized to a micro-integer
-    // (floor(x·10⁶) — floor and ×10⁶ are IEEE-exact ops), summed as
-    // longs (associative), divided once at the end. Plan shape at
+    // (floor(x·10⁶): the ×10⁶ multiply rounds like any FP multiply,
+    // but both engines evaluate the identical rounded op tree before
+    // the IEEE-exact floor, so the quantized value is bit-equal — the
+    // parity comes from identical op trees, not from the quantization
+    // being exact), summed as longs (associative), divided once at
+    // the end. Plan shape at
     // 100 TB: broadcast centroids, one narrow posexplode, one
     // aggregation keyed by (centroid, dim) — k·d groups, no skew.
     "ss_kmeans_step" -> ((s, dir) => {

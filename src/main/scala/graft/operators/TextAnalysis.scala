@@ -24,6 +24,11 @@ object TextAnalysis {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Zipf view cutoff — how the table is actually consumed (vocab /
+    * tokenizer decisions look at the head of the distribution).
+    */
+  val ZipfK = 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: stopword-hit argmax, reported as a confusion matrix
@@ -181,22 +186,28 @@ object TextAnalysis {
     }),
 
     // Zipf rank-frequency table — the corpus-statistics view every
-    // tokenizer/vocab decision starts from: words ranked by count with
-    // their frequency ratio to the top word (exact rational). The
-    // global window runs over the POST-AGGREGATION vocabulary table
-    // (bounded domain), not the corpus — the documented safe use of an
-    // unpartitioned window.
+    // tokenizer/vocab decision starts from: the top-K words ranked by
+    // count with their frequency ratio to the top word (exact
+    // rational). Raw web-scale vocabulary is NOT a bounded domain
+    // (10⁸–10⁹ distinct tokens at 100 TB), so the rank must never be a
+    // global window over the vocabulary: orderBy+limit plans
+    // TakeOrderedAndProject (per-partition top-K, K-row merge), and
+    // row_number then runs inside the K-row frame only — the same
+    // bounded-by-construction shape as the RRF candidate windows.
+    // top_cnt is the max over the whole vocabulary, equal to the max
+    // within the top-K, so no second scan is needed.
     "ta_zipf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-      val top = counts.agg(max(col("cnt")).as("top_cnt"))
+      val topK = counts
+        .orderBy(col("cnt").desc, col("word").asc).limit(ZipfK)
       val w = Window.orderBy(col("cnt").desc, col("word").asc)
-      counts.crossJoin(broadcast(top))
-        .select(
-          row_number().over(w).cast("int").as("rk"),
-          col("word"), col("cnt"),
+      topK
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .withColumn("top_cnt", max(col("cnt")).over())
+        .select(col("rk"), col("word"), col("cnt"),
           (col("cnt").cast("double") / col("top_cnt")).as("freq_ratio"))
         .orderBy("rk")
     }),
@@ -348,10 +359,12 @@ object TextAnalysis {
          |  SELECT w AS word, count(*) AS cnt
          |  FROM (SELECT unnest($toksSql) AS w FROM documents)
          |  GROUP BY w),
-         |top AS (SELECT max(cnt) AS top_cnt FROM counts)
+         |topk AS (SELECT word, cnt FROM counts
+         |         ORDER BY cnt DESC, word ASC LIMIT $ZipfK),
+         |top AS (SELECT max(cnt) AS top_cnt FROM topk)
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS INT) AS rk,
          |  word, cnt, CAST(cnt AS DOUBLE) / top_cnt AS freq_ratio
-         |FROM counts, top ORDER BY rk""".stripMargin,
+         |FROM topk, top ORDER BY rk""".stripMargin,
     "ta_doc_lm_score" ->
       s"""WITH bg AS (
          |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
