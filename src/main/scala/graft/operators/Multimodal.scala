@@ -4,47 +4,33 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PgmCodec
 
 /** Multimodal-column plumbing: media treated as opaque `binary`
-  * payloads with typed metadata, plus a decode/feature-extract stage.
+  * payloads with typed metadata, plus a decode / resize /
+  * feature-extract / frame-sample stage.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic stub ([[fakeDecode]]) — but the
-  * Spark-side plumbing is real: binary columns, schema, partition-wise
-  * batch processing (`mapPartitions`, the Scala analog of a Pandas-UDF
-  * batch), and a typed `Dataset` feature output. Swapping
-  * [[fakeDecode]] for a real codec changes no plan shape.
+  * The decode stage is REAL: each payload is wrapped into a valid
+  * Netpbm P5 (PGM) container and decoded back through
+  * [[graft.functions.PgmCodec]] — an actual header-parsing,
+  * comment-honoring, fail-loud binary image parser (the container has
+  * no JPEG/PNG libs; PGM is the public format a pure JVM can parse in
+  * ~80 lines). Resize is a true nearest-neighbor resample of the
+  * decoded 2-D raster, and the feature vector is a 16-bin gray
+  * histogram of the resized image. A JPEG decoder would replace
+  * `PgmCodec.decode` at the same seam with no plan change: binary
+  * columns in, partition-batched typed transform (`mapPartitions`, the
+  * Scala analog of a Pandas-UDF batch), typed `Dataset` out.
   *
-  * Scale: both queries are narrow per-row/per-partition transforms — no
+  * Scale: all queries are narrow per-row/per-partition transforms — no
   * shuffle at all until the final presentation sort, which at 100 TB
   * would be dropped (sinks don't need order).
   */
 object Multimodal {
 
-  /** Deterministic stand-in for a media decoder: 16-dim byte-value
-    * histogram of the payload, L1-normalized. STUB — replace with a
-    * real decoder where codecs exist.
-    */
-  def fakeDecode(payload: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](16)
-    var i = 0
-    while (i < payload.length) { hist((payload(i) & 0xff) % 16) += 1f; i += 1 }
-    val n = math.max(payload.length, 1).toFloat
-    hist.map(_ / n)
-  }
-
-  /** Deterministic stand-in for a resize: nearest-neighbor
-    * down/up-sample of the byte payload to `n` bytes. STUB — the real
-    * pipeline would resize decoded frames, not raw bytes; the partition
-    * shape and signature are what carry over.
-    */
-  def fakeResize(payload: Array[Byte], n: Int): Array[Byte] = {
-    if (payload.isEmpty) new Array[Byte](n)
-    else Array.tabulate(n)(i => payload((i.toLong * payload.length / n).toInt))
-  }
-
-  /** Deterministic stand-in for frame sampling: every `stride`-th byte
-    * starting at `offset`. STUB for keyframe extraction.
+  /** Keyframe stand-in: every `stride`-th byte of the raw payload
+    * starting at `offset` (a video container would yield I-frames
+    * here; the selection/batching shape is what carries over).
     */
   def sampleFrames(payload: Array[Byte], stride: Int, offset: Int = 0): Array[Byte] =
     Iterator.from(offset, stride).takeWhile(_ < payload.length).map(payload).toArray
@@ -52,14 +38,18 @@ object Multimodal {
   final case class MediaFeature(
       doc_id: Long,
       n_bytes: Int,
+      width: Int,
+      height: Int,
+      max_val: Int,
+      pixel_sum: Long,
+      pixels: Array[Byte],
       features: Array[Float],
       resized: Array[Byte],
       frame_sample: Array[Byte])
 
-  /** Typed partition-batched decode → resize → frame-sample →
-    * feature-extract pipeline over binary payloads (the Scala analog of
-    * a Pandas-UDF batch stage; swap the fake* stubs for real codecs and
-    * nothing about schema/partitioning/batching changes).
+  /** Typed partition-batched encode → DECODE (real PGM parse) →
+    * resize → feature-extract → frame-sample pipeline over binary
+    * payloads.
     */
   def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeature] = {
     import s.implicits._
@@ -67,16 +57,21 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        val resized = fakeResize(payload, 64)
-        MediaFeature(id, payload.length, fakeDecode(resized),
-          resized, sampleFrames(payload, stride = 16))
+        val img = PgmCodec.decode(PgmCodec.encode(payload))
+        val small = PgmCodec.resize(img, 8, 8)
+        var sum = 0L
+        var i = 0
+        while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+        MediaFeature(id, payload.length, img.width, img.height, img.maxVal,
+          sum, img.pixels, PgmCodec.grayHistogram(small.pixels, 16),
+          small.pixels, sampleFrames(payload, stride = 16))
       })
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Metadata over opaque binary payloads: byte length, checksum,
-    // stub-decoded "dimensions", frame count, first-frame sample hash.
+    // derived "dimensions", frame count, first-frame sample hash.
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(
@@ -90,9 +85,22 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
-    // Feature extraction through the typed mapPartitions path; the
-    // aggregate projection keeps the output oracle-exempt but
-    // deterministic (row count + exact integer sums).
+    // The decode stage itself, oracle-pinned: container dimensions,
+    // maxval, pixel count/sum, and an md5 over the decoded raster. The
+    // oracle reconstructs the raster byte-exactly in SQL (all-ASCII
+    // corpus + space padding ⇒ raster == rpad(text, w·h, ' ')), so a
+    // parser bug of even one byte shows up as a hash mismatch.
+    "mm_decode_pgm" -> ((s, dir) => {
+      extractFeatures(s, dir).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("max_val"),
+          (col("width") * col("height")).cast("int").as("n_pixels"),
+          col("pixel_sum"),
+          md5(col("pixels")).as("pixels_checksum"))
+        .orderBy("doc_id")
+    }),
+
+    // Feature extraction through the typed mapPartitions path: 16-bin
+    // gray histogram of the decoded raster resized to 8×8.
     "mm_features" -> ((s, dir) => {
       extractFeatures(s, dir).toDF()
         .select(col("doc_id"), col("n_bytes"),
@@ -115,6 +123,15 @@ object Multimodal {
     })
   )
 
+  // Shared oracle fragment: the decoded raster is text space-padded to
+  // width 8 × height ⌈len/8⌉ (min 1 row) — byte-identical to what
+  // PgmCodec.encode wraps and PgmCodec.decode returns.
+  private val rasterSql =
+    """SELECT doc_id, text, length(text) AS len,
+      |    greatest(1, (length(text) + 7) // 8) AS h,
+      |    rpad(text, CAST(8 * greatest(1, (length(text) + 7) // 8) AS INT), ' ') AS raster
+      |  FROM documents""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "mm_meta" ->
       """SELECT doc_id,
@@ -125,21 +142,35 @@ object Multimodal {
         |  CAST(1 + octet_length(encode(text)) // 64 AS INT) AS n_frames,
         |  md5(substring(text, 1, 32)) AS frame0_checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // The decode stub IS SQL-expressible on this corpus (all-ASCII, so
+    "mm_decode_pgm" ->
+      s"""WITH g AS ($rasterSql),
+         |sums AS (
+         |  SELECT doc_id, sum(ord(substring(text, CAST(i + 1 AS INT), 1))) AS s
+         |  FROM documents, UNNEST(range(0, length(text))) AS u(i)
+         |  GROUP BY doc_id)
+         |SELECT g.doc_id, CAST(8 AS INT) AS width, CAST(g.h AS INT) AS height,
+         |  CAST(255 AS INT) AS max_val, CAST(8 * g.h AS INT) AS n_pixels,
+         |  CAST(COALESCE(s.s, 0) + 32 * (8 * g.h - g.len) AS BIGINT) AS pixel_sum,
+         |  md5(g.raster) AS pixels_checksum
+         |FROM g LEFT JOIN sums s ON g.doc_id = s.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
+    // The resize IS SQL-expressible on this corpus (all-ASCII, so
     // character position == byte position — asserted by the n_bytes
-    // column, which would diverge otherwise): re-derive the 64-byte
-    // nearest-neighbor resize via substring indexing, then the 16-bin
-    // histogram bins for positions 0 and 15. k/64 is dyadic, so the
-    // float→double widening and the 4dp round agree bit-exactly.
+    // column, which would diverge otherwise): out(r, c) = raster byte
+    // at (r·h÷8)·8 + c, then the 16-bin histogram bins for 0 and 15.
+    // k/64 is dyadic, so float→double widening and the 4dp round agree
+    // bit-exactly.
     "mm_features" ->
-      """WITH bytes AS (
-        |  SELECT doc_id, length(text) AS n_bytes,
-        |    ord(substring(text, CAST(i * length(text) // 64 AS INT) + 1, 1)) % 16 AS bin
-        |  FROM documents, UNNEST(range(0, 64)) AS u(i))
-        |SELECT doc_id, CAST(max(n_bytes) AS INT) AS n_bytes,
-        |  round(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) / 64.0, 4) AS f0,
-        |  round(sum(CASE WHEN bin = 15 THEN 1 ELSE 0 END) / 64.0, 4) AS f15
-        |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH g AS ($rasterSql),
+         |bytes AS (
+         |  SELECT doc_id, len,
+         |    ord(substring(raster,
+         |      CAST((i // 8) * h // 8 AS INT) * 8 + CAST(i % 8 AS INT) + 1, 1)) % 16 AS bin
+         |  FROM g, UNNEST(range(0, 64)) AS u(i))
+         |SELECT doc_id, CAST(max(len) AS INT) AS n_bytes,
+         |  round(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) / 64.0, 4) AS f0,
+         |  round(sum(CASE WHEN bin = 15 THEN 1 ELSE 0 END) / 64.0, 4) AS f15
+         |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
         |  CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames,
