@@ -31,62 +31,119 @@ object RankQueries {
 
   val CandidateK = 50 // candidates per retriever feeding the fusion
   val RrfK       = 60 // the standard RRF dampening constant
+  val FusedK     = 10 // fused results returned per query
 
-  /** Per-document BM25 score against [[QueryTerms]] plus the raw
-    * signals (dl, tf_i): tf and df come from one pass over the token
-    * arrays (no explode — `size(filter(toks, = term))` is a narrow
-    * per-row expression), corpus statistics (N, total length, df_i)
-    * arrive as ONE broadcast aggregate row, so the corpus never
-    * shuffles: at 100 TB this is a map-only scan plus a 1-row
-    * broadcast.
+  /** The multi-query benchmark table: (query_id, its terms). Term
+    * lists are disjoint so per-query rankings genuinely differ.
     */
-  def bm25Scored(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+  val MultiQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("join", "vector"),
+    1 -> Seq("stream", "filter"),
+    2 -> Seq("sort", "window"))
+  private val MultiTerms: Seq[String] = MultiQueries.flatMap(_._2)
+
+  /** (doc_id, dl, tf_i) for every term: one pass over the token arrays
+    * (no explode — `size(filter(toks, = term))` is a narrow per-row
+    * expression).
+    */
+  private def tfBase(s: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id") +:
         size(col("toks")).cast("long").as("dl") +:
-        QueryTerms.zipWithIndex.map { case (t, i) =>
+        terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("toks"), x => x === t)).cast("long").as(s"tf$i")
         }: _*)
-    val stats = base.agg(
+
+  /** Corpus statistics (N, total length, df_i) as ONE aggregate row —
+    * broadcast, so the corpus never shuffles: at 100 TB BM25 is a
+    * map-only scan plus a 1-row broadcast.
+    */
+  private def tfStats(base: DataFrame, terms: Seq[String]): DataFrame =
+    base.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).as("total_len") +:
-        QueryTerms.indices.map(i =>
+        terms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
-    // score_i = idf_i * tf_i*(k1+1) / (tf_i + k1*(1 - b + b*dl*N/L));
-    // idf_i = (N - df_i + 0.5)/(df_i + 0.5) — the non-log rational idf
-    // (monotone in the classic log idf, engine-portable: no libm).
-    def termScore(i: Int): Column = {
-      val tf  = col(s"tf$i").cast("double")
-      val df  = col(s"df$i").cast("double")
-      val nd  = col("n_docs").cast("double")
-      val dl  = col("dl").cast("double")
-      val len = col("total_len").cast("double")
-      val idf  = (nd - df + lit(0.5)) / (df + lit(0.5))
-      val norm = lit(K1) * (lit(1.0) - lit(B) + lit(B) * dl * nd / len)
-      idf * (tf * lit(K1 + 1.0)) / (tf + norm)
-    }
-    base.crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("dl"),
-        (QueryTerms.indices.map(termScore).reduceLeft(_ + _)).as("score"))
+
+  /** score_i = idf_i * tf_i*(k1+1) / (tf_i + k1*(1 - b + b*dl*N/L));
+    * idf_i = (N - df_i + 0.5)/(df_i + 0.5) — the non-log rational idf
+    * (monotone in the classic log idf, engine-portable: no libm).
+    */
+  private def rationalTermScore(i: Int): Column = {
+    val tf  = col(s"tf$i").cast("double")
+    val df  = col(s"df$i").cast("double")
+    val nd  = col("n_docs").cast("double")
+    val dl  = col("dl").cast("double")
+    val len = col("total_len").cast("double")
+    val idf  = (nd - df + lit(0.5)) / (df + lit(0.5))
+    val norm = lit(K1) * (lit(1.0) - lit(B) + lit(B) * dl * nd / len)
+    idf * (tf * lit(K1 + 1.0)) / (tf + norm)
   }
 
-  /** DuckDB mirror of [[bm25Scored]] — kept adjacent so the op trees
-    * cannot drift (bit-exact doubles require identical evaluation
-    * order). Yields (doc_id, dl, score).
+  /** The textbook log idf: ln((N - df + 0.5)/(df + 0.5) + 1) —
+    * Robertson/Sparck-Jones with the +1 that keeps it positive.
     */
-  def bm25Sql: String = {
-    val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+  private def logTermScore(i: Int): Column = {
+    val tf  = col(s"tf$i").cast("double")
+    val df  = col(s"df$i").cast("double")
+    val nd  = col("n_docs").cast("double")
+    val dl  = col("dl").cast("double")
+    val len = col("total_len").cast("double")
+    val idf  = log((nd - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    val norm = lit(K1) * (lit(1.0) - lit(B) + lit(B) * dl * nd / len)
+    idf * (tf * lit(K1 + 1.0)) / (tf + norm)
+  }
+
+  /** Per-document BM25 (rational idf) against [[QueryTerms]]. */
+  def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val base = tfBase(s, dir, QueryTerms)
+    base.crossJoin(broadcast(tfStats(base, QueryTerms)))
+      .select(col("doc_id"), col("dl"),
+        (QueryTerms.indices.map(rationalTermScore).reduceLeft(_ + _)).as("score"))
+  }
+
+  /** Per-document BM25 with the textbook log idf, rounded to 4dp (the
+    * established FP-parity rule for transcendental outputs: both
+    * engines evaluate the identical op tree, ln agrees to ≤1 ulp, and
+    * the quasi-continuous score cannot sit on a 4dp midpoint).
+    */
+  def bm25LogScored(s: SparkSession, dir: String): DataFrame = {
+    val base = tfBase(s, dir, QueryTerms)
+    base.crossJoin(broadcast(tfStats(base, QueryTerms)))
+      .select(col("doc_id"), col("dl"),
+        round(QueryTerms.indices.map(logTermScore).reduceLeft(_ + _), 4).as("score"))
+  }
+
+  /** (doc_id, query_id, score) for every query in [[MultiQueries]] —
+    * STILL one corpus pass: tf for the union of all query terms is
+    * computed per document, then the per-query scores fan out as an
+    * array-explode (×|queries| narrow rows, no shuffle).
+    */
+  def multiBm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val base = tfBase(s, dir, MultiTerms)
+    val qScores = MultiQueries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        terms.map(t => rationalTermScore(MultiTerms.indexOf(t)))
+          .reduceLeft(_ + _).as("score"))
+    }
+    base.crossJoin(broadcast(tfStats(base, MultiTerms)))
+      .select(col("doc_id"), explode(array(qScores: _*)).as("q"))
+      .select(col("doc_id"), col("q.query_id").as("query_id"),
+        col("q.score").as("score"))
+  }
+
+  /** DuckDB mirrors of the Spark score builders — kept adjacent so the
+    * op trees cannot drift (bit-exact doubles require identical
+    * evaluation order).
+    */
+  private def tfStatsSql(terms: Seq[String]): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n    ")
-    val dfCols = QueryTerms.indices.map(i =>
+    val dfCols = terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
       .mkString(",\n    ")
-    val scoreTerms = QueryTerms.indices.map { i =>
-      val idf  = s"(CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-      val norm = s"CAST($K1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($B AS DOUBLE) + CAST($B AS DOUBLE) * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_len AS DOUBLE))"
-      s"($idf * (CAST(tf$i AS DOUBLE) * CAST(${K1 + 1.0} AS DOUBLE)) / (CAST(tf$i AS DOUBLE) + $norm))"
-    }.mkString("\n      + ")
     s"""tfd AS (
        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
        |    $tfCols
@@ -94,11 +151,51 @@ object RankQueries {
        |stats AS (
        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len,
        |    $dfCols
-       |  FROM tfd),
+       |  FROM tfd)""".stripMargin
+  }
+
+  private def idfRationalSql(i: Int): String =
+    s"(CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+
+  private def termScoreSql(i: Int, idf: String): String = {
+    val norm = s"CAST($K1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($B AS DOUBLE) + CAST($B AS DOUBLE) * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_len AS DOUBLE))"
+    s"($idf * (CAST(tf$i AS DOUBLE) * CAST(${K1 + 1.0} AS DOUBLE)) / (CAST(tf$i AS DOUBLE) + $norm))"
+  }
+
+  private def scoreSumSql(indices: Seq[Int], idf: Int => String): String =
+    indices.map(i => termScoreSql(i, idf(i))).mkString("\n      + ")
+
+  /** (doc_id, dl, score) for [[bm25Scored]]: CTEs tfd, stats, bm25. */
+  def bm25Sql: String =
+    s"""${tfStatsSql(QueryTerms)},
        |bm25 AS (
        |  SELECT doc_id, dl,
-       |    $scoreTerms AS score
+       |    ${scoreSumSql(QueryTerms.indices, idfRationalSql)} AS score
        |  FROM tfd CROSS JOIN stats)""".stripMargin
+
+  /** (doc_id, dl, score) for [[bm25LogScored]]: log idf, 4dp round. */
+  def bm25LogSql: String =
+    s"""${tfStatsSql(QueryTerms)},
+       |bm25 AS (
+       |  SELECT doc_id, dl,
+       |    round(${scoreSumSql(QueryTerms.indices,
+                i => s"ln(${idfRationalSql(i)} + CAST(1.0 AS DOUBLE))")}, 4) AS score
+       |  FROM tfd CROSS JOIN stats)""".stripMargin
+
+  /** (doc_id, query_id, score) for [[multiBm25Scored]]: CTEs tfd,
+    * stats, scores — per-query scores as a UNION ALL over the same
+    * tfd×stats row, the SQL mirror of the Spark array-explode.
+    */
+  def multiBm25Sql: String = {
+    val legs = MultiQueries.map { case (qid, terms) =>
+      val idxs = terms.map(MultiTerms.indexOf)
+      s"""  SELECT doc_id, $qid AS query_id,
+         |    ${scoreSumSql(idxs, idfRationalSql)} AS score
+         |  FROM tfd CROSS JOIN stats""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""${tfStatsSql(MultiTerms)},
+       |scores AS (
+       |$legs)""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -108,6 +205,17 @@ object RankQueries {
     // one reducer; no global sort at any scale.
     "ta_bm25" -> ((s, dir) =>
       bm25Scored(s, dir)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)),
+
+    // Top-10 BM25 with the textbook log idf — same plan as ta_bm25
+    // (map-only scan + 1-row broadcast + TakeOrderedAndProject); kept
+    // alongside the rational-idf form, which remains the bit-exact
+    // parity variant. Scores are rounded to 4dp and ranked on the
+    // rounded value so a ≤1-ulp libm divergence cannot reorder ties
+    // (doc_id breaks them).
+    "ta_bm25_log" -> ((s, dir) =>
+      bm25LogScored(s, dir)
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(10)),
 
@@ -146,6 +254,56 @@ object RankQueries {
         .limit(10)
     }),
 
+    // Multi-query hybrid RRF: a query TABLE (N queries, each with its
+    // own terms and its own query vector) fused per-query. Both
+    // retrievers produce per-query top-CandidateK via the bounded-heap
+    // UDAF — each group shuffles exactly K rows no matter how many
+    // candidates scored, so there is NO global window and no
+    // full-corpus sort anywhere; the only windows run inside per-query
+    // candidate sets of ≤ 2·CandidateK rows, partitioned by query_id.
+    // At 100 TB this scales in the number of queries, not corpus size.
+    "ss_hybrid_rrf_multi" -> ((s, dir) => {
+      val topkAgg = udaf(new graft.functions.TopKAggregator(CandidateK))
+      val textTop = multiBm25Scored(s, dir)
+        .groupBy("query_id")
+        .agg(topkAgg(col("doc_id"), col("score")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("query_id"), col("e._1").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rt"))
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val q = v.filter(col("vec_id") < MultiQueries.size)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qnrm"))
+      val vecTop = v.as("c")
+        .join(broadcast(q), col("query_id") =!= col("c.vec_id"))
+        .select(col("query_id"), col("c.vec_id").as("cand_id"),
+          round(dot(col("c.e"), col("qe")) / (col("c.nrm") * col("qnrm")), 4)
+            .as("cos"))
+        .groupBy("query_id")
+        .agg(topkAgg(col("cand_id"), col("cos")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("query_id"), col("e._1").as("vec_id"),
+          (col("pos") + 1).cast("int").as("rv"))
+      val fused = textTop.join(vecTop,
+          textTop("query_id") === vecTop("query_id") &&
+            textTop("doc_id") === vecTop("vec_id"), "full_outer")
+        .select(
+          coalesce(textTop("query_id"), vecTop("query_id")).cast("int")
+            .as("query_id"),
+          coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          col("rt"), col("rv"),
+          (coalesce(lit(1.0) / (lit(RrfK).cast("double") + col("rt")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK).cast("double") + col("rv")), lit(0.0)))
+            .as("rrf"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      fused.withColumn("rn", row_number().over(wq).cast("int"))
+        .filter(col("rn") <= FusedK)
+        .orderBy("query_id", "rn")
+    }),
+
     // k-NN graph, LSH-blocked: each vector's top-3 cosine neighbors
     // WITHIN its sign-bit bucket — the scale form of graph
     // construction (the all-pairs kNN graph is quadratic; bucketing
@@ -174,6 +332,42 @@ object RankQueries {
       s"""WITH ${bm25Sql}
          |SELECT doc_id, dl, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ta_bm25_log" ->
+      s"""WITH ${bm25LogSql}
+         |SELECT doc_id, dl, score FROM bm25
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ss_hybrid_rrf_multi" ->
+      s"""WITH ${multiBm25Sql},
+         |text_top AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) AS INT) AS rt
+         |  FROM scores QUALIFY rt <= $CandidateK),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |      FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm
+         |      FROM v WHERE vec_id < ${MultiQueries.size}),
+         |vec_top AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rv
+         |  FROM (SELECT q.query_id, c.vec_id,
+         |          round(list_dot_product(c.e, q.qe) / (c.nrm * q.qnrm), 4) AS cos
+         |        FROM v c JOIN q ON q.query_id <> c.vec_id)
+         |  QUALIFY rv <= $CandidateK),
+         |fused AS (
+         |  SELECT CAST(COALESCE(t.query_id, s.query_id) AS INT) AS query_id,
+         |    COALESCE(t.doc_id, s.vec_id) AS doc_id, rt, rv,
+         |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST($RrfK AS DOUBLE) + rt), CAST(0.0 AS DOUBLE))
+         |      + COALESCE(CAST(1.0 AS DOUBLE) / (CAST($RrfK AS DOUBLE) + rv), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM text_top t FULL OUTER JOIN vec_top s
+         |    ON t.query_id = s.query_id AND t.doc_id = s.vec_id)
+         |SELECT query_id, doc_id, rt, rv, rrf,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS INT) AS rn
+         |FROM fused QUALIFY rn <= $FusedK
+         |ORDER BY query_id, rn""".stripMargin,
     "ss_hybrid_rrf" ->
       s"""WITH ${bm25Sql},
          |text_top AS (
