@@ -18,7 +18,9 @@ object Stress {
         "dd_exact", "dd_minhash", "dd_ngram_jaccard", "dd_simhash64_pairs",
         "dd_embed_multiprobe", "dd_clusters", "dd_survivors", "ev_range_join",
         "pipe_pack_sequences", "q_ntile", "ta_repetition",
-        "ss_bruteforce_topk", "pipe_clean_corpus", "pipe_full_clean")
+        "ss_bruteforce_topk", "pipe_clean_corpus", "pipe_full_clean",
+        "ta_bm25", "dd_knn_graph", "dd_pagerank", "ss_kmeans_step",
+        "ta_zipf", "pipe_stratified_sample", "ss_hybrid_rrf_multi")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")
@@ -70,6 +72,35 @@ object Stress {
     // of capping at the language count.
     timed("pack_by_lang_shard") {
       graft.operators.PipelineQueries.packBySharded(spark, dst, 32)
+    }
+
+    // Zipfian-stratum probe for the two-phase stratified sampler: 90%
+    // of the amplified corpus collapsed into one language — the
+    // dominant-stratum shape that would hang a per-stratum window. The
+    // two-phase plan ranks only the boundary bucket (~1/256 of the hot
+    // stratum), so this completes in aggregate-scan time.
+    val skewDir = s"$dst/docs_skew"
+    spark.read.parquet(s"$dst/documents.parquet")
+      .withColumn("lang",
+        when(pmod(col("doc_id"), lit(10)) < 9, lit("en")).otherwise(col("lang")))
+      .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+    timed("stratified_sample_zipf_lang") {
+      SparkEntry.queries("pipe_stratified_sample")(spark, skewDir)
+    }
+
+    // Hub-graph triangle probe: one "boilerplate" doc paired with every
+    // other doc (the worst case dd_degree_hist detects) plus a rim
+    // path. Id-oriented wedge generation would enumerate C(hub_deg, 2)
+    // ≈ 1.3e11 wedges from the hub alone; degree orientation caps the
+    // hub's out-degree, so wedge volume stays O(m^1.5) and the count
+    // finishes in join time.
+    val hubDeg = 500000L
+    val hubEdges = spark.range(1, hubDeg + 1)
+      .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+    val rimEdges = spark.range(1, hubDeg)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    timed("triangles_hub_graph") {
+      graft.operators.GraphQueries.triangleCount(hubEdges.union(rimEdges))
     }
 
     // AsOfJoinExec skew probe: the custom exec declares a

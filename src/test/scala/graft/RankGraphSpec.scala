@@ -72,6 +72,47 @@ class RankGraphSpec extends AnyFunSuite {
     assert(total <= 1000000L && total > 990000L)
   }
 
+  test("pageRankMicro: iters=10 keeps the plan flat (per-round checkpoint)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("doc_a", "doc_b")
+    val pr = GraphQueries.pageRankMicro(pairs, iters = 10)
+    // Lineage is cut every round, so the final frame reads the last
+    // checkpointed RDD — no 10-round join tower in the plan.
+    val plan = pr.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"lineage not cut:\n$plan")
+    // 5-cycle: all nodes symmetric, full mass up to truncation loss.
+    val rows = pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 5 && rows.values.toSet.size == 1)
+    assert(rows.values.sum > 990000L)
+  }
+
+  test("pageRankMicro: integer fixpoint test stops a symmetric graph early") {
+    // Triangle: uniform pr is the exact fixpoint from round 1, so with
+    // tolMicro=0 the loop must detect Δ=0 and stop well before 50
+    // rounds — and still return the same values as the fixed-3 run.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val t0 = System.nanoTime()
+    val converged = GraphQueries.pageRankMicro(pairs, iters = 50, tolMicro = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    val fixed = GraphQueries.pageRankMicro(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(converged == fixed)
+    assert(secs < 60.0, s"50-round loop did not early-stop (${secs}s)")
+  }
+
+  test("triangleCount: hub + rim graph matches the closed form") {
+    // Star hub 0—{1..40} plus rim path i—(i+1): each rim edge closes
+    // exactly one triangle with the hub → 39 triangles. Under id
+    // orientation the hub would generate C(40,2) wedges; degree
+    // orientation generates them at the rim endpoints instead.
+    val edges = (1 to 40).map(i => (0L, i.toLong)) ++
+      (1 until 40).map(i => (i.toLong, i.toLong + 1))
+    val got = GraphQueries.triangleCount(edges.toDF("doc_a", "doc_b"))
+      .head().getLong(0)
+    assert(got == 39L)
+  }
+
   test("dd_triangles matches a naive count on the same pairs") {
     val pairs = run("dd_ngram_jaccard")
       .select("doc_a", "doc_b").collect()

@@ -303,4 +303,38 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
+
+  // AQE wraps the tree in AdaptiveSparkPlanExec whose `collect` doesn't
+  // descend into the inner plan; disable it for structural assertions.
+  private def nonAdaptivePlan(name: String) = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ta_zipf: every window is fed by a top-K limit, never the vocabulary") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = nonAdaptivePlan("ta_zipf")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected rank windows in:\n$plan")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined,
+        s"window runs over an unbounded input (no TakeOrderedAndProject below):\n$plan")
+    }
+  }
+
+  test("pipe_stratified_sample: no unpartitioned window; ranking is per-(lang, bucket)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = nonAdaptivePlan("pipe_stratified_sample")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected windows in:\n$plan")
+    // Corpus rows are only ever ranked inside a (lang, bucket) group —
+    // 1/256th of a stratum; the lang-partitioned windows run over the
+    // langs×256 bucket-count aggregate, never the raw corpus.
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window found:\n$plan")
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      s"no (lang, bucket)-partitioned boundary ranking found:\n$plan")
+  }
 }
