@@ -24,7 +24,7 @@ object SparkEntry {
       EventQueries.queries ++ RangeJoin.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ DedupClusters.queries ++
       Similarity.queries ++ RankQueries.queries ++ GraphQueries.queries ++
-      QualityQueries.queries ++
+      QualityQueries.queries ++ QuantileQueries.queries ++
       Multimodal.queries ++ PipelineQueries.queries ++ SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,6 +35,6 @@ object SparkEntry {
       EventQueries.oracleSql ++ RangeJoin.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ DedupClusters.oracleSql ++
       Similarity.oracleSql ++ RankQueries.oracleSql ++ GraphQueries.oracleSql ++
-      QualityQueries.oracleSql ++
+      QualityQueries.oracleSql ++ QuantileQueries.oracleSql ++
       Multimodal.oracleSql ++ PipelineQueries.oracleSql ++ SourceQueries.oracleSql
 }

@@ -337,4 +337,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(windows.exists(_.partitionSpec.size >= 2),
       s"no (lang, bucket)-partitioned boundary ranking found:\n$plan")
   }
+
+  test("q_exact_quantiles: row ranking is bucket-scoped; unpartitioned windows see only aggregates") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = nonAdaptivePlan("q_exact_quantiles")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected windows in:\n$plan")
+    // The cumulative windows run over the per-bucket count aggregate
+    // (bounded by the value domain / bucket width); raw rows are only
+    // ranked inside the boundary bucket, partitioned by stat.
+    windows.foreach { w =>
+      val overAggregate =
+        w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined
+      assert(w.partitionSpec.nonEmpty || overAggregate,
+        s"unpartitioned window over raw rows:\n$plan")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"no per-stat boundary ranking window found:\n$plan")
+  }
 }
