@@ -196,6 +196,66 @@ object Dedup {
     // banded-LSH candidate set is bounded by true similarity instead.
     "dd_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
+    // EXACT word-level Jaccard similarity join via prefix filtering
+    // (PPJoin / AllPairs): unlike the LSH path this has RECALL 1 by
+    // theorem, not in expectation — two sets with J ≥ t MUST share a
+    // token within their first |d| − ⌈t·|d|⌉ + 1 tokens when every
+    // doc's tokens are sorted by one global rarity order (df asc).
+    // The candidate join therefore keys on RARE tokens only: prefix
+    // groups are small by construction (a token frequent enough to
+    // make large groups is too frequent to be in prefixes). Dataflow:
+    // one (doc, token) distinct, one df aggregation, per-doc sorted
+    // arrays, prefix explode (~(1−t)·|d| rows per doc), group-by-token
+    // pair generation, array-intersect verify of the DISTINCT
+    // candidates. Threshold math is pure integer cross-multiplication
+    // (t = 0.7 ⇒ 10·inter ≥ 7·union), so membership is engine-exact.
+    // Caveat shared with every blocking scheme: exact-duplicate
+    // classes make prefix groups quadratic — run exact dedup first
+    // (pipe_clean_corpus ordering).
+    "dd_jaccard_prefix" -> ((s, dir) => {
+      val docTok = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("token"))
+      val tdf = docTok.groupBy("token").agg(count(lit(1)).as("tdf"))
+      val docs = docTok.join(tdf, "token")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("tdf"), col("token")))).as("st"))
+        .select(col("doc_id"),
+          transform(col("st"), e => e.getField("token")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        // consumed three times (prefix explode + both verify sides) —
+        // materialize once instead of recomputing the df join per leg
+        .localCheckpoint(true)
+      // prefix length = n − ⌈0.7·n⌉ + 1; candidate pairs must also be
+      // length-compatible (10·na ≥ 7·nb both ways) — the standard
+      // length filter prunes most of the cross product before verify.
+      val pre = docs
+        .withColumn("plen", (col("n") - expr("(7 * n + 9) DIV 10") + 1).cast("int"))
+        .select(col("doc_id"), col("n"),
+          explode(slice(col("toks"), lit(1), col("plen"))).as("token"))
+      val cand = pre.groupBy("token")
+        .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a"), explode(col("ds")).as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 10 >= col("b.n") * 7 &&
+          col("b.n") * 10 >= col("a.n") * 7)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+          col("n").as("na")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+          col("n").as("nb")), "doc_b")
+        .withColumn("n_inter",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .filter(col("n_inter") * 10 >= (col("na") + col("nb") - col("n_inter")) * 7)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Embedding cosine near-dup with sign-bit LSH blocking.
     // Deliberate rounding asymmetry vs the jaccard queries: a cosine is
     // quasi-continuous (midpoint hit probability ~1e-12 per value), so
@@ -433,6 +493,35 @@ object Dedup {
          |JOIN cnt ca ON doc_a = ca.doc_id
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_jaccard_prefix" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, w AS token
+         |  FROM (SELECT doc_id, unnest(${OracleSql.toks}) AS w FROM documents)),
+         |tdf AS (SELECT token, count(*) AS tdf FROM dt GROUP BY token),
+         |docs AS (
+         |  SELECT d.doc_id, list(d.token ORDER BY f.tdf, d.token) AS toks,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM dt d JOIN tdf f ON d.token = f.token
+         |  GROUP BY d.doc_id),
+         |pre AS (
+         |  SELECT doc_id, n,
+         |    unnest(list_slice(toks, 1, CAST(n - (7 * n + 9) // 10 + 1 AS INT))) AS token
+         |  FROM docs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pre a JOIN pre b ON a.token = b.token AND a.doc_id < b.doc_id
+         |   AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7),
+         |v AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_inter,
+         |    da.n AS na, db.n AS nb
+         |  FROM cand c
+         |  JOIN docs da ON c.doc_a = da.doc_id
+         |  JOIN docs db ON c.doc_b = db.doc_id)
+         |SELECT doc_a, doc_b, n_inter,
+         |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+         |FROM v WHERE n_inter * 10 >= 7 * (na + nb - n_inter)
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_embed_multiprobe" -> {
       val flipsSql = "bucket" +: (1 to 8).map { i =>

@@ -190,4 +190,25 @@ class OperatorsSpec extends AnyFunSuite {
       val s = r.getLong(1); val n = r.getLong(2); s >= 1 && s <= n
     })
   }
+
+  test("dd_jaccard_prefix equals the brute-force O(n²) similarity join") {
+    // Prefix filtering claims recall 1 BY THEOREM (not in expectation,
+    // unlike LSH) — so the result must equal the full quadratic join,
+    // not approximate it. Brute-force is feasible at sf0.001.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+    val expected = (for {
+      (a, ta) <- docs
+      (b, tb) <- docs if a < b
+      inter = (ta & tb).size
+      if inter * 10 >= 7 * (ta.size + tb.size - inter)
+    } yield (a, b, inter.toLong)).toSet
+    val got = run("dd_jaccard_prefix").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.nonEmpty) // the corpus does contain near-dups
+  }
 }
