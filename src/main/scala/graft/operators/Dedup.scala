@@ -196,60 +196,72 @@ object Dedup {
     // banded-LSH candidate set is bounded by true similarity instead.
     "dd_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
-    // EXACT word-level Jaccard similarity join via prefix filtering
+    // EXACT shingle Jaccard similarity join via prefix filtering
     // (PPJoin / AllPairs): unlike the LSH path this has RECALL 1 by
-    // theorem, not in expectation — two sets with J ≥ t MUST share a
-    // token within their first |d| − ⌈t·|d|⌉ + 1 tokens when every
-    // doc's tokens are sorted by one global rarity order (df asc).
-    // The candidate join therefore keys on RARE tokens only: prefix
-    // groups are small by construction (a token frequent enough to
-    // make large groups is too frequent to be in prefixes). Dataflow:
-    // one (doc, token) distinct, one df aggregation, per-doc sorted
-    // arrays, prefix explode (~(1−t)·|d| rows per doc), group-by-token
-    // pair generation, array-intersect verify of the DISTINCT
-    // candidates. Threshold math is pure integer cross-multiplication
-    // (t = 0.7 ⇒ 10·inter ≥ 7·union), so membership is engine-exact.
+    // theorem, not in expectation — two sets with J ≥ t MUST share an
+    // element within their first |d| − ⌈t·|d|⌉ + 1 elements when every
+    // doc's shingles are sorted by one global rarity order (df asc).
+    // Same basis and threshold as dd_ngram_jaccard (distinct 3-gram
+    // shingles, J ≥ 0.5), so this is the exact-recall ground truth the
+    // LSH→verify pipeline approximates: its output must be a SUPERSET
+    // of dd_ngram_jaccard's (pinned in OperatorsSpec, with brute-force
+    // equality at sf0.001). Token sets would be degenerate here — the
+    // 31-word vocabulary makes 41% of ALL doc pairs word-set-similar —
+    // but the 27k-shingle space has avg df ~10, so rarity-ordered
+    // prefixes genuinely prune: candidate groups key on each doc's
+    // RAREST half, and the length filter (2·na ≥ nb both ways) culls
+    // cross-size pairs before any verify. Threshold math is integer
+    // cross-multiplication (t = 0.5 ⇒ 2·inter ≥ union), engine-exact.
     // Caveat shared with every blocking scheme: exact-duplicate
-    // classes make prefix groups quadratic — run exact dedup first
+    // classes make candidate groups quadratic — run exact dedup first
     // (pipe_clean_corpus ordering).
     "dd_jaccard_prefix" -> ((s, dir) => {
-      val docTok = Tables.documents(s, dir)
+      val docSh = Tables.documents(s, dir)
         .select(col("doc_id"),
-          explode(array_distinct(tokens(col("text")))).as("token"))
-      val tdf = docTok.groupBy("token").agg(count(lit(1)).as("tdf"))
-      val docs = docTok.join(tdf, "token")
+          explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+      val sdf = docSh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      val docs = docSh.join(sdf, "shingle")
         .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("tdf"), col("token")))).as("st"))
+        .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
         .select(col("doc_id"),
-          transform(col("st"), e => e.getField("token")).as("toks"))
-        .withColumn("n", size(col("toks")).cast("long"))
+          transform(col("st"), e => e.getField("shingle")).as("shs"))
+        .withColumn("n", size(col("shs")).cast("long"))
         // consumed three times (prefix explode + both verify sides) —
         // materialize once instead of recomputing the df join per leg
         .localCheckpoint(true)
-      // prefix length = n − ⌈0.7·n⌉ + 1; candidate pairs must also be
-      // length-compatible (10·na ≥ 7·nb both ways) — the standard
-      // length filter prunes most of the cross product before verify.
+      // prefix length = n − ⌈0.5·n⌉ + 1; p = the shingle's 1-based
+      // position in the doc's rarity order, for positional filtering
       val pre = docs
-        .withColumn("plen", (col("n") - expr("(7 * n + 9) DIV 10") + 1).cast("int"))
+        .withColumn("plen", (col("n") - expr("(n + 1) DIV 2") + 1).cast("int"))
         .select(col("doc_id"), col("n"),
-          explode(slice(col("toks"), lit(1), col("plen"))).as("token"))
-      val cand = pre.groupBy("token")
-        .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+          posexplode(slice(col("shs"), lit(1), col("plen"))).as(Seq("p0", "shingle")))
+        .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"), col("shingle"))
+      // PPJoin positional filter on top of the length filter: a pair
+      // whose FIRST shared prefix element sits at positions (pa, pb)
+      // can overlap at most min(na−pa, nb−pb)+1 elements, and J ≥ 0.5
+      // needs overlap ≥ ⌈(na+nb)/3⌉ — occurrences violating the bound
+      // can't be the first shared element of a qualifying pair, so
+      // dropping them keeps recall 1 while pruning the candidate set
+      // before the distinct + verify.
+      val cand = pre.groupBy("shingle")
+        .agg(collect_list(struct(col("doc_id"), col("n"), col("p"))).as("ds"))
         .select(explode(col("ds")).as("a"), col("ds"))
         .select(col("a"), explode(col("ds")).as("b"))
         .filter(col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 10 >= col("b.n") * 7 &&
-          col("b.n") * 10 >= col("a.n") * 7)
+          col("a.n") * 2 >= col("b.n") &&
+          col("b.n") * 2 >= col("a.n") &&
+          (least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) + 1) * 3 >=
+            col("a.n") + col("b.n"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
           col("n").as("na")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
           col("n").as("nb")), "doc_b")
         .withColumn("n_inter",
-          size(array_intersect(col("ta"), col("tb"))).cast("long"))
-        .filter(col("n_inter") * 10 >= (col("na") + col("nb") - col("n_inter")) * 7)
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .filter(col("n_inter") * 2 >= col("na") + col("nb") - col("n_inter"))
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
             .as("jaccard"))
@@ -495,33 +507,31 @@ object Dedup {
          |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_jaccard_prefix" ->
-      s"""WITH dt AS (
-         |  SELECT DISTINCT doc_id, w AS token
-         |  FROM (SELECT doc_id, unnest(${OracleSql.toks}) AS w FROM documents)),
-         |tdf AS (SELECT token, count(*) AS tdf FROM dt GROUP BY token),
+      s"""WITH dt AS ($shinglesSql),
+         |sdf AS (SELECT shingle, count(*) AS sdf FROM dt GROUP BY shingle),
          |docs AS (
-         |  SELECT d.doc_id, list(d.token ORDER BY f.tdf, d.token) AS toks,
+         |  SELECT d.doc_id, list(d.shingle ORDER BY f.sdf, d.shingle) AS shs,
          |    CAST(count(*) AS BIGINT) AS n
-         |  FROM dt d JOIN tdf f ON d.token = f.token
+         |  FROM dt d JOIN sdf f ON d.shingle = f.shingle
          |  GROUP BY d.doc_id),
          |pre AS (
-         |  SELECT doc_id, n,
-         |    unnest(list_slice(toks, 1, CAST(n - (7 * n + 9) // 10 + 1 AS INT))) AS token
-         |  FROM docs),
+         |  SELECT doc_id, n, CAST(i AS BIGINT) AS p, shs[CAST(i AS INT)] AS shingle
+         |  FROM docs, UNNEST(range(1, n - (n + 1) // 2 + 2)) AS u(i)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM pre a JOIN pre b ON a.token = b.token AND a.doc_id < b.doc_id
-         |   AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7),
+         |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |   AND a.n * 2 >= b.n AND b.n * 2 >= a.n
+         |   AND (least(a.n - a.p, b.n - b.p) + 1) * 3 >= a.n + b.n),
          |v AS (
          |  SELECT c.doc_a, c.doc_b,
-         |    CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS n_inter,
+         |    CAST(len(list_intersect(da.shs, db.shs)) AS BIGINT) AS n_inter,
          |    da.n AS na, db.n AS nb
          |  FROM cand c
          |  JOIN docs da ON c.doc_a = da.doc_id
          |  JOIN docs db ON c.doc_b = db.doc_id)
          |SELECT doc_a, doc_b, n_inter,
          |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
-         |FROM v WHERE n_inter * 10 >= 7 * (na + nb - n_inter)
+         |FROM v WHERE n_inter * 2 >= na + nb - n_inter
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_embed_multiprobe" -> {
       val flipsSql = "bucket" +: (1 to 8).map { i =>

@@ -197,18 +197,36 @@ class OperatorsSpec extends AnyFunSuite {
     // not approximate it. Brute-force is feasible at sf0.001.
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) ->
-        r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+      .map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }
+      .filter(_._2.nonEmpty)
     val expected = (for {
       (a, ta) <- docs
       (b, tb) <- docs if a < b
       inter = (ta & tb).size
-      if inter * 10 >= 7 * (ta.size + tb.size - inter)
+      if inter * 2 >= ta.size + tb.size - inter
     } yield (a, b, inter.toLong)).toSet
     val got = run("dd_jaccard_prefix").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected,
       s"missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
     assert(expected.nonEmpty) // the corpus does contain near-dups
+  }
+
+  test("dd_jaccard_prefix is a superset of the LSH-verified pairs") {
+    // Same basis (distinct 3-gram shingles) and threshold (J >= 0.5) as
+    // dd_ngram_jaccard, but exact recall: everything LSH finds must be
+    // in the exact join; any extras are pairs the banded signatures
+    // missed.
+    val exact = run("dd_jaccard_prefix").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("dd_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    assert((lsh -- exact).isEmpty,
+      s"LSH produced pairs the exact join lacks: ${(lsh -- exact).take(5)}")
   }
 }
