@@ -11,7 +11,74 @@ import org.apache.spark.sql.functions._
   * `runMain graft.Stress [factor] [queries...]`.
   */
 object Stress {
+
+  /** Oversized-bucket probe, runnable in a SMALL-heap JVM
+    * (`java -Xmx2g -cp "target/scala-2.13/classes:<spark jars>"
+    * graft.Stress pairgen [classSize]`): a `classSize`-member
+    * exact-duplicate class landing in ONE bucket — the case that OOMed
+    * the single-buffer `collect_list` pair generation — must complete
+    * through [[graft.operators.PairGen.saltedPairs]] with bounded
+    * buffers, plus the real dd_minhash operator over a corpus carrying
+    * a (classSize/10)-member duplicate class. Pair output is
+    * inherently quadratic (those pairs exist); the probe verifies the
+    * exact count C(g,2)·bands and the wall-clock stays generation-
+    * bound, not spill/OOM-bound.
+    */
+  private def pairgenStress(spark: SparkSession, classSize: Long): Unit = {
+    import graft.operators.PairGen
+    val expected = classSize * (classSize - 1) / 2
+    var t0 = System.nanoTime()
+    val got = PairGen.saltedPairs(
+        spark.range(0, classSize)
+          .select(lit(0).as("k"), struct(col("id").as("doc_id")).as("v")),
+        Seq("k"), "doc_id")
+      .count()
+    println(f"STRESS pairgen_dup_class g=$classSize pairs=$got " +
+      f"expected=$expected ok=${got == expected} " +
+      f"time=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      f"heap_max_mb=${Runtime.getRuntime.maxMemory() / 1024 / 1024}")
+    require(got == expected, s"pair count mismatch: $got != $expected")
+    // The real operator end-to-end: sf0.001 docs plus a duplicate
+    // class 10× over the salting cap — every band bucket of the class
+    // is one mega-bucket; dd_minhash's groupBy(doc_a, doc_b) then
+    // aggregates bands·C(g,2) candidate rows.
+    val dupDocs = classSize / 10
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairgen").toString
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dupText = "the same boilerplate text repeated across the corpus " +
+      "with enough words to shingle into a realistic signature footprint"
+    base.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .union(
+        spark.range(0, dupDocs).select(
+          (col("id") + 10000000L).as("doc_id"), lit(dupText).as("text"),
+          lit("en").as("lang"), lit("stress").as("source"),
+          lit(dupText.length.toLong).as("n_chars")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    t0 = System.nanoTime()
+    val pairs = SparkEntry.queries("dd_minhash")(spark, dir).count()
+    println(f"STRESS dd_minhash_dup_class g=$dupDocs pairs=$pairs " +
+      f"(>= ${dupDocs * (dupDocs - 1) / 2} from the class) " +
+      f"time=${(System.nanoTime() - t0) / 1e9}%.1f")
+    require(pairs >= dupDocs * (dupDocs - 1) / 2)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pairgen")) {
+      // local[8] at a 2 GB heap = 256 MB per concurrent task — harsher
+      // than any sane production sizing (local[32] would grant 64 MB a
+      // task, a config no 100 TB cluster runs)
+      val spark = SparkSession.builder().master("local[8]")
+        .appName("graft-stress-pairgen")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try pairgenStress(spark, args.drop(1).headOption.map(_.toLong).getOrElse(100000L))
+      finally spark.stop()
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("wordcount", "q1_agg", "q_join_large", "ta_tfidf",

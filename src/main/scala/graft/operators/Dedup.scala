@@ -96,11 +96,14 @@ object Dedup {
     }),
 
     // MinHash LSH candidate pairs + signature-estimated Jaccard.
-    // Single plan tree: each band row carries the full signature
-    // vector, so the pair join produces both signatures directly — no
-    // re-join against the signature table and no caching (measured:
-    // materializing the 16-string-column cache costs more than one
-    // recompute at this width).
+    // Each band row carries the full signature vector, so the pair
+    // generation produces both signatures directly — no re-join
+    // against the signature table. Band rows checkpoint once (4 long-
+    // array rows per doc) and pairs come from [[PairGen.saltedPairs]]:
+    // LSH bounds TRUE-similarity buckets, but an exact-duplicate class
+    // lands whole in one bucket, and the salted two-level generation
+    // keeps every aggregation buffer ≤ ~2·cap members no matter how
+    // large the class (identical pair multiset; see PairGen).
     "dd_minhash" -> ((s, dir) => {
       val sigs = signatures(s, dir)
         .withColumn("sigv", array((0 until NumHashes).map(i => col(s"sig$i")): _*))
@@ -112,18 +115,12 @@ object Dedup {
         .select(col("doc_id"), col("sigv"), explode(array(bandStructs: _*)).as("bd"))
         .select(col("doc_id"), col("sigv"),
           col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
-      // within-bucket pair generation (groupBy band → collect_list →
-      // ordered pairs): the band self-join form executes the signature
-      // aggregation twice (two scan legs of an un-persisted frame);
-      // LSH bounds each bucket, so materializing one bucket's members
-      // per group is the scale-safe direction
+        .localCheckpoint(true)
       val eqCnt = size(filter(zip_with(col("a.sigv"), col("b.sigv"), (x, y) => x === y), p => p))
-      b.groupBy("band_idx", "band_hash")
-        .agg(collect_list(struct(col("doc_id"), col("sigv"))).as("m"))
-        .filter(size(col("m")) > 1)
-        .select(explode(col("m")).as("a"), col("m"))
-        .select(col("a"), explode(col("m")).as("b"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
+      PairGen.saltedPairs(
+          b.select(col("band_idx"), col("band_hash"),
+            struct(col("doc_id"), col("sigv")).as("v")),
+          Seq("band_idx", "band_hash"), "doc_id")
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), eqCnt.as("eq"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_shared_bands"), max(col("eq")).as("max_eq"))
@@ -155,14 +152,11 @@ object Dedup {
     "dd_simhash64_pairs" -> ((s, dir) => {
       // Same native-long bit extraction as dd_simhash; the 64-bit
       // majority vote is ONE typed accumulator aggregate (int[65]
-      // buffer per doc), not 64 per-bit sum columns. Candidate pairs
-      // come from WITHIN-BUCKET pair generation (groupBy band →
-      // collect_list → ordered pairs) instead of a band self-join: the
-      // self-join form executes the whole token aggregation twice (the
-      // two scan legs of an un-persisted derived frame), and at 100 TB
-      // a per-band bucket is LSH-bounded small while the hash table
-      // is corpus-sized — so materializing buckets, never the hashes,
-      // is the scale-safe direction.
+      // buffer per doc), not 64 per-bit sum columns. Band rows
+      // checkpoint once (the token aggregation must not run twice) and
+      // candidate pairs come from [[PairGen.saltedPairs]] — bounded
+      // aggregation buffers even when an exact-duplicate class lands a
+      // whole corpus slice in one 16-bit band bucket.
       val hashes = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .withColumn("hl", graft.functions.Md5PrefixLong.md5_prefix_long(col("word")))
@@ -174,13 +168,11 @@ object Dedup {
             expr(s"(sh >> ${16 * j}) & 65535").as("band_val"))): _*)).as("bd"))
         .select(col("doc_id"), col("sh"),
           col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
-      banded
-        .groupBy("band_idx", "band_val")
-        .agg(collect_list(struct(col("doc_id"), col("sh"))).as("m"))
-        .filter(size(col("m")) > 1)
-        .select(explode(col("m")).as("a"), col("m"))
-        .select(col("a"), explode(col("m")).as("b"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
+        .localCheckpoint(true)
+      PairGen.saltedPairs(
+          banded.select(col("band_idx"), col("band_val"),
+            struct(col("doc_id"), col("sh")).as("v")),
+          Seq("band_idx", "band_val"), "doc_id")
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").as("hamming"))
         .filter(col("hamming") <= 3)
@@ -212,13 +204,18 @@ object Dedup {
     // RAREST half, and the length filter (2·na ≥ nb both ways) culls
     // cross-size pairs before any verify. Threshold math is integer
     // cross-multiplication (t = 0.5 ⇒ 2·inter ≥ union), engine-exact.
-    // Caveat shared with every blocking scheme: exact-duplicate
-    // classes make candidate groups quadratic — run exact dedup first
-    // (pipe_clean_corpus ordering).
+    // Exact-duplicate classes would make candidate groups quadratic in
+    // OUTPUT (those pairs genuinely qualify); the generation buffers
+    // stay bounded via the salted pair-gen below.
     "dd_jaccard_prefix" -> ((s, dir) => {
+      // One shingle materialization feeds everything downstream: the
+      // df aggregate and the rarity join both read this checkpoint, so
+      // `documents` is scanned (and shingled) exactly once per query
+      // instead of once per plan leg.
       val docSh = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+        .localCheckpoint(true)
       val sdf = docSh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
       val docs = docSh.join(sdf, "shingle")
         .groupBy("doc_id")
@@ -242,13 +239,16 @@ object Dedup {
       // needs overlap ≥ ⌈(na+nb)/3⌉ — occurrences violating the bound
       // can't be the first shared element of a qualifying pair, so
       // dropping them keeps recall 1 while pruning the candidate set
-      // before the distinct + verify.
-      val cand = pre.groupBy("shingle")
-        .agg(collect_list(struct(col("doc_id"), col("n"), col("p"))).as("ds"))
-        .select(explode(col("ds")).as("a"), col("ds"))
-        .select(col("a"), explode(col("ds")).as("b"))
-        .filter(col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 2 >= col("b.n") &&
+      // before the distinct + verify. Pair generation per prefix-
+      // shingle bucket goes through the salted two-level form
+      // (bounded buffers even on a pathologically common shingle);
+      // both filters stay symmetric in (a, b), so the id ordering the
+      // generator fixes matches the oracle's a.doc_id < b.doc_id.
+      val cand = PairGen.saltedPairs(
+          pre.select(col("shingle"),
+            struct(col("doc_id"), col("n"), col("p")).as("v")),
+          Seq("shingle"), "doc_id")
+        .filter(col("a.n") * 2 >= col("b.n") &&
           col("b.n") * 2 >= col("a.n") &&
           (least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) + 1) * 3 >=
             col("a.n") + col("b.n"))
@@ -340,25 +340,23 @@ object Dedup {
   private[operators] def verifiedPairs(
       s: SparkSession, dir: String, dedup: Boolean): DataFrame = {
 
-      // Candidates via within-bucket pair generation — one execution
-      // of the signature pipeline (a band self-join would run it twice)
-      val b = bands(signatures(s, dir))
-      val candRaw = b.groupBy("band_idx", "band_hash")
-        .agg(collect_list(col("doc_id")).as("m"))
-        .filter(size(col("m")) > 1)
-        .select(explode(col("m")).as("doc_a"), col("m"))
-        .select(col("doc_a"), explode(col("m")).as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
+      // Candidates via salted within-bucket pair generation
+      // ([[PairGen.saltedPairs]]). Band rows checkpoint once — the
+      // signature pipeline must not run twice for the generator's
+      // size-count + salt-join legs (4 small rows per doc, the same
+      // materialization discipline as the CC loop). True LSH buckets
+      // are similarity-bounded, but an exact-duplicate class lands
+      // whole in one bucket; the salting keeps every aggregation
+      // buffer ≤ ~2·cap members and spreads a mega-bucket's cells
+      // across the cluster — measured at the 100k-duplicate-class
+      // point in SCALE.md (graft.Stress `pairgen_100k_dup_class`).
+      val b = bands(signatures(s, dir)).localCheckpoint(true)
+      val candRaw = PairGen.saltedPairs(
+          b.select(col("band_idx"), col("band_hash"),
+            struct(col("doc_id")).as("v")),
+          Seq("band_idx", "band_hash"), "doc_id")
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       val cand = if (dedup) candRaw.distinct() else candRaw
-      // Bucket-size caveat (applies to every collect_list pair-gen in
-      // this file): one bucket's members materialize in a group buffer,
-      // so the LARGEST bucket must fit executor memory. True LSH
-      // buckets are similarity-bounded, but an exact-duplicate class
-      // lands whole in one bucket — which is why the documented
-      // pipeline order runs exact dedup FIRST (pipe_clean_corpus /
-      // pipe_full_clean); see SCALE.md for the measured dup-heavy
-      // worst case and the oversized-bucket handling options.
       // Verify with per-doc shingle SETS carried as array columns:
       // n_inter = |array_intersect| — the same distinct-shingle
       // intersection the row-explosion form computes, without the
