@@ -80,10 +80,15 @@ object PgmCodec {
     // Exactly ONE whitespace byte separates the header from the raster.
     if (pos >= bytes.length || !isSpace(bytes(pos))) fail("missing raster separator")
     pos += 1
-    val n = width * height
+    // Long arithmetic: a header like "P5 65536 65536 255" would wrap
+    // width*height to 0 in Int and silently return an empty raster —
+    // the exact silent-corruption failure this parser exists to refuse.
+    val n = width.toLong * height
+    if (n > Int.MaxValue)
+      fail(s"raster size ${width}x$height overflows the byte-array limit")
     if (bytes.length - pos < n)
       fail(s"raster truncated: need $n bytes, have ${bytes.length - pos}")
-    Pgm(width, height, maxVal, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+    Pgm(width, height, maxVal, java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt))
   }
 
   /** Nearest-neighbor resize of a decoded raster to `ow`×`oh`:

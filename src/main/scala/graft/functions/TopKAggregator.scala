@@ -56,3 +56,52 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[(Long, Double)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
 }
+
+/** String-keyed sibling of [[TopKAggregator]]: bounded top-k of
+  * (term, count) by (count desc, term asc) with an O(k) buffer — the
+  * grouped-top-k shape for vocabulary frames (bigram continuations),
+  * where a window would sort one head word's whole successor set in a
+  * task and a `collect_list` would buffer it. Partial aggregates keep
+  * exactly k entries, so a Zipfian head word with 10⁸ distinct
+  * successors shuffles k rows, not 10⁸.
+  */
+class TopKStringAggregator(k: Int)
+    extends Aggregator[(String, Long), mutable.PriorityQueue[(Long, String)], Seq[(String, Long)]] {
+
+  // "strongest first" = (count desc, term asc) minimal; the max-heap
+  // head is the weakest entry — the eviction candidate.
+  private val ord: Ordering[(Long, String)] =
+    Ordering.Tuple2(Ordering[Long].reverse, Ordering[String])
+
+  override def zero: mutable.PriorityQueue[(Long, String)] =
+    mutable.PriorityQueue.empty[(Long, String)](ord)
+
+  private def insert(
+      b: mutable.PriorityQueue[(Long, String)],
+      e: (Long, String)): mutable.PriorityQueue[(Long, String)] = {
+    if (b.size < k) b.enqueue(e)
+    else if (ord.lt(e, b.head)) { b.dequeue(); b.enqueue(e) }
+    b
+  }
+
+  override def reduce(
+      b: mutable.PriorityQueue[(Long, String)],
+      a: (String, Long)): mutable.PriorityQueue[(Long, String)] =
+    insert(b, (a._2, a._1))
+
+  override def merge(
+      b1: mutable.PriorityQueue[(Long, String)],
+      b2: mutable.PriorityQueue[(Long, String)]): mutable.PriorityQueue[(Long, String)] = {
+    b2.foreach(insert(b1, _))
+    b1
+  }
+
+  override def finish(b: mutable.PriorityQueue[(Long, String)]): Seq[(String, Long)] =
+    b.toSeq.sortBy { case (cnt, term) => (-cnt, term) }
+      .map { case (cnt, term) => (term, cnt) }
+
+  override def bufferEncoder: Encoder[mutable.PriorityQueue[(Long, String)]] =
+    Encoders.kryo[mutable.PriorityQueue[(Long, String)]]
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+}

@@ -47,7 +47,16 @@ object GraphQueries {
     * dangling-mass redistribution term.
     */
   def pageRankMicro(pairs: DataFrame, iters: Int = Iters,
-                    tolMicro: Long = -1L): DataFrame = {
+                    tolMicro: Long = -1L): DataFrame =
+    pageRankMicroRounds(pairs, iters, tolMicro)._1
+
+  /** [[pageRankMicro]] plus the number of rounds actually executed —
+    * observable evidence for the early-stop fixpoint test (a timing
+    * assertion can't distinguish "converged after 1 round" from "ran
+    * all 50 fast").
+    */
+  def pageRankMicroRounds(pairs: DataFrame, iters: Int = Iters,
+                          tolMicro: Long = -1L): (DataFrame, Int) = {
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
@@ -82,7 +91,7 @@ object GraphQueries {
       pr = next.select("id", "deg", "n_nodes", "pr")
       round += 1
     }
-    pr.select(col("id"), col("pr"))
+    (pr.select(col("id"), col("pr")), round)
   }
 
   /** Exact triangle count over an undirected (doc_a, doc_b) pair list

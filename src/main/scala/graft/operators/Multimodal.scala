@@ -50,8 +50,16 @@ object Multimodal {
   /** Typed partition-batched encode → DECODE (real PGM parse) →
     * resize → feature-extract → frame-sample pipeline over binary
     * payloads.
+    *
+    * `keepRaster = false` drops the decoded full raster from the
+    * output rows (empty `pixels`): the feature/frame queries consume
+    * only the 8×8 resize, histogram and frame sample, and carrying a
+    * payload-sized column they immediately discard would double their
+    * per-row serialization. Only `mm_decode_pgm`, which checksums the
+    * raster itself, asks for it.
     */
-  def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeature] = {
+  def extractFeatures(s: SparkSession, dir: String,
+                      keepRaster: Boolean = false): Dataset[MediaFeature] = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -63,7 +71,8 @@ object Multimodal {
         var i = 0
         while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
         MediaFeature(id, payload.length, img.width, img.height, img.maxVal,
-          sum, img.pixels, PgmCodec.grayHistogram(small.pixels, 16),
+          sum, if (keepRaster) img.pixels else Array.emptyByteArray,
+          PgmCodec.grayHistogram(small.pixels, 16),
           small.pixels, sampleFrames(payload, stride = 16))
       })
   }
@@ -91,7 +100,7 @@ object Multimodal {
     // corpus + space padding ⇒ raster == rpad(text, w·h, ' ')), so a
     // parser bug of even one byte shows up as a hash mismatch.
     "mm_decode_pgm" -> ((s, dir) => {
-      extractFeatures(s, dir).toDF()
+      extractFeatures(s, dir, keepRaster = true).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("max_val"),
           (col("width") * col("height")).cast("int").as("n_pixels"),
           col("pixel_sum"),

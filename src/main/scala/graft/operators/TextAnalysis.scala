@@ -162,26 +162,28 @@ object TextAnalysis {
     // Bigram language model — corpus-level P(w2 | w1) as exact
     // rationals (bigram count / w1-start count): the n-gram LM shape
     // (perplexity-filter precursor) without a logarithm, so no libm
-    // divergence between engines. Top-5 continuations per head word;
-    // one bigram aggregation + two bounded windows over the small
-    // (w1, w2) domain.
+    // divergence between engines. Top-5 continuations per head word.
+    // NO window anywhere: a Zipfian head word at web scale has
+    // 10⁷–10⁸ distinct successors, and a w1-partitioned window sorts
+    // them all in one task — instead ONE aggregation keyed by w1
+    // computes c1 (sum) and the top-5 (bounded-heap UDAF, k rows per
+    // partial aggregate) together, then posexplode recovers the rank
+    // from the already-ordered 5-element array.
     "ta_bigram_lm" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val bg = Tables.documents(s, dir)
         .select(explode(
           graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bg"))
         .select(
           element_at(split(col("bg"), " ", -1), 1).as("w1"),
           element_at(split(col("bg"), " ", -1), 2).as("w2"))
-      val wSum = Window.partitionBy(col("w1"))
-      val wTop = Window.partitionBy(col("w1"))
-        .orderBy(col("c12").desc, col("w2").asc)
+      val top5 = udaf(new graft.functions.TopKStringAggregator(5))
       bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .withColumn("c1", sum(col("c12")).over(wSum))
-        .withColumn("p", col("c12").cast("double") / col("c1"))
-        .withColumn("rk", row_number().over(wTop).cast("int"))
-        .filter(col("rk") <= 5)
-        .select("w1", "w2", "c12", "c1", "p", "rk")
+        .groupBy("w1")
+        .agg(top5(col("w2"), col("c12")).as("top"), sum(col("c12")).as("c1"))
+        .select(col("w1"), col("c1"), posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("w1"), col("e._1").as("w2"), col("e._2").as("c12"),
+          col("c1"), (col("e._2").cast("double") / col("c1")).as("p"),
+          (col("i") + 1).cast("int").as("rk"))
         .orderBy("w1", "rk")
     }),
 
@@ -220,7 +222,11 @@ object TextAnalysis {
     // bit-identical across engines — the trick that makes an
     // aggregate of per-row ratios oracle-matchable without a libm log.
     // Plan: one bigram explode, one broadcast-joinable model (vocab²
-    // bounded), one doc-keyed aggregation.
+    // bounded), one doc-keyed aggregation. The model's c1 comes from
+    // groupBy(w1) + join, NOT a w1-partitioned window — a Zipfian head
+    // word's successor set would otherwise sort in one task; the
+    // bigram-count frame checkpoints once so the two aggregation legs
+    // don't re-shingle the corpus.
     "ta_doc_lm_score" -> ((s, dir) => {
       val bg = Tables.documents(s, dir)
         .select(col("doc_id"), explode(
@@ -228,10 +234,10 @@ object TextAnalysis {
         .select(col("doc_id"),
           element_at(split(col("bgr"), " ", -1), 1).as("w1"),
           element_at(split(col("bgr"), " ", -1), 2).as("w2"))
-      val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .withColumn("c1",
-          sum(col("c12")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("w1"))))
+      val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true)
+      val c1 = cnt.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val model = cnt.join(c1, "w1")
         .select(col("w1"), col("w2"),
           expr("c12 * 1000000 DIV c1").as("microp"))
       bg.join(model, Seq("w1", "w2"))

@@ -83,6 +83,11 @@ class ExtensionsSpec extends AnyFunSuite {
     // stubs are pure functions of the payload
     val again = Multimodal.extractFeatures(spark, sf).collect()
     assert(ds.map(_.resized.toSeq).toSeq == again.map(_.resized.toSeq).toSeq)
+    // the feature path must NOT haul the full raster; the decode path must
+    assert(ds.forall(_.pixels.isEmpty))
+    val withRaster = Multimodal.extractFeatures(spark, sf, keepRaster = true)
+      .head(3)
+    withRaster.foreach(f => assert(f.pixels.length == f.width * f.height))
   }
 
   test("mm_meta matches stub decode arithmetic") {

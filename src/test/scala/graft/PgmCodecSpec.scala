@@ -46,6 +46,10 @@ class PgmCodecSpec extends AnyFunSuite {
     expectFail("P5\n0 1\n255\n ".getBytes("US-ASCII"), "non-positive")
     expectFail("P5\n1 1\n70000\n ".getBytes("US-ASCII"), "maxval")
     expectFail("P5\n2 2\n255\nab".getBytes("US-ASCII"), "truncated")
+    // 65536 × 65536 wraps to 0 in Int arithmetic — must refuse, not
+    // silently return an empty raster disagreeing with the header
+    expectFail("P5\n65536 65536\n255\n ".getBytes("US-ASCII"), "overflows")
+    expectFail("P5\n40000 50000\n255\n ".getBytes("US-ASCII"), "truncated")
   }
 
   test("nearest-neighbor resize samples the decoded raster, not bytes") {

@@ -90,15 +90,17 @@ class RankGraphSpec extends AnyFunSuite {
     // Triangle: uniform pr is the exact fixpoint from round 1, so with
     // tolMicro=0 the loop must detect Δ=0 and stop well before 50
     // rounds — and still return the same values as the fixed-3 run.
+    // The ROUND COUNT is the observable (wall-clock can't distinguish
+    // "converged after 1 round" from "ran all 50 fast").
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
-    val t0 = System.nanoTime()
-    val converged = GraphQueries.pageRankMicro(pairs, iters = 50, tolMicro = 0L)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val secs = (System.nanoTime() - t0) / 1e9
+    val (prDf, rounds) =
+      GraphQueries.pageRankMicroRounds(pairs, iters = 50, tolMicro = 0L)
+    val converged = prDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fixed = GraphQueries.pageRankMicro(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(converged == fixed)
-    assert(secs < 60.0, s"50-round loop did not early-stop (${secs}s)")
+    assert(rounds < 50, s"50-round loop did not early-stop (ran $rounds rounds)")
+    assert(rounds >= 1)
   }
 
   test("triangleCount: hub + rim graph matches the closed form") {

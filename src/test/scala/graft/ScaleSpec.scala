@@ -306,10 +306,26 @@ class ScaleSpec extends AnyFunSuite {
 
   // AQE wraps the tree in AdaptiveSparkPlanExec whose `collect` doesn't
   // descend into the inner plan; disable it for structural assertions.
+  // Restore whatever value the shared session had, not a literal.
   private def nonAdaptivePlan(name: String) = {
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
-    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("bigram model builds carry no window: c1 and top-5 come from aggregation") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // A w1-partitioned window sorts one head word's entire successor
+    // set in a task — 10⁷⁺ rows for a Zipfian head at web scale. The
+    // model's c1 is a groupBy+join (doc_lm) or rides the same
+    // aggregation as the bounded-heap top-5 UDAF (bigram_lm), so
+    // neither plan may contain any WindowExec at all.
+    Seq("ta_bigram_lm", "ta_doc_lm_score").foreach { q =>
+      val plan = nonAdaptivePlan(q)
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"$q still windows:\n$plan")
+    }
   }
 
   test("ta_zipf: every window is fed by a top-K limit, never the vocabulary") {
