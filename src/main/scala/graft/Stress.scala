@@ -86,8 +86,10 @@ object Stress {
         "dd_embed_multiprobe", "dd_clusters", "dd_survivors", "ev_range_join",
         "pipe_pack_sequences", "q_ntile", "ta_repetition",
         "ss_bruteforce_topk", "pipe_clean_corpus", "pipe_full_clean",
-        "ta_bm25", "dd_knn_graph", "dd_pagerank", "ss_kmeans_step",
-        "ta_zipf", "pipe_stratified_sample", "ss_hybrid_rrf_multi")
+        "ta_bm25", "dd_knn_graph", "dd_pagerank", "dd_pagerank_directed",
+        "ss_kmeans_step", "ta_zipf", "pipe_stratified_sample",
+        "ss_hybrid_rrf_multi", "dd_jaccard_prefix", "q_exact_quantiles",
+        "pipe_merge_upsert")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")
@@ -153,6 +155,23 @@ object Stress {
       .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
     timed("stratified_sample_zipf_lang") {
       SparkEntry.queries("pipe_stratified_sample")(spark, skewDir)
+    }
+
+    // Hot-bucket probe for the two-phase exact quantiles: 90% of the
+    // price column collapsed into ONE range bucket, so a target rank
+    // lands in a bucket holding 90% of all rows — the worst case for
+    // "rank only the boundary bucket" (the uniform domain leaves
+    // ~1/100th of the column there). Measures how the plan degrades
+    // when the value domain is Zipfian rather than spread.
+    val qskewDir = s"$dst/lineitem_skew"
+    spark.read.parquet(s"$dst/lineitem.parquet")
+      .withColumn("l_extendedprice",
+        when(pmod(col("l_orderkey"), lit(10)) < 9,
+          lit(1000.0) + pmod(col("l_orderkey"), lit(999)).cast("double"))
+          .otherwise(col("l_extendedprice")))
+      .write.mode("overwrite").parquet(s"$qskewDir/lineitem.parquet")
+    timed("exact_quantiles_hot_bucket") {
+      SparkEntry.queries("q_exact_quantiles")(spark, qskewDir)
     }
 
     // Hub-graph triangle probe: one "boilerplate" doc paired with every

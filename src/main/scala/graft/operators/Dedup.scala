@@ -98,12 +98,12 @@ object Dedup {
     // MinHash LSH candidate pairs + signature-estimated Jaccard.
     // Each band row carries the full signature vector, so the pair
     // generation produces both signatures directly — no re-join
-    // against the signature table. Band rows checkpoint once (4 long-
-    // array rows per doc) and pairs come from [[PairGen.saltedPairs]]:
-    // LSH bounds TRUE-similarity buckets, but an exact-duplicate class
-    // lands whole in one bucket, and the salted two-level generation
-    // keeps every aggregation buffer ≤ ~2·cap members no matter how
-    // large the class (identical pair multiset; see PairGen).
+    // against the signature table, and [[PairGen.saltedPairs]] keeps
+    // the band rows one single-execution plan tree. LSH bounds
+    // TRUE-similarity buckets, but an exact-duplicate class lands
+    // whole in one bucket; the salted two-level generation keeps every
+    // aggregation buffer ≤ ~2·cap members no matter how large the
+    // class (identical pair multiset; see PairGen).
     "dd_minhash" -> ((s, dir) => {
       val sigs = signatures(s, dir)
         .withColumn("sigv", array((0 until NumHashes).map(i => col(s"sig$i")): _*))
@@ -115,7 +115,6 @@ object Dedup {
         .select(col("doc_id"), col("sigv"), explode(array(bandStructs: _*)).as("bd"))
         .select(col("doc_id"), col("sigv"),
           col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
-        .localCheckpoint(true)
       val eqCnt = size(filter(zip_with(col("a.sigv"), col("b.sigv"), (x, y) => x === y), p => p))
       PairGen.saltedPairs(
           b.select(col("band_idx"), col("band_hash"),
@@ -152,11 +151,10 @@ object Dedup {
     "dd_simhash64_pairs" -> ((s, dir) => {
       // Same native-long bit extraction as dd_simhash; the 64-bit
       // majority vote is ONE typed accumulator aggregate (int[65]
-      // buffer per doc), not 64 per-bit sum columns. Band rows
-      // checkpoint once (the token aggregation must not run twice) and
-      // candidate pairs come from [[PairGen.saltedPairs]] — bounded
-      // aggregation buffers even when an exact-duplicate class lands a
-      // whole corpus slice in one 16-bit band bucket.
+      // buffer per doc), not 64 per-bit sum columns. Candidate pairs
+      // come from [[PairGen.saltedPairs]] (single-execution plan tree)
+      // — bounded aggregation buffers even when an exact-duplicate
+      // class lands a whole corpus slice in one 16-bit band bucket.
       val hashes = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .withColumn("hl", graft.functions.Md5PrefixLong.md5_prefix_long(col("word")))
@@ -168,7 +166,6 @@ object Dedup {
             expr(s"(sh >> ${16 * j}) & 65535").as("band_val"))): _*)).as("bd"))
         .select(col("doc_id"), col("sh"),
           col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
-        .localCheckpoint(true)
       PairGen.saltedPairs(
           banded.select(col("band_idx"), col("band_val"),
             struct(col("doc_id"), col("sh")).as("v")),
@@ -208,14 +205,16 @@ object Dedup {
     // OUTPUT (those pairs genuinely qualify); the generation buffers
     // stay bounded via the salted pair-gen below.
     "dd_jaccard_prefix" -> ((s, dir) => {
-      // One shingle materialization feeds everything downstream: the
-      // df aggregate and the rarity join both read this checkpoint, so
-      // `documents` is scanned (and shingled) exactly once per query
-      // instead of once per plan leg.
+      // The shingle explode feeds the df aggregate and the rarity join
+      // leg; the downstream `docs` frame (sorted per-doc arrays) is
+      // the one whose checkpoint pays — it is consumed three times
+      // (prefix explode + both verify sides) and carries the sorted
+      // text-sized arrays. (Measured: also checkpointing THIS exploded
+      // frame is a wash at sf0.1 — a native-expression re-shingle
+      // costs about what the checkpoint write+read does.)
       val docSh = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
-        .localCheckpoint(true)
       val sdf = docSh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
       val docs = docSh.join(sdf, "shingle")
         .groupBy("doc_id")
@@ -225,7 +224,7 @@ object Dedup {
         .withColumn("n", size(col("shs")).cast("long"))
         // consumed three times (prefix explode + both verify sides) —
         // materialize once instead of recomputing the df join per leg
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // prefix length = n − ⌈0.5·n⌉ + 1; p = the shingle's 1-based
       // position in the doc's rarity order, for positional filtering
       val pre = docs
@@ -341,16 +340,15 @@ object Dedup {
       s: SparkSession, dir: String, dedup: Boolean): DataFrame = {
 
       // Candidates via salted within-bucket pair generation
-      // ([[PairGen.saltedPairs]]). Band rows checkpoint once — the
-      // signature pipeline must not run twice for the generator's
-      // size-count + salt-join legs (4 small rows per doc, the same
-      // materialization discipline as the CC loop). True LSH buckets
-      // are similarity-bounded, but an exact-duplicate class lands
-      // whole in one bucket; the salting keeps every aggregation
-      // buffer ≤ ~2·cap members and spreads a mega-bucket's cells
-      // across the cluster — measured at the 100k-duplicate-class
-      // point in SCALE.md (graft.Stress `pairgen_100k_dup_class`).
-      val b = bands(signatures(s, dir)).localCheckpoint(true)
+      // ([[PairGen.saltedPairs]]) — the signature pipeline stays one
+      // single-execution plan tree (the generator's window count adds
+      // no second scan leg). True LSH buckets are similarity-bounded,
+      // but an exact-duplicate class lands whole in one bucket; the
+      // salting keeps every aggregation buffer ≤ ~2·cap members and
+      // spreads a mega-bucket's cells across the cluster — measured at
+      // the 100k-duplicate-class point in SCALE.md (graft.Stress
+      // `pairgen_dup_class`).
+      val b = bands(signatures(s, dir))
       val candRaw = PairGen.saltedPairs(
           b.select(col("band_idx"), col("band_hash"),
             struct(col("doc_id")).as("v")),

@@ -94,6 +94,52 @@ object GraphQueries {
     (pr.select(col("id"), col("pr")), round)
   }
 
+  /** Directed PageRank with DANGLING-MASS redistribution — the term
+    * the undirected variant can legitimately skip (every node there
+    * has deg ≥ 1). On a directed edge list, out-degree-0 nodes absorb
+    * rank and leak total mass unless their rank is redistributed:
+    * each round, D = Σ pr over dangling nodes (one 1-row aggregate,
+    * broadcast) and every node receives d·(contrib + D/N) + (1-d)/N.
+    * All arithmetic stays in integer micro-units with truncating
+    * division — same engine-exactness discipline as [[pageRankMicro]].
+    *
+    * Per-round cost over the undirected form: one extra scalar
+    * aggregate + broadcast — nothing keyed, so the 100 TB shape is
+    * unchanged (edges checkpoint once, one join + one aggregation per
+    * round, lineage cut every round).
+    */
+  def pageRankDirectedMicro(edgesIn: DataFrame, iters: Int = Iters): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint(true)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val base = nodes.join(outdeg, nodes("id") === outdeg("src"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    val n = base.agg(count(lit(1)).as("n_nodes"))
+    var pr = base.crossJoin(broadcast(n))
+      .select(col("id"), col("outdeg"), col("n_nodes"),
+        expr("1000000 DIV n_nodes").as("pr"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < iters) {
+      val dang = pr.filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dmass"))
+      val contrib = edges.join(pr, edges("src") === pr("id"))
+        .select(edges("dst").as("id"), expr("pr DIV outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("cs"))
+      pr = pr.select(col("id"), col("outdeg"), col("n_nodes"))
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"), col("outdeg"), col("n_nodes"),
+          (expr(s"$JumpMicro DIV n_nodes") +
+            expr(s"($DampMicro * (coalesce(cs, 0) + dmass DIV n_nodes)) " +
+              "DIV 1000000")).as("pr"))
+        .localCheckpoint(true) // eager: lineage is cut before the next round
+      round += 1
+    }
+    pr.select(col("id"), col("pr"))
+  }
+
   /** Exact triangle count over an undirected (doc_a, doc_b) pair list
     * using degree orientation: every edge is directed from its lower-
     * to its higher-degree endpoint (ties broken by id), wedges are
@@ -142,6 +188,18 @@ object GraphQueries {
         .select(col("id").as("doc_id"), col("pr").as("pr_micro"))
         .orderBy("doc_id")),
 
+    // Directed projection of the near-dup graph: each verified pair
+    // points doc_a → doc_b ("earlier doc endorses later duplicate").
+    // Because doc_a < doc_b always holds, every component's maximum
+    // doc is genuinely dangling (out-degree 0), so the
+    // dangling-mass term is exercised on real data, not a no-op.
+    "dd_pagerank_directed" -> ((s, dir) =>
+      pageRankDirectedMicro(
+        Dedup.verifiedPairs(s, dir, dedup = true)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("id").as("doc_id"), col("pr").as("pr_micro"))
+        .orderBy("doc_id")),
+
     // Triangle count via the canonical two-join dataflow, with edges
     // DEGREE-oriented (low-degree → high-degree endpoint, ties by id)
     // before wedge generation: wedges are generated only at each
@@ -166,6 +224,21 @@ object GraphQueries {
        |    FROM edges e JOIN $prev p ON e.src = p.id
        |    GROUP BY e.dst) c ON d.id = c.id)""".stripMargin
 
+  // Same round, directed: per-node share of the previous round's
+  // dangling mass rides inside the damped term — the SQL mirrors the
+  // Spark expression token for token so truncating division agrees.
+  private def prDirRoundSql(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT d.id, d.outdeg,
+       |    $JumpMicro // (SELECT n_nodes FROM nn)
+       |      + ($DampMicro * (COALESCE(c.cs, 0) +
+       |           (SELECT COALESCE(sum(pr), 0) FROM $prev WHERE outdeg = 0)
+       |             // (SELECT n_nodes FROM nn))) // 1000000 AS pr
+       |  FROM odeg d LEFT JOIN (
+       |    SELECT e.dst AS id, sum(p.pr // p.outdeg) AS cs
+       |    FROM edges e JOIN $prev p ON e.src = p.id
+       |    GROUP BY e.dst) c ON d.id = c.id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dd_pagerank" ->
       s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql}),
@@ -178,6 +251,22 @@ object GraphQueries {
          |pr0 AS (
          |  SELECT id, deg, 1000000 // (SELECT n_nodes FROM n) AS pr FROM deg),
          |${(1 to Iters).map(i => prRoundSql(s"pr${i - 1}", s"pr$i")).mkString(",\n")}
+         |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_micro
+         |FROM pr$Iters ORDER BY doc_id""".stripMargin,
+    "dd_pagerank_directed" ->
+      s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |odeg AS (
+         |  SELECT n.id, COALESCE(o.c, 0) AS outdeg
+         |  FROM nodes n LEFT JOIN
+         |    (SELECT src, count(*) AS c FROM edges GROUP BY src) o
+         |    ON n.id = o.src),
+         |nn AS (SELECT count(*) AS n_nodes FROM odeg),
+         |pr0 AS (
+         |  SELECT id, outdeg, 1000000 // (SELECT n_nodes FROM nn) AS pr
+         |  FROM odeg),
+         |${(1 to Iters).map(i => prDirRoundSql(s"pr${i - 1}", s"pr$i")).mkString(",\n")}
          |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_micro
          |FROM pr$Iters ORDER BY doc_id""".stripMargin,
     "dd_triangles" ->

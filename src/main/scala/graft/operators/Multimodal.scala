@@ -108,6 +108,42 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // JPEG leg of the decode seam — the in-JDK `javax.imageio` codec
+    // doing a REAL lossy round trip: the payload's grayscale raster
+    // encodes to JFIF/JPEG bytes and decodes back through the same
+    // partition-batched path. Dimensions must survive exactly; pixel
+    // values only approximately (that's JPEG), so the query reports
+    // the reconstruction-error statistics and is ORACLE-EXEMPT like
+    // the sketches (DuckDB cannot decode JPEG; the decoded bytes are
+    // codec-defined, not arithmetically derivable) — pinned instead by
+    // error-bound round-trip ScalaTests (MultimodalJpegSpec).
+    "mm_decode_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          val src = PgmCodec.decode(PgmCodec.encode(payload))
+          val jpeg = graft.functions.JpegCodec.encode(src)
+          val dec = graft.functions.JpegCodec.decode(jpeg)
+          var sumErr = 0L
+          var maxErr = 0
+          var i = 0
+          while (i < src.pixels.length) {
+            val e = math.abs((src.pixels(i) & 0xff) - (dec.pixels(i) & 0xff))
+            sumErr += e
+            if (e > maxErr) maxErr = e
+            i += 1
+          }
+          (id, jpeg.length, dec.width, dec.height,
+            dec.width == src.width && dec.height == src.height,
+            sumErr.toDouble / src.pixels.length, maxErr)
+        })
+        .toDF("doc_id", "n_jpeg_bytes", "width", "height",
+          "dims_roundtrip", "mean_abs_err", "max_abs_err")
+        .orderBy("doc_id")
+    }),
+
     // Feature extraction through the typed mapPartitions path: 16-bin
     // gray histogram of the decoded raster resized to 8×8.
     "mm_features" -> ((s, dir) => {

@@ -54,21 +54,24 @@ object PairGen {
     *         pair sharing k buckets yields k rows — callers distinct()
     *         or count multiplicity as before).
     *
-    * `members` is consumed twice (group-size aggregate + the salt
-    * join) — callers with an expensive upstream should
-    * `localCheckpoint` it first.
+    * The group size comes from a bucket-partitioned window count, not
+    * a count+join: `members` stays a SINGLE plan tree (expensive
+    * upstreams execute once with no checkpoint), the pair generation
+    * costs exactly two exchanges (window keys, then cell keys), and a
+    * mega-bucket in the window buffer SPILLS to disk
+    * (ExternalAppendOnlyUnsafeRowArray) instead of growing one
+    * aggregation buffer — so even the size-counting stage is safe on
+    * an exact-duplicate class.
     */
   def saltedPairs(members: DataFrame, keys: Seq[String], idField: String,
                   cap: Int = DefaultCap): DataFrame = {
     require(cap > 1, s"cap must exceed 1, got $cap")
     val k = keys.map(col)
     val id: Column => Column = _.getField(idField)
-    // Bucket sizes: singleton buckets (the vast majority under LSH)
-    // drop here, so the salt join's build side holds only buckets that
-    // can produce pairs — AQE broadcasts it when small.
-    val sizes = members.groupBy(k: _*).agg(count(lit(1)).as("_g"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(k: _*)
+    val salted = members
+      .withColumn("_g", count(lit(1)).over(w))
       .filter(col("_g") > 1)
-    val salted = members.join(sizes, keys)
       .withColumn("_s", ceil(col("_g").cast("double") / cap).cast("int"))
       .withColumn("_t", pmod(hash(id(col("v"))), col("_s")))
     // A member with salt t fans out to its s cells (min(t,j), max(t,j))

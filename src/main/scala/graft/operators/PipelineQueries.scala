@@ -168,6 +168,40 @@ object PipelineQueries {
         .orderBy("status")
     }),
 
+    // MERGE-style incremental corpus maintenance — the operational
+    // shape of keeping a 100 TB corpus current between crawls: given
+    // the previous snapshot and the new crawl, produce the next corpus
+    // version in ONE co-partitioned FULL OUTER pass — upsert
+    // added/changed docs from the crawl, carry unchanged docs forward,
+    // drop removed ones (MERGE WHEN [NOT] MATCHED semantics without a
+    // second scan of either side). Emits one row per surviving doc
+    // with its fingerprint and merge action, so the oracle pins the
+    // semantics row-exactly, not just counts. Snapshots derive
+    // deterministically from the one table exactly as in
+    // pipe_snapshot_diff. At scale both snapshots are bucketed by
+    // doc_id at write time, the join is exchange-free, and only
+    // partitions containing added/changed/removed keys rewrite files
+    // (see SCALE.md).
+    "pipe_merge_upsert" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+      val old = docs.filter(h < "f000")
+        .select(col("doc_id").as("old_id"), md5(col("text")).as("old_fp"))
+      val nw = docs.filter(h >= "1000")
+        .select(col("doc_id").as("new_id"),
+          md5(when(h < "3000", concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))).as("new_fp"))
+      old.join(nw, old("old_id") === nw("new_id"), "full_outer")
+        .withColumn("action",
+          when(col("old_id").isNull, "insert")
+            .when(col("new_id").isNull, "delete")
+            .when(col("old_fp") =!= col("new_fp"), "update")
+            .otherwise("keep"))
+        .filter(col("action") =!= "delete")
+        .select(col("new_id").as("doc_id"), col("new_fp").as("fp"), col("action"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination — the training-pipeline gate that
     // keeps eval data out of the corpus: flag every training doc
     // sharing a word 3-gram with the benchmark set (here: doc_id < 10
@@ -438,6 +472,23 @@ object PipelineQueries {
         |              ELSE 'unchanged' END AS status
         |  FROM old FULL OUTER JOIN nw ON old_id = new_id)
         |GROUP BY status ORDER BY status""".stripMargin,
+    "pipe_merge_upsert" ->
+      """WITH old AS (
+        |  SELECT doc_id AS old_id, md5(text) AS old_fp FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f000'),
+        |nw AS (
+        |  SELECT doc_id AS new_id,
+        |    md5(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3000'
+        |             THEN text || ' edited' ELSE text END) AS new_fp
+        |  FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '1000')
+        |SELECT new_id AS doc_id, new_fp AS fp,
+        |  CASE WHEN old_id IS NULL THEN 'insert'
+        |       WHEN old_fp <> new_fp THEN 'update'
+        |       ELSE 'keep' END AS action
+        |FROM old FULL OUTER JOIN nw ON old_id = new_id
+        |WHERE new_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "pipe_decontaminate" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle

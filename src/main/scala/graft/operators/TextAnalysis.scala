@@ -235,7 +235,7 @@ object TextAnalysis {
           element_at(split(col("bgr"), " ", -1), 1).as("w1"),
           element_at(split(col("bgr"), " ", -1), 2).as("w2"))
       val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val c1 = cnt.groupBy("w1").agg(sum(col("c12")).as("c1"))
       val model = cnt.join(c1, "w1")
         .select(col("w1"), col("w2"),

@@ -103,6 +103,21 @@ class RankGraphSpec extends AnyFunSuite {
     assert(rounds >= 1)
   }
 
+  test("pageRankDirectedMicro: dangling mass redistributed, total conserved") {
+    // Directed path 1→2→3: node 3 is dangling (out-degree 0). Without
+    // redistribution its rank would leak every round (total mass → the
+    // jump floor); with it, total stays ≈ 10⁶ up to truncation and the
+    // chain end accumulates the most rank.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = GraphQueries.pageRankDirectedMicro(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    assert(pr(3L) > pr(2L) && pr(2L) > pr(1L))
+    val total = pr.values.sum
+    assert(total <= 1000000L && total > 990000L,
+      s"mass not conserved: $total (dangling term missing?)")
+  }
+
   test("triangleCount: hub + rim graph matches the closed form") {
     // Star hub 0—{1..40} plus rim path i—(i+1): each rim edge closes
     // exactly one triangle with the hub → 39 triangles. Under id

@@ -12,7 +12,11 @@ class SparkEntrySpec extends AnyFunSuite {
   // The only queries allowed to lack DuckDB oracle SQL, each justified
   // in COVERAGE.md/README and pinned by a ScalaTest instead. Both are
   // sketch queries whose estimates are engine-specific by construction.
-  val oracleExempt: Set[String] = Set("q_approx_distinct", "q_approx_quantile")
+  // mm_decode_jpeg: DuckDB cannot decode JPEG and the lossy bytes are
+  // codec-defined — pinned by MultimodalJpegSpec's error-bound
+  // round-trip tests instead.
+  val oracleExempt: Set[String] =
+    Set("q_approx_distinct", "q_approx_quantile", "mm_decode_jpeg")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
