@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.PgmCodec
+import graft.functions.{PgmCodec, WavCodec}
 
 /** Multimodal-column plumbing: media treated as opaque `binary`
   * payloads with typed metadata, plus a decode / resize /
@@ -144,6 +144,62 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // Audio leg of the decode seam — payload bytes wrap into a REAL
+    // mono 16-bit PCM WAV (RIFF container with an interposed LIST
+    // chunk, so decode exercises true chunk-walking) and decode back
+    // through WavCodec; per-stream features are exact integer
+    // arithmetic over the samples, so the oracle re-derives every
+    // column from the text bytes ((ord − 128) · 256 per char) — the
+    // parser is pinned end to end, not shape-tested.
+    "mm_audio_wav" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          val w = WavCodec.decode(WavCodec.encode(payload))
+          val st = WavCodec.stats(w, silenceThreshold = 16384, onsetThreshold = 4096)
+          (id, st.nSamples, st.nSamples * 1000L / w.sampleRate,
+            st.peakAbs, st.energy, st.nSilent, st.nOnsets)
+        })
+        .toDF("doc_id", "n_samples", "duration_ms", "peak_abs", "energy",
+          "n_silent", "n_onsets")
+        .withColumn("rms4",
+          when(col("n_samples") > 0,
+            round(sqrt(col("energy").cast("double") / col("n_samples")), 4))
+            .otherwise(lit(0.0)))
+        .withColumn("silence_ratio4",
+          when(col("n_samples") > 0,
+            round(col("n_silent").cast("double") / col("n_samples"), 4))
+            .otherwise(lit(0.0)))
+        .drop("n_silent")
+        .orderBy("doc_id")
+    }),
+
+    // Frame-level audio analysis (the VAD/windowing shape): 160-sample
+    // (20 ms @ 8 kHz) frames, exact per-frame energy, voiced = mean
+    // square ≥ 12288² as an integer cross-multiplication. Per-doc
+    // totals keep the query a narrow map — no explode, no shuffle.
+    "mm_audio_frames" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          val w = WavCodec.decode(WavCodec.encode(payload))
+          val frames = WavCodec.frameEnergies(w, frameLen = 160)
+          var voiced = 0L
+          var maxE = 0L
+          frames.foreach { case (covered, e) =>
+            if (e >= covered.toLong * 12288L * 12288L) voiced += 1
+            if (e > maxE) maxE = e
+          }
+          (id, frames.length.toLong, voiced, maxE)
+        })
+        .toDF("doc_id", "total_frames", "voiced_frames", "max_frame_energy")
+        .orderBy("doc_id")
+    }),
+
     // Feature extraction through the typed mapPartitions path: 16-bin
     // gray histogram of the decoded raster resized to 8×8.
     "mm_features" -> ((s, dir) => {
@@ -216,6 +272,59 @@ object Multimodal {
          |  round(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) / 64.0, 4) AS f0,
          |  round(sum(CASE WHEN bin = 15 THEN 1 ELSE 0 END) / 64.0, 4) AS f15
          |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The WAV widening is (ord − 128)·256 per char (all-ASCII corpus ⇒
+    // char position = byte position = sample position), so every audio
+    // feature is re-derivable in SQL; rms/silence divisions round at
+    // 4dp on both engines from identical exact integers.
+    "mm_audio_wav" ->
+      """WITH v AS (
+        |  SELECT doc_id, i,
+        |    (ord(substring(text, CAST(i + 1 AS INT), 1)) - 128) * 256 AS s
+        |  FROM documents, UNNEST(range(0, length(text))) AS u(i)),
+        |lagged AS (
+        |  SELECT doc_id, i, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM v),
+        |d AS (
+        |  SELECT doc_id,
+        |    max(abs(s)) AS peak,
+        |    sum(CAST(s AS BIGINT) * s) AS energy,
+        |    sum(CASE WHEN abs(s) < 16384 THEN 1 ELSE 0 END) AS n_silent,
+        |    sum(CASE WHEN i > 0 AND abs(s - prev) >= 4096 THEN 1 ELSE 0 END) AS onsets
+        |  FROM lagged GROUP BY doc_id)
+        |SELECT doc.doc_id,
+        |  CAST(length(doc.text) AS INT) AS n_samples,
+        |  CAST(length(doc.text) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(COALESCE(d.peak, 0) AS INT) AS peak_abs,
+        |  CAST(COALESCE(d.energy, 0) AS BIGINT) AS energy,
+        |  CAST(COALESCE(d.onsets, 0) AS BIGINT) AS n_onsets,
+        |  CASE WHEN length(doc.text) > 0
+        |    THEN round(sqrt(CAST(d.energy AS DOUBLE) / length(doc.text)), 4)
+        |    ELSE 0.0 END AS rms4,
+        |  CASE WHEN length(doc.text) > 0
+        |    THEN round(CAST(d.n_silent AS DOUBLE) / length(doc.text), 4)
+        |    ELSE 0.0 END AS silence_ratio4
+        |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
+    "mm_audio_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, CAST(i // 160 AS BIGINT) AS f,
+        |    CAST((ord(substring(text, CAST(i + 1 AS INT), 1)) - 128) * 256 AS BIGINT) AS s
+        |  FROM documents, UNNEST(range(0, length(text))) AS u(i)),
+        |fr AS (
+        |  SELECT doc_id, f, count(*) AS covered, sum(s * s) AS e
+        |  FROM v GROUP BY doc_id, f),
+        |d AS (
+        |  SELECT doc_id, count(*) AS total_frames,
+        |    sum(CASE WHEN e >= covered * 150994944 THEN 1 ELSE 0 END) AS voiced,
+        |    max(e) AS maxe
+        |  FROM fr GROUP BY doc_id)
+        |SELECT doc.doc_id,
+        |  CAST(COALESCE(d.total_frames, 0) AS BIGINT) AS total_frames,
+        |  CAST(COALESCE(d.voiced, 0) AS BIGINT) AS voiced_frames,
+        |  CAST(COALESCE(d.maxe, 0) AS BIGINT) AS max_frame_energy
+        |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
         |  CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames,
