@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,12 +11,24 @@ import graft.Tables
   * (dataset cards and dedup-threshold calibration want exact numbers;
   * `q_approx_quantile` remains the sketch path):
   *
-  *  - unbounded value domain (`q_exact_quantiles`): two-phase
-  *    range-bucket allocation, the same shape as the stratified
-  *    sampler — per-bucket counts (small, broadcast), locate the one
-  *    bucket holding each target rank, then rank ONLY inside that
-  *    bucket (~1/B of the data through a window, never the whole
-  *    column);
+  *  - unbounded value domain (`q_exact_quantiles`): RADIX selection
+  *    over order-preserving double bits (the distributed
+  *    exact-selection algorithm, integer edition): count rows per
+  *    16-bit prefix of `sortable_bits(v)` (a ≤2¹⁶-row aggregate
+  *    collected to the driver, like PageRank's convergence scalars),
+  *    keep the one prefix holding the target rank, extend the prefix
+  *    by 16 bits, repeat — at most 4 passes to a fully determined
+  *    64-bit value, usually 1–2 before the slice fits the rank cap.
+  *    A bucket holding 90% of a Zipfian column (the round-6 stress
+  *    case: 18 s as a single-level plan) just refines one extra round;
+  *    an all-duplicates column bottoms out at shift 0 where the prefix
+  *    IS the answer. Bucket keys are pure integer bit arithmetic (no
+  *    log/division monotonicity hazards), while each slice's row
+  *    filter is the equivalent closed VALUE interval — exact, because
+  *    the bit transform is a monotone bijection — expressed as plain
+  *    double comparisons that push into parquet row-group min/max
+  *    pruning. Only the terminal ≤cap-row slice ever sees a ranking
+  *    window.
   *  - bounded value domain (`ta_doclen_quantiles`): the value
   *    histogram IS the sufficient statistic — one (group, value)
   *    aggregation, cumulative counts over the bounded distinct-value
@@ -25,54 +37,134 @@ import graft.Tables
   *
   * All ranks are exact integer definitions (k = ⌈q·n⌉ via integer
   * ceiling division), so both engines select the identical element —
-  * no interpolation, no FP.
+  * no interpolation, no FP in the selection itself.
   */
 object QuantileQueries {
 
-  /** Range-bucket width for l_extendedprice (domain ~[900, 105000]).
-    * At 100 TB the width comes from min/max column stats; the bucket
-    * count only needs to be large enough that one bucket's rows fit a
-    * task sort (B ≈ 100–10⁵ all work — phase 1 is a B-row aggregate).
+  /** Bits resolved per radix round: rounds walk shift 48 → 32 → 16 →
+    * 0, each counting ≤2¹⁶ buckets per target. The first round is the
+    * only full scan (it also yields n); later rounds carry a narrowing
+    * range predicate.
     */
-  val PriceBucketWidth = 1000
+  val RadixBitsPerRound = 16
+
+  /** A terminal slice no larger than this is ranked in one window
+    * group — the only per-row sort anywhere in the query.
+    */
+  val RankCap = 100000L
+
+  /** One target's state after each round: rank `r` within the slice
+    * `sortable_bits(v) >> shift == prefix`, which holds `cnt` rows.
+    */
+  private final case class Slice(stat: String, r: Long, prefix: Long,
+                                 shift: Int, cnt: Long)
+
+  /** Exact k-th values of `rows(valueCol)` for each (stat, n → k)
+    * target, by radix selection. NaNs sort above +∞ in bit order but
+    * fall outside every value-interval filter — a rank landing on a
+    * NaN fails loudly in the histogram walk rather than returning a
+    * wrong element. ±0.0 occupy adjacent bit patterns, so a rank
+    * landing on either reports a zero.
+    */
+  def kthValues(s: SparkSession, rows: DataFrame, valueCol: String,
+                targets: Seq[(String, Long => Long)]): DataFrame = {
+    import s.implicits._
+    import graft.functions.DoubleSortableBits
+    val v = col(valueCol)
+    val bits = DoubleSortableBits.sortable_bits(v)
+
+    // The value interval covered by a (prefix, shift) slice, as exact
+    // doubles: monotone bijection ⇒ the bit-prefix set IS this closed
+    // interval, so the filter can be plain (pushdown-friendly) double
+    // comparisons instead of a bit-arithmetic predicate.
+    def sliceCond(prefix: Long, shift: Int): Column =
+      v >= DoubleSortableBits.toDouble(prefix << shift) &&
+        v <= DoubleSortableBits.toDouble((prefix << shift) | ((1L << shift) - 1))
+
+    // Walk a bucket histogram (ascending key = ascending value) to the
+    // bucket containing rank r: (bucket, rows before it, its count).
+    def walk(stat: String, buckets: Seq[(Long, Long)], r: Long): (Long, Long, Long) = {
+      var cum = 0L
+      buckets.find { case (_, c) =>
+        if (cum + c >= r) true else { cum += c; false }
+      }.map { case (b, c) => (b, cum, c) }
+        .getOrElse(throw new IllegalStateException(
+          s"$stat: rank $r beyond $cum counted rows"))
+    }
+
+    // Round 1 — the single unpruned pass, doubling as the count(n)
+    // pass: histogram of the top 16 bits.
+    val topShift = 64 - RadixBitsPerRound
+    val first = rows.groupBy(shiftright(bits, topShift).as("bucket"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val n = first.map(_._2).sum
+    if (n == 0L) return Seq.empty[(String, Double)].toDF("stat", "value")
+
+    var slices: Seq[Slice] = targets.map { case (stat, kOf) =>
+      val (b, cumBefore, cnt) = walk(stat, first, kOf(n))
+      Slice(stat, kOf(n) - cumBefore, b, topShift, cnt)
+    }
+    // Refine every oversized slice by 16 more bits per pass (all
+    // pending targets share each pass; a shift-s slice has ≤2¹⁶
+    // distinct next-level keys by construction).
+    while (slices.exists(sl => sl.cnt > RankCap && sl.shift > 0)) {
+      val pending = slices.filter(sl => sl.cnt > RankCap && sl.shift > 0)
+      val counts = pending.map { sl =>
+          rows.filter(sliceCond(sl.prefix, sl.shift))
+            .select(lit(sl.stat).as("stat"),
+              shiftright(bits, sl.shift - RadixBitsPerRound).as("bucket"))
+        }
+        .reduce(_ union _)
+        .groupBy("stat", "bucket").agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (stat, rs) =>
+          stat -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+        }
+      slices = slices.map {
+        case sl if sl.cnt > RankCap && sl.shift > 0 =>
+          val (b, cumBefore, cnt) = walk(sl.stat, counts(sl.stat), sl.r)
+          Slice(sl.stat, sl.r - cumBefore, b, sl.shift - RadixBitsPerRound, cnt)
+        case sl => sl
+      }
+    }
+
+    // shift 0 ⇒ the prefix is the complete bit pattern: the answer is
+    // a literal, no matter how many duplicate rows carry it. Otherwise
+    // rank the ≤cap-row slice in one per-stat window group.
+    val answered = slices.collect {
+      case sl if sl.shift == 0 => (sl.stat, DoubleSortableBits.toDouble(sl.prefix))
+    }
+    val literal =
+      if (answered.isEmpty) None else Some(answered.toDF("stat", "value"))
+    val rankable = slices.filter(_.shift > 0)
+    val ranked =
+      if (rankable.isEmpty) None
+      else {
+        val wRank = Window.partitionBy(col("stat")).orderBy(col("value"))
+        Some(rankable.map { sl =>
+            rows.filter(sliceCond(sl.prefix, sl.shift))
+              .select(lit(sl.stat).as("stat"), v.as("value"), lit(sl.r).as("k"))
+          }
+          .reduce(_ union _)
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") === col("k"))
+          .select("stat", "value"))
+      }
+    (literal.toSeq ++ ranked.toSeq).reduce(_ union _).orderBy("stat")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Exact median and p90 of a 6M-row (→ 100 TB) double column.
-    // Phase 1: per-bucket counts; cumulative + total over the bounded
-    // bucket frame (≤ domain/width rows — the documented safe window,
-    // same as the sampler's langs×256 frame). Phase 2: each target
-    // rank k lands in exactly one bucket (cum_before < k ≤ cum); rows
-    // join the ≤2-row broadcast of boundary buckets, rank within the
-    // boundary bucket only, and the k-th element pops out. Ties are
-    // harmless: the k-th VALUE of a multiset is order-independent.
+    // Exact median and p90 of a 6M-row (→ 100 TB) double column via
+    // adaptive refinement; ties are harmless (the k-th VALUE of a
+    // multiset is order-independent), so the result is engine-exact.
     "q_exact_quantiles" -> ((s, dir) => {
-      val rows = Tables.lineitem(s, dir)
-        .select(col("l_extendedprice").as("v"))
-        .withColumn("bucket", floor(col("v") / PriceBucketWidth).cast("long"))
-      val wCum = Window.orderBy(col("bucket"))
-      val stats = rows.groupBy("bucket").agg(count(lit(1)).as("bcnt"))
-        .withColumn("cum_before", coalesce(
-          sum(col("bcnt")).over(wCum.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .withColumn("n", sum(col("bcnt")).over(
-          wCum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      val targets = stats
-        .select(col("bucket"), col("bcnt"), col("cum_before"),
-          explode(array(
-            struct(lit("median").as("stat"), expr("(n + 1) DIV 2").as("k")),
-            struct(lit("p90").as("stat"), expr("(9 * n + 9) DIV 10").as("k"))))
-            .as("t"))
-        .select(col("bucket"), col("cum_before"),
-          col("t.stat").as("stat"), col("t.k").as("k"))
-        .filter(col("cum_before") < col("k") &&
-          col("cum_before") + col("bcnt") >= col("k"))
-      val wRank = Window.partitionBy(col("stat")).orderBy(col("v"))
-      rows.join(broadcast(targets), Seq("bucket"))
-        .withColumn("rn", row_number().over(wRank))
-        .filter(col("cum_before") + col("rn") === col("k"))
-        .select(col("stat"), col("v").as("value"))
-        .orderBy("stat")
+      kthValues(s,
+        Tables.lineitem(s, dir).select(col("l_extendedprice").as("v")), "v",
+        Seq("median" -> ((n: Long) => (n + 1) / 2),
+          "p90" -> ((n: Long) => (9 * n + 9) / 10)))
     }),
 
     // Per-language exact p25/p50/p75/p90 of document length. n_chars
