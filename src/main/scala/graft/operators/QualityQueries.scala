@@ -22,6 +22,55 @@ object QualityQueries {
   val MaxMeanWordLen = 8 //   cross-multiplications: lo·n ≤ Σlen ≤ hi·n
   val Stopwords = Seq("a", "the")
   val MinStopwordHits = 2
+  val DomainCap = 10 // max docs kept per source (corpus balancing)
+
+  /** First `quota` rows of every `group`, ordered by (md5(doc_id),
+    * doc_id) — WITHOUT a per-group window. Corpus groups are Zipfian
+    * (one language or one crawl domain can be half a 100 TB corpus),
+    * so ranking a whole group would push ~50 TB through one task.
+    * Two-phase exact allocation instead:
+    *   1. per-(group, md5-prefix-bucket) counts — a groups×256-row
+    *      aggregate; cumulative counts and the quota are computed over
+    *      that bounded frame and broadcast;
+    *   2. buckets wholly below the quota boundary are ALL-IN by
+    *      membership (no window at all); the single bucket straddling
+    *      the boundary is ranked within itself — a group of
+    *      ~group/256 rows, the only sort anywhere.
+    * The bucket is the first 2 hex chars of the md5, so bucket order
+    * is a prefix of the full (md5, doc_id) order and the result is
+    * row-identical to the single-window definition the oracles state.
+    * `quotaExpr` sees `n_grp` (the group's row count): the stratified
+    * sampler passes ⌈n/10⌉, the domain cap passes least(cap, n).
+    */
+  private def hashOrderedHead(docs: DataFrame, group: String,
+                              quotaExpr: String): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), col(group),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val wCum = Window.partitionBy(col(group)).orderBy(col("bucket"))
+    val wGrp = Window.partitionBy(col(group))
+    val stats = keyed.groupBy(group, "bucket").agg(count(lit(1)).as("bcnt"))
+      .withColumn("cum_before", coalesce(
+        sum(col("bcnt")).over(wCum.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n_grp", sum(col("bcnt")).over(wGrp))
+      .withColumn("quota", expr(quotaExpr))
+      .select(col(group), col("bucket"), col("bcnt"), col("cum_before"),
+        col("quota"))
+    val joined = keyed.join(broadcast(stats), Seq(group, "bucket"))
+      .withColumn("take", col("quota") - col("cum_before"))
+    val allIn = joined.filter(col("bcnt") <= col("take"))
+      .select("doc_id", group)
+    val wBucket = Window.partitionBy(col(group), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    val boundary = joined
+      .filter(col("take") > 0 && col("bcnt") > col("take"))
+      .withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= col("take"))
+      .select("doc_id", group)
+    allIn.union(boundary)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -55,48 +104,52 @@ object QualityQueries {
     // Exact stratified sample: ceil(10%) of every language, membership
     // by md5 order — reproducible across runs/engines. Defined as the
     // first ⌈n/10⌉ rows of each stratum ordered by (md5(doc_id),
-    // doc_id), but NOT computed as a per-stratum window: corpus strata
-    // are Zipfian (one language can be half a 100 TB corpus), so
-    // ranking a whole stratum would push ~50 TB through one task.
-    // Two-phase exact allocation instead:
-    //   1. per-(lang, md5-prefix-bucket) counts — a langs×256-row
-    //      aggregate; cumulative counts and the ⌈n/10⌉ quota are
-    //      computed over that bounded frame and broadcast;
-    //   2. buckets wholly below the quota boundary are ALL-IN by
-    //      membership (no window at all); the single bucket straddling
-    //      the boundary is ranked within itself — a group of
-    //      ~stratum/256 rows, the only sort anywhere.
-    // The bucket is the first 2 hex chars of the md5, so bucket order
-    // is a prefix of the full (md5, doc_id) order and the result is
-    // row-identical to the single-window definition the oracle states.
-    // The two union legs re-scan the 2-column projection — at scale
-    // that is far cheaper than any full-stratum sort.
-    "pipe_stratified_sample" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          md5(col("doc_id").cast("string")).as("h"))
-        .withColumn("bucket", substring(col("h"), 1, 2))
-      val wCum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
-      val wLang = Window.partitionBy(col("lang"))
-      val stats = docs.groupBy("lang", "bucket").agg(count(lit(1)).as("bcnt"))
-        .withColumn("cum_before", coalesce(
-          sum(col("bcnt")).over(wCum.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .withColumn("n_lang", sum(col("bcnt")).over(wLang))
-        .withColumn("quota", expr("(n_lang + 9) DIV 10"))
-        .select("lang", "bucket", "bcnt", "cum_before", "quota")
-      val joined = docs.join(broadcast(stats), Seq("lang", "bucket"))
-        .withColumn("take", col("quota") - col("cum_before"))
-      val allIn = joined.filter(col("bcnt") <= col("take"))
-        .select("doc_id", "lang")
-      val wBucket = Window.partitionBy(col("lang"), col("bucket"))
-        .orderBy(col("h"), col("doc_id"))
-      val boundary = joined
-        .filter(col("take") > 0 && col("bcnt") > col("take"))
-        .withColumn("rn", row_number().over(wBucket))
-        .filter(col("rn") <= col("take"))
-        .select("doc_id", "lang")
-      allIn.union(boundary).orderBy("doc_id")
+    // doc_id), computed by the windowless two-phase allocation in
+    // [[hashOrderedHead]] — row-identical to the single-window
+    // definition the oracle states. The two union legs re-scan the
+    // 2-column projection — at scale that is far cheaper than any
+    // full-stratum sort.
+    "pipe_stratified_sample" -> ((s, dir) =>
+      hashOrderedHead(Tables.documents(s, dir), "lang", "(n_grp + 9) DIV 10")
+        .orderBy("doc_id")),
+
+    // Corpus balancing: keep at most DomainCap docs per crawl domain
+    // (`source`), selected in (md5(doc_id), doc_id) order — the
+    // reproducible random-but-deterministic pick. The cap is the
+    // standard anti-domination gate before training-mix assembly (one
+    // mirror farm must not become 30% of the corpus); same windowless
+    // allocation as the sampler, so a domain holding half the corpus
+    // costs the same as a uniform one.
+    "pipe_domain_cap" -> ((s, dir) =>
+      hashOrderedHead(Tables.documents(s, dir), "source",
+        s"least(CAST($DomainCap AS BIGINT), n_grp)")
+        .orderBy("doc_id")),
+
+    // Model-based quality scoring: a fixed-weight logistic regression
+    // over the same integer signals the Gopher gate reads (the serving
+    // shape of a trained fastText/LR quality classifier: weights are a
+    // broadcast constant, scoring is a narrow scan — no shuffle at
+    // all). Score rounds to 4dp BEFORE the threshold compare, so the
+    // label is engine-exact like the BM25 log variant.
+    "ta_quality_lr" -> ((s, dir) => {
+      val feats = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("nt"),
+          aggregate(transform(col("toks"), t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("sumlen"),
+          vocabHits(col("toks"), Stopwords).cast("long").as("stop_hits"))
+      val z = lit(-6.0) +
+        lit(0.8) * log(lit(1.0) + col("nt")) +
+        lit(0.35) * when(col("nt") > 0,
+          col("sumlen").cast("double") / col("nt")).otherwise(lit(0.0)) +
+        lit(6.0) * when(col("nt") > 0,
+          col("stop_hits").cast("double") / col("nt")).otherwise(lit(0.0))
+      feats
+        .withColumn("score4", round(lit(1.0) / (lit(1.0) + exp(-z)), 4))
+        .withColumn("label", (col("score4") >= 0.5).cast("int"))
+        .select("doc_id", "nt", "score4", "label")
+        .orderBy("doc_id")
     })
   )
 
@@ -128,6 +181,32 @@ object QualityQueries {
         |    count(*) OVER (PARTITION BY lang) AS n_lang
         |  FROM documents)
         |WHERE rn * 10 <= n_lang + 9
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "pipe_domain_cap" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $DomainCap
+         |ORDER BY doc_id""".stripMargin,
+    "ta_quality_lr" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS nt,
+         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sumlen,
+         |    CAST(len(list_filter(t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS stop_hits
+         |  FROM (SELECT doc_id, ${OracleSql.toks} AS t FROM documents)),
+         |scored AS (
+         |  SELECT doc_id, nt,
+         |    round(1.0 / (1.0 + exp(-(
+         |      -6.0 + 0.8 * ln(1.0 + nt)
+         |           + 0.35 * (CASE WHEN nt > 0 THEN CAST(sumlen AS DOUBLE) / nt ELSE 0.0 END)
+         |           + 6.0  * (CASE WHEN nt > 0 THEN CAST(stop_hits AS DOUBLE) / nt ELSE 0.0 END)
+         |    ))), 4) AS score4
+         |  FROM feats)
+         |SELECT doc_id, nt, score4,
+         |  CAST(CASE WHEN score4 >= 0.5 THEN 1 ELSE 0 END AS INT) AS label
+         |FROM scored ORDER BY doc_id""".stripMargin
   )
 }
