@@ -305,6 +305,25 @@ object PipelineQueries {
       survivors.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_total"))
         .orderBy("lang")
+    }),
+
+    // Context-window chunking: split each document into 200-char
+    // chunks on a 150-char stride (25% overlap, the standard
+    // train-window shape; ⌈(len−C)/S⌉+1 chunks, min 1, short tail
+    // kept). A narrow explode — rows fan out but never shuffle; chunk
+    // identity is (doc_id, chunk_id) and the md5 pins the exact bytes.
+    "pipe_chunk_overlap" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .withColumn("n_chunks",
+          (greatest(lit(0), expr("(len - 51) DIV 150")) + 1).cast("int"))
+        .withColumn("chunk_id", explode(sequence(lit(0), col("n_chunks") - 1)))
+        .withColumn("chunk", expr("substring(text, chunk_id * 150 + 1, 200)"))
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          (col("chunk_id") * 150).cast("int").as("chunk_start"),
+          length(col("chunk")).cast("int").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -342,6 +361,17 @@ object PipelineQueries {
   private val toksSql = OracleSql.toks
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(greatest(0, (length(text) - 51) // 150) + 1 AS INT) AS n_chunks
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(i * 150 AS INT) AS chunk_start,
+        |  CAST(length(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS INT) AS chunk_len,
+        |  md5(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_md5
+        |FROM d, UNNEST(range(0, n_chunks)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "ta_top_words_per_lang" ->
       s"""SELECT lang, word, cnt, CAST(rk AS INT) AS rk FROM (
          |  SELECT lang, word, cnt,

@@ -293,6 +293,22 @@ object TextAnalysis {
         .select(col("doc_id"),
           graft.functions.RollingHash.rolling_hash(col("text")).as("rfp"))
         .orderBy("doc_id")
+    }),
+
+    // Exact per-language heavy hitters (vocabulary-building gate):
+    // tokens holding ≥0.5% of their language's token mass, as an
+    // integer cross-multiplication. One corpus-scan aggregation; the
+    // per-language totals are a tiny rollup OF THE COUNTS (no second
+    // scan) joined back by broadcast.
+    "ta_heavy_hitters" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      val totals = counts.groupBy("lang").agg(sum(col("cnt")).as("total"))
+      counts.join(broadcast(totals), "lang")
+        .filter(col("cnt") * 200 >= col("total"))
+        .select("lang", "word", "cnt", "total")
+        .orderBy("lang", "word")
     })
   )
 
@@ -301,6 +317,15 @@ object TextAnalysis {
     s"len(list_filter(t, x -> list_contains(${sqlList(ws)}, x)))"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_heavy_hitters" ->
+      s"""WITH w AS (
+         |  SELECT lang, unnest($toksSql) AS word FROM documents),
+         |c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word),
+         |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY lang)
+         |SELECT c.lang, c.word, c.cnt, t.total
+         |FROM c JOIN t ON c.lang = t.lang
+         |WHERE c.cnt * 200 >= t.total
+         |ORDER BY c.lang, c.word""".stripMargin,
     "ta_langid" ->
       s"""SELECT lang, pred_lang, count(*) AS n_docs FROM (
          |  SELECT lang,
