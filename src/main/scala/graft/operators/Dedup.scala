@@ -185,6 +185,38 @@ object Dedup {
     // banded-LSH candidate set is bounded by true similarity instead.
     "dd_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
+    // Substring-level duplication (the Lee et al. 2022 "Deduplicating
+    // Training Data" shape, word-5-gram granularity): spans repeated
+    // ACROSS documents — ta_repetition's within-doc gate can't see a
+    // boilerplate sentence that appears once per doc in a million
+    // docs. Positionally exploded 5-gram spans; a span is duplicated
+    // when its shingle occurs in ≥2 distinct docs; per-doc report =
+    // total spans, duplicated spans, duplicated fraction. Scale: the
+    // distinct (shingle, doc) projection and df aggregate shuffle
+    // posting-bounded rows; the dup set semi-joins back keyed by
+    // shingle — never an all-pairs comparison. Production would cut
+    // the covered char ranges; the span counts are the decision
+    // signal and keep the oracle exact.
+    "dd_repeated_spans" -> ((s, dir) => {
+      import graft.functions.WordShingles.word_shingles
+      val spans = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(word_shingles(col("text"), 5)).as(Seq("pos", "sh")))
+      val dup = spans.select("sh", "doc_id").distinct()
+        .groupBy("sh").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select("sh")
+      val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val dups = spans.join(dup, Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+      totals.join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+        .withColumn("dup_frac4",
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+        .orderBy("doc_id")
+    }),
+
     // EXACT shingle Jaccard similarity join via prefix filtering
     // (PPJoin / AllPairs): unlike the LSH path this has RECALL 1 by
     // theorem, not in expectation — two sets with J ≥ t MUST share an
@@ -475,6 +507,25 @@ object Dedup {
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "dd_repeated_spans" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id, i, array_to_string(list_slice(t, i, i + 4), ' ') AS s
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)
+         |  WHERE len(t) >= 5),
+         |dup AS (
+         |  SELECT s FROM (
+         |    SELECT s, count(DISTINCT doc_id) AS d FROM spans GROUP BY s)
+         |  WHERE d >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+         |dd AS (
+         |  SELECT doc_id, count(*) AS n_dup FROM spans
+         |  WHERE s IN (SELECT s FROM dup) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+         |  round(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_spans, 4) AS dup_frac4
+         |FROM tot t LEFT JOIN dd d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
          |sigs AS (SELECT doc_id,

@@ -295,6 +295,30 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // One BPE merge-learning iteration: the most frequent adjacent
+    // character pairs over the corpus, weighted by word frequency —
+    // the inner step of tokenizer training at corpus scale. State is
+    // bounded by vocabulary × word length (pair counts), never corpus
+    // size: one word-count aggregation, one pair explode over the
+    // VOCABULARY (not the corpus), TakeOrderedAndProject for the
+    // top-10, rank assigned inside that 10-row frame only.
+    "ta_bpe_merge" -> ((s, dir) => {
+      val wc = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+      val pairs = wc.filter(length(col("word")) >= 2)
+        .select(col("wc"), explode(
+          expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(10)
+      import org.apache.spark.sql.expressions.Window
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+        .select(col("rank").cast("int").as("rank"), col("pair"), col("cnt"))
+        .orderBy("rank")
+    }),
+
     // Exact per-language heavy hitters (vocabulary-building gate):
     // tokens holding ≥0.5% of their language's token mass, as an
     // integer cross-multiplication. One corpus-scan aggregation; the
@@ -317,6 +341,19 @@ object TextAnalysis {
     s"len(list_filter(t, x -> list_contains(${sqlList(ws)}, x)))"
 
   val oracleSql: Map[String, String] = Map(
+    "ta_bpe_merge" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents),
+         |wc AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
+         |p AS (
+         |  SELECT substring(word, CAST(i AS INT), 2) AS pair,
+         |    CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM wc, UNNEST(range(1, length(word))) AS u(i)
+         |  WHERE length(word) >= 2 GROUP BY pair),
+         |top AS (
+         |  SELECT pair, cnt FROM p ORDER BY cnt DESC, pair LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank,
+         |  pair, cnt
+         |FROM top ORDER BY rank""".stripMargin,
     "ta_heavy_hitters" ->
       s"""WITH w AS (
          |  SELECT lang, unnest($toksSql) AS word FROM documents),
