@@ -128,6 +128,43 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Incremental (delta-vs-corpus) dedup — the nightly-crawl
+    // operational shape: a new batch (doc_id ≡ 7 mod 10 stands in for
+    // the delta) dedups against the EXISTING corpus, never against
+    // itself all-pairs. Stage 1: exact — anti-join the delta's md5
+    // fingerprints against the corpus fingerprint set (one hash
+    // shuffle). Stage 2: near-dup — the delta's minhash bands join the
+    // corpus bands on (band_idx, band_hash); any collision marks the
+    // new doc a near-dup candidate (the conservative drop policy;
+    // LSH-bounded bucket sizes as in dd_minhash). Signatures for BOTH
+    // sides come from one corpus pass, split by membership — at 100 TB
+    // the corpus side is the precomputed signature index, so only the
+    // delta pays shingling. Per delta doc: exact_dup | near_dup | kept.
+    "pipe_incremental_dedup" -> ((s, dir) => {
+      val isNew = pmod(col("doc_id"), lit(10)) === 7
+      val docs = Tables.documents(s, dir)
+      val exactDups = docs.filter(isNew)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(docs.filter(!isNew).select(md5(col("text")).as("fp")).distinct(),
+          Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(true).as("exact_dup"))
+      val b = bands(signatures(s, dir))
+      val nearDups = b.filter(isNew)
+        .join(b.filter(!isNew)
+            .select(col("band_idx"), col("band_hash")),
+          Seq("band_idx", "band_hash"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      docs.filter(isNew).select(col("doc_id"))
+        .join(exactDups, Seq("doc_id"), "left")
+        .join(nearDups, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_dup"), "exact_dup")
+            .when(col("near_dup"), "near_dup")
+            .otherwise("kept").as("status"))
+        .orderBy("doc_id")
+    }),
+
     // 16-bit SimHash per document from per-token md5 bits. Per token,
     // the native Md5PrefixLong expression yields the digest's top 64
     // bits as ONE long; the bit-majority vote is a single typed
@@ -507,6 +544,28 @@ object Dedup {
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "pipe_incremental_dedup" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sigs AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects
+         |),
+         |newd AS (
+         |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 7),
+         |oldfp AS (
+         |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 7),
+         |nearc AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7)
+         |SELECT n.doc_id,
+         |  CASE WHEN n.fp IN (SELECT fp FROM oldfp) THEN 'exact_dup'
+         |       WHEN n.doc_id IN (SELECT doc_id FROM nearc) THEN 'near_dup'
+         |       ELSE 'kept' END AS status
+         |FROM newd n ORDER BY n.doc_id""".stripMargin,
     "dd_repeated_spans" ->
       s"""WITH spans AS (
          |  SELECT doc_id, i, array_to_string(list_slice(t, i, i + 4), ' ') AS s

@@ -58,6 +58,9 @@ object QualityQueries {
       .withColumn("quota", expr(quotaExpr))
       .select(col(group), col("bucket"), col("bcnt"), col("cum_before"),
         col("quota"))
+      // both union legs join this groups×256-row frame — materialize
+      // it once instead of re-running the counting scan per leg
+      .localCheckpoint(false)
     val joined = keyed.join(broadcast(stats), Seq(group, "bucket"))
       .withColumn("take", col("quota") - col("cum_before"))
     val allIn = joined.filter(col("bcnt") <= col("take"))

@@ -328,6 +328,10 @@ object TextAnalysis {
       val counts = Tables.documents(s, dir)
         .select(col("lang"), explode(tokens(col("text"))).as("word"))
         .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+        // consumed by both the hitter filter and the totals rollup —
+        // materialize the (lang, vocab)-bounded frame once instead of
+        // re-running the corpus explode+agg per leg
+        .localCheckpoint(false)
       val totals = counts.groupBy("lang").agg(sum(col("cnt")).as("total"))
       counts.join(broadcast(totals), "lang")
         .filter(col("cnt") * 200 >= col("total"))
