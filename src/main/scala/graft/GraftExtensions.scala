@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{DotProduct, Md5PrefixLong, RollingHash, TokenCount, TokenCountRewrite, WordShingles}
+import graft.functions.{DotProduct, DoubleSortableBits, Md5PrefixLong, RollingHash, TokenCount, TokenCountRewrite, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so the SQL-string surface can use them:
@@ -54,7 +54,11 @@ object GraftExtensions {
         (exprs: Seq[Expression]) => Md5PrefixLong(exprs.head)),
       (FunctionIdentifier("token_count"),
         info("token_count", "token_count(str) - non-empty space-separated token count"),
-        (exprs: Seq[Expression]) => TokenCount(exprs.head))
+        (exprs: Seq[Expression]) => TokenCount(exprs.head)),
+      (FunctionIdentifier("double_sortable_bits"),
+        info("double_sortable_bits",
+          "double_sortable_bits(dbl) - order-preserving bit image of a double"),
+        (exprs: Seq[Expression]) => DoubleSortableBits(exprs.head))
     )
 
   /** Register on an already-built session (the driver owns session

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -136,6 +136,59 @@ object Similarity {
         .orderBy("query_id", "rn")
     }),
 
+    // ANN evaluation harness: recall@K of the single-probe and
+    // Hamming-1 multiprobe LSH paths against the brute-force ground
+    // truth, per query — the cost/recall report every approximate
+    // index ships with (probe counts, band counts and bucket widths
+    // are tuned against exactly this query; on near-random embeddings
+    // single-probe recall is honestly ~0 while 9 probes move it, which
+    // is the whole point of measuring instead of assuming). All legs
+    // share the broadcast query set; the ground-truth leg is the only
+    // corpus-wide scan, and the recall joins run over Q·K-row frames.
+    "ss_ann_recall" -> ((s, dir) => {
+      val v = vecs(s, dir)
+      val q = v.filter(col("vec_id") < NumQueries)
+      val exact = topk(broadcast(q).as("q")
+          .join(v.as("c"), col("q.vec_id") =!= col("c.vec_id")))
+        .select(col("query_id"), col("vec_id"))
+      val approx = topk(broadcast(q).as("q")
+          .join(v.as("c"),
+            col("q.bucket") === col("c.bucket") &&
+              col("q.vec_id") =!= col("c.vec_id")))
+        .select(col("query_id"), col("vec_id"))
+      // Hamming-1 multiprobe: the query probes its own bucket plus the
+      // 8 one-bit flips (9 distinct buckets, so no candidate dedup
+      // needed); candidates still never shuffle — the probe set rides
+      // the broadcast.
+      val flips: Seq[Column] = col("bucket") +: (1 to 8).map { i =>
+        concat(
+          substring(col("bucket"), 1, i - 1),
+          when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
+          substring(col("bucket"), i + 1, 8 - i))
+      }
+      val qProbes = q.select(col("vec_id"), col("e"), col("nrm"),
+        explode(array(flips: _*)).as("probe"))
+      val approxMp = topk(broadcast(qProbes).as("q")
+          .join(v.as("c"),
+            col("q.probe") === col("c.bucket") &&
+              col("q.vec_id") =!= col("c.vec_id")))
+        .select(col("query_id"), col("vec_id"))
+      def hitsOf(leg: DataFrame, name: String) =
+        exact.join(leg, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as(name))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hitsOf(approx, "h1"), Seq("query_id"), "left")
+        .join(hitsOf(approxMp, "h9"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("h1"), lit(0L)).as("n_hits_lsh"),
+          coalesce(col("h9"), lit(0L)).as("n_hits_mp"))
+        .withColumn("recall_lsh4",
+          round(col("n_hits_lsh").cast("double") / col("n_true"), 4))
+        .withColumn("recall_mp4",
+          round(col("n_hits_mp").cast("double") / col("n_true"), 4))
+        .orderBy("query_id")
+    }),
+
     // One Lloyd iteration of k-means (the update step): vectors →
     // nearest coarse centroid (the IVF assignment), then the new
     // centroid = per-dimension mean of the assigned vectors. Means are
@@ -179,9 +232,11 @@ object Similarity {
        |    FROM v CROSS JOIN cents)
        |  WHERE ark = 1)""".stripMargin
 
-  private def topkSql(joinCond: String) =
-    s"""WITH v AS ($vSql)
-       |SELECT query_id, vec_id, cos, CAST(rn AS INT) AS rn FROM (
+  /** The ranked top-K body (no WITH prefix) so it can sit inside a
+    * larger CTE chain as well as stand alone in topkSql.
+    */
+  private def topkBodySql(joinCond: String) =
+    s"""SELECT query_id, vec_id, cos, CAST(rn AS INT) AS rn FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
        |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS cos,
        |    row_number() OVER (
@@ -190,7 +245,11 @@ object Similarity {
        |               c.vec_id ASC) AS rn
        |  FROM (SELECT * FROM v WHERE vec_id < $NumQueries) q
        |  JOIN v c ON $joinCond)
-       |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+       |WHERE rn <= $K""".stripMargin
+
+  private def topkSql(joinCond: String) =
+    s"""WITH v AS ($vSql)
+       |${topkBodySql(joinCond)} ORDER BY query_id, rn""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ss_bruteforce_topk" -> topkSql("q.vec_id <> c.vec_id"),
@@ -208,6 +267,50 @@ object Similarity {
          |  FROM (SELECT * FROM assigned WHERE vec_id >= 100 AND vec_id < 105) q
          |  JOIN assigned c ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id)
          |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "ss_ann_recall" -> {
+      val flipsSql = "bucket" +: (1 to 8).map { i =>
+        s"substr(bucket, 1, ${i - 1}) || " +
+          s"(CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || " +
+          s"substr(bucket, ${i + 1}, ${8 - i})"
+      }
+      s"""WITH v AS ($vSql),
+         |exact AS (${topkBodySql("q.vec_id <> c.vec_id")}),
+         |approx AS (${topkBodySql("q.bucket = c.bucket AND q.vec_id <> c.vec_id")}),
+         |probes AS (
+         |  SELECT vec_id, e, nrm,
+         |    unnest([${flipsSql.mkString(",\n      ")}]) AS probe
+         |  FROM v WHERE vec_id < $NumQueries),
+         |approx_mp AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |      row_number() OVER (
+         |        PARTITION BY q.vec_id
+         |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) DESC,
+         |                 c.vec_id ASC) AS rn
+         |    FROM probes q JOIN v c
+         |      ON q.probe = c.bucket AND q.vec_id <> c.vec_id)
+         |  WHERE rn <= $K),
+         |h1 AS (
+         |  SELECT e.query_id, count(*) AS n
+         |  FROM exact e JOIN approx a
+         |    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |  GROUP BY e.query_id),
+         |h9 AS (
+         |  SELECT e.query_id, count(*) AS n
+         |  FROM exact e JOIN approx_mp a
+         |    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |  GROUP BY e.query_id),
+         |tot AS (SELECT query_id, count(*) AS n_true FROM exact GROUP BY query_id)
+         |SELECT t.query_id, CAST(t.n_true AS BIGINT) AS n_true,
+         |  CAST(COALESCE(h1.n, 0) AS BIGINT) AS n_hits_lsh,
+         |  CAST(COALESCE(h9.n, 0) AS BIGINT) AS n_hits_mp,
+         |  round(CAST(COALESCE(h1.n, 0) AS DOUBLE) / t.n_true, 4) AS recall_lsh4,
+         |  round(CAST(COALESCE(h9.n, 0) AS DOUBLE) / t.n_true, 4) AS recall_mp4
+         |FROM tot t
+         |LEFT JOIN h1 ON t.query_id = h1.query_id
+         |LEFT JOIN h9 ON t.query_id = h9.query_id
+         |ORDER BY t.query_id""".stripMargin
+    },
     "ss_kmeans_step" ->
       s"""$assignedCtes
          |SELECT cent_id, CAST(i AS INT) AS dim,

@@ -61,6 +61,9 @@ class ScaleSpec extends AnyFunSuite {
       "SELECT dot_product(CAST(ARRAY(1.0,2.0) AS ARRAY<DOUBLE>), CAST(ARRAY(3.0,4.0) AS ARRAY<DOUBLE>)) AS d")
       .head().getDouble(0)
     assert(dp == 11.0)
+    val sb = Graft.sql(spark, sf,
+      "SELECT double_sortable_bits(CAST(1.5 AS DOUBLE)) AS b").head().getLong(0)
+    assert(sb == graft.functions.DoubleSortableBits.sortable(1.5))
   }
 
   test("grouped top-k plans use WindowGroupLimit (no full-partition materialization)") {
