@@ -365,6 +365,35 @@ object Dedup {
     // pairs that a single sign-LSH bucket misses when a coordinate sits
     // near zero. Candidate volume grows 9×, still O(n·c) — the standard
     // recall/cost dial of LSH at scale.
+    // Semantic dedup survivors (the SemDeDup shape): within-bucket
+    // cosine near-dup pairs (same blocking + threshold as
+    // dd_embed_cos), victims = the larger vec_id of any qualifying
+    // pair (keep-first, deterministic, no iteration needed — victimhood
+    // is monotone), then a per-label report of kept vs total. The
+    // production semantic-dedup loop is exactly this with IVF cells
+    // for buckets and a trained embedding; the plan — blocked pair
+    // generation, a distinct victim projection, one anti-join — is
+    // what survives the swap.
+    "dd_semantic_survivors" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          toDouble(col("embedding")).as("e"),
+          Vec.signBucket(col("embedding")).as("bucket"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val victims = v.as("a")
+        .join(v.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(round(dot(col("a.e"), col("b.e")) /
+          (col("a.nrm") * col("b.nrm")), 4) >= 0.3)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      v.join(victims, Seq("vec_id"), "left_anti")
+        .groupBy("label").agg(count(lit(1)).as("n_kept"))
+        .join(v.groupBy("label").agg(count(lit(1)).as("n_vecs")), Seq("label"))
+        .select(col("label"), col("n_vecs"), col("n_kept"))
+        .orderBy("label")
+    }),
+
     "dd_embed_multiprobe" -> ((s, dir) => {
       val v = Tables.embeddings(s, dir)
         .select(
@@ -656,6 +685,26 @@ object Dedup {
          |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+    "dd_semantic_survivors" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         |    concat(
+         |      ${(1 to 8).map(i =>
+                  s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+                  .mkString(",\n      ")}) AS bucket,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |victims AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.3),
+         |kept AS (
+         |  SELECT label, count(*) AS n_kept FROM v
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM victims) GROUP BY label),
+         |tot AS (SELECT label, count(*) AS n_vecs FROM v GROUP BY label)
+         |SELECT t.label, t.n_vecs, COALESCE(k.n_kept, 0) AS n_kept
+         |FROM tot t LEFT JOIN kept k ON t.label = k.label
+         |ORDER BY t.label""".stripMargin,
     "dd_embed_cos" ->
       s"""WITH v AS (${OracleSql.vectors})
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
