@@ -148,4 +148,44 @@ class PropertiesSpec extends AnyFunSuite {
       packed == expected
     }, n = 10)
   }
+
+  test("property: WavCodec round-trips arbitrary byte payloads exactly") {
+    import graft.functions.WavCodec
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val payload = bs.toArray
+      val w = WavCodec.decode(WavCodec.encode(payload))
+      w.samples.length == payload.length &&
+        payload.indices.forall(i =>
+          w.samples(i) == (((payload(i) & 0xff) - 128) << 8)) && {
+          // stats agree with a naive fold over the widened samples
+          val samples = payload.map(b => (((b & 0xff) - 128) << 8))
+          val st = WavCodec.stats(w, silenceThreshold = 16384, onsetThreshold = 4096)
+          st.peakAbs == (if (samples.isEmpty) 0 else samples.map(math.abs).max) &&
+            st.energy == samples.map(s => s.toLong * s).sum &&
+            st.nSilent == samples.count(s => math.abs(s) < 16384) &&
+            st.nOnsets == samples.toSeq.sliding(2).count {
+              case Seq(a, b) => math.abs(b - a) >= 4096
+              case _ => false
+            }
+        }
+    }, n = 30)
+  }
+
+  test("property: radix kthValues equals sorted-array selection") {
+    import graft.operators.QuantileQueries
+    val finiteDouble: Gen[Double] = Gen.oneOf(
+      Gen.chooseNum(-1e6, 1e6),
+      Gen.chooseNum(-100, 100).map(_.toDouble),
+      Gen.oneOf(0.0, -0.0, 1.5, -1.5, 1e12, -1e12))
+    check(Prop.forAll(Gen.nonEmptyListOf(finiteDouble)) { vs =>
+      val df = vs.toDF("v")
+      val n = vs.size.toLong
+      val got = QuantileQueries.kthValues(spark, df, "v",
+        Seq("median" -> ((m: Long) => (m + 1) / 2), "max" -> ((m: Long) => m)))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val sorted = vs.sorted
+      got("median") == sorted(((n + 1) / 2 - 1).toInt) &&
+        got("max") == sorted.last
+    }, n = 10)
+  }
 }
