@@ -92,7 +92,7 @@ object Stress {
         "pipe_merge_upsert", "pipe_incremental_dedup", "dd_repeated_spans",
         "pipe_domain_cap", "ta_heavy_hitters", "ta_bpe_merge",
         "pipe_chunk_overlap", "mm_audio_wav", "ta_quality_lr",
-        "dd_semantic_survivors", "ss_ann_recall")
+        "dd_semantic_survivors", "ss_ann_recall", "mm_video_mp4")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")

@@ -200,6 +200,37 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // Video leg of the decode seam — a REAL ISO BMFF (MP4) container
+    // parse: payloads wrap into ftyp + moov(mvhd) + free + mdat and
+    // walk back through Mp4Codec's recursive box parser (64-bit
+    // largesize and size-0 handling, unknown-box skip via the free
+    // box, fail-loud bounds checks). Frame decoding proper would need
+    // an H.264-class codec (the seam JpegCodec demonstrates); the
+    // container walk is what the pipeline plumbing consumes. Box
+    // census, media-data length, tick-exact duration and the sampled
+    // "keyframe" checksum are all arithmetically derivable from the
+    // text bytes, so the parser is oracle-pinned end to end.
+    "mm_video_mp4" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Mp4Codec
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          val m = Mp4Codec.decode(Mp4Codec.encode(payload))
+          (id, m.boxes.length, m.boxes.count(_.depth == 0),
+            m.mediaData.length, m.duration * 1000L / m.timescale,
+            Mp4Codec.sampleFrames(m, 32))
+        })
+        .toDF("doc_id", "n_boxes", "n_top_boxes", "mdat_bytes",
+          "duration_ms", "frames")
+        .select(col("doc_id"), col("n_boxes"), col("n_top_boxes"),
+          col("mdat_bytes"), col("duration_ms"),
+          octet_length(col("frames")).cast("long").as("n_frames"),
+          md5(col("frames")).as("frames_checksum"))
+        .orderBy("doc_id")
+    }),
+
     // Feature extraction through the typed mapPartitions path: 16-bin
     // gray histogram of the decoded raster resized to 8×8.
     "mm_features" -> ((s, dir) => {
@@ -272,6 +303,21 @@ object Multimodal {
          |  round(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) / 64.0, 4) AS f0,
          |  round(sum(CASE WHEN bin = 15 THEN 1 ELSE 0 END) / 64.0, 4) AS f15
          |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The wrap emits exactly ftyp, moov(mvhd), free, mdat; duration =
+    // one 8000 Hz tick per payload byte; frames = every 32nd byte
+    // (all-ASCII corpus ⇒ char position = byte position).
+    "mm_video_mp4" ->
+      """SELECT doc_id,
+        |  CAST(5 AS INT) AS n_boxes,
+        |  CAST(4 AS INT) AS n_top_boxes,
+        |  CAST(length(text) AS INT) AS mdat_bytes,
+        |  CAST(length(text) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST((length(text) + 31) // 32 AS BIGINT) AS n_frames,
+        |  md5(array_to_string(
+        |    list_transform(range(0, (length(text) + 31) // 32),
+        |                   i -> substring(text, CAST(i * 32 + 1 AS INT), 1)),
+        |    '')) AS frames_checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // The WAV widening is (ord − 128)·256 per char (all-ASCII corpus ⇒
     // char position = byte position = sample position), so every audio
     // feature is re-derivable in SQL; rms/silence divisions round at
