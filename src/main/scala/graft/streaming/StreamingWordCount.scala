@@ -53,6 +53,24 @@ object StreamingWordCount {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming incremental dedup — the streaming dual of the batch
+    * `pipe_incremental_dedup`: arriving documents first drop exact
+    * self-duplicates within the watermark, then anti-join the STATIC
+    * corpus fingerprint index (broadcast; re-read per micro-batch, so
+    * a nightly-compacted index is picked up without restart). Only
+    * corpus-novel documents survive. Stateless beyond the watermarked
+    * self-dedup — the corpus side never enters streaming state.
+    */
+  def incrementalDedupStream(spark: SparkSession, inputDir: String,
+      schema: StructType, corpusFps: DataFrame): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .join(broadcast(corpusFps), Seq("fp"), "left_anti")
+
   /** Streaming session windows — the incremental dual of the batch
     * `ev_session_window` query: events within a 30-minute gap per user
     * merge into one session; the watermark finalizes (and emits, in

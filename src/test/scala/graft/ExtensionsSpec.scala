@@ -168,6 +168,30 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup keeps only corpus-novel documents") {
+    val dir = Files.createTempDirectory("stream_idd")
+    Seq(
+      (1L, "the cat sat", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "brand new doc", java.sql.Timestamp.valueOf("2024-01-01 10:01:00")),
+      (3L, "brand new doc", java.sql.Timestamp.valueOf("2024-01-01 10:02:00")),
+      (4L, "also novel", java.sql.Timestamp.valueOf("2024-01-01 10:03:00"))
+    ).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    // static corpus index already contains "the cat sat"
+    val corpusFps = Seq("the cat sat", "old corpus doc").toDF("t")
+      .select(md5($"t").as("fp"))
+    val q = StreamingWordCount.runToMemory(
+      StreamingWordCount.incrementalDedupStream(spark, dir.toString, schema, corpusFps),
+      "idd_stream", mode = "append")
+    try {
+      val texts = spark.sql("SELECT text FROM idd_stream ORDER BY text")
+        .collect().map(_.getString(0))
+      // doc 1 is in the corpus (dropped), doc 3 self-duplicates doc 2
+      assert(texts.toSeq == Seq("also novel", "brand new doc"))
+    } finally q.stop()
+  }
+
   test("streaming session windows agree with the batch sessionization (closed sessions)") {
     val dir = Files.createTempDirectory("stream_sw")
     Tables.events(spark, sf).select("ts", "user_id")
