@@ -307,6 +307,32 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // Training-mix planning (the static data-mixing step): fixed
+    // target shares per language against a token budget of half the
+    // corpus; per language report available tokens, the integer
+    // target, and the sampling rate (>1 ⇒ the mix calls for epoch
+    // repetition of that slice). One corpus aggregation to a
+    // langs-sized frame; everything after is arithmetic on the
+    // broadcast-scale result — the planning output that drives
+    // pipe_domain_cap / pipe_stratified_sample style selection.
+    "pipe_mix_weights" -> ((s, dir) => {
+      val shares = Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
+      val avail = Tables.documents(s, dir)
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("lang").agg(sum(col("nt")).as("available_tokens"))
+      val shareCol = shares.foldLeft(lit(0)) { case (acc, (l, p)) =>
+        when(col("lang") === l, lit(p)).otherwise(acc)
+      }
+      val budget = avail.agg(expr("sum(available_tokens) DIV 2").as("budget"))
+      avail.crossJoin(broadcast(budget))
+        .withColumn("share", shareCol.cast("long"))
+        .withColumn("target_tokens", expr("(share * budget) DIV 100"))
+        .withColumn("rate4",
+          round(col("target_tokens").cast("double") / col("available_tokens"), 4))
+        .select("lang", "available_tokens", "target_tokens", "rate4")
+        .orderBy("lang")
+    }),
+
     // Context-window chunking: split each document into 200-char
     // chunks on a 150-char stride (25% overlap, the standard
     // train-window shape; ⌈(len−C)/S⌉+1 chunks, min 1, short tail
@@ -361,6 +387,20 @@ object PipelineQueries {
   private val toksSql = OracleSql.toks
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_mix_weights" ->
+      s"""WITH avail AS (
+         |  SELECT lang,
+         |    CAST(sum(len(${OracleSql.toks})) AS BIGINT) AS available_tokens
+         |  FROM documents GROUP BY lang),
+         |b AS (SELECT CAST(sum(available_tokens) // 2 AS BIGINT) AS budget FROM avail)
+         |SELECT lang, available_tokens,
+         |  CAST((CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'es' THEN 15
+         |        WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 ELSE 0 END) * budget // 100
+         |    AS BIGINT) AS target_tokens,
+         |  round(CAST((CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'es' THEN 15
+         |        WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 ELSE 0 END) * budget // 100
+         |      AS DOUBLE) / available_tokens, 4) AS rate4
+         |FROM avail, b ORDER BY lang""".stripMargin,
     "pipe_chunk_overlap" ->
       """WITH d AS (
         |  SELECT doc_id, text,
