@@ -188,4 +188,34 @@ class PropertiesSpec extends AnyFunSuite {
         got("max") == sorted.last
     }, n = 10)
   }
+
+  test("property: codec decoders never fail unlawfully on arbitrary garbage") {
+    import graft.functions.{Mp4Codec, PgmCodec, WavCodec}
+    // A binary parser's contract on hostile input is a specific
+    // IllegalArgumentException — never an index/negative-size/NPE
+    // crash, which would mean a bounds check is missing.
+    def lawful(decode: Array[Byte] => Any)(bytes: Array[Byte]): Boolean =
+      try { decode(bytes); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    val garbage: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      // adversarial: valid magic then noise
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(bs =>
+        "RIFF".getBytes("US-ASCII") ++ bs.toArray),
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(bs =>
+        "P5\n".getBytes("US-ASCII") ++ bs.toArray),
+      // truncations of a VALID container at every prefix length
+      Gen.chooseNum(0, 60).map(k =>
+        Mp4Codec.encode("valid payload here".getBytes("US-ASCII")).take(k)),
+      Gen.chooseNum(0, 60).map(k =>
+        WavCodec.encode("valid payload here".getBytes("US-ASCII")).take(k)))
+    check(Prop.forAll(garbage) { bytes =>
+      lawful(PgmCodec.decode)(bytes) &&
+        lawful(WavCodec.decode)(bytes) &&
+        lawful(Mp4Codec.decode)(bytes)
+    }, n = 200)
+  }
 }
