@@ -53,9 +53,12 @@ object Dedup {
     * SAME hash — and no output column surfaces the representation, so
     * the hex-string oracle is unchanged.
     */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesOf(Tables.documents(s, dir))
+
+  private def signaturesOf(documents: DataFrame): DataFrame = {
     val withDigests = (0 until NumHashes / 4).foldLeft(
-      Tables.documents(s, dir)
+      documents
         .select(col("doc_id"), explode(shinglesOf(col("text"))).as("shingle"))) {
       (df, salt) =>
         df.withColumn(s"h$salt",
@@ -273,67 +276,32 @@ object Dedup {
     // Exact-duplicate classes would make candidate groups quadratic in
     // OUTPUT (those pairs genuinely qualify); the generation buffers
     // stay bounded via the salted pair-gen below.
-    "dd_jaccard_prefix" -> ((s, dir) => {
-      // The shingle explode feeds the df aggregate and the rarity join
-      // leg; the downstream `docs` frame (sorted per-doc arrays) is
-      // the one whose checkpoint pays — it is consumed three times
-      // (prefix explode + both verify sides) and carries the sorted
-      // text-sized arrays. (Measured: also checkpointing THIS exploded
-      // frame is a wash at sf0.1 — a native-expression re-shingle
-      // costs about what the checkpoint write+read does.)
-      val docSh = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
-      val sdf = docSh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
-      val docs = docSh.join(sdf, "shingle")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
-        .select(col("doc_id"),
-          transform(col("st"), e => e.getField("shingle")).as("shs"))
-        .withColumn("n", size(col("shs")).cast("long"))
-        // consumed three times (prefix explode + both verify sides) —
-        // materialize once instead of recomputing the df join per leg
-        .localCheckpoint(false)
-      // prefix length = n − ⌈0.5·n⌉ + 1; p = the shingle's 1-based
-      // position in the doc's rarity order, for positional filtering
-      val pre = docs
-        .withColumn("plen", (col("n") - expr("(n + 1) DIV 2") + 1).cast("int"))
-        .select(col("doc_id"), col("n"),
-          posexplode(slice(col("shs"), lit(1), col("plen"))).as(Seq("p0", "shingle")))
-        .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"), col("shingle"))
-      // PPJoin positional filter on top of the length filter: a pair
-      // whose FIRST shared prefix element sits at positions (pa, pb)
-      // can overlap at most min(na−pa, nb−pb)+1 elements, and J ≥ 0.5
-      // needs overlap ≥ ⌈(na+nb)/3⌉ — occurrences violating the bound
-      // can't be the first shared element of a qualifying pair, so
-      // dropping them keeps recall 1 while pruning the candidate set
-      // before the distinct + verify. Pair generation per prefix-
-      // shingle bucket goes through the salted two-level form
-      // (bounded buffers even on a pathologically common shingle);
-      // both filters stay symmetric in (a, b), so the id ordering the
-      // generator fixes matches the oracle's a.doc_id < b.doc_id.
-      val cand = PairGen.saltedPairs(
-          pre.select(col("shingle"),
-            struct(col("doc_id"), col("n"), col("p")).as("v")),
-          Seq("shingle"), "doc_id")
-        .filter(col("a.n") * 2 >= col("b.n") &&
-          col("b.n") * 2 >= col("a.n") &&
-          (least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) + 1) * 3 >=
-            col("a.n") + col("b.n"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
-          col("n").as("na")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
-          col("n").as("nb")), "doc_b")
-        .withColumn("n_inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .filter(col("n_inter") * 2 >= col("na") + col("nb") - col("n_inter"))
-        .select(col("doc_a"), col("doc_b"), col("n_inter"),
-          (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
-            .as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    "dd_jaccard_prefix" -> ((s, dir) =>
+      jaccardPrefixPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Sampled recall estimation for the dedup stack — the evaluation
+    // harness ss_ann_recall is for ANN, pointed at near-dup detection:
+    // on a hash-sampled half of the corpus (membership by the same
+    // reproducible md5-range mechanism as pipe_hash_sample), run BOTH
+    // the LSH→verify pipeline and the exact PPJoin ground truth, and
+    // report |LSH ∩ exact| / |exact|. This is exactly how recall IS
+    // measured at 100 TB: the exact join is unaffordable on the full
+    // corpus (that's why LSH exists), but on a hash sample it prices
+    // in at the sample's quadratic density, and pair recall between
+    // sampled docs estimates corpus pair recall (each true pair
+    // survives sampling with probability p², uniformly — band counts
+    // and thresholds are tuned against this number).
+    "dd_lsh_recall" -> ((s, dir) => {
+      val sample = Tables.documents(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "8000")
+      val exact = jaccardPrefixPairs(sample).select("doc_a", "doc_b")
+      val lsh = verifiedPairsOf(sample, dedup = true).select("doc_a", "doc_b")
+      val hit = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_true"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_lsh"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 4).as("recall4"))
     }),
 
     // Embedding cosine near-dup with sign-bit LSH blocking.
@@ -435,7 +403,80 @@ object Dedup {
     * joins then process each pair once per shared band (≤ Bands×).
     */
   private[operators] def verifiedPairs(
-      s: SparkSession, dir: String, dedup: Boolean): DataFrame = {
+      s: SparkSession, dir: String, dedup: Boolean): DataFrame =
+    verifiedPairsOf(Tables.documents(s, dir), dedup)
+
+  /** The exact PPJoin similarity join over an arbitrary document frame
+    * (the dd_jaccard_prefix body — see that query's comment for the
+    * algorithm): rarity-ordered prefixes, length + positional filters,
+    * salted pair generation, array-intersect verify. Parameterized by
+    * the doc frame so dd_lsh_recall can point the same ground-truth
+    * machinery at a hash sample.
+    */
+  private[operators] def jaccardPrefixPairs(documents: DataFrame): DataFrame = {
+    // The shingle explode feeds the df aggregate and the rarity join
+    // leg; the downstream `docs` frame (sorted per-doc arrays) is
+    // the one whose checkpoint pays — it is consumed three times
+    // (prefix explode + both verify sides) and carries the sorted
+    // text-sized arrays. (Measured: also checkpointing THIS exploded
+    // frame is a wash at sf0.1 — a native-expression re-shingle
+    // costs about what the checkpoint write+read does.)
+    val docSh = documents
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+    val sdf = docSh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    val docs = docSh.join(sdf, "shingle")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), e => e.getField("shingle")).as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+      // consumed three times (prefix explode + both verify sides) —
+      // materialize once instead of recomputing the df join per leg
+      .localCheckpoint(false)
+    // prefix length = n − ⌈0.5·n⌉ + 1; p = the shingle's 1-based
+    // position in the doc's rarity order, for positional filtering
+    val pre = docs
+      .withColumn("plen", (col("n") - expr("(n + 1) DIV 2") + 1).cast("int"))
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(col("shs"), lit(1), col("plen"))).as(Seq("p0", "shingle")))
+      .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"), col("shingle"))
+    // PPJoin positional filter on top of the length filter: a pair
+    // whose FIRST shared prefix element sits at positions (pa, pb)
+    // can overlap at most min(na−pa, nb−pb)+1 elements, and J ≥ 0.5
+    // needs overlap ≥ ⌈(na+nb)/3⌉ — occurrences violating the bound
+    // can't be the first shared element of a qualifying pair, so
+    // dropping them keeps recall 1 while pruning the candidate set
+    // before the distinct + verify. Pair generation per prefix-
+    // shingle bucket goes through the salted two-level form
+    // (bounded buffers even on a pathologically common shingle);
+    // both filters stay symmetric in (a, b), so the id ordering the
+    // generator fixes matches the oracle's a.doc_id < b.doc_id.
+    val cand = PairGen.saltedPairs(
+        pre.select(col("shingle"),
+          struct(col("doc_id"), col("n"), col("p")).as("v")),
+        Seq("shingle"), "doc_id")
+      .filter(col("a.n") * 2 >= col("b.n") &&
+        col("b.n") * 2 >= col("a.n") &&
+        (least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) + 1) * 3 >=
+          col("a.n") + col("b.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("n_inter") * 2 >= col("na") + col("nb") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+          .as("jaccard"))
+  }
+
+  private[operators] def verifiedPairsOf(
+      documents: DataFrame, dedup: Boolean): DataFrame = {
 
       // Candidates via salted within-bucket pair generation
       // ([[PairGen.saltedPairs]]) — the signature pipeline stays one
@@ -446,7 +487,7 @@ object Dedup {
       // spreads a mega-bucket's cells across the cluster — measured at
       // the 100k-duplicate-class point in SCALE.md (graft.Stress
       // `pairgen_dup_class`).
-      val b = bands(signatures(s, dir))
+      val b = bands(signaturesOf(documents))
       val candRaw = PairGen.saltedPairs(
           b.select(col("band_idx"), col("band_hash"),
             struct(col("doc_id")).as("v")),
@@ -466,7 +507,7 @@ object Dedup {
       // (dup-heavy corpora yield millions of pairs) and its stats
       // mislead the planner into broadcasting it — observed OOM at a
       // 2 GB heap under 20× amplification. Sort-merge spills instead.
-      val docs = Tables.documents(s, dir)
+      val docs = documents
         .select(col("doc_id"), array_distinct(shinglesOf(col("text"))).as("shset"))
         .select(col("doc_id"), col("shset"), size(col("shset")).cast("long").as("n"))
       cand.hint("merge")
@@ -487,11 +528,12 @@ object Dedup {
   }
 
   private val toksSql = OracleSql.toks
-  private val shinglesSql =
+  private def shinglesSqlFrom(src: String) =
     s"""SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
-       |FROM (SELECT doc_id, $toksSql AS t FROM documents),
+       |FROM (SELECT doc_id, $toksSql AS t FROM $src),
        |     UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
        |WHERE len(t) >= 3""".stripMargin
+  private val shinglesSql = shinglesSqlFrom("documents")
   private val sigSelect = (0 until NumHashes).map { i =>
     val salt = i / 4
     val off  = 8 * (i % 4) + 1
@@ -504,6 +546,69 @@ object Dedup {
   private val sigEqSql = (0 until NumHashes)
     .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
     .mkString(" + ")
+
+  /** The dd_ngram_jaccard statement over an arbitrary source relation
+    * (mirrors [[verifiedPairsOf]]). `src` may be a CTE name, so
+    * dd_lsh_recall can run it over a hash sample.
+    */
+  private def ngramJaccardSqlFrom(src: String): String =
+    s"""WITH sh AS (${shinglesSqlFrom(src)}),
+       |sigs AS (SELECT doc_id,
+       |    $sigSelect
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_inter
+       |  FROM cand
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter,
+       |  CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The dd_jaccard_prefix statement over an arbitrary source relation
+    * (mirrors [[jaccardPrefixPairs]]).
+    */
+  private def jaccardPrefixSqlFrom(src: String): String =
+    s"""WITH dt AS (${shinglesSqlFrom(src)}),
+       |sdf AS (SELECT shingle, count(*) AS sdf FROM dt GROUP BY shingle),
+       |docs AS (
+       |  SELECT d.doc_id, list(d.shingle ORDER BY f.sdf, d.shingle) AS shs,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM dt d JOIN sdf f ON d.shingle = f.shingle
+       |  GROUP BY d.doc_id),
+       |pre AS (
+       |  SELECT doc_id, n, CAST(i AS BIGINT) AS p, shs[CAST(i AS INT)] AS shingle
+       |  FROM docs, UNNEST(range(1, n - (n + 1) // 2 + 2)) AS u(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |   AND a.n * 2 >= b.n AND b.n * 2 >= a.n
+       |   AND (least(a.n - a.p, b.n - b.p) + 1) * 3 >= a.n + b.n),
+       |v AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(da.shs, db.shs)) AS BIGINT) AS n_inter,
+       |    da.n AS na, db.n AS nb
+       |  FROM cand c
+       |  JOIN docs da ON c.doc_a = da.doc_id
+       |  JOIN docs db ON c.doc_b = db.doc_id)
+       |SELECT doc_a, doc_b, n_inter,
+       |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+       |FROM v WHERE n_inter * 2 >= na + nb - n_inter
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dd_exact" ->
@@ -614,60 +719,24 @@ object Dedup {
          |  round(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_spans, 4) AS dup_frac4
          |FROM tot t LEFT JOIN dd d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
-    "dd_ngram_jaccard" ->
-      s"""WITH sh AS ($shinglesSql),
-         |sigs AS (SELECT doc_id,
-         |    $sigSelect
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |   AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT doc_a, doc_b, count(*) AS n_inter
-         |  FROM cand
-         |  JOIN sh sa ON doc_a = sa.doc_id
-         |  JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, n_inter,
-         |  CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
-         |FROM inter
-         |JOIN cnt ca ON doc_a = ca.doc_id
-         |JOIN cnt cb ON doc_b = cb.doc_id
-         |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
-    "dd_jaccard_prefix" ->
-      s"""WITH dt AS ($shinglesSql),
-         |sdf AS (SELECT shingle, count(*) AS sdf FROM dt GROUP BY shingle),
-         |docs AS (
-         |  SELECT d.doc_id, list(d.shingle ORDER BY f.sdf, d.shingle) AS shs,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM dt d JOIN sdf f ON d.shingle = f.shingle
-         |  GROUP BY d.doc_id),
-         |pre AS (
-         |  SELECT doc_id, n, CAST(i AS BIGINT) AS p, shs[CAST(i AS INT)] AS shingle
-         |  FROM docs, UNNEST(range(1, n - (n + 1) // 2 + 2)) AS u(i)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |   AND a.n * 2 >= b.n AND b.n * 2 >= a.n
-         |   AND (least(a.n - a.p, b.n - b.p) + 1) * 3 >= a.n + b.n),
-         |v AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |    CAST(len(list_intersect(da.shs, db.shs)) AS BIGINT) AS n_inter,
-         |    da.n AS na, db.n AS nb
-         |  FROM cand c
-         |  JOIN docs da ON c.doc_a = da.doc_id
-         |  JOIN docs db ON c.doc_b = db.doc_id)
-         |SELECT doc_a, doc_b, n_inter,
-         |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
-         |FROM v WHERE n_inter * 2 >= na + nb - n_inter
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_ngram_jaccard" -> ngramJaccardSqlFrom("documents"),
+    "dd_jaccard_prefix" -> jaccardPrefixSqlFrom("documents"),
+    "dd_lsh_recall" ->
+      s"""WITH sample AS (
+         |  SELECT * FROM documents
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),
+         |exact AS (SELECT doc_a, doc_b FROM (${jaccardPrefixSqlFrom("sample")})),
+         |lshp AS (SELECT doc_a, doc_b FROM (${ngramJaccardSqlFrom("sample")})),
+         |hit AS (
+         |  SELECT * FROM exact e
+         |  WHERE EXISTS (SELECT 1 FROM lshp l
+         |                WHERE l.doc_a = e.doc_a AND l.doc_b = e.doc_b))
+         |SELECT CAST(e.n AS BIGINT) AS n_true, CAST(l.n AS BIGINT) AS n_lsh,
+         |  CAST(h.n AS BIGINT) AS n_hit,
+         |  round(CAST(h.n AS DOUBLE) / e.n, 4) AS recall4
+         |FROM (SELECT count(*) AS n FROM exact) e,
+         |     (SELECT count(*) AS n FROM lshp) l,
+         |     (SELECT count(*) AS n FROM hit) h""".stripMargin,
     "dd_embed_multiprobe" -> {
       val flipsSql = "bucket" +: (1 to 8).map { i =>
         s"substr(bucket, 1, ${i - 1}) || " +

@@ -34,6 +34,23 @@ object EventQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // Sliding 15-minute window on a 5-minute slide: each event lands
+    // in exactly 3 overlapping windows (15/5), so `window()` with a
+    // slideDuration explodes 3 narrow rows per event before the same
+    // hash aggregation as the tumbling form — output volume is
+    // (window count) rows regardless of input size, and the 3× row
+    // amplification happens map-side, never through a self-join of
+    // the event stream against a window spine.
+    "ev_sliding_15m" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "15 minutes", "5 minutes")
+          .getField("start").as("win_start"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Agg.dsum(col("value")).as("sum_value"))
+        .orderBy("win_start")
+    }),
+
     // JSON property extraction: props is a JSON string {"k": <int>}.
     // Integer sums are exact, so avg = sum/count is bit-deterministic.
     "ev_json_extract" -> ((s, dir) => {
@@ -198,6 +215,19 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // An event at t belongs to the 3 slide-aligned windows starting at
+    // time_bucket(t) − k·5min, k ∈ {0,1,2}: k=2 still satisfies
+    // t < start + 15min because start = bucket(t) − 10min and
+    // bucket(t) + 5min > t. Spark's window() aligns slides to the
+    // epoch and DuckDB's time_bucket to 2000-01-01 — both divisible
+    // by 300 s, so the grids coincide.
+    "ev_sliding_15m" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts)
+        |         - k * INTERVAL '5 minutes' AS win_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events, UNNEST([0, 1, 2]) AS u(k)
+        |GROUP BY 1 ORDER BY win_start""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

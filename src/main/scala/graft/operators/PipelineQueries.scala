@@ -350,6 +350,34 @@ object PipelineQueries {
           length(col("chunk")).cast("int").as("chunk_len"),
           md5(col("chunk")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Shard manifest — the integrity artifact written NEXT TO a
+    // sharded dataset: per shard (first hex char of the key hash → 16
+    // shards; at 100 TB this is the write-partition column), doc and
+    // token and byte counts, the key range, and an order-free content
+    // checksum (XOR of each doc's rolling-hash fingerprint — XOR
+    // commutes, so the checksum is partitioning- and order-invariant,
+    // and any single changed/missing doc flips it). Consumers diff
+    // manifests instead of re-reading shards; one corpus scan, one
+    // 16-group aggregation.
+    "pipe_shard_manifest" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("nt"),
+          length(col("text")).cast("long").as("nc"),
+          graft.functions.RollingHash.rolling_hash(col("text")).as("rfp"))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("nc")).as("n_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          expr("bit_xor(rfp)").as("content_fp"))
+        .orderBy("shard")
     })
   )
 
@@ -458,6 +486,28 @@ object PipelineQueries {
          |    ORDER BY tfidf DESC, word ASC) AS rk
          |  FROM scored)
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // The HUGEINT fold replays graft.functions.RollingHash's 64-bit
+    // wraparound polynomial (same mirror as ta_rolling_fp's oracle).
+    "pipe_shard_manifest" ->
+      s"""WITH fp AS (
+         |  SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         |    doc_id, CAST(len($toksSql) AS BIGINT) AS nt,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(CASE WHEN h >= 9223372036854775808
+         |              THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS rfp
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      list_reduce(
+         |        list_prepend(CAST(0 AS HUGEINT),
+         |          list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+         |        (a, c) -> (a * 31 + c) % 18446744073709551616) AS h
+         |    FROM documents))
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  bit_xor(rfp) AS content_fp
+         |FROM fp GROUP BY shard ORDER BY shard""".stripMargin,
     "pipe_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'

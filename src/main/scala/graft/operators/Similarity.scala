@@ -211,6 +211,38 @@ object Similarity {
         .select(col("cent_id"), col("dim"),
           (col("s").cast("double") / col("n") / lit(1000000.0)).as("mean"))
         .orderBy("cent_id", "dim")
+    }),
+
+    // Int8 scalar quantization of the embedding table — the 4× memory
+    // cut every serving/ANN index takes before anything fancier (PQ is
+    // this per-subspace): per-dimension global [min, max] (one
+    // aggregation to a d-row frame, broadcast back), each coordinate
+    // mapped to a 0..255 code, reconstruction error accounted exactly
+    // as nano-integer sums (order-free, so the per-vector report is
+    // bit-identical across engines — the micro-integer trick from
+    // ss_kmeans_step). Per vector: dims, total |x − dequant(code)|,
+    // code range. At 100 TB the stats frame is still d rows and the
+    // quantize pass is narrow — one scan, one broadcast join.
+    "ss_quantize_int8" -> ((s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"), col("x"))
+      val st = x.groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      x.join(broadcast(st), "dim")
+        .withColumn("code",
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(round((col("x") - col("mn")) * 255 / (col("mx") - col("mn")))
+              .cast("int")))
+        .withColumn("err_nano",
+          floor(abs(col("x") - (col("mn") + col("code") * (col("mx") - col("mn")) / 255))
+            * lit(1000000000.0)).cast("long"))
+        .groupBy("vec_id")
+        .agg(
+          count(lit(1)).cast("int").as("n_dims"),
+          sum(col("err_nano")).as("sum_err_nano"),
+          min(col("code")).as("min_code"),
+          max(col("code")).as("max_code"))
+        .orderBy("vec_id")
     })
   )
 
@@ -321,6 +353,26 @@ object Similarity {
          |    count(*) AS n
          |  FROM assigned, UNNEST(range(1, len(e) + 1)) AS u(i)
          |  GROUP BY cent_id, i)
-         |ORDER BY cent_id, dim""".stripMargin
+         |ORDER BY cent_id, dim""".stripMargin,
+    // Identical double op tree on both sides (the code and the
+    // reconstruction), so the floor'd nano-error is bit-equal; the
+    // only rounding op, round(), sees a quasi-continuous argument
+    // (midpoint hit probability ~1e-12, the dd_embed_cos rationale).
+    "ss_quantize_int8" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(i AS INT) AS dim, e[i] AS x
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |       UNNEST(range(1, len(e) + 1)) AS u(i)),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim),
+        |q AS (
+        |  SELECT vec_id, x, mn, mx,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(round((x - mn) * 255 / (mx - mn)) AS INT) END AS code
+        |  FROM x JOIN st USING (dim))
+        |SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
+        |  CAST(sum(CAST(floor(abs(x - (mn + code * (mx - mn) / 255))
+        |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_err_nano,
+        |  min(code) AS min_code, max(code) AS max_code
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

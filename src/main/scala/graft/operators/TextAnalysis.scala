@@ -269,6 +269,60 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Sentence segmentation stats — the preprocessing view feeding
+    // packing and window decisions (mean/max sentence length drive
+    // chunk boundaries): split on terminal punctuation runs, trim,
+    // drop empties. Entirely higher-order functions on the row — no
+    // explode, no shuffle, perfectly narrow at any scale.
+    "ta_sentences" -> ((s, dir) => {
+      val sents = filter(
+        transform(split(col("text"), "[.!?]+", -1), x => trim(x)),
+        x => x =!= "")
+      val lens = transform(col("sents"), x => length(x).cast("long"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), sents.as("sents"))
+        .select(col("doc_id"),
+          size(col("sents")).cast("int").as("n_sentences"),
+          coalesce(aggregate(lens, lit(0L), (a, x) => a + x), lit(0L))
+            .as("sum_sent_chars"),
+          coalesce(array_max(lens), lit(0L)).cast("int").as("max_sent_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Compression-ratio quality signal (the RefinedWeb/Gopher-family
+    // redundancy gate): deflated size / raw size per document — very
+    // low ratios flag templated or repeated text, very high ones
+    // random noise. One java.util.zip.Deflater per PARTITION, reset
+    // per row (the native zlib stream allocates ~256 KB; per-row
+    // construction would dominate), output counted straight off the
+    // deflate loop with a reused buffer — nothing text-sized survives
+    // the map. DuckDB has no deflate, so the oracle records a
+    // rows-only check; byte-exact determinism, the round trip through
+    // Inflater, and the redundant-vs-noisy ordering are pinned in
+    // CompressRatioSpec (same exemption class as the sketches).
+    "ta_compress_ratio" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.BEST_SPEED, false)
+          val buf = new Array[Byte](1 << 16)
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            d.reset(); d.setInput(bytes); d.finish()
+            var n = 0L
+            while (!d.finished()) n += d.deflate(buf)
+            (id, bytes.length.toLong, n)
+          } ++ { d.end(); Iterator.empty } // frees zlib native memory
+        }
+        .toDF("doc_id", "n_bytes", "n_deflated")
+        .withColumn("ratio4",
+          when(col("n_bytes") === 0, lit(null))
+            .otherwise(round(col("n_deflated").cast("double") / col("n_bytes"), 4)))
+        .orderBy("doc_id")
+    }),
+
     // Positional tokenization: (doc, position, token) rows — the
     // layout feeding positional indexes and n-gram-with-offset
     // features. posexplode keeps the array index (0-based) alongside
@@ -408,6 +462,19 @@ object TextAnalysis {
          |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
          |FROM (SELECT doc_id, text, $toksSql AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "ta_sentences" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+        |      x -> x <> '') AS sents
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences,
+        |  CAST(coalesce(list_sum(list_transform(sents, x -> length(x))), 0)
+        |    AS BIGINT) AS sum_sent_chars,
+        |  CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
+        |    AS INT) AS max_sent_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
     "ta_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.text, b.text) AS INT) AS dist

@@ -229,4 +229,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty,
       s"LSH produced pairs the exact join lacks: ${(lsh -- exact).take(5)}")
   }
+
+  test("dd_lsh_recall: one consistent report row; hits = LSH pairs by containment") {
+    val r = run("dd_lsh_recall").collect()
+    assert(r.length == 1)
+    val (nTrue, nLsh, nHit) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(nHit <= nTrue && nHit <= nLsh)
+    // LSH→verify shares basis and threshold with the exact join, so
+    // every LSH pair is a true pair: on the same sample, hits = LSH.
+    assert(nHit == nLsh, s"LSH pair outside the exact ground truth ($nHit != $nLsh)")
+    if (nTrue > 0) {
+      val recall = r(0).getDouble(3)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall -
+        math.rint(nHit.toDouble / nTrue * 10000) / 10000) < 1e-12)
+    }
+  }
 }

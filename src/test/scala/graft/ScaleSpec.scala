@@ -375,4 +375,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(windows.exists(_.partitionSpec.nonEmpty),
       s"no per-stat boundary ranking window found:\n$plan")
   }
+
+  test("ss_quantize_int8: the d-row stats frame broadcasts; no window, no sort-merge") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = nonAdaptivePlan("ss_quantize_int8")
+    assert(plan.collectFirst { case b: BroadcastHashJoinExec => b }.isDefined,
+      s"per-dimension stats must broadcast back, not shuffle the corpus:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"quantization is scan + broadcast join + one aggregation — no window:\n$plan")
+  }
 }
