@@ -38,6 +38,14 @@ object Graft {
       forward: Boolean = false): DataFrame =
     plans.AsOfJoin.joinAsOf(left, right, leftKey, rightKey, leftTime, rightTime, forward)
 
+  /** NEAREST as-of join: the same-key right row closest in time, ties
+    * to the earlier row (see [[graft.plans.AsOfJoin.joinAsOfNearest]]).
+    */
+  def joinAsOfNearest(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column): DataFrame =
+    plans.AsOfJoin.joinAsOfNearest(left, right, leftKey, rightKey, leftTime, rightTime)
+
   /** Large×large interval-containment join via time binning
     * (see [[graft.operators.RangeJoin.binnedIntervalJoin]]).
     */

@@ -133,6 +133,30 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of: for every click, the same user's purchase closest
+    // in time — BEFORE OR AFTER, ties to the earlier one — the
+    // record-linkage / sensor-alignment shape (align two streams when
+    // neither strictly leads). Third direction of the same custom
+    // operator, still one merge pass buffering one row; the oracle
+    // composes DuckDB's two native ASOF directions and picks the
+    // closer match with the same tie order.
+    "ev_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.plans.AsOfJoin
+        .joinAsOfNearest(clicks, purchases,
+          clicks("user_id"), purchases("p_user"),
+          clicks("ts"), purchases("p_ts"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          expr("abs(unix_micros(p_ts) - unix_micros(ts)) DIV 1000000")
+            .as("secs_apart"))
+        .orderBy("event_id")
+    }),
+
     // Native session windows: Spark's session_window merges events
     // within a 30-minute gap. The oracle derives the same sessions from
     // first principles (lag → new-session flags → cumulative island
@@ -264,6 +288,34 @@ object EventQueries {
         |  (epoch_us(p.p_ts) - epoch_us(e.ts)) // 1000000 AS secs_to_purchase
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') e
         |ASOF LEFT JOIN p ON e.user_id = p.p_user AND e.ts <= p.p_ts
+        |ORDER BY event_id""".stripMargin,
+    // NEAREST composed from DuckDB's two native ASOF directions; the
+    // CASE tie order (backward wins at equal distance) mirrors the
+    // operator's.
+    "ev_asof_nearest" ->
+      """WITH p AS (SELECT user_id AS p_user, ts AS p_ts, max(event_id) AS purchase_id
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT c.event_id, c.user_id, c.ts, p.p_ts AS b_ts,
+        |             p.purchase_id AS b_id
+        |      FROM c ASOF LEFT JOIN p
+        |        ON c.user_id = p.p_user AND c.ts >= p.p_ts),
+        |f AS (SELECT c.event_id, p.p_ts AS f_ts, p.purchase_id AS f_id
+        |      FROM c ASOF LEFT JOIN p
+        |        ON c.user_id = p.p_user AND c.ts <= p.p_ts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN f_id IS NULL THEN b_id
+        |       WHEN b_id IS NULL THEN f_id
+        |       WHEN epoch_us(b.ts) - epoch_us(b_ts)
+        |            <= epoch_us(f_ts) - epoch_us(b.ts) THEN b_id
+        |       ELSE f_id END AS purchase_id,
+        |  CASE WHEN f_id IS NULL THEN (epoch_us(b.ts) - epoch_us(b_ts)) // 1000000
+        |       WHEN b_id IS NULL THEN (epoch_us(f_ts) - epoch_us(b.ts)) // 1000000
+        |       WHEN epoch_us(b.ts) - epoch_us(b_ts)
+        |            <= epoch_us(f_ts) - epoch_us(b.ts)
+        |         THEN (epoch_us(b.ts) - epoch_us(b_ts)) // 1000000
+        |       ELSE (epoch_us(f_ts) - epoch_us(b.ts)) // 1000000 END AS secs_apart
+        |FROM b JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
     "ev_session_window" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events

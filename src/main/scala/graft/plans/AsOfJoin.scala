@@ -10,14 +10,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
-/** Backward as-of join — the canonical "operator Spark lacks" extension
+/** As-of join — the canonical "operator Spark lacks" extension
   * (builder guidance path (c): LogicalPlan + Strategy + SparkPlan).
   *
-  * Semantics: for every left row, attach the right row with the same
-  * key and the greatest right-time ≤ left-time; left rows with no such
-  * row keep nulls (LEFT ASOF). Matches DuckDB's
-  * `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`, which serves as
-  * the differential oracle.
+  * Semantics: for every left row, attach the same-key right row chosen
+  * by the direction — BACKWARD (default): greatest right-time ≤
+  * left-time; FORWARD: smallest right-time ≥ left-time; NEAREST:
+  * whichever of those two candidates is closer in time, ties backward.
+  * Left rows with no such row keep nulls (LEFT ASOF). Backward matches
+  * DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`, which
+  * serves as the differential oracle (forward: `<=`; nearest: the two
+  * composed with a CASE on distance).
   *
   * Physical algorithm: both sides hash-clustered on the key and sorted
   * within partitions by (key, time) — declared via
@@ -41,7 +44,7 @@ case class AsOfJoinPlan(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    forward: Boolean = false)
+    direction: AsOfJoin.Direction = AsOfJoin.Backward)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -59,7 +62,7 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    forward: Boolean)
+    direction: AsOfJoin.Direction)
   extends SparkPlan with BinaryExecNode {
 
   private def rightOutNullable = right.output.map(_.withNullability(true))
@@ -82,7 +85,9 @@ case class AsOfJoinExec(
     val rOut = right.output
     val rOutN = rightOutNullable
     val lk = leftKey; val lt = leftTime; val rk = rightKey; val rt = rightTime
-    val fwd = forward
+    // case objects round-trip through task serialization as fresh
+    // instances on some closure paths — compare a primitive id instead
+    val dirId = direction.id
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKT = UnsafeProjection.create(Seq(lk, lt), lOut)
       val rKT = UnsafeProjection.create(Seq(rk, rt), rOut)
@@ -94,6 +99,7 @@ case class AsOfJoinExec(
       new Iterator[InternalRow] {
         private var matchedRow: InternalRow = _
         private var matchedKey: Long = 0L
+        private var matchedTime: Long = 0L
         private var hasMatch = false
 
         override def hasNext: Boolean = lIter.hasNext
@@ -109,7 +115,7 @@ case class AsOfJoinExec(
           }
           val lKeyV = kt.getLong(0)
           val lTimeV = kt.getLong(1)
-          if (fwd) {
+          if (dirId == AsOfJoin.Forward.id) {
             // FORWARD (smallest right time ≥ left time): drain right
             // rows strictly before (lKey, lTime) — they can never match
             // this or any later left row — then PEEK (don't consume):
@@ -133,10 +139,11 @@ case class AsOfJoinExec(
               } else nullRight
             resultProj(joiner(lRow, rSide))
           } else {
-            // BACKWARD (greatest right time ≤ left time): advance past
-            // every row at-or-before (lKey, lTime), remembering the
-            // last same-key row seen; null-keyed/timed right rows
-            // (sorted first) are drained without being remembered.
+            // BACKWARD and NEAREST share the drain: advance past every
+            // row at-or-before (lKey, lTime), remembering the last
+            // same-key row seen (and its time, for NEAREST's distance
+            // compare); null-keyed/timed right rows (sorted first) are
+            // drained without being remembered.
             var advance = true
             while (advance && rBuf.hasNext) {
               val peek = rKT(rBuf.head)
@@ -148,12 +155,38 @@ case class AsOfJoinExec(
                 if (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV <= lTimeV)) {
                   val row = rBuf.next()
                   if (rKeyV == lKeyV) {
-                    matchedRow = row.copy(); matchedKey = rKeyV; hasMatch = true
+                    matchedRow = row.copy(); matchedKey = rKeyV
+                    matchedTime = rTimeV; hasMatch = true
                   }
                 } else advance = false
               }
             }
-            val rSide = if (hasMatch && matchedKey == lKeyV) matchedRow else nullRight
+            val backRow =
+              if (hasMatch && matchedKey == lKeyV) matchedRow else null
+            val rSide =
+              if (dirId == AsOfJoin.Backward.id) {
+                if (backRow != null) backRow else nullRight
+              } else {
+                // NEAREST: the forward candidate is the undrained head
+                // (first same-key row strictly after lTime) — peeked,
+                // not consumed, since it may serve later left rows too.
+                // Pick the smaller time distance; ties go backward,
+                // matching the oracle's CASE order.
+                var fwdRow: InternalRow = null
+                var fwdTime = 0L
+                if (rBuf.hasNext) {
+                  val peek = rKT(rBuf.head)
+                  if (!peek.isNullAt(0) && !peek.isNullAt(1) &&
+                      peek.getLong(0) == lKeyV) {
+                    fwdRow = rBuf.head; fwdTime = peek.getLong(1)
+                  }
+                }
+                if (backRow == null && fwdRow == null) nullRight
+                else if (fwdRow == null) backRow
+                else if (backRow == null) fwdRow
+                else if (lTimeV - matchedTime <= fwdTime - lTimeV) backRow
+                else fwdRow
+              }
             resultProj(joiner(lRow, rSide))
           }
         }
@@ -168,13 +201,26 @@ case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
     case _ => Nil
   }
 }
 
 object AsOfJoin {
+
+  /** Match direction: BACKWARD = greatest right time ≤ left time (the
+    * classic as-of), FORWARD = smallest right time ≥ left time (the
+    * "next event" lookup), NEAREST = whichever of the two candidates
+    * sits closer in time, ties to the backward side (the
+    * sensor-alignment / record-linkage shape). One merge pass serves
+    * all three — NEAREST reads the backward memory AND peeks the
+    * undrained head, so it still buffers exactly one row.
+    */
+  sealed abstract class Direction(val id: Int) extends Serializable
+  case object Backward extends Direction(0)
+  case object Forward extends Direction(1)
+  case object Nearest extends Direction(2)
 
   /** Register the planner strategy on a session (idempotent). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -219,7 +265,23 @@ object AsOfJoin {
   def joinAsOf(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false): DataFrame =
+    joinAsOfDir(left, right, leftKey, rightKey, leftTime, rightTime,
+      if (forward) Forward else Backward)
+
+  /** NEAREST variant: for every left row, the same-key right row with
+    * the smallest |leftTime − rightTime|, ties to the earlier (backward)
+    * row. Same constraints and null semantics as [[joinAsOf]].
+    */
+  def joinAsOfNearest(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column): DataFrame =
+    joinAsOfDir(left, right, leftKey, rightKey, leftTime, rightTime, Nearest)
+
+  private def joinAsOfDir(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      direction: Direction): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -245,7 +307,7 @@ object AsOfJoin {
         rk = rewrite(rk); rt = rewrite(rt)
         Project(aliases, rPlan0)
       } else rPlan0
-    val plan = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, forward)
+    val plan = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, direction)
     Bridge.ofRows(spark, plan)
   }
 }

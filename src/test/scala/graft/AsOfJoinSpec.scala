@@ -129,6 +129,65 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("nearest as-of: closer of the two candidates, ties backward") {
+    val l = Seq(
+      (1L, 5L, "mid"),    // back 4 (d=1) vs fwd 7 (d=2) -> 4
+      (1L, 6L, "mid2"),   // back 4 (d=2) vs fwd 7 (d=1) -> 7
+      (1L, 9L, "after"),  // only back 7 -> 7
+      (2L, 3L, "before"), // only fwd 9 -> 9
+      (3L, 7L, "nokey")   // no key-3 right rows -> null
+    ).toDF("k", "t", "lv")
+    val r = rightDF
+    val out = AsOfJoin.joinAsOfNearest(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      .collect()
+      .map(row => (row.getString(2),
+        if (row.isNullAt(4)) null else row.getLong(4)))
+      .toMap
+    assert(out == Map("mid" -> 4L, "mid2" -> 7L, "after" -> 7L,
+      "before" -> 9L, "nokey" -> null))
+    // equidistant tie goes to the backward row
+    val lt = Seq((1L, 2L, "tie")).toDF("k", "t", "lv")
+    val rt = Seq((1L, 1L, "back"), (1L, 3L, "fwd")).toDF("rk", "rt", "rv")
+    val tie = AsOfJoin.joinAsOfNearest(lt, rt, lt("k"), rt("rk"), lt("t"), rt("rt"))
+      .collect().head.getString(5)
+    assert(tie == "back")
+  }
+
+  test("property: nearest as-of equals brute-force reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pairGen = for {
+      k <- Gen.choose(0L, 6L)
+      t <- Gen.choose(0L, 50L)
+    } yield (k, t)
+    val prop = Prop.forAll(
+      Gen.listOfN(40, pairGen), Gen.listOfN(25, pairGen)) { (ls, rsRaw) =>
+      val rs = rsRaw.distinct
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val r = rs.map { case (k, t) => (k, t, k * 1000 + t) }
+        .toDF("rk", "rt", "rv")
+      val got = graft.plans.AsOfJoin
+        .joinAsOfNearest(l, r, l("k"), r("rk"), l("t"), r("rt"))
+        .collect()
+        .map(row => (row.getLong(0),
+          if (row.isNullAt(5)) None else Some(row.getLong(5))))
+        .toMap
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val m = rs.filter { case (rk, _) => rk == k }
+        i.toLong -> (if (m.isEmpty) None
+                     else {
+                       // min distance; ties -> smaller rt (the backward row)
+                       val (mk, mt) = m.minBy { case (_, rt) =>
+                         (math.abs(rt - t), rt) }
+                       Some(mk * 1000 + mt)
+                     })
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bucketed tables satisfy the exec's distribution — no exchange") {
     // the 100 TB claim in SCALE.md: AsOfJoinExec declares
     // ClusteredDistribution(key), so tables bucketed by the key at
