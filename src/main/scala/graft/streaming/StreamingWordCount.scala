@@ -37,6 +37,22 @@ object StreamingWordCount {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
 
+  /** Watermarked SLIDING-window counts (15-minute window, 5-minute
+    * slide) — the streaming dual of the batch ev_sliding_15m: the same
+    * `window()` with a slideDuration fans each event into its 3
+    * overlapping windows map-side; the watermark finalizes a window
+    * once event time passes its end + delay, so state is bounded by
+    * (watermark horizon / slide) open windows per group.
+    */
+  def slidingEventCounts(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("n_events"))
+
   /** Streaming deduplication: drop exact-duplicate documents by
     * fingerprint as they arrive. `dropDuplicatesWithinWatermark` is the
     * state-bounded form — fingerprint state older than the watermark

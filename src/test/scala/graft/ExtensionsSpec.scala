@@ -149,6 +149,30 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding windows fan each event into 3 overlapping windows") {
+    val dir = Files.createTempDirectory("stream_sl")
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), "view", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), "click", 2.0)
+    ).toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val q = StreamingWordCount.runToMemory(
+      StreamingWordCount.slidingEventCounts(spark, dir.toString, schema),
+      "sl_stream", mode = "complete")
+    try {
+      val got = spark.sql("SELECT win_start, n_events FROM sl_stream ORDER BY win_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      // 10:03 lands in windows starting 09:50/09:55/10:00; 10:07 in
+      // 09:55/10:00/10:05 — the two middle windows see both events.
+      assert(got.toSeq == Seq(
+        ("2024-01-01 09:50:00.0", 1L),
+        ("2024-01-01 09:55:00.0", 2L),
+        ("2024-01-01 10:00:00.0", 2L),
+        ("2024-01-01 10:05:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops exact duplicates within the watermark") {
     val dir = Files.createTempDirectory("stream_dd")
     Seq(
