@@ -378,6 +378,35 @@ object PipelineQueries {
           max(col("doc_id")).as("max_doc"),
           expr("bit_xor(rfp)").as("content_fp"))
         .orderBy("shard")
+    }),
+
+    // Z-order layout key — the multi-dimensional data-skipping story
+    // (Delta/Iceberg Z-ORDER BY): interleave the bits of (user_id,
+    // event-minute) so rows close in BOTH dimensions land close in one
+    // sort order; sorted+range-partitioned by z at write time, parquet
+    // min/max row-group stats then prune queries that filter on EITHER
+    // dimension (a single-column sort only serves its own column).
+    // The report groups by the 12-bit z prefix — a quad-tree cell, so
+    // each bucket's span is provably ≤ 2¹⁰ in each dimension (the
+    // locality the curve buys, asserted in ScaleSpec) — with counts
+    // and per-dimension ranges. The z computation is a narrow
+    // bit-shuffle; the report is one aggregation.
+    "pipe_zorder" -> ((s, dir) => {
+      val x = col("user_id").bitwiseAND(lit(65535L))
+      val y = expr("unix_micros(ts) DIV 60000000").bitwiseAND(lit(65535L))
+      val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+      Tables.events(s, dir)
+        .select(x.as("x"), y.as("y"), z.as("z"))
+        .groupBy(shiftright(col("z"), 20).as("z_bucket"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("x")).as("min_user"), max(col("x")).as("max_user"),
+          min(col("y")).as("min_min16"), max(col("y")).as("max_min16"))
+        .orderBy("z_bucket")
     })
   )
 
@@ -508,6 +537,24 @@ object PipelineQueries {
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
          |  bit_xor(rfp) AS content_fp
          |FROM fp GROUP BY shard ORDER BY shard""".stripMargin,
+    "pipe_zorder" -> {
+      // OR operator at line END — a leading "| " would be stripped as
+      // margin by stripMargin
+      val zSql = (0 until 16).map(i =>
+        s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" |\n      ")
+      s"""WITH b AS (
+         |  SELECT user_id & 65535 AS x,
+         |    (epoch_us(ts) // 60000000) & 65535 AS y
+         |  FROM events),
+         |zv AS (SELECT x, y,
+         |    $zSql AS z
+         |  FROM b)
+         |SELECT z >> 20 AS z_bucket, count(*) AS n_events,
+         |  min(x) AS min_user, max(x) AS max_user,
+         |  min(y) AS min_min16, max(y) AS max_min16
+         |FROM zv GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    },
     "pipe_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'

@@ -376,6 +376,20 @@ class ScaleSpec extends AnyFunSuite {
       s"no per-stat boundary ranking window found:\n$plan")
   }
 
+  test("pipe_zorder: every 12-bit z-prefix bucket is a quad-tree cell (span < 2^10 per dim)") {
+    // The data-skipping guarantee the curve exists for: a z-prefix
+    // range maps to a bounded rectangle in BOTH dimensions, so parquet
+    // min/max stats on z prune filters on either one.
+    val rows = SparkEntry.queries("pipe_zorder")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (zb, users, minutes) = (r.getLong(0),
+        r.getLong(3) - r.getLong(2), r.getLong(5) - r.getLong(4))
+      assert(users < 1024, s"z_bucket $zb spans $users user ids")
+      assert(minutes < 1024, s"z_bucket $zb spans $minutes minute codes")
+    }
+  }
+
   test("ss_quantize_int8: the d-row stats frame broadcasts; no window, no sort-merge") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.execution.window.WindowExec
