@@ -549,9 +549,10 @@ object Dedup {
 
   /** The dd_ngram_jaccard statement over an arbitrary source relation
     * (mirrors [[verifiedPairsOf]]). `src` may be a CTE name, so
-    * dd_lsh_recall can run it over a hash sample.
+    * dd_lsh_recall can run it over a hash sample (and
+    * pipe_split_leakage can embed it whole).
     */
-  private def ngramJaccardSqlFrom(src: String): String =
+  private[operators] def ngramJaccardSqlFrom(src: String): String =
     s"""WITH sh AS (${shinglesSqlFrom(src)}),
        |sigs AS (SELECT doc_id,
        |    $sigSelect

@@ -380,6 +380,32 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // Split-leakage audit — the eval-hygiene check every train/val/test
+    // split needs: NEAR-duplicate pairs (the LSH→verify pipeline, same
+    // J ≥ 0.5 basis as dd_ngram_jaccard) whose endpoints fall in
+    // DIFFERENT splits. Exact-dup leakage is impossible by construction
+    // here (hash-range splits key on doc_id, but identical TEXT can
+    // still straddle splits — and near-dups always can), so this is the
+    // audit that catches what pipe_split's disjoint hash ranges cannot
+    // guarantee. One pair pipeline + two broadcast-scale split lookups;
+    // report = leaked-pair counts per (split_a, split_b).
+    "pipe_split_leakage" -> ((s, dir) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+      val splits = Tables.documents(s, dir).select(col("doc_id"),
+        when(h < "e666", "train").when(h < "f333", "val")
+          .otherwise("test").as("split"))
+      Dedup.verifiedPairsOf(Tables.documents(s, dir), dedup = true)
+        .select("doc_a", "doc_b")
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+          "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+          "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_leaked_pairs"))
+        .orderBy("split_a", "split_b")
+    }),
+
     // Z-order layout key — the multi-dimensional data-skipping story
     // (Delta/Iceberg Z-ORDER BY): interleave the bits of (user_id,
     // event-minute) so rows close in BOTH dimensions land close in one
@@ -537,6 +563,20 @@ object PipelineQueries {
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
          |  bit_xor(rfp) AS content_fp
          |FROM fp GROUP BY shard ORDER BY shard""".stripMargin,
+    "pipe_split_leakage" ->
+      s"""WITH vp AS (SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardSqlFrom("documents")})),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT a.split AS split_a, b.split AS split_b,
+         |  count(*) AS n_leaked_pairs
+         |FROM vp
+         |JOIN sp a ON vp.doc_a = a.doc_id
+         |JOIN sp b ON vp.doc_b = b.doc_id
+         |WHERE a.split <> b.split
+         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
     "pipe_zorder" -> {
       // OR operator at line END — a leading "| " would be stripped as
       // margin by stripMargin
