@@ -10,13 +10,16 @@ class SparkEntrySpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   // The only queries allowed to lack DuckDB oracle SQL, each justified
-  // in COVERAGE.md/README and pinned by a ScalaTest instead. Both are
-  // sketch queries whose estimates are engine-specific by construction.
+  // in COVERAGE.md/README and pinned by a ScalaTest instead. The two
+  // sketch queries' estimates are engine-specific by construction.
   // mm_decode_jpeg: DuckDB cannot decode JPEG and the lossy bytes are
   // codec-defined — pinned by MultimodalJpegSpec's error-bound
-  // round-trip tests instead.
+  // round-trip tests instead. ta_compress_ratio: DuckDB has no deflate
+  // — pinned byte-exactly by CompressRatioSpec (reference deflate,
+  // Inflater round trip, redundancy ordering).
   val oracleExempt: Set[String] =
-    Set("q_approx_distinct", "q_approx_quantile", "mm_decode_jpeg")
+    Set("q_approx_distinct", "q_approx_quantile", "mm_decode_jpeg",
+      "ta_compress_ratio")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
