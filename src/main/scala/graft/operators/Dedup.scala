@@ -304,6 +304,63 @@ object Dedup {
           round(col("n_hit").cast("double") / col("n_true"), 4).as("recall4"))
     }),
 
+    // Banding tuning table — the (b, r) decision every minhash-LSH
+    // deployment makes, MEASURED instead of assumed: on the same hash
+    // sample as dd_lsh_recall, band the 16 signatures as 2×8, 4×4,
+    // 8×2 and 16×1, and report per configuration the candidate volume
+    // (the cost axis: more bands ⇒ more pairs to verify) and the
+    // verified-pair count against the exact PPJoin ground truth (the
+    // recall axis). Signatures compute ONCE (checkpointed; four band
+    // legs re-band the same frame); all four candidate sets verify in
+    // one union pass against one shingle-set frame. The b=4 row is
+    // the production configuration dd_minhash runs.
+    "dd_lsh_band_sweep" -> ((s, dir) => {
+      val sample = Tables.documents(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "8000")
+      val sigs = signaturesOf(sample).localCheckpoint(false)
+      val shing = sample
+        .select(col("doc_id"), array_distinct(shinglesOf(col("text"))).as("shset"))
+        .select(col("doc_id"), col("shset"), size(col("shset")).cast("long").as("n"))
+        .localCheckpoint(false)
+      val legs = Seq(2, 4, 8, 16).map { b =>
+        val rpb = NumHashes / b
+        val bandStructs = (0 until b).map { j =>
+          val cols = (0 until rpb).map(i => col(s"sig${j * rpb + i}"))
+          struct(lit(j).as("band_idx"), concat_ws("|", cols: _*).as("band_hash"))
+        }
+        val banded = sigs
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+          .select(col("doc_id"), col("bd.band_idx").as("band_idx"),
+            col("bd.band_hash").as("band_hash"))
+        PairGen.saltedPairs(
+            banded.select(col("band_idx"), col("band_hash"),
+              struct(col("doc_id")).as("v")),
+            Seq("band_idx", "band_hash"), "doc_id")
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .select(lit(b).as("bands"), col("doc_a"), col("doc_b"))
+      }
+      val cand = legs.reduce(_ union _)
+      val sweep = cand
+        .join(shing.select(col("doc_id").as("doc_a"), col("shset").as("sa"),
+          col("n").as("na")), "doc_a")
+        .join(shing.select(col("doc_id").as("doc_b"), col("shset").as("sb"),
+          col("n").as("nb")), "doc_b")
+        .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("ok",
+          (col("ni") * 2 >= col("na") + col("nb") - col("ni")).cast("long"))
+        .groupBy("bands")
+        .agg(count(lit(1)).as("n_candidates"), sum(col("ok")).as("n_verified"))
+      val nTrue = jaccardPrefixPairs(sample)
+        .agg(count(lit(1)).as("n_true"))
+      sweep.crossJoin(broadcast(nTrue))
+        .select(col("bands").cast("int").as("bands"),
+          (lit(NumHashes) / col("bands")).cast("int").as("rows_per_band"),
+          col("n_candidates"), col("n_verified"), col("n_true"),
+          round(col("n_verified").cast("double") / col("n_true"), 4).as("recall4"))
+        .orderBy("bands")
+    }),
+
     // Embedding cosine near-dup with sign-bit LSH blocking.
     // Deliberate rounding asymmetry vs the jaccard queries: a cosine is
     // quasi-continuous (midpoint hit probability ~1e-12 per value), so
@@ -539,10 +596,14 @@ object Dedup {
     val off  = 8 * (i % 4) + 1
     s"min(substring(md5(concat('${salt}_', shingle)), $off, 8)) AS sig$i"
   }.mkString(",\n    ")
-  private val bandSelects = (0 until Bands).map { j =>
-    val cols = (0 until RowsPerBand).map(i => s"sig${j * RowsPerBand + i}")
-    s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${cols.mkString(", ")}) AS band_hash FROM sigs"
-  }.mkString("\n  UNION ALL\n  ")
+  private def bandSelectsFor(b: Int): String = {
+    val rpb = NumHashes / b
+    (0 until b).map { j =>
+      val cols = (0 until rpb).map(i => s"sig${j * rpb + i}")
+      s"SELECT doc_id, $j AS band_idx, concat_ws('|', ${cols.mkString(", ")}) AS band_hash FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+  }
+  private val bandSelects = bandSelectsFor(Bands)
   private val sigEqSql = (0 until NumHashes)
     .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
     .mkString(" + ")
@@ -738,6 +799,57 @@ object Dedup {
          |FROM (SELECT count(*) AS n FROM exact) e,
          |     (SELECT count(*) AS n FROM lshp) l,
          |     (SELECT count(*) AS n FROM hit) h""".stripMargin,
+    "dd_lsh_band_sweep" -> {
+      val bandCtes = Seq(2, 4, 8, 16).map { b =>
+        s"""bands$b AS (
+           |  ${bandSelectsFor(b)}
+           |),
+           |cand$b AS (
+           |  SELECT DISTINCT $b AS bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands$b a JOIN bands$b b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val candUnion = Seq(2, 4, 16, 8).sorted
+        .map(b => s"SELECT * FROM cand$b").mkString("\n  UNION ALL\n  ")
+      s"""WITH sample AS (
+         |  SELECT * FROM documents
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),
+         |sh AS (${shinglesSqlFrom("sample")}),
+         |sigs AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |$bandCtes,
+         |cand AS (
+         |  $candUnion
+         |),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT bands, doc_a, doc_b, count(*) AS ni
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+         |  GROUP BY 1, 2, 3),
+         |v AS (
+         |  SELECT c.bands, COALESCE(i.ni, 0) AS ni, ca.n AS na, cb.n AS nb
+         |  FROM cand c
+         |  LEFT JOIN inter i
+         |    ON c.bands = i.bands AND c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+         |  JOIN cnt ca ON c.doc_a = ca.doc_id
+         |  JOIN cnt cb ON c.doc_b = cb.doc_id),
+         |sw AS (
+         |  SELECT bands, count(*) AS n_candidates,
+         |    CAST(sum(CASE WHEN ni * 2 >= na + nb - ni THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_verified
+         |  FROM v GROUP BY bands),
+         |ex AS (SELECT count(*) AS n_true
+         |       FROM (${jaccardPrefixSqlFrom("sample")}))
+         |SELECT CAST(bands AS INT) AS bands,
+         |  CAST($NumHashes // bands AS INT) AS rows_per_band,
+         |  n_candidates, n_verified, CAST(n_true AS BIGINT) AS n_true,
+         |  round(CAST(n_verified AS DOUBLE) / n_true, 4) AS recall4
+         |FROM sw, ex ORDER BY bands""".stripMargin
+    },
     "dd_embed_multiprobe" -> {
       val flipsSql = "bucket" +: (1 to 8).map { i =>
         s"substr(bucket, 1, ${i - 1}) || " +

@@ -188,6 +188,36 @@ object QuantileQueries {
       cum.groupBy("lang")
         .agg(pct(25), pct(50), pct(75), pct(90))
         .orderBy("lang")
+    }),
+
+    // Winsorization — the outlier-clipping step of feature prep, at
+    // EXACT percentiles: clip l_extendedprice to [p01, p99] found by
+    // the same radix selection as q_exact_quantiles (no global sort),
+    // then report per-flag counts, the clipped sum, and how many rows
+    // each tail clipped. The two cut values pivot to a 1-row frame and
+    // broadcast into a narrow clip pass — the corpus is scanned by the
+    // selection rounds and once more to clip, never sorted.
+    "q_winsorize" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val cuts = kthValues(s, li.select("v"), "v",
+          Seq("p01" -> ((n: Long) => (n + 99) / 100),
+            "p99" -> ((n: Long) => (99 * n + 99) / 100)))
+        .groupBy().pivot("stat", Seq("p01", "p99")).agg(first(col("value")))
+      li.crossJoin(broadcast(cuts))
+        .select(col("l_returnflag"),
+          when(col("v") < col("p01"), col("p01"))
+            .when(col("v") > col("p99"), col("p99"))
+            .otherwise(col("v")).as("w"),
+          (col("v") < col("p01")).cast("long").as("lo"),
+          (col("v") > col("p99")).cast("long").as("hi"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          Agg.dsum(col("w")).as("sum_winsorized"),
+          sum(col("lo")).as("n_clipped_low"),
+          sum(col("hi")).as("n_clipped_high"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -216,6 +246,25 @@ object QuantileQueries {
         |  CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN n_chars END) AS BIGINT) AS p50,
         |  CAST(min(CASE WHEN cum >= (75 * n + 99) // 100 THEN n_chars END) AS BIGINT) AS p75,
         |  CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN n_chars END) AS BIGINT) AS p90
-        |FROM cumt GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM cumt GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_winsorize" ->
+      """WITH v AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM v),
+        |cuts AS (SELECT
+        |    max(CASE WHEN rn = (n + 99) // 100 THEN v END) AS p01,
+        |    max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99
+        |  FROM r)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN v < p01 THEN p01
+        |                     WHEN v > p99 THEN p99
+        |                     ELSE v END AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_winsorized,
+        |  CAST(sum(CASE WHEN v < p01 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(sum(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high
+        |FROM v, cuts GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
