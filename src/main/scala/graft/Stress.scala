@@ -79,6 +79,38 @@ object Stress {
       finally spark.stop()
       return
     }
+    if (args.headOption.contains("compress")) {
+      // Compression-gate throughput on ~200 MB of synthetic semi-random
+      // text (10 KB docs: 300 md5 hex blocks each — ~2:1 deflatable,
+      // unlike trivially-repetitive filler) — measures the MB/s/core
+      // SCALE.md prices the ta_compress_ratio pass at, instead of
+      // guessing it.
+      val spark = SparkSession.builder().master("local[8]")
+        .appName("graft-stress-compress")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val nDocs = args.drop(1).headOption.map(_.toLong).getOrElse(20000L)
+        val dir = java.nio.file.Files.createTempDirectory("graft_compress").toString
+        spark.range(0, nDocs).select(col("id").as("doc_id"),
+            expr("array_join(transform(sequence(0, 299)," +
+              " i -> md5(cast(id * 1000 + i as string))), ' ')").as("text"))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val bytes = spark.read.parquet(s"$dir/documents.parquet")
+          .agg(sum(length(col("text")))).head().getLong(0)
+        // warm-up: first action pays session/codegen startup, not deflate
+        SparkEntry.queries("ta_compress_ratio")(spark, dir).count()
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries("ta_compress_ratio")(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS compress_ratio docs=$rows bytes=$bytes " +
+          f"time=$secs%.1f mb_per_core_sec=${bytes / 1e6 / secs / 8}%.1f")
+      } finally spark.stop()
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("wordcount", "q1_agg", "q_join_large", "ta_tfidf",
@@ -92,7 +124,11 @@ object Stress {
         "pipe_merge_upsert", "pipe_incremental_dedup", "dd_repeated_spans",
         "pipe_domain_cap", "ta_heavy_hitters", "ta_bpe_merge",
         "pipe_chunk_overlap", "mm_audio_wav", "ta_quality_lr",
-        "dd_semantic_survivors", "ss_ann_recall", "mm_video_mp4")
+        "dd_semantic_survivors", "ss_ann_recall", "mm_video_mp4",
+        "dd_lsh_recall", "dd_lsh_band_sweep", "pipe_split_leakage",
+        "ss_quantize_int8", "pipe_zorder", "q_winsorize",
+        "ta_compress_ratio", "ta_sentences", "pipe_shard_manifest",
+        "ev_asof_nearest", "ev_sliding_15m")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")

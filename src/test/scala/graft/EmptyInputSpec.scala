@@ -56,4 +56,22 @@ class EmptyInputSpec extends AnyFunSuite {
           .as("shingle"))
     assert(sigsEmpty.count() == 0)
   }
+
+  test("nearest as-of join with an empty right side keeps left rows null-extended") {
+    val l = Seq((1L, 5L), (2L, 7L)).toDF("k", "t")
+    val r = Seq.empty[(Long, Long, String)].toDF("rk", "rt", "rv")
+    val out = AsOfJoin.joinAsOfNearest(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      .collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(3)))
+  }
+
+  test("document-scan operators accept an empty documents table") {
+    val dir = java.nio.file.Files.createTempDirectory("empty_docs").toString
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq("ta_sentences", "ta_compress_ratio", "pipe_shard_manifest")
+      .foreach { q =>
+        assert(SparkEntry.queries(q)(spark, dir).count() == 0, q)
+      }
+  }
 }
