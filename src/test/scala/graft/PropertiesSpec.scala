@@ -218,4 +218,44 @@ class PropertiesSpec extends AnyFunSuite {
         lawful(Mp4Codec.decode)(bytes)
     }, n = 200)
   }
+
+  test("property: z-order interleave is a bijection with the quad-tree prefix bound") {
+    // Reference interleave/deinterleave in plain Scala — the engine
+    // expression must agree, the mapping must invert exactly, and any
+    // shared z-prefix of 2k bits must imply shared k-bit prefixes in
+    // BOTH dimensions (the rectangle guarantee pipe_zorder's report
+    // asserts on real data).
+    def zOf(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    def unz(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      (0 until 16).foreach { i =>
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    val coord = Gen.chooseNum(0L, 65535L)
+    check(Prop.forAll(coord, coord, coord, coord) { (x1, y1, x2, y2) =>
+      val (z1, z2) = (zOf(x1, y1), zOf(x2, y2))
+      unz(z1) == ((x1, y1)) &&
+        // same 12-bit z prefix ⇒ same 6 high bits of each dimension
+        ((z1 >> 20) != (z2 >> 20) ||
+          ((x1 >> 10) == (x2 >> 10) && (y1 >> 10) == (y2 >> 10)))
+    }, n = 200)
+    // engine expression agrees with the reference fold
+    import spark.implicits._
+    val pts = Seq((3L, 5L), (65535L, 0L), (0L, 65535L), (12345L, 54321L))
+    val zc = {
+      val x = col("x"); val y = col("y")
+      (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+        acc.bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+    }
+    val got = pts.toDF("x", "y").select(zc.as("z")).collect().map(_.getLong(0))
+    assert(got.toSeq == pts.map { case (x, y) => zOf(x, y) })
+  }
 }
