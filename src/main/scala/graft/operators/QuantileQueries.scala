@@ -218,6 +218,30 @@ object QuantileQueries {
           sum(col("lo")).as("n_clipped_low"),
           sum(col("hi")).as("n_clipped_high"))
         .orderBy("l_returnflag")
+    }),
+
+    // Equi-DEPTH histogram (10 bins of ~equal row count) — the
+    // profiling view q_histogram's fixed-width bins can't give on a
+    // skewed column, and the statistic real optimizers keep: 9 exact
+    // decile cuts from ONE radix selection (all targets share each
+    // counting pass), pivoted to a 1-row broadcast; bin assignment is
+    // a narrow array countUnder pass. A row at a cut value goes to the
+    // first bin whose cut bounds it, so duplicate-heavy columns skew
+    // bin counts honestly instead of splitting ties arbitrarily.
+    "q_histogram_equidepth" -> ((s, dir) => {
+      val names = (1 to 9).map(k => s"c$k")
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      val cuts = kthValues(s, li, "v",
+          (1 to 9).map(k => (s"c$k", (n: Long) => (k * n + 9) / 10)))
+        .groupBy().pivot("stat", names).agg(first(col("value")))
+      li.crossJoin(broadcast(cuts))
+        .withColumn("bin",
+          (lit(1) + size(filter(array(names.map(col): _*), c => col("v") > c)))
+            .cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .orderBy("bin")
     })
   )
 
@@ -265,6 +289,25 @@ object QuantileQueries {
         |    AS n_clipped_low,
         |  CAST(sum(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_clipped_high
-        |FROM v, cuts GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM v, cuts GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram_equidepth" -> {
+      val cutCols = (1 to 9).map(k =>
+        s"max(CASE WHEN rn = ($k * n + 9) // 10 THEN v END) AS c$k").mkString(",\n    ")
+      val binExpr = (1 to 9).map(k =>
+        s"(CASE WHEN v.v > c$k THEN 1 ELSE 0 END)").mkString(" +\n      ")
+      s"""WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+         |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         |             count(*) OVER () AS n
+         |      FROM v),
+         |cuts AS (SELECT
+         |    $cutCols
+         |  FROM r),
+         |b AS (SELECT v.v, 1 +
+         |      $binExpr AS bin
+         |    FROM v, cuts)
+         |SELECT CAST(bin AS INT) AS bin, count(*) AS n_rows,
+         |  min(v) AS min_v, max(v) AS max_v
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+    }
   )
 }
