@@ -98,6 +98,22 @@ object Dedup {
         .orderBy("fp")
     }),
 
+    // Exact dedup after canonicalization — catches the trivial
+    // variants raw-byte md5 misses (case, whitespace runs, stray
+    // edge spacing): fingerprint = md5 of lowercased text with
+    // whitespace runs collapsed to single spaces and trimmed
+    // (script-preserving — an alphabet-stripping normalization would
+    // collapse every CJK doc into one class). Same one-shuffle shape
+    // as dd_exact; in a production pipeline this IS the exact-dedup
+    // step, since normalization rides the same projection for free.
+    "dd_exact_normalized" -> ((s, dir) => {
+      val norm = trim(regexp_replace(lower(col("text")), "[ \\t\\r\\n]+", " "))
+      Tables.documents(s, dir)
+        .groupBy(md5(norm).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .orderBy("fp")
+    }),
+
     // MinHash LSH candidate pairs + signature-estimated Jaccard.
     // Each band row carries the full signature vector, so the pair
     // generation produces both signatures directly — no re-join
@@ -302,6 +318,54 @@ object Dedup {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .select(col("n_true"), col("n_lsh"), col("n_hit"),
           round(col("n_hit").cast("double") / col("n_true"), 4).as("recall4"))
+    }),
+
+    // EXACT shingle-containment join (|A∩B| ≥ 0.8·|A|) — the
+    // ASYMMETRIC near-dup case Jaccard is blind to: a paragraph quoted
+    // whole inside a much larger page has tiny Jaccard (union is
+    // page-sized) but containment ~1. Jaccard LSH misses it for the
+    // same reason, so the blocking must change too: prefix filtering
+    // on the SMALL side only — if |A∩B| ≥ 0.8·|A|, B must hit one of
+    // A's ⌊0.2·|A|⌋+1 rarest shingles — joined against the full
+    // posting list (an equi-join, so a hot shingle spills in
+    // sort-merge rather than growing any buffer; rarity ordering
+    // keeps prefix postings short). Verify is the same
+    // array-intersect, threshold as integer cross-multiplication
+    // (5·inter ≥ 4·|A|). Output: (doc_small ⊂~ doc_big), both
+    // directions possible, self excluded.
+    "dd_containment" -> ((s, dir) => {
+      val docSh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+      val sdf = docSh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      val docs = docSh.join(sdf, "shingle")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
+        .select(col("doc_id"),
+          transform(col("st"), e => e.getField("shingle")).as("shs"))
+        .withColumn("n", size(col("shs")).cast("long"))
+        .localCheckpoint(false)
+      // prefix = the ⌊n/5⌋+1 rarest shingles of the SMALL side
+      val pre = docs
+        .withColumn("plen", (expr("n DIV 5") + 1).cast("int"))
+        .select(col("doc_id").as("doc_small"),
+          explode(slice(col("shs"), lit(1), col("plen"))).as("shingle"))
+      val cand = pre
+        .join(docSh.select(col("doc_id").as("doc_big"), col("shingle")), "shingle")
+        .filter(col("doc_small") =!= col("doc_big"))
+        .select("doc_small", "doc_big")
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("doc_small"), col("shs").as("sa"),
+          col("n").as("na")), "doc_small")
+        .join(docs.select(col("doc_id").as("doc_big"), col("shs").as("sb")),
+          "doc_big")
+        .withColumn("n_inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .filter(col("n_inter") * 5 >= col("na") * 4)
+        .select(col("doc_small"), col("doc_big"), col("n_inter"), col("na"),
+          (col("n_inter").cast("double") / col("na")).as("containment"))
+        .orderBy("doc_small", "doc_big")
     }),
 
     // Banding tuning table — the (b, r) decision every minhash-LSH
@@ -676,6 +740,36 @@ object Dedup {
     "dd_exact" ->
       """SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dd_exact_normalized" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) AS fp,
+        |  count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dd_containment" ->
+      s"""WITH dt AS ($shinglesSql),
+         |sdf AS (SELECT shingle, count(*) AS sdf FROM dt GROUP BY shingle),
+         |docs AS (
+         |  SELECT d.doc_id, list(d.shingle ORDER BY f.sdf, d.shingle) AS shs,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM dt d JOIN sdf f ON d.shingle = f.shingle
+         |  GROUP BY d.doc_id),
+         |pre AS (
+         |  SELECT doc_id AS doc_small, shs[CAST(i AS INT)] AS shingle
+         |  FROM docs, UNNEST(range(1, n // 5 + 2)) AS u(i)),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_small, d.doc_id AS doc_big
+         |  FROM pre p JOIN dt d
+         |    ON p.shingle = d.shingle AND p.doc_small <> d.doc_id),
+         |v AS (
+         |  SELECT c.doc_small, c.doc_big,
+         |    CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_inter,
+         |    a.n AS na
+         |  FROM cand c
+         |  JOIN docs a ON c.doc_small = a.doc_id
+         |  JOIN docs b ON c.doc_big = b.doc_id)
+         |SELECT doc_small, doc_big, n_inter, na,
+         |  CAST(n_inter AS DOUBLE) / na AS containment
+         |FROM v WHERE n_inter * 5 >= na * 4
+         |ORDER BY doc_small, doc_big""".stripMargin,
     "dd_minhash" ->
       s"""WITH sh AS ($shinglesSql),
          |sigs AS (SELECT doc_id,

@@ -230,6 +230,32 @@ class OperatorsSpec extends AnyFunSuite {
       s"LSH produced pairs the exact join lacks: ${(lsh -- exact).take(5)}")
   }
 
+  test("dd_containment equals the brute-force O(n²) containment join") {
+    // Small-side prefix filtering claims recall 1 by theorem: if
+    // |A∩B| ≥ 0.8|A|, B misses at most ⌊0.2|A|⌋ of A's shingles, so it
+    // must hit one of A's ⌊|A|/5⌋+1 rarest. Equality with the full
+    // quadratic join proves the filter dropped nothing.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, ta) <- docs
+      (b, tb) <- docs if a != b
+      inter = (ta & tb).size
+      if inter * 5 >= ta.size * 4
+    } yield (a, b, inter.toLong)).toSet
+    val got = run("dd_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.nonEmpty)
+  }
+
   test("dd_lsh_recall: one consistent report row; hits = LSH pairs by containment") {
     val r = run("dd_lsh_recall").collect()
     assert(r.length == 1)
