@@ -58,7 +58,11 @@ object GraftExtensions {
       (FunctionIdentifier("double_sortable_bits"),
         info("double_sortable_bits",
           "double_sortable_bits(dbl) - order-preserving bit image of a double"),
-        (exprs: Seq[Expression]) => DoubleSortableBits(exprs.head))
+        (exprs: Seq[Expression]) => DoubleSortableBits(exprs.head)),
+      (FunctionIdentifier("interleave_bits"),
+        info("interleave_bits",
+          "interleave_bits(x, y) - Morton/Z-order interleave of two 16-bit values"),
+        (exprs: Seq[Expression]) => graft.functions.InterleaveBits(exprs(0), exprs(1)))
     )
 
   /** Register on an already-built session (the driver owns session

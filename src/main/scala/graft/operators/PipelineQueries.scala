@@ -415,16 +415,14 @@ object PipelineQueries {
     // The report groups by the 12-bit z prefix — a quad-tree cell, so
     // each bucket's span is provably ≤ 2¹⁰ in each dimension (the
     // locality the curve buys, asserted in ScaleSpec) — with counts
-    // and per-dimension ranges. The z computation is a narrow
-    // bit-shuffle; the report is one aggregation.
+    // and per-dimension ranges. The z computation is the native
+    // [[graft.functions.InterleaveBits]] expression (one codegen'd
+    // loop; the equivalent shift/mask Column tree is 96 nodes); the
+    // report is one aggregation.
     "pipe_zorder" -> ((s, dir) => {
       val x = col("user_id").bitwiseAND(lit(65535L))
       val y = expr("unix_micros(ts) DIV 60000000").bitwiseAND(lit(65535L))
-      val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
-        acc
-          .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
-          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-      }
+      val z = graft.functions.InterleaveBits.interleave_bits(x, y)
       Tables.events(s, dir)
         .select(x.as("x"), y.as("y"), z.as("z"))
         .groupBy(shiftright(col("z"), 20).as("z_bucket"))

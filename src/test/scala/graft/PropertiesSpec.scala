@@ -245,17 +245,23 @@ class PropertiesSpec extends AnyFunSuite {
         ((z1 >> 20) != (z2 >> 20) ||
           ((x1 >> 10) == (x2 >> 10) && (y1 >> 10) == (y2 >> 10)))
     }, n = 200)
-    // engine expression agrees with the reference fold
+    // the native expression agrees with the reference fold, through
+    // both the Column API and the registered SQL function
     import spark.implicits._
+    GraftExtensions.register(spark)
     val pts = Seq((3L, 5L), (65535L, 0L), (0L, 65535L), (12345L, 54321L))
-    val zc = {
-      val x = col("x"); val y = col("y")
-      (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
-        acc.bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
-          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-      }
+    val df = pts.toDF("x", "y")
+    val viaColumn = df
+      .select(graft.functions.InterleaveBits.interleave_bits(col("x"), col("y")))
+      .collect().map(_.getLong(0))
+    assert(viaColumn.toSeq == pts.map { case (x, y) => zOf(x, y) })
+    df.createOrReplaceTempView("zpts")
+    val viaSql = spark.sql("SELECT interleave_bits(x, y) FROM zpts")
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq == pts.map { case (x, y) => zOf(x, y) })
+    // library inverse round-trips the expression's output
+    pts.foreach { case (x, y) =>
+      assert(graft.functions.InterleaveBits.deinterleave(zOf(x, y)) == ((x, y)))
     }
-    val got = pts.toDF("x", "y").select(zc.as("z")).collect().map(_.getLong(0))
-    assert(got.toSeq == pts.map { case (x, y) => zOf(x, y) })
   }
 }
