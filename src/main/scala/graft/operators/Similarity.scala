@@ -24,6 +24,39 @@ object Similarity {
   val K = 10
   val NumQueries = 5 // query set: vec_id < 5
 
+  /** Product-quantization building blocks shared by ss_pq_encode and
+    * ss_pq_adc: the 64-dim vectors split into 8 subspaces of 8 dims;
+    * per-subspace codebooks are the first 8 vectors' subvectors (a
+    * deterministic stand-in for trained centroids — ss_kmeans_step is
+    * the training iteration). Squared L2 per (vector, centroid,
+    * subspace) accumulates as MICRO-integers (floor((x−c)²·10¹²) per
+    * coordinate, summed as longs) so argmin and the additive ADC are
+    * order-free and engine-exact — the same trick as ss_kmeans_step.
+    * Returns (dist, codes): dist keyed by (vec, cent, s); codes = the
+    * per-(vec, s) argmin with ties to the smaller centroid id.
+    */
+  private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val dims = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("p", "x")))
+      .select(col("vec_id"),
+        expr("p DIV 8").cast("int").as("s"),
+        expr("p % 8").cast("int").as("j"),
+        col("x"))
+    val cents = dims.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("s"), col("j"), col("x").as("c"))
+    val dist = dims.join(broadcast(cents), Seq("s", "j"))
+      .select(col("vec_id"), col("cent_id"), col("s"),
+        floor((col("x") - col("c")) * (col("x") - col("c"))
+          * lit(1000000000000.0)).cast("long").as("dm"))
+      .groupBy("vec_id", "cent_id", "s")
+      .agg(sum(col("dm")).as("dist_micro"))
+    val codes = dist.groupBy("vec_id", "s")
+      .agg(min(struct(col("dist_micro"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("s"),
+        col("m.cent_id").as("code"), col("m.dist_micro").as("dist_micro"))
+    (dist, codes)
+  }
+
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"),
@@ -243,10 +276,70 @@ object Similarity {
           min(col("code")).as("min_code"),
           max(col("code")).as("max_code"))
         .orderBy("vec_id")
+    }),
+
+    // PQ encode — the index-build half of IVF-PQ (the memory-bound
+    // ANN standard: a 64-dim float vector compresses to 8 one-byte
+    // codes): per (vector, subspace), the nearest codebook centroid
+    // by exact micro-integer squared L2, plus the quantization
+    // distortion the code costs. One narrow explode + one broadcast
+    // join + two aggregations; at 100 TB codebooks are always
+    // broadcast-scale (k·d floats) and the encode is a map pass.
+    "ss_pq_encode" -> ((s, dir) => {
+      val (_, codes) = pqParts(s, dir)
+      codes.orderBy("vec_id", "s")
+    }),
+
+    // PQ asymmetric-distance search (ADC): the query keeps its exact
+    // subvectors; every candidate is scored from its CODES via the
+    // query's precomputed (subspace, centroid) distance table —
+    // distance = Σ_s table[s][code_s], additive in exact micro-ints.
+    // The table (queries × subspaces × centroids, here 320 rows)
+    // broadcasts; candidates never decompress. This is why PQ search
+    // touches bytes-per-vector instead of floats-per-vector at scale.
+    "ss_pq_adc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (dist, codes) = pqParts(s, dir)
+      val qdist = dist.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("query_id"), col("cent_id"), col("s"),
+          col("dist_micro"))
+      val cand = codes.select(col("vec_id").as("cand_id"), col("s"), col("code"))
+      val scored = cand.as("k")
+        .join(broadcast(qdist.as("q")),
+          col("q.cent_id") === col("k.code") && col("q.s") === col("k.s"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(sum(col("dist_micro")).as("adc_micro"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_micro").asc, col("cand_id").asc)
+      scored.withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 5)
+        .orderBy("query_id", "rk")
     })
   )
 
   private val vSql = OracleSql.vectors
+
+  /** DuckDB mirror of [[pqParts]] (1-based list index → 0-based dim). */
+  private val pqCtes =
+    """WITH d AS (
+      |  SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
+      |    CAST((i - 1) % 8 AS INT) AS j, e[i] AS x
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |       UNNEST(range(1, len(e) + 1)) AS u(i)),
+      |c AS (SELECT vec_id AS cent_id, s, j, x AS c FROM d WHERE vec_id < 8),
+      |dist AS (
+      |  SELECT d.vec_id, cent_id, d.s,
+      |    CAST(sum(CAST(floor((x - c) * (x - c) * 1000000000000.0) AS BIGINT))
+      |      AS BIGINT) AS dist_micro
+      |  FROM d JOIN c ON d.s = c.s AND d.j = c.j
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, s, cent_id AS code, dist_micro FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |      ORDER BY dist_micro, cent_id) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1)""".stripMargin
 
   /** Shared CTE chain: vectors → broadcast centroids → IVF assignment
     * (DuckDB mirror of [[ivfAssigned]]).
@@ -373,6 +466,24 @@ object Similarity {
         |  CAST(sum(CAST(floor(abs(x - (mn + code * (mx - mn) / 255))
         |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_err_nano,
         |  min(code) AS min_code, max(code) AS max_code
-        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "ss_pq_encode" ->
+      s"""$pqCtes
+         |SELECT vec_id, s, code, dist_micro FROM codes ORDER BY vec_id, s""".stripMargin,
+    "ss_pq_adc" ->
+      s"""$pqCtes,
+         |q AS (SELECT vec_id AS query_id, cent_id, s, dist_micro
+         |      FROM dist WHERE vec_id >= 100 AND vec_id < 105),
+         |sc AS (
+         |  SELECT q.query_id, k.vec_id AS cand_id,
+         |    CAST(sum(q.dist_micro) AS BIGINT) AS adc_micro
+         |  FROM codes k JOIN q ON q.s = k.s AND q.cent_id = k.code
+         |  WHERE q.query_id <> k.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, cand_id, adc_micro, CAST(rk AS INT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_micro, cand_id) AS rk
+         |  FROM sc)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   )
 }
