@@ -315,6 +315,41 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w).cast("int"))
         .filter(col("rk") <= 5)
         .orderBy("query_id", "rk")
+    }),
+
+    // IVF-PQ search — the full production ANN plan, composed from the
+    // pieces above: the IVF coarse quantizer routes each query to ONE
+    // cell (at 100 TB, one physical partition read), and within the
+    // cell candidates are scored by PQ asymmetric distance from their
+    // codes — never decompressed. nprobe and the PQ byte budget are
+    // the two dials; recall is what ss_ann_recall-style harnesses
+    // measure against the exact path.
+    "ss_ivfpq_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = ivfAssigned(s, dir).select(col("vec_id"), col("cent_id"))
+      val (dist, codes) = pqParts(s, dir)
+      val q = cells.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("qcell"))
+      val qdist = dist.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("query_id"), col("cent_id"), col("s"),
+          col("dist_micro"))
+      val inCell = cells.as("c")
+        .join(broadcast(q), col("c.cent_id") === col("qcell") &&
+          col("c.vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("c.vec_id").as("cand_id"))
+      val scored = inCell
+        .join(codes.select(col("vec_id").as("cand_id"), col("s").as("ks"),
+          col("code")), "cand_id")
+        .join(broadcast(qdist).as("qd"),
+          col("qd.query_id") === inCell("query_id") &&
+            col("qd.cent_id") === col("code") && col("qd.s") === col("ks"))
+        .groupBy(inCell("query_id"), col("cand_id"))
+        .agg(sum(col("dist_micro")).as("adc_micro"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_micro").asc, col("cand_id").asc)
+      scored.withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .orderBy("query_id", "rk")
     })
   )
 
@@ -484,6 +519,31 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_micro, cand_id) AS rk
          |  FROM sc)
-         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // One WITH chain: the PQ CTEs then the IVF-assignment CTEs (names
+    // are disjoint by construction).
+    "ss_ivfpq_search" ->
+      s"""$pqCtes,
+         |${assignedCtes.stripPrefix("WITH ")},
+         |qc AS (SELECT vec_id AS query_id, cent_id AS qcell FROM assigned
+         |       WHERE vec_id >= 100 AND vec_id < 105),
+         |qd AS (SELECT vec_id AS query_id, cent_id, s, dist_micro FROM dist
+         |       WHERE vec_id >= 100 AND vec_id < 105),
+         |incell AS (
+         |  SELECT qc.query_id, a.vec_id AS cand_id
+         |  FROM assigned a
+         |  JOIN qc ON a.cent_id = qc.qcell AND a.vec_id <> qc.query_id),
+         |sc AS (
+         |  SELECT i.query_id, i.cand_id,
+         |    CAST(sum(qd.dist_micro) AS BIGINT) AS adc_micro
+         |  FROM incell i
+         |  JOIN codes k ON i.cand_id = k.vec_id
+         |  JOIN qd ON qd.query_id = i.query_id
+         |         AND qd.s = k.s AND qd.cent_id = k.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, cand_id, adc_micro, CAST(rk AS INT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_micro, cand_id) AS rk FROM sc)
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
   )
 }
