@@ -128,7 +128,9 @@ object Stress {
         "dd_lsh_recall", "dd_lsh_band_sweep", "pipe_split_leakage",
         "ss_quantize_int8", "pipe_zorder", "q_winsorize",
         "ta_compress_ratio", "ta_sentences", "pipe_shard_manifest",
-        "ev_asof_nearest", "ev_sliding_15m")
+        "ev_asof_nearest", "ev_sliding_15m",
+        "ss_pq_encode", "ss_pq_adc", "ss_ivfpq_search",
+        "dd_containment", "dd_exact_normalized", "q_histogram_equidepth")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")

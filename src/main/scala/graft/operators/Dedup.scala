@@ -355,7 +355,10 @@ object Dedup {
         .filter(col("doc_small") =!= col("doc_big"))
         .select("doc_small", "doc_big")
         .distinct()
-      cand
+      // merge-join hint, as in verifiedPairs: the candidate set's size
+      // is data-dependent and its stats mislead the planner into
+      // broadcasting it; sort-merge spills instead.
+      cand.hint("merge")
         .join(docs.select(col("doc_id").as("doc_small"), col("shs").as("sa"),
           col("n").as("na")), "doc_small")
         .join(docs.select(col("doc_id").as("doc_big"), col("shs").as("sb")),
