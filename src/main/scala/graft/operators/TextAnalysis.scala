@@ -269,6 +269,42 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Mixed-language detection — the quality gate single-label langid
+    // can't express: concatenated bilingual pages (scraper artifacts,
+    // boilerplate-in-another-language) fool a whole-document argmax.
+    // Split each doc's tokens in half, language-ID each half with the
+    // same stopword argmax as ta_langid, report the (first, second)
+    // confusion matrix — off-diagonal mass is the mixed-document rate.
+    // Narrow per-doc transforms + one tiny aggregation.
+    "ta_langid_mixed" -> ((s, dir) => {
+      def pred(p: String) =
+        when(col(s"${p}_en") >= col(s"${p}_de") && col(s"${p}_en") >= col(s"${p}_es") &&
+             col(s"${p}_en") >= col(s"${p}_fr") && col(s"${p}_en") >= col(s"${p}_zh"), "en")
+        .when(col(s"${p}_de") >= col(s"${p}_es") && col(s"${p}_de") >= col(s"${p}_fr") &&
+              col(s"${p}_de") >= col(s"${p}_zh"), "de")
+        .when(col(s"${p}_es") >= col(s"${p}_fr") && col(s"${p}_es") >= col(s"${p}_zh"), "es")
+        .when(col(s"${p}_fr") >= col(s"${p}_zh"), "fr")
+        .otherwise("zh")
+      val halves = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n", size(col("toks")))
+        .withColumn("t1", slice(col("toks"), lit(1), expr("n DIV 2")))
+        .withColumn("t2", slice(col("toks"), expr("n DIV 2 + 1"), expr("n - n DIV 2")))
+      val scored = Seq(("a", "t1"), ("b", "t2")).foldLeft(halves) {
+        case (df, (p, tc)) =>
+          df.withColumn(s"${p}_en", vocabHits(col(tc), stopEn))
+            .withColumn(s"${p}_de", vocabHits(col(tc), stopDe))
+            .withColumn(s"${p}_es", vocabHits(col(tc), stopEs))
+            .withColumn(s"${p}_fr", vocabHits(col(tc), stopFr))
+            .withColumn(s"${p}_zh", vocabHits(col(tc), stopZh))
+      }
+      scored
+        .select(pred("a").as("pred_first"), pred("b").as("pred_second"))
+        .groupBy("pred_first", "pred_second")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("pred_first", "pred_second")
+    }),
+
     // Sentence segmentation stats — the preprocessing view feeding
     // packing and window decisions (mean/max sentence length drive
     // chunk boundaries): split on terminal punctuation runs, trim,
@@ -462,6 +498,35 @@ object TextAnalysis {
          |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
          |FROM (SELECT doc_id, text, $toksSql AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "ta_langid_mixed" -> {
+      def h(tn: String, ws: Seq[String]) =
+        s"len(list_filter($tn, x -> list_contains(${sqlList(ws)}, x)))"
+      def scores(p: String, tn: String) = Seq(
+        s"${h(tn, stopEn)} AS ${p}_en", s"${h(tn, stopDe)} AS ${p}_de",
+        s"${h(tn, stopEs)} AS ${p}_es", s"${h(tn, stopFr)} AS ${p}_fr",
+        s"${h(tn, stopZh)} AS ${p}_zh").mkString(",\n      ")
+      def predSql(p: String) =
+        s"""CASE
+           |      WHEN ${p}_en >= ${p}_de AND ${p}_en >= ${p}_es
+           |       AND ${p}_en >= ${p}_fr AND ${p}_en >= ${p}_zh THEN 'en'
+           |      WHEN ${p}_de >= ${p}_es AND ${p}_de >= ${p}_fr
+           |       AND ${p}_de >= ${p}_zh THEN 'de'
+           |      WHEN ${p}_es >= ${p}_fr AND ${p}_es >= ${p}_zh THEN 'es'
+           |      WHEN ${p}_fr >= ${p}_zh THEN 'fr'
+           |      ELSE 'zh' END""".stripMargin
+      s"""SELECT pred_first, pred_second, count(*) AS n_docs FROM (
+         |  SELECT ${predSql("a")} AS pred_first,
+         |    ${predSql("b")} AS pred_second
+         |  FROM (
+         |    SELECT
+         |      ${scores("a", "t1")},
+         |      ${scores("b", "t2")}
+         |    FROM (
+         |      SELECT list_slice(t, 1, len(t) // 2) AS t1,
+         |        list_slice(t, len(t) // 2 + 1, len(t)) AS t2
+         |      FROM (SELECT $toksSql AS t FROM documents))))
+         |GROUP BY 1, 2 ORDER BY pred_first, pred_second""".stripMargin
+    },
     "ta_sentences" ->
       """WITH s AS (
         |  SELECT doc_id,

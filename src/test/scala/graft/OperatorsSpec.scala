@@ -230,6 +230,22 @@ class OperatorsSpec extends AnyFunSuite {
       s"LSH produced pairs the exact join lacks: ${(lsh -- exact).take(5)}")
   }
 
+  test("ta_langid_mixed flags a bilingual concatenation off-diagonal") {
+    // the testdata corpus is single-language per doc (all-diagonal
+    // matrix, oracle-checked); the gate's purpose needs a synthetic
+    // mixed doc: an en+de concatenation must land at (en, de)
+    val dir = java.nio.file.Files.createTempDirectory("mixed_docs").toString
+    val en = "the cat and the dog is in a house of the king"
+    val de = "der hund und die katze ist ein tier der die und das"
+    Seq((1L, s"$en $de", "en"), (2L, s"$en $en", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("ta_langid_mixed")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.get(("en", "de")).contains(1L), m.toString)
+    assert(m.get(("en", "en")).contains(1L), m.toString)
+  }
+
   test("dd_containment equals the brute-force O(n²) containment join") {
     // Small-side prefix filtering claims recall 1 by theorem: if
     // |A∩B| ≥ 0.8|A|, B misses at most ⌊0.2|A|⌋ of A's shingles, so it
