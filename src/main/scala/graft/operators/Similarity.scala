@@ -57,6 +57,28 @@ object Similarity {
     (dist, codes)
   }
 
+  /** ADC top-5 per query (the ss_pq_adc body), reused by the PQ recall
+    * harness.
+    */
+  private def adcTop5(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (dist, codes) = pqParts(s, dir)
+    val qdist = dist.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("query_id"), col("cent_id"), col("s"),
+        col("dist_micro"))
+    val cand = codes.select(col("vec_id").as("cand_id"), col("s"), col("code"))
+    val scored = cand.as("k")
+      .join(broadcast(qdist.as("q")),
+        col("q.cent_id") === col("k.code") && col("q.s") === col("k.s"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("dist_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").asc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 5)
+  }
+
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"),
@@ -297,25 +319,7 @@ object Similarity {
     // The table (queries × subspaces × centroids, here 320 rows)
     // broadcasts; candidates never decompress. This is why PQ search
     // touches bytes-per-vector instead of floats-per-vector at scale.
-    "ss_pq_adc" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val (dist, codes) = pqParts(s, dir)
-      val qdist = dist.filter(col("vec_id") >= 100 && col("vec_id") < 105)
-        .select(col("vec_id").as("query_id"), col("cent_id"), col("s"),
-          col("dist_micro"))
-      val cand = codes.select(col("vec_id").as("cand_id"), col("s"), col("code"))
-      val scored = cand.as("k")
-        .join(broadcast(qdist.as("q")),
-          col("q.cent_id") === col("k.code") && col("q.s") === col("k.s"))
-        .filter(col("query_id") =!= col("cand_id"))
-        .groupBy("query_id", "cand_id")
-        .agg(sum(col("dist_micro")).as("adc_micro"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc_micro").asc, col("cand_id").asc)
-      scored.withColumn("rk", row_number().over(w).cast("int"))
-        .filter(col("rk") <= 5)
-        .orderBy("query_id", "rk")
-    }),
+    "ss_pq_adc" -> ((s, dir) => adcTop5(s, dir).orderBy("query_id", "rk")),
 
     // IVF-PQ search — the full production ANN plan, composed from the
     // pieces above: the IVF coarse quantizer routes each query to ONE
@@ -350,6 +354,46 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w).cast("int"))
         .filter(col("rk") <= 3)
         .orderBy("query_id", "rk")
+    }),
+
+    // PQ evaluation harness — recall@5 of ADC ranking against EXACT
+    // squared-L2 ranking (both in order-free micro-integers, so the
+    // report is engine-exact): how much the 8-byte codes cost in
+    // ranking quality, per query. The number the PQ byte budget
+    // (subspace count × codebook size) is tuned against — the PQ
+    // sibling of ss_ann_recall and dd_lsh_recall. On these
+    // near-random embeddings with an 8-centroid stand-in codebook the
+    // honest answer is LOW (0–0.2 at sf0.01) — which is the point of
+    // measuring: a production codebook is trained (ss_kmeans_step)
+    // and sized until this report clears the target.
+    "ss_pq_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dims = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("p", "x")))
+      val qd = dims.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("query_id"), col("p"), col("x").as("qx"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("l2_micro").asc, col("cand_id").asc)
+      val exact = dims.join(broadcast(qd), "p")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          floor((col("x") - col("qx")) * (col("x") - col("qx"))
+            * lit(1000000000000.0)).cast("long").as("dm"))
+        .groupBy("query_id", "cand_id")
+        .agg(sum(col("dm")).as("l2_micro"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("query_id", "cand_id")
+      val adc = adcTop5(s, dir).select("query_id", "cand_id")
+      val hits = exact.join(adc, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall4",
+          round(col("n_hits").cast("double") / col("n_true"), 4))
+        .orderBy("query_id")
     })
   )
 
@@ -544,6 +588,51 @@ object Similarity {
          |SELECT query_id, cand_id, adc_micro, CAST(rk AS INT) AS rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_micro, cand_id) AS rk FROM sc)
-         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "ss_pq_recall" ->
+      s"""$pqCtes,
+         |fulld AS (
+         |  SELECT vec_id, CAST(i AS INT) AS p, e[i] AS x
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |       UNNEST(range(1, len(e) + 1)) AS u(i)),
+         |qd2 AS (SELECT vec_id AS query_id, p, x AS qx FROM fulld
+         |        WHERE vec_id >= 100 AND vec_id < 105),
+         |exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY l2_micro, cand_id) AS rk
+         |    FROM (
+         |      SELECT q.query_id, f.vec_id AS cand_id,
+         |        CAST(sum(CAST(floor((f.x - q.qx) * (f.x - q.qx)
+         |          * 1000000000000.0) AS BIGINT)) AS BIGINT) AS l2_micro
+         |      FROM fulld f JOIN qd2 q ON f.p = q.p AND f.vec_id <> q.query_id
+         |      GROUP BY 1, 2))
+         |  WHERE rk <= 5),
+         |qdist AS (SELECT vec_id AS query_id, cent_id, s, dist_micro
+         |          FROM dist WHERE vec_id >= 100 AND vec_id < 105),
+         |adc AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_micro, cand_id) AS rk
+         |    FROM (
+         |      SELECT q.query_id, k.vec_id AS cand_id,
+         |        CAST(sum(q.dist_micro) AS BIGINT) AS adc_micro
+         |      FROM codes k JOIN qdist q ON q.s = k.s AND q.cent_id = k.code
+         |      WHERE q.query_id <> k.vec_id
+         |      GROUP BY 1, 2))
+         |  WHERE rk <= 5),
+         |hits AS (
+         |  SELECT e.query_id, count(*) AS n_hits
+         |  FROM exact e
+         |  WHERE EXISTS (SELECT 1 FROM adc a
+         |                WHERE a.query_id = e.query_id AND a.cand_id = e.cand_id)
+         |  GROUP BY 1)
+         |SELECT t.query_id, t.n_true, COALESCE(h.n_hits, 0) AS n_hits,
+         |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 4) AS recall4
+         |FROM (SELECT query_id, count(*) AS n_true FROM exact GROUP BY 1) t
+         |LEFT JOIN hits h ON t.query_id = h.query_id
+         |ORDER BY t.query_id""".stripMargin
   )
 }
