@@ -394,6 +394,41 @@ object Similarity {
         .withColumn("recall4",
           round(col("n_hits").cast("double") / col("n_true"), 4))
         .orderBy("query_id")
+    }),
+
+    // Exact covariance matrix of the embedding table — the PCA /
+    // whitening / OPQ-rotation precursor every serious vector index
+    // trains from. Upper triangle only (d·(d+1)/2 = 2080 cells at
+    // d=64); cross-products and sums accumulate as micro-integers so
+    // the matrix is engine-exact, with the rounded covariance derived
+    // from exact pieces by an identical op tree on both sides. Scale
+    // shape: the per-row d²/2 product explosion is absorbed by the
+    // map-side partial aggregate — the shuffle carries only
+    // 2080 × partitions rows, and the d-row mean frame broadcasts.
+    // (The N·d²/2 multiply count is inherent to covariance itself.)
+    "ss_embed_cov" -> ((s, dir) => {
+      val dims = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).cast("int").as("i"), col("x"))
+      val stats = dims.groupBy("i").agg(
+        sum(floor(col("x") * lit(1000000.0)).cast("long")).as("sx_micro"))
+      val ss = dims.as("a")
+        .join(dims.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          floor(col("a.x") * col("b.x") * lit(1000000000000.0)).cast("long").as("xy"))
+        .groupBy("i", "j")
+        .agg(sum(col("xy")).as("sxy_micro"), count(lit(1)).as("n"))
+      ss
+        .join(broadcast(stats.select(col("i"), col("sx_micro").as("sxi"))), "i")
+        .join(broadcast(stats.select(col("i").as("j"), col("sx_micro").as("sxj"))), "j")
+        .select(col("i"), col("j"), col("n"), col("sxy_micro"),
+          round(
+            col("sxy_micro").cast("double") / lit(1000000000000.0) / col("n")
+              - (col("sxi").cast("double") / lit(1000000.0) / col("n"))
+              * (col("sxj").cast("double") / lit(1000000.0) / col("n")), 8)
+            .as("cov8"))
+        .orderBy("i", "j")
     })
   )
 
@@ -633,6 +668,30 @@ object Similarity {
          |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 4) AS recall4
          |FROM (SELECT query_id, count(*) AS n_true FROM exact GROUP BY 1) t
          |LEFT JOIN hits h ON t.query_id = h.query_id
-         |ORDER BY t.query_id""".stripMargin
+         |ORDER BY t.query_id""".stripMargin,
+    "ss_embed_cov" ->
+      """WITH d AS (
+        |  SELECT vec_id, CAST(i AS INT) AS i, e[i] AS x
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |       UNNEST(range(1, len(e) + 1)) AS u(i)),
+        |st AS (
+        |  SELECT i,
+        |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sx
+        |  FROM d GROUP BY i),
+        |pr AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(sum(CAST(floor(a.x * b.x * 1000000000000.0) AS BIGINT))
+        |      AS BIGINT) AS sxy,
+        |    count(*) AS n
+        |  FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT pr.i, pr.j, CAST(pr.n AS BIGINT) AS n, sxy AS sxy_micro,
+        |  round(CAST(sxy AS DOUBLE) / 1000000000000.0 / pr.n
+        |    - (CAST(si.sx AS DOUBLE) / 1000000.0 / pr.n)
+        |    * (CAST(sj.sx AS DOUBLE) / 1000000.0 / pr.n), 8) AS cov8
+        |FROM pr
+        |JOIN st si ON pr.i = si.i
+        |JOIN st sj ON pr.j = sj.i
+        |ORDER BY pr.i, pr.j""".stripMargin
   )
 }
