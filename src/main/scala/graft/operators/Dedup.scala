@@ -452,6 +452,46 @@ object Dedup {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // Cross-modal audit — SemDeDup's own validity question: do
+    // semantic near-dups (embedding cosine, sign-bucket blocked)
+    // coincide with TEXTUAL near-dups? Each semantic pair (vec ids
+    // align with doc ids in this corpus) picks up its exact shingle
+    // Jaccard and a textual-dup verdict at the dd_ngram_jaccard
+    // threshold. High cosine with low Jaccard = paraphrase mass
+    // (what semantic dedup uniquely removes); both high = redundancy
+    // the cheaper text pipeline would have caught anyway. One
+    // embedding self-join (bucket-blocked) + two doc-keyed lookups.
+    "dd_semantic_text_check" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"),
+          Vec.signBucket(col("embedding")).as("bucket"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val pairs = v.as("a")
+        .join(v.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          round(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 4))
+        .filter(col("cos") >= 0.3)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(shinglesOf(col("text"))).as("shset"))
+        .select(col("doc_id"), col("shset"), size(col("shset")).cast("long").as("n"))
+      val denom = col("na") + col("nb") - col("n_inter")
+      pairs
+        .join(sh.select(col("doc_id").as("vec_a"), col("shset").as("sa"),
+          col("n").as("na")), "vec_a")
+        .join(sh.select(col("doc_id").as("vec_b"), col("shset").as("sb"),
+          col("n").as("nb")), "vec_b")
+        .withColumn("n_inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .select(col("vec_a"), col("vec_b"), col("cos"), col("n_inter"),
+          when(denom === 0, lit(null))
+            .otherwise(col("n_inter").cast("double") / denom).as("jaccard"),
+          when(denom === 0, lit(null))
+            .otherwise(col("n_inter") * 2 >= denom).as("textual_dup"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // Multi-probe variant: each vector also probes the 8 buckets at
     // Hamming distance 1 from its own (flip one sign bit), recovering
     // pairs that a single sign-LSH bucket misses when a coordinate sits
@@ -984,6 +1024,38 @@ object Dedup {
          |SELECT t.label, t.n_vecs, COALESCE(k.n_kept, 0) AS n_kept
          |FROM tot t LEFT JOIN kept k ON t.label = k.label
          |ORDER BY t.label""".stripMargin,
+    "dd_semantic_text_check" ->
+      s"""WITH v AS (${OracleSql.vectors}),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
+         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.3),
+         |sh AS ($shinglesSql),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.vec_a, p.vec_b, count(*) AS ni
+         |  FROM p
+         |  JOIN sh sa ON p.vec_a = sa.doc_id
+         |  JOIN sh sb ON p.vec_b = sb.doc_id AND sa.shingle = sb.shingle
+         |  GROUP BY 1, 2)
+         |SELECT p.vec_a, p.vec_b, p.cos,
+         |  CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_inter,
+         |  CASE WHEN COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - COALESCE(i.ni, 0) = 0
+         |       THEN NULL
+         |       ELSE CAST(COALESCE(i.ni, 0) AS DOUBLE)
+         |            / (COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - COALESCE(i.ni, 0))
+         |  END AS jaccard,
+         |  CASE WHEN COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - COALESCE(i.ni, 0) = 0
+         |       THEN NULL
+         |       ELSE COALESCE(i.ni, 0) * 2
+         |            >= COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - COALESCE(i.ni, 0)
+         |  END AS textual_dup
+         |FROM p
+         |LEFT JOIN inter i ON p.vec_a = i.vec_a AND p.vec_b = i.vec_b
+         |LEFT JOIN cnt ca ON p.vec_a = ca.doc_id
+         |LEFT JOIN cnt cb ON p.vec_b = cb.doc_id
+         |ORDER BY p.vec_a, p.vec_b""".stripMargin,
     "dd_embed_cos" ->
       s"""WITH v AS (${OracleSql.vectors})
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
