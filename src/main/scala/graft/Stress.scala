@@ -130,7 +130,9 @@ object Stress {
         "ta_compress_ratio", "ta_sentences", "pipe_shard_manifest",
         "ev_asof_nearest", "ev_sliding_15m",
         "ss_pq_encode", "ss_pq_adc", "ss_ivfpq_search",
-        "dd_containment", "dd_exact_normalized", "q_histogram_equidepth")
+        "dd_containment", "dd_exact_normalized", "q_histogram_equidepth",
+        "ss_pq_recall", "ss_embed_cov", "ta_langid_mixed",
+        "dd_semantic_text_check")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")
