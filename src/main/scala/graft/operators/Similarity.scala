@@ -50,10 +50,18 @@ object Similarity {
           * lit(1000000000000.0)).cast("long").as("dm"))
       .groupBy("vec_id", "cent_id", "s")
       .agg(sum(col("dm")).as("dist_micro"))
-    val codes = dist.groupBy("vec_id", "s")
-      .agg(min(struct(col("dist_micro"), col("cent_id"))).as("m"))
-      .select(col("vec_id"), col("s"),
-        col("m.cent_id").as("code"), col("m.dist_micro").as("dist_micro"))
+      // consumed by both argmin passes below plus the ADC query table
+      .localCheckpoint(false)
+    // argmin as two HASH aggregations (min long, then min cent_id over
+    // the tied rows) — a min(struct(...)) buffer is not
+    // HashAggregate-mutable and forces SortAggregate over every
+    // (vec, s) partition, the same trap the signature pipeline's
+    // min(string) note documents.
+    val best = dist.groupBy("vec_id", "s").agg(min(col("dist_micro")).as("dist_micro"))
+    val codes = dist.join(best, Seq("vec_id", "s", "dist_micro"))
+      .groupBy("vec_id", "s", "dist_micro")
+      .agg(min(col("cent_id")).as("code"))
+      .select(col("vec_id"), col("s"), col("code"), col("dist_micro"))
     (dist, codes)
   }
 
