@@ -111,6 +111,35 @@ object Stress {
       } finally spark.stop()
       return
     }
+    if (args.headOption.contains("ccchain")) {
+      // Adversarial-diameter CC probe: a pure n-node path is the worst
+      // case for min-propagation (diameter = n−1, one hop per round).
+      // The gather phase gives up at StarSwitchRound and the
+      // large-star/small-star body must finish in tens of rounds
+      // (O(log² n)), labeling every node with the path minimum 0 —
+      // so count must be n and sum(label) must be 0.
+      val spark = SparkSession.builder().master("local[8]")
+        .appName("graft-stress-ccchain")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val n = args.drop(1).headOption.map(_.toLong).getOrElse(10000L)
+        val pairs = spark.range(0, n - 1)
+          .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        val t0 = System.nanoTime()
+        val agg = graft.operators.DedupClusters.connectedComponents(pairs)
+          .agg(count(lit(1)), sum(col("label"))).head()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val ok = agg.getLong(0) == n && agg.getLong(1) == 0L
+        println(f"STRESS cc_chain n=$n nodes=${agg.getLong(0)} " +
+          f"label_sum=${agg.getLong(1)} ok=$ok time=$secs%.1f")
+        require(ok, s"chain labels wrong: $agg")
+      } finally spark.stop()
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("wordcount", "q1_agg", "q_join_large", "ta_tfidf",

@@ -19,13 +19,87 @@ import graft.Tables
   * corpus) edge set; the edge set is persisted once, and label lineage
   * is cut per iteration with `localCheckpoint` so the plan doesn't grow
   * exponentially. Near-dup clusters are dense (quasi-cliques), so the
-  * effective diameter — and the iteration count — is small; on a
-  * 100 TB corpus with adversarially long chains, swap the loop body for
-  * the large-star/small-star contractions (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond"), which keeps the same
-  * join+min shape but converges in O(log²) rounds.
+  * effective diameter — and the iteration count — is small; a graph
+  * still unconverged after [[StarSwitchRound]] gather rounds has real
+  * chains, and the loop SWAPS BODIES: [[starContraction]] (alternating
+  * large-star/small-star, Kiveris et al., "Connected Components in
+  * MapReduce and Beyond") finishes adversarial-diameter graphs in
+  * O(log²) rounds of the same join+min shape. The swap is internal —
+  * labels are exact component minima either way.
   */
 object DedupClusters {
+
+  /** Gather rounds before the loop abandons min-propagation for
+    * [[starContraction]]: dense near-dup families converge in 2–3
+    * rounds (propagate + confirm), so reaching round 4 unconverged
+    * means the graph has chains — exactly the shape stars beat
+    * propagation on.
+    */
+  val StarSwitchRound = 4
+
+  /** Exact connected components by alternating large-star/small-star
+    * contraction (Kiveris et al.): the adversarial-diameter body.
+    * `edges` is the bidirectional (src, dst) relation. Each round is
+    * two (groupBy-min + broadcast-free join) passes over an edge set
+    * that only shrinks toward the star forest:
+    *
+    *  - large-star: per node u with neighborhood N(u) and
+    *    m = min(N(u) ∪ u), connect every LARGER neighbor v > u to m;
+    *  - small-star: per node u over its smaller-oriented edges
+    *    (u > v), with m = min of those v, connect u and every other
+    *    smaller neighbor to m.
+    *
+    * Both preserve connectivity; the fixpoint is the star forest whose
+    * roots are component minima, reached in O(log² n) rounds even on a
+    * pure path — vs O(diameter) for plain propagation. Per round the
+    * edge set is localCheckpoint'ed (lineage cut, dd_pagerank-style)
+    * and convergence is the exact set test |next| = |e| ∧ next\e = ∅.
+    * At 100 TB every pass is edge-partitioned — no node ever holds
+    * more than its neighborhood, no driver state beyond the round
+    * counter.
+    */
+  private[graft] def starContraction(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    // canonical larger→smaller orientation, one row per undirected edge
+    var e = edges.filter(col("src") > col("dst"))
+      .select(col("src").as("hi"), col("dst").as("lo"))
+      .distinct().localCheckpoint(false)
+    var eCount = e.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val b = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      val lmins = b.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      // v > u ≥ m, so the output keeps the larger→smaller orientation
+      val large = b.join(lmins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      val smins = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val small = large.join(smins, "hi")
+        .select(col("lo").as("v"), col("m"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .unionAll(smins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+      val next = small.localCheckpoint(false)
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.exceptAll(e).limit(1).count() == 0
+      e = next
+      eCount = nextCount
+      iter += 1
+    }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc-stars] converged after $iter rounds")
+    if (!converged) throw new IllegalStateException(
+      s"starContraction did not converge within $maxIters rounds")
+    // star forest → labels: non-roots point at their root (defensive
+    // groupBy-min in case of a duplicate hi row), roots label themselves
+    val star = e.groupBy(col("hi")).agg(min(col("lo")).as("lo"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    nodes.join(star, nodes("id") === star("hi"), "left")
+      .select(col("id"), coalesce(col("lo"), col("id")).as("label"))
+  }
 
   /** (id, label) per node of `pairs` (cols doc_a < doc_b); label = min
     * doc_id reachable in the component.
@@ -42,7 +116,7 @@ object DedupClusters {
     var labels: DataFrame = null
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
+    while (!converged && iter < math.min(StarSwitchRound, maxIters)) {
       // Round 1 needs no node table and no join: every node appears as
       // `src` (edges are bidirectional), so label₁(v) = min(v, min
       // neighbor id) is ONE aggregation over the edge set — it also
@@ -54,10 +128,8 @@ object DedupClusters {
       // carries the previous label out for the convergence check — no
       // separate left join. Dense near-dup clusters converge in two
       // rounds (propagate + confirm, the minimum — measured via
-      // GRAFT_CC_DEBUG); adversarially long chains take O(diameter),
-      // where the documented upgrade is pointer jumping
-      // (label ← label(label)) or the large-star/small-star
-      // contraction — same join+min round shape, O(log) rounds.
+      // GRAFT_CC_DEBUG); a graph still unconverged at StarSwitchRound
+      // has real chains and falls through to starContraction below.
       val gathered =
         if (iter == 0)
           edges.groupBy(col("src"))
@@ -74,14 +146,10 @@ object DedupClusters {
             .groupBy("id")
             .agg(min(col("cand")).as("label"),
               max(when(col("own"), col("cand"))).as("old"))
-      // Adaptive pointer jumping: still unconverged at round 3 means
-      // the graph has real chains (a clique family finishes in 2
-      // rounds), so from here each round also applies
-      // label(v) ← label(label(v)) — a self-join on the node-sized
-      // label table. Labels are node ids of the same component, so the
-      // lookup stays in-component; gather+jump doubles effective reach
-      // per round → O(log diameter) rounds, and maxIters = 25 covers
-      // diameters past 2^20 instead of 25.
+      // Pointer jumping (label(v) ← label(label(v)), a self-join on
+      // the node-sized label table) doubles effective reach in the
+      // rounds before the star swap — it lets moderately-chained
+      // graphs still finish inside the propagation phase.
       val jumped =
         if (iter < 2) gathered
         else gathered.as("x")
@@ -104,14 +172,17 @@ object DedupClusters {
       iter += 1
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
-      System.err.println(s"[cc] converged after $iter rounds")
-    edges.unpersist()
-    // An unconverged result is silently WRONG (labels are not yet
-    // component minima) — fail loudly instead. With pointer jumping,
-    // maxIters = 25 covers any realistic diameter, so hitting this
-    // means something is genuinely broken.
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIters rounds")
+      System.err.println(s"[cc] gather phase: $iter rounds, converged=$converged")
+    // Adversarial-diameter fallback: the propagation loop didn't
+    // converge, so the graph has long chains — run the O(log²)-round
+    // star contraction on the same persisted edge set. It fails
+    // loudly itself if ITS round budget is exceeded (an unconverged
+    // result would be silently wrong — labels not yet component
+    // minima).
+    if (!converged)
+      try labels = starContraction(edges, maxIters)
+      finally edges.unpersist()
+    else edges.unpersist()
     labels
   }
 

@@ -65,6 +65,12 @@ object QuantileQueries {
     * NaN fails loudly in the histogram walk rather than returning a
     * wrong element. ±0.0 occupy adjacent bit patterns, so a rank
     * landing on either reports a zero.
+    *
+    * Driver-side state is BOUNDED by design: each pass `.collect()`s
+    * only a ≤2¹⁶-row bucket histogram (≤4 passes total — 64 bits /
+    * 16 bits per round) to pick the next slice, the deliberate,
+    * AQE-like exception to SCALE.md's "no data-sized collect" rule —
+    * the data itself never reaches the driver.
     */
   def kthValues(s: SparkSession, rows: DataFrame, valueCol: String,
                 targets: Seq[(String, Long => Long)]): DataFrame = {

@@ -76,16 +76,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("connectedComponents: 200-node path converges via pointer jumping") {
+  test("connectedComponents: 200-node path converges via the star swap") {
     // plain min-propagation moves the minimum one hop per round, so a
     // 200-node chain would blow past maxIters = 25 and (before the
     // loud-failure guard) silently return non-minimum labels; the
-    // adaptive jump from round 3 doubles reach per round instead
+    // gather phase gives up at StarSwitchRound and the large-star/
+    // small-star contraction finishes in O(log²) rounds instead
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val got = DedupClusters.connectedComponents(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 200)
     assert(got.forall(_._2 == 0L), s"non-minimum labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("starContraction: path, clique, two components, shuffled ids — exact minima") {
+    // direct unit coverage of the adversarial-diameter body: a 64-node
+    // path with ids reversed (so the component minimum sits at the far
+    // end), a 10-clique, and an isolated edge; labels must be exact
+    // component minima, same as the propagation body would produce
+    val path = (0L until 63L).map(i => (1000L - i, 1000L - i - 1))
+    val clique = for (a <- 1L to 10L; b <- (a + 1L) to 10L) yield (a, b)
+    val pairs = (path ++ clique ++ Seq((2000L, 1999L))).toDF("doc_a", "doc_b")
+    val edges = pairs.select(
+        org.apache.spark.sql.functions.col("doc_a").as("src"),
+        org.apache.spark.sql.functions.col("doc_b").as("dst"))
+      .unionAll(pairs.select(
+        org.apache.spark.sql.functions.col("doc_b").as("src"),
+        org.apache.spark.sql.functions.col("doc_a").as("dst")))
+    val got = DedupClusters.starContraction(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((937L to 1000L).forall(i => got(i) == 937L))
+    assert((1L to 10L).forall(i => got(i) == 1L))
+    assert(got(1999L) == 1999L && got(2000L) == 1999L)
+    assert(got.size == 64 + 10 + 2)
   }
 
   test("dd_clusters: pair endpoints co-clustered, id is the member minimum") {
