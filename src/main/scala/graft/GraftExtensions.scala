@@ -62,7 +62,19 @@ object GraftExtensions {
       (FunctionIdentifier("interleave_bits"),
         info("interleave_bits",
           "interleave_bits(x, y) - Morton/Z-order interleave of two 16-bit values"),
-        (exprs: Seq[Expression]) => graft.functions.InterleaveBits(exprs(0), exprs(1)))
+        (exprs: Seq[Expression]) => {
+          // arity-check here so `interleave_bits(x)` fails analysis
+          // with a real error instead of IndexOutOfBoundsException
+          if (exprs.length != 2)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> "`interleave_bits`",
+                "expectedNum" -> "2",
+                "actualNum" -> exprs.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          graft.functions.InterleaveBits(exprs(0), exprs(1))
+        })
     )
 
   /** Register on an already-built session (the driver owns session

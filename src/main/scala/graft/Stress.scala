@@ -159,7 +159,8 @@ object Stress {
         "ta_compress_ratio", "ta_sentences", "pipe_shard_manifest",
         "ev_asof_nearest", "ev_sliding_15m",
         "ss_pq_encode", "ss_pq_adc", "ss_ivfpq_search",
-        "dd_containment", "dd_exact_normalized", "q_histogram_equidepth",
+        "dd_containment", "dd_containment_capped",
+        "dd_exact_normalized", "q_histogram_equidepth",
         "ss_pq_recall", "ss_embed_cov", "ta_langid_mixed",
         "dd_semantic_text_check")
     val src = "/root/testdata/sf0.1"
@@ -287,13 +288,11 @@ object Stress {
       graft.plans.AsOfJoin.joinAsOf(l, r, l("k"), r("k"), l("t"), r("t"))
     }
     timed("asof_hot_key_salted") {
-      val l = leftOf(hot = true)
-        .withColumn("ks", col("k") * salts + pmod(col("t"), lit(salts)))
-      val r = rightQuotes
-        .select(col("k"), col("t"), col("quote"),
-          explode(array((0 until salts).map(lit(_)): _*)).as("salt"))
-        .withColumn("ks", col("k") * salts + col("salt"))
-      graft.plans.AsOfJoin.joinAsOf(l, r, l("ks"), r("ks"), l("t"), r("t"))
+      // the packaged wrapper (joinAsOfSalted) — same salting recipe,
+      // now an operator property instead of caller discipline
+      val l = leftOf(hot = true); val r = rightQuotes
+      graft.plans.AsOfJoin.joinAsOfSalted(
+        l, r, l("k"), r("k"), l("t"), r("t"), salts = salts)
     }
     spark.stop()
   }

@@ -14,6 +14,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * by hand. Bijective on [0, 2¹⁶)² (inverse in tests); a shared 2k-bit
   * prefix of the code implies shared k-bit prefixes in BOTH inputs —
   * the quad-tree rectangle bound parquet min/max pruning relies on.
+  *
+  * Range contract: inputs are MASKED to their low 16 bits — values
+  * outside [0, 2¹⁶) collide by design rather than error (the Z-order
+  * caller quantizes into 16-bit cells first, `pipe_zorder`). Callers
+  * needing loud failure should range-check upstream.
   */
 case class InterleaveBits(left: Expression, right: Expression)
   extends BinaryExpression {

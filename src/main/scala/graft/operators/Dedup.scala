@@ -34,6 +34,16 @@ import TextOps._
 object Dedup {
 
   val NumHashes = 16
+
+  /** Document-frequency cap for dd_containment_capped's candidate
+    * stage: above it a shingle is "boilerplate" and generates no
+    * candidates. 16 sits above every clean-corpus prefix df (max 12 at
+    * sf0.1) and below the smallest clone-class df the adversarial
+    * stress mints (20), so the capped row is value-identical to
+    * dd_containment on clean data while bounding the hot-shingle
+    * candidate blowup.
+    */
+  val ContainmentDfCap = 16L
   val Bands     = 4
   val RowsPerBand = NumHashes / Bands
 
@@ -371,6 +381,69 @@ object Dedup {
         .orderBy("doc_small", "doc_big")
     }),
 
+    // Df-capped containment join — the bounded-cost production variant
+    // of dd_containment: shingles with document frequency above
+    // [[ContainmentDfCap]] are excluded from the CANDIDATE stage (both
+    // the small side's prefix and the posting list); verify stays the
+    // same exact array-intersect over FULL shingle sets. Recall
+    // contract: a containing pair (A ⊂~ B) is still guaranteed
+    // whenever A's ⌊|A|/5⌋+1 rarest shingles all sit under the cap —
+    // true for every doc on the clean corpus (measured max prefix df:
+    // 3 at sf0.01, 12 at sf0.1, both < 16), so this row is
+    // value-identical to dd_containment there. What the cap buys: a
+    // boilerplate shingle shared by thousands of docs can no longer
+    // mint a quadratic candidate block — the uncapped 20×-clone
+    // stress was output-dominated at 130 s; under the cap the clone
+    // classes (every shingle df ≥ 20 > cap) generate zero candidates.
+    // The tradeoff is documented instead of silent: the dropped pairs
+    // are those whose small side is boilerplate-only, exactly the
+    // docs exact dedup removes upstream in the production ordering.
+    "dd_containment_capped" -> ((s, dir) => {
+      val docSh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+      val sdf = docSh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      val docShC = docSh.join(sdf, "shingle")
+      val docs = docShC
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
+        .select(col("doc_id"),
+          transform(col("st"), e => e.getField("shingle")).as("shs"))
+        .withColumn("n", size(col("shs")).cast("long"))
+        .localCheckpoint(false)
+      val cold = docShC.filter(col("sdf") <= lit(ContainmentDfCap))
+      val coldArr = cold
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
+        .select(col("doc_id"),
+          transform(col("st"), e => e.getField("shingle")).as("cold_shs"))
+      // prefix = the ⌊n/5⌋+1 rarest COLD shingles (n = FULL shingle
+      // count — the containment bound is about |A|, not the cold
+      // subset); a doc with fewer cold shingles gets a shorter prefix
+      // (slice stops at the array end), a boilerplate-only doc gets
+      // none
+      val pre = docs.join(coldArr, "doc_id")
+        .withColumn("plen", (expr("n DIV 5") + 1).cast("int"))
+        .select(col("doc_id").as("doc_small"),
+          explode(slice(col("cold_shs"), lit(1), col("plen"))).as("shingle"))
+      val cand = pre
+        .join(cold.select(col("doc_id").as("doc_big"), col("shingle")), "shingle")
+        .filter(col("doc_small") =!= col("doc_big"))
+        .select("doc_small", "doc_big")
+        .distinct()
+      cand.hint("merge")
+        .join(docs.select(col("doc_id").as("doc_small"), col("shs").as("sa"),
+          col("n").as("na")), "doc_small")
+        .join(docs.select(col("doc_id").as("doc_big"), col("shs").as("sb")),
+          "doc_big")
+        .withColumn("n_inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .filter(col("n_inter") * 5 >= col("na") * 4)
+        .select(col("doc_small"), col("doc_big"), col("n_inter"), col("na"),
+          (col("n_inter").cast("double") / col("na")).as("containment"))
+        .orderBy("doc_small", "doc_big")
+    }),
+
     // Banding tuning table — the (b, r) decision every minhash-LSH
     // deployment makes, MEASURED instead of assumed: on the same hash
     // sample as dd_lsh_recall, band the 16 signatures as 2×8, 4×4,
@@ -477,13 +550,20 @@ object Dedup {
         .select(col("doc_id"), array_distinct(shinglesOf(col("text"))).as("shset"))
         .select(col("doc_id"), col("shset"), size(col("shset")).cast("long").as("n"))
       val denom = col("na") + col("nb") - col("n_inter")
+      // LEFT joins + coalesce, matching the oracle: a vec_id with no
+      // documents row keeps its pair with n = 0 (→ null jaccard)
+      // instead of silently dropping it — parity no longer rests on
+      // the corpus's vec_id ⊆ doc_id alignment.
       pairs
         .join(sh.select(col("doc_id").as("vec_a"), col("shset").as("sa"),
-          col("n").as("na")), "vec_a")
+          col("n").as("na0")), Seq("vec_a"), "left")
         .join(sh.select(col("doc_id").as("vec_b"), col("shset").as("sb"),
-          col("n").as("nb")), "vec_b")
+          col("n").as("nb0")), Seq("vec_b"), "left")
+        .withColumn("na", coalesce(col("na0"), lit(0L)))
+        .withColumn("nb", coalesce(col("nb0"), lit(0L)))
         .withColumn("n_inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          when(col("sa").isNull || col("sb").isNull, lit(0L))
+            .otherwise(size(array_intersect(col("sa"), col("sb"))).cast("long")))
         .select(col("vec_a"), col("vec_b"), col("cos"), col("n_inter"),
           when(denom === 0, lit(null))
             .otherwise(col("n_inter").cast("double") / denom).as("jaccard"),
@@ -802,6 +882,40 @@ object Dedup {
          |  SELECT DISTINCT p.doc_small, d.doc_id AS doc_big
          |  FROM pre p JOIN dt d
          |    ON p.shingle = d.shingle AND p.doc_small <> d.doc_id),
+         |v AS (
+         |  SELECT c.doc_small, c.doc_big,
+         |    CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_inter,
+         |    a.n AS na
+         |  FROM cand c
+         |  JOIN docs a ON c.doc_small = a.doc_id
+         |  JOIN docs b ON c.doc_big = b.doc_id)
+         |SELECT doc_small, doc_big, n_inter, na,
+         |  CAST(n_inter AS DOUBLE) / na AS containment
+         |FROM v WHERE n_inter * 5 >= na * 4
+         |ORDER BY doc_small, doc_big""".stripMargin,
+    "dd_containment_capped" ->
+      s"""WITH dt AS ($shinglesSql),
+         |sdf AS (SELECT shingle, count(*) AS sdf FROM dt GROUP BY shingle),
+         |docs AS (
+         |  SELECT d.doc_id, list(d.shingle ORDER BY f.sdf, d.shingle) AS shs,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM dt d JOIN sdf f ON d.shingle = f.shingle
+         |  GROUP BY d.doc_id),
+         |cold AS (
+         |  SELECT d.doc_id, d.shingle, f.sdf
+         |  FROM dt d JOIN sdf f ON d.shingle = f.shingle
+         |  WHERE f.sdf <= $ContainmentDfCap),
+         |cdocs AS (
+         |  SELECT doc_id, list(shingle ORDER BY sdf, shingle) AS cold_shs
+         |  FROM cold GROUP BY doc_id),
+         |pre AS (
+         |  SELECT d.doc_id AS doc_small, cold_shs[CAST(i AS INT)] AS shingle
+         |  FROM docs d JOIN cdocs c ON d.doc_id = c.doc_id,
+         |       UNNEST(range(1, least(len(c.cold_shs), d.n // 5 + 1) + 1)) AS u(i)),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_small, k.doc_id AS doc_big
+         |  FROM pre p JOIN cold k
+         |    ON p.shingle = k.shingle AND p.doc_small <> k.doc_id),
          |v AS (
          |  SELECT c.doc_small, c.doc_big,
          |    CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_inter,

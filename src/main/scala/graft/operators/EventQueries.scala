@@ -84,6 +84,26 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // The SAME as-of join through the joinAsOfSalted wrapper (salt = 8):
+    // identical rows by construction — every (key, salt) bucket sees
+    // the key's full replicated right timeline — which is exactly what
+    // this oracle row pins (it shares ev_asof_order's SQL). The wrapper
+    // is the hot-key mitigation AQE can't apply to a custom exec;
+    // `Stress` measures it taking the 90%-hot-key probe back to the
+    // uniform baseline.
+    "ev_asof_order_salted" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("ord_key"))
+      graft.plans.AsOfJoin
+        .joinAsOfSalted(ev, ord, ev("user_id"), ord("o_custkey"),
+          ev("ts"), ord("o_orderdate"), salts = 8)
+        .select(col("event_id"), col("user_id"),
+          col("o_orderdate").as("ord_date"), col("ord_key"))
+        .orderBy("event_id")
+    }),
+
     // Cohort retention — the product-analytics staple: of the users
     // active in hour H, what fraction is also active in hour H+1?
     // Computed from per-(user, hour) activity via a self-equi-join on
@@ -261,6 +281,15 @@ object EventQueries {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_asof_order" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ord_key
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT event_id, user_id, r.o_orderdate AS ord_date, r.ord_key
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+    // Salting is results-invariant, so the salted row pins against the
+    // UNSALTED oracle — that identity is the point of the row.
+    "ev_asof_order_salted" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ord_key
         |           FROM orders GROUP BY 1, 2)
         |SELECT event_id, user_id, r.o_orderdate AS ord_date, r.ord_key

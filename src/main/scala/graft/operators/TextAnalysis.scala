@@ -343,6 +343,13 @@ object TextAnalysis {
         .mapPartitions { it =>
           val d = new java.util.zip.Deflater(
             java.util.zip.Deflater.BEST_SPEED, false)
+          // free zlib native memory when the TASK completes, not when
+          // the iterator drains — an early-terminating consumer
+          // (limit/take/show) never exhausts the iterator and would
+          // leak ~256 KB of native state per task until the Cleaner
+          // runs
+          org.apache.spark.TaskContext.get()
+            .addTaskCompletionListener[Unit](_ => d.end())
           val buf = new Array[Byte](1 << 16)
           it.map { case (id, text) =>
             val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -350,7 +357,7 @@ object TextAnalysis {
             var n = 0L
             while (!d.finished()) n += d.deflate(buf)
             (id, bytes.length.toLong, n)
-          } ++ { d.end(); Iterator.empty } // frees zlib native memory
+          }
         }
         .toDF("doc_id", "n_bytes", "n_deflated")
         .withColumn("ratio4",

@@ -184,7 +184,13 @@ case class AsOfJoinExec(
                 if (backRow == null && fwdRow == null) nullRight
                 else if (fwdRow == null) backRow
                 else if (backRow == null) fwdRow
-                else if (lTimeV - matchedTime <= fwdTime - lTimeV) backRow
+                // matchedTime ≤ lTimeV ≤ fwdTime, so both distances are
+                // true non-negative values that always fit UNSIGNED
+                // 64-bit even when the signed subtraction wraps (times
+                // near Long.MIN/MAX) — compareUnsigned is exact where
+                // a signed <= could pick the wrong candidate.
+                else if (java.lang.Long.compareUnsigned(
+                    lTimeV - matchedTime, fwdTime - lTimeV) <= 0) backRow
                 else fwdRow
               }
             resultProj(joiner(lRow, rSide))
@@ -277,6 +283,54 @@ object AsOfJoin {
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column): DataFrame =
     joinAsOfDir(left, right, leftKey, rightKey, leftTime, rightTime, Nearest)
+
+  /** Hot-key mitigation as an operator property — the measured manual
+    * recipe from `Stress` (asof_hot_key 2.7 s → salted ≈ the uniform
+    * 1.4 s baseline) packaged so callers don't hand-roll it: the same
+    * as-of join, with each LEFT row's key spread over `salts` sub-keys
+    * (salt = leftTime mod salts) and the right side replicated once
+    * per salt. Results are row-identical to [[joinAsOf]] — every
+    * (key, salt) bucket still sees the key's FULL right timeline — but
+    * a 90%-hot key becomes `salts`-way parallel, which AQE cannot do
+    * for a custom exec (OptimizeSkewedJoin only rewrites SortMergeJoin
+    * / ShuffledHashJoin).
+    *
+    * Constraints beyond [[joinAsOf]]'s: keys must be INTEGRAL — the
+    * packed sub-key is key·salts+salt, and a timestamp key would cast
+    * to whole seconds and could merge distinct keys — and
+    * |key| < 2⁶³/salts so the packing cannot overflow. The right side
+    * grows `salts`×: this is for a skewed probe side against a bounded
+    * build side (events vs a quote/dim table), the shape hot keys
+    * actually take. A left row with null time keeps the null right
+    * side exactly as in the unsalted join (its packed key goes null,
+    * and null times never match anyway).
+    */
+  def joinAsOfSalted(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      salts: Int = 32, forward: Boolean = false): DataFrame = {
+    require(salts >= 1, s"joinAsOfSalted: salts must be >= 1, got $salts")
+    def requireIntegral(df: DataFrame, c: Column, what: String): Unit = {
+      val dt = df.select(c).schema.head.dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"joinAsOfSalted: $what must be integral for lossless key packing, got $dt")
+    }
+    requireIntegral(left, leftKey, "leftKey")
+    requireIntegral(right, rightKey, "rightKey")
+    import org.apache.spark.sql.functions.{array, col, explode, lit, pmod}
+    val saltCol = "__asof_salt"
+    val keyCol = "__asof_salted_key"
+    val l2 = left
+      .withColumn(saltCol, pmod(leftTime.cast("long"), lit(salts.toLong)))
+      .withColumn(keyCol, leftKey.cast("long") * salts + col(saltCol))
+    val r2 = right
+      .withColumn(saltCol,
+        explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+      .withColumn(keyCol, rightKey.cast("long") * salts + col(saltCol))
+    joinAsOfDir(l2, r2, l2(keyCol), r2(keyCol), leftTime, rightTime,
+        if (forward) Forward else Backward)
+      .drop(saltCol).drop(keyCol)
+  }
 
   private def joinAsOfDir(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,

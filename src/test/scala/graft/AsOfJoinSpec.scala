@@ -313,4 +313,51 @@ class AsOfJoinSpec extends AnyFunSuite {
     val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt")).collect()
     assert(out.head.getLong(4) == 100L) // rv of the 09:00 row, not the 11:00 one
   }
+
+  test("NEAREST tie-break survives time spans past Long range (unsigned distances)") {
+    // backward candidate sits ~10^19 away (the signed subtraction
+    // wraps negative); forward is 10^17 away — a signed compare would
+    // wrongly keep the backward row
+    val l = Seq((1L, 4000000000000000000L)).toDF("k", "t")
+    val r = Seq(
+      (1L, -6000000000000000000L, 1L), // true distance 10^19: wraps signed
+      (1L, 4100000000000000000L, 2L)   // true distance 10^17: the real nearest
+    ).toDF("rk", "rt", "rv")
+    val out = AsOfJoin.joinAsOfNearest(l, r, l("k"), r("rk"), l("t"), r("rt")).collect()
+    assert(out.head.getLong(4) == 2L,
+      s"picked rv=${out.head.getLong(4)}; overflow broke the tie-break")
+  }
+
+  test("joinAsOfSalted: row-identical to the unsalted join, hot key included") {
+    // 300 left rows, 90% on one hot key, across 3 keys with realistic
+    // interleaved right timelines; every salt bucket must see the full
+    // right timeline, so results match the unsalted join exactly
+    val l = spark.range(0, 300).selectExpr(
+      "CASE WHEN id % 10 <> 0 THEN 7L ELSE id % 3 END AS k",
+      "(id * 13) % 101 AS t")
+    val r = spark.range(0, 60).selectExpr(
+      "id % 3 + (CASE WHEN id % 2 = 0 THEN 7 ELSE 0 END) AS rk",
+      "(id * 5) % 97 AS rt", "id AS rv")
+    val plain = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      .collect().map(_.toSeq).sortBy(_.mkString(","))
+    val salted = AsOfJoin.joinAsOfSalted(l, r, l("k"), r("rk"), l("t"), r("rt"),
+        salts = 8)
+      .collect().map(_.toSeq).sortBy(_.mkString(","))
+    assert(salted.length == plain.length)
+    assert(salted.toSeq == plain.toSeq)
+    // the salted output exposes no helper columns
+    val cols = AsOfJoin.joinAsOfSalted(l, r, l("k"), r("rk"), l("t"), r("rt"),
+      salts = 4).columns.toSeq
+    assert(cols == Seq("k", "t", "rk", "rt", "rv"))
+  }
+
+  test("joinAsOfSalted rejects non-integral keys") {
+    val l = Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      .toDF("k", "t")
+    val r = Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1L))
+      .toDF("rk", "rt", "rv")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOfSalted(l, r, l("k"), r("rk"), l("t"), r("rt"))
+    }
+  }
 }

@@ -263,5 +263,13 @@ class PropertiesSpec extends AnyFunSuite {
     pts.foreach { case (x, y) =>
       assert(graft.functions.InterleaveBits.deinterleave(zOf(x, y)) == ((x, y)))
     }
+    // wrong arity fails analysis with a real error, not
+    // IndexOutOfBoundsException from the registration builder
+    val err = intercept[Exception] {
+      spark.sql("SELECT interleave_bits(x) FROM zpts").collect()
+    }
+    assert(err.getMessage.contains("interleave_bits"),
+      s"unexpected arity error: ${err.getMessage}")
+    assert(!err.isInstanceOf[IndexOutOfBoundsException])
   }
 }
