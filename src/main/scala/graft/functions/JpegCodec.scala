@@ -34,11 +34,18 @@ object JpegCodec {
     * decode stage that zero-fills corrupt media poisons every feature
     * downstream.
     */
-  def decode(bytes: Array[Byte]): PgmCodec.Pgm = {
+  def decode(bytes: Array[Byte]): PgmCodec.Pgm = decodeGray(bytes, "JPEG")
+
+  /** Shared `javax.imageio` decode-to-grayscale path — [[PngCodec]]
+    * rides the identical seam (ImageIO sniffs the container from the
+    * payload's magic bytes, so one reader serves every registered
+    * format).
+    */
+  private[functions] def decodeGray(bytes: Array[Byte], what: String): PgmCodec.Pgm = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     if (img == null)
       throw new IllegalArgumentException(
-        s"undecodable JPEG payload (${bytes.length} bytes)")
+        s"undecodable $what payload (${bytes.length} bytes)")
     val w = img.getWidth
     val h = img.getHeight
     val gray =

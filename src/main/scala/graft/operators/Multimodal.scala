@@ -144,6 +144,36 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // PNG leg of the decode seam — completes the production image
+    // triple (PGM, JPEG, PNG) through the same partition-batched
+    // path, and because PNG is LOSSLESS this one is ORACLE-PINNED
+    // (not exempt like JPEG): the checksum comes from the raster
+    // AFTER the PNG encode→decode round trip, so it must equal the
+    // arithmetically reconstructed source raster byte for byte — a
+    // one-byte codec bug is a hash mismatch. (The PNG byte size is
+    // encoder-implementation-defined, so it stays out of the oracle
+    // row; the spec pins the signature bytes instead.)
+    "mm_decode_png" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          val src = PgmCodec.decode(PgmCodec.encode(payload))
+          val dec = graft.functions.PngCodec.decode(
+            graft.functions.PngCodec.encode(src))
+          var sum = 0L
+          var i = 0
+          while (i < dec.pixels.length) { sum += dec.pixels(i) & 0xff; i += 1 }
+          (id, dec.width, dec.height, dec.width * dec.height, sum, dec.pixels)
+        })
+        .toDF("doc_id", "width", "height", "n_pixels", "pixel_sum", "pixels")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels").cast("int").as("n_pixels"), col("pixel_sum"),
+          md5(col("pixels")).as("pixels_checksum"))
+        .orderBy("doc_id")
+    }),
+
     // Audio leg of the decode seam — payload bytes wrap into a REAL
     // mono 16-bit PCM WAV (RIFF container with an interposed LIST
     // chunk, so decode exercises true chunk-walking) and decode back
@@ -282,6 +312,21 @@ object Multimodal {
          |  GROUP BY doc_id)
          |SELECT g.doc_id, CAST(8 AS INT) AS width, CAST(g.h AS INT) AS height,
          |  CAST(255 AS INT) AS max_val, CAST(8 * g.h AS INT) AS n_pixels,
+         |  CAST(COALESCE(s.s, 0) + 32 * (8 * g.h - g.len) AS BIGINT) AS pixel_sum,
+         |  md5(g.raster) AS pixels_checksum
+         |FROM g LEFT JOIN sums s ON g.doc_id = s.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
+    // Lossless round trip ⇒ the PNG leg shares mm_decode_pgm's raster
+    // reconstruction (no max_val column: the PNG container doesn't
+    // carry one).
+    "mm_decode_png" ->
+      s"""WITH g AS ($rasterSql),
+         |sums AS (
+         |  SELECT doc_id, sum(ord(substring(text, CAST(i + 1 AS INT), 1))) AS s
+         |  FROM documents, UNNEST(range(0, length(text))) AS u(i)
+         |  GROUP BY doc_id)
+         |SELECT g.doc_id, CAST(8 AS INT) AS width, CAST(g.h AS INT) AS height,
+         |  CAST(8 * g.h AS INT) AS n_pixels,
          |  CAST(COALESCE(s.s, 0) + 32 * (8 * g.h - g.len) AS BIGINT) AS pixel_sum,
          |  md5(g.raster) AS pixels_checksum
          |FROM g LEFT JOIN sums s ON g.doc_id = s.doc_id

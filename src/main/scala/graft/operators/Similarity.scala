@@ -32,6 +32,12 @@ object Similarity {
   val KmTrainRounds = 3
   val PqTrainRounds = 2
 
+  /** Fixed matrix-vector rounds for ss_pca_power — enough for a clear
+    * dominant-eigenpair estimate on the 64-dim covariance while the
+    * oracle unrolls the same rounds as CTEs.
+    */
+  val PowerRounds = 4
+
   /** Product-quantization building blocks shared by ss_pq_encode and
     * ss_pq_adc: the 64-dim vectors split into 8 subspaces of 8 dims;
     * per-subspace codebooks are TRAINED — [[PqTrainRounds]] Lloyd
@@ -586,31 +592,89 @@ object Similarity {
     // map-side partial aggregate — the shuffle carries only
     // 2080 × partitions rows, and the d-row mean frame broadcasts.
     // (The N·d²/2 multiply count is inherent to covariance itself.)
-    "ss_embed_cov" -> ((s, dir) => {
-      val dims = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("p", "x")))
-        .select(col("vec_id"), (col("p") + 1).cast("int").as("i"), col("x"))
-      val stats = dims.groupBy("i").agg(
-        sum(floor(col("x") * lit(1000000.0)).cast("long")).as("sx_micro"))
-      val ss = dims.as("a")
-        .join(dims.as("b"),
-          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
-        .select(col("a.i").as("i"), col("b.i").as("j"),
-          floor(col("a.x") * col("b.x") * lit(1000000000000.0)).cast("long").as("xy"))
-        .groupBy("i", "j")
-        .agg(sum(col("xy")).as("sxy_micro"), count(lit(1)).as("n"))
-      ss
-        .join(broadcast(stats.select(col("i"), col("sx_micro").as("sxi"))), "i")
-        .join(broadcast(stats.select(col("i").as("j"), col("sx_micro").as("sxj"))), "j")
-        .select(col("i"), col("j"), col("n"), col("sxy_micro"),
-          round(
-            col("sxy_micro").cast("double") / lit(1000000000000.0) / col("n")
-              - (col("sxi").cast("double") / lit(1000000.0) / col("n"))
-              * (col("sxj").cast("double") / lit(1000000.0) / col("n")), 8)
-            .as("cov8"))
-        .orderBy("i", "j")
+    "ss_embed_cov" -> ((s, dir) => covFrame(s, dir).orderBy("i", "j")),
+
+    // Power iteration on the exact covariance matrix — the top
+    // principal component, i.e. the OPQ-rotation / whitening precursor
+    // ss_embed_cov was built to feed. PowerRounds fixed matrix-vector
+    // rounds over the broadcast-scale symmetrized matrix (d² = 4096
+    // cells), everything engine-exact: the matrix quantizes to 1e8
+    // micro-integers, the vector to 1e6, so each product sum is an
+    // order-free long (≤ 64·1e14 ≪ 2⁶³ and ≪ 2⁵³ for the exact double
+    // cast); normalization squares/divides through identical op trees
+    // on both engines, then re-quantizes. Sign and convergence are
+    // deterministic because every round is bit-equal. Output: the
+    // final component (dim, vm at 1e6 scale) plus the dominant
+    // eigenvalue estimate ‖Cv‖ (Rayleigh at a normalized v). At
+    // 100 TB only covFrame touches data; the iteration runs on d²
+    // rows regardless of corpus size.
+    "ss_pca_power" -> ((s, dir) => {
+      val cov = covFrame(s, dir)
+        .select(col("i"), col("j"),
+          round(col("cov8") * lit(100000000.0)).cast("long").as("cm"))
+      // symmetrize via struct-explode (one pass, and no self-union —
+      // a Union of two branches of the same plan with swapped columns
+      // trips Catalyst's constraint rewriting)
+      val m = cov.select(explode(
+          when(col("i") === col("j"),
+            array(struct(col("i"), col("j"), col("cm"))))
+          .otherwise(array(
+            struct(col("i"), col("j"), col("cm")),
+            struct(col("j").as("i"), col("i").as("j"), col("cm"))))).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.cm").as("cm"))
+        .localCheckpoint(false)
+      var v = m.select(col("i").as("dim")).distinct()
+        .withColumn("vm", lit(125000L)) // 1/√64 at 1e6 micro-scale
+      var nrm: DataFrame = null
+      for (_ <- 1 to PowerRounds) {
+        val p = m.join(v, col("j") === col("dim"))
+          .select(col("i"), (col("cm") * col("vm")).as("pm"))
+          .groupBy("i").agg(sum(col("pm")).as("sp"))
+          .withColumn("d", col("sp").cast("double") / lit(1.0e14))
+          .localCheckpoint(false)
+        nrm = p.agg(sum(floor(col("d") * col("d") * lit(1000000000000.0))
+            .cast("long")).as("nsq"))
+          .select(sqrt(col("nsq").cast("double") / lit(1000000000000.0)).as("nrm"))
+        v = p.crossJoin(broadcast(nrm))
+          .select(col("i").as("dim"),
+            floor(col("d") / col("nrm") * lit(1000000.0)).cast("long").as("vm"))
+          .localCheckpoint(true) // eager: cut lineage before the next round
+      }
+      v.crossJoin(broadcast(nrm))
+        .select(col("dim"),
+          col("vm"),
+          floor(col("nrm") * lit(1000000.0)).cast("long").as("lambda_micro"))
+        .orderBy("dim")
     })
   )
+
+  /** Exact covariance pieces (i, j, n, sxy_micro, cov8) shared by
+    * ss_embed_cov and ss_pca_power — see the ss_embed_cov comment for
+    * the scale shape.
+    */
+  private def covFrame(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("int").as("i"), col("x"))
+    val stats = dims.groupBy("i").agg(
+      sum(floor(col("x") * lit(1000000.0)).cast("long")).as("sx_micro"))
+    val ss = dims.as("a")
+      .join(dims.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        floor(col("a.x") * col("b.x") * lit(1000000000000.0)).cast("long").as("xy"))
+      .groupBy("i", "j")
+      .agg(sum(col("xy")).as("sxy_micro"), count(lit(1)).as("n"))
+    ss
+      .join(broadcast(stats.select(col("i"), col("sx_micro").as("sxi"))), "i")
+      .join(broadcast(stats.select(col("i").as("j"), col("sx_micro").as("sxj"))), "j")
+      .select(col("i"), col("j"), col("n"), col("sxy_micro"),
+        round(
+          col("sxy_micro").cast("double") / lit(1000000000000.0) / col("n")
+            - (col("sxi").cast("double") / lit(1000000.0) / col("n"))
+            * (col("sxj").cast("double") / lit(1000000.0) / col("n")), 8)
+          .as("cov8"))
+  }
 
   private val vSql = OracleSql.vectors
 
@@ -764,6 +828,69 @@ object Similarity {
   private def topkSql(joinCond: String) =
     s"""WITH v AS ($vSql)
        |${topkBodySql(joinCond)} ORDER BY query_id, rn""".stripMargin
+
+  /** DuckDB mirror of [[covFrame]] as a CTE chain ending in `cov`. */
+  private val covCtes: String =
+    """d2 AS (
+      |  SELECT vec_id, CAST(i AS INT) AS i, e[i] AS x
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |       UNNEST(range(1, len(e) + 1)) AS u(i)),
+      |st AS (
+      |  SELECT i,
+      |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sx
+      |  FROM d2 GROUP BY i),
+      |pr AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    CAST(sum(CAST(floor(a.x * b.x * 1000000000000.0) AS BIGINT))
+      |      AS BIGINT) AS sxy,
+      |    count(*) AS n
+      |  FROM d2 a JOIN d2 b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2),
+      |cov AS (
+      |  SELECT pr.i, pr.j, CAST(pr.n AS BIGINT) AS n, sxy AS sxy_micro,
+      |    round(CAST(sxy AS DOUBLE) / 1000000000000.0 / pr.n
+      |      - (CAST(si.sx AS DOUBLE) / 1000000.0 / pr.n)
+      |      * (CAST(sj.sx AS DOUBLE) / 1000000.0 / pr.n), 8) AS cov8
+      |  FROM pr
+      |  JOIN st si ON pr.i = si.i
+      |  JOIN st sj ON pr.j = sj.i)""".stripMargin
+
+  /** DuckDB mirror of ss_pca_power's iteration: symmetrized
+    * micro-integer matrix, uniform unit seed, [[PowerRounds]] unrolled
+    * matrix-vector + normalize rounds (pp/pd/pn/pv per round) — every
+    * op tree matches the Spark loop, so all longs and doubles are
+    * bit-equal.
+    */
+  private val pcaCtes: String = {
+    val head =
+      """mm AS (
+        |  SELECT i, j,
+        |    CAST(round(cov8 * CAST(100000000.0 AS DOUBLE)) AS BIGINT) AS cm
+        |  FROM cov
+        |  UNION ALL
+        |  SELECT j AS i, i AS j,
+        |    CAST(round(cov8 * CAST(100000000.0 AS DOUBLE)) AS BIGINT) AS cm
+        |  FROM cov WHERE i <> j),
+        |pv0 AS (SELECT DISTINCT i AS dim, CAST(125000 AS BIGINT) AS vm FROM mm)""".stripMargin
+    val rounds = (1 to PowerRounds).map { r =>
+      s"""pp$r AS (
+         |  SELECT mm.i, CAST(sum(mm.cm * v.vm) AS BIGINT) AS sp
+         |  FROM mm JOIN pv${r - 1} v ON mm.j = v.dim GROUP BY mm.i),
+         |pd$r AS (
+         |  SELECT i, CAST(sp AS DOUBLE) / CAST(100000000000000.0 AS DOUBLE) AS d
+         |  FROM pp$r),
+         |pn$r AS (
+         |  SELECT sqrt(CAST(CAST(sum(CAST(floor(d * d
+         |      * CAST(1000000000000.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / CAST(1000000000000.0 AS DOUBLE)) AS nrm
+         |  FROM pd$r),
+         |pv$r AS (
+         |  SELECT i AS dim,
+         |    CAST(floor(d / nrm * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS vm
+         |  FROM pd$r, pn$r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "ss_bruteforce_topk" -> topkSql("q.vec_id <> c.vec_id"),
@@ -979,28 +1106,15 @@ object Similarity {
          |LEFT JOIN hits h ON t.query_id = h.query_id
          |ORDER BY t.query_id""".stripMargin,
     "ss_embed_cov" ->
-      """WITH d AS (
-        |  SELECT vec_id, CAST(i AS INT) AS i, e[i] AS x
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |       UNNEST(range(1, len(e) + 1)) AS u(i)),
-        |st AS (
-        |  SELECT i,
-        |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sx
-        |  FROM d GROUP BY i),
-        |pr AS (
-        |  SELECT a.i AS i, b.i AS j,
-        |    CAST(sum(CAST(floor(a.x * b.x * 1000000000000.0) AS BIGINT))
-        |      AS BIGINT) AS sxy,
-        |    count(*) AS n
-        |  FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |  GROUP BY 1, 2)
-        |SELECT pr.i, pr.j, CAST(pr.n AS BIGINT) AS n, sxy AS sxy_micro,
-        |  round(CAST(sxy AS DOUBLE) / 1000000000000.0 / pr.n
-        |    - (CAST(si.sx AS DOUBLE) / 1000000.0 / pr.n)
-        |    * (CAST(sj.sx AS DOUBLE) / 1000000.0 / pr.n), 8) AS cov8
-        |FROM pr
-        |JOIN st si ON pr.i = si.i
-        |JOIN st sj ON pr.j = sj.i
-        |ORDER BY pr.i, pr.j""".stripMargin
+      s"""WITH $covCtes
+         |SELECT i, j, n, sxy_micro, cov8 FROM cov ORDER BY i, j""".stripMargin,
+    "ss_pca_power" ->
+      s"""WITH $covCtes,
+         |$pcaCtes
+         |SELECT v.dim, v.vm,
+         |  CAST(floor(nrm * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lambda_micro
+         |FROM pv$PowerRounds v, pn$PowerRounds
+         |ORDER BY v.dim""".stripMargin
   )
+
 }

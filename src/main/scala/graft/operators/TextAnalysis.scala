@@ -29,6 +29,11 @@ object TextAnalysis {
     */
   val ZipfK = 100
 
+  /** Fixed iterations for ta_bpe_train — the loop ta_bpe_merge is one
+    * step of; fixed so the DuckDB oracle can unroll it.
+    */
+  val BpeTrainRounds = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: stopword-hit argmax, reported as a confusion matrix
@@ -416,6 +421,58 @@ object TextAnalysis {
         .orderBy("rank")
     }),
 
+    // The full BPE training loop — BpeTrainRounds chained iterations
+    // of ta_bpe_merge's inner step, each one: count adjacent symbol
+    // pairs over the VOCABULARY (weighted by word frequency, never
+    // corpus-sized state), pick the single most frequent pair
+    // (deterministic ties: cnt desc, then both symbols), then re-
+    // segment every word by merging that pair leftmost-greedy
+    // non-overlapping (the standard BPE merge; an `aggregate` HOF fold
+    // whose accumulator-tail check implements exactly the greedy
+    // scan). Output = the learned merges table, the artifact a
+    // tokenizer trainer actually produces. The oracle mirrors the loop
+    // as unrolled CTEs with the greedy merge done positionally
+    // (run-parity selection — equivalent to the fold: matches can only
+    // overlap when s1 = s2, where greedy takes every other one).
+    "ta_bpe_train" -> ((s, dir) => {
+      val wc = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+      var syms = wc.select(col("word"), col("wc"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+        .localCheckpoint(false)
+      var merges: DataFrame = null
+      for (r <- 1 to BpeTrainRounds) {
+        val pc = syms.filter(size(col("syms")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS s1, element_at(syms, i + 1) AS s2))"))
+            .as("p"))
+          .select(col("wc"), col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .groupBy("s1", "s2").agg(sum(col("wc")).as("cnt"))
+        val best = pc.orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
+          .localCheckpoint(true) // reused by the merge step AND the report
+        merges =
+          if (merges == null) best.withColumn("iter", lit(r))
+          else merges.unionByName(best.withColumn("iter", lit(r)))
+        syms = syms
+          .crossJoin(broadcast(best.select(col("s1").as("ms1"), col("s2").as("ms2"))))
+          .withColumn("syms", expr(
+            """aggregate(syms, cast(array() as array<string>),
+              |  (acc, x) -> CASE
+              |    WHEN size(acc) > 0 AND element_at(acc, -1) = ms1 AND x = ms2
+              |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ms1, ms2)))
+              |    ELSE concat(acc, array(x)) END)""".stripMargin))
+          .select(col("word"), col("wc"), col("syms"))
+          .localCheckpoint(true) // eager: cut lineage before the next round
+      }
+      merges
+        .select(col("iter").cast("int").as("iter"), col("s1"), col("s2"),
+          concat(col("s1"), col("s2")).as("merged"), col("cnt"))
+        .orderBy("iter")
+    }),
+
     // Exact per-language heavy hitters (vocabulary-building gate):
     // tokens holding ≥0.5% of their language's token mass, as an
     // integer cross-multiplication. One corpus-scan aggregation; the
@@ -441,7 +498,66 @@ object TextAnalysis {
   private def hitsSql(ws: Seq[String]) =
     s"len(list_filter(t, x -> list_contains(${sqlList(ws)}, x)))"
 
+  /** DuckDB mirror of ta_bpe_train: symbol arrays bs0 (per-char), then
+    * [[BpeTrainRounds]] unrolled rounds of pair-count (bp) → best pair
+    * (bb) → greedy-merge positions (bm: run-parity — matches only
+    * overlap when s1 = s2, where leftmost-greedy takes every other
+    * position of each consecutive run) → re-segmented arrays (bs).
+    */
+  private val bpeTrainCtes: String = {
+    val head =
+      s"""w2 AS (SELECT unnest($toksSql) AS word FROM documents),
+         |wc2 AS (SELECT word, count(*) AS wc FROM w2 GROUP BY word),
+         |bs0 AS (
+         |  SELECT word, wc,
+         |    list_transform(range(1, length(word) + 1),
+         |      i -> substring(word, CAST(i AS INT), 1)) AS syms
+         |  FROM wc2)""".stripMargin
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      val prev = s"bs${r - 1}"
+      s"""bp$r AS (
+         |  SELECT syms[CAST(i AS INT)] AS s1, syms[CAST(i + 1 AS INT)] AS s2,
+         |    CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i FROM $prev)
+         |  GROUP BY 1, 2),
+         |bb$r AS (SELECT s1, s2, cnt FROM bp$r ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         |bm$r AS (
+         |  SELECT word, p FROM (
+         |    SELECT word, p,
+         |      row_number() OVER (PARTITION BY word, grp ORDER BY p) AS rix
+         |    FROM (
+         |      SELECT word, p,
+         |        p - row_number() OVER (PARTITION BY word ORDER BY p) AS grp
+         |      FROM (
+         |        SELECT word, unnest(range(1, len(syms))) AS p, syms FROM $prev)
+         |      WHERE syms[CAST(p AS INT)] = (SELECT s1 FROM bb$r)
+         |        AND syms[CAST(p + 1 AS INT)] = (SELECT s2 FROM bb$r)))
+         |  WHERE rix % 2 = 1),
+         |bs$r AS (
+         |  SELECT t.word, t.wc,
+         |    list(CASE WHEN sm.p IS NOT NULL
+         |              THEN t.syms[CAST(t.i AS INT)] || t.syms[CAST(t.i + 1 AS INT)]
+         |              ELSE t.syms[CAST(t.i AS INT)] END ORDER BY t.i) AS syms
+         |  FROM (SELECT word, wc, syms, unnest(range(1, len(syms) + 1)) AS i
+         |        FROM $prev) t
+         |  LEFT JOIN bm$r sm ON t.word = sm.word AND t.i = sm.p
+         |  LEFT JOIN bm$r sp ON t.word = sp.word AND t.i - 1 = sp.p
+         |  WHERE sp.p IS NULL
+         |  GROUP BY t.word, t.wc)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ta_bpe_train" -> {
+      val legs = (1 to BpeTrainRounds).map { r =>
+        s"SELECT CAST($r AS INT) AS iter, s1, s2, s1 || s2 AS merged, cnt FROM bb$r"
+      }
+      s"""WITH $bpeTrainCtes
+         |SELECT * FROM (
+         |${legs.mkString("\nUNION ALL\n")})
+         |ORDER BY iter""".stripMargin
+    },
     "ta_bpe_merge" ->
       s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents),
          |wc AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
