@@ -23,6 +23,7 @@ object Similarity {
 
   val K = 10
   val NumQueries = 5 // query set: vec_id < 5
+  val NProbe = 2 // cells probed per query by ss_ivf_nprobe
 
   /** Fixed Lloyd rounds for the trained codebooks: the coarse IVF
     * quantizer and the per-subspace PQ codebooks both train for a
@@ -313,6 +314,49 @@ object Similarity {
           col("q.cent_id") === col("c.cent_id") &&
             col("q.vec_id") =!= col("c.vec_id"))
         .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"),
+          round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 4)
+            .as("score"))
+        .withColumn("rk", row_number().over(wTop).cast("int"))
+        .filter(col("rk") <= 3)
+        .orderBy("query_id", "rk")
+    }),
+
+    // The IVF cost/recall dial itself: probe the NProbe nearest cells
+    // per query instead of 1. The probe set is chosen by the SAME
+    // exact micro-integer L2 the assignment uses (so probe ranking is
+    // engine-exact), then the exact top-k runs over the union of the
+    // probed cells' candidates. Each candidate lives in exactly one
+    // cell, so no dedup is needed; at 100 TB this reads NProbe
+    // partitions per query instead of one — cost is linear in nprobe
+    // and the probe frame (queries × centroids) never leaves the
+    // driver-broadcast scale.
+    "ss_ivf_nprobe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (cents, asg) = trainedIvf(s, dir)
+      val qDims = Tables.embeddings(s, dir)
+        .filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"), col("x"))
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dm").asc, col("cent_id").asc)
+      val probes = l2VecDist(qDims, cents)
+        .withColumn("pk", row_number().over(wProbe))
+        .filter(col("pk") <= NProbe)
+        .select(col("vec_id").as("query_id"), col("cent_id"))
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val cand = v.join(asg, "vec_id")
+      val q = broadcast(probes)
+        .join(v, probes("query_id") === v("vec_id"))
+        .select(col("query_id"), col("cent_id"), col("e"), col("nrm"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      q.as("q")
+        .join(cand.as("c"),
+          col("q.cent_id") === col("c.cent_id") &&
+            col("q.query_id") =!= col("c.vec_id"))
+        .select(col("q.query_id"), col("c.vec_id").as("cand_id"),
           round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 4)
             .as("score"))
         .withColumn("rk", row_number().over(wTop).cast("int"))
@@ -637,44 +681,110 @@ object Similarity {
     // 100 TB only covFrame touches data; the iteration runs on d²
     // rows regardless of corpus size.
     "ss_pca_power" -> ((s, dir) => {
-      val cov = covFrame(s, dir)
-        .select(col("i"), col("j"),
-          round(col("cov8") * lit(100000000.0)).cast("long").as("cm"))
-      // symmetrize via struct-explode (one pass, and no self-union —
-      // a Union of two branches of the same plan with swapped columns
-      // trips Catalyst's constraint rewriting)
-      val m = cov.select(explode(
-          when(col("i") === col("j"),
-            array(struct(col("i"), col("j"), col("cm"))))
-          .otherwise(array(
-            struct(col("i"), col("j"), col("cm")),
-            struct(col("j").as("i"), col("i").as("j"), col("cm"))))).as("e"))
-        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.cm").as("cm"))
-        .localCheckpoint(false)
-      var v = m.select(col("i").as("dim")).distinct()
-        .withColumn("vm", lit(125000L)) // 1/√64 at 1e6 micro-scale
-      var nrm: DataFrame = null
-      for (_ <- 1 to PowerRounds) {
-        val p = m.join(v, col("j") === col("dim"))
-          .select(col("i"), (col("cm") * col("vm")).as("pm"))
-          .groupBy("i").agg(sum(col("pm")).as("sp"))
-          .withColumn("d", col("sp").cast("double") / lit(1.0e14))
-          .localCheckpoint(false)
-        nrm = p.agg(sum(floor(col("d") * col("d") * lit(1000000000000.0))
-            .cast("long")).as("nsq"))
-          .select(sqrt(col("nsq").cast("double") / lit(1000000000000.0)).as("nrm"))
-        v = p.crossJoin(broadcast(nrm))
-          .select(col("i").as("dim"),
-            floor(col("d") / col("nrm") * lit(1000000.0)).cast("long").as("vm"))
-          .localCheckpoint(true) // eager: cut lineage before the next round
-      }
+      val (v, nrm) = powerLoop(covMicro(s, dir))
       v.crossJoin(broadcast(nrm))
         .select(col("dim"),
           col("vm"),
           floor(col("nrm") * lit(1000000.0)).cast("long").as("lambda_micro"))
         .orderBy("dim")
+    }),
+
+    // Top TWO principal components by deflation: after the power loop
+    // converges on v₁/λ₁, subtract the rank-1 term λ₁·v₁v₁ᵀ from the
+    // micro-integer matrix (the deflation product vmᵢ·vmⱼ ≤ 10¹² stays
+    // an exact long, and λ₁ multiplies through the same op tree on
+    // both engines before one floor), run the identical loop on the
+    // deflated matrix, then one Gram–Schmidt re-orthogonalization —
+    // standard alongside deflation, because with a small eigengap the
+    // fixed-round v₁ estimate is imperfect and M₂ retains a residual
+    // v₁ component; the projection coefficient v₁·v₂ is an exact long
+    // at 1e12 scale, so the corrected component is engine-exact too.
+    // Output: both components + eigenvalue estimates — the 2-dim
+    // rotation/whitening basis. Like ss_pca_power, only the covariance
+    // pass touches data; both loops run on d² broadcast-scale cells.
+    "ss_pca_top2" -> ((s, dir) => {
+      val m = covMicro(s, dir)
+      val (v1, n1) = powerLoop(m)
+      val m2 = m
+        .join(broadcast(v1.select(col("dim").as("i"), col("vm").as("vi"))), "i")
+        .join(broadcast(v1.select(col("dim").as("j"), col("vm").as("vj"))), "j")
+        .crossJoin(broadcast(n1))
+        .select(col("i"), col("j"),
+          (col("cm") - floor(col("nrm") * (col("vi") * col("vj")).cast("double")
+            / lit(10000.0)).cast("long")).as("cm"))
+        .localCheckpoint(false)
+      val (v2r, n2) = powerLoop(m2)
+      // Gram–Schmidt: v2 := normalize(v2r − (v1·v2r) v1), micro-exact
+      val d12 = v1.as("a")
+        .join(v2r.as("b"), col("a.dim") === col("b.dim"))
+        .agg(sum(col("a.vm") * col("b.vm")).as("dt"))
+      val gd = v2r
+        .join(broadcast(v1.select(col("dim"), col("vm").as("vm1"))), "dim")
+        .crossJoin(broadcast(d12))
+        .select(col("dim"),
+          ((col("vm").cast("double")
+            - col("dt").cast("double") / lit(1000000000000.0) * col("vm1").cast("double"))
+            / lit(1000000.0)).as("d"))
+        .localCheckpoint(false)
+      val gn = gd.agg(sum(floor(col("d") * col("d") * lit(1000000000000.0))
+          .cast("long")).as("nsq"))
+        .select(sqrt(col("nsq").cast("double") / lit(1000000000000.0)).as("nrm"))
+      val v2 = gd.crossJoin(broadcast(gn))
+        .select(col("dim"),
+          floor(col("d") / col("nrm") * lit(1000000.0)).cast("long").as("vm"))
+      def leg(v: DataFrame, nrm: DataFrame, c: Int) =
+        v.crossJoin(broadcast(nrm))
+          .select(lit(c).as("comp"), col("dim"), col("vm"),
+            floor(col("nrm") * lit(1000000.0)).cast("long").as("lambda_micro"))
+      leg(v1, n1, 1).unionAll(leg(v2, n2, 2)).orderBy("comp", "dim")
     })
   )
+
+  /** Symmetrized micro-integer covariance matrix (i, j, cm at 1e8
+    * scale), checkpointed — the frame both PCA legs iterate over.
+    * Symmetrization is a struct-explode (one pass, and no self-union —
+    * a Union of two branches of the same plan with swapped columns
+    * trips Catalyst's constraint rewriting).
+    */
+  private def covMicro(s: SparkSession, dir: String): DataFrame = {
+    val cov = covFrame(s, dir)
+      .select(col("i"), col("j"),
+        round(col("cov8") * lit(100000000.0)).cast("long").as("cm"))
+    cov.select(explode(
+        when(col("i") === col("j"),
+          array(struct(col("i"), col("j"), col("cm"))))
+        .otherwise(array(
+          struct(col("i"), col("j"), col("cm")),
+          struct(col("j").as("i"), col("i").as("j"), col("cm"))))).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.cm").as("cm"))
+      .localCheckpoint(false)
+  }
+
+  /** [[PowerRounds]] fixed micro-integer matrix-vector rounds over a
+    * symmetrized matrix frame (see ss_pca_power's comment for the
+    * exactness argument). Returns (unit vector at 1e6 micro-scale,
+    * 1-row ‖Mv‖ frame — the eigenvalue estimate at a normalized v).
+    */
+  private def powerLoop(m: DataFrame): (DataFrame, DataFrame) = {
+    var v = m.select(col("i").as("dim")).distinct()
+      .withColumn("vm", lit(125000L)) // 1/√64 at 1e6 micro-scale
+    var nrm: DataFrame = null
+    for (_ <- 1 to PowerRounds) {
+      val p = m.join(v, col("j") === col("dim"))
+        .select(col("i"), (col("cm") * col("vm")).as("pm"))
+        .groupBy("i").agg(sum(col("pm")).as("sp"))
+        .withColumn("d", col("sp").cast("double") / lit(1.0e14))
+        .localCheckpoint(false)
+      nrm = p.agg(sum(floor(col("d") * col("d") * lit(1000000000000.0))
+          .cast("long")).as("nsq"))
+        .select(sqrt(col("nsq").cast("double") / lit(1000000000000.0)).as("nrm"))
+      v = p.crossJoin(broadcast(nrm))
+        .select(col("i").as("dim"),
+          floor(col("d") / col("nrm") * lit(1000000.0)).cast("long").as("vm"))
+        .localCheckpoint(true) // eager: cut lineage before the next round
+    }
+    (v, nrm)
+  }
 
   /** Exact covariance pieces (i, j, n, sxy_micro, cov8) shared by
     * ss_embed_cov and ss_pca_power — see the ss_embed_cov comment for
@@ -723,7 +833,7 @@ object Similarity {
         |       UNNEST(range(1, len(e) + 1)) AS u(i)),
         |pc0 AS (SELECT vec_id AS cent_id, s, j, x AS c FROM d WHERE vec_id < 8)""".stripMargin
     val rounds = (1 to PqTrainRounds).map { r =>
-      s"""pd$r AS (
+      s"""pd$r AS MATERIALIZED (
          |  SELECT d.vec_id, cent_id, d.s,
          |    CAST(sum(CAST(floor((d.x - p.c) * (d.x - p.c) * 1000000000000.0)
          |      AS BIGINT)) AS BIGINT) AS dm
@@ -748,7 +858,7 @@ object Similarity {
          |    ON p.cent_id = m.cent_id AND p.s = m.s AND p.j = m.j)""".stripMargin
     }
     val fin =
-      s"""dist AS (
+      s"""dist AS MATERIALIZED (
          |  SELECT d.vec_id, cent_id, d.s,
          |    CAST(sum(CAST(floor((d.x - p.c) * (d.x - p.c) * 1000000000000.0)
          |      AS BIGINT)) AS BIGINT) AS dist_micro
@@ -859,22 +969,22 @@ object Similarity {
 
   /** DuckDB mirror of [[covFrame]] as a CTE chain ending in `cov`. */
   private val covCtes: String =
-    """d2 AS (
+    """d2 AS MATERIALIZED (
       |  SELECT vec_id, CAST(i AS INT) AS i, e[i] AS x
       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |       UNNEST(range(1, len(e) + 1)) AS u(i)),
-      |st AS (
+      |st AS MATERIALIZED (
       |  SELECT i,
       |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sx
       |  FROM d2 GROUP BY i),
-      |pr AS (
+      |pr AS MATERIALIZED (
       |  SELECT a.i AS i, b.i AS j,
       |    CAST(sum(CAST(floor(a.x * b.x * 1000000000000.0) AS BIGINT))
       |      AS BIGINT) AS sxy,
       |    count(*) AS n
       |  FROM d2 a JOIN d2 b ON a.vec_id = b.vec_id AND a.i <= b.i
       |  GROUP BY 1, 2),
-      |cov AS (
+      |cov AS MATERIALIZED (
       |  SELECT pr.i, pr.j, CAST(pr.n AS BIGINT) AS n, sxy AS sxy_micro,
       |    round(CAST(sxy AS DOUBLE) / 1000000000000.0 / pr.n
       |      - (CAST(si.sx AS DOUBLE) / 1000000.0 / pr.n)
@@ -891,7 +1001,7 @@ object Similarity {
     */
   private val pcaCtes: String = {
     val head =
-      """mm AS (
+      """mm AS MATERIALIZED (
         |  SELECT i, j,
         |    CAST(round(cov8 * CAST(100000000.0 AS DOUBLE)) AS BIGINT) AS cm
         |  FROM cov
@@ -899,25 +1009,80 @@ object Similarity {
         |  SELECT j AS i, i AS j,
         |    CAST(round(cov8 * CAST(100000000.0 AS DOUBLE)) AS BIGINT) AS cm
         |  FROM cov WHERE i <> j),
-        |pv0 AS (SELECT DISTINCT i AS dim, CAST(125000 AS BIGINT) AS vm FROM mm)""".stripMargin
+        |pv0 AS MATERIALIZED (SELECT DISTINCT i AS dim, CAST(125000 AS BIGINT) AS vm FROM mm)""".stripMargin
     val rounds = (1 to PowerRounds).map { r =>
-      s"""pp$r AS (
+      s"""pp$r AS MATERIALIZED (
          |  SELECT mm.i, CAST(sum(mm.cm * v.vm) AS BIGINT) AS sp
          |  FROM mm JOIN pv${r - 1} v ON mm.j = v.dim GROUP BY mm.i),
-         |pd$r AS (
+         |pd$r AS MATERIALIZED (
          |  SELECT i, CAST(sp AS DOUBLE) / CAST(100000000000000.0 AS DOUBLE) AS d
          |  FROM pp$r),
-         |pn$r AS (
+         |pn$r AS MATERIALIZED (
          |  SELECT sqrt(CAST(CAST(sum(CAST(floor(d * d
          |      * CAST(1000000000000.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
          |    / CAST(1000000000000.0 AS DOUBLE)) AS nrm
          |  FROM pd$r),
-         |pv$r AS (
+         |pv$r AS MATERIALIZED (
          |  SELECT i AS dim,
          |    CAST(floor(d / nrm * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS vm
          |  FROM pd$r, pn$r)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
+  }
+
+  /** DuckDB mirror of ss_pca_top2's second leg: rank-1 deflation of
+    * the micro-integer matrix by the converged (pv, pn) pair, then the
+    * same unrolled power rounds (qp/qd/qn/qv) over the deflated mm2.
+    */
+  private val pca2Ctes: String = {
+    val R = PowerRounds
+    val head =
+      s"""mm2 AS MATERIALIZED (
+         |  SELECT mm.i, mm.j,
+         |    mm.cm - CAST(floor(pn$R.nrm * CAST(vi.vm * vj.vm AS DOUBLE)
+         |      / CAST(10000.0 AS DOUBLE)) AS BIGINT) AS cm
+         |  FROM mm
+         |  JOIN pv$R vi ON mm.i = vi.dim
+         |  JOIN pv$R vj ON mm.j = vj.dim, pn$R),
+         |qv0 AS MATERIALIZED (SELECT DISTINCT i AS dim, CAST(125000 AS BIGINT) AS vm FROM mm2)""".stripMargin
+    val rounds = (1 to R).map { r =>
+      s"""qp$r AS MATERIALIZED (
+         |  SELECT mm2.i, CAST(sum(mm2.cm * v.vm) AS BIGINT) AS sp
+         |  FROM mm2 JOIN qv${r - 1} v ON mm2.j = v.dim GROUP BY mm2.i),
+         |qd$r AS MATERIALIZED (
+         |  SELECT i, CAST(sp AS DOUBLE) / CAST(100000000000000.0 AS DOUBLE) AS d
+         |  FROM qp$r),
+         |qn$r AS MATERIALIZED (
+         |  SELECT sqrt(CAST(CAST(sum(CAST(floor(d * d
+         |      * CAST(1000000000000.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / CAST(1000000000000.0 AS DOUBLE)) AS nrm
+         |  FROM qd$r),
+         |qv$r AS MATERIALIZED (
+         |  SELECT i AS dim,
+         |    CAST(floor(d / nrm * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS vm
+         |  FROM qd$r, qn$r)""".stripMargin
+    }
+    val gs =
+      s"""gs AS MATERIALIZED (
+         |  SELECT CAST(sum(a.vm * b.vm) AS BIGINT) AS dt
+         |  FROM pv$R a JOIN qv$R b ON a.dim = b.dim),
+         |gd AS MATERIALIZED (
+         |  SELECT b.dim,
+         |    (CAST(b.vm AS DOUBLE)
+         |      - CAST(dt AS DOUBLE) / CAST(1000000000000.0 AS DOUBLE)
+         |        * CAST(a.vm AS DOUBLE))
+         |      / CAST(1000000.0 AS DOUBLE) AS d
+         |  FROM qv$R b JOIN pv$R a ON b.dim = a.dim, gs),
+         |gn AS MATERIALIZED (
+         |  SELECT sqrt(CAST(CAST(sum(CAST(floor(d * d
+         |      * CAST(1000000000000.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / CAST(1000000000000.0 AS DOUBLE)) AS nrm
+         |  FROM gd),
+         |gv AS MATERIALIZED (
+         |  SELECT dim,
+         |    CAST(floor(d / nrm * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS vm
+         |  FROM gd, gn)""".stripMargin
+    ((head +: rounds) :+ gs).mkString(",\n")
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -938,6 +1103,30 @@ object Similarity {
          |               c.vec_id ASC) AS rk
          |  FROM (SELECT * FROM av WHERE vec_id >= 100 AND vec_id < 105) q
          |  JOIN av c ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id)
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // Probe ranking reads straight off `ad` (every vector's exact
+    // micro-L2 distance to every trained centroid — the same relation
+    // the assignment argmin consumes).
+    "ss_ivf_nprobe" ->
+      s"""WITH $trainedAssignCtes,
+         |v AS ($vSql),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS pk
+         |    FROM ad WHERE vec_id >= 100 AND vec_id < 105)
+         |  WHERE pk <= $NProbe),
+         |av AS (SELECT v.vec_id, v.e, v.nrm, asg.cent_id
+         |       FROM v JOIN asg USING (vec_id)),
+         |q AS (SELECT p.query_id, p.cent_id, v.e, v.nrm
+         |      FROM probes p JOIN v ON p.query_id = v.vec_id)
+         |SELECT query_id, cand_id, score, CAST(rk AS INT) AS rk FROM (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS score,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) DESC,
+         |               c.vec_id ASC) AS rk
+         |  FROM q JOIN av c ON q.cent_id = c.cent_id AND q.query_id <> c.vec_id)
          |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     "ss_kmeans_train" ->
       s"""WITH $lloydCtes
@@ -1034,7 +1223,7 @@ object Similarity {
         |  SELECT vec_id, CAST(i AS INT) AS dim, e[i] AS x
         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |       UNNEST(range(1, len(e) + 1)) AS u(i)),
-        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim),
+        |st AS MATERIALIZED (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim),
         |q AS (
         |  SELECT vec_id, x, mn, mx,
         |    CASE WHEN mx = mn THEN 0
@@ -1094,7 +1283,7 @@ object Similarity {
          |  SELECT vec_id, CAST(i AS INT) AS p, e[i] AS x
          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |       UNNEST(range(1, len(e) + 1)) AS u(i)),
-         |qd2 AS (SELECT vec_id AS query_id, p, x AS qx FROM fulld
+         |qd2 AS MATERIALIZED (SELECT vec_id AS query_id, p, x AS qx FROM fulld
          |        WHERE vec_id >= 100 AND vec_id < 105),
          |exact AS (
          |  SELECT query_id, cand_id FROM (
@@ -1108,7 +1297,7 @@ object Similarity {
          |      FROM fulld f JOIN qd2 q ON f.p = q.p AND f.vec_id <> q.query_id
          |      GROUP BY 1, 2))
          |  WHERE rk <= 5),
-         |qdist AS (SELECT vec_id AS query_id, cent_id, s, dist_micro
+         |qdist AS MATERIALIZED (SELECT vec_id AS query_id, cent_id, s, dist_micro
          |          FROM dist WHERE vec_id >= 100 AND vec_id < 105),
          |adc AS (
          |  SELECT query_id, cand_id FROM (
@@ -1142,7 +1331,19 @@ object Similarity {
          |SELECT v.dim, v.vm,
          |  CAST(floor(nrm * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lambda_micro
          |FROM pv$PowerRounds v, pn$PowerRounds
-         |ORDER BY v.dim""".stripMargin
+         |ORDER BY v.dim""".stripMargin,
+    "ss_pca_top2" ->
+      s"""WITH $covCtes,
+         |$pcaCtes,
+         |$pca2Ctes
+         |SELECT CAST(1 AS INT) AS comp, v.dim, v.vm,
+         |  CAST(floor(nrm * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lambda_micro
+         |FROM pv$PowerRounds v, pn$PowerRounds
+         |UNION ALL
+         |SELECT CAST(2 AS INT) AS comp, v.dim, v.vm,
+         |  CAST(floor(nrm * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lambda_micro
+         |FROM gv v, qn$PowerRounds
+         |ORDER BY comp, dim""".stripMargin
   )
 
 }

@@ -169,6 +169,38 @@ class RankGraphSpec extends AnyFunSuite {
     got.foreach { case (lang, n) => assert(n == (langs(lang) + 9) / 10) }
   }
 
+  test("ss_ivf_nprobe: strictly wider candidate pool than single-probe") {
+    // Probing NProbe cells can only improve the best reachable score:
+    // per query, nprobe's top-1 must be >= single-probe's top-1, and
+    // every query must fill its 3 slots (two cells always hold >= 3
+    // candidates here).
+    val one = run("ss_ivf_search").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).max).toMap
+    val multi = run("ss_ivf_nprobe").collect()
+    val byQ = multi.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 3)
+      assert(rows.map(_.getDouble(2)).max >= one(q))
+    }
+  }
+
+  test("ss_pca_top2: ordered eigenvalues, near-orthogonal components") {
+    val rows = run("ss_pca_top2").collect()
+    val byComp = rows.groupBy(_.getInt(0))
+    assert(byComp.keySet == Set(1, 2))
+    val v1 = byComp(1).map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val v2 = byComp(2).map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(v1.size == v2.size)
+    val l1 = byComp(1).head.getLong(3)
+    val l2 = byComp(2).head.getLong(3)
+    assert(l1 >= l2 && l2 >= 0L)
+    // both are unit vectors at 1e6 micro-scale; after deflation the
+    // second component's projection on the first must be small
+    val dot12 = v1.keys.map(d => v1(d) * v2(d)).sum.toDouble / 1e12
+    assert(math.abs(dot12) < 0.05, s"|v1.v2| = ${math.abs(dot12)}")
+  }
+
   test("ss_kmeans_step: one mean per (centroid, dimension)") {
     val rows = run("ss_kmeans_step").collect()
     val dims = Tables.embeddings(spark, sf)
