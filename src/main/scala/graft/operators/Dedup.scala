@@ -44,6 +44,19 @@ object Dedup {
     * candidate blowup.
     */
   val ContainmentDfCap = 16L
+  /** CDC boundary rule: rolling hash of the trailing [[CdcWindow]]
+    * chars has its low 6 bits zero → expected chunk ≈ 64 chars.
+    */
+  val CdcWindow = 16
+  val CdcMask   = 63L
+  /** Fragments shorter than this are excluded from the shared-chunk
+    * report (a production chunker clamps at cut time with a greedy
+    * min-size rule; that fold is sequential per doc, so the relational
+    * form cuts at every boundary and filters the report instead —
+    * chunks ≥ the floor are identical under both rules whenever the
+    * greedy clamp keeps the same boundaries).
+    */
+  val CdcMinChunk = 8
   val Bands     = 4
   val RowsPerBand = NumHashes / Bands
 
@@ -281,6 +294,54 @@ object Dedup {
         .withColumn("dup_frac4",
           round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
         .orderBy("doc_id")
+    }),
+
+    // Content-defined chunking (Rabin/Gear-style CDC, the storage-
+    // dedup primitive): a chunk boundary falls wherever the rolling
+    // hash of the trailing 16-char window has its low 6 bits zero
+    // (expected chunk ≈ 64 chars), so boundaries survive insertions/
+    // deletions — unlike the reference's fixed-size line chunking
+    // (Worker.cc:128-137), an edit near the front of a doc doesn't
+    // shift every later chunk. Output: chunks shared across ≥2 docs
+    // (the cross-doc redundancy CDC exists to find), deterministic
+    // top-50. Scale: the per-position window hash is the same
+    // corpus × len row count as character shingling, absorbed map-side
+    // into per-doc boundary lists (≤ len/64 entries each, no skew);
+    // the chunk aggregate shuffles one row per distinct chunk and the
+    // top-50 is TakeOrderedAndProject — never a global sort. Fragments
+    // below [[CdcMinChunk]] are excluded from the report (see that
+    // constant for why the clamp lives in the report, not the cut).
+    "dd_cdc_chunks" -> ((s, dir) => {
+      import graft.functions.RollingHash.rolling_hash
+      val d = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      val bounds = d.filter(col("len") >= CdcWindow)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(CdcWindow), col("len"))).as("i"))
+        .withColumn("wh",
+          rolling_hash(expr(s"substring(text, i - ${CdcWindow - 1}, $CdcWindow)")))
+        .filter(col("wh").bitwiseAND(lit(CdcMask)) === 0)
+        .groupBy("doc_id").agg(collect_list(col("i")).as("bs"))
+      val chunks = d.join(bounds, Seq("doc_id"), "left")
+        .withColumn("cuts", array_sort(array_distinct(concat(
+          array(lit(0)), coalesce(col("bs"), array().cast("array<int>")),
+          array(col("len"))))))
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            "transform(sequence(0, size(cuts) - 2), " +
+              "k -> struct(cuts[k] AS st, cuts[k + 1] AS en))")).as("ck"))
+        .select(col("doc_id"),
+          expr("substring(text, ck.st + 1, ck.en - ck.st)").as("chunk"))
+      chunks
+        .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).as("chunk_len"))
+        .filter(col("chunk_len") >= CdcMinChunk)
+        .groupBy("chunk_md5", "chunk_len")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_md5").asc)
+        .limit(50)
     }),
 
     // EXACT shingle Jaccard similarity join via prefix filtering
@@ -1032,6 +1093,44 @@ object Dedup {
          |  round(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_spans, 4) AS dup_frac4
          |FROM tot t LEFT JOIN dd d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // The window hash replays RollingHash's 64-bit wraparound fold in
+    // HUGEINT arithmetic (the ta_rolling_fp oracle pattern — all-ASCII
+    // corpus, so ord(char) = UTF-8 byte); the low-6-bits boundary test
+    // is `% 64` on the non-negative HUGEINT, identical to Java's
+    // `& 63`. DuckDB lists are 1-indexed (cuts[k]/cuts[k+1] with k
+    // from 1), Spark arrays 0-indexed — both walk the same cut pairs.
+    "dd_cdc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+         |  FROM documents WHERE length(text) >= 1),
+         |bpos AS (
+         |  SELECT doc_id, i FROM (
+         |    SELECT doc_id, CAST(i AS INT) AS i,
+         |      list_reduce(
+         |        list_prepend(CAST(0 AS HUGEINT),
+         |          list_transform(
+         |            string_split(substr(text, i - ${CdcWindow - 1}, $CdcWindow), ''),
+         |            c -> CAST(ord(c) AS HUGEINT))),
+         |        (a, c) -> (a * 31 + c) % 18446744073709551616) AS h
+         |    FROM d, UNNEST(range($CdcWindow, len + 1)) AS u(i))
+         |  WHERE h % ${CdcMask + 1} = 0),
+         |bounds AS (SELECT doc_id, list(i) AS bs FROM bpos GROUP BY doc_id),
+         |ch AS (
+         |  SELECT doc_id, substr(text, cuts[k] + 1, cuts[k + 1] - cuts[k]) AS chunk
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      list_sort(list_distinct(list_concat(list_concat(
+         |        [0], COALESCE(bs, [])), [len]))) AS cuts
+         |    FROM d LEFT JOIN bounds USING (doc_id)),
+         |  UNNEST(range(1, len(cuts))) AS u(k)),
+         |agg AS (
+         |  SELECT md5(chunk) AS chunk_md5, CAST(length(chunk) AS INT) AS chunk_len,
+         |    count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |  FROM ch WHERE length(chunk) >= $CdcMinChunk GROUP BY 1, 2)
+         |SELECT chunk_md5, chunk_len, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_occ AS BIGINT) AS n_occ
+         |FROM agg WHERE n_docs >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, chunk_md5 ASC LIMIT 50""".stripMargin,
     "dd_ngram_jaccard" -> ngramJaccardSqlFrom("documents"),
     "dd_jaccard_prefix" -> jaccardPrefixSqlFrom("documents"),
     "dd_lsh_recall" ->

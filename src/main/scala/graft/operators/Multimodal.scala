@@ -271,6 +271,49 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // Image near-dup pairs by perceptual hash (aHash): the decoded
+    // raster resizes to the mm_features 8×8 thumbnail, bit i of the
+    // 64-bit hash is set iff pixel i exceeds the thumbnail mean
+    // (strict, as the integer cross-multiplication 64·p > Σp — no
+    // division), and candidate pairs come from 4 × 16-bit Hamming
+    // bands exactly like dd_simhash64_pairs: a pair within Hamming
+    // distance 3 must share a whole band (pigeonhole), so the band
+    // join is a complete candidate generator for d ≤ 3, with
+    // [[PairGen.saltedPairs]] bounding any clone-class mega-bucket.
+    // This is the image leg of the dedup stack — byte-identical
+    // payloads are caught by exact dedup; aHash catches re-encoded /
+    // lightly-edited duplicates at any resolution.
+    "mm_phash_pairs" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("h", greatest(lit(1), expr("(length(text) + 7) div 8")))
+        .withColumn("raster", expr("rpad(text, CAST(8 * h AS INT), ' ')"))
+      val hashes = g
+        .withColumn("pix", expr(
+          "transform(sequence(0, 63), i -> ascii(substr(raster, " +
+            "CAST((i DIV 8) * h DIV 8 AS INT) * 8 + CAST(i % 8 AS INT) + 1, 1)))"))
+        .withColumn("psum", expr("aggregate(pix, 0L, (a, x) -> a + x)"))
+        .withColumn("ph", expr(
+          "aggregate(sequence(0, 63), 0L, (a, i) -> " +
+            "a + IF(64 * pix[i] > psum, shiftleft(1L, CAST(i AS INT)), 0L))"))
+        .select(col("doc_id"), col("ph"))
+      val banded = hashes.select(col("doc_id"), col("ph"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band_idx"),
+            expr(s"(ph >> ${16 * j}) & 65535").as("band_val"))): _*)).as("bd"))
+        .select(col("doc_id"), col("ph"),
+          col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
+      PairGen.saltedPairs(
+          banded.select(col("band_idx"), col("band_val"),
+            struct(col("doc_id"), col("ph")).as("v")),
+          Seq("band_idx", "band_val"), "doc_id")
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("CAST(bit_count(a.ph ^ b.ph) AS INT)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Frame-sampling leg of the typed pipeline: every-16th payload byte
     // (keyframe stand-in), checksummed. The oracle re-derives the exact
     // byte selection by character indexing (all-ASCII corpus ⇒ char
@@ -348,6 +391,36 @@ object Multimodal {
          |  round(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) / 64.0, 4) AS f0,
          |  round(sum(CASE WHEN bin = 15 THEN 1 ELSE 0 END) / 64.0, 4) AS f15
          |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same thumbnail indexing as mm_features; the 64 bit-weights are
+    // Scala-interpolated BIGINT constants (the dd_simhash64_pairs
+    // trick — bit 63's weight is Long.MIN, and the left-assoc sum adds
+    // it last so no partial sum overflows).
+    "mm_phash_pairs" -> {
+      val phExpr = (0 until 64)
+        .map(i => s"CASE WHEN 64 * pix[${i + 1}] > psum THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      val bandRows = (0 until 4)
+        .map(j => s"SELECT doc_id, ph, $j AS band_idx, (ph >> ${16 * j}) & 65535 AS band_val FROM ph")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH g AS ($rasterSql),
+         |px AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 64), i -> ord(substring(raster,
+         |      CAST((i // 8) * h // 8 AS INT) * 8 + CAST(i % 8 AS INT) + 1, 1))) AS pix
+         |  FROM g),
+         |ps AS (SELECT doc_id, pix, CAST(list_sum(pix) AS BIGINT) AS psum FROM px),
+         |ph AS (SELECT doc_id, $phExpr AS ph FROM ps),
+         |banded AS (
+         |  $bandRows
+         |)
+         |SELECT DISTINCT doc_a, doc_b, hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |      AND a.doc_id < b.doc_id)
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
     // The wrap emits exactly ftyp, moov(mvhd), free, mdat; duration =
     // one 8000 Hz tick per payload byte; frames = every 32nd byte
     // (all-ASCII corpus ⇒ char position = byte position).

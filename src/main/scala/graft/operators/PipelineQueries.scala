@@ -17,6 +17,7 @@ object PipelineQueries {
 
   val NumCentroids = 4 // IVF coarse centroids = embeddings of vec_id 0..3
   val PackBudget = 256L // tokens per packed sequence
+  val TokenBudget = 5000L // pipe_token_budget: tokens to select
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -139,6 +140,40 @@ object PipelineQueries {
         }
       }.toDF("doc_id", "lang", "n_tokens", "pack_id")
         .orderBy("lang", "doc_id")
+    }),
+
+    // Exact token-budget selection — "give me a reproducible ~N-token
+    // subset": docs taken in (md5(doc_id), doc_id) order until the
+    // running token total reaches the budget (greedy fill: a doc is in
+    // iff the total BEFORE it is under budget, so the last doc may
+    // overshoot — the standard sampler contract). The running sum
+    // never flows through one task: per-md5-prefix-bucket token totals
+    // (a 256-row aggregate) give each bucket's prior via a window over
+    // that bounded frame, and the per-doc running sum is a window
+    // bounded to ONE uniform bucket (~N/256 rows, no skew by
+    // construction — the pipe_domain_cap two-phase argument with
+    // weighted sums instead of row counts).
+    "pipe_token_budget" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_toks"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bkt", substring(col("h"), 1, 2))
+      val wB = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val priorB = d.groupBy("bkt").agg(sum(col("n_toks")).as("bt"))
+        .withColumn("prior_b", coalesce(sum(col("bt")).over(wB), lit(0L)))
+        .select("bkt", "prior_b") // 256-row frame; the window is bounded
+      val wD = Window.partitionBy(col("bkt"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.join(broadcast(priorB), "bkt")
+        .withColumn("prior",
+          col("prior_b") + coalesce(sum(col("n_toks")).over(wD), lit(0L)))
+        .filter(col("prior") < TokenBudget)
+        .select(col("doc_id"), col("n_toks"),
+          (col("prior") + col("n_toks")).as("cum_toks"))
+        .orderBy("doc_id")
     }),
 
     // Snapshot diff — the CDC shape for corpus versioning: FULL OUTER
@@ -604,6 +639,20 @@ object PipelineQueries {
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // The two-phase bucket allocation collapses to one plain running
+    // sum at oracle scale — same rule, same order.
+    "pipe_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(${OracleSql.toks}) AS BIGINT) AS n_toks,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_toks,
+         |    COALESCE(sum(n_toks) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM d)
+         |SELECT doc_id, n_toks, CAST(prior + n_toks AS BIGINT) AS cum_toks
+         |FROM c WHERE prior < $TokenBudget ORDER BY doc_id""".stripMargin,
     // The same greedy fold, stated recursively: each lang's rn-th doc
     // extends or closes the pack of the (rn-1)-th. The recursive
     // working set is one frontier row per lang, so the recursion depth

@@ -23,6 +23,8 @@ object QualityQueries {
   val Stopwords = Seq("a", "the")
   val MinStopwordHits = 2
   val DomainCap = 10 // max docs kept per source (corpus balancing)
+  val DsirBuckets = 256 // hashed-ngram feature space (md5 first byte)
+  val DsirTopK = 50     // selected-doc report size
 
   /** First `quota` rows of every `group`, ordered by (md5(doc_id),
     * doc_id) — WITHOUT a per-group window. Corpus groups are Zipfian
@@ -153,6 +155,53 @@ object QualityQueries {
         .withColumn("label", (col("score4") >= 0.5).cast("int"))
         .select("doc_id", "nt", "score4", "label")
         .orderBy("doc_id")
+    }),
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): hashed-token
+    // bag-of-ngrams models for a target distribution (here the 'en'
+    // slice) and the raw corpus, importance weight of a doc =
+    // Σ_tokens log(p_target(b)/p_raw(b)) over the token's hash bucket,
+    // Laplace-smoothed. The log-ratio is computed ONCE per bucket on
+    // the 256-row model frame and floored to a micro-integer there, so
+    // the corpus-scale per-doc sum is an order-free long — the
+    // ta_doc_lm_score trick, with the single libm ln confined to a
+    // model-sized frame (same exposure class as ta_quality_lr's green
+    // ln/exp). Buckets come from the md5 first byte (engine-shared
+    // hash). Output: the top-50 selected docs — at 100 TB both count
+    // frames aggregate map-side to 256 rows, the model broadcasts, and
+    // the selection is TakeOrderedAndProject (production would replace
+    // the top-k with a weight-threshold filter or Gumbel resampling;
+    // the weight computation — the expensive part — is identical).
+    "pipe_dsir_weights" -> ((s, dir) => {
+      val tb = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+        .withColumn("b", conv(substring(md5(col("w")), 1, 2), 16, 10).cast("int"))
+        .localCheckpoint(false) // three aggregation legs share one explode
+      val ct = tb.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+      val cs = tb.groupBy("b").agg(count(lit(1)).as("cs"))
+      val tot = tb.agg(
+        count(lit(1)).as("ns"),
+        count(when(col("lang") === "en", 1)).as("nt"))
+      val model = s.range(DsirBuckets).select(col("id").cast("int").as("b"))
+        .join(broadcast(ct), Seq("b"), "left")
+        .join(broadcast(cs), Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          floor(log(
+            ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+              * (col("ns") + lit(DsirBuckets.toLong)).cast("double"))
+            / ((coalesce(col("cs"), lit(0L)) + lit(1L)).cast("double")
+              * (col("nt") + lit(DsirBuckets.toLong)).cast("double")))
+            * lit(1000000.0)).cast("long").as("lrm"))
+      val w = Window.orderBy(col("logw_micro").desc, col("doc_id").asc)
+      tb.join(broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("lrm")).as("logw_micro"))
+        .orderBy(col("logw_micro").desc, col("doc_id").asc)
+        .limit(DsirTopK)
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .orderBy("rk")
     })
   )
 
@@ -210,6 +259,37 @@ object QualityQueries {
          |  FROM feats)
          |SELECT doc_id, nt, score4,
          |  CAST(CASE WHEN score4 >= 0.5 THEN 1 ELSE 0 END AS INT) AS label
-         |FROM scored ORDER BY doc_id""".stripMargin
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    // The md5-first-byte bucket is two hex nibbles via the strpos
+    // alphabet trick (the dd_simhash oracle pattern); the ln sits on a
+    // 256-row frame and its argument is an exact-rational double built
+    // by the identical op tree on both engines.
+    "pipe_dsir_weights" ->
+      s"""WITH tb AS (
+         |  SELECT doc_id, lang,
+         |    CAST((strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1) AS INT) AS b
+         |  FROM (SELECT doc_id, lang, unnest(${OracleSql.toks}) AS w FROM documents)),
+         |ct AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+         |cs AS (SELECT b, count(*) AS cs FROM tb GROUP BY b),
+         |tot AS (SELECT count(*) AS ns,
+         |               count(CASE WHEN lang = 'en' THEN 1 END) AS nt FROM tb),
+         |model AS (
+         |  SELECT CAST(r.range AS INT) AS b,
+         |    CAST(floor(ln(
+         |      (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+         |        * CAST(ns + $DsirBuckets AS DOUBLE))
+         |      / (CAST(COALESCE(cs.cs, 0) + 1 AS DOUBLE)
+         |        * CAST(nt + $DsirBuckets AS DOUBLE)))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lrm
+         |  FROM range($DsirBuckets) r
+         |  LEFT JOIN ct ON r.range = ct.b
+         |  LEFT JOIN cs ON r.range = cs.b, tot),
+         |dw AS (
+         |  SELECT doc_id, count(*) AS n_toks, CAST(sum(lrm) AS BIGINT) AS logw_micro
+         |  FROM tb JOIN model USING (b) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, logw_micro,
+         |  CAST(row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC) AS INT) AS rk
+         |FROM dw ORDER BY logw_micro DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -33,6 +34,33 @@ object TextAnalysis {
     * step of; fixed so the DuckDB oracle can unroll it.
     */
   val BpeTrainRounds = 3
+
+  /** Per-doc bigram-LM aggregate (doc_id, n_bigrams, sum_microp) —
+    * ta_doc_lm_score's body, shared with pipe_ppl_buckets. Every
+    * bigram's probability is an exact integer micro-prob
+    * (c12·10⁶ DIV c1), so sum_microp is an order-free long. The
+    * model's c1 comes from groupBy(w1) + join, NOT a w1-partitioned
+    * window — a Zipfian head word's successor set would otherwise sort
+    * in one task; the bigram-count frame checkpoints once so the two
+    * aggregation legs don't re-shingle the corpus.
+    */
+  private def docLmAgg(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bgr"))
+      .select(col("doc_id"),
+        element_at(split(col("bgr"), " ", -1), 1).as("w1"),
+        element_at(split(col("bgr"), " ", -1), 2).as("w2"))
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
+    val c1 = cnt.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val model = cnt.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        expr("c12 * 1000000 DIV c1").as("microp"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("microp")).as("sum_microp"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -233,25 +261,45 @@ object TextAnalysis {
     // bigram-count frame checkpoints once so the two aggregation legs
     // don't re-shingle the corpus.
     "ta_doc_lm_score" -> ((s, dir) => {
-      val bg = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(
-          graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bgr"))
-        .select(col("doc_id"),
-          element_at(split(col("bgr"), " ", -1), 1).as("w1"),
-          element_at(split(col("bgr"), " ", -1), 2).as("w2"))
-      val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .localCheckpoint(false)
-      val c1 = cnt.groupBy("w1").agg(sum(col("c12")).as("c1"))
-      val model = cnt.join(c1, "w1")
-        .select(col("w1"), col("w2"),
-          expr("c12 * 1000000 DIV c1").as("microp"))
-      bg.join(model, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("microp")).as("sum_microp"))
+      docLmAgg(s, dir)
         .select(col("doc_id"), col("n_bigrams"),
           (col("sum_microp").cast("double") / col("n_bigrams") / 1000000.0)
             .as("mean_bigram_p"))
         .orderBy("doc_id")
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    // corpus into head/middle/tail thirds by LM score — the standard
+    // quality-stratification step before mixing weights are chosen.
+    // The per-doc score is the integer mean micro-prob (order-free),
+    // and the tertile thresholds come from a cumulative count over the
+    // score HISTOGRAM (a frame bounded by the 10⁶+1 possible micro
+    // values, not the corpus), with the boundary compare as integer
+    // cross-multiplication (3·cum ≥ n) — no global sort of docs, no
+    // libm. Ties land whole score-values into one bucket, so bucket
+    // sizes are near-thirds (threshold-on-value, the CCNet contract).
+    "pipe_ppl_buckets" -> ((s, dir) => {
+      val sc = docLmAgg(s, dir)
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_microp DIV n_bigrams").as("m"))
+        .localCheckpoint(false) // shared by the histogram + bucketing legs
+      val tot = sc.agg(count(lit(1)).as("n"))
+      val wc = Window.orderBy(col("m"))
+      val th = sc.groupBy("m").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wc)) // histogram-bounded
+        .crossJoin(broadcast(tot))
+        .agg(
+          min(when(col("cum") * 3 >= col("n"), col("m"))).as("t1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("m"))).as("t2"))
+      sc.crossJoin(broadcast(th))
+        .withColumn("bucket",
+          when(col("m") <= col("t1"), "tail")
+            .when(col("m") <= col("t2"), "middle")
+            .otherwise("head"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"),
+          min(col("m")).as("min_microp"), max(col("m")).as("max_microp"))
+        .orderBy("bucket")
     }),
 
     // Repetition detection — the C4-style boilerplate/spam gate: the
@@ -707,6 +755,40 @@ object TextAnalysis {
          |  CAST(sum(microp) AS DOUBLE) / count(*) / 1000000.0 AS mean_bigram_p
          |FROM bg JOIN model USING (w1, w2)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same bg/model chain as ta_doc_lm_score; `//` on non-negative
+    // operands matches Spark DIV, and sum() casts back to BIGINT
+    // before the division (DuckDB sums BIGINT into HUGEINT).
+    "pipe_ppl_buckets" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |model AS (
+         |  SELECT w1, w2,
+         |    (c12 * 1000000) // CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT)
+         |      AS microp
+         |  FROM (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2)),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS nb,
+         |    CAST(sum(microp) AS BIGINT) // count(*) AS m
+         |  FROM bg JOIN model USING (w1, w2) GROUP BY doc_id),
+         |tot AS (SELECT count(*) AS n FROM sc),
+         |cumh AS (
+         |  SELECT m, CAST(sum(c) OVER (ORDER BY m) AS BIGINT) AS cum
+         |  FROM (SELECT m, count(*) AS c FROM sc GROUP BY m)),
+         |th AS (
+         |  SELECT min(CASE WHEN cum * 3 >= n THEN m END) AS t1,
+         |         min(CASE WHEN cum * 3 >= n * 2 THEN m END) AS t2
+         |  FROM cumh, tot)
+         |SELECT bucket, count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+         |  min(m) AS min_microp, max(m) AS max_microp
+         |FROM (
+         |  SELECT CASE WHEN m <= t1 THEN 'tail'
+         |              WHEN m <= t2 THEN 'middle'
+         |              ELSE 'head' END AS bucket, nb, m
+         |  FROM sc, th)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ta_inverted_index" ->
       s"""SELECT w AS word, count(*) AS df,
          |  array_to_string(list_sort(list(doc_id)), ',') AS postings

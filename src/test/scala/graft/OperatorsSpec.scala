@@ -310,4 +310,97 @@ class OperatorsSpec extends AnyFunSuite {
         math.rint(nHit.toDouble / nTrue * 10000) / 10000) < 1e-12)
     }
   }
+
+  test("dd_cdc_chunks: matches a local reference chunker exactly") {
+    import graft.functions.RollingHash
+    // reference CDC: cut after every position whose trailing-16 window
+    // hash has low 6 bits zero; chunks partition the doc
+    def chunksOf(text: String): Seq[String] = {
+      val bytes = text.getBytes("UTF-8")
+      val cuts = (Dedup.CdcWindow to bytes.length).filter { i =>
+        (RollingHash.hashBytes(
+          bytes.slice(i - Dedup.CdcWindow, i)) & Dedup.CdcMask) == 0L
+      }
+      val bs = (0 +: cuts :+ bytes.length).distinct.sorted
+      bs.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byChunk = docs.flatMap { case (id, t) => chunksOf(t).map(c => (c, id)) }
+      .filter(_._1.length >= Dedup.CdcMinChunk)
+      .groupBy(_._1)
+    // the report's ordering (n_docs desc, n_occ desc, md5 asc) is
+    // total, so its top-50 cut is deterministic — replicate it
+    val expected = byChunk.collect {
+      case (c, occ) if occ.map(_._2).distinct.length >= 2 =>
+        (md5Hex(c), c.length, occ.map(_._2).distinct.length.toLong, occ.length.toLong)
+    }.toSeq.sortBy { case (m, _, d, o) => (-d, -o, m) }.take(50).toSet
+    val got = run("dd_cdc_chunks").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"missed=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // every doc reassembles from its chunks
+    docs.foreach { case (_, t) => assert(chunksOf(t).mkString == t) }
+  }
+
+  test("pipe_token_budget: greedy prefix in (md5, doc_id) order") {
+    val rows = run("pipe_token_budget").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every selected doc started under budget; the budget is reached
+    rows.foreach { case (_, n, cum) =>
+      assert(cum - n < PipelineQueries.TokenBudget)
+    }
+    assert(rows.map(_._3).max >= PipelineQueries.TokenBudget)
+    // the selected set is exactly the local greedy prefix
+    val local = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, _) => (md5Hex(id.toString), id) }
+    var cum = 0L
+    val expected = local.takeWhile { case (_, n) =>
+      val in = cum < PipelineQueries.TokenBudget; cum += n; in
+    }.map(_._1).toSet
+    assert(rows.map(_._1).toSet == expected)
+  }
+
+  test("pipe_dsir_weights: 50 ranked rows, non-increasing weight") {
+    val rows = run("pipe_dsir_weights").collect()
+    assert(rows.length == QualityQueries.DsirTopK)
+    assert(rows.map(_.getInt(3)).toSeq == (1 to QualityQueries.DsirTopK))
+    val ws = rows.map(_.getLong(2))
+    assert(ws.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("pipe_ppl_buckets: three near-thirds with ordered score ranges") {
+    val byB = run("pipe_ppl_buckets").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(byB.keySet == Set("head", "middle", "tail"))
+    val n = byB.values.map(_._1).sum
+    byB.values.foreach { case (c, _, _) => assert(c >= n / 3 - 5 && c <= n / 3 + 5) }
+    // value-disjoint buckets, ordered tail < middle < head
+    assert(byB("tail")._3 < byB("middle")._2)
+    assert(byB("middle")._3 < byB("head")._2)
+  }
+
+  test("mm_phash_pairs: exact text duplicates surface at Hamming 0") {
+    val pairs = run("mm_phash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    val zeros = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(zeros),
+      s"missing exact-dup pairs: ${(expected -- zeros).take(3)}")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
