@@ -149,6 +149,46 @@ object Similarity {
       (cents, assignL2(dims, cents).localCheckpoint(false))
     }
 
+  /** The ss_ivf_nprobe body, parameterized by probe count: rank the
+    * trained cells per query by the SAME exact micro-L2 the assignment
+    * uses, take the `nprobe` nearest, exact cosine top-3 over the
+    * probed cells' candidates. Probe rank 1 is the query's own cell
+    * (identical argmin + tie-break), so nprobe = 1 reproduces
+    * single-probe search.
+    */
+  private def ivfNprobeTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, asg) = trainedIvf(s, dir)
+    val qDims = Tables.embeddings(s, dir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"), col("x"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dm").asc, col("cent_id").asc)
+    val probes = l2VecDist(qDims, cents)
+      .withColumn("pk", row_number().over(wProbe))
+      .filter(col("pk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val cand = v.join(asg, "vec_id")
+    val q = broadcast(probes)
+      .join(v, probes("query_id") === v("vec_id"))
+      .select(col("query_id"), col("cent_id"), col("e"), col("nrm"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    q.as("q")
+      .join(cand.as("c"),
+        col("q.cent_id") === col("c.cent_id") &&
+          col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("cand_id"),
+        round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 4)
+          .as("score"))
+      .withColumn("rk", row_number().over(wTop).cast("int"))
+      .filter(col("rk") <= 3)
+  }
+
   /** ADC top-5 per query (the ss_pq_adc body), reused by the PQ recall
     * harness.
     */
@@ -330,38 +370,46 @@ object Similarity {
     // partitions per query instead of one — cost is linear in nprobe
     // and the probe frame (queries × centroids) never leaves the
     // driver-broadcast scale.
-    "ss_ivf_nprobe" -> ((s, dir) => {
+    "ss_ivf_nprobe" -> ((s, dir) =>
+      ivfNprobeTopk(s, dir, NProbe).orderBy("query_id", "rk")),
+
+    // The recall report FOR the nprobe dial: per query, recall@3 of
+    // the 1-cell and NProbe-cell IVF searches against the exact
+    // brute-force ranking — "recall comes from probing more cells"
+    // measured instead of asserted (the ss_ann_recall shape for the
+    // IVF index). The exact leg is the only corpus-wide scan; both
+    // IVF legs read their probed cells only.
+    "ss_ivf_recall" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val (cents, asg) = trainedIvf(s, dir)
-      val qDims = Tables.embeddings(s, dir)
-        .filter(col("vec_id") >= 100 && col("vec_id") < 105)
-        .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("p", "x")))
-        .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"), col("x"))
-      val wProbe = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dm").asc, col("cent_id").asc)
-      val probes = l2VecDist(qDims, cents)
-        .withColumn("pk", row_number().over(wProbe))
-        .filter(col("pk") <= NProbe)
-        .select(col("vec_id").as("query_id"), col("cent_id"))
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("e"))
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      val cand = v.join(asg, "vec_id")
-      val q = broadcast(probes)
-        .join(v, probes("query_id") === v("vec_id"))
-        .select(col("query_id"), col("cent_id"), col("e"), col("nrm"))
+      val q = v.filter(col("vec_id") >= 100 && col("vec_id") < 105)
       val wTop = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cand_id").asc)
-      q.as("q")
-        .join(cand.as("c"),
-          col("q.cent_id") === col("c.cent_id") &&
-            col("q.query_id") =!= col("c.vec_id"))
-        .select(col("q.query_id"), col("c.vec_id").as("cand_id"),
+      val exact = broadcast(q).as("q")
+        .join(v.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"),
           round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 4)
             .as("score"))
         .withColumn("rk", row_number().over(wTop).cast("int"))
         .filter(col("rk") <= 3)
-        .orderBy("query_id", "rk")
+        .select("query_id", "cand_id")
+      def hitsOf(leg: DataFrame, name: String) =
+        exact.join(leg.select("query_id", "cand_id"),
+            Seq("query_id", "cand_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as(name))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hitsOf(ivfNprobeTopk(s, dir, 1), "h1"), Seq("query_id"), "left")
+        .join(hitsOf(ivfNprobeTopk(s, dir, NProbe), "h2"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("h1"), lit(0L)).as("n_hits_p1"),
+          coalesce(col("h2"), lit(0L)).as("n_hits_p2"))
+        .withColumn("recall_p1_4",
+          round(col("n_hits_p1").cast("double") / col("n_true"), 4))
+        .withColumn("recall_p2_4",
+          round(col("n_hits_p2").cast("double") / col("n_true"), 4))
+        .orderBy("query_id")
     }),
 
     // Same rows as ss_bruteforce_topk, but via the bounded-heap
@@ -826,12 +874,12 @@ object Similarity {
     */
   private val pqCtes: String = {
     val head =
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
         |    CAST((i - 1) % 8 AS INT) AS j, e[i] AS x
         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |       UNNEST(range(1, len(e) + 1)) AS u(i)),
-        |pc0 AS (SELECT vec_id AS cent_id, s, j, x AS c FROM d WHERE vec_id < 8)""".stripMargin
+        |pc0 AS MATERIALIZED (SELECT vec_id AS cent_id, s, j, x AS c FROM d WHERE vec_id < 8)""".stripMargin
     val rounds = (1 to PqTrainRounds).map { r =>
       s"""pd$r AS MATERIALIZED (
          |  SELECT d.vec_id, cent_id, d.s,
@@ -839,19 +887,19 @@ object Similarity {
          |      AS BIGINT)) AS BIGINT) AS dm
          |  FROM d JOIN pc${r - 1} p ON d.s = p.s AND d.j = p.j
          |  GROUP BY 1, 2, 3),
-         |pa$r AS (
+         |pa$r AS MATERIALIZED (
          |  SELECT vec_id, s, cent_id FROM (
          |    SELECT vec_id, s, cent_id,
          |      row_number() OVER (PARTITION BY vec_id, s
          |        ORDER BY dm, cent_id) AS rn
          |    FROM pd$r) WHERE rn = 1),
-         |pm$r AS (
+         |pm$r AS MATERIALIZED (
          |  SELECT a.cent_id, d.s, d.j,
          |    CAST(sum(CAST(floor(d.x * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
          |    count(*) AS n
          |  FROM d JOIN pa$r a ON d.vec_id = a.vec_id AND d.s = a.s
          |  GROUP BY 1, 2, 3),
-         |pc$r AS (
+         |pc$r AS MATERIALIZED (
          |  SELECT p.cent_id, p.s, p.j,
          |    COALESCE(CAST(m.sm AS DOUBLE) / m.n / CAST(1000000.0 AS DOUBLE), p.c) AS c
          |  FROM pc${r - 1} p LEFT JOIN pm$r m
@@ -864,7 +912,7 @@ object Similarity {
          |      AS BIGINT)) AS BIGINT) AS dist_micro
          |  FROM d JOIN pc$PqTrainRounds p ON d.s = p.s AND d.j = p.j
          |  GROUP BY 1, 2, 3),
-         |codes AS (
+         |codes AS MATERIALIZED (
          |  SELECT vec_id, s, cent_id AS code, dist_micro FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
          |      ORDER BY dist_micro, cent_id) AS rn
@@ -880,30 +928,30 @@ object Similarity {
     */
   private val lloydCtes: String = {
     val head =
-      s"""cd AS (
+      s"""cd AS MATERIALIZED (
          |  SELECT vec_id, CAST(i AS INT) AS dim, e[i] AS x
          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |       UNNEST(range(1, len(e) + 1)) AS u(i)),
-         |c0 AS (SELECT vec_id AS cent_id, dim, x AS c FROM cd
+         |c0 AS MATERIALIZED (SELECT vec_id AS cent_id, dim, x AS c FROM cd
          |       WHERE vec_id < ${PipelineQueries.NumCentroids})""".stripMargin
     val rounds = (1 to KmTrainRounds).map { r =>
-      s"""kd$r AS (
+      s"""kd$r AS MATERIALIZED (
          |  SELECT cd.vec_id, cent_id,
          |    CAST(sum(CAST(floor((cd.x - p.c) * (cd.x - p.c) * 1000000000000.0)
          |      AS BIGINT)) AS BIGINT) AS dm
          |  FROM cd JOIN c${r - 1} p ON cd.dim = p.dim
          |  GROUP BY 1, 2),
-         |ka$r AS (
+         |ka$r AS MATERIALIZED (
          |  SELECT vec_id, cent_id FROM (
          |    SELECT vec_id, cent_id,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS rn
          |    FROM kd$r) WHERE rn = 1),
-         |km$r AS (
+         |km$r AS MATERIALIZED (
          |  SELECT cent_id, dim,
          |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
          |    count(*) AS n
          |  FROM cd JOIN ka$r USING (vec_id) GROUP BY 1, 2),
-         |c$r AS (
+         |c$r AS MATERIALIZED (
          |  SELECT p.cent_id, p.dim,
          |    COALESCE(CAST(m.sm AS DOUBLE) / m.n / CAST(1000000.0 AS DOUBLE), p.c) AS c
          |  FROM c${r - 1} p LEFT JOIN km$r m
@@ -918,13 +966,13 @@ object Similarity {
     */
   private val trainedAssignCtes: String = {
     val asgn =
-      s"""ad AS (
+      s"""ad AS MATERIALIZED (
          |  SELECT cd.vec_id, cent_id,
          |    CAST(sum(CAST(floor((cd.x - p.c) * (cd.x - p.c) * 1000000000000.0)
          |      AS BIGINT)) AS BIGINT) AS dm
          |  FROM cd JOIN c$KmTrainRounds p ON cd.dim = p.dim
          |  GROUP BY 1, 2),
-         |asg AS (
+         |asg AS MATERIALIZED (
          |  SELECT vec_id, cent_id FROM (
          |    SELECT vec_id, cent_id,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS rn
@@ -1128,6 +1176,55 @@ object Similarity {
          |               c.vec_id ASC) AS rk
          |  FROM q JOIN av c ON q.cent_id = c.cent_id AND q.query_id <> c.vec_id)
          |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "ss_ivf_recall" -> {
+      def leg(n: Int, name: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT q.query_id, c.vec_id AS cand_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) DESC,
+           |                 c.vec_id ASC) AS rk
+           |    FROM (SELECT p.query_id, p.cent_id, v.e, v.nrm
+           |          FROM (SELECT query_id, cent_id FROM pr WHERE pk <= $n) p
+           |          JOIN v ON p.query_id = v.vec_id) q
+           |    JOIN av c ON q.cent_id = c.cent_id AND q.query_id <> c.vec_id)
+           |  WHERE rk <= 3)""".stripMargin
+      s"""WITH $trainedAssignCtes,
+         |v AS MATERIALIZED ($vSql),
+         |av AS MATERIALIZED (
+         |  SELECT v.vec_id, v.e, v.nrm, asg.cent_id FROM v JOIN asg USING (vec_id)),
+         |exact AS MATERIALIZED (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) DESC,
+         |                 c.vec_id ASC) AS rk
+         |    FROM (SELECT * FROM v WHERE vec_id >= 100 AND vec_id < 105) q
+         |    JOIN v c ON q.vec_id <> c.vec_id)
+         |  WHERE rk <= 3),
+         |pr AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS pk
+         |  FROM ad WHERE vec_id >= 100 AND vec_id < 105),
+         |${leg(1, "leg1")},
+         |${leg(NProbe, "leg2")},
+         |h1 AS (SELECT e.query_id, count(*) AS n FROM exact e
+         |       JOIN leg1 l ON e.query_id = l.query_id AND e.cand_id = l.cand_id
+         |       GROUP BY e.query_id),
+         |h2 AS (SELECT e.query_id, count(*) AS n FROM exact e
+         |       JOIN leg2 l ON e.query_id = l.query_id AND e.cand_id = l.cand_id
+         |       GROUP BY e.query_id),
+         |tot AS (SELECT query_id, count(*) AS n_true FROM exact GROUP BY query_id)
+         |SELECT t.query_id, CAST(t.n_true AS BIGINT) AS n_true,
+         |  CAST(COALESCE(h1.n, 0) AS BIGINT) AS n_hits_p1,
+         |  CAST(COALESCE(h2.n, 0) AS BIGINT) AS n_hits_p2,
+         |  round(CAST(COALESCE(h1.n, 0) AS DOUBLE) / t.n_true, 4) AS recall_p1_4,
+         |  round(CAST(COALESCE(h2.n, 0) AS DOUBLE) / t.n_true, 4) AS recall_p2_4
+         |FROM tot t
+         |LEFT JOIN h1 ON t.query_id = h1.query_id
+         |LEFT JOIN h2 ON t.query_id = h2.query_id
+         |ORDER BY t.query_id""".stripMargin
+    },
     "ss_kmeans_train" ->
       s"""WITH $lloydCtes
          |SELECT cent_id, dim, c FROM c$KmTrainRounds ORDER BY cent_id, dim""".stripMargin,

@@ -139,6 +139,37 @@ object StreamingWordCount {
   /** Run a streaming frame to a named in-memory sink and process all
     * currently-available input (synchronous — for tests/smoke).
     */
+  /** Streaming per-domain cap — the streaming dual of the batch
+    * `pipe_domain_cap`, and the CUSTOM-STATE shape none of the
+    * built-in streaming operators express (dropDuplicates dedupes,
+    * windows aggregate — neither enforces an admission quota):
+    * `flatMapGroupsWithState` keyed by source holds ONE long per
+    * domain (docs admitted so far, across micro-batches) and admits a
+    * doc iff the counter is below the cap. Within a micro-batch the
+    * group's arrivals admit in doc_id order so the result is
+    * deterministic regardless of partition interleaving. State is one
+    * counter per domain — bounded by the domain universe, not the
+    * stream; production adds a GroupStateTimeout to evict idle
+    * domains.
+    */
+  def domainCapStream(spark: SparkSession, inputDir: String,
+      schema: StructType, cap: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.readStream.schema(schema).parquet(inputDir)
+      .select(col("doc_id").cast("long"), col("source").cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, docs: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val kept = state.getOption.getOrElse(0L)
+          val admit = docs.map(_._1).toSeq.sorted
+            .take(math.max(0L, cap - kept).toInt)
+          state.update(kept + admit.length)
+          admit.iterator.map(id => (source, id))
+      }.toDF("source", "doc_id")
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()

@@ -216,6 +216,34 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming domain cap admits per-source quotas across micro-batches") {
+    val dir = Files.createTempDirectory("stream_cap")
+    Seq(
+      (10L, "srcA"), (11L, "srcA"), (12L, "srcA"),
+      (20L, "srcB")
+    ).toDF("doc_id", "source")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val q = StreamingWordCount.runToMemory(
+      StreamingWordCount.domainCapStream(spark, dir.toString, schema, 2),
+      "cap_stream", mode = "append")
+    try {
+      // batch 1: srcA admits its 2 lowest ids, srcB its single doc
+      val b1 = spark.sql("SELECT doc_id FROM cap_stream ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(b1 == Seq(10L, 11L, 20L))
+      // batch 2: srcA's quota is exhausted by persisted state; srcB
+      // has one admission left
+      Seq((13L, "srcA"), (21L, "srcB"), (22L, "srcB"))
+        .toDF("doc_id", "source")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val b2 = spark.sql("SELECT doc_id FROM cap_stream ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(b2 == Seq(10L, 11L, 20L, 21L))
+    } finally q.stop()
+  }
+
   test("streaming session windows agree with the batch sessionization (closed sessions)") {
     val dir = Files.createTempDirectory("stream_sw")
     Tables.events(spark, sf).select("ts", "user_id")

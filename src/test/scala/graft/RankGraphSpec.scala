@@ -185,6 +185,17 @@ class RankGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("ss_ivf_recall: probing more cells never loses hits") {
+    // any candidate outranking a true top-3 member must itself be in
+    // the global top-3, so hits are monotone in the candidate set
+    val rows = run("ss_ivf_recall").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3L)
+      assert(r.getLong(3) >= r.getLong(2))
+    }
+  }
+
   test("ss_pca_top2: ordered eigenvalues, near-orthogonal components") {
     val rows = run("ss_pca_top2").collect()
     val byComp = rows.groupBy(_.getInt(0))
