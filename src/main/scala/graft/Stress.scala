@@ -162,7 +162,10 @@ object Stress {
         "dd_containment", "dd_containment_capped",
         "dd_exact_normalized", "q_histogram_equidepth",
         "ss_pq_recall", "ss_embed_cov", "ta_langid_mixed",
-        "dd_semantic_text_check")
+        "dd_semantic_text_check",
+        "dd_cdc_chunks", "mm_phash_pairs", "pipe_dsir_weights",
+        "pipe_token_budget", "pipe_ppl_buckets", "ss_ivf_nprobe",
+        "ss_ivf_recall", "ss_pca_top2")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")
