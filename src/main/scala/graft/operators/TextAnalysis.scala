@@ -302,6 +302,64 @@ object TextAnalysis {
         .orderBy("bucket")
     }),
 
+    // Stupid-backoff trigram LM (Brants et al. 2007 — the web-scale
+    // LM scoring standard precisely because it needs no normalization
+    // pass): the model trains on the md5 < '8000' half of the corpus
+    // and scores EVERY doc, so held-out docs genuinely exercise the
+    // backoff chain trigram → bigram → unigram (α = 0.4 per level,
+    // applied as exact integer arithmetic: 4·x DIV 10, 16·x DIV 100).
+    // All counts derive from ONE trigram stream (prefix / suffix /
+    // unigram marginals of c123), so one explode feeds the whole model
+    // and the conditional denominators are internally consistent.
+    // Every per-position probability is an integer micro-prob → the
+    // per-doc sum is an order-free long (the ta_doc_lm_score trick).
+    // Output adds the backoff-level census (n_l3/n_l2/n_l1/n_oov) —
+    // the LM-coverage report a corpus shift shows up in first. Scale:
+    // model frames are vocab-bounded and broadcast; the score join is
+    // corpus × 5 broadcast lookups, one doc-keyed aggregation.
+    "ta_trigram_backoff" -> ((s, dir) => {
+      val tg = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(
+          graft.functions.WordShingles.word_shingles(col("text"), 3)).as("tgr"))
+        .select(col("doc_id"),
+          element_at(split(col("tgr"), " ", -1), 1).as("w1"),
+          element_at(split(col("tgr"), " ", -1), 2).as("w2"),
+          element_at(split(col("tgr"), " ", -1), 3).as("w3"))
+        .localCheckpoint(false) // feeds the model AND the score join
+      val tri = tg
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "8000")
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+        .localCheckpoint(false) // feeds all four marginals
+      val b12 = tri.groupBy("w1", "w2").agg(sum(col("c123")).as("c12"))
+      val b23 = tri.groupBy("w2", "w3").agg(sum(col("c123")).as("c23"))
+      val u2 = tri.groupBy("w2").agg(sum(col("c123")).as("c2"))
+      val u3 = tri.groupBy("w3").agg(sum(col("c123")).as("c3"))
+      val tot = tri.agg(sum(col("c123")).as("n"))
+      tg.join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+        .join(broadcast(b12), Seq("w1", "w2"), "left")
+        .join(broadcast(b23), Seq("w2", "w3"), "left")
+        .join(broadcast(u2), Seq("w2"), "left")
+        .join(broadcast(u3), Seq("w3"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lvl",
+          when(col("c123").isNotNull, 3)
+            .when(col("c23").isNotNull, 2)
+            .when(col("c3").isNotNull, 1)
+            .otherwise(0))
+        .withColumn("microp",
+          when(col("c123").isNotNull, expr("c123 * 1000000 DIV c12"))
+            .when(col("c23").isNotNull, expr("(4 * (c23 * 1000000 DIV c2)) DIV 10"))
+            .when(col("c3").isNotNull, expr("(16 * (c3 * 1000000 DIV n)) DIV 100"))
+            .otherwise(lit(0L)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"), sum(col("microp")).as("sum_microp"),
+          sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_l3"),
+          sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_l2"),
+          sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_l1"),
+          sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition detection — the C4-style boilerplate/spam gate: the
     // most-repeated word 3-gram per document and its multiplicity.
     // High max-repetition flags templated or looping text. Shingles
@@ -755,6 +813,42 @@ object TextAnalysis {
          |  CAST(sum(microp) AS DOUBLE) / count(*) / 1000000.0 AS mean_bigram_p
          |FROM bg JOIN model USING (w1, w2)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ta_trigram_backoff" ->
+      s"""WITH tg AS MATERIALIZED (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+         |  WHERE len(t) >= 3),
+         |tri AS MATERIALIZED (
+         |  SELECT w1, w2, w3, count(*) AS c123 FROM tg
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+         |  GROUP BY 1, 2, 3),
+         |b12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12 FROM tri GROUP BY 1, 2),
+         |b23 AS (SELECT w2, w3, CAST(sum(c123) AS BIGINT) AS c23 FROM tri GROUP BY 1, 2),
+         |u2 AS (SELECT w2, CAST(sum(c123) AS BIGINT) AS c2 FROM tri GROUP BY 1),
+         |u3 AS (SELECT w3, CAST(sum(c123) AS BIGINT) AS c3 FROM tri GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c123) AS BIGINT) AS n FROM tri),
+         |sc AS (
+         |  SELECT tg.doc_id,
+         |    CASE WHEN c123 IS NOT NULL THEN 3
+         |         WHEN c23 IS NOT NULL THEN 2
+         |         WHEN c3 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+         |    CASE WHEN c123 IS NOT NULL THEN (c123 * 1000000) // c12
+         |         WHEN c23 IS NOT NULL THEN (4 * ((c23 * 1000000) // c2)) // 10
+         |         WHEN c3 IS NOT NULL THEN (16 * ((c3 * 1000000) // n)) // 100
+         |         ELSE 0 END AS microp
+         |  FROM tg
+         |  LEFT JOIN tri USING (w1, w2, w3)
+         |  LEFT JOIN b12 USING (w1, w2)
+         |  LEFT JOIN b23 USING (w2, w3)
+         |  LEFT JOIN u2 USING (w2)
+         |  LEFT JOIN u3 USING (w3), tot)
+         |SELECT doc_id, count(*) AS n_tri, CAST(sum(microp) AS BIGINT) AS sum_microp,
+         |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+         |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+         |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+         |  CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same bg/model chain as ta_doc_lm_score; `//` on non-negative
     // operands matches Spark DIV, and sum() casts back to BIGINT
     // before the division (DuckDB sums BIGINT into HUGEINT).

@@ -400,6 +400,63 @@ class OperatorsSpec extends AnyFunSuite {
       s"missing exact-dup pairs: ${(expected -- zeros).take(3)}")
   }
 
+  test("cdc chunking localizes edits where fixed-size chunking shifts everything") {
+    import graft.functions.RollingHash
+    def cdcChunks(text: String): Seq[String] = {
+      val bytes = text.getBytes("UTF-8")
+      val cuts = (Dedup.CdcWindow to bytes.length).filter { i =>
+        (RollingHash.hashBytes(
+          bytes.slice(i - Dedup.CdcWindow, i)) & Dedup.CdcMask) == 0L
+      }
+      val bs = (0 +: cuts :+ bytes.length).distinct.sorted
+      bs.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
+    }
+    def fixedChunks(text: String): Seq[String] = text.grouped(64).toSeq
+    def diffCount(a: Seq[String], b: Seq[String]): Int = {
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      a.foreach(c => counts(c) = counts.getOrElse(c, 0) + 1)
+      b.foreach(c => counts(c) = counts.getOrElse(c, 0) - 1)
+      counts.valuesIterator.map(math.abs).sum
+    }
+    val docs = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 400)
+      .select("text").collect().map(_.getString(0)).take(10)
+    assert(docs.nonEmpty)
+    var cdcTotal = 0
+    var fixTotal = 0
+    docs.foreach { t =>
+      // single-char INSERTION near the front — shifts every later
+      // offset, the worst case for offset-based chunking
+      val p = 50
+      val edited = t.substring(0, p) + "#" + t.substring(p)
+      val cdcDiff = diffCount(cdcChunks(t), cdcChunks(edited))
+      val fixDiff = diffCount(fixedChunks(t), fixedChunks(edited))
+      // a boundary rule over a 16-char window can only disturb chunks
+      // touching the edit's window: bounded, position-independent
+      assert(cdcDiff <= 6, s"cdc diff $cdcDiff not local")
+      cdcTotal += cdcDiff
+      fixTotal += fixDiff
+    }
+    // fixed-size chunking re-keys every chunk from the edit onward, so
+    // across the sample it must churn strictly more than CDC
+    assert(fixTotal > cdcTotal,
+      s"fixed-size churn $fixTotal not above cdc churn $cdcTotal")
+  }
+
+  test("ta_trigram_backoff: train-half docs never back off; levels partition") {
+    val rows = run("ta_trigram_backoff").collect()
+    rows.foreach { r =>
+      val (id, n) = (r.getLong(0), r.getLong(1))
+      val levels = (3 to 6).map(r.getLong)
+      assert(levels.sum == n, s"levels don't partition for doc $id")
+      // a training doc's own trigrams are in the model by construction
+      if (md5Hex(id.toString).substring(0, 4) < "8000")
+        assert(levels(0) == n, s"train doc $id backed off")
+    }
+    // the held-out half must genuinely exercise the backoff chain
+    assert(rows.map(_.getLong(4)).sum > 0, "no bigram backoff anywhere")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
