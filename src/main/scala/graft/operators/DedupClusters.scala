@@ -37,6 +37,11 @@ object DedupClusters {
     */
   val StarSwitchRound = 4
 
+  /** Fixed synchronous rounds for dd_label_prop (unrolled in the
+    * oracle as CTEs).
+    */
+  val LpaRounds = 4
+
   /** Exact connected components by alternating large-star/small-star
     * contraction (Kiveris et al.): the adversarial-diameter body.
     * `edges` is the bidirectional (src, dst) relation. Each round is
@@ -226,6 +231,49 @@ object DedupClusters {
         .orderBy("degree")
     }),
 
+    // Community detection on the near-dup graph by synchronous label
+    // propagation (Raghavan et al. 2007) — the clustering that splits
+    // a weakly-bridged blob where CC merges it (CC answers "connected
+    // at all?", LPA answers "densely connected together?"). Fixed
+    // [[LpaRounds]] synchronous rounds so the oracle can unroll them:
+    // each node takes the most frequent label among its neighbors,
+    // ties broken by smallest label — the per-node argmax is the
+    // two-HashAggregate trick (max count, then min label over the
+    // tied rows), never a per-node sort. Per round: one join + two
+    // aggregations, labels localCheckpoint'ed — the dd_pagerank loop
+    // shape. Each node also votes its OWN label once (a single
+    // self-loop): without it, synchronous LPA on an isolated pair
+    // swaps labels every round and an even round count undoes all
+    // work — the classic bipartite oscillation; with it, the pair
+    // ties and the min-label tie-break converges both ends.
+    "dd_label_prop" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.verifiedPairs(s, dir, dedup = true)
+        .select("doc_a", "doc_b")
+      val sym = pairs.select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val edges = sym.unionAll(
+          sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
+        .localCheckpoint(false)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      for (_ <- 1 to LpaRounds) {
+        val cnt = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        val best = cnt.groupBy("src").agg(max(col("c")).as("c"))
+        labels = cnt.join(best, Seq("src", "c"))
+          .groupBy("src", "c").agg(min(col("lbl")).as("lbl"))
+          .select(col("src").as("id"), col("lbl"))
+          .localCheckpoint(true) // eager: cut lineage per round
+      }
+      val w = Window.partitionBy(col("community_id"))
+      labels.select(col("id").as("doc_id"), col("lbl").as("community_id"))
+        .withColumn("community_size", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    }),
+
     "dd_survivors" -> ((s, dir) => {
       val pairs = Dedup.verifiedPairs(s, dir, dedup = false)
         .select("doc_a", "doc_b")
@@ -261,6 +309,38 @@ object DedupClusters {
          |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) b
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // Unrolled synchronous LPA: lc$r counts neighbor labels, l$r takes
+    // the (count desc, label asc) argmax — identical tie-break to the
+    // engine's two-aggregate form.
+    "dd_label_prop" -> {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""lc$r AS MATERIALIZED (
+           |  SELECT e.src, l.lbl, count(*) AS c
+           |  FROM edges e JOIN l${r - 1} l ON e.dst = l.id GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (
+           |  SELECT src AS id, lbl FROM (
+           |    SELECT src, lbl,
+           |      row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) AS rn
+           |    FROM lc$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED (${Dedup.ngramJaccardPairsSql}),
+         |sym AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM sym
+         |  UNION ALL
+         |  SELECT DISTINCT src, src AS dst FROM sym),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+         |$rounds
+         |SELECT l.id AS doc_id, l.lbl AS community_id,
+         |  CAST(s.cs AS BIGINT) AS community_size
+         |FROM l$LpaRounds l
+         |JOIN (SELECT lbl, count(*) AS cs FROM l$LpaRounds GROUP BY 1) s
+         |  USING (lbl)
+         |ORDER BY doc_id""".stripMargin
+    },
     "dd_degree_hist" ->
       s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql}),
          |deg AS (

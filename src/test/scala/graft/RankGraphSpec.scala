@@ -185,6 +185,21 @@ class RankGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_label_prop: communities refine the connected components") {
+    // labels propagate only along edges, so a community can never
+    // span two components; sizes must sum to the node count
+    val comm = run("dd_label_prop").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cc = run("dd_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comm.map(_._1).toSet == cc.keySet)
+    comm.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(m => cc(m._1)).distinct.length == 1,
+        s"community $cid spans components")
+      assert(members.forall(_._3 == members.length))
+    }
+  }
+
   test("ss_ivf_recall: probing more cells never loses hits") {
     // any candidate outranking a true top-3 member must itself be in
     // the global top-3, so hits are monotone in the candidate set
