@@ -23,6 +23,49 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Anomaly detection: the top-5 z-score outliers per event type.
+    // Mean and population variance derive from EXACT micro-integer
+    // sums (floor(v·10⁶) and floor(v²·10⁶) longs — the covariance
+    // trick, with the square at 10⁶ so the sum has ~10¹² rows of
+    // headroom before Long overflow), so μ and σ are identical
+    // doubles on both engines and the
+    // 4dp-rounded z-score is engine-exact on a quasi-continuous value.
+    // The per-type top-5 goes through the bounded-heap TopKAggregator
+    // (|z| desc, event_id asc), NOT a type-partitioned window — an
+    // event type can be a fifth of a 100 TB stream, and a window
+    // row_number would sort that whole partition in one task; the heap
+    // shuffles 5 rows per type. The 5·types winner frame then
+    // broadcast-joins back for the presentation columns.
+    "ev_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val st = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1000000.0)).cast("long")).as("s1"),
+        sum(floor(col("value") * col("value") * lit(1000000.0))
+          .cast("long")).as("s2"))
+        .withColumn("mu", col("s1").cast("double") / col("n") / lit(1000000.0))
+        .withColumn("sigma",
+          sqrt(col("s2").cast("double") / lit(1000000.0) / col("n")
+            - col("mu") * col("mu")))
+      val scored = ev.join(broadcast(st.select("event_type", "mu", "sigma")),
+          "event_type")
+        .withColumn("z4",
+          when(col("sigma") === 0.0, lit(0.0))
+            .otherwise(round((col("value") - col("mu")) / col("sigma"), 4)))
+        .localCheckpoint(false) // reused by the heap and the join-back
+      val topkAgg = udaf(new graft.functions.TopKAggregator(5))
+      val winners = scored.groupBy("event_type")
+        .agg(topkAgg(col("event_id"), abs(col("z4"))).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("event_type"), col("e._1").as("event_id"),
+          (col("pos") + 1).cast("int").as("rk"))
+      scored.join(broadcast(winners), Seq("event_type", "event_id"))
+        .select(col("event_type"), col("event_id"), col("value"), col("z4"),
+          col("rk"))
+        .orderBy("event_type", "rk")
+    }),
+
     // Tumbling 1-hour window counts per event type. `window()` is the
     // real Spark windowing operator; its .start equals date_trunc hour.
     "ev_tumbling_hour" -> ((s, dir) => {
@@ -254,6 +297,33 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // μ/σ from the same exact micro-integer sums; the heap-aggregated
+    // top-5 must equal the window form (|z| desc, event_id asc).
+    "ev_anomaly" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value * CAST(1000000.0 AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS s1,
+        |    CAST(sum(CAST(floor(value * value * CAST(1000000.0 AS DOUBLE))
+        |      AS BIGINT)) AS BIGINT) AS s2
+        |  FROM events GROUP BY 1),
+        |ms AS (
+        |  SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE) AS mu,
+        |    sqrt(CAST(s2 AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE))) AS sigma
+        |  FROM st),
+        |sc AS (
+        |  SELECT e.event_type, e.event_id, e.value,
+        |    CASE WHEN sigma = 0 THEN 0.0
+        |         ELSE round((e.value - mu) / sigma, 4) END AS z4
+        |  FROM events e JOIN ms USING (event_type))
+        |SELECT event_type, event_id, value, z4, CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(z4) DESC, event_id ASC) AS rk
+        |  FROM sc)
+        |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
     "ev_tumbling_hour" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events,

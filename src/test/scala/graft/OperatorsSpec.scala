@@ -457,6 +457,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(4)).sum > 0, "no bigram backoff anywhere")
   }
 
+  test("ev_anomaly: five ranked outliers per type, |z| matches local stats") {
+    val rows = run("ev_anomaly").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    val byType = rows.groupBy(_._1)
+    val vals = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byType.foreach { case (t, rs) =>
+      assert(rs.length == 5 && rs.map(_._5).sorted.toSeq == (1 to 5))
+      val zs = rs.sortBy(_._5).map(r => math.abs(r._4))
+      assert(zs.sliding(2).forall { case Array(a, b) => a >= b })
+      // z agrees with a plain double recompute to well under the 4dp
+      val xs = vals(t)
+      val mu = xs.sum / xs.length
+      val sigma = math.sqrt(xs.map(x => x * x).sum / xs.length - mu * mu)
+      rs.foreach { case (_, _, v, z4, _) =>
+        assert(math.abs(z4 - math.rint((v - mu) / sigma * 10000) / 10000) <= 1e-4)
+      }
+    }
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
