@@ -64,6 +64,23 @@ object SourceQueries {
       MapReducePipeline.run(lines, MapReduceJob())
     }),
 
+    // Partitioned-parquet round trip through the driver gate: write
+    // the corpus partitioned by lang (the lakehouse layout for a
+    // language-keyed 100 TB corpus), read back with a lang predicate —
+    // the filter prunes PARTITION DIRECTORIES at planning time
+    // (PartitionFilters in the scan, asserted by `ScaleSpec`), so the
+    // en-slice query never opens the other languages' files at all.
+    "src_partitioned_pruning" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      val path = tmp("docs_part")
+      base.write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .filter(col("lang") === "en")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // The "switch your engine, keep your SQL" surface, through the
     // driver gate: Graft.sql registers every table as a view plus the
     // graft-native SQL functions, and runs the query string — here
@@ -82,6 +99,9 @@ object SourceQueries {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "src_json_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "src_partitioned_pruning" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     // Lines are exactly documents.text, so the counts equal wordcount's.
     "src_graftlines_wordcount" ->
       """SELECT w AS word, count(*) AS cnt
