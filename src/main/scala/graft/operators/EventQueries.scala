@@ -45,9 +45,13 @@ object EventQueries {
         sum(floor(col("value") * col("value") * lit(1000000.0))
           .cast("long")).as("s2"))
         .withColumn("mu", col("s1").cast("double") / col("n") / lit(1000000.0))
+        // the floored micro-sums can put the variance a hair below 0
+        // for a constant-valued type (s2 floors down, mu² doesn't) —
+        // clamp before sqrt or DuckDB errors and Spark emits NaN
         .withColumn("sigma",
-          sqrt(col("s2").cast("double") / lit(1000000.0) / col("n")
-            - col("mu") * col("mu")))
+          sqrt(greatest(lit(0.0),
+            col("s2").cast("double") / lit(1000000.0) / col("n")
+              - col("mu") * col("mu"))))
       val scored = ev.join(broadcast(st.select("event_type", "mu", "sigma")),
           "event_type")
         .withColumn("z4",
@@ -310,9 +314,10 @@ object EventQueries {
         |ms AS (
         |  SELECT event_type,
         |    CAST(s1 AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE) AS mu,
-        |    sqrt(CAST(s2 AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / n
+        |    sqrt(greatest(CAST(0 AS DOUBLE),
+        |      CAST(s2 AS DOUBLE) / CAST(1000000.0 AS DOUBLE) / n
         |      - (CAST(s1 AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE))
-        |      * (CAST(s1 AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE))) AS sigma
+        |      * (CAST(s1 AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE)))) AS sigma
         |  FROM st),
         |sc AS (
         |  SELECT e.event_type, e.event_id, e.value,

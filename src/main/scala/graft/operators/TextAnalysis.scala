@@ -315,8 +315,9 @@ object TextAnalysis {
     // per-doc sum is an order-free long (the ta_doc_lm_score trick).
     // Output adds the backoff-level census (n_l3/n_l2/n_l1/n_oov) —
     // the LM-coverage report a corpus shift shows up in first. Scale:
-    // model frames are vocab-bounded and broadcast; the score join is
-    // corpus × 5 broadcast lookups, one doc-keyed aggregation.
+    // the trigram/bigram model joins shuffle on their word keys (the
+    // n-gram tables grow with vocabulary — see the join comment);
+    // unigram marginals broadcast; one doc-keyed aggregation.
     "ta_trigram_backoff" -> ((s, dir) => {
       val tg = Tables.documents(s, dir)
         .select(col("doc_id"), explode(
@@ -335,9 +336,14 @@ object TextAnalysis {
       val u2 = tri.groupBy("w2").agg(sum(col("c123")).as("c2"))
       val u3 = tri.groupBy("w3").agg(sum(col("c123")).as("c3"))
       val tot = tri.agg(sum(col("c123")).as("n"))
-      tg.join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
-        .join(broadcast(b12), Seq("w1", "w2"), "left")
-        .join(broadcast(b23), Seq("w2", "w3"), "left")
+      // tri/b12/b23 grow with the n-gram vocabulary (NOT bounded like
+      // dsir's 256 buckets) — no broadcast hint; the score stream and
+      // the model co-partition on the word keys, and AQE still picks
+      // broadcast when a model frame measures small. The unigram
+      // marginals and the 1-row total are vocab-/constant-bounded.
+      tg.join(tri, Seq("w1", "w2", "w3"), "left")
+        .join(b12, Seq("w1", "w2"), "left")
+        .join(b23, Seq("w2", "w3"), "left")
         .join(broadcast(u2), Seq("w2"), "left")
         .join(broadcast(u3), Seq("w3"), "left")
         .crossJoin(broadcast(tot))

@@ -163,8 +163,19 @@ object StreamingWordCount {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (source: String, docs: Iterator[(Long, String)], state: GroupState[Long]) =>
           val kept = state.getOption.getOrElse(0L)
-          val admit = docs.map(_._1).toSeq.sorted
-            .take(math.max(0L, cap - kept).toInt)
+          val room = math.max(0L, cap - kept).toInt
+          // bounded selection of the `room` smallest ids — a max-heap
+          // of size ≤ room, so a mega-domain micro-batch streams
+          // through in O(cap) memory instead of materializing and
+          // sorting the whole group
+          val admit = if (room == 0) Seq.empty[Long] else {
+            val pq = scala.collection.mutable.PriorityQueue.empty[Long]
+            docs.foreach { case (id, _) =>
+              if (pq.size < room) pq.enqueue(id)
+              else if (id < pq.head) { pq.dequeue(); pq.enqueue(id) }
+            }
+            pq.toSeq.sorted
+          }
           state.update(kept + admit.length)
           admit.iterator.map(id => (source, id))
       }.toDF("source", "doc_id")

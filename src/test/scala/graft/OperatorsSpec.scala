@@ -311,19 +311,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("dd_cdc_chunks: matches a local reference chunker exactly") {
+  /** Reference CDC chunker shared by the parity and edit-locality
+    * tests: cut after every position whose trailing-window hash has
+    * its masked low bits zero; chunks partition the doc.
+    */
+  private def cdcChunksRef(text: String): Seq[String] = {
     import graft.functions.RollingHash
-    // reference CDC: cut after every position whose trailing-16 window
-    // hash has low 6 bits zero; chunks partition the doc
-    def chunksOf(text: String): Seq[String] = {
-      val bytes = text.getBytes("UTF-8")
-      val cuts = (Dedup.CdcWindow to bytes.length).filter { i =>
-        (RollingHash.hashBytes(
-          bytes.slice(i - Dedup.CdcWindow, i)) & Dedup.CdcMask) == 0L
-      }
-      val bs = (0 +: cuts :+ bytes.length).distinct.sorted
-      bs.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
+    val bytes = text.getBytes("UTF-8")
+    val cuts = (Dedup.CdcWindow to bytes.length).filter { i =>
+      (RollingHash.hashBytes(
+        bytes.slice(i - Dedup.CdcWindow, i)) & Dedup.CdcMask) == 0L
     }
+    val bs = (0 +: cuts :+ bytes.length).distinct.sorted
+    bs.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
+  }
+
+  test("dd_cdc_chunks: matches a local reference chunker exactly") {
+    def chunksOf(text: String): Seq[String] = cdcChunksRef(text)
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
@@ -401,16 +405,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("cdc chunking localizes edits where fixed-size chunking shifts everything") {
-    import graft.functions.RollingHash
-    def cdcChunks(text: String): Seq[String] = {
-      val bytes = text.getBytes("UTF-8")
-      val cuts = (Dedup.CdcWindow to bytes.length).filter { i =>
-        (RollingHash.hashBytes(
-          bytes.slice(i - Dedup.CdcWindow, i)) & Dedup.CdcMask) == 0L
-      }
-      val bs = (0 +: cuts :+ bytes.length).distinct.sorted
-      bs.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
-    }
+    def cdcChunks(text: String): Seq[String] = cdcChunksRef(text)
     def fixedChunks(text: String): Seq[String] = text.grouped(64).toSeq
     def diffCount(a: Seq[String], b: Seq[String]): Int = {
       val counts = scala.collection.mutable.Map.empty[String, Int]
@@ -477,6 +472,25 @@ class OperatorsSpec extends AnyFunSuite {
         assert(math.abs(z4 - math.rint((v - mu) / sigma * 10000) / 10000) <= 1e-4)
       }
     }
+  }
+
+  test("ev_anomaly: constant-valued type yields z = 0, never NaN") {
+    // floor(v²·1e6) sums land a constant type's variance a hair BELOW
+    // zero (s2 floors down, mu² doesn't); the clamp must hold it at
+    // σ = 0 → z = 0 instead of NaN (and a DuckDB sqrt error)
+    val dir = java.nio.file.Files.createTempDirectory("ev_const").toString
+    val ts = 1704103200L * 1000000000L // int64 nanos, the testdata layout
+    Seq(
+      (1L, ts, 1L, "flat", 1.2345, "{}"),
+      (2L, ts, 1L, "flat", 1.2345, "{}"),
+      (3L, ts, 2L, "vary", 1.0, "{}"),
+      (4L, ts, 2L, "vary", 5.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ev_anomaly")(spark, dir).collect()
+    val flat = rows.filter(_.getString(0) == "flat")
+    assert(flat.length == 2)
+    flat.foreach(r => assert(r.getDouble(3) == 0.0, s"NaN/z leak: $r"))
   }
 
   private def md5Hex(s: String): String =
