@@ -19,6 +19,34 @@ object PipelineQueries {
   val PackBudget = 256L // tokens per packed sequence
   val TokenBudget = 5000L // pipe_token_budget: tokens to select
 
+  /** The pipe_pack_sequences body (greedy per-lang packing as a
+    * repartition + sorted per-partition scan), shared with the
+    * pipe_pack_stats report.
+    */
+  private def packedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = PackBudget
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .as[(Long, String, Long)]
+    docs.mapPartitions { it =>
+      // per-partition scan; state resets at each lang boundary (all
+      // rows of a lang are co-partitioned and contiguous here)
+      var curLang: String = null
+      var packId = 0L
+      var fill = 0L
+      it.map { case (id, lang, n) =>
+        if (lang != curLang) { curLang = lang; packId = 1L; fill = n }
+        else if (fill + n > budget) { packId += 1; fill = n }
+        else fill += n
+        (id, lang, n, packId)
+      }
+    }.toDF("doc_id", "lang", "n_tokens", "pack_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Top-5 words per language (tokenize → count per (lang, word) →
@@ -117,29 +145,29 @@ object PipelineQueries {
     // (lang, shard) — hash-bucketed shards pack independently with the
     // same quality statistics, and pack ids are namespaced by shard;
     // the per-partition scan shape is unchanged.
-    "pipe_pack_sequences" -> ((s, dir) => {
-      import s.implicits._
-      val budget = PackBudget
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .repartition(col("lang"))
-        .sortWithinPartitions("lang", "doc_id")
-        .as[(Long, String, Long)]
-      docs.mapPartitions { it =>
-        // per-partition scan; state resets at each lang boundary (all
-        // rows of a lang are co-partitioned and contiguous here)
-        var curLang: String = null
-        var packId = 0L
-        var fill = 0L
-        it.map { case (id, lang, n) =>
-          if (lang != curLang) { curLang = lang; packId = 1L; fill = n }
-          else if (fill + n > budget) { packId += 1; fill = n }
-          else fill += n
-          (id, lang, n, packId)
-        }
-      }.toDF("doc_id", "lang", "n_tokens", "pack_id")
-        .orderBy("lang", "doc_id")
+    "pipe_pack_sequences" -> ((s, dir) =>
+      packedDocs(s, dir).orderBy("lang", "doc_id")),
+
+    // Packing observability — the utilization report every packed
+    // dataset ships with: per language, pack count, token totals,
+    // fill ratio vs the budget, the fattest pack and how many packs
+    // are single oversize docs. Two bounded aggregations over the
+    // pack assignment (per-pack then per-lang) — the report is
+    // langs-rows regardless of corpus size.
+    "pipe_pack_stats" -> ((s, dir) => {
+      packedDocs(s, dir)
+        .groupBy("lang", "pack_id")
+        .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("nd"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("nd")).as("n_docs"),
+          sum(col("fill")).as("total_tokens"),
+          max(col("fill")).as("max_fill"),
+          sum(when(col("fill") > PackBudget, 1L).otherwise(0L)).as("n_oversize"))
+        .withColumn("util4",
+          round(col("total_tokens").cast("double")
+            / (col("n_packs") * lit(PackBudget)), 4))
+        .orderBy("lang")
     }),
 
     // Exact token-budget selection — "give me a reproducible ~N-token
@@ -674,6 +702,34 @@ object PipelineQueries {
          |  FROM pack p JOIN docs d ON d.lang = p.lang AND d.rn = p.rn + 1)
          |SELECT doc_id, lang, n_tokens, CAST(pack_id AS BIGINT) AS pack_id
          |FROM pack ORDER BY lang, doc_id""".stripMargin,
+    // Same recursive packing, aggregated to the per-lang report.
+    "pipe_pack_stats" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |pack AS (
+         |  SELECT doc_id, lang, n_tokens, rn, 1 AS pack_id, n_tokens AS fill
+         |  FROM docs WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
+         |    CASE WHEN p.fill + d.n_tokens > $PackBudget
+         |         THEN p.pack_id + 1 ELSE p.pack_id END,
+         |    CASE WHEN p.fill + d.n_tokens > $PackBudget
+         |         THEN d.n_tokens ELSE p.fill + d.n_tokens END
+         |  FROM pack p JOIN docs d ON d.lang = p.lang AND d.rn = p.rn + 1),
+         |pk AS (
+         |  SELECT lang, pack_id, CAST(sum(n_tokens) AS BIGINT) AS fill,
+         |    count(*) AS nd
+         |  FROM pack GROUP BY 1, 2)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_packs,
+         |  CAST(sum(nd) AS BIGINT) AS n_docs,
+         |  CAST(sum(fill) AS BIGINT) AS total_tokens,
+         |  CAST(max(fill) AS BIGINT) AS max_fill,
+         |  CAST(sum(CASE WHEN fill > $PackBudget THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oversize,
+         |  round(CAST(sum(fill) AS DOUBLE) / (count(*) * $PackBudget), 4) AS util4
+         |FROM pk GROUP BY lang ORDER BY lang""".stripMargin,
     "pipe_full_clean" ->
       s"""WITH RECURSIVE pairs AS (${Dedup.ngramJaccardPairsSql}),
          |edges AS (

@@ -272,4 +272,36 @@ class PropertiesSpec extends AnyFunSuite {
       s"unexpected arity error: ${err.getMessage}")
     assert(!err.isInstanceOf[IndexOutOfBoundsException])
   }
+
+  test("property: CDC chunking is a deterministic partition with bounded chunks") {
+    import graft.operators.Dedup
+    def chunks(text: String): Seq[String] = {
+      val bytes = text.getBytes("UTF-8")
+      val cuts = (Dedup.CdcWindow to bytes.length).filter { i =>
+        (RollingHash.hashBytes(
+          bytes.slice(i - Dedup.CdcWindow, i)) & Dedup.CdcMask) == 0L
+      }
+      val bs = (0 +: cuts :+ bytes.length).distinct.sorted
+      bs.sliding(2).map { case Seq(a, b) => text.substring(a, b) }.toSeq
+    }
+    val asciiText: Gen[String] =
+      Gen.listOf(Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.const(' ')))
+        .map(_.mkString)
+    check(Prop.forAll(asciiText) { t =>
+      t.isEmpty || {
+        val cs = chunks(t)
+        // partition: chunks reassemble the doc, every chunk non-empty
+        cs.mkString == t && cs.forall(_.nonEmpty) &&
+          // determinism: identical on re-evaluation
+          chunks(t) == cs &&
+          // prefix stability: a suffix append never changes chunks
+          // that end more than a window before the old end
+          {
+            val grown = chunks(t + "xyz")
+            val stable = cs.dropRight(2)
+            grown.take(stable.length) == stable
+          }
+      }
+    }, n = 40)
+  }
 }
