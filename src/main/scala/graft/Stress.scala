@@ -166,7 +166,8 @@ object Stress {
         "dd_cdc_chunks", "mm_phash_pairs", "pipe_dsir_weights",
         "pipe_token_budget", "pipe_ppl_buckets", "ss_ivf_nprobe",
         "ss_ivf_recall", "ss_pca_top2",
-        "ta_trigram_backoff", "dd_label_prop", "ev_anomaly")
+        "ta_trigram_backoff", "dd_label_prop", "ev_anomaly",
+        "ta_lang_entropy", "ev_markov", "pipe_pack_stats")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")

@@ -70,6 +70,31 @@ object EventQueries {
         .orderBy("event_type", "rk")
     }),
 
+    // First-order Markov transition matrix of event types — the
+    // behavioral model product analytics fits on clickstreams
+    // (P(next event | current event) per user journey). Successor
+    // pairs come from a per-user lead() window (user_id is the
+    // natural shard key, the sessionize argument; (ts, event_id)
+    // ordering is total so the sequence is deterministic), then two
+    // types²-bounded aggregations; probabilities are exact integer
+    // micro-probs (n·10⁶ DIV row-total). Output is a types×types
+    // frame regardless of corpus size.
+    "ev_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("cur").agg(sum(col("n")).as("row_n"))
+      tr.join(broadcast(tot), "cur")
+        .select(col("cur"), col("nxt"), col("n"),
+          expr("n * 1000000 DIV row_n").as("p_micro"))
+        .orderBy("cur", "nxt")
+    }),
+
     // Tumbling 1-hour window counts per event type. `window()` is the
     // real Spark windowing operator; its .start equals date_trunc hour.
     "ev_tumbling_hour" -> ((s, dir) => {
@@ -301,6 +326,17 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |tr AS (SELECT cur, nxt, count(*) AS n FROM seq
+        |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS row_n FROM tr GROUP BY 1)
+        |SELECT cur, nxt, n, (n * 1000000) // row_n AS p_micro
+        |FROM tr JOIN tot USING (cur) ORDER BY cur, nxt""".stripMargin,
     // μ/σ from the same exact micro-integer sums; the heap-aggregated
     // top-5 must equal the window form (|z| desc, event_id asc).
     "ev_anomaly" ->

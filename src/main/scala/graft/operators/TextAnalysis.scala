@@ -302,6 +302,34 @@ object TextAnalysis {
         .orderBy("bucket")
     }),
 
+    // Per-language unigram entropy — the vocabulary-richness /
+    // compressibility profile corpus reports lead with (a language
+    // slice whose entropy collapses is boilerplate- or spam-heavy).
+    // H = −Σ p·ln p over the language's unigram distribution: the ln
+    // evaluates ONCE PER (lang, word) on the vocab-bounded count frame
+    // and floors to a micro-integer there, so the corpus-side
+    // aggregation is an exact integer dot product c_w·lnm_w (order
+    // free; the pipe_dsir_weights libm-confinement argument). Output
+    // is langs rows; the division + 4dp round happen on exact pieces.
+    "ta_lang_entropy" -> ((s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val nl = cnt.groupBy("lang").agg(sum(col("c")).as("n"),
+        count(lit(1)).as("vocab"))
+      cnt.join(broadcast(nl), "lang")
+        .withColumn("lnm",
+          floor(log(col("c").cast("double") / col("n")) * lit(-1000000.0))
+            .cast("long"))
+        .groupBy("lang")
+        .agg(max(col("n")).as("n_tokens"), max(col("vocab")).as("vocab"),
+          sum(col("c") * col("lnm")).as("wsum"))
+        .withColumn("entropy4",
+          round(col("wsum").cast("double") / col("n_tokens") / lit(1000000.0), 4))
+        .select("lang", "n_tokens", "vocab", "entropy4")
+        .orderBy("lang")
+    }),
+
     // Stupid-backoff trigram LM (Brants et al. 2007 — the web-scale
     // LM scoring standard precisely because it needs no normalization
     // pass): the model trains on the md5 < '8000' half of the corpus
@@ -819,6 +847,24 @@ object TextAnalysis {
          |  CAST(sum(microp) AS DOUBLE) / count(*) / 1000000.0 AS mean_bigram_p
          |FROM bg JOIN model USING (w1, w2)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ta_lang_entropy" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, w, count(*) AS c
+         |  FROM (SELECT lang, unnest($toksSql) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |nl AS (
+         |  SELECT lang, CAST(sum(c) AS BIGINT) AS n, count(*) AS vocab
+         |  FROM cnt GROUP BY 1),
+         |t AS (
+         |  SELECT cnt.lang, c, n, vocab,
+         |    CAST(floor(ln(CAST(c AS DOUBLE) / n)
+         |      * CAST(-1000000.0 AS DOUBLE)) AS BIGINT) AS lnm
+         |  FROM cnt JOIN nl USING (lang))
+         |SELECT lang, CAST(max(n) AS BIGINT) AS n_tokens,
+         |  CAST(max(vocab) AS BIGINT) AS vocab,
+         |  round(CAST(CAST(sum(c * lnm) AS BIGINT) AS DOUBLE) / max(n)
+         |    / CAST(1000000.0 AS DOUBLE), 4) AS entropy4
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "ta_trigram_backoff" ->
       s"""WITH tg AS MATERIALIZED (
          |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
