@@ -181,6 +181,53 @@ object StreamingWordCount {
       }.toDF("source", "doc_id")
   }
 
+  /** Idempotent micro-batch MERGE sink via foreachBatch — the
+    * production pattern for streaming upserts into a keyed store when
+    * the sink has no native merge (plain parquet here): each batch
+    * anti-joins the current target on the key and rewrites
+    * target = (target − batch keys) ∪ batch, staged to a temp dir and
+    * atomically swapped so readers never see a half-written store.
+    * Replay safety comes from a processed-batch marker file: a batch
+    * id seen before (checkpoint recovery re-delivers the last batch)
+    * is skipped, making the merge exactly-once end to end even though
+    * foreachBatch itself is at-least-once.
+    */
+  def mergeSink(df: DataFrame, keyCol: String, targetDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = Paths.get(targetDir + s".batch-$batchId.done")
+        if (!Files.exists(marker)) {
+          val spark = batch.sparkSession
+          val target = Paths.get(targetDir)
+          val merged =
+            if (Files.exists(target)) {
+              spark.read.parquet(targetDir)
+                .join(batch.select(keyCol), Seq(keyCol), "left_anti")
+                .unionByName(batch)
+            } else batch.toDF()
+          val stage = targetDir + s".stage-$batchId"
+          merged.write.mode("overwrite").parquet(stage)
+          // atomic swap: the staged store replaces the live one
+          if (Files.exists(target)) {
+            val old = Paths.get(targetDir + s".old-$batchId")
+            Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+            Files.move(Paths.get(stage), target, StandardCopyOption.ATOMIC_MOVE)
+            org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+          } else {
+            Files.move(Paths.get(stage), target, StandardCopyOption.ATOMIC_MOVE)
+          }
+          Files.createFile(marker)
+        }
+        () // keep the lambda Unit-typed for the Scala overload
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()

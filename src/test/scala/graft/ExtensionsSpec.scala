@@ -244,6 +244,29 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming merge sink upserts micro-batches into a keyed parquet store") {
+    val src = Files.createTempDirectory("stream_merge_src")
+    val tgt = Files.createTempDirectory("stream_merge_t").resolve("store").toString
+    val ckp = Files.createTempDirectory("stream_merge_ckp").toString
+    Seq((1L, "v1"), (2L, "v1")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val q = StreamingWordCount.mergeSink(stream, "doc_id", tgt, ckp)
+    try {
+      val s1 = spark.read.parquet(tgt).collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getString(r.fieldIndex("text"))).toMap
+      assert(s1 == Map(1L -> "v1", 2L -> "v1"))
+      // batch 2: doc 2 updates, doc 3 inserts — doc 1 must survive
+      Seq((2L, "v2"), (3L, "v1")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(tgt).collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getString(r.fieldIndex("text"))).toMap
+      assert(s2 == Map(1L -> "v1", 2L -> "v2", 3L -> "v1"))
+    } finally q.stop()
+  }
+
   test("streaming session windows agree with the batch sessionization (closed sessions)") {
     val dir = Files.createTempDirectory("stream_sw")
     Tables.events(spark, sf).select("ts", "user_id")
