@@ -207,6 +207,54 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter prefiltered delta dedup — pipe_incremental_dedup's
+    // exact stage re-shaped for the 100 TB asymmetry where the corpus
+    // fingerprint set is far too large to ship but a bitset over it is
+    // not: k=4 16-bit hash slices of each corpus fingerprint set bits
+    // in an m=2¹⁶-bit filter, aggregated as ≤2048 (word, bits) rows
+    // (bit_or partial-aggregates map-side, so the shuffle carries at
+    // most 1024 rows per partition regardless of corpus size). The
+    // delta probes the filter through a BROADCAST join on the word
+    // index — pure Catalyst bit math, no UDF, no driver-side bitset —
+    // and only BF-positive docs pay the exact fingerprint join (Bloom
+    // filters have no false negatives, so the final is_dup set is
+    // EXACT; bf_hit additionally surfaces the false-positive rate the
+    // filter trades for its size). This is the manual form of the
+    // runtime bloom-filter join Spark injects for selective joins
+    // (spark.sql.optimizer.runtime.bloomFilter.*), materialized as an
+    // operator so the filter can be built once and reused across
+    // nightly deltas. Oracle mirrors the exact same bit positions, so
+    // even the false positives are engine-exact, not just the verdict.
+    "pipe_bloom_dedup" -> ((s, dir) => {
+      val isNew = pmod(col("doc_id"), lit(10)) === 7
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val posOf = (off: Int) =>
+        conv(substring(col("h"), off, 4), 16, 10).cast("long")
+      val positions = explode(array(Seq(1, 5, 9, 13).map(posOf): _*)).as("p")
+      val bf = docs.filter(!isNew)
+        .select(positions)
+        .groupBy((col("p") / 32).cast("long").as("word"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))")
+          .as("bits"))
+      val probed = docs.filter(isNew)
+        .select(col("doc_id"), positions)
+        .join(broadcast(bf), (col("p") / 32).cast("long") === col("word"), "left")
+        .withColumn("ok",
+          when(col("bits").isNotNull &&
+            expr("bits & shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))") =!= 0,
+            1L).otherwise(0L))
+        .groupBy("doc_id").agg((sum(col("ok")) === 4).as("bf_hit"))
+      docs.filter(isNew)
+        .join(docs.filter(!isNew).select(col("h"))
+            .distinct().withColumn("is_dup", lit(true)),
+          Seq("h"), "left")
+        .join(probed, Seq("doc_id"))
+        .select(col("doc_id"), col("bf_hit"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     // 16-bit SimHash per document from per-token md5 bits. Per token,
     // the native Md5PrefixLong expression yields the digest's top 64
     // bits as ONE long; the bit-majority vote is a single typed
@@ -293,6 +341,50 @@ object Dedup {
           coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
         .withColumn("dup_frac4",
           round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // Paragraph-level corpus dedup with reassembly (the C4 rule: drop
+    // every occurrence of a repeated paragraph except the first, then
+    // keep the cleaned document). The test corpus has no newlines, so
+    // the "paragraph" unit is the non-overlapping 8-token block —
+    // same mechanics, unit swapped at one expression. Keep-first is
+    // deterministic: the surviving occurrence of a block is the one
+    // with the minimum (doc_id, block_idx), encoded as the single
+    // long `ord = doc_id·2²⁰ + blk` so the winner per block is ONE
+    // hash-aggregated min — never min(struct(...)) (SortAggregate
+    // trap, see the signature pipeline note) and never a window over
+    // the block's occurrence group (a boilerplate block occurring 10M
+    // times would funnel 10M rows through one window partition; the
+    // agg absorbs them map-side). Reassembly collects each doc's kept
+    // blocks — bounded by document length, the safe collect_list
+    // shape. Scale: two shuffles (winner agg keyed by block text,
+    // per-doc reassembly keyed by doc_id) plus the winner join, whose
+    // only skew — a mega-duplicated block — joins against exactly one
+    // winner row per key (AQE skew-split applies; no pair blowup by
+    // construction).
+    "dd_paragraph_dedup" -> ((s, dir) => {
+      val blkArr = expr(
+        """transform(sequence(0, CAST((size(toks) + 7) DIV 8 AS INT) - 1),
+          |  i -> struct(i AS blk,
+          |              array_join(slice(toks, i * 8 + 1, 8), ' ') AS btext))
+          |""".stripMargin)
+      val blocks = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), explode(blkArr).as("b"))
+        .select(col("doc_id"), col("b.blk").as("blk"), col("b.btext").as("btext"),
+          (col("doc_id") * lit(1048576L) + col("b.blk")).as("ord"))
+      val winners = blocks.groupBy("btext").agg(min(col("ord")).as("keep_ord"))
+      blocks.join(winners, Seq("btext"))
+        .withColumn("kept", col("ord") === col("keep_ord"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("blk"), col("btext"))))),
+            x => x("btext")), " ")).as("clean_fp"))
         .orderBy("doc_id")
     }),
 
@@ -1074,6 +1166,38 @@ object Dedup {
          |       WHEN n.doc_id IN (SELECT doc_id FROM nearc) THEN 'near_dup'
          |       ELSE 'kept' END AS status
          |FROM newd n ORDER BY n.doc_id""".stripMargin,
+    "pipe_bloom_dedup" ->
+      """WITH corp AS (
+        |  SELECT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7),
+        |delta AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 7),
+        |cpos AS (
+        |  SELECT ((strpos('0123456789abcdef', substring(h, off, 1)) - 1) * 4096
+        |        + (strpos('0123456789abcdef', substring(h, off + 1, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substring(h, off + 2, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substring(h, off + 3, 1)) - 1)) AS p
+        |  FROM corp, UNNEST([1, 5, 9, 13]) AS t(off)),
+        |bf AS (
+        |  SELECT p // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        |  FROM cpos GROUP BY 1),
+        |dpos AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substring(h, off, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substring(h, off + 1, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substring(h, off + 2, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substring(h, off + 3, 1)) - 1)) AS p
+        |  FROM delta, UNNEST([1, 5, 9, 13]) AS t(off)),
+        |bh AS (
+        |  SELECT d.doc_id,
+        |    sum(CASE WHEN bf.bits IS NOT NULL
+        |             AND (bf.bits & (CAST(1 AS BIGINT) << CAST(d.p % 32 AS INT))) <> 0
+        |        THEN 1 ELSE 0 END) = 4 AS bf_hit
+        |  FROM dpos d LEFT JOIN bf ON bf.word = d.p // 32
+        |  GROUP BY d.doc_id)
+        |SELECT dl.doc_id, bh.bf_hit,
+        |  dl.h IN (SELECT h FROM corp) AS is_dup
+        |FROM delta dl JOIN bh USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dd_repeated_spans" ->
       s"""WITH spans AS (
          |  SELECT doc_id, i, array_to_string(list_slice(t, i, i + 4), ' ') AS s
@@ -1093,6 +1217,24 @@ object Dedup {
          |  round(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_spans, 4) AS dup_frac4
          |FROM tot t LEFT JOIN dd d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "dd_paragraph_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |blocks AS (
+         |  SELECT doc_id, i AS blk,
+         |    array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ') AS btext,
+         |    doc_id * 1048576 + i AS ord
+         |  FROM d, UNNEST(range(0, (len(t) + 7) // 8)) AS u(i)
+         |  WHERE len(t) > 0),
+         |win AS (SELECT btext, min(ord) AS keep_ord FROM blocks GROUP BY btext),
+         |k AS (
+         |  SELECT b.doc_id, b.blk, b.btext, b.ord = w.keep_ord AS kept
+         |  FROM blocks b JOIN win w USING (btext))
+         |SELECT doc_id, count(*) AS n_blocks,
+         |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+         |  md5(COALESCE(
+         |    string_agg(btext, ' ' ORDER BY blk) FILTER (WHERE kept),
+         |    '')) AS clean_fp
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The window hash replays RollingHash's 64-bit wraparound fold in
     // HUGEINT arithmetic (the ta_rolling_fp oracle pattern — all-ASCII
     // corpus, so ord(char) = UTF-8 byte); the low-6-bits boundary test

@@ -25,6 +25,7 @@ object QualityQueries {
   val DomainCap = 10 // max docs kept per source (corpus balancing)
   val DsirBuckets = 256 // hashed-ngram feature space (md5 first byte)
   val DsirTopK = 50     // selected-doc report size
+  val PpsTicks = 50     // systematic-PPS sample size (tick count)
 
   /** First `quota` rows of every `group`, ordered by (md5(doc_id),
     * doc_id) — WITHOUT a per-group window. Corpus groups are Zipfian
@@ -117,6 +118,47 @@ object QualityQueries {
     "pipe_stratified_sample" -> ((s, dir) =>
       hashOrderedHead(Tables.documents(s, dir), "lang", "(n_grp + 9) DIV 10")
         .orderBy("doc_id")),
+
+    // Weighted sampling, probability ∝ document length (the standard
+    // "sample tokens, not documents" correction): systematic PPS —
+    // docs laid out on the cumulative-weight line in (md5(doc_id),
+    // doc_id) order; a doc is selected iff its weight span crosses one
+    // of PpsTicks evenly spaced ticks. Chosen over Efraimidis–Spirakis
+    // keys (-ln(u)/w) deliberately: E-S ranks by a transcendental of a
+    // hash, and cross-engine libm parity at the top-K boundary is
+    // exactly the flakiness this suite bans — the tick rule is pure
+    // integer cross-multiplication ((cum·K) DIV W), engine-exact, and
+    // the hash order supplies the randomization. Scale: the global
+    // cumulative sum is the pipe_stratified_sample two-phase shape —
+    // per-md5-prefix-bucket weight subtotals (a 256-row frame; the
+    // only unpartitioned window runs over THAT, bounded by
+    // construction), then per-doc prefix sums inside each ~n/256-row
+    // bucket partition. A doc heavier than W/K gets multiple ticks —
+    // n_ticks is its multiplicity (PPS with replacement semantics).
+    "pipe_weighted_sample" -> ((s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bucket", substring(col("h"), 1, 2))
+      val bstats = keyed.groupBy("bucket").agg(sum(col("w")).as("bw"))
+        .withColumn("cum_before", coalesce(
+          sum(col("bw")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("cum_before"))
+      val total = keyed.agg(sum(col("w")).as("tw"))
+      val wIn = Window.partitionBy(col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      keyed
+        .join(broadcast(bstats), Seq("bucket"))
+        .withColumn("cum", col("cum_before") + sum(col("w")).over(wIn))
+        .crossJoin(broadcast(total))
+        .withColumn("t_hi", expr(s"(cum * $PpsTicks) DIV tw"))
+        .withColumn("t_lo", expr(s"((cum - w) * $PpsTicks) DIV tw"))
+        .filter(col("t_hi") > col("t_lo"))
+        .select(col("doc_id"), col("w"), (col("t_hi") - col("t_lo")).as("n_ticks"))
+        .orderBy("doc_id")
+    }),
 
     // Corpus balancing: keep at most DomainCap docs per crawl domain
     // (`source`), selected in (md5(doc_id), doc_id) order — the
@@ -241,6 +283,24 @@ object QualityQueries {
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= $DomainCap
+         |ORDER BY doc_id""".stripMargin,
+    // At oracle scale the two-phase bucket allocation collapses to the
+    // single running sum this window states — same order, same ticks.
+    "pipe_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, w,
+         |    sum(w) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |t AS (SELECT sum(w) AS tw FROM d)
+         |SELECT doc_id, w,
+         |  (cum * $PpsTicks) // tw - ((cum - w) * $PpsTicks) // tw AS n_ticks
+         |FROM c, t
+         |WHERE (cum * $PpsTicks) // tw > ((cum - w) * $PpsTicks) // tw
          |ORDER BY doc_id""".stripMargin,
     "ta_quality_lr" ->
       s"""WITH feats AS (
