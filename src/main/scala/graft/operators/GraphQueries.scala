@@ -180,6 +180,51 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  val KcoreK = 2       // core order: the quasi-clique floor
+  val KcoreRounds = 6  // fixed peeling rounds (oracle unrolls the same)
+
+  /** k-core membership by iterative peeling: each round drops nodes
+    * whose CURRENT degree is below k, then re-restricts the edge list
+    * to surviving endpoints (removing a node lowers its neighbors'
+    * degrees — the recursion is the point; a plain one-shot degree
+    * filter keeps chains of degree-2 nodes that unravel once an
+    * endpoint goes). Near-dup use: a 2-core separates genuine
+    * duplicate communities (quasi-cliques) from incidental pair
+    * bridges — the LSH-threshold health signal one level above
+    * dd_triangles. Fixed [[KcoreRounds]] rounds, per-round
+    * localCheckpoint (lineage one round deep, the dd_pagerank
+    * discipline); each round is one degree aggregation + two
+    * semi-joins, all keyed shuffles. Both engines run the SAME round
+    * count, so results agree even on a graph that hasn't reached the
+    * peeling fixpoint (an adversarial path graph unravels one node
+    * per round, exactly the diameter-bound caveat the CC operator
+    * documents — production chooses rounds like dd_clusters chooses
+    * its doubling count).
+    */
+  def kcoreMembers(pairs: DataFrame, k: Int = KcoreK,
+                   rounds: Int = KcoreRounds): DataFrame = {
+    val all = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
+    var edges = all
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select(col("src").as("id"))
+      edges = edges
+        .join(keep, edges("src") === keep("id"), "left_semi")
+        .join(keep, edges("dst") === keep("id"), "left_semi")
+        .localCheckpoint(true)
+    }
+    val core = edges.select(col("src").as("id")).distinct()
+      .withColumn("in_core", lit(true))
+    all.select(col("src").as("doc_id")).distinct()
+      .join(core, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("in_core"), lit(false)).as("in_core2"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dd_pagerank" -> ((s, dir) =>
@@ -187,6 +232,10 @@ object GraphQueries {
         Dedup.verifiedPairs(s, dir, dedup = true).select("doc_a", "doc_b"))
         .select(col("id").as("doc_id"), col("pr").as("pr_micro"))
         .orderBy("doc_id")),
+
+    "dd_kcore" -> ((s, dir) =>
+      kcoreMembers(Dedup.verifiedPairs(s, dir, dedup = true)
+        .select("doc_a", "doc_b"))),
 
     // Directed projection of the near-dup graph: each verified pair
     // points doc_a → doc_b ("earlier doc endorses later duplicate").
@@ -239,7 +288,30 @@ object GraphQueries {
        |    FROM edges e JOIN $prev p ON e.src = p.id
        |    GROUP BY e.dst) c ON d.id = c.id)""".stripMargin
 
+  // MATERIALIZED is load-bearing: each round references the previous
+  // round's CTE twice (degree filter + edge restriction), so inlined
+  // CTEs re-evaluate the whole chain ~3× per round — minutes at 6
+  // rounds vs 0.5 s materialized (the DedupClusters oracle discipline).
+  private def kcoreRoundSql(prev: String, round: Int): String =
+    s"""k$round AS MATERIALIZED (
+       |  SELECT src AS id FROM $prev GROUP BY src HAVING count(*) >= $KcoreK),
+       |e$round AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM $prev e
+       |  JOIN k$round a ON e.src = a.id
+       |  JOIN k$round b ON e.dst = b.id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dd_kcore" ->
+      s"""WITH pairs AS MATERIALIZED (${Dedup.ngramJaccardPairsSql}),
+         |e0 AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |${(1 to KcoreRounds).map(i => kcoreRoundSql(s"e${i - 1}", i)).mkString(",\n")}
+         |SELECT n.id AS doc_id,
+         |  n.id IN (SELECT src FROM e$KcoreRounds) AS in_core2
+         |FROM (SELECT DISTINCT src AS id FROM e0) n
+         |ORDER BY doc_id""".stripMargin,
     "dd_pagerank" ->
       s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql}),
          |edges AS (

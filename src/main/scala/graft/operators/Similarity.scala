@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -571,6 +572,43 @@ object Similarity {
         .unionAll(pqObj(pqSeedCb(pdims), "seed"))
         .unionAll(pqObj(pqParts(s, dir)._3, "trained"))
         .orderBy("codebook", "stage")
+    }),
+
+    // OPQ-style eigen-allocation (Ge et al. 2013 §4's non-parametric
+    // init, variance-profile form): PQ quantizes each subspace with
+    // the same code budget, so subspaces should carry BALANCED
+    // variance — the naive contiguous split (dims 0-7 → subspace 0, …)
+    // inherits whatever variance ordering the embedding model emitted.
+    // Rank dims by variance and deal them to subspaces in snake order
+    // (r → r%16 going down, 15-r%16 coming back), the standard
+    // balanced-allocation heuristic. Output: per-(layout, subspace)
+    // variance totals for both layouts — the dispersion drop IS the
+    // technique's effect. All exact: per-dim variance as the integer
+    // n·Σx²−(Σx)² over floor(x·10⁴) micro-coordinates (longs can't
+    // overflow: |xi|≤10⁴ ⇒ n·Σxi² ≤ 7·10¹⁴ at sf0.1); ranking and the
+    // snake run over a d-row frame (the only windows anywhere, bounded
+    // by the embedding width, never by corpus size). At 100 TB only
+    // the variance aggregation touches data — one map-side-combined
+    // shuffle to a d-row frame; the allocation itself is metadata.
+    "ss_pq_eigenalloc" -> ((s, dir) => {
+      val stats = Tables.embeddings(s, dir)
+        .select(posexplode(toDouble(col("embedding"))).as(Seq("d", "x")))
+        .select(col("d"), floor(col("x") * lit(10000.0)).cast("long").as("xi"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
+          sum(col("xi") * col("xi")).as("sxx"))
+        .withColumn("var_scaled", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("var_scaled").desc, col("d"))) - 1)
+      val contiguous = stats.select(lit("contiguous").as("layout"),
+        expr("CAST(d DIV 8 AS INT)").as("s"), col("var_scaled"))
+      val eigen = stats.select(lit("eigenalloc").as("layout"),
+        expr("CAST(IF(r % 16 < 8, r % 16, 15 - r % 16) AS INT)").as("s"),
+        col("var_scaled"))
+      contiguous.unionAll(eigen)
+        .groupBy("layout", "s")
+        .agg(sum(col("var_scaled")).as("sum_var"), count(lit(1)).as("n_dims"))
+        .orderBy("layout", "s")
     }),
 
     // Int8 scalar quantization of the embedding table — the 4× memory
@@ -1256,6 +1294,31 @@ object Similarity {
          |SELECT * FROM ivf_seed UNION ALL SELECT * FROM ivf_tr
          |UNION ALL SELECT * FROM pq_seed UNION ALL SELECT * FROM pq_tr
          |ORDER BY codebook, stage""".stripMargin,
+    "ss_pq_eigenalloc" ->
+      """WITH x AS (
+        |  SELECT CAST(i - 1 AS INT) AS d,
+        |    CAST(floor(e[i] * 10000) AS BIGINT) AS xi
+        |  FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+        |       UNNEST(range(1, len(e) + 1)) AS u(i)),
+        |st AS (
+        |  SELECT d, count(*) AS n, sum(xi) AS sx, sum(xi * xi) AS sxx
+        |  FROM x GROUP BY d),
+        |rk AS (
+        |  SELECT d, n * sxx - sx * sx AS var_scaled,
+        |    row_number() OVER (ORDER BY n * sxx - sx * sx DESC, d) - 1 AS r
+        |  FROM st),
+        |legs AS (
+        |  SELECT 'contiguous' AS layout, CAST(d // 8 AS INT) AS s, var_scaled
+        |  FROM rk
+        |  UNION ALL
+        |  SELECT 'eigenalloc' AS layout,
+        |    CAST(CASE WHEN r % 16 < 8 THEN r % 16 ELSE 15 - r % 16 END AS INT) AS s,
+        |    var_scaled
+        |  FROM rk)
+        |SELECT layout, s, CAST(sum(var_scaled) AS BIGINT) AS sum_var,
+        |  count(*) AS n_dims
+        |FROM legs GROUP BY layout, s
+        |ORDER BY layout, s""".stripMargin,
     "ss_ann_recall" -> {
       val flipsSql = "bucket" +: (1 to 8).map { i =>
         s"substr(bucket, 1, ${i - 1}) || " +
