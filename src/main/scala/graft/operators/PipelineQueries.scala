@@ -494,6 +494,151 @@ object PipelineQueries {
           min(col("x")).as("min_user"), max(col("x")).as("max_user"),
           min(col("y")).as("min_min16"), max(col("y")).as("max_min16"))
         .orderBy("z_bucket")
+    }),
+
+    // C4/Gopher-style heuristic filter battery (Raffel et al. 2020 §2.2;
+    // Rae et al. 2021 A1.1) — the rule sieve every web corpus passes
+    // before any model-based scoring. Six deterministic rules, each
+    // integer/string-exact: word-count floor+ceiling, mean word length
+    // in [3,10] (via 3·n ≤ chars ≤ 10·n, no division), curly-brace and
+    // lorem-ipsum markers, and ≥2 distinct stopwords present. Output is
+    // the per-language rule-failure profile + survivors — the report a
+    // filtering run ships. One scan, every flag computed map-side, one
+    // langs-row aggregation: at 100 TB this is a single
+    // map-side-combined shuffle, and the flags stay inside
+    // whole-stage codegen (no UDF anywhere).
+    "pipe_c4_filters" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), col("text"), tokens(col("text")).as("toks"))
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .withColumn("chars",
+          length(regexp_replace(col("text"), " ", "")).cast("long"))
+        .withColumn("n_stop",
+          Seq("the", "a", "of", "to", "and")
+            .map(w => array_contains(col("toks"), w).cast("long"))
+            .reduce(_ + _))
+        .withColumn("f_short", (col("nt") < 50).cast("long"))
+        .withColumn("f_long", (col("nt") > 10000).cast("long"))
+        .withColumn("f_wordlen",
+          (col("chars") < lit(3L) * col("nt") ||
+            col("chars") > lit(10L) * col("nt")).cast("long"))
+        .withColumn("f_brace", col("text").contains("{").cast("long"))
+        .withColumn("f_lorem",
+          lower(col("text")).contains("lorem ipsum").cast("long"))
+        .withColumn("f_stop", (col("n_stop") < 2).cast("long"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_short")).as("n_short"),
+          sum(col("f_long")).as("n_long"),
+          sum(col("f_wordlen")).as("n_wordlen"),
+          sum(col("f_brace")).as("n_brace"),
+          sum(col("f_lorem")).as("n_lorem"),
+          sum(col("f_stop")).as("n_stopfail"),
+          sum(when(col("f_short") + col("f_long") + col("f_wordlen")
+            + col("f_brace") + col("f_lorem") + col("f_stop") === 0L, 1L)
+            .otherwise(0L)).as("n_pass"))
+        .orderBy("lang")
+    }),
+
+    // Length-bucketed batching — the padding-waste planner for training:
+    // group docs into power-of-two token-length buckets (the standard
+    // bucketed-batching layout) and report, per bucket, the padding
+    // waste vs padding every doc to the global max. The pow2 cap is
+    // integer-exact via the binary-string length of n−1 (never
+    // floor(log2(double)), whose boundary cells differ between
+    // engines). Both layouts are one aggregation over the same
+    // doc-level frame; at 100 TB the report is ~60 rows (log₂ of the
+    // max length × layouts) out of one map-side-combined shuffle.
+    "pipe_length_buckets" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(size(tokens(col("text"))).cast("long").as("nt"))
+        .withColumn("blen", length(bin(col("nt") - 1)))
+        .withColumn("cap",
+          when(col("nt") <= 1L, 1L)
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), blen)")))
+        .drop("blen")
+      val bucketed = d.groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+        .withColumn("layout", lit("bucketed"))
+      val gcap = d.agg(max(col("cap")).as("gcap"))
+      val global = d.crossJoin(broadcast(gcap))
+        .groupBy(col("gcap").as("cap"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+        .withColumn("layout", lit("global"))
+      bucketed.unionByName(global)
+        .withColumn("waste4",
+          round(lit(1.0) - col("sum_tokens").cast("double")
+            / (col("cap") * col("n_docs")).cast("double"), 4))
+        .select("layout", "cap", "n_docs", "sum_tokens", "waste4")
+        .orderBy("layout", "cap")
+    }),
+
+    // Temperature-based language sampling (the mC4/mT5 α-mix, Xue et
+    // al. 2021 §3.1, at α = 0.5): sampling weight ∝ (tokens_L)^α
+    // flattens the language distribution so low-resource languages
+    // aren't drowned. α = 1/2 keeps every step IEEE-exact across
+    // engines: sqrt is correctly rounded (unlike pow(x, 0.3)), and the
+    // weight is floored to a micro-integer before the (order-free)
+    // integer total. Reported boost = p_sampled/p_natural as a product
+    // of two exactly-rounded divisions. One langs-row aggregate off a
+    // map-side-combined token count — metadata-sized at any corpus
+    // scale.
+    "pipe_lang_alpha_weights" -> ((s, dir) => {
+      val avail = Tables.documents(s, dir)
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(sum(col("nt")).as("tokens"), count(lit(1)).as("n_docs"))
+        .withColumn("w_micro",
+          floor(sqrt(col("tokens").cast("double")) * 1e6).cast("long"))
+      val tot = avail.agg(sum(col("w_micro")).as("w_tot"),
+        sum(col("tokens")).as("t_tot"))
+      avail.crossJoin(broadcast(tot))
+        .withColumn("p4",
+          round(col("w_micro").cast("double") / col("w_tot").cast("double"), 4))
+        .withColumn("boost4",
+          round((col("w_micro").cast("double") / col("w_tot").cast("double"))
+            * (col("t_tot").cast("double") / col("tokens").cast("double")), 4))
+        .select("lang", "tokens", "n_docs", "w_micro", "p4", "boost4")
+        .orderBy("lang")
+    }),
+
+    // Rendezvous (highest-random-weight) sharding — stable shard
+    // assignment under resharding: shard(doc) = argmax over shards of
+    // md5(doc_id#shard). Growing 8 → 10 shards moves only docs whose
+    // new shard WINS (expected 2/10), vs mod-N hashing which moves
+    // ~90% — the report quantifies both, which is exactly the number a
+    // 100 TB re-shard plan needs before touching data. Per doc the
+    // candidate list is a 10-element in-row array (argmax via
+    // array_max on (hash, shard) structs — no explode, no shuffle);
+    // the two movement counts are one aggregation. Ties impossible
+    // (md5 injective on distinct inputs in practice; tie-break on
+    // shard id is still deterministic in both engines).
+    "pipe_rendezvous_shards" -> ((s, dir) => {
+      val cand = array((0 until 10).map { i =>
+        struct(md5(concat(col("doc_id").cast("string"), lit("#" + i))).as("h"),
+          lit(i.toLong).as("s"))
+      }: _*)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), cand.as("cand"))
+        .withColumn("s10", array_max(col("cand")).getField("s"))
+        .withColumn("s8",
+          array_max(filter(col("cand"), c => c.getField("s") < 8))
+            .getField("s"))
+        .withColumn("hrw_moved", (col("s10") =!= col("s8")).cast("long"))
+        .withColumn("mod_moved",
+          (pmod(col("doc_id"), lit(10L)) =!= pmod(col("doc_id"), lit(8L)))
+            .cast("long"))
+      d.agg(sum(col("hrw_moved")).as("hrw"), sum(col("mod_moved")).as("mod"),
+          count(lit(1)).as("n_total"))
+        .select(explode(array(
+          struct(lit("hrw").as("method"), col("hrw").as("n_moved"),
+            col("n_total")),
+          struct(lit("mod").as("method"), col("mod").as("n_moved"),
+            col("n_total")))).as("r"))
+        .select(col("r.method"), col("r.n_moved"), col("r.n_total"))
+        .withColumn("moved4",
+          round(col("n_moved").cast("double") / col("n_total").cast("double"), 4))
+        .orderBy("method")
     })
   )
 
@@ -834,6 +979,98 @@ object PipelineQueries {
          |  WHERE rn = 1)
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
-         |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipe_c4_filters" ->
+      s"""WITH d AS (
+         |  SELECT lang, text,
+         |    CAST(len($toksSql) AS BIGINT) AS nt,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+         |    CAST(list_contains($toksSql, 'the') AS BIGINT)
+         |      + CAST(list_contains($toksSql, 'a') AS BIGINT)
+         |      + CAST(list_contains($toksSql, 'of') AS BIGINT)
+         |      + CAST(list_contains($toksSql, 'to') AS BIGINT)
+         |      + CAST(list_contains($toksSql, 'and') AS BIGINT) AS n_stop
+         |  FROM documents),
+         |f AS (
+         |  SELECT lang,
+         |    CAST(nt < 50 AS BIGINT) AS f_short,
+         |    CAST(nt > 10000 AS BIGINT) AS f_long,
+         |    CAST(chars < 3 * nt OR chars > 10 * nt AS BIGINT) AS f_wordlen,
+         |    CAST(contains(text, '{') AS BIGINT) AS f_brace,
+         |    CAST(contains(lower(text), 'lorem ipsum') AS BIGINT) AS f_lorem,
+         |    CAST(n_stop < 2 AS BIGINT) AS f_stop
+         |  FROM d)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(f_short) AS BIGINT) AS n_short,
+         |  CAST(sum(f_long) AS BIGINT) AS n_long,
+         |  CAST(sum(f_wordlen) AS BIGINT) AS n_wordlen,
+         |  CAST(sum(f_brace) AS BIGINT) AS n_brace,
+         |  CAST(sum(f_lorem) AS BIGINT) AS n_lorem,
+         |  CAST(sum(f_stop) AS BIGINT) AS n_stopfail,
+         |  CAST(sum(CASE WHEN f_short + f_long + f_wordlen + f_brace
+         |    + f_lorem + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipe_length_buckets" ->
+      s"""WITH d AS (
+         |  SELECT CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+         |c AS (
+         |  SELECT nt, CASE WHEN nt <= 1 THEN 1
+         |    ELSE CAST(1 AS BIGINT) << length(bin(nt - 1)) END AS cap
+         |  FROM d),
+         |bucketed AS (
+         |  SELECT 'bucketed' AS layout, cap, count(*) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS sum_tokens
+         |  FROM c GROUP BY cap),
+         |gl AS (
+         |  SELECT 'global' AS layout, (SELECT max(cap) FROM c) AS cap,
+         |    count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
+         |  FROM c)
+         |SELECT layout, cap, n_docs, sum_tokens,
+         |  round(1.0 - CAST(sum_tokens AS DOUBLE)
+         |    / CAST(cap * n_docs AS DOUBLE), 4) AS waste4
+         |FROM (SELECT * FROM bucketed UNION ALL SELECT * FROM gl)
+         |ORDER BY layout, cap""".stripMargin,
+    "pipe_lang_alpha_weights" ->
+      s"""WITH avail AS (
+         |  SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS tokens,
+         |    count(*) AS n_docs
+         |  FROM documents GROUP BY lang),
+         |w AS (
+         |  SELECT lang, tokens, n_docs,
+         |    CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS w_micro
+         |  FROM avail),
+         |tot AS (
+         |  SELECT CAST(sum(w_micro) AS BIGINT) AS w_tot,
+         |    CAST(sum(tokens) AS BIGINT) AS t_tot FROM w)
+         |SELECT lang, tokens, n_docs, w_micro,
+         |  round(CAST(w_micro AS DOUBLE) / CAST(w_tot AS DOUBLE), 4) AS p4,
+         |  round((CAST(w_micro AS DOUBLE) / CAST(w_tot AS DOUBLE))
+         |    * (CAST(t_tot AS DOUBLE) / CAST(tokens AS DOUBLE)), 4) AS boost4
+         |FROM w, tot ORDER BY lang""".stripMargin,
+    "pipe_rendezvous_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, u.s AS s,
+        |    md5(CAST(doc_id AS VARCHAR) || '#' || CAST(u.s AS VARCHAR)) AS hh
+        |  FROM documents, UNNEST(range(0, 10)) AS u(s)),
+        |a10 AS (SELECT doc_id, arg_max(s, hh) AS s10 FROM h GROUP BY doc_id),
+        |a8 AS (SELECT doc_id, arg_max(s, hh) AS s8 FROM h WHERE s < 8
+        |       GROUP BY doc_id),
+        |j AS (
+        |  SELECT a10.doc_id, s10, s8,
+        |    CAST(s10 <> s8 AS BIGINT) AS hrw_moved,
+        |    CAST(a10.doc_id % 10 <> a10.doc_id % 8 AS BIGINT) AS mod_moved
+        |  FROM a10 JOIN a8 ON a10.doc_id = a8.doc_id),
+        |agg AS (
+        |  SELECT CAST(sum(hrw_moved) AS BIGINT) AS hrw,
+        |    CAST(sum(mod_moved) AS BIGINT) AS mod,
+        |    count(*) AS n_total FROM j)
+        |SELECT method, n_moved, n_total,
+        |  round(CAST(n_moved AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS moved4
+        |FROM (
+        |  SELECT 'hrw' AS method, hrw AS n_moved, n_total FROM agg
+        |  UNION ALL
+        |  SELECT 'mod' AS method, mod AS n_moved, n_total FROM agg)
+        |ORDER BY method""".stripMargin
   )
 }
