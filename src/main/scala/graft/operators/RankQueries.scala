@@ -32,6 +32,8 @@ object RankQueries {
   val CandidateK = 50 // candidates per retriever feeding the fusion
   val RrfK       = 60 // the standard RRF dampening constant
   val FusedK     = 10 // fused results returned per query
+  val HnLo       = 0.15 // hard-negative band floor (informative, not noise)
+  val HnHi       = 0.3  // band ceiling = dd_embed_cos's near-dup threshold
 
   /** The multi-query benchmark table: (query_id, its terms). Term
     * lists are disjoint so per-query rankings genuinely differ.
@@ -324,6 +326,32 @@ object RankQueries {
         .withColumn("rn", row_number().over(w).cast("int"))
         .filter(col("rn") <= 3)
         .orderBy("src", "rn")
+    }),
+
+    // Hard-negative mining for contrastive training: per anchor, the
+    // top-3 neighbors whose cosine falls in [HnLo, HnHi) — similar
+    // enough to be informative negatives, below the near-dup threshold
+    // (0.3, dd_embed_cos's) so they are guaranteed non-positives.
+    // Same LSH-blocked self-join shape as dd_knn_graph (the band
+    // filter runs BEFORE the per-anchor window, so the window frame is
+    // the bucket-bounded candidate set, never the corpus); at 100 TB
+    // this rides the identical bucketed plan — the band predicate only
+    // shrinks it.
+    "ss_hard_negatives" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"),
+          Vec.signBucket(col("embedding")).as("bucket"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr").asc)
+      v.as("a").join(v.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
+          round(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 4)
+            .as("cos"))
+        .filter(col("cos") >= HnLo && col("cos") < HnHi)
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 3)
+        .orderBy("src", "rn")
     })
   )
 
@@ -399,6 +427,19 @@ object RankQueries {
          |      ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) DESC,
          |               b.vec_id ASC) AS rn
          |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |WHERE rn <= 3 ORDER BY src, rn""".stripMargin,
+    "ss_hard_negatives" ->
+      s"""WITH v AS (${OracleSql.vectors}),
+         |band AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
+         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= $HnLo
+         |    AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) < $HnHi)
+         |SELECT src, nbr, cos, CAST(rn AS INT) AS rn FROM (
+         |  SELECT src, nbr, cos,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr ASC) AS rn
+         |  FROM band)
          |WHERE rn <= 3 ORDER BY src, rn""".stripMargin
   )
 }

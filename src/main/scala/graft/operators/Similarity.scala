@@ -528,6 +528,32 @@ object Similarity {
       trainedCents(dims).orderBy("cent_id", "dim")
     }),
 
+    // Coreset / diversity sampling — the first sweep of the k-center
+    // greedy every curated-subset pipeline runs (pick one
+    // representative per cluster, weighted by occupancy): each trained
+    // IVF cell reports its size and its medoid-ish representative
+    // (the member with minimum exact micro-L2 to the centroid, ties
+    // to the smallest vec_id). Assignment is a broadcast join against
+    // the k·d-row codebook; the representative is an
+    // argmin-as-two-hash-aggregations (min dm per cell, then min
+    // vec_id at that dm — never a struct-min, which falls out of
+    // HashAggregate). Output is k rows regardless of corpus size.
+    "ss_diversity_sample" -> ((s, dir) => {
+      val dims = kmDims(s, dir).localCheckpoint(false)
+      val cents = trainedCents(dims)
+      val dist = l2VecDist(dims, cents)
+      val asg = assignL2(dims, cents)
+      val cell = dist.join(asg, Seq("vec_id", "cent_id"))
+      val best = cell.groupBy("cent_id").agg(min(col("dm")).as("dm"))
+      val rep = cell.join(best, Seq("cent_id", "dm"))
+        .groupBy("cent_id", "dm").agg(min(col("vec_id")).as("rep_vec"))
+      cell.groupBy("cent_id").agg(count(lit(1)).as("n_vectors"))
+        .join(rep, "cent_id")
+        .select(col("cent_id"), col("n_vectors"), col("rep_vec"),
+          col("dm").as("rep_dm"))
+        .orderBy("cent_id")
+    }),
+
     // The trained per-subspace PQ codebooks — PqTrainRounds Lloyd
     // rounds in each of the 8 subspaces at once (the subspace id just
     // rides the grouping keys; one job trains all 8 codebooks). This
@@ -1172,6 +1198,21 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ss_diversity_sample" ->
+      s"""WITH $trainedAssignCtes,
+         |cell AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cent_id, ad.dm
+         |  FROM asg a JOIN ad ON a.vec_id = ad.vec_id
+         |    AND a.cent_id = ad.cent_id),
+         |best AS (SELECT cent_id, min(dm) AS dm FROM cell GROUP BY cent_id),
+         |rep AS (
+         |  SELECT c.cent_id, c.dm, min(c.vec_id) AS rep_vec
+         |  FROM cell c JOIN best b ON c.cent_id = b.cent_id AND c.dm = b.dm
+         |  GROUP BY c.cent_id, c.dm),
+         |occ AS (SELECT cent_id, count(*) AS n_vectors FROM cell GROUP BY cent_id)
+         |SELECT o.cent_id, o.n_vectors, r.rep_vec, r.dm AS rep_dm
+         |FROM occ o JOIN rep r ON o.cent_id = r.cent_id
+         |ORDER BY o.cent_id""".stripMargin,
     "ss_bruteforce_topk" -> topkSql("q.vec_id <> c.vec_id"),
     "ss_lsh_topk" -> topkSql("q.bucket = c.bucket AND q.vec_id <> c.vec_id"),
     // Aggregated top-k must produce exactly the window form's rows.
