@@ -322,6 +322,80 @@ object EventQueries {
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // Watermark sizing audit — the out-of-orderness histogram that
+    // decides `withWatermark`'s delay before any streaming job ships:
+    // lateness(e) = (max event-time seen so far in ARRIVAL order) −
+    // event-time(e). The table is event-time-ordered, so arrival
+    // order is simulated with a deterministic ±40-position hash
+    // displacement (the pipe_snapshot_diff discipline: both engines
+    // derive the identical scenario from one table). The running max
+    // never flows through one task: 256 equal-width arrival buckets
+    // (span from a broadcast 1-row agg) → per-bucket max → prefix max
+    // over the 256-row frame → within-bucket running max; the
+    // composed max is exact. At 100 TB the bucket tier nests (256²
+    // cells before any window exceeds ~N/65k rows) — the
+    // pipe_token_budget two-phase argument, for max instead of sum.
+    "ev_watermark_audit" -> ((s, dir) => {
+      val jit =
+        expr("instr('0123456789abcdef', substring(md5(cast(event_id AS string)), 1, 1))") - 1
+      val d = Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("arrival", col("event_id") + (jit - 8) * 5)
+      val span = d.agg(min(col("arrival")).as("a_min"),
+        (max(col("arrival")) - min(col("arrival")) + 1).as("a_span"))
+      val bucketed = d.crossJoin(broadcast(span))
+        .withColumn("b", expr("(arrival - a_min) * 256 DIV a_span"))
+      val wPrior = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prior = bucketed.groupBy("b").agg(max(col("us")).as("bmax"))
+        .withColumn("prior_max", max(col("bmax")).over(wPrior))
+        .select("b", "prior_max") // 256-row frame; bounded window
+      val wRun = Window.partitionBy(col("b"))
+        .orderBy(col("arrival"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bucketed.join(broadcast(prior), "b")
+        .withColumn("run_max", max(col("us")).over(wRun))
+        .withColumn("gmax", greatest(col("run_max"),
+          coalesce(col("prior_max"), lit(Long.MinValue))))
+        .withColumn("late_us", col("gmax") - col("us"))
+        .withColumn("cls",
+          when(col("late_us") === 0L, "a_inorder")
+            .when(col("late_us") <= 600L * 1000000L, "b_le10min")
+            .when(col("late_us") <= 3600L * 1000000L, "c_le1h")
+            .otherwise("d_gt1h"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("late_us")) / lit(1000000L)).cast("long").as("max_late_s"))
+        .orderBy("cls")
+    }),
+
+    // Join-key skew profile — the pre-flight check before any keyed
+    // shuffle at 100 TB: per-key row counts → one summary row with the
+    // hottest key, the skew factor (hot/avg), and the salt bucket
+    // count that would level it (integer-exact ceiling division, no
+    // float ceil). Feeds SkewOps.saltedSumCount's `saltBuckets` and
+    // the saltedAsOf wrapper's `salts`. One map-side-combined count
+    // plus a keys-sized argmax — the profile costs one shuffle of
+    // distinct keys, never of rows.
+    "ev_skew_profile" -> ((s, dir) => {
+      val perKey = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+      val hot = perKey.agg(max(col("c")).as("max_key_rows"))
+      val top = perKey.join(broadcast(hot),
+          perKey("c") === hot("max_key_rows"))
+        .agg(min(col("user_id")).as("top_key"),
+          min(col("max_key_rows")).as("max_key_rows"))
+      perKey.agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"))
+        .crossJoin(broadcast(top))
+        .withColumn("skew4",
+          round((col("max_key_rows") * col("n_keys")).cast("double")
+            / col("n_rows").cast("double"), 4))
+        .withColumn("suggested_salt",
+          expr("(max_key_rows * n_keys + n_rows - 1) DIV n_rows"))
+        .select("n_rows", "n_keys", "top_key", "max_key_rows", "skew4",
+          "suggested_salt")
     })
   )
 
@@ -513,6 +587,51 @@ object EventQueries {
         |               lag(epoch_us(ts), 1) OVER
         |                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |        FROM events))
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_watermark_audit" ->
+      """WITH d AS (
+        |  SELECT event_id, epoch_us(ts) AS us,
+        |    event_id + (instr('0123456789abcdef',
+        |      substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 - 8) * 5
+        |      AS arrival
+        |  FROM events),
+        |span AS (
+        |  SELECT min(arrival) AS a_min,
+        |    max(arrival) - min(arrival) + 1 AS a_span FROM d),
+        |bk AS (
+        |  SELECT d.*, (arrival - a_min) * 256 // a_span AS b
+        |  FROM d CROSS JOIN span),
+        |pr AS (
+        |  SELECT b, max(bmax) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM (SELECT b, max(us) AS bmax FROM bk GROUP BY b)),
+        |lt AS (
+        |  SELECT bk.us,
+        |    greatest(
+        |      max(us) OVER (PARTITION BY bk.b ORDER BY arrival, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      COALESCE(pr.prior_max, -9223372036854775807 - 1)) - bk.us
+        |      AS late_us
+        |  FROM bk JOIN pr ON bk.b = pr.b)
+        |SELECT CASE WHEN late_us = 0 THEN 'a_inorder'
+        |    WHEN late_us <= CAST(600 AS BIGINT) * 1000000 THEN 'b_le10min'
+        |    WHEN late_us <= CAST(3600 AS BIGINT) * 1000000 THEN 'c_le1h'
+        |    ELSE 'd_gt1h' END AS cls,
+        |  count(*) AS n_events,
+        |  CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s
+        |FROM lt GROUP BY 1 ORDER BY cls""".stripMargin,
+    "ev_skew_profile" ->
+      """WITH pk AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |hot AS (SELECT max(c) AS max_key_rows FROM pk),
+        |top AS (
+        |  SELECT min(user_id) AS top_key, min(max_key_rows) AS max_key_rows
+        |  FROM pk JOIN hot ON pk.c = hot.max_key_rows),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys FROM pk)
+        |SELECT n_rows, n_keys, top_key, max_key_rows,
+        |  round(CAST(max_key_rows * n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE), 4) AS skew4,
+        |  (max_key_rows * n_keys + n_rows - 1) // n_rows AS suggested_salt
+        |FROM tot CROSS JOIN top""".stripMargin
   )
 }
