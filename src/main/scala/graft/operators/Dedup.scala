@@ -782,6 +782,65 @@ object Dedup {
         .filter(col("cos") >= 0.3)
         .distinct()
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // Corpus novelty curve — the diminishing-returns signal a crawl
+    // operator watches: per doc (in ingestion = doc_id order), what
+    // fraction of its distinct shingles has never appeared in any
+    // earlier doc. "First appearance" is min(doc_id) per shingle —
+    // one map-side-combined aggregation keyed by shingle, then a
+    // co-partitioned join back on the same key (no second shuffle of
+    // the shingle frame) and a per-doc count. A novelty fraction
+    // trending to zero says the crawl is re-reading the web; the
+    // 100 TB shape is exactly this plan with shingle-keyed bucketing.
+    "dd_novelty_curve" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+      val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+        .withColumn("novel4",
+          round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // Dedup ablation report — what each tier actually removes, the
+    // table every dedup paper and every pipeline review asks for:
+    // tier 1 = raw corpus, tier 2 = exact-duplicate survivors (min
+    // doc_id per md5 class), tier 3 = near-dup survivors (connected-
+    // component victims of the LSH+verify graph built OVER tier 2 —
+    // tiers nest, matching production order where exact dedup always
+    // runs first; this is also why tier-3 cost is bounded: the pair
+    // generator never sees an exact-duplicate class). Output: three
+    // rows of (docs, tokens) + per-tier removal. Composes the same
+    // scale-shaped stages the individual queries run.
+    "dd_ablation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          size(tokens(col("text"))).cast("long").as("nt"))
+        .localCheckpoint(false)
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val exact = docs.withColumn("fp", md5(col("text")))
+        .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
+        .select("doc_id", "text", "nt")
+        .localCheckpoint(false) // reused by pairs + the report + anti-join
+      val pairs = verifiedPairsOf(exact, dedup = false)
+        .select("doc_a", "doc_b")
+      val victims = DedupClusters.connectedComponents(pairs)
+        .filter(col("id") =!= col("label")).select(col("id"))
+      val near = exact.join(victims, exact("doc_id") === victims("id"),
+        "left_anti")
+      def tier(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+          .select(lit(name).as("tier"), col("n_docs"), col("n_tokens"))
+      tier("1_raw", docs)
+        .unionByName(tier("2_exact", exact))
+        .unionByName(tier("3_near", near))
+        .orderBy("tier")
     })
   )
 
@@ -1274,6 +1333,46 @@ object Dedup {
          |FROM agg WHERE n_docs >= 2
          |ORDER BY n_docs DESC, n_occ DESC, chunk_md5 ASC LIMIT 50""".stripMargin,
     "dd_ngram_jaccard" -> ngramJaccardSqlFrom("documents"),
+    "dd_novelty_curve" ->
+      s"""WITH sh AS MATERIALIZED ($shinglesSql),
+         |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh
+         |       GROUP BY shingle)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 4) AS novel4
+         |FROM sh JOIN fs ON sh.shingle = fs.shingle
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "dd_ablation" ->
+      s"""WITH RECURSIVE ex AS MATERIALIZED (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |pairs AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM (${ngramJaccardSqlFrom("ex")})),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |victims AS (
+         |  SELECT id FROM (SELECT id, least(id, min(r)) AS cluster_id
+         |                  FROM reach GROUP BY id)
+         |  WHERE id <> cluster_id),
+         |near AS (SELECT doc_id, text FROM ex
+         |         WHERE doc_id NOT IN (SELECT id FROM victims))
+         |SELECT '1_raw' AS tier, count(*) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens FROM documents
+         |UNION ALL
+         |SELECT '2_exact', count(*), CAST(sum(len($toksSql)) AS BIGINT) FROM ex
+         |UNION ALL
+         |SELECT '3_near', count(*), CAST(sum(len($toksSql)) AS BIGINT) FROM near
+         |ORDER BY tier""".stripMargin,
     "dd_jaccard_prefix" -> jaccardPrefixSqlFrom("documents"),
     "dd_lsh_recall" ->
       s"""WITH sample AS (
