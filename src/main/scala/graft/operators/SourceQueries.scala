@@ -39,6 +39,28 @@ object SourceQueries {
         .orderBy("n_nationkey")
     }),
 
+    // Schema evolution through mergeSchema — the long-lived-dataset
+    // reality: a column added mid-corpus means old shards lack it.
+    // v1 shards carry (doc_id, lang), v2 adds n_chars; the merged
+    // read unions parquet footers at planning time and fills the
+    // missing column with NULL for v1 rows. At 100 TB footer merging
+    // is metadata-only (spark.sql.parquet.mergeSchema scans footers,
+    // not data) and the unified ReadSchema still prunes columns. The
+    // v1/v2 membership is the standard md5 hash range so the scenario
+    // is sf-independent and oracle-reconstructible.
+    "src_schema_evolution" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+      val path = tmp("docs_evo")
+      docs.filter(h < "8000").select("doc_id", "lang")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/v=1")
+      docs.filter(h >= "8000").select("doc_id", "lang", "n_chars")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/v=2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/v=1", s"$path/v=2")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // JSON lines: schema passed explicitly (inference would widen
     // integer types and reorder fields).
     "src_json_roundtrip" -> ((s, dir) => {
@@ -99,6 +121,11 @@ object SourceQueries {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "src_json_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "src_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |       THEN NULL ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "src_partitioned_pruning" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
