@@ -103,6 +103,36 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // Bucketed-table co-located join through the driver gate: fact and
+    // dim land bucketed (and bucket-sorted) by the join key — the
+    // lakehouse layout that deletes the join shuffle at 100 TB, because
+    // each bucketed scan's output partitioning already satisfies the
+    // join's ClusteredDistribution (`ScaleSpec` "bucketed tables join
+    // without a shuffle exchange" pins the plan property; this row pins
+    // the VALUES through the oracle at bench scale). The merge hint
+    // forces the sort-merge path even where the dim would broadcast, so
+    // every bench rep actually exercises the exchange-free bucketed
+    // join; only the final 4-row mktsegment rollup shuffles.
+    "src_bucketed_join" -> ((s, dir) => {
+      val path = tmp("bkt")
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode(SaveMode.Overwrite).option("path", s"$path/orders")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_bkt")
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+        .write.mode(SaveMode.Overwrite).option("path", s"$path/customer")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_bkt")
+      s.table("graft_orders_bkt").hint("merge")
+        .join(s.table("graft_customer_bkt"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          Agg.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     // The "switch your engine, keep your SQL" surface, through the
     // driver gate: Graft.sql registers every table as a view plus the
     // graft-native SQL functions, and runs the query string — here
@@ -129,6 +159,15 @@ object SourceQueries {
     "src_partitioned_pruning" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    // The bucketed layout is value-transparent: the oracle is the plain
+    // join + rollup over the original parquet.
+    "src_bucketed_join" ->
+      s"""SELECT c_mktsegment,
+         |  count(*) AS n_orders,
+         |  count(DISTINCT c_custkey) AS n_customers,
+         |  ${OracleSql.dsum("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // Lines are exactly documents.text, so the counts equal wordcount's.
     "src_graftlines_wordcount" ->
       """SELECT w AS word, count(*) AS cnt

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Properties of this round's operators: the bucketed-join driver row,
+  * BPE encoding with trained merges, the LR training step, snapshot
+  * drift (PSI), exact range sharding, and the stream-stream join dual.
+  * Synthetic ground truths where the semantics have a closed form;
+  * structural/plan invariants on sf0.001 otherwise.
+  */
+class Round9OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("src_bucketed_join: the merge-hinted join runs without a shuffle exchange") {
+    // Build the bucketed tables via the query itself (it is
+    // idempotent), then re-derive the JOIN-only frame and assert no
+    // Exchange feeds the SortMergeJoin: the bucketed scans' output
+    // partitioning already satisfies the join's distribution. Only
+    // the final 4-row rollup in the full query may shuffle.
+    run("src_bucketed_join").collect()
+    val joined = spark.table("graft_orders_bkt").hint("merge")
+      .join(spark.table("graft_customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"not a merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
+}
