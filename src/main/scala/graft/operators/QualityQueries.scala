@@ -199,6 +199,69 @@ object QualityQueries {
         .orderBy("doc_id")
     }),
 
+    // One full-batch gradient step of the quality LR — the TRAINING
+    // half of ta_quality_lr's serving shape, distilling the integer
+    // Gopher rule gate into the model (weak supervision: y = the rule
+    // gate's verdict, the standard bootstrap for a learned quality
+    // classifier). The step is the canonical distributed-training
+    // shape (MLlib GD's treeAggregate): ONE corpus scan, per-doc
+    // gradient contributions floored to micro-integers so the
+    // cross-partition sum is an order-free long — no float
+    // accumulation ever crosses a partition boundary — map-side
+    // partial aggregation to a single 7-number row, and a 4-row
+    // weight report unpivoted from it with stack (no recompute).
+    // Per-doc transcendentals (the serving sigmoid, the ln feature)
+    // round to 4dp BEFORE any product — the ta_quality_lr determinism
+    // contract. At 100 TB an epoch is exactly this pass; the gradient
+    // state never exceeds one row per partition.
+    "ta_lr_train_step" -> ((s, dir) => {
+      val feats = Tables.documents(s, dir)
+        .select(tokens(col("text")).as("toks"))
+        .select(
+          size(col("toks")).cast("long").as("nt"),
+          aggregate(transform(col("toks"), t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("sumlen"),
+          vocabHits(col("toks"), Stopwords).cast("long").as("stop_hits"))
+      val x1 = round(log(lit(1.0) + col("nt")), 4)
+      val x2 = when(col("nt") > 0,
+        col("sumlen").cast("double") / col("nt")).otherwise(lit(0.0))
+      val x3 = when(col("nt") > 0,
+        col("stop_hits").cast("double") / col("nt")).otherwise(lit(0.0))
+      val z = lit(-6.0) +
+        lit(0.8) * log(lit(1.0) + col("nt")) + lit(0.35) * x2 + lit(6.0) * x3
+      val y = when(
+        col("nt") >= MinTokens && col("nt") <= MaxTokens &&
+          col("sumlen") >= lit(MinMeanWordLen.toLong) * col("nt") &&
+          col("sumlen") <= lit(MaxMeanWordLen.toLong) * col("nt") &&
+          col("stop_hits") >= MinStopwordHits, lit(1.0)).otherwise(lit(0.0))
+      val p4 = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+      feats
+        .select((p4 - y).as("err"), x1.as("x1"), x2.as("x2"), x3.as("x3"),
+          p4.as("p4"), y.as("y"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(floor(col("err") * lit(1e6)).cast("long")).as("g0"),
+          sum(floor(col("err") * col("x1") * lit(1e6)).cast("long")).as("g1"),
+          sum(floor(col("err") * col("x2") * lit(1e6)).cast("long")).as("g2"),
+          sum(floor(col("err") * col("x3") * lit(1e6)).cast("long")).as("g3"),
+          sum(when((col("p4") >= 0.5) === (col("y") === 1.0), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .selectExpr(
+          """stack(4,
+            |  0, 'bias',       -6.0D, g0,
+            |  1, 'log1p_ntok',  0.8D, g1,
+            |  2, 'mean_wlen',  0.35D, g2,
+            |  3, 'stop_ratio',  6.0D, g3) AS (j, feature, w_old, grad_micro)
+            |""".stripMargin,
+          "n_docs", "n_correct")
+        .withColumn("w_new8", round(
+          col("w_old") - lit(0.5) *
+            (col("grad_micro").cast("double") / lit(1e6)) / col("n_docs"), 8))
+        .select("j", "feature", "w_old", "grad_micro", "w_new8",
+          "n_docs", "n_correct")
+        .orderBy("j")
+    }),
+
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): hashed-token
     // bag-of-ngrams models for a target distribution (here the 'en'
@@ -320,6 +383,47 @@ object QualityQueries {
          |SELECT doc_id, nt, score4,
          |  CAST(CASE WHEN score4 >= 0.5 THEN 1 ELSE 0 END AS INT) AS label
          |FROM scored ORDER BY doc_id""".stripMargin,
+    // Gradient micro-integers: per-doc (p4 - y)·x_j floors to a long
+    // on BOTH engines before summing, so the only cross-engine float
+    // exposure is the two round-to-4dp transcendentals ta_quality_lr
+    // already pins green; everything downstream of the longs is the
+    // identical IEEE op tree.
+    "ta_lr_train_step" ->
+      s"""WITH base AS (
+         |  SELECT CAST(len(t) AS BIGINT) AS nt,
+         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sumlen,
+         |    CAST(len(list_filter(t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS stop_hits
+         |  FROM (SELECT ${OracleSql.toks} AS t FROM documents)),
+         |s AS (
+         |  SELECT nt,
+         |    round(ln(1.0 + nt), 4) AS x1,
+         |    CASE WHEN nt > 0 THEN CAST(sumlen AS DOUBLE) / nt ELSE 0.0 END AS x2,
+         |    CASE WHEN nt > 0 THEN CAST(stop_hits AS DOUBLE) / nt ELSE 0.0 END AS x3,
+         |    round(1.0 / (1.0 + exp(-(
+         |      -6.0 + 0.8 * ln(1.0 + nt)
+         |      + 0.35 * (CASE WHEN nt > 0 THEN CAST(sumlen AS DOUBLE) / nt ELSE 0.0 END)
+         |      + 6.0  * (CASE WHEN nt > 0 THEN CAST(stop_hits AS DOUBLE) / nt ELSE 0.0 END)))), 4) AS p4,
+         |    CASE WHEN nt >= $MinTokens AND nt <= $MaxTokens
+         |          AND sumlen >= $MinMeanWordLen * nt AND sumlen <= $MaxMeanWordLen * nt
+         |          AND stop_hits >= $MinStopwordHits THEN 1.0 ELSE 0.0 END AS y
+         |  FROM base),
+         |g AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(CAST(floor((p4 - y) * 1000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         |    CAST(sum(CAST(floor((p4 - y) * x1 * 1000000.0) AS BIGINT)) AS BIGINT) AS g1,
+         |    CAST(sum(CAST(floor((p4 - y) * x2 * 1000000.0) AS BIGINT)) AS BIGINT) AS g2,
+         |    CAST(sum(CAST(floor((p4 - y) * x3 * 1000000.0) AS BIGINT)) AS BIGINT) AS g3,
+         |    CAST(sum(CASE WHEN (p4 >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM s)
+         |SELECT j, feature, w_old, grad_micro,
+         |  round(w_old - 0.5 * (CAST(grad_micro AS DOUBLE) / 1000000.0) / n_docs, 8) AS w_new8,
+         |  n_docs, n_correct
+         |FROM (
+         |  SELECT 0 AS j, 'bias' AS feature, -6.0 AS w_old, g0 AS grad_micro, n_docs, n_correct FROM g
+         |  UNION ALL SELECT 1, 'log1p_ntok', 0.8, g1, n_docs, n_correct FROM g
+         |  UNION ALL SELECT 2, 'mean_wlen', 0.35, g2, n_docs, n_correct FROM g
+         |  UNION ALL SELECT 3, 'stop_ratio', 6.0, g3, n_docs, n_correct FROM g)
+         |ORDER BY j""".stripMargin,
     // The md5-first-byte bucket is two hex nibbles via the strpos
     // alphabet trick (the dd_simhash oracle pattern); the ln sits on a
     // 256-row frame and its argument is an exact-rational double built

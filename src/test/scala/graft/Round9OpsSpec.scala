@@ -35,4 +35,23 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join still shuffles:\n$plan")
   }
+
+  test("ta_lr_train_step: 4-row weight report, step moves against the gradient") {
+    val rows = run("ta_lr_train_step").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("bias", "log1p_ntok", "mean_wlen", "stop_ratio"))
+    val n = rows.head.getLong(rows.head.fieldIndex("n_docs"))
+    assert(n > 0)
+    rows.foreach { r =>
+      val g = r.getLong(r.fieldIndex("grad_micro"))
+      val wOld = r.getDouble(r.fieldIndex("w_old"))
+      val wNew = r.getDouble(r.fieldIndex("w_new8"))
+      // gradient DESCENT: a clearly-signed gradient moves the weight
+      // the other way (tiny |g| can vanish in the 8dp rounding)
+      if (g > 1000L) assert(wNew < wOld, s"$r")
+      if (g < -1000L) assert(wNew > wOld, s"$r")
+      assert(r.getLong(r.fieldIndex("n_correct")) <= n)
+    }
+  }
 }
