@@ -231,6 +231,51 @@ object PipelineQueries {
         .orderBy("status")
     }),
 
+    // Snapshot distribution drift — the monitoring gate a corpus
+    // refresh runs BEFORE promoting a new snapshot: Population
+    // Stability Index per monitored feature between the reference
+    // corpus half and the current half (the standard md5-range
+    // membership, so both engines see identical snapshots). Features:
+    // the language mix and the doc-length magnitude (decimal digit
+    // count of n_chars — an integer bucket rule with zero float
+    // exposure). PSI = Σ_b (p_cur - p_ref)·ln(p_cur/p_ref), Laplace-
+    // smoothed; the ln lives on the feature×bucket frame (~10 rows)
+    // and each bucket's term floors to a micro-integer before the
+    // per-feature sum — the DSIR determinism pattern. One corpus scan
+    // (the two features explode from one projection), map-side
+    // aggregation to the bucket frame; at 100 TB the data-sized work
+    // is exactly one pass and the PSI arithmetic is free.
+    "pipe_drift_psi" -> ((s, dir) => {
+      val half = when(
+        substring(md5(col("doc_id").cast("string")), 1, 1) < "8", "ref")
+        .otherwise("cur")
+      val counts = Tables.documents(s, dir)
+        .select(half.as("half"), explode(array(
+          struct(lit("lang").as("feature"), col("lang").as("bucket")),
+          struct(lit("len_digits").as("feature"),
+            length(col("n_chars").cast("string")).cast("string")
+              .as("bucket")))).as("fb"))
+        .select(col("half"), col("fb.feature"), col("fb.bucket"))
+        .groupBy("feature", "bucket")
+        .agg(
+          sum(when(col("half") === "ref", 1L).otherwise(0L)).as("cr"),
+          sum(when(col("half") === "cur", 1L).otherwise(0L)).as("cc"))
+      val totals = counts.groupBy("feature")
+        .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
+          count(lit(1)).as("nb"))
+      val pc = (col("cc") + lit(1L)).cast("double") / (col("nc") + col("nb"))
+      val pr = (col("cr") + lit(1L)).cast("double") / (col("nr") + col("nb"))
+      counts.join(broadcast(totals), "feature")
+        .select(col("feature"), col("nr"), col("nc"), col("nb"),
+          floor((pc - pr) * log(pc / pr) * lit(1000000.0))
+            .cast("long").as("term_micro"))
+        .groupBy("feature")
+        .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
+          first(col("nb")).as("n_buckets"),
+          sum(col("term_micro")).as("psi_micro"))
+        .orderBy("feature")
+    }),
+
     // MERGE-style incremental corpus maintenance — the operational
     // shape of keeping a 100 TB corpus current between crawls: given
     // the previous snapshot and the new crawl, produce the next corpus
@@ -927,6 +972,38 @@ object PipelineQueries {
         |              ELSE 'unchanged' END AS status
         |  FROM old FULL OUTER JOIN nw ON old_id = new_id)
         |GROUP BY status ORDER BY status""".stripMargin,
+    // PSI terms floor to micro-longs on the ~10-row bucket frame; the
+    // smoothed probabilities are the identical IEEE op tree on both
+    // engines, so the only float exposure is the bucket-frame ln.
+    "pipe_drift_psi" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |              THEN 'ref' ELSE 'cur' END AS half,
+        |    lang, CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR) AS ldig
+        |  FROM documents),
+        |f AS (
+        |  SELECT half, 'lang' AS feature, lang AS bucket FROM d
+        |  UNION ALL
+        |  SELECT half, 'len_digits' AS feature, ldig AS bucket FROM d),
+        |c AS (
+        |  SELECT feature, bucket,
+        |    CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM f GROUP BY 1, 2),
+        |t AS (
+        |  SELECT feature, sum(cr) AS nr, sum(cc) AS nc,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM c GROUP BY 1)
+        |SELECT c.feature, t.nr AS n_ref, t.nc AS n_cur, t.nb AS n_buckets,
+        |  CAST(sum(CAST(floor(
+        |    ((CAST(cc + 1 AS DOUBLE) / (nc + nb))
+        |      - (CAST(cr + 1 AS DOUBLE) / (nr + nb)))
+        |    * ln((CAST(cc + 1 AS DOUBLE) / (nc + nb))
+        |         / (CAST(cr + 1 AS DOUBLE) / (nr + nb)))
+        |    * 1000000.0) AS BIGINT)) AS BIGINT) AS psi_micro
+        |FROM c JOIN t ON c.feature = t.feature
+        |GROUP BY c.feature, t.nr, t.nc, t.nb
+        |ORDER BY c.feature""".stripMargin,
     "pipe_merge_upsert" ->
       """WITH old AS (
         |  SELECT doc_id AS old_id, md5(text) AS old_fp FROM documents

@@ -54,4 +54,18 @@ class Round9OpsSpec extends AnyFunSuite {
       assert(r.getLong(r.fieldIndex("n_correct")) <= n)
     }
   }
+
+  test("pipe_drift_psi: every term is (p-q)ln(p/q) >= 0, so PSI >= -nb micro") {
+    val rows = run("pipe_drift_psi").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("lang", "len_digits"))
+    rows.foreach { r =>
+      val nb = r.getLong(r.fieldIndex("n_buckets"))
+      val psi = r.getLong(r.fieldIndex("psi_micro"))
+      // exact PSI is a sum of non-negative terms; each bucket's
+      // micro-floor loses at most 1, so the floored sum ≥ -nb
+      assert(psi >= -nb, s"$r")
+      assert(r.getLong(r.fieldIndex("n_ref")) > 0)
+      assert(r.getLong(r.fieldIndex("n_cur")) > 0)
+    }
+  }
 }
