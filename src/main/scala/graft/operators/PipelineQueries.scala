@@ -276,6 +276,43 @@ object PipelineQueries {
         .orderBy("feature")
     }),
 
+    // Exact range-partitioned sharding — the deterministic form of
+    // repartitionByRange (which samples its bounds, so its output is
+    // not oracle-reproducible): shard boundaries computed EXACTLY from
+    // the value histogram of the sort key. groupBy(n_chars) collapses
+    // the corpus to a value-bounded frame; the cumulative count runs
+    // over THAT frame (the q_exact_quantiles rule: unpartitioned
+    // windows see only aggregates, never corpus rows); a value lands
+    // in shard 1 + min(R-1, cum_before·R div n) — pure integer math,
+    // equivalent to cutting at ceil(s·n/R) row ranks at value
+    // granularity. Per-row assignment is then a broadcast join of the
+    // tiny value→shard map against the corpus scan. Value-granularity
+    // cuts mean a heavy single value never splits (exactly
+    // repartitionByRange's contract); the per-shard counts expose any
+    // such skew. At 100 TB this is the planning step of every sorted
+    // parquet write: one scan for the histogram, one for the write.
+    "pipe_range_shards" -> ((s, dir) => {
+      val R = 8
+      val docs = Tables.documents(s, dir)
+      val vals = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // cum window + total share one frame
+      val tot = vals.agg(sum(col("cnt")).as("n"))
+      val wCum = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val vmap = vals
+        .withColumn("cb", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("n_chars"),
+          (lit(1) + least(lit((R - 1).toLong), expr(s"cb * $R div n")))
+            .cast("int").as("shard"))
+      docs.join(broadcast(vmap), "n_chars")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("n_chars")).as("lo_nchars"),
+          max(col("n_chars")).as("hi_nchars"))
+        .orderBy("shard")
+    }),
+
     // MERGE-style incremental corpus maintenance — the operational
     // shape of keeping a 100 TB corpus current between crawls: given
     // the previous snapshot and the new crawl, produce the next corpus
@@ -1004,6 +1041,22 @@ object PipelineQueries {
         |FROM c JOIN t ON c.feature = t.feature
         |GROUP BY c.feature, t.nr, t.nc, t.nb
         |ORDER BY c.feature""".stripMargin,
+    "pipe_range_shards" ->
+      """WITH v AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT n_chars, cnt,
+        |    sum(cnt) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cb,
+        |    sum(cnt) OVER () AS n
+        |  FROM v),
+        |m AS (
+        |  SELECT n_chars,
+        |    CAST(1 + least(7, (cb * 8) // n) AS INT) AS shard
+        |  FROM c)
+        |SELECT shard, count(*) AS n_rows,
+        |  min(d.n_chars) AS lo_nchars, max(d.n_chars) AS hi_nchars
+        |FROM documents d JOIN m ON d.n_chars = m.n_chars
+        |GROUP BY shard ORDER BY shard""".stripMargin,
     "pipe_merge_upsert" ->
       """WITH old AS (
         |  SELECT doc_id AS old_id, md5(text) AS old_fp FROM documents

@@ -68,4 +68,24 @@ class Round9OpsSpec extends AnyFunSuite {
       assert(r.getLong(r.fieldIndex("n_cur")) > 0)
     }
   }
+
+  test("pipe_range_shards: shards partition the corpus into contiguous, balanced ranges") {
+    val rows = run("pipe_range_shards").collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total) // every row lands exactly once
+    // ranges are contiguous and non-overlapping in shard order
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(a.fieldIndex("hi_nchars")) <
+          b.getLong(b.fieldIndex("lo_nchars")), s"$a overlaps $b")
+      case _ =>
+    }
+    // value-granularity cuts: a shard exceeds the ideal n/R only by
+    // ties of a single boundary value, bounded by the heaviest value
+    val maxMult = Tables.documents(spark, sf)
+      .groupBy("n_chars").count().agg(max("count")).head.getLong(0)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= total / 8 + maxMult, s"$r")
+    }
+  }
 }
