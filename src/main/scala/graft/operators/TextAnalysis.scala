@@ -35,6 +35,55 @@ object TextAnalysis {
     */
   val BpeTrainRounds = 3
 
+  /** The BPE training loop shared by ta_bpe_train (reports `merges`)
+    * and ta_bpe_encode (aggregates the final `syms`): BpeTrainRounds
+    * iterations of pair-count over the VOCABULARY (word-frequency
+    * weighted, never corpus-sized state) → single best pair
+    * (deterministic ties) → leftmost-greedy non-overlapping re-merge
+    * of every word's symbol array. Per-round localCheckpoint cuts the
+    * lineage exactly like the PageRank loop.
+    *
+    * @return (merges: iter/s1/s2/cnt — one row per round,
+    *          syms: word/wc/syms — the final segmentation of every
+    *          vocabulary word, i.e. the trained encoder's output)
+    */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val wc = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    var syms = wc.select(col("word"), col("wc"),
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .localCheckpoint(false)
+    var merges: DataFrame = null
+    for (r <- 1 to BpeTrainRounds) {
+      val pc = syms.filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS s1, element_at(syms, i + 1) AS s2))"))
+          .as("p"))
+        .select(col("wc"), col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .groupBy("s1", "s2").agg(sum(col("wc")).as("cnt"))
+      val best = pc.orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
+        .localCheckpoint(true) // reused by the merge step AND the report
+      merges =
+        if (merges == null) best.withColumn("iter", lit(r))
+        else merges.unionByName(best.withColumn("iter", lit(r)))
+      syms = syms
+        .crossJoin(broadcast(best.select(col("s1").as("ms1"), col("s2").as("ms2"))))
+        .withColumn("syms", expr(
+          """aggregate(syms, cast(array() as array<string>),
+            |  (acc, x) -> CASE
+            |    WHEN size(acc) > 0 AND element_at(acc, -1) = ms1 AND x = ms2
+            |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ms1, ms2)))
+            |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        .select(col("word"), col("wc"), col("syms"))
+        .localCheckpoint(true) // eager: cut lineage before the next round
+    }
+    (merges, syms)
+  }
+
   /** Per-doc bigram-LM aggregate (doc_id, n_bigrams, sum_microp) —
     * ta_doc_lm_score's body, shared with pipe_ppl_buckets. Every
     * bigram's probability is an exact integer micro-prob
@@ -561,6 +610,9 @@ object TextAnalysis {
         .orderBy("rank")
     }),
 
+    // (bpeTrain holds the shared loop body for ta_bpe_train and
+    // ta_bpe_encode — see its doc below.)
+    //
     // The full BPE training loop — BpeTrainRounds chained iterations
     // of ta_bpe_merge's inner step, each one: count adjacent symbol
     // pairs over the VOCABULARY (weighted by word frequency, never
@@ -575,42 +627,29 @@ object TextAnalysis {
     // (run-parity selection — equivalent to the fold: matches can only
     // overlap when s1 = s2, where greedy takes every other one).
     "ta_bpe_train" -> ((s, dir) => {
-      val wc = Tables.documents(s, dir)
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("wc"))
-      var syms = wc.select(col("word"), col("wc"),
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-          .as("syms"))
-        .localCheckpoint(false)
-      var merges: DataFrame = null
-      for (r <- 1 to BpeTrainRounds) {
-        val pc = syms.filter(size(col("syms")) >= 2)
-          .select(col("wc"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(element_at(syms, i) AS s1, element_at(syms, i + 1) AS s2))"))
-            .as("p"))
-          .select(col("wc"), col("p.s1").as("s1"), col("p.s2").as("s2"))
-          .groupBy("s1", "s2").agg(sum(col("wc")).as("cnt"))
-        val best = pc.orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
-          .localCheckpoint(true) // reused by the merge step AND the report
-        merges =
-          if (merges == null) best.withColumn("iter", lit(r))
-          else merges.unionByName(best.withColumn("iter", lit(r)))
-        syms = syms
-          .crossJoin(broadcast(best.select(col("s1").as("ms1"), col("s2").as("ms2"))))
-          .withColumn("syms", expr(
-            """aggregate(syms, cast(array() as array<string>),
-              |  (acc, x) -> CASE
-              |    WHEN size(acc) > 0 AND element_at(acc, -1) = ms1 AND x = ms2
-              |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ms1, ms2)))
-              |    ELSE concat(acc, array(x)) END)""".stripMargin))
-          .select(col("word"), col("wc"), col("syms"))
-          .localCheckpoint(true) // eager: cut lineage before the next round
-      }
+      val (merges, _) = bpeTrain(s, dir)
       merges
         .select(col("iter").cast("int").as("iter"), col("s1"), col("s2"),
           concat(col("s1"), col("s2")).as("merged"), col("cnt"))
         .orderBy("iter")
+    }),
+
+    // BPE ENCODE with the trained merges — the serving half of
+    // ta_bpe_train: after the fixed merge rounds, each vocabulary
+    // word's final symbol array IS its encoding, so encoding the
+    // corpus is the word-frequency-weighted aggregation of that
+    // vocab-sized frame (the corpus never re-tokenizes row by row —
+    // the segmentation map is vocabulary-sized and would broadcast to
+    // the token stream at 100 TB). Output: the effective symbol
+    // vocabulary with corpus occurrence counts and word coverage —
+    // what a tokenizer ships alongside its merges table.
+    "ta_bpe_encode" -> ((s, dir) => {
+      val (_, syms) = bpeTrain(s, dir)
+      syms.select(col("word"), col("wc"), explode(col("syms")).as("sym"))
+        .groupBy("sym")
+        .agg(sum(col("wc")).as("n_occ"),
+          countDistinct(col("word")).as("n_words"))
+        .orderBy("sym")
     }),
 
     // Exact per-language heavy hitters (vocabulary-building gate):
@@ -698,6 +737,15 @@ object TextAnalysis {
          |${legs.mkString("\nUNION ALL\n")})
          |ORDER BY iter""".stripMargin
     },
+    // The encode oracle reads the LAST re-segmented CTE (bs{N}): each
+    // word's final symbol array is its encoding.
+    "ta_bpe_encode" ->
+      s"""WITH $bpeTrainCtes
+         |SELECT sym,
+         |  CAST(sum(wc) AS BIGINT) AS n_occ,
+         |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+         |FROM (SELECT word, wc, unnest(syms) AS sym FROM bs$BpeTrainRounds)
+         |GROUP BY sym ORDER BY sym""".stripMargin,
     "ta_bpe_merge" ->
       s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents),
          |wc AS (SELECT word, count(*) AS wc FROM w GROUP BY word),

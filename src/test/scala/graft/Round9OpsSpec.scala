@@ -88,4 +88,16 @@ class Round9OpsSpec extends AnyFunSuite {
       assert(r.getLong(1) <= total / 8 + maxMult, s"$r")
     }
   }
+
+  test("ta_bpe_encode: merges conserve characters and produce multi-char symbols") {
+    val rows = run("ta_bpe_encode").collect()
+    // Σ n_occ·len(sym) over the encoded stream = total characters of
+    // the raw token stream — a merge concatenates, never drops
+    val encodedChars = rows.map(r => r.getLong(1) * r.getString(0).length).sum
+    val rawChars = Tables.documents(spark, sf)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      .agg(sum(length(col("w")))).head.getLong(0)
+    assert(encodedChars == rawChars, s"$encodedChars != $rawChars")
+    assert(rows.exists(_.getString(0).length >= 2)) // training merged something
+  }
 }
