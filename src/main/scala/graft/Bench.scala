@@ -50,7 +50,11 @@ object Bench {
     // artifact: three 4–8× phantom regressions that identical code
     // didn't reproduce); passes minutes apart can't both be covered.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Dev-loop subset: regex over query names (the driver sets no
+    // filter and always times the full suite).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.pattern.matcher(n).matches()) }
     val passes = (1 to reps).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()

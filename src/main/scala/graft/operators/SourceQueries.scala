@@ -133,6 +133,30 @@ object SourceQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // The binaryFile source — how a directory of raw media files (the
+    // multimodal-ingestion reality: images/audio land as FILES before
+    // anything converts them to parquet) enters the engine as opaque
+    // binary rows. An md5-range slice of the corpus is laid out as one
+    // file per doc under a doc_id=N partition dir (the text sink
+    // appends the newline the oracle accounts for); binaryFile reads
+    // it back with partition discovery supplying doc_id, and the query
+    // reports per-file length + content checksum. At 100 TB this scan
+    // is splittable across FILES (not within one), which is exactly
+    // the right granularity for media blobs; the standing guidance to
+    // rewrite into parquet/sequence shards after one pass applies.
+    "src_binaryfile_meta" -> ((s, dir) => {
+      val out = tmp("docs_bin")
+      val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+      Tables.documents(s, dir).filter(h < "1000")
+        .select(col("doc_id"), col("text"))
+        .write.mode(SaveMode.Overwrite).partitionBy("doc_id").text(out)
+      s.read.format("binaryFile").load(out)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // The "switch your engine, keep your SQL" surface, through the
     // driver gate: Graft.sql registers every table as a view plus the
     // graft-native SQL functions, and runs the query string — here
@@ -168,6 +192,14 @@ object SourceQueries {
          |  ${OracleSql.dsum("o_totalprice")} AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // One text file per doc: content = text + trailing newline.
+    "src_binaryfile_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) + 1 AS BIGINT) AS n_bytes,
+        |  md5(text || chr(10)) AS content_md5
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1000'
+        |ORDER BY doc_id""".stripMargin,
     // Lines are exactly documents.text, so the counts equal wordcount's.
     "src_graftlines_wordcount" ->
       """SELECT w AS word, count(*) AS cnt

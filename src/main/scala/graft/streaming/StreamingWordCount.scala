@@ -122,7 +122,22 @@ object StreamingWordCount {
     * streaming correlation; without the time bound the state grows
     * forever.
     */
-  def clickAfterViewJoin(spark: SparkSession, inputDir: String, schema: StructType): DataFrame = {
+  def clickAfterViewJoin(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
+    clickAfterViewJoinImpl(spark, inputDir, schema, "inner")
+
+  /** LEFT OUTER stream-stream interval join — the funnel-drop shape:
+    * every view emits, matched eagerly with its clicks, or with NULL
+    * click columns once the watermark proves no qualifying click can
+    * still arrive (outer results are watermark-FINALIZED, not eager —
+    * a view is only known unconverted when its 30-minute window is
+    * wholly behind both watermarks). Same bounded state as the inner
+    * form; the extra semantics cost nothing but the emission delay.
+    */
+  def clickAfterViewJoinOuter(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
+    clickAfterViewJoinImpl(spark, inputDir, schema, "leftOuter")
+
+  private def clickAfterViewJoinImpl(spark: SparkSession, inputDir: String,
+      schema: StructType, joinType: String): DataFrame = {
     val events = spark.readStream.schema(schema).parquet(inputDir)
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
@@ -133,7 +148,8 @@ object StreamingWordCount {
         col("event_id").as("click_id"))
       .withWatermark("c_ts", "1 hour")
     views.join(clicks,
-      expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"))
+      expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"),
+      joinType)
   }
 
   /** Run a streaming frame to a named in-memory sink and process all

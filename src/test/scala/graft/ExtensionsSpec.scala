@@ -334,6 +334,44 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join finalizes unconverted views via the watermark") {
+    val dir = Files.createTempDirectory("stream_sso")
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type", "ts")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val q = StreamingWordCount.runToMemory(
+      StreamingWordCount.clickAfterViewJoinOuter(spark, dir.toString, schema),
+      "sso_join", mode = "append")
+    try {
+      // outer results are watermark-finalized: before any later data
+      // arrives, only the eager inner matches can be in the sink.
+      // Push sentinel events far past (join window + watermark delay)
+      // so every original view's window falls wholly behind the
+      // watermark and the unconverted ones emit with NULL click_id.
+      // BOTH sides need one: the global watermark is the MIN across
+      // the two streams' watermarks, so a view-only sentinel would
+      // leave the click watermark pinning recent views in state.
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      val future = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
+      Seq((-1L, -1L, "view", future), (-2L, -1L, "click", future))
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val got = spark.table("sso_join")
+      val gotNull = got.filter(col("click_id").isNull && col("view_id") =!= -1L)
+        .select("view_id").collect().map(_.getLong(0)).toSet
+      val views = ev.filter(col("event_type") === "view").as("v")
+      val matched = views
+        .join(ev.filter(col("event_type") === "click").as("c"),
+          expr("v.user_id = c.user_id AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTES"),
+          "left_semi")
+        .select(col("v.event_id")).collect().map(_.getLong(0)).toSet
+      val allViews = views.select("event_id").collect().map(_.getLong(0)).toSet
+      assert(gotNull == (allViews -- matched)) // exactly the anti set
+      assert(gotNull.nonEmpty)
+    } finally q.stop()
+  }
+
   test("JobEventLog: shuffle-free queries after a shuffle log no spurious Finish_Shuffle") {
     val path = Files.createTempFile("joblog2", ".csv").toString
     val listener = new JobEventLog(path)
