@@ -276,6 +276,38 @@ object PipelineQueries {
         .orderBy("feature")
     }),
 
+    // Materialized-aggregate maintenance — how corpus-level stats stay
+    // current at 100 TB without rescanning: the stored BASE aggregate
+    // (computed once over the existing snapshot) merges with the new
+    // DELTA batch's aggregate by summing partial states — legal
+    // because count/sum form commutative monoids (the same algebra
+    // Catalyst's partial/final aggregation split exploits), while the
+    // non-mergeable mean is DERIVED from merged partials at read time
+    // (store sums and counts, never averages). The oracle pins the
+    // merged result against the direct full-corpus aggregation — the
+    // merge-of-partials-equals-rescan contract itself. Snapshot/delta
+    // membership is the standard md5 range so both engines see
+    // identical splits.
+    "pipe_agg_maintenance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      def partial(df: DataFrame): DataFrame = df.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          sum(graft.functions.TokenCount.token_count(col("text"))
+            .cast("long")).as("n_tokens"))
+      val base = partial(docs.filter(h < "8"))
+      val delta = partial(docs.filter(h >= "8"))
+      base.unionByName(delta)
+        .groupBy("lang")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_chars")).as("sum_chars"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("avg_chars4",
+          round(col("sum_chars").cast("double") / col("n_docs"), 4))
+        .orderBy("lang")
+    }),
+
     // Exact range-partitioned sharding — the deterministic form of
     // repartitionByRange (which samples its bounds, so its output is
     // not oracle-reproducible): shard boundaries computed EXACTLY from
@@ -1041,6 +1073,16 @@ object PipelineQueries {
         |FROM c JOIN t ON c.feature = t.feature
         |GROUP BY c.feature, t.nr, t.nc, t.nb
         |ORDER BY c.feature""".stripMargin,
+    // The oracle is the DIRECT full-corpus aggregation — equality with
+    // the Spark side's base⊕delta partial merge is the contract.
+    "pipe_agg_maintenance" ->
+      s"""SELECT lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(len(${OracleSql.toks})) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars4
+         |FROM documents
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "pipe_range_shards" ->
       """WITH v AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
         |c AS (
