@@ -262,6 +262,59 @@ object QualityQueries {
         .orderBy("j")
     }),
 
+    // Ranking-quality evaluation of the LR scorer against the Gopher
+    // rule gate: EXACT ROC-AUC via the grouped Mann–Whitney rank-sum —
+    // the standard fidelity number for a distilled quality classifier
+    // (does the model ORDER documents like the rules label them?).
+    // AUC = Σ_g (2·negs_below(g) + negs_at(g))·pos_at(g) / (2·NP·NN)
+    // over score groups g ascending — integer arithmetic end to end;
+    // the single division happens on two exact longs at the very end.
+    // Scale shape: score4 is rounded to 4dp so the score histogram has
+    // AT MOST 10001 rows — the corpus aggregates map-side into that
+    // value-bounded frame, and the cumulative window below runs over
+    // the bounded histogram (the radix-histogram class), never the
+    // corpus. n_correct doubles as threshold-0.5 accuracy.
+    "ta_quality_auc" -> ((s, dir) => {
+      val feats = Tables.documents(s, dir)
+        .select(tokens(col("text")).as("toks"))
+        .select(
+          size(col("toks")).cast("long").as("nt"),
+          aggregate(transform(col("toks"), t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("sumlen"),
+          vocabHits(col("toks"), Stopwords).cast("long").as("stop_hits"))
+      val z = lit(-6.0) +
+        lit(0.8) * log(lit(1.0) + col("nt")) +
+        lit(0.35) * when(col("nt") > 0,
+          col("sumlen").cast("double") / col("nt")).otherwise(lit(0.0)) +
+        lit(6.0) * when(col("nt") > 0,
+          col("stop_hits").cast("double") / col("nt")).otherwise(lit(0.0))
+      val y = when(
+        col("nt") >= MinTokens && col("nt") <= MaxTokens &&
+          col("sumlen") >= lit(MinMeanWordLen.toLong) * col("nt") &&
+          col("sumlen") <= lit(MaxMeanWordLen.toLong) * col("nt") &&
+          col("stop_hits") >= MinStopwordHits, lit(1L)).otherwise(lit(0L))
+      val hist = feats
+        .select(round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score4"), y.as("y"))
+        .groupBy("score4")
+        .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+      // unpartitioned window, but over the ≤10001-row histogram — a
+      // value-bounded frame, per the SCALE.md bounded-window rule
+      val wc = Window.orderBy(col("score4"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("negb", coalesce(sum(col("nn")).over(wc), lit(0L)))
+        .agg(
+          sum(col("np")).as("n_pos"),
+          sum(col("nn")).as("n_neg"),
+          sum(col("np") * (col("negb") * 2 + col("nn"))).as("num2"),
+          sum(when(col("score4") >= 0.5, col("np")).otherwise(col("nn")))
+            .as("n_correct"),
+          count(lit(1)).as("n_scores"))
+        .select(col("n_pos"), col("n_neg"), col("n_scores"), col("n_correct"),
+          round(col("num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc6"))
+    }),
+
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): hashed-token
     // bag-of-ngrams models for a target distribution (here the 'en'
@@ -424,6 +477,39 @@ object QualityQueries {
          |  UNION ALL SELECT 2, 'mean_wlen', 0.35, g2, n_docs, n_correct FROM g
          |  UNION ALL SELECT 3, 'stop_ratio', 6.0, g3, n_docs, n_correct FROM g)
          |ORDER BY j""".stripMargin,
+    // Float exposure = the same two round-to-4dp transcendentals
+    // ta_quality_lr pins green; the AUC numerator is pure integer and
+    // the final division divides two exact longs on both engines.
+    "ta_quality_auc" ->
+      s"""WITH base AS (
+         |  SELECT CAST(len(t) AS BIGINT) AS nt,
+         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sumlen,
+         |    CAST(len(list_filter(t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS stop_hits
+         |  FROM (SELECT ${OracleSql.toks} AS t FROM documents)),
+         |s AS (
+         |  SELECT round(1.0 / (1.0 + exp(-(
+         |      -6.0 + 0.8 * ln(1.0 + nt)
+         |      + 0.35 * (CASE WHEN nt > 0 THEN CAST(sumlen AS DOUBLE) / nt ELSE 0.0 END)
+         |      + 6.0  * (CASE WHEN nt > 0 THEN CAST(stop_hits AS DOUBLE) / nt ELSE 0.0 END)))), 4) AS score4,
+         |    CASE WHEN nt >= $MinTokens AND nt <= $MaxTokens
+         |          AND sumlen >= $MinMeanWordLen * nt AND sumlen <= $MaxMeanWordLen * nt
+         |          AND stop_hits >= $MinStopwordHits THEN 1 ELSE 0 END AS y
+         |  FROM base),
+         |hist AS (
+         |  SELECT score4, CAST(sum(y) AS BIGINT) AS np,
+         |    CAST(sum(1 - y) AS BIGINT) AS nn
+         |  FROM s GROUP BY score4),
+         |c AS (
+         |  SELECT score4, np, nn,
+         |    CAST(COALESCE(sum(nn) OVER (ORDER BY score4
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS negb
+         |  FROM hist)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  CAST(count(*) AS BIGINT) AS n_scores,
+         |  CAST(sum(CASE WHEN score4 >= 0.5 THEN np ELSE nn END) AS BIGINT) AS n_correct,
+         |  round(CAST(sum(np * (negb * 2 + nn)) AS DOUBLE)
+         |    / (2.0 * sum(np) * sum(nn)), 6) AS auc6
+         |FROM c""".stripMargin,
     // The md5-first-byte bucket is two hex nibbles via the strpos
     // alphabet trick (the dd_simhash oracle pattern); the ln sits on a
     // 256-row frame and its argument is an exact-rational double built

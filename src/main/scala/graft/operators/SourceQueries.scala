@@ -39,6 +39,18 @@ object SourceQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ORC: the second columnar format Spark ships natively (vectorized
+    // reader, predicate pushdown, zlib by default). Lossless for every
+    // supplier column type (BIGINT/VARCHAR/DOUBLE), so the round trip
+    // is value-exact and the oracle is the plain table read.
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val base = Tables.supplier(s, dir)
+      val path = tmp("supplier_orc")
+      base.write.mode(SaveMode.Overwrite).orc(path)
+      s.read.schema(base.schema).orc(path)
+        .orderBy("s_suppkey")
+    }),
+
     // Schema evolution through mergeSchema — the long-lived-dataset
     // reality: a column added mid-corpus means old shards lack it.
     // v1 shards carry (doc_id, lang), v2 adds n_chars; the merged
@@ -173,6 +185,8 @@ object SourceQueries {
   val oracleSql: Map[String, String] = Map(
     "src_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "src_orc_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
     "src_json_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "src_schema_evolution" ->

@@ -120,6 +120,35 @@ object StarQueries2 {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Semi-structured ingestion through Spark 4's VARIANT type: build a
+    // nested JSON envelope around each event's raw `props` payload,
+    // `parse_json` it ONCE into a variant, and extract typed fields by
+    // path — the open-schema event-log pattern (ingest first, type at
+    // read) that at 100 TB replaces per-field string re-parsing:
+    // VARIANT stores a parsed binary form, so the three `variant_get`s
+    // below decode the envelope once instead of running three JSON
+    // scans, and shredded parquet storage prunes paths like columns.
+    // A `variant_get` on an absent path is NULL, not an error —
+    // n_missing pins that contract (count of non-null = 0).
+    "q_variant" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("v", parse_json(concat(
+          lit("{\"meta\":{\"t\":\""), col("event_type"),
+          lit("\"},\"payload\":"), col("props"), lit("}"))))
+        .select(
+          expr("variant_get(v, '$.meta.t', 'string')").as("t"),
+          expr("variant_get(v, '$.payload.k', 'long')").as("k"),
+          expr("variant_get(v, '$.payload.missing', 'long')").as("miss"))
+        .groupBy("t")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(col("miss")).as("n_missing"))
+        .orderBy("t")
+    }),
+
     // Sketch aggregation: HyperLogLog approximate distinct counts next
     // to the exact value. Oracle-exempt (Spark's HLL++ and DuckDB's HLL
     // give different estimates by construction) → rows-only check; the
@@ -616,6 +645,21 @@ object StarQueries2 {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+    // DuckDB has no VARIANT; json_extract_string over the identical
+    // envelope is the semantic mirror (values, not storage, compared).
+    "q_variant" ->
+      """WITH env AS (
+        |  SELECT '{"meta":{"t":"' || event_type || '"},"payload":' || props || '}' AS vj
+        |  FROM events),
+        |x AS (
+        |  SELECT json_extract_string(vj, '$.meta.t') AS t,
+        |    CAST(json_extract_string(vj, '$.payload.k') AS BIGINT) AS k,
+        |    CAST(json_extract_string(vj, '$.payload.missing') AS BIGINT) AS miss
+        |  FROM env)
+        |SELECT t, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  count(miss) AS n_missing
+        |FROM x GROUP BY t ORDER BY t""".stripMargin,
     "q_pivot" ->
       """SELECT c_mktsegment,
         |  count(*) FILTER (o_orderstatus = 'F') AS "F",

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Properties of this round's operators: the recursive-CTE graph
+  * expansion, exact ROC-AUC of the quality scorer, the VARIANT
+  * ingestion surface, and the ORC round trip. Brute-force ground
+  * truths where the semantics have a closed form (AUC), structural
+  * invariants otherwise.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("ss_graph_expand: BFS invariants — one hop-0 row per seed, contiguous hops") {
+    val rows = run("ss_graph_expand").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val bySeed = rows.groupBy(_._1)
+    bySeed.foreach { case (seed, rs) =>
+      val hops = rs.map(_._2).sorted
+      // hop 0 is the seed itself, exactly one node
+      assert(hops.head == 0, s"seed $seed missing hop 0")
+      assert(rs.find(_._2 == 0).get._3 == 1L, s"seed $seed hop-0 count != 1")
+      // min-hop levels are contiguous: a node at hop h+1 was reached
+      // through some node at hop h, so no level can be skipped
+      assert(hops.toList == (0 until hops.length).toList,
+        s"seed $seed hops not contiguous: ${hops.mkString(",")}")
+      assert(hops.last <= 4)
+    }
+  }
+
+  test("ta_quality_auc matches the O(n^2) brute-force Mann–Whitney AUC") {
+    val MinT = QualityQueries.MinTokens
+    val MaxT = QualityQueries.MaxTokens
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val scored = docs.map { text =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val sumlen = toks.map(_.length.toLong).sum
+      val stop = toks.count(QualityQueries.Stopwords.contains).toLong
+      val z = -6.0 + 0.8 * math.log(1.0 + nt) +
+        0.35 * (if (nt > 0) sumlen.toDouble / nt else 0.0) +
+        6.0 * (if (nt > 0) stop.toDouble / nt else 0.0)
+      val s4 = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val y = nt >= MinT && nt <= MaxT &&
+        sumlen >= QualityQueries.MinMeanWordLen.toLong * nt &&
+        sumlen <= QualityQueries.MaxMeanWordLen.toLong * nt &&
+        stop >= QualityQueries.MinStopwordHits
+      (s4, y)
+    }
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, "need both classes for AUC")
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val bruteAuc = wins / (pos.length.toLong * neg.length)
+
+    val r = run("ta_quality_auc").collect().head
+    assert(r.getLong(r.fieldIndex("n_pos")) == pos.length)
+    assert(r.getLong(r.fieldIndex("n_neg")) == neg.length)
+    val auc6 = r.getDouble(r.fieldIndex("auc6"))
+    assert(math.abs(auc6 - bruteAuc) < 1e-6 + 5e-7,
+      s"auc6=$auc6 brute=$bruteAuc")
+    assert(auc6 >= 0.0 && auc6 <= 1.0)
+  }
+
+  test("q_variant: absent path is NULL (never an error), totals cover every event") {
+    val rows = run("q_variant").collect()
+    val total = rows.map(r => r.getLong(r.fieldIndex("n_events"))).sum
+    assert(total == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_missing")) == 0L,
+        "variant_get('$.payload.missing') must be NULL for every row")
+      assert(r.getLong(r.fieldIndex("min_k")) <= r.getLong(r.fieldIndex("max_k")))
+    }
+  }
+
+  test("src_orc_roundtrip preserves every supplier row and the exact schema") {
+    val base = Tables.supplier(spark, sf)
+    val rt = run("src_orc_roundtrip")
+    assert(rt.schema == base.schema)
+    assert(rt.count() == base.count())
+    // value-exactness of the DOUBLE column through ORC encoding
+    val a = base.select(sum(col("s_acctbal").cast("decimal(18,2)"))).collect().head.getDecimal(0)
+    val b = rt.select(sum(col("s_acctbal").cast("decimal(18,2)"))).collect().head.getDecimal(0)
+    assert(a == b)
+  }
+}
