@@ -49,11 +49,20 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read nanos as long and convert to a microsecond timestamp
-    * with exact integral division (`div` — a double division would lose
-    * precision above 2^53 ns). Truncation toward zero matches DuckDB's
-    * own ns→µs narrowing, so oracle comparisons stay exact.
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations, and this loader normalizes both to a session-zone
+    * `TIMESTAMP` so every downstream query sees one schema:
+    *
+    *  - parquet TIMESTAMP(NANOS) (older drops): Spark 4 refuses it by
+    *    default, so read the nanos as long (`nanosAsLong`) and convert
+    *    with exact integral division (`div` — a double division would
+    *    lose precision above 2^53 ns). Truncation toward zero matches
+    *    DuckDB's own ns→µs narrowing, so oracle comparisons stay exact.
+    *  - parquet timestamp[us] without UTC adjustment (current drops):
+    *    Spark infers TIMESTAMP_NTZ; cast it to TIMESTAMP. Every graft
+    *    session pins `spark.sql.session.timeZone=UTC`, so the cast
+    *    preserves wall-clock values bit-for-bit and DuckDB (whose
+    *    TIMESTAMP is NTZ µs) reads identical values.
     *
     * SESSION-WIDE SIDE EFFECT (documented, deliberate): nanosAsLong has
     * no per-read DataSource option (verified against Spark 4.1's
@@ -66,9 +75,17 @@ object Tables {
     * its reads with `spark.newSession()`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as nanos-long
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // timestamp[us], isAdjustedToUTC=false
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a session-zone TIMESTAMP
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
