@@ -238,43 +238,27 @@ object PipelineQueries {
     // membership, so both engines see identical snapshots). Features:
     // the language mix and the doc-length magnitude (decimal digit
     // count of n_chars — an integer bucket rule with zero float
-    // exposure). PSI = Σ_b (p_cur - p_ref)·ln(p_cur/p_ref), Laplace-
-    // smoothed; the ln lives on the feature×bucket frame (~10 rows)
-    // and each bucket's term floors to a micro-integer before the
-    // per-feature sum — the DSIR determinism pattern. One corpus scan
-    // (the two features explode from one projection), map-side
-    // aggregation to the bucket frame; at 100 TB the data-sized work
-    // is exactly one pass and the PSI arithmetic is free.
-    "pipe_drift_psi" -> ((s, dir) => {
-      val half = when(
-        substring(md5(col("doc_id").cast("string")), 1, 1) < "8", "ref")
-        .otherwise("cur")
-      val counts = Tables.documents(s, dir)
-        .select(half.as("half"), explode(array(
-          struct(lit("lang").as("feature"), col("lang").as("bucket")),
-          struct(lit("len_digits").as("feature"),
-            length(col("n_chars").cast("string")).cast("string")
-              .as("bucket")))).as("fb"))
-        .select(col("half"), col("fb.feature"), col("fb.bucket"))
-        .groupBy("feature", "bucket")
-        .agg(
-          sum(when(col("half") === "ref", 1L).otherwise(0L)).as("cr"),
-          sum(when(col("half") === "cur", 1L).otherwise(0L)).as("cc"))
-      val totals = counts.groupBy("feature")
-        .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
-          count(lit(1)).as("nb"))
-      val pc = (col("cc") + lit(1L)).cast("double") / (col("nc") + col("nb"))
-      val pr = (col("cr") + lit(1L)).cast("double") / (col("nr") + col("nb"))
-      counts.join(broadcast(totals), "feature")
-        .select(col("feature"), col("nr"), col("nc"), col("nb"),
-          floor((pc - pr) * log(pc / pr) * lit(1000000.0))
-            .cast("long").as("term_micro"))
-        .groupBy("feature")
-        .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
-          first(col("nb")).as("n_buckets"),
-          sum(col("term_micro")).as("psi_micro"))
-        .orderBy("feature")
-    }),
+    // exposure). The ORACLE-VERIFIED contract is integer-only: the
+    // per-(feature, bucket) ref/cur counts plus the per-feature
+    // totals — every number a pure count, engine-exact by
+    // construction. The PSI float itself
+    // (Σ_b (p_cur - p_ref)·ln(p_cur/p_ref), Laplace-smoothed) is
+    // deliberately NOT in the cross-engine contract: ln is a libm
+    // transcendental, JVM Math.log and DuckDB's libm may differ by an
+    // ulp on identical inputs, and any floor/round at a boundary turns
+    // that ulp into an off-by-one — the exact cross-engine-libm
+    // flakiness this suite bans (see pipe_weighted_sample's rejection
+    // of Efraimidis–Spirakis keys). PSI is derived from these counts
+    // in [[driftPsi]] and pinned single-engine by Round9OpsSpec with
+    // an epsilon. One corpus scan (the two features explode from one
+    // projection), map-side aggregation to the ~10-row bucket frame;
+    // at 100 TB the data-sized work is exactly one pass and the PSI
+    // arithmetic on the counts frame is free.
+    "pipe_drift_psi" -> ((s, dir) =>
+      driftCounts(s, dir)
+        .select(col("feature"), col("bucket"), col("cr"), col("cc"),
+          col("nr"), col("nc"), col("nb"))
+        .orderBy("feature", "bucket")),
 
     // Materialized-aggregate maintenance — how corpus-level stats stay
     // current at 100 TB without rescanning: the stored BASE aggregate
@@ -787,6 +771,50 @@ object PipelineQueries {
     }.toDF("doc_id", "lang", "shard", "n_tokens", "pack_id")
   }
 
+  /** Per-(feature, bucket) ref/cur counts joined with per-feature
+    * totals — the integer-only drift frame `pipe_drift_psi` verifies
+    * cross-engine. Columns: feature, bucket, cr, cc (bucket counts),
+    * nr, nc (feature totals), nb (bucket count per feature).
+    */
+  def driftCounts(s: SparkSession, dir: String): DataFrame = {
+    val half = when(
+      substring(md5(col("doc_id").cast("string")), 1, 1) < "8", "ref")
+      .otherwise("cur")
+    val counts = Tables.documents(s, dir)
+      .select(half.as("half"), explode(array(
+        struct(lit("lang").as("feature"), col("lang").as("bucket")),
+        struct(lit("len_digits").as("feature"),
+          length(col("n_chars").cast("string")).cast("string")
+            .as("bucket")))).as("fb"))
+      .select(col("half"), col("fb.feature"), col("fb.bucket"))
+      .groupBy("feature", "bucket")
+      .agg(
+        sum(when(col("half") === "ref", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("half") === "cur", 1L).otherwise(0L)).as("cc"))
+    val totals = counts.groupBy("feature")
+      .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
+        count(lit(1)).as("nb"))
+    counts.join(broadcast(totals), "feature")
+  }
+
+  /** Laplace-smoothed PSI per feature, derived from [[driftCounts]].
+    * Float (ln) on the ~10-row counts frame only — single-engine
+    * semantics, pinned by Round9OpsSpec with an epsilon; NOT part of
+    * the cross-engine oracle contract (libm ulp at a floor boundary
+    * is not engine-exact).
+    */
+  def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    val pc = (col("cc") + lit(1L)).cast("double") / (col("nc") + col("nb"))
+    val pr = (col("cr") + lit(1L)).cast("double") / (col("nr") + col("nb"))
+    driftCounts(s, dir)
+      .select(col("feature"), col("nr"), col("nc"), col("nb"),
+        ((pc - pr) * log(pc / pr)).as("term"))
+      .groupBy("feature")
+      .agg(first(col("nr")).as("n_ref"), first(col("nc")).as("n_cur"),
+        first(col("nb")).as("n_buckets"), sum(col("term")).as("psi"))
+      .orderBy("feature")
+  }
+
   private val toksSql = OracleSql.toks
 
   val oracleSql: Map[String, String] = Map(
@@ -1041,9 +1069,12 @@ object PipelineQueries {
         |              ELSE 'unchanged' END AS status
         |  FROM old FULL OUTER JOIN nw ON old_id = new_id)
         |GROUP BY status ORDER BY status""".stripMargin,
-    // PSI terms floor to micro-longs on the ~10-row bucket frame; the
-    // smoothed probabilities are the identical IEEE op tree on both
-    // engines, so the only float exposure is the bucket-frame ln.
+    // Integer-only drift contract (counts, no ln): every column is a
+    // pure count, engine-exact. The sum(...) totals CAST to BIGINT —
+    // DuckDB widens sum(BIGINT) to HUGEINT, which the driver's pandas
+    // fetch renders as float64 and the value-identical rows then
+    // hash-mismatch on dtype (the round-7 failure). The PSI float is
+    // pinned single-engine in Round9OpsSpec.
     "pipe_drift_psi" ->
       """WITH d AS (
         |  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
@@ -1060,19 +1091,13 @@ object PipelineQueries {
         |    CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cc
         |  FROM f GROUP BY 1, 2),
         |t AS (
-        |  SELECT feature, sum(cr) AS nr, sum(cc) AS nc,
+        |  SELECT feature, CAST(sum(cr) AS BIGINT) AS nr,
+        |    CAST(sum(cc) AS BIGINT) AS nc,
         |    CAST(count(*) AS BIGINT) AS nb
         |  FROM c GROUP BY 1)
-        |SELECT c.feature, t.nr AS n_ref, t.nc AS n_cur, t.nb AS n_buckets,
-        |  CAST(sum(CAST(floor(
-        |    ((CAST(cc + 1 AS DOUBLE) / (nc + nb))
-        |      - (CAST(cr + 1 AS DOUBLE) / (nr + nb)))
-        |    * ln((CAST(cc + 1 AS DOUBLE) / (nc + nb))
-        |         / (CAST(cr + 1 AS DOUBLE) / (nr + nb)))
-        |    * 1000000.0) AS BIGINT)) AS BIGINT) AS psi_micro
+        |SELECT c.feature, c.bucket, c.cr, c.cc, t.nr, t.nc, t.nb
         |FROM c JOIN t ON c.feature = t.feature
-        |GROUP BY c.feature, t.nr, t.nc, t.nb
-        |ORDER BY c.feature""".stripMargin,
+        |ORDER BY c.feature, c.bucket""".stripMargin,
     // The oracle is the DIRECT full-corpus aggregation — equality with
     // the Spark side's base⊕delta partial merge is the contract.
     "pipe_agg_maintenance" ->

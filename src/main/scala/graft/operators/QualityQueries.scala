@@ -402,6 +402,10 @@ object QualityQueries {
          |ORDER BY doc_id""".stripMargin,
     // At oracle scale the two-phase bucket allocation collapses to the
     // single running sum this window states — same order, same ticks.
+    // n_ticks MUST cast to BIGINT: DuckDB's sum(BIGINT) widens to
+    // HUGEINT, cum/tw arithmetic stays HUGEINT, and the driver's
+    // pandas fetch renders HUGEINT as float64 — value-identical rows
+    // then hash-mismatch on dtype alone (the round-7 failure mode).
     "pipe_weighted_sample" ->
       s"""WITH d AS (
          |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
@@ -414,7 +418,8 @@ object QualityQueries {
          |  FROM d),
          |t AS (SELECT sum(w) AS tw FROM d)
          |SELECT doc_id, w,
-         |  (cum * $PpsTicks) // tw - ((cum - w) * $PpsTicks) // tw AS n_ticks
+         |  CAST((cum * $PpsTicks) // tw - ((cum - w) * $PpsTicks) // tw
+         |    AS BIGINT) AS n_ticks
          |FROM c, t
          |WHERE (cum * $PpsTicks) // tw > ((cum - w) * $PpsTicks) // tw
          |ORDER BY doc_id""".stripMargin,

@@ -55,17 +55,43 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("pipe_drift_psi: every term is (p-q)ln(p/q) >= 0, so PSI >= -nb micro") {
+  test("pipe_drift_psi: integer counts are internally consistent") {
     val rows = run("pipe_drift_psi").collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("lang", "len_digits"))
-    rows.foreach { r =>
-      val nb = r.getLong(r.fieldIndex("n_buckets"))
-      val psi = r.getLong(r.fieldIndex("psi_micro"))
-      // exact PSI is a sum of non-negative terms; each bucket's
-      // micro-floor loses at most 1, so the floored sum ≥ -nb
-      assert(psi >= -nb, s"$r")
-      assert(r.getLong(r.fieldIndex("n_ref")) > 0)
-      assert(r.getLong(r.fieldIndex("n_cur")) > 0)
+    assert(rows.map(_.getString(0)).distinct.toSeq == Seq("lang", "len_digits"))
+    // per-feature totals equal the sum of that feature's bucket counts,
+    // and every bucket frame has nb rows
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val nr = rs.head.getLong(rs.head.fieldIndex("nr"))
+      val nc = rs.head.getLong(rs.head.fieldIndex("nc"))
+      val nb = rs.head.getLong(rs.head.fieldIndex("nb"))
+      assert(rs.length.toLong == nb)
+      assert(rs.map(r => r.getLong(r.fieldIndex("cr"))).sum == nr)
+      assert(rs.map(r => r.getLong(r.fieldIndex("cc"))).sum == nc)
+      assert(nr > 0 && nc > 0)
+    }
+  }
+
+  test("driftPsi: PSI matches a scala-side recompute from the integer counts") {
+    // the float leg lives OUTSIDE the cross-engine oracle (libm ln);
+    // pin it here single-engine: recompute PSI from the verified
+    // integer counts and compare with an epsilon
+    val counts = PipelineQueries.driftCounts(spark, sf).collect()
+    val expected = counts.groupBy(_.getString(0)).map { case (f, rs) =>
+      f -> rs.map { r =>
+        val nb = r.getLong(r.fieldIndex("nb"))
+        val pc = (r.getLong(r.fieldIndex("cc")) + 1.0) /
+          (r.getLong(r.fieldIndex("nc")) + nb)
+        val pr = (r.getLong(r.fieldIndex("cr")) + 1.0) /
+          (r.getLong(r.fieldIndex("nr")) + nb)
+        (pc - pr) * math.log(pc / pr)
+      }.sum
+    }
+    val psi = PipelineQueries.driftPsi(spark, sf).collect()
+    assert(psi.map(_.getString(0)).toSeq == Seq("lang", "len_digits"))
+    psi.foreach { r =>
+      val v = r.getDouble(r.fieldIndex("psi"))
+      assert(v >= 0.0, s"PSI is a sum of non-negative terms: $r")
+      assert(math.abs(v - expected(r.getString(0))) < 1e-9, s"$r")
     }
   }
 
