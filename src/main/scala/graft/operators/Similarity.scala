@@ -190,6 +190,34 @@ object Similarity {
       .filter(col("rk") <= 3)
   }
 
+  /** Directed kNN edge list from the TRAINED IVF index: per vector,
+    * its top-`k` neighbors among the members of its own trained cell
+    * (single-probe candidates) by rounded cosine. This is the
+    * production ANN-graph recipe — candidates are O(n/cells) per cell
+    * with the cell count a build parameter that grows with n (∝ √n),
+    * so the edge build stays near-linear at 100 TB, unlike any
+    * fixed-size sign-bucket space whose cells go quadratic as the
+    * corpus grows. Consumed by ss_graph_expand's recursive expansion.
+    */
+  def ivfKnnEdges(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = trainedIvf(s, dir)._2
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val av = v.join(asg, "vec_id")
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr").asc)
+    av.as("a").join(av.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
+        round(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 4)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("src", "nbr")
+  }
+
   /** ADC top-5 per query (the ss_pq_adc body), reused by the PQ recall
     * harness.
     */
@@ -1043,6 +1071,28 @@ object Similarity {
          |    FROM ad) WHERE rn = 1)""".stripMargin
     s"$lloydCtes,\n$asgn"
   }
+
+  /** DuckDB mirror of [[ivfKnnEdges]]: the trained-assignment CTEs
+    * plus `gv` (vectors), `gav` (vectors with trained cell), and
+    * `knn0(src, nbr)` — per-vector top-`k` own-cell neighbors. No
+    * WITH prefix, so callers can embed it in a WITH RECURSIVE chain.
+    */
+  def ivfKnnEdgesCtes(k: Int): String =
+    s"""$trainedAssignCtes,
+       |gv AS MATERIALIZED ($vSql),
+       |gav AS MATERIALIZED (
+       |  SELECT gv.vec_id, gv.e, gv.nrm, asg.cent_id
+       |  FROM gv JOIN asg USING (vec_id)),
+       |knn0 AS MATERIALIZED (
+       |  SELECT src, nbr FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS nbr,
+       |      row_number() OVER (
+       |        PARTITION BY a.vec_id
+       |        ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) DESC,
+       |                 b.vec_id ASC) AS rn
+       |    FROM gav a JOIN gav b
+       |      ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id)
+       |  WHERE rn <= $k)""".stripMargin
 
   /** Shared CTE chain: vectors → broadcast centroids → IVF assignment
     * (DuckDB mirror of [[ivfAssigned]]).

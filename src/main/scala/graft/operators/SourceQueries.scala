@@ -149,21 +149,47 @@ object SourceQueries {
     // multimodal-ingestion reality: images/audio land as FILES before
     // anything converts them to parquet) enters the engine as opaque
     // binary rows. An md5-range slice of the corpus is laid out as one
-    // file per doc under a doc_id=N partition dir (the text sink
-    // appends the newline the oracle accounts for); binaryFile reads
-    // it back with partition discovery supplying doc_id, and the query
-    // reports per-file length + content checksum. At 100 TB this scan
-    // is splittable across FILES (not within one), which is exactly
-    // the right granularity for media blobs; the standing guidance to
-    // rewrite into parquet/sequence shards after one pass applies.
+    // file per doc named <doc_id>.txt under shard=md5[0:2] dirs —
+    // MANY docs per directory (16 shards here), never one dir per
+    // record: per-record partition dirs are a namenode-killer at
+    // scale (round-7 flag), while shard dirs keep listing and commit
+    // O(shards). Files are written through the Hadoop FileSystem API
+    // from a shard-partitioned foreachPartition — the executor-side
+    // write path a real media-landing job uses (content = text + the
+    // newline the oracle accounts for). binaryFile reads it back with
+    // partition discovery supplying shard; doc_id is recovered from
+    // the filename. At 100 TB this scan is splittable across FILES
+    // (not within one), which is exactly the right granularity for
+    // media blobs; the standing guidance to rewrite into
+    // parquet/sequence shards after one pass applies.
     "src_binaryfile_meta" -> ((s, dir) => {
       val out = tmp("docs_bin")
       val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(out)
+      val fs0 = root.getFileSystem(conf.value)
+      if (fs0.exists(root)) fs0.delete(root, true)
+      import s.implicits._
       Tables.documents(s, dir).filter(h < "1000")
-        .select(col("doc_id"), col("text"))
-        .write.mode(SaveMode.Overwrite).partitionBy("doc_id").text(out)
+        .select(col("doc_id").cast("long"), col("text"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("shard"))
+        .repartition(col("shard"))
+        .as[(Long, String, String)]
+        .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+          val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf.value)
+          // no .crc sidecars: they double the tiny-file metadata ops on
+          // checksummed filesystems (object stores don't have them)
+          fs.setWriteChecksum(false)
+          it.foreach { case (id, text, shard) =>
+            val p = new org.apache.hadoop.fs.Path(s"$out/shard=$shard/$id.txt")
+            val os = fs.create(p, true)
+            try os.write((text + "\n").getBytes("UTF-8")) finally os.close()
+          }
+        }
       s.read.format("binaryFile").load(out)
-        .select(col("doc_id").cast("long").as("doc_id"),
+        .select(regexp_extract(col("path"), "(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
           col("length").as("n_bytes"),
           md5(col("content")).as("content_md5"))
         .orderBy("doc_id")
