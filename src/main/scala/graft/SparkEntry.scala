@@ -25,7 +25,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ DedupClusters.queries ++
       Similarity.queries ++ RankQueries.queries ++ GraphQueries.queries ++
       QualityQueries.queries ++ QuantileQueries.queries ++
-      Multimodal.queries ++ PipelineQueries.queries ++ SourceQueries.queries
+      Multimodal.queries ++ PipelineQueries.queries ++ SourceQueries.queries ++
+      graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ DedupClusters.oracleSql ++
       Similarity.oracleSql ++ RankQueries.oracleSql ++ GraphQueries.oracleSql ++
       QualityQueries.oracleSql ++ QuantileQueries.oracleSql ++
-      Multimodal.oracleSql ++ PipelineQueries.oracleSql ++ SourceQueries.oracleSql
+      Multimodal.oracleSql ++ PipelineQueries.oracleSql ++ SourceQueries.oracleSql ++
+      graft.streaming.StreamingQueries.oracleSql
 }

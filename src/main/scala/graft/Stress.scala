@@ -140,6 +140,48 @@ object Stress {
       } finally spark.stop()
       return
     }
+    if (args.headOption.contains("asof")) {
+      // Standalone rerun of the AsOfJoinExec skew probes (the full-mode
+      // block below) so each round can refresh SCALE.md's measured skew
+      // rows without the 20× corpus amplification run.
+      val spark = SparkSession.builder().master("local[32]")
+        .appName("graft-stress-asof")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val nLeft = 4000000L
+        val nRight = 100000L
+        def rightQuotes = spark.range(0, nRight).select(
+          (col("id") % 1000).as("k"), (expr("id DIV 1000") * 100).as("t"),
+          col("id").as("quote"))
+        def leftOf(hot: Boolean) = spark.range(0, nLeft).select(
+          (if (hot) when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 1000)
+           else col("id") % 1000).as("k"),
+          (col("id") * 7 % 100000).as("t"))
+        def timed(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val rows = df.count()
+          println(f"STRESS $name rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.1f")
+        }
+        timed("asof_uniform_keys") {
+          val l = leftOf(hot = false); val r = rightQuotes
+          graft.plans.AsOfJoin.joinAsOf(l, r, l("k"), r("k"), l("t"), r("t"))
+        }
+        timed("asof_hot_key") {
+          val l = leftOf(hot = true); val r = rightQuotes
+          graft.plans.AsOfJoin.joinAsOf(l, r, l("k"), r("k"), l("t"), r("t"))
+        }
+        timed("asof_hot_key_salted") {
+          val l = leftOf(hot = true); val r = rightQuotes
+          graft.plans.AsOfJoin.joinAsOfSalted(
+            l, r, l("k"), r("k"), l("t"), r("t"), salts = 32)
+        }
+      } finally spark.stop()
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("wordcount", "q1_agg", "q_join_large", "ta_tfidf",

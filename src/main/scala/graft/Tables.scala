@@ -84,7 +84,14 @@ object Tables {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => // timestamp[us], isAdjustedToUTC=false
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw // already a session-zone TIMESTAMP
+      case org.apache.spark.sql.types.TimestampType =>
+        raw // already a session-zone TIMESTAMP
+      case other =>
+        // fail loudly: a new testdata physical layout must be handled
+        // HERE, not flow downstream unnormalized as subtle divergence
+        throw new IllegalStateException(
+          s"events.ts has unrecognized physical type $other — " +
+            "add an explicit normalization branch in Tables.events")
     }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")

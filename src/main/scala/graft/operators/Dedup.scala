@@ -862,6 +862,38 @@ object Dedup {
       s: SparkSession, dir: String, dedup: Boolean): DataFrame =
     verifiedPairsOf(Tables.documents(s, dir), dedup)
 
+  /** Recall audit for [[ContainmentDfCap]]: per doc, the MAX document
+    * frequency among its ⌊n/5⌋+1 rarest shingles (the would-be
+    * containment prefix computed over ALL shingles, before the cold
+    * filter). dd_containment_capped's recall contract — capped ≡
+    * uncapped on a clean corpus — holds exactly when this max stays
+    * below the cap for every doc: then no prefix shingle is
+    * boilerplate-filtered and every qualifying pair still collides.
+    * One row: (max_prefix_df, n_docs, n_docs_over_cap). Re-run per
+    * scale factor / corpus refresh (DedupAuditSpec pins sf0.001 and
+    * sf0.01; graft.Stress covers amplified corpora) so a corpus
+    * change can't silently break the contract.
+    */
+  def containmentPrefixDfAudit(documents: DataFrame): DataFrame = {
+    val docSh = documents
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+    val sdf = docSh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    val perDoc = docSh.join(sdf, "shingle")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), e => e.getField("sdf")).as("dfs"))
+      .withColumn("plen", (expr("size(dfs) DIV 5") + 1).cast("int"))
+      .select(col("doc_id"),
+        array_max(slice(col("dfs"), lit(1), col("plen"))).as("max_df"))
+    perDoc.agg(
+      max(col("max_df")).as("max_prefix_df"),
+      count(lit(1)).as("n_docs"),
+      sum(when(col("max_df") > ContainmentDfCap, 1L).otherwise(0L))
+        .as("n_docs_over_cap"))
+  }
+
   /** The exact PPJoin similarity join over an arbitrary document frame
     * (the dd_jaccard_prefix body — see that query's comment for the
     * algorithm): rarity-ordered prefixes, length + positional filters,

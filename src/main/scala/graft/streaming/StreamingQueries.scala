@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Agg, OracleSql}
+
+/** Oracle-gated streaming surface: each query here runs a REAL
+  * Structured Streaming job (readStream → stateful transform →
+  * memory sink, all available data processed) and returns the final
+  * result table, which the driver then compares against the same
+  * DuckDB SQL that gates the batch dual. This pins the streaming
+  * leg's VALUES through the correctness gate — the
+  * batch-equivalence contract ("a windowed streaming aggregation
+  * over a bounded input equals the batch aggregation") — where the
+  * ScalaTest suite pins mechanics (watermarks, state eviction,
+  * recovery, joins).
+  *
+  * Scale: identical state story to the batch duals — tumbling-window
+  * state is O(open windows × event types) under the watermark, and
+  * the memory sink here stands in for the parquet/Kafka sink a
+  * production job uses (the sink sees only finalized aggregate rows,
+  * never the event volume).
+  */
+object StreamingQueries {
+
+  /** Stage the events table as a parquet DIRECTORY (the file-stream
+    * source contract; the testdata ships one bare file) with the
+    * loader's ts normalization applied once, batch-side.
+    */
+  private def stageEvents(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    val ev = Tables.events(s, dir)
+    if (!new java.io.File(staged, "_SUCCESS").exists())
+      ev.write.mode(SaveMode.Overwrite).parquet(staged)
+    (staged, ev.schema)
+  }
+
+  /** Run `df` (a streaming frame) to a complete-mode memory sink and
+    * return the final table. Complete mode emits every window at each
+    * trigger regardless of the watermark, so the bounded-input run
+    * yields exactly the batch result (append mode would hold back
+    * windows the final watermark hasn't passed — correct for infinite
+    * streams, wrong for a drain-and-compare gate).
+    */
+  private def drain(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Streaming dual of ev_tumbling_hour, through the full streaming
+    // machinery: watermarked event-time tumbling window, incremental
+    // state, memory sink. Same aggregate expressions as the batch
+    // query (dsum through DECIMAL — order-free, so incremental merge
+    // order can never change a bit).
+    "st_tumbling_hour" -> ((s, dir) => {
+      val (staged, schema) = stageEvents(s, dir)
+      val stream = s.readStream.schema(schema).parquet(staged)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Agg.dsum(col("value")).as("sum_value"))
+      drain(s, stream, "st_tumbling_hour")
+        .orderBy("hour", "event_type")
+    }),
+
+    // Streaming dual of ev_sliding_15m: the slide fans each event into
+    // its 3 overlapping windows map-side before the same incremental
+    // aggregation — state O(open windows), output O(window count).
+    "st_sliding_15m" -> ((s, dir) => {
+      val (staged, schema) = stageEvents(s, dir)
+      val stream = s.readStream.schema(schema).parquet(staged)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "15 minutes", "5 minutes")
+          .getField("start").as("win_start"))
+        .agg(count(lit(1)).as("n_events"),
+          Agg.dsum(col("value")).as("sum_value"))
+      drain(s, stream, "st_sliding_15m")
+        .orderBy("win_start")
+    })
+  )
+
+  // The batch duals' SQL verbatim — THAT is the contract.
+  val oracleSql: Map[String, String] = Map(
+    "st_tumbling_hour" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  count(*) AS n_events,
+         |  ${OracleSql.dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "st_sliding_15m" ->
+      s"""SELECT time_bucket(INTERVAL '5 minutes', ts)
+         |         - k * INTERVAL '5 minutes' AS win_start,
+         |  count(*) AS n_events,
+         |  ${OracleSql.dsum("value")} AS sum_value
+         |FROM events, UNNEST([0, 1, 2]) AS u(k)
+         |GROUP BY 1 ORDER BY win_start""".stripMargin
+  )
+}
