@@ -375,8 +375,13 @@ object RankQueries {
     // double-count.
     "ss_graph_expand" -> ((s, dir) => {
       val knn = Similarity.ivfKnnEdges(s, dir, 3)
+      // materialize the edge list ONCE: the recursion's temp view is
+      // otherwise a PLAN, and every hop of the recursive CTE would
+      // re-run the whole edge build (measured: 5× the build cost)
       knn.union(knn.select(col("nbr").as("src"), col("src").as("nbr")))
         .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(false)
         .createOrReplaceTempView("ge_edges")
       Tables.embeddings(s, dir)
         .filter(col("vec_id") < Similarity.NumQueries).select("vec_id")
