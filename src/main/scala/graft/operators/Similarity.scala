@@ -697,6 +697,58 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // Binary quantization search — the most aggressive embedding
+    // compression in production retrieval (a 64-dim float vector
+    // becomes 64 SIGN BITS = 8 bytes, a 32× shrink): per vector, two
+    // packed BIGINT halves (dims 1-32 / 33-64, MSB-first within each
+    // half — integer-exact on both engines, and two halves avoid the
+    // 2⁶³ sign-bit overflow a single 64-bit pack would hit); search =
+    // a Hamming-distance scan (popcount of XOR — the CPU-friendly
+    // 8-byte pass that makes binary codes the first-stage filter at
+    // billion-vector scale), shortlist the 30 nearest codes, then
+    // exact-cosine rerank of the shortlist to top-3. Everything
+    // cross-engine-exact: bit packing and popcount are integer ops,
+    // the rerank is the standard rounded cosine. At 100 TB the code
+    // table is 8 bytes/vector (fits node memory where floats don't),
+    // queries broadcast, and the rerank touches only Q×30 vectors.
+    "ss_binary_quant" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def half(lo: Int): Column = expr(
+        s"""aggregate(transform(sequence($lo, ${lo + 31}),
+           |  i -> IF(element_at(e, i) >= CAST(0.0 AS DOUBLE),
+           |          shiftleft(CAST(1 AS BIGINT), ${lo + 31} - i),
+           |          CAST(0 AS BIGINT))),
+           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        .withColumn("code_hi", half(1))
+        .withColumn("code_lo", half(33))
+      val q = broadcast(v.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qnrm"), col("code_hi").as("qhi"),
+          col("code_lo").as("qlo")))
+      val wHam = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("cand_id").asc)
+      val short = v.join(q, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          col("e"), col("nrm"), col("qe"), col("qnrm"),
+          (bit_count(col("code_hi").bitwiseXOR(col("qhi"))) +
+            bit_count(col("code_lo").bitwiseXOR(col("qlo"))))
+            .cast("int").as("hamming"))
+        .withColumn("hk", row_number().over(wHam))
+        .filter(col("hk") <= 30)
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      short
+        .withColumn("score",
+          round(dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 4))
+        .withColumn("rk", row_number().over(wTop).cast("int"))
+        .filter(col("rk") <= 3)
+        .select("query_id", "cand_id", "hamming", "score", "rk")
+        .orderBy("query_id", "rk")
+    }),
+
     // PQ encode — the index-build half of IVF-PQ (the memory-bound
     // ANN standard: a 64-dim float vector compresses to 8 one-byte
     // codes): per (vector, subspace), the nearest codebook centroid
@@ -1465,6 +1517,44 @@ object Similarity {
          |  FROM assigned, UNNEST(range(1, len(e) + 1)) AS u(i)
          |  GROUP BY cent_id, i)
          |ORDER BY cent_id, dim""".stripMargin,
+    // Bit packing and popcount are pure integer ops; the rerank is the
+    // standard rounded cosine. Shortlist boundary ties break on
+    // cand_id — integer-deterministic on both engines.
+    "ss_binary_quant" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_dot_product(e, e)) AS nrm,
+         |    CAST(list_sum(list_transform(range(1, 33),
+         |      i -> CASE WHEN e[CAST(i AS INT)] >= 0
+         |                THEN (1::BIGINT << (32 - CAST(i AS INT))) ELSE 0 END))
+         |      AS BIGINT) AS code_hi,
+         |    CAST(list_sum(list_transform(range(33, 65),
+         |      i -> CASE WHEN e[CAST(i AS INT)] >= 0
+         |                THEN (1::BIGINT << (64 - CAST(i AS INT))) ELSE 0 END))
+         |      AS BIGINT) AS code_lo
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm,
+         |        code_hi AS qhi, code_lo AS qlo
+         |      FROM v WHERE vec_id >= 100 AND vec_id < 105),
+         |short AS (
+         |  SELECT query_id, cand_id, hamming, e, nrm, qe, qnrm FROM (
+         |    SELECT q.query_id, v.vec_id AS cand_id, v.e, v.nrm, q.qe, q.qnrm,
+         |      CAST(bit_count(xor(v.code_hi, q.qhi))
+         |         + bit_count(xor(v.code_lo, q.qlo)) AS INT) AS hamming,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY CAST(bit_count(xor(v.code_hi, q.qhi))
+         |               + bit_count(xor(v.code_lo, q.qlo)) AS INT) ASC,
+         |                 v.vec_id ASC) AS hk
+         |    FROM v JOIN q ON v.vec_id <> q.query_id)
+         |  WHERE hk <= 30)
+         |SELECT query_id, cand_id, hamming, score, CAST(rk AS INT) AS rk FROM (
+         |  SELECT query_id, cand_id, hamming,
+         |    round(list_dot_product(qe, e) / (qnrm * nrm), 4) AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(list_dot_product(qe, e) / (qnrm * nrm), 4) DESC,
+         |               cand_id ASC) AS rk
+         |  FROM short)
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // Identical double op tree on both sides (the code and the
     // reconstruction), so the floor'd nano-error is bit-equal; the
     // only rounding op, round(), sees a quasi-continuous argument

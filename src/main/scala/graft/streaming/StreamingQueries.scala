@@ -69,6 +69,25 @@ object StreamingQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // Stream-stream INTERVAL JOIN through the gate: every view matched
+    // with the clicks that follow it within 30 minutes, both sides
+    // watermarked so join state stays bounded by the interval + delay
+    // horizon (the production attribution shape). Inner joins emit
+    // eagerly on match — the watermark only EVICTS state — so draining
+    // a bounded input yields exactly the batch inequality join. Append
+    // mode (joins don't support complete).
+    "st_click_after_view" -> ((s, dir) => {
+      val (staged, schema) = stageEvents(s, dir)
+      val joined = StreamingWordCount
+        .clickAfterViewJoin(s, staged, schema)
+        .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName("st_click_after_view").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("st_click_after_view")
+        .orderBy("view_id", "click_id")
+    }),
+
     // Streaming dual of ev_sliding_15m: the slide fans each event into
     // its 3 overlapping windows map-side before the same incremental
     // aggregation — state O(open windows), output O(window count).
@@ -98,6 +117,14 @@ object StreamingQueries {
          |  count(*) AS n_events,
          |  ${OracleSql.dsum("value")} AS sum_value
          |FROM events, UNNEST([0, 1, 2]) AS u(k)
-         |GROUP BY 1 ORDER BY win_start""".stripMargin
+         |GROUP BY 1 ORDER BY win_start""".stripMargin,
+    "st_click_after_view" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id,
+        |  v.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTES
+        |ORDER BY view_id, click_id""".stripMargin
   )
 }
