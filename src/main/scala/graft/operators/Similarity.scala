@@ -190,6 +190,46 @@ object Similarity {
       .filter(col("rk") <= 3)
   }
 
+  /** The ss_binary_quant body: sign-bit codes (two BIGINT halves),
+    * Hamming-popcount shortlist of 30, exact-cosine rerank to top-3.
+    * Shared with the recall harness.
+    */
+  private def binaryQuantTop3(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def half(lo: Int): Column = expr(
+      s"""aggregate(transform(sequence($lo, ${lo + 31}),
+         |  i -> IF(element_at(e, i) >= CAST(0.0 AS DOUBLE),
+         |          shiftleft(CAST(1 AS BIGINT), ${lo + 31} - i),
+         |          CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .withColumn("code_hi", half(1))
+      .withColumn("code_lo", half(33))
+    val q = broadcast(v.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("code_hi").as("qhi"),
+        col("code_lo").as("qlo")))
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("cand_id").asc)
+    val short = v.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        col("e"), col("nrm"), col("qe"), col("qnrm"),
+        (bit_count(col("code_hi").bitwiseXOR(col("qhi"))) +
+          bit_count(col("code_lo").bitwiseXOR(col("qlo"))))
+          .cast("int").as("hamming"))
+      .withColumn("hk", row_number().over(wHam))
+      .filter(col("hk") <= 30)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    short
+      .withColumn("score",
+        round(dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 4))
+      .withColumn("rk", row_number().over(wTop).cast("int"))
+      .filter(col("rk") <= 3)
+  }
+
   /** Directed kNN edge list from the TRAINED IVF index: per vector,
     * its top-`k` neighbors among the members of its own trained cell
     * (single-probe candidates) by rounded cosine. This is the
@@ -711,42 +751,46 @@ object Similarity {
     // the rerank is the standard rounded cosine. At 100 TB the code
     // table is 8 bytes/vector (fits node memory where floats don't),
     // queries broadcast, and the rerank touches only Q×30 vectors.
-    "ss_binary_quant" -> ((s, dir) => {
+    "ss_binary_quant" -> ((s, dir) =>
+      binaryQuantTop3(s, dir)
+        .select("query_id", "cand_id", "hamming", "score", "rk")
+        .orderBy("query_id", "rk")),
+
+    // The evaluation harness the binary leg needs before anyone trusts
+    // it (sign-bit codes are the lossiest quantization in the suite):
+    // per query, recall@3 of the Hamming-shortlist→rerank path against
+    // exact-cosine brute force. MEASURED, not asserted — the same
+    // doctrine as ss_ivf_recall/ss_pq_recall. Both legs share the
+    // broadcast query set; the exact leg is the one corpus-sized scan.
+    "ss_binary_recall" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      def half(lo: Int): Column = expr(
-        s"""aggregate(transform(sequence($lo, ${lo + 31}),
-           |  i -> IF(element_at(e, i) >= CAST(0.0 AS DOUBLE),
-           |          shiftleft(CAST(1 AS BIGINT), ${lo + 31} - i),
-           |          CAST(0 AS BIGINT))),
-           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("e"))
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-        .withColumn("code_hi", half(1))
-        .withColumn("code_lo", half(33))
       val q = broadcast(v.filter(col("vec_id") >= 100 && col("vec_id") < 105)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
-          col("nrm").as("qnrm"), col("code_hi").as("qhi"),
-          col("code_lo").as("qlo")))
-      val wHam = Window.partitionBy(col("query_id"))
-        .orderBy(col("hamming").asc, col("cand_id").asc)
-      val short = v.join(q, col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("cand_id"),
-          col("e"), col("nrm"), col("qe"), col("qnrm"),
-          (bit_count(col("code_hi").bitwiseXOR(col("qhi"))) +
-            bit_count(col("code_lo").bitwiseXOR(col("qlo"))))
-            .cast("int").as("hamming"))
-        .withColumn("hk", row_number().over(wHam))
-        .filter(col("hk") <= 30)
+          col("nrm").as("qnrm")))
       val wTop = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cand_id").asc)
-      short
-        .withColumn("score",
-          round(dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 4))
-        .withColumn("rk", row_number().over(wTop).cast("int"))
+      val exact = v.join(q, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          round(dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 4)
+            .as("score"))
+        .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= 3)
-        .select("query_id", "cand_id", "hamming", "score", "rk")
-        .orderBy("query_id", "rk")
+        .select("query_id", "cand_id")
+      val binary = binaryQuantTop3(s, dir).select("query_id", "cand_id")
+      exact.as("e")
+        .join(binary.as("b"),
+          col("e.query_id") === col("b.query_id") &&
+            col("e.cand_id") === col("b.cand_id"), "left")
+        .groupBy(col("e.query_id").as("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("b.cand_id").isNotNull, 1L).otherwise(0L))
+            .as("n_hits"))
+        .withColumn("recall4",
+          round(col("n_hits").cast("double") / col("n_true"), 4))
+        .orderBy("query_id")
     }),
 
     // PQ encode — the index-build half of IVF-PQ (the memory-bound
@@ -1123,6 +1167,46 @@ object Similarity {
          |    FROM ad) WHERE rn = 1)""".stripMargin
     s"$lloydCtes,\n$asgn"
   }
+
+  /** DuckDB mirror of [[binaryQuantTop3]] as a CTE chain (no WITH
+    * prefix): v (vectors + packed sign codes), q (query set), btop
+    * (Hamming shortlist 30 → exact-cosine rerank with rk). Shared by
+    * the search row and the recall harness.
+    */
+  private val binaryQuantCtes: String =
+    """v AS (
+      |  SELECT vec_id, e,
+      |    sqrt(list_dot_product(e, e)) AS nrm,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      i -> CASE WHEN e[CAST(i AS INT)] >= 0
+      |                THEN (1::BIGINT << (32 - CAST(i AS INT))) ELSE 0 END))
+      |      AS BIGINT) AS code_hi,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      i -> CASE WHEN e[CAST(i AS INT)] >= 0
+      |                THEN (1::BIGINT << (64 - CAST(i AS INT))) ELSE 0 END))
+      |      AS BIGINT) AS code_lo
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+      |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm,
+      |        code_hi AS qhi, code_lo AS qlo
+      |      FROM v WHERE vec_id >= 100 AND vec_id < 105),
+      |bshort AS (
+      |  SELECT query_id, cand_id, hamming, e, nrm, qe, qnrm FROM (
+      |    SELECT q.query_id, v.vec_id AS cand_id, v.e, v.nrm, q.qe, q.qnrm,
+      |      CAST(bit_count(xor(v.code_hi, q.qhi))
+      |         + bit_count(xor(v.code_lo, q.qlo)) AS INT) AS hamming,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY CAST(bit_count(xor(v.code_hi, q.qhi))
+      |               + bit_count(xor(v.code_lo, q.qlo)) AS INT) ASC,
+      |                 v.vec_id ASC) AS hk
+      |    FROM v JOIN q ON v.vec_id <> q.query_id)
+      |  WHERE hk <= 30),
+      |btop AS (
+      |  SELECT query_id, cand_id, hamming,
+      |    round(list_dot_product(qe, e) / (qnrm * nrm), 4) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(list_dot_product(qe, e) / (qnrm * nrm), 4) DESC,
+      |               cand_id ASC) AS rk
+      |  FROM bshort)""".stripMargin
 
   /** DuckDB mirror of [[ivfKnnEdges]]: the trained-assignment CTEs
     * plus `gv` (vectors), `gav` (vectors with trained cell), and
@@ -1521,40 +1605,28 @@ object Similarity {
     // standard rounded cosine. Shortlist boundary ties break on
     // cand_id — integer-deterministic on both engines.
     "ss_binary_quant" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, e,
-         |    sqrt(list_dot_product(e, e)) AS nrm,
-         |    CAST(list_sum(list_transform(range(1, 33),
-         |      i -> CASE WHEN e[CAST(i AS INT)] >= 0
-         |                THEN (1::BIGINT << (32 - CAST(i AS INT))) ELSE 0 END))
-         |      AS BIGINT) AS code_hi,
-         |    CAST(list_sum(list_transform(range(33, 65),
-         |      i -> CASE WHEN e[CAST(i AS INT)] >= 0
-         |                THEN (1::BIGINT << (64 - CAST(i AS INT))) ELSE 0 END))
-         |      AS BIGINT) AS code_lo
-         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
-         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm,
-         |        code_hi AS qhi, code_lo AS qlo
-         |      FROM v WHERE vec_id >= 100 AND vec_id < 105),
-         |short AS (
-         |  SELECT query_id, cand_id, hamming, e, nrm, qe, qnrm FROM (
-         |    SELECT q.query_id, v.vec_id AS cand_id, v.e, v.nrm, q.qe, q.qnrm,
-         |      CAST(bit_count(xor(v.code_hi, q.qhi))
-         |         + bit_count(xor(v.code_lo, q.qlo)) AS INT) AS hamming,
+      s"""WITH $binaryQuantCtes
+         |SELECT query_id, cand_id, hamming, score, CAST(rk AS INT) AS rk
+         |FROM btop WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "ss_binary_recall" ->
+      s"""WITH $binaryQuantCtes,
+         |bsel AS (SELECT query_id, cand_id FROM btop WHERE rk <= 3),
+         |exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.query_id, v.vec_id AS cand_id,
          |      row_number() OVER (PARTITION BY q.query_id
-         |        ORDER BY CAST(bit_count(xor(v.code_hi, q.qhi))
-         |               + bit_count(xor(v.code_lo, q.qlo)) AS INT) ASC,
-         |                 v.vec_id ASC) AS hk
+         |        ORDER BY round(list_dot_product(q.qe, v.e) / (q.qnrm * v.nrm), 4) DESC,
+         |                 v.vec_id ASC) AS rk
          |    FROM v JOIN q ON v.vec_id <> q.query_id)
-         |  WHERE hk <= 30)
-         |SELECT query_id, cand_id, hamming, score, CAST(rk AS INT) AS rk FROM (
-         |  SELECT query_id, cand_id, hamming,
-         |    round(list_dot_product(qe, e) / (qnrm * nrm), 4) AS score,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY round(list_dot_product(qe, e) / (qnrm * nrm), 4) DESC,
-         |               cand_id ASC) AS rk
-         |  FROM short)
-         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+         |  WHERE rk <= 3)
+         |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN b.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN b.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS recall4
+         |FROM exact e LEFT JOIN bsel b
+         |  ON e.query_id = b.query_id AND e.cand_id = b.cand_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     // Identical double op tree on both sides (the code and the
     // reconstruction), so the floor'd nano-error is bit-equal; the
     // only rounding op, round(), sees a quasi-continuous argument

@@ -69,6 +69,33 @@ object StreamingQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // Streaming exact dedup through the gate: documents arrive as a
+    // file stream with a synthetic event time, and
+    // dropDuplicatesWithinWatermark keeps one row per fingerprint with
+    // STATE BOUNDED by the watermark horizon (plain dropDuplicates
+    // would hold every fingerprint forever — the unbounded-state
+    // failure mode). The emitted row per fingerprint is
+    // arrival-order-dependent, so the verified contract is the
+    // fingerprint SET — exactly the batch DISTINCT. Append mode;
+    // drained over the bounded corpus.
+    "st_dedup_exact" -> ((s, dir) => {
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}/docs"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          expr("timestamp_micros(1000000000000000 + doc_id)").as("ts"))
+      if (!new java.io.File(staged, "_SUCCESS").exists())
+        docs.write.mode(SaveMode.Overwrite).parquet(staged)
+      val deduped = s.readStream.schema(docs.schema).parquet(staged)
+        .withColumn("fp", md5(col("text")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("fp")
+        .select("fp")
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName("st_dedup_exact").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("st_dedup_exact").orderBy("fp")
+    }),
+
     // Stream-stream INTERVAL JOIN through the gate: every view matched
     // with the clicks that follow it within 30 minutes, both sides
     // watermarked so join state stays bounded by the interval + delay
@@ -125,6 +152,8 @@ object StreamingQueries {
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id
         | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTES
-        |ORDER BY view_id, click_id""".stripMargin
+        |ORDER BY view_id, click_id""".stripMargin,
+    "st_dedup_exact" ->
+      "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp"
   )
 }
