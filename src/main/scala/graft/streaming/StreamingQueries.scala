@@ -29,11 +29,27 @@ object StreamingQueries {
     * loader's ts normalization applied once, batch-side.
     */
   private def stageEvents(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
-    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
     val ev = Tables.events(s, dir)
-    if (!new java.io.File(staged, "_SUCCESS").exists())
-      ev.write.mode(SaveMode.Overwrite).parquet(staged)
-    (staged, ev.schema)
+    (stage(ev, s"$dir/events.parquet",
+      s"${stageRoot(dir)}/events"), ev.schema)
+  }
+
+  private def stageRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** Write `df` to `staged` once per SOURCE generation: the staged
+    * copy is reused only while it is newer than the source parquet —
+    * a driver-side testdata regeneration at the same path invalidates
+    * it (a bare _SUCCESS check would silently serve stale data to
+    * every streaming query).
+    */
+  private def stage(df: DataFrame, sourcePath: String, staged: String): String = {
+    val marker = new java.io.File(staged, "_SUCCESS")
+    val src = new java.io.File(sourcePath)
+    if (!marker.exists() ||
+        (src.exists() && src.lastModified() >= marker.lastModified()))
+      df.write.mode(SaveMode.Overwrite).parquet(staged)
+    staged
   }
 
   /** Run `df` (a streaming frame) to a complete-mode memory sink and
@@ -79,12 +95,11 @@ object StreamingQueries {
     // fingerprint SET — exactly the batch DISTINCT. Append mode;
     // drained over the bounded corpus.
     "st_dedup_exact" -> ((s, dir) => {
-      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}/docs"
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"),
           expr("timestamp_micros(1000000000000000 + doc_id)").as("ts"))
-      if (!new java.io.File(staged, "_SUCCESS").exists())
-        docs.write.mode(SaveMode.Overwrite).parquet(staged)
+      val staged = stage(docs, s"$dir/documents.parquet",
+        s"${stageRoot(dir)}/docs")
       val deduped = s.readStream.schema(docs.schema).parquet(staged)
         .withColumn("fp", md5(col("text")))
         .withWatermark("ts", "1 hour")
