@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -12,17 +12,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * and therefore bit-identical to it and to a plain loop in any other
   * engine (the DuckDB oracle's `list_dot_product`) — but a single fused
   * loop instead of two interpreted higher-order functions allocating an
-  * intermediate array per row.
+  * intermediate array per row. Codegen'd (round 8): the interpreted
+  * fallback kept every similarity projection out of whole-stage spans.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotProduct.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+object DotProduct {
+  /** Shared by the interpreted path and generated code. */
+  def dot(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
@@ -30,11 +42,6 @@ case class DotProduct(left: Expression, right: Expression)
     acc
   }
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
-    copy(left = l, right = r)
-}
-
-object DotProduct {
   def dot_product(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,20 +14,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * four interpreted higher-order functions evaluates a closure per
   * element and copies each slice; measured ~1.8 s per pass over sf0.1
   * (260k shingles). This tight loop is ~10× cheaper and is the hot
-  * inner operator of every dedup query.
-  *
-  * CodegenFallback is deliberate: the win is the fused loop, not
-  * codegen of the surrounding projection; the expression itself is a
-  * leaf-ish projection evaluated once per row.
+  * inner operator of every dedup query. Codegen'd (round 8): the loop
+  * lives in a static helper the generated code calls, so the
+  * SURROUNDING projection (md5 salts, explode input) stays inside one
+  * whole-stage span instead of falling back around this expression.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  protected override def nullSafeEval(input: Any): Any =
+    WordShingles.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** Shared by the interpreted path and generated code. */
+  def shingles(input: UTF8String, n: Int): GenericArrayData = {
+    val text = input.toString
     // tokenize, dropping empty tokens (W1)
     val toks = new scala.collection.mutable.ArrayBuffer[String](32)
     var start = 0
@@ -61,11 +73,6 @@ case class WordShingles(child: Expression, n: Int)
     }
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
-}
-
-object WordShingles {
   def word_shingles(c: Column, n: Int = 3): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(WordShingles(Bridge.expression(c), n))
