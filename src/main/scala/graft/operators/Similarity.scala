@@ -150,6 +150,20 @@ object Similarity {
       (cents, assignL2(dims, cents).localCheckpoint(false))
     }
 
+  /** Trained assignment with cells = ⌈√n⌉ — the standard IVF sizing
+    * (per-cell candidates O(√n), so a per-cell self-join is O(n^1.5)
+    * total instead of O(n²/k) for any FIXED k). Used by the kNN edge
+    * build; the search queries keep the 4-cell index their oracles
+    * unroll.
+    */
+  private def sqrtIvfAssignment(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "ivfSqrt") {
+      val n = Tables.embeddings(s, dir).count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val dims = kmDims(s, dir).localCheckpoint(false)
+      assignL2(dims, trainedCentsK(dims, k)).localCheckpoint(false)
+    }
+
   /** The ss_ivf_nprobe body, parameterized by probe count: rank the
     * trained cells per query by the SAME exact micro-L2 the assignment
     * uses, take the `nprobe` nearest, exact cosine top-3 over the
@@ -230,18 +244,19 @@ object Similarity {
       .filter(col("rk") <= 3)
   }
 
-  /** Directed kNN edge list from the TRAINED IVF index: per vector,
-    * its top-`k` neighbors among the members of its own trained cell
-    * (single-probe candidates) by rounded cosine. This is the
-    * production ANN-graph recipe — candidates are O(n/cells) per cell
-    * with the cell count a build parameter that grows with n (∝ √n),
-    * so the edge build stays near-linear at 100 TB, unlike any
-    * fixed-size sign-bucket space whose cells go quadratic as the
-    * corpus grows. Consumed by ss_graph_expand's recursive expansion.
+  /** Directed kNN edge list from a TRAINED IVF index sized for the
+    * corpus: per vector, its top-`k` neighbors among the members of
+    * its own trained cell (single-probe candidates) by rounded
+    * cosine. Cells = ⌈√n⌉ ([[sqrtIvfAssignment]] — the standard IVF
+    * sizing), so per-cell candidates are O(√n) and the edge build's
+    * total pair volume is O(n^1.5) — the production ANN-graph recipe,
+    * unlike any FIXED cell count (sign buckets, or the 4-cell search
+    * index) whose per-cell joins go quadratic as the corpus grows.
+    * Consumed by ss_graph_expand's recursive expansion.
     */
   def ivfKnnEdges(s: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val asg = trainedIvf(s, dir)._2
+    val asg = sqrtIvfAssignment(s, dir)
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
@@ -320,8 +335,14 @@ object Similarity {
     * 100 TB each round is one broadcast join + two aggregations; the
     * centroid frame stays k·d rows throughout.
     */
-  private def trainedCents(dims: DataFrame): DataFrame = {
-    var cents = dims.filter(col("vec_id") < PipelineQueries.NumCentroids)
+  private def trainedCents(dims: DataFrame): DataFrame =
+    trainedCentsK(dims, PipelineQueries.NumCentroids)
+
+  /** The same fixed-round Lloyd loop with a caller-chosen seed count —
+    * the cell-count dial a production index sizes ∝ √n.
+    */
+  private def trainedCentsK(dims: DataFrame, k: Int): DataFrame = {
+    var cents = dims.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("dim"), col("x").as("c"))
     for (_ <- 1 to KmTrainRounds) {
       val asg = assignL2(dims, cents)
@@ -1114,14 +1135,21 @@ object Similarity {
     * (kd/ka/km/c per round). CTE names are disjoint from [[pqCtes]]'s
     * so the two chains compose in one WITH (ss_ivfpq_search).
     */
-  private val lloydCtes: String = {
+  private val lloydCtes: String =
+    lloydCtesSeed(PipelineQueries.NumCentroids.toString)
+
+  /** The Lloyd CTE chain with a caller-chosen seed-count SQL
+    * expression (a literal, or a scalar subquery for data-derived
+    * cell counts like ⌈√n⌉).
+    */
+  private def lloydCtesSeed(seedLimit: String): String = {
     val head =
       s"""cd AS MATERIALIZED (
          |  SELECT vec_id, CAST(i AS INT) AS dim, e[i] AS x
          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |       UNNEST(range(1, len(e) + 1)) AS u(i)),
          |c0 AS MATERIALIZED (SELECT vec_id AS cent_id, dim, x AS c FROM cd
-         |       WHERE vec_id < ${PipelineQueries.NumCentroids})""".stripMargin
+         |       WHERE vec_id < ($seedLimit))""".stripMargin
     val rounds = (1 to KmTrainRounds).map { r =>
       s"""kd$r AS MATERIALIZED (
          |  SELECT cd.vec_id, cent_id,
@@ -1152,21 +1180,27 @@ object Similarity {
     * centroids (ad/asg) — the DuckDB mirror of
     * `assignL2(dims, trainedCents(dims))`.
     */
-  private val trainedAssignCtes: String = {
-    val asgn =
-      s"""ad AS MATERIALIZED (
-         |  SELECT cd.vec_id, cent_id,
-         |    CAST(sum(CAST(floor((cd.x - p.c) * (cd.x - p.c) * 1000000000000.0)
-         |      AS BIGINT)) AS BIGINT) AS dm
-         |  FROM cd JOIN c$KmTrainRounds p ON cd.dim = p.dim
-         |  GROUP BY 1, 2),
-         |asg AS MATERIALIZED (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT vec_id, cent_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS rn
-         |    FROM ad) WHERE rn = 1)""".stripMargin
-    s"$lloydCtes,\n$asgn"
-  }
+  private val trainedAssignAsgn: String =
+    s"""ad AS MATERIALIZED (
+       |  SELECT cd.vec_id, cent_id,
+       |    CAST(sum(CAST(floor((cd.x - p.c) * (cd.x - p.c) * 1000000000000.0)
+       |      AS BIGINT)) AS BIGINT) AS dm
+       |  FROM cd JOIN c$KmTrainRounds p ON cd.dim = p.dim
+       |  GROUP BY 1, 2),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS rn
+       |    FROM ad) WHERE rn = 1)""".stripMargin
+
+  private val trainedAssignCtes: String =
+    s"$lloydCtes,\n$trainedAssignAsgn"
+
+  /** Trained assignment with cells = ⌈√n⌉ (the [[sqrtIvfAssignment]]
+    * mirror): same chain, seed count computed from the data.
+    */
+  private val sqrtAssignCtes: String =
+    s"${lloydCtesSeed("SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings")},\n$trainedAssignAsgn"
 
   /** DuckDB mirror of [[binaryQuantTop3]] as a CTE chain (no WITH
     * prefix): v (vectors + packed sign codes), q (query set), btop
@@ -1214,7 +1248,7 @@ object Similarity {
     * WITH prefix, so callers can embed it in a WITH RECURSIVE chain.
     */
   def ivfKnnEdgesCtes(k: Int): String =
-    s"""$trainedAssignCtes,
+    s"""$sqrtAssignCtes,
        |gv AS MATERIALIZED ($vSql),
        |gav AS MATERIALIZED (
        |  SELECT gv.vec_id, gv.e, gv.nrm, asg.cent_id
