@@ -150,18 +150,46 @@ object Similarity {
       (cents, assignL2(dims, cents).localCheckpoint(false))
     }
 
+  /** Rows per centroid in the edge-build training sample. */
+  val TrainSamplePerCell = 50
+
   /** Trained assignment with cells = ⌈√n⌉ — the standard IVF sizing
     * (per-cell candidates O(√n), so a per-cell self-join is O(n^1.5)
-    * total instead of O(n²/k) for any FIXED k). Used by the kNN edge
-    * build; the search queries keep the 4-cell index their oracles
-    * unroll.
+    * total instead of O(n²/k) for any FIXED k). The Lloyd loop trains
+    * on a DETERMINISTIC bounded sample — the first 50·k vectors in
+    * (md5(vec_id), vec_id) order, the suite's reproducible-random
+    * rule — and only the single assignment pass touches the full
+    * corpus: training cost O(k²·d·rounds), assignment O(n·k·d). This
+    * is how production IVF builds actually run (FAISS trains on
+    * ~40–256 points per centroid); full-corpus Lloyd would put an
+    * n^1.5·d term in the build (measured dominating the 20× stress).
+    * Used by the kNN edge build; the search queries keep the 4-cell
+    * index their oracles unroll.
     */
   private def sqrtIvfAssignment(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "ivfSqrt") {
+      import org.apache.spark.sql.expressions.Window
       val n = Tables.embeddings(s, dir).count()
       val k = math.ceil(math.sqrt(n.toDouble)).toInt
       val dims = kmDims(s, dir).localCheckpoint(false)
-      assignL2(dims, trainedCentsK(dims, k)).localCheckpoint(false)
+      // sample = first 50·k vectors in (md5(vec_id), vec_id) order;
+      // seeds = the first k of the sample. The global window runs on
+      // the (vec_id, h) projection only — at 100 TB this is the
+      // two-phase hashOrderedHead shape; here the frame is the sample
+      // bound itself.
+      val sampleIds = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          md5(col("vec_id").cast("string")).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("h"), col("vec_id"))))
+        .filter(col("rn") <= k * TrainSamplePerCell)
+        .select("vec_id", "rn")
+      val trainDims = dims.join(broadcast(sampleIds.select("vec_id")), "vec_id")
+        .localCheckpoint(false)
+      val cents0 = trainDims.join(
+          broadcast(sampleIds.filter(col("rn") <= k).select("vec_id")), "vec_id")
+        .select(col("vec_id").as("cent_id"), col("dim"), col("x").as("c"))
+      assignL2(dims, lloydRounds(trainDims, cents0)).localCheckpoint(false)
     }
 
   /** The ss_ivf_nprobe body, parameterized by probe count: rank the
@@ -335,18 +363,22 @@ object Similarity {
     * 100 TB each round is one broadcast join + two aggregations; the
     * centroid frame stays k·d rows throughout.
     */
-  private def trainedCents(dims: DataFrame): DataFrame =
-    trainedCentsK(dims, PipelineQueries.NumCentroids)
-
-  /** The same fixed-round Lloyd loop with a caller-chosen seed count —
-    * the cell-count dial a production index sizes ∝ √n.
-    */
-  private def trainedCentsK(dims: DataFrame, k: Int): DataFrame = {
-    var cents = dims.filter(col("vec_id") < k)
+  private def trainedCents(dims: DataFrame): DataFrame = {
+    val cents0 = dims.filter(col("vec_id") < PipelineQueries.NumCentroids)
       .select(col("vec_id").as("cent_id"), col("dim"), col("x").as("c"))
+    lloydRounds(dims, cents0)
+  }
+
+  /** The fixed-round Lloyd loop over an arbitrary training relation
+    * and seed set — [[trainedCents]] passes the full corpus with the
+    * first-NumCentroids seeds; the edge-build index passes a bounded
+    * sample with sample-order seeds.
+    */
+  private def lloydRounds(trainDims: DataFrame, cents0: DataFrame): DataFrame = {
+    var cents = cents0
     for (_ <- 1 to KmTrainRounds) {
-      val asg = assignL2(dims, cents)
-      val means = dims.join(asg, "vec_id")
+      val asg = assignL2(trainDims, cents)
+      val means = trainDims.join(asg, "vec_id")
         .groupBy("cent_id", "dim")
         .agg(sum(floor(col("x") * lit(1000000.0)).cast("long")).as("sm"),
           count(lit(1)).as("n"))
@@ -1196,11 +1228,55 @@ object Similarity {
   private val trainedAssignCtes: String =
     s"$lloydCtes,\n$trainedAssignAsgn"
 
-  /** Trained assignment with cells = ⌈√n⌉ (the [[sqrtIvfAssignment]]
-    * mirror): same chain, seed count computed from the data.
+  /** Trained assignment with cells = ⌈√n⌉, trained on the first-50·k
+    * md5-order sample (the [[sqrtIvfAssignment]] mirror): training
+    * rounds run over `cdt` (the sample), the final `ad`/`asg`
+    * assignment over the full `cd`.
     */
-  private val sqrtAssignCtes: String =
-    s"${lloydCtesSeed("SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings")},\n$trainedAssignAsgn"
+  private val sqrtAssignCtes: String = {
+    val head =
+      s"""kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+         |cd AS MATERIALIZED (
+         |  SELECT vec_id, CAST(i AS INT) AS dim, e[i] AS x
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |       UNNEST(range(1, len(e) + 1)) AS u(i)),
+         |smp AS MATERIALIZED (
+         |  SELECT vec_id, rn FROM (
+         |    SELECT vec_id, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM embeddings)
+         |  WHERE rn <= (SELECT k * $TrainSamplePerCell FROM kk)),
+         |cdt AS MATERIALIZED (
+         |  SELECT cd.vec_id, cd.dim, cd.x FROM cd JOIN smp USING (vec_id)),
+         |c0 AS MATERIALIZED (
+         |  SELECT cdt.vec_id AS cent_id, dim, x AS c
+         |  FROM cdt JOIN smp USING (vec_id)
+         |  WHERE smp.rn <= (SELECT k FROM kk))""".stripMargin
+    val rounds = (1 to KmTrainRounds).map { r =>
+      s"""kd$r AS MATERIALIZED (
+         |  SELECT cdt.vec_id, cent_id,
+         |    CAST(sum(CAST(floor((cdt.x - p.c) * (cdt.x - p.c) * 1000000000000.0)
+         |      AS BIGINT)) AS BIGINT) AS dm
+         |  FROM cdt JOIN c${r - 1} p ON cdt.dim = p.dim
+         |  GROUP BY 1, 2),
+         |ka$r AS MATERIALIZED (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS rn
+         |    FROM kd$r) WHERE rn = 1),
+         |km$r AS MATERIALIZED (
+         |  SELECT cent_id, dim,
+         |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
+         |    count(*) AS n
+         |  FROM cdt JOIN ka$r USING (vec_id) GROUP BY 1, 2),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.cent_id, p.dim,
+         |    COALESCE(CAST(m.sm AS DOUBLE) / m.n / CAST(1000000.0 AS DOUBLE), p.c) AS c
+         |  FROM c${r - 1} p LEFT JOIN km$r m
+         |    ON p.cent_id = m.cent_id AND p.dim = m.dim)""".stripMargin
+    }
+    ((head +: rounds) :+ trainedAssignAsgn).mkString(",\n")
+  }
 
   /** DuckDB mirror of [[binaryQuantTop3]] as a CTE chain (no WITH
     * prefix): v (vectors + packed sign codes), q (query set), btop
