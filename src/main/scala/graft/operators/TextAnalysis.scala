@@ -463,6 +463,28 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Duplicate-n-gram coverage — the Gopher/MassiveText companion to
+    // ta_repetition's max-count gate: that one catches a single
+    // hammered phrase; THIS one catches diffuse repetition (many
+    // 3-grams each repeated a few times — template/boilerplate pages
+    // where no single shingle dominates). Per doc: the fraction of
+    // 3-gram OCCURRENCES that belong to repeated 3-grams, as an exact
+    // integer pair plus a 4dp ratio of integers. Same one-explode
+    // aggregation shape as ta_repetition — narrow, map-side combined.
+    "ta_dup_ngram_frac" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(shinglesOf(col("text"))).as("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(count(lit(1)).as("rep"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("rep")).as("n_grams"),
+          sum(when(col("rep") >= 2, col("rep")).otherwise(0L)).as("n_dup_grams"))
+        .withColumn("dup_frac4",
+          round(col("n_dup_grams").cast("double") / col("n_grams"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Mixed-language detection — the quality gate single-label langid
     // can't express: concatenated bilingual pages (scraper artifacts,
     // boilerplate-in-another-language) fool a whole-document argmax.
@@ -1020,6 +1042,22 @@ object TextAnalysis {
          |WHERE rep = max_rep
          |GROUP BY doc_id, max_rep, n_distinct_shingles
          |ORDER BY doc_id""".stripMargin,
+    // Ratio of integers rounded at 4dp (the dd_embed_cos rationale);
+    // sums CAST to BIGINT against DuckDB's HUGEINT widening.
+    "ta_dup_ngram_frac" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+         |  WHERE len(t) >= 3),
+         |cnt AS (SELECT doc_id, shingle, count(*) AS rep FROM sh GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(rep) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN rep >= 2 THEN rep ELSE 0 END) AS BIGINT)
+         |    AS n_dup_grams,
+         |  round(CAST(sum(CASE WHEN rep >= 2 THEN rep ELSE 0 END) AS DOUBLE)
+         |    / sum(rep), 4) AS dup_frac4
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_posexplode" ->
       s"""SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS word
          |FROM (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id < 20),
