@@ -310,8 +310,13 @@ object RankQueries {
     // WITHIN its sign-bit bucket — the scale form of graph
     // construction (the all-pairs kNN graph is quadratic; bucketing
     // bounds each join group, and recall is recovered by multiprobe /
-    // more tables, same plan shape). Self-join on the bucket key, then
-    // a per-vector bounded window.
+    // more tables, same plan shape). The bit count is the scale dial:
+    // bits ≈ log₂(n) − c holds per-bucket size at a CONSTANT 2^c as
+    // the corpus grows (the LSH analog of IVF's cells ∝ √n — 8 bits
+    // already gives ≤8-vector buckets at test scale), so the per-cell
+    // self-join never goes quadratic; contrast ss_graph_expand's
+    // round-7 flag, where the bucket was COARSENED against this dial.
+    // Self-join on the bucket key, then a per-vector bounded window.
     "dd_knn_graph" -> ((s, dir) => {
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("e"),
