@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Agg, OracleSql}
+import graft.operators.{Agg, OracleSql, QualityQueries}
 
 /** Oracle-gated streaming surface: each query here runs a REAL
   * Structured Streaming job (readStream → stateful transform →
@@ -111,6 +111,27 @@ object StreamingQueries {
       s.table("st_dedup_exact").orderBy("fp")
     }),
 
+    // CUSTOM STATE through the gate — the flatMapGroupsWithState
+    // admission quota no built-in streaming operator expresses (one
+    // counter per domain across micro-batches, a size-≤cap bounded
+    // heap per batch). Drained over the bounded corpus in ONE
+    // micro-batch (the file source takes all available files per
+    // trigger by default), the admitted set is exactly the cap
+    // smallest doc_ids per source — the deterministic contract the
+    // batch SQL states. Cross-batch quota exhaustion (which this
+    // single-batch drain can't see) stays pinned by ExtensionsSpec.
+    "st_domain_cap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val staged = stage(docs.coalesce(1), s"$dir/documents.parquet",
+        s"${stageRoot(dir)}/docs_src")
+      val capped = StreamingWordCount.domainCapStream(
+        s, staged, docs.schema, QualityQueries.DomainCap)
+      val q = capped.writeStream.outputMode("append").format("memory")
+        .queryName("st_domain_cap").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("st_domain_cap").orderBy("source", "doc_id")
+    }),
+
     // Stream-stream INTERVAL JOIN through the gate: every view matched
     // with the clicks that follow it within 30 minutes, both sides
     // watermarked so join state stays bounded by the interval + delay
@@ -169,6 +190,13 @@ object StreamingQueries {
         | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTES
         |ORDER BY view_id, click_id""".stripMargin,
     "st_dedup_exact" ->
-      "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp"
+      "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
+    "st_domain_cap" ->
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= ${graft.operators.QualityQueries.DomainCap}
+         |ORDER BY source, doc_id""".stripMargin
   )
 }
