@@ -25,6 +25,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ DedupClusters.queries ++
       Similarity.queries ++ RankQueries.queries ++ GraphQueries.queries ++
       QualityQueries.queries ++ QuantileQueries.queries ++
+      SketchQueries.queries ++
       Multimodal.queries ++ PipelineQueries.queries ++ SourceQueries.queries ++
       graft.streaming.StreamingQueries.queries
 
@@ -37,6 +38,7 @@ object SparkEntry {
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ DedupClusters.oracleSql ++
       Similarity.oracleSql ++ RankQueries.oracleSql ++ GraphQueries.oracleSql ++
       QualityQueries.oracleSql ++ QuantileQueries.oracleSql ++
+      SketchQueries.oracleSql ++
       Multimodal.oracleSql ++ PipelineQueries.oracleSql ++ SourceQueries.oracleSql ++
       graft.streaming.StreamingQueries.oracleSql
 }

@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Mergeable cardinality/frequency SKETCHES with integer-exact,
+  * DuckDB-verifiable contracts — the missing piece between the exact
+  * paths (q_exact_quantiles, wordcount) and the engine-opaque builtins
+  * (q_approx_distinct / q_approx_quantile, which stay oracle-exempt
+  * because Spark's HLL++ and KLL register layouts are not
+  * reproducible from SQL).
+  *
+  * Why this family exists: at 100 TB every corpus-level statistic must
+  * be a commutative-monoid fold (the pipe_agg_maintenance rule) or it
+  * can't be maintained incrementally, can't partial-aggregate
+  * map-side, and can't merge across 1000 executors without a second
+  * scan. Sketches are the canonical monoids for the questions exact
+  * aggregation can't afford: distinct counts (HLL registers merge by
+  * elementwise max; KMV minima merge by k-smallest-of-union) and
+  * per-key frequencies (count-min cells merge by sum). Spark's own
+  * approx builtins prove the point but hide the state; here the state
+  * IS the query output, so the oracle checks the sketch itself.
+  *
+  * Determinism doctrine (SCALE.md): every number that crosses the
+  * cross-engine gate is an integer. Hashes are md5-hex-substring
+  * decodes (the dd_simhash nibble idiom), register indices and
+  * leading-zero ranks are pure bit arithmetic (`bin()` string length —
+  * identical on both engines, no log2), and the HLL harmonic mean is
+  * computed in FIXED POINT: rho capped at [[HllRhoCap]] bits so
+  * Z = Σ 2^(cap−min(rho,cap)) is an exact BIGINT, and the estimate is
+  * one integer division by a pre-multiplied alpha constant. No libm
+  * call anywhere in the verified contract; the float forms (standard
+  * alpha·m²/Z and linear counting) are pinned single-engine in
+  * SketchSpec with epsilons.
+  */
+object SketchQueries {
+
+  /** HLL register-index width: first 2 hex chars → m = 256 registers
+    * (standard error ≈ 1.04/√256 = 6.5%).
+    */
+  val HllRegisters = 256
+
+  /** Leading-zero rank comes from the next 13 hex chars = 52 hash
+    * bits, so rho ∈ [1, 53].
+    */
+  val HllRhoBits = 52
+
+  /** Fixed-point cap on rho inside the harmonic sum: 2^(20−rho)
+    * truncates to 0 past 20 — a ≤2⁻²⁰·m relative perturbation of Z,
+    * far below the sketch's own 6.5% error, and it keeps
+    * 10⁶·Z < 2⁶³ with no HUGEINT divergence (DuckDB would widen,
+    * Spark would overflow — capping removes the hazard instead of
+    * papering over it).
+    */
+  val HllRhoCap = 20
+
+  /** alpha_256 = 0.7213/(1 + 1.079/256) in parts-per-million, fixed
+    * by this spec so both engines multiply by the same integer.
+    */
+  val HllAlphaPpm = 718274L
+
+  /** Pre-multiplied estimator numerator: alpha_ppm · m² · 2^cap. */
+  val HllNumer: Long = HllAlphaPpm * HllRegisters.toLong * HllRegisters.toLong *
+    (1L << HllRhoCap)
+
+  /** Count-min geometry: 4 rows × 16 buckets; row i's hash is hex
+    * nibble i+1 of the single md5 digest (independent-enough nibbles,
+    * one digest per token — no 4× hashing cost). Deliberately narrow —
+    * see sk_cms_heavy's comment.
+    */
+  val CmsRows = 4
+  val CmsBuckets = 16
+
+  /** KMV: distinct-count estimate from the k = 64 smallest 52-bit
+    * hashes; est = (k−1)·2⁵² / h_(k) (the classic k-minimum-values
+    * unbiased form, integer-floored by this spec).
+    */
+  val KmvK = 64
+
+  /** Word-3-gram shingles of the documents corpus (multiplicity
+    * preserved, all docs pooled) with their md5 digest — the shared
+    * scan of every sketch below. Shingles, not tokens, are the sketch
+    * key: the synthetic corpus has a ~31-word vocabulary (trivially
+    * exact-countable) but ~16k distinct shingles — squarely in the
+    * raw-HLL regime (n ≫ 2.5m) and exactly the cardinality a dedup
+    * planner needs (distinct-shingle count sizes the minhash/LSH
+    * stage). Narrow: explode + one digest per shingle, no shuffle.
+    */
+  private[graft] def words(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextOps.shinglesOf(col("text"))).as("key"))
+      .withColumn("h", md5(col("key")))
+
+  /** (reg, rho) per token: register index from hex chars 1-2, rank =
+    * leading zeros of the 52-bit tail + 1 via `53 − bitlength`, where
+    * bitlength(v>0) = length(bin(v)) on both engines and the v = 0
+    * row (all 52 bits zero) is the explicit rho = 53 case.
+    */
+  private[graft] def hllRegRho(df: DataFrame): DataFrame = df
+    .withColumn("reg", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    .withColumn("v", conv(substring(col("h"), 3, 13), 16, 10).cast("long"))
+    .withColumn("rho",
+      when(col("v") === 0L, lit(53))
+        .otherwise(lit(53) - length(bin(col("v")))).cast("int"))
+
+  /** Register table → the 1-row integer estimate frame shared by
+    * sk_hll_estimate and sk_hll_merge. `regs` must be (reg, rho) with
+    * one row per OCCUPIED register.
+    */
+  private def hllEstimate(s: SparkSession, regs: DataFrame,
+                          exact: DataFrame): DataFrame = {
+    val z = regs.agg(
+      count(lit(1)).as("n_set"),
+      sum(expr(s"shiftleft(1L, $HllRhoCap - least(rho, $HllRhoCap))"))
+        .as("z_set"))
+    z.crossJoin(broadcast(exact))
+      .select(
+        lit(HllRegisters.toLong).as("m"),
+        col("n_set"),
+        (col("z_set") +
+          (lit(HllRegisters.toLong) - col("n_set")) * lit(1L << HllRhoCap))
+          .as("zcap"),
+        col("exact_distinct"))
+      .withColumn("est_distinct", expr(s"$HllNumer DIV (1000000 * zcap)"))
+      .select(col("m"), col("n_set"), col("zcap"), col("est_distinct"),
+        col("exact_distinct"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The HLL sketch ITSELF: per-register max leading-zero rank over
+    // every token occurrence of the corpus. This is the true HLL
+    // dataflow — no distinct() anywhere: duplicate tokens collapse in
+    // the map-side partial max, so the shuffle carries ≤256 rows per
+    // task regardless of corpus size (the combiner advantage the
+    // reference's WordCount lacks, applied to cardinality). ≤256-row
+    // output, ordered by register.
+    "sk_hll_registers" -> ((s, dir) =>
+      hllRegRho(words(s, dir))
+        .groupBy("reg").agg(max(col("rho")).as("rho"))
+        .orderBy("reg")),
+
+    // The fixed-point HLL estimate next to the exact distinct count —
+    // the one-row dataset-card answer "how many distinct tokens", with
+    // the sketch error visible and every column a BIGINT (see the
+    // object doc for the fixed-point derivation). The exact count is
+    // the audit column: at 100 TB you'd drop it and keep the sketch;
+    // at oracle scale it is what proves the estimator honest (6.5%
+    // expected error, asserted ≤15% in SketchSpec).
+    "sk_hll_estimate" -> ((s, dir) => {
+      val exact = words(s, dir)
+        .agg(count_distinct(col("key")).as("exact_distinct"))
+      hllEstimate(s,
+        hllRegRho(words(s, dir)).groupBy("reg").agg(max(col("rho")).as("rho")),
+        exact)
+    }),
+
+    // Merge-of-partials-equals-rescan, the sketch's reason to exist:
+    // two corpus halves (the pipe_agg_maintenance md5 split, so both
+    // engines see identical halves) are sketched INDEPENDENTLY — as a
+    // stored snapshot sketch and a new-batch sketch would be — and
+    // merged by elementwise register max; the oracle computes the
+    // direct full-corpus estimate and the gate asserts they are
+    // identical. At 100 TB this is how yesterday's distinct-token
+    // count absorbs today's delta without rescanning yesterday.
+    "sk_hll_merge" -> ((s, dir) => {
+      def half(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        hllRegRho(
+          Tables.documents(s, dir)
+            .filter(pred(substring(md5(col("doc_id").cast("string")), 1, 1)))
+            .select(explode(TextOps.shinglesOf(col("text"))).as("key"))
+            .withColumn("h", md5(col("key"))))
+          .groupBy("reg").agg(max(col("rho")).as("rho"))
+      val merged = half(_ < "8").unionByName(half(_ >= "8"))
+        .groupBy("reg").agg(max(col("rho")).as("rho"))
+      val exact = words(s, dir)
+        .agg(count_distinct(col("key")).as("exact_distinct"))
+      hllEstimate(s, merged, exact)
+    }),
+
+    // Count-min point estimates for the exact top-10 TOKENS (tokens,
+    // not shingles: the token frequencies are the corpus's true
+    // Zipf-skewed heavy hitters — shingle counts are near-uniform, so
+    // a shingle CMS would only measure collision noise). The sketch is
+    // the 4×16 cell-count table — a groupBy sum, so cells merge by +
+    // across partitions and future batches — deliberately NARROW
+    // (w = 16, one hex nibble per row) so collisions actually happen
+    // at this vocabulary and the min-over-rows is seen resolving
+    // them: rows where one of the 4 cells is collision-free come out
+    // est = exact, the rest overshoot. The oracle certifies the
+    // one-sided bound (est ≥ exact always). The sketch frame is ≤64
+    // rows → broadcast into the probe join; at 100 TB the build is
+    // one narrow pass + a 64-row shuffle.
+    "sk_cms_heavy" -> ((s, dir) => {
+      val w = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("key"))
+        .withColumn("h", md5(col("key")))
+      def cellsOf(df: DataFrame): DataFrame = df
+        .select(col("key"), col("exact_cnt"),
+          explode(array((0 until CmsRows).map(i =>
+            struct(lit(i).as("r"),
+              conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as("b"))): _*))
+            .as("cell"))
+        .select(col("key"), col("exact_cnt"),
+          col("cell.r").as("r"), col("cell.b").as("b"))
+      val cells = w.select(explode(array((0 until CmsRows).map(i =>
+          struct(lit(i).as("r"),
+            conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as("b"))): _*))
+          .as("cell"))
+        .select(col("cell.r").as("r"), col("cell.b").as("b"))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val top = w.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("key").asc).limit(10)
+      cellsOf(top.withColumn("h", md5(col("key"))))
+        .join(broadcast(cells), Seq("r", "b"))
+        .groupBy("key", "exact_cnt").agg(min(col("c")).as("est_cnt"))
+        .orderBy("key")
+    }),
+
+    // K-minimum-values distinct estimate: keep the 64 smallest
+    // distinct 52-bit hashes; the k-th one's magnitude IS the density
+    // estimate (est = (k−1)·2⁵²/h_(k), integer-floored). The
+    // distinct() here is vocabulary-bounded (the wordcount-combiner
+    // argument: partial aggregation collapses repeats map-side), and
+    // the orderBy.limit compiles to TakeOrderedAndProject — a
+    // per-partition bounded heap + driver merge of 64-row tops, never
+    // a global sort. One row out, all BIGINT.
+    "sk_kmv_distinct" -> ((s, dir) => {
+      val hv = words(s, dir)
+        .select(conv(substring(col("h"), 1, 13), 16, 10).cast("long").as("hv"))
+        .distinct()
+      val kth = hv.orderBy("hv").limit(KmvK)
+        .agg(count(lit(1)).as("k"), max(col("hv")).as("kth_hash"))
+      val exact = words(s, dir)
+        .agg(count_distinct(col("key")).as("exact_distinct"))
+      kth.crossJoin(broadcast(exact))
+        .withColumn("est_distinct",
+          expr(s"((k - 1) * ${1L << 52}) DIV kth_hash"))
+        .select("k", "kth_hash", "est_distinct", "exact_distinct")
+    })
+  )
+
+  /** DuckDB mirror of `conv(substring(h, start, len), 16, 10)`: the
+    * dd_simhash nibble-decode idiom, generalized — a positional sum of
+    * strpos-decoded nibbles (BIGINT-cast so 13-nibble powers up to
+    * 16¹² stay exact).
+    */
+  private def hexLong(h: String, start: Int, len: Int): String =
+    (0 until len).map { i =>
+      val pow = Math.pow(16.0, (len - 1 - i).toDouble).toLong
+      s"(strpos('0123456789abcdef', substring($h, ${start + i}, 1)) - 1)::BIGINT * $pow"
+    }.mkString("(", " + ", ")")
+
+  /** Shared oracle CTE: word-3-gram shingles with multiplicity (the
+    * non-DISTINCT sibling of Dedup's shingle CTE) and their digest.
+    */
+  private val wordsSql =
+    s"""w AS (
+       |  SELECT key, md5(key) AS h FROM (
+       |    SELECT array_to_string(list_slice(t, i, i + 2), ' ') AS key
+       |    FROM (SELECT ${OracleSql.toks} AS t FROM documents),
+       |         UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+       |    WHERE len(t) >= 3))""".stripMargin
+
+  /** Shared oracle CTE on top of `w`: per-token (reg, rho). */
+  private val regRhoSql =
+    s"""rr AS (
+       |  SELECT ${hexLong("h", 1, 2)}::INT AS reg,
+       |    CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END::INT AS rho
+       |  FROM (SELECT h, ${hexLong("h", 3, 13)} AS v FROM w))""".stripMargin
+
+  /** Occupied registers → the estimate row (mirror of [[hllEstimate]]). */
+  private val estimateSql =
+    s"""z AS (
+       |  SELECT count(*)::BIGINT AS n_set,
+       |    sum((1::BIGINT << ($HllRhoCap - least(rho, $HllRhoCap))))::BIGINT AS z_set
+       |  FROM regs),
+       |ex AS (SELECT count(DISTINCT key)::BIGINT AS exact_distinct FROM w)
+       |SELECT $HllRegisters::BIGINT AS m, n_set,
+       |  (z_set + ($HllRegisters - n_set) * ${1L << HllRhoCap})::BIGINT AS zcap,
+       |  ($HllNumer // (1000000::BIGINT *
+       |    (z_set + ($HllRegisters - n_set) * ${1L << HllRhoCap})))::BIGINT
+       |    AS est_distinct,
+       |  exact_distinct
+       |FROM z, ex""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "sk_hll_registers" ->
+      s"""WITH $wordsSql,
+         |$regRhoSql
+         |SELECT reg, max(rho)::INT AS rho FROM rr GROUP BY reg
+         |ORDER BY reg""".stripMargin,
+    "sk_hll_estimate" ->
+      s"""WITH $wordsSql,
+         |$regRhoSql,
+         |regs AS (SELECT reg, max(rho) AS rho FROM rr GROUP BY reg),
+         |$estimateSql""".stripMargin,
+    // The merge query's oracle IS the direct full-corpus estimate:
+    // equality is the merge-equals-rescan contract.
+    "sk_hll_merge" ->
+      s"""WITH $wordsSql,
+         |$regRhoSql,
+         |regs AS (SELECT reg, max(rho) AS rho FROM rr GROUP BY reg),
+         |$estimateSql""".stripMargin,
+    "sk_cms_heavy" ->
+      s"""WITH w AS (
+         |  SELECT key, md5(key) AS h FROM (
+         |    SELECT unnest(${OracleSql.toks}) AS key FROM documents)),
+         |cells AS (
+         |  SELECT cell.r AS r, cell.b AS b, count(*)::BIGINT AS c FROM (
+         |    SELECT unnest([${(0 until CmsRows).map(i =>
+               s"{'r': $i, 'b': ${hexLong("h", i + 1, 1)}::INT}").mkString(", ")}]) AS cell
+         |    FROM w)
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT key, count(*)::BIGINT AS exact_cnt FROM w GROUP BY key
+         |  ORDER BY exact_cnt DESC, key ASC LIMIT 10),
+         |probe AS (
+         |  SELECT key, exact_cnt, cell.r AS r, cell.b AS b FROM (
+         |    SELECT key, exact_cnt, unnest([${(0 until CmsRows).map(i =>
+               s"{'r': $i, 'b': ${hexLong("md5(key)", i + 1, 1)}::INT}").mkString(", ")}]) AS cell
+         |    FROM top))
+         |SELECT p.key, p.exact_cnt, min(c.c)::BIGINT AS est_cnt
+         |FROM probe p JOIN cells c ON c.r = p.r AND c.b = p.b
+         |GROUP BY p.key, p.exact_cnt ORDER BY p.key""".stripMargin,
+    "sk_kmv_distinct" ->
+      s"""WITH $wordsSql,
+         |hv AS (SELECT DISTINCT ${hexLong("h", 1, 13)} AS hv FROM w),
+         |kth AS (
+         |  SELECT count(*)::BIGINT AS k, max(hv)::BIGINT AS kth_hash
+         |  FROM (SELECT hv FROM hv ORDER BY hv LIMIT $KmvK)),
+         |ex AS (SELECT count(DISTINCT key)::BIGINT AS exact_distinct FROM w)
+         |SELECT k, kth_hash,
+         |  ((k - 1) * ${1L << 52} // kth_hash)::BIGINT AS est_distinct,
+         |  exact_distinct
+         |FROM kth, ex""".stripMargin
+  )
+}
