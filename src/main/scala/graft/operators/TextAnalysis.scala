@@ -35,6 +35,14 @@ object TextAnalysis {
     */
   val BpeTrainRounds = 3
 
+  /** Collocation gates: support floor first (rare-pair PMI noise
+    * never ranks), then lift ≥ 1.4× in micro-units (1.2 admits a
+    * ~150-row near-noise tail on this corpus; 1.4 keeps the ~20
+    * genuinely associated pairs).
+    */
+  val CollocMinSupport = 20L
+  val CollocMinLiftMicro = 1400000L
+
   /** The BPE training loop shared by ta_bpe_train (reports `merges`)
     * and ta_bpe_encode (aggregates the final `syms`): BpeTrainRounds
     * iterations of pair-count over the VOCABULARY (word-frequency
@@ -267,6 +275,59 @@ object TextAnalysis {
           col("c1"), (col("e._2").cast("double") / col("c1")).as("p"),
           (col("i") + 1).cast("int").as("rk"))
         .orderBy("w1", "rk")
+    }),
+
+    // Collocation mining — statistically-associated bigrams (the
+    // phrase-detection pass a tokenizer/vocab pipeline runs to merge
+    // "new york"-style units): association scored as LIFT
+    // P(w1w2)/(P(w1)P(w2)), the exponential of PMI, kept as an exact
+    // integer cross-multiplication so no log/division ever crosses
+    // the engine gate, in two fixed-point stages whose magnitudes are
+    // BOUNDED AT ANY CORPUS SIZE (the naive c12·nt²·10⁶
+    // cross-multiplication overflows BIGINT already at sf0.1):
+    // probabilities floor to parts-per-million first
+    // (p12 = c12·10⁶ div nb, p1/p2 likewise over nt — each ≤ 10⁶),
+    // then lift_micro = p12·10¹² div (p1·p2) — numerator ≤ 10¹⁸,
+    // denominator ≤ 10¹², every intermediate a safe BIGINT on both
+    // engines forever. The ppm floors perturb lift by ~10⁻⁶
+    // relative — noise against the 1.4× gate; at ≥10¹² tokens the
+    // ppm resolution floors rare-word probabilities to 0, so a
+    // production run widens the fixed point (ppb), same contract
+    // shape. A support floor (c12 ≥ 20) applies FIRST so rare-pair
+    // noise (the classic PMI failure mode) never ranks and p1/p2
+    // can't be zero. Plan: one bigram aggregation + one unigram
+    // aggregation; the unigram frame is vocabulary-bounded and
+    // aggregated, so it broadcasts into the two head/tail lookups
+    // (at web scale — 10⁸⁺ vocab — the same two joins shuffle on
+    // w1/w2 instead; shape unchanged). The support gate keeps the
+    // scored frame far below the bigram count.
+    "ta_collocations" -> ((s, dir) => {
+      val toksF = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+      val bg = Tables.documents(s, dir)
+        .select(explode(
+          graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bg"))
+        .select(
+          element_at(split(col("bg"), " ", -1), 1).as("w1"),
+          element_at(split(col("bg"), " ", -1), 2).as("w2"))
+      val uc = toksF.groupBy("w").agg(count(lit(1)).as("c"))
+      val totals = toksF.agg(count(lit(1)).as("nt"))
+        .crossJoin(bg.agg(count(lit(1)).as("nb")))
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= CollocMinSupport)
+        .join(broadcast(uc.withColumnRenamed("w", "w1")
+          .withColumnRenamed("c", "c1")), Seq("w1"))
+        .join(broadcast(uc.withColumnRenamed("w", "w2")
+          .withColumnRenamed("c", "c2")), Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .withColumn("p12", expr("(c12 * 1000000L) DIV nb"))
+        .withColumn("p1", expr("(c1 * 1000000L) DIV nt"))
+        .withColumn("p2", expr("(c2 * 1000000L) DIV nt"))
+        .withColumn("lift_micro",
+          expr("(p12 * 1000000000000L) DIV (p1 * p2)"))
+        .filter(col("lift_micro") >= CollocMinLiftMicro)
+        .select("w1", "w2", "c12", "c1", "c2", "lift_micro")
+        .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
     }),
 
     // Zipf rank-frequency table — the corpus-statistics view every
@@ -1025,6 +1086,28 @@ object TextAnalysis {
          |  FROM cnt)
          |SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS p, CAST(rk AS INT) AS rk
          |FROM scored WHERE rk <= 5 ORDER BY w1, rk""".stripMargin,
+    "ta_collocations" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+         |bg AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |uc AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+         |tot AS (SELECT (SELECT count(*) FROM toks)::BIGINT AS nt,
+         |               (SELECT count(*) FROM bg)::BIGINT AS nb),
+         |bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg
+         |       GROUP BY 1, 2 HAVING count(*) >= $CollocMinSupport),
+         |scored AS (
+         |  SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+         |    (((c12 * 1000000) // nb) * 1000000000000
+         |      // (((u1.c * 1000000) // nt) * ((u2.c * 1000000) // nt))
+         |    )::BIGINT AS lift_micro
+         |  FROM bc, tot, uc u1, uc u2
+         |  WHERE u1.w = bc.w1 AND u2.w = bc.w2)
+         |SELECT w1, w2, c12, c1, c2, lift_micro FROM scored
+         |WHERE lift_micro >= $CollocMinLiftMicro
+         |ORDER BY lift_micro DESC, w1, w2""".stripMargin,
     // Multiplicity-preserving shingles (no DISTINCT — repetition IS
     // the signal); top shingle = min shingle among max-count ones.
     "ta_repetition" ->

@@ -151,6 +151,35 @@ object StreamingQueries {
         .orderBy("view_id", "click_id")
     }),
 
+    // The HLL sketch maintained AS streaming aggregation state — the
+    // streaming dual of sk_hll_registers, and the operational shape a
+    // live distinct-count dashboard runs at 100 TB: documents arrive
+    // in micro-batches (the staged corpus is split into 8 files and
+    // drained 2 per trigger, so the register max-merge genuinely runs
+    // INCREMENTALLY across 4 batches — not one degenerate pass),
+    // shingles hash map-side, and the groupBy(reg).max(rho) state is
+    // the sketch itself: 256 rows forever, regardless of stream
+    // volume. No watermark needed — max is monotone, complete mode
+    // re-emits the current registers each trigger. The oracle is the
+    // batch sk_hll_registers SQL verbatim: the streaming fold and the
+    // batch fold land on the identical sketch because register max is
+    // order-free (the same commutative-monoid argument that makes the
+    // sketch mergeable across executors makes it mergeable across
+    // TIME).
+    "st_hll_registers" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val staged = stage(docs.repartition(8), s"$dir/documents.parquet",
+        s"${stageRoot(dir)}/docs_hll")
+      val stream = graft.operators.SketchQueries.hllRegRho(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "2").parquet(staged)
+            .select(explode(graft.operators.TextOps.shinglesOf(col("text")))
+              .as("key"))
+            .withColumn("h", md5(col("key"))))
+        .groupBy("reg").agg(max(col("rho")).as("rho"))
+      drain(s, stream, "st_hll_registers").orderBy("reg")
+    }),
+
     // Streaming dual of ev_sliding_15m: the slide fans each event into
     // its 3 overlapping windows map-side before the same incremental
     // aggregation — state O(open windows), output O(window count).
@@ -191,6 +220,8 @@ object StreamingQueries {
         |ORDER BY view_id, click_id""".stripMargin,
     "st_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
+    "st_hll_registers" ->
+      graft.operators.SketchQueries.oracleSql("sk_hll_registers"),
     "st_domain_cap" ->
       s"""SELECT source, doc_id FROM (
          |  SELECT source, doc_id,

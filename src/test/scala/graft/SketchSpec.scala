@@ -88,6 +88,29 @@ class SketchSpec extends AnyFunSuite {
       "no collision-free cell among top-10 at w=16 — geometry wrong?")
   }
 
+  test("st_hll_registers: the streaming fold lands on the identical sketch") {
+    // Batch and streaming compute the same register table — the
+    // mergeable-across-TIME half of the monoid argument, asserted
+    // Spark-side on top of the shared oracle SQL. The streaming run
+    // drains 8 staged files 2 per trigger, so this covers a genuine
+    // multi-batch incremental max-merge.
+    val stream = SparkEntry.queries("st_hll_registers")(spark, sf).collect()
+    val batch = SparkEntry.queries("sk_hll_registers")(spark, sf).collect()
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("ta_collocations: gates hold and ordering is by lift") {
+    import graft.operators.TextAnalysis
+    val rows = run("ta_collocations").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c12") >= TextAnalysis.CollocMinSupport)
+      assert(r.getAs[Long]("lift_micro") >= TextAnalysis.CollocMinLiftMicro)
+    }
+    val lifts = rows.map(_.getAs[Long]("lift_micro")).toSeq
+    assert(lifts == lifts.sorted.reverse, "not ordered by lift desc")
+  }
+
   test("sk_kmv_distinct: k filled, estimate within 25% of exact") {
     val r = run("sk_kmv_distinct").collect().head
     assert(r.getAs[Long]("k") == SketchQueries.KmvK.toLong)
