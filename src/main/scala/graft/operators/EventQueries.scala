@@ -106,6 +106,45 @@ object EventQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // Peak concurrency per hour — the sweep-line operator behind "how
+    // many sessions were live at once" capacity questions, which no
+    // windowed COUNT can answer (an interval spans windows; counting
+    // starts per window undercounts, counting overlaps per window
+    // double-counts). Each event opens a 15-minute interval; the sweep
+    // is ±1 deltas at interval ends, running-summed in (t, d) order —
+    // d = −1 sorts before +1 at an equal instant, which IS the
+    // half-open [s, e) convention, and coincident deltas pre-aggregate
+    // by (t, d) so the sweep order is total and engine-identical. The
+    // running sum is NOT a global window: the pipe_weighted_sample
+    // two-phase shape keyed by the natural hour bucket — per-hour
+    // delta subtotals (the only unpartitioned window runs over this
+    // time-bounded ~n_hours-row frame), broadcast carry-ins, per-hour
+    // prefix sums. At 100 TB: deltas are a narrow 2-rows-per-event
+    // projection; the bucket frame stays calendar-bounded (10⁵ rows
+    // for a decade of hours) no matter the event volume.
+    "ev_peak_concurrency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val deltas = ev.select(col("ts").as("t"), lit(1L).as("d"))
+        .unionByName(ev.select(
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("t"), lit(-1L).as("d")))
+        .groupBy("t", "d").agg(count(lit(1)).as("n"))
+        .withColumn("dd", col("d") * col("n"))
+        .withColumn("hour", date_trunc("hour", col("t")))
+      val carry = deltas.groupBy("hour").agg(sum(col("dd")).as("hd"))
+        .withColumn("carry_in", coalesce(
+          sum(col("hd")).over(Window.orderBy(col("hour"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("hour", "carry_in")
+      val wIn = Window.partitionBy(col("hour")).orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deltas.join(broadcast(carry), Seq("hour"))
+        .withColumn("conc", col("carry_in") + sum(col("dd")).over(wIn))
+        .groupBy("hour")
+        .agg(sum(when(col("d") === 1L, col("n")).otherwise(0L)).as("n_opens"),
+          max(col("conc")).as("peak_conc"))
+        .orderBy("hour")
+    }),
+
     // Sliding 15-minute window on a 5-minute slide: each event lands
     // in exactly 3 overlapping windows (15/5), so `window()` with a
     // slideDuration explodes 3 narrow rows per event before the same
@@ -444,6 +483,26 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // Oracle states the sweep as ONE global running sum (affordable at
+    // oracle scale); the two-phase bucket decomposition is
+    // row-identical because the hour bucket is a prefix of (t, d)
+    // order.
+    "ev_peak_concurrency" ->
+      """WITH deltas AS (
+        |  SELECT t, d, count(*)::BIGINT AS n FROM (
+        |    SELECT ts AS t, 1 AS d FROM events
+        |    UNION ALL
+        |    SELECT ts + INTERVAL 15 MINUTE AS t, -1 AS d FROM events)
+        |  GROUP BY t, d),
+        |sweep AS (
+        |  SELECT date_trunc('hour', t) AS hour, d, n,
+        |    sum(d * n) OVER (ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM deltas)
+        |SELECT hour,
+        |  CAST(sum(CASE WHEN d = 1 THEN n ELSE 0 END) AS BIGINT) AS n_opens,
+        |  CAST(max(conc) AS BIGINT) AS peak_conc
+        |FROM sweep GROUP BY hour ORDER BY hour""".stripMargin,
     // An event at t belongs to the 3 slide-aligned windows starting at
     // time_bucket(t) − k·5min, k ∈ {0,1,2}: k=2 still satisfies
     // t < start + 15min because start = bucket(t) − 10min and

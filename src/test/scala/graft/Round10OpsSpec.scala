@@ -74,6 +74,28 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(auc6 >= 0.0 && auc6 <= 1.0)
   }
 
+  test("ev_peak_concurrency: equals the brute-force interval count at every hour") {
+    // Ground truth: concurrency at an instant p = #intervals with
+    // s <= p < s + 15min; per-hour peak = max over boundary points in
+    // the hour. The query's bucketed two-phase sweep must match this
+    // O(n^2) direct count exactly (1000 events at sf0.001).
+    val starts = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts)")).collect().map(_.getLong(0)).sorted
+    val fifteenMin = 15L * 60 * 1000000
+    val points = (starts ++ starts.map(_ + fifteenMin)).distinct.sorted
+    def concAt(p: Long) = starts.count(s => s <= p && p < s + fifteenMin)
+    val expected = points.groupBy(p => p - Math.floorMod(p, 3600L * 1000000))
+      .map { case (hour, ps) => hour -> ps.map(concAt).max }
+    val got = run("ev_peak_concurrency")
+      .select(expr("unix_micros(hour)"), col("peak_conc")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (hour, peak) =>
+      assert(peak == expected(hour).toLong,
+        s"hour=$hour got=$peak brute=${expected(hour)}")
+    }
+  }
+
   test("q_variant: absent path is NULL (never an error), totals cover every event") {
     val rows = run("q_variant").collect()
     val total = rows.map(r => r.getLong(r.fieldIndex("n_events"))).sum
