@@ -145,6 +145,51 @@ object EventQueries {
         .orderBy("hour")
     }),
 
+    // Hourly utilization — the interval-UNION length per hour
+    // (billing/occupancy: "how much of each hour had at least one
+    // session live"), the measure ev_peak_concurrency's maximum
+    // doesn't capture and naive per-interval duration sums
+    // double-count under overlap. Same ±1 sweep, two extensions:
+    // a zero-delta SENTINEL at each hour start splits every covered
+    // segment at the hour boundary (so pieces never cross buckets),
+    // and lead(t) inside the hour partition (default = hour end)
+    // bounds each piece — a segment between consecutive sweep points
+    // counts iff the running concurrency is positive. All time math
+    // in integer µs; utilization reported in ppm of the hour by
+    // integer division. Windows stay hour-partitioned; the carry
+    // frame is the same calendar-bounded broadcast as the peak query.
+    "ev_hour_utilization" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val deltas = ev
+        .select(col("ts").as("t"), lit(1).as("d"), lit(1L).as("dd"))
+        .unionByName(ev.select(
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("t"),
+          lit(-1).as("d"), lit(-1L).as("dd")))
+        .groupBy("t", "d").agg(sum(col("dd")).as("dd"))
+      val pts = deltas.unionByName(
+          deltas.select(date_trunc("hour", col("t")).as("t")).distinct()
+            .select(col("t"), lit(0).as("d"), lit(0L).as("dd")))
+        .withColumn("hour", date_trunc("hour", col("t")))
+      val carry = pts.groupBy("hour").agg(sum(col("dd")).as("hd"))
+        .withColumn("carry_in", coalesce(
+          sum(col("hd")).over(Window.orderBy(col("hour"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("hour", "carry_in")
+      val wIn = Window.partitionBy(col("hour")).orderBy(col("t"), col("d"))
+      val wCum = wIn.rowsBetween(Window.unboundedPreceding, 0)
+      pts.join(broadcast(carry), Seq("hour"))
+        .withColumn("conc", col("carry_in") + sum(col("dd")).over(wCum))
+        .withColumn("nt", coalesce(lead(col("t"), 1).over(wIn),
+          col("hour") + expr("INTERVAL 1 HOUR")))
+        .groupBy("hour")
+        .agg(sum(when(col("conc") > 0L,
+            unix_micros(col("nt")) - unix_micros(col("t")))
+          .otherwise(0L)).as("covered_micros"))
+        .withColumn("util_ppm",
+          expr("(covered_micros * 1000000L) DIV 3600000000"))
+        .orderBy("hour")
+    }),
+
     // Sliding 15-minute window on a 5-minute slide: each event lands
     // in exactly 3 overlapping windows (15/5), so `window()` with a
     // slideDuration explodes 3 narrow rows per event before the same
@@ -503,6 +548,36 @@ object EventQueries {
         |  CAST(sum(CASE WHEN d = 1 THEN n ELSE 0 END) AS BIGINT) AS n_opens,
         |  CAST(max(conc) AS BIGINT) AS peak_conc
         |FROM sweep GROUP BY hour ORDER BY hour""".stripMargin,
+    // Same global-sweep statement with the hour-start sentinels and
+    // the hour-partitioned lead — identical construction to the Spark
+    // side, so segment splitting and [s, e) boundary order coincide.
+    "ev_hour_utilization" ->
+      """WITH deltas AS (
+        |  SELECT t, d, CAST(sum(dd) AS BIGINT) AS dd FROM (
+        |    SELECT ts AS t, 1 AS d, 1 AS dd FROM events
+        |    UNION ALL
+        |    SELECT ts + INTERVAL 15 MINUTE, -1, -1 FROM events)
+        |  GROUP BY t, d),
+        |pts AS (
+        |  SELECT t, d, dd FROM deltas
+        |  UNION ALL
+        |  SELECT DISTINCT date_trunc('hour', t), 0, 0 FROM deltas),
+        |sw AS (
+        |  SELECT date_trunc('hour', t) AS hour, t, d,
+        |    sum(dd) OVER (ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc,
+        |    lead(t) OVER (PARTITION BY date_trunc('hour', t)
+        |      ORDER BY t, d) AS nt
+        |  FROM pts),
+        |cov AS (
+        |  SELECT hour,
+        |    CAST(sum(CASE WHEN conc > 0 THEN
+        |      epoch_us(COALESCE(nt, hour + INTERVAL 1 HOUR)) - epoch_us(t)
+        |      ELSE 0 END) AS BIGINT) AS covered_micros
+        |  FROM sw GROUP BY hour)
+        |SELECT hour, covered_micros,
+        |  CAST((covered_micros * 1000000) // 3600000000 AS BIGINT) AS util_ppm
+        |FROM cov ORDER BY hour""".stripMargin,
     // An event at t belongs to the 3 slide-aligned windows starting at
     // time_bucket(t) − k·5min, k ∈ {0,1,2}: k=2 still satisfies
     // t < start + 15min because start = bucket(t) − 10min and

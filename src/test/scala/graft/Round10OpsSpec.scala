@@ -96,6 +96,35 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_hour_utilization: equals brute-force merged-interval clipping") {
+    // Ground truth: merge the sorted [s, s+15m) intervals into
+    // disjoint spans, clip each span to the hour grid, sum per hour.
+    val starts = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts)")).collect().map(_.getLong(0)).sorted
+    val len = 15L * 60 * 1000000
+    val hourUs = 3600L * 1000000
+    val merged = starts.foldLeft(List.empty[(Long, Long)]) {
+      case ((a, b) :: rest, s) if s <= b => (a, math.max(b, s + len)) :: rest
+      case (acc, s) => (s, s + len) :: acc
+    }.reverse
+    val expected = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    merged.foreach { case (a, b) =>
+      var h = a - Math.floorMod(a, hourUs)
+      while (h < b) {
+        expected(h) += math.min(b, h + hourUs) - math.max(a, h)
+        h += hourUs
+      }
+    }
+    val got = run("ev_hour_utilization")
+      .select(expr("unix_micros(hour)"), col("covered_micros")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (h, c) =>
+      assert(c == expected(h), s"hour=$h got=$c brute=${expected(h)}")
+    }
+    // every hour with coverage shows up in the query output
+    expected.filter(_._2 > 0).keys.foreach(h => assert(got.contains(h)))
+  }
+
   test("q_variant: absent path is NULL (never an error), totals cover every event") {
     val rows = run("q_variant").collect()
     val total = rows.map(r => r.getLong(r.fieldIndex("n_events"))).sum
