@@ -209,7 +209,9 @@ object Stress {
         "pipe_token_budget", "pipe_ppl_buckets", "ss_ivf_nprobe",
         "ss_ivf_recall", "ss_pca_top2",
         "ta_trigram_backoff", "dd_label_prop", "ev_anomaly",
-        "ta_lang_entropy", "ev_markov", "pipe_pack_stats")
+        "ta_lang_entropy", "ev_markov", "pipe_pack_stats",
+        "sk_hll_merge", "sk_cms_heavy", "sk_kmv_distinct",
+        "ta_collocations", "ev_peak_concurrency", "ev_hour_utilization")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")

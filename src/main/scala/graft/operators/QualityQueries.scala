@@ -199,6 +199,46 @@ object QualityQueries {
         .orderBy("doc_id")
     }),
 
+    // Reliability diagram for the distilled quality LR — the ML-ops
+    // check that closes the ta_quality_lr / ta_lr_train_step loop:
+    // per score decile, how often does the TEACHER (the integer
+    // Gopher rule gate) agree? A rising pass rate across bins is what
+    // "the distilled model ranks quality like its rules" means;
+    // miscalibration shows up as a flat or non-monotone column.
+    // Binning avoids the float-boundary trap: score4 (already rounded
+    // 4dp) converts to integer basis points via round(score4·10⁴)
+    // FIRST, then the bin is an integer division — floor(score4·10)
+    // directly would sit on IEEE representation boundaries. Pass
+    // rates are integer ppm. One narrow scan, ≤11-bin output.
+    "ta_quality_calibration" -> ((s, dir) => {
+      val feats = Tables.documents(s, dir)
+        .select(tokens(col("text")).as("toks"))
+        .select(
+          size(col("toks")).cast("long").as("nt"),
+          aggregate(transform(col("toks"), t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("sumlen"),
+          vocabHits(col("toks"), Stopwords).cast("long").as("stop_hits"))
+      val z = lit(-6.0) +
+        lit(0.8) * log(lit(1.0) + col("nt")) +
+        lit(0.35) * when(col("nt") > 0,
+          col("sumlen").cast("double") / col("nt")).otherwise(lit(0.0)) +
+        lit(6.0) * when(col("nt") > 0,
+          col("stop_hits").cast("double") / col("nt")).otherwise(lit(0.0))
+      val pass = col("nt") >= MinTokens && col("nt") <= MaxTokens &&
+        col("sumlen") >= lit(MinMeanWordLen) * col("nt") &&
+        col("sumlen") <= lit(MaxMeanWordLen) * col("nt") &&
+        col("stop_hits") >= MinStopwordHits
+      feats
+        .withColumn("score4", round(lit(1.0) / (lit(1.0) + exp(-z)), 4))
+        .withColumn("bin",
+          expr("CAST(round(score4 * 10000) AS BIGINT) DIV 1000"))
+        .withColumn("p", when(pass, 1L).otherwise(0L))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("n_pass"))
+        .withColumn("pass_ppm", expr("(n_pass * 1000000L) DIV n_docs"))
+        .orderBy("bin")
+    }),
+
     // One full-batch gradient step of the quality LR — the TRAINING
     // half of ta_quality_lr's serving shape, distilling the integer
     // Gopher rule gate into the model (weak supervision: y = the rule
@@ -441,6 +481,31 @@ object QualityQueries {
          |SELECT doc_id, nt, score4,
          |  CAST(CASE WHEN score4 >= 0.5 THEN 1 ELSE 0 END AS INT) AS label
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "ta_quality_calibration" ->
+      s"""WITH feats AS (
+         |  SELECT CAST(len(t) AS BIGINT) AS nt,
+         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sumlen,
+         |    CAST(len(list_filter(t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS stop_hits
+         |  FROM (SELECT ${OracleSql.toks} AS t FROM documents)),
+         |scored AS (
+         |  SELECT nt, sumlen, stop_hits,
+         |    round(1.0 / (1.0 + exp(-(
+         |      -6.0 + 0.8 * ln(1.0 + nt)
+         |           + 0.35 * (CASE WHEN nt > 0 THEN CAST(sumlen AS DOUBLE) / nt ELSE 0.0 END)
+         |           + 6.0  * (CASE WHEN nt > 0 THEN CAST(stop_hits AS DOUBLE) / nt ELSE 0.0 END)
+         |    ))), 4) AS score4
+         |  FROM feats),
+         |binned AS (
+         |  SELECT CAST(round(score4 * 10000) AS BIGINT) // 1000 AS bin,
+         |    CASE WHEN nt >= $MinTokens AND nt <= $MaxTokens
+         |          AND sumlen >= $MinMeanWordLen * nt
+         |          AND sumlen <= $MaxMeanWordLen * nt
+         |          AND stop_hits >= $MinStopwordHits THEN 1 ELSE 0 END AS p
+         |  FROM scored)
+         |SELECT bin, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(p) AS BIGINT) AS n_pass,
+         |  ((CAST(sum(p) AS BIGINT) * 1000000) // count(*))::BIGINT AS pass_ppm
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
     // Gradient micro-integers: per-doc (p4 - y)·x_j floors to a long
     // on BOTH engines before summing, so the only cross-engine float
     // exposure is the two round-to-4dp transcendentals ta_quality_lr

@@ -111,6 +111,33 @@ class SketchSpec extends AnyFunSuite {
     assert(lifts == lifts.sorted.reverse, "not ordered by lift desc")
   }
 
+  test("sk_kmv_intersect: theta-sample intersection lands near the exact overlap") {
+    val r = run("sk_kmv_intersect").collect().head
+    val (est, exact) = (r.getAs[Long]("est_inter"), r.getAs[Long]("exact_inter"))
+    assert(exact > 0, "halves share no shingles — corpus changed?")
+    assert(math.abs(est - exact).toDouble / exact <= 0.30, s"est=$est exact=$exact")
+    // the same theta sample's union view should land near the full
+    // corpus distinct count (est_a + est_b - est_inter)
+    val union = r.getAs[Long]("est_a") + r.getAs[Long]("est_b") - est
+    val total = run("sk_kmv_distinct").collect().head.getAs[Long]("exact_distinct")
+    assert(math.abs(union - total).toDouble / total <= 0.25, s"union=$union total=$total")
+  }
+
+  test("ta_quality_calibration: rates bounded, discriminative, docs conserved") {
+    val rows = run("ta_quality_calibration").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("pass_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n_docs"))
+    }
+    // higher-score bins pass the teacher gate more often than the lowest
+    assert(rows.last.getAs[Long]("pass_ppm") > rows.head.getAs[Long]("pass_ppm"),
+      "no discrimination between lowest and highest score bins")
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == graft.Tables.documents(spark, sf).count())
+  }
+
   test("sk_kmv_distinct: k filled, estimate within 25% of exact") {
     val r = run("sk_kmv_distinct").collect().head
     assert(r.getAs[Long]("k") == SketchQueries.KmvK.toLong)
