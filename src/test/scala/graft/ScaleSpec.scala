@@ -399,4 +399,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.collect { case w: WindowExec => w }.isEmpty,
       s"quantization is scan + broadcast join + one aggregation — no window:\n$plan")
   }
+
+  test("sk_hll_registers: the sketch fold partial-aggregates before the exchange") {
+    // The HLL scale contract: every task collapses its corpus slice
+    // to <=256 register rows MAP-SIDE, so the one exchange carries
+    // O(registers x tasks) rows regardless of token volume. partial_max
+    // must appear below Exchange in the plan; a distinct() or a
+    // final-only aggregation would ship the token stream instead.
+    val plan = nonAdaptivePlan("sk_hll_registers").toString
+    val partialIdx = plan.indexOf("partial_max")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0, s"no map-side partial max:\n$plan")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial_max must sit BELOW the exchange (plans print top-down):\n$plan")
+  }
+
+  test("sweep-line interval ops: every window is hour-partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // The running concurrency sum must never be a corpus-sized global
+    // window: the only unpartitioned window allowed is the carry-in
+    // cumulative over the calendar-bounded hour frame. Check every
+    // WindowExec in both plans has non-empty partitionSpec except ones
+    // whose child is already an aggregated (hour-keyed) frame.
+    Seq("ev_peak_concurrency", "ev_hour_utilization").foreach { q =>
+      val plan = nonAdaptivePlan(q)
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q: expected windows in plan")
+      val unpartitioned = windows.filterNot(_.partitionSpec.nonEmpty)
+      // the carry frame window runs over groupBy("hour") output — its
+      // subtree must contain an aggregate, never a raw events scan
+      unpartitioned.foreach { w =>
+        val sub = w.child.toString
+        assert(sub.contains("HashAggregate"),
+          s"$q: unpartitioned window over non-aggregated input:\n$w")
+      }
+    }
+  }
 }
