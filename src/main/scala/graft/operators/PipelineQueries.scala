@@ -292,6 +292,47 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // Incremental maintenance of a JOIN view — pipe_agg_maintenance's
+    // harder sibling: when a materialized view joins two tables and
+    // BOTH sides receive a delta batch, the refreshed view is the
+    // classic three-delta expansion
+    //   Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    // summed into the stored partial state — never a full rejoin. The
+    // view here is per-nation order stats over orders⋈customer; the
+    // md5 splits carve base/delta on BOTH tables so every term is
+    // genuinely exercised (new orders from old customers, old orders
+    // from newly-registered customers, and new⋈new). The oracle is
+    // the direct full⋈full aggregation — equality IS the
+    // IVM-equals-recompute contract. At 100 TB: the stored A⋈B
+    // partial never recomputes; each delta term is a small-side
+    // broadcast against one big table (ΔA⋈B broadcasts ΔA's keys,
+    // A⋈ΔB broadcasts ΔB), so refresh cost scales with the delta,
+    // not the corpus. Sums go through DECIMAL (order-free).
+    "pipe_join_maintenance" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      def hOrd = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+      def hCust = substring(md5(col("c_custkey").cast("string")), 1, 1)
+      val (oBase, oDelta) = (ord.filter(hOrd < "c"), ord.filter(hOrd >= "c"))
+      val (cBase, cDelta) = (cust.filter(hCust < "c"), cust.filter(hCust >= "c"))
+      def partial(o: DataFrame, c: DataFrame): DataFrame =
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .as("sum_price_dec"))
+      partial(oBase, cBase)                      // the stored view state
+        .unionByName(partial(oDelta, cBase))     // ΔA ⋈ B
+        .unionByName(partial(oBase, cDelta))     // A ⋈ ΔB
+        .unionByName(partial(oDelta, cDelta))    // ΔA ⋈ ΔB
+        .groupBy("c_nationkey")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("sum_price_dec")).as("sum_dec"))
+        .select(col("c_nationkey"), col("n_orders"),
+          col("sum_dec").cast("double").as("sum_price"))
+        .orderBy("c_nationkey")
+    }),
+
     // Exact range-partitioned sharding — the deterministic form of
     // repartitionByRange (which samples its bounds, so its output is
     // not oracle-reproducible): shard boundaries computed EXACTLY from
@@ -1108,6 +1149,13 @@ object PipelineQueries {
          |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars4
          |FROM documents
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Direct full-join aggregation — equality with the Spark side's
+    // three-delta IVM expansion is the contract.
+    "pipe_join_maintenance" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "pipe_range_shards" ->
       """WITH v AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
         |c AS (
