@@ -67,4 +67,35 @@ object Graft {
     */
   def packSequences(spark: SparkSession, dir: String, shards: Int): DataFrame =
     operators.PipelineQueries.packBySharded(spark, dir, shards)
+
+  /** HLL register sketch of `key` over `rows` — ≤256 (reg, rho) rows,
+    * mergeable with [[hllMerge]], readable with [[hllEstimate]]
+    * (see [[graft.operators.SketchQueries.hllSketch]]).
+    */
+  def hllSketch(rows: DataFrame, key: Column): DataFrame =
+    operators.SketchQueries.hllSketch(rows, key)
+
+  /** Merge HLL register sketches by elementwise max. */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame =
+    operators.SketchQueries.hllMerge(sketches)
+
+  /** Fixed-point distinct-count estimate of a register sketch:
+    * 1 row (m, n_set, zcap, est_distinct), integer end to end.
+    */
+  def hllEstimate(registers: DataFrame): DataFrame =
+    operators.SketchQueries.hllEstimate(registers)
+
+  /** Peak concurrent [ts, ts+lengthMicros) intervals per hour
+    * (see [[graft.operators.EventQueries.peakConcurrency]]).
+    */
+  def peakConcurrency(events: DataFrame, tsCol: String,
+      lengthMicros: Long): DataFrame =
+    operators.EventQueries.peakConcurrency(events, tsCol, lengthMicros)
+
+  /** Interval-union coverage per hour in integer µs and ppm
+    * (see [[graft.operators.EventQueries.intervalUtilization]]).
+    */
+  def intervalUtilization(events: DataFrame, tsCol: String,
+      lengthMicros: Long): DataFrame =
+    operators.EventQueries.intervalUtilization(events, tsCol, lengthMicros)
 }

@@ -21,6 +21,75 @@ import graft.Tables
   */
 object EventQueries {
 
+  // ---- public sweep-line API (aliased on graft.Graft) ----
+
+  /** ±1 boundary deltas of the implied [ts, ts + lengthMicros)
+    * intervals, pre-aggregated by (t, d) and hour-bucketed — the
+    * shared first stage of both sweep operators.
+    */
+  private def sweepDeltas(events: DataFrame, tsCol: String,
+      lengthMicros: Long): DataFrame =
+    events.select(col(tsCol).as("t"), lit(1).as("d"), lit(1L).as("dd"))
+      .unionByName(events.select(
+        timestamp_micros(unix_micros(col(tsCol)) + lit(lengthMicros))
+          .as("t"), lit(-1).as("d"), lit(-1L).as("dd")))
+      .groupBy("t", "d").agg(sum(col("dd")).as("dd"))
+      .withColumn("hour", date_trunc("hour", col("t")))
+
+  /** Carry-in concurrency at each hour boundary: the one unpartitioned
+    * window, over the calendar-bounded hour frame only.
+    */
+  private def hourCarry(deltas: DataFrame): DataFrame =
+    deltas.groupBy("hour").agg(sum(col("dd")).as("hd"))
+      .withColumn("carry_in", coalesce(
+        sum(col("hd")).over(Window.orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("hour", "carry_in")
+
+  /** Peak concurrent intervals per hour — each event opens a
+    * [ts, ts+lengthMicros) interval; output (hour, n_opens,
+    * peak_conc). See the ev_peak_concurrency query comment for the
+    * two-phase decomposition rationale.
+    */
+  def peakConcurrency(events: DataFrame, tsCol: String,
+      lengthMicros: Long): DataFrame = {
+    val deltas = sweepDeltas(events, tsCol, lengthMicros)
+      .withColumn("n", abs(col("dd")))
+    val wIn = Window.partitionBy(col("hour")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas.join(broadcast(hourCarry(deltas)), Seq("hour"))
+      .withColumn("conc", col("carry_in") + sum(col("dd")).over(wIn))
+      .groupBy("hour")
+      .agg(sum(when(col("d") === 1L, col("n")).otherwise(0L)).as("n_opens"),
+        max(col("conc")).as("peak_conc"))
+      .orderBy("hour")
+  }
+
+  /** Interval-union coverage per hour — output (hour, covered_micros,
+    * util_ppm). See the ev_hour_utilization query comment.
+    */
+  def intervalUtilization(events: DataFrame, tsCol: String,
+      lengthMicros: Long): DataFrame = {
+    val deltas = sweepDeltas(events, tsCol, lengthMicros)
+    val pts = deltas.select("t", "d", "dd").unionByName(
+        deltas.select(date_trunc("hour", col("t")).as("t")).distinct()
+          .select(col("t"), lit(0).as("d"), lit(0L).as("dd")))
+      .withColumn("hour", date_trunc("hour", col("t")))
+    val wIn = Window.partitionBy(col("hour")).orderBy(col("t"), col("d"))
+    val wCum = wIn.rowsBetween(Window.unboundedPreceding, 0)
+    pts.join(broadcast(hourCarry(pts)), Seq("hour"))
+      .withColumn("conc", col("carry_in") + sum(col("dd")).over(wCum))
+      .withColumn("nt", coalesce(lead(col("t"), 1).over(wIn),
+        col("hour") + expr("INTERVAL 1 HOUR")))
+      .groupBy("hour")
+      .agg(sum(when(col("conc") > 0L,
+          unix_micros(col("nt")) - unix_micros(col("t")))
+        .otherwise(0L)).as("covered_micros"))
+      .withColumn("util_ppm",
+        expr("(covered_micros * 1000000L) DIV 3600000000"))
+      .orderBy("hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Anomaly detection: the top-5 z-score outliers per event type.
@@ -122,28 +191,8 @@ object EventQueries {
     // prefix sums. At 100 TB: deltas are a narrow 2-rows-per-event
     // projection; the bucket frame stays calendar-bounded (10⁵ rows
     // for a decade of hours) no matter the event volume.
-    "ev_peak_concurrency" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val deltas = ev.select(col("ts").as("t"), lit(1L).as("d"))
-        .unionByName(ev.select(
-          (col("ts") + expr("INTERVAL 15 MINUTES")).as("t"), lit(-1L).as("d")))
-        .groupBy("t", "d").agg(count(lit(1)).as("n"))
-        .withColumn("dd", col("d") * col("n"))
-        .withColumn("hour", date_trunc("hour", col("t")))
-      val carry = deltas.groupBy("hour").agg(sum(col("dd")).as("hd"))
-        .withColumn("carry_in", coalesce(
-          sum(col("hd")).over(Window.orderBy(col("hour"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("hour", "carry_in")
-      val wIn = Window.partitionBy(col("hour")).orderBy(col("t"), col("d"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      deltas.join(broadcast(carry), Seq("hour"))
-        .withColumn("conc", col("carry_in") + sum(col("dd")).over(wIn))
-        .groupBy("hour")
-        .agg(sum(when(col("d") === 1L, col("n")).otherwise(0L)).as("n_opens"),
-          max(col("conc")).as("peak_conc"))
-        .orderBy("hour")
-    }),
+    "ev_peak_concurrency" -> ((s, dir) =>
+      peakConcurrency(Tables.events(s, dir), "ts", 15L * 60 * 1000000)),
 
     // Hourly utilization — the interval-UNION length per hour
     // (billing/occupancy: "how much of each hour had at least one
@@ -158,37 +207,8 @@ object EventQueries {
     // in integer µs; utilization reported in ppm of the hour by
     // integer division. Windows stay hour-partitioned; the carry
     // frame is the same calendar-bounded broadcast as the peak query.
-    "ev_hour_utilization" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val deltas = ev
-        .select(col("ts").as("t"), lit(1).as("d"), lit(1L).as("dd"))
-        .unionByName(ev.select(
-          (col("ts") + expr("INTERVAL 15 MINUTES")).as("t"),
-          lit(-1).as("d"), lit(-1L).as("dd")))
-        .groupBy("t", "d").agg(sum(col("dd")).as("dd"))
-      val pts = deltas.unionByName(
-          deltas.select(date_trunc("hour", col("t")).as("t")).distinct()
-            .select(col("t"), lit(0).as("d"), lit(0L).as("dd")))
-        .withColumn("hour", date_trunc("hour", col("t")))
-      val carry = pts.groupBy("hour").agg(sum(col("dd")).as("hd"))
-        .withColumn("carry_in", coalesce(
-          sum(col("hd")).over(Window.orderBy(col("hour"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("hour", "carry_in")
-      val wIn = Window.partitionBy(col("hour")).orderBy(col("t"), col("d"))
-      val wCum = wIn.rowsBetween(Window.unboundedPreceding, 0)
-      pts.join(broadcast(carry), Seq("hour"))
-        .withColumn("conc", col("carry_in") + sum(col("dd")).over(wCum))
-        .withColumn("nt", coalesce(lead(col("t"), 1).over(wIn),
-          col("hour") + expr("INTERVAL 1 HOUR")))
-        .groupBy("hour")
-        .agg(sum(when(col("conc") > 0L,
-            unix_micros(col("nt")) - unix_micros(col("t")))
-          .otherwise(0L)).as("covered_micros"))
-        .withColumn("util_ppm",
-          expr("(covered_micros * 1000000L) DIV 3600000000"))
-        .orderBy("hour")
-    }),
+    "ev_hour_utilization" -> ((s, dir) =>
+      intervalUtilization(Tables.events(s, dir), "ts", 15L * 60 * 1000000)),
 
     // Sliding 15-minute window on a 5-minute slide: each event lands
     // in exactly 3 overlapping windows (15/5), so `window()` with a

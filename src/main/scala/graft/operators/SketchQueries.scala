@@ -112,28 +112,50 @@ object SketchQueries {
       when(col("v") === 0L, lit(53))
         .otherwise(lit(53) - length(bin(col("v")))).cast("int"))
 
-  /** Register table → the 1-row integer estimate frame shared by
-    * sk_hll_estimate and sk_hll_merge. `regs` must be (reg, rho) with
-    * one row per OCCUPIED register.
+  // ---- public sketch API (aliased on graft.Graft) ----
+
+  /** Build the HLL register table of `key` over `rows`: one (reg,
+    * rho) row per occupied register, ≤[[HllRegisters]] rows total.
+    * The fold partial-aggregates map-side, so the shuffle carries
+    * ≤256 rows per task at any input size; merge two sketches with
+    * [[hllMerge]], read the cardinality with [[hllEstimate]].
     */
-  private def hllEstimate(s: SparkSession, regs: DataFrame,
-                          exact: DataFrame): DataFrame = {
-    val z = regs.agg(
-      count(lit(1)).as("n_set"),
-      sum(expr(s"shiftleft(1L, $HllRhoCap - least(rho, $HllRhoCap))"))
-        .as("z_set"))
-    z.crossJoin(broadcast(exact))
+  def hllSketch(rows: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    hllRegRho(rows.select(md5(key.cast("string")).as("h")))
+      .groupBy("reg").agg(max(col("rho")).as("rho"))
+
+  /** Merge register tables by elementwise max — the commutative
+    * monoid that makes stored sketches absorb deltas without rescan.
+    */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("reg").agg(max(col("rho")).as("rho"))
+
+  /** Register table → the 1-row fixed-point estimate frame
+    * (m, n_set, zcap, est_distinct) — integer end to end, see the
+    * object doc for the derivation.
+    */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.agg(
+        count(lit(1)).as("n_set"),
+        sum(expr(s"shiftleft(1L, $HllRhoCap - least(rho, $HllRhoCap))"))
+          .as("z_set"))
       .select(
         lit(HllRegisters.toLong).as("m"),
         col("n_set"),
         (col("z_set") +
           (lit(HllRegisters.toLong) - col("n_set")) * lit(1L << HllRhoCap))
-          .as("zcap"),
-        col("exact_distinct"))
+          .as("zcap"))
       .withColumn("est_distinct", expr(s"$HllNumer DIV (1000000 * zcap)"))
+
+  /** Query-side wrapper: estimate frame with the exact-count audit
+    * column the oracle rows carry.
+    */
+  private def hllEstimateWith(s: SparkSession, regs: DataFrame,
+                              exact: DataFrame): DataFrame =
+    hllEstimate(regs).crossJoin(broadcast(exact))
       .select(col("m"), col("n_set"), col("zcap"), col("est_distinct"),
         col("exact_distinct"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -159,7 +181,7 @@ object SketchQueries {
     "sk_hll_estimate" -> ((s, dir) => {
       val exact = words(s, dir)
         .agg(count_distinct(col("key")).as("exact_distinct"))
-      hllEstimate(s,
+      hllEstimateWith(s,
         hllRegRho(words(s, dir)).groupBy("reg").agg(max(col("rho")).as("rho")),
         exact)
     }),
@@ -180,11 +202,10 @@ object SketchQueries {
             .select(explode(TextOps.shinglesOf(col("text"))).as("key"))
             .withColumn("h", md5(col("key"))))
           .groupBy("reg").agg(max(col("rho")).as("rho"))
-      val merged = half(_ < "8").unionByName(half(_ >= "8"))
-        .groupBy("reg").agg(max(col("rho")).as("rho"))
+      val merged = hllMerge(Seq(half(_ < "8"), half(_ >= "8")))
       val exact = words(s, dir)
         .agg(count_distinct(col("key")).as("exact_distinct"))
-      hllEstimate(s, merged, exact)
+      hllEstimateWith(s, merged, exact)
     }),
 
     // Count-min point estimates for the exact top-10 TOKENS (tokens,
