@@ -90,6 +90,35 @@ object EventQueries {
       .orderBy("hour")
   }
 
+  /** Time spent at each concurrency level — the queueing-analysis
+    * view (how long were exactly c sessions live): every sweep
+    * segment [t, next point) has constant concurrency, so the
+    * histogram is one aggregation over the same hour-partitioned
+    * segment frame [[intervalUtilization]] builds. conc = 0 rows
+    * measure idle time inside the observed hour span. Zero-length
+    * segments (coincident boundary points) are filtered so phantom
+    * intermediate levels never appear. Output (conc, total_micros),
+    * bounded by the peak concurrency.
+    */
+  def concurrencyHistogram(events: DataFrame, tsCol: String,
+      lengthMicros: Long): DataFrame = {
+    val deltas = sweepDeltas(events, tsCol, lengthMicros)
+    val pts = deltas.select("t", "d", "dd").unionByName(
+        deltas.select(date_trunc("hour", col("t")).as("t")).distinct()
+          .select(col("t"), lit(0).as("d"), lit(0L).as("dd")))
+      .withColumn("hour", date_trunc("hour", col("t")))
+    val wIn = Window.partitionBy(col("hour")).orderBy(col("t"), col("d"))
+    val wCum = wIn.rowsBetween(Window.unboundedPreceding, 0)
+    pts.join(broadcast(hourCarry(pts)), Seq("hour"))
+      .withColumn("conc", col("carry_in") + sum(col("dd")).over(wCum))
+      .withColumn("nt", coalesce(lead(col("t"), 1).over(wIn),
+        col("hour") + expr("INTERVAL 1 HOUR")))
+      .withColumn("seg", unix_micros(col("nt")) - unix_micros(col("t")))
+      .groupBy("conc").agg(sum(col("seg")).as("total_micros"))
+      .filter(col("total_micros") > 0L)
+      .orderBy("conc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Anomaly detection: the top-5 z-score outliers per event type.
@@ -209,6 +238,11 @@ object EventQueries {
     // frame is the same calendar-bounded broadcast as the peak query.
     "ev_hour_utilization" -> ((s, dir) =>
       intervalUtilization(Tables.events(s, dir), "ts", 15L * 60 * 1000000)),
+
+    // The sweep line's third read-out (after peak and coverage):
+    // dwell time per concurrency level — see [[concurrencyHistogram]].
+    "ev_conc_histogram" -> ((s, dir) =>
+      concurrencyHistogram(Tables.events(s, dir), "ts", 15L * 60 * 1000000)),
 
     // Sliding 15-minute window on a 5-minute slide: each event lands
     // in exactly 3 overlapping windows (15/5), so `window()` with a
@@ -598,6 +632,31 @@ object EventQueries {
         |SELECT hour, covered_micros,
         |  CAST((covered_micros * 1000000) // 3600000000 AS BIGINT) AS util_ppm
         |FROM cov ORDER BY hour""".stripMargin,
+    // Same sentinel-split sweep, read out per concurrency level.
+    "ev_conc_histogram" ->
+      """WITH deltas AS (
+        |  SELECT t, d, CAST(sum(dd) AS BIGINT) AS dd FROM (
+        |    SELECT ts AS t, 1 AS d, 1 AS dd FROM events
+        |    UNION ALL
+        |    SELECT ts + INTERVAL 15 MINUTE, -1, -1 FROM events)
+        |  GROUP BY t, d),
+        |pts AS (
+        |  SELECT t, d, dd FROM deltas
+        |  UNION ALL
+        |  SELECT DISTINCT date_trunc('hour', t), 0, 0 FROM deltas),
+        |sw AS (
+        |  SELECT date_trunc('hour', t) AS hour, t, d,
+        |    sum(dd) OVER (ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc,
+        |    lead(t) OVER (PARTITION BY date_trunc('hour', t)
+        |      ORDER BY t, d) AS nt
+        |  FROM pts),
+        |seg AS (
+        |  SELECT CAST(conc AS BIGINT) AS conc,
+        |    epoch_us(COALESCE(nt, hour + INTERVAL 1 HOUR)) - epoch_us(t) AS s
+        |  FROM sw)
+        |SELECT conc, CAST(sum(s) AS BIGINT) AS total_micros
+        |FROM seg GROUP BY conc HAVING sum(s) > 0 ORDER BY conc""".stripMargin,
     // An event at t belongs to the 3 slide-aligned windows starting at
     // time_bucket(t) − k·5min, k ∈ {0,1,2}: k=2 still satisfies
     // t < start + 15min because start = bucket(t) − 10min and

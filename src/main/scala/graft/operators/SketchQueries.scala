@@ -247,6 +247,32 @@ object SketchQueries {
         .orderBy("key")
     }),
 
+    // The count-min MERGE contract — completing the "every sketch is
+    // a monoid" triple (HLL merges by max, KMV by k-smallest-of-union,
+    // CMS by cellwise +): the two md5-half corpora build their 4×16
+    // cell tables independently and merge by summing matching cells;
+    // the oracle computes the direct full-corpus cell table, so
+    // equality IS merge-equals-rescan for the frequency sketch. At
+    // 100 TB this is how a stored per-shard CMS absorbs a new shard:
+    // 64 numbers added to 64 numbers.
+    "sk_cms_merge" -> ((s, dir) => {
+      def cellsOf(docs: DataFrame): DataFrame = docs
+        .select(explode(TextOps.tokens(col("text"))).as("key"))
+        .withColumn("h", md5(col("key")))
+        .select(explode(array((0 until CmsRows).map(i =>
+            struct(lit(i).as("r"),
+              conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as("b"))): _*))
+          .as("cell"))
+        .select(col("cell.r").as("r"), col("cell.b").as("b"))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      def h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val docs = Tables.documents(s, dir)
+      cellsOf(docs.filter(h < "8"))
+        .unionByName(cellsOf(docs.filter(h >= "8")))
+        .groupBy("r", "b").agg(sum(col("c")).as("c"))
+        .orderBy("r", "b")
+    }),
+
     // Sketch SET ALGEBRA — the theta-sketch intersection that makes
     // KMV more than a counter: the two md5-half corpora are sketched
     // independently (k = 256 minima each), theta = the smaller of the
@@ -402,6 +428,17 @@ object SketchQueries {
          |SELECT p.key, p.exact_cnt, min(c.c)::BIGINT AS est_cnt
          |FROM probe p JOIN cells c ON c.r = p.r AND c.b = p.b
          |GROUP BY p.key, p.exact_cnt ORDER BY p.key""".stripMargin,
+    // Direct full-corpus cell table — equality with the Spark side's
+    // half⊕half cellwise sum is the CMS merge contract.
+    "sk_cms_merge" ->
+      s"""WITH w AS (
+         |  SELECT key, md5(key) AS h FROM (
+         |    SELECT unnest(${OracleSql.toks}) AS key FROM documents))
+         |SELECT cell.r AS r, cell.b AS b, count(*)::BIGINT AS c FROM (
+         |  SELECT unnest([${(0 until CmsRows).map(i =>
+             s"{'r': $i, 'b': ${hexLong("h", i + 1, 1)}::INT}").mkString(", ")}]) AS cell
+         |  FROM w)
+         |GROUP BY 1, 2 ORDER BY r, b""".stripMargin,
     "sk_kmv_intersect" -> {
       def halfSql(name: String, cond: String) =
         s"""$name AS (

@@ -148,6 +148,22 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(viaView == direct)
   }
 
+  test("sweep-line read-outs agree: histogram mass = coverage = hour span") {
+    // Three queries over one sweep must tile the same timeline:
+    // the histogram's conc>0 mass equals the utilization coverage sum
+    // EXACTLY, and its full mass equals observed-hours × 3600e6.
+    val hist = run("ev_conc_histogram").collect()
+      .map(r => r.getAs[Long]("conc") -> r.getAs[Long]("total_micros"))
+    val util = run("ev_hour_utilization").collect()
+    val covered = util.map(_.getAs[Long]("covered_micros")).sum
+    assert(hist.filter(_._1 > 0).map(_._2).sum == covered)
+    assert(hist.map(_._2).sum == util.length.toLong * 3600L * 1000000)
+    // and the histogram's support reaches exactly the peak
+    val peak = run("ev_peak_concurrency").collect()
+      .map(_.getAs[Long]("peak_conc")).max
+    assert(hist.map(_._1).max == peak)
+  }
+
   test("q_variant: absent path is NULL (never an error), totals cover every event") {
     val rows = run("q_variant").collect()
     val total = rows.map(r => r.getLong(r.fieldIndex("n_events"))).sum
