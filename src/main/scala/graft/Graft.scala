@@ -98,4 +98,11 @@ object Graft {
   def intervalUtilization(events: DataFrame, tsCol: String,
       lengthMicros: Long): DataFrame =
     operators.EventQueries.intervalUtilization(events, tsCol, lengthMicros)
+
+  /** Dwell time per concurrency level
+    * (see [[graft.operators.EventQueries.concurrencyHistogram]]).
+    */
+  def concurrencyHistogram(events: DataFrame, tsCol: String,
+      lengthMicros: Long): DataFrame =
+    operators.EventQueries.concurrencyHistogram(events, tsCol, lengthMicros)
 }

@@ -51,6 +51,17 @@ class GraftApiSpec extends AnyFunSuite {
     assert(util.head.getAs[Long]("covered_micros") == 25L * 60 * 1000000)
   }
 
+  test("sketch and sweep API on empty inputs: empty out, never a throw") {
+    val noKeys = Seq.empty[String].toDF("k")
+    assert(Graft.hllSketch(noKeys, col("k")).count() == 0)
+    val est = Graft.hllEstimate(Graft.hllSketch(noKeys, col("k"))).collect().head
+    assert(est.getAs[Long]("n_set") == 0L)
+    val noEvents = Seq.empty[Timestamp].toDF("ts")
+    assert(Graft.peakConcurrency(noEvents, "ts", 1000000L).count() == 0)
+    assert(Graft.intervalUtilization(noEvents, "ts", 1000000L).count() == 0)
+    assert(Graft.concurrencyHistogram(noEvents, "ts", 1000000L).count() == 0)
+  }
+
   test("intervalUtilization splits a boundary-crossing interval across hours") {
     // One 30-minute interval [09:50, 10:20): 10 min in hour 09,
     // 20 min in hour 10.
