@@ -231,6 +231,46 @@ object PipelineQueries {
         .orderBy("status")
     }),
 
+    // SCD TYPE-2 history — pipe_snapshot_diff's counts, reshaped into
+    // the row-per-version dimension table a lakehouse keeps so
+    // point-in-time joins ("which fingerprint was live at version
+    // 1?") stay possible after the refresh. Same md5-range snapshots
+    // and deliberate edits as the diff query; the FULL OUTER
+    // co-partitioned pass CLASSIFIES each doc, then an array explode
+    // emits its version rows: unchanged → one open row from v1;
+    // changed → the v1 row closed at v2 plus an open v2 row;
+    // removed → a closed row; added → an open row. valid_to is NULL
+    // on open rows (the SCD2 convention); is_current = valid_to IS
+    // NULL. At 100 TB this is one co-partitioned join + narrow
+    // explode — the history table appends ≤2 rows per changed key
+    // and never rewrites closed history.
+    "pipe_scd2_history" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+      val old = docs.filter(h < "f000")
+        .select(col("doc_id").as("old_id"), md5(col("text")).as("old_fp"))
+      val nw = docs.filter(h >= "1000")
+        .select(col("doc_id").as("new_id"),
+          md5(when(h < "3000", concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))).as("new_fp"))
+      val ver = (fp: org.apache.spark.sql.Column, from: Int,
+                 to: Option[Int]) =>
+        struct(fp.as("fp"), lit(from).as("valid_from"),
+          to.map(lit(_)).getOrElse(lit(null).cast("int")).as("valid_to"))
+      old.join(nw, old("old_id") === nw("new_id"), "full_outer")
+        .select(coalesce(col("old_id"), col("new_id")).as("doc_id"),
+          explode(
+            when(col("old_id").isNull, array(ver(col("new_fp"), 2, None)))
+              .when(col("new_id").isNull, array(ver(col("old_fp"), 1, Some(2))))
+              .when(col("old_fp") =!= col("new_fp"),
+                array(ver(col("old_fp"), 1, Some(2)), ver(col("new_fp"), 2, None)))
+              .otherwise(array(ver(col("old_fp"), 1, None)))).as("v"))
+        .select(col("doc_id"), col("v.fp").as("fp"),
+          col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"),
+          col("v.valid_to").isNull.as("is_current"))
+        .orderBy("doc_id", "valid_from")
+    }),
+
     // Snapshot distribution drift — the monitoring gate a corpus
     // refresh runs BEFORE promoting a new snapshot: Population
     // Stability Index per monitored feature between the reference
@@ -1110,6 +1150,37 @@ object PipelineQueries {
         |              ELSE 'unchanged' END AS status
         |  FROM old FULL OUTER JOIN nw ON old_id = new_id)
         |GROUP BY status ORDER BY status""".stripMargin,
+    "pipe_scd2_history" ->
+      """WITH old AS (
+        |  SELECT doc_id AS old_id, md5(text) AS old_fp FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f000'),
+        |nw AS (
+        |  SELECT doc_id AS new_id,
+        |    md5(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3000'
+        |             THEN text || ' edited' ELSE text END) AS new_fp
+        |  FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '1000'),
+        |j AS (SELECT * FROM old FULL OUTER JOIN nw ON old_id = new_id),
+        |rows_ AS (
+        |  SELECT COALESCE(old_id, new_id) AS doc_id, v.fp AS fp,
+        |    v.valid_from AS valid_from, v.valid_to AS valid_to
+        |  FROM (
+        |    SELECT old_id, new_id, unnest(
+        |      CASE WHEN old_id IS NULL
+        |             THEN [{'fp': new_fp, 'valid_from': 2, 'valid_to': NULL}]
+        |           WHEN new_id IS NULL
+        |             THEN [{'fp': old_fp, 'valid_from': 1, 'valid_to': 2}]
+        |           WHEN old_fp <> new_fp
+        |             THEN [{'fp': old_fp, 'valid_from': 1, 'valid_to': 2},
+        |                   {'fp': new_fp, 'valid_from': 2, 'valid_to': NULL}]
+        |           ELSE [{'fp': old_fp, 'valid_from': 1, 'valid_to': NULL}]
+        |      END) AS v
+        |    FROM j))
+        |SELECT doc_id, fp,
+        |  CAST(valid_from AS INT) AS valid_from,
+        |  CAST(valid_to AS INT) AS valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM rows_ ORDER BY doc_id, valid_from""".stripMargin,
     // Integer-only drift contract (counts, no ln): every column is a
     // pure count, engine-exact. The sum(...) totals CAST to BIGINT —
     // DuckDB widens sum(BIGINT) to HUGEINT, which the driver's pandas

@@ -20,6 +20,65 @@ object StarQueries2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Data-quality constraint battery — the Deequ-shaped validation
+    // pass a pipeline runs before promoting a batch: named checks
+    // with violation counts, ZERO meaning the constraint holds.
+    // Per-table checks (null keys, uniqueness as rows−distinct,
+    // value-range rules) compute in ONE aggregation per table and
+    // unpivot via stack — never one scan per check, the Deequ
+    // operator-fusion insight; referential integrity runs as
+    // LEFT ANTI joins (at 100 TB: FK checks broadcast the dim's key
+    // set or ride a bloom filter — the q5 dim-broadcast shape).
+    // Output (check, n_violations), integer-exact.
+    "q_dq_checks" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val lineitem = Tables.lineitem(s, dir)
+      val customer = Tables.customer(s, dir)
+      val ordersChecks = orders.agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("orders_custkey_nonnull"),
+          (count(lit(1)) - count_distinct(col("o_orderkey")))
+            .as("orders_orderkey_unique"),
+          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L))
+            .as("orders_totalprice_positive"))
+        .select(expr("stack(3, " +
+          "'orders_custkey_nonnull', orders_custkey_nonnull, " +
+          "'orders_orderkey_unique', orders_orderkey_unique, " +
+          "'orders_totalprice_positive', orders_totalprice_positive) " +
+          "AS (check_name, n_violations)"))
+      val lineitemChecks = lineitem.agg(
+          sum(when(!col("l_quantity").between(1.0, 50.0), 1L).otherwise(0L))
+            .as("lineitem_quantity_range"),
+          sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)).as("lineitem_discount_range"))
+        .select(expr("stack(2, " +
+          "'lineitem_quantity_range', lineitem_quantity_range, " +
+          "'lineitem_discount_range', lineitem_discount_range) " +
+          "AS (check_name, n_violations)"))
+      val fkOrders = orders
+        .join(broadcast(customer.select("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_fk_customer").as("check_name"), col("n_violations"))
+      val fkLineitem = lineitem
+        .join(orders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_fk_orders").as("check_name"), col("n_violations"))
+      val custChecks = customer.agg(
+          sum(when(col("c_acctbal") < 0.0, 1L).otherwise(0L))
+            .as("customer_acctbal_nonneg"))
+        .select(lit("customer_acctbal_nonneg").as("check_name"),
+          col("customer_acctbal_nonneg").as("n_violations"))
+      // customer_acctbal_nonneg FAILS on this data (TPC-H allows
+      // negative balances) — deliberate: the battery must be seen
+      // reporting real violations, not only zeros.
+      ordersChecks.unionByName(lineitemChecks)
+        .unionByName(fkOrders).unionByName(fkLineitem)
+        .unionByName(custChecks)
+        .orderBy("check_name")
+    }),
+
     // TPC-H Q3 shape: 3-way join, filtered both sides, revenue top-10.
     "q3_shipping" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -477,6 +536,37 @@ object StarQueries2 {
   private val dsumSql = OracleSql.dsum _
 
   val oracleSql: Map[String, String] = Map(
+    "q_dq_checks" ->
+      """SELECT check_name, n_violations FROM (
+        |  SELECT 'orders_custkey_nonnull' AS check_name,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_positive',
+        |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_quantity_range',
+        |    CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer', CAST(count(*) AS BIGINT) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_orders', CAST(count(*) AS BIGINT) FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'customer_acctbal_nonneg',
+        |    CAST(sum(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer)
+        |ORDER BY check_name""".stripMargin,
     "q_complex_types" ->
       """SELECT o_orderstatus,
         |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')

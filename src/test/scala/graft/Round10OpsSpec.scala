@@ -164,6 +164,40 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(hist.map(_._1).max == peak)
   }
 
+  test("pipe_scd2_history: version rows are consistent SCD2 state") {
+    val rows = run("pipe_scd2_history").collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length <= 2, s"doc $doc has ${rs.length} versions")
+      // at most one open (current) row; if two rows, the closed one
+      // must end where the open one begins
+      val current = rs.filter(_.getAs[Boolean]("is_current"))
+      assert(current.length <= 1)
+      if (rs.length == 2) {
+        val closed = rs.find(!_.getAs[Boolean]("is_current")).get
+        val open = rs.find(_.getAs[Boolean]("is_current")).get
+        assert(closed.getAs[Int]("valid_to") == open.getAs[Int]("valid_from"))
+        assert(closed.getAs[String]("fp") != open.getAs[String]("fp"))
+      }
+    }
+    // changed docs exist at this scale (the md5<'3000' edit band)
+    assert(byDoc.values.exists(_.length == 2), "no changed docs — edit band empty?")
+    // point-in-time read at v2 = every current row
+    assert(rows.count(_.getAs[Boolean]("is_current")) ==
+      byDoc.values.count(_.exists(_.getAs[Boolean]("is_current"))))
+  }
+
+  test("q_dq_checks: the battery reports real violations, not only zeros") {
+    val rows = run("q_dq_checks").collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations"))
+      .toMap
+    assert(rows("customer_acctbal_nonneg") > 0L,
+      "the deliberately-failing check found nothing")
+    (rows - "customer_acctbal_nonneg").foreach { case (c, v) =>
+      assert(v == 0L, s"unexpected violations in $c: $v")
+    }
+  }
+
   test("q_variant: absent path is NULL (never an error), totals cover every event") {
     val rows = run("q_variant").collect()
     val total = rows.map(r => r.getLong(r.fieldIndex("n_events"))).sum
