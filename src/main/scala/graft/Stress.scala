@@ -211,7 +211,10 @@ object Stress {
         "ta_trigram_backoff", "dd_label_prop", "ev_anomaly",
         "ta_lang_entropy", "ev_markov", "pipe_pack_stats",
         "sk_hll_merge", "sk_cms_heavy", "sk_kmv_distinct",
-        "ta_collocations", "ev_peak_concurrency", "ev_hour_utilization")
+        "ta_collocations", "ev_peak_concurrency", "ev_hour_utilization",
+        "sk_kmv_intersect", "sk_cms_merge", "ev_conc_histogram",
+        "ta_quality_calibration", "pipe_join_maintenance",
+        "pipe_scd2_history", "q_dq_checks")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")
