@@ -226,6 +226,32 @@ object QuantileQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Robust statistics: EXACT median absolute deviation — the
+    // outlier-resistant spread measure (σ explodes under heavy tails;
+    // MAD doesn't), computed as TWO chained radix selections with no
+    // global sort anywhere: the median of v, broadcast into a narrow
+    // |v − median| projection, then the median of that derived column
+    // by the same ≤4-pass bucket refinement. The outlier census uses
+    // the 3·MAD fence directly (an integer multiple — no 1.4826
+    // normal-consistency float enters the verified contract; both
+    // engines evaluate the identical |v−med| > 3·mad IEEE op tree on
+    // identical doubles). One row out: (median, mad, n_outliers).
+    "q_mad" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      val med = kthValues(s, li, "v",
+          Seq("median" -> ((n: Long) => (n + 1) / 2)))
+        .select(col("value").as("med"))
+      val dev = li.crossJoin(broadcast(med))
+        .select(abs(col("v") - col("med")).as("d"))
+      val mad = kthValues(s, dev, "d",
+          Seq("mad" -> ((n: Long) => (n + 1) / 2)))
+        .select(col("value").as("mad"))
+      li.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+        .agg(first(col("med")).as("median"), first(col("mad")).as("mad"),
+          sum(when(abs(col("v") - col("med")) > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }),
+
     // Equi-DEPTH histogram (10 bins of ~equal row count) — the
     // profiling view q_histogram's fixed-width bins can't give on a
     // skewed column, and the statistic real optimizers keep: 9 exact
@@ -262,6 +288,24 @@ object QuantileQueries {
         |UNION ALL
         |SELECT 'p90' AS stat, v AS value FROM ranked WHERE rn = (9 * n + 9) // 10
         |ORDER BY stat""".stripMargin,
+    "q_mad" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem),
+        |med AS (SELECT v AS med FROM r WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT abs(v - med) AS d,
+        |    row_number() OVER (ORDER BY abs(v - med)) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM r, med),
+        |mad AS (SELECT d AS mad FROM dev WHERE rn = (n + 1) // 2)
+        |SELECT med AS median, mad,
+        |  CAST(sum(CASE WHEN abs(v - med) > 3.0 * mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM r, med, mad
+        |GROUP BY med, mad""".stripMargin,
     "ta_doclen_quantiles" ->
       """WITH h AS (
         |  SELECT lang, n_chars, count(*) AS c

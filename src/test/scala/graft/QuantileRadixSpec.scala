@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{abs, col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.DoubleSortableBits
@@ -60,6 +61,35 @@ class QuantileRadixSpec extends AnyFunSuite {
       Seq("median" -> (n => (n + 1) / 2)))
       .collect()
     assert(got.length == 1 && got(0).getDouble(1) == 42.625)
+  }
+
+  test("q_mad equals the brute-force median-of-deviations at sf0.001") {
+    val vs = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    def medOf(a: Array[Double]) = a.sorted.apply(((a.length + 1) / 2) - 1)
+    val med = medOf(vs)
+    val mad = medOf(vs.map(v => math.abs(v - med)))
+    val brute = vs.count(v => math.abs(v - med) > 3.0 * mad)
+    val r = SparkEntry.queries("q_mad")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(r.getAs[Double]("median") == med)
+    assert(r.getAs[Double]("mad") == mad)
+    assert(r.getAs[Long]("n_outliers") == brute.toLong)
+  }
+
+  test("MAD flags outliers a heavy tail actually contains") {
+    // The fence must FIRE somewhere: a synthetic frame with a fat
+    // tail — 900 values in [0,1], 100 at 1000 — has MAD from the
+    // bulk, so the tail sits far past 3*MAD.
+    import spark.implicits._
+    val df = ((1 to 900).map(_ / 900.0) ++ Seq.fill(100)(1000.0)).toDF("v")
+    val med = QuantileQueries.kthValues(spark, df, "v",
+      Seq("m" -> (n => (n + 1) / 2))).collect().head.getDouble(1)
+    val dev = df.select(abs(col("v") - lit(med)).as("d"))
+    val mad = QuantileQueries.kthValues(spark, dev, "d",
+      Seq("m" -> (n => (n + 1) / 2))).collect().head.getDouble(1)
+    val outliers = df.filter(abs(col("v") - lit(med)) > lit(3.0) * lit(mad)).count()
+    assert(outliers == 100L, s"med=$med mad=$mad outliers=$outliers")
   }
 
   test("single row and empty input") {
