@@ -43,6 +43,11 @@ object TextAnalysis {
   val CollocMinSupport = 20L
   val CollocMinLiftMicro = 1400000L
 
+  /** RAKE report cap: phrases longer than this stay in the degree
+    * statistics but out of the keyphrase report.
+    */
+  val RakeMaxLen = 4
+
   /** The BPE training loop shared by ta_bpe_train (reports `merges`)
     * and ta_bpe_encode (aggregates the final `syms`): BpeTrainRounds
     * iterations of pair-count over the VOCABULARY (word-frequency
@@ -328,6 +333,57 @@ object TextAnalysis {
         .filter(col("lift_micro") >= CollocMinLiftMicro)
         .select("w1", "w2", "c12", "c1", "c2", "lift_micro")
         .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+    }),
+
+    // RAKE keyphrase extraction (Rose et al. 2010) — candidate phrases
+    // are maximal token runs between stopwords; a word's score is its
+    // co-occurrence degree over its frequency (deg(w) = Σ phrase
+    // lengths containing w, freq(w) = its occurrences in phrases);
+    // a phrase scores the sum of its words' scores. Kept exact in
+    // integers: word scores floor to micro-units (deg·10⁶ div freq —
+    // both pure counts), phrase scores sum the micro-units, so the
+    // whole ranking is engine-exact with no float division anywhere.
+    // Plan: phrase segmentation is a per-doc cumulative stopword
+    // count (doc_id-partitioned window — the ev_markov/sessionize
+    // shard argument), word stats are a vocab-bounded aggregation
+    // that BROADCASTS back into phrase scoring, and the top-10 rides
+    // TakeOrderedAndProject. At 100 TB: two narrow passes over the
+    // token stream + one vocabulary-sized broadcast. The REPORT keeps
+    // phrases of <=[[RakeMaxLen]] words (the standard RAKE output
+    // cap: this corpus's 2-stopword delimiter set leaves some runs
+    // spanning most of a document — valid candidates for the degree
+    // statistics, which stay computed over ALL runs, but not
+    // keyphrases).
+    "ta_rake" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+        .withColumn("is_stop", col("w").isin(QualityQueries.Stopwords: _*))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val words = toks
+        .withColumn("grp",
+          sum(when(col("is_stop"), 1).otherwise(0)).over(wDoc))
+        .filter(!col("is_stop"))
+        .select("doc_id", "grp", "pos", "w")
+        .localCheckpoint(false) // three consumers below
+      val phrases = words.groupBy("doc_id", "grp")
+        .agg(count(lit(1)).as("plen"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w"))).as("phrase"))
+      val wordStats = words
+        .join(phrases.select("doc_id", "grp", "plen"), Seq("doc_id", "grp"))
+        .groupBy("w")
+        .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+        .withColumn("wscore", expr("(deg * 1000000L) DIV freq"))
+      words.join(broadcast(wordStats.select("w", "wscore")), Seq("w"))
+        .groupBy("doc_id", "grp").agg(sum(col("wscore")).as("score_micro"))
+        .join(phrases, Seq("doc_id", "grp"))
+        .filter(col("plen") <= RakeMaxLen)
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occur"), max(col("score_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase").asc)
+        .limit(10)
     }),
 
     // Zipf rank-frequency table — the corpus-statistics view every
@@ -1086,6 +1142,34 @@ object TextAnalysis {
          |  FROM cnt)
          |SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS p, CAST(rk AS INT) AS rk
          |FROM scored WHERE rk <= 5 ORDER BY w1, rk""".stripMargin,
+    "ta_rake" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, i AS pos, t[i] AS w,
+         |    CASE WHEN t[i] IN (${QualityQueries.Stopwords.map("'" + _ + "'").mkString(", ")})
+         |         THEN 1 ELSE 0 END AS is_stop
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t), 0) + 1)) AS u(i)),
+         |words AS (
+         |  SELECT doc_id, pos, w,
+         |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM toks QUALIFY is_stop = 0),
+         |ph AS (
+         |  SELECT doc_id, grp, count(*)::BIGINT AS plen,
+         |    string_agg(w, ' ' ORDER BY pos) AS phrase
+         |  FROM words GROUP BY doc_id, grp),
+         |wsc AS (
+         |  SELECT w, (sum(plen) * 1000000 // count(*))::BIGINT AS wscore
+         |  FROM words JOIN ph USING (doc_id, grp)
+         |  GROUP BY w),
+         |psc AS (
+         |  SELECT doc_id, grp, CAST(sum(wscore) AS BIGINT) AS score_micro
+         |  FROM words JOIN wsc USING (w) GROUP BY doc_id, grp)
+         |SELECT phrase, count(*)::BIGINT AS n_occur,
+         |  CAST(max(score_micro) AS BIGINT) AS score_micro
+         |FROM psc JOIN ph USING (doc_id, grp)
+         |WHERE plen <= $RakeMaxLen
+         |GROUP BY phrase
+         |ORDER BY score_micro DESC, phrase ASC LIMIT 10""".stripMargin,
     "ta_collocations" ->
       s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
          |bg AS (

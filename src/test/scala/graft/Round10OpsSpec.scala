@@ -198,6 +198,41 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ta_rake: report is capped, ordered, and scores match word stats") {
+    import graft.operators.{QualityQueries, TextAnalysis, TextOps}
+    val rows = run("ta_rake").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      assert(r.getAs[String]("phrase").split(" ").length <= TextAnalysis.RakeMaxLen)
+      assert(r.getAs[Long]("n_occur") >= 1L)
+    }
+    val scores = rows.map(_.getAs[Long]("score_micro")).toSeq
+    assert(scores == scores.sorted.reverse)
+    // recompute the top phrase's score from the raw word stats
+    val toks = Tables.documents(spark, sf)
+      .select(posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")),
+        col("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+        r.getAs[String]("w")))
+    val stops = QualityQueries.Stopwords.toSet
+    val runs = toks.groupBy(_._1).values.flatMap { doc =>
+      val sorted = doc.sortBy(_._2)
+      val grouped = collection.mutable.ArrayBuffer(collection.mutable.ArrayBuffer.empty[String])
+      sorted.foreach { case (_, _, w) =>
+        if (stops(w)) grouped += collection.mutable.ArrayBuffer.empty[String]
+        else grouped.last += w
+      }
+      grouped.filter(_.nonEmpty).map(_.toSeq)
+    }.toSeq
+    val freq = runs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val deg = runs.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def wscore(w: String) = deg(w) * 1000000L / freq(w)
+    val top = rows.head
+    val expected = top.getAs[String]("phrase").split(" ").map(wscore).sum
+    assert(top.getAs[Long]("score_micro") == expected)
+  }
+
   test("q_variant: absent path is NULL (never an error), totals cover every event") {
     val rows = run("q_variant").collect()
     val total = rows.map(r => r.getLong(r.fieldIndex("n_events"))).sum
