@@ -433,7 +433,90 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** MMR geometry: rerank the top-[[MmrPool]] relevance candidates,
+    * select [[MmrSelect]] greedily at lambda = 0.7 (score_e5 =
+    * 7·rel_bp − 3·maxsim_bp over integer basis points of the
+    * 4dp-rounded cosines — 0.7·rel would land on .5 rounding
+    * boundaries whenever rel's last digit is odd).
+    */
+  val MmrPool = 10
+  val MmrSelect = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    // the diversity pass between retrieval and the context window:
+    // pure top-k hands the LLM near-duplicate passages; MMR trades
+    // relevance against redundancy with the already-selected set.
+    // Greedy selection is inherently sequential, so the SCALE move is
+    // bounding, not parallelizing, the sequence: per query only the
+    // top-MmrPool candidates enter (TakeOrdered-style bounded
+    // windows), the candidate-pair similarity frame is ≤ pool² rows
+    // per query, and the MmrSelect rounds unroll as joins over those
+    // bounded frames (the Lloyd/PageRank fixed-unroll pattern). Every
+    // cosine rounds to 4dp before use — the identical-IEEE-op-tree
+    // doctrine — and ties break by vec_id, so the greedy walk is
+    // engine-exact. At 100 TB the per-query work after retrieval is
+    // constant; reranking rides whatever candidate generator
+    // (brute/LSH/IVF) feeds it.
+    "ss_mmr_rerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, dir)
+      val q = v.filter(col("vec_id") < NumQueries)
+      val wQ = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("cand").asc)
+      val cands = broadcast(q).as("q")
+        .join(v.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cand"),
+          round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 4)
+            .as("rel"),
+          col("c.e").as("ce"), col("c.nrm").as("cnrm"))
+        .withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") <= MmrPool)
+        .localCheckpoint(false) // pairs + every selection round reuse it
+      val pairs = cands.select("qid", "cand", "ce", "cnrm").as("a")
+        .join(cands.select(col("qid"), col("cand").as("other"),
+          col("ce").as("oe"), col("cnrm").as("onrm")).as("b"),
+          col("a.qid") === col("b.qid") && col("cand") =!= col("other"))
+        .select(col("a.qid").as("qid"), col("cand"), col("other"),
+          round(dot(col("ce"), col("oe")) / (col("cnrm") * col("onrm")), 4)
+            .as("sim"))
+        .localCheckpoint(false)
+      // 4dp cosines convert to exact integer basis points before the
+      // lambda arithmetic: 0.7·rel with rel at 4dp lands on the .5
+      // rounding boundary whenever rel's last digit is odd (measured:
+      // 0.7·0.3985 split the engines), so the score is
+      // score_e5 = 7·rel_bp − 3·ms_bp — integers end to end.
+      val base = cands.select(col("qid"), col("cand"), col("rel"),
+        round(col("rel") * 10000).cast("long").as("rel_bp"))
+      def pick(frame: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score_e5").desc, col("cand").asc)
+        frame.withColumn("prn", row_number().over(w))
+          .filter(col("prn") === 1).drop("prn")
+      }
+      var selected = pick(base
+          .withColumn("score_e5", lit(7L) * col("rel_bp")))
+        .withColumn("rk", lit(1))
+      for (k <- 2 to MmrSelect) {
+        val maxsim = pairs
+          .join(selected.select(col("qid"), col("cand").as("other")),
+            Seq("qid", "other"))
+          .groupBy("qid", "cand")
+          .agg(max(round(col("sim") * 10000).cast("long")).as("ms_bp"))
+        val next = pick(base
+            .join(selected.select("qid", "cand"), Seq("qid", "cand"),
+              "left_anti")
+            .join(maxsim, Seq("qid", "cand"))
+            .withColumn("score_e5",
+              lit(7L) * col("rel_bp") - lit(3L) * col("ms_bp")))
+          .withColumn("rk", lit(k))
+        selected = selected.unionByName(next.select(selected.columns.map(col): _*))
+      }
+      selected.select(col("qid"), col("rk").cast("int").as("rk"),
+          col("cand"), col("rel"), col("score_e5"))
+        .orderBy("qid", "rk")
+    }),
 
     // Brute-force exact top-k: broadcast query set × all candidates.
     "ss_bruteforce_topk" -> ((s, dir) => {
@@ -1509,6 +1592,74 @@ object Similarity {
          |SELECT o.cent_id, o.n_vectors, r.rep_vec, r.dm AS rep_dm
          |FROM occ o JOIN rep r ON o.cent_id = r.cent_id
          |ORDER BY o.cent_id""".stripMargin,
+    // Greedy MMR unrolled: per selection round, the argmax window runs
+    // inside the ≤MmrPool-row per-query candidate frame; the rounded
+    // score is the ORDER key on both engines (rounding can tie rels
+    // that raw doubles would order, and the tie must break by cand
+    // identically).
+    "ss_mmr_rerank" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id < $NumQueries),
+         |cand AS (
+         |  SELECT qid, cand, rel, ce, cnrm FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS cand,
+         |      round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS rel,
+         |      c.e AS ce, c.nrm AS cnrm,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4)
+         |          DESC, c.vec_id) AS rn
+         |    FROM q JOIN v c ON c.vec_id <> q.vec_id)
+         |  WHERE rn <= $MmrPool),
+         |pairs AS (
+         |  SELECT a.qid, a.cand, b.cand AS other,
+         |    round(list_dot_product(a.ce, b.ce) / (a.cnrm * b.cnrm), 4) AS sim
+         |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cand <> b.cand),
+         |cb AS (SELECT qid, cand, rel,
+         |         CAST(round(rel * 10000) AS BIGINT) AS rel_bp FROM cand),
+         |s1 AS (
+         |  SELECT qid, cand, rel, score_e5, 1 AS rk FROM (
+         |    SELECT qid, cand, rel, 7 * rel_bp AS score_e5,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY 7 * rel_bp DESC, cand) AS rn
+         |    FROM cb)
+         |  WHERE rn = 1),
+         |m2 AS (
+         |  SELECT p.qid, p.cand,
+         |    max(CAST(round(p.sim * 10000) AS BIGINT)) AS ms_bp FROM pairs p
+         |  JOIN s1 ON p.qid = s1.qid AND p.other = s1.cand GROUP BY 1, 2),
+         |s2 AS (
+         |  SELECT qid, cand, rel, score_e5, 2 AS rk FROM (
+         |    SELECT c.qid, c.cand, c.rel,
+         |      7 * c.rel_bp - 3 * m.ms_bp AS score_e5,
+         |      row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY 7 * c.rel_bp - 3 * m.ms_bp DESC, c.cand) AS rn
+         |    FROM cb c JOIN m2 m ON m.qid = c.qid AND m.cand = c.cand
+         |    WHERE NOT EXISTS (SELECT 1 FROM s1
+         |                      WHERE s1.qid = c.qid AND s1.cand = c.cand))
+         |  WHERE rn = 1),
+         |sel2 AS (SELECT qid, cand FROM s1 UNION ALL SELECT qid, cand FROM s2),
+         |m3 AS (
+         |  SELECT p.qid, p.cand,
+         |    max(CAST(round(p.sim * 10000) AS BIGINT)) AS ms_bp FROM pairs p
+         |  JOIN sel2 ON p.qid = sel2.qid AND p.other = sel2.cand GROUP BY 1, 2),
+         |s3 AS (
+         |  SELECT qid, cand, rel, score_e5, 3 AS rk FROM (
+         |    SELECT c.qid, c.cand, c.rel,
+         |      7 * c.rel_bp - 3 * m.ms_bp AS score_e5,
+         |      row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY 7 * c.rel_bp - 3 * m.ms_bp DESC, c.cand) AS rn
+         |    FROM cb c JOIN m3 m ON m.qid = c.qid AND m.cand = c.cand
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel2
+         |                      WHERE sel2.qid = c.qid AND sel2.cand = c.cand))
+         |  WHERE rn = 1)
+         |SELECT qid, CAST(rk AS INT) AS rk, cand, rel,
+         |  CAST(score_e5 AS BIGINT) AS score_e5
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |      UNION ALL SELECT * FROM s3)
+         |ORDER BY qid, rk""".stripMargin,
     "ss_bruteforce_topk" -> topkSql("q.vec_id <> c.vec_id"),
     "ss_lsh_topk" -> topkSql("q.bucket = c.bucket AND q.vec_id <> c.vec_id"),
     // Aggregated top-k must produce exactly the window form's rows.

@@ -233,6 +233,42 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(top.getAs[Long]("score_micro") == expected)
   }
 
+  test("ss_mmr_rerank: equals the brute-force greedy MMR walk") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      val dotp = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = dotp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def bp(x: Double): Long = math.round(x * 10000)
+    val got = SparkEntry.queries("ss_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rk")) -> r.getAs[Long]("cand"))
+      .toMap
+    (0L until Similarity.NumQueries).foreach { qid =>
+      val qv = emb(qid)
+      val pool = emb.keys.filter(_ != qid).toSeq
+        .map(c => c -> cos4(qv, emb(c)))
+        .sortBy { case (c, rel) => (-rel, c) }.take(Similarity.MmrPool)
+      var sel = List.empty[Long]
+      (1 to Similarity.MmrSelect).foreach { rk =>
+        val scored = pool.filterNot { case (c, _) => sel.contains(c) }
+          .map { case (c, rel) =>
+            val ms = if (sel.isEmpty) 0L
+              else sel.map(sc => bp(cos4(emb(c), emb(sc)))).max
+            c -> (7L * bp(rel) - (if (sel.isEmpty) 0L else 3L * ms))
+          }
+        val pickc = scored.minBy { case (c, s) => (-s, c) }._1
+        assert(got((qid, rk)) == pickc,
+          s"qid=$qid rk=$rk got=${got((qid, rk))} brute=$pickc")
+        sel = sel :+ pickc
+      }
+    }
+  }
+
   test("q_variant: absent path is NULL (never an error), totals cover every event") {
     val rows = run("q_variant").collect()
     val total = rows.map(r => r.getLong(r.fieldIndex("n_events"))).sum
