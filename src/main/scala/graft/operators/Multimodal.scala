@@ -93,6 +93,40 @@ object Multimodal {
       })
   }
 
+  /** aHash near-dup pairs (hamming <= 3), shared by mm_phash_pairs
+    * and mm_phash_clusters — see the mm_phash_pairs comment for the
+    * banding/pigeonhole argument.
+    */
+  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("h", greatest(lit(1), expr("(length(text) + 7) div 8")))
+      .withColumn("raster", expr("rpad(text, CAST(8 * h AS INT), ' ')"))
+    val hashes = g
+      .withColumn("pix", expr(
+        "transform(sequence(0, 63), i -> ascii(substr(raster, " +
+          "CAST((i DIV 8) * h DIV 8 AS INT) * 8 + CAST(i % 8 AS INT) + 1, 1)))"))
+      .withColumn("psum", expr("aggregate(pix, 0L, (a, x) -> a + x)"))
+      .withColumn("ph", expr(
+        "aggregate(sequence(0, 63), 0L, (a, i) -> " +
+          "a + IF(64 * pix[i] > psum, shiftleft(1L, CAST(i AS INT)), 0L))"))
+      .select(col("doc_id"), col("ph"))
+    val banded = hashes.select(col("doc_id"), col("ph"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band_idx"),
+          expr(s"(ph >> ${16 * j}) & 65535").as("band_val"))): _*)).as("bd"))
+      .select(col("doc_id"), col("ph"),
+        col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
+    PairGen.saltedPairs(
+        banded.select(col("band_idx"), col("band_val"),
+          struct(col("doc_id"), col("ph")).as("v")),
+        Seq("band_idx", "band_val"), "doc_id")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.ph ^ b.ph) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Metadata over opaque binary payloads: byte length, checksum,
@@ -289,35 +323,23 @@ object Multimodal {
     // This is the image leg of the dedup stack — byte-identical
     // payloads are caught by exact dedup; aHash catches re-encoded /
     // lightly-edited duplicates at any resolution.
-    "mm_phash_pairs" -> ((s, dir) => {
-      val g = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
-        .withColumn("h", greatest(lit(1), expr("(length(text) + 7) div 8")))
-        .withColumn("raster", expr("rpad(text, CAST(8 * h AS INT), ' ')"))
-      val hashes = g
-        .withColumn("pix", expr(
-          "transform(sequence(0, 63), i -> ascii(substr(raster, " +
-            "CAST((i DIV 8) * h DIV 8 AS INT) * 8 + CAST(i % 8 AS INT) + 1, 1)))"))
-        .withColumn("psum", expr("aggregate(pix, 0L, (a, x) -> a + x)"))
-        .withColumn("ph", expr(
-          "aggregate(sequence(0, 63), 0L, (a, i) -> " +
-            "a + IF(64 * pix[i] > psum, shiftleft(1L, CAST(i AS INT)), 0L))"))
-        .select(col("doc_id"), col("ph"))
-      val banded = hashes.select(col("doc_id"), col("ph"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band_idx"),
-            expr(s"(ph >> ${16 * j}) & 65535").as("band_val"))): _*)).as("bd"))
-        .select(col("doc_id"), col("ph"),
-          col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
-      PairGen.saltedPairs(
-          banded.select(col("band_idx"), col("band_val"),
-            struct(col("doc_id"), col("ph")).as("v")),
-          Seq("band_idx", "band_val"), "doc_id")
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("CAST(bit_count(a.ph ^ b.ph) AS INT)").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+    "mm_phash_pairs" -> ((s, dir) =>
+      phashPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // The image-dedup END PRODUCT — pairs are a report, clusters are
+    // what the pipeline acts on: the aHash near-dup graph collapsed
+    // by the same connected-components operator the text pipeline
+    // uses (dd_clusters), labeling every matched image with its
+    // component minimum and size. Completes the multimodal leg
+    // end-to-end: decode → thumbnail hash → banded pairs → clusters.
+    "mm_phash_clusters" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      DedupClusters.connectedComponents(
+          phashPairs(s, dir).select("doc_a", "doc_b"))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          count(lit(1)).over(Window.partitionBy(col("label")))
+            .as("cluster_size"))
+        .orderBy("doc_id")
     }),
 
     // Frame-sampling leg of the typed pipeline: every-16th payload byte
@@ -342,6 +364,39 @@ object Multimodal {
       |    greatest(1, (length(text) + 7) // 8) AS h,
       |    rpad(text, CAST(8 * greatest(1, (length(text) + 7) // 8) AS INT), ' ') AS raster
       |  FROM documents""".stripMargin
+
+  /** Shared DuckDB CTE chain g->px->ps->ph->banded for the aHash
+    * queries, and the pair SELECT over it (no ORDER BY — callers add
+    * their own or feed the clusters recursion).
+    */
+  private val phashCtesSql: String = {
+    val phExpr = (0 until 64)
+      .map(i => s"CASE WHEN 64 * pix[${i + 1}] > psum THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val bandRows = (0 until 4)
+      .map(j => s"SELECT doc_id, ph, $j AS band_idx, (ph >> ${16 * j}) & 65535 AS band_val FROM ph")
+      .mkString("\n  UNION ALL\n  ")
+    s"""g AS ($rasterSql),
+       |px AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), i -> ord(substring(raster,
+       |      CAST((i // 8) * h // 8 AS INT) * 8 + CAST(i % 8 AS INT) + 1, 1))) AS pix
+       |  FROM g),
+       |ps AS (SELECT doc_id, pix, CAST(list_sum(pix) AS BIGINT) AS psum FROM px),
+       |ph AS (SELECT doc_id, $phExpr AS ph FROM ps),
+       |banded AS (
+       |  $bandRows
+       |)""".stripMargin
+  }
+
+  private val phashPairsSelectSql: String =
+    """SELECT DISTINCT doc_a, doc_b, hamming FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |      AND a.doc_id < b.doc_id)
+      |WHERE hamming <= 3""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "mm_meta" ->
@@ -401,32 +456,28 @@ object Multimodal {
     // Scala-interpolated BIGINT constants (the dd_simhash64_pairs
     // trick — bit 63's weight is Long.MIN, and the left-assoc sum adds
     // it last so no partial sum overflows).
-    "mm_phash_pairs" -> {
-      val phExpr = (0 until 64)
-        .map(i => s"CASE WHEN 64 * pix[${i + 1}] > psum THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-        .mkString(" + ")
-      val bandRows = (0 until 4)
-        .map(j => s"SELECT doc_id, ph, $j AS band_idx, (ph >> ${16 * j}) & 65535 AS band_val FROM ph")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH g AS ($rasterSql),
-         |px AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 64), i -> ord(substring(raster,
-         |      CAST((i // 8) * h // 8 AS INT) * 8 + CAST(i % 8 AS INT) + 1, 1))) AS pix
-         |  FROM g),
-         |ps AS (SELECT doc_id, pix, CAST(list_sum(pix) AS BIGINT) AS psum FROM px),
-         |ph AS (SELECT doc_id, $phExpr AS ph FROM ps),
-         |banded AS (
-         |  $bandRows
-         |)
-         |SELECT DISTINCT doc_a, doc_b, hamming FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
-         |  FROM banded a JOIN banded b
-         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |      AND a.doc_id < b.doc_id)
-         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "mm_phash_pairs" ->
+      s"""WITH $phashCtesSql
+         |$phashPairsSelectSql ORDER BY doc_a, doc_b""".stripMargin,
+    // dd_clusters' recursive min-label CC over the aHash pair graph.
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $phashCtesSql,
+         |pairs AS ($phashPairsSelectSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (
+         |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+         |SELECT a.id AS doc_id, a.cluster_id, b.cluster_size
+         |FROM comp a
+         |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) b
+         |  USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     // The wrap emits exactly ftyp, moov(mvhd), free, mdat; duration =
     // one 8000 Hz tick per payload byte; frames = every 32nd byte
     // (all-ASCII corpus ⇒ char position = byte position).
