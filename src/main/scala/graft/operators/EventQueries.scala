@@ -244,6 +244,38 @@ object EventQueries {
     "ev_conc_histogram" -> ((s, dir) =>
       concurrencyHistogram(Tables.events(s, dir), "ts", 15L * 60 * 1000000)),
 
+    // A/B experiment readout — the product-analytics staple on the
+    // event stream: users assign to arms by md5 parity (deterministic,
+    // sticky, uniform — the hash-bucketing every experimentation
+    // platform uses, and the same reproducible-randomness mechanism
+    // as pipe_hash_sample), conversion = the user's first 'purchase'
+    // lands within 24 hours of their first event (a windowed outcome:
+    // "any purchase ever" saturates to 100% on a month of events and
+    // degenerates the metric — measured). The VERIFIED contract is
+    // integer-only (users, converters,
+    // conversion ppm per arm); the two-proportion z statistic derives
+    // from these counts and is pinned single-engine in Round10OpsSpec
+    // (sqrt is IEEE-exact but the suite keeps even it out of the gate
+    // when counts suffice). One distinct-users aggregation, 2-row out.
+    "ev_ab_experiment" -> ((s, dir) => {
+      val users = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("first_ts"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("first_purchase"))
+        .withColumn("converted",
+          when(col("first_purchase").isNotNull &&
+            col("first_purchase") <= col("first_ts") + expr("INTERVAL 24 HOURS"),
+            1L).otherwise(0L))
+        .withColumn("arm",
+          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long"), lit(2L)).cast("int"))
+      users.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+        .withColumn("conv_ppm", expr("(n_converted * 1000000L) DIV n_users"))
+        .orderBy("arm")
+    }),
+
     // Sliding 15-minute window on a 5-minute slide: each event lands
     // in exactly 3 overlapping windows (15/5), so `window()` with a
     // slideDuration explodes 3 narrow rows per event before the same
@@ -632,6 +664,26 @@ object EventQueries {
         |SELECT hour, covered_micros,
         |  CAST((covered_micros * 1000000) // 3600000000 AS BIGINT) AS util_ppm
         |FROM cov ORDER BY hour""".stripMargin,
+    "ev_ab_experiment" -> {
+      // DuckDB mirror of conv(substring(md5, 1, 13), 16, 10): the
+      // 13-nibble positional decode (the SketchQueries idiom).
+      val hex13 = (0 until 13).map { i =>
+        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
+        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
+      }.mkString("(", " + ", ")")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+         |           <= min(ts) + INTERVAL 24 HOURS
+         |         THEN 1 ELSE 0 END AS converted,
+         |    CAST($hex13 % 2 AS INT) AS arm
+         |  FROM events GROUP BY user_id)
+         |SELECT arm, count(*)::BIGINT AS n_users,
+         |  CAST(sum(converted) AS BIGINT) AS n_converted,
+         |  ((CAST(sum(converted) AS BIGINT) * 1000000) // count(*))::BIGINT
+         |    AS conv_ppm
+         |FROM u GROUP BY arm ORDER BY arm""".stripMargin
+    },
     // Same sentinel-split sweep, read out per concurrency level.
     "ev_conc_histogram" ->
       """WITH deltas AS (

@@ -269,6 +269,32 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_ab_experiment: sticky balanced arms, null-experiment z below 5") {
+    val rows = run("ev_ab_experiment").collect()
+    assert(rows.length == 2)
+    val Seq(a, b) = rows.toSeq.sortBy(_.getAs[Int]("arm"))
+    val (n0, c0) = (a.getAs[Long]("n_users"), a.getAs[Long]("n_converted"))
+    val (n1, c1) = (b.getAs[Long]("n_users"), b.getAs[Long]("n_converted"))
+    // both arms populated (sf0.001 has only 15 users — md5 parity
+    // deterministically lands 12/3 there, so no tight balance bound;
+    // the user count conserves exactly)
+    assert(n0 > 0 && n1 > 0)
+    assert(n0 + n1 ==
+      Tables.events(spark, sf).select("user_id").distinct().count())
+    assert(a.getAs[Long]("conv_ppm") == c0 * 1000000L / n0)
+    assert(c0 <= n0 && c1 <= n1)
+    // the float half of the contract: both arms draw from the same
+    // distribution (no treatment exists), so when the pooled rate is
+    // non-degenerate the two-proportion z statistic must not be
+    // significant
+    val p = (c0 + c1).toDouble / (n0 + n1)
+    if (p > 0.0 && p < 1.0) {
+      val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+      val z = (p0 - p1) / math.sqrt(p * (1 - p) * (1.0 / n0 + 1.0 / n1))
+      assert(math.abs(z) < 5.0, s"null experiment z=$z")
+    }
+  }
+
   test("q_variant: absent path is NULL (never an error), totals cover every event") {
     val rows = run("q_variant").collect()
     val total = rows.map(r => r.getLong(r.fieldIndex("n_events"))).sum
