@@ -419,6 +419,61 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Position-based (U-shaped) MULTI-TOUCH ATTRIBUTION — the
+    // marketing-analytics companion to the as-of conversion-lag
+    // queries: every purchase distributes 10,000 basis points of
+    // credit over the same user's view/click touches in the 24 h
+    // before it. The U-shape (40% first touch, 40% last, 20% split
+    // across the middle) is computed in INTEGERS with a deterministic
+    // remainder rule — middles get 2000 DIV (n−2) bp each and the
+    // LAST middle absorbs 2000 % (n−2) — so per-purchase credit sums
+    // to exactly 10,000 bp with no float weights (1 touch → 10000;
+    // 2 touches → 5000/5000). Purchases with no touch window get a
+    // 'none' row at full credit, making the report's grand total
+    // exactly 10,000 × n_purchases — the conservation invariant
+    // Round11OpsSpec pins. Scale: the touch join co-partitions on
+    // user_id (the natural shard key) and its pair volume is bounded
+    // by per-user activity inside a 24 h window, not the cross
+    // product; the position window partitions by purchase — frames
+    // are per-purchase-sized. A bot user with millions of touches is
+    // the ev_skew_profile detection case; the salting remedy is the
+    // ev_asof_order_salted doctrine, same key.
+    "ev_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+          col("event_id").as("t_id"), col("event_type").as("touch_type"))
+      val joined = purchases.join(touches,
+        col("p_user") === col("t_user") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+      val wPos = Window.partitionBy(col("p_id"))
+        .orderBy(col("t_ts"), col("t_id"))
+      val credited = joined
+        .withColumn("rn", row_number().over(wPos).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("p_id"))).cast("long"))
+        .withColumn("credit_bp", expr(
+          """CASE WHEN n = 1 THEN 10000
+            |     WHEN n = 2 THEN 5000
+            |     WHEN rn = 1 OR rn = n THEN 4000
+            |     WHEN rn = n - 1 THEN 2000 DIV (n - 2) + 2000 % (n - 2)
+            |     ELSE 2000 DIV (n - 2) END""".stripMargin))
+      val attributed = credited.groupBy("touch_type")
+        .agg(countDistinct(col("p_id")).as("n_purchases"),
+          count(lit(1)).as("n_touches"),
+          sum(col("credit_bp")).as("credit_bp"))
+      val none = purchases
+        .join(credited.select("p_id"), Seq("p_id"), "left_anti")
+        .agg(count(lit(1)).as("n_purchases"))
+        .select(lit("none").as("touch_type"), col("n_purchases"),
+          lit(0L).as("n_touches"), (col("n_purchases") * 10000L).as("credit_bp"))
+      attributed.unionByName(none).orderBy("touch_type")
+    }),
+
     // Native session windows: Spark's session_window merges events
     // within a 30-minute gap. The oracle derives the same sessions from
     // first principles (lag → new-session flags → cumulative island
@@ -796,6 +851,44 @@ object EventQueries {
         |       ELSE (epoch_us(f_ts) - epoch_us(b.ts)) // 1000000 END AS secs_apart
         |FROM b JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
+    // Same U-shape integer credit rule; DuckDB's % matches Spark's on
+    // positive operands. BIGINT casts for the HUGEINT-dtype reason.
+    "ev_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+        |    event_type AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT p.p_id, t.t_ts, t.t_id, t.touch_type
+        |  FROM p JOIN t ON p.p_user = t.t_user
+        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 24 HOURS),
+        |c AS (
+        |  SELECT p_id, touch_type,
+        |    CASE WHEN n = 1 THEN 10000
+        |         WHEN n = 2 THEN 5000
+        |         WHEN rn = 1 OR rn = n THEN 4000
+        |         WHEN rn = n - 1 THEN 2000 // (n - 2) + 2000 % (n - 2)
+        |         ELSE 2000 // (n - 2) END AS credit_bp
+        |  FROM (
+        |    SELECT p_id, touch_type,
+        |      row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn,
+        |      count(*) OVER (PARTITION BY p_id) AS n
+        |    FROM j)),
+        |a AS (
+        |  SELECT touch_type, CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+        |    CAST(count(*) AS BIGINT) AS n_touches,
+        |    CAST(sum(credit_bp) AS BIGINT) AS credit_bp
+        |  FROM c GROUP BY touch_type),
+        |nn AS (
+        |  SELECT 'none' AS touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(0 AS BIGINT) AS n_touches,
+        |    CAST(count(*) * 10000 AS BIGINT) AS credit_bp
+        |  FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.p_id = p.p_id))
+        |SELECT * FROM a UNION ALL SELECT * FROM nn
+        |ORDER BY touch_type""".stripMargin,
     "ev_session_window" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         |FROM (

@@ -300,6 +300,47 @@ object PipelineQueries {
           col("nr"), col("nc"), col("nb"))
         .orderBy("feature", "bucket")),
 
+    // Two-sample Kolmogorov–Smirnov drift — PSI's CONTINUOUS
+    // companion for the same promotion gate: PSI needs a bucketing
+    // rule (and is blind to drift inside a bucket); KS compares the
+    // full empirical CDFs of a numeric feature (doc length) between
+    // the reference and current snapshot halves. The statistic is
+    // engine-exact WITHOUT any float: D = max_v |F_ref(v) − F_cur(v)|
+    // cross-multiplies to d_num = max_v |cumr(v)·nc − cumc(v)·nr|
+    // over the distinct feature values v (D = d_num / (nr·nc), a
+    // ratio of integers the reader can take; no division enters the
+    // verified contract). Scale shape: one corpus scan → per-value
+    // ref/cur counts (the frame is VALUE-bounded — distinct doc
+    // lengths, capped by the max doc length, never corpus-sized — the
+    // pipe_ppl_buckets doctrine for unpartitioned windows), cumulative
+    // sums over that bounded frame, and the arg-max row via
+    // orderBy.limit(1) = TakeOrderedAndProject (bounded per-partition
+    // heaps, no global sort). Ties on d_num break to the smallest
+    // value, so the reported location is deterministic.
+    "pipe_drift_ks" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("n_chars").cast("long").as("v"),
+          (substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+            .as("is_ref"))
+      val perValue = docs.groupBy("v").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("dr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("dc"))
+      val wCum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totals = docs.agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+      perValue
+        .withColumn("cumr", sum(col("dr")).over(wCum))
+        .withColumn("cumc", sum(col("dc")).over(wCum))
+        .crossJoin(broadcast(totals))
+        .withColumn("d_num",
+          abs(col("cumr") * col("nc") - col("cumc") * col("nr")))
+        .orderBy(col("d_num").desc, col("v").asc)
+        .limit(1)
+        .select(col("nr"), col("nc"), col("d_num"), col("v").as("at_value"))
+    }),
+
     // Materialized-aggregate maintenance — how corpus-level stats stay
     // current at 100 TB without rescanning: the stored BASE aggregate
     // (computed once over the existing snapshot) merges with the new
@@ -1210,6 +1251,34 @@ object PipelineQueries {
         |SELECT c.feature, c.bucket, c.cr, c.cc, t.nr, t.nc, t.nb
         |FROM c JOIN t ON c.feature = t.feature
         |ORDER BY c.feature, c.bucket""".stripMargin,
+    // Integer cross-multiplied KS: d_num = max |cumr·nc − cumc·nr|,
+    // arg-max location ties broken to the smallest value. All BIGINT
+    // casts for the usual HUGEINT-dtype reason.
+    "pipe_drift_ks" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_ref
+        |  FROM documents),
+        |pv AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS dr,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS dc
+        |  FROM d GROUP BY v),
+        |t AS (
+        |  SELECT CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM d),
+        |c AS (
+        |  SELECT v,
+        |    CAST(sum(dr) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumr,
+        |    CAST(sum(dc) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
+        |  FROM pv)
+        |SELECT nr, nc, CAST(abs(cumr * nc - cumc * nr) AS BIGINT) AS d_num,
+        |  v AS at_value
+        |FROM c, t
+        |ORDER BY d_num DESC, v ASC LIMIT 1""".stripMargin,
     // The oracle is the DIRECT full-corpus aggregation — equality with
     // the Spark side's base⊕delta partial merge is the contract.
     "pipe_agg_maintenance" ->

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Properties of the round-8 session-3 operators: attribution credit
+  * conservation, the KS statistic against a brute-force ECDF scan,
+  * and per-purchase credit-rule exactness.
+  */
+class Round11OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("ev_attribution conserves exactly 10000 bp per purchase") {
+    val rows = run("ev_attribution").collect()
+    val totalCredit = rows.map(_.getLong(3)).sum
+    val nPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(totalCredit == 10000L * nPurchases,
+      s"credit $totalCredit != 10000 * $nPurchases")
+    // every report row is one of the three touch sources
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("view", "click", "none")))
+  }
+
+  test("U-shaped credit rule sums to 10000 bp for every touch count") {
+    def credits(n: Long): Seq[Long] =
+      if (n == 1) Seq(10000L)
+      else if (n == 2) Seq(5000L, 5000L)
+      else (1L to n).map { rn =>
+        if (rn == 1 || rn == n) 4000L
+        else if (rn == n - 1) 2000L / (n - 2) + 2000L % (n - 2)
+        else 2000L / (n - 2)
+      }
+    (1L to 50L).foreach { n =>
+      assert(credits(n).sum == 10000L, s"n=$n sums to ${credits(n).sum}")
+      if (n >= 3) {
+        assert(credits(n).head == 4000L && credits(n).last == 4000L)
+        assert(credits(n).drop(1).dropRight(1).sum == 2000L)
+      }
+    }
+  }
+
+  test("pipe_drift_ks equals the brute-force ECDF max over all values") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex1(id: Long): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(d(0) & 0xff).charAt(0)
+    }
+    val (ref, cur) = docs.partition(d => md5hex1(d._1) < '8')
+    val nr = ref.length.toLong
+    val nc = cur.length.toLong
+    val values = docs.map(_._2).distinct.sorted
+    val brute = values.map { v =>
+      val cumr = ref.count(_._2 <= v).toLong
+      val cumc = cur.count(_._2 <= v).toLong
+      (math.abs(cumr * nc - cumc * nr), v)
+    }
+    val dMax = brute.map(_._1).max
+    val atValue = brute.filter(_._1 == dMax).map(_._2).min
+    val row = run("pipe_drift_ks").collect().head
+    assert(row.getLong(0) == nr && row.getLong(1) == nc)
+    assert(row.getLong(2) == dMax, s"d_num ${row.getLong(2)} != $dMax")
+    assert(row.getLong(3) == atValue)
+  }
+}
