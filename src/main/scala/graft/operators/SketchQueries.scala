@@ -86,6 +86,15 @@ object SketchQueries {
     */
   val KmvIntersectK = 256
 
+  /** Bloom filter geometry: m = 2¹⁶ bits (positions are 4-hex-char
+    * slices of the md5 digest), k = 2 hash functions. At the ~10k
+    * distinct shingles of a corpus half this fills ~25% of the bits —
+    * FPR ≈ fill² ≈ 6%: collisions actually happen and the probe sees
+    * the one-sided error, yet the filter stays discriminating.
+    */
+  val BloomBits = 1 << 16
+  val BloomHashes = 2
+
   /** Word-3-gram shingles of the documents corpus (multiplicity
     * preserved, all docs pooled) with their md5 digest — the shared
     * scan of every sketch below. Shingles, not tokens, are the sketch
@@ -330,6 +339,49 @@ object SketchQueries {
     // the orderBy.limit compiles to TakeOrderedAndProject — a
     // per-partition bounded heap + driver merge of 64-row tops, never
     // a global sort. One row out, all BIGINT.
+    // BLOOM FILTER with its error MEASURED — the approximate-membership
+    // monoid that completes the sketch family (HLL answers "how many
+    // distinct", CMS "how often", KMV "how much overlap", Bloom "have
+    // I seen this one"): the reference corpus half's distinct shingles
+    // set 2 md5-derived bit positions each in a 2¹⁶-bit filter (the
+    // bit-set merges by OR / position-set union — same monoid story as
+    // the rest); the current half then PROBES it. A probe hits iff
+    // every one of its positions is set, so misses are impossible for
+    // true members — the one-sided contract: bloom_hits ≥ exact_common
+    // always (the oracle row carries both, making the FPR visible as
+    // their gap; ≈ fill² ≈ 6% of the ~10k disjoint probes here).
+    // pipe_bloom_dedup uses Spark's engine-opaque builtin for the same
+    // job; this row pins a register-level reproducible filter through
+    // the oracle. Scale: the bit-set frame is m-bounded (≤65536 rows,
+    // the radix-histogram budget) and broadcasts into the probe; both
+    // shingle scans are narrow; no corpus-sized state anywhere.
+    "sk_bloom_probe" -> ((s, dir) => {
+      def halfKeys(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        Tables.documents(s, dir)
+          .filter(p(substring(md5(col("doc_id").cast("string")), 1, 1)))
+          .select(explode(TextOps.shinglesOf(col("text"))).as("key"))
+          .distinct()
+      def positions(df: DataFrame): DataFrame = df
+        .select(col("key"), explode(array((0 until BloomHashes).map(i =>
+          conv(substring(md5(col("key")), 4 * i + 1, 4), 16, 10)
+            .cast("long")): _*)).as("pos"))
+      val a = halfKeys(_ < "8")
+      val b = halfKeys(_ >= "8")
+      val bits = positions(a).select("pos").distinct()
+      val probed = positions(b)
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+        .groupBy("key")
+        .agg(min(coalesce(col("hit"), lit(0))).as("all_set"))
+      val exact = a.intersect(b).agg(count(lit(1)).as("exact_common"))
+      bits.agg(count(lit(1)).as("n_bits_set"))
+        .crossJoin(broadcast(a.agg(count(lit(1)).as("n_a"))))
+        .crossJoin(broadcast(probed.agg(
+          count(lit(1)).as("n_b"),
+          sum(col("all_set").cast("long")).as("bloom_hits"))))
+        .crossJoin(broadcast(exact))
+        .select("n_bits_set", "n_a", "n_b", "bloom_hits", "exact_common")
+    }),
+
     "sk_kmv_distinct" -> ((s, dir) => {
       val hv = words(s, dir)
         .select(conv(substring(col("h"), 1, 13), 16, 10).cast("long").as("hv"))
@@ -469,6 +521,36 @@ object SketchQueries {
          |  ((n_b * $c) // theta)::BIGINT AS est_b,
          |  ((n_common * $c) // theta)::BIGINT AS est_inter,
          |  exact_inter
+         |FROM e""".stripMargin
+    },
+    "sk_bloom_probe" -> {
+      def halfSql(name: String, cond: String) =
+        s"""$name AS (
+           |  SELECT DISTINCT key FROM (
+           |    SELECT array_to_string(list_slice(t, i, i + 2), ' ') AS key
+           |    FROM (SELECT ${OracleSql.toks} AS t FROM documents
+           |          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) $cond),
+           |         UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+           |    WHERE len(t) >= 3))""".stripMargin
+      def posList(keyExpr: String) =
+        (0 until BloomHashes).map(i =>
+          s"${hexLong(s"md5($keyExpr)", 4 * i + 1, 4)}").mkString("[", ", ", "]")
+      s"""WITH ${halfSql("a", "< '8'")},
+         |${halfSql("b", ">= '8'")},
+         |bits AS (
+         |  SELECT DISTINCT unnest(${posList("key")}) AS pos FROM a),
+         |probed AS (
+         |  SELECT key, min(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS all_set
+         |  FROM (SELECT key, unnest(${posList("key")}) AS pos FROM b) p
+         |  LEFT JOIN bits ON p.pos = bits.pos GROUP BY key),
+         |e AS (SELECT count(*)::BIGINT AS exact_common FROM
+         |  (SELECT key FROM a INTERSECT SELECT key FROM b))
+         |SELECT (SELECT count(*)::BIGINT FROM bits) AS n_bits_set,
+         |  (SELECT count(*)::BIGINT FROM a) AS n_a,
+         |  (SELECT count(*)::BIGINT FROM probed) AS n_b,
+         |  (SELECT sum(all_set)::BIGINT FROM probed) AS bloom_hits,
+         |  exact_common
          |FROM e""".stripMargin
     },
     "sk_kmv_distinct" ->

@@ -51,6 +51,22 @@ object SourceQueries {
         .orderBy("s_suppkey")
     }),
 
+    // XML: the third text format Spark 4 ships natively (the spark-xml
+    // connector was folded into spark-sql in 4.0). Free-text
+    // n_comment exercises entity escaping (&, <, quotes); the read
+    // pins the explicit schema — XML carries no types, so schema-less
+    // inference would widen everything to string. Row-per-rowTag
+    // files split like any text source; the oracle is the plain
+    // table read.
+    "src_xml_roundtrip" -> ((s, dir) => {
+      val base = Tables.nation(s, dir)
+      val path = tmp("nation_xml")
+      base.write.mode(SaveMode.Overwrite)
+        .option("rootTag", "nations").option("rowTag", "nation").xml(path)
+      s.read.schema(base.schema).option("rowTag", "nation").xml(path)
+        .orderBy("n_nationkey")
+    }),
+
     // Schema evolution through mergeSchema — the long-lived-dataset
     // reality: a column added mid-corpus means old shards lack it.
     // v1 shards carry (doc_id, lang), v2 adds n_chars; the merged
@@ -213,6 +229,8 @@ object SourceQueries {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "src_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    "src_xml_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
     "src_json_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "src_schema_evolution" ->

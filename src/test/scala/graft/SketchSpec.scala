@@ -138,6 +138,23 @@ class SketchSpec extends AnyFunSuite {
     assert(totalDocs == graft.Tables.documents(spark, sf).count())
   }
 
+  test("sk_bloom_probe: one-sided membership, FPR near the fill-rate prediction") {
+    val r = run("sk_bloom_probe").collect().head
+    val bits = r.getAs[Long]("n_bits_set")
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val (hits, common) = (r.getAs[Long]("bloom_hits"), r.getAs[Long]("exact_common"))
+    // no false negatives, ever — every true member's bits are set
+    assert(hits >= common, s"hits=$hits < common=$common")
+    assert(hits <= nb && common <= math.min(na, nb))
+    // measured FPR on the non-member probes tracks fill^k (loose 3x band:
+    // the bound is an independence approximation, not a guarantee)
+    val fill = bits.toDouble / SketchQueries.BloomBits
+    val predicted = math.pow(fill, SketchQueries.BloomHashes.toDouble)
+    val measured = (hits - common).toDouble / math.max(1L, nb - common)
+    assert(measured <= 3.0 * predicted + 0.01,
+      s"measured FPR $measured vs predicted $predicted")
+  }
+
   test("sk_kmv_distinct: k filled, estimate within 25% of exact") {
     val r = run("sk_kmv_distinct").collect().head
     assert(r.getAs[Long]("k") == SketchQueries.KmvK.toLong)
