@@ -263,6 +263,26 @@ object GraphQueries {
         .select(col("doc_a"), col("doc_b"))))
   )
 
+  /** Full undirected integer-PageRank CTE skeleton over a
+    * caller-supplied `pairs` CTE body (columns doc_a, doc_b) — the
+    * dd_pagerank oracle chain, reusable (ta_textrank runs the same
+    * fixed-round recursion over a word co-occurrence graph). Emits
+    * pairs/edges/deg/n/pr0..pr`iters`; callers append a final SELECT
+    * over pr`iters` (id, deg, pr).
+    */
+  private[operators] def undirectedPrSql(pairsSql: String,
+                                         iters: Int = Iters): String =
+    s"""pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |n AS (SELECT count(*) AS n_nodes FROM deg),
+       |pr0 AS (
+       |  SELECT id, deg, 1000000 // (SELECT n_nodes FROM n) AS pr FROM deg),
+       |${(1 to iters).map(i => prRoundSql(s"pr${i - 1}", s"pr$i")).mkString(",\n")}""".stripMargin
+
   private def prRoundSql(prev: String, next: String): String =
     s"""$next AS (
        |  SELECT d.id, d.deg,
@@ -313,16 +333,7 @@ object GraphQueries {
          |FROM (SELECT DISTINCT src AS id FROM e0) n
          |ORDER BY doc_id""".stripMargin,
     "dd_pagerank" ->
-      s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql}),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
-         |n AS (SELECT count(*) AS n_nodes FROM deg),
-         |pr0 AS (
-         |  SELECT id, deg, 1000000 // (SELECT n_nodes FROM n) AS pr FROM deg),
-         |${(1 to Iters).map(i => prRoundSql(s"pr${i - 1}", s"pr$i")).mkString(",\n")}
+      s"""WITH ${undirectedPrSql(Dedup.ngramJaccardPairsSql)}
          |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_micro
          |FROM pr$Iters ORDER BY doc_id""".stripMargin,
     "dd_pagerank_directed" ->

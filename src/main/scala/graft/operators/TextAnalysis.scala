@@ -48,6 +48,9 @@ object TextAnalysis {
     */
   val RakeMaxLen = 4
 
+  /** ta_textrank report size: top keywords by stationary rank. */
+  val TextRankK = 15
+
   /** The BPE training loop shared by ta_bpe_train (reports `merges`)
     * and ta_bpe_encode (aggregates the final `syms`): BpeTrainRounds
     * iterations of pair-count over the VOCABULARY (word-frequency
@@ -384,6 +387,41 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_occur"), max(col("score_micro")).as("score_micro"))
         .orderBy(col("score_micro").desc, col("phrase").asc)
         .limit(10)
+    }),
+
+    // TextRank keywords (Mihalcea & Tarau 2004) — RAKE's graph-based
+    // sibling and the second consumer of the shared integer-PageRank
+    // recursion (GraphQueries.pageRankMicro, dd_pagerank's exact
+    // engine): nodes are words, edges are DISTINCT co-occurrences
+    // within a window of 2 (adjacent + one-gap pairs), and a word's
+    // keywordness is its stationary rank in that graph. The edge list
+    // is built with NO join: each doc zips its token array against
+    // its own 1- and 2-shifted slices (narrow array ops), then a
+    // vocab²-bounded distinct. All rank arithmetic is the micro-unit
+    // truncating-division recursion the oracle unrolls as fixed-round
+    // CTEs — engine-exact, no float. Scale: the co-occurrence
+    // distinct and every PageRank round aggregate over frames bounded
+    // by vocabulary (× small constants), never by corpus size; the
+    // top-15 report rides TakeOrderedAndProject and the rank window
+    // runs inside that 15-row frame.
+    "ta_textrank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def shifted(t: org.apache.spark.sql.Column, d: Int) =
+        zip_with(t, slice(t, lit(d + 1), greatest(size(t) - d, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))
+      val t = tokens(col("text"))
+      val pairs = Tables.documents(s, dir)
+        .select(explode(concat(shifted(t, 1), shifted(t, 2))).as("p"))
+        .filter(col("p.b").isNotNull && col("p.a") =!= col("p.b"))
+        .select(least(col("p.a"), col("p.b")).as("doc_a"),
+          greatest(col("p.a"), col("p.b")).as("doc_b"))
+        .distinct()
+      val ranked = GraphQueries.pageRankMicro(pairs)
+        .orderBy(col("pr").desc, col("id").asc).limit(TextRankK)
+      val w = Window.orderBy(col("pr").desc, col("id").asc)
+      ranked.withColumn("rk", row_number().over(w).cast("int"))
+        .select(col("rk"), col("id").as("word"), col("pr").as("pr_micro"))
+        .orderBy("rk")
     }),
 
     // Zipf rank-frequency table — the corpus-statistics view every
@@ -1142,6 +1180,28 @@ object TextAnalysis {
          |  FROM cnt)
          |SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS p, CAST(rk AS INT) AS rk
          |FROM scored WHERE rk <= 5 ORDER BY w1, rk""".stripMargin,
+    // Same fixed-round micro-integer recursion as dd_pagerank
+    // (GraphQueries.undirectedPrSql) over the window-2 co-occurrence
+    // pairs.
+    "ta_textrank" -> {
+      val pairsSql =
+        s"""SELECT DISTINCT least(a, b) AS doc_a, greatest(a, b) AS doc_b FROM (
+           |    SELECT t[i] AS a, t[i + 1] AS b
+           |    FROM (SELECT $toksSql AS t FROM documents),
+           |         UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+           |    WHERE len(t) >= 2
+           |    UNION ALL
+           |    SELECT t[i] AS a, t[i + 2] AS b
+           |    FROM (SELECT $toksSql AS t FROM documents),
+           |         UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+           |    WHERE len(t) >= 3)
+           |  WHERE a <> b""".stripMargin
+      s"""WITH ${GraphQueries.undirectedPrSql(pairsSql)}
+         |SELECT CAST(rk AS INT) AS rk, id AS word, CAST(pr AS BIGINT) AS pr_micro
+         |FROM (SELECT id, pr, row_number() OVER (ORDER BY pr DESC, id ASC) AS rk
+         |      FROM pr${GraphQueries.Iters})
+         |WHERE rk <= $TextRankK ORDER BY rk""".stripMargin
+    },
     "ta_rake" ->
       s"""WITH toks AS (
          |  SELECT doc_id, i AS pos, t[i] AS w,

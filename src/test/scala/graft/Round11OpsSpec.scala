@@ -46,6 +46,23 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ta_textrank: contiguous ranks, monotone scores, vocabulary nodes") {
+    val rows = run("ta_textrank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toList == (1 to rows.length).toList)
+    assert(rows.length <= operators.TextAnalysis.TextRankK)
+    // scores nonincreasing in rank order, ties broken by word asc
+    rows.sliding(2).foreach { case Array((_, wa, pa), (_, wb, pb)) =>
+      assert(pa > pb || (pa == pb && wa < wb))
+    }
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { case (_, w, pr) =>
+      assert(vocab.contains(w)); assert(pr > 0L)
+    }
+  }
+
   test("pipe_drift_ks equals the brute-force ECDF max over all values") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("n_chars")).collect()
