@@ -63,6 +63,24 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ss_ndcg_eval: bounded, hit-consistent, and exact on the discount table") {
+    val W = operators.Similarity.NdcgDiscountsMicro
+    val rows = run("ss_ndcg_eval").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTrue, hits) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_hits"))
+      val (dcg, idcg) = (r.getAs[Long]("dcg_micro"), r.getAs[Long]("idcg_micro"))
+      val ndcg = r.getAs[Long]("ndcg_bp")
+      assert(hits <= nTrue && hits <= operators.Similarity.NdcgK)
+      assert(idcg == W.take(math.min(nTrue, 10L).toInt).sum)
+      assert(dcg <= idcg && ndcg >= 0L && ndcg <= 10000L)
+      // dcg is a sum of exactly n_hits distinct discount weights
+      assert(dcg <= W.take(hits.toInt).sum, "dcg above best-case placement")
+      assert(dcg >= W.takeRight(hits.toInt).sum, "dcg below worst-case placement")
+      assert(ndcg == dcg * 10000L / idcg)
+    }
+  }
+
   test("pipe_drift_ks equals the brute-force ECDF max over all values") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("n_chars")).collect()
