@@ -180,6 +180,29 @@ object StreamingQueries {
       drain(s, stream, "st_hll_registers").orderBy("reg")
     }),
 
+    // STREAM-STATIC enrichment join through the gate — the most common
+    // production streaming shape of all: a live event stream joined to
+    // a slow dimension (here the per-user signup-day cohort, computed
+    // batch-side and BROADCAST). The join is stateless — no watermark,
+    // no join state, each micro-batch enriches against the static
+    // snapshot map-side — so the only streaming state is the
+    // downstream (cohort_day × event_type) aggregation, calendar- and
+    // type-bounded. At 100 TB the static side is the broadcast dim of
+    // every q_join_broadcast argument; re-broadcast per batch is the
+    // dimension-refresh dial. The oracle is the batch join verbatim.
+    "st_enrich_join" -> ((s, dir) => {
+      val (staged, schema) = stageEvents(s, dir)
+      val cohort = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      val stream = s.readStream.schema(schema).parquet(staged)
+        .join(broadcast(cohort), Seq("user_id"))
+        .groupBy(col("cohort_day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      drain(s, stream, "st_enrich_join")
+        .orderBy("cohort_day", "event_type")
+    }),
+
     // Streaming dual of ev_sliding_15m: the slide fans each event into
     // its 3 overlapping windows map-side before the same incremental
     // aggregation — state O(open windows), output O(window count).
@@ -220,6 +243,13 @@ object StreamingQueries {
         |ORDER BY view_id, click_id""".stripMargin,
     "st_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
+    "st_enrich_join" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        |  FROM events GROUP BY user_id)
+        |SELECT c.cohort_day, e.event_type, count(*) AS n_events
+        |FROM events e JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, event_type""".stripMargin,
     "st_hll_registers" ->
       graft.operators.SketchQueries.oracleSql("sk_hll_registers"),
     "st_domain_cap" ->
