@@ -419,6 +419,38 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Exact conversion-lag percentiles — the latency-SLO readout over
+    // a DERIVED measure: each view's seconds-to-next-purchase (the
+    // ev_asof_next_purchase forward as-of), then exact p50/p90/p99 by
+    // the q_exact_quantiles radix-selection engine. This is the
+    // operational percentile question ("how long until converted
+    // users convert") answered with NO global sort and NO sketch: ≤4
+    // passes of ≤2¹⁶-bucket histograms over the lag column, ranking
+    // only the terminal ≤100k-row slice — p99 of a 10¹¹-row lag table
+    // costs the same passes as p50. The k-th-VALUE definition makes
+    // ties harmless and the result engine-exact (the oracle states
+    // the same ranks over a row_number window it can afford at sf
+    // scale).
+    "ev_lag_quantiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      val lags = graft.plans.AsOfJoin
+        .joinAsOf(views, purchases,
+          views("user_id"), purchases("p_user"),
+          views("ts"), purchases("p_ts"), forward = true)
+        .filter(col("p_ts").isNotNull)
+        .select(expr("CAST((unix_micros(p_ts) - unix_micros(ts)) DIV 1000000" +
+          " AS DOUBLE)").as("v"))
+      QuantileQueries.kthValues(s, lags, "v", Seq(
+        "p50" -> ((n: Long) => (n + 1) / 2),
+        "p90" -> ((n: Long) => (9 * n + 9) / 10),
+        "p99" -> ((n: Long) => (99 * n + 99) / 100)))
+    }),
+
     // Position-based (U-shaped) MULTI-TOUCH ATTRIBUTION — the
     // marketing-analytics companion to the as-of conversion-lag
     // queries: every purchase distributes 10,000 basis points of
@@ -851,6 +883,27 @@ object EventQueries {
         |       ELSE (epoch_us(f_ts) - epoch_us(b.ts)) // 1000000 END AS secs_apart
         |FROM b JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
+    // The same (n+1)/2-style ranks stated over an explicit
+    // row_number — affordable at oracle scale, exactly what the radix
+    // selection avoids at 100 TB.
+    "ev_lag_quantiles" ->
+      """WITH p AS (SELECT user_id AS p_user, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |lags AS (
+        |  SELECT CAST((epoch_us(p.p_ts) - epoch_us(e.ts)) // 1000000 AS DOUBLE) AS v
+        |  FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') e
+        |  ASOF LEFT JOIN p ON e.user_id = p.p_user AND e.ts <= p.p_ts
+        |  WHERE p.p_ts IS NOT NULL),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM lags)
+        |SELECT stat, value FROM (
+        |  SELECT 'p50' AS stat, v AS value FROM o WHERE rn = (n + 1) // 2
+        |  UNION ALL
+        |  SELECT 'p90', v FROM o WHERE rn = (9 * n + 9) // 10
+        |  UNION ALL
+        |  SELECT 'p99', v FROM o WHERE rn = (99 * n + 99) // 100)
+        |ORDER BY stat""".stripMargin,
     // Same U-shape integer credit rule; DuckDB's % matches Spark's on
     // positive operands. BIGINT casts for the HUGEINT-dtype reason.
     "ev_attribution" ->

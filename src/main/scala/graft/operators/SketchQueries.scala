@@ -339,6 +339,50 @@ object SketchQueries {
     // the orderBy.limit compiles to TakeOrderedAndProject — a
     // per-partition bounded heap + driver merge of 64-row tops, never
     // a global sort. One row out, all BIGINT.
+    // Theta-sketch DIFFERENCE and UNION — the remaining set-algebra
+    // verbs on the same two 256-minima summaries sk_kmv_intersect
+    // builds: below theta every sample is exact membership for its
+    // own set, so the A∖B sample is a plain EXCEPT of two ≤k-row
+    // frames and the union sample their distinct union — each scaled
+    // by 2⁵²/theta. est_diff answers the crawl-ops question the
+    // intersection can't: "how much of the new snapshot is genuinely
+    // NEW", from two 256-number summaries instead of a corpus-sized
+    // anti-join (the exact_diff audit column is that anti-join, which
+    // sf scale affords and 100 TB does not). Integer end to end.
+    "sk_theta_diff" -> ((s, dir) => {
+      def half(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        Tables.documents(s, dir)
+          .filter(p(substring(md5(col("doc_id").cast("string")), 1, 1)))
+          .select(explode(TextOps.shinglesOf(col("text"))).as("key"))
+          .select(conv(substring(md5(col("key")), 1, 13), 16, 10)
+            .cast("long").as("hv"))
+          .distinct()
+      val a = half(_ < "8")
+      val b = half(_ >= "8")
+      val ka = a.orderBy("hv").limit(KmvIntersectK).localCheckpoint(false)
+      val kb = b.orderBy("hv").limit(KmvIntersectK).localCheckpoint(false)
+      val theta = ka.agg(max(col("hv")).as("ta"))
+        .crossJoin(kb.agg(max(col("hv")).as("tb")))
+        .select(least(col("ta"), col("tb")).as("theta"))
+      val sa = ka.crossJoin(broadcast(theta))
+        .filter(col("hv") < col("theta")).select("hv")
+      val sb = kb.crossJoin(broadcast(theta))
+        .filter(col("hv") < col("theta")).select("hv")
+      val exact = b.except(a).agg(count(lit(1)).as("exact_new"))
+      val c = 1L << 52
+      sa.agg(count(lit(1)).as("n_a"))
+        .crossJoin(broadcast(sb.agg(count(lit(1)).as("n_b"))))
+        .crossJoin(broadcast(sb.except(sa).agg(count(lit(1)).as("n_new"))))
+        .crossJoin(broadcast(sa.unionByName(sb).distinct()
+          .agg(count(lit(1)).as("n_union"))))
+        .crossJoin(broadcast(theta))
+        .select(
+          expr(s"(n_new * $c) DIV theta").as("est_new"),
+          expr(s"(n_union * $c) DIV theta").as("est_union"))
+        .crossJoin(broadcast(exact))
+        .select("est_new", "est_union", "exact_new")
+    }),
+
     // BLOOM FILTER with its error MEASURED — the approximate-membership
     // monoid that completes the sketch family (HLL answers "how many
     // distinct", CMS "how often", KMV "how much overlap", Bloom "have
@@ -521,6 +565,37 @@ object SketchQueries {
          |  ((n_b * $c) // theta)::BIGINT AS est_b,
          |  ((n_common * $c) // theta)::BIGINT AS est_inter,
          |  exact_inter
+         |FROM e""".stripMargin
+    },
+    "sk_theta_diff" -> {
+      def halfSql(name: String, cond: String) =
+        s"""$name AS (
+           |  SELECT DISTINCT ${hexLong("md5(key)", 1, 13)} AS hv FROM (
+           |    SELECT array_to_string(list_slice(t, i, i + 2), ' ') AS key
+           |    FROM (SELECT ${OracleSql.toks} AS t FROM documents
+           |          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) $cond),
+           |         UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+           |    WHERE len(t) >= 3))""".stripMargin
+      val c = 1L << 52
+      s"""WITH ${halfSql("ha", "< '8'")},
+         |${halfSql("hb", ">= '8'")},
+         |ka AS (SELECT hv FROM ha ORDER BY hv LIMIT $KmvIntersectK),
+         |kb AS (SELECT hv FROM hb ORDER BY hv LIMIT $KmvIntersectK),
+         |th AS (SELECT least((SELECT max(hv) FROM ka),
+         |                    (SELECT max(hv) FROM kb)) AS theta),
+         |sa AS (SELECT hv FROM ka, th WHERE hv < theta),
+         |sb AS (SELECT hv FROM kb, th WHERE hv < theta),
+         |e AS (SELECT
+         |  (SELECT count(*)::BIGINT FROM
+         |     (SELECT hv FROM sb EXCEPT SELECT hv FROM sa)) AS n_new,
+         |  (SELECT count(*)::BIGINT FROM
+         |     (SELECT hv FROM sa UNION SELECT hv FROM sb)) AS n_union,
+         |  (SELECT count(*)::BIGINT FROM
+         |     (SELECT hv FROM hb EXCEPT SELECT hv FROM ha)) AS exact_new,
+         |  (SELECT theta FROM th) AS theta)
+         |SELECT ((n_new * $c) // theta)::BIGINT AS est_new,
+         |  ((n_union * $c) // theta)::BIGINT AS est_union,
+         |  exact_new
          |FROM e""".stripMargin
     },
     "sk_bloom_probe" -> {

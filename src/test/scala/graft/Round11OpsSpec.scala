@@ -63,6 +63,26 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_lag_quantiles equals brute-force sorted ranks") {
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2).getTime * 1000L, r.getString(3)))
+    val purchases = ev.filter(_._3 == "purchase")
+    val lags = ev.filter(_._3 == "view").flatMap { case (u, t, _) =>
+      val nexts = purchases.filter(p => p._1 == u && p._2 >= t)
+      if (nexts.isEmpty) None else Some((nexts.map(_._2).min - t) / 1000000L)
+    }.sorted
+    def kth(k: Long): Double = lags((k - 1).toInt).toDouble
+    val n = lags.length.toLong
+    val expect = Map(
+      "p50" -> kth((n + 1) / 2),
+      "p90" -> kth((9 * n + 9) / 10),
+      "p99" -> kth((99 * n + 99) / 100))
+    val got = run("ev_lag_quantiles").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   test("ss_ndcg_eval: bounded, hit-consistent, and exact on the discount table") {
     val W = operators.Similarity.NdcgDiscountsMicro
     val rows = run("ss_ndcg_eval").collect()

@@ -155,6 +155,15 @@ class SketchSpec extends AnyFunSuite {
       s"measured FPR $measured vs predicted $predicted")
   }
 
+  test("sk_theta_diff: difference estimate within 25%, union dominates") {
+    val r = run("sk_theta_diff").collect().head
+    val (estNew, estUnion) = (r.getAs[Long]("est_new"), r.getAs[Long]("est_union"))
+    val exactNew = r.getAs[Long]("exact_new")
+    assert(math.abs(estNew - exactNew).toDouble / exactNew <= 0.25,
+      s"est_new=$estNew exact=$exactNew")
+    assert(estUnion >= estNew, "union sample cannot be smaller than a difference")
+  }
+
   test("sk_kmv_distinct: k filled, estimate within 25% of exact") {
     val r = run("sk_kmv_distinct").collect().head
     assert(r.getAs[Long]("k") == SketchQueries.KmvK.toLong)
