@@ -419,6 +419,43 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Seasonal-naive FORECAST BACKTEST — the capacity-planning baseline
+    // every anomaly detector and autoscaler is judged against: predict
+    // each hour's event count by the same hour yesterday (daily
+    // seasonality, lag 24 on the zero-filled hourly spine) and by the
+    // previous hour (persistence, lag 1), and report each baseline's
+    // summed absolute error over the common backtest window. The
+    // integer contract is (n_hours, total_actual, sae_seasonal,
+    // sae_persist) — pure counts and |count−count| sums, engine-exact;
+    // MAE is the reader's division. The zero-filled spine (the
+    // ev_gapfill shape) makes "no events that hour" a real observation
+    // instead of a silently skipped row — lag-24 then means exactly
+    // 24 HOURS, not 24 observed rows. Scale: the hourly frame is
+    // calendar × type bounded (the sweep-line doctrine), so every
+    // window here runs over ~hundreds of rows regardless of corpus
+    // size; the one corpus-sized pass is the initial hourly count.
+    "ev_forecast_baseline" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hourly.groupBy("event_type")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("f24", lag(col("n"), 24).over(w))
+        .withColumn("f1", lag(col("n"), 1).over(w))
+        .filter(col("f24").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n")).as("total_actual"),
+          sum(abs(col("n") - col("f24"))).as("sae_seasonal"),
+          sum(abs(col("n") - col("f1"))).as("sae_persist"))
+        .orderBy("event_type")
+    }),
+
     // Exact conversion-lag percentiles — the latency-SLO readout over
     // a DERIVED measure: each view's seconds-to-next-purchase (the
     // ev_asof_next_purchase forward as-of), then exact p50/p90/p99 by
@@ -883,6 +920,30 @@ object EventQueries {
         |       ELSE (epoch_us(f_ts) - epoch_us(b.ts)) // 1000000 END AS secs_apart
         |FROM b JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
+    "ev_forecast_baseline" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+        |  FROM hourly GROUP BY event_type),
+        |filled AS (
+        |  SELECT s.event_type, s.hour, COALESCE(h.n, 0)::BIGINT AS n
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.event_type = h.event_type AND s.hour = h.hour),
+        |lagged AS (
+        |  SELECT event_type, n,
+        |    lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour) AS f24,
+        |    lag(n, 1)  OVER (PARTITION BY event_type ORDER BY hour) AS f1
+        |  FROM filled)
+        |SELECT event_type, count(*)::BIGINT AS n_hours,
+        |  CAST(sum(n) AS BIGINT) AS total_actual,
+        |  CAST(sum(abs(n - f24)) AS BIGINT) AS sae_seasonal,
+        |  CAST(sum(abs(n - f1)) AS BIGINT) AS sae_persist
+        |FROM lagged WHERE f24 IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The same (n+1)/2-style ranks stated over an explicit
     // row_number — affordable at oracle scale, exactly what the radix
     // selection avoids at 100 TB.

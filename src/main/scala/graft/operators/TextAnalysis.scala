@@ -51,6 +51,17 @@ object TextAnalysis {
   /** ta_textrank report size: top keywords by stationary rank. */
   val TextRankK = 15
 
+  /** ta_unigram_viterbi geometry: vocab = top [[VitVocabK]] character
+    * n-grams of length 2..[[VitMaxPieceLen]] plus every single
+    * character; the DP runs over each doc's first [[VitMaxChars]]
+    * characters (the oracle unrolls one CTE round per position, so
+    * the cap bounds the generated SQL the way RakeMaxLen bounds the
+    * phrase report).
+    */
+  val VitVocabK = 64
+  val VitMaxPieceLen = 5
+  val VitMaxChars = 48
+
   /** The BPE training loop shared by ta_bpe_train (reports `merges`)
     * and ta_bpe_encode (aggregates the final `syms`): BpeTrainRounds
     * iterations of pair-count over the VOCABULARY (word-frequency
@@ -422,6 +433,57 @@ object TextAnalysis {
       ranked.withColumn("rk", row_number().over(w).cast("int"))
         .select(col("rk"), col("id").as("word"), col("pr").as("pr_micro"))
         .orderBy("rk")
+    }),
+
+    // Unigram-tokenizer VITERBI segmentation — the OTHER tokenizer
+    // family next to the BPE loop (ta_bpe_*): where BPE greedily
+    // merges, a unigram model picks the GLOBALLY optimal segmentation
+    // of each document by dynamic programming over a piece vocabulary.
+    // Vocabulary and scores are derived deterministically from the
+    // corpus (top-64 character 2..5-grams by frequency + every single
+    // character, rank-ordered); each piece costs 10⁶ + rank, so the
+    // minimum-cost segmentation uses the FEWEST pieces first and the
+    // most frequent ones second — the integer MDL surrogate for the
+    // log-prob objective (ln is banned from cross-engine contracts;
+    // the rank order IS the frequency order the log would induce).
+    // The DP runs inside [[graft.functions.UnigramViterbi]] — a
+    // native codegen expression, one narrow pass, O(len·5) per doc —
+    // and the verified value 10⁶·n_pieces + Σrank is the unique DP
+    // optimum (ties in PATH never change the VALUE). The oracle
+    // unrolls the same DP as 48 materialized CTE rounds. Scale: the
+    // vocab frame collects ≤64+charset rows to the driver (the
+    // bounded-collect doctrine: a spec-sized codebook, not data), then
+    // broadcasts inside the expression; segmentation is
+    // embarrassingly parallel.
+    "ta_unigram_viterbi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(col("text"), 1, VitMaxChars).as("p"))
+        .localCheckpoint(false) // vocab count + segmentation scan
+      val grams = docs.select(explode(expr(
+          s"""flatten(transform(sequence(2, $VitMaxPieceLen),
+             |  l -> IF(length(p) >= l,
+             |         transform(sequence(1, length(p) - l + 1),
+             |                   i -> substring(p, i, l)),
+             |         array())))""".stripMargin)).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("piece").asc).limit(VitVocabK)
+      val singles = docs.select(explode(expr(
+          """IF(length(p) >= 1,
+            |   transform(sequence(1, length(p)), i -> substring(p, i, 1)),
+            |   array())""".stripMargin)).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("cnt"))
+      val wRank = Window.orderBy(col("cnt").desc, col("piece").asc)
+      val vocab = grams.unionByName(singles)
+        .withColumn("rnk", row_number().over(wRank))
+        .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+      docs.select(col("doc_id"),
+          graft.functions.UnigramViterbi.unigram_viterbi(
+            col("p"), vocab, VitMaxPieceLen, VitMaxChars).as("enc"))
+        .select(col("doc_id"),
+          expr("enc DIV 1000000").as("n_pieces"),
+          expr("enc % 1000000").as("rank_sum"))
+        .orderBy("doc_id")
     }),
 
     // Zipf rank-frequency table — the corpus-statistics view every
@@ -1180,6 +1242,53 @@ object TextAnalysis {
          |  FROM cnt)
          |SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS p, CAST(rk AS INT) AS rk
          |FROM scored WHERE rk <= 5 ORDER BY w1, rk""".stripMargin,
+    // The identical DP, unrolled: one MATERIALIZED CTE round per
+    // character position (the kcore/lloyd unroll discipline —
+    // MATERIALIZED is load-bearing: round j is referenced by round
+    // j+1 AND the running union, so inlining would re-evaluate the
+    // whole chain exponentially).
+    "ta_unigram_viterbi" -> {
+      def round(j: Int) =
+        s"""dp$j AS MATERIALIZED (
+           |  SELECT c.doc_id, min(pr.s + 1000000 + v.rnk) AS s
+           |  FROM (
+           |    SELECT d.doc_id, substring(d.p, $j - u.l + 1, u.l) AS piece,
+           |      $j - u.l AS prev
+           |    FROM d, UNNEST([${(1 to VitMaxPieceLen).mkString(", ")}]) AS u(l)
+           |    WHERE d.plen >= $j AND $j - u.l >= 0) c
+           |  JOIN vocab v ON v.piece = c.piece
+           |  JOIN a${j - 1} pr ON pr.doc_id = c.doc_id AND pr.j = c.prev
+           |  GROUP BY c.doc_id),
+           |a$j AS MATERIALIZED (
+           |  SELECT * FROM a${j - 1}
+           |  UNION ALL SELECT doc_id, $j AS j, s FROM dp$j)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, substring(text, 1, $VitMaxChars) AS p,
+         |    length(substring(text, 1, $VitMaxChars)) AS plen
+         |  FROM documents),
+         |grams AS (
+         |  SELECT substring(p, i, l) AS piece
+         |  FROM d, UNNEST([${(2 to VitMaxPieceLen).mkString(", ")}]) AS ul(l),
+         |       UNNEST(range(1, greatest(length(p) - l + 1, 0) + 1)) AS ui(i)),
+         |top AS (
+         |  SELECT piece, count(*)::BIGINT AS cnt FROM grams GROUP BY piece
+         |  ORDER BY cnt DESC, piece LIMIT $VitVocabK),
+         |sc AS (
+         |  SELECT piece, count(*)::BIGINT AS cnt FROM (
+         |    SELECT substring(p, i, 1) AS piece
+         |    FROM d, UNNEST(range(1, length(p) + 1)) AS ui(i))
+         |  GROUP BY piece),
+         |vocab AS (
+         |  SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece) AS rnk
+         |  FROM (SELECT * FROM top UNION ALL SELECT * FROM sc)),
+         |a0 AS (SELECT doc_id, 0 AS j, 0::BIGINT AS s FROM d),
+         |${(1 to VitMaxChars).map(round).mkString(",\n")}
+         |SELECT d.doc_id,
+         |  CAST(a.s // 1000000 AS BIGINT) AS n_pieces,
+         |  CAST(a.s % 1000000 AS BIGINT) AS rank_sum
+         |FROM d JOIN a$VitMaxChars a ON a.doc_id = d.doc_id AND a.j = d.plen
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // Same fixed-round micro-integer recursion as dd_pagerank
     // (GraphQueries.undirectedPrSql) over the window-2 co-occurrence
     // pairs.

@@ -101,6 +101,43 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("UnigramViterbi equals exhaustive enumeration on small inputs") {
+    import graft.functions.UnigramViterbi
+    val vocab = Map("a" -> 5, "b" -> 6, "c" -> 7, "ab" -> 2, "bc" -> 3,
+      "abc" -> 1, "cab" -> 4)
+    // enumerate every segmentation, keep the minimum cost
+    def brute(s: String): Long =
+      if (s.isEmpty) 0L
+      else (1 to math.min(5, s.length)).flatMap { l =>
+        vocab.get(s.take(l)).map(r => 1000000L + r + brute(s.drop(l)))
+      }.min
+    for (s <- Seq("a", "ab", "abc", "abcab", "cababc", "bcbcbca",
+        "abcabcabcabc", "cabcabcab")) {
+      assert(UnigramViterbi.segmentCost(s, vocab, 5, 48) == brute(s), s)
+    }
+    // truncation: chars past maxChars never contribute
+    assert(UnigramViterbi.segmentCost("abcabc", vocab, 5, 3) ==
+      UnigramViterbi.segmentCost("abc", vocab, 5, 48))
+  }
+
+  test("ta_unigram_viterbi: piece counts bounded by length and piece cap") {
+    val byDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        length(substring(col("text"), 1, operators.TextAnalysis.VitMaxChars))
+          .as("plen")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = run("ta_unigram_viterbi").collect()
+    assert(rows.length == byDoc.size)
+    rows.foreach { r =>
+      val (id, n) = (r.getLong(0), r.getLong(1))
+      val len = byDoc(id).toLong
+      val minPieces = (len + operators.TextAnalysis.VitMaxPieceLen - 1) /
+        operators.TextAnalysis.VitMaxPieceLen
+      assert(n >= minPieces && n <= len, s"doc $id: n=$n len=$len")
+      assert(r.getLong(2) > 0L || len == 0L)
+    }
+  }
+
   test("pipe_drift_ks equals the brute-force ECDF max over all values") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("n_chars")).collect()
