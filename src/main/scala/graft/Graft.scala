@@ -105,4 +105,51 @@ object Graft {
   def concurrencyHistogram(events: DataFrame, tsCol: String,
       lengthMicros: Long): DataFrame =
     operators.EventQueries.concurrencyHistogram(events, tsCol, lengthMicros)
+
+  /** Bloom bit-set of `key` over `rows` — ≤2¹⁶ position rows; merge
+    * filters by distinct-union, probe with [[bloomProbe]]
+    * (see [[graft.operators.SketchQueries.bloomBits]]).
+    */
+  def bloomBits(rows: DataFrame, key: Column): DataFrame =
+    operators.SketchQueries.bloomBits(rows, key)
+
+  /** Probe keys against a [[bloomBits]] frame: (key, all_set) with no
+    * false negatives (see [[graft.operators.SketchQueries.bloomProbe]]).
+    */
+  def bloomProbe(bits: DataFrame, rows: DataFrame, key: Column): DataFrame =
+    operators.SketchQueries.bloomProbe(bits, rows, key)
+
+  /** U-shaped multi-touch attribution: exactly 10,000 bp of credit per
+    * purchase over its lookback touch path
+    * (see [[graft.operators.EventQueries.attributionUShape]]).
+    */
+  def attributionUShape(purchases: DataFrame, touches: DataFrame,
+      lookbackHours: Int): DataFrame =
+    operators.EventQueries.attributionUShape(purchases, touches, lookbackHours)
+
+  /** Integer-exact two-sample Kolmogorov–Smirnov drift statistic
+    * (see [[graft.operators.PipelineQueries.ksDrift]]).
+    */
+  def ksDrift(rows: DataFrame, value: Column, isRef: Column): DataFrame =
+    operators.PipelineQueries.ksDrift(rows, value, isRef)
+
+  /** Integer micro-unit PageRank over an undirected (doc_a, doc_b)
+    * pair list (see [[graft.operators.GraphQueries.pageRankMicro]]).
+    */
+  def pageRank(pairs: DataFrame, iters: Int = operators.GraphQueries.Iters): DataFrame =
+    operators.GraphQueries.pageRankMicro(pairs, iters)
+
+  /** TextRank keywords of a corpus: (rk, word, pr_micro), top `k`
+    * (see [[graft.operators.TextAnalysis.textRank]]).
+    */
+  def textRank(docs: DataFrame, text: Column, k: Int): DataFrame =
+    operators.TextAnalysis.textRank(docs, text, k)
+
+  /** Optimal unigram-tokenizer segmentation cost (10⁶·n_pieces + Σrank)
+    * of a string column under a fixed piece vocabulary — native
+    * codegen expression (see [[graft.functions.UnigramViterbi]]).
+    */
+  def unigramSegmentCost(text: Column, vocab: Map[String, Int],
+      maxPieceLen: Int, maxChars: Int): Column =
+    functions.UnigramViterbi.unigram_viterbi(text, vocab, maxPieceLen, maxChars)
 }

@@ -21,6 +21,48 @@ import graft.Tables
   */
 object EventQueries {
 
+  // ---- public attribution API (aliased on graft.Graft) ----
+
+  /** Position-based (U-shaped) multi-touch attribution: every row of
+    * `purchases` (p_id, p_user, p_ts) distributes exactly 10,000 basis
+    * points over the same user's `touches` (t_user, t_ts, t_id,
+    * touch_type) within `lookbackHours` before it — 40% first, 40%
+    * last, 20% across middles with the integer remainder on the last
+    * middle (1 touch → 10000, 2 → 5000/5000). Unreached purchases
+    * report under touch_type 'none' at full credit, so the grand
+    * total is always 10,000 × purchases. Returns one row per
+    * touch_type: (touch_type, n_purchases, n_touches, credit_bp).
+    */
+  def attributionUShape(purchases: DataFrame, touches: DataFrame,
+                        lookbackHours: Int): DataFrame = {
+    val joined = purchases.join(touches,
+      col("p_user") === col("t_user") &&
+        col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackHours HOURS"))
+    val wPos = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_ts"), col("t_id"))
+    val credited = joined
+      .withColumn("rn", row_number().over(wPos).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("p_id"))).cast("long"))
+      .withColumn("credit_bp", expr(
+        """CASE WHEN n = 1 THEN 10000
+          |     WHEN n = 2 THEN 5000
+          |     WHEN rn = 1 OR rn = n THEN 4000
+          |     WHEN rn = n - 1 THEN 2000 DIV (n - 2) + 2000 % (n - 2)
+          |     ELSE 2000 DIV (n - 2) END""".stripMargin))
+    val attributed = credited.groupBy("touch_type")
+      .agg(countDistinct(col("p_id")).as("n_purchases"),
+        count(lit(1)).as("n_touches"),
+        sum(col("credit_bp")).as("credit_bp"))
+    val none = purchases
+      .join(credited.select("p_id"), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_purchases"))
+      .select(lit("none").as("touch_type"), col("n_purchases"),
+        lit(0L).as("n_touches"), (col("n_purchases") * 10000L).as("credit_bp"))
+    attributed.unionByName(none).orderBy("touch_type")
+  }
+
   // ---- public sweep-line API (aliased on graft.Graft) ----
 
   /** ±1 boundary deltas of the implied [ts, ts + lengthMicros)
@@ -509,38 +551,14 @@ object EventQueries {
     // ev_asof_order_salted doctrine, same key.
     "ev_attribution" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-          col("ts").as("p_ts"))
-      val touches = ev.filter(col("event_type").isin("view", "click"))
-        .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
-          col("event_id").as("t_id"), col("event_type").as("touch_type"))
-      val joined = purchases.join(touches,
-        col("p_user") === col("t_user") &&
-          col("t_ts") < col("p_ts") &&
-          col("t_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
-      val wPos = Window.partitionBy(col("p_id"))
-        .orderBy(col("t_ts"), col("t_id"))
-      val credited = joined
-        .withColumn("rn", row_number().over(wPos).cast("long"))
-        .withColumn("n", count(lit(1))
-          .over(Window.partitionBy(col("p_id"))).cast("long"))
-        .withColumn("credit_bp", expr(
-          """CASE WHEN n = 1 THEN 10000
-            |     WHEN n = 2 THEN 5000
-            |     WHEN rn = 1 OR rn = n THEN 4000
-            |     WHEN rn = n - 1 THEN 2000 DIV (n - 2) + 2000 % (n - 2)
-            |     ELSE 2000 DIV (n - 2) END""".stripMargin))
-      val attributed = credited.groupBy("touch_type")
-        .agg(countDistinct(col("p_id")).as("n_purchases"),
-          count(lit(1)).as("n_touches"),
-          sum(col("credit_bp")).as("credit_bp"))
-      val none = purchases
-        .join(credited.select("p_id"), Seq("p_id"), "left_anti")
-        .agg(count(lit(1)).as("n_purchases"))
-        .select(lit("none").as("touch_type"), col("n_purchases"),
-          lit(0L).as("n_touches"), (col("n_purchases") * 10000L).as("credit_bp"))
-      attributed.unionByName(none).orderBy("touch_type")
+      attributionUShape(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts")),
+        ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+            col("event_id").as("t_id"), col("event_type").as("touch_type")),
+        lookbackHours = 24)
     }),
 
     // Native session windows: Spark's session_window merges events

@@ -317,29 +317,13 @@ object PipelineQueries {
     // orderBy.limit(1) = TakeOrderedAndProject (bounded per-partition
     // heaps, no global sort). Ties on d_num break to the smallest
     // value, so the reported location is deterministic.
-    "pipe_drift_ks" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("n_chars").cast("long").as("v"),
-          (substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
-            .as("is_ref"))
-      val perValue = docs.groupBy("v").agg(
-        sum(when(col("is_ref"), 1L).otherwise(0L)).as("dr"),
-        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("dc"))
-      val wCum = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val totals = docs.agg(
-        sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
-        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
-      perValue
-        .withColumn("cumr", sum(col("dr")).over(wCum))
-        .withColumn("cumc", sum(col("dc")).over(wCum))
-        .crossJoin(broadcast(totals))
-        .withColumn("d_num",
-          abs(col("cumr") * col("nc") - col("cumc") * col("nr")))
-        .orderBy(col("d_num").desc, col("v").asc)
-        .limit(1)
-        .select(col("nr"), col("nc"), col("d_num"), col("v").as("at_value"))
-    }),
+    "pipe_drift_ks" -> ((s, dir) =>
+      ksDrift(
+        Tables.documents(s, dir)
+          .select(col("n_chars").cast("long").as("v"),
+            (substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+              .as("is_ref")),
+        col("v"), col("is_ref"))),
 
     // Materialized-aggregate maintenance — how corpus-level stats stay
     // current at 100 TB without rescanning: the stored BASE aggregate
@@ -891,6 +875,36 @@ object PipelineQueries {
         (id, lang, shard, n, packId)
       }
     }.toDF("doc_id", "lang", "shard", "n_tokens", "pack_id")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift over `rows` split by
+    * `isRef`: the pure-integer statistic
+    * d_num = max_v |cumr(v)·nc − cumc(v)·nr| over the distinct values
+    * of `value` (D = d_num/(nr·nc)), arg-max ties to the smallest
+    * value. One row: (nr, nc, d_num, at_value). The cumulative window
+    * runs over the VALUE-bounded per-value frame; the arg-max rides
+    * TakeOrderedAndProject. Public API (aliased on graft.Graft).
+    */
+  def ksDrift(rows: DataFrame, value: org.apache.spark.sql.Column,
+              isRef: org.apache.spark.sql.Column): DataFrame = {
+    val base = rows.select(value.as("v"), isRef.as("is_ref"))
+    val perValue = base.groupBy("v").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("dr"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("dc"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = base.agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+    perValue
+      .withColumn("cumr", sum(col("dr")).over(wCum))
+      .withColumn("cumc", sum(col("dc")).over(wCum))
+      .crossJoin(broadcast(totals))
+      .withColumn("d_num",
+        abs(col("cumr") * col("nc") - col("cumc") * col("nr")))
+      .orderBy(col("d_num").desc, col("v").asc)
+      .limit(1)
+      .select(col("nr"), col("nc"), col("d_num"), col("v").as("at_value"))
   }
 
   /** Per-(feature, bucket) ref/cur counts joined with per-feature

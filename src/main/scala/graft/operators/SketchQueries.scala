@@ -123,6 +123,32 @@ object SketchQueries {
 
   // ---- public sketch API (aliased on graft.Graft) ----
 
+  /** Bloom bit-set of `key` over `rows`: the DISTINCT md5-derived bit
+    * positions ([[BloomHashes]] per key, m = [[BloomBits]]). ≤m rows —
+    * the mergeable form: union two bit-sets (distinct) to OR two
+    * filters.
+    */
+  def bloomBits(rows: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    bloomPositions(rows.select(key.cast("string").as("key")))
+      .select("pos").distinct()
+
+  /** Probe `rows(key)` against a [[bloomBits]] frame: one row per
+    * distinct key with all_set = 1 iff every position is set (possible
+    * false positives, never false negatives). The bit-set broadcasts.
+    */
+  def bloomProbe(bits: DataFrame, rows: DataFrame,
+                 key: org.apache.spark.sql.Column): DataFrame =
+    bloomPositions(rows.select(key.cast("string").as("key")).distinct())
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("hit"), lit(0))).as("all_set"))
+
+  /** (key, pos) pairs: [[BloomHashes]] 4-hex-char md5 slices per key. */
+  private def bloomPositions(keyed: DataFrame): DataFrame = keyed
+    .select(col("key"), explode(array((0 until BloomHashes).map(i =>
+      conv(substring(md5(col("key")), 4 * i + 1, 4), 16, 10)
+        .cast("long")): _*)).as("pos"))
+
   /** Build the HLL register table of `key` over `rows`: one (reg,
     * rho) row per occupied register, ≤[[HllRegisters]] rows total.
     * The fold partial-aggregates map-side, so the shuffle carries
@@ -405,17 +431,10 @@ object SketchQueries {
           .filter(p(substring(md5(col("doc_id").cast("string")), 1, 1)))
           .select(explode(TextOps.shinglesOf(col("text"))).as("key"))
           .distinct()
-      def positions(df: DataFrame): DataFrame = df
-        .select(col("key"), explode(array((0 until BloomHashes).map(i =>
-          conv(substring(md5(col("key")), 4 * i + 1, 4), 16, 10)
-            .cast("long")): _*)).as("pos"))
       val a = halfKeys(_ < "8")
       val b = halfKeys(_ >= "8")
-      val bits = positions(a).select("pos").distinct()
-      val probed = positions(b)
-        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
-        .groupBy("key")
-        .agg(min(coalesce(col("hit"), lit(0))).as("all_set"))
+      val bits = bloomBits(a, col("key"))
+      val probed = bloomProbe(bits, b, col("key"))
       val exact = a.intersect(b).agg(count(lit(1)).as("exact_common"))
       bits.agg(count(lit(1)).as("n_bits_set"))
         .crossJoin(broadcast(a.agg(count(lit(1)).as("n_a"))))

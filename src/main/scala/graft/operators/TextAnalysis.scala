@@ -138,6 +138,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("microp")).as("sum_microp"))
   }
 
+  /** TextRank keywords of `docs(text)`: words ranked by stationary
+    * PageRank in the window-2 co-occurrence graph. The edge list is
+    * joinless (each doc zips its token array against its own shifted
+    * slices) and every PageRank frame is vocabulary-bounded; the
+    * micro-integer recursion is [[GraphQueries.pageRankMicro]], so the
+    * ranking is engine-exact. Returns (rk, word, pr_micro), top `k`.
+    * Public API (aliased on graft.Graft).
+    */
+  def textRank(docs: DataFrame, text: org.apache.spark.sql.Column,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def shifted(t: org.apache.spark.sql.Column, d: Int) =
+      zip_with(t, slice(t, lit(d + 1), greatest(size(t) - d, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))
+    val t = tokens(text)
+    val pairs = docs
+      .select(explode(concat(shifted(t, 1), shifted(t, 2))).as("p"))
+      .filter(col("p.b").isNotNull && col("p.a") =!= col("p.b"))
+      .select(least(col("p.a"), col("p.b")).as("doc_a"),
+        greatest(col("p.a"), col("p.b")).as("doc_b"))
+      .distinct()
+    val ranked = GraphQueries.pageRankMicro(pairs)
+      .orderBy(col("pr").desc, col("id").asc).limit(k)
+    val w = Window.orderBy(col("pr").desc, col("id").asc)
+    ranked.withColumn("rk", row_number().over(w).cast("int"))
+      .select(col("rk"), col("id").as("word"), col("pr").as("pr_micro"))
+      .orderBy("rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: stopword-hit argmax, reported as a confusion matrix
@@ -415,25 +444,8 @@ object TextAnalysis {
     // by vocabulary (× small constants), never by corpus size; the
     // top-15 report rides TakeOrderedAndProject and the rank window
     // runs inside that 15-row frame.
-    "ta_textrank" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      def shifted(t: org.apache.spark.sql.Column, d: Int) =
-        zip_with(t, slice(t, lit(d + 1), greatest(size(t) - d, lit(0))),
-          (a, b) => struct(a.as("a"), b.as("b")))
-      val t = tokens(col("text"))
-      val pairs = Tables.documents(s, dir)
-        .select(explode(concat(shifted(t, 1), shifted(t, 2))).as("p"))
-        .filter(col("p.b").isNotNull && col("p.a") =!= col("p.b"))
-        .select(least(col("p.a"), col("p.b")).as("doc_a"),
-          greatest(col("p.a"), col("p.b")).as("doc_b"))
-        .distinct()
-      val ranked = GraphQueries.pageRankMicro(pairs)
-        .orderBy(col("pr").desc, col("id").asc).limit(TextRankK)
-      val w = Window.orderBy(col("pr").desc, col("id").asc)
-      ranked.withColumn("rk", row_number().over(w).cast("int"))
-        .select(col("rk"), col("id").as("word"), col("pr").as("pr_micro"))
-        .orderBy("rk")
-    }),
+    "ta_textrank" -> ((s, dir) =>
+      textRank(Tables.documents(s, dir), col("text"), TextRankK)),
 
     // Unigram-tokenizer VITERBI segmentation — the OTHER tokenizer
     // family next to the BPE loop (ta_bpe_*): where BPE greedily

@@ -72,4 +72,68 @@ class GraftApiSpec extends AnyFunSuite {
       ("2024-03-01 09:00:00.0", 10L * 60 * 1000000),
       ("2024-03-01 10:00:00.0", 20L * 60 * 1000000)))
   }
+
+  test("bloomBits/bloomProbe: no false negatives, merged filter = direct filter") {
+    val a = (1 to 500).map(i => s"member-$i").toDF("k")
+    val b = ((400 to 600).map(i => s"member-$i") ++
+      (1 to 200).map(i => s"other-$i")).toDF("k")
+    val bits = Graft.bloomBits(a, col("k"))
+    val probed = Graft.bloomProbe(bits, b, col("k")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // every true member hits
+    (400 to 500).foreach(i => assert(probed(s"member-$i") == 1))
+    // merged halves OR to exactly the direct bit-set
+    val merged = Graft.bloomBits((1 to 250).map(i => s"member-$i").toDF("k"), col("k"))
+      .unionByName(Graft.bloomBits((251 to 500).map(i => s"member-$i").toDF("k"), col("k")))
+      .distinct()
+    assert(merged.orderBy("pos").collect().toSeq ==
+      bits.orderBy("pos").collect().toSeq)
+  }
+
+  test("attributionUShape conserves credit on a hand-built touch path") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-03-01 09:$min%02d:00")
+    val purchases = Seq((1L, 7L, ts(50)), (2L, 8L, ts(55)))
+      .toDF("p_id", "p_user", "p_ts")
+    // user 7: 4 touches -> 4000/1000/1000/4000; user 8: none
+    val touches = Seq(
+      (7L, ts(10), 11L, "view"), (7L, ts(20), 12L, "click"),
+      (7L, ts(30), 13L, "view"), (7L, ts(40), 14L, "click"))
+      .toDF("t_user", "t_ts", "t_id", "touch_type")
+    val rows = Graft.attributionUShape(purchases, touches, 24).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("credit_bp")).toMap
+    assert(rows("view") == 5000L)  // 4000 (first) + 1000 (middle)
+    assert(rows("click") == 5000L) // 1000 (middle+rem) + 4000 (last)
+    assert(rows("none") == 10000L)
+    assert(rows.values.sum == 20000L)
+  }
+
+  test("ksDrift: identical halves give D = 0, disjoint halves give D = nr*nc") {
+    val same = ((1 to 100).map(v => (v, true)) ++ (1 to 100).map(v => (v, false)))
+      .toDF("v", "is_ref")
+    val r0 = Graft.ksDrift(same, col("v"), col("is_ref")).collect().head
+    assert(r0.getAs[Long]("d_num") == 0L)
+    val disjoint = ((1 to 50).map(v => (v, true)) ++
+      (101 to 150).map(v => (v, false))).toDF("v", "is_ref")
+    val r1 = Graft.ksDrift(disjoint, col("v"), col("is_ref")).collect().head
+    assert(r1.getAs[Long]("d_num") == 50L * 50L)
+    assert(r1.getAs[Int]("at_value") == 50)
+  }
+
+  test("textRank: a hub word in a star graph ranks first") {
+    val docs = Seq("hub alpha", "hub beta", "hub gamma", "hub delta")
+      .toDF("text")
+    val rows = Graft.textRank(docs, col("text"), 5).collect()
+    assert(rows.head.getAs[String]("word") == "hub")
+    assert(rows.head.getAs[Long]("pr_micro") >
+      rows.last.getAs[Long]("pr_micro"))
+  }
+
+  test("unigramSegmentCost picks the fewest-piece segmentation") {
+    val vocab = Map("ab" -> 1, "cd" -> 2, "abcd" -> 3,
+      "a" -> 4, "b" -> 5, "c" -> 6, "d" -> 7)
+    val out = Seq("abcd").toDF("t")
+      .select(Graft.unigramSegmentCost(col("t"), vocab, 5, 48).as("enc"))
+      .collect().head.getLong(0)
+    assert(out == 1000000L + 3L, "one 'abcd' piece beats ab+cd and singles")
+  }
 }
