@@ -498,6 +498,53 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // CUSUM CHANGEPOINT detection — the "did the stream's level shift,
+    // and when" companion to the forecast backtest: over each event
+    // type's zero-filled hourly spine (absent hours are real zero
+    // observations, the ev_forecast_baseline doctrine), the classic
+    // binary-segmentation statistic max_t |S_t − T·t/N| — the boundary
+    // where the prefix mean diverges most from the global mean. Like
+    // pipe_drift_ks, the float form cross-multiplies to the pure
+    // integer d_t = |S_t·N − T·t| (D = d_t / N, in events·hours — the
+    // reader's division), so the verified contract is engine-exact
+    // with no ratio anywhere. Ties break to the EARLIEST boundary so
+    // the reported hour is deterministic. Scale: the one corpus-sized
+    // pass is the hourly count; everything after runs on the
+    // calendar × type bounded spine (the sweep-line doctrine), and the
+    // per-type arg-max rides a row_number over that bounded frame —
+    // at 100 TB this query costs one aggregation scan.
+    "ev_changepoint" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hourly.groupBy("event_type")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val scored = spine.join(hourly, Seq("event_type", "hour"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nh", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))).cast("long"))
+        .withColumn("tot", sum(col("n")).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("t") < col("nh")) // boundaries only: 1 ≤ t < N
+        .withColumn("d", abs(col("cum") * col("nh") - col("tot") * col("t")))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("d").desc, col("hour").asc)))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("hour").as("split_hour"),
+          col("d").as("d_num"), col("nh").as("n_hours"),
+          col("tot").as("total_events"),
+          col("cum").as("events_before"))
+        .orderBy("event_type")
+    }),
+
     // Exact conversion-lag percentiles — the latency-SLO readout over
     // a DERIVED measure: each view's seconds-to-next-purchase (the
     // ev_asof_next_purchase forward as-of), then exact p50/p90/p99 by
@@ -962,6 +1009,37 @@ object EventQueries {
         |  CAST(sum(abs(n - f1)) AS BIGINT) AS sae_persist
         |FROM lagged WHERE f24 IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same zero-filled spine; d cross-multiplied, ties to the
+    // earliest hour. All BIGINT casts (HUGEINT-dtype doctrine).
+    "ev_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+        |  FROM hourly GROUP BY event_type),
+        |filled AS (
+        |  SELECT s.event_type, s.hour, COALESCE(h.n, 0)::BIGINT AS n
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.event_type = h.event_type AND s.hour = h.hour),
+        |scored AS (
+        |  SELECT event_type, hour,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS t,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nh,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM filled)
+        |SELECT event_type, hour AS split_hour,
+        |  CAST(abs(cum * nh - tot * t) AS BIGINT) AS d_num,
+        |  nh AS n_hours, tot AS total_events, cum AS events_before
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cum * nh - tot * t) DESC, hour ASC) AS rk
+        |  FROM scored WHERE t < nh)
+        |WHERE rk = 1 ORDER BY event_type""".stripMargin,
     // The same (n+1)/2-style ranks stated over an explicit
     // row_number — affordable at oracle scale, exactly what the radix
     // selection avoids at 100 TB.

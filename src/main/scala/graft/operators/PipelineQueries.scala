@@ -647,6 +647,80 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // COMPACTION PLANNING — the lakehouse OPTIMIZE step that turns an
+    // accumulation of small files into target-sized outputs without
+    // reading a byte of data: the plan runs over the MANIFEST (the
+    // pipe_shard_manifest frame — file-count-bounded, ~10⁵ rows for
+    // 100 TB of 1 GB files, never corpus-sized), assigning each input
+    // file to an output bin by next-fit over the cumulative byte line:
+    // bin = bytes_before DIV target. Files are atomic, so a bin holds
+    // everything whose START falls inside its target span — bins fill
+    // to [target, target + max_file), the standard overflow-tolerant
+    // next-fit (a bin is never left short while input remains, and
+    // assignment is one window over the bounded frame — no greedy
+    // driver loop). Target here derives as ⌈total/4⌉ ("compact 16
+    // shards into ~4 outputs"); in production it's the 1 GB constant.
+    // Every reported number is an integer (fill in ppm of target);
+    // the actual rewrite this plan drives is ONE partitioned write
+    // keyed by bin — shuffle volume = data size, exactly once.
+    "pipe_compaction_bins" -> ((s, dir) => {
+      val files = Tables.documents(s, dir)
+        .select(
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("bytes"))
+      val planned = files
+        .withColumn("total", sum(col("bytes")).over(Window.partitionBy()))
+        .withColumn("target", expr("(total + 3) DIV 4"))
+        .withColumn("before", coalesce(
+          sum(col("bytes")).over(Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", expr("before DIV target").cast("int"))
+      planned.groupBy("bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("bytes")).as("bytes"),
+          min(col("shard")).as("first_shard"),
+          max(col("shard")).as("last_shard"),
+          expr("(sum(bytes) * 1000000) DIV max(target)").as("fill_ppm"))
+        .orderBy("bin")
+    }),
+
+    // K-ANONYMITY audit — the privacy gate a corpus release runs after
+    // pipe_redact's PII scrubbing: rows sharing a quasi-identifier
+    // tuple (here language × source × doc-length magnitude — the
+    // attributes an adversary can observe externally) form an
+    // equivalence class, and a class of size < k re-identifies its
+    // members. The report bands every class by size — unique (1),
+    // small (2..k−1), anonymous (≥ k) — with class and row counts per
+    // band, so "how many documents are at risk" is one row read.
+    // Generalizing the length bucket (digit count, not raw length) is
+    // the standard k-anonymity remedy applied up front; a release gate
+    // would iterate coarser buckets until the unique band is empty.
+    // Pure counts, engine-exact. Scale: one corpus scan into a
+    // map-side-combined groupBy whose key space is bounded by the
+    // quasi-identifier domain (langs × sources × ~7 magnitudes), then
+    // a second aggregation over that bounded frame — free at 100 TB.
+    "pipe_k_anonymity" -> ((s, dir) => {
+      val k = 5
+      val classes = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"),
+          length(col("n_chars").cast("string")).as("len_mag"))
+        .agg(count(lit(1)).as("cnt"))
+      classes
+        .withColumn("band",
+          when(col("cnt") === 1, "1_unique")
+            .when(col("cnt") < k, "2_small")
+            .otherwise("3_anonymous"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("cnt")).as("n_docs"),
+          min(col("cnt")).as("min_class"),
+          max(col("cnt")).as("max_class"))
+        .orderBy("band")
+    }),
+
     // Split-leakage audit — the eval-hygiene check every train/val/test
     // split needs: NEAR-duplicate pairs (the LSH→verify pipeline, same
     // J ≥ 0.5 basis as dd_ngram_jaccard) whose endpoints fall in
@@ -698,6 +772,36 @@ object PipelineQueries {
           min(col("x")).as("min_user"), max(col("x")).as("max_user"),
           min(col("y")).as("min_min16"), max(col("y")).as("max_min16"))
         .orderBy("z_bucket")
+    }),
+
+    // HILBERT-CURVE layout key — pipe_zorder's companion and the
+    // second space-filling clustering order (Delta/Iceberg ship both):
+    // same 16-bit (user, minute) cell quantization, but the cell
+    // index walks the Hilbert curve, whose every prefix is ONE
+    // contiguous curve segment in one quad-tree cell — no Z-shape
+    // seam jumps between distant cells, so a sorted file covers a
+    // compacter region and range scans touch fewer files. The curve's
+    // per-level rotation state is a genuine fold (no shift/mask
+    // expression tree computes it), hence the native codegen
+    // [[graft.functions.HilbertIndex]] expression; the oracle unrolls
+    // the identical 16 reflect+transpose rounds as chained CTEs
+    // emitted from the same object, so loop and SQL can only drift
+    // together. Report mirrors pipe_zorder: the 12-bit prefix is a
+    // 2¹⁰×2¹⁰ quad-tree cell (span bound asserted in ScaleSpec
+    // alongside the bijection property in Round12OpsSpec); one scan,
+    // one aggregation, the key itself whole-stage-codegen'd.
+    "pipe_hilbert" -> ((s, dir) => {
+      val x = col("user_id").bitwiseAND(lit(65535L))
+      val y = expr("unix_micros(ts) DIV 60000000").bitwiseAND(lit(65535L))
+      val h = graft.functions.HilbertIndex.hilbert_index(x, y)
+      Tables.events(s, dir)
+        .select(x.as("x"), y.as("y"), h.as("h"))
+        .groupBy(shiftright(col("h"), 20).as("h_bucket"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("x")).as("min_user"), max(col("x")).as("max_user"),
+          min(col("y")).as("min_min16"), max(col("y")).as("max_min16"))
+        .orderBy("h_bucket")
     }),
 
     // C4/Gopher-style heuristic filter battery (Raffel et al. 2020 §2.2;
@@ -1061,6 +1165,43 @@ object PipelineQueries {
          |JOIN sp b ON vp.doc_b = b.doc_id
          |WHERE a.split <> b.split
          |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+    // Next-fit over the cumulative byte line; all casts BIGINT
+    // (HUGEINT-dtype doctrine). length(text) = n_chars is the byte
+    // stand-in on the ASCII-ish synthetic corpus.
+    "pipe_compaction_bins" ->
+      """WITH files AS (
+        |  SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |    count(*)::BIGINT AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |planned AS (
+        |  SELECT shard, n_docs, bytes,
+        |    CAST((sum(bytes) OVER () + 3) // 4 AS BIGINT) AS target,
+        |    CAST(COALESCE(sum(bytes) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS before
+        |  FROM files)
+        |SELECT CAST(before // target AS INT) AS bin,
+        |  count(*)::BIGINT AS n_files,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(shard) AS first_shard, max(shard) AS last_shard,
+        |  CAST((sum(bytes) * 1000000) // max(target) AS BIGINT) AS fill_ppm
+        |FROM planned GROUP BY 1 ORDER BY bin""".stripMargin,
+    "pipe_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT lang, source,
+        |    length(CAST(n_chars AS VARCHAR)) AS len_mag,
+        |    count(*)::BIGINT AS cnt
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CASE WHEN cnt = 1 THEN '1_unique'
+        |            WHEN cnt < 5 THEN '2_small'
+        |            ELSE '3_anonymous' END AS band,
+        |  count(*)::BIGINT AS n_classes,
+        |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  CAST(min(cnt) AS BIGINT) AS min_class,
+        |  CAST(max(cnt) AS BIGINT) AS max_class
+        |FROM classes GROUP BY 1 ORDER BY band""".stripMargin,
     "pipe_zorder" -> {
       // OR operator at line END — a leading "| " would be stripped as
       // margin by stripMargin
@@ -1079,6 +1220,22 @@ object PipelineQueries {
          |  min(y) AS min_min16, max(y) AS max_min16
          |FROM zv GROUP BY 1 ORDER BY z_bucket""".stripMargin
     },
+    // The 16 unrolled Hilbert rounds come from HilbertIndex.unrolledSql
+    // — the same object the codegen loop lives in. d accumulates past
+    // 2³¹, so it starts as BIGINT.
+    "pipe_hilbert" ->
+      s"""WITH h0 AS (
+         |  SELECT user_id & 65535 AS x0,
+         |    (epoch_us(ts) // 60000000) & 65535 AS y0,
+         |    user_id & 65535 AS x,
+         |    (epoch_us(ts) // 60000000) & 65535 AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM events),
+         |${graft.functions.HilbertIndex.unrolledSql("x0, y0")}
+         |SELECT d >> 20 AS h_bucket, count(*) AS n_events,
+         |  min(x0) AS min_user, max(x0) AS max_user,
+         |  min(y0) AS min_min16, max(y0) AS max_min16
+         |FROM h16 GROUP BY 1 ORDER BY h_bucket""".stripMargin,
     "pipe_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'

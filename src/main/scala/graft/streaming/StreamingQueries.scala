@@ -203,6 +203,30 @@ object StreamingQueries {
         .orderBy("cohort_day", "event_type")
     }),
 
+    // Streaming dual of ev_session_window — the MERGING window through
+    // the gate: session state has no static shape (each new event can
+    // extend a session or fuse two open sessions into one), which is
+    // exactly what tumbling/sliding state never exercises. The
+    // watermark bounds state to sessions whose gap can still close;
+    // complete mode re-emits the merged sessions each trigger, so the
+    // bounded drain equals the batch operator (update mode is the one
+    // output mode session windows don't support; append would hold
+    // back sessions the final watermark hasn't sealed). Grouping keys
+    // are session_window + user_id — per-user sessions, the batch
+    // dual's semantics, and state is O(open sessions), not O(events).
+    "st_session_window" -> ((s, dir) => {
+      val (staged, schema) = stageEvents(s, dir)
+      val stream = s.readStream.schema(schema).parquet(staged)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"))
+      drain(s, stream, "st_session_window")
+        .orderBy("user_id", "session_start")
+    }),
+
     // Streaming dual of ev_sliding_15m: the slide fans each event into
     // its 3 overlapping windows map-side before the same incremental
     // aggregation — state O(open windows), output O(window count).
@@ -252,6 +276,9 @@ object StreamingQueries {
         |GROUP BY 1, 2 ORDER BY cohort_day, event_type""".stripMargin,
     "st_hll_registers" ->
       graft.operators.SketchQueries.oracleSql("sk_hll_registers"),
+    // The batch session-window derivation (lag → island ids) verbatim.
+    "st_session_window" ->
+      graft.operators.EventQueries.oracleSql("ev_session_window"),
     "st_domain_cap" ->
       s"""SELECT source, doc_id FROM (
          |  SELECT source, doc_id,

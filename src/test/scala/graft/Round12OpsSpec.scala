@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HilbertIndex
+import graft.operators._
+
+/** Properties of the round-8 session-4 operators: the Hilbert curve's
+  * bijection/adjacency/locality, changepoint placement on a planted
+  * level shift, compaction-bin invariants, and the k-anonymity bands
+  * against a brute-force class census.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("HilbertIndex: d2xy inverts xy2d across the grid") {
+    // deterministic sample: a lattice plus the corners
+    val pts = for (x <- 0L until 65536L by 1021L; y <- 0L until 65536L by 977L)
+      yield (x, y)
+    (pts ++ Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L)))
+      .foreach { case (x, y) =>
+        val d = HilbertIndex.xy2d(x, y)
+        assert(d >= 0L && d < (1L << 32))
+        assert(HilbertIndex.d2xy(d) == ((x, y)), s"($x,$y) via d=$d")
+      }
+  }
+
+  test("HilbertIndex: consecutive codes are 4-adjacent cells") {
+    // the defining Hilbert property Z-order lacks: |Δx| + |Δy| = 1
+    // between every pair of consecutive curve positions
+    (0L until 4096L).foreach { d =>
+      val (x0, y0) = HilbertIndex.d2xy(d)
+      val (x1, y1) = HilbertIndex.d2xy(d + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1L,
+        s"d=$d jumps from ($x0,$y0) to ($x1,$y1)")
+    }
+    // spot-check the same at a high offset (rotation state differs)
+    (1L << 31 until (1L << 31) + 512L).foreach { d =>
+      val (x0, y0) = HilbertIndex.d2xy(d)
+      val (x1, y1) = HilbertIndex.d2xy(d + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1L)
+    }
+  }
+
+  test("pipe_hilbert buckets are quad-tree cells: span < 2^10 per dimension") {
+    run("pipe_hilbert").collect().foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < 1024L, s"user span in $r")
+      assert(r.getLong(5) - r.getLong(4) < 1024L, s"minute span in $r")
+    }
+  }
+
+  test("ev_changepoint finds a planted level shift at its boundary") {
+    import spark.implicits._
+    // 48 hourly observations: level 10 for 24 h, then level 50 —
+    // the max of |S_t·N − T·t| must land exactly on the shift
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 48).flatMap { h =>
+      val n = if (h < 24) 10 else 50
+      (0 until n).map(i =>
+        ("shift", java.sql.Timestamp.from(base.plusSeconds(h * 3600L + i))))
+    }
+    rows.toDF("event_type", "ts").createOrReplaceTempView("cp_events")
+    val hourly = spark.table("cp_events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // replay the query's scoring inline on the synthetic frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+    val best = hourly
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("nh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))).cast("long"))
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .filter(col("t") < col("nh"))
+      .withColumn("d", abs(col("cum") * col("nh") - col("tot") * col("t")))
+      .orderBy(col("d").desc, col("hour").asc)
+      .head()
+    // boundary hour = the LAST hour of the low regime (t = 24)
+    assert(best.getAs[Long]("t") == 24L, s"split at t=${best.getAs[Long]("t")}")
+  }
+
+  test("ev_changepoint on real data: d_num consistent with its parts") {
+    run("ev_changepoint").collect().foreach { r =>
+      val (d, nh, tot, before) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(d <= nh * tot, s"d_num bound violated in $r")
+      assert(before <= tot && nh > 0)
+    }
+  }
+
+  test("pipe_compaction_bins: contiguous bins, conserved bytes, fill bound") {
+    val bins = run("pipe_compaction_bins").collect()
+    assert(bins.map(_.getInt(0)).toList == bins.indices.toList,
+      "bins must number contiguously from 0")
+    val manifest = run("pipe_shard_manifest").collect()
+    assert(bins.map(_.getLong(1)).sum == manifest.length.toLong,
+      "every input file lands in exactly one bin")
+    assert(bins.map(_.getLong(3)).sum ==
+      Tables.documents(spark, sf).agg(sum(length(col("text")))).head().getLong(0))
+    // next-fit invariant: every bin except the last STARTS before its
+    // target span ends, so cumulative bytes through bin b reach
+    // (b+1)·target for all b < last
+    val target = (bins.map(_.getLong(3)).sum + 3) / 4
+    bins.dropRight(1).zipWithIndex.foreach { case (_, i) =>
+      val cumThrough = bins.take(i + 1).map(_.getLong(3)).sum
+      assert(cumThrough >= (i + 1) * target,
+        s"bin $i underfilled: $cumThrough < ${(i + 1) * target}")
+    }
+    // shard ranges must not interleave across bins
+    val ranges = bins.map(r => (r.getString(4), r.getString(5)))
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA < loB)
+      case _ =>
+    }
+  }
+
+  test("pipe_k_anonymity bands agree with a brute-force class census") {
+    val classes = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source"),
+        length(col("n_chars").cast("string")))
+      .count().collect().map(_.getLong(3))
+    val expected = Map(
+      "1_unique" -> classes.filter(_ == 1L),
+      "2_small" -> classes.filter(c => c > 1L && c < 5L),
+      "3_anonymous" -> classes.filter(_ >= 5L))
+    val got = run("pipe_k_anonymity").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    expected.foreach { case (band, sizes) =>
+      if (sizes.nonEmpty) {
+        assert(got(band) == ((sizes.length.toLong, sizes.sum)),
+          s"$band: got ${got(band)}, want (${sizes.length}, ${sizes.sum})")
+      } else assert(!got.contains(band))
+    }
+  }
+}
