@@ -545,6 +545,50 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // THEIL–SEN robust trend — the changepoint family's slope
+    // estimate: the median of all pairwise slopes of the zero-filled
+    // hourly count series (with a p10/p90 band), insensitive to ~29%
+    // outlier hours where a least-squares fit chases every spike.
+    // Each slope is ONE IEEE division of two small integer deltas —
+    // exactly rounded on every IEEE-754 engine, so unlike libm
+    // transcendentals it's cross-engine-exact (the determinism
+    // doctrine's division carve-out, same as recall4). The pair frame
+    // is CALENDAR-bounded (H·(H−1)/2 for H spine hours — ~260k at a
+    // month of hours, independent of corpus size), and the median is
+    // selected by the q_exact_quantiles radix engine, not a global
+    // sort: at 100 TB the one data-sized pass is the hourly count.
+    "ev_trend_theilsen" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hourly
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val filled = spine.join(hourly, Seq("hour"), "left")
+        .select(expr("unix_micros(hour) DIV 3600000000").as("t"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      // renamed projections, not as("a")/as("b") aliases: self-join
+      // alias resolution can collapse both sides to one attribute,
+      // turning dt into 0 under ANSI division
+      val aSide = filled.select(col("t").as("ta"), col("n").as("na"))
+      val bSide = filled.select(col("t").as("tb"), col("n").as("nb"))
+      // the checkpoint is load-bearing twice over: (1) kthValues
+      // re-filters its input once per radix pass — materializing the
+      // bounded pair frame beats re-running the join each pass; and
+      // (2) without the lineage barrier, kthValues' value-range
+      // filters substitute through this projection and land in the
+      // JOIN condition, where ANSI division can evaluate on a
+      // dt = 0 pair before tb > ta excludes it → DIVIDE_BY_ZERO
+      val slopes = aSide.join(broadcast(bSide), col("tb") > col("ta"))
+        .select(((col("nb") - col("na")).cast("double")
+          / (col("tb") - col("ta")).cast("double")).as("v"))
+        .localCheckpoint(false)
+      QuantileQueries.kthValues(s, slopes, "v", Seq(
+        "slope_p10" -> ((n: Long) => (n + 9) / 10),
+        "slope_p50" -> ((n: Long) => (n + 1) / 2),
+        "slope_p90" -> ((n: Long) => (9 * n + 9) / 10)))
+    }),
+
     // Exact conversion-lag percentiles — the latency-SLO readout over
     // a DERIVED measure: each view's seconds-to-next-purchase (the
     // ev_asof_next_purchase forward as-of), then exact p50/p90/p99 by
@@ -1040,6 +1084,33 @@ object EventQueries {
         |    ORDER BY abs(cum * nh - tot * t) DESC, hour ASC) AS rk
         |  FROM scored WHERE t < nh)
         |WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // Pairwise slopes over the bounded spine; the k-th VALUE ranks the
+    // radix engine answers, stated as an explicit row_number here.
+    "ev_trend_theilsen" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(min(hour), max(hour),
+        |                                INTERVAL 1 HOUR)) AS hour
+        |  FROM hourly),
+        |filled AS (
+        |  SELECT epoch_us(s.hour) // 3600000000 AS t,
+        |    COALESCE(h.n, 0)::BIGINT AS n
+        |  FROM spine s LEFT JOIN hourly h ON s.hour = h.hour),
+        |slopes AS (
+        |  SELECT CAST(b.n - a.n AS DOUBLE) / (b.t - a.t) AS v
+        |  FROM filled a JOIN filled b ON b.t > a.t),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM slopes)
+        |SELECT stat, value FROM (
+        |  SELECT 'slope_p10' AS stat, v AS value FROM o WHERE rn = (n + 9) // 10
+        |  UNION ALL
+        |  SELECT 'slope_p50', v FROM o WHERE rn = (n + 1) // 2
+        |  UNION ALL
+        |  SELECT 'slope_p90', v FROM o WHERE rn = (9 * n + 9) // 10)
+        |ORDER BY stat""".stripMargin,
     // The same (n+1)/2-style ranks stated over an explicit
     // row_number — affordable at oracle scale, exactly what the radix
     // selection avoids at 100 TB.

@@ -721,6 +721,70 @@ object PipelineQueries {
         .orderBy("band")
     }),
 
+    // DETERMINISTIC EPOCH SHUFFLE — the training-loader ordering
+    // primitive: each epoch e orders the corpus by md5(e:doc_id), so
+    // every epoch is a different-but-reproducible global permutation
+    // (rerun a crashed epoch, get byte-identical batch order) with no
+    // RNG state to checkpoint — the salt-the-hash form of seeded
+    // shuffling. The verified report is the first 20 positions of
+    // epochs 0–2 (distinct across epochs — the shuffle actually
+    // shuffles); each leg is a TakeOrderedAndProject bounded heap,
+    // NEVER a global sort, and the position window runs inside the
+    // 20-row frame. The full-epoch materialization at 100 TB is a
+    // repartitionByRange on the same key — the one sort the loader
+    // genuinely needs, done once per epoch.
+    "pipe_epoch_order" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id")
+      def leg(e: Int): DataFrame =
+        docs.select(lit(e).as("epoch"), col("doc_id"),
+            md5(concat(lit(s"$e:"), col("doc_id").cast("string"))).as("h"))
+          .orderBy("h", "doc_id").limit(20)
+      val w = Window.partitionBy(col("epoch"))
+        .orderBy(col("h"), col("doc_id"))
+      leg(0).unionAll(leg(1)).unionAll(leg(2))
+        .withColumn("pos", row_number().over(w).cast("int"))
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    }),
+
+    // CDC LOG REPLAY — the multi-version generalization of
+    // pipe_merge_upsert: an ordered change log (inserts, updates,
+    // deletes, re-inserts across 3 versions, synthesized here from
+    // md5 ranges so both engines see the identical log) collapses to
+    // current state by LAST-WRITER-WINS per key, with a terminal
+    // delete erasing the row. This is how a lakehouse table follows
+    // an upstream OLTP feed (Debezium → merge): replay is idempotent
+    // (max version wins no matter how often a batch re-applies) and
+    // ORDER-FREE below the per-key max, so log shards apply in any
+    // order — the same commutative-monoid argument as the sketches.
+    // One co-partitioned window per key (hash-cluster on doc_id, the
+    // natural shard key); at 100 TB each incremental batch is instead
+    // one delta-sized FULL OUTER merge, same contract.
+    "pipe_cdc_replay" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+      val base = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+        lit(1L).as("version"), lit("I").as("op"))
+      val upd2 = docs.filter(h < "4000").select(col("doc_id"),
+        md5(concat(col("text"), lit(" v2"))).as("fp"),
+        lit(2L).as("version"), lit("U").as("op"))
+      val del2 = docs.filter(h >= "4000" && h < "5000").select(col("doc_id"),
+        lit(null).cast("string").as("fp"),
+        lit(2L).as("version"), lit("D").as("op"))
+      val upd3 = docs.filter(h < "1000").select(col("doc_id"),
+        md5(concat(col("text"), lit(" v3"))).as("fp"),
+        lit(3L).as("version"), lit("U").as("op"))
+      val re3 = docs.filter(h >= "4000" && h < "4800").select(col("doc_id"),
+        md5(concat(col("text"), lit(" v3r"))).as("fp"),
+        lit(3L).as("version"), lit("I").as("op"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
+      base.unionAll(upd2).unionAll(del2).unionAll(upd3).unionAll(re3)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("doc_id"), col("fp"), col("version"))
+        .orderBy("doc_id")
+    }),
+
     // Split-leakage audit — the eval-hygiene check every train/val/test
     // split needs: NEAR-duplicate pairs (the LSH→verify pipeline, same
     // J ≥ 0.5 basis as dd_ngram_jaccard) whose endpoints fall in
@@ -1239,6 +1303,40 @@ object PipelineQueries {
     "pipe_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+        |ORDER BY doc_id""".stripMargin,
+    "pipe_epoch_order" ->
+      """WITH legs AS (
+        |  SELECT e AS epoch, doc_id,
+        |    md5(CAST(e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents, UNNEST([0, 1, 2]) AS u(e)),
+        |r AS (
+        |  SELECT epoch, doc_id,
+        |    row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+        |  FROM legs)
+        |SELECT epoch, CAST(pos AS INT) AS pos, doc_id
+        |FROM r WHERE pos <= 20 ORDER BY epoch, pos""".stripMargin,
+    // The identical md5-range change log; last-writer-wins per key,
+    // terminal deletes drop the row.
+    "pipe_cdc_replay" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+        |  FROM documents),
+        |log AS (
+        |  SELECT doc_id, md5(text) AS fp, 1::BIGINT AS version, 'I' AS op FROM h
+        |  UNION ALL
+        |  SELECT doc_id, md5(text || ' v2'), 2, 'U' FROM h WHERE h4 < '4000'
+        |  UNION ALL
+        |  SELECT doc_id, NULL, 2, 'D' FROM h WHERE h4 >= '4000' AND h4 < '5000'
+        |  UNION ALL
+        |  SELECT doc_id, md5(text || ' v3'), 3, 'U' FROM h WHERE h4 < '1000'
+        |  UNION ALL
+        |  SELECT doc_id, md5(text || ' v3r'), 3, 'I' FROM h WHERE h4 >= '4000' AND h4 < '4800')
+        |SELECT doc_id, fp, version FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY version DESC) AS rn
+        |  FROM log)
+        |WHERE rn = 1 AND op <> 'D'
         |ORDER BY doc_id""".stripMargin,
     "pipe_split" ->
       """SELECT lang,

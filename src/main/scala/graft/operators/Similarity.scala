@@ -1178,6 +1178,58 @@ object Similarity {
           .select(lit(c).as("comp"), col("dim"), col("vm"),
             floor(col("nrm") * lit(1000000.0)).cast("long").as("lambda_micro"))
       leg(v1, n1, 1).unionAll(leg(v2, n2, 2)).orderBy("comp", "dim")
+    }),
+
+    // MATRYOSHKA (prefix-dimension) retrieval — the modern MRL
+    // recipe's serving dial: embeddings trained so every prefix is
+    // itself a usable embedding let an index store/scan only the
+    // first 16 or 32 of 64 dims (a 4×/2× memory-and-bandwidth cut,
+    // the coarse pass of adaptive retrieval). This harness measures
+    // what that truncation costs ON THIS CORPUS: recall@5 of the
+    // 16- and 32-dim-prefix exact rankings against the full-64 exact
+    // ranking, per query — same micro-integer per-dimension floors as
+    // ss_pq_recall, so every distance is an order-free long and the
+    // report is engine-exact. (On these near-random synthetic
+    // embeddings recall is the honest dimensional-collapse answer,
+    // not an MRL advertisement — the harness is the dial.) Scale: the
+    // 5-query frame broadcasts; each leg is one linear corpus pass
+    // into the bounded-heap top-5 per query, and the prefix legs scan
+    // a quarter/half of the dimension stream — the cost model IS the
+    // point.
+    "ss_matryoshka_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dims = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("p", "x")))
+      val qd = dims.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select(col("vec_id").as("query_id"), col("p"), col("x").as("qx"))
+      def top5(maxDim: Int): DataFrame = {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("l2_micro").asc, col("cand_id").asc)
+        dims.filter(col("p") < maxDim)
+          .join(broadcast(qd.filter(col("p") < maxDim)), "p")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            floor((col("x") - col("qx")) * (col("x") - col("qx"))
+              * lit(1000000000000.0)).cast("long").as("dm"))
+          .groupBy("query_id", "cand_id")
+          .agg(sum(col("dm")).as("l2_micro"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("query_id", "cand_id")
+      }
+      val exact = top5(64).localCheckpoint(false)
+      def leg(prefix: Int): DataFrame = {
+        val hits = exact.join(top5(prefix), Seq("query_id", "cand_id"),
+            "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+          .join(hits, Seq("query_id"), "left")
+          .select(lit(prefix).as("dims"), col("query_id"), col("n_true"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall4",
+            round(col("n_hits").cast("double") / col("n_true"), 4))
+      }
+      leg(16).unionAll(leg(32)).orderBy("dims", "query_id")
     })
   )
 
@@ -2120,6 +2172,48 @@ object Similarity {
          |FROM (SELECT query_id, count(*) AS n_true FROM exact GROUP BY 1) t
          |LEFT JOIN hits h ON t.query_id = h.query_id
          |ORDER BY t.query_id""".stripMargin,
+    // Three exact rankings off one dimension stream; Spark's 0-based
+    // posexplode prefix p < N is DuckDB's 1-based p <= N.
+    "ss_matryoshka_recall" -> {
+      def matTop(name: String, maxP: Int) =
+        s"""$name AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT query_id, cand_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY l2_micro, cand_id) AS rk
+           |    FROM (
+           |      SELECT q.query_id, f.vec_id AS cand_id,
+           |        CAST(sum(CAST(floor((f.x - q.qx) * (f.x - q.qx)
+           |          * 1000000000000.0) AS BIGINT)) AS BIGINT) AS l2_micro
+           |      FROM fulld f JOIN qd q ON f.p = q.p AND f.vec_id <> q.query_id
+           |      WHERE f.p <= $maxP
+           |      GROUP BY 1, 2))
+           |  WHERE rk <= 5)""".stripMargin
+      def matLeg(top: String, dims: Int) =
+        s"""SELECT $dims AS dims, t.query_id, t.n_true,
+           |  COALESCE(h.n_hits, 0) AS n_hits,
+           |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 4) AS recall4
+           |FROM (SELECT query_id, count(*) AS n_true FROM exact64 GROUP BY 1) t
+           |LEFT JOIN (
+           |  SELECT e.query_id, count(*) AS n_hits FROM exact64 e
+           |  WHERE EXISTS (SELECT 1 FROM $top a
+           |                WHERE a.query_id = e.query_id AND a.cand_id = e.cand_id)
+           |  GROUP BY 1) h ON t.query_id = h.query_id""".stripMargin
+      s"""WITH fulld AS (
+         |  SELECT vec_id, CAST(i AS INT) AS p, e[i] AS x
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |       UNNEST(range(1, len(e) + 1)) AS u(i)),
+         |qd AS MATERIALIZED (SELECT vec_id AS query_id, p, x AS qx FROM fulld
+         |      WHERE vec_id >= 100 AND vec_id < 105),
+         |${matTop("exact64", 64)},
+         |${matTop("m16", 16)},
+         |${matTop("m32", 32)}
+         |SELECT * FROM (
+         |${matLeg("m16", 16)}
+         |UNION ALL
+         |${matLeg("m32", 32)})
+         |ORDER BY dims, query_id""".stripMargin
+    },
     "ss_embed_cov" ->
       s"""WITH $covCtes
          |SELECT i, j, n, sxy_micro, cov8 FROM cov ORDER BY i, j""".stripMargin,

@@ -123,6 +123,74 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_trend_theilsen equals brute-force pairwise-slope quantiles") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = hourly.agg(min(col("hour")), max(col("hour"))).head()
+    val counts = hourly.collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val h0 = bounds.getTimestamp(0).getTime
+    val h1 = bounds.getTimestamp(1).getTime
+    val series = (h0 to h1 by 3600000L).map(t => counts.getOrElse(t, 0L))
+    val slopes = (for {
+      i <- series.indices; j <- (i + 1) until series.length
+    } yield (series(j) - series(i)).toDouble / (j - i)).sorted
+    val n = slopes.length.toLong
+    val want = Map(
+      "slope_p10" -> slopes(((n + 9) / 10 - 1).toInt),
+      "slope_p50" -> slopes(((n + 1) / 2 - 1).toInt),
+      "slope_p90" -> slopes(((9 * n + 9) / 10 - 1).toInt))
+    val got = run("ev_trend_theilsen").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("pipe_epoch_order: full 20-row prefixes, epochs genuinely differ") {
+    val rows = run("pipe_epoch_order").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    (0 to 2).foreach { e =>
+      val epoch = rows.filter(_._1 == e)
+      assert(epoch.map(_._2).toList == (1 to 20).toList, s"epoch $e positions")
+    }
+    // a reproducible shuffle that didn't shuffle would repeat the order
+    val orders = (0 to 2).map(e => rows.filter(_._1 == e).map(_._3).toList)
+    assert(orders.distinct.length == 3, "epoch orders must differ")
+  }
+
+  test("pipe_cdc_replay: last-writer-wins state matches a replayed log") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        substring(md5(col("doc_id").cast("string")), 1, 4).as("h4"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5s(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.flatMap { case (id, text, h4) =>
+      if (h4 >= "4000" && h4 < "4800") Some(id -> (md5s(text + " v3r"), 3L))
+      else if (h4 < "1000") Some(id -> (md5s(text + " v3"), 3L))
+      else if (h4 < "4000") Some(id -> (md5s(text + " v2"), 2L))
+      else if (h4 < "5000") None // deleted, not re-inserted
+      else Some(id -> (md5s(text), 1L))
+    }.toMap
+    val got = run("pipe_cdc_replay").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == want,
+      s"${(got.keySet -- want.keySet).take(3)} extra, " +
+        s"${(want.keySet -- got.keySet).take(3)} missing")
+  }
+
+  test("ss_matryoshka_recall: 5-deep truth, recall consistent") {
+    val rows = run("ss_matryoshka_recall").collect()
+    assert(rows.map(r => (r.getInt(0),
+        r.getAs[Number]("query_id").intValue)).toSet ==
+      (for (d <- Set(16, 32); q <- 100 to 104) yield (d, q)))
+    rows.foreach { r =>
+      val (nTrue, nHits, recall) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nTrue == 5L && nHits >= 0L && nHits <= 5L)
+      assert(math.abs(recall - nHits.toDouble / 5.0) < 1e-9)
+    }
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
