@@ -149,6 +149,29 @@ object Graft {
     * of a string column under a fixed piece vocabulary — native
     * codegen expression (see [[graft.functions.UnigramViterbi]]).
     */
+  /** Z-order (Morton) layout key of two 16-bit cell coordinates — the
+    * multi-dimensional clustering sort key
+    * (see [[graft.functions.InterleaveBits]]).
+    */
+  def zorderIndex(x: Column, y: Column): Column =
+    functions.InterleaveBits.interleave_bits(x, y)
+
+  /** Hilbert-curve layout key of two 16-bit cell coordinates —
+    * Z-order's better-locality sibling: every prefix is one contiguous
+    * curve segment, so range scans touch fewer files
+    * (see [[graft.functions.HilbertIndex]]).
+    */
+  def hilbertIndex(x: Column, y: Column): Column =
+    functions.HilbertIndex.hilbert_index(x, y)
+
+  /** Exact k-th values of a double column by radix selection — no
+    * global sort, no sketch; `targets` maps a stat label to its rank
+    * given the row count (see [[graft.operators.QuantileQueries.kthValues]]).
+    */
+  def exactQuantiles(spark: SparkSession, rows: DataFrame, valueCol: String,
+      targets: Seq[(String, Long => Long)]): DataFrame =
+    operators.QuantileQueries.kthValues(spark, rows, valueCol, targets)
+
   def unigramSegmentCost(text: Column, vocab: Map[String, Int],
       maxPieceLen: Int, maxChars: Int): Column =
     functions.UnigramViterbi.unigram_viterbi(text, vocab, maxPieceLen, maxChars)

@@ -28,6 +28,11 @@ import graft.functions.{PgmCodec, WavCodec}
   */
 object Multimodal {
 
+  /** Minimum qualifying silent-run length (samples) for
+    * mm_silence_spans — 6 samples = 0.75 ms at the 8 kHz synth rate.
+    */
+  val MinSilenceSpan = 6L
+
   /** Keyframe stand-in: every `stride`-th byte of the raw payload
     * starting at `offset` (a video container would yield I-frames
     * here; the selection/batching shape is what carries over).
@@ -269,6 +274,42 @@ object Multimodal {
           (id, frames.length.toLong, voiced, maxE)
         })
         .toDF("doc_id", "total_frames", "voiced_frames", "max_frame_energy")
+        .orderBy("doc_id")
+    }),
+
+    // SILENCE-SPAN SEGMENTATION — the run-length dimension the
+    // sample-count silence ratio (mm_audio_wav) and frame VAD
+    // (mm_audio_frames) don't expose: maximal runs of consecutive
+    // silent samples of length ≥ MinSilenceSpan, i.e. the split
+    // points an ASR pipeline cuts long audio at ("segment at pauses
+    // ≥ N ms"). Per stream: qualifying span count, the longest span,
+    // and total samples inside qualifying spans — all integer run
+    // arithmetic off the same decoded samples, so the oracle
+    // re-derives them from the text bytes via the island trick
+    // (run id = position − rank within silent rows). A narrow
+    // per-row map like the rest of the audio leg: state is one run
+    // counter, never a materialized sample table.
+    "mm_silence_spans" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val w = WavCodec.decode(WavCodec.encode(payload))
+          var i = 0; var run = 0L
+          var n = 0L; var mx = 0L; var tot = 0L
+          def close(): Unit = {
+            if (run >= MinSilenceSpan) {
+              n += 1; tot += run; if (run > mx) mx = run
+            }
+            run = 0L
+          }
+          while (i < w.samples.length) {
+            if (math.abs(w.samples(i).toInt) < 16384) run += 1 else close()
+            i += 1
+          }
+          close()
+          (id, n, mx, tot)
+        })
+        .toDF("doc_id", "n_spans", "max_span", "silent_in_spans")
         .orderBy("doc_id")
     }),
 
@@ -527,6 +568,32 @@ object Multimodal {
         |    ELSE 0.0 END AS silence_ratio4
         |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
+    // Island trick: a silent run's id is position − rank-among-silent,
+    // constant exactly along each maximal run.
+    "mm_silence_spans" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN abs((ord(substring(text, CAST(i + 1 AS INT), 1)) - 128) * 256)
+         |              < 16384 THEN 1 ELSE 0 END AS silent
+         |  FROM documents, UNNEST(range(0, length(text))) AS u(i)),
+         |isl AS (
+         |  SELECT doc_id,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM v WHERE silent = 1),
+         |runs AS (
+         |  SELECT doc_id, count(*)::BIGINT AS run_len
+         |  FROM isl GROUP BY doc_id, grp),
+         |agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         |    CAST(max(run_len) AS BIGINT) AS max_span,
+         |    CAST(sum(run_len) AS BIGINT) AS silent_in_spans
+         |  FROM runs WHERE run_len >= $MinSilenceSpan GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_spans, 0)::BIGINT AS n_spans,
+         |  COALESCE(a.max_span, 0)::BIGINT AS max_span,
+         |  COALESCE(a.silent_in_spans, 0)::BIGINT AS silent_in_spans
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "mm_audio_frames" ->
       """WITH v AS (
         |  SELECT doc_id, CAST(i // 160 AS BIGINT) AS f,

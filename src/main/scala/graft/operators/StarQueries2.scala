@@ -113,6 +113,39 @@ object StarQueries2 {
     }),
 
     // Explicit GROUPING SETS (beyond rollup/cube) via the SQL API.
+    // SKYLINE (Pareto frontier) — the classic multi-criteria operator
+    // (Börzsönyi et al., ICDE 2001) no built-in relational op
+    // expresses: lineitem cells (l_quantity, l_extendedprice) not
+    // dominated by any cell ≥ in both dimensions and > in one
+    // (maximization). Scale shape — NOT the quadratic NOT-EXISTS the
+    // oracle states: one map-side-combined aggregation to per-cell
+    // counts, per-x max-y over the VALUE-bounded x frame (l_quantity
+    // has ≤50 distinct values; the one unpartitioned window runs over
+    // THAT, the pipe_ppl_buckets doctrine), then survivor = y strictly
+    // above the running max of all larger x. Equal cells don't
+    // dominate each other, so the surviving cell keeps its full
+    // multiplicity — hence cells + counts, not sampled row ids.
+    "q_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.lineitem(s, dir)
+        .groupBy(col("l_quantity").cast("long").as("x"),
+          col("l_extendedprice").as("y"))
+        .agg(count(lit(1)).as("n_rows"))
+      val bestY = pts.groupBy("x").agg(max(col("y")).as("ymax"))
+      val wGt = Window.orderBy(col("x").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = bestY
+        .withColumn("ymax_gt", max(col("ymax")).over(wGt))
+        .filter(col("ymax_gt").isNull || col("ymax") > col("ymax_gt"))
+        .select(col("x").as("sx"), col("ymax")) // renamed: sky derives
+        // from pts, and same-name join columns trip the self-join
+        // ambiguity check
+      pts.join(broadcast(sky),
+          col("x") === col("sx") && col("y") === col("ymax"))
+        .select(col("x"), col("y"), col("n_rows"))
+        .orderBy("x")
+    }),
+
     "q_grouping_sets" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("gs_orders")
       s.sql(
@@ -536,6 +569,17 @@ object StarQueries2 {
   private val dsumSql = OracleSql.dsum _
 
   val oracleSql: Map[String, String] = Map(
+    // The textbook quadratic dominance test — affordable at oracle
+    // scale, exactly what the per-x running max avoids at 100 TB.
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x, l_extendedprice AS y,
+        |    count(*)::BIGINT AS n_rows
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT x, y, n_rows FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+        |ORDER BY x""".stripMargin,
     "q_dq_checks" ->
       """SELECT check_name, n_violations FROM (
         |  SELECT 'orders_custkey_nonnull' AS check_name,

@@ -136,4 +136,36 @@ class GraftApiSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(out == 1000000L + 3L, "one 'abcd' piece beats ab+cd and singles")
   }
+
+  test("zorderIndex / hilbertIndex: bijective keys, shared-cell prefixes") {
+    val cells = Seq((0L, 0L), (1L, 0L), (0L, 1L), (513L, 514L),
+      (65535L, 65535L), (40000L, 123L)).toDF("x", "y")
+    val rows = cells.select(col("x"), col("y"),
+      Graft.zorderIndex(col("x"), col("y")).as("z"),
+      Graft.hilbertIndex(col("x"), col("y")).as("h")).collect()
+    rows.foreach { r =>
+      val (x, y, z, h) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(graft.functions.InterleaveBits.deinterleave(z) == ((x, y)))
+      assert(graft.functions.HilbertIndex.d2xy(h) == ((x, y)))
+    }
+    // same 2^10-cell ⇒ same 12-bit prefix under BOTH curves
+    val Seq(a, b) = Seq((100L, 200L), (101L, 201L)).map { case (x, y) =>
+      (graft.functions.InterleaveBits.interleave(x, y) >> 20,
+        graft.functions.HilbertIndex.xy2d(x, y) >> 20)
+    }
+    assert(a == b)
+  }
+
+  test("exactQuantiles: known ranks of a known multiset") {
+    val vals = (1 to 1000).map(_.toDouble) ++ Seq.fill(50)(500.0)
+    val df = vals.toDF("v")
+    val got = Graft.exactQuantiles(spark, df, "v", Seq(
+      "min" -> ((_: Long) => 1L),
+      "p50" -> ((n: Long) => (n + 1) / 2),
+      "max" -> ((n: Long) => n)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    assert(got("min") == 1.0 && got("max") == 1000.0)
+    assert(got("p50") == sorted((sorted.length + 1) / 2 - 1))
+  }
 }

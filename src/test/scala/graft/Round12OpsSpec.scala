@@ -191,6 +191,40 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_skyline: no survivor dominated, no dominator dropped") {
+    val pts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_quantity").cast("long").as("x"), col("l_extendedprice").as("y"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dominated(p: (Long, Double)) = pts.exists { case (qx, qy, _) =>
+      qx >= p._1 && qy >= p._2 && (qx > p._1 || qy > p._2)
+    }
+    val want = pts.filter(p => !dominated((p._1, p._2))).toSet
+    val got = run("q_skyline").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want, s"skyline mismatch: extra ${(got -- want).take(3)}, " +
+      s"missing ${(want -- got).take(3)}")
+  }
+
+  test("mm_silence_spans matches a brute-force run-length scan of the text") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run("mm_silence_spans").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (id, (n, mx, tot)) =>
+      val runs = texts(id).toCharArray
+        .map(c => math.abs((c.toInt - 128) * 256) < 16384)
+        .foldLeft(List(0L)) { (acc, silent) =>
+          if (silent) (acc.head + 1) :: acc.tail else 0L :: acc
+        }
+        .filter(_ >= operators.Multimodal.MinSilenceSpan)
+      assert((n, mx, tot) ==
+        ((runs.length.toLong, if (runs.isEmpty) 0L else runs.max, runs.sum)),
+        s"doc $id")
+    }
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
