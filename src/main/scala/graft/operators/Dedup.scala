@@ -49,6 +49,11 @@ object Dedup {
     */
   val CdcWindow = 16
   val CdcMask   = 63L
+
+  /** Winnowing window (dd_winnowing): every run of WinnowW consecutive
+    * 3-gram hashes contributes its rightmost minimum.
+    */
+  val WinnowW = 4
   /** Fragments shorter than this are excluded from the shared-chunk
     * report (a production chunker clamps at cut time with a greedy
     * min-size rule; that fold is sequential per doc, so the relational
@@ -434,6 +439,54 @@ object Dedup {
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_md5").asc)
         .limit(50)
+    }),
+
+    // WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken,
+    // SIGMOD 2003 — the MOSS algorithm): from each doc's positional
+    // 3-gram hash stream, every window of WinnowW consecutive hashes
+    // contributes its minimum (ties → rightmost), and the distinct
+    // (hash, position) picks are the doc's fingerprint set. The
+    // guarantee CDC/minhash lack: any shared run of ≥ WinnowW + k − 1
+    // tokens between two docs yields an IDENTICAL fingerprint in
+    // both — local, position-aware plagiarism/overlap detection with
+    // a density bound of ~2/(w+1) selected per position. The
+    // rightmost-tie argmin packs into ONE BIGINT key —
+    // h·2048 + (2047 − pos) — so the window min IS the selection (no
+    // struct ordering; positions < 2048 by corpus contract, the
+    // 52-bit hash keeps the product exact). Report: per-doc
+    // fingerprint count, order-free XOR, and min fingerprint. Scale:
+    // the per-position window is doc-partitioned (co-partitioned on
+    // the shard key, frames of WinnowW rows); nothing global anywhere.
+    "dd_winnowing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val g = d.select(col("doc_id"),
+          posexplode(shinglesOf(col("text"))).as(Seq("pos", "sh")))
+        .withColumn("h",
+          conv(substring(md5(col("sh")), 1, 13), 16, 10).cast("long"))
+        .withColumn("key",
+          col("h") * lit(2048L) + (lit(2047L) - col("pos")))
+      val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, WinnowW - 1)
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val picks = g
+        .withColumn("pick", min(col("key")).over(wWin))
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .filter(col("pos") <=
+          greatest(lit(0L), col("n") - lit(WinnowW.toLong)))
+        .select(col("doc_id"), col("n"), col("pick")).distinct()
+      val agg = picks.groupBy("doc_id")
+        .agg(max(col("n")).as("n_grams"),
+          count(lit(1)).as("n_fp"),
+          expr("bit_xor(pick DIV 2048)").as("fp_xor"),
+          min(expr("pick DIV 2048")).as("min_fp"))
+      d.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          coalesce(col("fp_xor"), lit(0L)).as("fp_xor"),
+          coalesce(col("min_fp"), lit(0L)).as("min_fp"))
+        .orderBy("doc_id")
     }),
 
     // EXACT shingle Jaccard similarity join via prefix filtering
@@ -1016,6 +1069,16 @@ object Dedup {
   }
 
   private val toksSql = OracleSql.toks
+
+  /** DuckDB mirror of `conv(substring(h, start, len), 16, 10)` — the
+    * positional nibble-decode idiom (see SketchQueries.hexLong).
+    */
+  private def hexLongSql(h: String, start: Int, len: Int): String =
+    (0 until len).map { i =>
+      val pow = Math.pow(16.0, (len - 1 - i).toDouble).toLong
+      s"(strpos('0123456789abcdef', substring($h, ${start + i}, 1)) - 1)::BIGINT * $pow"
+    }.mkString("(", " + ", ")")
+
   private def shinglesSqlFrom(src: String) =
     s"""SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
        |FROM (SELECT doc_id, $toksSql AS t FROM $src),
@@ -1365,6 +1428,41 @@ object Dedup {
          |FROM agg WHERE n_docs >= 2
          |ORDER BY n_docs DESC, n_occ DESC, chunk_md5 ASC LIMIT 50""".stripMargin,
     "dd_ngram_jaccard" -> ngramJaccardSqlFrom("documents"),
+    // Positional (non-distinct) shingle hashes; the packed
+    // h·2048 + (2047 − pos) key makes min() the rightmost-tie argmin.
+    "dd_winnowing" ->
+      s"""WITH wg AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS hh
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+         |  WHERE len(t) >= 3),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    ${hexLongSql("hh", 1, 13)} * 2048 + (2047 - pos) AS key
+         |  FROM wg),
+         |p AS (
+         |  SELECT doc_id, pos, key,
+         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS pick,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM g),
+         |picks AS (
+         |  SELECT DISTINCT doc_id, n, pick
+         |  FROM p WHERE pos <= greatest(0, n - $WinnowW)),
+         |agg AS (
+         |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_grams,
+         |    count(*)::BIGINT AS n_fp,
+         |    CAST(bit_xor(pick // 2048) AS BIGINT) AS fp_xor,
+         |    CAST(min(pick // 2048) AS BIGINT) AS min_fp
+         |  FROM picks GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_grams, 0)::BIGINT AS n_grams,
+         |  COALESCE(a.n_fp, 0)::BIGINT AS n_fp,
+         |  COALESCE(a.fp_xor, 0)::BIGINT AS fp_xor,
+         |  COALESCE(a.min_fp, 0)::BIGINT AS min_fp
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dd_novelty_curve" ->
       s"""WITH sh AS MATERIALIZED ($shinglesSql),
          |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh

@@ -225,6 +225,61 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_winnowing: density guarantee and duplicate-text invariance") {
+    import org.apache.spark.sql.expressions.Window
+    // replicate the pick stream with positions kept, assert the
+    // winnowing guarantee: every WinnowW-window has a fingerprint,
+    // i.e. consecutive pick positions gap by at most WinnowW
+    val w = Dedup.WinnowW
+    val g = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        posexplode(graft.operators.TextOps.shinglesOf(col("text")))
+          .as(Seq("pos", "sh")))
+      .withColumn("h", conv(substring(md5(col("sh")), 1, 13), 16, 10).cast("long"))
+      .withColumn("key", col("h") * 2048L + (lit(2047L) - col("pos")))
+    val picks = g
+      .withColumn("pick", min(col("key")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(0, w - 1)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= greatest(lit(0L), col("n") - w))
+      .select(col("doc_id"), (lit(2047L) - col("pick") % 2048L).as("ppos"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    picks.foreach { case (id, ps) =>
+      assert(ps.head <= w - 1, s"doc $id first pick ${ps.head}")
+      ps.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= w, s"doc $id gap $a -> $b")
+        case _ =>
+      }
+    }
+    // the winnowing guarantee: a shared token run of length
+    // ≥ WinnowW + 3 − 1 = 6 produces an identical fingerprint HASH in
+    // both docs (position-independent), regardless of surrounding text
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"red orange yellow green blue $shared indigo violet"))
+      .toDF("doc_id", "text")
+    val sPicks = docs
+      .select(col("doc_id"),
+        posexplode(graft.operators.TextOps.shinglesOf(col("text")))
+          .as(Seq("pos", "sh")))
+      .withColumn("h", conv(substring(md5(col("sh")), 1, 13), 16, 10).cast("long"))
+      .withColumn("key", col("h") * 2048L + (lit(2047L) - col("pos")))
+      .withColumn("pick", min(col("key")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(0, w - 1)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= greatest(lit(0L), col("n") - w))
+      .select(col("doc_id"), expr("pick DIV 2048").as("fph"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((sPicks(1L) intersect sPicks(2L)).nonEmpty,
+      "docs sharing a 6-token run must share a fingerprint hash")
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
