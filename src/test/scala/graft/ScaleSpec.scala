@@ -435,4 +435,53 @@ class ScaleSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dd_winnowing: every window is doc-partitioned (never corpus-global)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = nonAdaptivePlan("dd_winnowing")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the selection + count windows")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"winnowing must window per doc, found a global window:\n$plan")
+  }
+
+  test("q_skyline: running max over aggregates only; survivors broadcast back") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = nonAdaptivePlan("q_skyline")
+    assert(plan.collectFirst { case b: BroadcastHashJoinExec => b }.isDefined,
+      s"the <=50-row skyline frame must broadcast back to the cells:\n$plan")
+    // the only unpartitioned window (the running max over x) must sit
+    // above the per-x aggregate, never the raw lineitem scan
+    plan.collect { case w: WindowExec => w }
+      .filterNot(_.partitionSpec.nonEmpty).foreach { w =>
+        assert(w.child.toString.contains("HashAggregate"),
+          s"unpartitioned running max over non-aggregated input:\n$w")
+      }
+  }
+
+  test("pipe_epoch_order: each epoch leg is a bounded TakeOrdered heap, not a sort") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.SortExec
+    val plan = nonAdaptivePlan("pipe_epoch_order")
+    val takeOrdered = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(takeOrdered.size >= 3,
+      s"expected one TakeOrderedAndProject per epoch leg:\n$plan")
+    // sorts may only run ABOVE the bounded heaps (the 20-row window
+    // sort and the 60-row presentation sort) — a SortExec whose
+    // subtree has no TakeOrdered would be a corpus-sized epoch sort
+    plan.collect { case s: SortExec => s }.foreach { s =>
+      assert(s.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined,
+        s"corpus-level sort outside the bounded heaps:\n$s")
+    }
+  }
+
+  test("ev_changepoint: every spine window is event_type-partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = nonAdaptivePlan("ev_changepoint")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"changepoint windows must partition by event_type:\n$plan")
+  }
 }
