@@ -545,6 +545,45 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // TIME-WEIGHTED LINEAR INTERPOLATION — the resample variant
+    // ev_gapfill's zero-fill can't express: each click's value is
+    // estimated from the user's surrounding VIEW events, weighted by
+    // temporal distance (lerp between the as-of-backward and
+    // as-of-forward neighbors — the sensor-reading alignment staple).
+    // Exercises the custom AsOfJoinExec in BOTH directions on one
+    // query. Same-timestamp views collapse by max(value) first so the
+    // as-of pick is deterministic on both engines; the lerp is
+    // IEEE-exact (integer-micro deltas, one division — the doctrine's
+    // carve-out), the exact-hit / one-sided / no-neighbor cases
+    // resolve before any division can see a zero denominator. Scale:
+    // two co-partitioned merge passes on the user shard key — the
+    // ev_asof_order plan shape twice.
+    "ev_interpolate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      def views(p: String) = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"))
+        .agg(max(col("value")).as(s"${p}_v"))
+      val b = views("b")
+      val back = graft.plans.AsOfJoin.joinAsOf(clicks, b,
+        clicks("user_id"), b("b_user"), clicks("ts"), b("b_ts"))
+        .select("event_id", "user_id", "ts", "b_ts", "b_v")
+      val f = views("f")
+      val both = graft.plans.AsOfJoin.joinAsOf(back, f,
+        back("user_id"), f("f_user"), back("ts"), f("f_ts"), forward = true)
+      both.select(col("event_id"), col("user_id"), col("ts"),
+          when(col("b_ts").isNull && col("f_ts").isNull, lit(null).cast("double"))
+            .when(col("b_ts").isNull, round(col("f_v"), 4))
+            .when(col("f_ts").isNull, round(col("b_v"), 4))
+            .when(col("f_ts") === col("b_ts"), round(col("b_v"), 4))
+            .otherwise(round(col("b_v") + (col("f_v") - col("b_v"))
+              * (expr("CAST(unix_micros(ts) - unix_micros(b_ts) AS DOUBLE)")
+                / expr("CAST(unix_micros(f_ts) - unix_micros(b_ts) AS DOUBLE)")),
+              4)).as("vi4"))
+        .orderBy("event_id")
+    }),
+
     // THEIL–SEN robust trend — the changepoint family's slope
     // estimate: the median of all pairwise slopes of the zero-filled
     // hourly count series (with a p10/p90 band), insensitive to ~29%
@@ -1084,6 +1123,30 @@ object EventQueries {
         |    ORDER BY abs(cum * nh - tot * t) DESC, hour ASC) AS rk
         |  FROM scored WHERE t < nh)
         |WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // DuckDB ASOF both directions over the same deduped view frame;
+    // identical guard ladder before the lerp division.
+    "ev_interpolate" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, max(value) AS v
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |b AS (SELECT c.event_id, c.user_id, c.ts, v.ts AS b_ts, v.v AS b_v
+        |      FROM c ASOF LEFT JOIN v
+        |        ON c.user_id = v.user_id AND c.ts >= v.ts),
+        |f AS (SELECT c.event_id, v.ts AS f_ts, v.v AS f_v
+        |      FROM c ASOF LEFT JOIN v
+        |        ON c.user_id = v.user_id AND c.ts <= v.ts)
+        |SELECT b.event_id, b.user_id, b.ts,
+        |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+        |       WHEN b_ts IS NULL THEN round(f_v, 4)
+        |       WHEN f_ts IS NULL THEN round(b_v, 4)
+        |       WHEN f_ts = b_ts THEN round(b_v, 4)
+        |       ELSE round(b_v + (f_v - b_v)
+        |         * (CAST(epoch_us(b.ts) - epoch_us(b_ts) AS DOUBLE)
+        |            / CAST(epoch_us(f_ts) - epoch_us(b_ts) AS DOUBLE)), 4)
+        |  END AS vi4
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
     // Pairwise slopes over the bounded spine; the k-th VALUE ranks the
     // radix engine answers, stated as an explicit row_number here.
     "ev_trend_theilsen" ->

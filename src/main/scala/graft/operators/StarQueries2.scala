@@ -146,6 +146,26 @@ object StarQueries2 {
         .orderBy("x")
     }),
 
+    // Deterministic MODE aggregate — the statistical mode with a total
+    // tie order (most frequent l_quantity per return flag, ties to the
+    // smallest value), built from counts + one ranking window instead
+    // of the built-in mode() whose tie choice is engine-arbitrary —
+    // the same determinism move as the suite's rounded-before-compare
+    // doctrine, applied to an aggregate. The window runs over the
+    // value-bounded (flag × ≤50 quantity) count frame.
+    "q_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("qty").asc)
+      counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"),
+          col("cnt").as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_grouping_sets" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("gs_orders")
       s.sql(
@@ -569,6 +589,14 @@ object StarQueries2 {
   private val dsumSql = OracleSql.dsum _
 
   val oracleSql: Map[String, String] = Map(
+    "q_mode" ->
+      """SELECT l_returnflag, mode_qty, n_rows FROM (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty,
+        |    count(*)::BIGINT AS n_rows,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, CAST(l_quantity AS BIGINT) ASC) AS rk
+        |  FROM lineitem GROUP BY 1, 2)
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
     // The textbook quadratic dominance test — affordable at oracle
     // scale, exactly what the per-x running max avoids at 100 TB.
     "q_skyline" ->

@@ -770,6 +770,40 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // FLESCH–KINCAID READABILITY — the classic document-difficulty
+    // feature (grade = 0.39·words/sentences + 11.8·syllables/words
+    // − 15.59) every quality-scoring stack carries next to the Gopher
+    // integer gates: the counts are pure integers (sentences by the
+    // ta_sentences terminal-punctuation rule, words by the W1
+    // tokenizer, syllables as vowel GROUPS [aeiouy]+ per word with a
+    // 1-per-word floor — the standard heuristic), and the grade
+    // itself is two exactly-rounded IEEE divisions + products (the
+    // determinism doctrine's carve-out; no transcendental). One
+    // narrow scan, all inside whole-stage codegen — no shuffle at
+    // all until the presentation sort.
+    "ta_readability" -> ((s, dir) => {
+      val sents = filter(
+        transform(split(col("text"), "[.!?]+", -1), x => trim(x)),
+        x => x =!= "")
+      val syl = (t: org.apache.spark.sql.Column) =>
+        greatest(size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))), lit(1))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(sents).cast("long").as("n_sents"),
+          tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          col("n_sents"),
+          coalesce(aggregate(transform(col("toks"), t => syl(t).cast("long")),
+            lit(0L), (a, x) => a + x), lit(0L)).as("n_syllables"))
+        .withColumn("fk4",
+          when(col("n_words") > 0 && col("n_sents") > 0,
+            round(lit(0.39) * (col("n_words").cast("double") / col("n_sents"))
+              + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
+              - lit(15.59), 4))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id")
+    }),
+
     // Compression-ratio quality signal (the RefinedWeb/Gopher-family
     // redundancy gate): deflated size / raw size per document — very
     // low ratios flag templated or repeated text, very high ones
@@ -1102,6 +1136,29 @@ object TextAnalysis {
         |  CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
         |    AS INT) AS max_sent_chars
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Same integer counts; the grade is the identical IEEE op tree.
+    "ta_readability" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(
+        |      list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+        |      x -> x <> '')) AS BIGINT) AS n_sents,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words, n_sents,
+        |    CAST(coalesce(list_sum(list_transform(toks,
+        |      x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1))), 0)
+        |      AS BIGINT) AS n_syllables
+        |  FROM s)
+        |SELECT doc_id, n_words, n_sents, n_syllables,
+        |  CASE WHEN n_words > 0 AND n_sents > 0
+        |    THEN round(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+        |           + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+        |           - 15.59, 4)
+        |    ELSE 0.0 END AS fk4
+        |FROM c ORDER BY doc_id""".stripMargin,
     "ta_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.text, b.text) AS INT) AS dist

@@ -280,6 +280,76 @@ class Round12OpsSpec extends AnyFunSuite {
       "docs sharing a 6-token run must share a fingerprint hash")
   }
 
+  test("ta_readability counts match a direct recomputation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = run("ta_readability").collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val text = docs(r.getLong(0))
+      val sents = text.split("[.!?]+").map(_.trim).count(_.nonEmpty)
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val syl = toks.map(t =>
+        math.max("[aeiouy]+".r.findAllIn(t.toLowerCase).length, 1).toLong).sum
+      assert(r.getLong(1) == toks.length.toLong, s"words for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == sents.toLong, s"sents for doc ${r.getLong(0)}")
+      assert(r.getLong(3) == syl, s"syllables for doc ${r.getLong(0)}")
+      if (toks.nonEmpty && sents > 0) {
+        val fk = 0.39 * (toks.length.toDouble / sents) +
+          11.8 * (syl.toDouble / toks.length) - 15.59
+        assert(math.abs(r.getDouble(4) - fk) < 1e-3, s"fk for doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("ev_interpolate equals a per-user brute-force lerp") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("tus"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val viewsByUser = ev.filter(_._4 == "view")
+      .groupBy(_._2).view.mapValues { vs =>
+        vs.groupBy(_._3).map { case (t, g) => t -> g.map(_._5).max }
+          .toArray.sortBy(_._1)
+      }.toMap
+    val got = run("ev_interpolate").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    ev.filter(_._4 == "click").foreach { case (id, user, t, _, _) =>
+      val vs = viewsByUser.getOrElse(user, Array.empty[(Long, Double)])
+      val before = vs.filter(_._1 <= t).lastOption
+      val after = vs.filter(_._1 >= t).headOption
+      val want = (before, after) match {
+        case (None, None) => None
+        case (Some((_, v)), None) => Some(v)
+        case (None, Some((_, v))) => Some(v)
+        case (Some((tb, vb)), Some((tf, vf))) if tb == tf => Some(vb)
+        case (Some((tb, vb)), Some((tf, vf))) =>
+          Some(vb + (vf - vb) * ((t - tb).toDouble / (tf - tb).toDouble))
+      }
+      (got(id), want) match {
+        case (None, None) =>
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-3, s"click $id")
+        case other => fail(s"click $id: $other")
+      }
+    }
+  }
+
+  test("q_mode equals a brute-force frequency argmax with smallest-value ties") {
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = counts.groupBy(_._1).view.mapValues(g =>
+      g.minBy(x => (-x._3, x._2))).values
+      .map(x => (x._1, x._2, x._3)).toSet
+    val got = run("q_mode").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
