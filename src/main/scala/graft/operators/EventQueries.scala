@@ -21,6 +21,9 @@ import graft.Tables
   */
 object EventQueries {
 
+  /** Fixed power-iteration rounds for ev_markov_stationary. */
+  val MarkovPowerRounds = 4
+
   // ---- public attribution API (aliased on graft.Graft) ----
 
   /** Position-based (U-shaped) multi-touch attribution: every row of
@@ -233,6 +236,59 @@ object EventQueries {
         .select(col("cur"), col("nxt"), col("n"),
           expr("n * 1000000 DIV row_n").as("p_micro"))
         .orderBy("cur", "nxt")
+    }),
+
+    // Markov STATIONARY DISTRIBUTION — the long-run state occupancy
+    // the transition matrix (ev_markov) implies: 4 fixed power rounds
+    // of π ← π·P in micro-integers (π and P both at 10⁶; each product
+    // sum is an order-free long ≤ states·10¹², one floor per entry
+    // per round — the pageRankMicro recipe on the types²-bounded
+    // matrix). Uniform start; states = types with outgoing
+    // transitions. At 100 TB only the transition count touches data —
+    // the iteration runs on a ≤types² broadcast frame. Oracle unrolls
+    // the identical rounds as CTEs.
+    "ev_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val p = tr.join(broadcast(
+          tr.groupBy("cur").agg(sum(col("n")).as("row_n"))), "cur")
+        .select(col("cur"), col("nxt"), expr("n * 1000000 DIV row_n").as("pm"))
+        .localCheckpoint(false)
+      val states = p.select(col("cur").as("state")).distinct()
+      val nStates = states.count()
+      var pi = states.select(col("state"),
+        lit(1000000L / nStates).as("pim"))
+      (1 to MarkovPowerRounds).foreach { _ =>
+        pi = pi.join(p, pi("state") === p("cur"))
+          .groupBy(col("nxt").as("s2"))
+          .agg(expr("sum(pim * pm) DIV 1000000").as("pim"))
+          .select(col("s2").as("state"), col("pim"))
+          .localCheckpoint(false)
+      }
+      pi.orderBy("state")
+    }),
+
+    // SEASONAL PROFILE — the (day-of-week × hour-of-day) occupancy
+    // matrix capacity planning reads before any forecast: counts plus
+    // each cell's share of its weekday in integer ppm. One scan into
+    // a ≤168-cell map-side-combined aggregation; the share join
+    // broadcasts the 7-row weekday totals.
+    "ev_seasonal_profile" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(dayofweek(col("ts")).as("dow"),
+          hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n_events"))
+      cells.join(broadcast(
+          cells.groupBy("dow").agg(sum(col("n_events")).as("dow_n"))), "dow")
+        .select(col("dow"), col("hod"), col("n_events"),
+          expr("n_events * 1000000 DIV dow_n").as("share_ppm"))
+        .orderBy("dow", "hod")
     }),
 
     // Tumbling 1-hour window counts per event type. `window()` is the
@@ -1123,6 +1179,44 @@ object EventQueries {
         |    ORDER BY abs(cum * nh - tot * t) DESC, hour ASC) AS rk
         |  FROM scored WHERE t < nh)
         |WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // The identical power rounds unrolled; sink states (no outgoing
+    // row) drop out of the next round's join on both engines alike.
+    "ev_markov_stationary" -> {
+      val rounds = (1 to MarkovPowerRounds).map { r =>
+        s"""pi$r AS (
+           |  SELECT p.nxt AS state,
+           |    CAST(sum(pim * pm) // 1000000 AS BIGINT) AS pim
+           |  FROM pi${r - 1} JOIN p ON pi${r - 1}.state = p.cur
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type AS cur,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |tr AS (SELECT cur, nxt, count(*) AS n FROM seq
+         |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |p AS (SELECT tr.cur, tr.nxt,
+         |        CAST(tr.n * 1000000 // t.row_n AS BIGINT) AS pm
+         |      FROM tr JOIN (SELECT cur, sum(n) AS row_n FROM tr GROUP BY 1) t
+         |        ON tr.cur = t.cur),
+         |s0 AS (SELECT DISTINCT cur AS state FROM p),
+         |pi0 AS (SELECT state,
+         |          CAST(1000000 // (SELECT count(*) FROM s0) AS BIGINT) AS pim
+         |        FROM s0),
+         |$rounds
+         |SELECT state, pim FROM pi$MarkovPowerRounds ORDER BY state""".stripMargin
+    },
+    "ev_seasonal_profile" ->
+      """WITH cells AS (
+        |  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |    CAST(hour(ts) AS INT) AS hod, count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.dow, c.hod, c.n_events,
+        |  CAST(c.n_events * 1000000 // t.dow_n AS BIGINT) AS share_ppm
+        |FROM cells c JOIN (SELECT dow, sum(n_events) AS dow_n
+        |                   FROM cells GROUP BY 1) t ON c.dow = t.dow
+        |ORDER BY c.dow, c.hod""".stripMargin,
     // DuckDB ASOF both directions over the same deduped view frame;
     // identical guard ladder before the lerp division.
     "ev_interpolate" ->

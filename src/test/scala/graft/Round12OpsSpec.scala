@@ -350,6 +350,38 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ev_markov_stationary equals a replayed power iteration") {
+    val tr = run("ev_markov").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val states = tr.map(_._1).distinct.sorted
+    var pi = states.map(_ -> 1000000L / states.length).toMap
+    (1 to operators.EventQueries.MarkovPowerRounds).foreach { _ =>
+      val next = tr.groupBy(_._2).map { case (nxt, es) =>
+        nxt -> es.map(e => pi.getOrElse(e._1, 0L) * e._3).sum / 1000000L
+      }
+      pi = next
+    }
+    val got = run("ev_markov_stationary").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == pi, s"got $got want $pi")
+    // mass conserved up to per-entry floor drift
+    val total = got.values.sum
+    assert(total <= 1000000L && total > 900000L, s"mass $total")
+  }
+
+  test("ev_seasonal_profile: bounded cells, shares sum to ~1e6 per weekday") {
+    val rows = run("ev_seasonal_profile").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length <= 168)
+    assert(rows.forall(r => r._1 >= 1 && r._1 <= 7 && r._2 >= 0 && r._2 <= 23))
+    rows.groupBy(_._1).foreach { case (dow, cells) =>
+      val s = cells.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - 24, s"dow $dow shares sum $s")
+    }
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == total)
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
