@@ -277,6 +277,41 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // QUADRANT TILE FEATURES — the partial-image-duplicate primitive
+    // the whole-image aHash (mm_phash_pairs) can't express: a global
+    // hash changes completely when one corner is edited, but per-TILE
+    // features localize the change (the region-dedup recipe: hash
+    // tiles, match tile sets). Per image: the four quadrant intensity
+    // sums (top/bottom split at 2·y < h, left/right at x < w/2 — all
+    // integer) and the brightest quadrant with a fixed tie order.
+    // Same narrow decode map as the rest of the image leg; the oracle
+    // re-derives every sum from the raster synth formula.
+    "mm_pgm_tiles" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val img = PgmCodec.decode(PgmCodec.encode(payload))
+          val sums = new Array[Long](4)
+          var i = 0
+          while (i < img.pixels.length) {
+            val x = i % img.width
+            val y = i / img.width
+            val q = (if (2 * y < img.height) 0 else 2) +
+              (if (x < img.width / 2) 0 else 1)
+            sums(q) += img.pixels(i) & 0xff
+            i += 1
+          }
+          val brightest =
+            if (sums(0) >= sums(1) && sums(0) >= sums(2) && sums(0) >= sums(3)) 0
+            else if (sums(1) >= sums(2) && sums(1) >= sums(3)) 1
+            else if (sums(2) >= sums(3)) 2
+            else 3
+          (id, sums(0), sums(1), sums(2), sums(3), brightest)
+        })
+        .toDF("doc_id", "q_tl", "q_tr", "q_bl", "q_br", "brightest")
+        .orderBy("doc_id")
+    }),
+
     // SILENCE-SPAN SEGMENTATION — the run-length dimension the
     // sample-count silence ratio (mm_audio_wav) and frame VAD
     // (mm_audio_frames) don't expose: maximal runs of consecutive
@@ -568,6 +603,27 @@ object Multimodal {
         |    ELSE 0.0 END AS silence_ratio4
         |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
+    // Raster width is 8; quadrant membership and sums are pure integer
+    // functions of the padded-text synth formula.
+    "mm_pgm_tiles" ->
+      s"""WITH g AS ($rasterSql),
+         |px AS (
+         |  SELECT doc_id,
+         |    CAST(i % 8 AS BIGINT) AS x, CAST(i // 8 AS BIGINT) AS y, h,
+         |    ord(substring(raster, CAST(i AS INT) + 1, 1)) AS v
+         |  FROM g, UNNEST(range(0, 8 * h)) AS u(i)),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN 2 * y < h AND x < 4 THEN v ELSE 0 END) AS BIGINT) AS q_tl,
+         |    CAST(sum(CASE WHEN 2 * y < h AND x >= 4 THEN v ELSE 0 END) AS BIGINT) AS q_tr,
+         |    CAST(sum(CASE WHEN 2 * y >= h AND x < 4 THEN v ELSE 0 END) AS BIGINT) AS q_bl,
+         |    CAST(sum(CASE WHEN 2 * y >= h AND x >= 4 THEN v ELSE 0 END) AS BIGINT) AS q_br
+         |  FROM px GROUP BY doc_id)
+         |SELECT doc_id, q_tl, q_tr, q_bl, q_br,
+         |  CAST(CASE WHEN q_tl >= q_tr AND q_tl >= q_bl AND q_tl >= q_br THEN 0
+         |       WHEN q_tr >= q_bl AND q_tr >= q_br THEN 1
+         |       WHEN q_bl >= q_br THEN 2 ELSE 3 END AS INT) AS brightest
+         |FROM q ORDER BY doc_id""".stripMargin,
     // Island trick: a silent run's id is position − rank-among-silent,
     // constant exactly along each maximal run.
     "mm_silence_spans" ->

@@ -770,6 +770,32 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // CODE-VS-PROSE DETECTION — the training-mix router every LLM
+    // corpus needs before language-specific handling: integer counts
+    // of code-significant characters (braces/semicolons/operators)
+    // and digits, cross-multiplied to basis points of the doc length,
+    // with the verdict an integer threshold (≥ 150 bp of code chars).
+    // The signals are the standard fastText-router features in their
+    // rule form; all string ops, one codegen scan, no shuffle.
+    "ta_code_detect" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .withColumn("code_chars",
+          (col("len") - length(regexp_replace(col("text"),
+            lit("[{};=()<>\\[\\]]"), lit("")))).cast("long"))
+        .withColumn("digit_chars",
+          (col("len") - length(regexp_replace(col("text"),
+            lit("[0-9]"), lit("")))).cast("long"))
+      d.select(col("doc_id"), col("len").cast("long").as("n_chars"),
+          col("code_chars"), col("digit_chars"),
+          when(col("len") > 0, expr("code_chars * 10000 DIV len"))
+            .otherwise(lit(0L)).as("code_bp"),
+          when(col("len") > 0, expr("digit_chars * 10000 DIV len"))
+            .otherwise(lit(0L)).as("digit_bp"))
+        .withColumn("is_code", (col("code_bp") >= 150).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // FLESCH–KINCAID READABILITY — the classic document-difficulty
     // feature (grade = 0.39·words/sentences + 11.8·syllables/words
     // − 15.59) every quality-scoring stack carries next to the Gopher
@@ -1136,6 +1162,23 @@ object TextAnalysis {
         |  CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
         |    AS INT) AS max_sent_chars
         |FROM s ORDER BY doc_id""".stripMargin,
+    "ta_code_detect" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[{};=()<>\[\]]', '', 'g'))
+        |    AS BIGINT) AS code_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |    AS BIGINT) AS digit_chars,
+        |  CASE WHEN length(text) > 0 THEN CAST((length(text)
+        |      - length(regexp_replace(text, '[{};=()<>\[\]]', '', 'g')))
+        |      * 10000 // length(text) AS BIGINT) ELSE 0 END AS code_bp,
+        |  CASE WHEN length(text) > 0 THEN CAST((length(text)
+        |      - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |      * 10000 // length(text) AS BIGINT) ELSE 0 END AS digit_bp,
+        |  CAST(CASE WHEN length(text) > 0 AND (length(text)
+        |      - length(regexp_replace(text, '[{};=()<>\[\]]', '', 'g')))
+        |      * 10000 // length(text) >= 150 THEN 1 ELSE 0 END AS INT) AS is_code
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Same integer counts; the grade is the identical IEEE op tree.
     "ta_readability" ->
       """WITH s AS (

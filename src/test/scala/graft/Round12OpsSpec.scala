@@ -382,6 +382,35 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == total)
   }
 
+  test("mm_pgm_tiles: quadrants tile the image; brightest is the tie-broken argmax") {
+    val sums = run("mm_decode_pgm").collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap // doc_id -> pixel_sum
+    run("mm_pgm_tiles").collect().foreach { r =>
+      val qs = Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(qs.sum == sums(r.getLong(0)),
+        s"doc ${r.getLong(0)} quadrants don't tile the raster")
+      val b = r.getInt(5)
+      assert(qs(b) == qs.max)
+      assert(qs.indexOf(qs.max) == b, s"tie order for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("ta_code_detect matches a direct character census") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    run("ta_code_detect").collect().foreach { r =>
+      val t = texts(r.getLong(0))
+      val code = t.count("{};=()<>[]".contains(_)).toLong
+      val digits = t.count(_.isDigit).toLong
+      assert(r.getLong(2) == code && r.getLong(3) == digits,
+        s"doc ${r.getLong(0)}")
+      if (t.nonEmpty) {
+        assert(r.getLong(4) == code * 10000L / t.length)
+        assert(r.getInt(6) == (if (code * 10000L / t.length >= 150L) 1 else 0))
+      }
+    }
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
