@@ -74,6 +74,20 @@ object GraftExtensions {
                 "actualNum" -> exprs.length.toString,
                 "docroot" -> "https://spark.apache.org/docs/latest"))
           graft.functions.InterleaveBits(exprs(0), exprs(1))
+        }),
+      (FunctionIdentifier("hilbert_index"),
+        info("hilbert_index",
+          "hilbert_index(x, y) - order-16 Hilbert-curve index of two 16-bit values"),
+        (exprs: Seq[Expression]) => {
+          if (exprs.length != 2)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> "`hilbert_index`",
+                "expectedNum" -> "2",
+                "actualNum" -> exprs.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          graft.functions.HilbertIndex(exprs(0), exprs(1))
         })
     )
 

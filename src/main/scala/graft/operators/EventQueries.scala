@@ -24,6 +24,11 @@ object EventQueries {
   /** Fixed power-iteration rounds for ev_markov_stationary. */
   val MarkovPowerRounds = 4
 
+  /** Haar pyramid depth for ev_haar_energy (level l pairs
+    * 2^(l−1)-hour sums).
+    */
+  val HaarLevels = 5
+
   // ---- public attribution API (aliased on graft.Graft) ----
 
   /** Position-based (U-shaped) multi-touch attribution: every row of
@@ -272,6 +277,48 @@ object EventQueries {
           .localCheckpoint(false)
       }
       pi.orderBy("state")
+    }),
+
+    // HAAR DETAIL SPECTRUM — which TIMESCALE carries the variation:
+    // 5 levels of the unnormalized Haar transform over each type's
+    // zero-filled hourly series (level l pairs 2^(l-1)-hour sums:
+    // s = a+b carries up, d = a−b is the detail), reporting per level
+    // the L1 detail mass Σ|d| — a spiky hourly pattern loads level 1,
+    // a day-night cycle loads the 8/16-hour levels. All integer adds/
+    // subtracts (L1, not L2, so no square can overflow at any corpus
+    // size); odd tails pair with zero. Each level is one
+    // (type, t DIV 2) aggregation over the calendar-bounded frame,
+    // checkpointed so the 5-round loop keeps a flat plan; only the
+    // initial hourly count touches data. Oracle unrolls the same
+    // pyramid.
+    "ev_haar_energy" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hourly.groupBy("event_type")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      var lvl = spine.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"),
+          (row_number().over(w) - 1).cast("long").as("t"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .localCheckpoint(false)
+      val energies = (1 to HaarLevels).map { l =>
+        val paired = lvl.groupBy(col("event_type"),
+            expr("t DIV 2").as("t"))
+          .agg(sum(when(expr("t % 2") === 0, col("n")).otherwise(0L)).as("a"),
+            sum(when(expr("t % 2") === 1, col("n")).otherwise(0L)).as("b"))
+          .localCheckpoint(false)
+        val e = paired.groupBy("event_type")
+          .agg(sum(abs(col("a") - col("b"))).as("l1_detail"))
+          .select(col("event_type"), lit(l).as("level"), col("l1_detail"))
+        lvl = paired.select(col("event_type"), col("t"),
+          (col("a") + col("b")).as("n"))
+        e
+      }
+      energies.reduce(_ unionAll _).orderBy("event_type", "level")
     }),
 
     // SEASONAL PROFILE — the (day-of-week × hour-of-day) occupancy
@@ -1206,6 +1253,42 @@ object EventQueries {
          |        FROM s0),
          |$rounds
          |SELECT state, pim FROM pi$MarkovPowerRounds ORDER BY state""".stripMargin
+    },
+    // The same pyramid unrolled: p_l pairs level l−1, e_l reads the
+    // detail mass, lvl_l carries the sums up.
+    "ev_haar_energy" -> {
+      val rounds = (1 to HaarLevels).map { l =>
+        s"""p$l AS (
+           |  SELECT event_type, t // 2 AS tp,
+           |    CAST(sum(CASE WHEN t % 2 = 0 THEN n ELSE 0 END) AS BIGINT) AS a,
+           |    CAST(sum(CASE WHEN t % 2 = 1 THEN n ELSE 0 END) AS BIGINT) AS b
+           |  FROM lvl${l - 1} GROUP BY 1, 2),
+           |e$l AS (SELECT event_type, $l AS level,
+           |          CAST(sum(abs(a - b)) AS BIGINT) AS l1_detail
+           |        FROM p$l GROUP BY 1),
+           |lvl$l AS (SELECT event_type, tp AS t, a + b AS n FROM p$l)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to HaarLevels).map(l => s"SELECT * FROM e$l")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    count(*)::BIGINT AS n
+         |  FROM events GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT event_type,
+         |    unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+         |  FROM hourly GROUP BY event_type),
+         |lvl0 AS (
+         |  SELECT s.event_type,
+         |    CAST(row_number() OVER (PARTITION BY s.event_type
+         |      ORDER BY s.hour) - 1 AS BIGINT) AS t,
+         |    COALESCE(h.n, 0)::BIGINT AS n
+         |  FROM spine s LEFT JOIN hourly h
+         |    ON s.event_type = h.event_type AND s.hour = h.hour),
+         |$rounds
+         |SELECT event_type, CAST(level AS INT) AS level, l1_detail FROM (
+         |  $union)
+         |ORDER BY event_type, level""".stripMargin
     },
     "ev_seasonal_profile" ->
       """WITH cells AS (

@@ -411,6 +411,29 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_haar_energy equals a replayed Haar pyramid") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val want = hourly.groupBy(_._1).flatMap { case (et, rows) =>
+      val byHour = rows.map(r => r._2 -> r._3).toMap
+      val h0 = rows.map(_._2).min; val h1 = rows.map(_._2).max
+      var series = (h0 to h1 by 3600000L).map(t => byHour.getOrElse(t, 0L))
+      (1 to operators.EventQueries.HaarLevels).map { l =>
+        val paired = series.grouped(2).map { g =>
+          val a = g.head; val b = if (g.length > 1) g(1) else 0L
+          (a + b, math.abs(a - b))
+        }.toVector
+        series = paired.map(_._1)
+        (et, l, paired.map(_._2).sum)
+      }
+    }.toSet
+    val got = run("ev_haar_energy").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want, s"extra ${(got -- want).take(3)}, missing ${(want -- got).take(3)}")
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
