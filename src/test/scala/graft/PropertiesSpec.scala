@@ -271,6 +271,17 @@ class PropertiesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("interleave_bits"),
       s"unexpected arity error: ${err.getMessage}")
     assert(!err.isInstanceOf[IndexOutOfBoundsException])
+    // hilbert_index: same SQL surface, same arity contract, and the
+    // SQL value agrees with the object loop
+    val viaHSql = spark.sql("SELECT hilbert_index(x, y) FROM zpts")
+      .collect().map(_.getLong(0))
+    assert(viaHSql.toSeq ==
+      pts.map { case (x, y) => graft.functions.HilbertIndex.xy2d(x, y) })
+    val herr = intercept[Exception] {
+      spark.sql("SELECT hilbert_index(x) FROM zpts").collect()
+    }
+    assert(herr.getMessage.contains("hilbert_index"))
+    assert(!herr.isInstanceOf[IndexOutOfBoundsException])
   }
 
   test("property: CDC chunking is a deterministic partition with bounded chunks") {
