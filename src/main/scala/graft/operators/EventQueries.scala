@@ -279,6 +279,28 @@ object EventQueries {
       pi.orderBy("state")
     }),
 
+    // SESSION-DURATION PERCENTILES — the operational readout on top
+    // of the session operator: exact p50/p90/p99 of per-session
+    // dwell (max ts − min ts within each merged 30-min-gap session,
+    // integer seconds), selected by the radix engine over the
+    // session frame. Durations come from the REAL session_window
+    // operator (not a re-derivation), checkpointed so the radix
+    // passes re-filter a materialized frame instead of re-running
+    // session merging per pass.
+    "ev_session_quantiles" -> ((s, dir) => {
+      val durs = Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .select(expr(
+          "CAST((unix_micros(t1) - unix_micros(t0)) DIV 1000000 AS DOUBLE)")
+          .as("v"))
+        .localCheckpoint(false)
+      QuantileQueries.kthValues(s, durs, "v", Seq(
+        "p50" -> ((n: Long) => (n + 1) / 2),
+        "p90" -> ((n: Long) => (9 * n + 9) / 10),
+        "p99" -> ((n: Long) => (99 * n + 99) / 100)))
+    }),
+
     // HAAR DETAIL SPECTRUM — which TIMESCALE carries the variation:
     // 5 levels of the unnormalized Haar transform over each type's
     // zero-filled hourly series (level l pairs 2^(l-1)-hour sums:
@@ -1254,6 +1276,36 @@ object EventQueries {
          |$rounds
          |SELECT state, pim FROM pi$MarkovPowerRounds ORDER BY state""".stripMargin
     },
+    // The ev_session_window island derivation, read out as duration
+    // ranks (k-th VALUE over an explicit row_number at oracle scale).
+    "ev_session_quantiles" ->
+      """WITH islands AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev_us IS NULL
+        |                OR epoch_us(ts) - prev_us >= 1800 * 1000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM (SELECT user_id, ts, event_id,
+        |                 lag(epoch_us(ts), 1) OVER
+        |                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |          FROM events))),
+        |durs AS (
+        |  SELECT CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+        |    AS DOUBLE) AS v
+        |  FROM islands GROUP BY user_id, island),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM durs)
+        |SELECT stat, value FROM (
+        |  SELECT 'p50' AS stat, v AS value FROM o WHERE rn = (n + 1) // 2
+        |  UNION ALL
+        |  SELECT 'p90', v FROM o WHERE rn = (9 * n + 9) // 10
+        |  UNION ALL
+        |  SELECT 'p99', v FROM o WHERE rn = (99 * n + 99) // 100)
+        |ORDER BY stat""".stripMargin,
     // The same pyramid unrolled: p_l pairs level l−1, e_l reads the
     // detail mass, lvl_l carries the sums up.
     "ev_haar_energy" -> {

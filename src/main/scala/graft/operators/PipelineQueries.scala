@@ -868,6 +868,38 @@ object PipelineQueries {
         .orderBy("h_bucket")
     }),
 
+    // CURVE SHOOTOUT — the evaluation that justifies choosing between
+    // the two layout keys ON THIS WORKLOAD: for each curve, group the
+    // same (user, minute) cells by the 12-bit key prefix and measure
+    // per-bucket dimension spans (smaller total span = tighter
+    // clustering = fewer files touched by a range filter). Both
+    // curves share the quad-tree span BOUND (< 2¹⁰, pinned in
+    // ScaleSpec); this report measures the realized spans, which the
+    // Hilbert curve's seam-free walk typically tightens. Pure integer
+    // mins/maxes over the ≤2¹²-bucket frames.
+    "pipe_curve_compare" -> ((s, dir) => {
+      val x = col("user_id").bitwiseAND(lit(65535L))
+      val y = expr("unix_micros(ts) DIV 60000000").bitwiseAND(lit(65535L))
+      def leg(name: String, key: org.apache.spark.sql.Column) =
+        Tables.events(s, dir)
+          .select(x.as("x"), y.as("y"), key.as("k"))
+          .groupBy(shiftright(col("k"), 20).as("bucket"))
+          .agg((max(col("x")) - min(col("x"))).as("su"),
+            (max(col("y")) - min(col("y"))).as("sm"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("su")).as("sum_user_span"),
+            max(col("su")).as("max_user_span"),
+            sum(col("sm")).as("sum_minute_span"),
+            max(col("sm")).as("max_minute_span"))
+          .select(lit(name).as("curve"), col("n_buckets"),
+            col("sum_user_span"), col("max_user_span"),
+            col("sum_minute_span"), col("max_minute_span"))
+      leg("hilbert", graft.functions.HilbertIndex.hilbert_index(x, y))
+        .unionAll(leg("zorder",
+          graft.functions.InterleaveBits.interleave_bits(x, y)))
+        .orderBy("curve")
+    }),
+
     // C4/Gopher-style heuristic filter battery (Raffel et al. 2020 §2.2;
     // Rae et al. 2021 A1.1) — the rule sieve every web corpus passes
     // before any model-based scoring. Six deterministic rules, each
@@ -1283,6 +1315,43 @@ object PipelineQueries {
          |  min(x) AS min_user, max(x) AS max_user,
          |  min(y) AS min_min16, max(y) AS max_min16
          |FROM zv GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    },
+    // Both curve chains over ONE events CTE; spans off the carried
+    // original coordinates.
+    "pipe_curve_compare" -> {
+      val zSql = (0 until 16).map(i =>
+        s"((((x0 >> $i) & 1) << ${2 * i}) | (((y0 >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" |\n      ")
+      s"""WITH h0 AS (
+         |  SELECT user_id & 65535 AS x0,
+         |    (epoch_us(ts) // 60000000) & 65535 AS y0,
+         |    user_id & 65535 AS x,
+         |    (epoch_us(ts) // 60000000) & 65535 AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM events),
+         |${graft.functions.HilbertIndex.unrolledSql("x0, y0")},
+         |hb AS (
+         |  SELECT d >> 20 AS bucket,
+         |    max(x0) - min(x0) AS su, max(y0) - min(y0) AS sm
+         |  FROM h16 GROUP BY 1),
+         |zb AS (
+         |  SELECT z >> 20 AS bucket,
+         |    max(x0) - min(x0) AS su, max(y0) - min(y0) AS sm
+         |  FROM (SELECT x0, y0,
+         |      $zSql AS z
+         |    FROM h0) GROUP BY 1),
+         |hl AS (SELECT 'hilbert' AS curve, count(*)::BIGINT AS n_buckets,
+         |         CAST(sum(su) AS BIGINT) AS sum_user_span,
+         |         CAST(max(su) AS BIGINT) AS max_user_span,
+         |         CAST(sum(sm) AS BIGINT) AS sum_minute_span,
+         |         CAST(max(sm) AS BIGINT) AS max_minute_span
+         |       FROM hb),
+         |zl AS (SELECT 'zorder', count(*)::BIGINT,
+         |         CAST(sum(su) AS BIGINT), CAST(max(su) AS BIGINT),
+         |         CAST(sum(sm) AS BIGINT), CAST(max(sm) AS BIGINT)
+         |       FROM zb)
+         |SELECT * FROM hl UNION ALL SELECT * FROM zl
+         |ORDER BY curve""".stripMargin
     },
     // The 16 unrolled Hilbert rounds come from HilbertIndex.unrolledSql
     // — the same object the codegen loop lives in. d accumulates past

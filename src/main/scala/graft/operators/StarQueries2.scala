@@ -232,6 +232,48 @@ object StarQueries2 {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // NOT IN vs NOT EXISTS under NULLs — the three-valued-logic
+    // correctness surface every migration trips over: a NOT IN whose
+    // subquery contains one NULL can never be TRUE (x <> NULL is
+    // UNKNOWN), so the NOT IN leg counts ZERO rows while the
+    // NOT EXISTS leg counts the genuinely unmatched orders. Both
+    // engines must agree on all three counts — the anti-join
+    // rewrite (NullAwareAntiJoin in Spark) has to preserve 3VL, and
+    // this row pins that it does.
+    "q_not_in_null" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("ni_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("ni_orders")
+      s.sql(
+        """WITH keys AS (
+          |  SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+          |              ELSE c_custkey END AS k
+          |  FROM ni_customer),
+          |a AS (SELECT count(*) AS n_not_in FROM ni_orders
+          |      WHERE o_custkey NOT IN (SELECT k FROM keys)),
+          |b AS (SELECT count(*) AS n_not_exists FROM ni_orders o
+          |      WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = o.o_custkey)),
+          |c AS (SELECT count(*) AS n_null_keys FROM keys WHERE k IS NULL)
+          |SELECT a.n_not_in, b.n_not_exists, c.n_null_keys
+          |FROM a, b, c""".stripMargin)
+    }),
+
+    // RELATIONAL DIVISION (Codd's ÷): "users who performed EVERY
+    // event type" — the universal-quantification operator no single
+    // join expresses. Computed the scale-right way: per-user distinct
+    // type counts against the broadcast global type count (divide by
+    // counting, not by set subtraction — one aggregation + one
+    // broadcast compare instead of the textbook double NOT EXISTS).
+    "q_rel_division" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val total = ev.agg(count_distinct(col("event_type")).as("n_types"))
+      ev.groupBy("user_id")
+        .agg(count_distinct(col("event_type")).as("u_types"))
+        .crossJoin(broadcast(total))
+        .filter(col("u_types") === col("n_types"))
+        .select(col("user_id"))
+        .orderBy("user_id")
+    }),
+
     // Semi-structured ingestion through Spark 4's VARIANT type: build a
     // nested JSON envelope around each event's raw `props` payload,
     // `parse_json` it ONCE into a variant, and extract typed fields by
@@ -589,6 +631,24 @@ object StarQueries2 {
   private val dsumSql = OracleSql.dsum _
 
   val oracleSql: Map[String, String] = Map(
+    "q_not_in_null" ->
+      """WITH keys AS (
+        |  SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+        |              ELSE c_custkey END AS k
+        |  FROM customer),
+        |a AS (SELECT count(*)::BIGINT AS n_not_in FROM orders
+        |      WHERE o_custkey NOT IN (SELECT k FROM keys)),
+        |b AS (SELECT count(*)::BIGINT AS n_not_exists FROM orders o
+        |      WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = o.o_custkey)),
+        |c AS (SELECT count(*)::BIGINT AS n_null_keys FROM keys WHERE k IS NULL)
+        |SELECT a.n_not_in, b.n_not_exists, c.n_null_keys
+        |FROM a, b, c""".stripMargin,
+    "q_rel_division" ->
+      """SELECT user_id FROM events
+        |GROUP BY user_id
+        |HAVING count(DISTINCT event_type) =
+        |  (SELECT count(DISTINCT event_type) FROM events)
+        |ORDER BY user_id""".stripMargin,
     "q_mode" ->
       """SELECT l_returnflag, mode_qty, n_rows FROM (
         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty,

@@ -434,6 +434,48 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got == want, s"extra ${(got -- want).take(3)}, missing ${(want -- got).take(3)}")
   }
 
+  test("q_not_in_null pins three-valued logic: NOT IN with a NULL is empty") {
+    val r = run("q_not_in_null").collect().head
+    assert(r.getLong(0) == 0L, "NOT IN over a NULL-bearing set can never be TRUE")
+    assert(r.getLong(2) > 0L, "the subquery must actually contain NULLs")
+    assert(r.getLong(1) > 0L, "NOT EXISTS must still find the unmatched orders")
+  }
+
+  test("q_rel_division equals the brute-force universal quantifier") {
+    val ev = Tables.events(spark, sf).select("user_id", "event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val allTypes = ev.map(_._2).toSet
+    val want = ev.groupBy(_._1).filter(_._2.map(_._2).toSet == allTypes)
+      .keySet
+    val got = run("q_rel_division").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
+  test("ev_session_quantiles: ranks drawn from real session durations") {
+    val durs = Tables.events(spark, sf)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg((expr("unix_micros(max(ts)) - unix_micros(min(ts))") / 1000000L)
+        .cast("long").as("d"))
+      .collect().map(_.getLong(2)).sorted
+    val got = run("ev_session_quantiles").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def kth(k: Long) = durs((k - 1).toInt).toDouble
+    val n = durs.length.toLong
+    assert(got("p50") == kth((n + 1) / 2))
+    assert(got("p90") == kth((9 * n + 9) / 10))
+    assert(got("p99") == kth((99 * n + 99) / 100))
+  }
+
+  test("pipe_curve_compare: both curves respect the quad-tree span bound") {
+    val rows = run("pipe_curve_compare").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("hilbert", "zorder"))
+    rows.foreach { r =>
+      assert(r.getLong(3) < 1024L, s"${r.getString(0)} max user span")
+      assert(r.getLong(5) < 1024L, s"${r.getString(0)} max minute span")
+      assert(r.getLong(1) > 0L)
+    }
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
