@@ -279,6 +279,62 @@ object EventQueries {
       pi.orderBy("state")
     }),
 
+    // ASSOCIATION RULES over user behavior — market-basket mining at
+    // the user × event-type level: for every ordered type pair A→B,
+    // support (users with both / all users), confidence (both / A)
+    // and lift ((both·N) / (nA·nB)) in integer ppm — the Apriori
+    // readout with the basket = a user's distinct type set. Scale:
+    // the incidence frame is distinct (user, type) — co-partitioned
+    // self-join on user_id produces ≤ types² rows per user map-side,
+    // and every downstream frame is types²-bounded. lift_ppm's
+    // nAB·N·10⁶ stays in BIGINT for corpora to ~10⁸ users per the
+    // headroom note; beyond that the ppm basis drops a digit.
+    "ev_assoc_rules" -> ((s, dir) => {
+      val inc = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(false)
+      val nUsers = inc.select("user_id").distinct().count()
+      val typeN = inc.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val pairs = inc.as("a")
+        .join(inc.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("ante"),
+          col("b.event_type").as("cons"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(typeN.select(col("event_type").as("ante"),
+          col("n").as("n_ante"))), "ante")
+        .join(broadcast(typeN.select(col("event_type").as("cons"),
+          col("n").as("n_cons"))), "cons")
+        .select(col("ante"), col("cons"), col("n_both"),
+          col("n_ante"), col("n_cons"),
+          expr(s"n_both * 1000000 DIV $nUsers").as("support_ppm"),
+          expr("n_both * 1000000 DIV n_ante").as("confidence_ppm"),
+          expr(s"(n_both * $nUsers * 1000000) DIV (n_ante * n_cons)")
+            .as("lift_ppm"))
+        .orderBy("ante", "cons")
+    }),
+
+    // ID-SEQUENCE GAP CENSUS — the data-quality scan that finds holes
+    // in a supposedly-dense key sequence (dropped loads, failed
+    // partitions): per 4096-key block, present count vs the block's
+    // observed [min, max] span — interior missing keys = span −
+    // present. NO window and no sort anywhere: one map-side-combined
+    // aggregation on key DIV 4096, so the census costs one scan at
+    // any scale (the two-phase alternative every lag()-based gap
+    // detector needs is simply unnecessary). Blocks with no interior
+    // gaps report 0 rows of loss; the report keeps every block so
+    // totals reconcile.
+    "q_sequence_gaps" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(expr("o_orderkey DIV 4096").as("block"))
+        .agg(count(lit(1)).as("n_present"),
+          min(col("o_orderkey")).as("lo"),
+          max(col("o_orderkey")).as("hi"))
+        .withColumn("n_missing", expr("hi - lo + 1 - n_present"))
+        .orderBy("block")
+    }),
+
     // SESSION-DURATION PERCENTILES — the operational readout on top
     // of the session operator: exact p50/p90/p99 of per-session
     // dwell (max ts − min ts within each merged 30-min-gap session,
@@ -1276,6 +1332,35 @@ object EventQueries {
          |$rounds
          |SELECT state, pim FROM pi$MarkovPowerRounds ORDER BY state""".stripMargin
     },
+    "ev_assoc_rules" ->
+      """WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM inc),
+        |tn AS (SELECT event_type, count(*)::BIGINT AS n FROM inc GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS ante, b.event_type AS cons,
+        |    count(*)::BIGINT AS n_both
+        |  FROM inc a JOIN inc b
+        |    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.ante, p.cons, p.n_both,
+        |  ta.n AS n_ante, tc.n AS n_cons,
+        |  CAST(p.n_both * 1000000 // nu.n_users AS BIGINT) AS support_ppm,
+        |  CAST(p.n_both * 1000000 // ta.n AS BIGINT) AS confidence_ppm,
+        |  CAST((p.n_both * nu.n_users * 1000000) // (ta.n * tc.n) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pairs p
+        |JOIN tn ta ON p.ante = ta.event_type
+        |JOIN tn tc ON p.cons = tc.event_type
+        |CROSS JOIN nu
+        |ORDER BY ante, cons""".stripMargin,
+    "q_sequence_gaps" ->
+      """SELECT o_orderkey // 4096 AS block,
+        |  count(*)::BIGINT AS n_present,
+        |  CAST(min(o_orderkey) AS BIGINT) AS lo,
+        |  CAST(max(o_orderkey) AS BIGINT) AS hi,
+        |  CAST(max(o_orderkey) - min(o_orderkey) + 1 - count(*) AS BIGINT)
+        |    AS n_missing
+        |FROM orders GROUP BY 1 ORDER BY block""".stripMargin,
     // The ev_session_window island derivation, read out as duration
     // ranks (k-th VALUE over an explicit row_number at oracle scale).
     "ev_session_quantiles" ->

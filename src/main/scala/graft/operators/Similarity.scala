@@ -547,6 +547,24 @@ object Similarity {
         .join(v.as("c"), col("q.vec_id") =!= col("c.vec_id")))
     }),
 
+    // FILTERED vector search — the metadata-predicate + ANN
+    // composition every vector store fights over (pre- vs
+    // post-filtering): here the filter (vec_id ≡ 0 mod 3, standing in
+    // for any attribute predicate) applies BEFORE ranking, so top-k
+    // is exact over the eligible subset — no recall cliff from
+    // post-filtering a fixed candidate pool. At 100 TB the predicate
+    // pushes into the candidate scan (partition/zone pruning) and the
+    // IVF variant intersects it per cell; the plan here is the
+    // brute-force leg with the filter in the join condition.
+    "ss_filtered_topk" -> ((s, dir) => {
+      val v = vecs(s, dir)
+      val q = v.filter(col("vec_id") < NumQueries)
+      topk(broadcast(q).as("q")
+        .join(v.as("c"),
+          col("q.vec_id") =!= col("c.vec_id") &&
+            col("c.vec_id") % 3 === 0))
+    }),
+
     // LSH-bucketed ANN: candidates restricted to the query's bucket.
     "ss_lsh_topk" -> ((s, dir) => {
       val v = vecs(s, dir)
@@ -1782,6 +1800,8 @@ object Similarity {
          |      UNION ALL SELECT * FROM s3)
          |ORDER BY qid, rk""".stripMargin,
     "ss_bruteforce_topk" -> topkSql("q.vec_id <> c.vec_id"),
+    "ss_filtered_topk" ->
+      topkSql("q.vec_id <> c.vec_id AND c.vec_id % 3 = 0"),
     "ss_lsh_topk" -> topkSql("q.bucket = c.bucket AND q.vec_id <> c.vec_id"),
     // Aggregated top-k must produce exactly the window form's rows.
     "ss_topk_agg" -> topkSql("q.vec_id <> c.vec_id"),

@@ -476,6 +476,49 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_assoc_rules: symmetric counts, confidence bounds, lift identity") {
+    val rows = run("ev_assoc_rules").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    rows.foreach { case ((a, b), (both, na, nb, sup, conf, lift)) =>
+      assert(both <= na && both <= nb, s"$a->$b counts")
+      // n_both is symmetric; support too
+      assert(rows((b, a))._1 == both, s"$a->$b asymmetric n_both")
+      assert(sup == both * 1000000L / nUsers)
+      assert(conf == both * 1000000L / na)
+      assert(lift == both * nUsers * 1000000L / (na * nb))
+      // lift is symmetric by the identity
+      assert(rows((b, a))._6 == lift, s"$a->$b asymmetric lift")
+    }
+  }
+
+  test("q_sequence_gaps reconciles with the total key census") {
+    val rows = run("q_sequence_gaps").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "present counts must sum to the table")
+    rows.foreach { case (blk, n, lo, hi, miss) =>
+      assert(lo / 4096 == blk && hi / 4096 == blk, s"block $blk bounds")
+      assert(miss == hi - lo + 1 - n && miss >= 0, s"block $blk gap math")
+    }
+  }
+
+  test("ss_filtered_topk: every hit satisfies the predicate; subset of eligible") {
+    val rows = run("ss_filtered_topk").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cand = r.getAs[Number]("vec_id").longValue
+      assert(cand % 3 == 0, s"candidate $cand violates the filter")
+    }
+    // per query at most K hits, ranks contiguous from 1
+    rows.groupBy(_.getAs[Number]("query_id").intValue).foreach { case (q, g) =>
+      val rks = g.map(_.getAs[Int]("rn")).sorted
+      assert(rks.toList == (1 to rks.length).toList, s"query $q ranks")
+    }
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
