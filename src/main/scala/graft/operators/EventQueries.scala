@@ -279,6 +279,33 @@ object EventQueries {
       pi.orderBy("state")
     }),
 
+    // ACTIVITY GINI — how concentrated is the workload across users
+    // (the bot/whale skew number ev_skew_profile's top-k view can't
+    // summarize): the exact Gini coefficient computed from the
+    // COUNT-OF-COUNTS histogram, never a sorted user list — for a
+    // value block of m users at count v after cumb users, the rank
+    // sum closed-form makes 2·Σrank·x = Σ v·m·(2·cumb + m + 1), so
+    // G = (that − (n+1)·S) / (n·S) is a ratio of two exact integers.
+    // The one unpartitioned window runs over the VALUE-bounded
+    // histogram (distinct per-user counts). gini_ppm headroom: g_num
+    // ≤ 2·S·n — inside BIGINT·10⁶ to ~10⁹ events; beyond, report the
+    // integer pair and divide at read.
+    "ev_gini" -> ((s, dir) => {
+      val hist = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("m"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("cumb", coalesce(sum(col("m")).over(w), lit(0L)))
+        .agg(sum(expr("c * m * (2 * cumb + m + 1)")).as("tsr"),
+          sum(expr("c * m")).as("s"), sum(col("m")).as("n"))
+        .select(col("n").as("n_users"), col("s").as("total_events"),
+          (col("tsr") - (col("n") + 1) * col("s")).as("g_num"),
+          (col("n") * col("s")).as("g_den"))
+        .withColumn("gini_ppm", expr("g_num * 1000000 DIV g_den"))
+    }),
+
     // ASSOCIATION RULES over user behavior — market-basket mining at
     // the user × event-type level: for every ordered type pair A→B,
     // support (users with both / all users), confidence (both / A)
@@ -1332,6 +1359,26 @@ object EventQueries {
          |$rounds
          |SELECT state, pim FROM pi$MarkovPowerRounds ORDER BY state""".stripMargin
     },
+    "ev_gini" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1),
+        |hist AS (SELECT c, count(*)::BIGINT AS m FROM counts GROUP BY 1),
+        |cum AS (
+        |  SELECT c, m,
+        |    CAST(COALESCE(sum(m) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cumb
+        |  FROM hist),
+        |agg AS (
+        |  SELECT CAST(sum(c * m * (2 * cumb + m + 1)) AS BIGINT) AS tsr,
+        |    CAST(sum(c * m) AS BIGINT) AS s,
+        |    CAST(sum(m) AS BIGINT) AS n
+        |  FROM cum)
+        |SELECT n AS n_users, s AS total_events,
+        |  CAST(tsr - (n + 1) * s AS BIGINT) AS g_num,
+        |  CAST(n * s AS BIGINT) AS g_den,
+        |  CAST((tsr - (n + 1) * s) * 1000000 // (n * s) AS BIGINT) AS gini_ppm
+        |FROM agg""".stripMargin,
     "ev_assoc_rules" ->
       """WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
         |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM inc),

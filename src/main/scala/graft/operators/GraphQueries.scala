@@ -94,6 +94,42 @@ object GraphQueries {
     (pr.select(col("id"), col("pr")), round)
   }
 
+  /** PERSONALIZED PageRank: identical micro-integer loop, but the
+    * teleport mass returns to the SEED node alone instead of
+    * spreading uniformly — rank becomes proximity TO THE SEED through
+    * the graph ("related documents", the retrieval-side PPR use).
+    * Seed = the smallest node id (deterministic probe); rank of nodes
+    * the seed can't reach within `iters` hops stays 0.
+    */
+  def pprMicro(pairs: DataFrame, iters: Int = Iters): DataFrame = {
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    val seed = deg.agg(min(col("id")).as("seed_id"))
+    var pr = deg.crossJoin(broadcast(seed))
+      .select(col("id"), col("deg"), col("seed_id"),
+        when(col("id") === col("seed_id"), lit(1000000L))
+          .otherwise(lit(0L)).as("pr"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = edges.join(pr, edges("src") === pr("id"))
+        .select(edges("dst").as("id"), expr("pr DIV deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("cs"))
+      pr = pr.select(col("id"), col("deg"), col("seed_id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), col("deg"), col("seed_id"),
+          (when(col("id") === col("seed_id"), lit(JumpMicro))
+            .otherwise(lit(0L)) +
+            expr(s"($DampMicro * coalesce(cs, 0)) DIV 1000000")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("id"), col("pr"))
+  }
+
   /** Directed PageRank with DANGLING-MASS redistribution — the term
     * the undirected variant can legitimately skip (every node there
     * has deg ≥ 1). On a directed edge list, out-degree-0 nodes absorb
@@ -237,6 +273,15 @@ object GraphQueries {
       kcoreMembers(Dedup.verifiedPairs(s, dir, dedup = true)
         .select("doc_a", "doc_b"))),
 
+    // Personalized PageRank from the smallest near-dup node — "which
+    // documents are graph-close to this probe" (seeded expansion, the
+    // retrieval-side PPR use; contrast dd_pagerank's global rank).
+    "dd_ppr_seed" -> ((s, dir) =>
+      pprMicro(
+        Dedup.verifiedPairs(s, dir, dedup = true).select("doc_a", "doc_b"))
+        .select(col("id").as("doc_id"), col("pr").as("ppr_micro"))
+        .orderBy("doc_id")),
+
     // Directed projection of the near-dup graph: each verified pair
     // points doc_a → doc_b ("earlier doc endorses later duplicate").
     // Because doc_a < doc_b always holds, every component's maximum
@@ -336,6 +381,34 @@ object GraphQueries {
       s"""WITH ${undirectedPrSql(Dedup.ngramJaccardPairsSql)}
          |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_micro
          |FROM pr$Iters ORDER BY doc_id""".stripMargin,
+    // Same edge/deg chain; teleport mass returns to the min-id seed.
+    "dd_ppr_seed" -> {
+      def round(prev: String, next: String) =
+        s"""$next AS MATERIALIZED (
+           |  SELECT d.id, d.deg,
+           |    CASE WHEN d.id = (SELECT seed FROM seed)
+           |         THEN $JumpMicro ELSE 0 END
+           |      + ($DampMicro * COALESCE(c.cs, 0)) // 1000000 AS pr
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.pr // p.deg) AS cs
+           |    FROM edges e JOIN $prev p ON e.src = p.id
+           |    GROUP BY e.dst) c ON d.id = c.id)""".stripMargin
+      s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+         |seed AS (SELECT min(id) AS seed FROM deg),
+         |ppr0 AS (
+         |  SELECT id, deg,
+         |    CASE WHEN id = (SELECT seed FROM seed)
+         |         THEN 1000000 ELSE 0 END AS pr
+         |  FROM deg),
+         |${(1 to Iters).map(i => round(s"ppr${i - 1}", s"ppr$i")).mkString(",\n")}
+         |SELECT id AS doc_id, CAST(pr AS BIGINT) AS ppr_micro
+         |FROM ppr$Iters ORDER BY doc_id""".stripMargin
+    },
     "dd_pagerank_directed" ->
       s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql}),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),

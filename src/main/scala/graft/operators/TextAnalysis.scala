@@ -770,6 +770,26 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // TOKEN BURSTINESS (Church & Gale): content words CLUMP — when a
+    // document mentions a topic word it mentions it repeatedly —
+    // while function words spread evenly. burst = tf/df (mean
+    // occurrences per containing doc, exact micro-integer) separates
+    // the two: high burst = topical/template vocabulary (the term
+    // worth indexing or the boilerplate worth killing), burst ≈ 1 =
+    // glue. Support floor tf ≥ 10 keeps hapax noise out; top-25 rides
+    // a TakeOrdered bounded heap over the vocab-bounded stats frame.
+    "ta_burstiness" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("w").agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+          max(col("c")).as("max_in_doc"))
+        .filter(col("tf") >= 10)
+        .withColumn("burst_micro", expr("tf * 1000000 DIV df"))
+        .orderBy(col("burst_micro").desc, col("w").asc)
+        .limit(25)
+    }),
+
     // CODE-VS-PROSE DETECTION — the training-mix router every LLM
     // corpus needs before language-specific handling: integer counts
     // of code-significant characters (braces/semicolons/operators)
@@ -1162,6 +1182,20 @@ object TextAnalysis {
         |  CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
         |    AS INT) AS max_sent_chars
         |FROM s ORDER BY doc_id""".stripMargin,
+    "ta_burstiness" ->
+      s"""WITH per_doc AS (
+         |  SELECT doc_id, w, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, unnest(${OracleSql.toks}) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT w, count(*)::BIGINT AS df,
+         |    CAST(sum(c) AS BIGINT) AS tf,
+         |    CAST(max(c) AS BIGINT) AS max_in_doc
+         |  FROM per_doc GROUP BY 1)
+         |SELECT w, df, tf, max_in_doc,
+         |  CAST(tf * 1000000 // df AS BIGINT) AS burst_micro
+         |FROM stats WHERE tf >= 10
+         |ORDER BY burst_micro DESC, w ASC LIMIT 25""".stripMargin,
     "ta_code_detect" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,

@@ -519,6 +519,54 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_gini equals the classic sorted-rank formula") {
+    val counts = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("c")).collect().map(_.getLong(1)).sorted
+    val n = counts.length.toLong
+    val s = counts.sum
+    val num = 2L * counts.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum -
+      (n + 1) * s
+    val r = run("ev_gini").collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == s)
+    assert(r.getLong(2) == num && r.getLong(3) == n * s)
+    assert(r.getLong(4) == num * 1000000L / (n * s))
+  }
+
+  test("ta_burstiness equals a brute-force tf/df top-25") {
+    val perDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").count().collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val want = perDoc.groupBy(_._1).map { case (w, g) =>
+      (w, g.length.toLong, g.map(_._2).sum, g.map(_._2).max)
+    }.filter(_._3 >= 10L)
+      .map { case (w, df, tf, mx) => (w, df, tf, mx, tf * 1000000L / df) }
+      .toSeq.sortBy(t => (-t._5, t._1)).take(25)
+    val got = run("ta_burstiness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
+  test("dd_ppr_seed: seed ranks first; unreachable nodes stay at zero") {
+    val rows = run("dd_ppr_seed").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    val seed = rows.map(_._1).min
+    val seedRank = rows.toMap.apply(seed)
+    assert(rows.forall(_._2 <= seedRank),
+      "teleporting all jump mass to the seed must rank it first")
+    assert(rows.map(_._2).sum <= 1000000L, "mass never exceeds the unit")
+    // the global rank (dd_pagerank) spreads mass everywhere — PPR must
+    // concentrate: some node outside the seed's component sits at 0
+    // unless the graph is one component
+    val zeros = rows.count(_._2 == 0L)
+    val nonzero = rows.count(_._2 > 0L)
+    assert(nonzero >= 1)
+    assert(zeros + nonzero == rows.length)
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
