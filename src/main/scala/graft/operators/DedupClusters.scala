@@ -248,30 +248,46 @@ object DedupClusters {
     // ties and the min-label tie-break converges both ends.
     "dd_label_prop" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val pairs = Dedup.verifiedPairs(s, dir, dedup = true)
-        .select("doc_a", "doc_b")
-      val sym = pairs.select(explode(array(
-          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val edges = sym.unionAll(
-          sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
-        .localCheckpoint(false)
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-      for (_ <- 1 to LpaRounds) {
-        val cnt = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-        val best = cnt.groupBy("src").agg(max(col("c")).as("c"))
-        labels = cnt.join(best, Seq("src", "c"))
-          .groupBy("src", "c").agg(min(col("lbl")).as("lbl"))
-          .select(col("src").as("id"), col("lbl"))
-          .localCheckpoint(true) // eager: cut lineage per round
-      }
       val w = Window.partitionBy(col("community_id"))
-      labels.select(col("id").as("doc_id"), col("lbl").as("community_id"))
+      lpaLabels(s, dir)
+        .select(col("id").as("doc_id"), col("lbl").as("community_id"))
         .withColumn("community_size", count(lit(1)).over(w))
         .orderBy("doc_id")
+    }),
+
+    // MODULARITY of the LPA partition — the quality number that makes
+    // community detection falsifiable (Newman): Q = Σ_c (in_c/m −
+    // (tot_c/2m)²), cross-multiplied to the exact integer
+    // q_num_c = 4·m·in_c − tot_c² per community with q_den = 4m²
+    // (the reader's division, like pipe_drift_ks). Components are
+    // maximal, so on this graph Q also reads as the edge-mass
+    // concentration complement — but LPA can SPLIT a weakly-joined
+    // component, and when it does the per-community rows show the cut
+    // (in_c drops below the component's edge count). Headroom:
+    // tot_c² ≤ (2m)², inside BIGINT to m ~ 10⁹ pairs.
+    "dd_modularity" -> ((s, dir) => {
+      val pairs = Dedup.verifiedPairs(s, dir, dedup = true)
+        .select("doc_a", "doc_b").localCheckpoint(false)
+      val m = pairs.count()
+      val lbl = lpaLabels(s, dir)
+      val withL = pairs
+        .join(lbl.select(col("id").as("doc_a"), col("lbl").as("la")), "doc_a")
+        .join(lbl.select(col("id").as("doc_b"), col("lbl").as("lb")), "doc_b")
+      val inC = withL.filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community_id"))
+        .agg(count(lit(1)).as("in_edges"))
+      val deg = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      lbl.join(deg, "id")
+        .groupBy(col("lbl").as("community_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("tot_deg"))
+        .join(inC, Seq("community_id"), "left")
+        .select(col("community_id"), col("n_members"),
+          coalesce(col("in_edges"), lit(0L)).as("in_edges"), col("tot_deg"),
+          (lit(4L * m) * coalesce(col("in_edges"), lit(0L))
+            - col("tot_deg") * col("tot_deg")).as("q_num"))
+        .orderBy("community_id")
     }),
 
     "dd_survivors" -> ((s, dir) => {
@@ -286,6 +302,62 @@ object DedupClusters {
         .orderBy("doc_id")
     })
   )
+
+  /** Synchronous label propagation over the verified-pair graph (with
+    * the one self-loop per node that kills bipartite oscillation):
+    * (id, lbl) after [[LpaRounds]] rounds — shared by dd_label_prop
+    * and dd_modularity.
+    */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.verifiedPairs(s, dir, dedup = true)
+      .select("doc_a", "doc_b")
+    val sym = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = sym.unionAll(
+        sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to LpaRounds) {
+      val cnt = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      val best = cnt.groupBy("src").agg(max(col("c")).as("c"))
+      labels = cnt.join(best, Seq("src", "c"))
+        .groupBy("src", "c").agg(min(col("lbl")).as("lbl"))
+        .select(col("src").as("id"), col("lbl"))
+        .localCheckpoint(true) // eager: cut lineage per round
+    }
+    labels
+  }
+
+  /** The dd_label_prop oracle's CTE chain through l[[LpaRounds]] —
+    * shared with dd_modularity's oracle.
+    */
+  private def lpaChainSql: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""lc$r AS MATERIALIZED (
+         |  SELECT e.src, l.lbl, count(*) AS c
+         |  FROM edges e JOIN l${r - 1} l ON e.dst = l.id GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT src AS id, lbl FROM (
+         |    SELECT src, lbl,
+         |      row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM lc$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""pairs AS MATERIALIZED (${Dedup.ngramJaccardPairsSql}),
+       |sym AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM sym
+       |  UNION ALL
+       |  SELECT DISTINCT src, src AS dst FROM sym),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+       |$rounds""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     // Same clusters from first principles: transitive closure with a
@@ -312,35 +384,40 @@ object DedupClusters {
     // Unrolled synchronous LPA: lc$r counts neighbor labels, l$r takes
     // the (count desc, label asc) argmax — identical tie-break to the
     // engine's two-aggregate form.
-    "dd_label_prop" -> {
-      val rounds = (1 to LpaRounds).map { r =>
-        s"""lc$r AS MATERIALIZED (
-           |  SELECT e.src, l.lbl, count(*) AS c
-           |  FROM edges e JOIN l${r - 1} l ON e.dst = l.id GROUP BY 1, 2),
-           |l$r AS MATERIALIZED (
-           |  SELECT src AS id, lbl FROM (
-           |    SELECT src, lbl,
-           |      row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) AS rn
-           |    FROM lc$r) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pairs AS MATERIALIZED (${Dedup.ngramJaccardPairsSql}),
-         |sym AS MATERIALIZED (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |edges AS MATERIALIZED (
-         |  SELECT src, dst FROM sym
-         |  UNION ALL
-         |  SELECT DISTINCT src, src AS dst FROM sym),
-         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
-         |$rounds
+    "dd_label_prop" ->
+      s"""WITH $lpaChainSql
          |SELECT l.id AS doc_id, l.lbl AS community_id,
          |  CAST(s.cs AS BIGINT) AS community_size
          |FROM l$LpaRounds l
          |JOIN (SELECT lbl, count(*) AS cs FROM l$LpaRounds GROUP BY 1) s
          |  USING (lbl)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+    // Same chain; modularity pieces off the final labels.
+    "dd_modularity" ->
+      s"""WITH $lpaChainSql,
+         |mm AS (SELECT count(*) AS m FROM pairs),
+         |degs AS (
+         |  SELECT id, count(*)::BIGINT AS deg FROM (
+         |    SELECT doc_a AS id FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs)
+         |  GROUP BY 1),
+         |wl AS (
+         |  SELECT la.lbl AS la, lb.lbl AS lb
+         |  FROM pairs p
+         |  JOIN l$LpaRounds la ON p.doc_a = la.id
+         |  JOIN l$LpaRounds lb ON p.doc_b = lb.id),
+         |inc AS (SELECT la AS community_id, count(*)::BIGINT AS in_edges
+         |        FROM wl WHERE la = lb GROUP BY 1),
+         |tot AS (
+         |  SELECT l.lbl AS community_id, count(*)::BIGINT AS n_members,
+         |    CAST(sum(d.deg) AS BIGINT) AS tot_deg
+         |  FROM l$LpaRounds l JOIN degs d ON l.id = d.id GROUP BY 1)
+         |SELECT t.community_id, t.n_members,
+         |  COALESCE(i.in_edges, 0)::BIGINT AS in_edges, t.tot_deg,
+         |  CAST(4 * (SELECT m FROM mm) * COALESCE(i.in_edges, 0)
+         |    - t.tot_deg * t.tot_deg AS BIGINT) AS q_num
+         |FROM tot t LEFT JOIN inc i USING (community_id)
+         |ORDER BY community_id""".stripMargin,
     "dd_degree_hist" ->
       s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql}),
          |deg AS (

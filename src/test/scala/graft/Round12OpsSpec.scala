@@ -567,6 +567,31 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(zeros + nonzero == rows.length)
   }
 
+  test("dd_modularity: Newman identities hold against the pair graph") {
+    val pairs = SparkEntry.queries("dd_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = pairs.length.toLong
+    val rows = run("dd_modularity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // degree mass: Σ tot_c = 2m; edges partition: Σ in_c ≤ m
+    assert(rows.map(_._4).sum == 2 * m, "total degree must be 2m")
+    assert(rows.map(_._3).sum <= m)
+    rows.foreach { case (c, nm, in, tot, qn) =>
+      assert(qn == 4 * m * in - tot * tot, s"community $c q_num")
+      assert(nm > 0 && tot >= in)
+    }
+    // every pair with both ends in one community is counted there
+    val labels = SparkEntry.queries("dd_label_prop")(spark, sf)
+      .select("doc_id", "community_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantIn = pairs.filter { case (a, b) => labels(a) == labels(b) }
+      .groupBy(p => labels(p._1)).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (c, _, in, _, _) =>
+      assert(wantIn.getOrElse(c, 0L) == in, s"community $c in_edges")
+    }
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
