@@ -770,6 +770,42 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // HEAPS-LAW VOCABULARY GROWTH — how fast the vocabulary grows as
+    // the corpus grows (V ∝ N^β): the curve that sizes tokenizers and
+    // predicts what a 10× crawl buys. Corpus prefixes come from the
+    // md5 first nibble (16 reproducible nested subsets); the trick
+    // that makes the whole curve ONE PASS is attributing each
+    // distinct token to the MINIMUM nibble containing it — the
+    // 16-step cumulative vocabulary is then a running sum over a
+    // 16-row frame instead of 16 distinct-counts. Doc/token masses
+    // accumulate the same way. All integers; windows only over the
+    // 16-row spine.
+    "ta_heaps_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+            .cast("int").as("nib"),
+          tokens(col("text")).as("toks"))
+      val docStats = d.groupBy("nib")
+        .agg(count(lit(1)).as("new_docs"),
+          sum(size(col("toks")).cast("long")).as("new_tokens"))
+      val vocabAt = d.select(col("nib"), explode(col("toks")).as("w"))
+        .groupBy("w").agg(min(col("nib")).as("nib"))
+        .groupBy("nib").agg(count(lit(1)).as("new_vocab"))
+      val spine = s.range(0, 16).select(col("id").cast("int").as("nib"))
+      val w = Window.orderBy(col("nib"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine
+        .join(docStats, Seq("nib"), "left")
+        .join(vocabAt, Seq("nib"), "left")
+        .select(col("nib"),
+          sum(coalesce(col("new_docs"), lit(0L))).over(w).as("n_docs"),
+          sum(coalesce(col("new_tokens"), lit(0L))).over(w).as("n_tokens"),
+          sum(coalesce(col("new_vocab"), lit(0L))).over(w).as("vocab"))
+        .orderBy("nib")
+    }),
+
     // TOKEN BURSTINESS (Church & Gale): content words CLUMP — when a
     // document mentions a topic word it mentions it repeatedly —
     // while function words spread evenly. burst = tf/df (mean
@@ -1182,6 +1218,37 @@ object TextAnalysis {
         |  CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
         |    AS INT) AS max_sent_chars
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Min-nibble attribution makes the cumulative vocabulary a
+    // running sum; spine = range(16) so empty prefixes carry zeros.
+    "ta_heaps_curve" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    strpos('0123456789abcdef',
+         |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib,
+         |    ${OracleSql.toks} AS toks
+         |  FROM documents),
+         |ds AS (
+         |  SELECT nib, count(*)::BIGINT AS new_docs,
+         |    CAST(sum(len(toks)) AS BIGINT) AS new_tokens
+         |  FROM d GROUP BY 1),
+         |va AS (
+         |  SELECT nib, count(*)::BIGINT AS new_vocab FROM (
+         |    SELECT w, min(nib) AS nib
+         |    FROM (SELECT nib, unnest(toks) AS w FROM d)
+         |    GROUP BY w)
+         |  GROUP BY 1),
+         |spine AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS nib)
+         |SELECT s.nib,
+         |  CAST(sum(COALESCE(ds.new_docs, 0)) OVER (ORDER BY s.nib
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_docs,
+         |  CAST(sum(COALESCE(ds.new_tokens, 0)) OVER (ORDER BY s.nib
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_tokens,
+         |  CAST(sum(COALESCE(va.new_vocab, 0)) OVER (ORDER BY s.nib
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+         |FROM spine s
+         |LEFT JOIN ds ON s.nib = ds.nib
+         |LEFT JOIN va ON s.nib = va.nib
+         |ORDER BY s.nib""".stripMargin,
     "ta_burstiness" ->
       s"""WITH per_doc AS (
          |  SELECT doc_id, w, count(*)::BIGINT AS c

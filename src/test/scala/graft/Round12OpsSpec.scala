@@ -592,6 +592,31 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ta_heaps_curve: monotone, final step equals the whole corpus") {
+    val rows = run("ta_heaps_curve").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toList == (0 to 15).toList)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4,
+          s"curve must be monotone at step ${b._1}")
+      case _ =>
+    }
+    val docs = Tables.documents(spark, sf)
+    val last = rows.last
+    assert(last._2 == docs.count())
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").agg(count_distinct(col("w"))).head().getLong(0)
+    assert(last._4 == vocab, "step 15 vocabulary must be the full corpus's")
+    // each prefix's vocab equals a direct distinct-count on that subset
+    val nib7 = docs
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int") <= 7)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").agg(count_distinct(col("w"))).head().getLong(0)
+    assert(rows(7)._4 == nib7, "min-nibble attribution must equal direct distinct")
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
