@@ -290,6 +290,42 @@ object DedupClusters {
         .orderBy("community_id")
     }),
 
+    // CLUSTER MEDOIDS — which document REPRESENTS each duplicate
+    // cluster: dd_survivors keeps the min doc_id (arbitrary but
+    // reproducible); the medoid keeps the most CENTRAL member — the
+    // one with the highest total similarity to its cluster-mates
+    // (production dedup retains the canonical copy, not the lowest
+    // id). Mass = Σ floor(jaccard·10⁴) over incident verified pairs —
+    // an order-free integer sum of engine-identical doubles floored
+    // (every pair is intra-cluster by construction, components being
+    // maximal). Ties break to the smaller id, so medoid choice is
+    // total. One explode + one co-partitioned aggregation on top of
+    // the pair pipeline; the argmax window partitions by cluster
+    // label (dup clusters are bounded small).
+    "dd_medoid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.verifiedPairs(s, dir, dedup = true)
+        .select(col("doc_a"), col("doc_b"),
+          floor(col("jaccard") * 10000).cast("long").as("jac_bp"))
+        .localCheckpoint(false)
+      val labels = connectedComponents(pairs.select("doc_a", "doc_b"))
+      val mass = pairs.select(explode(array(
+          struct(col("doc_a").as("id"), col("jac_bp")),
+          struct(col("doc_b").as("id"), col("jac_bp")))).as("e"))
+        .select(col("e.id").as("id"), col("e.jac_bp").as("jac_bp"))
+        .groupBy("id").agg(sum(col("jac_bp")).as("mass_bp"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("mass_bp").desc, col("id").asc)
+      labels.join(mass, Seq("id"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("label"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("label").as("cluster_id"), col("id").as("medoid_doc_id"),
+          col("n_members"), col("mass_bp"))
+        .orderBy("cluster_id")
+    }),
+
     "dd_survivors" -> ((s, dir) => {
       val pairs = Dedup.verifiedPairs(s, dir, dedup = false)
         .select("doc_a", "doc_b")
@@ -381,6 +417,35 @@ object DedupClusters {
          |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) b
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // Same recursive closure; mass from floored intra-pair jaccards.
+    "dd_medoid" ->
+      s"""WITH RECURSIVE pairs AS (${Dedup.ngramJaccardPairsSql}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (
+         |  SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id),
+         |jp AS (SELECT doc_a, doc_b,
+         |         CAST(floor(jaccard * 10000) AS BIGINT) AS jac_bp
+         |       FROM pairs),
+         |mass AS (
+         |  SELECT id, CAST(sum(jac_bp) AS BIGINT) AS mass_bp FROM (
+         |    SELECT doc_a AS id, jac_bp FROM jp
+         |    UNION ALL SELECT doc_b, jac_bp FROM jp)
+         |  GROUP BY 1),
+         |jm AS (
+         |  SELECT c.label, c.id, m.mass_bp,
+         |    CAST(count(*) OVER (PARTITION BY c.label) AS BIGINT) AS n_members,
+         |    row_number() OVER (PARTITION BY c.label
+         |      ORDER BY m.mass_bp DESC, c.id ASC) AS rk
+         |  FROM comp c JOIN mass m ON c.id = m.id)
+         |SELECT label AS cluster_id, id AS medoid_doc_id, n_members, mass_bp
+         |FROM jm WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     // Unrolled synchronous LPA: lc$r counts neighbor labels, l$r takes
     // the (count desc, label asc) argmax — identical tie-break to the
     // engine's two-aggregate form.

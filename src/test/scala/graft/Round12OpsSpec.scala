@@ -617,6 +617,30 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(rows(7)._4 == nib7, "min-nibble attribution must equal direct distinct")
   }
 
+  test("dd_medoid: one medoid per cluster, maximal mass, member of cluster") {
+    val clusters = SparkEntry.queries("dd_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc -> cluster
+    val pairs = SparkEntry.queries("dd_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val mass = pairs.flatMap { case (a, b, j) =>
+      val bp = math.floor(j * 10000).toLong
+      Seq(a -> bp, b -> bp)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val rows = run("dd_medoid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._1).toSet == clusters.values.toSet,
+      "one medoid per connected component")
+    rows.foreach { case (c, medoid, nm, mbp) =>
+      assert(clusters(medoid) == c, s"medoid $medoid not in cluster $c")
+      assert(mbp == mass(medoid), s"mass mismatch for $medoid")
+      val members = clusters.filter(_._2 == c).keys
+      assert(nm == members.size.toLong)
+      assert(members.forall(d => mass(d) < mbp ||
+        (mass(d) == mbp && d >= medoid)), s"cluster $c has a better medoid")
+    }
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
