@@ -426,6 +426,52 @@ object EventQueries {
       energies.reduce(_ unionAll _).orderBy("event_type", "level")
     }),
 
+    // ABSORPTION PROBABILITY — the Markov trilogy's third leg (matrix
+    // → stationary → absorption): for each starting state, the
+    // probability of REACHING 'purchase' within AbsorbRounds
+    // transitions, computed by the first-passage recurrence with the
+    // absorbing state clamped to 1 (a path that converts counts once,
+    // whatever it does after). "How likely is a user in state X to
+    // convert within k actions" — the funnel readout ev_funnel's
+    // fixed view→click→purchase ordering can't express. Same
+    // micro-integer fixed-round loop and types²-broadcast frame as
+    // ev_markov_stationary; sink states other than the absorber stay
+    // at 0. Oracle unrolls the identical rounds.
+    "ev_absorption" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val p = tr.join(broadcast(
+          tr.groupBy("cur").agg(sum(col("n")).as("row_n"))), "cur")
+        .select(col("cur"), col("nxt"), expr("n * 1000000 DIV row_n").as("pm"))
+        .localCheckpoint(false)
+      val states = p.select(col("cur").as("state"))
+        .unionAll(p.select(col("nxt").as("state"))).distinct()
+        .localCheckpoint(false)
+      var ab = states.select(col("state"),
+        when(col("state") === "purchase", lit(1000000L))
+          .otherwise(lit(0L)).as("am"))
+      (1 to MarkovPowerRounds).foreach { _ =>
+        val stepped = p
+          .join(ab.select(col("state").as("nxt"), col("am")), "nxt")
+          .groupBy(col("cur").as("state"))
+          .agg(expr("sum(pm * am) DIV 1000000").as("step"))
+        ab = states
+          .join(stepped, Seq("state"), "left")
+          .select(col("state"),
+            when(col("state") === "purchase", lit(1000000L))
+              .otherwise(coalesce(col("step"), lit(0L))).as("am"))
+          .localCheckpoint(false)
+      }
+      ab.select(col("state"), col("am").as("absorb_micro"))
+        .orderBy("state")
+    }),
+
     // SEASONAL PROFILE — the (day-of-week × hour-of-day) occupancy
     // matrix capacity planning reads before any forecast: counts plus
     // each cell's share of its weekday in integer ppm. One scan into
@@ -1473,6 +1519,38 @@ object EventQueries {
          |SELECT event_type, CAST(level AS INT) AS level, l1_detail FROM (
          |  $union)
          |ORDER BY event_type, level""".stripMargin
+    },
+    // First-passage recurrence unrolled, absorber clamped each round.
+    "ev_absorption" -> {
+      val rounds = (1 to MarkovPowerRounds).map { r =>
+        s"""a$r AS (
+           |  SELECT s.state,
+           |    CASE WHEN s.state = 'purchase' THEN 1000000
+           |         ELSE COALESCE(st.step, 0) END AS am
+           |  FROM states s LEFT JOIN (
+           |    SELECT p.cur AS state,
+           |      CAST(sum(p.pm * a.am) // 1000000 AS BIGINT) AS step
+           |    FROM p JOIN a${r - 1} a ON p.nxt = a.state
+           |    GROUP BY 1) st ON s.state = st.state)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type AS cur,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |tr AS (SELECT cur, nxt, count(*) AS n FROM seq
+         |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |p AS (SELECT tr.cur, tr.nxt,
+         |        CAST(tr.n * 1000000 // t.row_n AS BIGINT) AS pm
+         |      FROM tr JOIN (SELECT cur, sum(n) AS row_n FROM tr GROUP BY 1) t
+         |        ON tr.cur = t.cur),
+         |states AS (SELECT cur AS state FROM p UNION SELECT nxt FROM p),
+         |a0 AS (SELECT state,
+         |         CASE WHEN state = 'purchase' THEN 1000000 ELSE 0 END AS am
+         |       FROM states),
+         |$rounds
+         |SELECT state, CAST(am AS BIGINT) AS absorb_micro
+         |FROM a$MarkovPowerRounds ORDER BY state""".stripMargin
     },
     "ev_seasonal_profile" ->
       """WITH cells AS (

@@ -641,6 +641,27 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_absorption equals a replayed first-passage recurrence") {
+    val tr = run("ev_markov").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val states = (tr.map(_._1) ++ tr.map(_._2)).distinct.sorted
+    var am = states.map(s => s -> (if (s == "purchase") 1000000L else 0L)).toMap
+    (1 to operators.EventQueries.MarkovPowerRounds).foreach { _ =>
+      val stepped = tr.groupBy(_._1).map { case (cur, es) =>
+        cur -> es.map(e => e._3 * am(e._2)).sum / 1000000L
+      }
+      am = states.map(s => s ->
+        (if (s == "purchase") 1000000L else stepped.getOrElse(s, 0L))).toMap
+    }
+    val got = run("ev_absorption").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == am, s"got $got want $am")
+    // probabilities are probabilities, the absorber is certain, and
+    // more steps can only help (monotone in k by construction)
+    assert(got("purchase") == 1000000L)
+    assert(got.values.forall(v => v >= 0L && v <= 1000000L))
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
