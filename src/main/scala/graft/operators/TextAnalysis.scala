@@ -1019,6 +1019,26 @@ object TextAnalysis {
         .orderBy("sym")
     }),
 
+    // TOKENIZER FERTILITY — the cost metric a trained tokenizer is
+    // judged by: symbols emitted per word occurrence (fertility ≈ 1
+    // means words survive whole; high fertility inflates sequence
+    // length and training cost linearly). Corpus-weighted off the
+    // SAME trained segmentation ta_bpe_encode ships: Σ wc·|syms| over
+    // Σ wc in exact micro, plus the vocab-level shape numbers
+    // (single-symbol word share, worst split). All integers; the
+    // vocab-sized frame is the only input.
+    "ta_bpe_fertility" -> ((s, dir) => {
+      val (_, syms) = bpeTrain(s, dir)
+      syms.select(col("wc"), size(col("syms")).cast("long").as("ns"))
+        .agg(count(lit(1)).as("n_vocab_words"),
+          sum(col("wc")).as("n_word_occ"),
+          sum(col("wc") * col("ns")).as("n_symbol_occ"),
+          sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_whole_words"),
+          max(col("ns")).as("max_split"))
+        .withColumn("fertility_micro",
+          expr("n_symbol_occ * 1000000 DIV n_word_occ"))
+    }),
+
     // Exact per-language heavy hitters (vocabulary-building gate):
     // tokens holding ≥0.5% of their language's token mass, as an
     // integer cross-multiplication. One corpus-scan aggregation; the
@@ -1113,6 +1133,18 @@ object TextAnalysis {
          |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
          |FROM (SELECT word, wc, unnest(syms) AS sym FROM bs$BpeTrainRounds)
          |GROUP BY sym ORDER BY sym""".stripMargin,
+    // Same trained chain; fertility off the final segmentation.
+    "ta_bpe_fertility" ->
+      s"""WITH $bpeTrainCtes
+         |SELECT count(*)::BIGINT AS n_vocab_words,
+         |  CAST(sum(wc) AS BIGINT) AS n_word_occ,
+         |  CAST(sum(wc * len(syms)) AS BIGINT) AS n_symbol_occ,
+         |  CAST(sum(CASE WHEN len(syms) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_whole_words,
+         |  CAST(max(len(syms)) AS BIGINT) AS max_split,
+         |  CAST(sum(wc * len(syms)) * 1000000 // sum(wc) AS BIGINT)
+         |    AS fertility_micro
+         |FROM bs$BpeTrainRounds""".stripMargin,
     "ta_bpe_merge" ->
       s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents),
          |wc AS (SELECT word, count(*) AS wc FROM w GROUP BY word),

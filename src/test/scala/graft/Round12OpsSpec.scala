@@ -662,6 +662,22 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v >= 0L && v <= 1000000L))
   }
 
+  test("ta_bpe_fertility: conservation against the encode table") {
+    val r = run("ta_bpe_fertility").collect().head
+    val (nv, nwo, nso, whole, mx, fert) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // symbol occurrences reconcile with ta_bpe_encode's per-symbol sums
+    val encTotal = run("ta_bpe_encode").collect().map(_.getLong(1)).sum
+    assert(nso == encTotal, "Σ wc·|syms| must equal Σ per-symbol n_occ")
+    // word occurrences = corpus token count
+    val nTokens = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(nwo == nTokens)
+    assert(fert == nso * 1000000L / nwo && fert >= 1000000L)
+    assert(whole <= nv && mx >= 1L)
+  }
+
   test("pipe_k_anonymity bands agree with a brute-force class census") {
     val classes = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source"),
