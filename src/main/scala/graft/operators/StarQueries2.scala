@@ -146,6 +146,24 @@ object StarQueries2 {
         .orderBy("x")
     }),
 
+    // LISTAGG / STRING_AGG — the denormalization surface every
+    // warehouse migration hits: nations per region as one ordered
+    // comma-joined string. Determinism comes from sorting INSIDE the
+    // aggregate result (array_sort before the join): collect_list's
+    // arrival order is partition-timing-dependent, so an unsorted
+    // string_agg is a flaky hash — the same fixed-order doctrine as
+    // every fold in the suite. Dim-sized groups; one aggregation.
+    "q_listagg" -> ((s, dir) => {
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    }),
+
     // Deterministic MODE aggregate — the statistical mode with a total
     // tie order (most frequent l_quantity per return flag, ties to the
     // smallest value), built from counts + one ranking window instead
@@ -649,6 +667,12 @@ object StarQueries2 {
         |HAVING count(DISTINCT event_type) =
         |  (SELECT count(DISTINCT event_type) FROM events)
         |ORDER BY user_id""".stripMargin,
+    "q_listagg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*)::BIGINT AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_mode" ->
       """SELECT l_returnflag, mode_qty, n_rows FROM (
         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty,
