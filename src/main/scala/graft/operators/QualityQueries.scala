@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Log2Micro
 import TextOps._
 
 /** Corpus-quality gating and sampling — the Gopher-style rule stack
@@ -76,6 +77,88 @@ object QualityQueries {
       .filter(col("rn") <= col("take"))
       .select("doc_id", group)
     allIn.union(boundary)
+  }
+
+  /** Integer-ppm quality LR scoring — the shared serving pass of the
+    * `ta_quality_*` / `ta_lr_train_step` family. One narrow corpus
+    * scan; every output column is a BIGINT.
+    *
+    * Features (micro fixed point, ×10⁶):
+    *   x1m = log2micro(1 + n_tokens)   — [[Log2Micro]]: deterministic
+    *         bit-by-bit log2, no libm on either engine
+    *   x2m = mean token length, capped at 64e6 (saturation clamp — a
+    *         64-char mean is beyond any text AND bounds the train-step
+    *         gradient product inside 2⁵³ exact-double range)
+    *   x3m = stopword ratio (≤ 1e6 by construction)
+    * Score: z = w·x with exact-rational weights (−6, 4/5, 7/20, 6),
+    * clamped to ±20e6 (where the squash is already ≥0.976-saturated —
+    * and the clamp keeps the ppm cross-multiplication inside BIGINT),
+    * then the softsign squash in ppm with an offset-positive numerator
+    * so truncating DIV (Spark) and `//` (DuckDB) agree with floor:
+    *   score_ppm = (500000·(D + z)) DIV D,  D = 1e6 + |z|.
+    * label ⇔ score_ppm ≥ 500000 ⇔ z ≥ 0 (exact on both engines).
+    */
+  private def scoredPpm(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("nt"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sumlen"),
+        vocabHits(col("toks"), Stopwords).cast("long").as("stop_hits"))
+      .withColumn("x1m", Log2Micro.log2micro(lit(1L) + col("nt"), lit(1L)))
+      .withColumn("x2m", expr(
+        "least(CASE WHEN nt > 0 THEN (1000000L * sumlen) DIV nt ELSE 0L END, 64000000L)"))
+      .withColumn("x3m", expr(
+        "CASE WHEN nt > 0 THEN (1000000L * stop_hits) DIV nt ELSE 0L END"))
+      .withColumn("zm", expr(
+        "least(greatest(-6000000L + (4 * x1m) DIV 5 + (7 * x2m) DIV 20 + 6 * x3m, " +
+          "-20000000L), 20000000L)"))
+      .withColumn("score_ppm", expr(
+        "(500000L * (1000000L + abs(zm) + zm)) DIV (1000000L + abs(zm))"))
+      .withColumn("label", (col("score_ppm") >= 500000L).cast("long"))
+      .withColumn("y_ppm", when(
+        col("nt") >= MinTokens && col("nt") <= MaxTokens &&
+          col("sumlen") >= lit(MinMeanWordLen.toLong) * col("nt") &&
+          col("sumlen") <= lit(MaxMeanWordLen.toLong) * col("nt") &&
+          col("stop_hits") >= MinStopwordHits, lit(1000000L)).otherwise(lit(0L)))
+  }
+
+  /** DuckDB mirror of [[scoredPpm]] — the shared `WITH RECURSIVE`
+    * prefix of the quality-LR oracles. Exposes CTE `sp` with columns
+    * (doc_id?, nt, sumlen, stop_hits, x1m, x2m, x3m, zm, score_ppm,
+    * y_ppm). Op-for-op the Spark expressions above.
+    */
+  private def scoredPpmSql: String = {
+    s"""WITH RECURSIVE feats AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS nt,
+       |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sumlen,
+       |    CAST(len(list_filter(t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS stop_hits,
+       |    1 + CAST(len(t) AS BIGINT) AS num, CAST(1 AS BIGINT) AS den
+       |  FROM (SELECT doc_id, ${OracleSql.toks} AS t FROM documents)),
+       |${OracleSql.log2microCtes("x1", "feats", Seq("doc_id"))},
+       |sp AS (
+       |  SELECT f.*, x.lrm AS x1m,
+       |    least(CASE WHEN f.nt > 0 THEN (1000000 * f.sumlen) // f.nt ELSE 0 END,
+       |          64000000)::BIGINT AS x2m,
+       |    (CASE WHEN f.nt > 0 THEN (1000000 * f.stop_hits) // f.nt ELSE 0 END)::BIGINT AS x3m,
+       |    least(greatest(
+       |        -6000000 + (4 * x.lrm) // 5
+       |        + (7 * least(CASE WHEN f.nt > 0 THEN (1000000 * f.sumlen) // f.nt ELSE 0 END, 64000000)) // 20
+       |        + 6 * (CASE WHEN f.nt > 0 THEN (1000000 * f.stop_hits) // f.nt ELSE 0 END),
+       |      -20000000), 20000000)::BIGINT AS zm,
+       |    CASE WHEN f.nt >= $MinTokens AND f.nt <= $MaxTokens
+       |          AND f.sumlen >= $MinMeanWordLen * f.nt
+       |          AND f.sumlen <= $MaxMeanWordLen * f.nt
+       |          AND f.stop_hits >= $MinStopwordHits
+       |      THEN 1000000 ELSE 0 END::BIGINT AS y_ppm
+       |  FROM feats f JOIN x1_lg x USING (doc_id)),
+       |spp AS (
+       |  SELECT *,
+       |    ((500000 * (1000000 + abs(zm) + zm)) // (1000000 + abs(zm)))::BIGINT
+       |      AS score_ppm
+       |  FROM sp)""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -172,32 +255,22 @@ object QualityQueries {
         s"least(CAST($DomainCap AS BIGINT), n_grp)")
         .orderBy("doc_id")),
 
-    // Model-based quality scoring: a fixed-weight logistic regression
+    // Model-based quality scoring: a fixed-weight linear classifier
     // over the same integer signals the Gopher gate reads (the serving
     // shape of a trained fastText/LR quality classifier: weights are a
     // broadcast constant, scoring is a narrow scan — no shuffle at
-    // all). Score rounds to 4dp BEFORE the threshold compare, so the
-    // label is engine-exact like the BM25 log variant.
-    "ta_quality_lr" -> ((s, dir) => {
-      val feats = Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("nt"),
-          aggregate(transform(col("toks"), t => length(t).cast("long")),
-            lit(0L), (acc, x) => acc + x).as("sumlen"),
-          vocabHits(col("toks"), Stopwords).cast("long").as("stop_hits"))
-      val z = lit(-6.0) +
-        lit(0.8) * log(lit(1.0) + col("nt")) +
-        lit(0.35) * when(col("nt") > 0,
-          col("sumlen").cast("double") / col("nt")).otherwise(lit(0.0)) +
-        lit(6.0) * when(col("nt") > 0,
-          col("stop_hits").cast("double") / col("nt")).otherwise(lit(0.0))
-      feats
-        .withColumn("score4", round(lit(1.0) / (lit(1.0) + exp(-z)), 4))
-        .withColumn("label", (col("score4") >= 0.5).cast("int"))
-        .select("doc_id", "nt", "score4", "label")
-        .orderBy("doc_id")
-    }),
+    // all). Round 9 de-transcendentalized the whole contract per the
+    // determinism doctrine: the log-length feature is the fixed-point
+    // [[Log2Micro]] (a defined deterministic function, no libm), the
+    // sigmoid is the softsign squash s = ½(1 + z/(1+|z|)) — the
+    // standard fast-sigmoid, here as pure integer cross-multiplication
+    // in ppm — and weights are exact rationals (4/5, 7/20). Every
+    // column is a BIGINT; the oracle cannot flap on a ulp because no
+    // ulp exists anywhere in the pipeline.
+    "ta_quality_lr" -> ((s, dir) =>
+      scoredPpm(s, dir)
+        .select("doc_id", "nt", "score_ppm", "label")
+        .orderBy("doc_id")),
 
     // Reliability diagram for the distilled quality LR — the ML-ops
     // check that closes the ta_quality_lr / ta_lr_train_step loop:
@@ -205,39 +278,18 @@ object QualityQueries {
     // Gopher rule gate) agree? A rising pass rate across bins is what
     // "the distilled model ranks quality like its rules" means;
     // miscalibration shows up as a flat or non-monotone column.
-    // Binning avoids the float-boundary trap: score4 (already rounded
-    // 4dp) converts to integer basis points via round(score4·10⁴)
-    // FIRST, then the bin is an integer division — floor(score4·10)
-    // directly would sit on IEEE representation boundaries. Pass
-    // rates are integer ppm. One narrow scan, ≤11-bin output.
-    "ta_quality_calibration" -> ((s, dir) => {
-      val feats = Tables.documents(s, dir)
-        .select(tokens(col("text")).as("toks"))
-        .select(
-          size(col("toks")).cast("long").as("nt"),
-          aggregate(transform(col("toks"), t => length(t).cast("long")),
-            lit(0L), (acc, x) => acc + x).as("sumlen"),
-          vocabHits(col("toks"), Stopwords).cast("long").as("stop_hits"))
-      val z = lit(-6.0) +
-        lit(0.8) * log(lit(1.0) + col("nt")) +
-        lit(0.35) * when(col("nt") > 0,
-          col("sumlen").cast("double") / col("nt")).otherwise(lit(0.0)) +
-        lit(6.0) * when(col("nt") > 0,
-          col("stop_hits").cast("double") / col("nt")).otherwise(lit(0.0))
-      val pass = col("nt") >= MinTokens && col("nt") <= MaxTokens &&
-        col("sumlen") >= lit(MinMeanWordLen) * col("nt") &&
-        col("sumlen") <= lit(MaxMeanWordLen) * col("nt") &&
-        col("stop_hits") >= MinStopwordHits
-      feats
-        .withColumn("score4", round(lit(1.0) / (lit(1.0) + exp(-z)), 4))
-        .withColumn("bin",
-          expr("CAST(round(score4 * 10000) AS BIGINT) DIV 1000"))
-        .withColumn("p", when(pass, 1L).otherwise(0L))
+    // Round 9: score_ppm is a BIGINT, so the bin is a plain integer
+    // division — the round-8 basis-point dance against IEEE decimal
+    // boundaries is gone along with the float itself. Pass rates are
+    // integer ppm. One narrow scan, ≤11-bin output.
+    "ta_quality_calibration" -> ((s, dir) =>
+      scoredPpm(s, dir)
+        .withColumn("bin", expr("score_ppm DIV 100000"))
+        .withColumn("p", (col("y_ppm") === 1000000L).cast("long"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("n_pass"))
         .withColumn("pass_ppm", expr("(n_pass * 1000000L) DIV n_docs"))
-        .orderBy("bin")
-    }),
+        .orderBy("bin")),
 
     // One full-batch gradient step of the quality LR — the TRAINING
     // half of ta_quality_lr's serving shape, distilling the integer
@@ -245,62 +297,52 @@ object QualityQueries {
     // gate's verdict, the standard bootstrap for a learned quality
     // classifier). The step is the canonical distributed-training
     // shape (MLlib GD's treeAggregate): ONE corpus scan, per-doc
-    // gradient contributions floored to micro-integers so the
+    // gradient contributions in exact micro-integers so the
     // cross-partition sum is an order-free long — no float
     // accumulation ever crosses a partition boundary — map-side
     // partial aggregation to a single 7-number row, and a 4-row
     // weight report unpivoted from it with stack (no recompute).
-    // Per-doc transcendentals (the serving sigmoid, the ln feature)
-    // round to 4dp BEFORE any product — the ta_quality_lr determinism
-    // contract. At 100 TB an epoch is exactly this pass; the gradient
-    // state never exceeds one row per partition.
-    "ta_lr_train_step" -> ((s, dir) => {
-      val feats = Tables.documents(s, dir)
-        .select(tokens(col("text")).as("toks"))
-        .select(
-          size(col("toks")).cast("long").as("nt"),
-          aggregate(transform(col("toks"), t => length(t).cast("long")),
-            lit(0L), (acc, x) => acc + x).as("sumlen"),
-          vocabHits(col("toks"), Stopwords).cast("long").as("stop_hits"))
-      val x1 = round(log(lit(1.0) + col("nt")), 4)
-      val x2 = when(col("nt") > 0,
-        col("sumlen").cast("double") / col("nt")).otherwise(lit(0.0))
-      val x3 = when(col("nt") > 0,
-        col("stop_hits").cast("double") / col("nt")).otherwise(lit(0.0))
-      val z = lit(-6.0) +
-        lit(0.8) * log(lit(1.0) + col("nt")) + lit(0.35) * x2 + lit(6.0) * x3
-      val y = when(
-        col("nt") >= MinTokens && col("nt") <= MaxTokens &&
-          col("sumlen") >= lit(MinMeanWordLen.toLong) * col("nt") &&
-          col("sumlen") <= lit(MaxMeanWordLen.toLong) * col("nt") &&
-          col("stop_hits") >= MinStopwordHits, lit(1.0)).otherwise(lit(0.0))
-      val p4 = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
-      feats
-        .select((p4 - y).as("err"), x1.as("x1"), x2.as("x2"), x3.as("x3"),
-          p4.as("p4"), y.as("y"))
+    // Round 9: err and every feature are BIGINT micro-units, so the
+    // per-doc gradient err_ppm·x_jm/10⁶ is computed with the
+    // exact-double floor trick: the product is ≤ |err|·x2cap =
+    // 1e6·6.4e7 = 6.4e13 < 2⁵³, its int64→double cast is exact, the
+    // divide by 1e6 is correctly rounded and cannot cross an integer
+    // boundary (quotient grid 1e-6 ≫ half-ulp at 6.4e7), so
+    // floor(·) IS floorDiv — deterministic on both engines, including
+    // negative numerators where truncating DIV would disagree.
+    // Headroom: per-doc |g_j| ≤ 6.4e7 → the BIGINT sum holds ~1.4e11
+    // docs; beyond that the accumulator widens to DECIMAL(38,0), the
+    // documented 100-TB dial. At 100 TB an epoch is exactly this
+    // pass; the gradient state never exceeds one row per partition.
+    "ta_lr_train_step" -> ((s, dir) =>
+      scoredPpm(s, dir)
+        .select((col("score_ppm") - col("y_ppm")).as("err"),
+          col("x1m"), col("x2m"), col("x3m"),
+          col("score_ppm"), col("y_ppm"))
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(floor(col("err") * lit(1e6)).cast("long")).as("g0"),
-          sum(floor(col("err") * col("x1") * lit(1e6)).cast("long")).as("g1"),
-          sum(floor(col("err") * col("x2") * lit(1e6)).cast("long")).as("g2"),
-          sum(floor(col("err") * col("x3") * lit(1e6)).cast("long")).as("g3"),
-          sum(when((col("p4") >= 0.5) === (col("y") === 1.0), 1L)
+          sum(col("err")).as("g0"),
+          sum(expr("CAST(floor(CAST(err * x1m AS DOUBLE) / 1000000.0D) AS BIGINT)")).as("g1"),
+          sum(expr("CAST(floor(CAST(err * x2m AS DOUBLE) / 1000000.0D) AS BIGINT)")).as("g2"),
+          sum(expr("CAST(floor(CAST(err * x3m AS DOUBLE) / 1000000.0D) AS BIGINT)")).as("g3"),
+          sum(when((col("score_ppm") >= 500000L) === (col("y_ppm") === 1000000L), 1L)
             .otherwise(0L)).as("n_correct"))
         .selectExpr(
           """stack(4,
-            |  0, 'bias',       -6.0D, g0,
-            |  1, 'log1p_ntok',  0.8D, g1,
-            |  2, 'mean_wlen',  0.35D, g2,
-            |  3, 'stop_ratio',  6.0D, g3) AS (j, feature, w_old, grad_micro)
+            |  0L, 'bias',       -6000000L, g0,
+            |  1L, 'log2_ntok',    800000L, g1,
+            |  2L, 'mean_wlen',    350000L, g2,
+            |  3L, 'stop_ratio',  6000000L, g3) AS (j, feature, w_micro, grad_micro)
             |""".stripMargin,
           "n_docs", "n_correct")
-        .withColumn("w_new8", round(
-          col("w_old") - lit(0.5) *
-            (col("grad_micro").cast("double") / lit(1e6)) / col("n_docs"), 8))
-        .select("j", "feature", "w_old", "grad_micro", "w_new8",
+        // lr = ½ on the mean gradient; numerator sign handled by the
+        // same exact-double floor (mean |grad| ≤ 6.4e7·1e6 < 2⁵³ up to
+        // ~8e8 docs per step at this clamp)
+        .withColumn("w_new_micro", expr(
+          "w_micro - CAST(floor(CAST(grad_micro AS DOUBLE) / (2.0D * n_docs)) AS BIGINT)"))
+        .select("j", "feature", "w_micro", "grad_micro", "w_new_micro",
           "n_docs", "n_correct")
-        .orderBy("j")
-    }),
+        .orderBy("j")),
 
     // Ranking-quality evaluation of the LR scorer against the Gopher
     // rule gate: EXACT ROC-AUC via the grouped Mann–Whitney rank-sum —
@@ -308,38 +350,21 @@ object QualityQueries {
     // (does the model ORDER documents like the rules label them?).
     // AUC = Σ_g (2·negs_below(g) + negs_at(g))·pos_at(g) / (2·NP·NN)
     // over score groups g ascending — integer arithmetic end to end;
-    // the single division happens on two exact longs at the very end.
-    // Scale shape: score4 is rounded to 4dp so the score histogram has
-    // AT MOST 10001 rows — the corpus aggregates map-side into that
-    // value-bounded frame, and the cumulative window below runs over
-    // the bounded histogram (the radix-histogram class), never the
-    // corpus. n_correct doubles as threshold-0.5 accuracy.
+    // the single division happens on two exact longs at the very end
+    // (correctly rounded, then 6dp round of a deterministic double).
+    // Scale shape: score_ppm is an integer in [0, 1e6] so the score
+    // histogram has AT MOST 1,000,001 rows — the corpus aggregates
+    // map-side into that value-bounded frame, and the cumulative
+    // window below runs over the bounded histogram (the
+    // radix-histogram class), never the corpus. n_correct doubles as
+    // threshold-½ accuracy.
     "ta_quality_auc" -> ((s, dir) => {
-      val feats = Tables.documents(s, dir)
-        .select(tokens(col("text")).as("toks"))
-        .select(
-          size(col("toks")).cast("long").as("nt"),
-          aggregate(transform(col("toks"), t => length(t).cast("long")),
-            lit(0L), (acc, x) => acc + x).as("sumlen"),
-          vocabHits(col("toks"), Stopwords).cast("long").as("stop_hits"))
-      val z = lit(-6.0) +
-        lit(0.8) * log(lit(1.0) + col("nt")) +
-        lit(0.35) * when(col("nt") > 0,
-          col("sumlen").cast("double") / col("nt")).otherwise(lit(0.0)) +
-        lit(6.0) * when(col("nt") > 0,
-          col("stop_hits").cast("double") / col("nt")).otherwise(lit(0.0))
-      val y = when(
-        col("nt") >= MinTokens && col("nt") <= MaxTokens &&
-          col("sumlen") >= lit(MinMeanWordLen.toLong) * col("nt") &&
-          col("sumlen") <= lit(MaxMeanWordLen.toLong) * col("nt") &&
-          col("stop_hits") >= MinStopwordHits, lit(1L)).otherwise(lit(0L))
-      val hist = feats
-        .select(round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score4"), y.as("y"))
-        .groupBy("score4")
+      val hist = scoredPpm(s, dir)
+        .select(col("score_ppm"),
+          (col("y_ppm") === 1000000L).cast("long").as("y"))
+        .groupBy("score_ppm")
         .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
-      // unpartitioned window, but over the ≤10001-row histogram — a
-      // value-bounded frame, per the SCALE.md bounded-window rule
-      val wc = Window.orderBy(col("score4"))
+      val wc = Window.orderBy(col("score_ppm"))
         .rowsBetween(Window.unboundedPreceding, -1)
       hist
         .withColumn("negb", coalesce(sum(col("nn")).over(wc), lit(0L)))
@@ -347,7 +372,7 @@ object QualityQueries {
           sum(col("np")).as("n_pos"),
           sum(col("nn")).as("n_neg"),
           sum(col("np") * (col("negb") * 2 + col("nn"))).as("num2"),
-          sum(when(col("score4") >= 0.5, col("np")).otherwise(col("nn")))
+          sum(when(col("score_ppm") >= 500000L, col("np")).otherwise(col("nn")))
             .as("n_correct"),
           count(lit(1)).as("n_scores"))
         .select(col("n_pos"), col("n_neg"), col("n_scores"), col("n_correct"),
@@ -359,13 +384,15 @@ object QualityQueries {
     // Language Models via Importance Resampling"): hashed-token
     // bag-of-ngrams models for a target distribution (here the 'en'
     // slice) and the raw corpus, importance weight of a doc =
-    // Σ_tokens log(p_target(b)/p_raw(b)) over the token's hash bucket,
-    // Laplace-smoothed. The log-ratio is computed ONCE per bucket on
-    // the 256-row model frame and floored to a micro-integer there, so
-    // the corpus-scale per-doc sum is an order-free long — the
-    // ta_doc_lm_score trick, with the single libm ln confined to a
-    // model-sized frame (same exposure class as ta_quality_lr's green
-    // ln/exp). Buckets come from the md5 first byte (engine-shared
+    // Σ_tokens log2(p_target(b)/p_raw(b)) over the token's hash
+    // bucket, Laplace-smoothed. The log-ratio is computed ONCE per
+    // bucket on the 256-row model frame as [[Log2Micro]] of the exact
+    // integer rational (ct+1)(ns+B) / (cs+1)(nt+B) — round 9 swapped
+    // the libm ln for the deterministic fixed-point log2 (DSIR is
+    // base-agnostic: ordering and selection are identical, the scale
+    // is 1/ln2), so NO transcendental remains anywhere in the
+    // contract. The corpus-scale per-doc sum stays an order-free
+    // long. Buckets come from the md5 first byte (engine-shared
     // hash). Output: the top-50 selected docs — at 100 TB both count
     // frames aggregate map-side to 256 rows, the model broadcasts, and
     // the selection is TakeOrderedAndProject (production would replace
@@ -386,12 +413,11 @@ object QualityQueries {
         .join(broadcast(cs), Seq("b"), "left")
         .crossJoin(broadcast(tot))
         .select(col("b"),
-          floor(log(
-            ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
-              * (col("ns") + lit(DsirBuckets.toLong)).cast("double"))
-            / ((coalesce(col("cs"), lit(0L)) + lit(1L)).cast("double")
-              * (col("nt") + lit(DsirBuckets.toLong)).cast("double")))
-            * lit(1000000.0)).cast("long").as("lrm"))
+          Log2Micro.log2micro(
+            (coalesce(col("ct"), lit(0L)) + lit(1L))
+              * (col("ns") + lit(DsirBuckets.toLong)),
+            (coalesce(col("cs"), lit(0L)) + lit(1L))
+              * (col("nt") + lit(DsirBuckets.toLong))).as("lrm"))
       val w = Window.orderBy(col("logw_micro").desc, col("doc_id").asc)
       tb.join(broadcast(model), "b")
         .groupBy("doc_id")
@@ -464,128 +490,68 @@ object QualityQueries {
          |WHERE (cum * $PpsTicks) // tw > ((cum - w) * $PpsTicks) // tw
          |ORDER BY doc_id""".stripMargin,
     "ta_quality_lr" ->
-      s"""WITH feats AS (
-         |  SELECT doc_id,
-         |    CAST(len(t) AS BIGINT) AS nt,
-         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sumlen,
-         |    CAST(len(list_filter(t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS stop_hits
-         |  FROM (SELECT doc_id, ${OracleSql.toks} AS t FROM documents)),
-         |scored AS (
-         |  SELECT doc_id, nt,
-         |    round(1.0 / (1.0 + exp(-(
-         |      -6.0 + 0.8 * ln(1.0 + nt)
-         |           + 0.35 * (CASE WHEN nt > 0 THEN CAST(sumlen AS DOUBLE) / nt ELSE 0.0 END)
-         |           + 6.0  * (CASE WHEN nt > 0 THEN CAST(stop_hits AS DOUBLE) / nt ELSE 0.0 END)
-         |    ))), 4) AS score4
-         |  FROM feats)
-         |SELECT doc_id, nt, score4,
-         |  CAST(CASE WHEN score4 >= 0.5 THEN 1 ELSE 0 END AS INT) AS label
-         |FROM scored ORDER BY doc_id""".stripMargin,
+      s"""$scoredPpmSql
+         |SELECT doc_id, nt, score_ppm,
+         |  CAST(CASE WHEN score_ppm >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS label
+         |FROM spp ORDER BY doc_id""".stripMargin,
     "ta_quality_calibration" ->
-      s"""WITH feats AS (
-         |  SELECT CAST(len(t) AS BIGINT) AS nt,
-         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sumlen,
-         |    CAST(len(list_filter(t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS stop_hits
-         |  FROM (SELECT ${OracleSql.toks} AS t FROM documents)),
-         |scored AS (
-         |  SELECT nt, sumlen, stop_hits,
-         |    round(1.0 / (1.0 + exp(-(
-         |      -6.0 + 0.8 * ln(1.0 + nt)
-         |           + 0.35 * (CASE WHEN nt > 0 THEN CAST(sumlen AS DOUBLE) / nt ELSE 0.0 END)
-         |           + 6.0  * (CASE WHEN nt > 0 THEN CAST(stop_hits AS DOUBLE) / nt ELSE 0.0 END)
-         |    ))), 4) AS score4
-         |  FROM feats),
-         |binned AS (
-         |  SELECT CAST(round(score4 * 10000) AS BIGINT) // 1000 AS bin,
-         |    CASE WHEN nt >= $MinTokens AND nt <= $MaxTokens
-         |          AND sumlen >= $MinMeanWordLen * nt
-         |          AND sumlen <= $MaxMeanWordLen * nt
-         |          AND stop_hits >= $MinStopwordHits THEN 1 ELSE 0 END AS p
-         |  FROM scored)
-         |SELECT bin, count(*)::BIGINT AS n_docs,
-         |  CAST(sum(p) AS BIGINT) AS n_pass,
-         |  ((CAST(sum(p) AS BIGINT) * 1000000) // count(*))::BIGINT AS pass_ppm
-         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
-    // Gradient micro-integers: per-doc (p4 - y)·x_j floors to a long
-    // on BOTH engines before summing, so the only cross-engine float
-    // exposure is the two round-to-4dp transcendentals ta_quality_lr
-    // already pins green; everything downstream of the longs is the
-    // identical IEEE op tree.
+      s"""$scoredPpmSql
+         |SELECT score_ppm // 100000 AS bin, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(CASE WHEN y_ppm = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  ((CAST(sum(CASE WHEN y_ppm = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // count(*))::BIGINT AS pass_ppm
+         |FROM spp GROUP BY bin ORDER BY bin""".stripMargin,
+    // Gradient micro-integers: per-doc err_ppm·x_jm // 1e6 via the
+    // exact-double floor (product < 2⁵³ by the x2 clamp), so both
+    // engines floor the IDENTICAL double — no truncation-sign or ulp
+    // exposure anywhere; the g_j sums are order-free longs.
     "ta_lr_train_step" ->
-      s"""WITH base AS (
-         |  SELECT CAST(len(t) AS BIGINT) AS nt,
-         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sumlen,
-         |    CAST(len(list_filter(t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS stop_hits
-         |  FROM (SELECT ${OracleSql.toks} AS t FROM documents)),
-         |s AS (
-         |  SELECT nt,
-         |    round(ln(1.0 + nt), 4) AS x1,
-         |    CASE WHEN nt > 0 THEN CAST(sumlen AS DOUBLE) / nt ELSE 0.0 END AS x2,
-         |    CASE WHEN nt > 0 THEN CAST(stop_hits AS DOUBLE) / nt ELSE 0.0 END AS x3,
-         |    round(1.0 / (1.0 + exp(-(
-         |      -6.0 + 0.8 * ln(1.0 + nt)
-         |      + 0.35 * (CASE WHEN nt > 0 THEN CAST(sumlen AS DOUBLE) / nt ELSE 0.0 END)
-         |      + 6.0  * (CASE WHEN nt > 0 THEN CAST(stop_hits AS DOUBLE) / nt ELSE 0.0 END)))), 4) AS p4,
-         |    CASE WHEN nt >= $MinTokens AND nt <= $MaxTokens
-         |          AND sumlen >= $MinMeanWordLen * nt AND sumlen <= $MaxMeanWordLen * nt
-         |          AND stop_hits >= $MinStopwordHits THEN 1.0 ELSE 0.0 END AS y
-         |  FROM base),
+      s"""$scoredPpmSql,
          |g AS (
          |  SELECT count(*) AS n_docs,
-         |    CAST(sum(CAST(floor((p4 - y) * 1000000.0) AS BIGINT)) AS BIGINT) AS g0,
-         |    CAST(sum(CAST(floor((p4 - y) * x1 * 1000000.0) AS BIGINT)) AS BIGINT) AS g1,
-         |    CAST(sum(CAST(floor((p4 - y) * x2 * 1000000.0) AS BIGINT)) AS BIGINT) AS g2,
-         |    CAST(sum(CAST(floor((p4 - y) * x3 * 1000000.0) AS BIGINT)) AS BIGINT) AS g3,
-         |    CAST(sum(CASE WHEN (p4 >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
-         |  FROM s)
-         |SELECT j, feature, w_old, grad_micro,
-         |  round(w_old - 0.5 * (CAST(grad_micro AS DOUBLE) / 1000000.0) / n_docs, 8) AS w_new8,
-         |  n_docs, n_correct
+         |    CAST(sum(score_ppm - y_ppm) AS BIGINT) AS g0,
+         |    CAST(sum(CAST(floor(CAST((score_ppm - y_ppm) * x1m AS DOUBLE) / 1000000.0) AS BIGINT)) AS BIGINT) AS g1,
+         |    CAST(sum(CAST(floor(CAST((score_ppm - y_ppm) * x2m AS DOUBLE) / 1000000.0) AS BIGINT)) AS BIGINT) AS g2,
+         |    CAST(sum(CAST(floor(CAST((score_ppm - y_ppm) * x3m AS DOUBLE) / 1000000.0) AS BIGINT)) AS BIGINT) AS g3,
+         |    CAST(sum(CASE WHEN (score_ppm >= 500000) = (y_ppm = 1000000)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM spp)
+         |SELECT j, feature, w_micro, grad_micro,
+         |  w_micro - CAST(floor(CAST(grad_micro AS DOUBLE) / (2.0 * n_docs)) AS BIGINT) AS w_new_micro,
+         |  CAST(n_docs AS BIGINT) AS n_docs, n_correct
          |FROM (
-         |  SELECT 0 AS j, 'bias' AS feature, -6.0 AS w_old, g0 AS grad_micro, n_docs, n_correct FROM g
-         |  UNION ALL SELECT 1, 'log1p_ntok', 0.8, g1, n_docs, n_correct FROM g
-         |  UNION ALL SELECT 2, 'mean_wlen', 0.35, g2, n_docs, n_correct FROM g
-         |  UNION ALL SELECT 3, 'stop_ratio', 6.0, g3, n_docs, n_correct FROM g)
+         |  SELECT CAST(0 AS BIGINT) AS j, 'bias' AS feature, CAST(-6000000 AS BIGINT) AS w_micro, g0 AS grad_micro, n_docs, n_correct FROM g
+         |  UNION ALL SELECT 1, 'log2_ntok', 800000, g1, n_docs, n_correct FROM g
+         |  UNION ALL SELECT 2, 'mean_wlen', 350000, g2, n_docs, n_correct FROM g
+         |  UNION ALL SELECT 3, 'stop_ratio', 6000000, g3, n_docs, n_correct FROM g)
          |ORDER BY j""".stripMargin,
-    // Float exposure = the same two round-to-4dp transcendentals
-    // ta_quality_lr pins green; the AUC numerator is pure integer and
-    // the final division divides two exact longs on both engines.
+    // Integer end to end: the AUC numerator is exact, and auc6 is the
+    // 6dp round of one correctly-rounded division of two exact longs.
     "ta_quality_auc" ->
-      s"""WITH base AS (
-         |  SELECT CAST(len(t) AS BIGINT) AS nt,
-         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sumlen,
-         |    CAST(len(list_filter(t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS stop_hits
-         |  FROM (SELECT ${OracleSql.toks} AS t FROM documents)),
-         |s AS (
-         |  SELECT round(1.0 / (1.0 + exp(-(
-         |      -6.0 + 0.8 * ln(1.0 + nt)
-         |      + 0.35 * (CASE WHEN nt > 0 THEN CAST(sumlen AS DOUBLE) / nt ELSE 0.0 END)
-         |      + 6.0  * (CASE WHEN nt > 0 THEN CAST(stop_hits AS DOUBLE) / nt ELSE 0.0 END)))), 4) AS score4,
-         |    CASE WHEN nt >= $MinTokens AND nt <= $MaxTokens
-         |          AND sumlen >= $MinMeanWordLen * nt AND sumlen <= $MaxMeanWordLen * nt
-         |          AND stop_hits >= $MinStopwordHits THEN 1 ELSE 0 END AS y
-         |  FROM base),
+      s"""$scoredPpmSql,
          |hist AS (
-         |  SELECT score4, CAST(sum(y) AS BIGINT) AS np,
-         |    CAST(sum(1 - y) AS BIGINT) AS nn
-         |  FROM s GROUP BY score4),
+         |  SELECT score_ppm,
+         |    CAST(sum(CASE WHEN y_ppm = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN y_ppm = 1000000 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM spp GROUP BY score_ppm),
          |c AS (
-         |  SELECT score4, np, nn,
-         |    CAST(COALESCE(sum(nn) OVER (ORDER BY score4
+         |  SELECT score_ppm, np, nn,
+         |    CAST(COALESCE(sum(nn) OVER (ORDER BY score_ppm
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS negb
          |  FROM hist)
          |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
          |  CAST(count(*) AS BIGINT) AS n_scores,
-         |  CAST(sum(CASE WHEN score4 >= 0.5 THEN np ELSE nn END) AS BIGINT) AS n_correct,
+         |  CAST(sum(CASE WHEN score_ppm >= 500000 THEN np ELSE nn END) AS BIGINT) AS n_correct,
          |  round(CAST(sum(np * (negb * 2 + nn)) AS DOUBLE)
          |    / (2.0 * sum(np) * sum(nn)), 6) AS auc6
          |FROM c""".stripMargin,
     // The md5-first-byte bucket is two hex nibbles via the strpos
-    // alphabet trick (the dd_simhash oracle pattern); the ln sits on a
-    // 256-row frame and its argument is an exact-rational double built
-    // by the identical op tree on both engines.
+    // alphabet trick (the dd_simhash oracle pattern); the log-ratio is
+    // the deterministic fixed-point log2 of an exact integer rational
+    // (the log2microCtes recursive chain) on the 256-row model frame —
+    // no libm anywhere in the contract.
     "pipe_dsir_weights" ->
-      s"""WITH tb AS (
+      s"""WITH RECURSIVE tb AS (
          |  SELECT doc_id, lang,
          |    CAST((strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 16
          |       + (strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1) AS INT) AS b
@@ -594,20 +560,17 @@ object QualityQueries {
          |cs AS (SELECT b, count(*) AS cs FROM tb GROUP BY b),
          |tot AS (SELECT count(*) AS ns,
          |               count(CASE WHEN lang = 'en' THEN 1 END) AS nt FROM tb),
-         |model AS (
+         |modelnd AS (
          |  SELECT CAST(r.range AS INT) AS b,
-         |    CAST(floor(ln(
-         |      (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
-         |        * CAST(ns + $DsirBuckets AS DOUBLE))
-         |      / (CAST(COALESCE(cs.cs, 0) + 1 AS DOUBLE)
-         |        * CAST(nt + $DsirBuckets AS DOUBLE)))
-         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lrm
+         |    CAST((COALESCE(ct.ct, 0) + 1) * (ns + $DsirBuckets) AS BIGINT) AS num,
+         |    CAST((COALESCE(cs.cs, 0) + 1) * (nt + $DsirBuckets) AS BIGINT) AS den
          |  FROM range($DsirBuckets) r
          |  LEFT JOIN ct ON r.range = ct.b
          |  LEFT JOIN cs ON r.range = cs.b, tot),
+         |${OracleSql.log2microCtes("dz", "modelnd", Seq("b"))},
          |dw AS (
          |  SELECT doc_id, count(*) AS n_toks, CAST(sum(lrm) AS BIGINT) AS logw_micro
-         |  FROM tb JOIN model USING (b) GROUP BY doc_id)
+         |  FROM tb JOIN dz_lg USING (b) GROUP BY doc_id)
          |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, logw_micro,
          |  CAST(row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC) AS INT) AS rk
          |FROM dw ORDER BY logw_micro DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin

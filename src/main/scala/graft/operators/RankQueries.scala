@@ -83,16 +83,26 @@ object RankQueries {
     idf * (tf * lit(K1 + 1.0)) / (tf + norm)
   }
 
-  /** The textbook log idf: ln((N - df + 0.5)/(df + 0.5) + 1) —
-    * Robertson/Sparck-Jones with the +1 that keeps it positive.
+  /** The textbook log idf, de-transcendentalized (round 9): the
+    * Robertson/Sparck-Jones idf with the +1 that keeps it positive
+    * telescopes to one log of an exact integer rational,
+    *   ln((N−df+0.5)/(df+0.5) + 1) = ln((N+1)/(df+0.5))
+    *                               = ln((2N+2)/(2df+1)),
+    * which this engine evaluates base-2 via the deterministic
+    * fixed-point [[graft.functions.Log2Micro]] — computed ONCE per
+    * term on the 1-row broadcast stats frame (`idf2m$$i`, micro
+    * units), never per document. BM25 is rank-equivalent under a log
+    * base change (a positive constant factor); the contract value is
+    * the base-2 score. The tf part stays the exact-arithmetic double
+    * both engines compute bit-identically, so the 4dp round sits on a
+    * deterministic value — no libm, no ulp-margin argument.
     */
-  private def logTermScore(i: Int): Column = {
+  private def log2TermScore(i: Int): Column = {
     val tf  = col(s"tf$i").cast("double")
-    val df  = col(s"df$i").cast("double")
     val nd  = col("n_docs").cast("double")
     val dl  = col("dl").cast("double")
     val len = col("total_len").cast("double")
-    val idf  = log((nd - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    val idf  = col(s"idf2m$i").cast("double") / lit(1000000.0)
     val norm = lit(K1) * (lit(1.0) - lit(B) + lit(B) * dl * nd / len)
     idf * (tf * lit(K1 + 1.0)) / (tf + norm)
   }
@@ -105,16 +115,19 @@ object RankQueries {
         (QueryTerms.indices.map(rationalTermScore).reduceLeft(_ + _)).as("score"))
   }
 
-  /** Per-document BM25 with the textbook log idf, rounded to 4dp (the
-    * established FP-parity rule for transcendental outputs: both
-    * engines evaluate the identical op tree, ln agrees to ≤1 ulp, and
-    * the quasi-continuous score cannot sit on a 4dp midpoint).
+  /** Per-document BM25 with the base-2 log idf (see [[log2TermScore]]),
+    * rounded to 4dp — deterministic by construction.
     */
   def bm25LogScored(s: SparkSession, dir: String): DataFrame = {
     val base = tfBase(s, dir, QueryTerms)
-    base.crossJoin(broadcast(tfStats(base, QueryTerms)))
+    val st = tfStats(base, QueryTerms)
+    val stx = st.select(col("*") +: QueryTerms.indices.map(i =>
+      graft.functions.Log2Micro.log2micro(
+        lit(2L) * col("n_docs") + lit(2L),
+        lit(2L) * col(s"df$i") + lit(1L)).as(s"idf2m$i")): _*)
+    base.crossJoin(broadcast(stx))
       .select(col("doc_id"), col("dl"),
-        round(QueryTerms.indices.map(logTermScore).reduceLeft(_ + _), 4).as("score"))
+        round(QueryTerms.indices.map(log2TermScore).reduceLeft(_ + _), 4).as("score"))
   }
 
   /** (doc_id, query_id, score) for every query in [[MultiQueries]] —
@@ -175,14 +188,31 @@ object RankQueries {
        |    ${scoreSumSql(QueryTerms.indices, idfRationalSql)} AS score
        |  FROM tfd CROSS JOIN stats)""".stripMargin
 
-  /** (doc_id, dl, score) for [[bm25LogScored]]: log idf, 4dp round. */
-  def bm25LogSql: String =
+  /** (doc_id, dl, score) for [[bm25LogScored]]: base-2 log idf via the
+    * log2micro recursive chain on the 1-row stats frame, 4dp round.
+    * Embedding statements must start `WITH RECURSIVE`.
+    */
+  def bm25LogSql: String = {
+    val seedLegs = QueryTerms.indices.map(i =>
+      s"SELECT $i AS i, CAST(2 * n_docs + 2 AS BIGINT) AS num, " +
+        s"CAST(2 * df$i + 1 AS BIGINT) AS den FROM stats")
+      .mkString("\n  UNION ALL ")
+    val idfCols = QueryTerms.indices.map(i =>
+      s"(SELECT lrm FROM iz_lg WHERE i = $i) AS idf2m$i").mkString(",\n    ")
     s"""${tfStatsSql(QueryTerms)},
+       |idfseed AS (
+       |  $seedLegs),
+       |${OracleSql.log2microCtes("iz", "idfseed", Seq("i"))},
+       |statsx AS (
+       |  SELECT stats.*,
+       |    $idfCols
+       |  FROM stats),
        |bm25 AS (
        |  SELECT doc_id, dl,
        |    round(${scoreSumSql(QueryTerms.indices,
-                i => s"ln(${idfRationalSql(i)} + CAST(1.0 AS DOUBLE))")}, 4) AS score
-       |  FROM tfd CROSS JOIN stats)""".stripMargin
+                i => s"(CAST(idf2m$i AS DOUBLE) / CAST(1000000.0 AS DOUBLE))")}, 4) AS score
+       |  FROM tfd CROSS JOIN statsx)""".stripMargin
+  }
 
   /** (doc_id, query_id, score) for [[multiBm25Scored]]: CTEs tfd,
     * stats, scores — per-query scores as a UNION ALL over the same
@@ -212,10 +242,10 @@ object RankQueries {
 
     // Top-10 BM25 with the textbook log idf — same plan as ta_bm25
     // (map-only scan + 1-row broadcast + TakeOrderedAndProject); kept
-    // alongside the rational-idf form, which remains the bit-exact
-    // parity variant. Scores are rounded to 4dp and ranked on the
-    // rounded value so a ≤1-ulp libm divergence cannot reorder ties
-    // (doc_id breaks them).
+    // alongside the rational-idf form. The idf is the deterministic
+    // base-2 log2micro (no libm — see log2TermScore), so the 4dp
+    // round and the ranking are exact on both engines by construction
+    // (doc_id breaks score ties).
     "ta_bm25_log" -> ((s, dir) =>
       bm25LogScored(s, dir)
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -411,7 +441,7 @@ object RankQueries {
          |SELECT doc_id, dl, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "ta_bm25_log" ->
-      s"""WITH ${bm25LogSql}
+      s"""WITH RECURSIVE ${bm25LogSql}
          |SELECT doc_id, dl, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "ss_hybrid_rrf_multi" ->

@@ -29,6 +29,50 @@ object OracleSql {
   /** DuckDB mirror of [[Agg.dsum]]. */
   def dsum(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** DuckDB mirror of [[graft.functions.Log2Micro.log2micro]]: emits a
+    * chain of CTE clauses computing the deterministic fixed-point
+    * log2-in-micro-units of `num/den` for every row of `rel` (which
+    * must expose BIGINT columns `num ≥ 1` and `den ≥ 1` plus the key
+    * columns in `keys`). The final CTE `<prefix>_lg` holds
+    * (keys..., lrm BIGINT).
+    *
+    * Op-for-op the Scala loop: bit length via `length(bin(x))`,
+    * exact power-of-two normalization (`1::BIGINT << e` — never libm
+    * `pow`), 20 recursive squaring rounds, and a final
+    * offset-positive truncating division (Spark `DIV` and DuckDB `//`
+    * both truncate toward zero; a non-negative numerator makes that
+    * identical to floor). The enclosing statement MUST start
+    * `WITH RECURSIVE`. No libm call appears anywhere — the doctrine
+    * (`OracleLintSpec`) bans `ln`/`exp`/`log`/`pow` from every oracle.
+    */
+  def log2microCtes(prefix: String, rel: String, keys: Seq[String]): String = {
+    val ks = keys.mkString(", ")
+    s"""${prefix}_m0 AS (
+       |  SELECT $ks, lg2e0,
+       |    (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) /
+       |      (CASE WHEN lg2e0 >= 0 THEN CAST(1::BIGINT << lg2e0 AS DOUBLE)
+       |            ELSE 1.0 / CAST(1::BIGINT << (-lg2e0) AS DOUBLE) END) AS lg2m0
+       |  FROM (SELECT $ks, num, den,
+       |          length(bin(num)) - length(bin(den)) AS lg2e0 FROM $rel)),
+       |${prefix}_fx AS (
+       |  SELECT $ks,
+       |    CASE WHEN lg2m0 < 1 THEN lg2e0 - 1 ELSE lg2e0 END AS lg2e,
+       |    CASE WHEN lg2m0 < 1 THEN lg2m0 * 2 ELSE lg2m0 END AS lg2m,
+       |    0 AS lg2i, CAST(0 AS BIGINT) AS lg2f
+       |  FROM ${prefix}_m0
+       |  UNION ALL
+       |  SELECT $ks, lg2e,
+       |    CASE WHEN lg2m*lg2m >= 2 THEN lg2m*lg2m/2 ELSE lg2m*lg2m END,
+       |    lg2i + 1,
+       |    lg2f * 2 + CASE WHEN lg2m*lg2m >= 2 THEN 1 ELSE 0 END
+       |  FROM ${prefix}_fx WHERE lg2i < 20),
+       |${prefix}_lg AS (
+       |  SELECT $ks,
+       |    ((CAST(lg2e AS BIGINT) * 1048576 + lg2f + 67108864) * 1000000)
+       |      // 1048576 - 64000000 AS lrm
+       |  FROM ${prefix}_fx WHERE lg2i = 20)""".stripMargin
+  }
+
   /** DuckDB mirror of the embeddings CTE used by the vector queries:
     * (vec_id, e double[], bucket sign-bits, nrm).
     */

@@ -583,12 +583,14 @@ object TextAnalysis {
     // Per-language unigram entropy — the vocabulary-richness /
     // compressibility profile corpus reports lead with (a language
     // slice whose entropy collapses is boilerplate- or spam-heavy).
-    // H = −Σ p·ln p over the language's unigram distribution: the ln
+    // H₂ = −Σ p·log2 p over the language's unigram distribution, in
+    // BITS/token (the compressibility unit — round 9 moved the whole
+    // contract to [[graft.functions.Log2Micro]], the deterministic
+    // fixed-point log2, so no libm remains on either engine). The log
     // evaluates ONCE PER (lang, word) on the vocab-bounded count frame
-    // and floors to a micro-integer there, so the corpus-side
-    // aggregation is an exact integer dot product c_w·lnm_w (order
-    // free; the pipe_dsir_weights libm-confinement argument). Output
-    // is langs rows; the division + 4dp round happen on exact pieces.
+    // as an exact micro-integer, so the corpus-side aggregation is an
+    // exact integer dot product c_w·lnm_w (order free). Output is
+    // langs rows; the division + 4dp round happen on exact pieces.
     "ta_lang_entropy" -> ((s, dir) => {
       val cnt = Tables.documents(s, dir)
         .select(col("lang"), explode(tokens(col("text"))).as("w"))
@@ -597,8 +599,7 @@ object TextAnalysis {
         count(lit(1)).as("vocab"))
       cnt.join(broadcast(nl), "lang")
         .withColumn("lnm",
-          floor(log(col("c").cast("double") / col("n")) * lit(-1000000.0))
-            .cast("long"))
+          -graft.functions.Log2Micro.log2micro(col("c"), col("n")))
         .groupBy("lang")
         .agg(max(col("n")).as("n_tokens"), max(col("vocab")).as("vocab"),
           sum(col("c") * col("lnm")).as("wsum"))
@@ -1380,18 +1381,21 @@ object TextAnalysis {
          |FROM bg JOIN model USING (w1, w2)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_lang_entropy" ->
-      s"""WITH cnt AS (
+      s"""WITH RECURSIVE cnt AS (
          |  SELECT lang, w, count(*) AS c
          |  FROM (SELECT lang, unnest($toksSql) AS w FROM documents)
          |  GROUP BY 1, 2),
          |nl AS (
          |  SELECT lang, CAST(sum(c) AS BIGINT) AS n, count(*) AS vocab
          |  FROM cnt GROUP BY 1),
+         |t0 AS (
+         |  SELECT cnt.lang, cnt.w, c, n, vocab,
+         |    CAST(c AS BIGINT) AS num, n AS den
+         |  FROM cnt JOIN nl USING (lang)),
+         |${graft.operators.OracleSql.log2microCtes("lz", "t0", Seq("lang", "w"))},
          |t AS (
-         |  SELECT cnt.lang, c, n, vocab,
-         |    CAST(floor(ln(CAST(c AS DOUBLE) / n)
-         |      * CAST(-1000000.0 AS DOUBLE)) AS BIGINT) AS lnm
-         |  FROM cnt JOIN nl USING (lang))
+         |  SELECT t0.lang, c, n, vocab, -lz_lg.lrm AS lnm
+         |  FROM t0 JOIN lz_lg USING (lang, w))
          |SELECT lang, CAST(max(n) AS BIGINT) AS n_tokens,
          |  CAST(max(vocab) AS BIGINT) AS vocab,
          |  round(CAST(CAST(sum(c * lnm) AS BIGINT) AS DOUBLE) / max(n)

@@ -47,16 +47,20 @@ class Round10OpsSpec extends AnyFunSuite {
       val nt = toks.length.toLong
       val sumlen = toks.map(_.length.toLong).sum
       val stop = toks.count(QualityQueries.Stopwords.contains).toLong
-      val z = -6.0 + 0.8 * math.log(1.0 + nt) +
-        0.35 * (if (nt > 0) sumlen.toDouble / nt else 0.0) +
-        6.0 * (if (nt > 0) stop.toDouble / nt else 0.0)
-      val s4 = BigDecimal(1.0 / (1.0 + math.exp(-z)))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // the integer-ppm scoring contract (see QualityQueries.scoredPpm)
+      val x1m = graft.functions.Log2Micro.log2micro(1L + nt, 1L)
+      val x2m = math.min(if (nt > 0) (1000000L * sumlen) / nt else 0L, 64000000L)
+      val x3m = if (nt > 0) (1000000L * stop) / nt else 0L
+      val zm = math.max(math.min(
+        -6000000L + (4L * x1m) / 5L + (7L * x2m) / 20L + 6L * x3m,
+        20000000L), -20000000L)
+      val d = 1000000L + math.abs(zm)
+      val sPpm = (500000L * (d + zm)) / d
       val y = nt >= MinT && nt <= MaxT &&
         sumlen >= QualityQueries.MinMeanWordLen.toLong * nt &&
         sumlen <= QualityQueries.MaxMeanWordLen.toLong * nt &&
         stop >= QualityQueries.MinStopwordHits
-      (s4, y)
+      (sPpm, y)
     }
     val pos = scored.filter(_._2).map(_._1)
     val neg = scored.filterNot(_._2).map(_._1)

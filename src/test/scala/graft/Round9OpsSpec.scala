@@ -40,17 +40,18 @@ class Round9OpsSpec extends AnyFunSuite {
     val rows = run("ta_lr_train_step").collect()
     assert(rows.length == 4)
     assert(rows.map(_.getString(1)).toSeq ==
-      Seq("bias", "log1p_ntok", "mean_wlen", "stop_ratio"))
+      Seq("bias", "log2_ntok", "mean_wlen", "stop_ratio"))
     val n = rows.head.getLong(rows.head.fieldIndex("n_docs"))
     assert(n > 0)
     rows.foreach { r =>
       val g = r.getLong(r.fieldIndex("grad_micro"))
-      val wOld = r.getDouble(r.fieldIndex("w_old"))
-      val wNew = r.getDouble(r.fieldIndex("w_new8"))
-      // gradient DESCENT: a clearly-signed gradient moves the weight
-      // the other way (tiny |g| can vanish in the 8dp rounding)
-      if (g > 1000L) assert(wNew < wOld, s"$r")
-      if (g < -1000L) assert(wNew > wOld, s"$r")
+      val wOld = r.getLong(r.fieldIndex("w_micro"))
+      val wNew = r.getLong(r.fieldIndex("w_new_micro"))
+      // gradient DESCENT: a clearly-signed mean gradient moves the
+      // weight the other way (|g| below 2·n_docs truncates to a zero
+      // step in the integer mean)
+      if (g > 2L * n) assert(wNew < wOld, s"$r")
+      if (g < -2L * n) assert(wNew > wOld, s"$r")
       assert(r.getLong(r.fieldIndex("n_correct")) <= n)
     }
   }
