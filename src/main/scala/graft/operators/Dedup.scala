@@ -451,9 +451,15 @@ object Dedup {
     // both — local, position-aware plagiarism/overlap detection with
     // a density bound of ~2/(w+1) selected per position. The
     // rightmost-tie argmin packs into ONE BIGINT key —
-    // h·2048 + (2047 − pos) — so the window min IS the selection (no
-    // struct ordering; positions < 2048 by corpus contract, the
-    // 52-bit hash keeps the product exact). Report: per-doc
+    // h·2²⁰ + (2²⁰−1 − pos) — so the window min IS the selection (no
+    // struct ordering). Round 9 widened the position field from 11 to
+    // 20 bits (hash 40 bits, key 60 bits — sign-safe): the old
+    // pos < 2048 ceiling was only a comment, and an out-of-contract
+    // doc silently inverted the tie order. Now docs up to 2²⁰ = 1M
+    // positional shingles pack exactly, and a per-row assert_true
+    // FAILS LOUDLY beyond that instead of corrupting the argmin
+    // (the oracle shares the formula, so the gate alone could never
+    // catch it). Report: per-doc
     // fingerprint count, order-free XOR, and min fingerprint. Scale:
     // the per-position window is doc-partitioned (co-partitioned on
     // the shard key, frames of WinnowW rows); nothing global anywhere.
@@ -463,9 +469,12 @@ object Dedup {
       val g = d.select(col("doc_id"),
           posexplode(shinglesOf(col("text"))).as(Seq("pos", "sh")))
         .withColumn("h",
-          conv(substring(md5(col("sh")), 1, 13), 16, 10).cast("long"))
+          conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long"))
         .withColumn("key",
-          col("h") * lit(2048L) + (lit(2047L) - col("pos")))
+          col("h") * lit(1048576L) + (lit(1048575L) - col("pos")) +
+            coalesce(assert_true(col("pos") < 1048576,
+              lit("dd_winnowing: position >= 2^20 breaks the packed argmin contract"))
+              .cast("long"), lit(0L)))
       val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(0, WinnowW - 1)
       val wDoc = Window.partitionBy(col("doc_id"))
@@ -478,8 +487,8 @@ object Dedup {
       val agg = picks.groupBy("doc_id")
         .agg(max(col("n")).as("n_grams"),
           count(lit(1)).as("n_fp"),
-          expr("bit_xor(pick DIV 2048)").as("fp_xor"),
-          min(expr("pick DIV 2048")).as("min_fp"))
+          expr("bit_xor(pick DIV 1048576)").as("fp_xor"),
+          min(expr("pick DIV 1048576")).as("min_fp"))
       d.select("doc_id").join(agg, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_grams"), lit(0L)).as("n_grams"),
@@ -910,10 +919,26 @@ object Dedup {
     * consumers that are multiplicity-blind (connected components: a
     * duplicate edge changes no min) save that exchange; the verify
     * joins then process each pair once per shared band (≤ Bands×).
+    *
+    * MATERIALIZED once per (session, dir, dedup) — round-9 mandate:
+    * the ~8 graph/cluster consumers (dd_degree_hist, dd_label_prop,
+    * dd_modularity, dd_medoid, dd_clusters, dd_survivors,
+    * dd_pagerank*, dd_triangles) each used to rerun the LSH→verify
+    * pipeline from the corpus. `localCheckpoint(eager = false)` makes
+    * the first consumer pay the pipeline once and every later
+    * consumer scan the materialized pair blocks — the production
+    * shape at 100 TB, where verified pairs are computed once per
+    * corpus snapshot and clustering jobs read the snapshot. (The
+    * [[Similarity]] trained-model cache is the same pattern.)
     */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[operators] def verifiedPairs(
       s: SparkSession, dir: String, dedup: Boolean): DataFrame =
-    verifiedPairsOf(Tables.documents(s, dir), dedup)
+    pairsCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$dir|$dedup",
+      _ => verifiedPairsOf(Tables.documents(s, dir), dedup)
+        .localCheckpoint(false))
 
   /** Recall audit for [[ContainmentDfCap]]: per doc, the MAX document
     * frequency among its ⌊n/5⌋+1 rarest shingles (the would-be
@@ -1429,7 +1454,8 @@ object Dedup {
          |ORDER BY n_docs DESC, n_occ DESC, chunk_md5 ASC LIMIT 50""".stripMargin,
     "dd_ngram_jaccard" -> ngramJaccardSqlFrom("documents"),
     // Positional (non-distinct) shingle hashes; the packed
-    // h·2048 + (2047 − pos) key makes min() the rightmost-tie argmin.
+    // h·2²⁰ + (2²⁰−1 − pos) key makes min() the rightmost-tie argmin
+    // (40-bit hash, 20-bit position field — round 9 widening).
     "dd_winnowing" ->
       s"""WITH wg AS (
          |  SELECT doc_id, i - 1 AS pos,
@@ -1439,7 +1465,7 @@ object Dedup {
          |  WHERE len(t) >= 3),
          |g AS (
          |  SELECT doc_id, pos,
-         |    ${hexLongSql("hh", 1, 13)} * 2048 + (2047 - pos) AS key
+         |    ${hexLongSql("hh", 1, 10)} * 1048576 + (1048575 - pos) AS key
          |  FROM wg),
          |p AS (
          |  SELECT doc_id, pos, key,
@@ -1453,8 +1479,8 @@ object Dedup {
          |agg AS (
          |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_grams,
          |    count(*)::BIGINT AS n_fp,
-         |    CAST(bit_xor(pick // 2048) AS BIGINT) AS fp_xor,
-         |    CAST(min(pick // 2048) AS BIGINT) AS min_fp
+         |    CAST(bit_xor(pick // 1048576) AS BIGINT) AS fp_xor,
+         |    CAST(min(pick // 1048576) AS BIGINT) AS min_fp
          |  FROM picks GROUP BY doc_id)
          |SELECT d.doc_id,
          |  COALESCE(a.n_grams, 0)::BIGINT AS n_grams,

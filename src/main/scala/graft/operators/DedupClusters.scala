@@ -249,7 +249,8 @@ object DedupClusters {
     "dd_label_prop" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("community_id"))
-      lpaLabels(s, dir)
+      lpaLabels(Dedup.verifiedPairs(s, dir, dedup = true)
+          .select("doc_a", "doc_b"))
         .select(col("id").as("doc_id"), col("lbl").as("community_id"))
         .withColumn("community_size", count(lit(1)).over(w))
         .orderBy("doc_id")
@@ -266,10 +267,12 @@ object DedupClusters {
     // (in_c drops below the component's edge count). Headroom:
     // tot_c² ≤ (2m)², inside BIGINT to m ~ 10⁹ pairs.
     "dd_modularity" -> ((s, dir) => {
+      // the pair pipeline is materialized once by the verifiedPairs
+      // session cache; m/degrees and the LPA rounds all scan it
       val pairs = Dedup.verifiedPairs(s, dir, dedup = true)
-        .select("doc_a", "doc_b").localCheckpoint(false)
+        .select("doc_a", "doc_b")
       val m = pairs.count()
-      val lbl = lpaLabels(s, dir)
+      val lbl = lpaLabels(pairs)
       val withL = pairs
         .join(lbl.select(col("id").as("doc_a"), col("lbl").as("la")), "doc_a")
         .join(lbl.select(col("id").as("doc_b"), col("lbl").as("lb")), "doc_b")
@@ -342,11 +345,12 @@ object DedupClusters {
   /** Synchronous label propagation over the verified-pair graph (with
     * the one self-loop per node that kills bipartite oscillation):
     * (id, lbl) after [[LpaRounds]] rounds — shared by dd_label_prop
-    * and dd_modularity.
+    * and dd_modularity. Takes the (doc_a, doc_b) pair frame as a
+    * parameter (round-9 ADVICE) so dd_modularity feeds the SAME
+    * frame it aggregates m/degrees from — one pair pipeline per
+    * query, structurally.
     */
-  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.verifiedPairs(s, dir, dedup = true)
-      .select("doc_a", "doc_b")
+  private def lpaLabels(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))

@@ -29,6 +29,48 @@ object EventQueries {
     */
   val HaarLevels = 5
 
+  /** Shared first-order transition-matrix derivation of the Markov
+    * trilogy (ev_markov / ev_markov_stationary / ev_absorption):
+    * per-user successor pairs from a lead() window ((ts, event_id)
+    * ordering is total, user_id is the natural shard key), transition
+    * counts, and exact integer micro-probabilities n·10⁶ DIV
+    * row-total. Extracted in round 9 so the three consumers (and
+    * their oracle CTEs — [[transitionMicroSql]]) cannot drift.
+    * Checkpointed: the types²-bounded frame is iterated over by two
+    * of the consumers.
+    */
+  private def transitionMicro(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    tr.join(broadcast(tr.groupBy("cur").agg(sum(col("n")).as("row_n"))), "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        expr("n * 1000000 DIV row_n").as("pm"))
+      .localCheckpoint(false)
+  }
+
+  /** DuckDB mirror of [[transitionMicro]]: CTEs seq/tr/p, where `p`
+    * is (cur, nxt, n, pm).
+    */
+  private val transitionMicroSql: String =
+    """seq AS (
+      |  SELECT user_id, event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |tr AS (SELECT cur, nxt, count(*) AS n FROM seq
+      |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |p AS (SELECT tr.cur, tr.nxt, tr.n,
+      |        CAST(tr.n * 1000000 // t.row_n AS BIGINT) AS pm
+      |      FROM tr JOIN (SELECT cur, CAST(sum(n) AS BIGINT) AS row_n
+      |                    FROM tr GROUP BY 1) t
+      |        ON tr.cur = t.cur)""".stripMargin
+
   // ---- public attribution API (aliased on graft.Graft) ----
 
   /** Position-based (U-shaped) multi-touch attribution: every row of
@@ -227,21 +269,10 @@ object EventQueries {
     // types²-bounded aggregations; probabilities are exact integer
     // micro-probs (n·10⁶ DIV row-total). Output is a types×types
     // frame regardless of corpus size.
-    "ev_markov" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val tr = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("cur"))
-        .withColumn("nxt", lead(col("cur"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
-      val tot = tr.groupBy("cur").agg(sum(col("n")).as("row_n"))
-      tr.join(broadcast(tot), "cur")
-        .select(col("cur"), col("nxt"), col("n"),
-          expr("n * 1000000 DIV row_n").as("p_micro"))
-        .orderBy("cur", "nxt")
-    }),
+    "ev_markov" -> ((s, dir) =>
+      transitionMicro(s, dir)
+        .select(col("cur"), col("nxt"), col("n"), col("pm").as("p_micro"))
+        .orderBy("cur", "nxt")),
 
     // Markov STATIONARY DISTRIBUTION — the long-run state occupancy
     // the transition matrix (ev_markov) implies: 4 fixed power rounds
@@ -253,18 +284,7 @@ object EventQueries {
     // the iteration runs on a ≤types² broadcast frame. Oracle unrolls
     // the identical rounds as CTEs.
     "ev_markov_stationary" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val tr = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("cur"))
-        .withColumn("nxt", lead(col("cur"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
-      val p = tr.join(broadcast(
-          tr.groupBy("cur").agg(sum(col("n")).as("row_n"))), "cur")
-        .select(col("cur"), col("nxt"), expr("n * 1000000 DIV row_n").as("pm"))
-        .localCheckpoint(false)
+      val p = transitionMicro(s, dir).select("cur", "nxt", "pm")
       val states = p.select(col("cur").as("state")).distinct()
       val nStates = states.count()
       var pi = states.select(col("state"),
@@ -314,8 +334,9 @@ object EventQueries {
     // the incidence frame is distinct (user, type) — co-partitioned
     // self-join on user_id produces ≤ types² rows per user map-side,
     // and every downstream frame is types²-bounded. lift_ppm's
-    // nAB·N·10⁶ stays in BIGINT for corpora to ~10⁸ users per the
-    // headroom note; beyond that the ppm basis drops a digit.
+    // nAB·N·10⁶ intermediate would overflow BIGINT at ~3·10⁶ users
+    // for a popular pair (nAB ≈ N), so it runs in DECIMAL(38,0) /
+    // HUGEINT — exact and types²-bounded, headroom to ~10¹⁵ users.
     "ev_assoc_rules" -> ((s, dir) => {
       val inc = Tables.events(s, dir)
         .select(col("user_id"), col("event_type")).distinct()
@@ -337,7 +358,8 @@ object EventQueries {
           col("n_ante"), col("n_cons"),
           expr(s"n_both * 1000000 DIV $nUsers").as("support_ppm"),
           expr("n_both * 1000000 DIV n_ante").as("confidence_ppm"),
-          expr(s"(n_both * $nUsers * 1000000) DIV (n_ante * n_cons)")
+          expr(s"CAST((CAST(n_both AS DECIMAL(38,0)) * $nUsers * 1000000) " +
+            "DIV (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT)")
             .as("lift_ppm"))
         .orderBy("ante", "cons")
     }),
@@ -438,18 +460,7 @@ object EventQueries {
     // ev_markov_stationary; sink states other than the absorber stay
     // at 0. Oracle unrolls the identical rounds.
     "ev_absorption" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val tr = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("cur"))
-        .withColumn("nxt", lead(col("cur"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
-      val p = tr.join(broadcast(
-          tr.groupBy("cur").agg(sum(col("n")).as("row_n"))), "cur")
-        .select(col("cur"), col("nxt"), expr("n * 1000000 DIV row_n").as("pm"))
-        .localCheckpoint(false)
+      val p = transitionMicro(s, dir).select("cur", "nxt", "pm")
       val states = p.select(col("cur").as("state"))
         .unionAll(p.select(col("nxt").as("state"))).distinct()
         .localCheckpoint(false)
@@ -1097,16 +1108,9 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "ev_markov" ->
-      """WITH seq AS (
-        |  SELECT user_id, event_type AS cur,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS nxt
-        |  FROM events),
-        |tr AS (SELECT cur, nxt, count(*) AS n FROM seq
-        |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS row_n FROM tr GROUP BY 1)
-        |SELECT cur, nxt, n, (n * 1000000) // row_n AS p_micro
-        |FROM tr JOIN tot USING (cur) ORDER BY cur, nxt""".stripMargin,
+      s"""WITH $transitionMicroSql
+         |SELECT cur, nxt, n, pm AS p_micro
+         |FROM p ORDER BY cur, nxt""".stripMargin,
     // μ/σ from the same exact micro-integer sums; the heap-aggregated
     // top-5 must equal the window form (|z| desc, event_id asc).
     "ev_anomaly" ->
@@ -1387,17 +1391,7 @@ object EventQueries {
            |  FROM pi${r - 1} JOIN p ON pi${r - 1}.state = p.cur
            |  GROUP BY 1)""".stripMargin
       }.mkString(",\n")
-      s"""WITH seq AS (
-         |  SELECT user_id, event_type AS cur,
-         |    lead(event_type) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS nxt
-         |  FROM events),
-         |tr AS (SELECT cur, nxt, count(*) AS n FROM seq
-         |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
-         |p AS (SELECT tr.cur, tr.nxt,
-         |        CAST(tr.n * 1000000 // t.row_n AS BIGINT) AS pm
-         |      FROM tr JOIN (SELECT cur, sum(n) AS row_n FROM tr GROUP BY 1) t
-         |        ON tr.cur = t.cur),
+      s"""WITH $transitionMicroSql,
          |s0 AS (SELECT DISTINCT cur AS state FROM p),
          |pi0 AS (SELECT state,
          |          CAST(1000000 // (SELECT count(*) FROM s0) AS BIGINT) AS pim
@@ -1439,8 +1433,8 @@ object EventQueries {
         |  ta.n AS n_ante, tc.n AS n_cons,
         |  CAST(p.n_both * 1000000 // nu.n_users AS BIGINT) AS support_ppm,
         |  CAST(p.n_both * 1000000 // ta.n AS BIGINT) AS confidence_ppm,
-        |  CAST((p.n_both * nu.n_users * 1000000) // (ta.n * tc.n) AS BIGINT)
-        |    AS lift_ppm
+        |  CAST((p.n_both::HUGEINT * nu.n_users * 1000000)
+        |    // (ta.n::HUGEINT * tc.n) AS BIGINT) AS lift_ppm
         |FROM pairs p
         |JOIN tn ta ON p.ante = ta.event_type
         |JOIN tn tc ON p.cons = tc.event_type
@@ -1533,17 +1527,7 @@ object EventQueries {
            |    FROM p JOIN a${r - 1} a ON p.nxt = a.state
            |    GROUP BY 1) st ON s.state = st.state)""".stripMargin
       }.mkString(",\n")
-      s"""WITH seq AS (
-         |  SELECT user_id, event_type AS cur,
-         |    lead(event_type) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS nxt
-         |  FROM events),
-         |tr AS (SELECT cur, nxt, count(*) AS n FROM seq
-         |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
-         |p AS (SELECT tr.cur, tr.nxt,
-         |        CAST(tr.n * 1000000 // t.row_n AS BIGINT) AS pm
-         |      FROM tr JOIN (SELECT cur, sum(n) AS row_n FROM tr GROUP BY 1) t
-         |        ON tr.cur = t.cur),
+      s"""WITH $transitionMicroSql,
          |states AS (SELECT cur AS state FROM p UNION SELECT nxt FROM p),
          |a0 AS (SELECT state,
          |         CASE WHEN state = 'purchase' THEN 1000000 ELSE 0 END AS am
