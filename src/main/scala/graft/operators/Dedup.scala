@@ -724,12 +724,8 @@ object Dedup {
     // product. Small-denominator rationals (jaccard, quality) are the
     // opposite: they LAND on midpoints, so those stay unrounded.
     "dd_embed_cos" -> ((s, dir) => {
-      val v = Tables.embeddings(s, dir)
-        .select(
-          col("vec_id"),
-          toDouble(col("embedding")).as("e"),
-          Vec.signBucket(col("embedding")).as("bucket"))
-        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val v = Vec.bucketedVectors(Tables.embeddings(s, dir))
+        .select("vec_id", "e", "bucket", "nrm")
       v.as("a")
         .join(v.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -750,10 +746,8 @@ object Dedup {
     // the cheaper text pipeline would have caught anyway. One
     // embedding self-join (bucket-blocked) + two doc-keyed lookups.
     "dd_semantic_text_check" -> ((s, dir) => {
-      val v = Tables.embeddings(s, dir)
-        .select(col("vec_id"), toDouble(col("embedding")).as("e"),
-          Vec.signBucket(col("embedding")).as("bucket"))
-        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val v = Vec.bucketedVectors(Tables.embeddings(s, dir))
+        .select("vec_id", "e", "bucket", "nrm")
       val pairs = v.as("a")
         .join(v.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -787,11 +781,12 @@ object Dedup {
         .orderBy("vec_a", "vec_b")
     }),
 
-    // Multi-probe variant: each vector also probes the 8 buckets at
-    // Hamming distance 1 from its own (flip one sign bit), recovering
-    // pairs that a single sign-LSH bucket misses when a coordinate sits
-    // near zero. Candidate volume grows 9×, still O(n·c) — the standard
-    // recall/cost dial of LSH at scale.
+    // Multi-probe variant: each vector also probes the `bits` buckets
+    // at Hamming distance 1 from its own (flip one sign bit via XOR on
+    // the integer bucket), recovering pairs that a single sign-LSH
+    // bucket misses when a coordinate sits near zero. Candidate volume
+    // grows (bits+1)×, still O(n·c) — the standard recall/cost dial of
+    // LSH at scale, riding the computed bit dial (Vec.signBucketBits).
     // Semantic dedup survivors (the SemDeDup shape): within-bucket
     // cosine near-dup pairs (same blocking + threshold as
     // dd_embed_cos), victims = the larger vec_id of any qualifying
@@ -802,11 +797,8 @@ object Dedup {
     // generation, a distinct victim projection, one anti-join — is
     // what survives the swap.
     "dd_semantic_survivors" -> ((s, dir) => {
-      val v = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          toDouble(col("embedding")).as("e"),
-          Vec.signBucket(col("embedding")).as("bucket"))
-        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val v = Vec.bucketedVectors(Tables.embeddings(s, dir))
+        .select("vec_id", "label", "e", "bucket", "nrm")
       val victims = v.as("a")
         .join(v.as("b"),
           col("a.bucket") === col("b.bucket") &&
@@ -822,20 +814,11 @@ object Dedup {
     }),
 
     "dd_embed_multiprobe" -> ((s, dir) => {
-      val v = Tables.embeddings(s, dir)
-        .select(
-          col("vec_id"),
-          toDouble(col("embedding")).as("e"),
-          Vec.signBucket(col("embedding")).as("bucket"))
-        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      val flips: Seq[org.apache.spark.sql.Column] = col("bucket") +: (1 to 8).map { i =>
-        concat(
-          substring(col("bucket"), 1, i - 1),
-          when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
-          substring(col("bucket"), i + 1, 8 - i))
-      }
+      val v = Vec.bucketedVectors(Tables.embeddings(s, dir))
+        .select("vec_id", "e", "bucket", "nrm", "bits")
       val probes = v.select(col("vec_id"), col("e"), col("nrm"),
-        explode(array(flips: _*)).as("probe"))
+        explode(expr("concat(array(bucket), transform(sequence(0, bits - 1), " +
+          "k -> bucket ^ shiftleft(CAST(1 AS BIGINT), k)))")).as("probe"))
       probes.as("a")
         .join(v.as("b"),
           col("a.probe") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -1597,32 +1580,24 @@ object Dedup {
          |  round(CAST(n_verified AS DOUBLE) / n_true, 4) AS recall4
          |FROM sw, ex ORDER BY bands""".stripMargin
     },
-    "dd_embed_multiprobe" -> {
-      val flipsSql = "bucket" +: (1 to 8).map { i =>
-        s"substr(bucket, 1, ${i - 1}) || " +
-          s"(CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || " +
-          s"substr(bucket, ${i + 1}, ${8 - i})"
-      }
+    "dd_embed_multiprobe" ->
       s"""WITH v AS (${OracleSql.vectors}),
          |probes AS (
          |  SELECT vec_id, e, nrm,
-         |    unnest([${flipsSql.mkString(",\n      ")}]) AS probe
+         |    unnest([bucket] || list_transform(range(0, bits),
+         |      k -> xor(bucket, 1::BIGINT << k))) AS probe
          |  FROM v)
          |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
          |FROM probes a JOIN v b ON a.probe = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.3
-         |ORDER BY vec_a, vec_b""".stripMargin
-    },
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "dd_semantic_survivors" ->
       s"""WITH v AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
-         |    concat(
-         |      ${(1 to 8).map(i =>
-                  s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
-                  .mkString(",\n      ")}) AS bucket,
+         |    ${OracleSql.signBucketSql("embedding")} AS bucket,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |  FROM embeddings),
+         |  FROM embeddings, (${OracleSql.signBucketBitsSql}) b),
          |victims AS (
          |  SELECT DISTINCT b.vec_id
          |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -342,16 +342,17 @@ object RankQueries {
     // bounds each join group, and recall is recovered by multiprobe /
     // more tables, same plan shape). The bit count is the scale dial:
     // bits ≈ log₂(n) − c holds per-bucket size at a CONSTANT 2^c as
-    // the corpus grows (the LSH analog of IVF's cells ∝ √n — 8 bits
-    // already gives ≤8-vector buckets at test scale), so the per-cell
-    // self-join never goes quadratic; contrast ss_graph_expand's
-    // round-7 flag, where the bucket was COARSENED against this dial.
+    // the corpus grows (the LSH analog of IVF's cells ∝ √n). Round 9:
+    // the dial is COMPUTED, not documented — Vec.signBucketBits
+    // derives bits from the corpus count (clamp(bitlen(n) − 4,
+    // [4, 32]), expected occupancy pinned to 8–16; exercised across
+    // 64× in ScaleSpec), so the per-cell self-join never goes
+    // quadratic; contrast ss_graph_expand's round-7 flag, where the
+    // bucket was COARSENED against this dial.
     // Self-join on the bucket key, then a per-vector bounded window.
     "dd_knn_graph" -> ((s, dir) => {
-      val v = Tables.embeddings(s, dir)
-        .select(col("vec_id"), toDouble(col("embedding")).as("e"),
-          Vec.signBucket(col("embedding")).as("bucket"))
-        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val v = Vec.bucketedVectors(Tables.embeddings(s, dir))
+        .select("vec_id", "e", "bucket", "nrm")
       val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr").asc)
       v.as("a").join(v.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
@@ -373,10 +374,8 @@ object RankQueries {
     // this rides the identical bucketed plan — the band predicate only
     // shrinks it.
     "ss_hard_negatives" -> ((s, dir) => {
-      val v = Tables.embeddings(s, dir)
-        .select(col("vec_id"), toDouble(col("embedding")).as("e"),
-          Vec.signBucket(col("embedding")).as("bucket"))
-        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val v = Vec.bucketedVectors(Tables.embeddings(s, dir))
+        .select("vec_id", "e", "bucket", "nrm")
       val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr").asc)
       v.as("a").join(v.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
@@ -521,7 +520,7 @@ object RankQueries {
          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr ASC) AS rn
          |  FROM band)
          |WHERE rn <= 3 ORDER BY src, rn""".stripMargin,
-    // 4-bit sign bucket (16 cells) instead of OracleSql.vectors' 8.
+    // Trained-IVF cells, not the sign-bucket family's computed dial.
     // Edge build mirrors Similarity.ivfKnnEdges (trained-IVF own-cell
     // top-3); recursion unchanged.
     "ss_graph_expand" ->

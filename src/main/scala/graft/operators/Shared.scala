@@ -16,10 +16,45 @@ object Agg {
 }
 
 object Vec {
-  /** Sign-bit LSH bucket over the first `bits` embedding dimensions. */
-  def signBucket(embedding: Column, bits: Int = 8): Column =
-    concat((1 to bits).map(i =>
-      when(element_at(embedding, i) >= 0, "1").otherwise("0")): _*)
+  /** Sign-bucket bit dial (round 9 — computed, not documented):
+    * bits = clamp(bitlen(n) − 4, [4, 32]), i.e. ⌊log2 n⌋ − 3, which
+    * pins EXPECTED bucket occupancy n/2^bits into [8, 16) as the
+    * corpus grows — the fix for the fixed-bucket-space flaw class
+    * (constant buckets ⇒ quadratic within-bucket growth) that earned
+    * ss_graph_expand its round-7 flag. The cap sits far below the
+    * embedding dimension (64 sign bits available); past it —
+    * n > 2³⁶ vectors — the production dial is more hash families /
+    * multiprobe (dd_embed_multiprobe), not more bits from one
+    * projection. Exercised across 1×/20× corpora in ScaleSpec/Stress
+    * (per-bucket candidate counts hold as n grows).
+    */
+  def signBucketBits(n: Column): Column =
+    greatest(lit(4), least(lit(32), length(bin(n)).cast("int") - lit(4)))
+
+  /** Sign-bit LSH bucket over the first `bits` embedding dimensions,
+    * folded MSB-first into one BIGINT (acc·2 + sign_i — mirrored by
+    * DuckDB's `list_reduce`, whose first-element seed equals the
+    * 0-seeded fold).
+    */
+  def signBucket(embedding: Column, bits: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), bits),
+        i => when(element_at(embedding, i) >= 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc * lit(2L) + x)
+
+  /** The shared vector projection of the sign-LSH family: input
+    * columns + (bits, bucket, e double[], nrm). The bit dial comes
+    * from the frame's OWN row count — a 1-row broadcast leg, no
+    * driver action, metadata-cheap at any scale.
+    */
+  def bucketedVectors(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nb = emb.agg(signBucketBits(count(lit(1))).as("bits"))
+    emb.crossJoin(broadcast(nb))
+      .withColumn("bucket", signBucket(col("embedding"), col("bits")))
+      .withColumn("e", transform(col("embedding"), _.cast("double")))
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct.dot_product(col("e"), col("e"))))
+  }
 }
 
 object OracleSql {
@@ -73,17 +108,24 @@ object OracleSql {
        |  FROM ${prefix}_fx WHERE lg2i = 20)""".stripMargin
   }
 
-  /** DuckDB mirror of the embeddings CTE used by the vector queries:
-    * (vec_id, e double[], bucket sign-bits, nrm).
+  /** DuckDB mirror of [[Vec.signBucketBits]]: a 1-row CTE body. */
+  val signBucketBitsSql: String =
+    "SELECT greatest(4, least(32, length(bin(count(*))) - 4)) AS bits FROM embeddings"
+
+  /** DuckDB mirror of [[Vec.signBucket]] — expects a `bits` column in
+    * scope (the [[signBucketBitsSql]] cross join).
     */
-  val vectors: String = {
-    val bits = (1 to 8)
-      .map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
-      .mkString(",\n      ")
-    s"""SELECT vec_id, embedding::DOUBLE[] AS e,
-       |    concat(
-       |      $bits) AS bucket,
+  def signBucketSql(emb: String): String =
+    s"""list_reduce(list_transform(range(1, bits + 1),
+       |      i -> CASE WHEN $emb[i] >= 0 THEN 1::BIGINT ELSE 0::BIGINT END),
+       |      (acc, x) -> acc * 2 + x)""".stripMargin
+
+  /** DuckDB mirror of [[Vec.bucketedVectors]] over the embeddings
+    * table: (vec_id, e double[], bits, bucket, nrm).
+    */
+  val vectors: String =
+    s"""SELECT vec_id, embedding::DOUBLE[] AS e, b.bits AS bits,
+       |    ${signBucketSql("embedding")} AS bucket,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings""".stripMargin
-  }
+       |  FROM embeddings, ($signBucketBitsSql) b""".stripMargin
 }

@@ -412,12 +412,9 @@ object Similarity {
     cents
   }
 
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"),
-        Vec.signBucket(col("embedding")).as("bucket"))
-      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-  }
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Vec.bucketedVectors(Tables.embeddings(s, dir))
+      .select("vec_id", "e", "bucket", "nrm")
 
   /** Every vector routed to its nearest coarse centroid (centroids =
     * vec_id < NumCentroids, broadcast): the IVF assignment relation

@@ -484,4 +484,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       s"changepoint windows must partition by event_type:\n$plan")
   }
+
+  test("sign-bucket dial: bits grow with n, occupancy holds as the corpus scales") {
+    // The round-9 computed dial (Vec.signBucketBits): bits =
+    // clamp(bitlen(n) − 4, [4, 32]) must (a) match its formula,
+    // (b) grow monotonically with n, and (c) keep mean per-bucket
+    // occupancy in a constant band as n scales 64× — the property
+    // that keeps the within-bucket self-join linear at 100 TB
+    // (fixed bucket spaces go quadratic; that was ss_graph_expand's
+    // round-7 flag).
+    import graft.operators.Vec
+    def mk(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), " +
+        "d -> CAST(pmod(hash(id * 64 + d), 7) - 3 AS FLOAT))").as("embedding"))
+    val results = Seq(512L, 4096L, 32768L).map { n =>
+      val v = Vec.bucketedVectors(mk(n))
+      val bits = v.select("bits").head.getInt(0)
+      val expectBits = math.max(4, math.min(32,
+        (64 - java.lang.Long.numberOfLeadingZeros(n)) - 4))
+      assert(bits == expectBits, s"n=$n bits=$bits expected=$expectBits")
+      val occ = v.groupBy("bucket").count()
+        .agg(avg("count")).head.getDouble(0)
+      (n, bits, occ)
+    }
+    assert(results.map(_._2) == results.map(_._2).sorted, "bits must be monotone in n")
+    results.foreach { case (n, _, occ) =>
+      // design band is 8–16 expected; allow sign-correlation slack
+      assert(occ >= 2.0 && occ <= 64.0, s"n=$n mean occupancy $occ off the dial band")
+    }
+  }
 }
