@@ -116,6 +116,14 @@ object Multimodal {
         "aggregate(sequence(0, 63), 0L, (a, i) -> " +
           "a + IF(64 * pix[i] > psum, shiftleft(1L, CAST(i AS INT)), 0L))"))
       .select(col("doc_id"), col("ph"))
+    phashPairsFrom(hashes)
+  }
+
+  /** Banded aHash pair generation from a precomputed (doc_id, ph)
+    * frame — shared by the text-wrapped path above and the real-file
+    * path (mm_png_files), whose hashes come off decoded PNG bytes.
+    */
+  private def phashPairsFrom(hashes: DataFrame): DataFrame = {
     val banded = hashes.select(col("doc_id"), col("ph"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band_idx"),
@@ -132,7 +140,101 @@ object Multimodal {
       .distinct()
   }
 
+  /** Per-process landing root for the real-file leg (the
+    * SourceQueries.tmp pattern: unique per JVM so concurrent runs
+    * can't race each other's overwrite-then-read).
+    */
+  private val runId = java.util.UUID.randomUUID().toString.take(8)
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mm_$runId/$name"
+
+  /** Subset predicate for the real-file leg: ~1/8 of the corpus by
+    * md5 prefix (78 files at sf0.01, 659 at sf0.1) — enough to carry
+    * real duplicate clusters without an I/O-bound bench row.
+    */
+  private val PngSubsetPred = "substring(md5(CAST(doc_id AS STRING)), 1, 4) < '2000'"
+  private val PngSubsetPredSql = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // REAL BINARY FILES end-to-end (round-9 mandate): every other mm_*
+    // row wraps text bytes into a valid container AT QUERY TIME; this
+    // row writes genuine .png files to disk (sharded layout, no crc
+    // sidecars — the src_binaryfile_meta ingest shape), reads them
+    // back through the `binaryFile` DataSource, DECODES the actual
+    // PNG bytes (JDK imageio), and runs the full image-dedup leg —
+    // aHash → banded pairs → connected components — off the decoded
+    // rasters. PNG is lossless, so the oracle pins the whole chain
+    // from the documents table: pixels_md5 must equal the
+    // arithmetically reconstructed raster's md5 (one wrong byte
+    // anywhere in encode→write→read→decode flips it), and the
+    // clusters must equal the text-derived aHash clustering on the
+    // same subset. Scale: the write is one pass of payload-sized
+    // rows; the read is the binaryFile scan; decode+hash is a narrow
+    // mapPartitions; pairs/CC ride the banded PairGen machinery.
+    "mm_png_files" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val out = tmp("png_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(out)
+      val fs0 = root.getFileSystem(conf.value)
+      if (fs0.exists(root)) fs0.delete(root, true)
+      Tables.documents(s, dir)
+        .filter(expr(PngSubsetPred))
+        .select(col("doc_id").cast("long"), col("text"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("shard"))
+        .repartition(col("shard"))
+        .as[(Long, String, String)]
+        .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+          val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf.value)
+          fs.setWriteChecksum(false)
+          it.foreach { case (id, text, shard) =>
+            val png = graft.functions.PngCodec.encode(
+              PgmCodec.decode(PgmCodec.encode(text.getBytes("UTF-8"))))
+            val p = new org.apache.hadoop.fs.Path(s"$out/shard=$shard/$id.png")
+            val os = fs.create(p, true)
+            try os.write(png) finally os.close()
+          }
+        }
+      val decoded = s.read.format("binaryFile").load(out)
+        .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          col("content"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, png) =>
+          val img = graft.functions.PngCodec.decode(png)
+          val small = PgmCodec.resize(img, 8, 8)
+          var sum = 0L
+          var i = 0
+          while (i < 64) { sum += small.pixels(i) & 0xff; i += 1 }
+          var ph = 0L
+          i = 0
+          while (i < 64) {
+            // ascending-index adds match the SQL fold: bit 63's weight
+            // is Long.MIN and lands last, so partials never overflow
+            if (64L * (small.pixels(i) & 0xff) > sum) ph += (1L << i)
+            i += 1
+          }
+          (id, img.height, ph, img.pixels)
+        })
+        .toDF("doc_id", "height", "ph", "pixels")
+        .select(col("doc_id"), col("height"), col("ph"),
+          md5(col("pixels")).as("pixels_md5"))
+        .localCheckpoint(false) // files decode once; pairs + labels reuse
+      val labels = DedupClusters.connectedComponents(
+        phashPairsFrom(decoded.select(col("doc_id"), col("ph")))
+          .select("doc_a", "doc_b"))
+      decoded.join(labels, decoded("doc_id") === labels("id"), "left")
+        .select(col("doc_id"), col("height").cast("int").as("height"),
+          col("pixels_md5"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("doc_id")
+    }),
 
     // Metadata over opaque binary payloads: byte length, checksum,
     // derived "dimensions", frame count, first-frame sample hash.
@@ -435,24 +537,24 @@ object Multimodal {
   // Shared oracle fragment: the decoded raster is text space-padded to
   // width 8 × height ⌈len/8⌉ (min 1 row) — byte-identical to what
   // PgmCodec.encode wraps and PgmCodec.decode returns.
-  private val rasterSql =
-    """SELECT doc_id, text, length(text) AS len,
-      |    greatest(1, (length(text) + 7) // 8) AS h,
-      |    rpad(text, CAST(8 * greatest(1, (length(text) + 7) // 8) AS INT), ' ') AS raster
-      |  FROM documents""".stripMargin
+  private def rasterSql(from: String = "documents") =
+    s"""SELECT doc_id, text, length(text) AS len,
+       |    greatest(1, (length(text) + 7) // 8) AS h,
+       |    rpad(text, CAST(8 * greatest(1, (length(text) + 7) // 8) AS INT), ' ') AS raster
+       |  FROM $from""".stripMargin
 
   /** Shared DuckDB CTE chain g->px->ps->ph->banded for the aHash
     * queries, and the pair SELECT over it (no ORDER BY — callers add
     * their own or feed the clusters recursion).
     */
-  private val phashCtesSql: String = {
+  private def phashCtesSql(from: String = "documents"): String = {
     val phExpr = (0 until 64)
       .map(i => s"CASE WHEN 64 * pix[${i + 1}] > psum THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
     val bandRows = (0 until 4)
       .map(j => s"SELECT doc_id, ph, $j AS band_idx, (ph >> ${16 * j}) & 65535 AS band_val FROM ph")
       .mkString("\n  UNION ALL\n  ")
-    s"""g AS ($rasterSql),
+    s"""g AS (${rasterSql(from)}),
        |px AS (
        |  SELECT doc_id,
        |    list_transform(range(0, 64), i -> ord(substring(raster,
@@ -485,7 +587,7 @@ object Multimodal {
         |  md5(substring(text, 1, 32)) AS frame0_checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_decode_pgm" ->
-      s"""WITH g AS ($rasterSql),
+      s"""WITH g AS (${rasterSql()}),
          |sums AS (
          |  SELECT doc_id, sum(ord(substring(text, CAST(i + 1 AS INT), 1))) AS s
          |  FROM documents, UNNEST(range(0, length(text))) AS u(i)
@@ -500,7 +602,7 @@ object Multimodal {
     // reconstruction (no max_val column: the PNG container doesn't
     // carry one).
     "mm_decode_png" ->
-      s"""WITH g AS ($rasterSql),
+      s"""WITH g AS (${rasterSql()}),
          |sums AS (
          |  SELECT doc_id, sum(ord(substring(text, CAST(i + 1 AS INT), 1))) AS s
          |  FROM documents, UNNEST(range(0, length(text))) AS u(i)
@@ -518,7 +620,7 @@ object Multimodal {
     // k/64 is dyadic, so float→double widening and the 4dp round agree
     // bit-exactly.
     "mm_features" ->
-      s"""WITH g AS ($rasterSql),
+      s"""WITH g AS (${rasterSql()}),
          |bytes AS (
          |  SELECT doc_id, len,
          |    ord(substring(raster,
@@ -533,11 +635,39 @@ object Multimodal {
     // trick — bit 63's weight is Long.MIN, and the left-assoc sum adds
     // it last so no partial sum overflows).
     "mm_phash_pairs" ->
-      s"""WITH $phashCtesSql
+      s"""WITH ${phashCtesSql()}
          |$phashPairsSelectSql ORDER BY doc_a, doc_b""".stripMargin,
+    // The real-file chain is losslessly pinned from the documents
+    // table: decode(readFiles(write(encodePNG(x)))) == x, so raster
+    // md5s and the aHash clustering must equal the arithmetic
+    // reconstruction over the same md5-prefix subset (singletons keep
+    // their own id, size 1).
+    "mm_png_files" -> {
+      val sub = s"(SELECT * FROM documents WHERE $PngSubsetPredSql)"
+      s"""WITH RECURSIVE ${phashCtesSql(sub)},
+         |pairs AS ($phashPairsSelectSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (
+         |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT g.doc_id, CAST(g.h AS INT) AS height, md5(g.raster) AS pixels_md5,
+         |    COALESCE(c.cluster_id, g.doc_id) AS cluster_id
+         |  FROM g LEFT JOIN comp c ON g.doc_id = c.id)
+         |SELECT doc_id, height, pixels_md5, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin
+    },
+
     // dd_clusters' recursive min-label CC over the aHash pair graph.
     "mm_phash_clusters" ->
-      s"""WITH RECURSIVE $phashCtesSql,
+      s"""WITH RECURSIVE ${phashCtesSql()},
          |pairs AS ($phashPairsSelectSql),
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -606,7 +736,7 @@ object Multimodal {
     // Raster width is 8; quadrant membership and sums are pure integer
     // functions of the padded-text synth formula.
     "mm_pgm_tiles" ->
-      s"""WITH g AS ($rasterSql),
+      s"""WITH g AS (${rasterSql()}),
          |px AS (
          |  SELECT doc_id,
          |    CAST(i % 8 AS BIGINT) AS x, CAST(i // 8 AS BIGINT) AS y, h,
