@@ -162,15 +162,35 @@ object Stress {
            else col("id") % 1000).as("k"),
           (col("id") * 7 % 100000).as("t"))
         def timed(name: String)(df: => DataFrame): Unit = {
-          val t0 = System.nanoTime()
-          val rows = df.count()
-          println(f"STRESS $name rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.1f")
+          // min-of-2: the first rep pays whole-stage codegen compile,
+          // which a long-lived service amortizes away
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            val rows = df.count()
+            (rows, (System.nanoTime() - t0) / 1e9)
+          }
+          println(f"STRESS $name rows=${times.head._1} " +
+            f"time=${times.map(_._2).min}%.1f (first=${times.head._2}%.1f)")
         }
+        // JVM warm-up so the first timed probe isn't charged session
+        // startup (~5 s on this container)
+        leftOf(hot = false).groupBy("k").count().count()
         timed("asof_uniform_keys") {
           val l = leftOf(hot = false); val r = rightQuotes
           graft.plans.AsOfJoin.joinAsOf(l, r, l("k"), r("k"), l("t"), r("t"))
         }
+        timed("asof_hot_key_unsalted") {
+          // the pre-round-9 straggler, kept measurable via the opt-out
+          spark.conf.set("spark.graft.asof.autoSalt", "false")
+          try {
+            val l = leftOf(hot = true); val r = rightQuotes
+            graft.plans.AsOfJoin.joinAsOf(l, r, l("k"), r("k"), l("t"), r("t"))
+          } finally spark.conf.set("spark.graft.asof.autoSalt", "true")
+        }
         timed("asof_hot_key") {
+          // plain entry point; the auto-salt skew probe must route this
+          // to the salted form (round-9 done criterion: ≤ ~1.2× the
+          // explicit salted time)
           val l = leftOf(hot = true); val r = rightQuotes
           graft.plans.AsOfJoin.joinAsOf(l, r, l("k"), r("k"), l("t"), r("t"))
         }

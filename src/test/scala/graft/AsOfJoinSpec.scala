@@ -22,6 +22,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     (1L, 4L, "r-x"), (1L, 7L, "r-y"), (2L, 9L, "r-z")
   ).toDF("rk", "rt", "rv")
 
+  test("auto-salt: hot probe key routes plain joinAsOf through the salted form, row-identical") {
+    import org.apache.spark.sql.functions._
+    // 150k rows over the AutoSaltMinRows floor, 90% on key 0
+    val l = spark.range(0, 150000L).select(
+      when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 100).as("k"),
+      (col("id") * 7 % 5000).as("t"))
+    val r = spark.range(0, 2000L).select(
+      (col("id") % 100).as("rk"), (expr("id DIV 100") * 250).as("rt"),
+      col("id").as("q"))
+    def run() = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+    val auto = run()
+    // the salted route replicates the right side via explode → a
+    // Generate node the plain plan never carries
+    assert(auto.queryExecution.executedPlan.toString.contains("Generate"),
+      "hot-key join did not take the salted route")
+    spark.conf.set("spark.graft.asof.autoSalt", "false")
+    val plain = try run() finally
+      spark.conf.set("spark.graft.asof.autoSalt", "true")
+    assert(!plain.queryExecution.executedPlan.toString.contains("Generate"))
+    // row-identical results on both routes
+    assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty)
+    // a uniform frame of the same size stays on the plain route
+    val u = spark.range(0, 150000L).select(
+      (col("id") % 100).as("k"), (col("id") * 7 % 5000).as("t"))
+    val uniform = AsOfJoin.joinAsOf(u, r, u("k"), r("rk"), u("t"), r("rt"))
+    assert(!uniform.queryExecution.executedPlan.toString.contains("Generate"))
+  }
+
   test("backward as-of: latest right row at-or-before each left time") {
     val l = leftDF; val r = rightDF
     val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
