@@ -9,7 +9,8 @@ import graft.Tables
 /** EXACT distributed order statistics without a global sort — the two
   * scale patterns for "give me the real median/p90, not a sketch"
   * (dataset cards and dedup-threshold calibration want exact numbers;
-  * `q_approx_quantile` remains the sketch path):
+  * `q_approx_quantile` is the mergeable-sketch path, oracle-gated
+  * on the engine's own cents histogram since round 9):
   *
   *  - unbounded value domain (`q_exact_quantiles`): RADIX selection
   *    over order-preserving double bits (the distributed

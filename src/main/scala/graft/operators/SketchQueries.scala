@@ -8,9 +8,11 @@ import graft.Tables
 /** Mergeable cardinality/frequency SKETCHES with integer-exact,
   * DuckDB-verifiable contracts — the missing piece between the exact
   * paths (q_exact_quantiles, wordcount) and the engine-opaque builtins
-  * (q_approx_distinct / q_approx_quantile, which stay oracle-exempt
-  * because Spark's HLL++ and KLL register layouts are not
-  * reproducible from SQL).
+  * (approx_count_distinct / approx_percentile, whose HLL++/KLL
+  * register layouts are not SQL-reproducible — they stay pinned by
+  * error-bound ScalaTests in ScaleSpec, while the q_approx_* QUERY
+  * rows run THIS family's integer sketches and are fully oracle-gated
+  * since round 9).
   *
   * Why this family exists: at 100 TB every corpus-level statistic must
   * be a commutative-monoid fold (the pipe_agg_maintenance rule) or it
@@ -465,7 +467,7 @@ object SketchQueries {
     * strpos-decoded nibbles (BIGINT-cast so 13-nibble powers up to
     * 16¹² stay exact).
     */
-  private def hexLong(h: String, start: Int, len: Int): String =
+  private[operators] def hexLong(h: String, start: Int, len: Int): String =
     (0 until len).map { i =>
       val pow = Math.pow(16.0, (len - 1 - i).toDouble).toLong
       s"(strpos('0123456789abcdef', substring($h, ${start + i}, 1)) - 1)::BIGINT * $pow"

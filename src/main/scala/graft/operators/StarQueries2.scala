@@ -321,32 +321,115 @@ object StarQueries2 {
         .orderBy("t")
     }),
 
-    // Sketch aggregation: HyperLogLog approximate distinct counts next
-    // to the exact value. Oracle-exempt (Spark's HLL++ and DuckDB's HLL
-    // give different estimates by construction) → rows-only check; the
-    // relative-error bound is asserted in ScalaTest instead.
+    // Sketch aggregation, oracle-GATED (round 9 — previously exempt):
+    // the engine's own fixed-point HLL (the sk_hll_* machinery —
+    // integer registers, capped rho, integer-rational estimate)
+    // grouped by return flag over l_partkey, with the exact distinct
+    // as the audit column. The sketch value is identical on both
+    // engines by construction, so the row carries a full hash gate;
+    // Spark's built-in approx_count_distinct stays covered by its
+    // error-bound pin in ScaleSpec (sketch internals are
+    // engine-specific — that part is a ScalaTest contract, not an
+    // oracle one). Scale shape: per-(flag, register) max is map-side
+    // combined to ≤ flags·256 rows; everything downstream is
+    // flag-bounded.
     "q_approx_distinct" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
+      import SketchQueries.{HllNumer, HllRegisters, HllRhoCap}
+      val keyed = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          md5(col("l_partkey").cast("string")).as("h"))
+        .withColumn("reg", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+        .withColumn("v", conv(substring(col("h"), 3, 13), 16, 10).cast("long"))
+        .withColumn("rho",
+          when(col("v") === 0L, lit(53))
+            .otherwise(lit(53) - length(bin(col("v")))).cast("int"))
+      val regs = keyed.groupBy("l_returnflag", "reg")
+        .agg(max(col("rho")).as("rho"))
+      val est = regs.groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+          count(lit(1)).as("n_set"),
+          sum(expr(s"shiftleft(1L, $HllRhoCap - least(rho, $HllRhoCap))"))
+            .as("z_set"))
+        .withColumn("zcap", col("z_set") +
+          (lit(HllRegisters.toLong) - col("n_set")) * lit(1L << HllRhoCap))
+        .withColumn("raw_est", expr(s"$HllNumer DIV (1000000 * zcap)"))
+        // small-range (linear counting) correction, Flajolet §4:
+        // for raw ≤ 2.5m with empty registers, est = m·ln(m/(m−V)) —
+        // the ln is the deterministic Log2Micro (×ln2 micro-constant),
+        // so the correction is engine-exact integer arithmetic too
+        .withColumn("lrm", graft.functions.Log2Micro.log2micro(
+          lit(HllRegisters.toLong),
+          greatest(lit(HllRegisters.toLong) - col("n_set"), lit(1L))))
+        .withColumn("est_parts", expr(
+          s"CASE WHEN n_set < $HllRegisters AND raw_est <= ${5 * HllRegisters / 2} " +
+            s"THEN ($HllRegisters * lrm * 693147) DIV 1000000000000 " +
+            "ELSE raw_est END"))
+      val exact = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      est.join(exact, "l_returnflag")
+        .select("l_returnflag", "n_set", "zcap", "est_parts", "exact_parts")
         .orderBy("l_returnflag")
     }),
 
-    // Sketch quantiles: approx_percentile (the mergeable KLL-style
-    // sketch Spark uses for SQL approx quantiles) next to the exact
-    // value. Oracle-exempt like the HLL query — sketch estimates are
-    // engine-specific by construction; the relative-error bound is
-    // asserted in ScalaTest (`ScaleSpec`) instead.
+    // Sketch quantiles, oracle-GATED (round 9 — previously exempt): a
+    // mergeable equi-width histogram sketch over integer cents
+    // (bucket = cents DIV 1024, counts add across partitions and
+    // batches — the mergeability that is a quantile sketch's reason
+    // to exist), read at p50/p95 as the bucket ceiling of the
+    // rank-⌈p·n⌉ element — |est − exact| ≤ 1023 cents BY
+    // CONSTRUCTION (pinned in SketchSpec). The exact audit columns
+    // come from the same histogram via the two-phase radix descent:
+    // the bucket cumsum (≤10k-row value-bounded frame) locates the
+    // rank's bucket, then the ≤1024-distinct-cents frame INSIDE that
+    // bucket resolves the exact element — no corpus-sized window
+    // anywhere. Spark's built-in approx_percentile keeps its
+    // error-bound pin in ScaleSpec.
     "q_approx_quantile" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
-          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("approx_p95"))
+      import org.apache.spark.sql.expressions.Window
+      val cents = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          expr("CAST(floor(l_extendedprice * 100.0D + 0.5D) AS BIGINT)").as("c"))
+      val hist = cents.groupBy("l_returnflag", "c")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("bucket", expr("c DIV 1024"))
+        .localCheckpoint(false) // bucket cumsum + in-bucket descent share it
+      val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+      val bh = hist.groupBy("l_returnflag", "bucket")
+        .agg(sum(col("cnt")).as("bcnt"))
+        .withColumn("cum", sum(col("bcnt")).over(
+          wB.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum(col("bcnt")).over(
+          Window.partitionBy(col("l_returnflag"))))
+      def leg(tag: String, num: Int, den: Int) = {
+        val rank = expr(s"(n * $num + $den - 1) DIV $den") // ⌈p·n⌉
+        val b = bh.withColumn("rank", rank)
+          .filter(col("cum") >= col("rank"))
+          .groupBy("l_returnflag")
+          .agg(min(col("bucket")).as("b"),
+            max(col("rank")).as("rank"), max(col("n")).as("n"))
+        val before = b.join(bh.select(col("l_returnflag"),
+            col("bucket"), (col("cum") - col("bcnt")).as("cum_before")),
+          Seq("l_returnflag"))
+          .filter(col("bucket") === col("b"))
+          .select(col("l_returnflag"), col("b"), col("rank"), col("n"),
+            col("cum_before"))
+        val wC = Window.partitionBy(col("l_returnflag")).orderBy(col("c"))
+        val exact = before.join(hist, Seq("l_returnflag"))
+          .filter(col("bucket") === col("b"))
+          .withColumn("cum_in", sum(col("cnt")).over(
+            wC.rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("cum_before") + col("cum_in") >= col("rank"))
+          .groupBy("l_returnflag")
+          .agg(min(col("c")).as(s"exact_${tag}_cents"),
+            max((col("b") + 1) * 1024 - 1).as(s"est_${tag}_cents"),
+            max(col("n")).as("n_rows"))
+        exact
+      }
+      leg("median", 1, 2)
+        .join(leg("p95", 19, 20).drop("n_rows"), "l_returnflag")
+        .select("l_returnflag", "n_rows",
+          "est_median_cents", "exact_median_cents",
+          "est_p95_cents", "exact_p95_cents")
         .orderBy("l_returnflag")
     }),
 
@@ -649,6 +732,90 @@ object StarQueries2 {
   private val dsumSql = OracleSql.dsum _
 
   val oracleSql: Map[String, String] = Map(
+    // The grouped fixed-point HLL (sk_hll machinery) — engine-exact,
+    // so the previously exempt sketch row now carries a full gate.
+    "q_approx_distinct" -> {
+      import SketchQueries.{HllNumer, HllRegisters, HllRhoCap, hexLong}
+      val zc = s"(z_set + ($HllRegisters - n_set) * ${1L << HllRhoCap})"
+      s"""WITH RECURSIVE keyed AS (
+         |  SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
+         |  FROM lineitem),
+         |rr AS (
+         |  SELECT l_returnflag, ${hexLong("h", 1, 2)}::INT AS reg,
+         |    CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END::INT AS rho
+         |  FROM (SELECT l_returnflag, h, ${hexLong("h", 3, 13)} AS v FROM keyed)),
+         |regs AS (SELECT l_returnflag, reg, max(rho) AS rho
+         |         FROM rr GROUP BY 1, 2),
+         |z AS (
+         |  SELECT l_returnflag, count(*)::BIGINT AS n_set,
+         |    sum((1::BIGINT << ($HllRhoCap - least(rho, $HllRhoCap))))::BIGINT AS z_set
+         |  FROM regs GROUP BY 1),
+         |zn AS (
+         |  SELECT l_returnflag, n_set, z_set,
+         |    CAST($HllRegisters AS BIGINT) AS num,
+         |    greatest($HllRegisters - n_set, 1)::BIGINT AS den
+         |  FROM z),
+         |${OracleSql.log2microCtes("lc", "zn", Seq("l_returnflag"))},
+         |ze AS (
+         |  SELECT zn.l_returnflag, n_set, z_set, lc_lg.lrm,
+         |    ($HllNumer // (1000000::BIGINT * $zc))::BIGINT AS raw_est
+         |  FROM zn JOIN lc_lg USING (l_returnflag)),
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS exact_parts
+         |       FROM lineitem GROUP BY 1)
+         |SELECT ze.l_returnflag, n_set, $zc::BIGINT AS zcap,
+         |  CASE WHEN n_set < $HllRegisters AND raw_est <= ${5 * HllRegisters / 2}
+         |    THEN ($HllRegisters * lrm * 693147) // 1000000000000
+         |    ELSE raw_est END::BIGINT AS est_parts,
+         |  exact_parts
+         |FROM ze JOIN ex USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
+    // The mergeable cents-histogram quantile sketch + two-phase exact
+    // descent — every column a BIGINT, engine-exact.
+    "q_approx_quantile" -> {
+      def legSql(tag: String, num: Int, den: Int) =
+        s"""${tag}_b AS (
+           |  SELECT l_returnflag, min(bucket) AS b,
+           |    max((n * $num + ${den - 1}) // $den)::BIGINT AS rank
+           |  FROM bc WHERE cum >= (n * $num + ${den - 1}) // $den GROUP BY 1),
+           |${tag}_in AS (
+           |  SELECT h.l_returnflag, h.c, b.rank, b.b,
+           |    bb.cum - bb.bcnt AS cum_before,
+           |    sum(h.cnt) OVER (PARTITION BY h.l_returnflag ORDER BY h.c
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in
+           |  FROM hist h
+           |  JOIN ${tag}_b b ON h.l_returnflag = b.l_returnflag AND h.bucket = b.b
+           |  JOIN bc bb ON bb.l_returnflag = b.l_returnflag AND bb.bucket = b.b),
+           |${tag}_r AS (
+           |  SELECT l_returnflag, min(c)::BIGINT AS exact_${tag}_cents,
+           |    max((b + 1) * 1024 - 1)::BIGINT AS est_${tag}_cents
+           |  FROM ${tag}_in WHERE cum_before + cum_in >= rank GROUP BY 1)""".stripMargin
+      s"""WITH cents AS (
+         |  SELECT l_returnflag,
+         |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+         |  FROM lineitem),
+         |hist AS (
+         |  SELECT l_returnflag, c, count(*)::BIGINT AS cnt, c // 1024 AS bucket
+         |  FROM cents GROUP BY 1, 2),
+         |bh AS (
+         |  SELECT l_returnflag, bucket, sum(cnt)::BIGINT AS bcnt
+         |  FROM hist GROUP BY 1, 2),
+         |bc AS (
+         |  SELECT l_returnflag, bucket, bcnt,
+         |    sum(bcnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         |    sum(bcnt) OVER (PARTITION BY l_returnflag)::BIGINT AS n
+         |  FROM bh),
+         |nn AS (SELECT l_returnflag, max(n)::BIGINT AS n_rows FROM bc GROUP BY 1),
+         |${legSql("median", 1, 2)},
+         |${legSql("p95", 19, 20)}
+         |SELECT nn.l_returnflag, nn.n_rows,
+         |  m.est_median_cents, m.exact_median_cents,
+         |  p.est_p95_cents, p.exact_p95_cents
+         |FROM nn JOIN median_r m USING (l_returnflag)
+         |JOIN p95_r p USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
     "q_not_in_null" ->
       """WITH keys AS (
         |  SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
