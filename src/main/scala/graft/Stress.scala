@@ -202,6 +202,74 @@ object Stress {
       } finally spark.stop()
       return
     }
+    if (args.headOption.contains("curve")) {
+      // Scaling-curve probe for the exact-audit tier (round-9 mandate):
+      // run the expensive exact/graph queries at 1×/5×/20×/50× corpus
+      // amplification and fit t ∝ f^α and t ∝ rows^β by least squares
+      // on the log-log points. The claims under test: dd_containment /
+      // dd_jaccard_prefix are OUTPUT-dominated — their true-pair count
+      // grows ~f² under copy-amplification (each doc gains f−1 exact
+      // clones), so α≈2 is EXPECTED and β≈1 (linear in emitted pairs)
+      // is the non-quadratic-blowup evidence; ss_graph_expand's
+      // trained-IVF edge build must hold α ≈ 1.5 (edge volume
+      // O(n^1.5)), nowhere near the all-pairs α = 2 with β following
+      // edges, not pairs².
+      val spark = SparkSession.builder().master("local[32]")
+        .appName("graft-stress-curve")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val src = "/root/testdata/sf0.1"
+      val names = Seq("dd_containment", "dd_jaccard_prefix", "ss_graph_expand")
+      val factors = Seq(1, 5, 20, 50)
+      val results = scala.collection.mutable.Map[String, List[(Int, Long, Double)]]()
+        .withDefaultValue(Nil)
+      factors.foreach { f =>
+        val dst = java.nio.file.Files.createTempDirectory(s"graft_curve_$f").toString
+        def amp(name: String, idCols: Seq[String]): Unit = {
+          val base = Tables.load(spark, src, name)
+          val copies = (0 until f).map { i =>
+            idCols.foldLeft(base)((df, c) =>
+              df.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+          }
+          copies.reduce(_.union(_)).write.mode("overwrite")
+            .parquet(s"$dst/$name.parquet")
+        }
+        amp("documents", Seq("doc_id"))
+        amp("embeddings", Seq("vec_id"))
+        names.foreach { n =>
+          val t0 = System.nanoTime()
+          val rows = try SparkEntry.queries(n)(spark, dst).count()
+          catch { case e: Throwable =>
+            System.err.println(s"$n@$f FAILED: ${e.getMessage}"); -1L }
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"CURVE $n factor=$f rows=$rows time=$secs%.1f")
+          if (rows >= 0) results(n) = results(n) :+ ((f, rows, secs))
+        }
+      }
+      def slope(pts: Seq[(Double, Double)]): Double = {
+        val n = pts.length
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      }
+      names.foreach { n =>
+        val pts = results(n)
+        if (pts.length >= 3) {
+          val a = slope(pts.map(p => (math.log(p._1.toDouble), math.log(p._3))))
+          val b = slope(pts.filter(_._2 > 0)
+            .map(p => (math.log(p._2.toDouble), math.log(p._3))))
+          println(f"CURVEFIT $n alpha_vs_factor=$a%.2f beta_vs_rows=$b%.2f " +
+            pts.map(p => s"${p._1}x:${p._3.formatted("%.1f")}s/${p._2}r").mkString(" "))
+        }
+      }
+      spark.stop()
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("wordcount", "q1_agg", "q_join_large", "ta_tfidf",

@@ -1011,7 +1011,12 @@ object Dedup {
           col("a.n") + col("b.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    // merge-join hint, as in dd_containment/verifiedPairs: the
+    // candidate set's size is data-dependent and its stats mislead the
+    // planner into a driver-side broadcast build (measured: 1 GB
+    // collect → maxResultSize abort at 50× amplification); sort-merge
+    // spills instead.
+    cand.hint("merge")
       .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
         col("n").as("na")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
