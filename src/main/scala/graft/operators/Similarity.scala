@@ -414,7 +414,7 @@ object Similarity {
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Vec.bucketedVectors(Tables.embeddings(s, dir))
-      .select("vec_id", "e", "bucket", "nrm")
+      .select("vec_id", "e", "bucket", "nrm", "bits")
 
   /** Every vector routed to its nearest coarse centroid (centroids =
     * vec_id < NumCentroids, broadcast): the IVF assignment relation
@@ -747,17 +747,12 @@ object Similarity {
               col("q.vec_id") =!= col("c.vec_id")))
         .select(col("query_id"), col("vec_id"))
       // Hamming-1 multiprobe: the query probes its own bucket plus the
-      // 8 one-bit flips (9 distinct buckets, so no candidate dedup
-      // needed); candidates still never shuffle — the probe set rides
-      // the broadcast.
-      val flips: Seq[Column] = col("bucket") +: (1 to 8).map { i =>
-        concat(
-          substring(col("bucket"), 1, i - 1),
-          when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
-          substring(col("bucket"), i + 1, 8 - i))
-      }
+      // `bits` one-bit XOR flips (all distinct, so no candidate dedup
+      // needed — the computed dial, Vec.signBucketBits); candidates
+      // still never shuffle — the probe set rides the broadcast.
       val qProbes = q.select(col("vec_id"), col("e"), col("nrm"),
-        explode(array(flips: _*)).as("probe"))
+        explode(expr("concat(array(bucket), transform(sequence(0, bits - 1), " +
+          "k -> bucket ^ shiftleft(CAST(1 AS BIGINT), k)))")).as("probe"))
       val approxMp = topk(broadcast(qProbes).as("q")
           .join(v.as("c"),
             col("q.probe") === col("c.bucket") &&
@@ -2001,17 +1996,13 @@ object Similarity {
         |FROM legs GROUP BY layout, s
         |ORDER BY layout, s""".stripMargin,
     "ss_ann_recall" -> {
-      val flipsSql = "bucket" +: (1 to 8).map { i =>
-        s"substr(bucket, 1, ${i - 1}) || " +
-          s"(CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || " +
-          s"substr(bucket, ${i + 1}, ${8 - i})"
-      }
       s"""WITH v AS ($vSql),
          |exact AS (${topkBodySql("q.vec_id <> c.vec_id")}),
          |approx AS (${topkBodySql("q.bucket = c.bucket AND q.vec_id <> c.vec_id")}),
          |probes AS (
          |  SELECT vec_id, e, nrm,
-         |    unnest([${flipsSql.mkString(",\n      ")}]) AS probe
+         |    unnest([bucket] || list_transform(range(0, bits),
+         |      k -> xor(bucket, 1::BIGINT << k))) AS probe
          |  FROM v WHERE vec_id < $NumQueries),
          |approx_mp AS (
          |  SELECT query_id, vec_id FROM (
