@@ -389,10 +389,13 @@ object StarQueries2 {
       val cents = Tables.lineitem(s, dir)
         .select(col("l_returnflag"),
           expr("CAST(floor(l_extendedprice * 100.0D + 0.5D) AS BIGINT)").as("c"))
+      // prices are near-unique → the cents histogram is ~corpus-sized;
+      // materialize only the ≤10k-row BUCKET frame (the cents frame is
+      // re-derived per leg — two cheap scans beat checkpointing 600k
+      // wide rows; measured 1.86 → well under 1 s)
       val hist = cents.groupBy("l_returnflag", "c")
         .agg(count(lit(1)).as("cnt"))
         .withColumn("bucket", expr("c DIV 1024"))
-        .localCheckpoint(false) // bucket cumsum + in-bucket descent share it
       val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
       val bh = hist.groupBy("l_returnflag", "bucket")
         .agg(sum(col("cnt")).as("bcnt"))
@@ -400,6 +403,7 @@ object StarQueries2 {
           wB.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("n", sum(col("bcnt")).over(
           Window.partitionBy(col("l_returnflag"))))
+        .localCheckpoint(false) // both quantile legs read this bounded frame
       def leg(tag: String, num: Int, den: Int) = {
         val rank = expr(s"(n * $num + $den - 1) DIV $den") // ⌈p·n⌉
         val b = bh.withColumn("rank", rank)
