@@ -838,6 +838,40 @@ object Dedup {
     // the shingle frame) and a per-doc count. A novelty fraction
     // trending to zero says the crawl is re-reading the web; the
     // 100 TB shape is exactly this plan with shingle-keyed bucketing.
+    // BENCHMARK DECONTAMINATION — the GPT-3/PaLM eval-overlap scan
+    // (Brown et al. 2020 appx. C): a training document is contaminated
+    // if it shares any 13-token n-gram with the held-out eval set
+    // (here: the md5 < '0800' slice, ~3% of the corpus, standing in
+    // for a benchmark suite). The production shape is exactly this
+    // plan: the eval set's distinct 13-grams form a bounded index —
+    // benchmark suites are MBs, not TBs — that BROADCASTS to every
+    // worker, and the training stream is scanned map-side with NO
+    // shuffle of training data at all; only the (tiny) hit frame
+    // aggregates. Output: each contaminated training doc with its
+    // total/hit gram counts and how many distinct eval docs it
+    // collides with. Docs shorter than 13 tokens have no 13-grams and
+    // cannot be flagged — the method's documented blind spot.
+    "dd_decontaminate" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            graft.functions.WordShingles.word_shingles(col("text"), 13)))
+            .as("gram"))
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 4) < "0800"
+      val evalG = grams.filter(isEval)
+        .select(col("doc_id").as("eval_doc"), col("gram"))
+      grams.filter(!isEval)
+        .join(broadcast(evalG), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_hit_grams"),
+          countDistinct(col("eval_doc")).as("n_eval_docs"))
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          greatest(size(tokens(col("text"))) - 12, lit(0))
+            .cast("long").as("n_grams")), "doc_id")
+        .select("doc_id", "n_grams", "n_hit_grams", "n_eval_docs")
+        .orderBy("doc_id")
+    }),
+
     "dd_novelty_curve" -> ((s, dir) => {
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1477,6 +1511,27 @@ object Dedup {
          |  COALESCE(a.min_fp, 0)::BIGINT AS min_fp
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "dd_decontaminate" ->
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(list_slice(t, i, i + 12), ' ') AS gram
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t) - 11, 1))) AS u(i)
+         |  WHERE len(t) >= 13),
+         |ev AS (SELECT doc_id AS eval_doc, gram FROM g
+         |       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0800'),
+         |tr AS (SELECT doc_id, gram FROM g
+         |       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '0800'),
+         |hits AS (
+         |  SELECT tr.doc_id,
+         |    count(DISTINCT tr.gram)::BIGINT AS n_hit_grams,
+         |    count(DISTINCT ev.eval_doc)::BIGINT AS n_eval_docs
+         |  FROM tr JOIN ev ON tr.gram = ev.gram GROUP BY 1),
+         |ng AS (SELECT doc_id,
+         |         greatest(len($toksSql) - 12, 0)::BIGINT AS n_grams
+         |       FROM documents)
+         |SELECT h.doc_id, ng.n_grams, h.n_hit_grams, h.n_eval_docs
+         |FROM hits h JOIN ng USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dd_novelty_curve" ->
       s"""WITH sh AS MATERIALIZED ($shinglesSql),
          |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh

@@ -47,7 +47,54 @@ object PipelineQueries {
     }.toDF("doc_id", "lang", "n_tokens", "pack_id")
   }
 
+  /** PII regexes for pipe_pii_redact — deliberately inside the
+    * Java-regex ∩ RE2 common subset (no backrefs, no lookaround) so
+    * Spark and DuckDB match identically.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PII SCAN + REDACTION — the C4/RefinedWeb-style scrubbing pass
+    // every public-web training corpus runs before release. The
+    // testdata corpus is clean word-salad (zero digits or '@'), so
+    // the query first derives a DIRTY corpus deterministically (the
+    // mm_* wrap-at-query-time pattern): docs in the first md5-nibble
+    // quarter gain a synthetic email, the second quarter a phone
+    // number, the rest stay clean — both engines derive the identical
+    // text, so the scrub machinery (the actual deliverable) is
+    // oracle-pinned end to end with non-trivial counts. Per doc:
+    // match counts, the redacted text's md5, and the RESIDUAL match
+    // count after redaction — the release gate's invariant, 0 by
+    // construction and verified per row by the oracle, not assumed.
+    // Scale: a narrow map-only scan (regex count + replace per row),
+    // no shuffle until the presentation sort; at 100 TB this is
+    // mapInPandas-free codegen'd regexp work.
+    "pipe_pii_redact" -> ((s, dir) => {
+      val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val dirty = when(nib < "4",
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+        .when(nib < "8",
+          concat(col("text"), lit(" call 555-"),
+            lpad(expr("CAST(doc_id % 10000 AS STRING)"), 4, "0"),
+            lit(" today")))
+        .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          regexp_count(col("dirty"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("dirty"), lit(PhoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("dirty"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>").as("redacted"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"),
+          (regexp_count(col("redacted"), lit(EmailRe)) +
+            regexp_count(col("redacted"), lit(PhoneRe)))
+            .cast("long").as("residual"))
+        .orderBy("doc_id")
+    }),
 
     // Top-5 words per language (tokenize → count per (lang, word) →
     // windowed top-k per lang). Shuffles: one agg + one bounded window.
@@ -1154,6 +1201,33 @@ object PipelineQueries {
   private val toksSql = OracleSql.toks
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_pii_redact" -> {
+      // RE2 mirrors of the Java regexes (identical by common-subset
+      // construction); DuckDB needs the explicit 'g' flag Spark's
+      // regexp_replace applies by default
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+         |        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |          || '@example.com now'
+         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+         |        THEN text || ' call 555-'
+         |          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+         |      ELSE text END AS dirty
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(dirty, '$EmailRe'))::BIGINT AS n_emails,
+         |    len(regexp_extract_all(dirty, '$PhoneRe'))::BIGINT AS n_phones,
+         |    regexp_replace(regexp_replace(dirty, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |  FROM dirty)
+         |SELECT doc_id, n_emails, n_phones, md5(redacted) AS redacted_md5,
+         |  (len(regexp_extract_all(redacted, '$EmailRe'))
+         |   + len(regexp_extract_all(redacted, '$PhoneRe')))::BIGINT AS residual
+         |FROM red ORDER BY doc_id""".stripMargin
+    },
     "pipe_mix_weights" ->
       s"""WITH avail AS (
          |  SELECT lang,

@@ -15,6 +15,53 @@ class Round13OpsSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("dd_decontaminate: hits bounded by gram counts, eval side broadcast") {
+    val df = run("dd_decontaminate")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val nGrams = r.getLong(r.fieldIndex("n_grams"))
+      val nHits = r.getLong(r.fieldIndex("n_hit_grams"))
+      assert(nHits >= 1L && nHits <= nGrams, s"$r")
+      assert(r.getLong(r.fieldIndex("n_eval_docs")) >= 1L)
+    }
+    // the eval 13-gram index must ride a broadcast — the no-shuffle-of
+    // -training-data contract of the decontamination scan
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "eval gram index is not broadcast")
+    // every flagged doc shares a 13-gram with SOME eval doc — recompute
+    // one flagged doc brute-force
+    rows.headOption.foreach { r =>
+      val docId = r.getLong(0)
+      val txt = Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("doc_id") === docId)
+        .select("text").head.getString(0)
+      val grams = txt.split(" ").filter(_.nonEmpty).sliding(13)
+        .filter(_.length == 13).map(_.mkString(" ")).toSet
+      val evalTexts = Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.expr(
+          "substring(md5(CAST(doc_id AS STRING)), 1, 4) < '0800'"))
+        .select("text").collect().map(_.getString(0))
+      val evalGrams = evalTexts.flatMap(_.split(" ").filter(_.nonEmpty)
+        .sliding(13).filter(_.length == 13).map(_.mkString(" "))).toSet
+      assert(grams.intersect(evalGrams).size ==
+        r.getLong(r.fieldIndex("n_hit_grams")))
+    }
+  }
+
+  test("pipe_pii_redact: injection census matches the nibble rule, residual zero") {
+    val rows = run("pipe_pii_redact").collect()
+    assert(rows.forall(_.getLong(rows.head.fieldIndex("residual")) == 0L),
+      "redaction left live PII behind")
+    val emails = rows.map(_.getLong(rows.head.fieldIndex("n_emails"))).sum
+    val phones = rows.map(_.getLong(rows.head.fieldIndex("n_phones"))).sum
+    val nib = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("n"))
+      .collect().map(_.getString(0))
+    assert(emails == nib.count(_ < "4"), s"emails=$emails")
+    assert(phones == nib.count(n => n >= "4" && n < "8"), s"phones=$phones")
+  }
+
   test("mm_png_files: genuine PNG files on disk, lossless chain, clusters consistent") {
     val rows = run("mm_png_files").collect()
     assert(rows.nonEmpty)
