@@ -96,6 +96,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // TEMPERATURE-SCALED MIXTURE WEIGHTS — the mT5/XLM-R language
+    // sampling rule (Xue et al. 2021 §3.1): sample language l with
+    // probability ∝ p_l^α (α = 0.3), flattening the head so
+    // low-resource languages are up-sampled. p^0.3 needs a real
+    // transcendental — and this engine computes it with ZERO libm:
+    // p^0.3 = exp2((3·log2micro(n_l, N)) DIV 10) through the
+    // deterministic fixed-point pair Log2Micro/Exp2Micro, so the
+    // whole contract is BIGINT arithmetic both engines reproduce
+    // exactly. Output per language: raw token share (ppm),
+    // temperature weight (ppm, normalized over the langs frame), and
+    // the up/down-sampling factor in basis points. Scale: one
+    // map-side-combined token count; everything after runs on the
+    // langs-bounded frame.
+    "pipe_mix_temperature" -> ((s, dir) => {
+      import graft.functions.{Exp2Micro, Log2Micro}
+      val tl = Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      val tot = tl.agg(sum(col("n_tokens")).as("total"))
+      val scored = tl.crossJoin(broadcast(tot))
+        .withColumn("p_ppm", expr("(n_tokens * 1000000) DIV total"))
+        .withColumn("lm", Log2Micro.log2micro(col("n_tokens"), col("total")))
+        .withColumn("xm", expr("(3 * lm) DIV 10"))
+        .withColumn("e2m", Exp2Micro.exp2micro(col("xm")))
+      val z = scored.agg(sum(col("e2m")).as("z"))
+      scored.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_tokens"), col("p_ppm"),
+          expr("(e2m * 1000000) DIV z").as("w_ppm"))
+        .withColumn("boost_bp", expr("(w_ppm * 10000) DIV p_ppm"))
+        .orderBy("lang")
+    }),
+
     // Top-5 words per language (tokenize → count per (lang, word) →
     // windowed top-k per lang). Shuffles: one agg + one bounded window.
     "ta_top_words_per_lang" -> ((s, dir) => {
@@ -1201,6 +1233,30 @@ object PipelineQueries {
   private val toksSql = OracleSql.toks
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_mix_temperature" ->
+      s"""WITH RECURSIVE tl AS (
+         |  SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM tl),
+         |base AS (
+         |  SELECT lang, n_tokens, total,
+         |    CAST((n_tokens * 1000000) // total AS BIGINT) AS p_ppm,
+         |    n_tokens AS num, total AS den
+         |  FROM tl, tot),
+         |${OracleSql.log2microCtes("tg", "base", Seq("lang"))},
+         |xs AS (
+         |  SELECT base.lang, n_tokens, p_ppm,
+         |    CAST((3 * lrm) // 10 AS BIGINT) AS xm
+         |  FROM base JOIN tg_lg USING (lang)),
+         |${OracleSql.exp2microCtes("tx", "xs", Seq("lang"))},
+         |w AS (
+         |  SELECT xs.lang, n_tokens, p_ppm, e2m
+         |  FROM xs JOIN tx_ex USING (lang)),
+         |z AS (SELECT CAST(sum(e2m) AS BIGINT) AS z FROM w)
+         |SELECT lang, n_tokens, p_ppm,
+         |  CAST((e2m * 1000000) // z AS BIGINT) AS w_ppm,
+         |  CAST((((e2m * 1000000) // z) * 10000) // p_ppm AS BIGINT) AS boost_bp
+         |FROM w, z ORDER BY lang""".stripMargin,
     "pipe_pii_redact" -> {
       // RE2 mirrors of the Java regexes (identical by common-subset
       // construction); DuckDB needs the explicit 'g' flag Spark's

@@ -108,6 +108,44 @@ object OracleSql {
        |  FROM ${prefix}_fx WHERE lg2i = 20)""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.functions.Exp2Micro]]: emits CTE clauses
+    * computing the deterministic fixed-point 2^(xm/10⁶) in micro-units
+    * for every row of `rel` (exposing BIGINT `xm` plus `keys`). Final
+    * CTE `<prefix>_ex` holds (keys..., e2m BIGINT). The 20 bit
+    * constants are the SAME decimal literals as
+    * [[graft.functions.Exp2Micro.BitConstants]] — both engines parse
+    * identical doubles, so the fixed-order product is bit-identical.
+    * The enclosing statement MUST start `WITH RECURSIVE`.
+    */
+  def exp2microCtes(prefix: String, rel: String, keys: Seq[String]): String = {
+    val ks = keys.mkString(", ")
+    val cs = graft.functions.Exp2Micro.BitConstantsSql
+    s"""${prefix}_kf AS (
+       |  SELECT $ks,
+       |    CASE WHEN xm >= 0 THEN xm // 1000000
+       |         ELSE -((-xm + 999999) // 1000000) END AS ex2k,
+       |    xm - (CASE WHEN xm >= 0 THEN xm // 1000000
+       |               ELSE -((-xm + 999999) // 1000000) END) * 1000000 AS ex2f0
+       |  FROM $rel),
+       |${prefix}_fx AS (
+       |  SELECT $ks, ex2k, ex2f0 AS ex2f, 1.0::DOUBLE AS ex2m, 0 AS ex2i
+       |  FROM ${prefix}_kf
+       |  UNION ALL
+       |  SELECT $ks, ex2k,
+       |    CASE WHEN ex2f * 2 >= 1000000 THEN ex2f * 2 - 1000000
+       |         ELSE ex2f * 2 END,
+       |    CASE WHEN ex2f * 2 >= 1000000 THEN ex2m * ($cs)[ex2i + 1]
+       |         ELSE ex2m END,
+       |    ex2i + 1
+       |  FROM ${prefix}_fx WHERE ex2i < 20),
+       |${prefix}_ex AS (
+       |  SELECT $ks,
+       |    CASE WHEN ex2k >= 0
+       |      THEN CAST(floor(ex2m * 1000000.0) AS BIGINT) << ex2k
+       |      ELSE CAST(floor(ex2m * 1000000.0) AS BIGINT) >> (-ex2k) END AS e2m
+       |  FROM ${prefix}_fx WHERE ex2i = 20)""".stripMargin
+  }
+
   /** DuckDB mirror of [[Vec.signBucketBits]]: a 1-row CTE body. */
   val signBucketBitsSql: String =
     "SELECT greatest(4, least(32, length(bin(count(*))) - 4)) AS bits FROM embeddings"
