@@ -525,6 +525,39 @@ object TextAnalysis {
         .orderBy("rk")
     }),
 
+    // ZIPF EXPONENT FIT — the quantitative companion ta_zipf's table
+    // eyeballs: α from the OLS slope of (log2 rank, log2 freq) over
+    // the top-[[ZipfK]] ranks, the standard corpus-health number
+    // (natural text sits near α ≈ 1; template/boilerplate corpora
+    // flatten it). Round 9's deterministic fixed-point log2 makes the
+    // whole regression an INTEGER contract: x/y are micro-log2s, the
+    // slope is the exact rational (KΣxy − ΣxΣy)/(KΣxx − Σx²) of
+    // BIGINT sums, and α lands in milli-units via one DECIMAL(38)
+    // division (the ev_assoc_rules widening). Everything after the
+    // token count runs on the K-row TakeOrdered-bounded frame.
+    "ta_zipf_alpha" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("word").asc)
+      val pts = counts
+        .orderBy(col("cnt").desc, col("word").asc).limit(ZipfK)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("x", graft.functions.Log2Micro.log2micro(col("rk"), lit(1L)))
+        .withColumn("y", graft.functions.Log2Micro.log2micro(col("cnt"), lit(1L)))
+      pts.agg(
+          count(lit(1)).as("n_ranks"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n_ranks"),
+          (col("n_ranks") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n_ranks") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        .withColumn("alpha_milli", expr(
+          "CAST((CAST(-slope_num AS DECIMAL(38,0)) * 1000) DIV slope_den AS BIGINT)"))
+    }),
+
     // Per-document LM scoring — the perplexity-filter shape riding on
     // the corpus bigram model: each doc's bigrams look up their
     // conditional probability and the doc scores by the MEAN. The
@@ -1365,6 +1398,34 @@ object TextAnalysis {
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS INT) AS rk,
          |  word, cnt, CAST(cnt AS DOUBLE) / top_cnt AS freq_ratio
          |FROM topk, top ORDER BY rk""".stripMargin,
+    "ta_zipf_alpha" ->
+      s"""WITH RECURSIVE counts AS (
+         |  SELECT w AS word, count(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  GROUP BY w),
+         |topk AS (
+         |  SELECT word, CAST(cnt AS BIGINT) AS cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS rk
+         |  FROM counts ORDER BY cnt DESC, word ASC LIMIT ${graft.operators.TextAnalysis.ZipfK}),
+         |xr AS (SELECT rk, rk AS num, CAST(1 AS BIGINT) AS den FROM topk),
+         |${graft.operators.OracleSql.log2microCtes("zx", "xr", Seq("rk"))},
+         |yr AS (SELECT rk, cnt AS num, CAST(1 AS BIGINT) AS den FROM topk),
+         |${graft.operators.OracleSql.log2microCtes("zy", "yr", Seq("rk"))},
+         |pts AS (
+         |  SELECT zx_lg.rk, zx_lg.lrm AS x, zy_lg.lrm AS y
+         |  FROM zx_lg JOIN zy_lg USING (rk)),
+         |agg AS (
+         |  SELECT count(*)::BIGINT AS n_ranks,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM pts)
+         |SELECT n_ranks,
+         |  (n_ranks * sxy - sx * sy)::BIGINT AS slope_num,
+         |  (n_ranks * sxx - sx * sx)::BIGINT AS slope_den,
+         |  CAST((-(n_ranks * sxy - sx * sy)::HUGEINT * 1000)
+         |    // (n_ranks * sxx - sx * sx) AS BIGINT) AS alpha_milli
+         |FROM agg""".stripMargin,
     "ta_doc_lm_score" ->
       s"""WITH bg AS (
          |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2

@@ -15,6 +15,32 @@ class Round13OpsSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("ta_zipf_alpha: matches a brute-force double-precision OLS fit") {
+    val r = run("ta_zipf_alpha").collect().head
+    val n = r.getLong(r.fieldIndex("n_ranks"))
+    assert(n >= 3)
+    // brute-force: same top-K ranks, true log2s, textbook OLS slope
+    import org.apache.spark.sql.functions._
+    val counts = Tables.documents(spark, sf)
+      .select(explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(graft.operators.TextAnalysis.ZipfK)
+      .collect().map(_.getLong(1))
+    val pts = counts.zipWithIndex.map { case (c, i) =>
+      (math.log(i + 1.0) / math.log(2.0), math.log(c.toDouble) / math.log(2.0))
+    }
+    val k = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val alpha = r.getLong(r.fieldIndex("alpha_milli")) / 1000.0
+    assert(math.abs(alpha - (-slope)) < 0.005, s"alpha=$alpha brute=${-slope}")
+    assert(r.getLong(r.fieldIndex("slope_den")) > 0L)
+  }
+
   test("dd_decontaminate: hits bounded by gram counts, eval side broadcast") {
     val df = run("dd_decontaminate")
     val rows = df.collect()
