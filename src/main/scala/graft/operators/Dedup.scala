@@ -872,6 +872,49 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // SPAN-LEVEL DECONTAMINATION — the surgical variant (the PaLM-2
+    // treatment): instead of dropping a contaminated document whole
+    // (dd_decontaminate's verdict), excise only the token spans
+    // covered by eval-matching 13-grams and keep the rest. A hit at
+    // position p covers tokens [p, p+12]; overlapping or ADJACENT
+    // covered ranges merge into one span (the island trick over the
+    // per-doc hit positions — doc-bounded windows, never corpus-wide).
+    // Output per contaminated doc: token total, span count, removed
+    // and kept token counts — the cut list a pipeline applies before
+    // packing. Same broadcast-eval-index scan as dd_decontaminate: no
+    // shuffle of training data.
+    "dd_decontaminate_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.WordShingles.word_shingles(col("text"), 13))
+            .as(Seq("p", "gram")))
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 4) < "0800"
+      val evalG = grams.filter(isEval).select("gram").distinct()
+      val hits = grams.filter(!isEval)
+        .join(broadcast(evalG), "gram")
+        .select(col("doc_id"), col("p").cast("long").as("p"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val isl = hits
+        .withColumn("prev_end", max(col("p") + 12)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk", when(col("prev_end").isNull ||
+          col("p") > col("prev_end") + 1, 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val spans = isl.groupBy("doc_id", "island")
+        .agg(min(col("p")).as("st"), (max(col("p")) + lit(12L)).as("en"))
+      spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("en") - col("st") + 1).as("n_removed"))
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_removed"),
+          (col("n_tokens") - col("n_removed")).as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     "dd_novelty_curve" -> ((s, dir) => {
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1532,6 +1575,41 @@ object Dedup {
          |       FROM documents)
          |SELECT h.doc_id, ng.n_grams, h.n_hit_grams, h.n_eval_docs
          |FROM hits h JOIN ng USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dd_decontaminate_spans" ->
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT doc_id, i - 1 AS p,
+         |    array_to_string(list_slice(t, i, i + 12), ' ') AS gram
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t) - 11, 1))) AS u(i)
+         |  WHERE len(t) >= 13),
+         |ev AS (SELECT DISTINCT gram FROM g
+         |       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0800'),
+         |hits AS (
+         |  SELECT doc_id, CAST(p AS BIGINT) AS p FROM g
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '0800'
+         |    AND gram IN (SELECT gram FROM ev)),
+         |isl AS (
+         |  SELECT doc_id, p,
+         |    max(p + 12) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM hits),
+         |isl2 AS (
+         |  SELECT doc_id, p,
+         |    sum(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+         |             THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY p
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl),
+         |spans AS (SELECT doc_id, island, min(p) AS st, max(p) + 12 AS en
+         |          FROM isl2 GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+         |          CAST(sum(en - st + 1) AS BIGINT) AS n_removed
+         |        FROM spans GROUP BY 1),
+         |nt AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |       FROM documents)
+         |SELECT a.doc_id, nt.n_tokens, a.n_spans, a.n_removed,
+         |  nt.n_tokens - a.n_removed AS n_kept
+         |FROM agg a JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dd_novelty_curve" ->
       s"""WITH sh AS MATERIALIZED ($shinglesSql),
          |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh

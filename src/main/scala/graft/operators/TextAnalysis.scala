@@ -571,6 +571,40 @@ object TextAnalysis {
     // word's successor set would otherwise sort in one task; the
     // bigram-count frame checkpoints once so the two aggregation legs
     // don't re-shingle the corpus.
+    // PERPLEXITY IN BITS — the log-domain form of ta_doc_lm_score
+    // (which reports mean probability because, before round 9, a
+    // cross-engine log was banned): bits/token = mean −log2 P(w2|w1)
+    // over a doc's bigrams, the actual unit perplexity filters
+    // threshold on (CCNet/Gopher report log-ppl, not mean-p, because
+    // one near-zero bigram should dominate — in probability space it
+    // vanishes). The deterministic fixed-point log2 evaluates ONCE
+    // per (w1, w2) MODEL row (vocab²-bounded), the corpus-side doc
+    // sum is an order-free long, and the whole row is an integer
+    // contract. Same plan as ta_doc_lm_score: one bigram explode, a
+    // checkpointed count frame, model join, doc-keyed aggregation.
+    "ta_doc_bits" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(
+          graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bgr"))
+        .select(col("doc_id"),
+          element_at(split(col("bgr"), " ", -1), 1).as("w1"),
+          element_at(split(col("bgr"), " ", -1), 2).as("w2"))
+      val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(false)
+      val c1 = cnt.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val model = cnt.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          (-graft.functions.Log2Micro.log2micro(
+            greatest(expr("c12 * 1000000 DIV c1"), lit(1L)),
+            lit(1000000L))).as("bits_micro"))
+      bg.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("bits_micro")).as("sum_bits_micro"))
+        .withColumn("mean_bits_micro", expr("sum_bits_micro DIV n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     "ta_doc_lm_score" -> ((s, dir) => {
       docLmAgg(s, dir)
         .select(col("doc_id"), col("n_bigrams"),
@@ -1426,6 +1460,27 @@ object TextAnalysis {
          |  CAST((-(n_ranks * sxy - sx * sy)::HUGEINT * 1000)
          |    // (n_ranks * sxx - sx * sx) AS BIGINT) AS alpha_milli
          |FROM agg""".stripMargin,
+    "ta_doc_bits" ->
+      s"""WITH RECURSIVE bg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
+         |mp AS (
+         |  SELECT cnt.w1, cnt.w2,
+         |    greatest(CAST((c12 * 1000000) // c1 AS BIGINT), 1) AS num,
+         |    CAST(1000000 AS BIGINT) AS den
+         |  FROM cnt JOIN c1 USING (w1)),
+         |${graft.operators.OracleSql.log2microCtes("bz", "mp", Seq("w1", "w2"))},
+         |model AS (SELECT w1, w2, -lrm AS bits_micro FROM bz_lg)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(bits_micro) AS BIGINT) AS sum_bits_micro,
+         |  CAST(CAST(sum(bits_micro) AS BIGINT) // count(*) AS BIGINT)
+         |    AS mean_bits_micro
+         |FROM bg JOIN model USING (w1, w2)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_doc_lm_score" ->
       s"""WITH bg AS (
          |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2

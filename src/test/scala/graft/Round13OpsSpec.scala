@@ -15,6 +15,49 @@ class Round13OpsSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("dd_decontaminate_spans: conservation + brute-force island recompute") {
+    val rows = run("dd_decontaminate_spans").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getLong(r.fieldIndex("n_tokens"))
+      val rem = r.getLong(r.fieldIndex("n_removed"))
+      val kept = r.getLong(r.fieldIndex("n_kept"))
+      assert(rem + kept == nTok, s"$r")
+      assert(r.getLong(r.fieldIndex("n_spans")) >= 1L && rem >= 13L)
+    }
+    // flagged docs are exactly dd_decontaminate's flagged docs
+    val whole = run("dd_decontaminate").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == whole)
+    // brute-force the island union for the first flagged doc
+    val docId = rows.head.getLong(0)
+    def grams13(t: String) = t.split(" ").filter(_.nonEmpty).sliding(13)
+      .filter(_.length == 13).map(_.mkString(" ")).toArray
+    val txt = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === docId)
+      .select("text").head.getString(0)
+    val evalGrams = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr(
+        "substring(md5(CAST(doc_id AS STRING)), 1, 4) < '0800'"))
+      .select("text").collect().flatMap(r => grams13(r.getString(0))).toSet
+    val covered = scala.collection.mutable.BitSet()
+    grams13(txt).zipWithIndex.foreach { case (g, p) =>
+      if (evalGrams.contains(g)) covered ++= (p to p + 12)
+    }
+    assert(covered.size.toLong == rows.head.getLong(rows.head.fieldIndex("n_removed")))
+  }
+
+  test("ta_doc_bits: bigram census matches ta_doc_lm_score, bits in the vocab band") {
+    val bits = run("ta_doc_bits").collect()
+    val lm = run("ta_doc_lm_score").collect()
+    assert(bits.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      lm.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "bigram counts must agree between the bits and probability forms")
+    bits.foreach { r =>
+      val mean = r.getLong(r.fieldIndex("mean_bits_micro"))
+      assert(mean > 0L && mean < 21000000L, s"$r") // < 21 bits/bigram
+    }
+  }
+
   test("ta_zipf_alpha: matches a brute-force double-precision OLS fit") {
     val r = run("ta_zipf_alpha").collect().head
     val n = r.getLong(r.fieldIndex("n_ranks"))
