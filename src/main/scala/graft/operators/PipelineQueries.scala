@@ -800,6 +800,58 @@ object PipelineQueries {
         .orderBy("band")
     }),
 
+    // L-DIVERSITY + T-CLOSENESS audit — the two refinements the privacy
+    // literature stacks on k-anonymity (Machanavajjhala et al. 2007;
+    // Li et al. 2007): a class can be large (k-anonymous) yet still
+    // leak if every member shares the SENSITIVE attribute (here:
+    // source — which crawl/feed a document came from, the attribute a
+    // release shouldn't let an adversary infer from observable ones).
+    // Per quasi-identifier class (lang × doc-length magnitude —
+    // deliberately coarser than pipe_k_anonymity's so classes carry
+    // enough rows for distribution tests): member count, distinct
+    // sensitive values l, top sensitive share (the recursive-
+    // l-diversity signal), and t-closeness as the total-variation
+    // distance between the class's sensitive distribution and the
+    // corpus-wide one — in ppm with INTEGER floors on each share
+    // before the subtraction, so both engines floor identically and
+    // the whole contract is BIGINT arithmetic (cnt·10⁶ needs headroom
+    // ~9.2e12 rows before DECIMAL; documented, not latent). Classes
+    // missing a sensitive value entirely must still pay |0 − p(s)|,
+    // hence the class × source cross frame with a 0-filled left join.
+    // Scale: one corpus scan into a map-side-combined groupBy whose
+    // key space is the QI × sensitive domain (~langs·7·sources rows);
+    // the cross frame, joins, and aggregates all run on that bounded
+    // model frame — free at 100 TB.
+    "pipe_l_diversity" -> ((s, dir) => {
+      val pc = Tables.documents(s, dir)
+        .groupBy(col("lang"),
+          length(col("n_chars").cast("string")).cast("long").as("len_mag"),
+          col("source"))
+        .agg(count(lit(1)).as("cnt_cs"))
+        .localCheckpoint(false) // model frame, reused by 3 consumers
+      val cls = pc.groupBy("lang", "len_mag")
+        .agg(sum(col("cnt_cs")).as("cnt"),
+          count(lit(1)).as("l_distinct"),
+          max(col("cnt_cs")).as("top_cnt"))
+      val glob = pc.groupBy("source").agg(sum(col("cnt_cs")).as("g_s"))
+      val tot = glob.agg(sum(col("g_s")).as("n"))
+      val cells = cls.select("lang", "len_mag", "cnt")
+        .crossJoin(broadcast(glob.crossJoin(tot)))
+        .join(pc.select(col("lang"), col("len_mag"), col("source"),
+          col("cnt_cs").as("pcc")), Seq("lang", "len_mag", "source"), "left")
+        .withColumn("cls_ppm", expr("(coalesce(pcc, 0L) * 1000000) DIV cnt"))
+        .withColumn("glob_ppm", expr("(g_s * 1000000) DIV n"))
+      val tv = cells.groupBy("lang", "len_mag")
+        .agg(expr("sum(abs(cls_ppm - glob_ppm)) DIV 2").as("tv_ppm"))
+      cls.join(tv, Seq("lang", "len_mag"))
+        .select(col("lang"), col("len_mag"), col("cnt"), col("l_distinct"),
+          expr("(top_cnt * 1000000) DIV cnt").as("top_share_ppm"),
+          col("tv_ppm"),
+          (col("l_distinct") >= 3).as("diverse"),
+          (col("tv_ppm") <= 150000).as("t_close"))
+        .orderBy("lang", "len_mag")
+    }),
+
     // DETERMINISTIC EPOCH SHUFFLE — the training-loader ordering
     // primitive: each epoch e orders the corpus by md5(e:doc_id), so
     // every epoch is a different-but-reproducible global permutation
@@ -1428,6 +1480,39 @@ object PipelineQueries {
         |  CAST(min(cnt) AS BIGINT) AS min_class,
         |  CAST(max(cnt) AS BIGINT) AS max_class
         |FROM classes GROUP BY 1 ORDER BY band""".stripMargin,
+    "pipe_l_diversity" ->
+      """WITH pc AS (
+        |  SELECT lang,
+        |    CAST(length(CAST(n_chars AS VARCHAR)) AS BIGINT) AS len_mag,
+        |    source, count(*)::BIGINT AS cnt_cs
+        |  FROM documents GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT lang, len_mag, CAST(sum(cnt_cs) AS BIGINT) AS cnt,
+        |    count(*)::BIGINT AS l_distinct,
+        |    CAST(max(cnt_cs) AS BIGINT) AS top_cnt
+        |  FROM pc GROUP BY 1, 2),
+        |gl AS (
+        |  SELECT source, CAST(sum(cnt_cs) AS BIGINT) AS g_s
+        |  FROM pc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g_s) AS BIGINT) AS n FROM gl),
+        |cells AS (
+        |  SELECT c.lang, c.len_mag,
+        |    (coalesce(p.cnt_cs, 0) * 1000000) // c.cnt AS cls_ppm,
+        |    (g.g_s * 1000000) // t.n AS glob_ppm
+        |  FROM cls c CROSS JOIN gl g CROSS JOIN tot t
+        |  LEFT JOIN pc p ON p.lang = c.lang AND p.len_mag = c.len_mag
+        |    AND p.source = g.source),
+        |tv AS (
+        |  SELECT lang, len_mag,
+        |    CAST(sum(abs(cls_ppm - glob_ppm)) // 2 AS BIGINT) AS tv_ppm
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT c.lang, c.len_mag, c.cnt, c.l_distinct,
+        |  (c.top_cnt * 1000000) // c.cnt AS top_share_ppm,
+        |  tv.tv_ppm,
+        |  c.l_distinct >= 3 AS diverse,
+        |  tv.tv_ppm <= 150000 AS t_close
+        |FROM cls c JOIN tv USING (lang, len_mag)
+        |ORDER BY lang, len_mag""".stripMargin,
     "pipe_zorder" -> {
       // OR operator at line END — a leading "| " would be stripped as
       // margin by stripMargin

@@ -164,4 +164,47 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(cid == members.map(_.getLong(members.head.fieldIndex("doc_id"))).min)
     }
   }
+
+  test("pipe_l_diversity: conservation, pigeonhole, brute-force TV recompute") {
+    val rows = run("pipe_l_diversity").collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("cnt"))).sum == nDocs)
+    rows.foreach { r =>
+      val cnt = r.getLong(r.fieldIndex("cnt"))
+      val l = r.getLong(r.fieldIndex("l_distinct"))
+      val top = r.getLong(r.fieldIndex("top_share_ppm"))
+      val tv = r.getLong(r.fieldIndex("tv_ppm"))
+      assert(l >= 1 && l <= cnt)
+      // pigeonhole: the top sensitive share is at least 1/l (floor monotone)
+      assert(top >= 1000000L / l, s"$r")
+      assert(tv >= 0 && tv <= 1000000L)
+      assert(r.getBoolean(r.fieldIndex("diverse")) == (l >= 3))
+      assert(r.getBoolean(r.fieldIndex("t_close")) == (tv <= 150000L))
+    }
+    // brute-force the whole report from the raw table (tiny at sf0.001)
+    val raw = Tables.documents(spark, sf)
+      .select("lang", "n_chars", "source").collect()
+      .map(r => (r.getString(0), r.getLong(1).toString.length.toLong,
+        r.getString(2)))
+    val n = raw.length.toLong
+    val globPpm = raw.groupBy(_._3).map { case (s0, xs) =>
+      s0 -> xs.length.toLong * 1000000L / n }
+    val expect = raw.groupBy(t => (t._1, t._2)).map { case ((lg, m), xs) =>
+      val cnt = xs.length.toLong
+      val bySrc = xs.groupBy(_._3).map { case (s0, ys) => s0 -> ys.length.toLong }
+      val tv = globPpm.map { case (s0, gp) =>
+        math.abs(bySrc.getOrElse(s0, 0L) * 1000000L / cnt - gp) }.sum / 2
+      (lg, m) -> ((cnt, bySrc.size.toLong, bySrc.values.max * 1000000L / cnt, tv))
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val (cnt, l, top, tv) = expect(k)
+      assert(r.getLong(r.fieldIndex("cnt")) == cnt, s"$k cnt")
+      assert(r.getLong(r.fieldIndex("l_distinct")) == l, s"$k l")
+      assert(r.getLong(r.fieldIndex("top_share_ppm")) == top, s"$k top")
+      assert(r.getLong(r.fieldIndex("tv_ppm")) == tv, s"$k tv")
+    }
+  }
 }
