@@ -291,6 +291,49 @@ object QualityQueries {
         .withColumn("pass_ppm", expr("(n_pass * 1000000L) DIV n_docs"))
         .orderBy("bin")),
 
+    // COHEN'S KAPPA between the rule gate and the distilled LR — the
+    // inter-rater-agreement statistic every labeling pipeline reports
+    // (Cohen 1960), here closing the weak-supervision loop with the
+    // chance-corrected number the calibration diagram can't give:
+    // raw agreement po overstates quality when both gates pass almost
+    // everything, and kappa subtracts exactly that marginal-product
+    // chance term. Output: the 2×2 confusion matrix (docs + tokens
+    // per cell) with po/pe/kappa in ppm attached. All arithmetic is
+    // integer: counts, one quadratic pe term in DECIMAL(38)/HUGEINT
+    // (n² leaves BIGINT at ~3e9 rows — the ev_assoc_rules treatment),
+    // truncating division identical on both engines (negative kappa —
+    // worse-than-chance raters — truncates toward zero identically).
+    // Scale: one corpus scan into the shared scoredPpm pass, then a
+    // 4-row frame; the kappa scalars are a 1-row broadcast attach.
+    "ta_quality_kappa" -> ((s, dir) => {
+      val cells = scoredPpm(s, dir)
+        .select(expr("y_ppm DIV 1000000").as("rule_pass"),
+          col("label").as("lr_pass"), col("nt"))
+        .groupBy("rule_pass", "lr_pass")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .localCheckpoint(false) // 4-row frame, reused by the scalar pass
+      val sc = cells.agg(
+          sum(col("n_docs")).as("n"),
+          sum(expr("CASE WHEN rule_pass = lr_pass THEN n_docs ELSE 0L END"))
+            .as("n_agree"),
+          sum(expr("rule_pass * n_docs")).as("ry1"),
+          sum(expr("lr_pass * n_docs")).as("rl1"))
+        .withColumn("pe_num", expr(
+          "CAST(ry1 AS DECIMAL(38,0)) * rl1 + " +
+            "CAST(n - ry1 AS DECIMAL(38,0)) * (n - rl1)"))
+        .select(
+          expr("(n_agree * 1000000L) DIV n").as("po_ppm"),
+          expr("CAST((pe_num * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * n) " +
+            "AS BIGINT)").as("pe_ppm"),
+          expr("CAST(((CAST(n AS DECIMAL(38,0)) * n_agree - pe_num) * 1000000) " +
+            "DIV nullif(CAST(n AS DECIMAL(38,0)) * n - pe_num, 0) AS BIGINT)")
+            .as("kappa_ppm"))
+      cells.crossJoin(broadcast(sc))
+        .select(col("rule_pass"), col("lr_pass"), col("n_docs"),
+          col("n_tokens"), col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
+        .orderBy("rule_pass", "lr_pass")
+    }),
+
     // One full-batch gradient step of the quality LR — the TRAINING
     // half of ta_quality_lr's serving shape, distilling the integer
     // Gopher rule gate into the model (weak supervision: y = the rule
@@ -494,6 +537,34 @@ object QualityQueries {
          |SELECT doc_id, nt, score_ppm,
          |  CAST(CASE WHEN score_ppm >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS label
          |FROM spp ORDER BY doc_id""".stripMargin,
+    "ta_quality_kappa" ->
+      s"""$scoredPpmSql,
+         |cells AS (
+         |  SELECT (y_ppm // 1000000)::BIGINT AS rule_pass,
+         |    (CASE WHEN score_ppm >= 500000 THEN 1 ELSE 0 END)::BIGINT
+         |      AS lr_pass,
+         |    count(*)::BIGINT AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM spp GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN rule_pass = lr_pass THEN n_docs ELSE 0 END)
+         |      AS BIGINT) AS n_agree,
+         |    CAST(sum(rule_pass * n_docs) AS BIGINT) AS ry1,
+         |    CAST(sum(lr_pass * n_docs) AS BIGINT) AS rl1
+         |  FROM cells),
+         |k AS (
+         |  SELECT n, n_agree,
+         |    CAST(ry1 AS HUGEINT) * rl1 + CAST(n - ry1 AS HUGEINT) * (n - rl1)
+         |      AS pe_num
+         |  FROM sc)
+         |SELECT c.rule_pass, c.lr_pass, c.n_docs, c.n_tokens,
+         |  (k.n_agree * 1000000) // k.n AS po_ppm,
+         |  CAST((k.pe_num * 1000000) // (CAST(k.n AS HUGEINT) * k.n)
+         |    AS BIGINT) AS pe_ppm,
+         |  CAST(((CAST(k.n AS HUGEINT) * k.n_agree - k.pe_num) * 1000000)
+         |    // nullif(CAST(k.n AS HUGEINT) * k.n - k.pe_num, 0)
+         |    AS BIGINT) AS kappa_ppm
+         |FROM cells c CROSS JOIN k ORDER BY rule_pass, lr_pass""".stripMargin,
     "ta_quality_calibration" ->
       s"""$scoredPpmSql
          |SELECT score_ppm // 100000 AS bin, count(*)::BIGINT AS n_docs,

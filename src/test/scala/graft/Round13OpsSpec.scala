@@ -207,4 +207,38 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(r.getLong(r.fieldIndex("tv_ppm")) == tv, s"$k tv")
     }
   }
+
+  test("ta_quality_kappa: marginals match the gates, scalars recompute from cells") {
+    val rows = run("ta_quality_kappa").collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    def cell(f: String) = rows.map(r => r.getLong(r.fieldIndex(f)))
+    val n = cell("n_docs").sum
+    assert(n == Tables.documents(spark, sf).count())
+    // marginals = the two gates' own pass counts
+    val rulePass = rows.filter(_.getLong(0) == 1L)
+      .map(_.getLong(rows.head.fieldIndex("n_docs"))).sum
+    val gopher = run("pipe_quality_gopher").collect()
+      .map(r => r.getLong(r.fieldIndex("n_pass"))).sum
+    assert(rulePass == gopher)
+    val lrPass = rows.filter(_.getLong(1) == 1L)
+      .map(_.getLong(rows.head.fieldIndex("n_docs"))).sum
+    val lr = run("ta_quality_lr").collect()
+      .map(r => r.getLong(r.fieldIndex("label"))).sum
+    assert(lrPass == lr)
+    // po/pe/kappa recompute exactly from the confusion cells
+    val agree = rows.filter(r => r.getLong(0) == r.getLong(1))
+      .map(_.getLong(rows.head.fieldIndex("n_docs"))).sum
+    val peNum = BigInt(rulePass) * lrPass + BigInt(n - rulePass) * (n - lrPass)
+    val po = agree * 1000000L / n
+    val pe = (peNum * 1000000 / (BigInt(n) * n)).toLong
+    val kNum = (BigInt(n) * agree - peNum) * 1000000
+    val kDen = BigInt(n) * n - peNum
+    val kappa = (kNum / kDen).toLong
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("po_ppm")) == po)
+      assert(r.getLong(r.fieldIndex("pe_ppm")) == pe)
+      assert(r.getLong(r.fieldIndex("kappa_ppm")) == kappa)
+      assert(math.abs(r.getLong(r.fieldIndex("kappa_ppm"))) <= 1000000L)
+    }
+  }
 }
