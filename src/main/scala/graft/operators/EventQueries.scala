@@ -213,6 +213,68 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // RFM SEGMENTATION — the classic customer-value operator (recency /
+    // frequency / monetary, Hughes 1994): per user, days since last
+    // event (vs the corpus max, integer microsecond arithmetic), event
+    // count, and lifetime value in cents (floor(value·100) per row —
+    // the IEEE multiply and floor produce identical doubles on both
+    // engines, then an order-free BIGINT sum). Each dimension scores
+    // 1–5 by quintile cutoffs from exact `percentile` (4dp-rounded per
+    // the FP-interpolation parity rule) assigned by comparing against
+    // the broadcast 1-row cutoff frame — the q_ntile pattern, NO
+    // window anywhere (an unpartitioned NTILE would move every user to
+    // one task). Recency scores invert (recent = high). The ≤125-cell
+    // (r,f,m) report carries the named marketing segment per cell. At
+    // 100 TB the per-user frame is one map-side-combined groupBy and
+    // the exact percentile swaps for approx_percentile — same plan.
+    "ev_rfm" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("freq"),
+          sum(floor(col("value") * lit(100.0)).cast("long"))
+            .as("monetary_cents"),
+          max(col("ts")).as("last_ts"))
+      val mx = Tables.events(s, dir).agg(max(col("ts")).as("mts"))
+      val ur = u.crossJoin(broadcast(mx))
+        .withColumn("recency_days",
+          expr("(unix_micros(mts) - unix_micros(last_ts)) DIV 86400000000"))
+        .localCheckpoint(false) // per-user frame, reused by cuts + scoring
+      val cuts = ur.agg(
+          expr("percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+          expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+          expr("percentile(monetary_cents, array(0.2, 0.4, 0.6, 0.8))")
+            .as("mc"))
+        .select((1 to 4).flatMap(i => Seq(
+          round(element_at(col("rc"), i), 4).as(s"r$i"),
+          round(element_at(col("fc"), i), 4).as(s"f$i"),
+          round(element_at(col("mc"), i), 4).as(s"m$i"))): _*)
+      def score(v: String, c: String, invert: Boolean) = {
+        val cmp = (i: Int) =>
+          if (invert) col(v) < col(s"$c$i") else col(v) > col(s"$c$i")
+        (lit(1) + (1 to 4).map(i => cmp(i).cast("int")).reduce(_ + _))
+          .cast("long")
+      }
+      ur.crossJoin(broadcast(cuts))
+        .withColumn("r_score", score("recency_days", "r", invert = true))
+        .withColumn("f_score", score("freq", "f", invert = false))
+        .withColumn("m_score", score("monetary_cents", "m", invert = false))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("freq")).as("n_events"),
+          sum(col("monetary_cents")).as("monetary_cents"))
+        .withColumn("segment", expr(
+          "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 " +
+            "THEN 'champions' " +
+            "WHEN r_score <= 2 AND m_score >= 4 THEN 'at_risk' " +
+            "WHEN f_score >= 4 THEN 'loyal' " +
+            "WHEN m_score >= 4 THEN 'big_spender' " +
+            "WHEN r_score <= 2 THEN 'hibernating' " +
+            "ELSE 'casual' END"))
+        .select("r_score", "f_score", "m_score", "segment", "n_users",
+          "n_events", "monetary_cents")
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
     // Anomaly detection: the top-5 z-score outliers per event type.
     // Mean and population variance derive from EXACT micro-integer
     // sums (floor(v·10⁶) and floor(v²·10⁶) longs — the covariance
@@ -1107,6 +1169,49 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_rfm" -> {
+      def sc(v: String, c: String, op: String) =
+        s"1 + " + (1 to 4).map(i => s"CAST($v $op $c$i AS INT)").mkString(" + ")
+      s"""WITH u AS (
+         |  SELECT user_id, count(*)::BIGINT AS freq,
+         |    CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT))
+         |      AS BIGINT) AS monetary_cents,
+         |    max(ts) AS last_ts
+         |  FROM events GROUP BY 1),
+         |mx AS (SELECT max(ts) AS mts FROM events),
+         |ur AS (
+         |  SELECT user_id, freq, monetary_cents,
+         |    (epoch_us(mts) - epoch_us(last_ts)) // 86400000000
+         |      AS recency_days
+         |  FROM u, mx),
+         |cuts AS (
+         |  SELECT
+         |    ${(1 to 4).map(i => Seq(
+                s"round(quantile_cont(recency_days, 0.${2 * i}), 4) AS r$i",
+                s"round(quantile_cont(freq, 0.${2 * i}), 4) AS f$i",
+                s"round(quantile_cont(monetary_cents, 0.${2 * i}), 4) AS m$i")
+                .mkString(", ")).mkString(",\n    ")}
+         |  FROM ur),
+         |scored AS (
+         |  SELECT CAST(${sc("recency_days", "r", "<")} AS BIGINT) AS r_score,
+         |    CAST(${sc("freq", "f", ">")} AS BIGINT) AS f_score,
+         |    CAST(${sc("monetary_cents", "m", ">")} AS BIGINT) AS m_score,
+         |    freq, monetary_cents
+         |  FROM ur, cuts)
+         |SELECT r_score, f_score, m_score,
+         |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+         |    THEN 'champions'
+         |    WHEN r_score <= 2 AND m_score >= 4 THEN 'at_risk'
+         |    WHEN f_score >= 4 THEN 'loyal'
+         |    WHEN m_score >= 4 THEN 'big_spender'
+         |    WHEN r_score <= 2 THEN 'hibernating'
+         |    ELSE 'casual' END AS segment,
+         |  count(*)::BIGINT AS n_users,
+         |  CAST(sum(freq) AS BIGINT) AS n_events,
+         |  CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents
+         |FROM scored GROUP BY 1, 2, 3
+         |ORDER BY r_score, f_score, m_score""".stripMargin
+    },
     "ev_markov" ->
       s"""WITH $transitionMicroSql
          |SELECT cur, nxt, n, pm AS p_micro

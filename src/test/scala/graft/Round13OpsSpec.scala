@@ -241,4 +241,60 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(math.abs(r.getLong(r.fieldIndex("kappa_ppm"))) <= 1000000L)
     }
   }
+
+  test("ev_rfm: conservation, score bounds, brute-force segment recompute") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = run("ev_rfm").collect()
+    assert(rows.nonEmpty)
+    val idx = rows.head.fieldIndex _
+    val ev = Tables.events(spark, sf)
+    assert(rows.map(_.getLong(idx("n_users"))).sum ==
+      ev.agg(countDistinct(col("user_id"))).head.getLong(0))
+    assert(rows.map(_.getLong(idx("n_events"))).sum == ev.count())
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { f =>
+        val v = r.getLong(idx(f)); assert(v >= 1 && v <= 5, s"$r") }
+      val (rs, fs, ms) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expSeg =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champions"
+        else if (rs <= 2 && ms >= 4) "at_risk"
+        else if (fs >= 4) "loyal"
+        else if (ms >= 4) "big_spender"
+        else if (rs <= 2) "hibernating"
+        else "casual"
+      assert(r.getString(idx("segment")) == expSeg)
+    }
+    // brute-force the whole report locally (quantile_cont semantics)
+    val raw = ev.selectExpr("user_id", "unix_micros(ts)", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mts = raw.map(_._2).max
+    val users = raw.groupBy(_._1).map { case (_, xs) =>
+      ((mts - xs.map(_._2).max) / 86400000000L,
+        xs.length.toLong,
+        xs.map(x => math.floor(x._3 * 100.0).toLong).sum)
+    }.toSeq
+    def qcont(vs: Seq[Long], q: Double): Double = {
+      val s0 = vs.sorted; val pos = (s0.length - 1) * q
+      val lo = pos.toInt; val frac = pos - lo
+      val a = s0(lo).toDouble
+      val b = s0(math.min(lo + 1, s0.length - 1)).toDouble
+      BigDecimal(a + (b - a) * frac)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rcs = (1 to 4).map(i => qcont(users.map(_._1), 0.2 * i))
+    val fcs = (1 to 4).map(i => qcont(users.map(_._2), 0.2 * i))
+    val mcs = (1 to 4).map(i => qcont(users.map(_._3), 0.2 * i))
+    val expect = users.groupBy { case (rd, f, m) =>
+      (1L + rcs.count(rd < _), 1L + fcs.count(f > _), 1L + mcs.count(m > _))
+    }.map { case (k, xs) =>
+      k -> ((xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum)) }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (nu, ne, mc) = expect(k)
+      assert(r.getLong(idx("n_users")) == nu, s"$k users")
+      assert(r.getLong(idx("n_events")) == ne, s"$k events")
+      assert(r.getLong(idx("monetary_cents")) == mc, s"$k cents")
+    }
+  }
 }
