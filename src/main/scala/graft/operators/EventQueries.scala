@@ -275,6 +275,38 @@ object EventQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // BENFORD FIRST-DIGIT AUDIT — the fraud/data-quality screen
+    // (Benford 1938, Nigrini 1996): the leading digit of naturally-
+    // occurring amounts follows log10(1+1/d); synthetic, capped, or
+    // fabricated figures don't, and the per-digit deviation column is
+    // the flag an auditor reads. Digit extraction stays integer-exact:
+    // amounts floor to cents per row (IEEE multiply + floor, identical
+    // both engines), the leading digit comes off the BIGINT's decimal
+    // string — no log10 at runtime. The expected shares ARE log10
+    // values, so they enter as integer micro-LITERALS baked into both
+    // contracts at plan construction (the ss_ndcg_eval treatment —
+    // no transcendental executes in either engine). One scan into a
+    // 9-cell aggregation; everything after is model-frame arithmetic.
+    "ev_benford" -> ((s, dir) => {
+      val benfordPpm = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+        66946L, 57991L, 51152L, 45757L)
+      val counts = Tables.events(s, dir)
+        .select(expr("CAST(floor(abs(value) * CAST(100.0 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("tot"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("obs_ppm", expr("(n * 1000000) DIV tot"))
+        .withColumn("exp_ppm",
+          element_at(array(benfordPpm.map(lit): _*), col("digit").cast("int")))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+        .select("digit", "n", "obs_ppm", "exp_ppm", "dev_ppm")
+        .orderBy("digit")
+    }),
+
     // Anomaly detection: the top-5 z-score outliers per event type.
     // Mean and population variance derive from EXACT micro-integer
     // sums (floor(v·10⁶) and floor(v²·10⁶) longs — the covariance
@@ -1169,6 +1201,27 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_benford" -> {
+      val vals = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+        66946L, 57991L, 51152L, 45757L)
+        .zipWithIndex.map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+         |    AS digit
+         |  FROM (SELECT CAST(floor(abs(value) * CAST(100.0 AS DOUBLE))
+         |          AS BIGINT) AS cents FROM events)
+         |  WHERE cents > 0),
+         |c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+         |e AS (SELECT CAST(digit AS BIGINT) AS digit,
+         |        CAST(exp_ppm AS BIGINT) AS exp_ppm
+         |      FROM (VALUES $vals) AS v(digit, exp_ppm))
+         |SELECT c.digit, c.n, (c.n * 1000000) // t.tot AS obs_ppm,
+         |  e.exp_ppm,
+         |  abs((c.n * 1000000) // t.tot - e.exp_ppm) AS dev_ppm
+         |FROM c CROSS JOIN t JOIN e ON e.digit = c.digit
+         |ORDER BY c.digit""".stripMargin
+    },
     "ev_rfm" -> {
       def sc(v: String, c: String, op: String) =
         s"1 + " + (1 to 4).map(i => s"CAST($v $op $c$i AS INT)").mkString(" + ")

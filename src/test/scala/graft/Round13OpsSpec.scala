@@ -297,4 +297,31 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(r.getLong(idx("monetary_cents")) == mc, s"$k cents")
     }
   }
+
+  test("ev_benford: literal shares are floored log10, census recomputes") {
+    val rows = run("ev_benford").collect()
+    assert(rows.nonEmpty)
+    val idx = rows.head.fieldIndex _
+    rows.foreach { r =>
+      val d = r.getLong(idx("digit"))
+      assert(d >= 1 && d <= 9)
+      // the baked literal IS floor(log10(1+1/d)·1e6)
+      assert(r.getLong(idx("exp_ppm")) ==
+        math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+      assert(r.getLong(idx("dev_ppm")) ==
+        math.abs(r.getLong(idx("obs_ppm")) - r.getLong(idx("exp_ppm"))))
+    }
+    // census equals a direct local recompute
+    val cents = Tables.events(spark, sf)
+      .selectExpr("CAST(floor(abs(value) * CAST(100.0 AS DOUBLE)) AS BIGINT)")
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    val exp = cents.groupBy(c => c.toString.head.asDigit.toLong)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    assert(rows.map(_.getLong(idx("digit"))).toSet == exp.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(idx("n")) == exp(r.getLong(idx("digit"))))
+      assert(r.getLong(idx("obs_ppm")) ==
+        r.getLong(idx("n")) * 1000000L / cents.length)
+    }
+  }
 }
