@@ -364,6 +364,26 @@ object RankQueries {
         .orderBy("src", "rn")
     }),
 
+    // MUTUAL-kNN EDGE FILTER — the standard noise-robust graph
+    // preprocessing (used by mutual-proximity reranking and every
+    // "reciprocal nearest neighbor" dedup/alignment recipe): keep an
+    // edge only when BOTH endpoints rank each other in their top-k.
+    // Directed kNN lists are asymmetric around hubs — a hub appears in
+    // thousands of top-k lists while reciprocating almost none — and
+    // the mutual filter is what removes exactly those hub edges before
+    // clustering. Built on the trained-IVF kNN edges (O(n^1.5) pair
+    // volume); the reciprocity check is a self-join of the k·n-row
+    // edge frame on the reversed key — edge-sized, co-partitioned,
+    // never touching vectors again. Output: undirected mutual pairs.
+    "ss_mutual_knn" -> ((s, dir) => {
+      val e = Similarity.ivfKnnEdges(s, dir, 3).localCheckpoint(false)
+      e.as("f").join(e.as("r"),
+          col("f.src") === col("r.nbr") && col("f.nbr") === col("r.src"))
+        .filter(col("f.src") < col("f.nbr"))
+        .select(col("f.src").as("a"), col("f.nbr").as("b"))
+        .orderBy("a", "b")
+    }),
+
     // Hard-negative mining for contrastive training: per anchor, the
     // top-3 neighbors whose cosine falls in [HnLo, HnHi) — similar
     // enough to be informative negatives, below the near-dup threshold
@@ -520,6 +540,12 @@ object RankQueries {
          |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr ASC) AS rn
          |  FROM band)
          |WHERE rn <= 3 ORDER BY src, rn""".stripMargin,
+    "ss_mutual_knn" ->
+      s"""WITH RECURSIVE ${Similarity.ivfKnnEdgesCtes(3)}
+         |SELECT f.src AS a, f.nbr AS b
+         |FROM knn0 f JOIN knn0 r ON f.src = r.nbr AND f.nbr = r.src
+         |WHERE f.src < f.nbr
+         |ORDER BY a, b""".stripMargin,
     // Trained-IVF cells, not the sign-bucket family's computed dial.
     // Edge build mirrors Similarity.ivfKnnEdges (trained-IVF own-cell
     // top-3); recursion unchanged.

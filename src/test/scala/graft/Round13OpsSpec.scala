@@ -324,4 +324,18 @@ class Round13OpsSpec extends AnyFunSuite {
         r.getLong(idx("n")) * 1000000L / cents.length)
     }
   }
+
+  test("ss_mutual_knn: exactly the reciprocated kNN edges, hubs filtered") {
+    val pairs = run("ss_mutual_knn").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(a < b) }
+    val edges = operators.Similarity.ivfKnnEdges(spark, sf, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = edges.filter { case (s0, n0) =>
+      s0 < n0 && edges.contains((n0, s0)) }
+    assert(pairs.toSet == expected)
+    // the filter is not vacuous: some directed edges are unreciprocated
+    assert(pairs.length * 2 < edges.size)
+  }
 }
