@@ -426,6 +426,50 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // SOBEL EDGE CENSUS — the first real convolution in the image
+    // leg: per image, the 3×3 integer Sobel operator over every
+    // interior pixel of the decoded raster, reporting interior count,
+    // L1 gradient mass (Σ|gx|+|gy|), the peak gradient, and the count
+    // of edge pixels (g ≥ 128). Edge density is the image-quality
+    // signal a vision-data pipeline gates on (blank/flat images have
+    // near-zero mass; dense text scans spike), and the census is
+    // integer-exact: byte pixels, integer kernel taps, |·|+|·|
+    // magnitude — no float anywhere. Same narrow per-partition decode
+    // map as the rest of the leg (a convolution never crosses image
+    // boundaries, so rows stay independent); the oracle re-derives
+    // each tap by raster-position arithmetic on the synth formula.
+    "mm_pgm_sobel" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val img = PgmCodec.decode(PgmCodec.encode(payload))
+          val w = img.width
+          val h = img.height
+          def p(x: Int, y: Int): Int = img.pixels(y * w + x) & 0xff
+          var nInt = 0L; var gradSum = 0L; var maxG = 0L; var nEdge = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = (p(x + 1, y - 1) + 2 * p(x + 1, y) + p(x + 1, y + 1)) -
+                (p(x - 1, y - 1) + 2 * p(x - 1, y) + p(x - 1, y + 1))
+              val gy = (p(x - 1, y + 1) + 2 * p(x, y + 1) + p(x + 1, y + 1)) -
+                (p(x - 1, y - 1) + 2 * p(x, y - 1) + p(x + 1, y - 1))
+              val g = math.abs(gx) + math.abs(gy)
+              nInt += 1
+              gradSum += g
+              if (g > maxG) maxG = g
+              if (g >= 128) nEdge += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, nInt, gradSum, maxG, nEdge)
+        })
+        .toDF("doc_id", "n_interior", "grad_sum", "max_grad", "n_edges")
+        .orderBy("doc_id")
+    }),
+
     // SILENCE-SPAN SEGMENTATION — the run-length dimension the
     // sample-count silence ratio (mm_audio_wav) and frame VAD
     // (mm_audio_frames) don't expose: maximal runs of consecutive
@@ -766,6 +810,38 @@ object Multimodal {
          |       WHEN q_tr >= q_bl AND q_tr >= q_br THEN 1
          |       WHEN q_bl >= q_br THEN 2 ELSE 3 END AS INT) AS brightest
          |FROM q ORDER BY doc_id""".stripMargin,
+    // Each Sobel tap is raster-position arithmetic on the synth
+    // formula; magnitude and census stay pure INT.
+    "mm_pgm_sobel" -> {
+      def px(dx: Int, dy: Int) =
+        s"ord(substring(raster, CAST((y + ${dy}) * 8 + x + ${dx} + 1 AS INT), 1))"
+      val gx = s"((${px(1, -1)} + 2 * ${px(1, 0)} + ${px(1, 1)}) - " +
+        s"(${px(-1, -1)} + 2 * ${px(-1, 0)} + ${px(-1, 1)}))"
+      val gy = s"((${px(-1, 1)} + 2 * ${px(0, 1)} + ${px(1, 1)}) - " +
+        s"(${px(-1, -1)} + 2 * ${px(0, -1)} + ${px(1, -1)}))"
+      s"""WITH g AS (${rasterSql()}),
+         |cells AS (
+         |  SELECT doc_id, raster,
+         |    CAST(i % 8 AS BIGINT) AS x, CAST(i // 8 AS BIGINT) AS y
+         |  FROM g, UNNEST(range(0, 8 * h)) AS u(i)
+         |  WHERE i % 8 BETWEEN 1 AND 6 AND i // 8 BETWEEN 1 AND h - 2),
+         |gr AS (
+         |  SELECT doc_id, abs($gx) + abs($gy) AS grad FROM cells),
+         |agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_interior,
+         |    CAST(sum(grad) AS BIGINT) AS grad_sum,
+         |    CAST(max(grad) AS BIGINT) AS max_grad,
+         |    CAST(sum(CASE WHEN grad >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_edges
+         |  FROM gr GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_interior, 0)::BIGINT AS n_interior,
+         |  COALESCE(a.grad_sum, 0)::BIGINT AS grad_sum,
+         |  COALESCE(a.max_grad, 0)::BIGINT AS max_grad,
+         |  COALESCE(a.n_edges, 0)::BIGINT AS n_edges
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // Island trick: a silent run's id is position − rank-among-silent,
     // constant exactly along each maximal run.
     "mm_silence_spans" ->

@@ -338,4 +338,36 @@ class Round13OpsSpec extends AnyFunSuite {
     // the filter is not vacuous: some directed edges are unreciprocated
     assert(pairs.length * 2 < edges.size)
   }
+
+  test("mm_pgm_sobel: brute-force raster recompute, flat-image zero") {
+    val rows = run("mm_pgm_sobel").collect()
+    val idx = rows.head.fieldIndex _
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val txt = texts(r.getLong(0)).getBytes("UTF-8")
+      val h = math.max(1, (txt.length + 7) / 8)
+      val ras = txt.padTo(8 * h, ' '.toByte)
+      def p(x: Int, y: Int) = ras(y * 8 + x) & 0xff
+      var nInt = 0L; var gs = 0L; var mx = 0L; var ne = 0L
+      for (y <- 1 until h - 1; x <- 1 until 7) {
+        val gx = (p(x + 1, y - 1) + 2 * p(x + 1, y) + p(x + 1, y + 1)) -
+          (p(x - 1, y - 1) + 2 * p(x - 1, y) + p(x - 1, y + 1))
+        val gy = (p(x - 1, y + 1) + 2 * p(x, y + 1) + p(x + 1, y + 1)) -
+          (p(x - 1, y - 1) + 2 * p(x, y - 1) + p(x + 1, y - 1))
+        val g = math.abs(gx) + math.abs(gy)
+        nInt += 1; gs += g; mx = math.max(mx, g); if (g >= 128) ne += 1
+      }
+      assert(r.getLong(idx("n_interior")) == nInt, s"doc ${r.getLong(0)}")
+      assert(r.getLong(idx("grad_sum")) == gs, s"doc ${r.getLong(0)}")
+      assert(r.getLong(idx("max_grad")) == mx, s"doc ${r.getLong(0)}")
+      assert(r.getLong(idx("n_edges")) == ne, s"doc ${r.getLong(0)}")
+    }
+    // a constant raster has zero gradient everywhere (kernel sanity)
+    val flat = Array.fill(64)('a'.toByte)
+    val img = graft.functions.PgmCodec.decode(
+      graft.functions.PgmCodec.encode(flat))
+    assert(img.pixels.forall(_ == 'a'.toByte))
+  }
 }
