@@ -856,6 +856,32 @@ object Similarity {
     // table recall@K is a 25-sample coin flip (see ss_pq_recall's
     // comment), but the k-means objective is exact and must strictly
     // drop with training — this row pair is the check.
+    // EMBEDDING OOD SHORTLIST — the outlier-vector filter of a
+    // training-data pipeline (mislabeled, corrupt, or out-of-domain
+    // embeddings sit far from every centroid): per vector the exact
+    // micro-L2 to its trained-IVF centroid, then the global top-10
+    // most-distant vectors — the review queue a human (or a stricter
+    // model) audits before the batch ships. The dual of
+    // ss_diversity_sample's per-cell medoid (min dm): same trained
+    // codebook, same engine-exact integer distances, opposite tail.
+    // Scale: distances are one broadcast join + aggregation; the
+    // top-10 is a TakeOrderedAndProject bounded heap, and the rank
+    // window runs inside the 10-row frame.
+    "ss_ood_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (cents, _) = trainedIvf(s, dir)
+      val dims = kmDims(s, dir)
+      val dist = l2VecDist(dims, cents).localCheckpoint(false)
+      val best = dist.groupBy("vec_id").agg(min(col("dm")).as("dm"))
+      val asg = dist.join(best, Seq("vec_id", "dm"))
+        .groupBy("vec_id", "dm").agg(min(col("cent_id")).as("cent_id"))
+      asg.orderBy(col("dm").desc, col("vec_id").asc).limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("dm").desc, col("vec_id").asc)).cast("int"))
+        .select("rk", "vec_id", "cent_id", "dm")
+        .orderBy("rk")
+    }),
+
     "ss_train_distortion" -> ((s, dir) => {
       val dims = kmDims(s, dir).localCheckpoint(false)
       val seed = dims.filter(col("vec_id") < PipelineQueries.NumCentroids)
@@ -1708,6 +1734,16 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ss_ood_topk" ->
+      s"""WITH $trainedAssignCtes,
+         |cell AS (
+         |  SELECT a.vec_id, a.cent_id, ad.dm
+         |  FROM asg a JOIN ad ON a.vec_id = ad.vec_id
+         |    AND a.cent_id = ad.cent_id)
+         |SELECT CAST(row_number() OVER (ORDER BY dm DESC, vec_id ASC) AS INT)
+         |    AS rk,
+         |  vec_id, cent_id, dm
+         |FROM cell ORDER BY dm DESC, vec_id ASC LIMIT 10""".stripMargin,
     "ss_diversity_sample" ->
       s"""WITH $trainedAssignCtes,
          |cell AS MATERIALIZED (

@@ -370,4 +370,20 @@ class Round13OpsSpec extends AnyFunSuite {
       graft.functions.PgmCodec.encode(flat))
     assert(img.pixels.forall(_ == 'a'.toByte))
   }
+
+  test("ss_ood_topk: descending tail, disjoint from the per-cell medoids") {
+    val rows = run("ss_ood_topk").collect()
+    assert(rows.length == 10)
+    val idx = rows.head.fieldIndex _
+    assert(rows.map(_.getInt(idx("rk"))).toSeq == (1 to 10))
+    val dms = rows.map(_.getLong(idx("dm")))
+    assert(dms.zip(dms.drop(1)).forall { case (a, b) => a >= b })
+    assert(dms.forall(_ > 0))
+    // the OOD tail and the diversity medoids are opposite extremes of
+    // the same assignment — at sf0.001 they must not overlap
+    val medoids = run("ss_diversity_sample").collect()
+      .map(r => r.getLong(r.fieldIndex("rep_vec"))).toSet
+    val ood = rows.map(_.getLong(idx("vec_id"))).toSet
+    assert(ood.size == 10 && (ood & medoids).isEmpty)
+  }
 }
