@@ -275,6 +275,43 @@ object EventQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // BOT-REGULARITY SCREEN — scripted clients fire on timers, humans
+    // don't: the squared coefficient of variation of a user's
+    // inter-event gaps separates them (cv² → 0 for clockwork traffic,
+    // ~1 for Poisson arrivals). Gaps come from a per-USER lead window
+    // (user-bounded, doctrine-compliant), in seconds so squares fit;
+    // variance is the exact integer identity n·Σg² − (Σg)² with the
+    // quadratic terms in DECIMAL(38)/HUGEINT, and cv²_ppm divides by
+    // (Σg)² with the all-same-timestamp degenerate case pinned to 0
+    // (also bot-like) rather than NULL — Spark and DuckDB order NULLs
+    // on opposite ends, so a NULL here would flap the top-10. Output:
+    // the 10 most-regular users with ≥5 events, a bounded heap.
+    "ev_bot_regularity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("nt", lead(col("ts"), 1).over(w))
+        .filter(col("nt").isNotNull)
+        .select(col("user_id"),
+          expr("(unix_micros(nt) - unix_micros(ts)) DIV 1000000").as("g"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("g")).as("sum_g"),
+          sum(expr("g * g")).as("sum_g2"))
+        .filter(col("n_gaps") >= 4)
+        .withColumn("cv2_ppm", expr(
+          "CASE WHEN sum_g = 0 THEN 0L ELSE " +
+            "CAST(((CAST(n_gaps AS DECIMAL(38,0)) * sum_g2 - " +
+            "CAST(sum_g AS DECIMAL(38,0)) * sum_g) * 1000000) DIV " +
+            "(CAST(sum_g AS DECIMAL(38,0)) * sum_g) AS BIGINT) END"))
+        .withColumn("mean_gap_s", expr("sum_g DIV n_gaps"))
+        .orderBy(col("cv2_ppm").asc, col("user_id").asc)
+        .limit(10)
+        .select("user_id", "n_gaps", "mean_gap_s", "cv2_ppm")
+    }),
+
     // BENFORD FIRST-DIGIT AUDIT — the fraud/data-quality screen
     // (Benford 1938, Nigrini 1996): the leading digit of naturally-
     // occurring amounts follows log10(1+1/d); synthetic, capped, or
@@ -1201,6 +1238,26 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_bot_regularity" ->
+      """WITH gaps AS (
+        |  SELECT user_id,
+        |    (epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id)) - epoch_us(ts)) // 1000000 AS g
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS sum_g,
+        |    CAST(sum(g * g) AS BIGINT) AS sum_g2
+        |  FROM gaps WHERE g IS NOT NULL GROUP BY 1),
+        |sc AS (
+        |  SELECT user_id, n_gaps, sum_g, sum_g2,
+        |    CASE WHEN sum_g = 0 THEN 0
+        |      ELSE CAST(((CAST(n_gaps AS HUGEINT) * sum_g2 -
+        |        CAST(sum_g AS HUGEINT) * sum_g) * 1000000) //
+        |        (CAST(sum_g AS HUGEINT) * sum_g) AS BIGINT) END AS cv2_ppm
+        |  FROM st WHERE n_gaps >= 4)
+        |SELECT user_id, n_gaps, sum_g // n_gaps AS mean_gap_s, cv2_ppm
+        |FROM sc ORDER BY cv2_ppm ASC, user_id ASC LIMIT 10""".stripMargin,
     "ev_benford" -> {
       val vals = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
         66946L, 57991L, 51152L, 45757L)

@@ -882,6 +882,32 @@ object TextAnalysis {
     // worth indexing or the boilerplate worth killing), burst ≈ 1 =
     // glue. Support floor tf ≥ 10 keeps hapax noise out; top-25 rides
     // a TakeOrdered bounded heap over the vocab-bounded stats frame.
+    // SIMPSON LEXICAL DIVERSITY — the pure-rational member of the
+    // diversity family (Simpson 1949): the probability two tokens
+    // drawn without replacement from a document are the SAME type,
+    // Σc(c−1) / (n(n−1)) in ppm. Entropy needs a log; Simpson is
+    // integer cross-multiplication end to end, so unlike ta_lang_entropy
+    // it rides the cross-engine contract with zero fixed-point
+    // machinery — and as a repeat-probability it is the
+    // template-boilerplate signal TTR (n_types/n) is insensitive to
+    // on long docs. Per doc: token/type counts + simpson_ppm (0 when
+    // n < 2; numerator ≤ n² so BIGINT holds to ~3e9 tokens/doc). One
+    // explode into two map-side-combined aggregations, doc-keyed.
+    "ta_simpson" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(expr("c * (c - 1)")).as("rep2"))
+        .withColumn("simpson_ppm", expr(
+          "CASE WHEN n_tokens >= 2 THEN (rep2 * 1000000) DIV " +
+            "(n_tokens * (n_tokens - 1)) ELSE 0L END"))
+        .select("doc_id", "n_tokens", "n_types", "simpson_ppm")
+        .orderBy("doc_id")
+    }),
+
     "ta_burstiness" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -1349,6 +1375,21 @@ object TextAnalysis {
          |LEFT JOIN ds ON s.nib = ds.nib
          |LEFT JOIN va ON s.nib = va.nib
          |ORDER BY s.nib""".stripMargin,
+    "ta_simpson" ->
+      s"""WITH per_doc AS (
+         |  SELECT doc_id, w, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, unnest(${OracleSql.toks}) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*)::BIGINT AS n_types,
+         |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep2
+         |  FROM per_doc GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types,
+         |  CAST(CASE WHEN n_tokens >= 2
+         |    THEN (rep2 * 1000000) // (n_tokens * (n_tokens - 1))
+         |    ELSE 0 END AS BIGINT) AS simpson_ppm
+         |FROM d ORDER BY doc_id""".stripMargin,
     "ta_burstiness" ->
       s"""WITH per_doc AS (
          |  SELECT doc_id, w, count(*)::BIGINT AS c

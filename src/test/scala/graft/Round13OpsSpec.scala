@@ -386,4 +386,53 @@ class Round13OpsSpec extends AnyFunSuite {
     val ood = rows.map(_.getLong(idx("vec_id"))).toSet
     assert(ood.size == 10 && (ood & medoids).isEmpty)
   }
+
+  test("ta_simpson: brute-force repeat probability, TTR-blindness bound") {
+    val rows = run("ta_simpson").collect()
+    val idx = rows.head.fieldIndex _
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ").filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).map(_._2.length.toLong)
+      assert(r.getLong(idx("n_tokens")) == toks.length.toLong)
+      assert(r.getLong(idx("n_types")) == counts.size.toLong)
+      val n = toks.length.toLong
+      val exp = if (n >= 2) counts.map(c => c * (c - 1)).sum * 1000000L /
+        (n * (n - 1)) else 0L
+      assert(r.getLong(idx("simpson_ppm")) == exp, s"doc ${r.getLong(0)}")
+      assert(r.getLong(idx("simpson_ppm")) <= 1000000L)
+    }
+  }
+
+  test("ev_bot_regularity: cv2 recomputes from per-user gap lists") {
+    val rows = run("ev_bot_regularity").collect()
+    assert(rows.length == 10)
+    val idx = rows.head.fieldIndex _
+    val cv2s = rows.map(_.getLong(idx("cv2_ppm")))
+    assert(cv2s.zip(cv2s.drop(1)).forall { case (a, b) => a <= b })
+    // recompute every user's cv2 locally; the reported 10 must be the
+    // global minimum set under (cv2, user_id) order
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts)", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1).flatMap { case (u, xs) =>
+      val ts = xs.sortBy(x => (x._2, x._3)).map(_._2)
+      val gaps = ts.zip(ts.drop(1)).map { case (a, b) => (b - a) / 1000000L }
+      if (gaps.length >= 4) {
+        val n = gaps.length.toLong
+        val s0 = gaps.sum
+        val s2 = gaps.map(g => g * g).sum
+        val cv2 = if (s0 == 0) 0L
+          else ((BigInt(n) * s2 - BigInt(s0) * s0) * 1000000 /
+            (BigInt(s0) * s0)).toLong
+        Some((u, n, s0 / n, cv2))
+      } else None
+    }.toSeq
+    val expTop = byUser.sortBy(x => (x._4, x._1)).take(10)
+    assert(rows.map(r => (r.getLong(0), r.getLong(idx("n_gaps")),
+      r.getLong(idx("mean_gap_s")), r.getLong(idx("cv2_ppm")))).toSeq ==
+      expTop)
+  }
 }
