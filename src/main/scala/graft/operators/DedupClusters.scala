@@ -211,6 +211,34 @@ object DedupClusters {
         .orderBy("doc_id")
     }),
 
+    // SOFT DEDUP — the down-weighting alternative to dropping: every
+    // member of a near-dup cluster keeps 1/cluster_size of its
+    // sampling mass (weight_ppm = 10⁶ DIV size), so the cluster as a
+    // whole contributes exactly one document's worth of probability
+    // while no individual variant is lost — the loader-side treatment
+    // pipelines use when duplicates carry distribution signal (quoted
+    // canonical texts, licenses, boilerplate headers) that hard
+    // removal would erase. Singletons keep full weight, which makes
+    // Σweight ≈ the deduped corpus size — the invariant the spec
+    // pins. Same materialized pair graph + CC as dd_clusters; the
+    // corpus itself only takes one left join on its own key.
+    "dd_soft_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.verifiedPairs(s, dir, dedup = false)
+        .select("doc_a", "doc_b")
+      val comp = connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          count(lit(1)).over(Window.partitionBy(col("label")))
+            .as("cluster_size"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+        .withColumn("weight_ppm", expr("1000000 DIV cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     // The end product of the dedup pipeline: the cleaned corpus. Keep
     // every doc that is not a non-representative member of a near-dup
     // cluster (representative = component minimum). One anti-join
@@ -421,6 +449,30 @@ object DedupClusters {
          |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) b
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    "dd_soft_dedup" ->
+      s"""WITH RECURSIVE pairs AS (${Dedup.ngramJaccardPairsSql}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (
+         |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+         |       FROM comp GROUP BY 1),
+         |lab AS (
+         |  SELECT a.id AS doc_id, a.cluster_id, b.cluster_size
+         |  FROM comp a JOIN sz b USING (cluster_id))
+         |SELECT d.doc_id,
+         |  COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         |  COALESCE(l.cluster_size, 1)::BIGINT AS cluster_size,
+         |  CAST(1000000 // COALESCE(l.cluster_size, 1) AS BIGINT)
+         |    AS weight_ppm
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // Same recursive closure; mass from floored intra-pair jaccards.
     "dd_medoid" ->
       s"""WITH RECURSIVE pairs AS (${Dedup.ngramJaccardPairsSql}),

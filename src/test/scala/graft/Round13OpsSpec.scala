@@ -435,4 +435,30 @@ class Round13OpsSpec extends AnyFunSuite {
       r.getLong(idx("mean_gap_s")), r.getLong(idx("cv2_ppm")))).toSeq ==
       expTop)
   }
+
+  test("dd_soft_dedup: mass conservation against the hard-dedup survivors") {
+    val rows = run("dd_soft_dedup").collect()
+    val idx = rows.head.fieldIndex _
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // clusters agree with dd_clusters; singletons carry full weight
+    val hard = run("dd_clusters").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val id = r.getLong(idx("doc_id"))
+      val size = r.getLong(idx("cluster_size"))
+      hard.get(id) match {
+        case Some((cid, csz)) =>
+          assert(r.getLong(idx("cluster_id")) == cid && size == csz)
+        case None =>
+          assert(r.getLong(idx("cluster_id")) == id && size == 1L)
+      }
+      assert(r.getLong(idx("weight_ppm")) == 1000000L / size)
+    }
+    // each cluster's total weight is ~1 doc (ppm floor slack < size),
+    // so total mass ≈ number of distinct clusters = survivor count
+    val mass = rows.map(_.getLong(idx("weight_ppm"))).sum
+    val nClusters = rows.map(_.getLong(idx("cluster_id"))).distinct.length
+    assert(mass <= nClusters * 1000000L)
+    assert(mass > (nClusters - 1) * 1000000L)
+  }
 }
