@@ -800,6 +800,43 @@ object PipelineQueries {
         .orderBy("band")
     }),
 
+    // DATASET CARD — the per-source summary block every corpus release
+    // ships (Datasheets for Datasets, Gebru et al. 2021): doc/token
+    // counts, language spread with the modal language (count-desc,
+    // lexicographic tie — the deterministic-mode doctrine from
+    // q_mode), mean document length, and the within-source exact-
+    // duplicate census (docs whose text fingerprint repeats inside
+    // the source, in ppm). One checkpointed narrow projection feeds
+    // three map-side-combined aggregations; the only window partitions
+    // by source over the source×lang model frame. At 100 TB each leg
+    // is a straight aggregation of the same scan — the card is free
+    // relative to the corpus pass it rides.
+    "pipe_dataset_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("nt"),
+          md5(col("text")).as("fp"))
+        .localCheckpoint(false) // narrow frame, three consumers
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("lang").asc)
+      val top = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      val dup = d.groupBy("source", "fp").agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1)
+        .groupBy("source").agg(sum(col("k")).as("dup_docs"))
+      base.join(top, "source").join(dup, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens DIV n_docs").as("mean_tokens"),
+          col("n_langs"), col("top_lang"),
+          coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+        .withColumn("dup_ppm", expr("(dup_docs * 1000000) DIV n_docs"))
+        .orderBy("source")
+    }),
+
     // L-DIVERSITY + T-CLOSENESS audit — the two refinements the privacy
     // literature stacks on k-anonymity (Machanavajjhala et al. 2007;
     // Li et al. 2007): a class can be large (k-anonymous) yet still
@@ -1480,6 +1517,37 @@ object PipelineQueries {
         |  CAST(min(cnt) AS BIGINT) AS min_class,
         |  CAST(max(cnt) AS BIGINT) AS max_class
         |FROM classes GROUP BY 1 ORDER BY band""".stripMargin,
+    "pipe_dataset_card" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, doc_id,
+         |    CAST(len(${OracleSql.toks}) AS BIGINT) AS nt,
+         |    md5(text) AS fp
+         |  FROM documents),
+         |base AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM d GROUP BY 1),
+         |top AS (
+         |  SELECT source, lang AS top_lang FROM (
+         |    SELECT source, lang, row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY count(*) DESC, lang ASC) AS rn
+         |    FROM d GROUP BY source, lang)
+         |  WHERE rn = 1),
+         |dup AS (
+         |  SELECT source, CAST(sum(k) AS BIGINT) AS dup_docs FROM (
+         |    SELECT source, fp, count(*)::BIGINT AS k
+         |    FROM d GROUP BY 1, 2)
+         |  WHERE k > 1 GROUP BY 1)
+         |SELECT b.source, b.n_docs, b.n_tokens,
+         |  b.n_tokens // b.n_docs AS mean_tokens,
+         |  b.n_langs, t.top_lang,
+         |  COALESCE(u.dup_docs, 0)::BIGINT AS dup_docs,
+         |  (COALESCE(u.dup_docs, 0) * 1000000) // b.n_docs AS dup_ppm
+         |FROM base b JOIN top t USING (source)
+         |LEFT JOIN dup u USING (source)
+         |ORDER BY b.source""".stripMargin,
     "pipe_l_diversity" ->
       """WITH pc AS (
         |  SELECT lang,

@@ -461,4 +461,29 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(mass <= nClusters * 1000000L)
     assert(mass > (nClusters - 1) * 1000000L)
   }
+
+  test("pipe_dataset_card: every cell recomputes from the raw table") {
+    val rows = run("pipe_dataset_card").collect()
+    val idx = rows.head.fieldIndex _
+    val raw = Tables.documents(spark, sf)
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.length == raw.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val src = r.getString(idx("source"))
+      val docs = raw.filter(_._1 == src)
+      val nToks = docs.map(_._3.split(" ").count(_.nonEmpty).toLong).sum
+      assert(r.getLong(idx("n_docs")) == docs.length.toLong)
+      assert(r.getLong(idx("n_tokens")) == nToks)
+      assert(r.getLong(idx("mean_tokens")) == nToks / docs.length)
+      assert(r.getLong(idx("n_langs")) == docs.map(_._2).distinct.length.toLong)
+      val topLang = docs.groupBy(_._2).toSeq
+        .sortBy { case (l, xs) => (-xs.length, l) }.head._1
+      assert(r.getString(idx("top_lang")) == topLang)
+      val dup = docs.groupBy(_._3).valuesIterator
+        .map(_.length.toLong).filter(_ > 1).sum
+      assert(r.getLong(idx("dup_docs")) == dup)
+      assert(r.getLong(idx("dup_ppm")) == dup * 1000000L / docs.length)
+    }
+  }
 }
