@@ -275,6 +275,33 @@ object EventQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // DAU/WAU STICKINESS — the engagement ratio every product review
+    // opens with: per UTC calendar day, distinct daily actives over
+    // distinct trailing-7-day actives, in ppm (DAU/WAU ≈ how many of
+    // the weekly users show up on a given day). The base frame is the
+    // (day, user) daily-active table every analytics warehouse
+    // materializes — one distinct shuffle — and the trailing window
+    // is a ≤7× expansion join of that frame against the tiny day
+    // spine, NEVER a distinct-over-window (count distinct does not
+    // compose with sliding frames; re-aggregating the expanded rows
+    // is the standard exact answer). Integer contract throughout;
+    // day serialized as an ISO string so both engines agree on type.
+    "ev_dau_wau" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        .localCheckpoint(false) // daily-active frame, reused 3×
+      val days = du.select("d").distinct()
+      val dau = du.groupBy("d").agg(countDistinct(col("user_id")).as("dau"))
+      val wau = broadcast(days.as("sp")).join(du.as("u"),
+          col("u.d") >= date_sub(col("sp.d"), 6) && col("u.d") <= col("sp.d"))
+        .groupBy(col("sp.d").as("d"))
+        .agg(countDistinct(col("u.user_id")).as("wau"))
+      dau.join(wau, "d")
+        .select(col("d").cast("string").as("day"), col("dau"), col("wau"),
+          expr("(dau * 1000000) DIV wau").as("stickiness_ppm"))
+        .orderBy("day")
+    }),
+
     // BOT-REGULARITY SCREEN — scripted clients fire on timers, humans
     // don't: the squared coefficient of variation of a user's
     // inter-event gaps separates them (cv² → 0 for clockwork traffic,
@@ -1238,6 +1265,20 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_dau_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |dau AS (
+        |  SELECT d, count(DISTINCT user_id)::BIGINT AS dau
+        |  FROM du GROUP BY 1),
+        |wau AS (
+        |  SELECT sp.d, count(DISTINCT u.user_id)::BIGINT AS wau
+        |  FROM days sp JOIN du u ON u.d BETWEEN sp.d - 6 AND sp.d
+        |  GROUP BY 1)
+        |SELECT CAST(a.d AS VARCHAR) AS day, a.dau, w.wau,
+        |  (a.dau * 1000000) // w.wau AS stickiness_ppm
+        |FROM dau a JOIN wau w USING (d) ORDER BY day""".stripMargin,
     "ev_bot_regularity" ->
       """WITH gaps AS (
         |  SELECT user_id,

@@ -486,4 +486,27 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(r.getLong(idx("dup_ppm")) == dup * 1000000L / docs.length)
     }
   }
+
+  test("ev_dau_wau: trailing-7-day distinct recomputes, dau <= wau") {
+    val rows = run("ev_dau_wau").collect()
+    assert(rows.nonEmpty)
+    val idx = rows.head.fieldIndex _
+    val du = Tables.events(spark, sf)
+      .selectExpr("CAST(to_date(ts) AS STRING)", "user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val days = du.map(_._1).distinct.sorted
+    assert(rows.map(_.getString(idx("day"))).toSeq == days.toSeq)
+    def dayNum(s0: String) = java.time.LocalDate.parse(s0).toEpochDay
+    rows.foreach { r =>
+      val d = r.getString(idx("day")); val dn = dayNum(d)
+      val dau = du.filter(_._1 == d).map(_._2).distinct.length.toLong
+      val wau = du.filter(x => {
+        val xn = dayNum(x._1); xn >= dn - 6 && xn <= dn
+      }).map(_._2).distinct.length.toLong
+      assert(r.getLong(idx("dau")) == dau)
+      assert(r.getLong(idx("wau")) == wau)
+      assert(dau <= wau)
+      assert(r.getLong(idx("stickiness_ppm")) == dau * 1000000L / wau)
+    }
+  }
 }
