@@ -516,6 +516,58 @@ class ScaleSpec extends AnyFunSuite {
       s"changepoint windows must partition by event_type:\n$plan")
   }
 
+  test("round-9 tail rows: model-frame analytics plan without any window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Each of these aggregates a corpus scan into a domain-bounded
+    // model frame (QI×sensitive, 2×2 confusion, 9 digits, per-doc
+    // type counts) — a WindowExec anywhere would mean a rank/ntile
+    // crept in where aggregation suffices.
+    Seq("pipe_l_diversity", "ta_quality_kappa", "ev_benford",
+      "ta_simpson").foreach { q =>
+      val plan = nonAdaptivePlan(q)
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"$q grew a window operator:\n$plan")
+    }
+  }
+
+  test("ev_rfm: quintile scoring via broadcast cutoffs, no window anywhere") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = nonAdaptivePlan("ev_rfm")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"RFM must assign scores by broadcast cutoff compare (the q_ntile " +
+        s"doctrine), not an NTILE window:\n$plan")
+    assert(plan.toString.contains("BroadcastExchange"),
+      s"cutoff frame should broadcast:\n$plan")
+  }
+
+  test("ev_bot_regularity: user-partitioned gap windows + bounded top-10 heap") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val plan = nonAdaptivePlan("ev_bot_regularity")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"gap lead must window per user:\n$plan")
+    assert(plan.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined,
+      s"top-10 must ride a bounded heap:\n$plan")
+  }
+
+  test("pipe_dataset_card: the only window partitions by source") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = nonAdaptivePlan("pipe_dataset_card")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"modal-language pick must window the source×lang model frame:\n$plan")
+  }
+
+  test("ev_dau_wau: the trailing-window join broadcasts the day spine") {
+    val plan = nonAdaptivePlan("ev_dau_wau").toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"day spine must broadcast into the range join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"trailing-window join must not plan as a shuffled cartesian:\n$plan")
+  }
+
   test("sign-bucket dial: bits grow with n, occupancy holds as the corpus scales") {
     // The round-9 computed dial (Vec.signBucketBits): bits =
     // clamp(bitlen(n) − 4, [4, 32]) must (a) match its formula,
