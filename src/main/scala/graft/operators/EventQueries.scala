@@ -275,6 +275,31 @@ object EventQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // WEEK-OVER-WEEK GROWTH — the period-over-period report every BI
+    // review reads next to the stickiness ratio: weekly event counts
+    // per type with the ratio to the previous week in ppm (NULL for
+    // each type's first week — a genuine absence, not a zero). The
+    // lag window runs over the ALREADY-AGGREGATED (type, week) frame
+    // — types × weeks rows, never raw events — and Monday-start
+    // date_trunc('week') agrees between Spark and DuckDB, with the
+    // week serialized as an ISO date string per the ev_dau_wau type
+    // rule. Integer contract; the growth division truncates
+    // identically on both engines.
+    "ev_wow_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = Tables.events(s, dir)
+        .select(col("event_type"), date_trunc("week", col("ts")).as("wkd"))
+        .groupBy("event_type", "wkd").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("wkd"))
+      wk.withColumn("prev", lag(col("n"), 1).over(w))
+        .select(col("event_type"),
+          col("wkd").cast("date").cast("string").as("week"),
+          col("n"), col("prev"),
+          expr("CASE WHEN prev IS NULL THEN CAST(NULL AS BIGINT) " +
+            "ELSE (n * 1000000) DIV prev END").as("ratio_ppm"))
+        .orderBy("event_type", "week")
+    }),
+
     // DAU/WAU STICKINESS — the engagement ratio every product review
     // opens with: per UTC calendar day, distinct daily actives over
     // distinct trailing-7-day actives, in ppm (DAU/WAU ≈ how many of
@@ -1265,6 +1290,20 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_wow_growth" ->
+      """WITH wk AS (
+        |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wkd,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, wkd, n,
+        |    CAST(lag(n, 1) OVER (PARTITION BY event_type ORDER BY wkd)
+        |      AS BIGINT) AS prev
+        |  FROM wk)
+        |SELECT event_type, CAST(wkd AS VARCHAR) AS week, n, prev,
+        |  CASE WHEN prev IS NULL THEN NULL
+        |       ELSE (n * 1000000) // prev END AS ratio_ppm
+        |FROM l ORDER BY event_type, week""".stripMargin,
     "ev_dau_wau" ->
       """WITH du AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

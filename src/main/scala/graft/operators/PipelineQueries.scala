@@ -47,6 +47,38 @@ object PipelineQueries {
     }.toDF("doc_id", "lang", "n_tokens", "pack_id")
   }
 
+  /** The SCD2 version-row frame (doc_id, fp, valid_from, valid_to,
+    * is_current), shared by pipe_scd2_history (the write-side dump)
+    * and pipe_scd2_pit (the read-side reconstruction) so the two
+    * cannot drift. Same md5-range snapshots and deliberate edits as
+    * pipe_snapshot_diff.
+    */
+  private def scd2Frame(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val old = docs.filter(h < "f000")
+      .select(col("doc_id").as("old_id"), md5(col("text")).as("old_fp"))
+    val nw = docs.filter(h >= "1000")
+      .select(col("doc_id").as("new_id"),
+        md5(when(h < "3000", concat(col("text"), lit(" edited")))
+          .otherwise(col("text"))).as("new_fp"))
+    val ver = (fp: org.apache.spark.sql.Column, from: Int,
+               to: Option[Int]) =>
+      struct(fp.as("fp"), lit(from).as("valid_from"),
+        to.map(lit(_)).getOrElse(lit(null).cast("int")).as("valid_to"))
+    old.join(nw, old("old_id") === nw("new_id"), "full_outer")
+      .select(coalesce(col("old_id"), col("new_id")).as("doc_id"),
+        explode(
+          when(col("old_id").isNull, array(ver(col("new_fp"), 2, None)))
+            .when(col("new_id").isNull, array(ver(col("old_fp"), 1, Some(2))))
+            .when(col("old_fp") =!= col("new_fp"),
+              array(ver(col("old_fp"), 1, Some(2)), ver(col("new_fp"), 2, None)))
+            .otherwise(array(ver(col("old_fp"), 1, None)))).as("v"))
+      .select(col("doc_id"), col("v.fp").as("fp"),
+        col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"),
+        col("v.valid_to").isNull.as("is_current"))
+  }
+
   /** PII regexes for pipe_pii_redact — deliberately inside the
     * Java-regex ∩ RE2 common subset (no backrefs, no lookaround) so
     * Spark and DuckDB match identically.
@@ -323,31 +355,31 @@ object PipelineQueries {
     // NULL. At 100 TB this is one co-partitioned join + narrow
     // explode — the history table appends ≤2 rows per changed key
     // and never rewrites closed history.
-    "pipe_scd2_history" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val h = substring(md5(col("doc_id").cast("string")), 1, 4)
-      val old = docs.filter(h < "f000")
-        .select(col("doc_id").as("old_id"), md5(col("text")).as("old_fp"))
-      val nw = docs.filter(h >= "1000")
-        .select(col("doc_id").as("new_id"),
-          md5(when(h < "3000", concat(col("text"), lit(" edited")))
-            .otherwise(col("text"))).as("new_fp"))
-      val ver = (fp: org.apache.spark.sql.Column, from: Int,
-                 to: Option[Int]) =>
-        struct(fp.as("fp"), lit(from).as("valid_from"),
-          to.map(lit(_)).getOrElse(lit(null).cast("int")).as("valid_to"))
-      old.join(nw, old("old_id") === nw("new_id"), "full_outer")
-        .select(coalesce(col("old_id"), col("new_id")).as("doc_id"),
-          explode(
-            when(col("old_id").isNull, array(ver(col("new_fp"), 2, None)))
-              .when(col("new_id").isNull, array(ver(col("old_fp"), 1, Some(2))))
-              .when(col("old_fp") =!= col("new_fp"),
-                array(ver(col("old_fp"), 1, Some(2)), ver(col("new_fp"), 2, None)))
-              .otherwise(array(ver(col("old_fp"), 1, None)))).as("v"))
-        .select(col("doc_id"), col("v.fp").as("fp"),
-          col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"),
-          col("v.valid_to").isNull.as("is_current"))
-        .orderBy("doc_id", "valid_from")
+    "pipe_scd2_history" -> ((s, dir) =>
+      scd2Frame(s, dir).orderBy("doc_id", "valid_from")),
+
+    // POINT-IN-TIME READ over the SCD2 dimension — the read-side
+    // contract the history table exists to serve: reconstruct the
+    // corpus AS OF each version with the textbook predicate
+    // valid_from ≤ t < coalesce(valid_to, ∞), and summarize each
+    // reconstruction (live rows, distinct fingerprints, id checksum).
+    // This is the half of SCD2 the write-side queries never exercise:
+    // if the version rows are miswritten (an open row not closed, a
+    // close at the wrong version) the t=1 readback silently includes
+    // future state — exactly what the paired-oracle gate catches. The
+    // history frame builds once (checkpointed) and both probes are
+    // narrow filters over it; at 100 TB a PIT read is a partition-
+    // pruned scan of the dimension, never a corpus pass.
+    "pipe_scd2_pit" -> ((s, dir) => {
+      val hist = scd2Frame(s, dir).localCheckpoint(false)
+      def at(t: Int) = hist.filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .agg(count(lit(1)).as("n_live"),
+          countDistinct(col("fp")).as("n_fps"),
+          sum(col("doc_id")).as("id_sum"))
+        .select(lit(t).cast("int").as("ver"), col("n_live"),
+          col("n_fps"), col("id_sum"))
+      at(1).unionAll(at(2)).orderBy("ver")
     }),
 
     // Snapshot distribution drift — the monitoring gate a corpus
@@ -1321,6 +1353,37 @@ object PipelineQueries {
 
   private val toksSql = OracleSql.toks
 
+  /** DuckDB mirror of [[scd2Frame]]: CTE chain ending in
+    * `rows_(doc_id, fp, valid_from, valid_to)` — the shared prefix of
+    * the two SCD2 oracles.
+    */
+  private val scd2Sql: String =
+    """WITH old AS (
+      |  SELECT doc_id AS old_id, md5(text) AS old_fp FROM documents
+      |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f000'),
+      |nw AS (
+      |  SELECT doc_id AS new_id,
+      |    md5(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3000'
+      |             THEN text || ' edited' ELSE text END) AS new_fp
+      |  FROM documents
+      |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '1000'),
+      |j AS (SELECT * FROM old FULL OUTER JOIN nw ON old_id = new_id),
+      |rows_ AS (
+      |  SELECT COALESCE(old_id, new_id) AS doc_id, v.fp AS fp,
+      |    v.valid_from AS valid_from, v.valid_to AS valid_to
+      |  FROM (
+      |    SELECT old_id, new_id, unnest(
+      |      CASE WHEN old_id IS NULL
+      |             THEN [{'fp': new_fp, 'valid_from': 2, 'valid_to': NULL}]
+      |           WHEN new_id IS NULL
+      |             THEN [{'fp': old_fp, 'valid_from': 1, 'valid_to': 2}]
+      |           WHEN old_fp <> new_fp
+      |             THEN [{'fp': old_fp, 'valid_from': 1, 'valid_to': 2},
+      |                   {'fp': new_fp, 'valid_from': 2, 'valid_to': NULL}]
+      |           ELSE [{'fp': old_fp, 'valid_from': 1, 'valid_to': NULL}]
+      |      END) AS v
+      |    FROM j))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "pipe_mix_temperature" ->
       s"""WITH RECURSIVE tl AS (
@@ -1813,36 +1876,26 @@ object PipelineQueries {
         |  FROM old FULL OUTER JOIN nw ON old_id = new_id)
         |GROUP BY status ORDER BY status""".stripMargin,
     "pipe_scd2_history" ->
-      """WITH old AS (
-        |  SELECT doc_id AS old_id, md5(text) AS old_fp FROM documents
-        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f000'),
-        |nw AS (
-        |  SELECT doc_id AS new_id,
-        |    md5(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3000'
-        |             THEN text || ' edited' ELSE text END) AS new_fp
-        |  FROM documents
-        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '1000'),
-        |j AS (SELECT * FROM old FULL OUTER JOIN nw ON old_id = new_id),
-        |rows_ AS (
-        |  SELECT COALESCE(old_id, new_id) AS doc_id, v.fp AS fp,
-        |    v.valid_from AS valid_from, v.valid_to AS valid_to
-        |  FROM (
-        |    SELECT old_id, new_id, unnest(
-        |      CASE WHEN old_id IS NULL
-        |             THEN [{'fp': new_fp, 'valid_from': 2, 'valid_to': NULL}]
-        |           WHEN new_id IS NULL
-        |             THEN [{'fp': old_fp, 'valid_from': 1, 'valid_to': 2}]
-        |           WHEN old_fp <> new_fp
-        |             THEN [{'fp': old_fp, 'valid_from': 1, 'valid_to': 2},
-        |                   {'fp': new_fp, 'valid_from': 2, 'valid_to': NULL}]
-        |           ELSE [{'fp': old_fp, 'valid_from': 1, 'valid_to': NULL}]
-        |      END) AS v
-        |    FROM j))
-        |SELECT doc_id, fp,
-        |  CAST(valid_from AS INT) AS valid_from,
-        |  CAST(valid_to AS INT) AS valid_to,
-        |  (valid_to IS NULL) AS is_current
-        |FROM rows_ ORDER BY doc_id, valid_from""".stripMargin,
+      s"""$scd2Sql
+         |SELECT doc_id, fp,
+         |  CAST(valid_from AS INT) AS valid_from,
+         |  CAST(valid_to AS INT) AS valid_to,
+         |  (valid_to IS NULL) AS is_current
+         |FROM rows_ ORDER BY doc_id, valid_from""".stripMargin,
+    "pipe_scd2_pit" ->
+      s"""$scd2Sql
+         |SELECT ver, n_live, n_fps, id_sum FROM (
+         |  SELECT CAST(1 AS INT) AS ver, count(*)::BIGINT AS n_live,
+         |    count(DISTINCT fp)::BIGINT AS n_fps,
+         |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |  FROM rows_ WHERE valid_from <= 1
+         |    AND (valid_to IS NULL OR valid_to > 1)
+         |  UNION ALL
+         |  SELECT CAST(2 AS INT), count(*)::BIGINT,
+         |    count(DISTINCT fp)::BIGINT, CAST(sum(doc_id) AS BIGINT)
+         |  FROM rows_ WHERE valid_from <= 2
+         |    AND (valid_to IS NULL OR valid_to > 2))
+         |ORDER BY ver""".stripMargin,
     // Integer-only drift contract (counts, no ln): every column is a
     // pure count, engine-exact. The sum(...) totals CAST to BIGINT —
     // DuckDB widens sum(BIGINT) to HUGEINT, which the driver's pandas

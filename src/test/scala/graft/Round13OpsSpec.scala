@@ -509,4 +509,60 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(r.getLong(idx("stickiness_ppm")) == dau * 1000000L / wau)
     }
   }
+
+  test("pipe_scd2_pit: each version readback equals its snapshot") {
+    import org.apache.spark.sql.functions.{col, expr, md5, substring}
+    val rows = run("pipe_scd2_pit").collect()
+    assert(rows.length == 2)
+    val idx = rows.head.fieldIndex _
+    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+    // snapshot membership mirrors the scd2 synth rule
+    val oldSnap = Tables.documents(spark, sf).filter(h < "f000")
+      .select("doc_id").collect().map(_.getLong(0))
+    val newSnap = Tables.documents(spark, sf).filter(h >= "1000")
+      .select("doc_id").collect().map(_.getLong(0))
+    val v1 = rows.find(_.getInt(idx("ver")) == 1).get
+    val v2 = rows.find(_.getInt(idx("ver")) == 2).get
+    assert(v1.getLong(idx("n_live")) == oldSnap.length.toLong)
+    assert(v1.getLong(idx("id_sum")) == oldSnap.sum)
+    assert(v2.getLong(idx("n_live")) == newSnap.length.toLong)
+    assert(v2.getLong(idx("id_sum")) == newSnap.sum)
+    // v2 fingerprints: edited docs shift fp, so distinct-fp count must
+    // match a direct recompute of the new snapshot's fingerprints
+    val newFps = Tables.documents(spark, sf).filter(h >= "1000")
+      .select(md5(expr(
+        "CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 4) < '3000' " +
+          "THEN concat(text, ' edited') ELSE text END")).as("fp"))
+      .distinct().count()
+    assert(v2.getLong(idx("n_fps")) == newFps)
+  }
+
+  test("ev_wow_growth: weekly census and ratios recompute") {
+    val rows = run("ev_wow_growth").collect()
+    assert(rows.nonEmpty)
+    val idx = rows.head.fieldIndex _
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(date_trunc('week', ts) AS DATE)")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+    val census = raw.groupBy(identity).map { case (k, xs) =>
+      k -> xs.length.toLong }
+    assert(rows.length == census.size)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getString(idx("week")))
+      assert(rs.toSeq == sorted.toSeq) // output ordered within type
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val k = (r.getString(0), r.getString(idx("week")))
+        assert(r.getLong(idx("n")) == census(k))
+        if (i == 0) {
+          assert(r.isNullAt(idx("prev")) && r.isNullAt(idx("ratio_ppm")))
+        } else {
+          val prev = sorted(i - 1).getLong(idx("n"))
+          assert(r.getLong(idx("prev")) == prev)
+          assert(r.getLong(idx("ratio_ppm")) ==
+            r.getLong(idx("n")) * 1000000L / prev)
+        }
+      }
+    }
+  }
 }
