@@ -1143,6 +1143,37 @@ object Similarity {
     // (The N·d²/2 multiply count is inherent to covariance itself.)
     "ss_embed_cov" -> ((s, dir) => covFrame(s, dir).orderBy("i", "j")),
 
+    // EMBEDDING DRIFT — pipe_drift_psi's vector-space sibling: did the
+    // embedding distribution move between snapshots? Per dimension,
+    // the mean over the reference md5-half vs the current half as
+    // exact micro-integers (per-row floor(x·10⁶), order-free long
+    // sums, truncating mean division identical on both engines) and
+    // the absolute shift — the monitoring gate an ANN index rebuild
+    // or encoder swap runs before re-training codebooks, since IVF
+    // cells and PQ codebooks silently degrade when the distribution
+    // walks. One explode into a (dim × half) map-side-combined
+    // aggregation; the 64-row pivot and shift arithmetic run on the
+    // model frame. Output: per-dim counts, both means, shift_micro.
+    "ss_embed_drift" -> ((s, dir) => {
+      val half = when(substring(md5(col("vec_id").cast("string")), 1, 1) < "8",
+        "ref").otherwise("cur")
+      val agg = kmDims(s, dir)
+        .select(col("dim"), half.as("half"),
+          floor(col("x") * lit(1000000.0)).cast("long").as("xm"))
+        .groupBy("dim", "half")
+        .agg(count(lit(1)).as("n"), sum(col("xm")).as("sm"))
+      agg.groupBy("dim").agg(
+          sum(when(col("half") === "ref", col("n")).otherwise(0L)).as("n_ref"),
+          sum(when(col("half") === "cur", col("n")).otherwise(0L)).as("n_cur"),
+          sum(when(col("half") === "ref", col("sm")).otherwise(0L)).as("s_ref"),
+          sum(when(col("half") === "cur", col("sm")).otherwise(0L)).as("s_cur"))
+        .select(col("dim"), col("n_ref"), col("n_cur"),
+          expr("s_ref DIV n_ref").as("m_ref_micro"),
+          expr("s_cur DIV n_cur").as("m_cur_micro"))
+        .withColumn("shift_micro", abs(col("m_cur_micro") - col("m_ref_micro")))
+        .orderBy("dim")
+    }),
+
     // Power iteration on the exact covariance matrix — the top
     // principal component, i.e. the OPQ-rotation / whitening precursor
     // ss_embed_cov was built to feed. PowerRounds fixed matrix-vector
@@ -1734,6 +1765,34 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ss_embed_drift" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(i AS INT) AS dim,
+        |    CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+        |         THEN 'ref' ELSE 'cur' END AS half,
+        |    CAST(floor(e[i] * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS xm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |       UNNEST(range(1, len(e) + 1)) AS u(i)),
+        |hs AS (
+        |  SELECT dim, half, count(*)::BIGINT AS n,
+        |    CAST(sum(xm) AS BIGINT) AS sm
+        |  FROM dims GROUP BY 1, 2),
+        |p AS (
+        |  SELECT dim,
+        |    CAST(sum(CASE WHEN half = 'ref' THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN half = 'cur' THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_cur,
+        |    CAST(sum(CASE WHEN half = 'ref' THEN sm ELSE 0 END) AS BIGINT)
+        |      AS s_ref,
+        |    CAST(sum(CASE WHEN half = 'cur' THEN sm ELSE 0 END) AS BIGINT)
+        |      AS s_cur
+        |  FROM hs GROUP BY 1)
+        |SELECT dim, n_ref, n_cur,
+        |  s_ref // n_ref AS m_ref_micro,
+        |  s_cur // n_cur AS m_cur_micro,
+        |  abs(s_cur // n_cur - s_ref // n_ref) AS shift_micro
+        |FROM p ORDER BY dim""".stripMargin,
     "ss_ood_topk" ->
       s"""WITH $trainedAssignCtes,
          |cell AS (

@@ -565,4 +565,29 @@ class Round13OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ss_embed_drift: per-dimension means recompute from raw vectors") {
+    val rows = run("ss_embed_drift").collect()
+    val idx = rows.head.fieldIndex _
+    val raw = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "CAST(embedding AS ARRAY<DOUBLE>)",
+        "substring(md5(CAST(vec_id AS STRING)), 1, 1) < '8'")
+      .collect()
+      .map(r => (r.getSeq[Double](1), r.getBoolean(2)))
+    assert(rows.length == raw.head._1.length)
+    rows.foreach { r =>
+      val d = r.getInt(idx("dim")) - 1
+      def leg(ref: Boolean) = {
+        val xs = raw.filter(_._2 == ref)
+          .map(x => math.floor(x._1(d) * 1e6).toLong)
+        (xs.length.toLong, xs.sum)
+      }
+      val (nr, sr) = leg(true); val (nc, sc) = leg(false)
+      assert(r.getLong(idx("n_ref")) == nr && r.getLong(idx("n_cur")) == nc)
+      assert(r.getLong(idx("m_ref_micro")) == sr / nr)
+      assert(r.getLong(idx("m_cur_micro")) == sc / nc)
+      assert(r.getLong(idx("shift_micro")) == math.abs(sc / nc - sr / nr))
+    }
+  }
 }
