@@ -15,6 +15,15 @@ import TextOps._
   */
 object TextAnalysis {
 
+  /** ta_lexicon_score's weighted wordlist — additive integer valences
+    * over the corpus's own performance adjectives (a stand-in for any
+    * sentiment/toxicity/safety dictionary; the plan is wordlist-
+    * agnostic).
+    */
+  val LexiconWeights: Map[String, Long] = Map(
+    "fast" -> 2L, "big" -> 1L, "merge" -> 1L,
+    "slow" -> -2L, "small" -> -1L, "dup" -> -2L)
+
   // Tiny per-language stopword lists (public common-word lists). The
   // heuristic is argmax of stopword hits with a fixed tie-break order.
   val stopEn = Seq("the", "and", "of", "to", "in", "a", "is")
@@ -882,6 +891,34 @@ object TextAnalysis {
     // worth indexing or the boilerplate worth killing), burst ≈ 1 =
     // glue. Support floor tf ≥ 10 keeps hapax noise out; top-25 rides
     // a TakeOrdered bounded heap over the vocab-bounded stats frame.
+    // WEIGHTED-LEXICON SCORING — the operator shape behind sentiment,
+    // toxicity, and safety-wordlist scoring (AFINN/VADER's additive
+    // core, Hutto & Gilbert 2014, minus the float valence): tokens
+    // join a broadcast (word, weight) dictionary, per-doc score =
+    // the integer weight sum, verdict = its sign. The dictionary here
+    // weights the corpus's own performance adjectives (fast/slow/
+    // big/small/dup) so the operator exercises real hits; swapping
+    // the wordlist swaps the classifier, the plan is invariant. At
+    // 100 TB the lexicon is always broadcast-scale by construction
+    // (dictionaries are thousands of rows) and the join is map-side;
+    // one explode, one aggregation, no shuffle beyond the doc key.
+    "ta_lexicon_score" -> ((s, dir) => {
+      import s.implicits._
+      val lex = LexiconWeights.toSeq.toDF("w", "wt")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), lower(col("tok")).as("w"))
+        .join(broadcast(lex), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("wt").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+          sum(coalesce(col("wt"), lit(0L))).as("score"))
+        .withColumn("verdict",
+          when(col("score") > 0, "pos").when(col("score") < 0, "neg")
+            .otherwise("neu"))
+        .orderBy("doc_id")
+    }),
+
     // SIMPSON LEXICAL DIVERSITY — the pure-rational member of the
     // diversity family (Simpson 1949): the probability two tokens
     // drawn without replacement from a document are the SAME type,
@@ -1375,6 +1412,27 @@ object TextAnalysis {
          |LEFT JOIN ds ON s.nib = ds.nib
          |LEFT JOIN va ON s.nib = va.nib
          |ORDER BY s.nib""".stripMargin,
+    "ta_lexicon_score" -> {
+      val vals = LexiconWeights.toSeq.sortBy(_._1)
+        .map { case (w, v) => s"('$w', $v)" }.mkString(", ")
+      s"""WITH lex AS (
+         |  SELECT w, CAST(wt AS BIGINT) AS wt
+         |  FROM (VALUES $vals) AS v(w, wt)),
+         |t AS (
+         |  SELECT doc_id, lower(unnest(${OracleSql.toks})) AS w
+         |  FROM documents),
+         |d AS (
+         |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |    CAST(sum(CASE WHEN lex.wt IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits,
+         |    CAST(sum(COALESCE(lex.wt, 0)) AS BIGINT) AS score
+         |  FROM t LEFT JOIN lex ON t.w = lex.w
+         |  GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_hits, score,
+         |  CASE WHEN score > 0 THEN 'pos' WHEN score < 0 THEN 'neg'
+         |       ELSE 'neu' END AS verdict
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "ta_simpson" ->
       s"""WITH per_doc AS (
          |  SELECT doc_id, w, count(*)::BIGINT AS c

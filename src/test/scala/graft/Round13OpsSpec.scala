@@ -590,4 +590,27 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(r.getLong(idx("shift_micro")) == math.abs(sc / nc - sr / nr))
     }
   }
+
+  test("ta_lexicon_score: additive weights recompute, verdict is the sign") {
+    val rows = run("ta_lexicon_score").collect()
+    val idx = rows.head.fieldIndex _
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var hits = 0L
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ").filter(_.nonEmpty)
+        .map(_.toLowerCase)
+      val exp = toks.map(operators.TextAnalysis.LexiconWeights.getOrElse(_, 0L))
+      assert(r.getLong(idx("n_tokens")) == toks.length.toLong)
+      assert(r.getLong(idx("n_hits")) ==
+        toks.count(operators.TextAnalysis.LexiconWeights.contains).toLong)
+      assert(r.getLong(idx("score")) == exp.sum)
+      val v = r.getString(idx("verdict"))
+      assert(v == (if (exp.sum > 0) "pos" else if (exp.sum < 0) "neg"
+        else "neu"))
+      hits += r.getLong(idx("n_hits"))
+    }
+    assert(hits > 0, "lexicon never fired — wordlist is dead weight")
+  }
 }
