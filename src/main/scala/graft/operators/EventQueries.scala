@@ -275,6 +275,33 @@ object EventQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // USER-LIFETIME SURVIVAL CURVE — the discrete Kaplan–Meier shape
+    // with no censoring (the observation window closes the study):
+    // S(k) = fraction of users whose activity span reached ≥ k days,
+    // the churn curve a retention review reads right-to-left. Spans
+    // are integer day counts from per-user min/max timestamps (one
+    // map-side-combined aggregation); the curve evaluates over the
+    // value-bounded day spine (≤ observation window) by joining the
+    // span HISTOGRAM against the spine and summing the tail — never a
+    // per-user scan per k. Monotone non-increasing by construction,
+    // S(0) = 1e6 exactly; pure integer contract.
+    "ev_survival" -> ((s, dir) => {
+      val spans = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr("(unix_micros(max(ts)) - unix_micros(min(ts))) " +
+          "DIV 86400000000").as("span_d"))
+      val hist = spans.groupBy("span_d").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // value-bounded (≤ window days) frame
+      val tot = hist.agg(sum(col("c")).as("n_users"))
+      val spine = hist.select(col("span_d").as("k")).distinct()
+      spine.join(hist, col("span_d") >= col("k"))
+        .groupBy("k").agg(sum(col("c")).as("n_surviving"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_surviving"), col("n_users"),
+          expr("(n_surviving * 1000000) DIV n_users").as("s_ppm"))
+        .orderBy("k")
+    }),
+
     // WEEK-OVER-WEEK GROWTH — the period-over-period report every BI
     // review reads next to the stickiness ratio: weekly event counts
     // per type with the ratio to the previous week in ppm (NULL for
@@ -1290,6 +1317,20 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_survival" ->
+      """WITH spans AS (
+        |  SELECT user_id,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000
+        |      AS span_d
+        |  FROM events GROUP BY 1),
+        |hist AS (SELECT span_d, count(*)::BIGINT AS c
+        |         FROM spans GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_users FROM hist),
+        |spine AS (SELECT DISTINCT span_d AS k FROM hist)
+        |SELECT s.k, CAST(sum(h.c) AS BIGINT) AS n_surviving, t.n_users,
+        |  (CAST(sum(h.c) AS BIGINT) * 1000000) // t.n_users AS s_ppm
+        |FROM spine s JOIN hist h ON h.span_d >= s.k CROSS JOIN tot t
+        |GROUP BY s.k, t.n_users ORDER BY s.k""".stripMargin,
     "ev_wow_growth" ->
       """WITH wk AS (
         |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wkd,

@@ -832,6 +832,27 @@ object PipelineQueries {
         .orderBy("band")
     }),
 
+    // CLASS-REBALANCE PLAN — the label-imbalance treatment a training
+    // set gets before a classifier sees it: per label the count, the
+    // corpus share, and the UNDERSAMPLING plan that equalizes classes
+    // to the minority count (keep_rate_ppm = min_n·10⁶ DIV n — the
+    // per-class acceptance rate a hash-based sampler like
+    // pipe_hash_sample then applies, making the whole rebalance
+    // reproducible). Pure integer contract; one map-side-combined
+    // groupBy over the label column, then arithmetic on the
+    // labels-bounded frame with a 1-row broadcast attach.
+    "pipe_class_rebalance" -> ((s, dir) => {
+      val cls = Tables.embeddings(s, dir)
+        .groupBy("label").agg(count(lit(1)).as("n"))
+      val mn = cls.agg(min(col("n")).as("min_n"), sum(col("n")).as("total"))
+      cls.crossJoin(broadcast(mn))
+        .select(col("label"), col("n"),
+          expr("(n * 1000000) DIV total").as("share_ppm"),
+          expr("(min_n * 1000000) DIV n").as("keep_rate_ppm"),
+          col("min_n").as("target_n"))
+        .orderBy("label")
+    }),
+
     // DATASET CARD — the per-source summary block every corpus release
     // ships (Datasheets for Datasets, Gebru et al. 2021): doc/token
     // counts, language spread with the modal language (count-desc,
@@ -1580,6 +1601,14 @@ object PipelineQueries {
         |  CAST(min(cnt) AS BIGINT) AS min_class,
         |  CAST(max(cnt) AS BIGINT) AS max_class
         |FROM classes GROUP BY 1 ORDER BY band""".stripMargin,
+    "pipe_class_rebalance" ->
+      """WITH cls AS (
+        |  SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY 1),
+        |mn AS (SELECT CAST(min(n) AS BIGINT) AS min_n,
+        |              CAST(sum(n) AS BIGINT) AS total FROM cls)
+        |SELECT label, n, (n * 1000000) // total AS share_ppm,
+        |  (min_n * 1000000) // n AS keep_rate_ppm, min_n AS target_n
+        |FROM cls, mn ORDER BY label""".stripMargin,
     "pipe_dataset_card" ->
       s"""WITH d AS (
          |  SELECT source, lang, doc_id,

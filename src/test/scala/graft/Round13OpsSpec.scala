@@ -613,4 +613,45 @@ class Round13OpsSpec extends AnyFunSuite {
     }
     assert(hits > 0, "lexicon never fired — wordlist is dead weight")
   }
+
+  test("ev_survival: monotone curve, S(0)=1e6, tail sums recompute") {
+    val rows = run("ev_survival").collect()
+    val idx = rows.head.fieldIndex _
+    val spans = Tables.events(spark, sf).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "(unix_micros(max(ts)) - unix_micros(min(ts))) DIV 86400000000")
+        .as("s"))
+      .collect().map(_.getLong(1))
+    val n = spans.length.toLong
+    assert(rows.head.getLong(idx("k")) == spans.min)
+    if (spans.min == 0L)
+      assert(rows.head.getLong(idx("s_ppm")) == 1000000L)
+    val ppms = rows.map(_.getLong(idx("s_ppm")))
+    assert(ppms.zip(ppms.drop(1)).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val k = r.getLong(idx("k"))
+      val surv = spans.count(_ >= k).toLong
+      assert(r.getLong(idx("n_surviving")) == surv)
+      assert(r.getLong(idx("s_ppm")) == surv * 1000000L / n)
+    }
+  }
+
+  test("pipe_class_rebalance: equalizing plan recomputes per label") {
+    val rows = run("pipe_class_rebalance").collect()
+    val idx = rows.head.fieldIndex _
+    val labels = Tables.embeddings(spark, sf).select("label")
+      .collect().map(_.getInt(0))
+    val counts = labels.groupBy(identity).map { case (l, xs) =>
+      l -> xs.length.toLong }
+    val minN = counts.values.min
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val n = counts(r.getInt(idx("label")))
+      assert(r.getLong(idx("n")) == n)
+      assert(r.getLong(idx("share_ppm")) == n * 1000000L / labels.length)
+      assert(r.getLong(idx("keep_rate_ppm")) == minN * 1000000L / n)
+      assert(r.getLong(idx("target_n")) == minN)
+      assert(r.getLong(idx("keep_rate_ppm")) <= 1000000L)
+    }
+  }
 }
