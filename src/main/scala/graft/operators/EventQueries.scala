@@ -275,6 +275,31 @@ object EventQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // COHORT LTV TRIANGLE — the revenue dual of activity retention:
+    // users grouped by first-event week (the cohort), revenue rolled
+    // up by week-age since that cohort, giving the (cohort × age)
+    // triangle an LTV model integrates along rows. ev_retention
+    // answers "did they come back"; this answers "what were they
+    // worth when they did" — cents via the per-row IEEE floor rule,
+    // order-free sums. The per-user first-week frame joins back
+    // co-partitioned on user_id (one shuffle), the triangle is a
+    // weeks²-bounded aggregation, and the week-age arithmetic is an
+    // integer day diff DIV 7 so no date semantics diverge.
+    "ev_cohort_ltv" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+          floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      val firstWk = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      ev.join(firstWk, "user_id")
+        .withColumn("age_w", expr(
+          "datediff(CAST(wk AS DATE), CAST(cohort AS DATE)) DIV 7"))
+        .groupBy(col("cohort").cast("date").cast("string").as("cohort"),
+          col("age_w"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy("cohort", "age_w")
+    }),
+
     // USER-LIFETIME SURVIVAL CURVE — the discrete Kaplan–Meier shape
     // with no censoring (the observation window closes the study):
     // S(k) = fraction of users whose activity span reached ≥ k days,
@@ -1317,6 +1342,19 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk,
+        |    CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS cents
+        |  FROM events),
+        |fw AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1)
+        |SELECT CAST(CAST(fw.cohort AS DATE) AS VARCHAR) AS cohort,
+        |  date_diff('day', CAST(fw.cohort AS DATE), CAST(ev.wk AS DATE)) // 7
+        |    AS age_w,
+        |  count(DISTINCT ev.user_id)::BIGINT AS n_users,
+        |  CAST(sum(ev.cents) AS BIGINT) AS revenue_cents
+        |FROM ev JOIN fw USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, age_w""".stripMargin,
     "ev_survival" ->
       """WITH spans AS (
         |  SELECT user_id,

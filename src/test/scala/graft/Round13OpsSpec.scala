@@ -654,4 +654,32 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(r.getLong(idx("keep_rate_ppm")) <= 1000000L)
     }
   }
+
+  test("ev_cohort_ltv: triangle recomputes, revenue conserves") {
+    val rows = run("ev_cohort_ltv").collect()
+    val idx = rows.head.fieldIndex _
+    val raw = Tables.events(spark, sf).selectExpr("user_id",
+        "CAST(date_trunc('week', ts) AS DATE)", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        math.floor(r.getDouble(2) * 100.0).toLong))
+    val cohort = raw.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).minBy(_.toEpochDay) }
+    val expect = raw.groupBy { case (u, wk, _) =>
+      (cohort(u).toString,
+        (wk.toEpochDay - cohort(u).toEpochDay) / 7) }
+      .map { case (k, xs) =>
+        k -> ((xs.map(_._1).distinct.length.toLong, xs.map(_._3).sum)) }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = (r.getString(idx("cohort")), r.getLong(idx("age_w")))
+      val (nu, rev) = expect(k)
+      assert(r.getLong(idx("n_users")) == nu, s"$k users")
+      assert(r.getLong(idx("revenue_cents")) == rev, s"$k revenue")
+      assert(r.getLong(idx("age_w")) >= 0)
+    }
+    // triangle revenue conserves against the whole table
+    assert(rows.map(_.getLong(idx("revenue_cents"))).sum ==
+      raw.map(_._3).sum)
+  }
 }
