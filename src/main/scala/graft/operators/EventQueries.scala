@@ -275,6 +275,49 @@ object EventQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // PARETO CONCENTRATION CURVE — ev_gini's readable companion: for
+    // each demand decile d, the MINIMUM number of users that accounts
+    // for ≥ d/10 of all events, with its user-base share in ppm (the
+    // "20% of users drive 80% of traffic" table). Computed exactly
+    // from the count-of-counts histogram — activity-desc cumulative
+    // sums over the value-bounded distinct-count frame (the ev_gini
+    // doctrine: never a sorted user list) — and the boundary row's
+    // partial take is an integer ceiling, so the answer is the true
+    // minimum, not a bucket approximation. Deciles join the cumulative
+    // frame by the smallest cum ≥ target (cum is strictly increasing,
+    // so the argmin is unique); everything after the one histogram
+    // shuffle runs on the ≤distinct-counts×9 model frame.
+    "ev_pareto" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cc = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("k"))
+      val w = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = cc
+        .withColumn("cum_e", sum(expr("c * k")).over(w))
+        .withColumn("cum_u", sum(col("k")).over(w))
+        .localCheckpoint(false) // value-bounded frame
+      val tot = cum.agg(max(col("cum_e")).as("t"), max(col("cum_u")).as("u"))
+      val dec = (1 to 9).map(d => (d * 10L, d.toLong))
+        .toList
+      val deciles = {
+        import s.implicits._
+        dec.toDF("decile", "d10")
+      }
+      val targets = deciles.crossJoin(broadcast(tot))
+        .withColumn("target", expr("(t * d10 + 9) DIV 10"))
+      val bound = targets.join(cum, col("cum_e") >= col("target"))
+        .groupBy("decile", "target", "t", "u")
+        .agg(min(col("cum_e")).as("b_cum_e"))
+      bound.join(cum, col("cum_e") === col("b_cum_e"))
+        .select(col("decile"), col("target").as("target_events"),
+          expr("(cum_u - k) + ((target - (cum_e - c * k)) + c - 1) DIV c")
+            .as("users_needed"), col("u").as("n_users"))
+        .withColumn("users_ppm", expr("(users_needed * 1000000) DIV n_users"))
+        .orderBy("decile")
+    }),
+
     // COHORT LTV TRIANGLE — the revenue dual of activity retention:
     // users grouped by first-event week (the cohort), revenue rolled
     // up by week-age since that cohort, giving the (cohort × age)
@@ -1342,6 +1385,39 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_pareto" ->
+      """WITH cc AS (
+        |  SELECT c, count(*)::BIGINT AS k FROM (
+        |    SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1)
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT c, k,
+        |    CAST(sum(c * k) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_e,
+        |    CAST(sum(k) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_u
+        |  FROM cc),
+        |tot AS (SELECT CAST(max(cum_e) AS BIGINT) AS t,
+        |               CAST(max(cum_u) AS BIGINT) AS u FROM cum),
+        |tg AS (
+        |  SELECT CAST(d10 * 10 AS BIGINT) AS decile,
+        |    CAST((t.t * d10 + 9) // 10 AS BIGINT) AS target, t.u
+        |  FROM (SELECT unnest(range(1, 10)) AS d10), tot t),
+        |bd AS (
+        |  SELECT tg.decile, tg.target, tg.u,
+        |    CAST(min(cum.cum_e) AS BIGINT) AS b_cum_e
+        |  FROM tg JOIN cum ON cum.cum_e >= tg.target
+        |  GROUP BY 1, 2, 3)
+        |SELECT bd.decile, bd.target AS target_events,
+        |  CAST((cum.cum_u - cum.k) +
+        |    ((bd.target - (cum.cum_e - cum.c * cum.k)) + cum.c - 1) // cum.c
+        |    AS BIGINT) AS users_needed,
+        |  bd.u AS n_users,
+        |  CAST(((cum.cum_u - cum.k) +
+        |    ((bd.target - (cum.cum_e - cum.c * cum.k)) + cum.c - 1) // cum.c)
+        |    * 1000000 // bd.u AS BIGINT) AS users_ppm
+        |FROM bd JOIN cum ON cum.cum_e = bd.b_cum_e
+        |ORDER BY bd.decile""".stripMargin,
     "ev_cohort_ltv" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('week', ts) AS wk,

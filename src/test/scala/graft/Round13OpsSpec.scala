@@ -682,4 +682,29 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(idx("revenue_cents"))).sum ==
       raw.map(_._3).sum)
   }
+
+  test("ev_pareto: users_needed is the true greedy minimum per decile") {
+    val rows = run("ev_pareto").collect()
+    assert(rows.length == 9)
+    val idx = rows.head.fieldIndex _
+    val byUser = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getLong(1)).sortBy(-_)
+    val t = byUser.sum
+    rows.foreach { r =>
+      val d = r.getLong(idx("decile"))
+      val target = (t * (d / 10) + 9) / 10
+      assert(r.getLong(idx("target_events")) == target)
+      // greedy: take the most active users until the target is covered
+      var acc = 0L; var used = 0
+      while (acc < target) { acc += byUser(used); used += 1 }
+      assert(r.getLong(idx("users_needed")) == used.toLong, s"decile $d")
+      assert(r.getLong(idx("n_users")) == byUser.length.toLong)
+      assert(r.getLong(idx("users_ppm")) ==
+        used.toLong * 1000000L / byUser.length)
+    }
+    // monotone: higher deciles never need fewer users
+    val needed = rows.sortBy(_.getLong(idx("decile")))
+      .map(_.getLong(idx("users_needed")))
+    assert(needed.zip(needed.drop(1)).forall { case (a, b) => a <= b })
+  }
 }
