@@ -426,6 +426,38 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // LOUDNESS-NORMALIZATION PLAN — the gain staging an audio
+    // ingestion pipeline computes before mixing corpora recorded at
+    // different levels: per clip, the SQUARED gain that would bring
+    // RMS to the 8192 target (gain² in ppm — working in the squared
+    // domain keeps the whole contract rational: gain² = target²·n /
+    // Σs², no sqrt, no float), plus the count of samples that would
+    // clip at that gain (s²·target²·n > 32767²·Σs², evaluated in
+    // HUGEINT/BigInt since the triple product leaves BIGINT at ~2³⁸)
+    // and the needs-limiter verdict. A clip-free gain plan applies
+    // directly; a clipping one routes through a limiter stage. Same
+    // narrow per-partition decode as the rest of the audio leg.
+    "mm_wav_gain" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val w = WavCodec.decode(WavCodec.encode(payload))
+          val n = w.samples.length.toLong
+          var sumsq = 0L
+          w.samples.foreach { sm => sumsq += sm.toLong * sm }
+          val t2n = BigInt(67108864L) * n // 8192² · n
+          val gain2 = ((t2n * 1000000L) / sumsq).toLong
+          val c2 = BigInt(1073676289L) // 32767²
+          var nClip = 0L
+          w.samples.foreach { sm =>
+            if (BigInt(sm.toLong * sm) * t2n > c2 * sumsq) nClip += 1 }
+          (id, n, sumsq, gain2, nClip, nClip > 0)
+        })
+        .toDF("doc_id", "n_samples", "sumsq", "gain2_ppm", "n_clip",
+          "needs_limiter")
+        .orderBy("doc_id")
+    }),
+
     // SOBEL EDGE CENSUS — the first real convolution in the image
     // leg: per image, the 3×3 integer Sobel operator over every
     // interior pixel of the decoded raster, reporting interior count,
@@ -810,6 +842,32 @@ object Multimodal {
          |       WHEN q_tr >= q_bl AND q_tr >= q_br THEN 1
          |       WHEN q_bl >= q_br THEN 2 ELSE 3 END AS INT) AS brightest
          |FROM q ORDER BY doc_id""".stripMargin,
+    // Squared-domain gain plan: every product in HUGEINT, no sqrt.
+    "mm_wav_gain" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST((ord(substring(text, CAST(i + 1 AS INT), 1)) - 128) * 256
+        |      AS BIGINT) AS s
+        |  FROM documents, UNNEST(range(0, length(text))) AS u(i)),
+        |st AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n,
+        |    CAST(sum(s * s) AS BIGINT) AS sumsq
+        |  FROM v GROUP BY 1),
+        |g AS (
+        |  SELECT doc_id, n, sumsq,
+        |    CAST((CAST(67108864 AS HUGEINT) * n * 1000000) // sumsq
+        |      AS BIGINT) AS gain2_ppm
+        |  FROM st),
+        |cl AS (
+        |  SELECT v.doc_id,
+        |    CAST(sum(CASE WHEN CAST(v.s * v.s AS HUGEINT) *
+        |        (CAST(67108864 AS HUGEINT) * st.n) >
+        |        CAST(1073676289 AS HUGEINT) * st.sumsq
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_clip
+        |  FROM v JOIN st USING (doc_id) GROUP BY 1)
+        |SELECT g.doc_id, g.n AS n_samples, g.sumsq, g.gain2_ppm,
+        |  cl.n_clip, cl.n_clip > 0 AS needs_limiter
+        |FROM g JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Each Sobel tap is raster-position arithmetic on the synth
     // formula; magnitude and census stay pure INT.
     "mm_pgm_sobel" -> {

@@ -707,4 +707,27 @@ class Round13OpsSpec extends AnyFunSuite {
       .map(_.getLong(idx("users_needed")))
     assert(needed.zip(needed.drop(1)).forall { case (a, b) => a <= b })
   }
+
+  test("mm_wav_gain: applying the planned gain lands RMS² at the target") {
+    val rows = run("mm_wav_gain").collect()
+    val idx = rows.head.fieldIndex _
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val n = r.getLong(idx("n_samples"))
+      val sumsq = r.getLong(idx("sumsq"))
+      val g2 = r.getLong(idx("gain2_ppm"))
+      // the squared-gain plan is the floored rational target²·n/Σs²
+      assert(g2 == ((BigInt(67108864L) * n * 1000000L) / sumsq).toLong)
+      // applying gain² to the mean square reproduces the RMS² target
+      // within the ppm floor: g2·(Σs²/n) ∈ (target²−Σs²/n·1e-6, target²]
+      val ms = BigInt(sumsq)
+      val recovered = BigInt(g2) * ms / (n * 1000000L)
+      assert(recovered <= BigInt(67108864L))
+      assert((BigInt(g2 + 1) * ms / (n * 1000000L)) >= BigInt(67108863L))
+      assert(r.getBoolean(idx("needs_limiter")) ==
+        (r.getLong(idx("n_clip")) > 0))
+      // quiet clips (gain > 1) may clip peaks; a gain <= 1 never clips
+      if (g2 <= 1000000L) assert(r.getLong(idx("n_clip")) == 0L)
+    }
+  }
 }
