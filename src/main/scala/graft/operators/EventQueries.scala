@@ -275,6 +275,30 @@ object EventQueries {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // NEW-VS-RETURNING DECOMPOSITION — the first split any DAU chart
+    // gets: per UTC day, how many actives are first-ever-seen vs
+    // returning (acquisition vs retention driving the same topline).
+    // Rides ev_dau_wau's (day, user) daily-active frame; each user's
+    // first day is one more aggregation of that frame, joined back
+    // co-partitioned on user_id. new + returning = dau exactly, and
+    // new summed over days = the user base — both conservation laws
+    // the spec pins. Integer contract, ISO day strings.
+    "ev_new_vs_returning" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        .localCheckpoint(false)
+      val first = du.groupBy("user_id").agg(min(col("d")).as("fd"))
+      du.join(first, "user_id")
+        .groupBy("d")
+        .agg(count(lit(1)).as("dau"),
+          sum((col("d") === col("fd")).cast("long")).as("new_users"))
+        .select(col("d").cast("string").as("day"), col("dau"),
+          col("new_users"),
+          (col("dau") - col("new_users")).as("returning"),
+          expr("(new_users * 1000000) DIV dau").as("new_ppm"))
+        .orderBy("day")
+    }),
+
     // PARETO CONCENTRATION CURVE — ev_gini's readable companion: for
     // each demand decile d, the MINIMUM number of users that accounts
     // for ≥ d/10 of all events, with its user-base share in ppm (the
@@ -1385,6 +1409,19 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_new_vs_returning" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |fu AS (SELECT user_id, min(d) AS fd FROM du GROUP BY 1),
+        |agg AS (
+        |  SELECT du.d, count(*)::BIGINT AS dau,
+        |    CAST(sum(CASE WHEN du.d = fu.fd THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_users
+        |  FROM du JOIN fu USING (user_id) GROUP BY 1)
+        |SELECT CAST(d AS VARCHAR) AS day, dau, new_users,
+        |  dau - new_users AS returning,
+        |  (new_users * 1000000) // dau AS new_ppm
+        |FROM agg ORDER BY day""".stripMargin,
     "ev_pareto" ->
       """WITH cc AS (
         |  SELECT c, count(*)::BIGINT AS k FROM (

@@ -730,4 +730,28 @@ class Round13OpsSpec extends AnyFunSuite {
       if (g2 <= 1000000L) assert(r.getLong(idx("n_clip")) == 0L)
     }
   }
+
+  test("ev_new_vs_returning: conservation laws + dau agreement") {
+    import org.apache.spark.sql.functions.countDistinct
+    val rows = run("ev_new_vs_returning").collect()
+    val idx = rows.head.fieldIndex _
+    rows.foreach { r =>
+      assert(r.getLong(idx("new_users")) + r.getLong(idx("returning")) ==
+        r.getLong(idx("dau")))
+      assert(r.getLong(idx("new_ppm")) ==
+        r.getLong(idx("new_users")) * 1000000L / r.getLong(idx("dau")))
+    }
+    // every user is new exactly once
+    val userBase = Tables.events(spark, sf)
+      .agg(countDistinct(org.apache.spark.sql.functions.col("user_id")))
+      .head.getLong(0)
+    assert(rows.map(_.getLong(idx("new_users"))).sum == userBase)
+    // day-1 actives are all new; dau column agrees with ev_dau_wau
+    assert(rows.head.getLong(idx("returning")) == 0L)
+    val dauRef = run("ev_dau_wau").collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("dau"))).toMap
+    rows.foreach { r =>
+      assert(r.getLong(idx("dau")) == dauRef(r.getString(idx("day"))))
+    }
+  }
 }
