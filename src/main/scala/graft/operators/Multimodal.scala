@@ -447,10 +447,11 @@ object Multimodal {
           w.samples.foreach { sm => sumsq += sm.toLong * sm }
           val t2n = BigInt(67108864L) * n // 8192² · n
           val gain2 = ((t2n * 1000000L) / sumsq).toLong
-          val c2 = BigInt(1073676289L) // 32767²
+          // clip iff s²·t2n > 32767²·Σs² ⟺ s² > ⌊32767²·Σs²/t2n⌋ —
+          // one BigInt division per clip, the sample loop stays Long
+          val thr = ((BigInt(1073676289L) * sumsq) / t2n).toLong
           var nClip = 0L
-          w.samples.foreach { sm =>
-            if (BigInt(sm.toLong * sm) * t2n > c2 * sumsq) nClip += 1 }
+          w.samples.foreach { sm => if (sm.toLong * sm > thr) nClip += 1 }
           (id, n, sumsq, gain2, nClip, nClip > 0)
         })
         .toDF("doc_id", "n_samples", "sumsq", "gain2_ppm", "n_clip",
