@@ -227,6 +227,32 @@ object StreamingQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // FIRST-SEEN REGISTRY as streaming state — the acquisition half of
+    // ev_new_vs_returning run the way production runs it: a per-user
+    // min(first-day) aggregation whose state IS the "seen users" map
+    // (user-keyed, RocksDB-backed at scale — the same state shape as
+    // streaming dedup), drained incrementally across 4 micro-batches
+    // (8 staged files, 2 per trigger) so the min-merge genuinely folds
+    // over TIME. min is monotone, so complete mode needs no watermark
+    // — the commutative-monoid argument of st_hll_registers applied
+    // to the calendar. The drained registry then yields the per-day
+    // new-user census batch-side (streaming allows one aggregation
+    // per query; the census is a sink-side rollup of final state).
+    // Oracle = the batch first-day census verbatim.
+    "st_new_users" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val staged = stage(ev.repartition(8), s"$dir/events.parquet",
+        s"${stageRoot(dir)}/ev_first")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(staged)
+        .groupBy("user_id").agg(min(col("d")).as("fd"))
+      drain(s, stream, "st_new_users")
+        .groupBy(col("fd").cast("string").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .orderBy("day")
+    }),
+
     // Streaming dual of ev_sliding_15m: the slide fans each event into
     // its 3 overlapping windows map-side before the same incremental
     // aggregation — state O(open windows), output O(window count).
@@ -245,6 +271,11 @@ object StreamingQueries {
 
   // The batch duals' SQL verbatim — THAT is the contract.
   val oracleSql: Map[String, String] = Map(
+    "st_new_users" ->
+      """SELECT CAST(fd AS VARCHAR) AS day, count(*)::BIGINT AS new_users
+        |FROM (SELECT user_id, min(CAST(ts AS DATE)) AS fd
+        |      FROM events GROUP BY 1)
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "st_tumbling_hour" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
          |  count(*) AS n_events,

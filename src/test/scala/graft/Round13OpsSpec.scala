@@ -754,4 +754,13 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(r.getLong(idx("dau")) == dauRef(r.getString(idx("day"))))
     }
   }
+
+  test("st_new_users: the streamed first-seen registry equals the batch dual") {
+    val st = run("st_new_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = run("ev_new_vs_returning").collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("new_users")))
+      .filter(_._2 > 0).toMap
+    assert(st == batch)
+  }
 }
