@@ -597,6 +597,36 @@ object StarQueries2 {
     // extremes go through DECIMAL(18,2) before stringifying so both
     // engines render identically (raw double→string formatting
     // diverges at scientific-notation thresholds).
+    // FUNCTIONAL-DEPENDENCY DISCOVERY — the data-profiling check
+    // behind schema inference, key detection, and normalization
+    // advice (the Metanome/HyFD shape, restricted to a declared
+    // candidate list the way a production profiler scopes its
+    // search): A→B holds iff |distinct(A)| = |distinct(A,B)| — two
+    // count-distincts per candidate, no join, no pairwise value
+    // comparison. The candidate list mixes true keys (o_orderkey;
+    // the (l_orderkey, l_linenumber) composite PK) with plausible
+    // non-FDs so both verdicts are exercised. Pure counts; each pair
+    // is one aggregation over a 2-3 column projection — at 100 TB
+    // the candidates share one scan per table via the union.
+    "q_fd_discovery" -> ((s, dir) => {
+      def fd(df: DataFrame, tbl: String, lhs: Seq[String], rhs: String) =
+        df.agg(
+            countDistinct(struct(lhs.map(col): _*)).as("n_lhs"),
+            countDistinct(struct((lhs :+ rhs).map(col): _*)).as("n_pairs"))
+          .select(lit(tbl).as("tbl"), lit(lhs.mkString("+")).as("lhs"),
+            lit(rhs).as("rhs"), col("n_lhs"), col("n_pairs"),
+            (col("n_lhs") === col("n_pairs")).as("holds"))
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      fd(o, "orders", Seq("o_orderkey"), "o_custkey")
+        .unionAll(fd(o, "orders", Seq("o_custkey"), "o_orderpriority"))
+        .unionAll(fd(o, "orders", Seq("o_orderpriority"), "o_orderstatus"))
+        .unionAll(fd(l, "lineitem", Seq("l_orderkey", "l_linenumber"),
+          "l_partkey"))
+        .unionAll(fd(l, "lineitem", Seq("l_partkey"), "l_suppkey"))
+        .orderBy("tbl", "lhs", "rhs")
+    }),
+
     "q_profile" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       def prof(c: String, dec: Boolean) = {
@@ -940,6 +970,26 @@ object StarQueries2 {
         |               + CAST(o_totalprice > c3 AS INT) AS INT) AS quartile
         |      FROM orders, cuts)
         |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "q_fd_discovery" -> {
+      def fd(tbl: String, lhs: Seq[String], rhs: String) = {
+        val l = lhs.mkString(", ")
+        val lr = (lhs :+ rhs).mkString(", ")
+        s"""SELECT '$tbl' AS tbl, '${lhs.mkString("+")}' AS lhs,
+           |  '$rhs' AS rhs,
+           |  count(DISTINCT ($l))::BIGINT AS n_lhs,
+           |  count(DISTINCT ($lr))::BIGINT AS n_pairs,
+           |  count(DISTINCT ($l)) = count(DISTINCT ($lr)) AS holds
+           |FROM $tbl""".stripMargin
+      }
+      Seq(
+        fd("orders", Seq("o_orderkey"), "o_custkey"),
+        fd("orders", Seq("o_custkey"), "o_orderpriority"),
+        fd("orders", Seq("o_orderpriority"), "o_orderstatus"),
+        fd("lineitem", Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+        fd("lineitem", Seq("l_partkey"), "l_suppkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY tbl, lhs, rhs")
+    },
     "q_profile" ->
       """SELECT 'o_totalprice' AS "column", count(*) AS n_rows,
         |  count(o_totalprice) AS n_nonnull,
