@@ -597,6 +597,43 @@ object StarQueries2 {
     // extremes go through DECIMAL(18,2) before stringifying so both
     // engines render identically (raw double→string formatting
     // diverges at scientific-notation thresholds).
+    // CHI-SQUARE INDEPENDENCE TEST — the categorical-association
+    // check (Pearson 1900) profilers run between column pairs (and
+    // drift monitors run between snapshot and feature): are lang and
+    // source independent in the documents table? χ² = Σ (o−e)²/e
+    // with e = r·c/N is pure rational, so each cell's contribution
+    // floors to nano-units independently — (o·N − r·c)²·10⁹ DIV
+    // (r·c·N), identical on both engines — and the statistic is their
+    // exact sum (per-cell flooring; the quartic numerator runs in
+    // DECIMAL(38)/HUGEINT, leaving headroom to N ≈ 3e9 — beyond that
+    // the test is moot anyway: at that N every tiny dependence is
+    // "significant" and effect size is what matters). Cramér's V² in
+    // ppm rides along as that effect size — v² = χ²/(N·min(R−1,C−1))
+    // needs no sqrt in the squared domain. One scan into the R×C
+    // contingency aggregation; everything after is model-frame math.
+    "q_chi2_independence" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        .localCheckpoint(false) // R×C model frame
+      val rm = cells.groupBy("lang").agg(sum(col("o")).as("r"))
+      val cm = cells.groupBy("source").agg(sum(col("o")).as("c"))
+      val nn = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("lang")).as("nr"),
+        countDistinct(col("source")).as("nc"))
+      val contrib = cells.join(rm, "lang").join(cm, "source")
+        .crossJoin(broadcast(nn))
+        .withColumn("cell_nano", expr(
+          "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) " +
+            "* (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) " +
+            "* 1000000000 DIV (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)"))
+      contrib.groupBy("n", "nr", "nc")
+        .agg(count(lit(1)).as("n_cells"), sum(col("cell_nano")).as("chi2_nano"))
+        .select(col("n").as("n_rows"), col("n_cells"),
+          expr("(nr - 1) * (nc - 1)").as("dof"), col("chi2_nano"),
+          expr("chi2_nano DIV (n * least(nr - 1, nc - 1) * 1000)")
+            .as("cramers_v2_ppm"))
+    }),
+
     // FUNCTIONAL-DEPENDENCY DISCOVERY — the data-profiling check
     // behind schema inference, key detection, and normalization
     // advice (the Metanome/HyFD shape, restricted to a declared
@@ -970,6 +1007,34 @@ object StarQueries2 {
         |               + CAST(o_totalprice > c3 AS INT) AS INT) AS quartile
         |      FROM orders, cuts)
         |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "q_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*)::BIGINT AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+        |       FROM cells GROUP BY 1),
+        |cm AS (SELECT source, CAST(sum(o) AS BIGINT) AS c
+        |       FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |              count(DISTINCT lang)::BIGINT AS nr,
+        |              count(DISTINCT source)::BIGINT AS nc FROM cells),
+        |contrib AS (
+        |  SELECT nn.n, nn.nr, nn.nc,
+        |    CAST((CAST(cells.o AS HUGEINT) * nn.n
+        |            - CAST(rm.r AS HUGEINT) * cm.c)
+        |         * (CAST(cells.o AS HUGEINT) * nn.n
+        |            - CAST(rm.r AS HUGEINT) * cm.c)
+        |         * 1000000000
+        |         // (CAST(rm.r AS HUGEINT) * cm.c * nn.n) AS BIGINT)
+        |      AS cell_nano
+        |  FROM cells JOIN rm USING (lang) JOIN cm USING (source)
+        |  CROSS JOIN nn)
+        |SELECT n AS n_rows, count(*)::BIGINT AS n_cells,
+        |  (nr - 1) * (nc - 1) AS dof,
+        |  CAST(sum(cell_nano) AS BIGINT) AS chi2_nano,
+        |  CAST(sum(cell_nano) AS BIGINT)
+        |    // (n * least(nr - 1, nc - 1) * 1000) AS cramers_v2_ppm
+        |FROM contrib GROUP BY n, nr, nc""".stripMargin,
     "q_fd_discovery" -> {
       def fd(tbl: String, lhs: Seq[String], rhs: String) = {
         val l = lhs.mkString(", ")

@@ -793,4 +793,30 @@ class Round13OpsSpec extends AnyFunSuite {
     // at least one candidate fails, so both verdicts are exercised
     assert(rows.exists(!_.getBoolean(idx("holds"))))
   }
+
+  test("q_chi2_independence: floored-rational chi2 matches a local recompute") {
+    val rows = run("q_chi2_independence").collect()
+    assert(rows.length == 1)
+    val r = rows.head; val idx = r.fieldIndex _
+    val raw = Tables.documents(spark, sf).select("lang", "source")
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    val n = raw.length.toLong
+    val cells = raw.groupBy(identity).map { case (k, xs) =>
+      k -> xs.length.toLong }
+    val rm = raw.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val cm = raw.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    val chi2 = cells.map { case ((lg, src), o) =>
+      val d = BigInt(o) * n - BigInt(rm(lg)) * cm(src)
+      (d * d * 1000000000L / (BigInt(rm(lg)) * cm(src) * n)).toLong
+    }.sum
+    assert(r.getLong(idx("n_rows")) == n)
+    assert(r.getLong(idx("n_cells")) == cells.size.toLong)
+    assert(r.getLong(idx("dof")) ==
+      (rm.size.toLong - 1) * (cm.size.toLong - 1))
+    assert(r.getLong(idx("chi2_nano")) == chi2)
+    assert(r.getLong(idx("cramers_v2_ppm")) ==
+      chi2 / (n * math.min(rm.size - 1, cm.size - 1) * 1000L))
+    // v2 is a [0,1] effect size
+    assert(r.getLong(idx("cramers_v2_ppm")) <= 1000000L)
+  }
 }
