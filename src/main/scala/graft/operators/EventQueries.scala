@@ -1043,6 +1043,56 @@ object EventQueries {
     // calendar × type bounded (the sweep-line doctrine), so every
     // window here runs over ~hundreds of rows regardless of corpus
     // size; the one corpus-sized pass is the initial hourly count.
+    // AUTOCORRELATION — the time-series diagnostic the family still
+    // lacked (theilsen = trend, changepoint = level break, haar =
+    // spectrum; ACF = memory): per event type, the lag-1 and lag-24
+    // sample autocorrelations of the zero-filled hourly series, the
+    // numbers that confirm persistence and daily seasonality before
+    // anyone fits a model. All five moment sums are exact longs over
+    // the calendar-bounded spine; r stays RATIONAL by reporting the
+    // SQUARED correlation (r² = rnum²/rden², floored to ppm, the
+    // ev_anomaly covariance trick without the final sqrt) next to
+    // sign(rnum) — the quartic products run in DECIMAL(38)/HUGEINT,
+    // headroom to ~3e4 events/hour; past that, pre-scale the counts
+    // (the statistic is scale-invariant). Lag windows partition by
+    // event type over the spine.
+    "ev_acf" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hourly.groupBy("event_type")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val filled = spine.join(hourly, Seq("event_type", "hour"), "left")
+        .withColumn("x", coalesce(col("n"), lit(0L)))
+        .withColumn("x1", lag(col("x"), 1).over(w))
+        .withColumn("x24", lag(col("x"), 24).over(w))
+        .localCheckpoint(false) // calendar-bounded, reused by both lags
+      def acf(lagCol: String, k: Long) =
+        filled.filter(col(lagCol).isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("m"),
+            sum(col("x")).as("sx"), sum(col(lagCol)).as("sy"),
+            sum(expr("x * x")).as("sxx"),
+            sum(expr(s"$lagCol * $lagCol")).as("syy"),
+            sum(expr(s"x * $lagCol")).as("sxy"))
+          .withColumn("rnum", expr(
+            "CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+          .withColumn("rden2", expr(
+            "(CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)" +
+              " * (CAST(m AS DECIMAL(38,0)) * syy" +
+              " - CAST(sy AS DECIMAL(38,0)) * sy)"))
+          .select(col("event_type"), lit(k).as("lag"), col("m"),
+            expr("CASE WHEN rnum < 0 THEN -1L WHEN rnum > 0 THEN 1L " +
+              "ELSE 0L END").as("sign"),
+            expr("CAST((rnum * rnum * 1000000) DIV nullif(rden2, 0) " +
+              "AS BIGINT)").as("r2_ppm"))
+      acf("x1", 1L).unionAll(acf("x24", 24L))
+        .orderBy("event_type", "lag")
+    }),
+
     "ev_forecast_baseline" -> ((s, dir) => {
       val hourly = Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -1813,6 +1863,49 @@ object EventQueries {
         |       ELSE (epoch_us(f_ts) - epoch_us(b.ts)) // 1000000 END AS secs_apart
         |FROM b JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
+    "ev_acf" -> {
+      def leg(lagCol: String, k: Int) =
+        s"""SELECT event_type, CAST($k AS BIGINT) AS lag,
+           |  count(*)::BIGINT AS m,
+           |  CAST(CASE WHEN rn < 0 THEN -1 WHEN rn > 0 THEN 1 ELSE 0 END
+           |    AS BIGINT) AS sign,
+           |  CAST((rn * rn * 1000000) // nullif(rd2, 0) AS BIGINT) AS r2_ppm
+           |FROM (
+           |  SELECT event_type,
+           |    CAST(count(*) AS HUGEINT) * sum(x * $lagCol)
+           |      - CAST(sum(x) AS HUGEINT) * sum($lagCol) AS rn,
+           |    (CAST(count(*) AS HUGEINT) * sum(x * x)
+           |      - CAST(sum(x) AS HUGEINT) * sum(x))
+           |    * (CAST(count(*) AS HUGEINT) * sum($lagCol * $lagCol)
+           |      - CAST(sum($lagCol) AS HUGEINT) * sum($lagCol)) AS rd2
+           |  FROM lagged WHERE $lagCol IS NOT NULL GROUP BY 1) q
+           |JOIN lagged USING (event_type)
+           |WHERE $lagCol IS NOT NULL
+           |GROUP BY event_type, rn, rd2""".stripMargin
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    count(*)::BIGINT AS n
+         |  FROM events GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT event_type,
+         |    unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR))
+         |      AS hour
+         |  FROM hourly GROUP BY event_type),
+         |filled AS (
+         |  SELECT s.event_type, s.hour, COALESCE(h.n, 0)::BIGINT AS x
+         |  FROM spine s LEFT JOIN hourly h
+         |    ON s.event_type = h.event_type AND s.hour = h.hour),
+         |lagged AS (
+         |  SELECT event_type, x,
+         |    lag(x, 1)  OVER (PARTITION BY event_type ORDER BY hour) AS x1,
+         |    lag(x, 24) OVER (PARTITION BY event_type ORDER BY hour) AS x24
+         |  FROM filled)
+         |SELECT * FROM (
+         |${leg("x1", 1)}
+         |UNION ALL
+         |${leg("x24", 24)}
+         |) ORDER BY event_type, lag""".stripMargin
+    },
     "ev_forecast_baseline" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,

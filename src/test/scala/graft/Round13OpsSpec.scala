@@ -819,4 +819,37 @@ class Round13OpsSpec extends AnyFunSuite {
     // v2 is a [0,1] effect size
     assert(r.getLong(idx("cramers_v2_ppm")) <= 1000000L)
   }
+
+  test("ev_acf: squared correlations recompute from the zero-filled spine") {
+    val rows = run("ev_acf").collect()
+    val idx = rows.head.fieldIndex _
+    // rebuild each type's spine locally
+    val hourly = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(date_trunc('hour', ts))")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val types = hourly.keys.map(_._1).toSeq.distinct
+    rows.foreach { r =>
+      val et = r.getString(0); val k = r.getLong(idx("lag")).toInt
+      val hs = hourly.collect { case ((t, h), n) if t == et => (h, n) }
+      val h0 = hs.map(_._1).min; val h1 = hs.map(_._1).max
+      val byH = hs.toMap
+      val xs = (h0 to h1 by 3600000000L).map(byH.getOrElse(_, 0L)).toArray
+      val pairs = xs.drop(k).zip(xs.dropRight(k)) // (x_t, x_{t-k})
+      val m = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val rn = BigInt(m) * sxy - BigInt(sx) * sy
+      val rd2 = (BigInt(m) * sxx - BigInt(sx) * sx) *
+        (BigInt(m) * syy - BigInt(sy) * sy)
+      assert(r.getLong(idx("m")) == m, s"$et lag $k m")
+      assert(r.getLong(idx("sign")) == rn.signum.toLong, s"$et lag $k sign")
+      assert(r.getLong(idx("r2_ppm")) == (rn * rn * 1000000 / rd2).toLong,
+        s"$et lag $k r2")
+      assert(r.getLong(idx("r2_ppm")) <= 1000000L)
+    }
+    assert(rows.map(_.getString(0)).distinct.length == types.length)
+  }
 }
