@@ -1043,6 +1043,35 @@ object EventQueries {
     // calendar × type bounded (the sweep-line doctrine), so every
     // window here runs over ~hundreds of rows regardless of corpus
     // size; the one corpus-sized pass is the initial hourly count.
+    // TIME-DECAYED COUNTERS — the recency-weighted volume every
+    // trending/ranking surface keeps (Reddit-style hotness, decayed
+    // item popularity, news-corpus recency weighting): each event
+    // contributes 2^(−age/half-life) with a 7-day half-life, computed
+    // with ZERO libm through the engine's fixed-point Exp2Micro —
+    // and the fixed-point work runs on a MODEL frame, not per event:
+    // ages bucket to hours first (calendar-bounded, ≤ types × 720
+    // cells), the exponential evaluates once per cell, and the
+    // decayed mass is Σ count·w as exact BIGINT micro-units. Output
+    // per type: raw count, decayed mass, and the mean per-event decay
+    // factor in ppm — the freshness read. One scan + model-frame math.
+    "ev_decayed_count" -> ((s, dir) => {
+      import graft.functions.Exp2Micro
+      val mx = Tables.events(s, dir)
+        .agg(max(expr("unix_micros(ts)")).as("mxus"))
+      val cells = Tables.events(s, dir)
+        .crossJoin(broadcast(mx))
+        .select(col("event_type"),
+          expr("(mxus - unix_micros(ts)) DIV 3600000000").as("age_h"))
+        .groupBy("event_type", "age_h").agg(count(lit(1)).as("cnt"))
+        .withColumn("xm", expr("-((age_h * 1000000) DIV 168)"))
+        .withColumn("w", Exp2Micro.exp2micro(col("xm")))
+      cells.groupBy("event_type")
+        .agg(sum(col("cnt")).as("n_events"),
+          sum(expr("cnt * w")).as("decayed_micro"))
+        .withColumn("decay_ppm", expr("decayed_micro DIV n_events"))
+        .orderBy("event_type")
+    }),
+
     // AUTOCORRELATION — the time-series diagnostic the family still
     // lacked (theilsen = trend, changepoint = level break, haar =
     // spectrum; ACF = memory): per event type, the lag-1 and lag-24
@@ -1863,6 +1892,24 @@ object EventQueries {
         |       ELSE (epoch_us(f_ts) - epoch_us(b.ts)) // 1000000 END AS secs_apart
         |FROM b JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
+    "ev_decayed_count" ->
+      s"""WITH RECURSIVE mx AS (SELECT max(epoch_us(ts)) AS mxus FROM events),
+         |cells AS (
+         |  SELECT event_type, age_h, count(*)::BIGINT AS cnt,
+         |    CAST(-((age_h * 1000000) // 168) AS BIGINT) AS xm
+         |  FROM (SELECT event_type,
+         |          (mxus - epoch_us(ts)) // 3600000000 AS age_h
+         |        FROM events, mx)
+         |  GROUP BY 1, 2),
+         |${OracleSql.exp2microCtes("dc", "cells", Seq("event_type", "age_h"))},
+         |wc AS (
+         |  SELECT cells.event_type, cells.cnt, e2m AS w
+         |  FROM cells JOIN dc_ex USING (event_type, age_h))
+         |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+         |  CAST(sum(cnt * w) AS BIGINT) AS decayed_micro,
+         |  CAST(sum(cnt * w) AS BIGINT) // CAST(sum(cnt) AS BIGINT)
+         |    AS decay_ppm
+         |FROM wc GROUP BY 1 ORDER BY event_type""".stripMargin,
     "ev_acf" -> {
       def leg(lagCol: String, k: Int) =
         s"""SELECT event_type, CAST($k AS BIGINT) AS lag,

@@ -852,4 +852,29 @@ class Round13OpsSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getString(0)).distinct.length == types.length)
   }
+
+  test("ev_decayed_count: fixed-point decay recomputes, bounds hold") {
+    val rows = run("ev_decayed_count").collect()
+    val idx = rows.head.fieldIndex _
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val mx = raw.map(_._2).max
+    val expect = raw.groupBy(_._1).map { case (t, xs) =>
+      val ws = xs.map { case (_, us) =>
+        val ageH = (mx - us) / 3600000000L
+        graft.functions.Exp2Micro.exp2micro(-((ageH * 1000000L) / 168L))
+      }
+      t -> ((xs.length.toLong, ws.sum))
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, dm) = expect(r.getString(0))
+      assert(r.getLong(idx("n_events")) == n)
+      assert(r.getLong(idx("decayed_micro")) == dm)
+      assert(r.getLong(idx("decay_ppm")) == dm / n)
+      // each weight ∈ (0, 1e6]: decayed mass below raw count's micro
+      assert(dm <= n * 1000000L && dm > 0)
+    }
+  }
 }
