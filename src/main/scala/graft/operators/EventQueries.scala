@@ -885,6 +885,37 @@ object EventQueries {
         .orderBy("arm")
     }),
 
+    // SAMPLE-RATIO MISMATCH — the validity gate every experimentation
+    // platform runs BEFORE reading ev_ab_experiment's conversion
+    // numbers (Fabijan et al. 2019: a biased split invalidates the
+    // readout no matter how significant it looks): the 1-dof χ²
+    // goodness-of-fit of the md5-parity arm counts against the
+    // designed 50/50, (a−b)²·10⁹ DIV (a+b) in nano-units with the
+    // 0.05 critical value (3.841459) baked as an integer literal per
+    // the ss_ndcg_eval treatment — no distribution function executes
+    // in either engine. A firing flag here means the assignment hash
+    // or logging pipeline is broken; with md5-parity arms it stays
+    // quiet, which is the point. Model-frame arithmetic on the 2-row
+    // arm census.
+    "ev_ab_srm" -> ((s, dir) => {
+      val arms = Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .withColumn("arm",
+          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long"), lit(2L)).cast("int"))
+        .groupBy("arm").agg(count(lit(1)).as("n"))
+      arms.agg(
+          sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"))
+        .withColumn("chi2_nano", expr(
+          // the square runs in DECIMAL(38): a total one-arm failure at
+          // 1e10 users would overflow the BIGINT diff²·1e9 product
+          "CAST(CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b) " +
+            "* 1000000000 DIV (n_a + n_b) AS BIGINT)"))
+        .select(col("n_a"), col("n_b"), col("chi2_nano"),
+          (col("chi2_nano") > lit(3841459000L)).as("srm_detected"))
+    }),
+
     // Sliding 15-minute window on a 5-minute slide: each event lands
     // in exactly 3 overlapping windows (15/5), so `window()` with a
     // slideDuration explodes 3 narrow rows per event before the same
@@ -1892,6 +1923,27 @@ object EventQueries {
         |       ELSE (epoch_us(f_ts) - epoch_us(b.ts)) // 1000000 END AS secs_apart
         |FROM b JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
+    "ev_ab_srm" -> {
+      // same 13-nibble positional md5 decode as ev_ab_experiment
+      val hex13 = (0 until 13).map { i =>
+        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
+        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
+      }.mkString("(", " + ", ")")
+      s"""WITH arms AS (
+         |  SELECT CAST($hex13 % 2 AS INT) AS arm
+         |  FROM (SELECT DISTINCT user_id FROM events)),
+         |census AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM arms)
+         |SELECT n_a, n_b,
+         |  CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000000
+         |    // (n_a + n_b) AS BIGINT) AS chi2_nano,
+         |  CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000000
+         |    // (n_a + n_b) AS BIGINT) > 3841459000 AS srm_detected
+         |FROM census""".stripMargin
+    },
     "ev_decayed_count" ->
       s"""WITH RECURSIVE mx AS (SELECT max(epoch_us(ts)) AS mxus FROM events),
          |cells AS (

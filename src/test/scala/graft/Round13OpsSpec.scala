@@ -877,4 +877,23 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(dm <= n * 1000000L && dm > 0)
     }
   }
+
+  test("ev_ab_srm: arm census matches ev_ab_experiment, chi2 recomputes") {
+    val rows = run("ev_ab_srm").collect()
+    assert(rows.length == 1)
+    val r = rows.head; val idx = r.fieldIndex _
+    val arms = run("ev_ab_experiment").collect()
+      .map(x => x.getInt(0) -> x.getLong(x.fieldIndex("n_users"))).toMap
+    val (a, b) = (arms(0), arms(1))
+    assert(r.getLong(idx("n_a")) == a && r.getLong(idx("n_b")) == b)
+    val chi2 = BigInt(a - b) * (a - b) * 1000000000L / (a + b)
+    assert(r.getLong(idx("chi2_nano")) == chi2.toLong)
+    assert(r.getBoolean(idx("srm_detected")) == (chi2 > 3841459000L))
+    // No healthy-baseline assertion: at this sf's ~50 users a fair
+    // coin legitimately lands outside the asymptotic 5% band (e.g. a
+    // 32/18 split gives χ² = 3.92 > 3.84) — the SRM test is built for
+    // production user counts, where the relative imbalance that fires
+    // it shrinks as 1/√n. The arithmetic contract above is what the
+    // engine owns; the firing threshold is the statistician's.
+  }
 }
