@@ -856,6 +856,29 @@ object Similarity {
     // table recall@K is a 25-sample coin flip (see ss_pq_recall's
     // comment), but the k-means objective is exact and must strictly
     // drop with training — this row pair is the check.
+    // √n-IVF OCCUPANCY REPORT — the index-health gate behind every
+    // O(√n)-per-cell claim this engine makes (kNN edge build, graph
+    // expand): if Lloyd training leaves cells wildly unbalanced, the
+    // per-cell self-join quietly degrades toward quadratic in the fat
+    // cell. One row: nonempty-cell count (empty cells keep their seed
+    // centroid and simply never appear in the assignment), assigned
+    // vectors, min/max occupancy, mean in micro, and the max/mean
+    // skew in ppm — the number to alarm on. Pure counts off the
+    // cached assignment — the dial ScaleSpec's 20× stress turns is
+    // here made a query.
+    "ss_ivf_occupancy" -> ((s, dir) => {
+      val occ = sqrtIvfAssignment(s, dir)
+        .groupBy("cent_id").agg(count(lit(1)).as("n"))
+      val k = occ.agg(count(lit(1)).as("k_nonempty"),
+        sum(col("n")).as("n_vec"), min(col("n")).as("occ_min"),
+        max(col("n")).as("occ_max"))
+      k.select(col("k_nonempty"), col("n_vec"), col("occ_min"),
+          col("occ_max"),
+          expr("(n_vec * 1000000) DIV k_nonempty").as("occ_mean_micro"),
+          expr("(occ_max * 1000000 * k_nonempty) DIV n_vec")
+            .as("skew_ppm"))
+    }),
+
     // EMBEDDING OOD SHORTLIST — the outlier-vector filter of a
     // training-data pipeline (mislabeled, corrupt, or out-of-domain
     // embeddings sit far from every centroid): per vector the exact
@@ -1765,6 +1788,20 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ss_ivf_occupancy" ->
+      s"""WITH RECURSIVE $sqrtAssignCtes,
+         |occ AS (SELECT cent_id, count(*)::BIGINT AS n
+         |        FROM asg GROUP BY 1),
+         |k AS (
+         |  SELECT count(*)::BIGINT AS k_nonempty,
+         |    CAST(sum(n) AS BIGINT) AS n_vec,
+         |    CAST(min(n) AS BIGINT) AS occ_min,
+         |    CAST(max(n) AS BIGINT) AS occ_max
+         |  FROM occ)
+         |SELECT k_nonempty, n_vec, occ_min, occ_max,
+         |  (n_vec * 1000000) // k_nonempty AS occ_mean_micro,
+         |  (occ_max * 1000000 * k_nonempty) // n_vec AS skew_ppm
+         |FROM k""".stripMargin,
     "ss_embed_drift" ->
       """WITH dims AS (
         |  SELECT vec_id, CAST(i AS INT) AS dim,

@@ -896,4 +896,25 @@ class Round13OpsSpec extends AnyFunSuite {
     // it shrinks as 1/√n. The arithmetic contract above is what the
     // engine owns; the firing threshold is the statistician's.
   }
+
+  test("ss_ivf_occupancy: census conserves, skew stays inside the design band") {
+    val rows = run("ss_ivf_occupancy").collect()
+    assert(rows.length == 1)
+    val r = rows.head; val idx = r.fieldIndex _
+    val nVec = Tables.embeddings(spark, sf).count()
+    val k = math.ceil(math.sqrt(nVec.toDouble)).toLong
+    assert(r.getLong(idx("n_vec")) == nVec)
+    assert(r.getLong(idx("k_nonempty")) >= 1 &&
+      r.getLong(idx("k_nonempty")) <= k)
+    assert(r.getLong(idx("occ_min")) >= 1)
+    assert(r.getLong(idx("occ_min")) <= r.getLong(idx("occ_max")))
+    assert(r.getLong(idx("occ_mean_micro")) ==
+      nVec * 1000000L / r.getLong(idx("k_nonempty")))
+    assert(r.getLong(idx("skew_ppm")) ==
+      r.getLong(idx("occ_max")) * 1000000L * r.getLong(idx("k_nonempty"))
+        / nVec)
+    // the O(√n)-per-cell claim needs the fat cell within a constant
+    // of the mean; 10× is far outside anything Lloyd leaves here
+    assert(r.getLong(idx("skew_ppm")) <= 10000000L)
+  }
 }
