@@ -885,6 +885,26 @@ object EventQueries {
         .orderBy("arm")
     }),
 
+    // RATE-LIMIT AUDIT — the abuse-detection read a platform runs
+    // offline to calibrate its online limiter: for every event, how
+    // many of the SAME user's events landed in the trailing 60 s —
+    // an exact sliding count via a per-user RANGE frame over
+    // microsecond offsets (user-bounded window, doctrine-safe; RANGE
+    // semantics include timestamp peers identically on both engines,
+    // so ties can't flap the count). The report is the top-10 peak
+    // bursts with a full (count desc, user, ts) tie order through a
+    // bounded heap — the worst offenders a limiter would have
+    // throttled. One shuffle by user; nothing global anywhere.
+    "ev_rate_limit_audit" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us")).rangeBetween(-59999999L, 0L)
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        .withColumn("in_min", count(lit(1)).over(w))
+        .orderBy(col("in_min").desc, col("user_id").asc, col("us").asc)
+        .limit(10)
+    }),
+
     // SAMPLE-RATIO MISMATCH — the validity gate every experimentation
     // platform runs BEFORE reading ev_ab_experiment's conversion
     // numbers (Fabijan et al. 2019: a biased split invalidates the
@@ -1923,6 +1943,14 @@ object EventQueries {
         |       ELSE (epoch_us(f_ts) - epoch_us(b.ts)) // 1000000 END AS secs_apart
         |FROM b JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
+    "ev_rate_limit_audit" ->
+      """SELECT user_id, us, in_min FROM (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW)
+        |      AS in_min
+        |  FROM events)
+        |ORDER BY in_min DESC, user_id ASC, us ASC LIMIT 10""".stripMargin,
     "ev_ab_srm" -> {
       // same 13-nibble positional md5 decode as ev_ab_experiment
       val hex13 = (0 until 13).map { i =>

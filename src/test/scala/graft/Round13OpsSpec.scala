@@ -917,4 +917,26 @@ class Round13OpsSpec extends AnyFunSuite {
     // of the mean; 10× is far outside anything Lloyd leaves here
     assert(r.getLong(idx("skew_ppm")) <= 10000000L)
   }
+
+  test("ev_rate_limit_audit: trailing counts recompute, true top-10") {
+    val rows = run("ev_rate_limit_audit").collect()
+    assert(rows.length == 10)
+    val idx = rows.head.fieldIndex _
+    val raw = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = raw.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).sorted }
+    def inMin(u: Long, us: Long): Long =
+      byUser(u).count(t => t >= us - 59999999L && t <= us).toLong
+    rows.foreach { r =>
+      assert(r.getLong(idx("in_min")) ==
+        inMin(r.getLong(0), r.getLong(idx("us"))), s"$r")
+    }
+    // the reported rows are the global maximum set under the tie order
+    val all = raw.map { case (u, us) => (inMin(u, us), u, us) }
+      .sortBy { case (c, u, us) => (-c, u, us) }.take(10)
+    assert(rows.map(r => (r.getLong(idx("in_min")), r.getLong(0),
+      r.getLong(idx("us")))).toSeq == all.toSeq)
+  }
 }
