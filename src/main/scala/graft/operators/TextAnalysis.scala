@@ -891,6 +891,40 @@ object TextAnalysis {
     // worth indexing or the boilerplate worth killing), burst ≈ 1 =
     // glue. Support floor tf ≥ 10 keeps hapax noise out; top-25 rides
     // a TakeOrdered bounded heap over the vocab-bounded stats frame.
+    // CROSS-LANGUAGE VOCABULARY OVERLAP — the multilingual corpus
+    // diagnostic behind script/language-routing decisions and
+    // cross-lingual leakage checks: the Jaccard of each language
+    // pair's vocabularies (word TYPES, not tokens). High overlap
+    // between nominally distinct languages flags shared boilerplate,
+    // code-switching, or mislabeled langid — exactly the state of
+    // this synthetic corpus, where every language shares the same
+    // jargon vocabulary and the matrix says so. One distinct
+    // (lang, word) frame (checkpointed), a word-keyed self-join for
+    // intersections (posting-bounded: a word joins only the ≤langs
+    // rows that share it), sizes broadcast back; langs²-bounded
+    // output, integer ppm.
+    "ta_vocab_overlap" -> ((s, dir) => {
+      val v = Tables.documents(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .distinct()
+        .localCheckpoint(false)
+      val sizes = v.groupBy("lang").agg(count(lit(1)).as("n"))
+      val inter = v.as("a").join(v.as("b"),
+          col("a.w") === col("b.w") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(sizes.select(col("lang").as("lang_a"),
+          col("n").as("na"))), "lang_a")
+        .join(broadcast(sizes.select(col("lang").as("lang_b"),
+          col("n").as("nb"))), "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("n_common"),
+          col("na"), col("nb"),
+          expr("(n_common * 1000000) DIV (na + nb - n_common)")
+            .as("jaccard_ppm"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // WEIGHTED-LEXICON SCORING — the operator shape behind sentiment,
     // toxicity, and safety-wordlist scoring (AFINN/VADER's additive
     // core, Hutto & Gilbert 2014, minus the float valence): tokens
@@ -1412,6 +1446,24 @@ object TextAnalysis {
          |LEFT JOIN ds ON s.nib = ds.nib
          |LEFT JOIN va ON s.nib = va.nib
          |ORDER BY s.nib""".stripMargin,
+    "ta_vocab_overlap" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT lang, unnest(${OracleSql.toks}) AS w
+         |  FROM documents),
+         |sizes AS (SELECT lang, count(*)::BIGINT AS n FROM v GROUP BY 1),
+         |inter AS (
+         |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |    count(*)::BIGINT AS n_common
+         |  FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+         |  GROUP BY 1, 2)
+         |SELECT i.lang_a, i.lang_b, i.n_common,
+         |  sa.n AS na, sb.n AS nb,
+         |  (i.n_common * 1000000) // (sa.n + sb.n - i.n_common)
+         |    AS jaccard_ppm
+         |FROM inter i
+         |JOIN sizes sa ON sa.lang = i.lang_a
+         |JOIN sizes sb ON sb.lang = i.lang_b
+         |ORDER BY lang_a, lang_b""".stripMargin,
     "ta_lexicon_score" -> {
       val vals = LexiconWeights.toSeq.sortBy(_._1)
         .map { case (w, v) => s"('$w', $v)" }.mkString(", ")

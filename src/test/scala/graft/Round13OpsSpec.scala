@@ -939,4 +939,27 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(idx("in_min")), r.getLong(0),
       r.getLong(idx("us")))).toSeq == all.toSeq)
   }
+
+  test("ta_vocab_overlap: pairwise Jaccard recomputes from raw vocabularies") {
+    val rows = run("ta_vocab_overlap").collect()
+    val idx = rows.head.fieldIndex _
+    val vocab = Tables.documents(spark, sf).select("lang", "text")
+      .collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(r.getString(0) -> _))
+      .distinct.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    val langs = vocab.keys.toSeq.sorted
+    assert(rows.length == langs.combinations(2).length)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val (va, vb) = (vocab(a), vocab(b))
+      val common = (va & vb).size.toLong
+      assert(r.getLong(idx("n_common")) == common)
+      assert(r.getLong(idx("na")) == va.size.toLong)
+      assert(r.getLong(idx("nb")) == vb.size.toLong)
+      assert(r.getLong(idx("jaccard_ppm")) ==
+        common * 1000000L / (va.size + vb.size - common))
+    }
+  }
 }
