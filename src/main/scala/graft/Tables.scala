@@ -37,14 +37,20 @@ object Tables {
     * after rewriting parquet files in place, or the cached file index
     * serves deleted/stale files.
     */
-  def invalidate(pathPrefix: String): Unit =
+  def invalidate(pathPrefix: String): Unit = {
     cache.keySet.removeIf(_._2.startsWith(pathPrefix))
+    // derived artifacts (verified dedup pairs, trained codebooks)
+    // built from tables under the prefix go stale with them
+    CacheRegistry.invalidate(pathPrefix)
+  }
 
   /** Drop a session's cached handles (call when done with a session so
     * its resolved file indexes are not pinned for the JVM lifetime).
     */
-  def invalidateSession(spark: SparkSession): Unit =
+  def invalidateSession(spark: SparkSession): Unit = {
     cache.keySet.removeIf(_._1 == uuidOf(spark))
+    CacheRegistry.invalidateSession(spark)
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -990,14 +990,16 @@ object Dedup {
     * shape at 100 TB, where verified pairs are computed once per
     * corpus snapshot and clustering jobs read the snapshot. (The
     * [[Similarity]] trained-model cache is the same pattern.)
+    * Lifetime/staleness via [[graft.CacheRegistry]]: rewriting the
+    * parquet under `dir` must go through `Tables.invalidate(dir)`
+    * (drops the materialization with the table handle), and finished
+    * sessions drop their entries via `Tables.invalidateSession`.
     */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val pairsCache = graft.CacheRegistry.newCache()
   private[operators] def verifiedPairs(
       s: SparkSession, dir: String, dedup: Boolean): DataFrame =
-    pairsCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir|$dedup",
-      _ => verifiedPairsOf(Tables.documents(s, dir), dedup)
+    graft.CacheRegistry.cached[DataFrame](pairsCache, s, dir, s"pairs|$dedup")(
+      verifiedPairsOf(Tables.documents(s, dir), dedup)
         .localCheckpoint(false))
 
   /** Recall audit for [[ContainmentDfCap]]: per doc, the MAX document

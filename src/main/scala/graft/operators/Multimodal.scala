@@ -98,6 +98,32 @@ object Multimodal {
       })
   }
 
+  /** The per-clip loudness-gain plan behind mm_wav_gain (see that
+    * query's comment for the squared-domain algebra): (n_samples,
+    * sumsq, gain2_ppm, n_clip, needs_limiter). An all-silent clip
+    * (Σs² = 0 — no finite gain reaches the RMS target) yields NULLs
+    * for the plan columns on BOTH engines rather than an
+    * engine-divergent divide-by-zero.
+    */
+  private[graft] def wavGainOf(payload: Array[Byte])
+      : (Long, Long, Option[Long], Option[Long], Option[Boolean]) = {
+    val w = WavCodec.decode(WavCodec.encode(payload))
+    val n = w.samples.length.toLong
+    var sumsq = 0L
+    w.samples.foreach { sm => sumsq += sm.toLong * sm }
+    if (sumsq == 0L) (n, sumsq, None, None, None)
+    else {
+      val t2n = BigInt(67108864L) * n // 8192² · n
+      val gain2 = ((t2n * 1000000L) / sumsq).toLong
+      // clip iff s²·t2n > 32767²·Σs² ⟺ s² > ⌊32767²·Σs²/t2n⌋ —
+      // one BigInt division per clip, the sample loop stays Long
+      val thr = ((BigInt(1073676289L) * sumsq) / t2n).toLong
+      var nClip = 0L
+      w.samples.foreach { sm => if (sm.toLong * sm > thr) nClip += 1 }
+      (n, sumsq, Some(gain2), Some(nClip), Some(nClip > 0))
+    }
+  }
+
   /** aHash near-dup pairs (hamming <= 3), shared by mm_phash_pairs
     * and mm_phash_clusters — see the mm_phash_pairs comment for the
     * banding/pigeonhole argument.
@@ -441,18 +467,8 @@ object Multimodal {
       import s.implicits._
       payloads(s, dir)
         .mapPartitions(_.map { case (id, payload) =>
-          val w = WavCodec.decode(WavCodec.encode(payload))
-          val n = w.samples.length.toLong
-          var sumsq = 0L
-          w.samples.foreach { sm => sumsq += sm.toLong * sm }
-          val t2n = BigInt(67108864L) * n // 8192² · n
-          val gain2 = ((t2n * 1000000L) / sumsq).toLong
-          // clip iff s²·t2n > 32767²·Σs² ⟺ s² > ⌊32767²·Σs²/t2n⌋ —
-          // one BigInt division per clip, the sample loop stays Long
-          val thr = ((BigInt(1073676289L) * sumsq) / t2n).toLong
-          var nClip = 0L
-          w.samples.foreach { sm => if (sm.toLong * sm > thr) nClip += 1 }
-          (id, n, sumsq, gain2, nClip, nClip > 0)
+          val (n, sumsq, gain2, nClip, lim) = wavGainOf(payload)
+          (id, n, sumsq, gain2, nClip, lim)
         })
         .toDF("doc_id", "n_samples", "sumsq", "gain2_ppm", "n_clip",
           "needs_limiter")
@@ -856,8 +872,9 @@ object Multimodal {
         |  FROM v GROUP BY 1),
         |g AS (
         |  SELECT doc_id, n, sumsq,
-        |    CAST((CAST(67108864 AS HUGEINT) * n * 1000000) // sumsq
-        |      AS BIGINT) AS gain2_ppm
+        |    CASE WHEN sumsq = 0 THEN NULL
+        |      ELSE CAST((CAST(67108864 AS HUGEINT) * n * 1000000) // sumsq
+        |        AS BIGINT) END AS gain2_ppm
         |  FROM st),
         |cl AS (
         |  SELECT v.doc_id,
@@ -867,7 +884,9 @@ object Multimodal {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_clip
         |  FROM v JOIN st USING (doc_id) GROUP BY 1)
         |SELECT g.doc_id, g.n AS n_samples, g.sumsq, g.gain2_ppm,
-        |  cl.n_clip, cl.n_clip > 0 AS needs_limiter
+        |  CASE WHEN g.sumsq = 0 THEN NULL ELSE cl.n_clip END AS n_clip,
+        |  CASE WHEN g.sumsq = 0 THEN NULL ELSE cl.n_clip > 0 END
+        |    AS needs_limiter
         |FROM g JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Each Sobel tap is raster-position arithmetic on the synth
     // formula; magnitude and census stay pure INT.

@@ -115,7 +115,11 @@ object OracleSql {
     * constants are the SAME decimal literals as
     * [[graft.functions.Exp2Micro.BitConstants]] — both engines parse
     * identical doubles, so the fixed-order product is bit-identical.
-    * The enclosing statement MUST start `WITH RECURSIVE`.
+    * The k ∈ [−63, 42] domain guard is mirrored too: out-of-range
+    * exponents raise via DuckDB `error()` exactly where the Scala
+    * side throws, so both engines fail loudly rather than one engine
+    * shifting out of range. The enclosing statement MUST start
+    * `WITH RECURSIVE`.
     */
   def exp2microCtes(prefix: String, rel: String, keys: Seq[String]): String = {
     val ks = keys.mkString(", ")
@@ -140,7 +144,9 @@ object OracleSql {
        |  FROM ${prefix}_fx WHERE ex2i < 20),
        |${prefix}_ex AS (
        |  SELECT $ks,
-       |    CASE WHEN ex2k >= 0
+       |    CASE WHEN ex2k < -63 OR ex2k > 42
+       |      THEN CAST(error('exp2micro: k outside [-63, 42]') AS BIGINT)
+       |    WHEN ex2k >= 0
        |      THEN CAST(floor(ex2m * 1000000.0) AS BIGINT) << ex2k
        |      ELSE CAST(floor(ex2m * 1000000.0) AS BIGINT) >> (-ex2k) END AS e2m
        |  FROM ${prefix}_fx WHERE ex2i = 20)""".stripMargin

@@ -150,14 +150,13 @@ object Similarity {
     * so the search-side queries measure SEARCH, while the dedicated
     * training queries (ss_kmeans_train, ss_pq_train,
     * ss_train_distortion) deliberately bypass the cache and measure
-    * the build.
+    * the build. Lifetime/staleness via [[graft.CacheRegistry]]
+    * (invalidate-with-table, per-session eviction, bounded size).
     */
-  private val trainedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val trainedCache = graft.CacheRegistry.newCache()
   private def cached[T <: AnyRef](s: SparkSession, dir: String, kind: String)(
       build: => T): T =
-    trainedCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir|$kind", _ => build).asInstanceOf[T]
+    graft.CacheRegistry.cached[T](trainedCache, s, dir, kind)(build)
 
   private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     cached(s, dir, "pq")(pqPartsFresh(s, dir))

@@ -317,10 +317,21 @@ object AsOfJoin {
     if (left.sparkSession.conf
         .get("spark.graft.asof.autoSalt", "true") != "true") return false
     if (!isIntegral(left, leftKey) || !isIntegral(right, rightKey)) return false
-    // Partition-subset probe (every 8th partition), counted in a
-    // capped per-partition open map and reduced to each partition's
-    // top-64 keys + totals — so the probe touches ~1/8 of the probe
-    // side, task memory is bounded regardless of key cardinality
+    // Catalyst-stats pre-filter: the probe below runs real Spark jobs
+    // at plan-construction time, so short-circuit frames whose
+    // optimizer size estimate cannot reach the AutoSaltMinRows floor
+    // (≥ 8 bytes/row is conservative for an integral key + a time
+    // column). Driver-side only — no job.
+    val estBytes =
+      try left.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    if (estBytes < AutoSaltMinRows * 8) return false
+    // Partition-subset probe (every `step`th partition — step is
+    // sized so ~8 partitions are probed whatever the partition
+    // count), counted in a capped per-partition open map and reduced
+    // to each partition's top-64 keys + totals — so the probe's cost
+    // stays ~8 tasks, task memory is bounded regardless of key
+    // cardinality
     // (cold keys past the cap are dropped; a >10%-hot key is in the
     // map within its first few thousand rows), and the driver merge
     // is ≤ 8·64 entries. Measured ~0.18 s against a 1.4 s join at the
@@ -358,11 +369,18 @@ object AsOfJoin {
       n += pn
       ak = math.max(ak, pak)
     }
-    // probed totals: scale the row floor by the probed fraction;
-    // demand a 64× packing-headroom margin since the probe only
-    // estimates the true key range (a violation past the margin still
-    // fails LOUDLY — ANSI overflow in the packed key — never silently)
-    if (n < AutoSaltMinRows / 8) return false
+    // probed totals: scale the row floor by the ACTUAL probed
+    // fraction — each probed partition emits exactly one tuple, so
+    // parts.length counts them (with step = numPartitions/8 that
+    // fraction is ~8/numPartitions, NOT 1/8; the old hardcoded /8
+    // floor judged large frames "too small" past 8 partitions and
+    // silently skipped salting genuine hot keys). Also demand a 64×
+    // packing-headroom margin since the probe only estimates the true
+    // key range (a violation past the margin still fails LOUDLY —
+    // ANSI overflow in the packed key — never silently).
+    val numParts = math.max(1, rdd.getNumPartitions)
+    val probedParts = math.max(1, parts.length)
+    if (n.toDouble * numParts / probedParts < AutoSaltMinRows) return false
     val mx = if (merged.isEmpty) 0L else merged.values.max
     ak < Long.MaxValue / AutoSaltSalts / 64 &&
       mx.toDouble / n > AutoSaltShare

@@ -50,6 +50,38 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!uniform.queryExecution.executedPlan.toString.contains("Generate"))
   }
 
+  test("auto-salt: probe floor scales by the probed fraction (256-partition hot frame still salts)") {
+    import org.apache.spark.sql.functions._
+    // At 256 partitions the every-(numPartitions/8)th probe touches
+    // only ~8/256 of rows; the round-9 hardcoded n < MinRows/8 floor
+    // judged this 150k-row hot frame "too small" and silently skipped
+    // salting — the probed count must be extrapolated by the actual
+    // probed fraction before comparing against AutoSaltMinRows.
+    val l = spark.range(0, 150000L).select(
+      when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 100).as("k"),
+      (col("id") * 7 % 5000).as("t")).repartition(256)
+    val r = spark.range(0, 2000L).select(
+      (col("id") % 100).as("rk"), (expr("id DIV 100") * 250).as("rt"),
+      col("id").as("q"))
+    val auto = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+    assert(auto.queryExecution.executedPlan.toString.contains("Generate"),
+      "256-partition hot-key join did not take the salted route")
+  }
+
+  test("auto-salt: sub-floor frames skip the probe via Catalyst stats (no job at plan time)") {
+    import org.apache.spark.sql.functions._
+    // a frame whose optimizer size estimate cannot reach the row
+    // floor must not launch probe jobs at plan-construction time
+    val l = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("k", "t")
+    val r = Seq((0L, 1L, "x")).toDF("rk", "rt", "rv")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "plan construction on a tiny frame ran Spark jobs")
+    assert(!out.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(out.count() == 3L)
+  }
+
   test("backward as-of: latest right row at-or-before each left time") {
     val l = leftDF; val r = rightDF
     val out = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))

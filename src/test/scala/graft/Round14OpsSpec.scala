@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 session additions: advisor-item regression pins
+  * (engine-divergence guards, cache lifetime).
+  */
+class Round14OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("wavGainOf: all-silent clip yields a defined NULL plan row, not a crash") {
+    // every byte 0x80 → every decoded sample 0 → Σs² = 0; the gain
+    // plan must be NULL on the Spark leg (the oracle mirrors with
+    // CASE WHEN sumsq = 0 THEN NULL), never an ArithmeticException
+    val silent = Array.fill[Byte](64)(0x80.toByte)
+    val (n, sumsq, gain2, nClip, lim) = operators.Multimodal.wavGainOf(silent)
+    assert(n > 0L && sumsq == 0L)
+    assert(gain2.isEmpty && nClip.isEmpty && lim.isEmpty)
+    // a non-silent payload keeps the round-9 contract
+    val loud = "the quick brown fox".getBytes("UTF-8")
+    val (n2, sq2, g2, c2, l2) = operators.Multimodal.wavGainOf(loud)
+    assert(n2 > 0L && sq2 > 0L && g2.nonEmpty && c2.nonEmpty && l2.nonEmpty)
+    assert(g2.get == ((BigInt(67108864L) * n2 * 1000000L) / sq2).toLong)
+  }
+
+  test("CacheRegistry: Tables.invalidate drops derived artifacts under the prefix") {
+    val m = CacheRegistry.newCache()
+    var builds = 0
+    def build() = { builds += 1; java.lang.Long.valueOf(builds.toLong) }
+    CacheRegistry.cached[java.lang.Long](m, spark, "/tmp/gr-a", "pairs")(build())
+    CacheRegistry.cached[java.lang.Long](m, spark, "/tmp/gr-a", "pairs")(build())
+    assert(builds == 1, "memoization broken")
+    CacheRegistry.cached[java.lang.Long](m, spark, "/tmp/gr-b", "pairs")(build())
+    assert(builds == 2)
+    // rewriting parquet under gr-a must invalidate ONLY gr-a artifacts
+    Tables.invalidate("/tmp/gr-a")
+    CacheRegistry.cached[java.lang.Long](m, spark, "/tmp/gr-b", "pairs")(build())
+    assert(builds == 2, "unrelated dir was evicted")
+    CacheRegistry.cached[java.lang.Long](m, spark, "/tmp/gr-a", "pairs")(build())
+    assert(builds == 3, "stale artifact served after invalidate")
+    // session eviction clears this session's entries
+    Tables.invalidateSession(spark)
+    CacheRegistry.cached[java.lang.Long](m, spark, "/tmp/gr-b", "pairs")(build())
+    assert(builds == 4)
+  }
+
+  test("exp2microCtes mirrors the Scala k-domain guard") {
+    val sql = operators.OracleSql.exp2microCtes("t", "rel", Seq("k1"))
+    assert(sql.contains("ex2k < -63 OR ex2k > 42"),
+      "DuckDB mirror lost the exp2micro domain guard")
+    assert(sql.contains("error("),
+      "out-of-domain must fail loudly on the oracle side too")
+  }
+}
