@@ -47,6 +47,36 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(builds == 4)
   }
 
+  test("bradleyTerry: dominance orders strengths; normalization holds mean 1") {
+    // c beats everything, a beats b — strengths must order c > a > b
+    val mat = Seq(("a", "b", 8L, 2L), ("a", "c", 1L, 9L), ("b", "c", 0L, 10L))
+    val out = operators.PrefQueries.bradleyTerry(mat)
+    val g = out.map(r => r._1 -> r._4).toMap
+    assert(g("c") > g("a") && g("a") > g("b"), s"$out")
+    // ranks are 1..K aligned with gamma desc
+    assert(out.sortBy(_._5).map(_._1) == Seq("c", "a", "b"))
+    // mean-1 normalization: Σγ within K floor-steps of K·10⁶
+    val s = out.map(_._4).sum
+    assert(s <= 3000000L && s >= 3000000L - 3L, s"sum=$s")
+    // wins/comps bookkeeping
+    assert(out.map(_._2).sum == 30L) // every decisive duel counted once
+    assert(out.map(_._3).sum == 60L) // each duel counted from both ends
+    // symmetric data ties out symmetric: equal strengths, rank by name
+    val sym = operators.PrefQueries.bradleyTerry(
+      Seq(("x", "y", 5L, 5L)))
+    assert(sym.map(_._4).distinct.size == 1)
+    assert(sym.sortBy(_._5).map(_._1) == Seq("x", "y"))
+  }
+
+  test("ev_bradley_terry: query output is consistent with ev_pref_matrix") {
+    val bt = SparkEntry.queries("ev_bradley_terry")(spark, sf).collect()
+    val pm = SparkEntry.queries("ev_pref_matrix")(spark, sf).collect()
+    val decisive = pm.map(r => r.getLong(2) + r.getLong(3)).sum
+    assert(bt.map(_.getLong(1)).sum == decisive)
+    assert(bt.map(_.getLong(4)).sorted.toSeq == (1L to bt.length).toSeq)
+    assert(bt.forall(_.getLong(3) >= 0L))
+  }
+
   test("exp2microCtes mirrors the Scala k-domain guard") {
     val sql = operators.OracleSql.exp2microCtes("t", "rel", Seq("k1"))
     assert(sql.contains("ex2k < -63 OR ex2k > 42"),
