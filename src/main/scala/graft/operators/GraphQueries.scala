@@ -305,7 +305,57 @@ object GraphQueries {
     // id-oriented SQL.
     "dd_triangles" -> ((s, dir) =>
       triangleCount(Dedup.verifiedPairs(s, dir, dedup = true)
-        .select(col("doc_a"), col("doc_b"))))
+        .select(col("doc_a"), col("doc_b")))),
+
+    // ADAMIC–ADAR LINK PREDICTION over the mutual-kNN graph: for
+    // every non-edge pair with ≥1 common neighbor, AA(u,w) =
+    // Σ_{v ∈ N(u)∩N(w)} 1/log₂(deg v) — the classic "which documents
+    // are probably near-dups the index MISSED" score (a shared
+    // low-degree neighbor is strong evidence; a shared hub is weak).
+    // The near-dup pair graph itself is the WRONG substrate — verified
+    // Jaccard ≥ 0.5 components are quasi-cliques, every wedge already
+    // closed — so the score runs over ss_mutual_knn's reciprocal
+    // edges, where open wedges are exactly the candidate links.
+    // log₂ replaces the textbook ln (a constant factor — ranking is
+    // identical) so the whole contract stays in the deterministic
+    // fixed-point [[graft.functions.Log2Micro]] toolkit: per middle
+    // node v the weight is ⌊10¹²/log2micro(deg v)⌋ (deg ≥ 2 for any
+    // common neighbor, so the divisor is ≥ 10⁶ — never zero), and the
+    // pair score is an exact integer sum. Dataflow: wedges generated
+    // at each middle node (one self-join of the adjacency on v, n1 <
+    // n2), aggregated by candidate pair, existing edges removed by
+    // anti-join — all shuffle-keyed, no driver state. Wedge volume is
+    // Σ deg(v)² with deg ≤ k by construction (mutual top-3 lists), so
+    // the wedge generator is O(k²·n) — hub-proof at any corpus size.
+    "ss_adamic_adar" -> ((s, dir) => {
+      val e0 = Similarity.ivfKnnEdges(s, dir, 3).localCheckpoint(false)
+      val pairs = e0.as("f").join(e0.as("r"),
+          col("f.src") === col("r.nbr") && col("f.nbr") === col("r.src"))
+        .filter(col("f.src") < col("f.nbr"))
+        .select(col("f.src").as("doc_a"), col("f.nbr").as("doc_b"))
+        .localCheckpoint(false) // wedge join + anti-join both read it
+      val edges = pairs.select(col("doc_a").as("v"), col("doc_b").as("n"))
+        .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("n")))
+      val deg = edges.groupBy("v").agg(count(lit(1)).as("deg"))
+      // only middle nodes (deg ≥ 2) can sit on a wedge; deg-1 nodes
+      // would divide by log2micro(1) = 0
+      val wv = deg.filter(col("deg") >= 2)
+        .withColumn("lg",
+          graft.functions.Log2Micro.log2micro(col("deg"), lit(1L)))
+        .select(col("v"), expr("1000000000000 DIV lg").as("w"))
+      val a = edges.select(col("v"), col("n").as("n1"))
+      val b = edges.select(col("v"), col("n").as("n2"))
+      val wedges = a.join(b, Seq("v")).filter(col("n1") < col("n2"))
+      val scored = wedges.join(wv, Seq("v"))
+        .groupBy("n1", "n2")
+        .agg(count(lit(1)).as("n_common"), sum(col("w")).as("aa_micro"))
+      scored
+        .join(pairs, scored("n1") === pairs("doc_a") &&
+          scored("n2") === pairs("doc_b"), "left_anti")
+        .select(col("n1").as("doc_a"), col("n2").as("doc_b"),
+          col("n_common"), col("aa_micro"))
+        .orderBy("doc_a", "doc_b")
+    })
   )
 
   /** Full undirected integer-PageRank CTE skeleton over a
@@ -431,6 +481,38 @@ object GraphQueries {
          |SELECT count(*) AS n_triangles
          |FROM e e1
          |JOIN e e2 ON e1.b = e2.a
-         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
+         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "ss_adamic_adar" ->
+      s"""WITH RECURSIVE ${Similarity.ivfKnnEdgesCtes(3)},
+         |pairs AS MATERIALIZED (
+         |  SELECT f.src AS doc_a, f.nbr AS doc_b
+         |  FROM knn0 f JOIN knn0 r ON f.src = r.nbr AND f.nbr = r.src
+         |  WHERE f.src < f.nbr),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS v, doc_b AS n FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |deg AS MATERIALIZED (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY v),
+         |degl AS (
+         |  SELECT v, deg AS num, CAST(1 AS BIGINT) AS den FROM deg
+         |  WHERE deg >= 2),
+         |${OracleSql.log2microCtes("aal", "degl", Seq("v"))},
+         |wv AS MATERIALIZED (
+         |  SELECT v, 1000000000000 // lrm AS w FROM aal_lg),
+         |wedges AS (
+         |  SELECT a.v, a.n AS n1, b.n AS n2
+         |  FROM edges a JOIN edges b ON a.v = b.v AND a.n < b.n),
+         |scored AS (
+         |  SELECT w.n1, w.n2, CAST(count(*) AS BIGINT) AS n_common,
+         |    CAST(sum(wv.w) AS BIGINT) AS aa_micro
+         |  FROM wedges w JOIN wv ON wv.v = w.v
+         |  GROUP BY 1, 2)
+         |SELECT s.n1 AS doc_a, s.n2 AS doc_b, s.n_common, s.aa_micro
+         |FROM scored s
+         |WHERE NOT EXISTS (SELECT 1 FROM pairs p
+         |  WHERE p.doc_a = s.n1 AND p.doc_b = s.n2)
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -77,6 +77,31 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(bt.forall(_.getLong(3) >= 0L))
   }
 
+  test("ss_adamic_adar: brute-force recompute from the mutual-kNN edge list") {
+    val pairs = SparkEntry.queries("ss_mutual_knn")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+        .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val edgeSet = pairs.toSet
+    val expected = adj.keys.toSeq.combinations(2).map(_.sorted)
+      .collect { case Seq(u, w)
+        if !edgeSet.contains((u, w)) && (adj(u) & adj(w)).nonEmpty =>
+        val common = adj(u) & adj(w)
+        val aa = common.toSeq.map { v =>
+          1000000000000L / graft.functions.Log2Micro.log2micro(adj(v).size.toLong, 1L)
+        }.sum
+        (u, w) -> (common.size.toLong, aa)
+      }.toMap
+    val got = SparkEntry.queries("ss_adamic_adar")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected, s"got=${got.size} exp=${expected.size}")
+    assert(got.nonEmpty, "mutual-kNN graph should yield open wedges")
+  }
+
   test("exp2microCtes mirrors the Scala k-domain guard") {
     val sql = operators.OracleSql.exp2microCtes("t", "rel", Seq("k1"))
     assert(sql.contains("ex2k < -63 OR ex2k > 42"),
