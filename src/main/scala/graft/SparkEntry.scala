@@ -27,7 +27,7 @@ object SparkEntry {
       QualityQueries.queries ++ QuantileQueries.queries ++
       SketchQueries.queries ++
       Multimodal.queries ++ PipelineQueries.queries ++ SourceQueries.queries ++
-      PrefQueries.queries ++
+      PrefQueries.queries ++ ClassifyQueries.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,6 +41,6 @@ object SparkEntry {
       QualityQueries.oracleSql ++ QuantileQueries.oracleSql ++
       SketchQueries.oracleSql ++
       Multimodal.oracleSql ++ PipelineQueries.oracleSql ++ SourceQueries.oracleSql ++
-      PrefQueries.oracleSql ++
+      PrefQueries.oracleSql ++ ClassifyQueries.oracleSql ++
       graft.streaming.StreamingQueries.oracleSql
 }

@@ -102,6 +102,29 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "mutual-kNN graph should yield open wedges")
   }
 
+  test("ta_nb_score: beats-or-matches the majority-class baseline; scores are real log-probs") {
+    val rows = SparkEntry.queries("ta_nb_score")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "one verdict row per document")
+    // the synthetic corpus shares ONE vocabulary across langs (the
+    // label is near-independent of tokens), so the Bayes-optimal
+    // router degenerates to the prior — the pin is "no worse than
+    // majority-class", not a separability claim the data can't back
+    val baseline = rows.groupBy(_.getString(1)).values.map(_.length).max
+      .toDouble / rows.length
+    val acc = rows.count(_.getBoolean(4)).toDouble / rows.length
+    assert(acc >= baseline - 0.02,
+      s"NB must not lose to prior routing: acc=$acc baseline=$baseline")
+    // scores are genuine log-probabilities: negative, and the winner's
+    // score beats the prior-only floor of an empty doc
+    assert(rows.forall(_.getLong(3) < 0L))
+    // train card invariants: Σ n_docs = corpus, den = n_tokens + V
+    val train = SparkEntry.queries("ta_nb_train")(spark, sf).collect()
+    assert(train.map(_.getLong(1)).sum == nDocs)
+    assert(train.forall(r => r.getLong(4) > r.getLong(2)))
+    assert(train.forall(r => r.getLong(5) < 0L && r.getLong(6) < 0L))
+  }
+
   test("exp2microCtes mirrors the Scala k-domain guard") {
     val sql = operators.OracleSql.exp2microCtes("t", "rel", Seq("k1"))
     assert(sql.contains("ex2k < -63 OR ex2k > 42"),
