@@ -179,6 +179,12 @@ object Multimodal {
     * real duplicate clusters without an I/O-bound bench row.
     */
   private val PngSubsetPred = "substring(md5(CAST(doc_id AS STRING)), 1, 4) < '2000'"
+
+  /** mm_frame_diff's frame model: 64-byte frames, cut at SAD ≥ 2000
+    * (the corpus's ~P85; intra-shot SAD floors near 900).
+    */
+  val FrameBytes = 64
+  val CutSad = 2000L
   private val PngSubsetPredSql = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -584,6 +590,89 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // SCENE-CHANGE DETECTION — the shot-boundary pass a video
+    // ingestion pipeline runs before frame sampling (sample per SHOT,
+    // not per second, or long static shots dominate the training
+    // set): the decoded mdat payload is read as consecutive 64-byte
+    // frames, consecutive frames compared by exact SAD
+    // (Σ|b_i − b'_i|, the block-matching metric hardware encoders
+    // use), and a cut declared at SAD ≥ 2000 (the corpus's ~P85 —
+    // comfortably above the intra-shot noise floor). Integer end to
+    // end; per-doc rows stay independent (a diff never crosses a
+    // clip), so the decode+diff is the same narrow per-partition map
+    // as the rest of the leg. Clips shorter than two complete frames
+    // report zero diffs rather than vanishing.
+    "mm_frame_diff" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Mp4Codec
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val m = Mp4Codec.decode(Mp4Codec.encode(payload))
+          val d = m.mediaData
+          val nFrames = d.length / FrameBytes
+          var sadSum = 0L
+          var sadMax = 0L
+          var nCuts = 0L
+          var f = 1
+          while (f < nFrames) {
+            var sad = 0L
+            var i = 0
+            while (i < FrameBytes) {
+              sad += math.abs((d(f * FrameBytes + i) & 0xff) -
+                (d((f - 1) * FrameBytes + i) & 0xff))
+              i += 1
+            }
+            sadSum += sad
+            if (sad > sadMax) sadMax = sad
+            if (sad >= CutSad) nCuts += 1
+            f += 1
+          }
+          (id, nFrames.toLong, math.max(nFrames - 1, 0).toLong,
+            sadSum, sadMax, nCuts)
+        })
+        .toDF("doc_id", "n_frames", "n_diffs", "sad_sum", "sad_max",
+          "n_cuts")
+        .orderBy("doc_id")
+    }),
+
+    // 2× DECIMATION with a boxcar anti-alias prefilter — the sample
+    // -rate normalization stage of an audio ingest (mixed-rate corpora
+    // are downsampled to one rate before feature extraction):
+    // out[k] = ⌊(s[2k] + s[2k+1]) / 2⌋ (arithmetic shift — FLOOR for
+    // negatives on both engines, where truncating division would
+    // disagree), odd tail dropped. Reports the exact energy budget:
+    // the boxcar halves out-of-band energy, so energy_ratio_ppm is
+    // the aliasing health number a resampler is monitored by. Same
+    // narrow per-partition decode as the rest of the audio leg.
+    "mm_wav_downsample" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val w = WavCodec.decode(WavCodec.encode(payload))
+          val nIn = w.samples.length
+          val nOut = nIn / 2
+          var eIn = 0L
+          w.samples.foreach { sm => eIn += sm.toLong * sm }
+          var eOut = 0L
+          var peak = 0L
+          var k = 0
+          while (k < nOut) {
+            val v = (w.samples(2 * k).toLong + w.samples(2 * k + 1)) >> 1
+            eOut += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            k += 1
+          }
+          // BigInt for the ppm cross-product: energy ≤ n·2³⁰ can
+          // leave Long×10⁶ range on long clips
+          (id, nIn.toLong, nOut.toLong, eIn, eOut,
+            if (eIn == 0L) None: Option[Long]
+            else Some((BigInt(eOut) * 1000000L / eIn).toLong), peak)
+        })
+        .toDF("doc_id", "n_in", "n_out", "energy_in", "energy_out",
+          "energy_ratio_ppm", "peak_out")
+        .orderBy("doc_id")
+    }),
+
     // Feature extraction through the typed mapPartitions path: 16-bin
     // gray histogram of the decoded raster resized to 8×8.
     "mm_features" -> ((s, dir) => {
@@ -804,6 +893,69 @@ object Multimodal {
         |                   i -> substring(text, CAST(i * 32 + 1 AS INT), 1)),
         |    '')) AS frames_checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mdat bytes == text bytes, so frames and SADs are pure byte
+    // arithmetic on the text column.
+    "mm_frame_diff" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, i // $FrameBytes AS fr, i % $FrameBytes AS off,
+         |    ord(substring(text, CAST(i + 1 AS INT), 1)) AS b
+         |  FROM documents,
+         |    UNNEST(range(0, (length(text) // $FrameBytes) * $FrameBytes))
+         |      AS u(i)),
+         |sad AS (
+         |  SELECT a.doc_id, a.fr, CAST(sum(abs(a.b - p.b)) AS BIGINT) AS sad
+         |  FROM f a JOIN f p
+         |    ON p.doc_id = a.doc_id AND p.fr = a.fr - 1 AND p.off = a.off
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_diffs,
+         |    CAST(sum(sad) AS BIGINT) AS sad_sum,
+         |    CAST(max(sad) AS BIGINT) AS sad_max,
+         |    CAST(sum(CASE WHEN sad >= $CutSad THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cuts
+         |  FROM sad GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(length(d.text) // $FrameBytes AS BIGINT) AS n_frames,
+         |  COALESCE(a.n_diffs, 0) AS n_diffs,
+         |  COALESCE(a.sad_sum, 0) AS sad_sum,
+         |  COALESCE(a.sad_max, 0) AS sad_max,
+         |  COALESCE(a.n_cuts, 0) AS n_cuts
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // Decimation mirrors the sample synth formula; // is floor on
+    // both engines (the Scala side shifts, which is also floor).
+    "mm_wav_downsample" ->
+      """WITH v AS (
+        |  SELECT doc_id, i,
+        |    CAST((ord(substring(text, CAST(i + 1 AS INT), 1)) - 128) * 256
+        |      AS BIGINT) AS s
+        |  FROM documents, UNNEST(range(0, length(text))) AS u(i)),
+        |din AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_in,
+        |    CAST(sum(s * s) AS BIGINT) AS energy_in
+        |  FROM v GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id, (a.s + b.s) // 2 AS o
+        |  FROM v a JOIN v b
+        |    ON b.doc_id = a.doc_id AND a.i % 2 = 0 AND b.i = a.i + 1),
+        |dout AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_out,
+        |    CAST(sum(o * o) AS BIGINT) AS energy_out,
+        |    CAST(max(abs(o)) AS BIGINT) AS peak_out
+        |  FROM pairs GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(i.n_in, 0) AS n_in,
+        |  COALESCE(o.n_out, 0) AS n_out,
+        |  COALESCE(i.energy_in, 0) AS energy_in,
+        |  COALESCE(o.energy_out, 0) AS energy_out,
+        |  CASE WHEN COALESCE(i.energy_in, 0) = 0 THEN NULL
+        |    ELSE CAST((CAST(COALESCE(o.energy_out, 0) AS HUGEINT) * 1000000)
+        |      // i.energy_in AS BIGINT) END AS energy_ratio_ppm,
+        |  COALESCE(o.peak_out, 0) AS peak_out
+        |FROM documents d
+        |LEFT JOIN din i ON i.doc_id = d.doc_id
+        |LEFT JOIN dout o ON o.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // The WAV widening is (ord − 128)·256 per char (all-ASCII corpus ⇒
     // char position = byte position = sample position), so every audio
     // feature is re-derivable in SQL; rms/silence divisions round at

@@ -423,6 +423,44 @@ object QualityQueries {
             (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc6"))
     }),
 
+    // PRECISION–RECALL CURVE of the LR scorer against the rule gate —
+    // the operating-point picker that complements ta_quality_auc's
+    // single ranking number: at each decile threshold, the exact
+    // confusion counts and ppm precision/recall/F1 (integer floor
+    // division end to end — P·R ≤ 10¹² keeps the F1 cross-product in
+    // BIGINT). One corpus aggregate into the value-bounded score
+    // histogram (score_ppm ∈ [0, 10⁶] — the radix-histogram class),
+    // then a 9-row threshold frame crossed against it; the corpus is
+    // scanned once no matter how many operating points are reported.
+    "ta_pr_curve" -> ((s, dir) => {
+      import s.implicits._
+      val hist = scoredPpm(s, dir)
+        .groupBy("score_ppm")
+        .agg(
+          sum(when(col("y_ppm") === 1000000L, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y_ppm") === 1000000L, 0L).otherwise(1L)).as("nn"))
+      val thr = (1 to 9).map(i => i * 100000L).toDF("threshold_ppm")
+      hist.crossJoin(broadcast(thr))
+        .groupBy("threshold_ppm")
+        .agg(
+          sum(when(col("score_ppm") >= col("threshold_ppm"), col("np"))
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score_ppm") >= col("threshold_ppm"), col("nn"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score_ppm") < col("threshold_ppm"), col("np"))
+            .otherwise(0L)).as("fn"),
+          sum(when(col("score_ppm") < col("threshold_ppm"), col("nn"))
+            .otherwise(0L)).as("tn"))
+        .withColumn("precision_ppm", expr(
+          "CASE WHEN tp + fp > 0 THEN (tp * 1000000L) DIV (tp + fp) END"))
+        .withColumn("recall_ppm", expr(
+          "CASE WHEN tp + fn > 0 THEN (tp * 1000000L) DIV (tp + fn) END"))
+        .withColumn("f1_ppm", expr(
+          "CASE WHEN precision_ppm + recall_ppm > 0 THEN " +
+            "(2 * precision_ppm * recall_ppm) DIV (precision_ppm + recall_ppm) END"))
+        .orderBy("threshold_ppm")
+    }),
+
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): hashed-token
     // bag-of-ngrams models for a target distribution (here the 'en'
@@ -616,6 +654,37 @@ object QualityQueries {
          |  round(CAST(sum(np * (negb * 2 + nn)) AS DOUBLE)
          |    / (2.0 * sum(np) * sum(nn)), 6) AS auc6
          |FROM c""".stripMargin,
+    // Same score histogram as the AUC oracle; nine operating points
+    // in pure integer ppm.
+    "ta_pr_curve" ->
+      s"""$scoredPpmSql,
+         |hist AS (
+         |  SELECT score_ppm,
+         |    CAST(sum(CASE WHEN y_ppm = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN y_ppm = 1000000 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM spp GROUP BY score_ppm),
+         |thr AS (
+         |  SELECT CAST(i * 100000 AS BIGINT) AS threshold_ppm
+         |  FROM UNNEST(range(1, 10)) AS u(i)),
+         |agg AS (
+         |  SELECT t.threshold_ppm,
+         |    CAST(sum(CASE WHEN h.score_ppm >= t.threshold_ppm THEN h.np ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN h.score_ppm >= t.threshold_ppm THEN h.nn ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN h.score_ppm < t.threshold_ppm THEN h.np ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN h.score_ppm < t.threshold_ppm THEN h.nn ELSE 0 END) AS BIGINT) AS tn
+         |  FROM thr t CROSS JOIN hist h GROUP BY 1),
+         |pr AS (
+         |  SELECT *,
+         |    CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END AS precision_ppm,
+         |    CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END AS recall_ppm
+         |  FROM agg)
+         |SELECT threshold_ppm, tp, fp, fn, tn,
+         |  CAST(precision_ppm AS BIGINT) AS precision_ppm,
+         |  CAST(recall_ppm AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN precision_ppm + recall_ppm > 0
+         |    THEN (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm)
+         |    END AS BIGINT) AS f1_ppm
+         |FROM pr ORDER BY threshold_ppm""".stripMargin,
     // The md5-first-byte bucket is two hex nibbles via the strpos
     // alphabet trick (the dd_simhash oracle pattern); the log-ratio is
     // the deterministic fixed-point log2 of an exact integer rational
