@@ -115,8 +115,34 @@ object ClassifyQueries {
           col("m.cd").as("pred_lang"), (-col("m.ns")).as("score_micro"),
           (col("m.cd") === col("lang")).as("correct"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // FEATURE HASHING (the "hashing trick", Weinberger et al. 2009) —
+    // the fixed-width featurizer that makes unbounded vocabularies
+    // trainable: token → bucket h(w) mod D with a second hash bit
+    // choosing ±1 (signed sums make collisions cancel in expectation,
+    // keeping the hashed dot product unbiased). Both hashes read the
+    // engine-shared md5 hex (first byte → bucket, third nibble →
+    // sign — the pipe_dsir bucket convention), so the sparse vectors
+    // are bit-identical across engines with NO shared dictionary —
+    // the property that lets 1000 executors featurize independently
+    // with zero coordination, the whole point of the trick at 100 TB.
+    // Output: sparse (doc_id, j, val) rows; touched-but-cancelled
+    // buckets keep their explicit 0 (they carry collision evidence).
+    "ta_feature_hash" -> ((s, dir) =>
+      docWords(s, dir)
+        .withColumn("j",
+          conv(substring(md5(col("word")), 1, 2), 16, 10).cast("long") % FhDim)
+        .withColumn("sgn",
+          when(conv(substring(md5(col("word")), 3, 1), 16, 10)
+            .cast("long") < 8L, 1L).otherwise(-1L))
+        .groupBy("doc_id", "j")
+        .agg(sum(col("sgn")).as("val"), count(lit(1)).as("n_hits"))
+        .orderBy("doc_id", "j"))
   )
+
+  /** Hashed feature dimension (buckets). */
+  val FhDim = 64
 
   /** Shared model CTEs (DuckDB): counts / vocab / per-lang frames plus
     * the fixed-point prior and unseen-word scores. Enclosing statement
@@ -194,6 +220,23 @@ object ClassifyQueries {
          |SELECT doc_id, lang, cand AS pred_lang,
          |  CAST(score AS BIGINT) AS score_micro,
          |  cand = lang AS correct
-         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // md5 nibbles via the strpos alphabet trick (the dd_simhash /
+    // pipe_dsir convention).
+    "ta_feature_hash" ->
+      s"""WITH dw AS (
+         |  SELECT doc_id, unnest(${OracleSql.toks}) AS word FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(((strpos('0123456789abcdef', substring(md5(word), 1, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substring(md5(word), 2, 1)) - 1))
+         |       % $FhDim AS BIGINT) AS j,
+         |    CASE WHEN strpos('0123456789abcdef', substring(md5(word), 3, 1)) - 1 < 8
+         |      THEN 1 ELSE -1 END AS sgn
+         |  FROM dw)
+         |SELECT doc_id, j, CAST(sum(sgn) AS BIGINT) AS val,
+         |  CAST(count(*) AS BIGINT) AS n_hits
+         |FROM h GROUP BY 1, 2 ORDER BY doc_id, j""".stripMargin
   )
 }

@@ -1535,8 +1535,61 @@ object EventQueries {
           expr("(max_key_rows * n_keys + n_rows - 1) DIV n_rows"))
         .select("n_rows", "n_keys", "top_key", "max_key_rows", "skew4",
           "suggested_salt")
+    }),
+
+    // POISSON BOOTSTRAP CI for the mean event value — the standard
+    // uncertainty readout for any pipeline metric, in the form that
+    // actually scales: multinomial resampling needs a global draw of
+    // size n (impossible to distribute), the Poisson(1) approximation
+    // gives every row an INDEPENDENT weight, so all B replicas ride
+    // one corpus scan (row × replica, map-side reduced to B partial
+    // sums — Chamandy et al.'s "Estimating Uncertainty for Massive
+    // Data Streams", the canonical Google large-scale bootstrap).
+    // Determinism: the weight is the inverse-CDF bucket of the
+    // md5(event_id, b) first byte (P(0)=P(1)=94/256, P(2)=47/256,
+    // P(3)=16/256, P(4)=5/256 — the 256-grain quantization of
+    // Poisson(1)), so both engines draw THE SAME resamples. Replica
+    // means in exact micro-cents (floor), CI = order statistics 2/16/31
+    // of the 32 sorted replica means — no interpolation, no float.
+    "ev_bootstrap_ci" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Tables.events(s, dir)
+        .select(col("event_id"),
+          expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
+            .as("c"))
+      val reps = (0 until BootReplicas).map(_.toLong).toDF("b")
+      val weighted = cents.crossJoin(broadcast(reps))
+        .withColumn("h", conv(substring(
+          md5(concat_ws("_", col("event_id").cast("string"),
+            col("b").cast("string"))), 1, 2), 16, 10)
+          .cast("long"))
+        .withColumn("w", when(col("h") < 94, 0L)
+          .when(col("h") < 188, 1L)
+          .when(col("h") < 235, 2L)
+          .when(col("h") < 251, 3L)
+          .otherwise(4L))
+      val repMeans = weighted.groupBy("b")
+        .agg(sum(col("w") * col("c")).as("num"), sum(col("w")).as("den"))
+        .withColumn("mean_micro", expr("(num * 1000000) DIV den"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("mean_micro"))
+      val stats = repMeans
+        .withColumn("rn", row_number().over(w)) // 32-row frame: the
+        // unpartitioned window is replica-bounded, never corpus-sized
+        .agg(
+          max(when(col("rn") === 2, col("mean_micro"))).as("boot_lo_micro"),
+          max(when(col("rn") === 16, col("mean_micro"))).as("boot_med_micro"),
+          max(when(col("rn") === 31, col("mean_micro"))).as("boot_hi_micro"),
+          count(lit(1)).as("n_replicas"))
+      val point = cents.agg(count(lit(1)).as("n_rows"),
+        expr("(sum(c) * 1000000) DIV count(1)").as("point_mean_micro"))
+      point.crossJoin(broadcast(stats))
+        .select("n_rows", "point_mean_micro", "boot_lo_micro",
+          "boot_med_micro", "boot_hi_micro", "n_replicas")
     })
   )
+
+  /** Bootstrap replica count (ev_bootstrap_ci). */
+  val BootReplicas = 32
 
   val oracleSql: Map[String, String] = Map(
     "ev_new_vs_returning" ->
@@ -2464,6 +2517,54 @@ object EventQueries {
         |  round(CAST(max_key_rows * n_keys AS DOUBLE)
         |    / CAST(n_rows AS DOUBLE), 4) AS skew4,
         |  (max_key_rows * n_keys + n_rows - 1) // n_rows AS suggested_salt
-        |FROM tot CROSS JOIN top""".stripMargin
+        |FROM tot CROSS JOIN top""".stripMargin,
+
+    // Same md5-first-byte nibble trick as pipe_dsir; the Poisson
+    // inverse-CDF thresholds are shared byte cutoffs.
+    "ev_bootstrap_ci" -> {
+      val hx = "strpos('0123456789abcdef', substring(md5(" +
+        "CAST(c.event_id AS VARCHAR) || '_' || CAST(r.b AS VARCHAR)), %d, 1)) - 1"
+      s"""WITH cents AS (
+         |  SELECT event_id,
+         |    CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS c
+         |  FROM events),
+         |reps AS (
+         |  SELECT CAST(i AS BIGINT) AS b
+         |  FROM UNNEST(range(0, $BootReplicas)) AS u(i)),
+         |wtd AS (
+         |  SELECT b, c,
+         |    CASE WHEN h < 94 THEN 0 WHEN h < 188 THEN 1 WHEN h < 235 THEN 2
+         |         WHEN h < 251 THEN 3 ELSE 4 END AS w
+         |  FROM (
+         |    SELECT r.b, c.c,
+         |      (${hx.format(1)}) * 16 + (${hx.format(2)}) AS h
+         |    FROM cents c CROSS JOIN reps r)),
+         |rm AS (
+         |  SELECT b, CAST(sum(w * c) AS BIGINT) AS num,
+         |    CAST(sum(w) AS BIGINT) AS den
+         |  FROM wtd GROUP BY 1),
+         |ranked AS (
+         |  SELECT (num * 1000000) // den AS mean_micro,
+         |    row_number() OVER (ORDER BY (num * 1000000) // den) AS rn
+         |  FROM rm),
+         |st AS (
+         |  SELECT
+         |    CAST(max(CASE WHEN rn = 2 THEN mean_micro END) AS BIGINT)
+         |      AS boot_lo_micro,
+         |    CAST(max(CASE WHEN rn = 16 THEN mean_micro END) AS BIGINT)
+         |      AS boot_med_micro,
+         |    CAST(max(CASE WHEN rn = 31 THEN mean_micro END) AS BIGINT)
+         |      AS boot_hi_micro,
+         |    CAST(count(*) AS BIGINT) AS n_replicas
+         |  FROM ranked),
+         |pt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST((sum(c) * 1000000) // count(*) AS BIGINT)
+         |      AS point_mean_micro
+         |  FROM cents)
+         |SELECT pt.n_rows, pt.point_mean_micro, st.boot_lo_micro,
+         |  st.boot_med_micro, st.boot_hi_micro, st.n_replicas
+         |FROM pt CROSS JOIN st""".stripMargin
+    }
   )
 }

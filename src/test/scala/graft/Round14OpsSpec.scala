@@ -125,6 +125,33 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(train.forall(r => r.getLong(5) < 0L && r.getLong(6) < 0L))
   }
 
+  test("ta_feature_hash: signed sums bounded by hit counts; mass conserved") {
+    val rows = SparkEntry.queries("ta_feature_hash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getLong(2); val n = r.getLong(3)
+      assert(math.abs(v) <= n, s"$r")
+      assert((n - math.abs(v)) % 2 == 0, s"parity: $r") // ±1 signs only
+      assert(r.getLong(1) >= 0L && r.getLong(1) < operators.ClassifyQueries.FhDim)
+    }
+    // Σ hits per doc == that doc's token count
+    val hits = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    val toks = SparkEntry.queries("ta_tokens")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hits.foreach { case (d, h) => assert(h == toks(d), s"doc $d") }
+  }
+
+  test("ev_bootstrap_ci: ordered CI brackets the point estimate") {
+    val r = SparkEntry.queries("ev_bootstrap_ci")(spark, sf).collect().head
+    val (point, lo, med, hi) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(lo <= med && med <= hi)
+    // P(point outside the 2nd..31st order stats of 32 centered
+    // replicas) ~ 1e-8 — a genuine contract, not a flaky pin
+    assert(lo <= point && point <= hi, s"point=$point ci=[$lo,$hi]")
+    assert(r.getLong(5) == operators.EventQueries.BootReplicas.toLong)
+  }
+
   test("exp2microCtes mirrors the Scala k-domain guard") {
     val sql = operators.OracleSql.exp2microCtes("t", "rel", Seq("k1"))
     assert(sql.contains("ex2k < -63 OR ex2k > 42"),
