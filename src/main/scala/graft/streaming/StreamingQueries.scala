@@ -68,6 +68,31 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // STREAMING TOP-K PER WINDOW — the live leaderboard shape
+    // (trending items, noisiest tenants): the STREAM maintains the
+    // incremental per-(window, user) counts — that is the stateful
+    // part, O(open windows × active users) under the watermark — and
+    // the rank-and-cut runs on the drained aggregate table, the
+    // standard split (a streaming aggregation cannot nest a ranking
+    // window, and the sink-side aggregate is windows×users, nowhere
+    // near event volume). Ties break toward the smaller user id, so
+    // the leaderboard is deterministic.
+    "st_topk_window" -> ((s, dir) => {
+      val (staged, schema) = stageEvents(s, dir)
+      val stream = s.readStream.schema(schema).parquet(staged)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour"))
+        .orderBy(col("n_events").desc, col("user_id").asc)
+      drain(s, stream, "st_topk_window")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("hour", "rank")
+    }),
+
     // Streaming dual of ev_tumbling_hour, through the full streaming
     // machinery: watermarked event-time tumbling window, incremental
     // state, memory sink. Same aggregate expressions as the batch
@@ -281,6 +306,18 @@ object StreamingQueries {
          |  count(*) AS n_events,
          |  ${OracleSql.dsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "st_topk_window" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS hour, user_id,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT hour, user_id, n_events,
+        |    CAST(row_number() OVER (PARTITION BY hour
+        |      ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT hour, user_id, n_events, rank
+        |FROM r WHERE rank <= 3 ORDER BY hour, rank""".stripMargin,
     "st_sliding_15m" ->
       s"""SELECT time_bucket(INTERVAL '5 minutes', ts)
          |         - k * INTERVAL '5 minutes' AS win_start,
