@@ -389,48 +389,65 @@ object StarQueries2 {
       val cents = Tables.lineitem(s, dir)
         .select(col("l_returnflag"),
           expr("CAST(floor(l_extendedprice * 100.0D + 0.5D) AS BIGINT)").as("c"))
-      // prices are near-unique → the cents histogram is ~corpus-sized;
-      // materialize only the ≤10k-row BUCKET frame (the cents frame is
-      // re-derived per leg — two cheap scans beat checkpointing 600k
-      // wide rows; measured 1.86 → well under 1 s)
-      val hist = cents.groupBy("l_returnflag", "c")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("bucket", expr("c DIV 1024"))
+      // prices are near-unique, so a per-cents histogram would be
+      // ~corpus-sized (594k distinct keys — 0.9 s of hash aggregation
+      // per pass; the round-9 shape built it once per leg, 2.9 s
+      // total). This shape never builds it: pass 1 aggregates the
+      // corpus STRAIGHT into the ≤10k-row bucket frame (the sketch —
+      // 0.4 s), both legs pick their buckets there, and pass 2
+      // re-scans the corpus through a broadcast semi-filter that
+      // keeps only the ~2 selected buckets per flag (≈0.3% of rows)
+      // before any per-cents work — the in-bucket cumsum then runs
+      // over ≤1024-distinct-cents (flag, tag) partitions, the radix
+      // class. Two corpus scans, zero corpus-sized aggregations.
       val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
-      val bh = hist.groupBy("l_returnflag", "bucket")
-        .agg(sum(col("cnt")).as("bcnt"))
+      val bh = cents
+        .select(col("l_returnflag"), expr("c DIV 1024").as("bucket"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("bcnt"))
         .withColumn("cum", sum(col("bcnt")).over(
           wB.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("n", sum(col("bcnt")).over(
           Window.partitionBy(col("l_returnflag"))))
-        .localCheckpoint(false) // both quantile legs read this bounded frame
-      def leg(tag: String, num: Int, den: Int) = {
-        val rank = expr(s"(n * $num + $den - 1) DIV $den") // ⌈p·n⌉
-        val b = bh.withColumn("rank", rank)
-          .filter(col("cum") >= col("rank"))
-          .groupBy("l_returnflag")
-          .agg(min(col("bucket")).as("b"),
-            max(col("rank")).as("rank"), max(col("n")).as("n"))
-        val before = b.join(bh.select(col("l_returnflag"),
-            col("bucket"), (col("cum") - col("bcnt")).as("cum_before")),
-          Seq("l_returnflag"))
-          .filter(col("bucket") === col("b"))
-          .select(col("l_returnflag"), col("b"), col("rank"), col("n"),
-            col("cum_before"))
-        val wC = Window.partitionBy(col("l_returnflag")).orderBy(col("c"))
-        val exact = before.join(hist, Seq("l_returnflag"))
-          .filter(col("bucket") === col("b"))
-          .withColumn("cum_in", sum(col("cnt")).over(
-            wC.rowsBetween(Window.unboundedPreceding, 0)))
-          .filter(col("cum_before") + col("cum_in") >= col("rank"))
-          .groupBy("l_returnflag")
-          .agg(min(col("c")).as(s"exact_${tag}_cents"),
-            max((col("b") + 1) * 1024 - 1).as(s"est_${tag}_cents"),
-            max(col("n")).as("n_rows"))
-        exact
-      }
-      leg("median", 1, 2)
-        .join(leg("p95", 19, 20).drop("n_rows"), "l_returnflag")
+        .localCheckpoint(false) // ≤10k-row bucket frame: legs + cum_before
+      import s.implicits._
+      val tags = Seq(("median", 1L, 2L), ("p95", 19L, 20L))
+        .toDF("tag", "num", "den")
+      val sel = bh.crossJoin(broadcast(tags))
+        .withColumn("rank", expr("(n * num + den - 1) DIV den")) // ⌈p·n⌉
+        .filter(col("cum") >= col("rank"))
+        .groupBy("l_returnflag", "tag")
+        .agg(min(col("bucket")).as("b"),
+          max(col("rank")).as("rank"), max(col("n")).as("n"))
+      val before = sel.join(bh.select(col("l_returnflag"),
+          col("bucket"), (col("cum") - col("bcnt")).as("cum_before")),
+        Seq("l_returnflag"))
+        .filter(col("bucket") === col("b"))
+        .select(col("l_returnflag").as("bf"), col("tag"), col("b"),
+          col("rank"), col("n"), col("cum_before"))
+      val wIn = Window.partitionBy(col("bf"), col("tag")).orderBy(col("c"))
+      val legs = cents.join(broadcast(before),
+          col("l_returnflag") === col("bf") &&
+            expr("c DIV 1024") === col("b"))
+        .groupBy("bf", "tag", "c", "b", "rank", "n", "cum_before")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_in", sum(col("cnt")).over(
+          wIn.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("cum_before") + col("cum_in") >= col("rank"))
+        .groupBy(col("bf").as("l_returnflag"), col("tag"))
+        .agg(min(col("c")).as("exact_cents"),
+          max((col("b") + 1) * 1024 - 1).as("est_cents"),
+          max(col("n")).as("n_rows"))
+      legs.groupBy("l_returnflag")
+        .agg(max(col("n_rows")).as("n_rows"),
+          max(when(col("tag") === "median", col("est_cents")))
+            .as("est_median_cents"),
+          max(when(col("tag") === "median", col("exact_cents")))
+            .as("exact_median_cents"),
+          max(when(col("tag") === "p95", col("est_cents")))
+            .as("est_p95_cents"),
+          max(when(col("tag") === "p95", col("exact_cents")))
+            .as("exact_p95_cents"))
         .select("l_returnflag", "n_rows",
           "est_median_cents", "exact_median_cents",
           "est_p95_cents", "exact_p95_cents")
