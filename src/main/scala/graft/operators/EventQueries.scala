@@ -785,6 +785,86 @@ object EventQueries {
         .orderBy("state")
     }),
 
+    // MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016) — the
+    // principled multi-touch attribution model: channel c's credit is
+    // how much the chain's conversion probability DROPS when c is
+    // deleted (every journey through c dies), normalized across
+    // channels. Strictly more defensible than last-touch/position
+    // heuristics because it prices actual path structure. Built on
+    // the shared [[transitionMicro]] chain: one variants dimension
+    // ('none' + one per removable state) crossed against the
+    // transition frame, then the SAME fixed-round integer absorption
+    // iteration as ev_absorption, grouped by variant — K+1 chains
+    // solved in one dataflow, each round one join + one aggregation
+    // on a (variants × states²)-bounded frame (event-type vocabulary
+    // = schema constant; the corpus is touched only by the shared
+    // transition counts and the first-touch frame). Conversion reads
+    // from each user's FIRST event type (the entry distribution).
+    // Monotone by construction — removal only deletes summands and
+    // the per-round floor is monotone, so effect ≥ 0 exactly.
+    "ev_attribution_removal" -> ((s, dir) => {
+      val p = transitionMicro(s, dir).select("cur", "nxt", "pm")
+      val states = p.select(col("cur").as("state"))
+        .unionAll(p.select(col("nxt").as("state"))).distinct()
+        .localCheckpoint(false)
+      val variants = states.filter(col("state") =!= "purchase")
+        .select(col("state").as("rem"))
+        .unionAll(states.sparkSession.range(1).select(lit("none").as("rem")))
+        .localCheckpoint(false)
+      val pv = p.crossJoin(broadcast(variants))
+        .filter(col("cur") =!= col("rem") && col("nxt") =!= col("rem"))
+        .localCheckpoint(false)
+      val sv = states.crossJoin(broadcast(variants))
+        .filter(col("state") =!= col("rem"))
+        .localCheckpoint(false)
+      var ab = sv.select(col("rem"), col("state"),
+        when(col("state") === "purchase", lit(1000000L))
+          .otherwise(lit(0L)).as("am"))
+      (1 to MarkovPowerRounds).foreach { _ =>
+        val stepped = pv
+          .join(ab.select(col("rem"), col("state").as("nxt"), col("am")),
+            Seq("rem", "nxt"))
+          .groupBy(col("rem"), col("cur").as("state"))
+          .agg(expr("sum(pm * am) DIV 1000000").as("step"))
+        ab = sv
+          .join(stepped, Seq("rem", "state"), "left")
+          .select(col("rem"), col("state"),
+            when(col("state") === "purchase", lit(1000000L))
+              .otherwise(coalesce(col("step"), lit(0L))).as("am"))
+          .localCheckpoint(false)
+      }
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val first = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(wU))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type").as("state"))
+        .agg(count(lit(1)).as("sn"))
+      val nUsers = first.agg(sum(col("sn")).as("nu"))
+      val conv = first.crossJoin(broadcast(variants))
+        .join(ab, Seq("rem", "state"), "left")
+        .groupBy("rem")
+        .agg(sum(col("sn") * coalesce(col("am"), lit(0L))).as("mass"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("rem"), expr("mass DIV nu").as("conv_micro"))
+        .localCheckpoint(false)
+      val base = conv.filter(col("rem") === "none")
+        .select(col("conv_micro").as("conv_base_micro"))
+      val eff = conv.filter(col("rem") =!= "none")
+        .crossJoin(broadcast(base))
+        .withColumn("effect_micro",
+          col("conv_base_micro") - col("conv_micro"))
+      val tot = eff.agg(sum(col("effect_micro")).as("teff"))
+      eff.crossJoin(broadcast(tot))
+        .select(col("rem").as("channel"), col("conv_base_micro"),
+          col("conv_micro").as("conv_removed_micro"), col("effect_micro"),
+          expr("CASE WHEN teff > 0 THEN (effect_micro * 1000000) DIV teff END")
+            .as("attribution_ppm"))
+        .orderBy("channel")
+    }),
+
     // SEASONAL PROFILE — the (day-of-week × hour-of-day) occupancy
     // matrix capacity planning reads before any forecast: counts plus
     // each cell's share of its weekday in integer ppm. One scan into
@@ -2275,6 +2355,75 @@ object EventQueries {
          |ORDER BY event_type, level""".stripMargin
     },
     // First-passage recurrence unrolled, absorber clamped each round.
+    // The removal variants share one unrolled absorption recursion,
+    // keyed by `rem`; MATERIALIZED keeps each round's reference to
+    // the previous one linear.
+    "ev_attribution_removal" -> {
+      def round(r: Int) = {
+        val p = r - 1
+        s"""stp$r AS MATERIALIZED (
+           |  SELECT pv.rem, pv.cur AS state,
+           |    CAST(sum(pv.pm * ab.am) // 1000000 AS BIGINT) AS step
+           |  FROM pv JOIN ab$p ab ON ab.rem = pv.rem AND ab.state = pv.nxt
+           |  GROUP BY 1, 2),
+           |ab$r AS MATERIALIZED (
+           |  SELECT sv.rem, sv.state,
+           |    CASE WHEN sv.state = 'purchase' THEN 1000000
+           |         ELSE COALESCE(st.step, 0) END AS am
+           |  FROM sv LEFT JOIN stp$r st
+           |    ON st.rem = sv.rem AND st.state = sv.state)""".stripMargin
+      }
+      s"""WITH $transitionMicroSql,
+         |states AS MATERIALIZED (
+         |  SELECT DISTINCT state FROM (
+         |    SELECT cur AS state FROM p UNION ALL SELECT nxt FROM p)),
+         |vars AS MATERIALIZED (
+         |  SELECT state AS rem FROM states WHERE state <> 'purchase'
+         |  UNION ALL SELECT 'none'),
+         |pv AS MATERIALIZED (
+         |  SELECT v.rem, p.cur, p.nxt, p.pm FROM p, vars v
+         |  WHERE p.cur <> v.rem AND p.nxt <> v.rem),
+         |sv AS MATERIALIZED (
+         |  SELECT v.rem, s.state FROM states s, vars v
+         |  WHERE s.state <> v.rem),
+         |ab0 AS (
+         |  SELECT rem, state,
+         |    CASE WHEN state = 'purchase' THEN 1000000 ELSE 0 END AS am
+         |  FROM sv),
+         |${(1 to MarkovPowerRounds).map(round).mkString(",\n")},
+         |fs AS MATERIALIZED (
+         |  SELECT event_type AS state, CAST(count(*) AS BIGINT) AS sn
+         |  FROM (
+         |    SELECT user_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS rn
+         |    FROM events) WHERE rn = 1 GROUP BY 1),
+         |nu AS (SELECT CAST(sum(sn) AS BIGINT) AS nu FROM fs),
+         |conv AS MATERIALIZED (
+         |  SELECT v.rem,
+         |    CAST(sum(fs.sn * COALESCE(ab.am, 0))
+         |      // (SELECT nu FROM nu) AS BIGINT) AS conv_micro
+         |  FROM fs CROSS JOIN vars v
+         |  LEFT JOIN ab$MarkovPowerRounds ab
+         |    ON ab.rem = v.rem AND ab.state = fs.state
+         |  GROUP BY 1),
+         |base AS (
+         |  SELECT conv_micro AS conv_base_micro FROM conv
+         |  WHERE rem = 'none'),
+         |eff AS MATERIALIZED (
+         |  SELECT c.rem AS channel, b.conv_base_micro,
+         |    c.conv_micro AS conv_removed_micro,
+         |    b.conv_base_micro - c.conv_micro AS effect_micro
+         |  FROM conv c CROSS JOIN base b WHERE c.rem <> 'none'),
+         |te AS (SELECT CAST(sum(effect_micro) AS BIGINT) AS teff FROM eff)
+         |SELECT e.channel, e.conv_base_micro, e.conv_removed_micro,
+         |  e.effect_micro,
+         |  CASE WHEN t.teff > 0
+         |    THEN CAST((e.effect_micro * 1000000) // t.teff AS BIGINT)
+         |    END AS attribution_ppm
+         |FROM eff e CROSS JOIN te t ORDER BY channel""".stripMargin
+    },
+
     "ev_absorption" -> {
       val rounds = (1 to MarkovPowerRounds).map { r =>
         s"""a$r AS (

@@ -152,6 +152,21 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(r.getLong(5) == operators.EventQueries.BootReplicas.toLong)
   }
 
+  test("ev_attribution_removal: monotone effects, shares sum to one") {
+    val rows = SparkEntry.queries("ev_attribution_removal")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val base = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == base, "one shared baseline")
+      assert(r.getLong(2) <= base, "removal can only lose conversions")
+      assert(r.getLong(3) == base - r.getLong(2))
+      assert(r.getLong(3) >= 0L)
+    }
+    val shares = rows.map(_.getLong(4))
+    assert(shares.sum <= 1000000L && shares.sum >= 1000000L - rows.length,
+      s"floor-normalized shares: ${shares.sum}")
+  }
+
   test("exp2microCtes mirrors the Scala k-domain guard") {
     val sql = operators.OracleSql.exp2microCtes("t", "rel", Seq("k1"))
     assert(sql.contains("ex2k < -63 OR ex2k > 42"),
