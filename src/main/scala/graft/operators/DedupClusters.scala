@@ -191,7 +191,74 @@ object DedupClusters {
     labels
   }
 
+  /** DBSCAN ε (cosine floor — looser than dd_embed_cos's 0.3
+    * near-dup bar: density clustering wants the NEIGHBORHOOD graph,
+    * and at 0.3 the corpus is almost all noise) and core minimum
+    * neighbor count.
+    */
+  val DbscanEps = 0.2
+  val DbscanMinPts = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DBSCAN over the embedding space — density clustering, the
+    // noise-aware counterpart of the k-means family (clusters of any
+    // shape, outliers labeled noise instead of polluting a centroid):
+    // ε-neighbors = sign-bucket-blocked pairs with cosine ≥ ε (the
+    // dd_embed_cos graph — the bucketing IS the index, same recall
+    // contract), core points have ≥ MinPts neighbors, clusters =
+    // connected components over CORE–CORE edges (the standard
+    // distributed DBSCAN reduction), border points attach to the
+    // minimum core-neighbor cluster (deterministic), everything else
+    // is noise. All set algebra on the edge frame — joins and
+    // aggregations keyed by vector id, the shared CC operator for
+    // the transitive step; nothing corpus-quadratic (pair volume is
+    // bucket-bounded by the computed sign-bucket dial).
+    "dd_dbscan" -> ((s, dir) => {
+      val v = Vec.bucketedVectors(Tables.embeddings(s, dir))
+        .select("vec_id", "e", "bucket", "nrm")
+      val pairs = v.as("a").join(v.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", round(
+          TextOps.dot(col("a.e"), col("b.e")) /
+            (col("a.nrm") * col("b.nrm")), 4))
+        .filter(col("cos") >= DbscanEps)
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .localCheckpoint(false) // degree, core filter, CC, border reuse
+      val nbrs = pairs.select(col("va").as("id"), col("vb").as("nbr"))
+        .unionAll(pairs.select(col("vb").as("id"), col("va").as("nbr")))
+      val deg = nbrs.groupBy("id").agg(count(lit(1)).as("n_neighbors"))
+      val core = deg.filter(col("n_neighbors") >= DbscanMinPts)
+        .select("id").localCheckpoint(false)
+      val coreEdges = pairs
+        .join(core.select(col("id").as("va")), Seq("va"))
+        .join(core.select(col("id").as("vb")), Seq("vb"))
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      val coreLab = core.join(
+          connectedComponents(coreEdges), Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("cl"))
+        .localCheckpoint(false) // read by core rows AND border attach
+      val border = nbrs
+        .join(coreLab.select(col("id").as("nbr"), col("cl")), Seq("nbr"))
+        .join(core.withColumnRenamed("id", "idc"),
+          col("id") === col("idc"), "left_anti")
+        .groupBy("id").agg(min(col("cl")).as("bcl"))
+      Tables.embeddings(s, dir).select(col("vec_id"))
+        .join(deg.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .join(coreLab.select(col("id").as("vec_id"), col("cl")),
+          Seq("vec_id"), "left")
+        .join(border.select(col("id").as("vec_id"), col("bcl")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("cl").isNotNull, "core")
+            .when(col("bcl").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("cl"), col("bcl")).as("cluster_id"),
+          coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+        .orderBy("vec_id")
+    }),
+
     // Duplicate clusters from the LSH→verify pairs (jaccard ≥ 0.5):
     // every doc appearing in a verified pair, labeled with its
     // component's minimum doc_id, plus the component size.
@@ -428,6 +495,55 @@ object DedupClusters {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    "dd_dbscan" ->
+      s"""WITH RECURSIVE v AS (${OracleSql.vectors}),
+         |prs AS MATERIALIZED (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)
+         |    >= $DbscanEps),
+         |nbrs AS MATERIALIZED (
+         |  SELECT va AS id, vb AS nbr FROM prs
+         |  UNION ALL SELECT vb, va FROM prs),
+         |deg AS MATERIALIZED (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS n_neighbors
+         |  FROM nbrs GROUP BY 1),
+         |core AS MATERIALIZED (
+         |  SELECT id FROM deg WHERE n_neighbors >= $DbscanMinPts),
+         |ce AS MATERIALIZED (
+         |  SELECT p.va, p.vb FROM prs p
+         |  JOIN core ca ON ca.id = p.va
+         |  JOIN core cb ON cb.id = p.vb),
+         |edges AS (
+         |  SELECT va AS src, vb AS dst FROM ce
+         |  UNION SELECT vb, va FROM ce),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges
+         |    ON reach.r = edges.src),
+         |comp AS (SELECT id, least(id, min(r)) AS lbl FROM reach GROUP BY id),
+         |corelab AS MATERIALIZED (
+         |  SELECT c.id, COALESCE(comp.lbl, c.id) AS cl
+         |  FROM core c LEFT JOIN comp ON comp.id = c.id),
+         |border AS MATERIALIZED (
+         |  SELECT n.id, min(cl.cl) AS bcl
+         |  FROM nbrs n
+         |  JOIN corelab cl ON cl.id = n.nbr
+         |  WHERE n.id NOT IN (SELECT id FROM core)
+         |  GROUP BY 1)
+         |SELECT e.vec_id,
+         |  CASE WHEN c.cl IS NOT NULL THEN 'core'
+         |       WHEN b.bcl IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  COALESCE(c.cl, b.bcl) AS cluster_id,
+         |  COALESCE(d.n_neighbors, 0) AS n_neighbors
+         |FROM embeddings e
+         |LEFT JOIN deg d ON d.id = e.vec_id
+         |LEFT JOIN corelab c ON c.id = e.vec_id
+         |LEFT JOIN border b ON b.id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
     // Same clusters from first principles: transitive closure with a
     // recursive CTE (UNION, not UNION ALL — dedup makes cycles
     // terminate), component id = min reachable doc_id.

@@ -701,6 +701,48 @@ object TextAnalysis {
     // the trigram/bigram model joins shuffle on their word keys (the
     // n-gram tables grow with vocabulary — see the join comment);
     // unigram marginals broadcast; one doc-keyed aggregation.
+    // KNESER–NEY BIGRAM SMOOTHING — the LM-smoothing gold standard
+    // (Chen & Goodman 1999), completing the family above
+    // (ta_bigram_lm = MLE, ta_trigram_backoff = stupid backoff):
+    // p(w|u) = max(c(u,w) − D, 0)/c(u) + λ(u)·p_cont(w), with the
+    // CONTINUATION unigram p_cont(w) = N1+(·w)/N1+(··) — "how many
+    // contexts does w complete" — the insight that makes KN beat
+    // count-based backoff on novel bigrams. D = 3/4 exactly: the
+    // whole contract multiplies through by 4 (max(4c−3, 0) over 4·c1)
+    // so the discount never leaves integers, and all three floors
+    // (discounted term, λ, λ·p_cont product) happen in the same
+    // order on both engines. One bigram count frame feeds all four
+    // statistics (context totals, context fan-out N1+(u·),
+    // continuation counts N1+(·w), the global type count); the
+    // support floor c ≥ 3 bounds the reported frame the same way
+    // ta_collocations does.
+    "ta_kn_bigram" -> ((s, dir) => {
+      val c2f = Tables.documents(s, dir)
+        .select(explode(
+          graft.functions.WordShingles.word_shingles(col("text"), 2)).as("bg"))
+        .select(
+          element_at(split(col("bg"), " ", -1), 1).as("w1"),
+          element_at(split(col("bg"), " ", -1), 2).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .localCheckpoint(false) // four statistics read one count frame
+      val c1 = c2f.groupBy("w1")
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1u"))
+      val n1w = c2f.groupBy("w2").agg(count(lit(1)).as("n1w"))
+      val n1all = c2f.agg(count(lit(1)).as("n1all"))
+      c2f.filter(col("c2") >= 3)
+        .join(c1, "w1").join(n1w, "w2")
+        .crossJoin(broadcast(n1all))
+        .withColumn("disc_micro",
+          expr("(greatest(4 * c2 - 3, 0L) * 1000000) DIV (4 * c1)"))
+        .withColumn("lambda_micro",
+          expr("(3 * n1u * 1000000) DIV (4 * c1)"))
+        .withColumn("pcont_micro", expr("(n1w * 1000000) DIV n1all"))
+        .withColumn("p_kn_micro",
+          expr("disc_micro + (lambda_micro * pcont_micro) DIV 1000000"))
+        .select("w1", "w2", "c2", "c1", "lambda_micro", "p_kn_micro")
+        .orderBy("w1", "w2")
+    }),
+
     "ta_trigram_backoff" -> ((s, dir) => {
       val tg = Tables.documents(s, dir)
         .select(col("doc_id"), explode(
@@ -1744,6 +1786,32 @@ object TextAnalysis {
          |FROM (SELECT DISTINCT doc_id, unnest($toksSql) AS w FROM documents)
          |GROUP BY w ORDER BY word""".stripMargin,
     // DuckDB window sum(BIGINT) yields HUGEINT → explicit BIGINT cast.
+    "ta_kn_bigram" ->
+      s"""WITH bg AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |c2f AS MATERIALIZED (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1u
+         |  FROM c2f GROUP BY 1),
+         |n1w AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w FROM c2f GROUP BY 1),
+         |n1all AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM c2f)
+         |SELECT f.w1, f.w2, f.c2, c1.c1,
+         |  CAST((3 * c1.n1u * 1000000) // (4 * c1.c1) AS BIGINT) AS lambda_micro,
+         |  CAST((greatest(4 * f.c2 - 3, 0) * 1000000) // (4 * c1.c1)
+         |    + (((3 * c1.n1u * 1000000) // (4 * c1.c1))
+         |       * ((n1w.n1w * 1000000) // n1all.n1all)) // 1000000
+         |    AS BIGINT) AS p_kn_micro
+         |FROM c2f f
+         |JOIN c1 ON c1.w1 = f.w1
+         |JOIN n1w ON n1w.w2 = f.w2
+         |CROSS JOIN n1all
+         |WHERE f.c2 >= 3
+         |ORDER BY f.w1, f.w2""".stripMargin,
     "ta_bigram_lm" ->
       s"""WITH bg AS (
          |  SELECT t[i] AS w1, t[i + 1] AS w2

@@ -167,6 +167,40 @@ class Round14OpsSpec extends AnyFunSuite {
       s"floor-normalized shares: ${shares.sum}")
   }
 
+  test("dd_dbscan: role partition covers the corpus; density invariants hold") {
+    val rows = SparkEntry.queries("dd_dbscan")(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    val byRole = rows.groupBy(_.getString(1))
+    byRole.getOrElse("core", Array.empty).foreach { r =>
+      assert(r.getLong(3) >= operators.DedupClusters.DbscanMinPts,
+        s"core with < MinPts neighbors: $r")
+      assert(!r.isNullAt(2))
+    }
+    byRole.getOrElse("border", Array.empty).foreach { r =>
+      assert(r.getLong(3) < operators.DedupClusters.DbscanMinPts &&
+        r.getLong(3) >= 1, s"$r")
+      assert(!r.isNullAt(2))
+    }
+    byRole.getOrElse("noise", Array.empty).foreach(r => assert(r.isNullAt(2)))
+    // cluster labels are the component minimum: every core's label ≤ id
+    byRole.getOrElse("core", Array.empty)
+      .foreach(r => assert(r.getLong(2) <= r.getLong(0)))
+  }
+
+  test("ta_kn_bigram: probabilities are proper and discount-dominated") {
+    val rows = SparkEntry.queries("ta_kn_bigram")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c2, c1, lam, p) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(c2 >= 3 && c1 >= c2)
+      assert(lam > 0L && lam < 1000000L, s"λ must interpolate: $r")
+      val disc = (4 * c2 - 3) * 1000000L / (4 * c1)
+      assert(p >= disc, "continuation mass only adds")
+      assert(p <= 1000000L, s"proper probability: $r")
+    }
+  }
+
   test("exp2microCtes mirrors the Scala k-domain guard") {
     val sql = operators.OracleSql.exp2microCtes("t", "rel", Seq("k1"))
     assert(sql.contains("ex2k < -63 OR ex2k > 42"),
