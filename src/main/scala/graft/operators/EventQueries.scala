@@ -997,6 +997,81 @@ object EventQueries {
     // or logging pipeline is broken; with md5-parity arms it stays
     // quiet, which is the point. Model-frame arithmetic on the 2-row
     // arm census.
+    // CUPED VARIANCE REDUCTION (Deng et al. 2013) — the standard
+    // experiment-sensitivity trick: regress each user's
+    // experiment-period metric y on their PRE-period covariate x
+    // (θ = cov(x,y)/var(x)), report per-arm means adjusted by
+    // θ·(x̄_arm − x̄); r² = the ppm variance reduction the covariate
+    // buys. Pre/post split at the corpus time midpoint (exact integer
+    // microseconds); per-user cents aggregates shuffle once by user;
+    // the five moments reduce map-side to ONE row. Moment algebra
+    // rides DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — n·Σxy-class
+    // products leave BIGINT already at ~10⁴ users × 10⁶ cents — and
+    // every division is the sign-explicit ⌊|a|/b⌋ form, where
+    // truncation (Spark div) and floor (DuckDB //) agree.
+    "ev_ab_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts)").as("um"),
+          expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
+            .as("cents"))
+      val bounds = ev.agg(min(col("um")).as("mn"), max(col("um")).as("mx"))
+        .select(expr("mn + (mx - mn) DIV 2").as("mid"))
+      val perUser = ev.crossJoin(broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("um") < col("mid"), col("cents")).otherwise(0L))
+            .as("x"),
+          sum(when(col("um") >= col("mid"), col("cents")).otherwise(0L))
+            .as("y"))
+        .withColumn("arm",
+          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long"), lit(2L)).cast("int"))
+        .localCheckpoint(false) // moments + per-arm legs share it
+      val mom = perUser.agg(
+        count(lit(1)).as("n"),
+        expr("sum(CAST(x AS DECIMAL(19,0)))").as("sx"),
+        expr("sum(CAST(y AS DECIMAL(19,0)))").as("sy"),
+        expr("sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))")
+          .as("sxx"),
+        expr("sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))")
+          .as("syy"),
+        expr("sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))")
+          .as("sxy"))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .withColumn("den", expr("n * sxx - sx * sx"))
+        .withColumn("deny", expr("n * syy - sy * sy"))
+        .withColumn("theta_micro", expr(
+          """CASE WHEN den > 0 THEN
+            |  CAST(CASE WHEN num >= 0 THEN (num * 1000000) div den
+            |       ELSE -((-num * 1000000) div den) END AS BIGINT)
+            |END""".stripMargin))
+        .withColumn("r2_ppm", expr(
+          """CASE WHEN den > 0 AND deny > 0 THEN
+            |  least((CAST((theta_micro * theta_micro) div 1000000
+            |    AS DECIMAL(38,0)) * den) div deny, 1000000L)
+            |END""".stripMargin))
+        .withColumn("xbar_all_micro", expr("(sx * 1000000) div n"))
+        .select("theta_micro", "r2_ppm", "xbar_all_micro")
+      perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+        .crossJoin(broadcast(mom))
+        .withColumn("xbar_micro", expr("(sxa * 1000000) DIV n_users"))
+        .withColumn("ybar_micro", expr("(sya * 1000000) DIV n_users"))
+        .withColumn("d", expr("xbar_micro - xbar_all_micro"))
+        .withColumn("cuped_micro", expr(
+          """ybar_micro - CASE WHEN theta_micro IS NULL THEN 0L
+            |  WHEN CAST(theta_micro AS DECIMAL(38,0)) * d >= 0
+            |    THEN CAST((CAST(theta_micro AS DECIMAL(38,0)) * d)
+            |      div 1000000 AS BIGINT)
+            |  ELSE -CAST((-(CAST(theta_micro AS DECIMAL(38,0)) * d))
+            |      div 1000000 AS BIGINT) END""".stripMargin))
+        .select("arm", "n_users", "xbar_micro", "ybar_micro",
+          "cuped_micro", "theta_micro", "r2_ppm")
+        .orderBy("arm")
+    }),
+
     "ev_ab_srm" -> ((s, dir) => {
       val arms = Tables.events(s, dir)
         .select(col("user_id")).distinct()
@@ -1944,6 +2019,77 @@ object EventQueries {
         |SELECT hour, covered_micros,
         |  CAST((covered_micros * 1000000) // 3600000000 AS BIGINT) AS util_ppm
         |FROM cov ORDER BY hour""".stripMargin,
+    // Same arm hash as ev_ab_experiment; all moment algebra HUGEINT,
+    // all divisions in the sign-explicit floor-of-abs form that
+    // matches Spark's truncating div.
+    "ev_ab_cuped" -> {
+      val hex13 = (0 until 13).map { i =>
+        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
+        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
+      }.mkString("(", " + ", ")")
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS um,
+         |    CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS cents
+         |  FROM events),
+         |b AS (SELECT min(um) + (max(um) - min(um)) // 2 AS mid FROM ev),
+         |pu AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN um < (SELECT mid FROM b) THEN cents
+         |      ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN um >= (SELECT mid FROM b) THEN cents
+         |      ELSE 0 END) AS BIGINT) AS y,
+         |    CAST($hex13 % 2 AS INT) AS arm
+         |  FROM ev GROUP BY user_id),
+         |mom AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM pu),
+         |th AS (
+         |  SELECT *,
+         |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+         |    n * syy - sy * sy AS deny
+         |  FROM mom),
+         |gl AS MATERIALIZED (
+         |  SELECT
+         |    CASE WHEN den > 0 THEN
+         |      CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+         |           ELSE -((-num * 1000000) // den) END AS BIGINT)
+         |    END AS theta_micro,
+         |    den, deny, CAST((sx * 1000000) // n AS BIGINT) AS xbar_all_micro
+         |  FROM th),
+         |gl2 AS (
+         |  SELECT theta_micro,
+         |    CASE WHEN den > 0 AND deny > 0 THEN
+         |      least((CAST((CAST(theta_micro AS HUGEINT) * theta_micro)
+         |        // 1000000 AS HUGEINT) * den) // deny, 1000000)
+         |    END AS r2_ppm,
+         |    xbar_all_micro
+         |  FROM gl),
+         |arms AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+         |  FROM pu GROUP BY arm)
+         |SELECT a.arm, a.n_users,
+         |  (a.sxa * 1000000) // a.n_users AS xbar_micro,
+         |  (a.sya * 1000000) // a.n_users AS ybar_micro,
+         |  (a.sya * 1000000) // a.n_users
+         |    - CASE WHEN g.theta_micro IS NULL THEN 0
+         |        WHEN CAST(g.theta_micro AS HUGEINT) *
+         |          ((a.sxa * 1000000) // a.n_users - g.xbar_all_micro) >= 0
+         |        THEN CAST((CAST(g.theta_micro AS HUGEINT) *
+         |          ((a.sxa * 1000000) // a.n_users - g.xbar_all_micro))
+         |          // 1000000 AS BIGINT)
+         |        ELSE -CAST((-(CAST(g.theta_micro AS HUGEINT) *
+         |          ((a.sxa * 1000000) // a.n_users - g.xbar_all_micro)))
+         |          // 1000000 AS BIGINT) END AS cuped_micro,
+         |  g.theta_micro,
+         |  CAST(g.r2_ppm AS BIGINT) AS r2_ppm
+         |FROM arms a CROSS JOIN gl2 g ORDER BY a.arm""".stripMargin
+    },
+
     "ev_ab_experiment" -> {
       // DuckDB mirror of conv(substring(md5, 1, 13), 16, 10): the
       // 13-nibble positional decode (the SketchQueries idiom).

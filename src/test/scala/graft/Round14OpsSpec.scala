@@ -201,6 +201,21 @@ class Round14OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_ab_cuped: adjustment is mean-preserving and variance reduction is bounded") {
+    val rows = SparkEntry.queries("ev_ab_cuped")(spark, sf).collect()
+    assert(rows.length == 2)
+    val theta = rows.map(_.getLong(5)).distinct
+    assert(theta.length == 1, "one shared theta")
+    rows.foreach(r => assert(r.getLong(6) >= 0L && r.getLong(6) <= 1000000L))
+    // CUPED preserves the pooled mean: Σ n·(ybar − cuped) = θ·Σ n·(xbar
+    // − x̄) ≈ 0 (exact up to per-arm micro flooring)
+    val drift = rows.map(r =>
+      r.getLong(1) * (r.getLong(3) - r.getLong(4))).sum
+    val tol = rows.map(_.getLong(1)).sum * 2 // ≤2 micro/user of floor slack
+    assert(math.abs(drift) <= tol * math.max(1L, math.abs(theta.head)) / 1000000L + tol,
+      s"pooled-mean drift $drift")
+  }
+
   test("exp2microCtes mirrors the Scala k-domain guard") {
     val sql = operators.OracleSql.exp2microCtes("t", "rel", Seq("k1"))
     assert(sql.contains("ex2k < -63 OR ex2k > 42"),
