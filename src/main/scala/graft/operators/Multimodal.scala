@@ -280,6 +280,74 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // REAL BINARY FILES, audio leg — the WAV dual of mm_png_files
+    // (round-9 mandate extended to the second modality): genuine
+    // .wav files land on disk once (sharded, no crc sidecars), come
+    // back through the `binaryFile` source, and the RIFF parser
+    // decodes the actual bytes. PCM is lossless, so the oracle pins
+    // the WHOLE chain from the documents table: the recovered payload
+    // (samples narrowed back to bytes) must md5-equal the original
+    // text — one wrong byte anywhere in encode→write→read→decode
+    // flips the hash — and energy/peak re-derive from the synth
+    // formula. Same idempotent-landing discipline as the PNG leg.
+    "mm_wav_files" -> ((s, dir) => {
+      import s.implicits._
+      val out = tmp("wav_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(out)
+      val fs0 = root.getFileSystem(conf.value)
+      val expected = Tables.documents(s, dir).filter(expr(PngSubsetPred)).count()
+      val complete = fs0.exists(root) && {
+        val it = fs0.listFiles(root, true)
+        var n = 0L
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".wav")) n += 1 }
+        n == expected
+      }
+      if (fs0.exists(root) && !complete) fs0.delete(root, true)
+      if (!complete) Tables.documents(s, dir)
+        .filter(expr(PngSubsetPred))
+        .select(col("doc_id").cast("long"), col("text"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("shard"))
+        .repartition(col("shard"))
+        .as[(Long, String, String)]
+        .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+          val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf.value)
+          fs.setWriteChecksum(false)
+          it.foreach { case (id, text, shard) =>
+            val wav = WavCodec.encode(text.getBytes("UTF-8"))
+            val p = new org.apache.hadoop.fs.Path(s"$out/shard=$shard/$id.wav")
+            val os = fs.create(p, true)
+            try os.write(wav) finally os.close()
+          }
+        }
+      s.read.format("binaryFile").load(out)
+        .select(regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+            .cast("long").as("doc_id"),
+          col("content"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val w = WavCodec.decode(bytes)
+          var energy = 0L
+          var peak = 0
+          val payload = new Array[Byte](w.samples.length)
+          var i = 0
+          while (i < w.samples.length) {
+            val sm = w.samples(i)
+            energy += sm.toLong * sm
+            if (math.abs(sm.toInt) > peak) peak = math.abs(sm.toInt)
+            payload(i) = ((sm / 256) + 128).toByte
+            i += 1
+          }
+          (id, w.samples.length.toLong, energy, peak.toLong, payload)
+        })
+        .toDF("doc_id", "n_samples", "energy", "peak_abs", "payload")
+        .select(col("doc_id"), col("n_samples"), col("energy"),
+          col("peak_abs"), md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Metadata over opaque binary payloads: byte length, checksum,
     // derived "dimensions", frame count, first-frame sample hash.
     "mm_meta" -> ((s, dir) => {
@@ -858,6 +926,26 @@ object Multimodal {
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin
     },
+
+    // PCM is lossless and the corpus is all-ASCII bytes, so the
+    // recovered payload md5 IS md5(text) and energy/peak re-derive
+    // from the per-char sample synth.
+    "mm_wav_files" ->
+      s"""WITH sub AS (SELECT * FROM documents WHERE $PngSubsetPredSql),
+         |v AS (
+         |  SELECT doc_id,
+         |    CAST((ord(substring(text, CAST(i + 1 AS INT), 1)) - 128) * 256
+         |      AS BIGINT) AS s
+         |  FROM sub, UNNEST(range(0, length(text))) AS u(i)),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+         |    CAST(sum(s * s) AS BIGINT) AS energy,
+         |    CAST(max(abs(s)) AS BIGINT) AS peak_abs
+         |  FROM v GROUP BY 1)
+         |SELECT d.doc_id, a.n_samples, a.energy, a.peak_abs,
+         |  md5(d.text) AS payload_md5
+         |FROM sub d JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // dd_clusters' recursive min-label CC over the aHash pair graph.
     "mm_phash_clusters" ->

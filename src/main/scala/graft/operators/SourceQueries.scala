@@ -39,6 +39,57 @@ object SourceQueries {
         .orderBy("n_nationkey")
     }),
 
+    // MALFORMED-CSV CENSUS — the FAILURE path of text ingestion
+    // (every roundtrip above exercises the happy path; real landing
+    // zones carry garbage): a CSV landing is written with a
+    // deterministic ~1/8 of rows corrupted (the doc_id gets a
+    // non-numeric prefix — the md5 subset rule the real-file legs
+    // use), then read back in PERMISSIVE mode with
+    // columnNameOfCorruptRecord. The census reports recovered vs
+    // quarantined rows and checksums over the SURVIVING text — the
+    // contract a production pipeline monitors (corrupt rate spikes =
+    // upstream schema drift). The oracle re-derives the partition
+    // from the same md5 rule: no parsed byte may differ from the
+    // source table. Scale: the landing write and PERMISSIVE scan are
+    // both splittable single passes; quarantine is a filter, not a
+    // job failure — the property that matters at 100 TB, where one
+    // bad row must not kill a 10⁵-task read.
+    "src_csv_malformed" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val corruptPred = "substring(md5(CAST(doc_id AS STRING)), 1, 4) < '2000'"
+      val path = tmp("docs_badcsv")
+      Tables.documents(s, dir)
+        .select(concat(
+          when(expr(corruptPred), lit("X")).otherwise(lit("")),
+          col("doc_id").cast("string"), lit(","),
+          lit("\""), regexp_replace(col("text"), "\"", "\"\""), lit("\""))
+          .as("value"))
+        .write.mode(SaveMode.Overwrite).text(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("_corrupt_record", StringType)))
+      val read = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("escape", "\"") // RFC 4180 doubled quotes, not backslash
+        .csv(path)
+        .localCheckpoint(false) // census + checksum legs share the scan
+      read.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, octet_length(col("text")))
+          .otherwise(0L)).as("good_bytes"),
+        // order-free checksum over surviving rows: Σ doc_id ⊕-free
+        // (sum of md5-prefix longs — the shard-manifest convention)
+        sum(when(col("_corrupt_record").isNull,
+          conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long"))
+          .otherwise(0L)).as("good_text_sum"))
+    }),
+
     // ORC: the second columnar format Spark ships natively (vectorized
     // reader, predicate pushdown, zlib by default). Lossless for every
     // supplier column type (BIGINT/VARCHAR/DOUBLE), so the round trip
@@ -227,6 +278,25 @@ object SourceQueries {
   val oracleSql: Map[String, String] = Map(
     "src_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    // The corrupt partition re-derives from the shared md5 subset
+    // rule; the 13-nibble decode is the shard-manifest checksum
+    // idiom.
+    "src_csv_malformed" -> {
+      val hex13 = (0 until 13).map { i =>
+        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
+        s"(strpos('0123456789abcdef', substring(md5(text), ${i + 1}, 1)) - 1)::BIGINT * $pow"
+      }.mkString("(", " + ", ")")
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+         |  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+         |  CAST(sum(CASE WHEN ok THEN length(text) ELSE 0 END) AS BIGINT)
+         |    AS good_bytes,
+         |  CAST(sum(CASE WHEN ok THEN $hex13 ELSE 0 END) AS BIGINT)
+         |    AS good_text_sum
+         |FROM (SELECT text,
+         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '2000' AS ok
+         |  FROM documents)""".stripMargin
+    },
     "src_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
     "src_xml_roundtrip" ->
