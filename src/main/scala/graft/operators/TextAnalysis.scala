@@ -518,6 +518,44 @@ object TextAnalysis {
     // bounded-by-construction shape as the RRF candidate windows.
     // top_cnt is the max over the whole vocabulary, equal to the max
     // within the top-K, so no second scan is needed.
+    // VOCAB COVERAGE CURVE — the table a tokenizer designer reads
+    // before fixing a vocabulary size: at each candidate size k
+    // (powers of 4 — sized to the synthetic corpus's 31-word
+    // vocabulary; a production run dials the same constant list up to
+    // the 2^14..2^17 range), what fraction of all token OCCURRENCES the top-k
+    // words by frequency cover (ties broken lexicographically, so the
+    // curve is deterministic). Natural corpora saturate fast (Zipf);
+    // the knee picks k. One explode→count into the vocab frame, one
+    // vocab-bounded ranking window (the ta_zipf class — never the
+    // corpus), and a 4-row threshold frame against the cumulative
+    // sums; coverage in exact integer ppm.
+    "ta_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val counts = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("word").asc)
+      val cum = counts
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n_vocab", count(lit(1)).over())
+        .withColumn("n_tokens", sum(col("cnt")).over())
+      val ks = Seq(4L, 16L, 64L, 256L).toDF("vocab_k")
+      cum.crossJoin(broadcast(ks))
+        .filter(col("rk") <= col("vocab_k"))
+        .groupBy("vocab_k")
+        .agg(max(col("cum")).as("tokens_covered"),
+          max(col("n_vocab")).as("n_vocab"),
+          max(col("n_tokens")).as("n_tokens"))
+        .withColumn("coverage_ppm",
+          expr("(tokens_covered * 1000000) DIV n_tokens"))
+        .select("vocab_k", "tokens_covered", "n_vocab", "n_tokens",
+          "coverage_ppm")
+        .orderBy("vocab_k")
+    }),
+
     "ta_zipf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, dir)
@@ -1614,6 +1652,30 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_vocab_coverage" ->
+      s"""WITH counts AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |  GROUP BY 1),
+         |cum AS (
+         |  SELECT cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)
+         |      AS rk,
+         |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum,
+         |    CAST(count(*) OVER () AS BIGINT) AS n_vocab,
+         |    CAST(sum(cnt) OVER () AS BIGINT) AS n_tokens
+         |  FROM counts),
+         |ks AS (SELECT CAST(k AS BIGINT) AS vocab_k
+         |  FROM UNNEST([4, 16, 64, 256]) AS u(k))
+         |SELECT k.vocab_k,
+         |  CAST(max(c.cum) AS BIGINT) AS tokens_covered,
+         |  max(c.n_vocab) AS n_vocab, max(c.n_tokens) AS n_tokens,
+         |  (CAST(max(c.cum) AS BIGINT) * 1000000) // max(c.n_tokens)
+         |    AS coverage_ppm
+         |FROM ks k JOIN cum c ON c.rk <= k.vocab_k
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ta_zipf" ->
       s"""WITH counts AS (
          |  SELECT w AS word, count(*) AS cnt
