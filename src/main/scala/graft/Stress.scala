@@ -302,7 +302,13 @@ object Stress {
         "ta_collocations", "ev_peak_concurrency", "ev_hour_utilization",
         "sk_kmv_intersect", "sk_cms_merge", "ev_conc_histogram",
         "ta_quality_calibration", "pipe_join_maintenance",
-        "pipe_scd2_history", "q_dq_checks")
+        "pipe_scd2_history", "q_dq_checks",
+        // round-10 rows over the amplified tables (ev_* rows ride the
+        // un-amplified events copy and are stressed by their own
+        // bounded-frame construction instead)
+        "ta_nb_train", "ta_nb_score", "ta_feature_hash", "ta_kn_bigram",
+        "ta_vocab_coverage", "ta_pr_curve", "dd_dbscan", "ss_adamic_adar",
+        "mm_frame_diff", "mm_wav_downsample", "q_approx_quantile")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")

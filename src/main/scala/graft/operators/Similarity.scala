@@ -700,6 +700,44 @@ object Similarity {
         .orderBy("query_id")
     }),
 
+    // MEAN-RECIPROCAL-RANK EVAL — the known-item metric that
+    // complements ss_ndcg_eval's graded one: each query has ONE right
+    // answer (its exact nearest neighbor), and the score is 1/rank of
+    // that answer in the served IVF list (0 when the index misses it
+    // entirely — the nprobe-too-small symptom this row exists to
+    // surface). Reciprocal ranks in exact integer micro (10⁶ DIV
+    // rank); same trained-index serving path and 5-query probe set as
+    // the ndcg row, so the two metrics are directly comparable.
+    "ss_mrr_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val q = v.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      val exact1 = broadcast(q).as("q")
+        .join(v.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"),
+          round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 4)
+            .as("score"))
+        .withColumn("rk", row_number().over(wTop).cast("int"))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("cand_id").as("exact_nn"))
+      exact1
+        .join(ivfNprobeTopk(s, dir, NProbe, NdcgK)
+            .select(col("query_id"), col("cand_id"), col("rk")),
+          Seq("query_id"), "left")
+        .groupBy("query_id")
+        .agg(min(col("exact_nn")).as("exact_nn"),
+          min(when(col("cand_id") === col("exact_nn"), col("rk")))
+            .cast("long").as("found_rank"))
+        .withColumn("rr_micro", expr(
+          "CASE WHEN found_rank IS NOT NULL THEN 1000000 DIV found_rank " +
+            "ELSE 0L END"))
+        .orderBy("query_id")
+    }),
+
     // Same rows as ss_bruteforce_topk, but via the bounded-heap
     // TopKAggregator UDAF instead of a window sort: each partial
     // aggregate keeps exactly K candidates and heaps merge, so a group
@@ -2017,6 +2055,43 @@ object Similarity {
     },
     // Discounts/prefix sums are the SAME Scala-computed integer
     // literals the Spark plan uses — no engine-side transcendental.
+    // exact top-1 + the same nprobe serving CTEs as the ndcg oracle.
+    "ss_mrr_eval" ->
+      s"""WITH $trainedAssignCtes,
+         |v AS MATERIALIZED ($vSql),
+         |av AS MATERIALIZED (
+         |  SELECT v.vec_id, v.e, v.nrm, asg.cent_id FROM v JOIN asg USING (vec_id)),
+         |exact1 AS MATERIALIZED (
+         |  SELECT query_id, cand_id AS exact_nn FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) DESC,
+         |                 c.vec_id ASC) AS rk
+         |    FROM (SELECT * FROM v WHERE vec_id >= 100 AND vec_id < 105) q
+         |    JOIN v c ON q.vec_id <> c.vec_id)
+         |  WHERE rk = 1),
+         |pr AS (
+         |  SELECT vec_id AS query_id, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS pk
+         |  FROM ad WHERE vec_id >= 100 AND vec_id < 105),
+         |approx AS (
+         |  SELECT query_id, cand_id, rk FROM (
+         |    SELECT q.query_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) DESC,
+         |                 c.vec_id ASC) AS rk
+         |    FROM (SELECT p.query_id, p.cent_id, v.e, v.nrm
+         |          FROM (SELECT query_id, cent_id FROM pr WHERE pk <= $NProbe) p
+         |          JOIN v ON p.query_id = v.vec_id) q
+         |    JOIN av c ON q.cent_id = c.cent_id AND q.query_id <> c.vec_id)
+         |  WHERE rk <= $NdcgK)
+         |SELECT e.query_id, min(e.exact_nn) AS exact_nn,
+         |  min(CASE WHEN a.cand_id = e.exact_nn THEN a.rk END) AS found_rank,
+         |  CAST(COALESCE(1000000 // min(CASE WHEN a.cand_id = e.exact_nn
+         |    THEN a.rk END), 0) AS BIGINT) AS rr_micro
+         |FROM exact1 e LEFT JOIN approx a USING (query_id)
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
     "ss_ndcg_eval" -> {
       val wVals = NdcgDiscountsMicro.zipWithIndex
         .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
