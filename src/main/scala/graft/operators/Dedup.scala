@@ -280,34 +280,8 @@ object Dedup {
     // must agree on at least one whole band (pigeonhole), so the
     // band-equality join is a complete candidate generator for d≤3.
     // Exact Hamming distance then filters via bit_count(xor).
-    "dd_simhash64_pairs" -> ((s, dir) => {
-      // Same native-long bit extraction as dd_simhash; the 64-bit
-      // majority vote is ONE typed accumulator aggregate (int[65]
-      // buffer per doc), not 64 per-bit sum columns. Candidate pairs
-      // come from [[PairGen.saltedPairs]] (single-execution plan tree)
-      // — bounded aggregation buffers even when an exact-duplicate
-      // class lands a whole corpus slice in one 16-bit band bucket.
-      val hashes = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .withColumn("hl", graft.functions.Md5PrefixLong.md5_prefix_long(col("word")))
-        .groupBy("doc_id")
-        .agg(graft.functions.SimhashAgg.simhash(64)(col("hl")).as("sh"))
-      val banded = hashes.select(col("doc_id"), col("sh"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band_idx"),
-            expr(s"(sh >> ${16 * j}) & 65535").as("band_val"))): _*)).as("bd"))
-        .select(col("doc_id"), col("sh"),
-          col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
-      PairGen.saltedPairs(
-          banded.select(col("band_idx"), col("band_val"),
-            struct(col("doc_id"), col("sh")).as("v")),
-          Seq("band_idx", "band_val"), "doc_id")
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd_simhash64_pairs" -> ((s, dir) =>
+      simhash64Pairs(s, dir).orderBy("doc_a", "doc_b")),
 
     // Exact n-gram Jaccard verification of the LSH candidates — the
     // textbook LSH→verify pipeline. Shingle-join blocking alone is
@@ -965,6 +939,38 @@ object Dedup {
         .orderBy("tier")
     })
   )
+
+  /** SimHash-64 near-dup pairs (hamming ≤ 3 via 4×16-bit banding) —
+    * the dd_simhash64_pairs body, shared with [[DedupClusters]]'s
+    * cluster-agreement audit. Same native-long bit extraction as
+    * dd_simhash; the 64-bit majority vote is ONE typed accumulator
+    * aggregate (int[65] buffer per doc), not 64 per-bit sum columns.
+    * Candidate pairs come from [[PairGen.saltedPairs]]
+    * (single-execution plan tree) — bounded aggregation buffers even
+    * when an exact-duplicate class lands a whole corpus slice in one
+    * 16-bit band bucket.
+    */
+  private[operators] def simhash64Pairs(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .withColumn("hl", graft.functions.Md5PrefixLong.md5_prefix_long(col("word")))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimhashAgg.simhash(64)(col("hl")).as("sh"))
+    val banded = hashes.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band_idx"),
+          expr(s"(sh >> ${16 * j}) & 65535").as("band_val"))): _*)).as("bd"))
+      .select(col("doc_id"), col("sh"),
+        col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
+    PairGen.saltedPairs(
+        banded.select(col("band_idx"), col("band_val"),
+          struct(col("doc_id"), col("sh")).as("v")),
+        Seq("band_idx", "band_val"), "doc_id")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
 
   /** Verified near-dup pairs (LSH candidates → exact 3-gram Jaccard
     * ≥ 0.5) — the textbook LSH→verify pipeline, exposed for
@@ -1795,4 +1801,10 @@ object Dedup {
     * as a CTE.
     */
   def ngramJaccardPairsSql: String = oracleSql("dd_ngram_jaccard")
+
+  /** DuckDB SQL for the simhash-64 banded pairs (= the
+    * dd_simhash64_pairs oracle — a full WITH query; embed as a
+    * parenthesized subquery).
+    */
+  def simhash64PairsSql: String = oracleSql("dd_simhash64_pairs")
 }

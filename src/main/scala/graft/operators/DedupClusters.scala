@@ -259,6 +259,61 @@ object DedupClusters {
         .orderBy("vec_id")
     }),
 
+    // CLUSTER-AGREEMENT AUDIT (Adjusted Rand Index) — do the two
+    // independent near-dup methods partition the corpus the same
+    // way? MinHash→Jaccard-verified clusters vs SimHash-64 clusters,
+    // compared by the pair-counting contingency: Rand = the fraction
+    // of doc pairs the two partitions treat identically, ARI = the
+    // same corrected for chance (Hubert & Arabie 1985) — THE standard
+    // before swapping one dedup parameterization for a cheaper one
+    // (high ARI ⇒ the cheap method loses little; low ⇒ they disagree
+    // and the verified method stays). Dataflow: both label frames
+    // come from the shared CC operator (singletons keep their own
+    // id), one join aligns them, and everything after is counting —
+    // the contingency cells, the per-side cluster sizes, and the
+    // C(·,2) sums, all exact integers. The ARI ratio is formed by
+    // cross-multiplying through by 2·C(n,2) so it stays integral:
+    // DECIMAL(38,0)/HUGEINT holds it to ~10⁷ docs; past that the
+    // pair counts downscale to coarser units (the ta_collocations
+    // two-stage fixed-point discipline). Sign-explicit division, so
+    // truncation matches floor across engines (ARI is negative when
+    // agreement is below chance).
+    "dd_cluster_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      def labels(pairs: DataFrame, name: String) =
+        docs.join(connectedComponents(pairs), docs("doc_id") === col("id"),
+            "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as(name))
+      val l1 = labels(Dedup.verifiedPairs(s, dir, dedup = true)
+        .select("doc_a", "doc_b"), "l1")
+      val l2 = labels(Dedup.simhash64Pairs(s, dir)
+        .select("doc_a", "doc_b"), "l2")
+      val joint = l1.join(l2, "doc_id")
+      val sij = joint.groupBy("l1", "l2").agg(count(lit(1)).as("nij"))
+        .agg(sum(expr("nij * (nij - 1) DIV 2")).as("s_ij"))
+      val sa = joint.groupBy("l1").agg(count(lit(1)).as("ai"))
+        .agg(sum(expr("ai * (ai - 1) DIV 2")).as("s_a"))
+      val sb = joint.groupBy("l2").agg(count(lit(1)).as("bj"))
+        .agg(sum(expr("bj * (bj - 1) DIV 2")).as("s_b"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      n.crossJoin(broadcast(sij)).crossJoin(broadcast(sa))
+        .crossJoin(broadcast(sb))
+        .withColumn("s_n", expr("n_docs * (n_docs - 1) DIV 2"))
+        .withColumn("rand_ppm", expr(
+          "CASE WHEN s_n > 0 THEN ((s_n + 2 * s_ij - s_a - s_b) * 1000000) " +
+            "DIV s_n END"))
+        .withColumn("num", expr(
+          "2 * CAST(s_n AS DECIMAL(38,0)) * s_ij - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b"))
+        .withColumn("den", expr(
+          "CAST(s_n AS DECIMAL(38,0)) * (s_a + s_b) - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b"))
+        .withColumn("ari_ppm", expr(
+          """CASE WHEN den > 0 THEN
+            |  CAST(CASE WHEN num >= 0 THEN (num * 1000000) div den
+            |       ELSE -((-num * 1000000) div den) END AS BIGINT)
+            |END""".stripMargin))
+        .select("n_docs", "s_ij", "s_a", "s_b", "rand_ppm", "ari_ppm")
+    }),
+
     // Duplicate clusters from the LSH→verify pairs (jaccard ≥ 0.5):
     // every doc appearing in a verified pair, labeled with its
     // component's minimum doc_id, plus the component size.
@@ -495,6 +550,54 @@ object DedupClusters {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    "dd_cluster_agreement" ->
+      s"""WITH RECURSIVE
+         |p1 AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardPairsSql})),
+         |p2 AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM (${Dedup.simhash64PairsSql})),
+         |e1 AS (SELECT doc_a AS src, doc_b AS dst FROM p1
+         |       UNION SELECT doc_b, doc_a FROM p1),
+         |r1 AS (SELECT src AS id, dst AS r FROM e1
+         |       UNION SELECT r1.id, e1.dst FROM r1 JOIN e1 ON r1.r = e1.src),
+         |c1 AS (SELECT id, least(id, min(r)) AS lbl FROM r1 GROUP BY id),
+         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM p2
+         |       UNION SELECT doc_b, doc_a FROM p2),
+         |r2 AS (SELECT src AS id, dst AS r FROM e2
+         |       UNION SELECT r2.id, e2.dst FROM r2 JOIN e2 ON r2.r = e2.src),
+         |c2 AS (SELECT id, least(id, min(r)) AS lbl FROM r2 GROUP BY id),
+         |joint AS MATERIALIZED (
+         |  SELECT d.doc_id, COALESCE(c1.lbl, d.doc_id) AS l1,
+         |    COALESCE(c2.lbl, d.doc_id) AS l2
+         |  FROM documents d
+         |  LEFT JOIN c1 ON c1.id = d.doc_id
+         |  LEFT JOIN c2 ON c2.id = d.doc_id),
+         |sij AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS s_ij
+         |  FROM (SELECT count(*) AS nij FROM joint GROUP BY l1, l2)),
+         |sa AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS s_a
+         |  FROM (SELECT count(*) AS ai FROM joint GROUP BY l1)),
+         |sb AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS s_b
+         |  FROM (SELECT count(*) AS bj FROM joint GROUP BY l2)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS s_n
+         |  FROM documents),
+         |fin AS (
+         |  SELECT n_docs, s_ij, s_a, s_b, s_n,
+         |    2 * CAST(s_n AS HUGEINT) * s_ij
+         |      - 2 * CAST(s_a AS HUGEINT) * s_b AS num,
+         |    CAST(s_n AS HUGEINT) * (s_a + s_b)
+         |      - 2 * CAST(s_a AS HUGEINT) * s_b AS den
+         |  FROM nn CROSS JOIN sij CROSS JOIN sa CROSS JOIN sb)
+         |SELECT n_docs, s_ij, s_a, s_b,
+         |  CASE WHEN s_n > 0
+         |    THEN ((s_n + 2 * s_ij - s_a - s_b) * 1000000) // s_n
+         |    END AS rand_ppm,
+         |  CASE WHEN den > 0 THEN
+         |    CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+         |         ELSE -((-num * 1000000) // den) END AS BIGINT)
+         |  END AS ari_ppm
+         |FROM fin""".stripMargin,
 
     "dd_dbscan" ->
       s"""WITH RECURSIVE v AS (${OracleSql.vectors}),

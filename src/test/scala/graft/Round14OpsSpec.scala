@@ -216,6 +216,20 @@ class Round14OpsSpec extends AnyFunSuite {
       s"pooled-mean drift $drift")
   }
 
+  test("dd_cluster_agreement: pair-counting identities hold") {
+    val r = SparkEntry.queries("dd_cluster_agreement")(spark, sf).collect().head
+    val (n, sij, sa, sb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n == Tables.documents(spark, sf).count())
+    // the joint partition refines both sides: S_ij ≤ min(S_a, S_b)
+    assert(sij <= math.min(sa, sb))
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L) // rand ∈ [0,1]
+    assert(r.getLong(5) <= 1000000L) // ari ≤ 1 (can be negative)
+    // perfect agreement ⇔ rand = 1: here the methods disagree on some
+    // pairs, so rand < 1 but near it (dedup clusters are sparse)
+    assert(r.getLong(4) > 900000L)
+  }
+
   test("exp2microCtes mirrors the Scala k-domain guard") {
     val sql = operators.OracleSql.exp2microCtes("t", "rel", Seq("k1"))
     assert(sql.contains("ex2k < -63 OR ex2k > 42"),
