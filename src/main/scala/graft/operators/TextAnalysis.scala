@@ -39,6 +39,12 @@ object TextAnalysis {
     */
   val ZipfK = 100
 
+  /** ta_burrows_delta's function-word profile width (top-N by corpus
+    * frequency; classic Delta uses 30–150 — sized to this corpus's
+    * 31-word vocabulary).
+    */
+  val DeltaWords = 10
+
   /** Fixed iterations for ta_bpe_train — the loop ta_bpe_merge is one
     * step of; fixed so the DuckDB oracle can unroll it.
     */
@@ -518,6 +524,49 @@ object TextAnalysis {
     // bounded-by-construction shape as the RRF candidate windows.
     // top_cnt is the max over the whole vocabulary, equal to the max
     // within the top-K, so no second scan is needed.
+    // STYLOMETRIC OUTLIER SCORE (Burrows' Delta, squared form) — the
+    // authorship/register-drift signal: per document, the
+    // variance-normalized squared deviation of its function-word
+    // frequency profile from the corpus profile,
+    // Δ² = Σ_w (f_dw − μ_w)²/σ²_w over the top-[[DeltaWords]] words.
+    // Machine-generated or off-register documents spike it even when
+    // every quality gate passes. The squared form keeps the whole
+    // contract rational (classic Delta needs σ — a square root):
+    // with D docs, per word S1 = Σf, S2 = Σf², the per-doc term is
+    // (f·D − S1)²/(D·S2 − S1²) exactly — cross-products in
+    // DECIMAL(38,0)/HUGEINT, per-word micro floor, order-free sum.
+    // Frequencies are ppm integers, so profile extraction is one
+    // explode→count; the word stats are a DeltaWords-row broadcast.
+    "ta_burrows_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nTok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      val docN = nTok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val topW = nTok.groupBy("word").agg(count(lit(1)).as("cw"))
+        .orderBy(col("cw").desc, col("word").asc).limit(DeltaWords)
+        .select("word")
+      // per (doc, word) ppm frequency over the full doc×topword grid
+      // (absent words are genuine 0 ppm — they carry signal)
+      val f = docN.crossJoin(broadcast(topW))
+        .join(nTok.groupBy("doc_id", "word").agg(count(lit(1)).as("c")),
+          Seq("doc_id", "word"), "left")
+        .select(col("doc_id"), col("word"),
+          expr("(coalesce(c, 0L) * 1000000) DIV nt").as("fp"))
+      val stats = f.groupBy("word")
+        .agg(count(lit(1)).as("d"),
+          sum(col("fp")).as("s1"),
+          expr("sum(CAST(fp AS DECIMAL(19,0)) * fp)").as("s2"))
+        .withColumn("varnum", expr("d * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+        .filter(col("varnum") > 0) // constant-frequency words carry no z
+      f.join(broadcast(stats), Seq("word"))
+        .withColumn("znum", expr(
+          "CAST(fp * d - s1 AS DECIMAL(19,0)) * CAST(fp * d - s1 AS DECIMAL(19,0))"))
+        .groupBy("doc_id")
+        .agg(sum(expr("(znum * 1000000) div varnum")).as("delta2_micro"),
+          count(lit(1)).as("n_words"))
+        .orderBy("doc_id")
+    }),
+
     // VOCAB COVERAGE CURVE — the table a tokenizer designer reads
     // before fixing a vocabulary size: at each candidate size k
     // (powers of 4 — sized to the synthetic corpus's 31-word
@@ -1652,6 +1701,39 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_burrows_delta" ->
+      s"""WITH nt AS (
+         |  SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |docn AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ntk FROM nt GROUP BY 1),
+         |topw AS (
+         |  SELECT word FROM (
+         |    SELECT word, count(*) AS c FROM nt GROUP BY 1
+         |    ORDER BY c DESC, word ASC LIMIT $DeltaWords)),
+         |cw AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+         |  FROM nt GROUP BY 1, 2),
+         |f AS MATERIALIZED (
+         |  SELECT d.doc_id, t.word,
+         |    (COALESCE(cw.c, 0) * 1000000) // d.ntk AS fp
+         |  FROM docn d CROSS JOIN topw t
+         |  LEFT JOIN cw ON cw.doc_id = d.doc_id AND cw.word = t.word),
+         |st AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS d,
+         |    CAST(sum(fp) AS BIGINT) AS s1,
+         |    CAST(sum(CAST(fp AS HUGEINT) * fp) AS HUGEINT) AS s2
+         |  FROM f GROUP BY 1),
+         |stv AS (
+         |  SELECT word, d, s1,
+         |    d * s2 - CAST(s1 AS HUGEINT) * s1 AS varnum
+         |  FROM st WHERE d * s2 - CAST(s1 AS HUGEINT) * s1 > 0)
+         |SELECT f.doc_id,
+         |  CAST(sum((CAST(f.fp * v.d - v.s1 AS HUGEINT) *
+         |    (f.fp * v.d - v.s1) * 1000000) // v.varnum) AS BIGINT)
+         |    AS delta2_micro,
+         |  CAST(count(*) AS BIGINT) AS n_words
+         |FROM f JOIN stv v USING (word)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "ta_vocab_coverage" ->
       s"""WITH counts AS (
          |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
