@@ -997,6 +997,46 @@ object EventQueries {
     // or logging pipeline is broken; with md5-parity arms it stays
     // quiet, which is the point. Model-frame arithmetic on the 2-row
     // arm census.
+    // GROWTH ACCOUNTING — the weekly active-user flow decomposition
+    // every growth team reports (the "Reforge" identity):
+    // active_w = new_w + retained_w + resurrected_w, with churned_w =
+    // last week's actives who went dark — the four flows that explain
+    // WHY the topline moved, where ev_dau_wau only says THAT it did.
+    // Dataflow: one distinct (user, week) frame, each user's first
+    // week from one aggregate, and a self-join against the previous
+    // week (equi-join on the shifted key — calendar arithmetic, no
+    // window over users). All four flows and the identity are exact
+    // counts.
+    "ev_growth_accounting" -> ((s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+        .localCheckpoint(false) // four legs read it
+      val first = uw.groupBy("user_id").agg(min(col("w")).as("fw"))
+      val prev = uw.select(col("user_id"),
+        (col("w") + expr("INTERVAL 7 DAYS")).as("w"),
+        lit(1).as("was_prev"))
+      val cur = uw.join(first, "user_id")
+        .join(prev, Seq("user_id", "w"), "left")
+        .groupBy("w")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("fw") === col("w"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("was_prev").isNotNull, 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("fw") < col("w") && col("was_prev").isNull, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+      val churned = uw.select(col("user_id"),
+          (col("w") + expr("INTERVAL 7 DAYS")).as("w"))
+        .join(uw.withColumn("still", lit(1)), Seq("user_id", "w"), "left")
+        .groupBy("w")
+        .agg(sum(when(col("still").isNull, 1L).otherwise(0L)).as("n_churned"))
+      cur.join(churned, Seq("w"), "left")
+        .select(col("w").as("week"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy("week")
+    }),
+
     // CUPED VARIANCE REDUCTION (Deng et al. 2013) — the standard
     // experiment-sensitivity trick: regress each user's
     // experiment-period metric y on their PRE-period covariate x
@@ -2019,6 +2059,36 @@ object EventQueries {
         |SELECT hour, covered_micros,
         |  CAST((covered_micros * 1000000) // 3600000000 AS BIGINT) AS util_ppm
         |FROM cov ORDER BY hour""".stripMargin,
+    "ev_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+        |fw AS (SELECT user_id, min(w) AS fw FROM uw GROUP BY 1),
+        |cur AS (
+        |  SELECT u.w,
+        |    CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN f.fw = u.w THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN f.fw < u.w AND p.user_id IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM uw u
+        |  JOIN fw f USING (user_id)
+        |  LEFT JOIN uw p ON p.user_id = u.user_id
+        |    AND p.w + INTERVAL 7 DAY = u.w
+        |  GROUP BY 1),
+        |ch AS (
+        |  SELECT u.w + INTERVAL 7 DAY AS w,
+        |    CAST(sum(CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_churned
+        |  FROM uw u LEFT JOIN uw n ON n.user_id = u.user_id
+        |    AND n.w = u.w + INTERVAL 7 DAY
+        |  GROUP BY 1)
+        |SELECT c.w AS week, c.n_active, c.n_new, c.n_retained,
+        |  c.n_resurrected, COALESCE(ch.n_churned, 0) AS n_churned
+        |FROM cur c LEFT JOIN ch ON ch.w = c.w
+        |ORDER BY week""".stripMargin,
+
     // Same arm hash as ev_ab_experiment; all moment algebra HUGEINT,
     // all divisions in the sign-explicit floor-of-abs form that
     // matches Spark's truncating div.

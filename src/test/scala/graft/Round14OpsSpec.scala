@@ -230,6 +230,25 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(r.getLong(4) > 900000L)
   }
 
+  test("ev_growth_accounting: the active-flow identity holds each week") {
+    val rows = SparkEntry.queries("ev_growth_accounting")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"active = new + retained + resurrected violated: $r")
+    }
+    // week 1 is all-new; churn only counts users who WERE active
+    assert(rows.head.getLong(1) == rows.head.getLong(2))
+    assert(rows.head.getLong(5) == 0L)
+    // flow conservation across consecutive weeks:
+    // active_{t-1} = retained_t + churned_t
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) == b.getLong(3) + b.getLong(5), s"$a -> $b")
+      case _ =>
+    }
+  }
+
   test("exp2microCtes mirrors the Scala k-domain guard") {
     val sql = operators.OracleSql.exp2microCtes("t", "rel", Seq("k1"))
     assert(sql.contains("ex2k < -63 OR ex2k > 42"),
