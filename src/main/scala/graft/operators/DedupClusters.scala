@@ -314,6 +314,34 @@ object DedupClusters {
         .select("n_docs", "s_ij", "s_a", "s_b", "rand_ppm", "ari_ppm")
     }),
 
+    // CLUSTER QUALITY AUDIT (weakest link) — the over-merge alarm for
+    // transitive clustering: connected components chain A~B~C into
+    // one cluster even when A and C share nothing, so per cluster
+    // this reports the MINIMUM edge similarity (the weakest link that
+    // holds it together) and the edge density vs the clique bound. A
+    // big cluster with min-jaccard at the 0.5 threshold and density
+    // ≪ 10⁶ is a chain — exactly what a dedup reviewer inspects
+    // before deleting survivors. Edge-frame joins and aggregates
+    // only; sizes from the label frame.
+    "dd_cluster_weakest_link" -> ((s, dir) => {
+      val pairs = Dedup.verifiedPairs(s, dir, dedup = true)
+        .select("doc_a", "doc_b", "jaccard")
+      val labels = connectedComponents(pairs.select("doc_a", "doc_b"))
+      val el = pairs
+        .join(labels.select(col("id").as("doc_a"),
+          col("label").as("cluster_id")), "doc_a")
+      val sizes = labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"))
+      el.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_edges"), min(col("jaccard")).as("min_jaccard"))
+        .join(sizes, "cluster_id")
+        .withColumn("density_ppm",
+          expr("(n_edges * 2 * 1000000) DIV (n_docs * (n_docs - 1))"))
+        .select("cluster_id", "n_docs", "n_edges", "min_jaccard",
+          "density_ppm")
+        .orderBy("cluster_id")
+    }),
+
     // Duplicate clusters from the LSH→verify pairs (jaccard ≥ 0.5):
     // every doc appearing in a verified pair, labeled with its
     // component's minimum doc_id, plus the component size.
@@ -550,6 +578,31 @@ object DedupClusters {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    "dd_cluster_weakest_link" ->
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (${Dedup.ngramJaccardPairsSql}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges
+         |    ON reach.r = edges.src),
+         |comp AS (SELECT id, least(id, min(r)) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM comp GROUP BY 1),
+         |el AS (
+         |  SELECT c.cluster_id, p.jaccard
+         |  FROM pairs p JOIN comp c ON c.id = p.doc_a)
+         |SELECT e.cluster_id, s.n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_edges,
+         |  min(e.jaccard) AS min_jaccard,
+         |  (CAST(count(*) AS BIGINT) * 2 * 1000000)
+         |    // (s.n_docs * (s.n_docs - 1)) AS density_ppm
+         |FROM el e JOIN sizes s USING (cluster_id)
+         |GROUP BY 1, 2 ORDER BY cluster_id""".stripMargin,
 
     "dd_cluster_agreement" ->
       s"""WITH RECURSIVE
