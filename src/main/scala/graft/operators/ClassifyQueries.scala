@@ -117,6 +117,62 @@ object ClassifyQueries {
         .orderBy("doc_id")
     }),
 
+    // SNAPSHOT DRIFT, TEXT DISTRIBUTION (Jensen–Shannon divergence) —
+    // the unigram-distribution sibling of pipe_drift_psi's numeric
+    // PSI: split the corpus into two pseudo-snapshots (even/odd
+    // doc_id — the stand-in for consecutive crawls), and per language
+    // measure JS divergence between their Laplace-smoothed unigram
+    // distributions. JS is the drift metric that is symmetric,
+    // bounded (≤ 1 bit), and defined even for disjoint vocabularies —
+    // what PSI's unbounded log-ratio is not. Fixed-point contract:
+    // with D = N + V the smoothed denominators, each word's
+    // p/m = 2(c₁+1)D₂ / ((c₁+1)D₂ + (c₂+1)D₁) is an exact integer
+    // rational into log2micro; KL terms are Σ(c+1)·lg weighted sums
+    // floored ONCE by D (order-free integer sums in between), and
+    // JS = (KLₚ + KL_q) DIV 2. One token pass; everything after runs
+    // on the (lang, word) vocab frame.
+    "ta_js_drift" -> ((s, dir) => {
+      val cw = docWords(s, dir)
+        .withColumn("half", (col("doc_id") % 2).cast("int"))
+        .groupBy("lang", "word")
+        .agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("c2"))
+      val totals = cw.groupBy("lang")
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+          count(lit(1)).as("v"))
+        .withColumn("d1", col("n1") + col("v"))
+        .withColumn("d2", col("n2") + col("v"))
+      cw.join(broadcast(totals), "lang")
+        .withColumn("lgp", Log2Micro.log2micro(
+          lit(2L) * (col("c1") + 1L) * col("d2"),
+          (col("c1") + 1L) * col("d2") + (col("c2") + 1L) * col("d1")))
+        .withColumn("lgq", Log2Micro.log2micro(
+          lit(2L) * (col("c2") + 1L) * col("d1"),
+          (col("c1") + 1L) * col("d2") + (col("c2") + 1L) * col("d1")))
+        .groupBy("lang")
+        .agg(
+          max(col("v")).as("n_words"),
+          max(col("n1")).as("n_a"), max(col("n2")).as("n_b"),
+          sum((col("c1") + 1L) * col("lgp")).as("klp_num"),
+          sum((col("c2") + 1L) * col("lgq")).as("klq_num"),
+          max(col("d1")).as("d1"), max(col("d2")).as("d2"))
+        // KL totals are ≥ 0 mathematically but micro-floor noise can
+        // dip a hair negative — sign-explicit division keeps Spark's
+        // truncation and DuckDB's floor identical either way
+        .withColumn("klp", expr(
+          "CASE WHEN klp_num >= 0 THEN klp_num DIV d1 " +
+            "ELSE -((-klp_num) DIV d1) END"))
+        .withColumn("klq", expr(
+          "CASE WHEN klq_num >= 0 THEN klq_num DIV d2 " +
+            "ELSE -((-klq_num) DIV d2) END"))
+        .withColumn("js_micro", expr(
+          "CASE WHEN klp + klq >= 0 THEN (klp + klq) DIV 2 " +
+            "ELSE -((-(klp + klq)) DIV 2) END"))
+        .select("lang", "n_words", "n_a", "n_b", "js_micro")
+        .orderBy("lang")
+    }),
+
     // FEATURE HASHING (the "hashing trick", Weinberger et al. 2009) —
     // the fixed-width featurizer that makes unbounded vocabularies
     // trainable: token → bucket h(w) mod D with a second hash bit
@@ -221,6 +277,54 @@ object ClassifyQueries {
          |  CAST(score AS BIGINT) AS score_micro,
          |  cand = lang AS correct
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "ta_js_drift" ->
+      s"""WITH RECURSIVE dw AS MATERIALIZED (
+         |  SELECT doc_id, lang, unnest(${OracleSql.toks}) AS word
+         |  FROM documents),
+         |cw AS MATERIALIZED (
+         |  SELECT lang, word,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c2
+         |  FROM dw GROUP BY 1, 2),
+         |tot AS MATERIALIZED (
+         |  SELECT lang, CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c2) AS BIGINT) AS n2,
+         |    CAST(count(*) AS BIGINT) AS v,
+         |    CAST(sum(c1) + count(*) AS BIGINT) AS d1,
+         |    CAST(sum(c2) + count(*) AS BIGINT) AS d2
+         |  FROM cw GROUP BY 1),
+         |prel AS (
+         |  SELECT c.lang, c.word, 2 * (c.c1 + 1) * t.d2 AS num,
+         |    (c.c1 + 1) * t.d2 + (c.c2 + 1) * t.d1 AS den
+         |  FROM cw c JOIN tot t USING (lang)),
+         |${OracleSql.log2microCtes("jp", "prel", Seq("lang", "word"))},
+         |qrel AS (
+         |  SELECT c.lang, c.word, 2 * (c.c2 + 1) * t.d1 AS num,
+         |    (c.c1 + 1) * t.d2 + (c.c2 + 1) * t.d1 AS den
+         |  FROM cw c JOIN tot t USING (lang)),
+         |${OracleSql.log2microCtes("jq", "qrel", Seq("lang", "word"))},
+         |terms AS (
+         |  SELECT c.lang,
+         |    CAST(sum((c.c1 + 1) * p.lrm) AS BIGINT) AS klp_num,
+         |    CAST(sum((c.c2 + 1) * q.lrm) AS BIGINT) AS klq_num
+         |  FROM cw c
+         |  JOIN jp_lg p ON p.lang = c.lang AND p.word = c.word
+         |  JOIN jq_lg q ON q.lang = c.lang AND q.word = c.word
+         |  GROUP BY 1),
+         |fin AS (
+         |  SELECT t.lang, t.v AS n_words, t.n1 AS n_a, t.n2 AS n_b,
+         |    CASE WHEN x.klp_num >= 0 THEN x.klp_num // t.d1
+         |         ELSE -((-x.klp_num) // t.d1) END AS klp,
+         |    CASE WHEN x.klq_num >= 0 THEN x.klq_num // t.d2
+         |         ELSE -((-x.klq_num) // t.d2) END AS klq
+         |  FROM tot t JOIN terms x USING (lang))
+         |SELECT lang, n_words, n_a, n_b,
+         |  CAST(CASE WHEN klp + klq >= 0 THEN (klp + klq) // 2
+         |       ELSE -((-(klp + klq)) // 2) END AS BIGINT) AS js_micro
+         |FROM fin ORDER BY lang""".stripMargin,
 
     // md5 nibbles via the strpos alphabet trick (the dd_simhash /
     // pipe_dsir convention).
