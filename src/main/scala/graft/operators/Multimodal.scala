@@ -571,6 +571,55 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // HISTOGRAM EQUALIZATION — the classic contrast-normalization
+    // pass of image preprocessing (remap each pixel through the
+    // image's own CDF so intensities spread over the full range):
+    // nv = ⌊(cdf(p) − cdf_min)·255 / (n − cdf_min)⌋, flat images
+    // (n = cdf_min) map to 0. The report is the before/after contrast
+    // budget — dynamic range and n²-scaled variance (exact integers:
+    // varn = n·Σp² − (Σp)², no division, no sqrt) — the numbers a
+    // vision-ingest gate reads to decide whether normalization is
+    // worth a re-encode. Per-image bounded work (≤256-entry CDF),
+    // same narrow per-partition decode map as the rest of the leg.
+    "mm_pgm_equalize" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val img = PgmCodec.decode(PgmCodec.encode(payload))
+          val n = img.pixels.length.toLong
+          val hist = new Array[Long](256)
+          img.pixels.foreach(p => hist(p & 0xff) += 1)
+          val cdf = new Array[Long](256)
+          var acc = 0L
+          var v = 0
+          while (v < 256) { acc += hist(v); cdf(v) = acc; v += 1 }
+          var minV = 0
+          while (minV < 255 && hist(minV) == 0) minV += 1
+          var maxV = 255
+          while (maxV > 0 && hist(maxV) == 0) maxV -= 1
+          val cmin = cdf(minV)
+          var sB = 0L; var sB2 = 0L; var sA = 0L; var sA2 = 0L
+          var minN = 255L; var maxN = 0L
+          v = minV
+          while (v <= maxV) {
+            if (hist(v) > 0) {
+              val nv = if (n > cmin) (cdf(v) - cmin) * 255 / (n - cmin)
+                else 0L
+              sB += hist(v) * v; sB2 += hist(v) * v * v
+              sA += hist(v) * nv; sA2 += hist(v) * nv * nv
+              if (nv < minN) minN = nv
+              if (nv > maxN) maxN = nv
+            }
+            v += 1
+          }
+          (id, n, (maxV - minV).toLong, maxN - minN,
+            n * sB2 - sB * sB, n * sA2 - sA * sA)
+        })
+        .toDF("doc_id", "n_pixels", "range_before", "range_after",
+          "varn_before", "varn_after")
+        .orderBy("doc_id")
+    }),
+
     // SOBEL EDGE CENSUS — the first real convolution in the image
     // leg: per image, the 3×3 integer Sobel operator over every
     // interior pixel of the decoded raster, reporting interior count,
@@ -1150,6 +1199,43 @@ object Multimodal {
         |  CASE WHEN g.sumsq = 0 THEN NULL ELSE cl.n_clip > 0 END
         |    AS needs_limiter
         |FROM g JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // CDF, remap, and variance re-derive from the raster synth in
+    // pure integers (≤256-row per-image histograms).
+    "mm_pgm_equalize" ->
+      s"""WITH g AS (${rasterSql()}),
+         |px AS (
+         |  SELECT doc_id,
+         |    ord(substring(raster, CAST(i + 1 AS INT), 1)) AS p
+         |  FROM g, UNNEST(range(0, 8 * h)) AS u(i)),
+         |hist AS (
+         |  SELECT doc_id, p, CAST(count(*) AS BIGINT) AS c
+         |  FROM px GROUP BY 1, 2),
+         |cdf AS (
+         |  SELECT doc_id, p, c,
+         |    CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY p) AS BIGINT)
+         |      AS cd,
+         |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+         |    min(p) OVER (PARTITION BY doc_id) AS minp,
+         |    max(p) OVER (PARTITION BY doc_id) AS maxp
+         |  FROM hist),
+         |cm AS (
+         |  SELECT doc_id, min(cd) AS cmin FROM cdf GROUP BY 1),
+         |nv AS (
+         |  SELECT f.doc_id, f.p, f.c, f.cd, f.n, f.minp, f.maxp,
+         |    CASE WHEN f.n > m.cmin
+         |      THEN ((f.cd - m.cmin) * 255) // (f.n - m.cmin)
+         |      ELSE 0 END AS nv
+         |  FROM cdf f JOIN cm m USING (doc_id))
+         |SELECT doc_id,
+         |  CAST(max(n) AS BIGINT) AS n_pixels,
+         |  CAST(max(maxp) - max(minp) AS BIGINT) AS range_before,
+         |  CAST(max(nv) - min(nv) AS BIGINT) AS range_after,
+         |  CAST(max(n) * sum(c * p * p) - sum(c * p) * sum(c * p) AS BIGINT)
+         |    AS varn_before,
+         |  CAST(max(n) * sum(c * nv * nv) - sum(c * nv) * sum(c * nv)
+         |    AS BIGINT) AS varn_after
+         |FROM nv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Each Sobel tap is raster-position arithmetic on the synth
     // formula; magnitude and census stay pure INT.
     "mm_pgm_sobel" -> {
