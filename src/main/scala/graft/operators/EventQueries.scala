@@ -54,6 +54,27 @@ object EventQueries {
       .localCheckpoint(false)
   }
 
+  /** Stationary distribution of the behavior chain in micro-units
+    * ([[MarkovPowerRounds]] power-iteration rounds from uniform over
+    * the cur-states) — the ev_markov_stationary body, shared with the
+    * entropy-rate row.
+    */
+  private def stationaryMicro(s: SparkSession, dir: String): DataFrame = {
+    val p = transitionMicro(s, dir).select("cur", "nxt", "pm")
+    val states = p.select(col("cur").as("state")).distinct()
+    val nStates = states.count()
+    var pi = states.select(col("state"),
+      lit(1000000L / nStates).as("pim"))
+    (1 to MarkovPowerRounds).foreach { _ =>
+      pi = pi.join(p, pi("state") === p("cur"))
+        .groupBy(col("nxt").as("s2"))
+        .agg(expr("sum(pim * pm) DIV 1000000").as("pim"))
+        .select(col("s2").as("state"), col("pim"))
+        .localCheckpoint(false)
+    }
+    pi
+  }
+
   /** DuckDB mirror of [[transitionMicro]]: CTEs seq/tr/p, where `p`
     * is (cur, nxt, n, pm).
     */
@@ -585,20 +606,35 @@ object EventQueries {
     // transitions. At 100 TB only the transition count touches data —
     // the iteration runs on a ≤types² broadcast frame. Oracle unrolls
     // the identical rounds as CTEs.
-    "ev_markov_stationary" -> ((s, dir) => {
+    "ev_markov_stationary" -> ((s, dir) =>
+      stationaryMicro(s, dir).orderBy("state")),
+
+    // MARKOV ENTROPY RATE — the predictability number of the behavior
+    // chain (how many bits the next event carries once you know the
+    // current one): H = Σ_s π_s · H_s with H_s = Σ_t p_st·log₂(1/p_st),
+    // the quantity that separates habitual traffic (low rate — bots,
+    // templated sessions) from exploratory behavior. Everything rides
+    // the shared transition frame and stationary iteration; the logs
+    // are fixed-point log2micro of the exact rational 10⁶/pm, per-row
+    // floors in fixed order (Σ⌊pm·lg⌋/10⁶ per state, then ⌊π·H⌋/10⁶
+    // per contribution). Output: per-state entropy + contribution and
+    // the chain-wide rate.
+    "ev_markov_entropy" -> ((s, dir) => {
       val p = transitionMicro(s, dir).select("cur", "nxt", "pm")
-      val states = p.select(col("cur").as("state")).distinct()
-      val nStates = states.count()
-      var pi = states.select(col("state"),
-        lit(1000000L / nStates).as("pim"))
-      (1 to MarkovPowerRounds).foreach { _ =>
-        pi = pi.join(p, pi("state") === p("cur"))
-          .groupBy(col("nxt").as("s2"))
-          .agg(expr("sum(pim * pm) DIV 1000000").as("pim"))
-          .select(col("s2").as("state"), col("pim"))
-          .localCheckpoint(false)
-      }
-      pi.orderBy("state")
+        .filter(col("pm") > 0)
+      val hs = p
+        .withColumn("lg", graft.functions.Log2Micro.log2micro(
+          lit(1000000L), col("pm")))
+        .groupBy(col("cur").as("state"))
+        .agg(expr("sum((pm * lg) DIV 1000000)").as("h_state_micro"))
+      val contrib = stationaryMicro(s, dir).join(hs, "state")
+        .withColumn("contrib_micro",
+          expr("(pim * h_state_micro) DIV 1000000"))
+      val rate = contrib.agg(sum(col("contrib_micro")).as("rate_micro"))
+      contrib.crossJoin(broadcast(rate))
+        .select("state", "pim", "h_state_micro", "contrib_micro",
+          "rate_micro")
+        .orderBy("state")
     }),
 
     // ACTIVITY GINI — how concentrated is the workload across users
@@ -2454,6 +2490,42 @@ object EventQueries {
          |        FROM s0),
          |$rounds
          |SELECT state, pim FROM pi$MarkovPowerRounds ORDER BY state""".stripMargin
+    },
+    "ev_markov_entropy" -> {
+      val rounds = (1 to MarkovPowerRounds).map { r =>
+        s"""pi$r AS (
+           |  SELECT p.nxt AS state,
+           |    CAST(sum(pim * pm) // 1000000 AS BIGINT) AS pim
+           |  FROM pi${r - 1} JOIN p ON pi${r - 1}.state = p.cur
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $transitionMicroSql,
+         |s0 AS (SELECT DISTINCT cur AS state FROM p),
+         |pi0 AS (SELECT state,
+         |          CAST(1000000 // (SELECT count(*) FROM s0) AS BIGINT) AS pim
+         |        FROM s0),
+         |$rounds,
+         |prel AS (
+         |  SELECT cur, nxt, pm, CAST(1000000 AS BIGINT) AS num,
+         |    pm AS den
+         |  FROM p WHERE pm > 0),
+         |${OracleSql.log2microCtes("me", "prel", Seq("cur", "nxt"))},
+         |hs AS (
+         |  SELECT pr.cur AS state,
+         |    CAST(sum((pr.pm * lg.lrm) // 1000000) AS BIGINT)
+         |      AS h_state_micro
+         |  FROM prel pr
+         |  JOIN me_lg lg ON lg.cur = pr.cur AND lg.nxt = pr.nxt
+         |  GROUP BY 1),
+         |ctr AS (
+         |  SELECT pi.state, pi.pim, hs.h_state_micro,
+         |    (pi.pim * hs.h_state_micro) // 1000000 AS contrib_micro
+         |  FROM pi$MarkovPowerRounds pi JOIN hs ON hs.state = pi.state),
+         |rt AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS rate_micro
+         |  FROM ctr)
+         |SELECT c.state, c.pim, c.h_state_micro,
+         |  CAST(c.contrib_micro AS BIGINT) AS contrib_micro, rt.rate_micro
+         |FROM ctr c CROSS JOIN rt ORDER BY c.state""".stripMargin
     },
     "ev_gini" ->
       """WITH counts AS (
