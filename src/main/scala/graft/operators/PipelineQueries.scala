@@ -758,6 +758,52 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // SHARD REBALANCE PLAN — the move list an operator derives from
+    // the manifest when hash sharding drifts out of balance (hot
+    // shards slow every reader; the fix is moving bytes, not
+    // re-sharding the world): per shard the surplus/deficit against
+    // the exact byte target ⌈total/K⌉, then a RANK-MATCHED pairing —
+    // the i-th most-overloaded shard ships min(surplusᵢ, deficitᵢ)
+    // bytes to the i-th most-underloaded — the deterministic
+    // one-round approximation of greedy rebalancing that needs no
+    // sequential scan (two ranked K-row frames joined on rank; K =
+    // shard count, a layout constant). Reports the move list plus
+    // each pair's residual imbalance after the move.
+    "pipe_rebalance_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shards = Tables.documents(s, dir)
+        .select(
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("shard").agg(sum(col("nc")).as("bytes"))
+      val tot = shards.agg(sum(col("bytes")).as("total"),
+        count(lit(1)).as("k"))
+      val bal = shards.crossJoin(broadcast(tot))
+        .withColumn("target", expr("(total + k - 1) DIV k"))
+        .withColumn("delta", col("bytes") - col("target"))
+      val wS = Window.orderBy(col("delta").desc, col("shard").asc)
+      val wD = Window.orderBy(col("delta").asc, col("shard").asc)
+      val givers = bal.filter(col("delta") > 0)
+        .withColumn("rk", row_number().over(wS)) // K-row frame: the
+        // unpartitioned windows rank the shard list, never data
+        .select(col("rk"), col("shard").as("from_shard"),
+          col("delta").as("surplus"))
+      val takers = bal.filter(col("delta") < 0)
+        .withColumn("rk", row_number().over(wD))
+        .select(col("rk"), col("shard").as("to_shard"),
+          (-col("delta")).as("deficit"))
+      givers.join(takers, Seq("rk"), "full_outer")
+        .withColumn("moved_bytes",
+          least(coalesce(col("surplus"), lit(0L)),
+            coalesce(col("deficit"), lit(0L))))
+        .withColumn("residual",
+          coalesce(col("surplus"), lit(0L)) +
+            coalesce(col("deficit"), lit(0L)) - lit(2) * col("moved_bytes"))
+        .select("rk", "from_shard", "to_shard", "surplus", "deficit",
+          "moved_bytes", "residual")
+        .orderBy("rk")
+    }),
+
     // COMPACTION PLANNING — the lakehouse OPTIMIZE step that turns an
     // accumulation of small files into target-sized outputs without
     // reading a byte of data: the plan runs over the MANIFEST (the
@@ -1550,6 +1596,37 @@ object PipelineQueries {
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
          |  bit_xor(rfp) AS content_fp
          |FROM fp GROUP BY shard ORDER BY shard""".stripMargin,
+    "pipe_rebalance_plan" ->
+      """WITH shards AS (
+        |  SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |    CAST(sum(length(text)) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS k FROM shards),
+        |bal AS (
+        |  SELECT s.shard, s.bytes,
+        |    s.bytes - (t.total + t.k - 1) // t.k AS delta
+        |  FROM shards s CROSS JOIN tot t),
+        |givers AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY delta DESC, shard ASC)
+        |      AS BIGINT) AS rk,
+        |    shard AS from_shard, delta AS surplus
+        |  FROM bal WHERE delta > 0),
+        |takers AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY delta ASC, shard ASC)
+        |      AS BIGINT) AS rk,
+        |    shard AS to_shard, -delta AS deficit
+        |  FROM bal WHERE delta < 0)
+        |SELECT COALESCE(g.rk, t.rk) AS rk, g.from_shard, t.to_shard,
+        |  g.surplus, t.deficit,
+        |  least(COALESCE(g.surplus, 0), COALESCE(t.deficit, 0))
+        |    AS moved_bytes,
+        |  COALESCE(g.surplus, 0) + COALESCE(t.deficit, 0)
+        |    - 2 * least(COALESCE(g.surplus, 0), COALESCE(t.deficit, 0))
+        |    AS residual
+        |FROM givers g FULL OUTER JOIN takers t ON t.rk = g.rk
+        |ORDER BY rk""".stripMargin,
+
     "pipe_split_leakage" ->
       s"""WITH vp AS (SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardSqlFrom("documents")})),
          |sp AS (SELECT doc_id,
