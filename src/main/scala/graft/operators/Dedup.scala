@@ -948,9 +948,17 @@ object Dedup {
     * Candidate pairs come from [[PairGen.saltedPairs]]
     * (single-execution plan tree) — bounded aggregation buffers even
     * when an exact-duplicate class lands a whole corpus slice in one
-    * 16-bit band bucket.
+    * 16-bit band bucket. Materialized once per (session, dir) through
+    * [[graft.CacheRegistry]] — the dd_simhash64_pairs row and the
+    * cluster-agreement audit share the signature pipeline, same as
+    * [[verifiedPairs]].
     */
-  private[operators] def simhash64Pairs(s: SparkSession, dir: String): DataFrame = {
+  private val shPairsCache = graft.CacheRegistry.newCache()
+  private[operators] def simhash64Pairs(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached[DataFrame](shPairsCache, s, dir, "simhash64")(
+      simhash64PairsFresh(s, dir).localCheckpoint(false))
+
+  private def simhash64PairsFresh(s: SparkSession, dir: String): DataFrame = {
     val hashes = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .withColumn("hl", graft.functions.Md5PrefixLong.md5_prefix_long(col("word")))
