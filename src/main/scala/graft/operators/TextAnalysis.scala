@@ -524,6 +524,34 @@ object TextAnalysis {
     // bounded-by-construction shape as the RRF candidate windows.
     // top_cnt is the max over the whole vocabulary, equal to the max
     // within the top-K, so no second scan is needed.
+    // CHARACTER ENTROPY — the model-free bits-per-character floor
+    // (ta_compress_ratio's zlib number approximates it; this is the
+    // exact order-0 quantity): H = Σ −(c/n)·log₂(c/n) over each
+    // document's character histogram. The binary-junk screen — random
+    // bytes sit near 8 bits, natural text near 4, template spam
+    // lower. Per-doc histograms are ≤ alphabet-sized, the logs are
+    // fixed-point log2micro of the exact rational n/c, and the
+    // per-doc sum Σ c·lg floors ONCE by n — order-free integers
+    // throughout.
+    "ta_char_entropy" -> ((s, dir) => {
+      val hist = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "", -1)).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val n = hist.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+      hist.join(n, "doc_id")
+        .withColumn("lg", graft.functions.Log2Micro.log2micro(
+          col("n"), col("c")))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_chars"),
+          max(col("n_distinct")).as("n_distinct"),
+          expr("sum(c * lg)").as("hn"))
+        .withColumn("h_micro", expr("hn DIV n_chars"))
+        .select("doc_id", "n_chars", "n_distinct", "h_micro")
+        .orderBy("doc_id")
+    }),
+
     // STYLOMETRIC OUTLIER SCORE (Burrows' Delta, squared form) — the
     // authorship/register-drift signal: per document, the
     // variance-normalized squared deviation of its function-word
@@ -1701,6 +1729,27 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_char_entropy" ->
+      s"""WITH RECURSIVE hist AS MATERIALIZED (
+         |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+         |        FROM documents)
+         |  WHERE ch <> '' GROUP BY 1, 2),
+         |nn AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_distinct
+         |  FROM hist GROUP BY 1),
+         |hrel AS (
+         |  SELECT h.doc_id, h.ch, h.c, nn.n AS num, h.c AS den,
+         |    nn.n, nn.n_distinct
+         |  FROM hist h JOIN nn USING (doc_id)),
+         |${OracleSql.log2microCtes("ce", "hrel", Seq("doc_id", "ch"))}
+         |SELECT r.doc_id, max(r.n) AS n_chars,
+         |  max(r.n_distinct) AS n_distinct,
+         |  CAST(sum(r.c * lg.lrm) // max(r.n) AS BIGINT) AS h_micro
+         |FROM hrel r
+         |JOIN ce_lg lg ON lg.doc_id = r.doc_id AND lg.ch = r.ch
+         |GROUP BY 1 ORDER BY r.doc_id""".stripMargin,
     "ta_burrows_delta" ->
       s"""WITH nt AS (
          |  SELECT doc_id, unnest($toksSql) AS word FROM documents),
