@@ -308,7 +308,10 @@ object Stress {
         // bounded-frame construction instead)
         "ta_nb_train", "ta_nb_score", "ta_feature_hash", "ta_kn_bigram",
         "ta_vocab_coverage", "ta_pr_curve", "dd_dbscan", "ss_adamic_adar",
-        "mm_frame_diff", "mm_wav_downsample", "q_approx_quantile")
+        "mm_frame_diff", "mm_wav_downsample", "q_approx_quantile",
+        "ta_burrows_delta", "ta_js_drift", "ta_char_entropy",
+        "mm_pgm_equalize", "dd_cluster_agreement",
+        "dd_cluster_weakest_link", "pipe_rebalance_plan")
     val src = "/root/testdata/sf0.1"
     val dst = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val spark = SparkSession.builder().master("local[32]")
