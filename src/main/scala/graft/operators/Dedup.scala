@@ -283,6 +283,16 @@ object Dedup {
     "dd_simhash64_pairs" -> ((s, dir) =>
       simhash64Pairs(s, dir).orderBy("doc_a", "doc_b")),
 
+    // CACHE-BYPASS build row (round-10 ADVICE nit): the row above
+    // serves the session-memoized checkpoint on repeat executions, so
+    // its bench min-of-2 measures a checkpoint read, not the simhash
+    // pipeline. This row runs the signature pipeline fresh on every
+    // execution — the ss_kmeans_train / ss_pq_train
+    // bypass-the-cache convention — keeping the CONSTRUCTION cost a
+    // measured number in every bench round.
+    "dd_simhash64_build" -> ((s, dir) =>
+      simhash64PairsFresh(s, dir).orderBy("doc_a", "doc_b")),
+
     // Exact n-gram Jaccard verification of the LSH candidates — the
     // textbook LSH→verify pipeline. Shingle-join blocking alone is
     // quadratic when the vocabulary is small (measured 1.1M candidate
@@ -1272,6 +1282,41 @@ object Dedup {
        |FROM v WHERE n_inter * 2 >= na + nb - n_inter
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared oracle for dd_simhash64_pairs and its cache-bypass build
+    * row (round-10 ADVICE): both engines' pipelines are identical, so
+    * the memoized row and the fresh row must match the same SQL.
+    */
+  private val simhash64Oracle: String = {
+    val bitSums = (0 until 64).map { b =>
+      val nib = s"(strpos('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1)"
+      s"sum(CASE WHEN (($nib >> ${3 - (b % 4)}) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n      ")
+    val shExpr = (0 until 64)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val bandRows = (0 until 4)
+      .map(j => s"SELECT doc_id, sh, $j AS band_idx, (sh >> ${16 * j}) & 65535 AS band_val FROM hashes")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH sums AS (
+       |  SELECT doc_id,
+       |      $bitSums
+       |  FROM (SELECT doc_id, substring(md5(w), 1, 16) AS h
+       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |        WHERE w <> '')
+       |  GROUP BY doc_id),
+       |hashes AS (SELECT doc_id, $shExpr AS sh FROM sums),
+       |banded AS (
+       |  $bandRows
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       | AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
@@ -1374,36 +1419,8 @@ object Dedup {
         |         UNNEST(range(0, 16)) AS u(b))
         |  GROUP BY doc_id, b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "dd_simhash64_pairs" -> {
-      val bitSums = (0 until 64).map { b =>
-        val nib = s"(strpos('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1)"
-        s"sum(CASE WHEN (($nib >> ${3 - (b % 4)}) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
-      }.mkString(",\n      ")
-      val shExpr = (0 until 64)
-        .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-        .mkString(" + ")
-      val bandRows = (0 until 4)
-        .map(j => s"SELECT doc_id, sh, $j AS band_idx, (sh >> ${16 * j}) & 65535 AS band_val FROM hashes")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH sums AS (
-         |  SELECT doc_id,
-         |      $bitSums
-         |  FROM (SELECT doc_id, substring(md5(w), 1, 16) AS h
-         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-         |        WHERE w <> '')
-         |  GROUP BY doc_id),
-         |hashes AS (SELECT doc_id, $shExpr AS sh FROM sums),
-         |banded AS (
-         |  $bandRows
-         |)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-         |FROM banded a JOIN banded b
-         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         | AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "dd_simhash64_pairs" -> simhash64Oracle,
+    "dd_simhash64_build" -> simhash64Oracle,
     "pipe_incremental_dedup" ->
       s"""WITH sh AS ($shinglesSql),
          |sigs AS (SELECT doc_id,

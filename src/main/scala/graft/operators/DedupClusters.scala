@@ -199,6 +199,75 @@ object DedupClusters {
   val DbscanEps = 0.2
   val DbscanMinPts = 3
 
+  /** Downscale-unit ladder for the ARI pair counts:
+    * shift = max(0, 2·⌈log₂ n_docs⌉ − 50), as a CASE on the doc count
+    * so both engines derive the SAME power-of-two unit from data, not
+    * prose. Below 2²⁵ docs the shift is 0 and every product is EXACT;
+    * past that the quartic cross-multiplied ARI numerator
+    * (2·s_n·s_ij·10⁶ ≤ n⁴/2·10⁶) would leave DECIMAL(38,0)/HUGEINT
+    * around ~6·10⁷ docs, so the pair counts drop `shift` low-order
+    * bits first (the ta_collocations two-stage fixed-point
+    * discipline). Relative error per scaled count is ≤ 2^shift/count
+    * ~ 2⁻²⁵ at the activation threshold — invisible at ppm
+    * resolution (Stress `ariscale` probe pins shifted ≡ exact at a
+    * forcing doc count). The top rung clamps at n ≥ 2⁴¹ where the
+    * BIGINT pair counts themselves would overflow — unreachable
+    * input, kept total so the expression has no holes.
+    */
+  private[graft] def ariUnitShiftSql(n: String): String = {
+    val rungs = (25 to 40).map(k =>
+      s"WHEN $n < ${1L << (k + 1)} THEN ${2 * (k + 1) - 50}").mkString(" ")
+    s"(CASE WHEN $n < ${1L << 25} THEN 0 $rungs ELSE 34 END)"
+  }
+
+  /** Pair-counting ARI tail shared by dd_cluster_agreement and the
+    * Stress downscale probe: `joint` carries one row per doc with the
+    * two partition labels (doc_id, l1, l2), `n` is the one-row doc
+    * count. Contingency cells, per-side sizes and C(·,2) sums are
+    * exact integers; the ARI ratio cross-multiplies through 2·C(n,2)
+    * in DECIMAL(38,0) after the [[ariUnitShiftSql]] unit drop;
+    * division is sign-explicit so truncation matches floor across
+    * engines. `shiftSqlOverride` lets tests force the downscale
+    * branch at small doc counts.
+    */
+  private[graft] def ariFromJoint(joint: DataFrame, n: DataFrame,
+      shiftSqlOverride: Option[String] = None): DataFrame = {
+    val sij = joint.groupBy("l1", "l2").agg(count(lit(1)).as("nij"))
+      .agg(sum(expr("nij * (nij - 1) DIV 2")).as("s_ij"))
+    val sa = joint.groupBy("l1").agg(count(lit(1)).as("ai"))
+      .agg(sum(expr("ai * (ai - 1) DIV 2")).as("s_a"))
+    val sb = joint.groupBy("l2").agg(count(lit(1)).as("bj"))
+      .agg(sum(expr("bj * (bj - 1) DIV 2")).as("s_b"))
+    n.crossJoin(broadcast(sij)).crossJoin(broadcast(sa))
+      .crossJoin(broadcast(sb))
+      .withColumn("s_n", expr("n_docs * (n_docs - 1) DIV 2"))
+      // the Rand numerator is a pair count ≤ s_n ~ n²/2, so the
+      // ·10⁶ cross-multiply overflows BIGINT at ~4.3M docs — route
+      // it through DECIMAL(38,0) like num/den (the quotient ≤ 10⁶
+      // keeps the DIV-returns-BIGINT contract safe); numerator ≥ 0
+      // by definition, so plain DIV needs no sign case. No unit drop
+      // needed: the quadratic-times-10⁶ product fits DECIMAL(38,0)
+      // to any doc count whose pair counts fit BIGINT at all.
+      .withColumn("rand_ppm", expr(
+        "CASE WHEN s_n > 0 THEN ((CAST(s_n AS DECIMAL(38,0)) + 2 * s_ij " +
+          "- s_a - s_b) * 1000000) DIV s_n END"))
+      .withColumn("sh",
+        expr(shiftSqlOverride.getOrElse(ariUnitShiftSql("n_docs"))))
+      .withColumn("num", expr(
+        "2 * CAST(shiftright(s_n, sh) AS DECIMAL(38,0)) * shiftright(s_ij, sh) " +
+          "- 2 * CAST(shiftright(s_a, sh) AS DECIMAL(38,0)) * shiftright(s_b, sh)"))
+      .withColumn("den", expr(
+        "CAST(shiftright(s_n, sh) AS DECIMAL(38,0)) " +
+          "* (shiftright(s_a, sh) + shiftright(s_b, sh)) " +
+          "- 2 * CAST(shiftright(s_a, sh) AS DECIMAL(38,0)) * shiftright(s_b, sh)"))
+      .withColumn("ari_ppm", expr(
+        """CASE WHEN den > 0 THEN
+          |  CAST(CASE WHEN num >= 0 THEN (num * 1000000) div den
+          |       ELSE -((-num * 1000000) div den) END AS BIGINT)
+          |END""".stripMargin))
+      .select("n_docs", "s_ij", "s_a", "s_b", "rand_ppm", "ari_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // DBSCAN over the embedding space — density clustering, the
@@ -288,30 +357,7 @@ object DedupClusters {
         .select("doc_a", "doc_b"), "l1")
       val l2 = labels(Dedup.simhash64Pairs(s, dir)
         .select("doc_a", "doc_b"), "l2")
-      val joint = l1.join(l2, "doc_id")
-      val sij = joint.groupBy("l1", "l2").agg(count(lit(1)).as("nij"))
-        .agg(sum(expr("nij * (nij - 1) DIV 2")).as("s_ij"))
-      val sa = joint.groupBy("l1").agg(count(lit(1)).as("ai"))
-        .agg(sum(expr("ai * (ai - 1) DIV 2")).as("s_a"))
-      val sb = joint.groupBy("l2").agg(count(lit(1)).as("bj"))
-        .agg(sum(expr("bj * (bj - 1) DIV 2")).as("s_b"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      n.crossJoin(broadcast(sij)).crossJoin(broadcast(sa))
-        .crossJoin(broadcast(sb))
-        .withColumn("s_n", expr("n_docs * (n_docs - 1) DIV 2"))
-        .withColumn("rand_ppm", expr(
-          "CASE WHEN s_n > 0 THEN ((s_n + 2 * s_ij - s_a - s_b) * 1000000) " +
-            "DIV s_n END"))
-        .withColumn("num", expr(
-          "2 * CAST(s_n AS DECIMAL(38,0)) * s_ij - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b"))
-        .withColumn("den", expr(
-          "CAST(s_n AS DECIMAL(38,0)) * (s_a + s_b) - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b"))
-        .withColumn("ari_ppm", expr(
-          """CASE WHEN den > 0 THEN
-            |  CAST(CASE WHEN num >= 0 THEN (num * 1000000) div den
-            |       ELSE -((-num * 1000000) div den) END AS BIGINT)
-            |END""".stripMargin))
-        .select("n_docs", "s_ij", "s_a", "s_b", "rand_ppm", "ari_ppm")
+      ariFromJoint(l1.join(l2, "doc_id"), docs.agg(count(lit(1)).as("n_docs")))
     }),
 
     // CLUSTER QUALITY AUDIT (weakest link) — the over-merge alarm for
@@ -635,16 +681,20 @@ object DedupClusters {
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS s_n
          |  FROM documents),
+         |shf AS (
+         |  SELECT *, ${ariUnitShiftSql("n_docs")} AS sh
+         |  FROM nn CROSS JOIN sij CROSS JOIN sa CROSS JOIN sb),
          |fin AS (
          |  SELECT n_docs, s_ij, s_a, s_b, s_n,
-         |    2 * CAST(s_n AS HUGEINT) * s_ij
-         |      - 2 * CAST(s_a AS HUGEINT) * s_b AS num,
-         |    CAST(s_n AS HUGEINT) * (s_a + s_b)
-         |      - 2 * CAST(s_a AS HUGEINT) * s_b AS den
-         |  FROM nn CROSS JOIN sij CROSS JOIN sa CROSS JOIN sb)
+         |    2 * CAST((s_n >> sh) AS HUGEINT) * (s_ij >> sh)
+         |      - 2 * CAST((s_a >> sh) AS HUGEINT) * (s_b >> sh) AS num,
+         |    CAST((s_n >> sh) AS HUGEINT) * ((s_a >> sh) + (s_b >> sh))
+         |      - 2 * CAST((s_a >> sh) AS HUGEINT) * (s_b >> sh) AS den
+         |  FROM shf)
          |SELECT n_docs, s_ij, s_a, s_b,
          |  CASE WHEN s_n > 0
-         |    THEN ((s_n + 2 * s_ij - s_a - s_b) * 1000000) // s_n
+         |    THEN CAST(((CAST(s_n AS HUGEINT) + 2 * s_ij - s_a - s_b)
+         |         * 1000000) // s_n AS BIGINT)
          |    END AS rand_ppm,
          |  CASE WHEN den > 0 THEN
          |    CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den

@@ -38,8 +38,27 @@ object EventQueries {
     * their oracle CTEs — [[transitionMicroSql]]) cannot drift.
     * Checkpointed: the types²-bounded frame is iterated over by two
     * of the consumers.
+    *
+    * MATERIALIZED once per (session, dir) through
+    * [[graft.CacheRegistry]] — round-10 verdict mandate: the ~6
+    * Markov-family consumers (ev_markov, ev_markov_stationary,
+    * ev_markov_entropy, ev_absorption, ev_attribution_removal — plus
+    * stationaryMicro's own re-derivation) each re-ran the full events
+    * scan + per-user lead window. The exact
+    * [[Dedup.verifiedPairs]] treatment: the first consumer pays the
+    * corpus pass once, later consumers scan the types²-bounded
+    * checkpoint blocks; lifetime/staleness via the registry
+    * (Tables.invalidate drops it with the table handle). The
+    * production shape at 100 TB: the transition matrix is computed
+    * once per corpus snapshot and every chain solver reads the
+    * snapshot.
     */
-  private def transitionMicro(s: SparkSession, dir: String): DataFrame = {
+  private val markovCache = graft.CacheRegistry.newCache()
+  private def transitionMicro(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached[DataFrame](markovCache, s, dir, "transitionMicro")(
+      transitionMicroFresh(s, dir))
+
+  private def transitionMicroFresh(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val tr = Tables.events(s, dir)
@@ -57,9 +76,15 @@ object EventQueries {
   /** Stationary distribution of the behavior chain in micro-units
     * ([[MarkovPowerRounds]] power-iteration rounds from uniform over
     * the cur-states) — the ev_markov_stationary body, shared with the
-    * entropy-rate row.
+    * entropy-rate row. Memoized like [[transitionMicro]]: the
+    * ev_markov_stationary and ev_markov_entropy rows share the
+    * iterated fixed-point instead of each re-running the power loop.
     */
-  private def stationaryMicro(s: SparkSession, dir: String): DataFrame = {
+  private def stationaryMicro(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached[DataFrame](markovCache, s, dir, "stationaryMicro")(
+      stationaryMicroFresh(s, dir))
+
+  private def stationaryMicroFresh(s: SparkSession, dir: String): DataFrame = {
     val p = transitionMicro(s, dir).select("cur", "nxt", "pm")
     val states = p.select(col("cur").as("state")).distinct()
     val nStates = states.count()
@@ -1799,10 +1824,17 @@ object EventQueries {
           .when(col("h") < 235, 2L)
           .when(col("h") < 251, 3L)
           .otherwise(4L))
+      // a replica drawing all-zero Poisson weights (den = 0) must
+      // yield an explicit NULL mean, and the rank window must pin
+      // NULL ordering — Spark orders NULLs first by default, DuckDB
+      // last, so an unguarded divergence would silently shift the
+      // order-statistic CI instead of failing loudly
       val repMeans = weighted.groupBy("b")
         .agg(sum(col("w") * col("c")).as("num"), sum(col("w")).as("den"))
-        .withColumn("mean_micro", expr("(num * 1000000) DIV den"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("mean_micro"))
+        .withColumn("mean_micro",
+          expr("CASE WHEN den > 0 THEN (num * 1000000) DIV den END"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("mean_micro").asc_nulls_first)
       val stats = repMeans
         .withColumn("rn", row_number().over(w)) // 32-row frame: the
         // unpartitioned window is replica-bounded, never corpus-sized
@@ -2981,9 +3013,10 @@ object EventQueries {
          |    CAST(sum(w) AS BIGINT) AS den
          |  FROM wtd GROUP BY 1),
          |ranked AS (
-         |  SELECT (num * 1000000) // den AS mean_micro,
-         |    row_number() OVER (ORDER BY (num * 1000000) // den) AS rn
-         |  FROM rm),
+         |  SELECT mean_micro,
+         |    row_number() OVER (ORDER BY mean_micro ASC NULLS FIRST) AS rn
+         |  FROM (SELECT CASE WHEN den > 0 THEN (num * 1000000) // den END
+         |          AS mean_micro FROM rm)),
          |st AS (
          |  SELECT
          |    CAST(max(CASE WHEN rn = 2 THEN mean_micro END) AS BIGINT)

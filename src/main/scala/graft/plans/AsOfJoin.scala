@@ -312,20 +312,64 @@ object AsOfJoin {
       .contains(df.select(c).schema.head.dataType)
     catch { case _: org.apache.spark.sql.AnalysisException => false }
 
+  /** Memoized probe verdicts, keyed (session UUID, left-plan
+    * fingerprint) — [[shouldAutoSalt]] runs real Spark jobs at
+    * plan-construction, so a query that calls [[joinAsOf]] repeatedly
+    * on the same left frame (Tables memoizes table handles, making
+    * the canonical plan — and so its semanticHash — stable) must pay
+    * the ~0.18 s probe once per session, not per call. Safe to serve
+    * stale or even hash-collided: the verdict is a ROUTING heuristic
+    * and both routes are row-identical (AsOfJoinSpec), so the worst
+    * case of a wrong cache hit is the status-quo plan, never a wrong
+    * answer — which is why this entry, unlike data-derived artifacts,
+    * does not need path-prefix invalidation on rewrite.
+    */
+  private val probeCache = graft.CacheRegistry.newCache()
+
+  /** Count of REAL probe passes (test pin: repeat calls memo-hit). */
+  private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def shouldAutoSalt(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column): Boolean = {
     if (left.sparkSession.conf
         .get("spark.graft.asof.autoSalt", "true") != "true") return false
     if (!isIntegral(left, leftKey) || !isIntegral(right, rightKey)) return false
     // Catalyst-stats pre-filter: the probe below runs real Spark jobs
-    // at plan-construction time, so short-circuit frames whose
-    // optimizer size estimate cannot reach the AutoSaltMinRows floor
-    // (≥ 8 bytes/row is conservative for an integral key + a time
-    // column). Driver-side only — no job.
-    val estBytes =
-      try left.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
-    if (estBytes < AutoSaltMinRows * 8) return false
+    // at plan-construction time, so short-circuit frames the
+    // optimizer can PROVE are under the AutoSaltMinRows floor.
+    // Driver-side only — no job. Prefer the exact rowCount when stats
+    // carry one (Range, CBO); otherwise fall back to sizeInBytes —
+    // but for file relations that estimate is COMPRESSED on-disk
+    // bytes (scaled by spark.sql.sources.fileCompressionFactor,
+    // default 1.0 = raw file size), and RLE/dictionary parquet packs
+    // a skewed integral key well below 8 B/row — exactly the frame
+    // this probe exists to catch. So the size path only skips when
+    // the estimate sits a full order of magnitude below the 8 B/row
+    // floor; anything within 10× falls through to the real probe.
+    val statsSkip =
+      (try Some(left.queryExecution.optimizedPlan.stats)
+       catch { case scala.util.control.NonFatal(_) => None }) match {
+        case Some(st) => st.rowCount match {
+          case Some(rc) => rc < AutoSaltMinRows
+          case None => st.sizeInBytes * 10 < BigInt(AutoSaltMinRows) * 8
+        }
+        case None => false
+      }
+    if (statsSkip) return false
+    val fp =
+      try left.select(leftKey.cast("long"))
+        .queryExecution.optimizedPlan.semanticHash().toString
+      catch { case scala.util.control.NonFatal(_) =>
+        java.util.UUID.randomUUID().toString }
+    graft.CacheRegistry.cached[java.lang.Boolean](
+        probeCache, left.sparkSession, fp, "asofProbe") {
+      probeRuns.incrementAndGet()
+      java.lang.Boolean.valueOf(
+        probeSaysSalt(left, leftKey))
+    }.booleanValue()
+  }
+
+  private def probeSaysSalt(left: DataFrame, leftKey: Column): Boolean = {
     // Partition-subset probe (every `step`th partition — step is
     // sized so ~8 partitions are probed whatever the partition
     // count), counted in a capped per-partition open map and reduced

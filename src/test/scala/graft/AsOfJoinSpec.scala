@@ -68,6 +68,26 @@ class AsOfJoinSpec extends AnyFunSuite {
       "256-partition hot-key join did not take the salted route")
   }
 
+  test("auto-salt probe memo: repeated joinAsOf on the same left frame probes once") {
+    import org.apache.spark.sql.functions._
+    // the probe runs real Spark jobs at plan-construction; round-11
+    // mandate: a session that re-plans the same left frame (stable
+    // canonical plan via the Tables handle memo) pays it ONCE, keyed
+    // (session UUID, left-plan fingerprint) in CacheRegistry
+    val l = spark.range(0, 130000L).select(
+      when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 97).as("k"),
+      (col("id") * 11 % 4000).as("t"))
+    val r = spark.range(0, 1000L).select(
+      (col("id") % 97).as("rk"), (expr("id DIV 97") * 400).as("rt"),
+      col("id").as("q"))
+    def run() = AsOfJoin.joinAsOf(l, r, l("k"), r("rk"), l("t"), r("rt"))
+    run()
+    val afterFirst = AsOfJoin.probeRuns.get()
+    run(); run()
+    assert(AsOfJoin.probeRuns.get() == afterFirst,
+      "repeated joinAsOf on an identical left frame re-ran the skew probe")
+  }
+
   test("auto-salt: sub-floor frames skip the probe via Catalyst stats (no job at plan time)") {
     import org.apache.spark.sql.functions._
     // a frame whose optimizer size estimate cannot reach the row

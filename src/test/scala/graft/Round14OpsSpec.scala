@@ -241,12 +241,20 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) == rows.head.getLong(2))
     assert(rows.head.getLong(5) == 0L)
     // flow conservation across consecutive weeks:
-    // active_{t-1} = retained_t + churned_t
+    // active_{t-1} = retained_t + churned_t — but only for rows that
+    // ARE calendar-adjacent: a zero-activity gap week leaves no
+    // result row, making neighboring rows non-consecutive without
+    // the query being wrong (round-10 ADVICE nit)
+    var adjacentPairs = 0
     rows.sliding(2).foreach {
-      case Array(a, b) =>
+      case Array(a, b)
+          if b.getTimestamp(0).getTime - a.getTimestamp(0).getTime ==
+            7L * 24 * 3600 * 1000 =>
+        adjacentPairs += 1
         assert(a.getLong(1) == b.getLong(3) + b.getLong(5), s"$a -> $b")
       case _ =>
     }
+    assert(adjacentPairs > 0, "no calendar-adjacent week pair exercised")
   }
 
   test("exp2microCtes mirrors the Scala k-domain guard") {
