@@ -291,6 +291,79 @@ object StreamingQueries {
           Agg.dsum(col("value")).as("sum_value"))
       drain(s, stream, "st_sliding_15m")
         .orderBy("win_start")
+    }),
+
+    // CRASH RECOVERY through the gate (round-10 verdict #5) — the one
+    // behavior class the steady-state st_* rows never exercise:
+    // EXACTLY-ONCE across a mid-run failure. Every execution stages
+    // the events as 4 files, runs an update-mode aggregation one file
+    // per micro-batch through a foreachBatch upsert sink (each batch's
+    // updated rows land idempotently at an offset-derived path,
+    // stamped with the batch id — the Delta/JDBC-upsert shape on plain
+    // parquet), and INJECTS A CRASH in batch 1 after the sink write
+    // but BEFORE the commit log records it — the hardest window: the
+    // offset WAL already names batch 1, so the restarted query (same
+    // checkpoint dir, injection off) must REPLAY it with identical
+    // contents, and only the sink's by-batch-id idempotent overwrite
+    // keeps the store exactly-once. The merged store (latest batch id
+    // per key; a key's last update IS its total — update mode re-emits
+    // a key whenever it changes) must equal the batch dual verbatim —
+    // the same oracle SQL as st_tumbling_hour. State is unwatermarked
+    // here because the 4-file replay is a bounded drain (files split
+    // round-robin, so "late" rows are the norm); a production infinite
+    // stream adds the watermark back and the recovery story is
+    // unchanged (state reload + offset replay are watermark-agnostic).
+    // Fresh checkpoint/store per execution: repeat runs re-exercise
+    // the crash, not a cached recovery.
+    "st_restart_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val staged = stage(ev.repartition(4), s"$dir/events.parquet",
+        s"${stageRoot(dir)}/ev_restart")
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = s"${stageRoot(dir)}/restart_ckpt_$run"
+      val store = s"${stageRoot(dir)}/restart_store_$run"
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+      def start(injectCrash: Boolean) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Agg.dsum(col("value")).as("sum_value"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          batchesSeen.incrementAndGet()
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Overwrite).parquet(s"$store/b$batchId")
+          if (injectCrash && batchId == 1L) {
+            crashed.set(true)
+            throw new IllegalStateException(
+              "injected crash: after sink write, before commit-log entry")
+          }
+        }
+        .start()
+      val q1 = start(injectCrash = true)
+      // processAllAvailable unblocks on the injected failure (and
+      // would return normally if injection never fired — caught by
+      // the require below instead of hanging)
+      try { q1.processAllAvailable(); () }
+      catch { case _: Exception => () } finally q1.stop()
+      require(crashed.get(), "crash injection never fired — staged file " +
+        "count changed? the recovery contract was not exercised")
+      val q2 = start(injectCrash = false)
+      try q2.processAllAvailable() finally q2.stop()
+      require(batchesSeen.get() >= 5L,
+        s"expected batch 1 to REPLAY after restart (batches 0,1 then " +
+          s"replay-1,2,3 = 5 foreachBatch calls), saw ${batchesSeen.get()}")
+      val w = Window.partitionBy(col("hour"), col("event_type"))
+        .orderBy(col("batch_id").desc)
+      s.read.parquet(s"$store/b*")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("hour", "event_type", "n_events", "sum_value")
+        .orderBy("hour", "event_type")
     })
   )
 
@@ -302,6 +375,13 @@ object StreamingQueries {
         |      FROM events GROUP BY 1)
         |GROUP BY 1 ORDER BY day""".stripMargin,
     "st_tumbling_hour" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  count(*) AS n_events,
+         |  ${OracleSql.dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // The exactly-once contract: the crash-replay-merged store equals
+    // the batch aggregate verbatim (same SQL as st_tumbling_hour).
+    "st_restart_upsert" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
          |  count(*) AS n_events,
          |  ${OracleSql.dsum("value")} AS sum_value

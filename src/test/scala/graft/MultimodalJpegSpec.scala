@@ -49,21 +49,36 @@ class MultimodalJpegSpec extends AnyFunSuite {
     assert(e.getMessage.contains("undecodable"))
   }
 
-  test("mm_decode_jpeg: dimensions survive for every doc, errors bounded") {
+  test("mm_decode_jpeg: real files, dims survive, errors bounded, sidecar pinned") {
+    import org.apache.spark.sql.functions.expr
+    // round 11: the row runs off a real .jpg landing over the
+    // md5-prefix subset, with the landing-time decode pinned in a
+    // sidecar parquet the DuckDB oracle reads
+    val subset = Tables.documents(spark, sf)
+      .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 4) < '2000'"))
+      .count()
     val rows = SparkEntry.queries("mm_decode_jpeg")(spark, sf).collect()
-    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.length == subset && subset > 0)
     rows.foreach { r =>
-      assert(r.getBoolean(r.fieldIndex("dims_roundtrip")),
-        s"dims changed for doc ${r.getLong(0)}")
       assert(r.getInt(r.fieldIndex("width")) == PgmCodec.WrapWidth)
-      assert(r.getInt(r.fieldIndex("n_jpeg_bytes")) > 0)
+      assert(r.getInt(r.fieldIndex("height")) > 0)
+      assert(r.getLong(r.fieldIndex("n_jpeg_bytes")) > 0)
       // text rasters are high-frequency content — JPEG's worst case —
-      // so the bound is loose but must still be far from "decoded noise"
-      assert(r.getDouble(r.fieldIndex("mean_abs_err")) < 64.0)
+      // so the bound is loose but must still be far from "decoded
+      // noise": mean abs err = sum_abs_err / (8·h) < 64
+      val nPix = 8L * r.getInt(r.fieldIndex("height"))
+      assert(r.getLong(r.fieldIndex("sum_abs_err")) < 64L * nPix,
+        s"mean abs error implausibly high for doc ${r.getLong(0)}")
       assert(r.getInt(r.fieldIndex("max_abs_err")) <= 255)
+      assert(r.getString(r.fieldIndex("pixels_md5")).length == 32)
     }
-    // determinism across runs (the driver's rows-only check reruns it)
+    // determinism across runs (what the sidecar contract relies on:
+    // a fresh decode of the same files must reproduce the pin)
     val again = SparkEntry.queries("mm_decode_jpeg")(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the dumped oracle references THIS process's sidecar
+    assert(SparkEntry.oracleSql("mm_decode_jpeg").contains("read_parquet"))
+    assert(!SparkEntry.oracleSql("mm_decode_jpeg").contains("never_landed"),
+      "oracle dumped before the query landed its sidecar")
   }
 }

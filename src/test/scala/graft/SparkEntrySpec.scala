@@ -12,14 +12,14 @@ class SparkEntrySpec extends AnyFunSuite {
   // The only queries allowed to lack DuckDB oracle SQL, each justified
   // in COVERAGE.md/README and pinned by a ScalaTest instead. The two
   // sketch queries' estimates are engine-specific by construction.
-  // mm_decode_jpeg: DuckDB cannot decode JPEG and the lossy bytes are
-  // codec-defined — pinned by MultimodalJpegSpec's error-bound
-  // round-trip tests instead. ta_compress_ratio: DuckDB has no deflate
-  // — pinned byte-exactly by CompressRatioSpec (reference deflate,
-  // Inflater round trip, redundancy ordering).
+  // ta_compress_ratio: DuckDB has no deflate — pinned byte-exactly by
+  // CompressRatioSpec (reference deflate, Inflater round trip,
+  // redundancy ordering). mm_decode_jpeg left this set in round 11:
+  // its oracle now compares the fresh decode of the real .jpg landing
+  // against the landing-time sidecar pin (decode determinism + file
+  // integrity) joined with arithmetic dims.
   val oracleExempt: Set[String] =
-    Set("q_approx_distinct", "q_approx_quantile", "mm_decode_jpeg",
-      "ta_compress_ratio")
+    Set("q_approx_distinct", "q_approx_quantile", "ta_compress_ratio")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
