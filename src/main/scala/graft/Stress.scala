@@ -284,6 +284,17 @@ object Stress {
         else Seq("dd_containment", "dd_jaccard_prefix", "ss_graph_expand")
       val results = scala.collection.mutable.Map[String, List[(Int, Long, Double)]]()
         .withDefaultValue(Nil)
+      // Warm-up: the very first action in a fresh session pays ~5-10 s
+      // of executor + whole-stage-codegen startup, which at 1× is the
+      // SAME order as the measurement itself and bends every fitted
+      // exponent down (dd_dbscan's 1× point measured 11.5 s cold vs
+      // 2-3 s warm). One throwaway run of each swept query against the
+      // un-amplified source pays that once, outside the fit.
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, src).count()
+        catch { case e: Throwable =>
+          System.err.println(s"warmup $n FAILED: ${e.getMessage}") }
+      }
       factors.foreach { f =>
         val dst = java.nio.file.Files.createTempDirectory(s"graft_curve_$f").toString
         def amp(name: String, idCols: Seq[String]): Unit = {

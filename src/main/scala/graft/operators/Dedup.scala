@@ -65,6 +65,11 @@ object Dedup {
   val Bands     = 4
   val RowsPerBand = NumHashes / Bands
 
+  /** OPH bin count (dd_oph_minhash): one hash per shingle binned into
+    * k buckets replaces k independent minhashes.
+    */
+  val OphBuckets = 16
+
   /** (doc_id, sig0..sig15): min-hash signature. Each salted md5 yields
     * four independent 32-bit (8-hex-char) hashes, so 16 signatures cost
     * 4 md5 evaluations per shingle, not 16. The min is taken over raw
@@ -124,6 +129,58 @@ object Dedup {
         .groupBy(md5(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
         .orderBy("fp")
+    }),
+
+    // ONE-PERMUTATION HASHING (Li, Owen & Zhang 2012) with rotation
+    // densification (Shrivastava & Li 2014) — the minhash cost model
+    // at 100 TB: classic k-signature minhash pays k (here
+    // NumHashes/4 md5) digests per shingle; OPH pays ONE, binning the
+    // single hash into k buckets and taking the per-bucket min, so
+    // the signature pass is ~4× cheaper at identical shuffle shape
+    // (the real reason production near-dup runs OPH). Empty buckets
+    // (short docs) borrow the nearest non-empty bucket to the
+    // cyclic right, reported as src_dist (> 0 ⇔ densified) so the
+    // estimator downstream can apply the offset trick. Dataflow: one
+    // shingle pass → (doc, bucket) min-agg; the densification runs
+    // on the (docs × k × d) spine — k² = 256 rows per doc worst
+    // case, never corpus-quadratic. Hash = top 32 bits of the md5,
+    // non-negative, so long-min ≡ hex-min and `%` ≡ `//`-mod on both
+    // engines. Docs with no shingles (< 3 tokens) emit nothing —
+    // both engines derive the spine from shingle-bearing docs.
+    "dd_oph_minhash" -> ((s, dir) => {
+      val ne = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(shinglesOf(col("text"))).as("shingle"))
+        .withColumn("hl",
+          graft.functions.Md5Longs.md5_longs(col("shingle")))
+        .withColumn("h", expr("shiftrightunsigned(hl[0], 32)"))
+        .withColumn("bucket", expr(s"CAST(h % $OphBuckets AS INT)"))
+        .groupBy("doc_id", "bucket").agg(min(col("h")).as("sig"))
+        .localCheckpoint(false) // spine + borrow legs re-read it
+      val spine = ne.select("doc_id").distinct()
+        .withColumn("bucket",
+          explode(expr(s"sequence(0, ${OphBuckets - 1})")))
+        .withColumn("bucket", col("bucket").cast("int"))
+      val emp = spine.join(ne, Seq("doc_id", "bucket"), "left_anti")
+      val cand = emp
+        .withColumn("d",
+          explode(expr(s"sequence(1, ${OphBuckets - 1})")))
+        .withColumn("d", col("d").cast("int"))
+        .withColumn("src",
+          expr(s"CAST((bucket + d) % $OphBuckets AS INT)"))
+        .join(ne.select(col("doc_id"), col("bucket").as("src"),
+          col("sig")), Seq("doc_id", "src"))
+      val bd = cand.groupBy("doc_id", "bucket")
+        .agg(min(col("d")).as("src_dist"))
+      val bor = cand.as("c").join(bd.as("b"),
+          col("c.doc_id") === col("b.doc_id") &&
+            col("c.bucket") === col("b.bucket") &&
+            col("c.d") === col("b.src_dist"))
+        .select(col("c.doc_id"), col("c.bucket"), col("c.sig"),
+          col("b.src_dist"))
+      ne.withColumn("src_dist", lit(0).cast("int"))
+        .select("doc_id", "bucket", "sig", "src_dist")
+        .unionByName(bor)
+        .orderBy("doc_id", "bucket")
     }),
 
     // Exact dedup after canonicalization — catches the trivial
@@ -1321,6 +1378,41 @@ object Dedup {
     "dd_exact" ->
       """SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    // Top-32-bits-of-md5 decode = hexLongSql over the first 8 hex
+    // chars — the exact dual of shiftrightunsigned(hl[0], 32).
+    "dd_oph_minhash" ->
+      s"""WITH sh AS ($shinglesSql),
+         |hv AS (SELECT doc_id,
+         |         ${hexLongSql("md5(shingle)", 1, 8)} AS h
+         |       FROM sh),
+         |ne AS MATERIALIZED (
+         |  SELECT doc_id, CAST(h % $OphBuckets AS INT) AS bucket,
+         |    CAST(min(h) AS BIGINT) AS sig
+         |  FROM hv GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT doc_id, CAST(b AS INT) AS bucket
+         |  FROM (SELECT DISTINCT doc_id FROM ne),
+         |       UNNEST(range(0, $OphBuckets)) AS u(b)),
+         |emp AS (
+         |  SELECT s.doc_id, s.bucket FROM spine s
+         |  LEFT JOIN ne ON ne.doc_id = s.doc_id AND ne.bucket = s.bucket
+         |  WHERE ne.sig IS NULL),
+         |cand AS (
+         |  SELECT e.doc_id, e.bucket, CAST(o.d AS INT) AS d, ne.sig
+         |  FROM emp e
+         |  CROSS JOIN UNNEST(range(1, $OphBuckets)) AS o(d)
+         |  JOIN ne ON ne.doc_id = e.doc_id
+         |    AND ne.bucket = CAST((e.bucket + o.d) % $OphBuckets AS INT)),
+         |bd AS (
+         |  SELECT doc_id, bucket, CAST(min(d) AS INT) AS src_dist
+         |  FROM cand GROUP BY 1, 2)
+         |SELECT doc_id, bucket, sig, CAST(0 AS INT) AS src_dist FROM ne
+         |UNION ALL
+         |SELECT c.doc_id, c.bucket, c.sig, b.src_dist
+         |FROM cand c JOIN bd b
+         |  ON b.doc_id = c.doc_id AND b.bucket = c.bucket
+         |    AND c.d = b.src_dist
+         |ORDER BY doc_id, bucket""".stripMargin,
     "dd_exact_normalized" ->
       """SELECT md5(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) AS fp,
         |  count(*) AS n_docs, min(doc_id) AS keep_id

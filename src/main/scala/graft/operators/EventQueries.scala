@@ -29,6 +29,12 @@ object EventQueries {
     */
   val HaarLevels = 5
 
+  /** EWMA convolution depth for ev_ewma: the α = 1/2 recursion
+    * unrolled to K dyadic taps — the dropped tail is < max_y·2⁻⁴⁰,
+    * and identical truncation on both engines is the contract.
+    */
+  val EwmaTaps = 40
+
   /** Shared first-order transition-matrix derivation of the Markov
     * trilogy (ev_markov / ev_markov_stationary / ev_absorption):
     * per-user successor pairs from a lead() window ((ts, event_id)
@@ -1848,6 +1854,158 @@ object EventQueries {
       point.crossJoin(broadcast(stats))
         .select("n_rows", "point_mean_micro", "boot_lo_micro",
           "boot_med_micro", "boot_hi_micro", "n_replicas")
+    }),
+
+    // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout for
+    // staged rollouts (Card & Krueger 1994 form): per-user spend is
+    // split pre/post at the corpus time midpoint (the ev_ab_cuped
+    // period split) and md5-parity "exposure" arms stand in for the
+    // rollout cohorts; DiD = (post_b − pre_b) − (post_a − pre_a)
+    // nets out both the time trend (shared by the arms) and the
+    // cohort level difference (shared by the periods). Dataflow: one
+    // corpus scan into per-user (x, y) cents sums — shuffle by
+    // user_id — then a 2-row arm census folded to a single frame;
+    // the midpoint rides a broadcast 1-row bound. Means in exact
+    // micro (cents sums are non-negative, so plain DIV ≡ // ); the
+    // DiD is a difference of already-floored means — both engines
+    // floor at the same 4 points, so the contract is engine-exact.
+    "ev_did" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("um"),
+          expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
+            .as("cents"))
+      val bounds = ev.agg(min(col("um")).as("mn"), max(col("um")).as("mx"))
+        .select(expr("mn + (mx - mn) DIV 2").as("mid"))
+      val perUser = ev.crossJoin(broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("um") < col("mid"), col("cents")).otherwise(0L))
+            .as("x"),
+          sum(when(col("um") >= col("mid"), col("cents")).otherwise(0L))
+            .as("y"))
+        .withColumn("arm",
+          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long"), lit(2L)).cast("int"))
+      perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+        .withColumn("pre_micro", expr("(sx * 1000000) DIV n_users"))
+        .withColumn("post_micro", expr("(sy * 1000000) DIV n_users"))
+        .agg(
+          sum(when(col("arm") === 0, col("n_users"))).as("n_a"),
+          sum(when(col("arm") === 1, col("n_users"))).as("n_b"),
+          sum(when(col("arm") === 0, col("pre_micro"))).as("pre_a_micro"),
+          sum(when(col("arm") === 0, col("post_micro"))).as("post_a_micro"),
+          sum(when(col("arm") === 1, col("pre_micro"))).as("pre_b_micro"),
+          sum(when(col("arm") === 1, col("post_micro"))).as("post_b_micro"))
+        .withColumn("did_micro",
+          (col("post_b_micro") - col("pre_b_micro")) -
+            (col("post_a_micro") - col("pre_a_micro")))
+        .select("n_a", "n_b", "pre_a_micro", "post_a_micro",
+          "pre_b_micro", "post_b_micro", "did_micro")
+    }),
+
+    // MANN-WHITNEY U — the nonparametric two-sample test every
+    // experimentation platform keeps beside the t-test for
+    // heavy-tailed revenue metrics (Mann & Whitney 1947): ranks of
+    // per-user spend across both md5-parity arms, with midrank tie
+    // handling kept INTEGRAL by doubling (avg tie rank = (2·below +
+    // count + 1)/2, so 2·rank is always whole). U is reported doubled
+    // (u2 = 2U) and the common-language effect size — P(spend_a >
+    // spend_b) with ½ credit at ties — in exact ppm. Dataflow: one
+    // shuffle by user into per-user totals, then the rank machinery
+    // runs on the DISTINCT-VALUE census (value, n_a, n_b) — at this
+    // corpus 150 rows; at 100 TB the cumulative-below pass over the
+    // value census would ride the radix-bucket two-stage discipline
+    // (QuantileQueries) instead of one ordered frame, and U is a sum
+    // of per-value products either way. No floats, no sqrt — the
+    // z-normalization is the reader's step, the engine reports the
+    // exact statistic.
+    "ev_mann_whitney" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
+            .as("cents"))
+        .groupBy("user_id").agg(sum(col("cents")).as("v"))
+        .withColumn("arm",
+          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long"), lit(2L)).cast("int"))
+      val census = perUser.groupBy("v")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ranked = census // value census: |distinct per-user totals| rows
+        .withColumn("below", sum(col("ca") + col("cb")).over(w) -
+          (col("ca") + col("cb")))
+        .withColumn("r2", lit(2L) * col("below") + col("ca") + col("cb")
+          + lit(1L)) // doubled midrank, exact for any tie group
+      ranked.agg(
+          sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+          sum(col("ca") * col("r2")).as("rr2a"),
+          sum(col("cb") * col("r2")).as("rr2b"))
+        .withColumn("u2_a", col("rr2a") - col("n_a") * (col("n_a") + 1))
+        .withColumn("u2_b", col("rr2b") - col("n_b") * (col("n_b") + 1))
+        .withColumn("auc_ppm", // P(a > b) + P(tie)/2, exact ppm
+          expr("(u2_a * 1000000) DIV (2 * n_a * n_b)"))
+        .select("n_a", "n_b", "u2_a", "u2_b", "auc_ppm")
+    }),
+
+    // EWMA SMOOTHING — exponentially-weighted hourly baseline
+    // (α = 1/2) with the recursion UNROLLED into a bounded dyadic
+    // convolution so it is exact integer arithmetic on both engines:
+    // s_t = Σ_{i<t} y_{t−i}·2^{−(i+1)} + y_0·2^{−t}, truncated at
+    // K = 40 taps (the dropped tail is < max_y·2⁻⁴⁰ — and identical
+    // truncation on both engines is the contract, not an
+    // approximation claim). Numerator in DECIMAL(38,0): Σ y·2³⁹ ×
+    // 10⁶ leaves BIGINT for any hourly count past ~9k. Dataflow: one
+    // corpus scan into the gap-filled (type × hour) spine (the
+    // ev_changepoint sweep-line doctrine), then a taps×spine
+    // broadcast join — the convolution frame is calendar-bounded,
+    // never corpus-sized. The residual y_t·10⁶ − s_{t−1}·10⁶ is the
+    // one-step-ahead surprise an anomaly pager thresholds.
+    "ev_ewma" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hourly.groupBy("event_type")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val y = spine.join(hourly, Seq("event_type", "hour"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("t", (row_number().over(w) - 1).cast("long"))
+      val y0 = y.filter(col("t") === 0)
+        .select(col("event_type"), col("n").as("y0"))
+      // s_t·2^K = Σ_{i=0..t−1} y_{t−i}·2^(K−1−i) + y_0·2^(K−t): taps
+      // come only from sources t ≥ 1 (target t2 = t+i then collects
+      // exactly i = 0..min(t2−1, K−1)); the closed-form y_0·2^(K−t2)
+      // remainder carries ALL of source 0, truncated past K taps.
+      val taps = y.filter(col("t") >= 1)
+        .select(col("event_type"), col("t"), col("n"))
+        .withColumn("i", explode(expr(s"sequence(0, ${EwmaTaps - 1})")))
+        .select(col("event_type"), (col("t") + col("i")).as("tt"),
+          expr(s"CAST(n AS DECIMAL(38,0)) * CAST(shiftleft(1L, " +
+            s"${EwmaTaps - 1} - i) AS DECIMAL(38,0))").as("term"))
+        .groupBy(col("event_type"), col("tt"))
+        .agg(sum(col("term")).as("num"))
+        .withColumnRenamed("tt", "t")
+      y.join(taps, Seq("event_type", "t"), "left")
+        .join(broadcast(y0), "event_type")
+        .withColumn("num", coalesce(col("num"), lit(0L).cast(DecimalType(38, 0)))
+          + when(col("t") < EwmaTaps,
+              expr(s"CAST(y0 AS DECIMAL(38,0)) * CAST(shiftleft(1L, " +
+                s"CAST($EwmaTaps - t AS INT)) AS DECIMAL(38,0))"))
+            .otherwise(lit(0L).cast(DecimalType(38, 0))))
+        .withColumn("ewma_micro", expr(
+          s"CAST((num * 1000000) DIV CAST(shiftleft(1L, $EwmaTaps) " +
+            "AS DECIMAL(38,0)) AS BIGINT)"))
+        .withColumn("resid_micro",
+          col("n") * 1000000L - lag(col("ewma_micro"), 1).over(w))
+        .select(col("event_type"), col("hour"), col("n"),
+          col("ewma_micro"), col("resid_micro"))
+        .orderBy("event_type", "hour")
     })
   )
 
@@ -3035,6 +3193,130 @@ object EventQueries {
          |SELECT pt.n_rows, pt.point_mean_micro, st.boot_lo_micro,
          |  st.boot_med_micro, st.boot_hi_micro, st.n_replicas
          |FROM pt CROSS JOIN st""".stripMargin
+    },
+
+    "ev_did" -> {
+      val hex13 = (0 until 13).map { i =>
+        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
+        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
+      }.mkString("(", " + ", ")")
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS um,
+         |    CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS cents
+         |  FROM events),
+         |b AS (SELECT min(um) + (max(um) - min(um)) // 2 AS mid FROM ev),
+         |pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN um < (SELECT mid FROM b) THEN cents
+         |      ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN um >= (SELECT mid FROM b) THEN cents
+         |      ELSE 0 END) AS BIGINT) AS y,
+         |    CAST($hex13 % 2 AS INT) AS arm
+         |  FROM ev GROUP BY user_id),
+         |arms AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    (CAST(sum(x) AS BIGINT) * 1000000) // count(*) AS pre_micro,
+         |    (CAST(sum(y) AS BIGINT) * 1000000) // count(*) AS post_micro
+         |  FROM pu GROUP BY arm)
+         |SELECT
+         |  CAST(sum(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n_b,
+         |  CAST(sum(CASE WHEN arm = 0 THEN pre_micro END) AS BIGINT)
+         |    AS pre_a_micro,
+         |  CAST(sum(CASE WHEN arm = 0 THEN post_micro END) AS BIGINT)
+         |    AS post_a_micro,
+         |  CAST(sum(CASE WHEN arm = 1 THEN pre_micro END) AS BIGINT)
+         |    AS pre_b_micro,
+         |  CAST(sum(CASE WHEN arm = 1 THEN post_micro END) AS BIGINT)
+         |    AS post_b_micro,
+         |  CAST((sum(CASE WHEN arm = 1 THEN post_micro END)
+         |      - sum(CASE WHEN arm = 1 THEN pre_micro END))
+         |    - (sum(CASE WHEN arm = 0 THEN post_micro END)
+         |      - sum(CASE WHEN arm = 0 THEN pre_micro END)) AS BIGINT)
+         |    AS did_micro
+         |FROM arms""".stripMargin
+    },
+
+    "ev_mann_whitney" -> {
+      val hex13 = (0 until 13).map { i =>
+        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
+        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
+      }.mkString("(", " + ", ")")
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT))
+         |      AS BIGINT) AS v,
+         |    CAST($hex13 % 2 AS INT) AS arm
+         |  FROM events GROUP BY user_id),
+         |census AS (
+         |  SELECT v,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM pu GROUP BY v),
+         |ranked AS (
+         |  SELECT ca, cb,
+         |    2 * (CAST(sum(ca + cb) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - (ca + cb)) + ca + cb + 1 AS r2
+         |  FROM census),
+         |agg AS (
+         |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |    CAST(sum(cb) AS BIGINT) AS n_b,
+         |    CAST(sum(ca * r2) AS BIGINT) AS rr2a,
+         |    CAST(sum(cb * r2) AS BIGINT) AS rr2b
+         |  FROM ranked)
+         |SELECT n_a, n_b,
+         |  rr2a - n_a * (n_a + 1) AS u2_a,
+         |  rr2b - n_b * (n_b + 1) AS u2_b,
+         |  ((rr2a - n_a * (n_a + 1)) * 1000000) // (2 * n_a * n_b)
+         |    AS auc_ppm
+         |FROM agg""".stripMargin
+    },
+
+    "ev_ewma" -> {
+      // 40 dyadic tap weights 2^(K−1−i) and remainder weights 2^(K−t)
+      // as integer literal VALUES rows — no pow() in either engine
+      val tapW = (0 until EwmaTaps)
+        .map(i => s"($i, ${1L << (EwmaTaps - 1 - i)})").mkString(", ")
+      val remW = (0 until EwmaTaps)
+        .map(t => s"($t, ${1L << (EwmaTaps - t)})").mkString(", ")
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS hour, event_type,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT event_type,
+         |    unnest(generate_series(min(hour), max(hour),
+         |      INTERVAL 1 HOUR)) AS hour
+         |  FROM hourly GROUP BY event_type),
+         |y AS MATERIALIZED (
+         |  SELECT s.event_type, s.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+         |    CAST(row_number() OVER (PARTITION BY s.event_type
+         |      ORDER BY s.hour) - 1 AS BIGINT) AS t
+         |  FROM spine s LEFT JOIN hourly h
+         |    ON h.event_type = s.event_type AND h.hour = s.hour),
+         |y0 AS (SELECT event_type, n AS y0 FROM y WHERE t = 0),
+         |tapsum AS (
+         |  SELECT y.event_type, y.t + w.i AS t,
+         |    sum(CAST(y.n AS HUGEINT) * w.wt) AS num
+         |  FROM y CROSS JOIN (VALUES $tapW) w(i, wt)
+         |  WHERE y.t >= 1
+         |  GROUP BY 1, 2),
+         |fin AS (
+         |  SELECT y.event_type, y.hour, y.n,
+         |    CAST(((COALESCE(ts.num, 0)
+         |        + CASE WHEN y.t < $EwmaTaps
+         |            THEN CAST(y0.y0 AS HUGEINT) * rw.wt ELSE 0 END)
+         |      * 1000000) // ${1L << EwmaTaps} AS BIGINT) AS ewma_micro
+         |  FROM y
+         |  LEFT JOIN tapsum ts
+         |    ON ts.event_type = y.event_type AND ts.t = y.t
+         |  JOIN y0 ON y0.event_type = y.event_type
+         |  LEFT JOIN (VALUES $remW) rw(t, wt) ON rw.t = y.t)
+         |SELECT event_type, hour, n, ewma_micro,
+         |  n * 1000000 - lag(ewma_micro) OVER (PARTITION BY event_type
+         |    ORDER BY hour) AS resid_micro
+         |FROM fin ORDER BY event_type, hour""".stripMargin
     }
   )
 }

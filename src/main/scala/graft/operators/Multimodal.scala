@@ -896,6 +896,54 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // ZERO-CROSSING RATE, DC-REMOVED — the classic O(n)
+    // speech/music/noise discriminator (Bachu et al. 2008: voiced
+    // speech ZCR low, fricatives/noise high). The 8-bit→16-bit PCM
+    // widening gives this corpus a large DC offset (all-ASCII bytes
+    // < 128 ⇒ every raw sample negative ⇒ raw ZCR is identically 0 —
+    // the textbook reason real pipelines high-pass before ZCR), so
+    // the crossing is counted around the per-doc mean, kept EXACT by
+    // integer cross-multiplication: sign(s − μ) = sign(s·n − S) with
+    // S = Σs, so a crossing is (s_{i−1}·n − S)·(s_i·n − S) < 0 — no
+    // division anywhere near a comparison. Two passes over the
+    // decoded samples inside one narrow map; the oracle re-derives
+    // every count from the text→sample synth formula. zcr_ppm =
+    // crossings·10⁶ DIV (n−1) (n−1 adjacent pairs, non-negative so
+    // plain DIV ≡ //).
+    "mm_wav_zcr" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val w = WavCodec.decode(WavCodec.encode(payload))
+          val n = w.samples.length.toLong
+          var sSum = 0L
+          w.samples.foreach(sm => sSum += sm)
+          var nAbove = 0L
+          var nBelow = 0L
+          var nAt = 0L
+          var crossings = 0L
+          var prev = 0L
+          var i = 0
+          while (i < w.samples.length) {
+            val d = w.samples(i).toLong * n - sSum // sign(s − μ), exact
+            if (d > 0) nAbove += 1 else if (d < 0) nBelow += 1 else nAt += 1
+            // d ≤ 2^15·n: the product of two stays < 2^30·n² — BigInt
+            // is unnecessary below ~2^16 samples, and payloads are
+            // document-sized; guard the contract with math.signum
+            if (i > 0 && math.signum(prev) * math.signum(d) < 0)
+              crossings += 1
+            prev = d
+            i += 1
+          }
+          (id, n, nAbove, nBelow, nAt, crossings,
+            if (n > 1) Some(crossings * 1000000L / (n - 1))
+            else None: Option[Long])
+        })
+        .toDF("doc_id", "n_samples", "n_above", "n_below", "n_at_mean",
+          "n_crossings", "zcr_ppm")
+        .orderBy("doc_id")
+    }),
+
     // Feature extraction through the typed mapPartitions path: 16-bin
     // gray histogram of the decoded raster resized to 8×8.
     "mm_features" -> ((s, dir) => {
@@ -1199,6 +1247,46 @@ object Multimodal {
         |LEFT JOIN din i ON i.doc_id = d.doc_id
         |LEFT JOIN dout o ON o.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // DC-removed crossings: sign(s − μ) ≡ sign(s·n − S) exactly.
+    "mm_wav_zcr" ->
+      """WITH v AS (
+        |  SELECT doc_id, i,
+        |    CAST((ord(substring(text, CAST(i + 1 AS INT), 1)) - 128) * 256
+        |      AS BIGINT) AS s
+        |  FROM documents, UNNEST(range(0, length(text))) AS u(i)),
+        |t AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s) AS BIGINT) AS ssum
+        |  FROM v GROUP BY doc_id),
+        |d AS (
+        |  SELECT v.doc_id, v.i, v.s * t.n - t.ssum AS dd
+        |  FROM v JOIN t ON v.doc_id = t.doc_id),
+        |l AS (
+        |  SELECT doc_id, i, dd,
+        |    lag(dd) OVER (PARTITION BY doc_id ORDER BY i) AS pd
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(sum(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(sum(CASE WHEN dd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_at_mean,
+        |    CAST(sum(CASE WHEN i > 0 AND sign(pd) * sign(dd) < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+        |  FROM l GROUP BY doc_id)
+        |SELECT doc.doc_id,
+        |  CAST(length(doc.text) AS BIGINT) AS n_samples,
+        |  COALESCE(c.n_above, 0) AS n_above,
+        |  COALESCE(c.n_below, 0) AS n_below,
+        |  COALESCE(c.n_at_mean, 0) AS n_at_mean,
+        |  COALESCE(c.n_crossings, 0) AS n_crossings,
+        |  CASE WHEN length(doc.text) > 1
+        |    THEN (COALESCE(c.n_crossings, 0) * 1000000)
+        |      // (length(doc.text) - 1) END AS zcr_ppm
+        |FROM documents doc LEFT JOIN c ON doc.doc_id = c.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
     // The WAV widening is (ord − 128)·256 per char (all-ASCII corpus ⇒
     // char position = byte position = sample position), so every audio
     // feature is re-derivable in SQL; rms/silence divisions round at

@@ -24,6 +24,12 @@ object Similarity {
 
   val K = 10
   val NumQueries = 5 // query set: vec_id < 5
+
+  /** Cosine radius for ss_ivf_range (this corpus's query cosines top
+    * out ≈0.45, so 0.3 yields a non-trivial, per-query-variable
+    * result set).
+    */
+  val RangeTau = 0.3
   val NProbe = 2 // cells probed per query by ss_ivf_nprobe
 
   /** Fixed Lloyd rounds for the trained codebooks: the coarse IVF
@@ -1357,8 +1363,78 @@ object Similarity {
             round(col("n_hits").cast("double") / col("n_true"), 4))
       }
       leg(16).unionAll(leg(32)).orderBy("dims", "query_id")
+    }),
+
+    // RANGE SEARCH — every candidate within a cosine RADIUS (τ =
+    // RangeTau) of each query, the "give me everything similar
+    // enough" read (near-dup sweeps, recall-oriented retrieval)
+    // where top-k's fixed k under- or over-shoots per query. The
+    // scale path is the trained ⌈√n⌉-cell IVF with a CONE BOUND that
+    // is EXACT, not recall-based: anchoring each cell at its
+    // min-vec_id member a, any member x obeys θ(q,x) ≥ θ(q,a) −
+    // θmax(a), so cos(q,x) ≤ cos(θqa)·cos(θmax) + sin·sin — a cell
+    // whose bound falls below τ (minus a 1e-6 float margin; the
+    // bound runs on UNROUNDED doubles, plan-side only) provably
+    // contains no result and is never scanned. The DuckDB oracle is
+    // the BRUTE-FORCE range scan, so the correctness gate is a
+    // soundness proof of the pruning: one vector pruned wrongly and
+    // the row goes red. Honesty note: this synthetic corpus is
+    // near-isotropic (query cosines top out ≈0.45), so cells are
+    // wide (min member-anchor cosine ≈ 0) and the bound keeps ~every
+    // cell — measured prune power lives in SimilarityRangeSpec's
+    // clustered fixture, where the same code path drops most cells;
+    // here the gate proves soundness, the spec proves the prune
+    // fires. sin² via greatest(0, 1−c²): IEEE dust at |c|≈1 must not
+    // NaN the bound.
+    "ss_ivf_range" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val av = v.join(sqrtIvfAssignment(s, dir), "vec_id")
+      rangeSearch(av, NumQueries, RangeTau)
     })
   )
+
+  /** The surviving (query, cell) probe frame of [[rangeSearch]] —
+    * exposed so SimilarityRangeSpec can assert the prune branch
+    * actually fires on a clustered fixture (this repo's isotropic
+    * synthetic corpus keeps nearly every cell).
+    */
+  def rangeProbes(av: DataFrame, numQueries: Long, tau: Double): DataFrame = {
+    val anchors = av.groupBy("cent_id").agg(min(col("vec_id")).as("vec_id"))
+      .join(av.select("vec_id", "e", "nrm"), "vec_id")
+      .select(col("cent_id"), col("e").as("ae"), col("nrm").as("anrm"))
+    val cellStats = av.join(broadcast(anchors), "cent_id")
+      .withColumn("cxa", dot(col("e"), col("ae")) / (col("nrm") * col("anrm")))
+      .groupBy("cent_id").agg(min(col("cxa")).as("m"))
+    val cells = anchors.join(cellStats, "cent_id")
+    val q = av.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"))
+    q.crossJoin(broadcast(cells))
+      .withColumn("cqa",
+        dot(col("qe"), col("ae")) / (col("qnrm") * col("anrm")))
+      .withColumn("bound",
+        when(col("cqa") > col("m"), lit(1.0)) // θqa < θmax: no prune
+          .otherwise(col("cqa") * col("m") +
+            sqrt(greatest(lit(0.0), lit(1.0) - col("cqa") * col("cqa")) *
+              greatest(lit(0.0), lit(1.0) - col("m") * col("m")))))
+      .filter(col("bound") >= lit(tau - 1e-6))
+      .select(col("query_id"), col("cent_id"), col("qe"), col("qnrm"))
+  }
+
+  /** Cosine-radius search over an assigned vector frame (vec_id, e,
+    * nrm, cent_id) with exact cone-bound cell pruning — shared by
+    * ss_ivf_range and the clustered-fixture prune spec.
+    */
+  def rangeSearch(av: DataFrame, numQueries: Long, tau: Double): DataFrame =
+    rangeProbes(av, numQueries, tau).join(av, "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos",
+        round(dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 4))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
 
   /** Symmetrized micro-integer covariance matrix (i, j, cm at 1e8
     * scale), checkpointed — the frame both PCA legs iterate over.
@@ -2449,7 +2525,18 @@ object Similarity {
          |SELECT CAST(2 AS INT) AS comp, v.dim, v.vm,
          |  CAST(floor(nrm * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lambda_micro
          |FROM gv v, qn$PowerRounds
-         |ORDER BY comp, dim""".stripMargin
+         |ORDER BY comp, dim""".stripMargin,
+    // The brute-force range scan IS the oracle: the gate red-flags
+    // any vector the Spark side's cone-bound pruning wrongly drops.
+    "ss_ivf_range" ->
+      s"""WITH v AS ($vSql)
+         |SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |  round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS cos
+         |FROM (SELECT * FROM v WHERE vec_id < $NumQueries) q
+         |JOIN v c ON c.vec_id <> q.vec_id
+         |WHERE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4)
+         |  >= $RangeTau
+         |ORDER BY query_id, cos DESC, vec_id""".stripMargin
   )
 
 }

@@ -814,6 +814,60 @@ object StarQueries2 {
           dayofweek(col("o_orderdate")).as("dow"),
           quarter(col("o_orderdate")).as("qtr"))
         .orderBy("o_orderkey")
+    }),
+
+    // CLOSED-FORM OLS — slope/intercept/R² of extendedprice (cents)
+    // on quantity (whole units) per returnflag, from exact
+    // DECIMAL(38,0) power sums instead of the built-in regr_*
+    // aggregates (double accumulation → partial-order-dependent, the
+    // q_stats_moments argument). The ev_ab_cuped moment algebra
+    // verbatim: num = nΣxy − ΣxΣy, den = nΣxx − (Σx)², slope in
+    // exact micro with the sign-explicit ⌊|a|/b⌋ division,
+    // intercept = (Σy·10⁶ − slope_micro·Σx) over n with products in
+    // DECIMAL(38,0), r² through the squared-slope cross-multiply
+    // (Cauchy–Schwarz caps it at 10⁶ so least() is a guard, not a
+    // fudge). One shuffle — the grouped moment aggregation; all six
+    // sums reduce map-side.
+    "q_ols_regression" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("x"),
+          expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)) " +
+            "AS BIGINT)").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(CAST(x AS DECIMAL(19,0)))").as("sx"),
+          expr("sum(CAST(y AS DECIMAL(19,0)))").as("sy"),
+          expr("sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))")
+            .as("sxx"),
+          expr("sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))")
+            .as("syy"),
+          expr("sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))")
+            .as("sxy"))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .withColumn("den", expr("n * sxx - sx * sx"))
+        .withColumn("deny", expr("n * syy - sy * sy"))
+        .withColumn("slope_micro", expr(
+          """CASE WHEN den > 0 THEN
+            |  CAST(CASE WHEN num >= 0 THEN (num * 1000000) div den
+            |       ELSE -((-num * 1000000) div den) END AS BIGINT)
+            |END""".stripMargin))
+        .withColumn("intercept_micro", expr(
+          """CASE WHEN slope_micro IS NULL THEN NULL
+            |  WHEN sy * 1000000 - CAST(slope_micro AS DECIMAL(38,0)) * sx >= 0
+            |    THEN CAST((sy * 1000000
+            |      - CAST(slope_micro AS DECIMAL(38,0)) * sx) div n AS BIGINT)
+            |  ELSE -CAST((-(sy * 1000000
+            |      - CAST(slope_micro AS DECIMAL(38,0)) * sx)) div n AS BIGINT)
+            |END""".stripMargin))
+        .withColumn("r2_ppm", expr(
+          """CASE WHEN den > 0 AND deny > 0 THEN
+            |  least((CAST((CAST(slope_micro AS DECIMAL(38,0)) * slope_micro)
+            |    div 1000000 AS DECIMAL(38,0)) * den) div deny, 1000000L)
+            |END""".stripMargin))
+        .select(col("l_returnflag"), col("n"), col("slope_micro"),
+          col("intercept_micro"), col("r2_ppm"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -1263,6 +1317,48 @@ object StarQueries2 {
         |    AS days_to_2002,
         |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
         |  CAST(quarter(o_orderdate) AS INT) AS qtr
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // The ev_ab_cuped HUGEINT mirror of the DECIMAL(38,0) moment
+    // algebra; every division is the sign-explicit floor-of-|a| form.
+    "q_ols_regression" ->
+      """WITH pts AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)) AS BIGINT)
+        |      AS y
+        |  FROM lineitem),
+        |mom AS (
+        |  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM pts GROUP BY l_returnflag),
+        |th AS (
+        |  SELECT l_returnflag, n,
+        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+        |    n * syy - sy * sy AS deny, sx, sy
+        |  FROM mom),
+        |sl AS (
+        |  SELECT *,
+        |    CASE WHEN den > 0 THEN
+        |      CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+        |           ELSE -((-num * 1000000) // den) END AS BIGINT)
+        |    END AS slope_micro
+        |  FROM th)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n, slope_micro,
+        |  CASE WHEN slope_micro IS NULL THEN NULL
+        |    WHEN sy * 1000000 - CAST(slope_micro AS HUGEINT) * sx >= 0
+        |      THEN CAST((sy * 1000000
+        |        - CAST(slope_micro AS HUGEINT) * sx) // n AS BIGINT)
+        |    ELSE -CAST((-(sy * 1000000
+        |        - CAST(slope_micro AS HUGEINT) * sx)) // n AS BIGINT)
+        |  END AS intercept_micro,
+        |  CASE WHEN den > 0 AND deny > 0 THEN
+        |    CAST(least((CAST((CAST(slope_micro AS HUGEINT) * slope_micro)
+        |      // 1000000 AS HUGEINT) * den) // deny, 1000000) AS BIGINT)
+        |  END AS r2_ppm
+        |FROM sl ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1379,10 +1379,84 @@ object TextAnalysis {
         .filter(col("cnt") * 200 >= col("total"))
         .select("lang", "word", "cnt", "total")
         .orderBy("lang", "word")
+    }),
+
+    // AHO-CORASICK BLOCKLIST SCAN — multi-pattern substring counting
+    // in ONE text pass (Aho & Corasick 1975): the banned-phrase /
+    // PII-lexicon / contamination-probe filter every corpus pipeline
+    // runs, where the naive plan scans the corpus once PER PATTERN
+    // and the automaton scans it once TOTAL. The pattern set nests
+    // deliberately ("scan" ⊃ "can" ⊃ "an"; "data" ⊃ "ta" ⊃ "a") so
+    // the dictionary-suffix output links — the part naive substring
+    // code gets wrong — are load-bearing, and matching is substring-
+    // level and OVERLAPPING, exactly what the brute-force positional
+    // oracle counts. The automaton builds once per PARTITION inside
+    // mapPartitions (never serialized, amortized over every row the
+    // task scans — at 100 TB, once per task for millions of docs);
+    // justified as a narrow map for the same reason as the codecs: no
+    // Catalyst expression walks a failure-link automaton.
+    "ta_aho_corasick" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val ac = new graft.functions.AhoCorasick(AcPatterns)
+          it.flatMap { case (id, text) =>
+            val c = ac.countMatches(text)
+            AcPatterns.indices.iterator
+              .filter(c(_) > 0)
+              .map(i => (id, AcPatterns(i), c(i)))
+          }
+        }
+        .toDF("doc_id", "pattern", "n_matches")
+        .orderBy("doc_id", "pattern")
+    }),
+
+    // BEST-PASSAGE SELECTION (SumBasic scoring, Nenkova &
+    // Vanderwende 2005, over fixed 16-token chunks — this corpus has
+    // no sentence punctuation, and fixed-size chunks ARE the RAG
+    // passage unit anyway): chunk score = mean corpus-frequency of
+    // its tokens in exact micro (Σ pm DIV n — the "pick the passage
+    // made of central words" extractive heuristic), argmax chunk per
+    // doc with the earliest-chunk tie break. Dataflow: one token
+    // pass into the vocabulary-bounded prob frame (pm = cnt·10⁶ DIV
+    // total — broadcast), one posexplode with chunk = pos DIV 16,
+    // one grouped mean, one per-doc argmax window (partitioned by
+    // doc — never global). Everything integer until the reader.
+    "ta_best_passage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // prob frame read by totals + join
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val probs = counts.crossJoin(broadcast(total))
+        .select(col("word"), expr("cnt * 1000000 DIV total").as("pm"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_micro").desc, col("chunk_idx").asc)
+      toks.withColumn("chunk_idx", expr("pos DIV 16"))
+        .join(broadcast(probs), "word")
+        .groupBy("doc_id", "chunk_idx")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("pm")).as("spm"))
+        .withColumn("score_micro", expr("spm DIV n_tokens"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          col("n_tokens"), col("score_micro"))
+        .orderBy("doc_id")
     })
   )
 
   private val toksSql = OracleSql.toks
+
+  /** ta_aho_corasick blocklist: nested patterns ("scan" ⊃ "can" ⊃
+    * "an", "data" ⊃ "ta" ⊃ "a") so dictionary-suffix output links are
+    * exercised on every match.
+    */
+  val AcPatterns: Vector[String] =
+    Vector("a", "an", "can", "data", "scan", "ta")
   private def hitsSql(ws: Seq[String]) =
     s"len(list_filter(t, x -> list_contains(${sqlList(ws)}, x)))"
 
@@ -2189,6 +2263,47 @@ object TextAnalysis {
         |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
         |      (a, c) -> (a * 31 + c) % 18446744073709551616) AS h
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Brute force IS the oracle: count every position where the
+    // pattern matches — overlapping, substring-level — so one wrong
+    // failure/output link in the automaton reds the row.
+    "ta_aho_corasick" -> {
+      val pats = AcPatterns.map(p => s"('$p', ${p.length})").mkString(", ")
+      s"""WITH p AS (SELECT * FROM (VALUES $pats) v(pat, plen)),
+         |hits AS (
+         |  SELECT d.doc_id, p.pat, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents d CROSS JOIN p,
+         |       UNNEST(range(1, length(d.text) - p.plen + 2)) AS u(i)
+         |  WHERE substring(d.text, CAST(i AS INT), p.plen) = p.pat
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, pat AS pattern, n AS n_matches
+         |FROM hits ORDER BY doc_id, pattern""".stripMargin
+    },
+
+    "ta_best_passage" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS word
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, len(t) + 1)) AS u(i)),
+         |cnts AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM toks GROUP BY word),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
+         |probs AS (SELECT word, CAST(cnt * 1000000 // total AS BIGINT) AS pm
+         |          FROM cnts, tot),
+         |ch AS (
+         |  SELECT t.doc_id, t.pos // 16 AS chunk_idx,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(p.pm) AS BIGINT) AS spm
+         |  FROM toks t JOIN probs p ON p.word = t.word
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, n_tokens,
+         |    CAST(spm // n_tokens AS BIGINT) AS score_micro,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY spm // n_tokens DESC, chunk_idx ASC) AS rn
+         |  FROM ch)
+         |SELECT doc_id, chunk_idx, n_tokens, score_micro
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

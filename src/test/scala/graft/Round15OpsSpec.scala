@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 session additions: experimentation stats (DiD,
+  * Mann-Whitney, EWMA), closed-form OLS, DC-removed ZCR, and the
+  * cone-bound range search — property pins beside the oracle gate.
+  */
+class Round15OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("ss_ivf_range: clustered fixture — prune fires AND stays sound") {
+    import spark.implicits._
+    // three tight clusters on orthogonal axes of R⁴ (one per cell),
+    // deterministic perturbations; queries are vec_id 0..2, one per
+    // cluster. With τ = 0.9 a query's results live entirely in its
+    // own cluster, so a SOUND bound may keep at most its own cell —
+    // and must still return exactly the brute-force result set.
+    val rows = (0 until 90).map { k =>
+      val cl = k % 3
+      val idx = k / 3
+      val e = Array.fill(4)(0.0)
+      e(cl) = 1.0
+      e(3) = 0.01 * ((idx * 7) % 5) // tiny within-cluster spread
+      (k.toLong, e.toSeq, cl.toLong)
+    }
+    val base = rows.toDF("vec_id", "e", "cent_id")
+    val av = base.withColumn("nrm",
+      sqrt(expr("aggregate(e, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")))
+    val tau = 0.9
+    val probes = operators.Similarity.rangeProbes(av, 3, tau).count()
+    assert(probes < 9, s"prune branch never fired: $probes of 9 probes kept")
+    assert(probes >= 3, "a query lost its own cell — bound unsound")
+    val got = operators.Similarity.rangeSearch(av, 3, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = av.as("q").filter(col("q.vec_id") < 3)
+      .crossJoin(av.as("c"))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(q.e, c.e, (a, b) -> a * b), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x)") /
+          (col("q.nrm") * col("c.nrm")), 4))
+      .filter(col("cos") >= tau)
+      .select(col("q.vec_id"), col("c.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"pruned result diverged from brute force: missing ${brute.diff(got)}")
+    assert(got.nonEmpty, "fixture degenerate: no in-radius pairs at all")
+  }
+
+  test("ev_did: readout is internally consistent") {
+    val r = SparkEntry.queries("ev_did")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def g(c: String) = row.getLong(row.fieldIndex(c))
+    assert(g("did_micro") ==
+      (g("post_b_micro") - g("pre_b_micro")) -
+        (g("post_a_micro") - g("pre_a_micro")))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(g("n_a") + g("n_b") == users)
+  }
+
+  test("ev_mann_whitney: U identity and effect-size bounds") {
+    val row = SparkEntry.queries("ev_mann_whitney")(spark, sf).collect().head
+    def g(c: String) = row.getLong(row.fieldIndex(c))
+    // U₁ + U₂ = n₁n₂ exactly (doubled: 2n₁n₂) — ties or not
+    assert(g("u2_a") + g("u2_b") == 2 * g("n_a") * g("n_b"))
+    assert(g("u2_a") >= 0 && g("u2_b") >= 0)
+    assert(g("auc_ppm") >= 0 && g("auc_ppm") <= 1000000L)
+  }
+
+  test("ev_ewma: t=0 equals y0; dyadic recursion holds inside the tap horizon") {
+    val rows = SparkEntry.queries("ev_ewma")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getTimestamp(1).getTime)
+      val h = seq.head
+      assert(h.getLong(h.fieldIndex("ewma_micro")) ==
+        h.getLong(h.fieldIndex("n")) * 1000000L,
+        "s_0 must equal y_0 exactly")
+      assert(h.isNullAt(h.fieldIndex("resid_micro")),
+        "t=0 has no one-step-ahead forecast")
+      // 2·s_t = y_t·10⁶ + s_{t−1} within flooring slack, while the
+      // convolution is exact (t < EwmaTaps)
+      seq.sliding(2).zipWithIndex.foreach {
+        case (Array(a, b), i) if i + 1 < operators.EventQueries.EwmaTaps =>
+          val lhs = 2L * b.getLong(b.fieldIndex("ewma_micro"))
+          val rhs = b.getLong(b.fieldIndex("n")) * 1000000L +
+            a.getLong(a.fieldIndex("ewma_micro"))
+          assert(math.abs(lhs - rhs) <= 2L,
+            s"recursion broken at t=${i + 1}: 2*s_t=$lhs vs y+s_prev=$rhs")
+          assert(b.getLong(b.fieldIndex("resid_micro")) ==
+            b.getLong(b.fieldIndex("n")) * 1000000L -
+              a.getLong(a.fieldIndex("ewma_micro")))
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_ols_regression: moments sane, deterministic across runs") {
+    val r1 = SparkEntry.queries("q_ols_regression")(spark, sf).collect()
+    assert(r1.nonEmpty)
+    var nTot = 0L
+    r1.foreach { r =>
+      nTot += r.getLong(r.fieldIndex("n"))
+      val r2 = r.getLong(r.fieldIndex("r2_ppm"))
+      assert(r2 >= 0 && r2 <= 1000000L)
+      // this synthetic corpus draws qty and price independently, so
+      // the fit must recover that: |corr| < 0.05 ⇒ r² < 2500 ppm
+      assert(r2 < 2500L, s"independent columns fitted r2_ppm=$r2")
+    }
+    assert(nTot == Tables.lineitem(spark, sf).count())
+    val r2 = SparkEntry.queries("q_ols_regression")(spark, sf).collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+  }
+
+  test("mm_wav_zcr: census sums to n; hand-derived doc matches") {
+    val rows = SparkEntry.queries("mm_wav_zcr")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      def g(c: String) = r.getLong(r.fieldIndex(c))
+      assert(g("n_above") + g("n_below") + g("n_at_mean") == g("n_samples"))
+      assert(g("n_crossings") <= math.max(0L, g("n_samples") - 1))
+      if (g("n_samples") > 1)
+        assert(r.getLong(r.fieldIndex("zcr_ppm")) ==
+          g("n_crossings") * 1000000L / (g("n_samples") - 1))
+    }
+    // independent re-derivation for one doc (the mean-crossing math)
+    val doc = Tables.documents(spark, sf).orderBy("doc_id").limit(1)
+      .collect().head
+    val s = doc.getString(doc.fieldIndex("text")).getBytes("UTF-8")
+      .map(b => (((b & 0xff) - 128) << 8).toLong)
+    val n = s.length.toLong
+    val sum = s.sum
+    val d = s.map(v => v * n - sum)
+    val expCross = d.sliding(2).count(p =>
+      math.signum(p(0)) * math.signum(p(1)) < 0).toLong
+    val r0 = rows.find(_.getLong(0) == doc.getLong(0)).get
+    assert(r0.getLong(r0.fieldIndex("n_crossings")) == expCross)
+    assert(r0.getLong(r0.fieldIndex("n_above")) == d.count(_ > 0).toLong)
+  }
+}
