@@ -35,6 +35,18 @@ object EventQueries {
     */
   val EwmaTaps = 40
 
+  /** ev_sprt model constants in exact micro — FIXED DECIMAL LITERALS
+    * shared by both engines (the Similarity rank-discount
+    * convention), never a runtime libm call: testing H0 p=0.3 vs
+    * H1 p=0.4 at α=β=0.05, the per-observation LLR increments are
+    * ln(0.4/0.3)=0.287682… and ln(0.6/0.7)=−0.154151…, thresholds
+    * ±ln(19)=±2.944439….
+    */
+  val SprtConvMicro = 287682L
+  val SprtNoConvMicro = -154151L
+  val SprtUpperMicro = 2944439L
+  val SprtLowerMicro = -2944439L
+
   /** Shared first-order transition-matrix derivation of the Markov
     * trilogy (ev_markov / ev_markov_stationary / ev_absorption):
     * per-user successor pairs from a lead() window ((ts, event_id)
@@ -1991,6 +2003,69 @@ object EventQueries {
         .groupBy(col("event_type"), col("tt"))
         .agg(sum(col("term")).as("num"))
         .withColumnRenamed("tt", "t")
+      ewmaAssemble(s, y, taps, y0)
+    }),
+
+    // SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945) — the
+    // always-valid monitor an experimentation platform runs INSTEAD
+    // of peeking at fixed-horizon p-values: per arm, walk the
+    // conversion stream in arrival order accumulating the exact
+    // integer LLR (increments and thresholds are fixed micro
+    // literals, [[SprtConvMicro]] — no libm on either engine) and
+    // report the FIRST threshold crossing: how many observations the
+    // decision needed, which hypothesis won, and the final LLR for
+    // arms still in 'continue'. The walk is an arm-partitioned
+    // ordered window over the per-user frame ((first_ts, user_id)
+    // total order); sequential monitoring is inherently ordered — at
+    // 100 TB the platform runs it over per-interval aggregates, and
+    // the cumulative frame stays interval-bounded.
+    "ev_sprt" -> ((s, dir) => {
+      val users = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("first_ts"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+        .withColumn("x",
+          when(col("fp").isNotNull &&
+            col("fp") <= col("first_ts") + expr("INTERVAL 24 HOURS"),
+            1L).otherwise(0L))
+        .withColumn("arm",
+          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long"), lit(2L)).cast("int"))
+      val w = Window.partitionBy(col("arm"))
+        .orderBy(col("first_ts"), col("user_id"))
+      val walked = users
+        .withColumn("inc", col("x") * lit(SprtConvMicro) +
+          (lit(1L) - col("x")) * lit(SprtNoConvMicro))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("inc")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .localCheckpoint(false) // decision + totals legs share it
+      val dec = walked
+        .filter(col("cum") >= SprtUpperMicro || col("cum") <= SprtLowerMicro)
+        .groupBy("arm").agg(min(col("rn")).as("n_at_decision"))
+      val at = dec.join(walked, Seq("arm"))
+        .filter(col("rn") === col("n_at_decision"))
+        .select(col("arm"), col("n_at_decision"),
+          col("cum").as("llr_at_decision"))
+      walked.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum(col("inc")).as("llr_final"))
+        .join(at, Seq("arm"), "left")
+        .withColumn("decision",
+          when(col("llr_at_decision") >= SprtUpperMicro, "accept_h1")
+            .when(col("llr_at_decision") <= SprtLowerMicro, "accept_h0")
+            .otherwise("continue"))
+        .select(col("arm"), col("n_users"), col("n_at_decision"),
+          col("llr_at_decision"), col("decision"), col("llr_final"))
+        .orderBy("arm")
+    })
+  )
+
+  /** Tail assembly of ev_ewma, split out so the query literal above
+    * stays readable.
+    */
+  private def ewmaAssemble(s: SparkSession, y: DataFrame, taps: DataFrame,
+      y0: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       y.join(taps, Seq("event_type", "t"), "left")
         .join(broadcast(y0), "event_type")
         .withColumn("num", coalesce(col("num"), lit(0L).cast(DecimalType(38, 0)))
@@ -2006,8 +2081,7 @@ object EventQueries {
         .select(col("event_type"), col("hour"), col("n"),
           col("ewma_micro"), col("resid_micro"))
         .orderBy("event_type", "hour")
-    })
-  )
+  }
 
   /** Bootstrap replica count (ev_bootstrap_ci). */
   val BootReplicas = 32
@@ -3317,6 +3391,50 @@ object EventQueries {
          |  n * 1000000 - lag(ewma_micro) OVER (PARTITION BY event_type
          |    ORDER BY hour) AS resid_micro
          |FROM fin ORDER BY event_type, hour""".stripMargin
+    },
+
+    "ev_sprt" -> {
+      val hex13 = (0 until 13).map { i =>
+        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
+        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
+      }.mkString("(", " + ", ")")
+      s"""WITH u AS (
+         |  SELECT user_id, min(ts) AS first_ts,
+         |    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+         |           <= min(ts) + INTERVAL 24 HOURS
+         |         THEN 1 ELSE 0 END AS x,
+         |    CAST($hex13 % 2 AS INT) AS arm
+         |  FROM events GROUP BY user_id),
+         |walked AS MATERIALIZED (
+         |  SELECT arm, user_id,
+         |    CAST(x * $SprtConvMicro + (1 - x) * ($SprtNoConvMicro)
+         |      AS BIGINT) AS inc,
+         |    CAST(row_number() OVER (PARTITION BY arm
+         |      ORDER BY first_ts, user_id) AS BIGINT) AS rn,
+         |    CAST(sum(x * $SprtConvMicro + (1 - x) * ($SprtNoConvMicro))
+         |      OVER (PARTITION BY arm ORDER BY first_ts, user_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM u),
+         |dec AS (
+         |  SELECT arm, CAST(min(rn) AS BIGINT) AS n_at_decision FROM walked
+         |  WHERE cum >= $SprtUpperMicro OR cum <= $SprtLowerMicro
+         |  GROUP BY arm),
+         |at AS (
+         |  SELECT w.arm, d.n_at_decision, w.cum AS llr_at_decision
+         |  FROM dec d JOIN walked w
+         |    ON w.arm = d.arm AND w.rn = d.n_at_decision),
+         |tot AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(inc) AS BIGINT) AS llr_final
+         |  FROM walked GROUP BY arm)
+         |SELECT t.arm, t.n_users, a.n_at_decision, a.llr_at_decision,
+         |  CASE WHEN a.llr_at_decision >= $SprtUpperMicro THEN 'accept_h1'
+         |       WHEN a.llr_at_decision <= $SprtLowerMicro THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision,
+         |  t.llr_final
+         |FROM tot t LEFT JOIN at a ON a.arm = t.arm
+         |ORDER BY t.arm""".stripMargin
     }
   )
 }

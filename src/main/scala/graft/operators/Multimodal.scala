@@ -716,6 +716,51 @@ object Multimodal {
     // map as the rest of the leg (a convolution never crosses image
     // boundaries, so rows stay independent); the oracle re-derives
     // each tap by raster-position arithmetic on the synth formula.
+    // 2× BOX-FILTER DOWNSCALE — the resize leg of the briefed
+    // decode/feature/resize/frame-sample quartet: each output pixel
+    // is the integer mean of its 2×2 source box ((Σ4) DIV 4 — all
+    // non-negative, so DIV ≡ //), odd trailing rows dropped (the
+    // floor-dims convention every box-filter pyramid uses). The
+    // whole resized raster is pinned by an md5 over the
+    // comma-joined decimal pixel values in row-major order — one
+    // flipped pixel anywhere moves the row — plus mass conservation
+    // stats (sum_out ≤ sum_in by flooring, recomputed exactly in
+    // SQL). Same narrow decode map as the rest of the image leg.
+    "mm_pgm_resize" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, payload) =>
+            val img = PgmCodec.decode(PgmCodec.encode(payload))
+            val h2 = img.height / 2
+            val sb = new StringBuilder
+            var sumOut = 0L
+            var y = 0
+            while (y < h2) {
+              var x = 0
+              while (x < 4) {
+                val v = ((img.pixels(2 * y * 8 + 2 * x) & 0xff) +
+                  (img.pixels(2 * y * 8 + 2 * x + 1) & 0xff) +
+                  (img.pixels((2 * y + 1) * 8 + 2 * x) & 0xff) +
+                  (img.pixels((2 * y + 1) * 8 + 2 * x + 1) & 0xff)) / 4
+                sumOut += v
+                if (sb.nonEmpty) sb.append(',')
+                sb.append(v)
+                x += 1
+              }
+              y += 1
+            }
+            md.reset()
+            val hex = md.digest(sb.toString.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            (id, 4, h2.toLong, 4L * h2, sumOut, hex)
+          }
+        }
+        .toDF("doc_id", "w_out", "h_out", "n_out", "sum_out", "resized_md5")
+        .orderBy("doc_id")
+    }),
+
     "mm_pgm_sobel" -> ((s, dir) => {
       import s.implicits._
       payloads(s, dir)
@@ -1321,6 +1366,30 @@ object Multimodal {
         |    ELSE 0.0 END AS silence_ratio4
         |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
+    // 2×2 box means re-derived from the padded-text synth formula;
+    // the md5 runs over the same comma-joined decimal string the
+    // Scala side builds.
+    "mm_pgm_resize" ->
+      s"""WITH g AS (${rasterSql()}),
+         |vals AS (
+         |  SELECT doc_id, h // 2 AS h2,
+         |    list_transform(range(0, 4 * (h // 2)), j ->
+         |      (ord(substring(raster,
+         |         CAST((j // 4) * 16 + (j % 4) * 2 + 1 AS INT), 1))
+         |       + ord(substring(raster,
+         |         CAST((j // 4) * 16 + (j % 4) * 2 + 2 AS INT), 1))
+         |       + ord(substring(raster,
+         |         CAST((j // 4) * 16 + (j % 4) * 2 + 9 AS INT), 1))
+         |       + ord(substring(raster,
+         |         CAST((j // 4) * 16 + (j % 4) * 2 + 10 AS INT), 1))) // 4)
+         |      AS vs
+         |  FROM g)
+         |SELECT doc_id, CAST(4 AS INT) AS w_out, CAST(h2 AS BIGINT) AS h_out,
+         |  CAST(4 * h2 AS BIGINT) AS n_out,
+         |  CAST(COALESCE(list_sum(vs), 0) AS BIGINT) AS sum_out,
+         |  md5(array_to_string(list_transform(vs, v -> CAST(v AS VARCHAR)),
+         |    ',')) AS resized_md5
+         |FROM vals ORDER BY doc_id""".stripMargin,
     // Raster width is 8; quadrant membership and sums are pure integer
     // functions of the padded-text synth formula.
     "mm_pgm_tiles" ->

@@ -118,6 +118,95 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
   }
 
+  test("AhoCorasick: counts equal the naive positional scan, nested matches included") {
+    def naive(text: String, pats: Seq[String]): Seq[Long] =
+      pats.map { p =>
+        (0 to text.length - p.length)
+          .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+      }
+    val pats = operators.TextAnalysis.AcPatterns
+    val fixtures = Seq(
+      "datascan candata scans", // nesting: scan⊃can⊃an, data⊃ta⊃a
+      "aaaa",                   // overlapping self-runs
+      "",                       // empty text
+      "zzz",                    // no matches
+      "antacandatascanta")
+    fixtures.foreach { t =>
+      val ac = new functions.AhoCorasick(pats)
+      assert(ac.countMatches(t).toSeq == naive(t, pats),
+        s"mismatch on '$t'")
+    }
+  }
+
+  test("dd_oph_minhash: full bucket spine per doc, borrowed sigs are real") {
+    val rows = SparkEntry.queries("dd_oph_minhash")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length == operators.Dedup.OphBuckets,
+        s"doc $doc has ${rs.length} buckets")
+      val natural = rs.filter(_.getInt(3) == 0)
+        .map(r => r.getInt(1) -> r.getLong(2)).toMap
+      assert(natural.nonEmpty, s"doc $doc fully densified?")
+      rs.filter(_.getInt(3) > 0).foreach { r =>
+        val d = r.getInt(3)
+        val src = (r.getInt(1) + d) % operators.Dedup.OphBuckets
+        assert(natural.contains(src) && natural(src) == r.getLong(2),
+          s"doc $doc bucket ${r.getInt(1)}: borrowed sig is not the " +
+            s"source bucket's")
+        // minimality: every nearer cyclic bucket is itself empty
+        (1 until d).foreach { dd =>
+          assert(!natural.contains(
+            (r.getInt(1) + dd) % operators.Dedup.OphBuckets),
+            s"doc $doc bucket ${r.getInt(1)}: skipped a nearer source")
+        }
+      }
+    }
+  }
+
+  test("ev_sprt: decision state consistent with the crossing") {
+    val rows = SparkEntry.queries("ev_sprt")(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      def gl(c: String) = r.getLong(r.fieldIndex(c))
+      val dec = r.getString(r.fieldIndex("decision"))
+      if (r.isNullAt(r.fieldIndex("n_at_decision"))) {
+        assert(dec == "continue")
+        assert(gl("llr_final") < operators.EventQueries.SprtUpperMicro &&
+          gl("llr_final") > operators.EventQueries.SprtLowerMicro)
+      } else {
+        assert(gl("n_at_decision") <= gl("n_users"))
+        val llr = gl("llr_at_decision")
+        if (dec == "accept_h1")
+          assert(llr >= operators.EventQueries.SprtUpperMicro)
+        else {
+          assert(dec == "accept_h0")
+          assert(llr <= operators.EventQueries.SprtLowerMicro)
+        }
+      }
+    }
+  }
+
+  test("mm_pgm_resize: hand-derived box means for one doc") {
+    val doc = Tables.documents(spark, sf).orderBy("doc_id").limit(1)
+      .collect().head
+    val text = doc.getString(doc.fieldIndex("text"))
+    val h = math.max(1, (text.length + 7) / 8)
+    val raster = text.padTo(8 * h, ' ')
+    val h2 = h / 2
+    val exp = for (y <- 0 until h2; x <- 0 until 4) yield
+      (raster(2 * y * 8 + 2 * x).toInt + raster(2 * y * 8 + 2 * x + 1) +
+        raster((2 * y + 1) * 8 + 2 * x) +
+        raster((2 * y + 1) * 8 + 2 * x + 1)) / 4
+    val rows = SparkEntry.queries("mm_pgm_resize")(spark, sf).collect()
+    val r = rows.find(_.getLong(0) == doc.getLong(0)).get
+    assert(r.getLong(r.fieldIndex("h_out")) == h2.toLong)
+    assert(r.getLong(r.fieldIndex("sum_out")) == exp.map(_.toLong).sum)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(exp.mkString(",").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(r.getString(r.fieldIndex("resized_md5")) == hex)
+  }
+
   test("mm_wav_zcr: census sums to n; hand-derived doc matches") {
     val rows = SparkEntry.queries("mm_wav_zcr")(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
