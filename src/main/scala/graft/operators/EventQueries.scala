@@ -2006,6 +2006,44 @@ object EventQueries {
       ewmaAssemble(s, y, taps, y0)
     }),
 
+    // CUSUM DRIFT MONITOR (Page 1954) — the streaming change
+    // detector beside ev_changepoint's single offline split: the
+    // one-sided recursion V_t = max(0, V_{t−1} + x_t) is NOT a
+    // window function, but its CLOSED FORM IS: V_t = S_t −
+    // min(0, min_{j≤t} S_j) with S the plain cumulative sum — two
+    // ordered windows over the calendar-bounded (type × hour) spine
+    // and zero recursion. x_t = n_t·10⁶ − k in exact micro with the
+    // reference k = 1.25× the per-type global hourly mean (the
+    // "allowance" that absorbs normal variation); alarm when V ≥ 4k.
+    // One corpus pass for the hourly counts; everything after rides
+    // the spine (the sweep-line doctrine).
+    "ev_cusum" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hourly.groupBy("event_type")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val stats = hourly.groupBy("event_type")
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("nh"))
+        .select(col("event_type"),
+          expr("((tot * 1000000) DIV nh) * 5 DIV 4").as("k_micro"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .join(broadcast(stats), "event_type")
+        .withColumn("x", col("n") * 1000000L - col("k_micro"))
+        .withColumn("s", sum(col("x")).over(cum))
+        .withColumn("v_micro",
+          col("s") - least(lit(0L), min(col("s")).over(cum)))
+        .withColumn("alarm", col("v_micro") >= col("k_micro") * 4)
+        .select(col("event_type"), col("hour"), col("n"), col("v_micro"),
+          col("alarm"))
+        .orderBy("event_type", "hour")
+    }),
+
     // SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945) — the
     // always-valid monitor an experimentation platform runs INSTEAD
     // of peeking at fixed-horizon p-values: per arm, walk the
@@ -3392,6 +3430,44 @@ object EventQueries {
          |    ORDER BY hour) AS resid_micro
          |FROM fin ORDER BY event_type, hour""".stripMargin
     },
+
+    "ev_cusum" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(hour), max(hour),
+        |      INTERVAL 1 HOUR)) AS hour
+        |  FROM hourly GROUP BY event_type),
+        |stats AS (
+        |  SELECT event_type,
+        |    ((CAST(sum(n) AS BIGINT) * 1000000) // count(*)) * 5 // 4
+        |      AS k_micro
+        |  FROM hourly GROUP BY 1),
+        |y AS (
+        |  SELECT s.event_type, s.hour,
+        |    CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON h.event_type = s.event_type AND h.hour = s.hour),
+        |c AS (
+        |  SELECT y.event_type, y.hour, y.n, st.k_micro,
+        |    CAST(sum(y.n * 1000000 - st.k_micro) OVER (
+        |      PARTITION BY y.event_type ORDER BY y.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s
+        |  FROM y JOIN stats st USING (event_type)),
+        |v AS (
+        |  SELECT event_type, hour, n, k_micro,
+        |    CAST(s - least(0, min(s) OVER (
+        |      PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS BIGINT) AS v_micro
+        |  FROM c)
+        |SELECT event_type, hour, n, v_micro,
+        |  v_micro >= k_micro * 4 AS alarm
+        |FROM v ORDER BY event_type, hour""".stripMargin,
 
     "ev_sprt" -> {
       val hex13 = (0 until 13).map { i =>

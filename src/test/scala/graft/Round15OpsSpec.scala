@@ -186,6 +186,46 @@ class Round15OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_cusum: closed form equals the max(0, V+x) recursion") {
+    import org.apache.spark.sql.functions.{col, count, date_trunc, lit, sum}
+    val k = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("nh"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1) * 1000000L / r.getLong(2)) * 5 / 4).toMap
+    val rows = SparkEntry.queries("ev_cusum")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      var v = 0L
+      rs.sortBy(_.getTimestamp(1).getTime).foreach { r =>
+        v = math.max(0L, v + r.getLong(r.fieldIndex("n")) * 1000000L - k(et))
+        assert(r.getLong(r.fieldIndex("v_micro")) == v,
+          s"$et at ${r.getTimestamp(1)}: closed form diverged from recursion")
+        assert(r.getBoolean(r.fieldIndex("alarm")) == (v >= 4 * k(et)))
+      }
+    }
+  }
+
+  test("dd_oph_pairs: exact duplicates share all buckets; disjoint docs never pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_oph").toString
+    val dup = "the quick brown fox jumps over the lazy dog today"
+    val other = "completely different words everywhere here always forever more again"
+    Seq((1L, dup, "en", "t", dup.length.toLong),
+        (2L, dup, "en", "t", dup.length.toLong),
+        (3L, other, "en", "t", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("dd_oph_pairs")(spark, dir).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    assert(p.getLong(p.fieldIndex("n_shared_bands")) == 4L)
+    assert(p.getDouble(p.fieldIndex("est_jaccard")) == 1.0)
+  }
+
   test("mm_pgm_resize: hand-derived box means for one doc") {
     val doc = Tables.documents(spark, sf).orderBy("doc_id").limit(1)
       .collect().head
