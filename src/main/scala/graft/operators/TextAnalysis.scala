@@ -1219,34 +1219,25 @@ object TextAnalysis {
     // rows-only check; byte-exact determinism, the round trip through
     // Inflater, and the redundant-vs-noisy ordering are pinned in
     // CompressRatioSpec (same exemption class as the sketches).
+    // Round 11: the zlib exemption gets the mm_decode_jpeg sidecar
+    // treatment — the first execution per (session, dir) ALSO pins
+    // its result as a sidecar parquet, and the DuckDB oracle joins
+    // that pin against ARITHMETIC byte lengths from the documents
+    // table, recomputing ratio4 in SQL. The deflate byte count
+    // itself stays codec-defined (pinned for determinism + repeat
+    // integrity); n_bytes and the division/rounding are genuinely
+    // cross-engine. CompressRatioSpec's byte-exact reference pins
+    // remain on top.
     "ta_compress_ratio" -> ((s, dir) => {
-      import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          val d = new java.util.zip.Deflater(
-            java.util.zip.Deflater.BEST_SPEED, false)
-          // free zlib native memory when the TASK completes, not when
-          // the iterator drains — an early-terminating consumer
-          // (limit/take/show) never exhausts the iterator and would
-          // leak ~256 KB of native state per task until the Cleaner
-          // runs
-          org.apache.spark.TaskContext.get()
-            .addTaskCompletionListener[Unit](_ => d.end())
-          val buf = new Array[Byte](1 << 16)
-          it.map { case (id, text) =>
-            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            d.reset(); d.setInput(bytes); d.finish()
-            var n = 0L
-            while (!d.finished()) n += d.deflate(buf)
-            (id, bytes.length.toLong, n)
-          }
-        }
-        .toDF("doc_id", "n_bytes", "n_deflated")
-        .withColumn("ratio4",
-          when(col("n_bytes") === 0, lit(null))
-            .otherwise(round(col("n_deflated").cast("double") / col("n_bytes"), 4)))
-        .orderBy("doc_id")
+      val out = graft.CacheRegistry.cached[String](
+          deflateCache, s, dir, "deflateSidecar") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_deflate").toString + "/pin"
+        compressRatioOf(s, dir).write.mode("overwrite").parquet(p)
+        p
+      }
+      deflateSidecar.set(out)
+      compressRatioOf(s, dir) // FRESH — the bench row measures deflate
     }),
 
     // Positional tokenization: (doc, position, token) rows — the
@@ -1457,6 +1448,50 @@ object TextAnalysis {
     */
   val AcPatterns: Vector[String] =
     Vector("a", "an", "can", "data", "scan", "ta")
+
+  /** Sidecar path of the deflate pin the CURRENT process last wrote —
+    * read by [[oracleSql]] at dump time (graft.Verify runs every
+    * query, which sets this, before dumping oracle_sql.json). The
+    * default is a nonexistent path so a dump taken without running
+    * the query fails loudly in DuckDB rather than silently passing.
+    */
+  private val deflateSidecar =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/graft_deflate_sidecar_never_landed")
+  private val deflateCache = graft.CacheRegistry.newCache()
+
+  /** The ta_compress_ratio pipeline body (per-doc deflate census),
+    * run fresh by the query and once more at sidecar-pin time.
+    */
+  private def compressRatioOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_SPEED, false)
+        // free zlib native memory when the TASK completes, not when
+        // the iterator drains — an early-terminating consumer
+        // (limit/take/show) never exhausts the iterator and would
+        // leak ~256 KB of native state per task until the Cleaner
+        // runs
+        org.apache.spark.TaskContext.get()
+          .addTaskCompletionListener[Unit](_ => d.end())
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset(); d.setInput(bytes); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          (id, bytes.length.toLong, n)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflated")
+      .withColumn("ratio4",
+        when(col("n_bytes") === 0, lit(null))
+          .otherwise(round(col("n_deflated").cast("double") / col("n_bytes"), 4)))
+      .orderBy("doc_id")
+  }
   private def hitsSql(ws: Seq[String]) =
     s"len(list_filter(t, x -> list_contains(${sqlList(ws)}, x)))"
 
@@ -1510,7 +1545,27 @@ object TextAnalysis {
     (head +: rounds).mkString(",\n")
   }
 
-  val oracleSql: Map[String, String] = Map(
+  /** Assembled at ACCESS time: ta_compress_ratio's oracle reads the
+    * sidecar parquet THIS process pinned ([[deflateSidecar]] —
+    * graft.Verify runs every query, which sets it, before dumping
+    * oracle_sql.json): n_bytes and ratio4 recompute ARITHMETICALLY
+    * from the documents table, only the deflate byte count rides the
+    * pin.
+    */
+  def oracleSql: Map[String, String] = staticOracleSql +
+    ("ta_compress_ratio" ->
+      s"""WITH sc AS (SELECT * FROM
+         |  read_parquet('${deflateSidecar.get()}/*.parquet'))
+         |SELECT d.doc_id,
+         |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+         |  sc.n_deflated,
+         |  CASE WHEN octet_length(encode(d.text)) = 0 THEN NULL
+         |    ELSE round(CAST(sc.n_deflated AS DOUBLE)
+         |      / octet_length(encode(d.text)), 4) END AS ratio4
+         |FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
+
+  private val staticOracleSql: Map[String, String] = Map(
     "ta_bpe_train" -> {
       val legs = (1 to BpeTrainRounds).map { r =>
         s"SELECT CAST($r AS INT) AS iter, s1, s2, s1 || s2 AS merged, cnt FROM bb$r"

@@ -12,14 +12,14 @@ class SparkEntrySpec extends AnyFunSuite {
   // The only queries allowed to lack DuckDB oracle SQL, each justified
   // in COVERAGE.md/README and pinned by a ScalaTest instead. The two
   // sketch queries' estimates are engine-specific by construction.
-  // ta_compress_ratio: DuckDB has no deflate — pinned byte-exactly by
-  // CompressRatioSpec (reference deflate, Inflater round trip,
-  // redundancy ordering). mm_decode_jpeg left this set in round 11:
-  // its oracle now compares the fresh decode of the real .jpg landing
-  // against the landing-time sidecar pin (decode determinism + file
-  // integrity) joined with arithmetic dims.
+  // mm_decode_jpeg and ta_compress_ratio both left this set in round
+  // 11: their oracles compare the fresh run against a landing-time
+  // sidecar pin (determinism + integrity) joined with ARITHMETIC
+  // columns (dims / byte lengths / the ratio division) that are
+  // genuinely cross-engine. Only the two sketch rows remain exempt —
+  // their estimates are engine-specific by construction.
   val oracleExempt: Set[String] =
-    Set("q_approx_distinct", "q_approx_quantile", "ta_compress_ratio")
+    Set("q_approx_distinct", "q_approx_quantile")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
