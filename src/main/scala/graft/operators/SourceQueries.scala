@@ -28,7 +28,49 @@ object SourceQueries {
   private def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_src_$runId/$name"
 
+  /** Landing path of the parquet-metadata fixture the CURRENT process
+    * last wrote — read by [[oracleSql]] at dump time (the
+    * mm_decode_jpeg sidecar discipline).
+    */
+  private val pqMetaLanding =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/graft_pqmeta_never_landed")
+  private val pqMetaCache = graft.CacheRegistry.newCache()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PARQUET FOOTER METADATA, CROSS-ENGINE: land the documents table
+    // as 8 hash-partitioned parquet files once per (session, dir),
+    // then report per-FILE row counts + content aggregates as Spark
+    // sees them (input_file_name() grouping). The DuckDB oracle reads
+    // the SAME files but takes the row counts from
+    // parquet_metadata()'s FOOTER row-group claims — so the gate
+    // cross-checks what the writer's footers promise against what a
+    // second, independent reader engine actually scans, per file.
+    // This is the storage-level trust boundary every lakehouse
+    // manifest/compaction job leans on (a footer that lies about
+    // num_rows corrupts planning everywhere); at 100 TB this query IS
+    // the table-audit pass that validates a landing before manifest
+    // publication. Hash repartition makes the file assignment
+    // deterministic; file identity is the part-NNNNN prefix.
+    "src_parquet_meta" -> ((s, dir) => {
+      val out = graft.CacheRegistry.cached[String](
+          pqMetaCache, s, dir, "pqMetaLanding") {
+        val p = tmp("docs_pq_meta_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+        Tables.documents(s, dir)
+          .repartition(8, col("doc_id"))
+          .write.mode(SaveMode.Overwrite).parquet(p)
+        p
+      }
+      pqMetaLanding.set(out)
+      s.read.parquet(out)
+        .groupBy(regexp_extract(input_file_name(), "part-[0-9]+", 0)
+          .as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("file")
+    }),
 
     // CSV: header + quoted commas (n_comment contains free text).
     "src_csv_roundtrip" -> ((s, dir) => {
@@ -275,7 +317,33 @@ object SourceQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** Assembled at ACCESS time: src_parquet_meta's oracle reads the
+    * landing THIS process wrote ([[pqMetaLanding]]), taking per-file
+    * row counts from the parquet FOOTERS while the content aggregates
+    * re-scan the data — the footer-vs-scan cross-check.
+    */
+  def oracleSql: Map[String, String] = staticOracleSql +
+    ("src_parquet_meta" ->
+      s"""WITH rg AS (
+         |  -- parquet_metadata() is per COLUMN CHUNK: dedupe to one
+         |  -- row per (file, row group) before summing footer claims
+         |  SELECT DISTINCT file_name, row_group_id, row_group_num_rows
+         |  FROM parquet_metadata('${pqMetaLanding.get()}/*.parquet')),
+         |m AS (
+         |  SELECT regexp_extract(file_name, 'part-[0-9]+', 0) AS file,
+         |    CAST(sum(row_group_num_rows) AS BIGINT) AS n_rows
+         |  FROM rg GROUP BY 1),
+         |c AS (
+         |  SELECT regexp_extract(filename, 'part-[0-9]+', 0) AS file,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |  FROM read_parquet('${pqMetaLanding.get()}/*.parquet',
+         |    filename=true)
+         |  GROUP BY 1)
+         |SELECT m.file, m.n_rows, c.sum_chars, c.sum_ids
+         |FROM m JOIN c USING (file) ORDER BY file""".stripMargin)
+
+  private val staticOracleSql: Map[String, String] = Map(
     "src_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     // The corrupt partition re-derives from the shared md5 subset
