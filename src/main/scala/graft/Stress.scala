@@ -172,8 +172,11 @@ object Stress {
         val secs = (System.nanoTime() - t0) / 1e9
         val exact = graft.operators.DedupClusters
           .ariFromJoint(joint, nf, shiftSqlOverride = Some("0")).head()
+        // mirror ariUnitShiftSql's strict-< rungs exactly: shift =
+        // 2*(floor(log2 n) - 24) — the ceil form overstates by 2 at
+        // exact powers of two
         val expectShift =
-          math.max(0, 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) - 50)
+          math.max(0, 2 * ((63 - java.lang.Long.numberOfLeadingZeros(n)) - 24))
         val d = math.abs(auto.getLong(5) - exact.getLong(5))
         val ok = expectShift > 0 && d <= 5
         println(f"STRESS ariscale n=$n forced_shift=$expectShift " +
@@ -273,13 +276,13 @@ object Stress {
       // the judge-prescribed 1/5/20 via explicit args
       val rest = args.drop(1)
       val factors =
-        if (rest.headOption.exists(_.matches("[0-9]+(,[0-9]+)+")))
+        if (rest.headOption.exists(_.matches("[0-9]+(,[0-9]+)*")))
           rest.head.split(",").toSeq.map(_.toInt)
         else Seq(1, 5, 20, 50)
       val names =
-        if (rest.headOption.exists(_.matches("[0-9]+(,[0-9]+)+")) &&
+        if (rest.headOption.exists(_.matches("[0-9]+(,[0-9]+)*")) &&
             rest.length > 1) rest.drop(1).toSeq
-        else if (!rest.headOption.exists(_.matches("[0-9]+(,[0-9]+)+")) &&
+        else if (!rest.headOption.exists(_.matches("[0-9]+(,[0-9]+)*")) &&
             rest.nonEmpty) rest.toSeq
         else Seq("dd_containment", "dd_jaccard_prefix", "ss_graph_expand")
       val results = scala.collection.mutable.Map[String, List[(Int, Long, Double)]]()

@@ -210,9 +210,14 @@ object DedupClusters {
     * discipline). Relative error per scaled count is ≤ 2^shift/count
     * ~ 2⁻²⁵ at the activation threshold — invisible at ppm
     * resolution (Stress `ariscale` probe pins shifted ≡ exact at a
-    * forcing doc count). The top rung clamps at n ≥ 2⁴¹ where the
-    * BIGINT pair counts themselves would overflow — unreachable
-    * input, kept total so the expression has no holes.
+    * forcing doc count). The rung table ends at n < 2⁴¹ (shift 32);
+    * the ELSE rung (34) keeps the expression total beyond it. With
+    * the ladder applied, SCALED pair counts stay ≈ 2⁴⁷ across the
+    * rung table (shift grows 2 per doubling, exactly offsetting the
+    * n² growth) and only approach BIGINT range near ~2⁴⁸ docs — far
+    * beyond any realistic corpus. Strict-< boundaries: an exact
+    * power of two takes the NEXT rung (n = 2²⁵ → shift 2), and the
+    * Stress probe's expectShift mirrors that convention.
     */
   private[graft] def ariUnitShiftSql(n: String): String = {
     val rungs = (25 to 40).map(k =>

@@ -47,6 +47,24 @@ object EventQueries {
   val SprtUpperMicro = 2944439L
   val SprtLowerMicro = -2944439L
 
+  /** md5-parity experiment arm — THE assignment hash of every
+    * experimentation row (ab_experiment/cuped/srm/did/mann_whitney/
+    * sprt). One definition per engine: the Spark column here and its
+    * DuckDB dual [[hex13Sql]] must stay byte-equivalent, or the two
+    * engines put users in different arms and every readout reds.
+    */
+  private def armCol: org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
+      16, 10).cast("long"), lit(2L)).cast("int")
+
+  /** DuckDB mirror of `conv(substring(md5(user_id), 1, 13), 16, 10)`:
+    * the 13-nibble positional decode (the SketchQueries idiom).
+    */
+  private val hex13Sql: String = (0 until 13).map { i =>
+    val pow = Math.pow(16.0, (12 - i).toDouble).toLong
+    s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
+  }.mkString("(", " + ", ")")
+
   /** Shared first-order transition-matrix derivation of the Markov
     * trilogy (ev_markov / ev_markov_stationary / ev_absorption):
     * per-user successor pairs from a lead() window ((ts, event_id)
@@ -98,9 +116,15 @@ object EventQueries {
     * ev_markov_stationary and ev_markov_entropy rows share the
     * iterated fixed-point instead of each re-running the power loop.
     */
+  // A SEPARATE map from markovCache: stationaryMicroFresh calls
+  // transitionMicro, and nesting computeIfAbsent on the SAME
+  // ConcurrentHashMap is a documented-illegal recursive update (the
+  // JDK throws "Recursive update" when the two keys land in one bin —
+  // session-UUID-dependent, so it would be an intermittent failure).
+  private val stationaryCache = graft.CacheRegistry.newCache()
   private def stationaryMicro(s: SparkSession, dir: String): DataFrame =
-    graft.CacheRegistry.cached[DataFrame](markovCache, s, dir, "stationaryMicro")(
-      stationaryMicroFresh(s, dir))
+    graft.CacheRegistry.cached[DataFrame](stationaryCache, s, dir,
+      "stationaryMicro")(stationaryMicroFresh(s, dir))
 
   private def stationaryMicroFresh(s: SparkSession, dir: String): DataFrame = {
     val p = transitionMicro(s, dir).select("cur", "nxt", "pm")
@@ -1035,9 +1059,7 @@ object EventQueries {
           when(col("first_purchase").isNotNull &&
             col("first_purchase") <= col("first_ts") + expr("INTERVAL 24 HOURS"),
             1L).otherwise(0L))
-        .withColumn("arm",
-          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
-            16, 10).cast("long"), lit(2L)).cast("int"))
+        .withColumn("arm", armCol)
       users.groupBy("arm")
         .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
         .withColumn("conv_ppm", expr("(n_converted * 1000000L) DIV n_users"))
@@ -1143,9 +1165,7 @@ object EventQueries {
             .as("x"),
           sum(when(col("um") >= col("mid"), col("cents")).otherwise(0L))
             .as("y"))
-        .withColumn("arm",
-          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
-            16, 10).cast("long"), lit(2L)).cast("int"))
+        .withColumn("arm", armCol)
         .localCheckpoint(false) // moments + per-arm legs share it
       val mom = perUser.agg(
         count(lit(1)).as("n"),
@@ -1194,9 +1214,7 @@ object EventQueries {
     "ev_ab_srm" -> ((s, dir) => {
       val arms = Tables.events(s, dir)
         .select(col("user_id")).distinct()
-        .withColumn("arm",
-          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
-            16, 10).cast("long"), lit(2L)).cast("int"))
+        .withColumn("arm", armCol)
         .groupBy("arm").agg(count(lit(1)).as("n"))
       arms.agg(
           sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
@@ -1895,14 +1913,16 @@ object EventQueries {
             .as("x"),
           sum(when(col("um") >= col("mid"), col("cents")).otherwise(0L))
             .as("y"))
-        .withColumn("arm",
-          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
-            16, 10).cast("long"), lit(2L)).cast("int"))
+        .withColumn("arm", armCol)
       perUser.groupBy("arm")
         .agg(count(lit(1)).as("n_users"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"))
-        .withColumn("pre_micro", expr("(sx * 1000000) DIV n_users"))
-        .withColumn("post_micro", expr("(sy * 1000000) DIV n_users"))
+        // cents-total × 10⁶ leaves BIGINT past ~$92B per cohort —
+        // the rand_ppm overflow class; DECIMAL(38,0) removes the cliff
+        .withColumn("pre_micro", expr(
+          "CAST((CAST(sx AS DECIMAL(38,0)) * 1000000) DIV n_users AS BIGINT)"))
+        .withColumn("post_micro", expr(
+          "CAST((CAST(sy AS DECIMAL(38,0)) * 1000000) DIV n_users AS BIGINT)"))
         .agg(
           sum(when(col("arm") === 0, col("n_users"))).as("n_a"),
           sum(when(col("arm") === 1, col("n_users"))).as("n_b"),
@@ -1939,9 +1959,7 @@ object EventQueries {
           expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
             .as("cents"))
         .groupBy("user_id").agg(sum(col("cents")).as("v"))
-        .withColumn("arm",
-          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
-            16, 10).cast("long"), lit(2L)).cast("int"))
+        .withColumn("arm", armCol)
       val census = perUser.groupBy("v")
         .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
@@ -1952,14 +1970,21 @@ object EventQueries {
           (col("ca") + col("cb")))
         .withColumn("r2", lit(2L) * col("below") + col("ca") + col("cb")
           + lit(1L)) // doubled midrank, exact for any tie group
+      // rank sums grow ~n² (r2 ≤ 2n+1), and u2·10⁶ leaves BIGINT at
+      // ~4.3M balanced users — the whole tail runs in DECIMAL(38,0)
+      // (HUGEINT on the oracle side) and only the ≤-2n₁n₂ statistics
+      // cast back down
       ranked.agg(
           sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
-          sum(col("ca") * col("r2")).as("rr2a"),
-          sum(col("cb") * col("r2")).as("rr2b"))
-        .withColumn("u2_a", col("rr2a") - col("n_a") * (col("n_a") + 1))
-        .withColumn("u2_b", col("rr2b") - col("n_b") * (col("n_b") + 1))
+          expr("sum(CAST(ca AS DECIMAL(38,0)) * r2)").as("rr2a"),
+          expr("sum(CAST(cb AS DECIMAL(38,0)) * r2)").as("rr2b"))
+        .withColumn("u2_a", expr(
+          "CAST(rr2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)"))
+        .withColumn("u2_b", expr(
+          "CAST(rr2b - CAST(n_b AS DECIMAL(38,0)) * (n_b + 1) AS BIGINT)"))
         .withColumn("auc_ppm", // P(a > b) + P(tie)/2, exact ppm
-          expr("(u2_a * 1000000) DIV (2 * n_a * n_b)"))
+          expr("CAST((CAST(u2_a AS DECIMAL(38,0)) * 1000000) DIV " +
+            "(CAST(2 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)"))
         .select("n_a", "n_b", "u2_a", "u2_b", "auc_ppm")
     }),
 
@@ -2003,7 +2028,7 @@ object EventQueries {
         .groupBy(col("event_type"), col("tt"))
         .agg(sum(col("term")).as("num"))
         .withColumnRenamed("tt", "t")
-      ewmaAssemble(s, y, taps, y0)
+      ewmaAssemble(y, taps, y0)
     }),
 
     // CUSUM DRIFT MONITOR (Page 1954) — the streaming change
@@ -2066,9 +2091,7 @@ object EventQueries {
           when(col("fp").isNotNull &&
             col("fp") <= col("first_ts") + expr("INTERVAL 24 HOURS"),
             1L).otherwise(0L))
-        .withColumn("arm",
-          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 13),
-            16, 10).cast("long"), lit(2L)).cast("int"))
+        .withColumn("arm", armCol)
       val w = Window.partitionBy(col("arm"))
         .orderBy(col("first_ts"), col("user_id"))
       val walked = users
@@ -2101,10 +2124,10 @@ object EventQueries {
   /** Tail assembly of ev_ewma, split out so the query literal above
     * stays readable.
     */
-  private def ewmaAssemble(s: SparkSession, y: DataFrame, taps: DataFrame,
+  private def ewmaAssemble(y: DataFrame, taps: DataFrame,
       y0: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
-      y.join(taps, Seq("event_type", "t"), "left")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    y.join(taps, Seq("event_type", "t"), "left")
         .join(broadcast(y0), "event_type")
         .withColumn("num", coalesce(col("num"), lit(0L).cast(DecimalType(38, 0)))
           + when(col("t") < EwmaTaps,
@@ -2431,10 +2454,7 @@ object EventQueries {
     // all divisions in the sign-explicit floor-of-abs form that
     // matches Spark's truncating div.
     "ev_ab_cuped" -> {
-      val hex13 = (0 until 13).map { i =>
-        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
-        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
-      }.mkString("(", " + ", ")")
+      val hex13 = hex13Sql
       s"""WITH ev AS (
          |  SELECT user_id, epoch_us(ts) AS um,
          |    CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS cents
@@ -2501,10 +2521,7 @@ object EventQueries {
     "ev_ab_experiment" -> {
       // DuckDB mirror of conv(substring(md5, 1, 13), 16, 10): the
       // 13-nibble positional decode (the SketchQueries idiom).
-      val hex13 = (0 until 13).map { i =>
-        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
-        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
-      }.mkString("(", " + ", ")")
+      val hex13 = hex13Sql
       s"""WITH u AS (
          |  SELECT user_id,
          |    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
@@ -2640,10 +2657,7 @@ object EventQueries {
         |ORDER BY in_min DESC, user_id ASC, us ASC LIMIT 10""".stripMargin,
     "ev_ab_srm" -> {
       // same 13-nibble positional md5 decode as ev_ab_experiment
-      val hex13 = (0 until 13).map { i =>
-        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
-        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
-      }.mkString("(", " + ", ")")
+      val hex13 = hex13Sql
       s"""WITH arms AS (
          |  SELECT CAST($hex13 % 2 AS INT) AS arm
          |  FROM (SELECT DISTINCT user_id FROM events)),
@@ -3308,10 +3322,7 @@ object EventQueries {
     },
 
     "ev_did" -> {
-      val hex13 = (0 until 13).map { i =>
-        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
-        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
-      }.mkString("(", " + ", ")")
+      val hex13 = hex13Sql
       s"""WITH ev AS (
          |  SELECT user_id, epoch_us(ts) AS um,
          |    CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS cents
@@ -3327,8 +3338,10 @@ object EventQueries {
          |  FROM ev GROUP BY user_id),
          |arms AS (
          |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
-         |    (CAST(sum(x) AS BIGINT) * 1000000) // count(*) AS pre_micro,
-         |    (CAST(sum(y) AS BIGINT) * 1000000) // count(*) AS post_micro
+         |    CAST((CAST(sum(x) AS HUGEINT) * 1000000) // count(*)
+         |      AS BIGINT) AS pre_micro,
+         |    CAST((CAST(sum(y) AS HUGEINT) * 1000000) // count(*)
+         |      AS BIGINT) AS post_micro
          |  FROM pu GROUP BY arm)
          |SELECT
          |  CAST(sum(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_a,
@@ -3350,10 +3363,7 @@ object EventQueries {
     },
 
     "ev_mann_whitney" -> {
-      val hex13 = (0 until 13).map { i =>
-        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
-        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
-      }.mkString("(", " + ", ")")
+      val hex13 = hex13Sql
       s"""WITH pu AS (
          |  SELECT user_id,
          |    CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT))
@@ -3374,14 +3384,14 @@ object EventQueries {
          |agg AS (
          |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
          |    CAST(sum(cb) AS BIGINT) AS n_b,
-         |    CAST(sum(ca * r2) AS BIGINT) AS rr2a,
-         |    CAST(sum(cb * r2) AS BIGINT) AS rr2b
+         |    CAST(sum(CAST(ca AS HUGEINT) * r2) AS HUGEINT) AS rr2a,
+         |    CAST(sum(CAST(cb AS HUGEINT) * r2) AS HUGEINT) AS rr2b
          |  FROM ranked)
          |SELECT n_a, n_b,
-         |  rr2a - n_a * (n_a + 1) AS u2_a,
-         |  rr2b - n_b * (n_b + 1) AS u2_b,
-         |  ((rr2a - n_a * (n_a + 1)) * 1000000) // (2 * n_a * n_b)
-         |    AS auc_ppm
+         |  CAST(rr2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+         |  CAST(rr2b - CAST(n_b AS HUGEINT) * (n_b + 1) AS BIGINT) AS u2_b,
+         |  CAST(((rr2a - CAST(n_a AS HUGEINT) * (n_a + 1)) * 1000000)
+         |    // (CAST(2 AS HUGEINT) * n_a * n_b) AS BIGINT) AS auc_ppm
          |FROM agg""".stripMargin
     },
 
@@ -3470,10 +3480,7 @@ object EventQueries {
         |FROM v ORDER BY event_type, hour""".stripMargin,
 
     "ev_sprt" -> {
-      val hex13 = (0 until 13).map { i =>
-        val pow = Math.pow(16.0, (12 - i).toDouble).toLong
-        s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
-      }.mkString("(", " + ", ")")
+      val hex13 = hex13Sql
       s"""WITH u AS (
          |  SELECT user_id, min(ts) AS first_ts,
          |    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)

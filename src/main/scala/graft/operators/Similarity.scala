@@ -1419,7 +1419,12 @@ object Similarity {
           .otherwise(col("cqa") * col("m") +
             sqrt(greatest(lit(0.0), lit(1.0) - col("cqa") * col("cqa")) *
               greatest(lit(0.0), lit(1.0) - col("m") * col("m")))))
-      .filter(col("bound") >= lit(tau - 1e-6))
+      // margin = 1e-4: the bound holds for TRUE cosines, but the
+      // result filter runs on round(cos, 4) ≥ τ, which admits true
+      // cosines down to τ − 5e-5 — a prune margin smaller than that
+      // half-ulp could drop a vector the brute-force oracle keeps.
+      // 1e-4 covers the rounding slack plus IEEE dust.
+      .filter(col("bound") >= lit(tau - 1e-4))
       .select(col("query_id"), col("cent_id"), col("qe"), col("qnrm"))
   }
 
