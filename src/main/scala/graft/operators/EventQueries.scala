@@ -47,6 +47,12 @@ object EventQueries {
   val SprtUpperMicro = 2944439L
   val SprtLowerMicro = -2944439L
 
+  /** ev_power_mde: (z_{0.025} + z_{0.2})² = (1.959964 + 0.841621)² =
+    * 7.848878… in exact micro — a fixed decimal literal shared by
+    * both engines (no quantile function executes anywhere).
+    */
+  val PowerZSumSqMicro = 7848878L
+
   /** md5-parity experiment arm — THE assignment hash of every
     * experimentation row (ab_experiment/cuped/srm/did/mann_whitney/
     * sprt). One definition per engine: the Spark column here and its
@@ -2031,6 +2037,47 @@ object EventQueries {
       ewmaAssemble(y, taps, y0)
     }),
 
+    // POWER ANALYSIS / MDE — the sample-size question every
+    // experiment DESIGN starts with (the missing classic beside
+    // SRM/CUPED/SPRT/MW/DiD/bootstrap): per-arm
+    // n = 2(z_{α/2}+z_β)²σ²/δ² for a two-sample means test at
+    // α=0.05, power 0.8, against δ = 5% of the current mean.
+    // (1.959964 + 0.841621)² = 7.848878… is a FIXED micro literal
+    // ([[PowerZSumSqMicro]] — the Similarity rank-discount
+    // convention, no distribution function in either engine);
+    // variance from exact DECIMAL(38,0) power sums (population form
+    // — n·Σv² − (Σv)² over n²); the ceiling division is the
+    // non-negative (num + den − 1) DIV den. One shuffle (per-user
+    // totals), then a 1-row moment frame.
+    "ev_power_mde" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
+            .as("cents"))
+        .groupBy("user_id").agg(sum(col("cents")).as("v"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(CAST(v AS DECIMAL(19,0)))").as("sv"),
+          expr("sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))")
+            .as("svv"))
+        .withColumn("mean_cents", expr("CAST(sv DIV n AS BIGINT)"))
+        .withColumn("var_cents2", expr(
+          "CAST((n * svv - sv * sv) DIV (CAST(n AS DECIMAL(38,0)) * n) " +
+            "AS BIGINT)"))
+        .withColumn("delta_cents", expr("mean_cents DIV 20"))
+        .withColumn("n_required_per_arm", expr(
+          s"""CASE WHEN delta_cents > 0 THEN
+             |  CAST((2 * CAST($PowerZSumSqMicro AS DECIMAL(38,0))
+             |      * var_cents2
+             |      + (CAST(delta_cents AS DECIMAL(38,0)) * delta_cents
+             |         * 1000000) - 1)
+             |    DIV (CAST(delta_cents AS DECIMAL(38,0)) * delta_cents
+             |      * 1000000) AS BIGINT)
+             |END""".stripMargin))
+        .select(col("n").as("n_users"), col("mean_cents"),
+          col("var_cents2"), col("delta_cents"),
+          col("n_required_per_arm"))
+    }),
+
     // CUSUM DRIFT MONITOR (Page 1954) — the streaming change
     // detector beside ev_changepoint's single offline split: the
     // one-sided recursion V_t = max(0, V_{t−1} + x_t) is NOT a
@@ -3440,6 +3487,33 @@ object EventQueries {
          |    ORDER BY hour) AS resid_micro
          |FROM fin ORDER BY event_type, hour""".stripMargin
     },
+
+    "ev_power_mde" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT))
+         |      AS BIGINT) AS v
+         |  FROM events GROUP BY user_id),
+         |mom AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(v) AS HUGEINT) AS sv,
+         |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv
+         |  FROM pu),
+         |st AS (
+         |  SELECT CAST(n AS BIGINT) AS n_users,
+         |    CAST(sv // n AS BIGINT) AS mean_cents,
+         |    CAST((n * svv - sv * sv) // (n * n) AS BIGINT) AS var_cents2
+         |  FROM mom)
+         |SELECT n_users, mean_cents, var_cents2,
+         |  mean_cents // 20 AS delta_cents,
+         |  CASE WHEN mean_cents // 20 > 0 THEN
+         |    CAST((2 * CAST($PowerZSumSqMicro AS HUGEINT) * var_cents2
+         |        + (CAST(mean_cents // 20 AS HUGEINT) * (mean_cents // 20)
+         |           * 1000000) - 1)
+         |      // (CAST(mean_cents // 20 AS HUGEINT) * (mean_cents // 20)
+         |        * 1000000) AS BIGINT)
+         |  END AS n_required_per_arm
+         |FROM st""".stripMargin,
 
     "ev_cusum" ->
       """WITH hourly AS (
