@@ -1969,11 +1969,31 @@ object EventQueries {
       val census = perUser.groupBy("v")
         .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val ranked = census // value census: |distinct per-user totals| rows
-        .withColumn("below", sum(col("ca") + col("cb")).over(w) -
-          (col("ca") + col("cb")))
+        .localCheckpoint(false) // bounds + bucket census + ranks share it
+      // SCALE SHAPE — the below-count is two-stage (the radix-bucket
+      // descent): a 1024-ary value bucketing gives a bounded coarse
+      // frame whose cumulative counts replace the global ordered
+      // window; the exact per-value cumulative then runs INSIDE each
+      // bucket (bucket-partitioned window), and below(v) =
+      // coarse_below(bucket) + within_below(v). Row-identical to the
+      // naive single-window rank — the oracle IS that naive form.
+      val bounds = census.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .select(expr("greatest(1L, (mx - mn) DIV 1024 + 1)").as("bw"),
+          col("mn"))
+      val bucketed = census.crossJoin(broadcast(bounds))
+        .withColumn("bk", expr("(v - mn) DIV bw"))
+      val wBk = Window.orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val coarse = bucketed.groupBy("bk") // ≤ 1025-row frame
+        .agg(sum(col("ca") + col("cb")).as("nb"))
+        .withColumn("coarse_below",
+          coalesce(sum(col("nb")).over(wBk), lit(0L)))
+        .select("bk", "coarse_below")
+      val wIn = Window.partitionBy(col("bk")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = bucketed.join(broadcast(coarse), "bk")
+        .withColumn("below", col("coarse_below") +
+          coalesce(sum(col("ca") + col("cb")).over(wIn), lit(0L)))
         .withColumn("r2", lit(2L) * col("below") + col("ca") + col("cb")
           + lit(1L)) // doubled midrank, exact for any tie group
       // rank sums grow ~n² (r2 ≤ 2n+1), and u2·10⁶ leaves BIGINT at
@@ -2129,6 +2149,18 @@ object EventQueries {
     // total order); sequential monitoring is inherently ordered — at
     // 100 TB the platform runs it over per-interval aggregates, and
     // the cumulative frame stays interval-bounded.
+    // SCALE SHAPE — bucket-first candidate refinement (the
+    // q_approx_quantile descent applied to a sequential walk): stage
+    // 1 aggregates the stream into the calendar-bounded (arm, day)
+    // census and brackets each bucket's intra-bucket LLR prefix with
+    // cum_prev + n_conv·a ≤ … ≥ cum_prev + n_nonconv·b (a > 0 > b, so
+    // all-conversions-first / all-nonconversions-first are the
+    // extreme orderings); a crossing anywhere inside a bucket forces
+    // that bucket's bracket across the threshold, so only CANDIDATE
+    // buckets get the exact ordered walk — windows partition by
+    // (arm, day), never a corpus-sized arm partition. The readout is
+    // row-identical to the naive single-window walk (the DuckDB
+    // oracle), which is exactly what the gate proves.
     "ev_sprt" -> ((s, dir) => {
       val users = Tables.events(s, dir)
         .groupBy("user_id")
@@ -2139,15 +2171,32 @@ object EventQueries {
             col("fp") <= col("first_ts") + expr("INTERVAL 24 HOURS"),
             1L).otherwise(0L))
         .withColumn("arm", armCol)
-      val w = Window.partitionBy(col("arm"))
-        .orderBy(col("first_ts"), col("user_id"))
-      val walked = users
         .withColumn("inc", col("x") * lit(SprtConvMicro) +
           (lit(1L) - col("x")) * lit(SprtNoConvMicro))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("cum", sum(col("inc")).over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
-        .localCheckpoint(false) // decision + totals legs share it
+        .withColumn("day", date_trunc("day", col("first_ts")))
+        .localCheckpoint(false) // census + refine + totals legs share it
+      val wDay = Window.partitionBy(col("arm")).orderBy(col("day"))
+      val days = users.groupBy("arm", "day")
+        .agg(count(lit(1)).as("nb"), sum(col("inc")).as("sb"),
+          sum(col("x")).as("ncb"))
+        .withColumn("cum_prev", coalesce(sum(col("sb")).over(
+          wDay.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("users_before", coalesce(sum(col("nb")).over(
+          wDay.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("hi", col("cum_prev") + col("ncb") * SprtConvMicro)
+        .withColumn("lo", col("cum_prev") +
+          (col("nb") - col("ncb")) * SprtNoConvMicro)
+      val candDays = days
+        .filter(col("hi") >= SprtUpperMicro || col("lo") <= SprtLowerMicro)
+        .select("arm", "day", "cum_prev", "users_before")
+      val wIn = Window.partitionBy(col("arm"), col("day"))
+        .orderBy(col("first_ts"), col("user_id"))
+      val walked = users.join(candDays, Seq("arm", "day"))
+        .withColumn("rn",
+          col("users_before") + row_number().over(wIn).cast("long"))
+        .withColumn("cum", col("cum_prev") + sum(col("inc")).over(
+          wIn.rowsBetween(Window.unboundedPreceding, 0)))
+        .localCheckpoint(false) // min-rn + value-at legs share it
       val dec = walked
         .filter(col("cum") >= SprtUpperMicro || col("cum") <= SprtLowerMicro)
         .groupBy("arm").agg(min(col("rn")).as("n_at_decision"))
@@ -2155,7 +2204,7 @@ object EventQueries {
         .filter(col("rn") === col("n_at_decision"))
         .select(col("arm"), col("n_at_decision"),
           col("cum").as("llr_at_decision"))
-      walked.groupBy("arm")
+      users.groupBy("arm")
         .agg(count(lit(1)).as("n_users"), sum(col("inc")).as("llr_final"))
         .join(at, Seq("arm"), "left")
         .withColumn("decision",
