@@ -1202,8 +1202,11 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"),
           sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
         .crossJoin(broadcast(mom))
-        .withColumn("xbar_micro", expr("(sxa * 1000000) DIV n_users"))
-        .withColumn("ybar_micro", expr("(sya * 1000000) DIV n_users"))
+        // cents-total × 10⁶ through DECIMAL(38,0): the ev_did cliff
+        .withColumn("xbar_micro", expr(
+          "CAST((CAST(sxa AS DECIMAL(38,0)) * 1000000) DIV n_users AS BIGINT)"))
+        .withColumn("ybar_micro", expr(
+          "CAST((CAST(sya AS DECIMAL(38,0)) * 1000000) DIV n_users AS BIGINT)"))
         .withColumn("d", expr("xbar_micro - xbar_all_micro"))
         .withColumn("cuped_micro", expr(
           """ybar_micro - CASE WHEN theta_micro IS NULL THEN 0L
@@ -1873,8 +1876,10 @@ object EventQueries {
       // order-statistic CI instead of failing loudly
       val repMeans = weighted.groupBy("b")
         .agg(sum(col("w") * col("c")).as("num"), sum(col("w")).as("den"))
-        .withColumn("mean_micro",
-          expr("CASE WHEN den > 0 THEN (num * 1000000) DIV den END"))
+        .withColumn("mean_micro", expr(
+          // weighted cents total × 10⁶ through DECIMAL (ev_did cliff)
+          "CASE WHEN den > 0 THEN CAST((CAST(num AS DECIMAL(38,0)) " +
+            "* 1000000) DIV den AS BIGINT) END"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("mean_micro").asc_nulls_first)
       val stats = repMeans
@@ -1886,7 +1891,8 @@ object EventQueries {
           max(when(col("rn") === 31, col("mean_micro"))).as("boot_hi_micro"),
           count(lit(1)).as("n_replicas"))
       val point = cents.agg(count(lit(1)).as("n_rows"),
-        expr("(sum(c) * 1000000) DIV count(1)").as("point_mean_micro"))
+        expr("CAST((CAST(sum(c) AS DECIMAL(38,0)) * 1000000) " +
+          "DIV count(1) AS BIGINT)").as("point_mean_micro"))
       point.crossJoin(broadcast(stats))
         .select("n_rows", "point_mean_micro", "boot_lo_micro",
           "boot_med_micro", "boot_hi_micro", "n_replicas")
@@ -2593,21 +2599,24 @@ object EventQueries {
          |    xbar_all_micro
          |  FROM gl),
          |arms AS (
+         |  -- cents-total × 10⁶ through HUGEINT (the ev_did cliff);
+         |  -- the means compute ONCE here instead of inline 4×
          |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
-         |    CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+         |    CAST((CAST(sum(x) AS HUGEINT) * 1000000) // count(*)
+         |      AS BIGINT) AS xbar_micro,
+         |    CAST((CAST(sum(y) AS HUGEINT) * 1000000) // count(*)
+         |      AS BIGINT) AS ybar_micro
          |  FROM pu GROUP BY arm)
-         |SELECT a.arm, a.n_users,
-         |  (a.sxa * 1000000) // a.n_users AS xbar_micro,
-         |  (a.sya * 1000000) // a.n_users AS ybar_micro,
-         |  (a.sya * 1000000) // a.n_users
+         |SELECT a.arm, a.n_users, a.xbar_micro, a.ybar_micro,
+         |  a.ybar_micro
          |    - CASE WHEN g.theta_micro IS NULL THEN 0
          |        WHEN CAST(g.theta_micro AS HUGEINT) *
-         |          ((a.sxa * 1000000) // a.n_users - g.xbar_all_micro) >= 0
+         |          (a.xbar_micro - g.xbar_all_micro) >= 0
          |        THEN CAST((CAST(g.theta_micro AS HUGEINT) *
-         |          ((a.sxa * 1000000) // a.n_users - g.xbar_all_micro))
+         |          (a.xbar_micro - g.xbar_all_micro))
          |          // 1000000 AS BIGINT)
          |        ELSE -CAST((-(CAST(g.theta_micro AS HUGEINT) *
-         |          ((a.sxa * 1000000) // a.n_users - g.xbar_all_micro)))
+         |          (a.xbar_micro - g.xbar_all_micro)))
          |          // 1000000 AS BIGINT) END AS cuped_micro,
          |  g.theta_micro,
          |  CAST(g.r2_ppm AS BIGINT) AS r2_ppm
@@ -3395,8 +3404,9 @@ object EventQueries {
          |ranked AS (
          |  SELECT mean_micro,
          |    row_number() OVER (ORDER BY mean_micro ASC NULLS FIRST) AS rn
-         |  FROM (SELECT CASE WHEN den > 0 THEN (num * 1000000) // den END
-         |          AS mean_micro FROM rm)),
+         |  FROM (SELECT CASE WHEN den > 0 THEN
+         |            CAST((CAST(num AS HUGEINT) * 1000000) // den AS BIGINT)
+         |          END AS mean_micro FROM rm)),
          |st AS (
          |  SELECT
          |    CAST(max(CASE WHEN rn = 2 THEN mean_micro END) AS BIGINT)
@@ -3409,7 +3419,7 @@ object EventQueries {
          |  FROM ranked),
          |pt AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         |    CAST((sum(c) * 1000000) // count(*) AS BIGINT)
+         |    CAST((CAST(sum(c) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
          |      AS point_mean_micro
          |  FROM cents)
          |SELECT pt.n_rows, pt.point_mean_micro, st.boot_lo_micro,
