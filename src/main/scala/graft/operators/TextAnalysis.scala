@@ -1424,7 +1424,12 @@ object TextAnalysis {
         .localCheckpoint(false) // prob frame read by totals + join
       val total = counts.agg(sum(col("cnt")).as("total"))
       val probs = counts.crossJoin(broadcast(total))
-        .select(col("word"), expr("cnt * 1000000 DIV total").as("pm"))
+        // corpus token counts × 10⁶ clear int64 at ~9.2e12 tokens —
+        // inside the 100 TB domain, so the cross-multiply rides
+        // DECIMAL(38,0)
+        .select(col("word"), expr(
+          "CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000) DIV total " +
+            "AS BIGINT)").as("pm"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score_micro").desc, col("chunk_idx").asc)
       toks.withColumn("chunk_idx", expr("pos DIV 16"))
@@ -2344,7 +2349,9 @@ object TextAnalysis {
          |cnts AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
          |         FROM toks GROUP BY word),
          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
-         |probs AS (SELECT word, CAST(cnt * 1000000 // total AS BIGINT) AS pm
+         |probs AS (SELECT word,
+         |            CAST((CAST(cnt AS HUGEINT) * 1000000) // total
+         |              AS BIGINT) AS pm
          |          FROM cnts, tot),
          |ch AS (
          |  SELECT t.doc_id, t.pos // 16 AS chunk_idx,
