@@ -111,7 +111,8 @@ object EventQueries {
       .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
     tr.join(broadcast(tr.groupBy("cur").agg(sum(col("n")).as("row_n"))), "cur")
       .select(col("cur"), col("nxt"), col("n"),
-        expr("n * 1000000 DIV row_n").as("pm"))
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) DIV row_n " +
+          "AS BIGINT)").as("pm"))
       .localCheckpoint(false)
   }
 
@@ -160,7 +161,7 @@ object EventQueries {
       |tr AS (SELECT cur, nxt, count(*) AS n FROM seq
       |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
       |p AS (SELECT tr.cur, tr.nxt, tr.n,
-      |        CAST(tr.n * 1000000 // t.row_n AS BIGINT) AS pm
+      |        CAST((CAST(tr.n AS HUGEINT) * 1000000) // t.row_n AS BIGINT) AS pm
       |      FROM tr JOIN (SELECT cur, CAST(sum(n) AS BIGINT) AS row_n
       |                    FROM tr GROUP BY 1) t
       |        ON tr.cur = t.cur)""".stripMargin

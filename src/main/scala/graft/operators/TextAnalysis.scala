@@ -147,7 +147,8 @@ object TextAnalysis {
     val c1 = cnt.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val model = cnt.join(c1, "w1")
       .select(col("w1"), col("w2"),
-        expr("c12 * 1000000 DIV c1").as("microp"))
+        expr("CAST((CAST(c12 AS DECIMAL(38,0)) * 1000000) DIV c1 " +
+          "AS BIGINT)").as("microp"))
     bg.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("microp")).as("sum_microp"))
@@ -383,9 +384,12 @@ object TextAnalysis {
         .join(broadcast(uc.withColumnRenamed("w", "w2")
           .withColumnRenamed("c", "c2")), Seq("w2"))
         .crossJoin(broadcast(totals))
-        .withColumn("p12", expr("(c12 * 1000000L) DIV nb"))
-        .withColumn("p1", expr("(c1 * 1000000L) DIV nt"))
-        .withColumn("p2", expr("(c2 * 1000000L) DIV nt"))
+        .withColumn("p12", expr(
+          "CAST((CAST(c12 AS DECIMAL(38,0)) * 1000000) DIV nb AS BIGINT)"))
+        .withColumn("p1", expr(
+          "CAST((CAST(c1 AS DECIMAL(38,0)) * 1000000) DIV nt AS BIGINT)"))
+        .withColumn("p2", expr(
+          "CAST((CAST(c2 AS DECIMAL(38,0)) * 1000000) DIV nt AS BIGINT)"))
         .withColumn("lift_micro",
           expr("(p12 * 1000000000000L) DIV (p1 * p2)"))
         .filter(col("lift_micro") >= CollocMinLiftMicro)
@@ -627,7 +631,8 @@ object TextAnalysis {
           max(col("n_vocab")).as("n_vocab"),
           max(col("n_tokens")).as("n_tokens"))
         .withColumn("coverage_ppm",
-          expr("(tokens_covered * 1000000) DIV n_tokens"))
+          expr("CAST((CAST(tokens_covered AS DECIMAL(38,0)) * 1000000) " +
+            "DIV n_tokens AS BIGINT)"))
         .select("vocab_k", "tokens_covered", "n_vocab", "n_tokens",
           "coverage_ppm")
         .orderBy("vocab_k")
@@ -719,7 +724,8 @@ object TextAnalysis {
       val model = cnt.join(c1, "w1")
         .select(col("w1"), col("w2"),
           (-graft.functions.Log2Micro.log2micro(
-            greatest(expr("c12 * 1000000 DIV c1"), lit(1L)),
+            greatest(expr("CAST((CAST(c12 AS DECIMAL(38,0)) * 1000000) " +
+              "DIV c1 AS BIGINT)"), lit(1L)),
             lit(1000000L))).as("bits_micro"))
       bg.join(model, Seq("w1", "w2"))
         .groupBy("doc_id")
@@ -848,10 +854,13 @@ object TextAnalysis {
         .join(c1, "w1").join(n1w, "w2")
         .crossJoin(broadcast(n1all))
         .withColumn("disc_micro",
-          expr("(greatest(4 * c2 - 3, 0L) * 1000000) DIV (4 * c1)"))
+          expr("CAST((CAST(greatest(4 * c2 - 3, 0L) AS DECIMAL(38,0)) " +
+            "* 1000000) DIV (4 * c1) AS BIGINT)"))
         .withColumn("lambda_micro",
-          expr("(3 * n1u * 1000000) DIV (4 * c1)"))
-        .withColumn("pcont_micro", expr("(n1w * 1000000) DIV n1all"))
+          expr("CAST((CAST(3 * n1u AS DECIMAL(38,0)) * 1000000) " +
+            "DIV (4 * c1) AS BIGINT)"))
+        .withColumn("pcont_micro", expr("CAST((CAST(n1w AS DECIMAL(38,0)) * 1000000) " +
+            "DIV n1all AS BIGINT)"))
         .withColumn("p_kn_micro",
           expr("disc_micro + (lambda_micro * pcont_micro) DIV 1000000"))
         .select("w1", "w2", "c2", "c1", "lambda_micro", "p_kn_micro")
@@ -893,9 +902,12 @@ object TextAnalysis {
             .when(col("c3").isNotNull, 1)
             .otherwise(0))
         .withColumn("microp",
-          when(col("c123").isNotNull, expr("c123 * 1000000 DIV c12"))
-            .when(col("c23").isNotNull, expr("(4 * (c23 * 1000000 DIV c2)) DIV 10"))
-            .when(col("c3").isNotNull, expr("(16 * (c3 * 1000000 DIV n)) DIV 100"))
+          when(col("c123").isNotNull, expr(
+            "CAST((CAST(c123 AS DECIMAL(38,0)) * 1000000) DIV c12 AS BIGINT)"))
+            .when(col("c23").isNotNull, expr("(4 * CAST((CAST(c23 AS DECIMAL(38,0)) * 1000000) " +
+              "DIV c2 AS BIGINT)) DIV 10"))
+            .when(col("c3").isNotNull, expr("(16 * CAST((CAST(c3 AS DECIMAL(38,0)) * 1000000) " +
+              "DIV n AS BIGINT)) DIV 100"))
             .otherwise(lit(0L)))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tri"), sum(col("microp")).as("sum_microp"),
@@ -1143,7 +1155,8 @@ object TextAnalysis {
         .groupBy("w").agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
           max(col("c")).as("max_in_doc"))
         .filter(col("tf") >= 10)
-        .withColumn("burst_micro", expr("tf * 1000000 DIV df"))
+        .withColumn("burst_micro", expr(
+          "CAST((CAST(tf AS DECIMAL(38,0)) * 1000000) DIV df AS BIGINT)"))
         .orderBy(col("burst_micro").desc, col("w").asc)
         .limit(25)
     }),
@@ -1349,7 +1362,8 @@ object TextAnalysis {
           sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_whole_words"),
           max(col("ns")).as("max_split"))
         .withColumn("fertility_micro",
-          expr("n_symbol_occ * 1000000 DIV n_word_occ"))
+          expr("CAST((CAST(n_symbol_occ AS DECIMAL(38,0)) * 1000000) " +
+            "DIV n_word_occ AS BIGINT)"))
     }),
 
     // Exact per-language heavy hitters (vocabulary-building gate):
@@ -1598,7 +1612,8 @@ object TextAnalysis {
          |  CAST(sum(CASE WHEN len(syms) = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_whole_words,
          |  CAST(max(len(syms)) AS BIGINT) AS max_split,
-         |  CAST(sum(wc * len(syms)) * 1000000 // sum(wc) AS BIGINT)
+         |  CAST((CAST(sum(wc * len(syms)) AS HUGEINT) * 1000000)
+         |    // sum(wc) AS BIGINT)
          |    AS fertility_micro
          |FROM bs$BpeTrainRounds""".stripMargin,
     "ta_bpe_merge" ->
@@ -1802,7 +1817,7 @@ object TextAnalysis {
          |    CAST(max(c) AS BIGINT) AS max_in_doc
          |  FROM per_doc GROUP BY 1)
          |SELECT w, df, tf, max_in_doc,
-         |  CAST(tf * 1000000 // df AS BIGINT) AS burst_micro
+         |  CAST((CAST(tf AS HUGEINT) * 1000000) // df AS BIGINT) AS burst_micro
          |FROM stats WHERE tf >= 10
          |ORDER BY burst_micro DESC, w ASC LIMIT 25""".stripMargin,
     "ta_code_detect" ->
@@ -1937,7 +1952,7 @@ object TextAnalysis {
          |SELECT k.vocab_k,
          |  CAST(max(c.cum) AS BIGINT) AS tokens_covered,
          |  max(c.n_vocab) AS n_vocab, max(c.n_tokens) AS n_tokens,
-         |  (CAST(max(c.cum) AS BIGINT) * 1000000) // max(c.n_tokens)
+         |  CAST((CAST(max(c.cum) AS HUGEINT) * 1000000) // max(c.n_tokens) AS BIGINT)
          |    AS coverage_ppm
          |FROM ks k JOIN cum c ON c.rk <= k.vocab_k
          |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1990,7 +2005,8 @@ object TextAnalysis {
          |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
          |mp AS (
          |  SELECT cnt.w1, cnt.w2,
-         |    greatest(CAST((c12 * 1000000) // c1 AS BIGINT), 1) AS num,
+         |    greatest(CAST((CAST(c12 AS HUGEINT) * 1000000) // c1 AS BIGINT), 1)
+         |      AS num,
          |    CAST(1000000 AS BIGINT) AS den
          |  FROM cnt JOIN c1 USING (w1)),
          |${graft.operators.OracleSql.log2microCtes("bz", "mp", Seq("w1", "w2"))},
@@ -2009,8 +2025,9 @@ object TextAnalysis {
          |  WHERE len(t) >= 2),
          |model AS (
          |  SELECT w1, w2,
-         |    (c12 * 1000000) // CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT)
-         |      AS microp
+         |    CAST((CAST(c12 AS HUGEINT) * 1000000)
+         |      // CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT)
+         |      AS BIGINT) AS microp
          |  FROM (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2))
          |SELECT doc_id, count(*) AS n_bigrams,
          |  CAST(sum(microp) AS DOUBLE) / count(*) / 1000000.0 AS mean_bigram_p
@@ -2057,9 +2074,12 @@ object TextAnalysis {
          |    CASE WHEN c123 IS NOT NULL THEN 3
          |         WHEN c23 IS NOT NULL THEN 2
          |         WHEN c3 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
-         |    CASE WHEN c123 IS NOT NULL THEN (c123 * 1000000) // c12
-         |         WHEN c23 IS NOT NULL THEN (4 * ((c23 * 1000000) // c2)) // 10
-         |         WHEN c3 IS NOT NULL THEN (16 * ((c3 * 1000000) // n)) // 100
+         |    CASE WHEN c123 IS NOT NULL THEN
+         |        CAST((CAST(c123 AS HUGEINT) * 1000000) // c12 AS BIGINT)
+         |      WHEN c23 IS NOT NULL THEN (4 * CAST((CAST(c23 AS HUGEINT)
+         |        * 1000000) // c2 AS BIGINT)) // 10
+         |      WHEN c3 IS NOT NULL THEN (16 * CAST((CAST(c3 AS HUGEINT)
+         |        * 1000000) // n AS BIGINT)) // 100
          |         ELSE 0 END AS microp
          |  FROM tg
          |  LEFT JOIN tri USING (w1, w2, w3)
@@ -2084,8 +2104,9 @@ object TextAnalysis {
          |  WHERE len(t) >= 2),
          |model AS (
          |  SELECT w1, w2,
-         |    (c12 * 1000000) // CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT)
-         |      AS microp
+         |    CAST((CAST(c12 AS HUGEINT) * 1000000)
+         |      // CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT)
+         |      AS BIGINT) AS microp
          |  FROM (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2)),
          |sc AS (
          |  SELECT doc_id, count(*) AS nb,
@@ -2128,10 +2149,14 @@ object TextAnalysis {
          |n1w AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w FROM c2f GROUP BY 1),
          |n1all AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM c2f)
          |SELECT f.w1, f.w2, f.c2, c1.c1,
-         |  CAST((3 * c1.n1u * 1000000) // (4 * c1.c1) AS BIGINT) AS lambda_micro,
-         |  CAST((greatest(4 * f.c2 - 3, 0) * 1000000) // (4 * c1.c1)
-         |    + (((3 * c1.n1u * 1000000) // (4 * c1.c1))
-         |       * ((n1w.n1w * 1000000) // n1all.n1all)) // 1000000
+         |  CAST((CAST(3 * c1.n1u AS HUGEINT) * 1000000) // (4 * c1.c1)
+         |    AS BIGINT) AS lambda_micro,
+         |  CAST((CAST(greatest(4 * f.c2 - 3, 0) AS HUGEINT) * 1000000)
+         |      // (4 * c1.c1)
+         |    + (CAST((CAST(3 * c1.n1u AS HUGEINT) * 1000000) // (4 * c1.c1)
+         |         AS HUGEINT)
+         |       * CAST((CAST(n1w.n1w AS HUGEINT) * 1000000) // n1all.n1all
+         |           AS HUGEINT)) // 1000000
          |    AS BIGINT) AS p_kn_micro
          |FROM c2f f
          |JOIN c1 ON c1.w1 = f.w1
@@ -2264,8 +2289,10 @@ object TextAnalysis {
          |       GROUP BY 1, 2 HAVING count(*) >= $CollocMinSupport),
          |scored AS (
          |  SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
-         |    (((c12 * 1000000) // nb) * 1000000000000
-         |      // (((u1.c * 1000000) // nt) * ((u2.c * 1000000) // nt))
+         |    ((CAST((CAST(c12 AS HUGEINT) * 1000000) // nb AS HUGEINT)
+         |        * 1000000000000)
+         |      // (CAST((CAST(u1.c AS HUGEINT) * 1000000) // nt AS HUGEINT)
+         |         * CAST((CAST(u2.c AS HUGEINT) * 1000000) // nt AS HUGEINT))
          |    )::BIGINT AS lift_micro
          |  FROM bc, tot, uc u1, uc u2
          |  WHERE u1.w = bc.w1 AND u2.w = bc.w2)
