@@ -226,6 +226,64 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(p.getDouble(p.fieldIndex("est_jaccard")) == 1.0)
   }
 
+  test("ta_best_passage: the winner really is the max-scoring chunk of its doc") {
+    import org.apache.spark.sql.functions.{col, count, explode, expr, lit, posexplode, sum}
+    // recompute every chunk's score independently and check the
+    // reported winner dominates (earliest chunk on ties)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' ', -1), t -> t != '')"))
+          .as(Seq("pos", "word")))
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt")).collect().head.getLong(0)
+    val pm = counts.collect().map(r => r.getString(0) ->
+      r.getLong(1) * 1000000L / total).toMap
+    val chunks = toks.collect()
+      .groupBy(r => (r.getLong(0), r.getInt(1) / 16))
+      .map { case ((doc, ck), rs) =>
+        (doc, ck, rs.map(r => pm(r.getString(2))).sum / rs.length) }
+    val best = chunks.groupBy(_._1).map { case (doc, cs) =>
+      doc -> cs.minBy(c => (-c._3, c._2)) }
+    val rows = SparkEntry.queries("ta_best_passage")(spark, sf).collect()
+    rows.foreach { r =>
+      val (doc, ck, sc) = (r.getLong(0), r.getInt(1),
+        r.getLong(r.fieldIndex("score_micro")))
+      val (_, eCk, eSc) = best(doc)
+      assert(ck == eCk && sc == eSc, s"doc $doc: got ($ck,$sc) want ($eCk,$eSc)")
+    }
+  }
+
+  test("src_parquet_meta: per-file counts sum to the table; 8 files") {
+    val rows = SparkEntry.queries("src_parquet_meta")(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf).count())
+    val ids = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("doc_id"))
+      .collect().head.getLong(0)
+    assert(rows.map(r => r.getLong(r.fieldIndex("sum_ids"))).sum == ids)
+  }
+
+  test("ev_power_mde: formula consistency and monotone plausibility") {
+    val r = SparkEntry.queries("ev_power_mde")(spark, sf).collect().head
+    def g(c: String) = r.getLong(r.fieldIndex(c))
+    assert(g("delta_cents") == g("mean_cents") / 20)
+    val num = BigInt(2) * 7848878L * g("var_cents2")
+    val den = BigInt(g("delta_cents")) * g("delta_cents") * 1000000L
+    assert(BigInt(g("n_required_per_arm")) == (num + den - 1) / den)
+    assert(g("n_required_per_arm") > 0)
+  }
+
+  test("dd_oph_recall: counts form a valid recall readout") {
+    val r = SparkEntry.queries("dd_oph_recall")(spark, sf).collect().head
+    def g(c: String) = r.getLong(r.fieldIndex(c))
+    assert(g("n_hit") <= g("n_true") && g("n_hit") <= g("n_oph"))
+    if (g("n_true") > 0) {
+      val rec = r.getDouble(r.fieldIndex("recall4"))
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("mm_pgm_resize: hand-derived box means for one doc") {
     val doc = Tables.documents(spark, sf).orderBy("doc_id").limit(1)
       .collect().head
