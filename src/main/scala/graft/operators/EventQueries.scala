@@ -53,6 +53,24 @@ object EventQueries {
     */
   val PowerZSumSqMicro = 7848878L
 
+  /** THE cents convention of every monetary row (floor(value·100) —
+    * value is non-negative in this corpus, so floor ≡ truncation and
+    * plain DIV on sums stays floor-safe). One definition: a rounding
+    * or scale change must not be applied five times.
+    */
+  private def centsCol: org.apache.spark.sql.Column =
+    expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
+
+  /** Per-user total spend in cents — the metric frame shared by
+    * ev_mann_whitney and ev_power_mde (CUPED/DiD split it pre/post and
+    * the bootstrap resamples rows, so they derive their own shapes
+    * from [[centsCol]]).
+    */
+  private def perUserCents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), centsCol.as("cents"))
+      .groupBy("user_id").agg(sum(col("cents")).as("v"))
+
   /** md5-parity experiment arm — THE assignment hash of every
     * experimentation row (ab_experiment/cuped/srm/did/mann_whitney/
     * sprt). One definition per engine: the Spark column here and its
@@ -1160,9 +1178,7 @@ object EventQueries {
     "ev_ab_cuped" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"),
-          expr("unix_micros(ts)").as("um"),
-          expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
-            .as("cents"))
+          expr("unix_micros(ts)").as("um"), centsCol.as("cents"))
       val bounds = ev.agg(min(col("um")).as("mn"), max(col("um")).as("mx"))
         .select(expr("mn + (mx - mn) DIV 2").as("mid"))
       val perUser = ev.crossJoin(broadcast(bounds))
@@ -1856,9 +1872,7 @@ object EventQueries {
     "ev_bootstrap_ci" -> ((s, dir) => {
       import s.implicits._
       val cents = Tables.events(s, dir)
-        .select(col("event_id"),
-          expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
-            .as("c"))
+        .select(col("event_id"), centsCol.as("c"))
       val reps = (0 until BootReplicas).map(_.toLong).toDF("b")
       val weighted = cents.crossJoin(broadcast(reps))
         .withColumn("h", conv(substring(
@@ -1915,8 +1929,7 @@ object EventQueries {
     "ev_did" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), expr("unix_micros(ts)").as("um"),
-          expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
-            .as("cents"))
+          centsCol.as("cents"))
       val bounds = ev.agg(min(col("um")).as("mn"), max(col("um")).as("mx"))
         .select(expr("mn + (mx - mn) DIV 2").as("mid"))
       val perUser = ev.crossJoin(broadcast(bounds))
@@ -1967,12 +1980,7 @@ object EventQueries {
     // z-normalization is the reader's step, the engine reports the
     // exact statistic.
     "ev_mann_whitney" -> ((s, dir) => {
-      val perUser = Tables.events(s, dir)
-        .select(col("user_id"),
-          expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
-            .as("cents"))
-        .groupBy("user_id").agg(sum(col("cents")).as("v"))
-        .withColumn("arm", armCol)
+      val perUser = perUserCents(s, dir).withColumn("arm", armCol)
       val census = perUser.groupBy("v")
         .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
@@ -2077,11 +2085,7 @@ object EventQueries {
     // non-negative (num + den − 1) DIV den. One shuffle (per-user
     // totals), then a 1-row moment frame.
     "ev_power_mde" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .select(col("user_id"),
-          expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
-            .as("cents"))
-        .groupBy("user_id").agg(sum(col("cents")).as("v"))
+      perUserCents(s, dir)
         .agg(count(lit(1)).as("n"),
           expr("sum(CAST(v AS DECIMAL(19,0)))").as("sv"),
           expr("sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))")
@@ -2182,27 +2186,43 @@ object EventQueries {
           (lit(1L) - col("x")) * lit(SprtNoConvMicro))
         .withColumn("day", date_trunc("day", col("first_ts")))
         .localCheckpoint(false) // census + refine + totals legs share it
+      // every census/cumulative sum rides DECIMAL(38,0): an arm's LLR
+      // total is user-count × ~2.9e5 micro and would wrap int64 past
+      // ~3e13 users — the rand_ppm cliff class; only crossing-bounded
+      // outputs cast back down
       val wDay = Window.partitionBy(col("arm")).orderBy(col("day"))
       val days = users.groupBy("arm", "day")
-        .agg(count(lit(1)).as("nb"), sum(col("inc")).as("sb"),
+        .agg(count(lit(1)).as("nb"),
+          sum(expr("CAST(inc AS DECIMAL(38,0))")).as("sb"),
           sum(col("x")).as("ncb"))
         .withColumn("cum_prev", coalesce(sum(col("sb")).over(
-          wDay.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          wDay.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L).cast(DecimalType(38, 0))))
         .withColumn("users_before", coalesce(sum(col("nb")).over(
           wDay.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("hi", col("cum_prev") + col("ncb") * SprtConvMicro)
+        .withColumn("hi", col("cum_prev") +
+          expr(s"CAST(ncb AS DECIMAL(38,0)) * $SprtConvMicro"))
         .withColumn("lo", col("cum_prev") +
-          (col("nb") - col("ncb")) * SprtNoConvMicro)
+          expr(s"CAST(nb - ncb AS DECIMAL(38,0)) * ($SprtNoConvMicro)"))
+      // post-decision tail prune: once cum_prev itself has crossed,
+      // some EARLIER bucket's bracket crossed too (the bucket where
+      // the prefix first crossed), so min(rn) is already determined —
+      // later buckets need no walk. Without this, every day after a
+      // decision satisfies hi >= Upper and the refinement walks the
+      // whole tail.
       val candDays = days
-        .filter(col("hi") >= SprtUpperMicro || col("lo") <= SprtLowerMicro)
+        .filter((col("hi") >= SprtUpperMicro || col("lo") <= SprtLowerMicro)
+          && col("cum_prev") < SprtUpperMicro
+          && col("cum_prev") > SprtLowerMicro)
         .select("arm", "day", "cum_prev", "users_before")
       val wIn = Window.partitionBy(col("arm"), col("day"))
         .orderBy(col("first_ts"), col("user_id"))
       val walked = users.join(candDays, Seq("arm", "day"))
         .withColumn("rn",
           col("users_before") + row_number().over(wIn).cast("long"))
-        .withColumn("cum", col("cum_prev") + sum(col("inc")).over(
-          wIn.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cum", col("cum_prev") +
+          sum(expr("CAST(inc AS DECIMAL(38,0))")).over(
+            wIn.rowsBetween(Window.unboundedPreceding, 0)))
         .localCheckpoint(false) // min-rn + value-at legs share it
       val dec = walked
         .filter(col("cum") >= SprtUpperMicro || col("cum") <= SprtLowerMicro)
@@ -2210,9 +2230,14 @@ object EventQueries {
       val at = dec.join(walked, Seq("arm"))
         .filter(col("rn") === col("n_at_decision"))
         .select(col("arm"), col("n_at_decision"),
-          col("cum").as("llr_at_decision"))
+          // crossing-bounded: |cum| ≤ threshold + max|inc| ≈ 3.2e6
+          expr("CAST(cum AS BIGINT)").as("llr_at_decision"))
       users.groupBy("arm")
-        .agg(count(lit(1)).as("n_users"), sum(col("inc")).as("llr_final"))
+        .agg(count(lit(1)).as("n_users"),
+          // fails loudly (not wraps) past int64 — matches the
+          // oracle's HUGEINT→BIGINT cast behavior
+          expr("CAST(sum(CAST(inc AS DECIMAL(38,0))) AS BIGINT)")
+            .as("llr_final"))
         .join(at, Seq("arm"), "left")
         .withColumn("decision",
           when(col("llr_at_decision") >= SprtUpperMicro, "accept_h1")

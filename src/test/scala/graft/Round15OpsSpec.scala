@@ -264,14 +264,32 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(r.fieldIndex("sum_ids"))).sum == ids)
   }
 
-  test("ev_power_mde: formula consistency and monotone plausibility") {
+  test("ev_power_mde: whole pipeline re-derived from raw events in BigInt") {
+    // independent of the query's own moment outputs: per-user cents
+    // totals straight off the events table, driver-side exact algebra
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    val totals = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
+          .as("c"))
+      .groupBy("user_id").agg(sum("c").as("v"))
+      .collect().map(_.getLong(1)).map(BigInt(_))
+    val n = BigInt(totals.length)
+    val sv = totals.sum
+    val svv = totals.map(v => v * v).sum
+    val mean = sv / n
+    val varC = (n * svv - sv * sv) / (n * n)
+    val delta = mean / 20
+    val num = BigInt(2) * 7848878L * varC
+    val den = delta * delta * 1000000L
+    val nReq = (num + den - 1) / den
     val r = SparkEntry.queries("ev_power_mde")(spark, sf).collect().head
     def g(c: String) = r.getLong(r.fieldIndex(c))
-    assert(g("delta_cents") == g("mean_cents") / 20)
-    val num = BigInt(2) * 7848878L * g("var_cents2")
-    val den = BigInt(g("delta_cents")) * g("delta_cents") * 1000000L
-    assert(BigInt(g("n_required_per_arm")) == (num + den - 1) / den)
-    assert(g("n_required_per_arm") > 0)
+    assert(g("n_users") == n)
+    assert(g("mean_cents") == mean)
+    assert(g("var_cents2") == varC)
+    assert(g("delta_cents") == delta)
+    assert(BigInt(g("n_required_per_arm")) == nReq && nReq > 0)
   }
 
   test("dd_oph_recall: counts form a valid recall readout") {
