@@ -1418,6 +1418,40 @@ object TextAnalysis {
         .orderBy("doc_id", "pattern")
     }),
 
+    // LLM-WATERMARK DETECTION (Kirchenbauer et al. 2023) — the
+    // greenlist test a training pipeline runs to keep WATERMARKED
+    // MODEL OUTPUT out of the next model's corpus: a watermarking
+    // decoder biases token t+1 toward a pseudorandom "green" half of
+    // the vocabulary seeded by token t, so watermarked text shows a
+    // green fraction ≫ ½ while human text sits at ½. The detector is
+    // exact integer: a bigram is green iff md5(w1|w2) starts below
+    // nibble 8 (a deterministic 50% split seeded by the previous
+    // token — the md5-parity arm discipline), and the one-proportion
+    // z² against ½ is (2·n_green − n)²·10⁹ DIV n in nano with the
+    // χ²(1) α=0.001 critical value 10.827566 as a fixed literal (the
+    // ev_ab_srm idiom). This corpus is human-shaped, so the flag
+    // stays quiet — the spec plants a constructed watermarked doc
+    // and demands it fires. One token pass, per-doc aggregation, no
+    // shuffle beyond the doc key.
+    "ta_watermark_score" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.WordShingles.word_shingles(col("text"), 2))
+            .as("bg"))
+        .withColumn("green",
+          when(substring(md5(regexp_replace(col("bg"), " ", "|")), 1, 1)
+            < "8", 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("green")).as("n_green"))
+        .withColumn("green_ppm", expr("(n_green * 1000000) DIV n_pairs"))
+        .withColumn("z2_nano", expr(
+          "CAST(CAST(2 * n_green - n_pairs AS DECIMAL(38,0)) " +
+            "* (2 * n_green - n_pairs) * 1000000000 DIV n_pairs AS BIGINT)"))
+        .withColumn("watermark_suspect",
+          col("z2_nano") > lit(10827566000L) && col("n_green") * 2 > col("n_pairs"))
+        .orderBy("doc_id")
+    }),
+
     // BEST-PASSAGE SELECTION (SumBasic scoring, Nenkova &
     // Vanderwende 2005, over fixed 16-token chunks — this corpus has
     // no sentence punctuation, and fixed-size chunks ARE the RAG
@@ -2367,6 +2401,32 @@ object TextAnalysis {
          |SELECT doc_id, pat AS pattern, n AS n_matches
          |FROM hits ORDER BY doc_id, pattern""".stripMargin
     },
+
+    "ta_watermark_score" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents),
+         |       UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substring(md5(w1 || '|' || w2), 1, 1) < '8'
+         |      THEN 1 ELSE 0 END AS green
+         |  FROM bg),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(green) AS BIGINT) AS n_green
+         |  FROM g GROUP BY doc_id)
+         |SELECT doc_id, n_pairs, n_green,
+         |  (n_green * 1000000) // n_pairs AS green_ppm,
+         |  CAST(CAST(2 * n_green - n_pairs AS HUGEINT)
+         |    * (2 * n_green - n_pairs) * 1000000000 // n_pairs
+         |    AS BIGINT) AS z2_nano,
+         |  (CAST(CAST(2 * n_green - n_pairs AS HUGEINT)
+         |     * (2 * n_green - n_pairs) * 1000000000 // n_pairs AS BIGINT)
+         |       > 10827566000
+         |   AND n_green * 2 > n_pairs) AS watermark_suspect
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "ta_best_passage" ->
       s"""WITH toks AS (

@@ -323,6 +323,49 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(r.getString(r.fieldIndex("resized_md5")) == hex)
   }
 
+  test("ta_watermark_score: a planted greenlist chain fires; human text stays quiet") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def green(w1: String, w2: String): Boolean = {
+      md.reset()
+      val h = md.digest(s"$w1|$w2".getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) < 8
+    }
+    // greedy watermark "decoder": always emit a green successor —
+    // exactly the bias the detector exists to catch
+    val vocab = Seq("join", "hash", "row", "batch", "scan", "filter",
+      "merge", "order", "vector", "data", "table", "agg", "key")
+    val sb = new StringBuilder("data")
+    var cur = "data"
+    (1 to 80).foreach { _ =>
+      val next = vocab.find(green(cur, _)).get
+      sb.append(' ').append(next)
+      cur = next
+    }
+    val marked = sb.toString
+    // 80 DISTINCT bigrams (a short cycle would sample too few md5
+    // draws — measured 76% green on a 13-bigram loop, a legitimate
+    // small-sample flag); this sequence draws 46/80 green, checked at
+    // authoring time, and is deterministic forever
+    val human = (0 to 80).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    Seq((1L, marked, "en", "t", marked.length.toLong),
+        (2L, human, "en", "t", human.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("ta_watermark_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val m = rows(1L)
+    assert(m.getLong(m.fieldIndex("n_green")) ==
+      m.getLong(m.fieldIndex("n_pairs")), "planted chain must be all green")
+    assert(m.getBoolean(m.fieldIndex("watermark_suspect")),
+      "80 all-green pairs is z2 = 80e9 nano >> 10.83e9 — must fire")
+    val h = rows(2L)
+    assert(!h.getBoolean(h.fieldIndex("watermark_suspect")),
+      s"cyclic human-ish text flagged: green_ppm=" +
+        s"${h.getLong(h.fieldIndex("green_ppm"))}")
+  }
+
   test("mm_wav_zcr: census sums to n; hand-derived doc matches") {
     val rows = SparkEntry.queries("mm_wav_zcr")(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
