@@ -318,6 +318,49 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // B-BIT MINWISE HASHING (Li & König 2010) — the storage dial of
+    // the minhash index: keep only the LOW 8 BITS of each of the 16
+    // signatures (4× smaller signature table than 32-bit pieces,
+    // 64× smaller than raw 64-bit minhashes) and correct the
+    // estimator for accidental byte collisions:
+    // Ĵ = (m/k − 2⁻ᵇ)/(1 − 2⁻ᵇ), exact ppm integers with the m = 0
+    // branch clamped BEFORE the division (a negative numerator would
+    // split Spark truncation from DuckDB floor). Blocking stays on
+    // the FULL band hashes — b-bit is the per-pair estimator payload,
+    // not the recall dial — so candidates are identical to
+    // dd_minhash's and the row isolates exactly what the truncation
+    // costs: est_jaccard_ppm vs dd_minhash's est_jaccard on the same
+    // pairs. At 100 TB the signature table is the thing you
+    // materialize per snapshot; shrinking it 4× is the point.
+    "dd_bbit_minhash" -> ((s, dir) => {
+      val sigs = signatures(s, dir)
+        .withColumn("bitv",
+          array((0 until NumHashes).map(i => expr(s"sig$i % 256")): _*))
+      val bandStructs = (0 until Bands).map { j =>
+        val cols = (0 until RowsPerBand).map(i => col(s"sig${j * RowsPerBand + i}"))
+        struct(lit(j).as("band_idx"), concat_ws("|", cols: _*).as("band_hash"))
+      }
+      val b = sigs
+        .select(col("doc_id"), col("bitv"), explode(array(bandStructs: _*)).as("bd"))
+        .select(col("doc_id"), col("bitv"),
+          col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
+      val eq8 = size(filter(
+        zip_with(col("a.bitv"), col("b.bitv"), (x, y) => x === y), p => p))
+      PairGen.saltedPairs(
+          b.select(col("band_idx"), col("band_hash"),
+            struct(col("doc_id"), col("bitv")).as("v")),
+          Seq("band_idx", "band_hash"), "doc_id")
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          eq8.as("eq"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared_bands"), max(col("eq")).as("m8"))
+        .withColumn("est_jaccard_ppm", expr(
+          s"""CASE WHEN m8 = 0 THEN 0L
+             |ELSE (m8 * 16000000L - 1000000L) DIV 255 END""".stripMargin))
+        .select("doc_a", "doc_b", "n_shared_bands", "m8", "est_jaccard_ppm")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Incremental (delta-vs-corpus) dedup — the nightly-crawl
     // operational shape: a new batch (doc_id ≡ 7 mod 10 stands in for
     // the delta) dedups against the EXISTING corpus, never against
@@ -1637,6 +1680,37 @@ object Dedup {
          |JOIN sigs sa ON doc_a = sa.doc_id
          |JOIN sigs sb ON doc_b = sb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // low byte of the numeric min ≡ last 2 hex chars of the hex min
+    // (fixed-width lowercase hex is order-isomorphic to the value)
+    "dd_bbit_minhash" -> {
+      val eq8 = (0 until NumHashes)
+        .map(i => s"CASE WHEN substring(sa.sig$i, 7, 2) = " +
+          s"substring(sb.sig$i, 7, 2) THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH sh AS ($shinglesSql),
+         |sigs AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects
+         |),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared_bands,
+         |  CAST($eq8 AS BIGINT) AS m8,
+         |  CASE WHEN $eq8 = 0 THEN 0
+         |    ELSE CAST(($eq8 * 16000000 - 1000000) // 255 AS BIGINT)
+         |  END AS est_jaccard_ppm
+         |FROM pairs
+         |JOIN sigs sa ON doc_a = sa.doc_id
+         |JOIN sigs sb ON doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dd_simhash" ->
       """SELECT doc_id, CAST(sum(bit * (1 << b)) AS BIGINT) AS simhash FROM (
         |  SELECT doc_id, b, CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS bit
