@@ -30,6 +30,7 @@ object Bench {
       // O(100 B)/group, so a millions-size hash map is the right trade.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -97,6 +97,14 @@ object Dedup {
         df.withColumn(s"h$salt",
           graft.functions.Md5Longs.md5_longs(concat(lit(s"${salt}_"), col("shingle"))))
     }
+    // INVARIANT (load-bearing, do not break): every sig_i is
+    // NON-NEGATIVE — both extraction forms (shiftrightunsigned by 32,
+    // & 0xFFFFFFFF) yield values in [0, 2³²). dd_bbit_minhash takes
+    // low bytes via `sig % 256`, which is byte truncation ONLY on
+    // non-negative inputs; a signed-hash refactor here would silently
+    // turn `%` into a negative-remainder bug on BOTH engines at once
+    // (the oracle mirrors the expression, so the gate would stay
+    // green). [[signatureFloorAudit]] + DedupAuditSpec enforce this.
     val aggs = (0 until NumHashes).map { i =>
       val salt = i / 4
       val half = if (i % 4 < 2) s"h$salt[0]" else s"h$salt[1]"
@@ -106,6 +114,22 @@ object Dedup {
       min(expr(piece)).as(s"sig$i")
     }
     withDigests.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One-row audit of the signature non-negativity invariant: the
+    * least value across all [[NumHashes]] minhash signature columns
+    * AND the OPH bucket signatures. `% 256` byte truncation
+    * (dd_bbit_minhash) and `% OphBuckets` binning are only
+    * remainder-safe on non-negative inputs; DedupAuditSpec pins
+    * min_sig >= 0 so a signed-hash refactor fails CI, not review.
+    */
+  def signatureFloorAudit(s: SparkSession, dir: String): DataFrame = {
+    val sigMins = (0 until NumHashes).map(i => min(col(s"sig$i")))
+    val minSig = signatures(s, dir)
+      .select(least(sigMins: _*).as("m"))
+      .agg(min(col("m")).as("min_sig"))
+    val minOph = ophSignatures(s, dir).agg(min(col("sig")).as("min_oph"))
+    minSig.crossJoin(minOph)
   }
 
   /** (doc_id, band_idx, band_hash): band key = concatenated signature

@@ -2128,8 +2128,15 @@ object EventQueries {
         .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
         .select(col("event_type"),
           explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      // corpus-count-scale products ride DECIMAL(38,0) (the rand_ppm
+      // cliff class): tot·10⁶ wraps int64 past ~9.2e12 events per
+      // type, and the cumulative sum s drifts at −0.25·tot·10⁶ scale;
+      // DIV returns a bounded BIGINT quotient (per-hour-mean micro),
+      // and v_micro casts down only at the output edge, where the
+      // ANSI cast fails loudly like the oracle's HUGEINT→BIGINT.
       val stats = hourly.groupBy("event_type")
-        .agg(sum(col("n")).as("tot"), count(lit(1)).as("nh"))
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0))")).as("tot"),
+          count(lit(1)).as("nh"))
         .select(col("event_type"),
           expr("((tot * 1000000) DIV nh) * 5 DIV 4").as("k_micro"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
@@ -2137,13 +2144,16 @@ object EventQueries {
       spine.join(hourly, Seq("event_type", "hour"), "left")
         .withColumn("n", coalesce(col("n"), lit(0L)))
         .join(broadcast(stats), "event_type")
-        .withColumn("x", col("n") * 1000000L - col("k_micro"))
+        .withColumn("x",
+          expr("CAST(n AS DECIMAL(38,0)) * 1000000 - k_micro"))
         .withColumn("s", sum(col("x")).over(cum))
-        .withColumn("v_micro",
-          col("s") - least(lit(0L), min(col("s")).over(cum)))
-        .withColumn("alarm", col("v_micro") >= col("k_micro") * 4)
-        .select(col("event_type"), col("hour"), col("n"), col("v_micro"),
-          col("alarm"))
+        .withColumn("v_dec",
+          col("s") - least(lit(BigDecimal(0)).cast(DecimalType(38, 0)),
+            min(col("s")).over(cum)))
+        .withColumn("alarm",
+          col("v_dec") >= expr("CAST(k_micro AS DECIMAL(38,0)) * 4"))
+        .select(col("event_type"), col("hour"), col("n"),
+          expr("CAST(v_dec AS BIGINT)").as("v_micro"), col("alarm"))
         .orderBy("event_type", "hour")
     }),
 
@@ -2235,7 +2245,10 @@ object EventQueries {
       users.groupBy("arm")
         .agg(count(lit(1)).as("n_users"),
           // fails loudly (not wraps) past int64 — matches the
-          // oracle's HUGEINT→BIGINT cast behavior
+          // oracle's HUGEINT→BIGINT cast behavior. This relies on
+          // ANSI mode (CAST_OVERFLOW throws); under legacy
+          // ansi.enabled=false Spark would return NULL instead, so
+          // every graft session builder pins ansi.enabled=true.
           expr("CAST(sum(CAST(inc AS DECIMAL(38,0))) AS BIGINT)")
             .as("llr_final"))
         .join(at, Seq("arm"), "left")
@@ -3612,8 +3625,8 @@ object EventQueries {
         |  FROM hourly GROUP BY event_type),
         |stats AS (
         |  SELECT event_type,
-        |    ((CAST(sum(n) AS BIGINT) * 1000000) // count(*)) * 5 // 4
-        |      AS k_micro
+        |    CAST(((CAST(sum(n) AS HUGEINT) * 1000000) // count(*))
+        |      * 5 // 4 AS BIGINT) AS k_micro
         |  FROM hourly GROUP BY 1),
         |y AS (
         |  SELECT s.event_type, s.hour,
@@ -3622,20 +3635,19 @@ object EventQueries {
         |    ON h.event_type = s.event_type AND h.hour = s.hour),
         |c AS (
         |  SELECT y.event_type, y.hour, y.n, st.k_micro,
-        |    CAST(sum(y.n * 1000000 - st.k_micro) OVER (
+        |    sum(CAST(y.n AS HUGEINT) * 1000000 - st.k_micro) OVER (
         |      PARTITION BY y.event_type ORDER BY y.hour
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
         |  FROM y JOIN stats st USING (event_type)),
         |v AS (
         |  SELECT event_type, hour, n, k_micro,
-        |    CAST(s - least(0, min(s) OVER (
+        |    s - least(CAST(0 AS HUGEINT), min(s) OVER (
         |      PARTITION BY event_type ORDER BY hour
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |      AS BIGINT) AS v_micro
+        |      AS v_dec
         |  FROM c)
-        |SELECT event_type, hour, n, v_micro,
-        |  v_micro >= k_micro * 4 AS alarm
+        |SELECT event_type, hour, n, CAST(v_dec AS BIGINT) AS v_micro,
+        |  v_dec >= CAST(k_micro AS HUGEINT) * 4 AS alarm
         |FROM v ORDER BY event_type, hour""".stripMargin,
 
     "ev_sprt" -> {

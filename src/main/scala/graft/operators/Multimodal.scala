@@ -273,7 +273,13 @@ object Multimodal {
     val complete = fs0.exists(root) && {
       val it = fs0.listFiles(root, true)
       var n = 0L
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(suffix)) n += 1 }
+      while (it.hasNext) {
+        // a crash between fs.create and os.write leaves a 0-byte
+        // file — require non-empty so a truncated landing is rebuilt
+        // instead of poisoning every later session's decode rows
+        val f = it.next()
+        if (f.getPath.getName.endsWith(suffix) && f.getLen > 0) n += 1
+      }
       n == expected
     }
     if (fs0.exists(root) && !complete) fs0.delete(root, true)

@@ -320,6 +320,15 @@ object StreamingQueries {
       val ev = Tables.events(s, dir)
       val staged = stage(ev.repartition(4), s"$dir/events.parquet",
         s"${stageRoot(dir)}/ev_restart")
+      // expected batch count derives from what was ACTUALLY staged
+      // (not the literal 4): a testdata/staging refresh that changes
+      // the file count must not flip a correct engine red; the crash
+      // injects at batch 1, so >= 2 staged files is the precondition
+      val nFiles = Option(new java.io.File(staged).listFiles()).toSeq
+        .flatten.count(_.getName.endsWith(".parquet"))
+      require(nFiles >= 2,
+        s"staged $nFiles parquet files — the batch-1 crash injection " +
+          "needs at least 2 one-file micro-batches")
       val run = java.util.UUID.randomUUID().toString.take(8)
       val ckpt = s"${stageRoot(dir)}/restart_ckpt_$run"
       val store = s"${stageRoot(dir)}/restart_store_$run"
@@ -354,9 +363,10 @@ object StreamingQueries {
         "count changed? the recovery contract was not exercised")
       val q2 = start(injectCrash = false)
       try q2.processAllAvailable() finally q2.stop()
-      require(batchesSeen.get() >= 5L,
+      require(batchesSeen.get() >= nFiles + 1L,
         s"expected batch 1 to REPLAY after restart (batches 0,1 then " +
-          s"replay-1,2,3 = 5 foreachBatch calls), saw ${batchesSeen.get()}")
+          s"replay-1..${nFiles - 1} = ${nFiles + 1} foreachBatch calls), " +
+          s"saw ${batchesSeen.get()}")
       val w = Window.partitionBy(col("hour"), col("event_type"))
         .orderBy(col("batch_id").desc)
       s.read.parquet(s"$store/b*")

@@ -30,26 +30,14 @@ class CollectLintSpec extends AnyFunSuite {
   )
 
   test("every .collect() in main source is allowlisted with its bound") {
-    val root = java.nio.file.Paths.get("src/main/scala/graft")
-    val found = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
-    val stream = java.nio.file.Files.walk(root)
-    try {
-      stream.forEach { p =>
-        if (p.toString.endsWith(".scala")) {
-          val rel = root.relativize(p).toString
-          val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-          try src.getLines().foreach { line =>
-            val t = line.trim
-            val isComment =
-              t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
-            if (!isComment &&
-                (t.contains(".collect()") || t.contains(".collectAsList()")))
-              found(rel) += 1
-          } finally src.close()
-        }
-      }
-    } finally stream.close()
-    val got = found.toMap
+    // scrub comments + string literals first (LintSource) so a
+    // Scaladoc mention or a '.collect()' inside a SQL/doc string can
+    // never trip the lint — only live code counts
+    val got = LintSource.mainSources().flatMap { case (rel, raw) =>
+      val code = LintSource.codeOnly(raw)
+      val n = "\\.collect(AsList)?\\(\\)".r.findAllIn(code).length
+      if (n > 0) Some(rel -> n) else None
+    }
     allowed.foreach { case (f, (n, why)) =>
       assert(got.getOrElse(f, 0) == n,
         s"$f: allowlist says $n bounded collect(s) [$why], found " +

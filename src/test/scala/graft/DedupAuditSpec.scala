@@ -30,4 +30,18 @@ class DedupAuditSpec extends AnyFunSuite {
       assert(maxDf <= Dedup.ContainmentDfCap, s"max prefix df $maxDf")
     }
   }
+
+  test("minhash + OPH signatures are non-negative (the % truncation pin)") {
+    // dd_bbit_minhash's `sig % 256` and OPH's `h % buckets` are only
+    // byte-truncation/binning on NON-NEGATIVE inputs; a signed-hash
+    // refactor of the signature source would flip `%` to negative
+    // remainders on both engines at once (oracle mirrors the
+    // expression), keeping the gate green while the estimator rots.
+    val row = Dedup.signatureFloorAudit(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(row.getLong(row.fieldIndex("min_sig")) >= 0L,
+      "a minhash signature went negative — % 256 is no longer byte truncation")
+    assert(row.getLong(row.fieldIndex("min_oph")) >= 0L,
+      "an OPH signature went negative — bucket binning broken")
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+/** Shared source scrubber for the doctrine lint specs
+  * ([[CollectLintSpec]], [[MicroDomainLintSpec]]): replaces comments
+  * and string/char literals with spaces while preserving line
+  * structure, so pattern counts match only live code — a `.collect()`
+  * mention in a Scaladoc continuation line or inside an oracle SQL
+  * string is not a driver-side materialization. Handles `//` line
+  * comments, NESTED block comments (Scala nests them), `"…"`,
+  * `"""…"""` (including the trailing-quote run `"""x""""`), and char
+  * literals; `${…}` splices inside interpolated strings are treated
+  * as literal text, which is the conservative direction for these
+  * lints (SQL text is exactly what must not count).
+  */
+object LintSource {
+
+  def codeOnly(text: String): String = {
+    val sb = new StringBuilder(text.length)
+    var i = 0
+    val n = text.length
+    var blockDepth = 0
+    var inLine, inStr, inTriple, inChar = false
+    def nl(c: Char) = c == '\n' || c == '\r'
+    def blank(c: Char): Char = if (nl(c)) c else ' '
+    while (i < n) {
+      val c = text(i)
+      if (inLine) {
+        if (nl(c)) { inLine = false; sb.append(c) } else sb.append(' ')
+        i += 1
+      } else if (blockDepth > 0) {
+        if (c == '/' && i + 1 < n && text(i + 1) == '*') {
+          blockDepth += 1; sb.append("  "); i += 2
+        } else if (c == '*' && i + 1 < n && text(i + 1) == '/') {
+          blockDepth -= 1; sb.append("  "); i += 2
+        } else { sb.append(blank(c)); i += 1 }
+      } else if (inTriple) {
+        if (c == '"' && i + 2 < n && text(i + 1) == '"' &&
+            text(i + 2) == '"') {
+          var j = i + 3
+          while (j < n && text(j) == '"') j += 1 // """x"""" closer run
+          while (i < j) { sb.append(' '); i += 1 }
+          inTriple = false
+        } else { sb.append(blank(c)); i += 1 }
+      } else if (inStr || inChar) {
+        val close = if (inStr) '"' else '\''
+        if (c == '\\' && i + 1 < n) { sb.append("  "); i += 2 }
+        else if (c == close) {
+          inStr = false; inChar = false; sb.append(' '); i += 1
+        } else if (nl(c)) { // unterminated — bail at EOL, stay sane
+          inStr = false; inChar = false; sb.append(c); i += 1
+        } else { sb.append(' '); i += 1 }
+      } else {
+        if (c == '/' && i + 1 < n && text(i + 1) == '/') {
+          inLine = true; sb.append("  "); i += 2
+        } else if (c == '/' && i + 1 < n && text(i + 1) == '*') {
+          blockDepth = 1; sb.append("  "); i += 2
+        } else if (c == '"' && i + 2 < n && text(i + 1) == '"' &&
+            text(i + 2) == '"') {
+          inTriple = true; sb.append("   "); i += 3
+        } else if (c == '"') { inStr = true; sb.append(' '); i += 1 }
+        else if (c == '\'') {
+          // char literal only when it closes as one ('a' / '\n');
+          // otherwise it's a quote in type position — leave it
+          val lit = (i + 2 < n && text(i + 1) != '\\' &&
+              text(i + 2) == '\'') ||
+            (i + 3 < n && text(i + 1) == '\\' && text(i + 3) == '\'')
+          if (lit) { inChar = true; sb.append(' ') } else sb.append(c)
+          i += 1
+        } else { sb.append(c); i += 1 }
+      }
+    }
+    sb.toString
+  }
+
+  /** Main-source .scala files under src/main/scala/graft with raw
+    * text, relative path as key.
+    */
+  def mainSources(): Map[String, String] = {
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val out = scala.collection.mutable.Map[String, String]()
+    val stream = java.nio.file.Files.walk(root)
+    try stream.forEach { p =>
+      if (p.toString.endsWith(".scala"))
+        out(root.relativize(p).toString) = new String(
+          java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+    } finally stream.close()
+    out.toMap
+  }
+}
