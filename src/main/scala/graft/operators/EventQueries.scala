@@ -620,7 +620,11 @@ object EventQueries {
         .groupBy("digit").agg(count(lit(1)).as("n"))
       val tot = counts.agg(sum(col("n")).as("tot"))
       counts.crossJoin(broadcast(tot))
-        .withColumn("obs_ppm", expr("(n * 1000000) DIV tot"))
+        // n/tot are corpus-event-scale counts: n·10⁶ wraps int64 past
+        // ~9.2e12 events per digit cell, so the share rides
+        // DECIMAL(38,0) (DIV returns the bounded ≤10⁶ BIGINT quotient)
+        .withColumn("obs_ppm",
+          expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV tot"))
         .withColumn("exp_ppm",
           element_at(array(benfordPpm.map(lit): _*), col("digit").cast("int")))
         .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
@@ -737,9 +741,12 @@ object EventQueries {
     // sum closed-form makes 2·Σrank·x = Σ v·m·(2·cumb + m + 1), so
     // G = (that − (n+1)·S) / (n·S) is a ratio of two exact integers.
     // The one unpartitioned window runs over the VALUE-bounded
-    // histogram (distinct per-user counts). gini_ppm headroom: g_num
-    // ≤ 2·S·n — inside BIGINT·10⁶ to ~10⁹ events; beyond, report the
-    // integer pair and divide at read.
+    // histogram (distinct per-user counts). tsr ~ n_users·S is
+    // CORPUS-COUNT × USER-COUNT scale — past int64 at ~10⁹ events ×
+    // 10⁹ users, the rand_ppm cliff class — so the rank-sum products
+    // and g_num/g_den ride DECIMAL(38,0)/HUGEINT end to end; g_num ≥ 0
+    // (equality minimizes 2Σrank·x at (n+1)S), so DIV is sign-safe,
+    // and the BIGINT output casts fail loudly on both engines.
     "ev_gini" -> ((s, dir) => {
       val hist = Tables.events(s, dir)
         .groupBy("user_id").agg(count(lit(1)).as("c"))
@@ -748,12 +755,19 @@ object EventQueries {
         .rowsBetween(Window.unboundedPreceding, -1)
       hist
         .withColumn("cumb", coalesce(sum(col("m")).over(w), lit(0L)))
-        .agg(sum(expr("c * m * (2 * cumb + m + 1)")).as("tsr"),
-          sum(expr("c * m")).as("s"), sum(col("m")).as("n"))
-        .select(col("n").as("n_users"), col("s").as("total_events"),
-          (col("tsr") - (col("n") + 1) * col("s")).as("g_num"),
-          (col("n") * col("s")).as("g_den"))
-        .withColumn("gini_ppm", expr("g_num * 1000000 DIV g_den"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * m * (2 * cumb + m + 1)"))
+            .as("tsr"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * m")).as("s"),
+          sum(col("m")).as("n"))
+        .select(col("n").as("n_users"),
+          expr("CAST(s AS BIGINT)").as("total_events"),
+          expr("tsr - (n + 1) * s").as("g_num_dec"),
+          expr("CAST(n AS DECIMAL(38,0)) * s").as("g_den_dec"))
+        .withColumn("gini_ppm",
+          expr("CAST(g_num_dec * 1000000 DIV g_den_dec AS BIGINT)"))
+        .select(col("n_users"), col("total_events"),
+          expr("CAST(g_num_dec AS BIGINT)").as("g_num"),
+          expr("CAST(g_den_dec AS BIGINT)").as("g_den"), col("gini_ppm"))
     }),
 
     // ASSOCIATION RULES over user behavior — market-basket mining at
@@ -2425,9 +2439,12 @@ object EventQueries {
          |e AS (SELECT CAST(digit AS BIGINT) AS digit,
          |        CAST(exp_ppm AS BIGINT) AS exp_ppm
          |      FROM (VALUES $vals) AS v(digit, exp_ppm))
-         |SELECT c.digit, c.n, (c.n * 1000000) // t.tot AS obs_ppm,
+         |SELECT c.digit, c.n,
+         |  CAST(CAST(c.n AS HUGEINT) * 1000000 // t.tot AS BIGINT)
+         |    AS obs_ppm,
          |  e.exp_ppm,
-         |  abs((c.n * 1000000) // t.tot - e.exp_ppm) AS dev_ppm
+         |  abs(CAST(CAST(c.n AS HUGEINT) * 1000000 // t.tot AS BIGINT)
+         |    - e.exp_ppm) AS dev_ppm
          |FROM c CROSS JOIN t JOIN e ON e.digit = c.digit
          |ORDER BY c.digit""".stripMargin
     },
@@ -2998,14 +3015,15 @@ object EventQueries {
         |      AS BIGINT) AS cumb
         |  FROM hist),
         |agg AS (
-        |  SELECT CAST(sum(c * m * (2 * cumb + m + 1)) AS BIGINT) AS tsr,
-        |    CAST(sum(c * m) AS BIGINT) AS s,
+        |  SELECT sum(CAST(c AS HUGEINT) * m * (2 * cumb + m + 1)) AS tsr,
+        |    sum(CAST(c AS HUGEINT) * m) AS s,
         |    CAST(sum(m) AS BIGINT) AS n
         |  FROM cum)
-        |SELECT n AS n_users, s AS total_events,
+        |SELECT n AS n_users, CAST(s AS BIGINT) AS total_events,
         |  CAST(tsr - (n + 1) * s AS BIGINT) AS g_num,
-        |  CAST(n * s AS BIGINT) AS g_den,
-        |  CAST((tsr - (n + 1) * s) * 1000000 // (n * s) AS BIGINT) AS gini_ppm
+        |  CAST(CAST(n AS HUGEINT) * s AS BIGINT) AS g_den,
+        |  CAST((tsr - (n + 1) * s) * 1000000 // (CAST(n AS HUGEINT) * s)
+        |    AS BIGINT) AS gini_ppm
         |FROM agg""".stripMargin,
     "ev_assoc_rules" ->
       """WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),

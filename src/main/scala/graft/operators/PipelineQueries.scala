@@ -148,7 +148,11 @@ object PipelineQueries {
         .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
       val tot = tl.agg(sum(col("n_tokens")).as("total"))
       val scored = tl.crossJoin(broadcast(tot))
-        .withColumn("p_ppm", expr("(n_tokens * 1000000) DIV total"))
+        // n_tokens is CORPUS-token scale per language — ·10⁶ wraps
+        // int64 past ~9.2e12 tokens, real at 100 TB; DECIMAL-route
+        // the share (quotient ≤ 10⁶ stays BIGINT)
+        .withColumn("p_ppm",
+          expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV total"))
         .withColumn("lm", Log2Micro.log2micro(col("n_tokens"), col("total")))
         .withColumn("xm", expr("(3 * lm) DIV 10"))
         .withColumn("e2m", Exp2Micro.exp2micro(col("xm")))
@@ -1459,7 +1463,8 @@ object PipelineQueries {
          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM tl),
          |base AS (
          |  SELECT lang, n_tokens, total,
-         |    CAST((n_tokens * 1000000) // total AS BIGINT) AS p_ppm,
+         |    CAST(CAST(n_tokens AS HUGEINT) * 1000000 // total
+         |      AS BIGINT) AS p_ppm,
          |    n_tokens AS num, total AS den
          |  FROM tl, tot),
          |${OracleSql.log2microCtes("tg", "base", Seq("lang"))},

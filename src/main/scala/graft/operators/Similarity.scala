@@ -915,11 +915,16 @@ object Similarity {
       val k = occ.agg(count(lit(1)).as("k_nonempty"),
         sum(col("n")).as("n_vec"), min(col("n")).as("occ_min"),
         max(col("n")).as("occ_max"))
+      // skew product rides DECIMAL(38,0): in the degenerate all-one-
+      // cell case (exactly when the alarm must fire) occ_max·10⁶·k ~
+      // n·10⁶·√n wraps int64; the DIV quotients (mean micro ≤ 10⁶·n/k,
+      // skew ppm ≤ 10⁶·k) stay BIGINT-bounded
       k.select(col("k_nonempty"), col("n_vec"), col("occ_min"),
           col("occ_max"),
-          expr("(n_vec * 1000000) DIV k_nonempty").as("occ_mean_micro"),
-          expr("(occ_max * 1000000 * k_nonempty) DIV n_vec")
-            .as("skew_ppm"))
+          expr("CAST(n_vec AS DECIMAL(38,0)) * 1000000 DIV k_nonempty")
+            .as("occ_mean_micro"),
+          expr("CAST(occ_max AS DECIMAL(38,0)) * 1000000 * k_nonempty " +
+            "DIV n_vec").as("skew_ppm"))
     }),
 
     // EMBEDDING OOD SHORTLIST — the outlier-vector filter of a
@@ -1917,8 +1922,10 @@ object Similarity {
          |    CAST(max(n) AS BIGINT) AS occ_max
          |  FROM occ)
          |SELECT k_nonempty, n_vec, occ_min, occ_max,
-         |  (n_vec * 1000000) // k_nonempty AS occ_mean_micro,
-         |  (occ_max * 1000000 * k_nonempty) // n_vec AS skew_ppm
+         |  CAST(CAST(n_vec AS HUGEINT) * 1000000 // k_nonempty
+         |    AS BIGINT) AS occ_mean_micro,
+         |  CAST(CAST(occ_max AS HUGEINT) * 1000000 * k_nonempty
+         |    // n_vec AS BIGINT) AS skew_ppm
          |FROM k""".stripMargin,
     "ss_embed_drift" ->
       """WITH dims AS (

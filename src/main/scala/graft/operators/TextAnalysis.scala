@@ -437,7 +437,12 @@ object TextAnalysis {
         .join(phrases.select("doc_id", "grp", "plen"), Seq("doc_id", "grp"))
         .groupBy("w")
         .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
-        .withColumn("wscore", expr("(deg * 1000000L) DIV freq"))
+        // deg is CORPUS-token-scale (Σ plen over every occurrence of
+        // w): deg·10⁶ wraps int64 past ~9.2e12, real at 100 TB — ride
+        // DECIMAL(38,0); the DIV quotient (mean phrase length micro)
+        // is bounded by the phrase-length cap
+        .withColumn("wscore",
+          expr("CAST(deg AS DECIMAL(38,0)) * 1000000 DIV freq"))
       words.join(broadcast(wordStats.select("w", "wscore")), Seq("w"))
         .groupBy("doc_id", "grp").agg(sum(col("wscore")).as("score_micro"))
         .join(phrases, Seq("doc_id", "grp"))
@@ -2297,7 +2302,8 @@ object TextAnalysis {
          |    string_agg(w, ' ' ORDER BY pos) AS phrase
          |  FROM words GROUP BY doc_id, grp),
          |wsc AS (
-         |  SELECT w, (sum(plen) * 1000000 // count(*))::BIGINT AS wscore
+         |  SELECT w, CAST(CAST(sum(plen) AS HUGEINT) * 1000000
+         |    // count(*) AS BIGINT) AS wscore
          |  FROM words JOIN ph USING (doc_id, grp)
          |  GROUP BY w),
          |psc AS (

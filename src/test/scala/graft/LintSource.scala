@@ -14,7 +14,14 @@ package graft
   */
 object LintSource {
 
-  def codeOnly(text: String): String = {
+  /** Comments blanked, string literals KEPT — for lints whose targets
+    * live inside expr("...")/SQL strings (MicroDomainLintSpec).
+    */
+  def stripComments(text: String): String = scrub(text, keepStrings = true)
+
+  def codeOnly(text: String): String = scrub(text, keepStrings = false)
+
+  private def scrub(text: String, keepStrings: Boolean): String = {
     val sb = new StringBuilder(text.length)
     var i = 0
     val n = text.length
@@ -40,15 +47,19 @@ object LintSource {
           while (j < n && text(j) == '"') j += 1 // """x"""" closer run
           while (i < j) { sb.append(' '); i += 1 }
           inTriple = false
-        } else { sb.append(blank(c)); i += 1 }
+        } else {
+          sb.append(if (keepStrings) c else blank(c)); i += 1
+        }
       } else if (inStr || inChar) {
         val close = if (inStr) '"' else '\''
-        if (c == '\\' && i + 1 < n) { sb.append("  "); i += 2 }
-        else if (c == close) {
+        if (c == '\\' && i + 1 < n) {
+          sb.append(if (keepStrings) text.substring(i, i + 2) else "  ")
+          i += 2
+        } else if (c == close) {
           inStr = false; inChar = false; sb.append(' '); i += 1
         } else if (nl(c)) { // unterminated — bail at EOL, stay sane
           inStr = false; inChar = false; sb.append(c); i += 1
-        } else { sb.append(' '); i += 1 }
+        } else { sb.append(if (keepStrings) c else ' '); i += 1 }
       } else {
         if (c == '/' && i + 1 < n && text(i + 1) == '/') {
           inLine = true; sb.append("  "); i += 2
