@@ -1397,8 +1397,62 @@ object Similarity {
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
       val av = v.join(sqrtIvfAssignment(s, dir), "vec_id")
       rangeSearch(av, NumQueries, RangeTau)
+    }),
+
+    // CLUSTERED-FIXTURE RANGE SEARCH (round-11 verdict #2) — the
+    // prune-POWER proof through the driver gate, not only ScalaTest:
+    // ss_ivf_range above is a soundness proof (the isotropic corpus
+    // keeps ~every cell), so this row runs the SAME rangeSearch code
+    // path over a deterministic mixture-of-cones fixture — 8 tight
+    // cones on the orthogonal axes of R⁸, md5-nibble perturbations
+    // (cross-engine byte-equivalent: Spark conv(substring(md5)) =
+    // DuckDB strpos positional decode), one query per cone — where a
+    // firing cone bound keeps exactly the query's own cell. The
+    // require makes prune power FAIL-LOUD in the gate: if the bound
+    // ever degrades to keep-everything the row errors before
+    // returning rows, and the DuckDB oracle is the brute-force scan
+    // of the same fixture, so one wrongly-pruned vector still reds
+    // the row. Integer-valued doubles keep every dot product exact
+    // (≤8·(10⁶+255)² << 2⁵³); norms/divisions are IEEE
+    // correctly-rounded on both engines.
+    "ss_ivf_range_clustered" -> ((s, dir) => {
+      val av = clusteredConeFixture(s).localCheckpoint(false)
+      val kept = rangeProbes(av, ClusteredCones.toLong, ClusteredTau).count()
+      require(kept >= ClusteredCones,
+        s"cone bound unsound on the fixture: a query lost its own cell " +
+          s"($kept probes < $ClusteredCones)")
+      require(kept < ClusteredCones.toLong * ClusteredCones / 2,
+        s"prune never fired: $kept of ${ClusteredCones * ClusteredCones} " +
+          "(query, cell) probes survived the cone bound on a fixture " +
+          "built to separate them")
+      rangeSearch(av, ClusteredCones.toLong, ClusteredTau)
     })
   )
+
+  /** Mixture-of-cones embedding fixture for the clustered range row:
+    * [[ClusteredVecs]] vectors in R⁸, vector i sits on axis i % 8
+    * (component 10⁶) plus per-dimension noise from md5 nibble pairs
+    * (0..255 — ~2.9·10⁻⁴ of the axis scale, so same-cone cosines are
+    * ≈1 and cross-cone ≈0). cent_id = the cone by construction: the
+    * row under test is the cone-bound PROBE math, not Lloyd training
+    * (ss_ivf_search owns that). Deterministic by the md5 doctrine —
+    * no RNG, identical bytes on both engines.
+    */
+  private val ClusteredVecs = 2048
+  private val ClusteredCones = 8
+  private val ClusteredTau = 0.9
+  def clusteredConeFixture(s: SparkSession): DataFrame = {
+    val e = array((0 until ClusteredCones).map { d =>
+      (when(pmod(col("vec_id"), lit(ClusteredCones.toLong)) === d,
+        lit(1000000L)).otherwise(lit(0L)) +
+        expr(s"CAST(conv(substring(md5(CAST(vec_id AS STRING)), " +
+          s"${2 * d + 1}, 2), 16, 10) AS BIGINT)")).cast("double")
+    }: _*)
+    s.range(ClusteredVecs.toLong).toDF("vec_id")
+      .withColumn("cent_id", pmod(col("vec_id"), lit(ClusteredCones.toLong)))
+      .withColumn("e", e)
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+  }
 
   /** The surviving (query, cell) probe frame of [[rangeSearch]] —
     * exposed so SimilarityRangeSpec can assert the prune branch
@@ -2548,7 +2602,32 @@ object Similarity {
          |JOIN v c ON c.vec_id <> q.vec_id
          |WHERE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4)
          |  >= $RangeTau
+         |ORDER BY query_id, cos DESC, vec_id""".stripMargin,
+
+    // brute-force range scan over the SAME mixture-of-cones fixture
+    // (DuckDB strpos positional decode = Spark conv(substring(md5)))
+    "ss_ivf_range_clustered" -> {
+      def nib(pos: Int) =
+        s"(strpos('0123456789abcdef', substring(h, $pos, 1)) - 1)"
+      val dims = (0 until ClusteredCones).map { d =>
+        s"CAST(CASE WHEN vec_id % $ClusteredCones = $d THEN 1000000 ELSE 0 END" +
+          s" + ${nib(2 * d + 1)} * 16 + ${nib(2 * d + 2)} AS DOUBLE)"
+      }.mkString("[", ", ", "]")
+      s"""WITH f AS (
+         |  SELECT i AS vec_id, md5(CAST(i AS VARCHAR)) AS h
+         |  FROM range(0, $ClusteredVecs) t(i)),
+         |v AS (
+         |  SELECT vec_id, $dims AS e FROM f),
+         |n AS (
+         |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+         |SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |  round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS cos
+         |FROM (SELECT * FROM n WHERE vec_id < $ClusteredCones) q
+         |JOIN n c ON c.vec_id <> q.vec_id
+         |WHERE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4)
+         |  >= $ClusteredTau
          |ORDER BY query_id, cos DESC, vec_id""".stripMargin
+    }
   )
 
 }
