@@ -192,6 +192,27 @@ object Dedup {
     graft.CacheRegistry.cached[DataFrame](ophCache, s, dir, "ophSigs")(
       ophSignaturesOf(Tables.documents(s, dir)).localCheckpoint(false))
 
+  /** md5-sampled half-corpus — the reproducible pipe_hash_sample
+    * membership rule shared by the whole recall/audit tier
+    * (dd_lsh_recall, dd_oph_recall, dd_lsh_band_sweep).
+    */
+  private def hashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "8000")
+
+  /** Exact PPJoin ground-truth pairs over [[hashSample]], memoized per
+    * (session, dir) — round-11 verdict #4: three audit rows each
+    * recomputed this identical truth set per execution. dd_truth_build
+    * stays the cache-BYPASSING construction row (the
+    * dd_simhash64_build convention), so bench still measures the
+    * truth-set build itself.
+    */
+  private val truthCache = graft.CacheRegistry.newCache()
+  private def sampledTruthPairs(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.cached[DataFrame](truthCache, s, dir, "sampledTruth")(
+      jaccardPrefixPairs(hashSample(s, dir)).select("doc_a", "doc_b")
+        .localCheckpoint(false))
+
   /** Banded candidate pairs over an OPH signature frame: 4 bands of 4
     * consecutive buckets, salted pair generation, matching-bucket
     * fraction as the similarity estimate.
@@ -279,9 +300,8 @@ object Dedup {
     // minhash recall — the production dial is more buckets, not more
     // hashes.
     "dd_oph_recall" -> ((s, dir) => {
-      val sample = Tables.documents(s, dir)
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "8000")
-      val exact = jaccardPrefixPairs(sample).select("doc_a", "doc_b")
+      val sample = hashSample(s, dir)
+      val exact = sampledTruthPairs(s, dir)
       val oph = ophPairsFrom(ophSignaturesOf(sample))
         .select("doc_a", "doc_b")
       val hit = exact.join(oph, Seq("doc_a", "doc_b"), "left_semi")
@@ -714,6 +734,16 @@ object Dedup {
     "dd_jaccard_prefix" -> ((s, dir) =>
       jaccardPrefixPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // Cache-bypassing CONSTRUCTION row for the sampled exact truth set
+    // (the dd_simhash64_build convention): dd_lsh_recall /
+    // dd_oph_recall / dd_lsh_band_sweep read the registry-memoized
+    // frame; this row rebuilds it fresh every execution so the bench
+    // keeps pricing the PPJoin truth-set construction itself, and the
+    // oracle keeps gating its exact contents.
+    "dd_truth_build" -> ((s, dir) =>
+      jaccardPrefixPairs(hashSample(s, dir)).select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")),
+
     // Sampled recall estimation for the dedup stack — the evaluation
     // harness ss_ann_recall is for ANN, pointed at near-dup detection:
     // on a hash-sampled half of the corpus (membership by the same
@@ -727,9 +757,8 @@ object Dedup {
     // survives sampling with probability p², uniformly — band counts
     // and thresholds are tuned against this number).
     "dd_lsh_recall" -> ((s, dir) => {
-      val sample = Tables.documents(s, dir)
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "8000")
-      val exact = jaccardPrefixPairs(sample).select("doc_a", "doc_b")
+      val sample = hashSample(s, dir)
+      val exact = sampledTruthPairs(s, dir)
       val lsh = verifiedPairsOf(sample, dedup = true).select("doc_a", "doc_b")
       val hit = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_true"))
@@ -864,8 +893,7 @@ object Dedup {
     // one union pass against one shingle-set frame. The b=4 row is
     // the production configuration dd_minhash runs.
     "dd_lsh_band_sweep" -> ((s, dir) => {
-      val sample = Tables.documents(s, dir)
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "8000")
+      val sample = hashSample(s, dir)
       val sigs = signaturesOf(sample).localCheckpoint(false)
       val shing = sample
         .select(col("doc_id"), array_distinct(shinglesOf(col("text"))).as("shset"))
@@ -900,7 +928,7 @@ object Dedup {
           (col("ni") * 2 >= col("na") + col("nb") - col("ni")).cast("long"))
         .groupBy("bands")
         .agg(count(lit(1)).as("n_candidates"), sum(col("ok")).as("n_verified"))
-      val nTrue = jaccardPrefixPairs(sample)
+      val nTrue = sampledTruthPairs(s, dir)
         .agg(count(lit(1)).as("n_true"))
       sweep.crossJoin(broadcast(nTrue))
         .select(col("bands").cast("int").as("bands"),
@@ -2014,6 +2042,12 @@ object Dedup {
          |SELECT '3_near', count(*), CAST(sum(len($toksSql)) AS BIGINT) FROM near
          |ORDER BY tier""".stripMargin,
     "dd_jaccard_prefix" -> jaccardPrefixSqlFrom("documents"),
+    "dd_truth_build" ->
+      s"""WITH sample AS (
+         |  SELECT * FROM documents
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+         |SELECT doc_a, doc_b FROM (${jaccardPrefixSqlFrom("sample")})
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_lsh_recall" ->
       s"""WITH sample AS (
          |  SELECT * FROM documents
