@@ -78,8 +78,35 @@ object Bench {
     // workload — WordCount end-to-end — so surface that one separately
     // next to the full suite total (one entry per SparkEntry query).
     val wcSec = results.collectFirst { case ("wordcount", v, true) => v }.getOrElse(-1.0)
+    // Round-over-round self-audit (round-11 verdict #3): diff against
+    // the PREVIOUS bench.json (read before it is overwritten below) and
+    // name every query that got BOTH >1.5× slower and >0.3 s slower —
+    // so genuine regressions stop hiding inside "machine noise" and a
+    // flagged row must be explained in SCALE.md or fixed. min-of-2
+    // interleaved timing already filters one-off load spikes; a query
+    // that still trips both thresholds moved for a reason.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench.json")
+    val prev: Map[String, Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+        .map { qm =>
+          """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(qm)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    def r3(x: Double) = math.round(x * 1000) / 1000.0
+    val regs = results.collect {
+      case (k, v, true) if prev.get(k).exists(p =>
+          p > 0 && v > p * 1.5 && v - p > 0.3) =>
+        s""""$k":{"prev":${r3(prev(k))},"now":${r3(v)},"ratio":${r3(v / prev(k))}}"""
+    }
+    val regsJson = regs.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_${reps}_interleaved","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
+      s""""regressions":$regsJson,"regression_rule":">1.5x and >0.3s vs $prevPath (${prev.size} prior queries)",""" +
       s""""baseline_comparable":{"workload":"wordcount (the reference's only job)","sec":$wcSec,"n_queries_in_total":${results.size}}}"""
     // The full per-query map (~3.4 KB for 113 queries) overflows the
     // driver's captured stdout tail, so the LAST stdout line must be a
@@ -88,11 +115,11 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(!_._3)},""" +
+      s""""n_regressions":${regs.size},""" +
       s""""timing":"min_of_${reps}_interleaved","baseline_comparable":{"workload":"wordcount","sec":$wcSec},""" +
       s""""detail":"bench.json"}"""
     println(json)
     System.err.println(json)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
