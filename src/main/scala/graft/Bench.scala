@@ -85,13 +85,22 @@ object Bench {
     // flagged row must be explained in SCALE.md or fixed. min-of-2
     // interleaved timing already filters one-off load spikes; a query
     // that still trips both thresholds moved for a reason.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // A dev-loop subset run must not poison the audit baseline: only
+    // write bench.json when the FULL suite ran (or the caller asked
+    // for a specific out file explicitly).
+    val outFile =
+      if (filter.isEmpty) sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_subset.json")
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench.json")
     val prev: Map[String, Double] = try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)),
         java.nio.charset.StandardCharsets.UTF_8)
-      """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+      // comparable only at the SAME scale factor: a cross-sf diff
+      // would flag every query at once and mean nothing
+      val prevSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!prevSf.contains(sfDir)) Map.empty
+      else """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map(_.group(1))
         .map { qm =>
           """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(qm)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap

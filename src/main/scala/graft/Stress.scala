@@ -293,6 +293,28 @@ object Stress {
         else Seq("dd_containment", "dd_jaccard_prefix", "ss_graph_expand")
       val results = scala.collection.mutable.Map[String, List[(Int, Long, Double)]]()
         .withDefaultValue(Nil)
+      // Spill-not-buffer evidence (round-11 verdict #8): per run,
+      // record total shuffle/agg spill and the PEAK single-task
+      // execution memory. The bounded-buffer contract of the salted
+      // PairGen path predicts peak task memory stays ~FLAT as the
+      // factor grows (oversized buckets spill through sort-merge);
+      // a peak that scales with the factor would mean some operator
+      // buffers a bucket after all.
+      val spillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+      val spillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+      val peakTask = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              spillMem.addAndGet(m.memoryBytesSpilled)
+              spillDisk.addAndGet(m.diskBytesSpilled)
+              peakTask.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+            }
+          }
+        })
       // Warm-up: the very first action in a fresh session pays ~5-10 s
       // of executor + whole-stage-codegen startup, which at 1× is the
       // SAME order as the measurement itself and bends every fitted
@@ -318,12 +340,17 @@ object Stress {
         amp("documents", Seq("doc_id"))
         amp("embeddings", Seq("vec_id"))
         names.foreach { n =>
+          spillMem.set(0L); spillDisk.set(0L); peakTask.set(0L)
           val t0 = System.nanoTime()
           val rows = try SparkEntry.queries(n)(spark, dst).count()
           catch { case e: Throwable =>
             System.err.println(s"$n@$f FAILED: ${e.getMessage}"); -1L }
           val secs = (System.nanoTime() - t0) / 1e9
-          println(f"CURVE $n factor=$f rows=$rows time=$secs%.1f")
+          Thread.sleep(1500) // listener bus drains async; timing is done
+          println(f"CURVE $n factor=$f rows=$rows time=$secs%.1f " +
+            f"spill_mem_mb=${spillMem.get() / 1048576} " +
+            f"spill_disk_mb=${spillDisk.get() / 1048576} " +
+            f"peak_task_mem_mb=${peakTask.get() / 1048576}")
           if (rows >= 0) results(n) = results(n) :+ ((f, rows, secs))
         }
       }

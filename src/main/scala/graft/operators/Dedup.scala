@@ -125,9 +125,7 @@ object Dedup {
     */
   def signatureFloorAudit(s: SparkSession, dir: String): DataFrame = {
     val sigMins = (0 until NumHashes).map(i => min(col(s"sig$i")))
-    val minSig = signatures(s, dir)
-      .select(least(sigMins: _*).as("m"))
-      .agg(min(col("m")).as("min_sig"))
+    val minSig = signatures(s, dir).select(least(sigMins: _*).as("min_sig"))
     val minOph = ophSignatures(s, dir).agg(min(col("sig")).as("min_oph"))
     minSig.crossJoin(minOph)
   }

@@ -8,9 +8,9 @@ package graft
   * string is not a driver-side materialization. Handles `//` line
   * comments, NESTED block comments (Scala nests them), `"…"`,
   * `"""…"""` (including the trailing-quote run `"""x""""`), and char
-  * literals; `${…}` splices inside interpolated strings are treated
-  * as literal text, which is the conservative direction for these
-  * lints (SQL text is exactly what must not count).
+  * literals; `${…}` splice CONTENT inside interpolated strings stays
+  * visible as code in both modes — a `.collect()` inside an
+  * interpolation is a real driver-side call.
   */
 object LintSource {
 
@@ -27,11 +27,24 @@ object LintSource {
     val n = text.length
     var blockDepth = 0
     var inLine, inStr, inTriple, inChar = false
+    // ${...} splice nesting depth while inside a string: splice
+    // content is CODE (a `.collect()` inside an interpolation is a
+    // real driver-side call and must stay visible to CollectLintSpec).
+    // Brace counting only — a brace inside a string literal nested in
+    // a splice would miscount, a shape this codebase doesn't use.
+    var spliceDepth = 0
     def nl(c: Char) = c == '\n' || c == '\r'
     def blank(c: Char): Char = if (nl(c)) c else ' '
     while (i < n) {
       val c = text(i)
-      if (inLine) {
+      if (spliceDepth > 0) {
+        if (c == '{') { spliceDepth += 1; sb.append(c) }
+        else if (c == '}') {
+          spliceDepth -= 1
+          sb.append(if (spliceDepth == 0) ' ' else c)
+        } else sb.append(c)
+        i += 1
+      } else if (inLine) {
         if (nl(c)) { inLine = false; sb.append(c) } else sb.append(' ')
         i += 1
       } else if (blockDepth > 0) {
@@ -47,12 +60,16 @@ object LintSource {
           while (j < n && text(j) == '"') j += 1 // """x"""" closer run
           while (i < j) { sb.append(' '); i += 1 }
           inTriple = false
+        } else if (c == '$' && i + 1 < n && text(i + 1) == '{') {
+          spliceDepth = 1; sb.append("  "); i += 2
         } else {
           sb.append(if (keepStrings) c else blank(c)); i += 1
         }
       } else if (inStr || inChar) {
         val close = if (inStr) '"' else '\''
-        if (c == '\\' && i + 1 < n) {
+        if (inStr && c == '$' && i + 1 < n && text(i + 1) == '{') {
+          spliceDepth = 1; sb.append("  "); i += 2
+        } else if (c == '\\' && i + 1 < n) {
           sb.append(if (keepStrings) text.substring(i, i + 2) else "  ")
           i += 2
         } else if (c == close) {
