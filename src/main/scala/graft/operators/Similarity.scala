@@ -1426,8 +1426,78 @@ object Similarity {
           "(query, cell) probes survived the cone bound on a fixture " +
           "built to separate them")
       rangeSearch(av, ClusteredCones.toLong, ClusteredTau)
+    }),
+
+    // GREEDY GRAPH DESCENT (round 12) — the NSW/HNSW layer-0 SERVING
+    // shape the graph rows so far only build: route each query to its
+    // trained IVF cell (the coarse hop of a hierarchical index), start
+    // at the cell's min-id member, and greedily hop the in-cell kNN
+    // graph — always to the neighbor with the best rounded cosine to
+    // the query, moving only on STRICT improvement (ties can't cycle),
+    // [[WalkHops]] bounded steps unrolled identically on both engines.
+    // Per query: where the walk LANDED, the cosine there, and how many
+    // hops it took — local optima of the sparse k=3 graph are the
+    // honest output (that IS greedy search's failure mode; beam width
+    // / ef is the production dial, hops here). Scale shape: the walk
+    // frame is query-count-sized, each hop one broadcast-scale join
+    // against the O(n^1.5) edge list partitioned by cell — at 100 TB
+    // the per-hop lookup is the index-serving read, not a corpus scan.
+    "ss_greedy_walk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = ivfKnnEdges(s, dir, 3).localCheckpoint(false)
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val av = v.join(sqrtIvfAssignment(s, dir), "vec_id")
+        .localCheckpoint(false)
+      val q = av.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qnrm"), col("cent_id"))
+      val entry = q.select("query_id", "cent_id")
+        .join(av.select(col("cent_id"), col("vec_id").as("m")), "cent_id")
+        .filter(col("m") =!= col("query_id"))
+        .groupBy("query_id").agg(min(col("m")).as("cur"))
+      val start = q.join(entry, "query_id")
+        .join(av.select(col("vec_id").as("cur"), col("e").as("ce"),
+          col("nrm").as("cnrm")), "cur")
+        .select(col("query_id"), col("qe"), col("qnrm"), col("cur"),
+          round(dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")), 4)
+            .as("cur_cos"))
+        .withColumn("hops", lit(0L))
+      def hop(st: DataFrame): DataFrame = {
+        val nb = st.join(edges, st("cur") === edges("src"))
+          .filter(col("nbr") =!= col("query_id"))
+          .join(av.select(col("vec_id").as("nbr"), col("e").as("ne"),
+            col("nrm").as("nnrm")), "nbr")
+          .withColumn("ncos",
+            round(dot(col("qe"), col("ne")) / (col("qnrm") * col("nnrm")), 4))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("ncos").desc, col("nbr").asc)
+        val best = nb.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("nbr").as("best_nbr"),
+            col("ncos").as("best_cos"))
+        st.join(best, Seq("query_id"), "left")
+          .select(col("query_id"), col("qe"), col("qnrm"),
+            when(col("best_cos") > col("cur_cos"), col("best_nbr"))
+              .otherwise(col("cur")).as("cur"),
+            when(col("best_cos") > col("cur_cos"), col("best_cos"))
+              .otherwise(col("cur_cos")).as("cur_cos"),
+            (col("hops") + when(col("best_cos") > col("cur_cos"), 1L)
+              .otherwise(0L)).as("hops"))
+      }
+      (1 to WalkHops).foldLeft(start)((st, _) =>
+          hop(st).localCheckpoint(false))
+        .select(col("query_id"), col("cur").as("landed_id"),
+          col("cur_cos").as("cos4"), col("hops"))
+        .orderBy("query_id")
     })
   )
+
+  /** Bounded hop count of ss_greedy_walk — unrolled identically in the
+    * DuckDB oracle's CTE chain.
+    */
+  val WalkHops = 6
 
   /** Mixture-of-cones embedding fixture for the clustered range row:
     * [[ClusteredVecs]] vectors in R⁸, vector i sits on axis i % 8
@@ -2603,6 +2673,54 @@ object Similarity {
          |WHERE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4)
          |  >= $RangeTau
          |ORDER BY query_id, cos DESC, vec_id""".stripMargin,
+
+    // unrolled greedy-descent chain over the same trained cell graph:
+    // entry = min in-cell member, WalkHops hops, move on strict
+    // rounded-cosine improvement with nbr-asc tie order
+    "ss_greedy_walk" -> {
+      val hops = (1 to WalkHops).map { i =>
+        s"""b$i AS (
+           |  SELECT query_id, nbr, ncos FROM (
+           |    SELECT h.query_id, e.nbr,
+           |      round(list_dot_product(h.qe, g.e) / (h.qnrm * g.nrm), 4)
+           |        AS ncos,
+           |      row_number() OVER (PARTITION BY h.query_id
+           |        ORDER BY round(list_dot_product(h.qe, g.e)
+           |          / (h.qnrm * g.nrm), 4) DESC, e.nbr ASC) AS rn
+           |    FROM h${i - 1} h
+           |    JOIN knn0 e ON e.src = h.cur AND e.nbr <> h.query_id
+           |    JOIN gav g ON g.vec_id = e.nbr)
+           |  WHERE rn = 1),
+           |h$i AS MATERIALIZED (
+           |  SELECT h.query_id, h.qe, h.qnrm,
+           |    CASE WHEN b.ncos > h.cur_cos THEN b.nbr ELSE h.cur END AS cur,
+           |    CASE WHEN b.ncos > h.cur_cos THEN b.ncos ELSE h.cur_cos END
+           |      AS cur_cos,
+           |    h.hops + CASE WHEN b.ncos > h.cur_cos THEN 1 ELSE 0 END
+           |      AS hops
+           |  FROM h${i - 1} h LEFT JOIN b$i b USING (query_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE ${ivfKnnEdgesCtes(3)},
+         |q AS (
+         |  SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cent_id
+         |  FROM gav WHERE vec_id < $NumQueries),
+         |ent AS (
+         |  SELECT q.query_id, min(m.vec_id) AS cur
+         |  FROM q JOIN gav m
+         |    ON m.cent_id = q.cent_id AND m.vec_id <> q.query_id
+         |  GROUP BY q.query_id),
+         |h0 AS MATERIALIZED (
+         |  SELECT q.query_id, q.qe, q.qnrm, e.cur,
+         |    round(list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm), 4)
+         |      AS cur_cos,
+         |    CAST(0 AS BIGINT) AS hops
+         |  FROM q JOIN ent e USING (query_id)
+         |  JOIN gav c ON c.vec_id = e.cur),
+         |$hops
+         |SELECT query_id, cur AS landed_id, cur_cos AS cos4,
+         |  CAST(hops AS BIGINT) AS hops
+         |FROM h$WalkHops ORDER BY query_id""".stripMargin
+    },
 
     // brute-force range scan over the SAME mixture-of-cones fixture
     // (DuckDB strpos positional decode = Spark conv(substring(md5)))
