@@ -1491,6 +1491,65 @@ object Similarity {
         .select(col("query_id"), col("cur").as("landed_id"),
           col("cur_cos").as("cos4"), col("hops"))
         .orderBy("query_id")
+    }),
+
+    // BEAM SEARCH over the same graph (round 12) — the ef dial
+    // ss_greedy_walk's Scaladoc names as the production answer to its
+    // local optima: keep the [[BeamWidth]] best candidates per query,
+    // expand ALL their neighbors each step, re-rank the union, repeat
+    // [[BeamSteps]] times — the frontier can climb out of a single
+    // neighbor's dead end because three of them carry it. The beam is
+    // monotone (top-B of a superset never loses its best member), and
+    // every set operation is deterministic under the (cos desc,
+    // vec_id asc) order. Output: the final ranked beam per query —
+    // the served candidate list an HNSW reader hands to rerank. Same
+    // serving-read scale shape as the greedy row: the frame is
+    // (queries × beam)-sized, each step one join against the
+    // cell-partitioned edge list.
+    "ss_beam_walk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = ivfKnnEdges(s, dir, 3).localCheckpoint(false)
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val av = v.join(sqrtIvfAssignment(s, dir), "vec_id")
+        .localCheckpoint(false)
+      val q = av.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qnrm"), col("cent_id"))
+      val ent = q.select("query_id", "cent_id")
+        .join(av.select(col("cent_id"), col("vec_id").as("m")), "cent_id")
+        .filter(col("m") =!= col("query_id"))
+        .groupBy("query_id").agg(min(col("m")).as("vec_id"))
+      val beam0 = q.join(ent, "query_id")
+        .join(av.select(col("vec_id"), col("e").as("ce"),
+          col("nrm").as("cnrm")), "vec_id")
+        .select(col("query_id"), col("qe"), col("qnrm"), col("vec_id"),
+          round(dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")), 4)
+            .as("cos4"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos4").desc, col("vec_id").asc)
+      def step(beam: DataFrame): DataFrame = {
+        val exp = beam.join(edges, beam("vec_id") === edges("src"))
+          .filter(col("nbr") =!= col("query_id"))
+          .join(av.select(col("vec_id").as("nbr"), col("e").as("ne"),
+            col("nrm").as("nnrm")), "nbr")
+          .select(col("query_id"), col("qe"), col("qnrm"),
+            col("nbr").as("vec_id"),
+            round(dot(col("qe"), col("ne")) / (col("qnrm") * col("nnrm")), 4)
+              .as("cos4"))
+        beam.select("query_id", "qe", "qnrm", "vec_id", "cos4")
+          .unionByName(exp)
+          .dropDuplicates("query_id", "vec_id")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= BeamWidth)
+          .drop("rn")
+      }
+      (1 to BeamSteps).foldLeft(beam0)((b, _) =>
+          step(b).localCheckpoint(false))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cos4"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1498,6 +1557,10 @@ object Similarity {
     * DuckDB oracle's CTE chain.
     */
   val WalkHops = 6
+
+  /** Beam width / step count of ss_beam_walk (the ef dial). */
+  val BeamWidth = 3
+  val BeamSteps = 4
 
   /** Mixture-of-cones embedding fixture for the clustered range row:
     * [[ClusteredVecs]] vectors in R⁸, vector i sits on axis i % 8
@@ -2720,6 +2783,49 @@ object Similarity {
          |SELECT query_id, cur AS landed_id, cur_cos AS cos4,
          |  CAST(hops AS BIGINT) AS hops
          |FROM h$WalkHops ORDER BY query_id""".stripMargin
+    },
+
+    // unrolled beam-expansion chain: top-BeamWidth of (beam ∪
+    // neighbors(beam)) per step, same strict (cos desc, vec_id asc)
+    // order as the Spark window
+    "ss_beam_walk" -> {
+      val steps = (1 to BeamSteps).map { i =>
+        s"""bm$i AS MATERIALIZED (
+           |  SELECT query_id, qe, qnrm, vec_id, cos4 FROM (
+           |    SELECT query_id, qe, qnrm, vec_id, cos4,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cos4 DESC, vec_id ASC) AS rn
+           |    FROM (
+           |      SELECT query_id, qe, qnrm, vec_id, cos4 FROM bm${i - 1}
+           |      UNION
+           |      SELECT b.query_id, b.qe, b.qnrm, e.nbr AS vec_id,
+           |        round(list_dot_product(b.qe, g.e) / (b.qnrm * g.nrm), 4)
+           |          AS cos4
+           |      FROM bm${i - 1} b
+           |      JOIN knn0 e ON e.src = b.vec_id AND e.nbr <> b.query_id
+           |      JOIN gav g ON g.vec_id = e.nbr))
+           |  WHERE rn <= $BeamWidth)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE ${ivfKnnEdgesCtes(3)},
+         |q AS (
+         |  SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cent_id
+         |  FROM gav WHERE vec_id < $NumQueries),
+         |ent AS (
+         |  SELECT q.query_id, min(m.vec_id) AS vec_id
+         |  FROM q JOIN gav m
+         |    ON m.cent_id = q.cent_id AND m.vec_id <> q.query_id
+         |  GROUP BY q.query_id),
+         |bm0 AS MATERIALIZED (
+         |  SELECT q.query_id, q.qe, q.qnrm, ent.vec_id,
+         |    round(list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm), 4)
+         |      AS cos4
+         |  FROM q JOIN ent USING (query_id)
+         |  JOIN gav c ON c.vec_id = ent.vec_id),
+         |$steps
+         |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos4 DESC, vec_id ASC) AS INT) AS rank,
+         |  vec_id, cos4
+         |FROM bm$BeamSteps ORDER BY query_id, rank""".stripMargin
     },
 
     // brute-force range scan over the SAME mixture-of-cones fixture

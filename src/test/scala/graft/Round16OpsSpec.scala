@@ -41,6 +41,28 @@ class Round16OpsSpec extends AnyFunSuite {
       "no query ever moved — walk degenerate on this corpus")
   }
 
+  test("ss_beam_walk: beam dominates the greedy walk per query") {
+    // both searches share entry point and graph. NOT a theorem — a
+    // beam can prune the greedy trajectory's stepping stone while
+    // keeping three dead ends — but an EMPIRICAL pin on this
+    // md5-deterministic corpus: the beam matches or beats greedy on
+    // every query and strictly escapes a local optimum on at least
+    // one. If a testdata refresh flips this, the fixture changed
+    // character; re-measure, don't weaken the operator.
+    val greedy = SparkEntry.queries("ss_greedy_walk")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("cos4"))).toMap
+    val beam = SparkEntry.queries("ss_beam_walk")(spark, sf).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("cos4"))).toMap
+    assert(beam.keySet == greedy.keySet)
+    beam.foreach { case (q, bc) =>
+      assert(bc >= greedy(q) - 1e-9,
+        s"query $q: beam best $bc worse than greedy ${greedy(q)}")
+    }
+    assert(beam.exists { case (q, bc) => bc > greedy(q) + 1e-9 },
+      "beam never beat greedy — width-3 expansion degenerate here")
+  }
+
   test("st_restart_watermark staging: range files are time-disjoint in order") {
     // the no-late-drop argument requires file i+1's rows to be newer
     // than file i's max (range partitioning guarantees it); verify on
