@@ -97,6 +97,27 @@ class MicroDomainLintSpec extends AnyFunSuite {
         "MicroDomainLintSpec")
   }
 
+  test("the matcher fires on planted sites and honors every auto-pass rule") {
+    // negative control: a lint whose matcher silently rots would keep
+    // green forever — prove each classification branch on synthetic
+    // source
+    assert(unroutedCount("""val x = expr("(n * 1000000) DIV d")""") == 1,
+      "unrouted SQL-string site missed")
+    assert(unroutedCount("val y = n * 1000000L - k") == 1,
+      "unrouted Scala site missed")
+    assert(unroutedCount(
+      """val x = expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV d")""") == 0,
+      "DECIMAL-routed line must auto-pass")
+    assert(unroutedCount("""val s = "CAST(n AS HUGEINT) * 1000000"""") == 0,
+      "HUGEINT-routed line must auto-pass")
+    assert(unroutedCount("val binUs = 15L * 60 * 1000000") == 0,
+      "literal*literal must auto-pass")
+    assert(unroutedCount("// about n * 1000000 in prose") == 0,
+      "comment must not count")
+    assert(unroutedCount("val z = x * 1000000.0") == 0,
+      "float quantization literal must not count")
+  }
+
   test("no stale allowlist entries") {
     val files = LintSource.mainSources().keySet
     val stale = allowed.keys.filterNot(files.contains)
