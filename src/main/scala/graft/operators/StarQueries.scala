@@ -51,6 +51,58 @@ object StarQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // MULTI-LEVEL AGGREGATION surface (round 12): ROLLUP / CUBE /
+    // GROUPING SETS — the OLAP subtotal family the engine lacked.
+    // Spark plans all three as ONE Expand + one hash aggregation (no
+    // per-level rescan), which is exactly the scale story: n grouping
+    // levels cost one shuffle of n× the map-side-combined partials,
+    // never n passes over the corpus. NULL group keys are the rollup
+    // sentinels (n_name/year are non-null in this schema, so output
+    // NULLs unambiguously mean "subtotal level"); the ORDER BY pins
+    // NULLS FIRST explicitly because Spark defaults nulls-first and
+    // DuckDB nulls-last — the ev_bootstrap_ci divergence class.
+    "q_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_totalprice"))
+        .rollup(col("n_name"), col("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("n_name").asc_nulls_first, col("yr").asc_nulls_first)
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // explicit sets — per-nation totals, per-year totals, and the
+    // grand total in one pass, WITHOUT the (nation, year) cross level
+    // a rollup/cube would force
+    "q_grouping_sets" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_totalprice"))
+      base.groupingSets(
+          Seq(Seq(col("n_name")), Seq(col("yr")), Seq.empty[Column]),
+          col("n_name"), col("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("n_name").asc_nulls_first, col("yr").asc_nulls_first)
+    }),
+
     // Projection + filter: both must reach the parquet scan
     // (PushedFilters / ReadSchema in .explain).
     "q_filter_project" -> ((s, dir) => {
@@ -286,6 +338,29 @@ object StarQueries {
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS BIGINT))
+         |ORDER BY n_name NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  count(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((n_name),
+         |  (CAST(year(o_orderdate) AS BIGINT)), ())
+         |ORDER BY n_name NULLS FIRST, yr NULLS FIRST""".stripMargin,
     "q_join_broadcast" ->
       s"""SELECT r_name, count(*) AS n_customers, ${dsumSql("c_acctbal")} AS sum_acctbal
          |FROM customer
