@@ -176,6 +176,51 @@ object StreamingQueries {
         .orderBy("view_id", "click_id")
     }),
 
+    // LEFT-OUTER stream-stream interval join through the gate — the
+    // funnel-DROP shape the inner row above cannot express: every
+    // view emits, eagerly per qualifying click or with a NULL click
+    // once the watermark PROVES no qualifying click can still arrive.
+    // Outer emissions are watermark-FINALIZED (not eager), so a
+    // bounded drain must push the watermark past the last real
+    // view's window: the staging appends one sentinel view+click
+    // pair 3 h past max(ts) — 3 h > the 30-min join window + 1-h
+    // delay, and BOTH sides need one because the global watermark is
+    // the MIN across the two streams (ExtensionsSpec pins the
+    // mechanics; this row pins the VALUES through the oracle). The
+    // sentinel frame is derived from the agg row itself — no driver
+    // action — and filtered out by its negative ids (the sentinels
+    // can't join each other: c_ts > v_ts is strict and they share a
+    // timestamp; the sentinel view never finalizes — nothing ever
+    // passes ITS window — and the filter drops it regardless). The
+    // oracle is the batch LEFT JOIN verbatim. State story: identical
+    // bounded interval state to st_click_after_view — the outer
+    // semantics buy the unmatched rows for nothing but emission
+    // delay.
+    "st_view_conversion" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sentinels = ev.agg(max(col("ts")).as("mts"))
+        .select(explode(array(lit("view"), lit("click"))).as("event_type"),
+          col("mts"))
+        .select(
+          when(col("event_type") === "view", lit(-1L)).otherwise(lit(-2L))
+            .as("event_id"),
+          (col("mts") + expr("INTERVAL 3 HOURS")).as("ts"),
+          lit(-1L).as("user_id"),
+          col("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+      val staged = stage(ev.unionByName(sentinels),
+        s"$dir/events.parquet", s"${stageRoot(dir)}/ev_outer")
+      val joined = StreamingWordCount
+        .clickAfterViewJoinOuter(s, staged, ev.schema)
+        .select(col("view_id"), col("v_user").as("user_id"), col("click_id"))
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName("st_view_conversion").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("st_view_conversion").filter(col("view_id") >= 0L)
+        .orderBy(col("view_id"), col("click_id").asc_nulls_first)
+    }),
+
     // The HLL sketch maintained AS streaming aggregation state — the
     // streaming dual of sk_hll_registers, and the operational shape a
     // live distinct-count dashboard runs at 100 TB: documents arrive
@@ -523,6 +568,15 @@ object StreamingQueries {
         |  ON v.user_id = c.user_id
         | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTES
         |ORDER BY view_id, click_id""".stripMargin,
+    // the batch LEFT JOIN verbatim — unmatched views carry NULL
+    // click_id, exactly what the watermark finalizes streaming-side
+    "st_view_conversion" ->
+      """SELECT v.event_id AS view_id, v.user_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTES
+        |ORDER BY view_id, click_id NULLS FIRST""".stripMargin,
     "st_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
     "st_enrich_join" ->
