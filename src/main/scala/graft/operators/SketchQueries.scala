@@ -447,6 +447,62 @@ object SketchQueries {
         .select("n_bits_set", "n_a", "n_b", "bloom_hits", "exact_common")
     }),
 
+    // DDSKETCH (Masson/Rim/Lee, VLDB'19) — the relative-error
+    // quantile sketch, and the only sketch family here whose ANSWER
+    // is a quantile (HLL/KMV count, CMS counts keys): bucket
+    // i = ⌊log_γ v⌋ with γ = 2^(1/8), realized as
+    // (log2micro(cents)·8) DIV 10⁶ — the deterministic fixed-point
+    // log2, so the bucket edge is a DEFINED function, never a libm
+    // ulp coin-flip. The sketch is groupBy(bucket).count(): a
+    // ≤ ~126-row commutative monoid (counts add across executors,
+    // micro-batches, and days — the pipe_agg_maintenance rule), vs
+    // an exact quantile's full value histogram. Serving walks the
+    // cumulative bucket counts to rank ⌈q·n/100⌉ and estimates the
+    // value as the bucket's geometric midpoint γ^(b+1/2) via
+    // exp2micro((2b+1)·62500) — micro-cents, pure integers end to
+    // end. The same row audits itself against the EXACT quantile
+    // (cumulative walk over the value-bounded distinct-cents frame)
+    // and emits the realized rel_err_ppm; DDSketch guarantees
+    // ≤ γ^(1/2)−1 ≈ 4.4% and the oracle recomputes the identical
+    // integers. Corpus-count products (qpct·n) stay ≤ 10²·10¹³ —
+    // far inside BIGINT; the ppm quotient is DECIMAL/HUGEINT-routed
+    // per the micro-domain doctrine.
+    "sk_ddsketch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = Tables.events(s, dir)
+        .select(expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+        .groupBy("cents").agg(count(lit(1)).as("cnt"))
+      val bucketed = cents
+        .withColumn("lrm",
+          graft.functions.Log2Micro.log2micro(col("cents"), lit(1L)))
+        .withColumn("bucket", expr("(lrm * 8) DIV 1000000"))
+      val sketch = bucketed.groupBy("bucket")
+        .agg(sum(col("cnt")).as("n"))
+      val tot = sketch.agg(sum(col("n")).as("n_tot"))
+      val qs = tot.select(explode(array(lit(50L), lit(90L), lit(99L)))
+          .as("qpct"), col("n_tot"))
+        .withColumn("trank", expr("(qpct * n_tot + 99) DIV 100"))
+      val wCum = Window.orderBy("bucket")
+      val cum = sketch.withColumn("cum", sum(col("n")).over(wCum))
+      val pick = qs.join(broadcast(cum), col("cum") >= col("trank"))
+        .groupBy("qpct", "trank").agg(min(col("bucket")).as("bucket"))
+      val est = pick
+        .withColumn("xm", (col("bucket") * 2 + 1) * lit(62500L))
+        .withColumn("est_micro", graft.functions.Exp2Micro.exp2micro(col("xm")))
+      val wCents = Window.orderBy("cents")
+      val ccum = cents.withColumn("ccum", sum(col("cnt")).over(wCents))
+      val exact = qs.join(broadcast(ccum), col("ccum") >= col("trank"))
+        .groupBy("qpct").agg(min(col("cents")).as("exact_cents"))
+      est.join(exact, "qpct")
+        .withColumn("rel_err_ppm", expr(
+          "(abs(est_micro - CAST(exact_cents AS DECIMAL(38,0)) * 1000000) " +
+            "* 1000000) DIV (CAST(exact_cents AS DECIMAL(38,0)) * 1000000)"))
+        .select(col("qpct"), col("bucket"), col("est_micro"),
+          col("exact_cents"), col("rel_err_ppm").cast("long").as("rel_err_ppm"))
+        .orderBy("qpct")
+    }),
+
     "sk_kmv_distinct" -> ((s, dir) => {
       val hv = words(s, dir)
         .select(conv(substring(col("h"), 1, 13), 16, 10).cast("long").as("hv"))
@@ -649,6 +705,43 @@ object SketchQueries {
          |  exact_common
          |FROM e""".stripMargin
     },
+    // same fixed-point chain: log2micro buckets (dk_*), exp2micro
+    // geometric midpoint (de_*), HUGEINT-routed ppm at the edge
+    "sk_ddsketch" ->
+      s"""WITH RECURSIVE vc AS (
+         |  SELECT CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)
+         |      AS cents, count(*) AS cnt
+         |  FROM events GROUP BY 1),
+         |dk_in AS (SELECT cents, cents AS num, CAST(1 AS BIGINT) AS den
+         |          FROM vc),
+         |${OracleSql.log2microCtes("dk", "dk_in", Seq("cents"))},
+         |sk AS (
+         |  SELECT (l.lrm * 8) // 1000000 AS bucket,
+         |    CAST(sum(v.cnt) AS BIGINT) AS n
+         |  FROM vc v JOIN dk_lg l USING (cents) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM sk),
+         |qs AS (
+         |  SELECT qpct, (qpct * n_tot + 99) // 100 AS trank
+         |  FROM (SELECT unnest([50, 90, 99]::BIGINT[]) AS qpct), tot),
+         |cum AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum
+         |        FROM sk),
+         |pick AS (
+         |  SELECT q.qpct, q.trank, min(c.bucket) AS bucket
+         |  FROM qs q JOIN cum c ON c.cum >= q.trank GROUP BY 1, 2),
+         |de_in AS (SELECT qpct, bucket,
+         |            (bucket * 2 + 1) * 62500 AS xm FROM pick),
+         |${OracleSql.exp2microCtes("de", "de_in", Seq("qpct", "bucket"))},
+         |ccum AS (SELECT cents, sum(cnt) OVER (ORDER BY cents) AS ccum
+         |         FROM vc),
+         |exq AS (
+         |  SELECT q.qpct, min(c.cents) AS exact_cents
+         |  FROM qs q JOIN ccum c ON c.ccum >= q.trank GROUP BY 1)
+         |SELECT e.qpct, e.bucket, e.e2m AS est_micro, x.exact_cents,
+         |  CAST(abs(e.e2m - CAST(x.exact_cents AS HUGEINT) * 1000000)
+         |    * 1000000 // (CAST(x.exact_cents AS HUGEINT) * 1000000)
+         |    AS BIGINT) AS rel_err_ppm
+         |FROM de_ex e JOIN exq x USING (qpct)
+         |ORDER BY qpct""".stripMargin,
     "sk_kmv_distinct" ->
       s"""WITH $wordsSql,
          |hv AS (SELECT DISTINCT ${hexLong("h", 1, 13)} AS hv FROM w),
