@@ -1550,6 +1550,44 @@ object Similarity {
         .withColumn("rank", row_number().over(w).cast("int"))
         .select(col("query_id"), col("rank"), col("vec_id"), col("cos4"))
         .orderBy("query_id", "rank")
+    }),
+
+    // SCANN ANISOTROPIC LOSS (Guo et al., ICML'20) — score-aware
+    // quantization diagnostics: for MIPS/cosine serving, the PARALLEL
+    // component of a vector's quantization residual (along the
+    // vector's own direction x̂) perturbs EVERY query's score with it,
+    // while the orthogonal component only hurts queries pointing
+    // off-axis — so an anisotropic codebook deliberately trades
+    // orthogonal error for parallel error (minimizing w·para² + orth²
+    // with w > 1 instead of plain ‖r‖²). This row measures the split
+    // the re-train would optimize: per coarse cell, the member count
+    // and the two DECIMAL-summed squared components of r = x − c —
+    // para = ⟨r, x⟩/‖x‖ expanded to (⟨x,x⟩ − ⟨c,x⟩)/‖x‖ so the row
+    // costs exactly three fixed-order dot products, orth² = ‖r‖² −
+    // para² by Pythagoras. Cross-engine float contract: identical op
+    // trees of correctly-rounded IEEE ops (the cos4 argument), summed
+    // through DECIMAL(18,4) so partial-aggregation order can't move
+    // the total. Scale: assignment is the broadcast cross-join every
+    // ss_ivf row rides; the only shuffle is the k-row cell aggregate.
+    "ss_scann_loss" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val cents = v.filter(col("vec_id") < PipelineQueries.NumCentroids)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      ivfAssigned(s, dir).join(broadcast(cents), "cent_id")
+        .withColumn("dee", dot(col("e"), col("e")))
+        .withColumn("dce", dot(col("ce"), col("e")))
+        .withColumn("dcc", dot(col("ce"), col("ce")))
+        .withColumn("para", (col("dee") - col("dce")) / col("nrm"))
+        .withColumn("para2", col("para") * col("para"))
+        .withColumn("orth2",
+          col("dee") - lit(2.0) * col("dce") + col("dcc") - col("para2"))
+        .groupBy("cent_id")
+        .agg(count(lit(1)).as("n"),
+          Agg.dsum(col("para2")).as("sum_para2"),
+          Agg.dsum(col("orth2")).as("sum_orth2"))
+        .orderBy("cent_id")
     })
   )
 
@@ -2827,6 +2865,28 @@ object Similarity {
          |  vec_id, cos4
          |FROM bm$BeamSteps ORDER BY query_id, rank""".stripMargin
     },
+
+    // same op tree: three dot products, Pythagoras split, dsum edges
+    "ss_scann_loss" ->
+      s"""$assignedCtes,
+         |ce AS (SELECT vec_id AS cent_id, e AS ce FROM v
+         |       WHERE vec_id < ${PipelineQueries.NumCentroids}),
+         |parts AS (
+         |  SELECT a.cent_id, a.nrm,
+         |    list_dot_product(a.e, a.e) AS dee,
+         |    list_dot_product(c.ce, a.e) AS dce,
+         |    list_dot_product(c.ce, c.ce) AS dcc
+         |  FROM assigned a JOIN ce c USING (cent_id)),
+         |comps AS (
+         |  SELECT cent_id,
+         |    ((dee - dce) / nrm) * ((dee - dce) / nrm) AS para2,
+         |    dee - 2.0 * dce + dcc -
+         |      ((dee - dce) / nrm) * ((dee - dce) / nrm) AS orth2
+         |  FROM parts)
+         |SELECT cent_id, count(*) AS n,
+         |  ${OracleSql.dsum("para2")} AS sum_para2,
+         |  ${OracleSql.dsum("orth2")} AS sum_orth2
+         |FROM comps GROUP BY cent_id ORDER BY cent_id""".stripMargin,
 
     // brute-force range scan over the SAME mixture-of-cones fixture
     // (DuckDB strpos positional decode = Spark conv(substring(md5)))
