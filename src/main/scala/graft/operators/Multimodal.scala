@@ -767,6 +767,46 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // RUN-LENGTH ENCODING of the raster — the simplest lossless image
+    // codec, and the one whose OUTPUT is fully integer-checkable
+    // cross-engine (deflate's bitstream is library-defined; RLE's is
+    // arithmetic). Encoded form: "ord,len;ord,len;…" over the
+    // row-major raster bytes, reported as run count, longest run, and
+    // the md5 of the encoding (the lossless-chain pin — the oracle
+    // rebuilds the identical string from boundary positions). Narrow
+    // per-row map like every decode row: at 100 TB the encode runs
+    // inside the scan task, no shuffle before the presentation sort.
+    "mm_rle_encode" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, payload) =>
+            val px = PgmCodec.decode(PgmCodec.encode(payload)).pixels
+            val sb = new StringBuilder
+            var nRuns = 0L
+            var maxRun = 0L
+            var i = 0
+            while (i < px.length) {
+              var j = i
+              while (j < px.length && px(j) == px(i)) j += 1
+              val len = j - i
+              if (sb.nonEmpty) sb.append(';')
+              sb.append(px(i) & 0xff).append(',').append(len)
+              nRuns += 1
+              if (len > maxRun) maxRun = len.toLong
+              i = j
+            }
+            md.reset()
+            val hex = md.digest(sb.toString.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            (id, px.length.toLong, nRuns, maxRun, hex)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "n_runs", "max_run", "rle_md5")
+        .orderBy("doc_id")
+    }),
+
     "mm_pgm_sobel" -> ((s, dir) => {
       import s.implicits._
       payloads(s, dir)
@@ -1396,6 +1436,27 @@ object Multimodal {
          |  md5(array_to_string(list_transform(vs, v -> CAST(v AS VARCHAR)),
          |    ',')) AS resized_md5
          |FROM vals ORDER BY doc_id""".stripMargin,
+    // run boundaries as a position list; the encoding string rebuilt
+    // from (boundary char, gap) pairs — byte-identical to the Scala walk
+    "mm_rle_encode" ->
+      s"""WITH g AS (${rasterSql()}),
+         |b AS (
+         |  SELECT doc_id, raster, CAST(8 * h AS INT) AS len8,
+         |    list_concat(list_concat([CAST(1 AS BIGINT)],
+         |      [i FOR i IN range(2, CAST(8 * h AS INT) + 1)
+         |         IF substring(raster, i, 1) <>
+         |            substring(raster, i - 1, 1)]),
+         |      [CAST(8 * h + 1 AS BIGINT)]) AS bp
+         |  FROM g)
+         |SELECT doc_id, CAST(len8 AS BIGINT) AS n_bytes,
+         |  CAST(len(bp) - 1 AS BIGINT) AS n_runs,
+         |  CAST(list_max([bp[k + 1] - bp[k]
+         |    FOR k IN range(1, len(bp))]) AS BIGINT) AS max_run,
+         |  md5(array_to_string(
+         |    [CAST(ord(substring(raster, bp[k], 1)) AS VARCHAR) || ',' ||
+         |       CAST(bp[k + 1] - bp[k] AS VARCHAR)
+         |     FOR k IN range(1, len(bp))], ';')) AS rle_md5
+         |FROM b ORDER BY doc_id""".stripMargin,
     // Raster width is 8; quadrant membership and sums are pure integer
     // functions of the padded-text synth formula.
     "mm_pgm_tiles" ->
