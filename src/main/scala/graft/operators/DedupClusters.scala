@@ -522,6 +522,98 @@ object DedupClusters {
         .orderBy("community_id")
     }),
 
+    // LOUVAIN MOVE PHASE (Blondel et al. 2008), two synchronized
+    // rounds — the modularity-GAIN mechanism dd_label_prop's majority
+    // vote lacks: each node scores every neighbor community C (and
+    // staying put) by the exact cross-multiplied gain numerator
+    //   gain(i→C) = 2m·k_{i,C} − Σtot_C^{−i}·deg_i
+    // (Blondel's ΔQ = k_{i,C}/m − Σtot·k_i/2m² over the common
+    // positive denominator 2m², with i's own degree removed from its
+    // CURRENT community's Σtot so staying is scored by the same
+    // formula), and all nodes move AT ONCE to the argmax (ties → min
+    // community id). This is the synchronous/parallel Louvain
+    // variant — sequential Louvain is visit-order-dependent, which no
+    // cross-engine contract can pin. From singletons, round 1
+    // reduces to "join your min-degree neighbor iff 2m > deg_i·deg_j";
+    // round 2 exercises the general k_{i,C}/Σtot algebra on the
+    // merged partition. Synchronous moves oscillate on symmetric
+    // structure exactly like LPA (an isolated pair swaps labels in
+    // round 1 and un-merges in round 2 — measured, not hypothetical);
+    // the damping is the published minimum-label heuristic (Lu,
+    // Halappanavar, Kalyanaraman 2015): a SINGLETON may not move into
+    // another SINGLETON with a larger id, so of a symmetric swap only
+    // the larger-id node moves and cliques collapse onto their min
+    // id in one round (the blocked node stays — no second-best
+    // fallback, per the paper). Output = the dd_modularity summary
+    // over the final partition, so the LPA and Louvain partitions'
+    // q_num are directly comparable per community. Headroom: every
+    // product ≤ 2m·deg ≤ 4m² — BIGINT to m ~ 1.5e9 pairs,
+    // dd_modularity's bound. Per round: two joins + four aggregations
+    // over the symmetric edge list, labels checkpointed (the
+    // dd_pagerank loop shape) — shuffles are edge-count-keyed, never
+    // all-pairs.
+    "dd_louvain" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.verifiedPairs(s, dir, dedup = true)
+        .select("doc_a", "doc_b").localCheckpoint(false)
+      val m = pairs.count()
+      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs
+          .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(false)
+      val deg = sym.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      def step(comm: DataFrame): DataFrame = {
+        val kic = sym
+          .join(comm.select(col("id").as("dst"), col("comm").as("c")), "dst")
+          .groupBy(col("src").as("id"), col("c"))
+          .agg(count(lit(1)).as("kic"))
+        val cand = comm.select(col("id"), col("comm").as("c"))
+          .unionByName(kic.select("id", "c")).distinct()
+          .join(kic, Seq("id", "c"), "left")
+          .na.fill(0L, Seq("kic"))
+        val tot = comm.join(deg, "id").groupBy(col("comm").as("c"))
+          .agg(sum(col("deg")).as("tot"))
+        val scored = cand.join(tot, "c").join(deg, "id").join(comm, "id")
+          .withColumn("totx", col("tot") -
+            when(col("c") === col("comm"), col("deg")).otherwise(lit(0L)))
+          .withColumn("gain",
+            lit(2L * m) * col("kic") - col("totx") * col("deg"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("gain").desc, col("c").asc)
+        val sizes = comm.groupBy(col("comm").as("c"))
+          .agg(count(lit(1)).as("csz"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(sizes.select(col("c"), col("csz").as("tsz")), "c")
+          .join(sizes.select(col("c").as("comm"), col("csz").as("osz")),
+            "comm")
+          .select(col("id"),
+            when(col("tsz") === 1 && col("osz") === 1 &&
+              col("c") > col("comm"), col("comm"))
+              .otherwise(col("c")).as("comm"))
+          .localCheckpoint(true)
+      }
+      val comm2 = step(step(deg.select(col("id"), col("id").as("comm"))))
+      val withL = pairs
+        .join(comm2.select(col("id").as("doc_a"), col("comm").as("la")),
+          "doc_a")
+        .join(comm2.select(col("id").as("doc_b"), col("comm").as("lb")),
+          "doc_b")
+      val inC = withL.filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community_id"))
+        .agg(count(lit(1)).as("in_edges"))
+      comm2.join(deg, "id")
+        .groupBy(col("comm").as("community_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("tot_deg"))
+        .join(inC, Seq("community_id"), "left")
+        .select(col("community_id"), col("n_members"),
+          coalesce(col("in_edges"), lit(0L)).as("in_edges"), col("tot_deg"),
+          (lit(4L * m) * coalesce(col("in_edges"), lit(0L))
+            - col("tot_deg") * col("tot_deg")).as("q_num"))
+        .orderBy("community_id")
+    }),
+
     // CLUSTER MEDOIDS — which document REPRESENTS each duplicate
     // cluster: dd_survivors keeps the min doc_id (arbitrary but
     // reproducible); the medoid keeps the most CENTRAL member — the
@@ -627,6 +719,46 @@ object DedupClusters {
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
        |$rounds""".stripMargin
   }
+
+  /** One synchronized Louvain move round in SQL — mirrors `step` in
+    * dd_louvain op-for-op (kic, candidate set, Σtot with the own-degree
+    * removal, argmax with (gain desc, c asc) ties).
+    */
+  private def louvainStepSql(r: Int): String =
+    s"""kic$r AS MATERIALIZED (
+       |  SELECT e.src AS id, c.comm AS c, count(*)::BIGINT AS kic
+       |  FROM sym e JOIN cm${r - 1} c ON e.dst = c.id GROUP BY 1, 2),
+       |cand$r AS (
+       |  SELECT id, comm AS c FROM cm${r - 1}
+       |  UNION
+       |  SELECT id, c FROM kic$r),
+       |tot$r AS (
+       |  SELECT c.comm AS c, CAST(sum(d.deg) AS BIGINT) AS tot
+       |  FROM cm${r - 1} c JOIN degs d USING (id) GROUP BY 1),
+       |sc$r AS (
+       |  SELECT ca.id, ca.c,
+       |    2 * (SELECT m FROM mm) * COALESCE(k.kic, 0)
+       |      - (t.tot - CASE WHEN ca.c = cur.comm THEN d.deg ELSE 0 END)
+       |        * d.deg AS gain
+       |  FROM cand$r ca
+       |  LEFT JOIN kic$r k ON k.id = ca.id AND k.c = ca.c
+       |  JOIN tot$r t ON t.c = ca.c
+       |  JOIN degs d ON d.id = ca.id
+       |  JOIN cm${r - 1} cur ON cur.id = ca.id),
+       |sz$r AS (SELECT comm AS c, count(*)::BIGINT AS csz
+       |         FROM cm${r - 1} GROUP BY 1),
+       |cm$r AS MATERIALIZED (
+       |  SELECT b.id,
+       |    CASE WHEN ts.csz = 1 AND os.csz = 1 AND b.c > cur.comm
+       |         THEN cur.comm ELSE b.c END AS comm
+       |  FROM (
+       |    SELECT id, c FROM (
+       |      SELECT id, c, row_number() OVER (
+       |        PARTITION BY id ORDER BY gain DESC, c ASC) AS rn
+       |      FROM sc$r) WHERE rn = 1) b
+       |  JOIN cm${r - 1} cur ON cur.id = b.id
+       |  JOIN sz$r ts ON ts.c = b.c
+       |  JOIN sz$r os ON os.c = cur.comm)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -860,6 +992,37 @@ object DedupClusters {
          |  SELECT l.lbl AS community_id, count(*)::BIGINT AS n_members,
          |    CAST(sum(d.deg) AS BIGINT) AS tot_deg
          |  FROM l$LpaRounds l JOIN degs d ON l.id = d.id GROUP BY 1)
+         |SELECT t.community_id, t.n_members,
+         |  COALESCE(i.in_edges, 0)::BIGINT AS in_edges, t.tot_deg,
+         |  CAST(4 * (SELECT m FROM mm) * COALESCE(i.in_edges, 0)
+         |    - t.tot_deg * t.tot_deg AS BIGINT) AS q_num
+         |FROM tot t LEFT JOIN inc i USING (community_id)
+         |ORDER BY community_id""".stripMargin,
+    // two generated move rounds over the same pair graph; summary =
+    // dd_modularity's pieces off cm2 labels
+    "dd_louvain" ->
+      s"""WITH pairs AS MATERIALIZED (${Dedup.ngramJaccardPairsSql}),
+         |sym AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |degs AS (SELECT src AS id, count(*)::BIGINT AS deg
+         |         FROM sym GROUP BY 1),
+         |mm AS (SELECT count(*)::BIGINT AS m FROM pairs),
+         |cm0 AS MATERIALIZED (SELECT id, id AS comm FROM degs),
+         |${louvainStepSql(1)},
+         |${louvainStepSql(2)},
+         |wl AS (
+         |  SELECT la.comm AS la, lb.comm AS lb
+         |  FROM pairs p
+         |  JOIN cm2 la ON p.doc_a = la.id
+         |  JOIN cm2 lb ON p.doc_b = lb.id),
+         |inc AS (SELECT la AS community_id, count(*)::BIGINT AS in_edges
+         |        FROM wl WHERE la = lb GROUP BY 1),
+         |tot AS (
+         |  SELECT c.comm AS community_id, count(*)::BIGINT AS n_members,
+         |    CAST(sum(d.deg) AS BIGINT) AS tot_deg
+         |  FROM cm2 c JOIN degs d USING (id) GROUP BY 1)
          |SELECT t.community_id, t.n_members,
          |  COALESCE(i.in_edges, 0)::BIGINT AS in_edges, t.tot_deg,
          |  CAST(4 * (SELECT m FROM mm) * COALESCE(i.in_edges, 0)
