@@ -554,8 +554,11 @@ object DedupClusters {
     // all-pairs.
     "dd_louvain" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // verifiedPairs is already session-cached/checkpointed — scan it
+      // directly like dd_modularity; only the derived SYMMETRIC edge
+      // list (not available upstream) gets its own checkpoint
       val pairs = Dedup.verifiedPairs(s, dir, dedup = true)
-        .select("doc_a", "doc_b").localCheckpoint(false)
+        .select("doc_a", "doc_b")
       val m = pairs.count()
       val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs

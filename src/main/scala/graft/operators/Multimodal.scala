@@ -73,6 +73,16 @@ object Multimodal {
     * shuffle moves exactly the payload bytes once, far below the
     * decode CPU it unlocks.
     */
+  /** md5-hex of a built string against a per-partition digest — THE
+    * hashing convention of every lossless-chain pin in this file
+    * (UTF-8 bytes, lowercase hex). One definition so a charset or
+    * format change can't be applied to one row and not another.
+    */
+  private def md5HexOf(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
   private def payloads(s: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -757,10 +767,7 @@ object Multimodal {
               }
               y += 1
             }
-            md.reset()
-            val hex = md.digest(sb.toString.getBytes("UTF-8"))
-              .map(b => f"$b%02x").mkString
-            (id, 4, h2.toLong, 4L * h2, sumOut, hex)
+            (id, 4, h2.toLong, 4L * h2, sumOut, md5HexOf(md, sb.toString))
           }
         }
         .toDF("doc_id", "w_out", "h_out", "n_out", "sum_out", "resized_md5")
@@ -797,10 +804,7 @@ object Multimodal {
               if (len > maxRun) maxRun = len.toLong
               i = j
             }
-            md.reset()
-            val hex = md.digest(sb.toString.getBytes("UTF-8"))
-              .map(b => f"$b%02x").mkString
-            (id, px.length.toLong, nRuns, maxRun, hex)
+            (id, px.length.toLong, nRuns, maxRun, md5HexOf(md, sb.toString))
           }
         }
         .toDF("doc_id", "n_bytes", "n_runs", "max_run", "rle_md5")

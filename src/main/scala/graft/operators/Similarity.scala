@@ -1570,11 +1570,10 @@ object Similarity {
     // the total. Scale: assignment is the broadcast cross-join every
     // ss_ivf row rides; the only shuffle is the k-row cell aggregate.
     "ss_scann_loss" -> ((s, dir) => {
-      val v = Tables.embeddings(s, dir)
-        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      val cents = v.filter(col("vec_id") < PipelineQueries.NumCentroids)
-        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      val cents = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < PipelineQueries.NumCentroids)
+        .select(col("vec_id").as("cent_id"),
+          toDouble(col("embedding")).as("ce"))
       ivfAssigned(s, dir).join(broadcast(cents), "cent_id")
         .withColumn("dee", dot(col("e"), col("e")))
         .withColumn("dce", dot(col("ce"), col("e")))
