@@ -127,4 +127,79 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(direct == merged)
     assert(direct.size > 10, s"degenerate bucket spread: ${direct.size}")
   }
+
+  test("ss_scann_loss: loss frame covers every vector, split non-negative") {
+    val rows = SparkEntry.queries("ss_scann_loss")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val emb = Tables.embeddings(spark, sf)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      val split = r.getDouble(r.fieldIndex("sum_para2")) +
+        r.getDouble(r.fieldIndex("sum_orth2"))
+      assert(n > 0)
+      assert(split >= 0.0, s"negative loss split $split")
+    }
+    val nTot = rows.map(_.getLong(1)).sum
+    assert(nTot == emb.count(), "some vector missing from the loss frame")
+  }
+
+  test("mm_rle_encode: the encoding is lossless (decode reproduces the raster)") {
+    import graft.functions.PgmCodec
+    val got = SparkEntry.queries("mm_rle_encode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == docs.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { case (id, text) =>
+      val px = PgmCodec.decode(PgmCodec.encode(text.getBytes("UTF-8"))).pixels
+      val (nBytes, nRuns, maxRun, hex) = got(id)
+      assert(nBytes == px.length.toLong)
+      // independently re-encode, then DECODE the encoding and compare
+      // byte-for-byte — the lossless pin (not just a hash re-run)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < px.length) {
+        var j = i
+        while (j < px.length && px(j) == px(i)) j += 1
+        if (sb.nonEmpty) sb.append(';')
+        sb.append(px(i) & 0xff).append(',').append(j - i)
+        i = j
+      }
+      val decoded = sb.toString.split(';').flatMap { run =>
+        val Array(v, len) = run.split(',')
+        Array.fill(len.toInt)(v.toInt.toByte)
+      }
+      assert(java.util.Arrays.equals(decoded, px),
+        s"doc $id: RLE decode diverges from the raster")
+      md.reset()
+      val expectHex = md.digest(sb.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(hex == expectHex, s"doc $id: rle_md5 mismatch")
+      val runLens = sb.toString.split(';').map(_.split(',')(1).toLong)
+      assert(nRuns == runLens.length.toLong && maxRun == runLens.max &&
+        runLens.sum == nBytes)
+    }
+  }
+
+  test("dd_louvain: partition improves on singletons and conserves nodes") {
+    val rows = SparkEntry.queries("dd_louvain")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = SparkEntry.queries("dd_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").distinct()
+    val nodes = pairs.select(explode(array(col("doc_a"), col("doc_b")))
+      .as("id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nodes,
+      "louvain lost or duplicated nodes")
+    assert(rows.length < nodes.toInt,
+      "no community ever merged — the damping blocked every move")
+    // every singleton partition has q_num_c = -deg² < 0 per node, so a
+    // positive TOTAL is strict improvement over where the moves began
+    assert(rows.map(_.getLong(4)).sum > 0L,
+      "total q_num not positive — the gain argmax is broken")
+    // edge conservation: intra-community edges can never exceed m
+    val m = pairs.count()
+    assert(rows.map(_.getLong(2)).sum <= m)
+  }
 }
