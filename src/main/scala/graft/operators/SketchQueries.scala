@@ -473,10 +473,19 @@ object SketchQueries {
         .select(expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
           .as("cents"))
         .groupBy("cents").agg(count(lit(1)).as("cnt"))
+      // bucket −1 is DDSketch's ZERO bucket: values below one cent
+      // (sf0.1 ships value = 0.0 rows) can't enter the log domain and
+      // the real sketch keeps them in a dedicated zero counter — the
+      // CASE short-circuit guards log2micro's fail-loud
+      // positive-domain contract (CaseWhen branches evaluate lazily)
       val bucketed = cents
         .withColumn("lrm",
-          graft.functions.Log2Micro.log2micro(col("cents"), lit(1L)))
-        .withColumn("bucket", expr("(lrm * 8) DIV 1000000"))
+          when(col("cents") >= 1,
+            graft.functions.Log2Micro.log2micro(col("cents"), lit(1L)))
+            .otherwise(lit(0L)))
+        .withColumn("bucket",
+          expr("CASE WHEN cents >= 1 THEN (lrm * 8) DIV 1000000 " +
+            "ELSE CAST(-1 AS BIGINT) END"))
       val sketch = bucketed.groupBy("bucket")
         .agg(sum(col("cnt")).as("n"))
       val tot = sketch.agg(sum(col("n")).as("n_tot"))
@@ -488,16 +497,21 @@ object SketchQueries {
       val pick = qs.join(broadcast(cum), col("cum") >= col("trank"))
         .groupBy("qpct", "trank").agg(min(col("bucket")).as("bucket"))
       val est = pick
-        .withColumn("xm", (col("bucket") * 2 + 1) * lit(62500L))
-        .withColumn("est_micro", graft.functions.Exp2Micro.exp2micro(col("xm")))
+        .withColumn("est_micro",
+          when(col("bucket") >= 0, graft.functions.Exp2Micro.exp2micro(
+            (col("bucket") * 2 + 1) * lit(62500L)))
+            .otherwise(lit(0L))) // the zero bucket serves exactly 0
       val wCents = Window.orderBy("cents")
       val ccum = cents.withColumn("ccum", sum(col("cnt")).over(wCents))
       val exact = qs.join(broadcast(ccum), col("ccum") >= col("trank"))
         .groupBy("qpct").agg(min(col("cents")).as("exact_cents"))
       est.join(exact, "qpct")
         .withColumn("rel_err_ppm", expr(
-          "(abs(est_micro - CAST(exact_cents AS DECIMAL(38,0)) * 1000000) " +
-            "* 1000000) DIV (CAST(exact_cents AS DECIMAL(38,0)) * 1000000)"))
+          "CASE WHEN exact_cents >= 1 THEN " +
+            "(abs(est_micro - CAST(exact_cents AS DECIMAL(38,0)) * 1000000) " +
+            "* 1000000) DIV (CAST(exact_cents AS DECIMAL(38,0)) * 1000000) " +
+            "WHEN est_micro = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(NULL AS BIGINT) END"))
         .select(col("qpct"), col("bucket"), col("est_micro"),
           col("exact_cents"), col("rel_err_ppm").cast("long").as("rel_err_ppm"))
         .orderBy("qpct")
@@ -713,12 +727,16 @@ object SketchQueries {
          |      AS cents, count(*) AS cnt
          |  FROM events GROUP BY 1),
          |dk_in AS (SELECT cents, cents AS num, CAST(1 AS BIGINT) AS den
-         |          FROM vc),
+         |          FROM vc WHERE cents >= 1),
          |${OracleSql.log2microCtes("dk", "dk_in", Seq("cents"))},
+         |bkt AS (
+         |  SELECT v.cents, v.cnt,
+         |    CASE WHEN v.cents >= 1 THEN (l.lrm * 8) // 1000000
+         |         ELSE CAST(-1 AS BIGINT) END AS bucket
+         |  FROM vc v LEFT JOIN dk_lg l USING (cents)),
          |sk AS (
-         |  SELECT (l.lrm * 8) // 1000000 AS bucket,
-         |    CAST(sum(v.cnt) AS BIGINT) AS n
-         |  FROM vc v JOIN dk_lg l USING (cents) GROUP BY 1),
+         |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM bkt GROUP BY 1),
          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM sk),
          |qs AS (
          |  SELECT qpct, (qpct * n_tot + 99) // 100 AS trank
@@ -729,18 +747,27 @@ object SketchQueries {
          |  SELECT q.qpct, q.trank, min(c.bucket) AS bucket
          |  FROM qs q JOIN cum c ON c.cum >= q.trank GROUP BY 1, 2),
          |de_in AS (SELECT qpct, bucket,
-         |            (bucket * 2 + 1) * 62500 AS xm FROM pick),
+         |            (bucket * 2 + 1) * 62500 AS xm FROM pick
+         |          WHERE bucket >= 0),
          |${OracleSql.exp2microCtes("de", "de_in", Seq("qpct", "bucket"))},
+         |ests AS (
+         |  SELECT p.qpct, p.bucket,
+         |    CASE WHEN p.bucket >= 0 THEN e.e2m
+         |         ELSE CAST(0 AS BIGINT) END AS est_micro
+         |  FROM pick p LEFT JOIN de_ex e USING (qpct, bucket)),
          |ccum AS (SELECT cents, sum(cnt) OVER (ORDER BY cents) AS ccum
          |         FROM vc),
          |exq AS (
          |  SELECT q.qpct, min(c.cents) AS exact_cents
          |  FROM qs q JOIN ccum c ON c.ccum >= q.trank GROUP BY 1)
-         |SELECT e.qpct, e.bucket, e.e2m AS est_micro, x.exact_cents,
-         |  CAST(abs(e.e2m - CAST(x.exact_cents AS HUGEINT) * 1000000)
-         |    * 1000000 // (CAST(x.exact_cents AS HUGEINT) * 1000000)
-         |    AS BIGINT) AS rel_err_ppm
-         |FROM de_ex e JOIN exq x USING (qpct)
+         |SELECT e.qpct, e.bucket, e.est_micro, x.exact_cents,
+         |  CASE WHEN x.exact_cents >= 1 THEN
+         |    CAST(abs(e.est_micro - CAST(x.exact_cents AS HUGEINT) * 1000000)
+         |      * 1000000 // (CAST(x.exact_cents AS HUGEINT) * 1000000)
+         |      AS BIGINT)
+         |  WHEN e.est_micro = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(NULL AS BIGINT) END AS rel_err_ppm
+         |FROM ests e JOIN exq x USING (qpct)
          |ORDER BY qpct""".stripMargin,
     "sk_kmv_distinct" ->
       s"""WITH $wordsSql,

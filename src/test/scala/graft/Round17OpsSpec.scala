@@ -94,10 +94,13 @@ class Round17OpsSpec extends AnyFunSuite {
   }
 
   test("sk_ddsketch: realized error inside the gamma guarantee at both sfs") {
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // sf0.1 included deliberately: it ships value = 0.0 rows, so the
+    // zero bucket and its guards actually execute there
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val rows = SparkEntry.queries("sk_ddsketch")(spark, dir).collect()
       assert(rows.map(_.getLong(0)).toSeq == Seq(50L, 90L, 99L))
-      rows.foreach { r =>
+      rows.filter(!_.isNullAt(4)).foreach { r =>
         val err = r.getLong(r.fieldIndex("rel_err_ppm"))
         // gamma^(1/2) - 1 = 2^(1/16) - 1 = 4.43% plus fixed-point slop
         assert(err <= 46000L,
@@ -116,8 +119,10 @@ class Round17OpsSpec extends AnyFunSuite {
       .select(col("event_type"),
         expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
           .as("cents"))
-      .withColumn("lrm", Log2Micro.log2micro(col("cents"), lit(1L)))
-      .withColumn("bucket", expr("(lrm * 8) DIV 1000000"))
+      .withColumn("lrm", when(col("cents") >= 1,
+        Log2Micro.log2micro(col("cents"), lit(1L))).otherwise(lit(0L)))
+      .withColumn("bucket", expr("CASE WHEN cents >= 1 THEN " +
+        "(lrm * 8) DIV 1000000 ELSE CAST(-1 AS BIGINT) END"))
     val direct = base.groupBy("bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val merged = base.groupBy("event_type", "bucket")
