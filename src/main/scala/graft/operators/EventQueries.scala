@@ -1720,6 +1720,69 @@ object EventQueries {
         lookbackHours = 24)
     }),
 
+    // EXACT SHAPLEY-VALUE channel attribution (the game-theoretic
+    // standard ev_attribution's U-shape and ev_attribution_removal's
+    // Markov removal both approximate): channels = the 4 touch types,
+    // a converted user's coalition = the SET of channels seen before
+    // their first purchase (a 4-bit mask via sum(DISTINCT 2^bit) —
+    // distinct powers of two sum to the OR), the value function
+    // v(S) = converted users whose coalition ⊆ S (monotone by
+    // construction, so every marginal Δ ≥ 0 and so is every φ), and
+    // φ_i = Σ_{S∌i} |S|!(3−|S|)!/4! · (v(S∪i) − v(S)) held EXACT over
+    // the common denominator 4! = 24 (weights 6/2/2/6 by |S|) — the
+    // reader's division, like q_num/q_den everywhere else. Efficiency
+    // (Σφ = v(full) − v(∅)) rides in the output as v_full/v_empty and
+    // is pinned in Round17OpsSpec. Scale: ONE corpus aggregation
+    // builds the per-user mask; everything after runs on ≤16-row
+    // coalition frames (the 2^n blow-up is over the CHANNEL
+    // vocabulary, never users) — at 100 TB this is a mask groupBy
+    // plus driver-free broadcast algebra.
+    "ev_shapley_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      val chanBit = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "error", 2L)
+        .when(col("event_type") === "signup", 4L)
+        .otherwise(8L)
+      val touched = ev
+        .filter(col("event_type").isin("click", "error", "signup", "view"))
+        .join(firstP, "user_id")
+        .filter(col("ts") < col("p_ts"))
+        .select(col("user_id"), chanBit.as("b"))
+        .groupBy("user_id").agg(sum_distinct(col("b")).as("mask"))
+      val maskCnt = firstP.join(touched, Seq("user_id"), "left")
+        .select(coalesce(col("mask"), lit(0L)).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // ≤16 rows; two v-legs reuse it
+      val subsets = s.range(0, 16).select(col("id").as("coal"))
+      val v = broadcast(subsets)
+        .join(maskCnt, expr("(mask & coal) = mask"), "left")
+        .groupBy("coal").agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+      val channels = s.range(0, 4)
+        .select(element_at(array(lit("click"), lit("error"),
+          lit("signup"), lit("view")), col("id").cast("int") + 1)
+          .as("channel"), expr("shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(id AS INT))").as("bit"))
+      val terms = broadcast(channels)
+        .join(subsets, expr("(coal & bit) = 0"))
+        .withColumn("sz", expr(
+          "(coal & 1) + ((coal >> 1) & 1) + ((coal >> 2) & 1) + " +
+            "((coal >> 3) & 1)"))
+        .withColumn("w", expr(
+          "CASE sz WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"))
+        .join(v.select(col("coal"), col("v").as("v_s")), "coal")
+        .join(v.select(col("coal").as("coal_i"), col("v").as("v_si")),
+          expr("coal_i = coal + bit"))
+      val vFull = v.filter(col("coal") === 15).select(col("v").as("v_full"))
+      val vEmpty = v.filter(col("coal") === 0).select(col("v").as("v_empty"))
+      terms.groupBy("channel")
+        .agg(sum(col("w") * (col("v_si") - col("v_s"))).as("phi_24"))
+        .crossJoin(broadcast(vFull)).crossJoin(broadcast(vEmpty))
+        .select("channel", "phi_24", "v_full", "v_empty")
+        .orderBy("channel")
+    }),
+
     // Native session windows: Spark's session_window merges events
     // within a 30-minute gap. The oracle derives the same sessions from
     // first principles (lag → new-session flags → cumulative island
@@ -3295,6 +3358,42 @@ object EventQueries {
         |ORDER BY stat""".stripMargin,
     // Same U-shape integer credit rule; DuckDB's % matches Spark's on
     // positive operands. BIGINT casts for the HUGEINT-dtype reason.
+    // identical coalition algebra: 16-coalition subset-sum value
+    // function, 6/2/2/6 weights over the 4!-denominator
+    "ev_shapley_attribution" ->
+      """WITH fp AS (
+        |  SELECT user_id, min(ts) AS p_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |tm AS (
+        |  SELECT e.user_id, CAST(sum(DISTINCT CASE e.event_type
+        |      WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |      WHEN 'signup' THEN 4 ELSE 8 END) AS BIGINT) AS mask
+        |  FROM events e JOIN fp USING (user_id)
+        |  WHERE e.event_type IN ('click', 'error', 'signup', 'view')
+        |    AND e.ts < fp.p_ts
+        |  GROUP BY 1),
+        |mc AS (SELECT COALESCE(t.mask, 0) AS mask, count(*)::BIGINT AS cnt
+        |       FROM fp LEFT JOIN tm t USING (user_id) GROUP BY 1),
+        |coals AS (SELECT i AS coal FROM range(0, 16) r(i)),
+        |v AS (
+        |  SELECT c.coal, COALESCE(CAST(sum(m.cnt) AS BIGINT), 0) AS v
+        |  FROM coals c LEFT JOIN mc m ON (m.mask & c.coal) = m.mask
+        |  GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+        |       ('signup', 4), ('view', 8)) AS t(channel, bit)),
+        |terms AS (
+        |  SELECT ch.channel,
+        |    CASE ((s.coal & 1) + ((s.coal >> 1) & 1) +
+        |          ((s.coal >> 2) & 1) + ((s.coal >> 3) & 1))
+        |      WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+        |      * (vi.v - vs.v) AS term
+        |  FROM ch JOIN coals s ON (s.coal & ch.bit) = 0
+        |  JOIN v vs ON vs.coal = s.coal
+        |  JOIN v vi ON vi.coal = s.coal + ch.bit)
+        |SELECT t.channel, CAST(sum(t.term) AS BIGINT) AS phi_24,
+        |  (SELECT v FROM v WHERE coal = 15) AS v_full,
+        |  (SELECT v FROM v WHERE coal = 0) AS v_empty
+        |FROM terms t GROUP BY 1 ORDER BY channel""".stripMargin,
     "ev_attribution" ->
       """WITH p AS (
         |  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts

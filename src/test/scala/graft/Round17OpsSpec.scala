@@ -207,4 +207,25 @@ class Round17OpsSpec extends AnyFunSuite {
     val m = pairs.count()
     assert(rows.map(_.getLong(2)).sum <= m)
   }
+
+  test("ev_shapley_attribution: efficiency and monotone-game axioms hold") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("ev_shapley_attribution")(spark, dir)
+        .collect()
+      assert(rows.map(_.getString(0)).toSeq ==
+        Seq("click", "error", "signup", "view"))
+      val vFull = rows.head.getLong(rows.head.fieldIndex("v_full"))
+      val vEmpty = rows.head.getLong(rows.head.fieldIndex("v_empty"))
+      assert(vFull > 0 && vFull >= vEmpty)
+      // EFFICIENCY (the Shapley axiom that makes it an attribution):
+      // the shares sum exactly to the value the channels created
+      assert(rows.map(_.getLong(1)).sum == 24L * (vFull - vEmpty),
+        "sum of phi != v(full) - v(empty) — the weights or the " +
+          "coalition algebra are wrong")
+      // v is monotone (subset counting), so every marginal and hence
+      // every phi is non-negative
+      rows.foreach(r => assert(r.getLong(1) >= 0L,
+        s"${r.getString(0)}: negative Shapley share"))
+    }
+  }
 }
