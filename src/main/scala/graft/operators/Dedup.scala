@@ -566,10 +566,15 @@ object Dedup {
       val offsets = blocks
         .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
         .select("blk", "off")
+      // materialize once: both sides of the rank equi-join read this
+      // frame, and without the checkpoint each side re-derives the
+      // full shingle+window subtree (visible as twin subplans in the
+      // Explain dump)
       val ranked = docs.join(offsets, "blk")
         .withColumn("rk", col("off") + row_number()
           .over(Window.partitionBy("blk").orderBy("text", "doc_id")))
         .select("doc_id", "sh", "rk")
+        .localCheckpoint(false)
       val lhs = ranked
         .select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("rk"))
         .withColumn("j", explode(sequence(lit(1), lit(SnmWindow))))
