@@ -512,6 +512,93 @@ object StreamingQueries {
         .filter(col("rn") === 1)
         .select("hour", "event_type", "n_events", "sum_value")
         .orderBy("hour", "event_type")
+    }),
+
+    // LATE-DATA DROP as a NEGATIVE CONTROL — every other st_* row
+    // stages so that nothing is ever late (that is what makes the
+    // batch SQL the oracle); this row proves the OTHER half of the
+    // watermark contract: data arriving behind the watermark is
+    // DROPPED, exactly and only it. Staging splits the corpus at the
+    // fixed-interval boundary min(ts) + 100 h (computed as a
+    // broadcast agg leg — no driver action — and recomputable in SQL,
+    // unlike a sampled repartitionByRange boundary): the on-time side
+    // stages time-ordered (the st_restart_watermark no-drop
+    // argument), the early quartile stages LAST, arriving when the
+    // watermark sits ~520 h past its newest window — so the streaming
+    // result is the batch aggregate over ts >= boundary, the oracle
+    // verbatim, and a require on numRowsDroppedByWatermark proves the
+    // drop actually fired (a complete-mode or unwatermarked engine
+    // that counts everything flips red on the hash; an engine that
+    // never drops flips red on the require). Update mode + the
+    // by-batch-id store merge, as in st_restart_upsert.
+    "st_late_drop" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val withB = ev.crossJoin(broadcast(
+        ev.agg((min(col("ts")) + expr("INTERVAL 100 HOURS")).as("b"))))
+      val staged = s"${stageRoot(dir)}/ev_late_drop"
+      val marker = new java.io.File(staged, "_SUCCESS")
+      val src = new java.io.File(s"$dir/events.parquet")
+      if (!marker.exists() ||
+          (src.exists() && src.lastModified() >= marker.lastModified())) {
+        val dirF = new java.io.File(staged)
+        if (dirF.exists()) dirF.listFiles().foreach(f => { f.delete(); () })
+        dirF.mkdirs()
+        val tmpOn = java.nio.file.Files.createTempDirectory("late_on")
+        val tmpLate = java.nio.file.Files.createTempDirectory("late_l")
+        withB.filter(col("ts") >= col("b")).drop("b")
+          .repartitionByRange(4, col("ts"))
+          .write.mode(SaveMode.Overwrite).parquet(tmpOn.toString)
+        withB.filter(col("ts") < col("b")).drop("b")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpLate.toString)
+        // flat dir, name + mtime pinned: on-time parts oldest-first,
+        // the early file named AND stamped last
+        def moveParts(from: java.nio.file.Path, prefix: String,
+            mt0: Long): Unit =
+          new java.io.File(from.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              val to = new java.io.File(staged, f"$prefix$i%02d.parquet")
+              java.nio.file.Files.move(f.toPath, to.toPath)
+              to.setLastModified(mt0 + i * 60000L); ()
+            }
+        moveParts(tmpOn, "a_ontime_", 1700000000000L)
+        moveParts(tmpLate, "z_late_", 1700000000000L + 6000000L)
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+        ()
+      }
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = s"${stageRoot(dir)}/latedrop_ckpt_$run"
+      val store = s"${stageRoot(dir)}/latedrop_store_$run"
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Agg.dsum(col("value")).as("sum_value"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.select(col("window").getField("start").as("hour"),
+              col("event_type"), col("n_events"), col("sum_value"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Overwrite).parquet(s"$store/b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val dropped = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum
+      require(dropped > 0L,
+        "no row was ever dropped by the watermark — the late staging " +
+          "never exercised the drop path, the control is void")
+      val w = Window.partitionBy(col("hour"), col("event_type"))
+        .orderBy(col("batch_id").desc)
+      s.read.parquet(s"$store/b*")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("hour", "event_type", "n_events", "sum_value")
+        .orderBy("hour", "event_type")
     })
   )
 
@@ -534,6 +621,16 @@ object StreamingQueries {
          |  count(*) AS n_events,
          |  ${OracleSql.dsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // the negative control: ONLY the on-time side of the boundary
+    // counts — the early quartile arrives behind the watermark and
+    // must be dropped, so the contract is the filtered batch aggregate
+    "st_late_drop" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  count(*) AS n_events,
+         |  ${OracleSql.dsum("value")} AS sum_value
+         |FROM events
+         |WHERE ts >= (SELECT min(ts) + INTERVAL 100 HOURS FROM events)
+         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     // replay + eviction compose: time-ordered staging means eviction
     // never drops a row, so the batch aggregate is again the contract
     "st_restart_watermark" ->

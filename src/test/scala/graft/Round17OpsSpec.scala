@@ -208,6 +208,26 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum <= m)
   }
 
+  test("st_late_drop: drops exactly the pre-boundary rows, nothing else") {
+    val got = SparkEntry.queries("st_late_drop")(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf)
+    val expected = ev.crossJoin(broadcast(
+        ev.agg((min(col("ts")) + expr("INTERVAL 100 HOURS")).as("b"))))
+      .filter(col("ts") >= col("b"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2))).toSet
+    assert(got == expected, "streaming drain != batch-over-on-time")
+    // and the drop is REAL: the full batch aggregate has more rows
+    val full = ev.groupBy(date_trunc("hour", col("ts")), col("event_type"))
+      .count().count()
+    assert(got.size < full,
+      "nothing was excluded — the boundary split is degenerate here")
+  }
+
   test("ev_shapley_attribution: efficiency and monotone-game axioms hold") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       val rows = SparkEntry.queries("ev_shapley_attribution")(spark, dir)
