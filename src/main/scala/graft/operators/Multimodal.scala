@@ -613,6 +613,57 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // WALSH–HADAMARD band energies — the engine's first FREQUENCY-
+    // domain audio feature, chosen because the 8-point WHT's basis is
+    // ±1 (Sylvester order, sign = (−1)^popcount(k & j)): every
+    // coefficient is an exact integer sum/difference of the block's
+    // samples, so the whole spectral decomposition is cross-engine
+    // checkable where an FFT's twiddle factors would drag libm in.
+    // Per doc: full 8-sample blocks (trailing partial dropped), the 8
+    // per-band energy sums Σ c_k², and Parseval's identity
+    // Σ_k c_k² = 8·Σ s² carried as an ok flag — an engine that breaks
+    // the transform flips the flag before it flips a hash. Headroom:
+    // |c_k| ≤ 8·2¹⁵ so c² ≤ 2³⁷ per block — BIGINT to ~2²⁶ blocks per
+    // doc. Same narrow decode map as every audio row.
+    "mm_wav_wht" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val w = WavCodec.decode(WavCodec.encode(payload))
+          val n = w.samples.length / 8
+          val e = new Array[Long](8)
+          var tot = 0L
+          var b = 0
+          while (b < n) {
+            var k = 0
+            while (k < 8) {
+              var c = 0L
+              var j = 0
+              while (j < 8) {
+                val sv = w.samples(b * 8 + j).toLong
+                if (java.lang.Integer.bitCount(k & j) % 2 == 0) c += sv
+                else c -= sv
+                j += 1
+              }
+              e(k) += c * c
+              k += 1
+            }
+            var j = 0
+            while (j < 8) {
+              val sv = w.samples(b * 8 + j).toLong
+              tot += sv * sv
+              j += 1
+            }
+            b += 1
+          }
+          val ok = if (e.sum == 8L * tot) 1L else 0L
+          (id, n.toLong, e(0), e(1), e(2), e(3), e(4), e(5), e(6), e(7), ok)
+        })
+        .toDF("doc_id", "n_blocks", "e0", "e1", "e2", "e3", "e4", "e5",
+          "e6", "e7", "parseval_ok")
+        .orderBy("doc_id")
+    }),
+
     // QUADRANT TILE FEATURES — the partial-image-duplicate primitive
     // the whole-image aHash (mm_phash_pairs) can't express: a global
     // hash changes completely when one corner is edited, but per-TILE
@@ -1606,6 +1657,54 @@ object Multimodal {
          |  COALESCE(a.silent_in_spans, 0)::BIGINT AS silent_in_spans
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Sylvester signs re-derived per (k, j): (−1)^popcount(k AND j),
+    // popcount spelled with shifts so no engine-specific bit builtin
+    // sits in the contract; Parseval recomputed from the same blocks
+    "mm_wav_wht" ->
+      """WITH v AS (
+        |  SELECT doc_id, i // 8 AS blk, i % 8 AS j,
+        |    CAST((ord(substring(text, CAST(i + 1 AS INT), 1)) - 128) * 256
+        |      AS BIGINT) AS s
+        |  FROM documents, UNNEST(range(0, (length(text) // 8) * 8)) AS u(i)),
+        |c AS (
+        |  SELECT doc_id, blk, kk.k,
+        |    sum(CASE WHEN ((kk.k & v.j) & 1) + (((kk.k & v.j) >> 1) & 1)
+        |               + (((kk.k & v.j) >> 2) & 1) = 1
+        |             OR ((kk.k & v.j) & 1) + (((kk.k & v.j) >> 1) & 1)
+        |               + (((kk.k & v.j) >> 2) & 1) = 3
+        |        THEN -v.s ELSE v.s END) AS ck
+        |  FROM v, UNNEST(range(0, 8)) AS kk(k)
+        |  GROUP BY 1, 2, 3),
+        |e AS (
+        |  SELECT doc_id,
+        |    CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN k = 0 THEN ck * ck ELSE 0 END) AS BIGINT) AS e0,
+        |    CAST(sum(CASE WHEN k = 1 THEN ck * ck ELSE 0 END) AS BIGINT) AS e1,
+        |    CAST(sum(CASE WHEN k = 2 THEN ck * ck ELSE 0 END) AS BIGINT) AS e2,
+        |    CAST(sum(CASE WHEN k = 3 THEN ck * ck ELSE 0 END) AS BIGINT) AS e3,
+        |    CAST(sum(CASE WHEN k = 4 THEN ck * ck ELSE 0 END) AS BIGINT) AS e4,
+        |    CAST(sum(CASE WHEN k = 5 THEN ck * ck ELSE 0 END) AS BIGINT) AS e5,
+        |    CAST(sum(CASE WHEN k = 6 THEN ck * ck ELSE 0 END) AS BIGINT) AS e6,
+        |    CAST(sum(CASE WHEN k = 7 THEN ck * ck ELSE 0 END) AS BIGINT) AS e7
+        |  FROM c GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(s * s) AS BIGINT) AS t8 FROM v
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(e.n_blocks, 0) AS n_blocks,
+        |  COALESCE(e.e0, 0) AS e0, COALESCE(e.e1, 0) AS e1,
+        |  COALESCE(e.e2, 0) AS e2, COALESCE(e.e3, 0) AS e3,
+        |  COALESCE(e.e4, 0) AS e4, COALESCE(e.e5, 0) AS e5,
+        |  COALESCE(e.e6, 0) AS e6, COALESCE(e.e7, 0) AS e7,
+        |  CASE WHEN COALESCE(e.e0, 0) + COALESCE(e.e1, 0)
+        |      + COALESCE(e.e2, 0) + COALESCE(e.e3, 0) + COALESCE(e.e4, 0)
+        |      + COALESCE(e.e5, 0) + COALESCE(e.e6, 0) + COALESCE(e.e7, 0)
+        |    = 8 * COALESCE(t.t8, 0) THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS parseval_ok
+        |FROM documents d
+        |LEFT JOIN e ON d.doc_id = e.doc_id
+        |LEFT JOIN tot t ON d.doc_id = t.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "mm_audio_frames" ->
       """WITH v AS (
         |  SELECT doc_id, CAST(i // 160 AS BIGINT) AS f,

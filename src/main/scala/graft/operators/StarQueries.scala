@@ -84,6 +84,27 @@ object StarQueries {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // GROUPING()/GROUPING_ID disambiguation — the piece that makes
+    // rollup output machine-readable when group keys can themselves
+    // be NULL (this schema's keys are non-null, so q_rollup reads
+    // NULLs as subtotals; a nullable key needs the grouping bits to
+    // tell "NULL value at this level" from "this level rolled up").
+    // Spark's grouping_id() bit order = grouping-column order,
+    // mirrored by DuckDB's GROUPING(a, b) — both emit
+    // 2·grouping(a) + grouping(b).
+    "q_grouping_id" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n_items"))
+        .select("l_returnflag", "l_linestatus", "gid", "g_flag",
+          "g_status", "n_items")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // explicit sets — per-nation totals, per-year totals, and the
     // grand total in one pass, WITHOUT the (nation, year) cross level
     // a rollup/cube would force
@@ -352,6 +373,17 @@ object StarQueries {
          |FROM lineitem
          |GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_grouping_id" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+         |    AS BIGINT) AS gid,
+         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag NULLS FIRST,
+         |  l_linestatus NULLS FIRST""".stripMargin,
     "q_grouping_sets" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
          |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
