@@ -477,7 +477,11 @@ object SketchQueries {
       // (sf0.1 ships value = 0.0 rows) can't enter the log domain and
       // the real sketch keeps them in a dedicated zero counter — the
       // CASE short-circuit guards log2micro's fail-loud
-      // positive-domain contract (CaseWhen branches evaluate lazily)
+      // positive-domain contract (CaseWhen branches evaluate lazily).
+      // NEGATIVE cents stay fail-loud on BOTH engines (real DDSketch
+      // keeps a separate negative store; silently folding negatives
+      // into the zero bucket would be a wrong-but-green p50 the gate
+      // cannot see, since the oracle would misclassify identically).
       val bucketed = cents
         .withColumn("lrm",
           when(col("cents") >= 1,
@@ -485,7 +489,10 @@ object SketchQueries {
             .otherwise(lit(0L)))
         .withColumn("bucket",
           expr("CASE WHEN cents >= 1 THEN (lrm * 8) DIV 1000000 " +
-            "ELSE CAST(-1 AS BIGINT) END"))
+            "WHEN cents = 0 THEN CAST(-1 AS BIGINT) " +
+            "ELSE CAST(raise_error('sk_ddsketch: negative cents — " +
+            "add a negative store before sketching signed values') " +
+            "AS BIGINT) END"))
       val sketch = bucketed.groupBy("bucket")
         .agg(sum(col("cnt")).as("n"))
       val tot = sketch.agg(sum(col("n")).as("n_tot"))
@@ -732,7 +739,10 @@ object SketchQueries {
          |bkt AS (
          |  SELECT v.cents, v.cnt,
          |    CASE WHEN v.cents >= 1 THEN (l.lrm * 8) // 1000000
-         |         ELSE CAST(-1 AS BIGINT) END AS bucket
+         |         WHEN v.cents = 0 THEN CAST(-1 AS BIGINT)
+         |         ELSE CAST(error('sk_ddsketch: negative cents — add a '
+         |           || 'negative store before sketching signed values')
+         |           AS BIGINT) END AS bucket
          |  FROM vc v LEFT JOIN dk_lg l USING (cents)),
          |sk AS (
          |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n

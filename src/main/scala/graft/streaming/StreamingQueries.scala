@@ -44,12 +44,38 @@ object StreamingQueries {
     * every streaming query).
     */
   private def stage(df: DataFrame, sourcePath: String, staged: String): String = {
-    val marker = new java.io.File(staged, "_SUCCESS")
-    val src = new java.io.File(sourcePath)
-    if (!marker.exists() ||
-        (src.exists() && src.lastModified() >= marker.lastModified()))
+    if (isStale(staged, sourcePath))
       df.write.mode(SaveMode.Overwrite).parquet(staged)
     staged
+  }
+
+  /** The stage() freshness rule as a predicate, for rows that stage
+    * with custom layouts (split files, pinned mtimes): the staged copy
+    * is stale when its marker is missing or not newer than the source
+    * parquet — ONE definition, so a staleness-rule change can't be
+    * applied to stage() and missed here.
+    */
+  private def isStale(staged: String, sourcePath: String): Boolean = {
+    val marker = new java.io.File(staged, "_SUCCESS")
+    val src = new java.io.File(sourcePath)
+    !marker.exists() ||
+      (src.exists() && src.lastModified() >= marker.lastModified())
+  }
+
+  /** Latest-batch-id merge of a foreachBatch upsert store over the
+    * (hour, event_type) key: update mode re-emits a key whenever it
+    * changes, so a key's LAST emission is its final total — shared by
+    * the restart rows and the late-drop control.
+    */
+  private def latestByBatch(s: SparkSession, store: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("hour"), col("event_type"))
+      .orderBy(col("batch_id").desc)
+    s.read.parquet(s"$store/b*")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("hour", "event_type", "n_events", "sum_value")
+      .orderBy("hour", "event_type")
   }
 
   /** Run `df` (a streaming frame) to a complete-mode memory sink and
@@ -361,8 +387,7 @@ object StreamingQueries {
     // Fresh checkpoint/store per execution: repeat runs re-exercise
     // the crash, not a cached recovery.
     "st_restart_upsert" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, dir)
+            val ev = Tables.events(s, dir)
       val staged = stage(ev.repartition(4), s"$dir/events.parquet",
         s"${stageRoot(dir)}/ev_restart")
       // expected batch count derives from what was ACTUALLY staged
@@ -412,13 +437,7 @@ object StreamingQueries {
         s"expected batch 1 to REPLAY after restart (batches 0,1 then " +
           s"replay-1..${nFiles - 1} = ${nFiles + 1} foreachBatch calls), " +
           s"saw ${batchesSeen.get()}")
-      val w = Window.partitionBy(col("hour"), col("event_type"))
-        .orderBy(col("batch_id").desc)
-      s.read.parquet(s"$store/b*")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("hour", "event_type", "n_events", "sum_value")
-        .orderBy("hour", "event_type")
+      latestByBatch(s, store)
     }),
 
     // WATERMARKED CRASH RECOVERY (round-11 verdict #5) — replay and
@@ -441,8 +460,7 @@ object StreamingQueries {
     // final total and the latest-batch-id merge equals the batch
     // aggregate. Fresh checkpoint/store per execution, as above.
     "st_restart_watermark" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, dir)
+            val ev = Tables.events(s, dir)
       val staged = stage(ev.repartitionByRange(4, col("ts")),
         s"$dir/events.parquet", s"${stageRoot(dir)}/ev_restart_wm")
       // pin oldest-first processing: range partition i holds the i-th
@@ -505,13 +523,7 @@ object StreamingQueries {
       require(batchesSeen.get() >= nFiles + 1L,
         s"expected batch 2 to REPLAY after restart, saw only " +
           s"${batchesSeen.get()} foreachBatch calls for $nFiles files")
-      val w = Window.partitionBy(col("hour"), col("event_type"))
-        .orderBy(col("batch_id").desc)
-      s.read.parquet(s"$store/b*")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("hour", "event_type", "n_events", "sum_value")
-        .orderBy("hour", "event_type")
+      latestByBatch(s, store)
     }),
 
     // LATE-DATA DROP as a NEGATIVE CONTROL — every other st_* row
@@ -532,15 +544,15 @@ object StreamingQueries {
     // never drops flips red on the require). Update mode + the
     // by-batch-id store merge, as in st_restart_upsert.
     "st_late_drop" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, dir)
-      val withB = ev.crossJoin(broadcast(
-        ev.agg((min(col("ts")) + expr("INTERVAL 100 HOURS")).as("b"))))
+            val ev = Tables.events(s, dir)
       val staged = s"${stageRoot(dir)}/ev_late_drop"
-      val marker = new java.io.File(staged, "_SUCCESS")
-      val src = new java.io.File(s"$dir/events.parquet")
-      if (!marker.exists() ||
-          (src.exists() && src.lastModified() >= marker.lastModified())) {
+      if (isStale(staged, s"$dir/events.parquet")) {
+        // boundary leg materialized ONCE (1 row) — both filtered
+        // writes reuse it instead of re-running the min(ts) aggregate
+        val bound = ev
+          .agg((min(col("ts")) + expr("INTERVAL 100 HOURS")).as("b"))
+          .localCheckpoint(false)
+        val withB = ev.crossJoin(broadcast(bound))
         val dirF = new java.io.File(staged)
         if (dirF.exists()) dirF.listFiles().foreach(f => { f.delete(); () })
         dirF.mkdirs()
@@ -552,19 +564,26 @@ object StreamingQueries {
         withB.filter(col("ts") < col("b")).drop("b")
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpLate.toString)
         // flat dir, name + mtime pinned: on-time parts oldest-first,
-        // the early file named AND stamped last
+        // the early file named AND stamped last; the temp write dirs
+        // (and their _SUCCESS/.crc sidecars) are deleted after the
+        // move so staging rebuilds don't accumulate orphans
         def moveParts(from: java.nio.file.Path, prefix: String,
-            mt0: Long): Unit =
-          new java.io.File(from.toString).listFiles()
+            mt0: Long): Unit = {
+          val fromF = new java.io.File(from.toString)
+          fromF.listFiles()
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .zipWithIndex.foreach { case (f, i) =>
               val to = new java.io.File(staged, f"$prefix$i%02d.parquet")
               java.nio.file.Files.move(f.toPath, to.toPath)
               to.setLastModified(mt0 + i * 60000L); ()
             }
+          fromF.listFiles().foreach(f => { f.delete(); () })
+          fromF.delete(); ()
+        }
         moveParts(tmpOn, "a_ontime_", 1700000000000L)
         moveParts(tmpLate, "z_late_", 1700000000000L + 6000000L)
-        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+        java.nio.file.Files.write(
+          new java.io.File(staged, "_SUCCESS").toPath, Array.emptyByteArray)
         ()
       }
       val run = java.util.UUID.randomUUID().toString.take(8)
@@ -592,13 +611,7 @@ object StreamingQueries {
       require(dropped > 0L,
         "no row was ever dropped by the watermark — the late staging " +
           "never exercised the drop path, the control is void")
-      val w = Window.partitionBy(col("hour"), col("event_type"))
-        .orderBy(col("batch_id").desc)
-      s.read.parquet(s"$store/b*")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("hour", "event_type", "n_events", "sum_value")
-        .orderBy("hour", "event_type")
+      latestByBatch(s, store)
     })
   )
 

@@ -100,6 +100,11 @@ class Round17OpsSpec extends AnyFunSuite {
         "/root/testdata/sf0.1")) {
       val rows = SparkEntry.queries("sk_ddsketch")(spark, dir).collect()
       assert(rows.map(_.getLong(0)).toSeq == Seq(50L, 90L, 99L))
+      // the NULL branch only fires for a zero-bucket quantile; on this
+      // corpus every target lands in a real bucket, so an all-NULL
+      // column would mean the est/exact join broke — don't let the
+      // filter make the guarantee vacuous
+      assert(rows.exists(!_.isNullAt(4)), "every rel_err_ppm is NULL")
       rows.filter(!_.isNullAt(4)).foreach { r =>
         val err = r.getLong(r.fieldIndex("rel_err_ppm"))
         // gamma^(1/2) - 1 = 2^(1/16) - 1 = 4.43% plus fixed-point slop
