@@ -2040,6 +2040,55 @@ object EventQueries {
           "pre_b_micro", "post_b_micro", "did_micro")
     }),
 
+    // EVENT STUDY — ev_did's dynamic form, and the honest-causal
+    // practice DiD alone skips: instead of ONE pre/post contrast, the
+    // timeline splits into 8 equal relative periods (adoption at
+    // period 4), and per period p the arm gap is contrasted against
+    // the LAST PRE period's gap — coef(p) = gap(p) − gap(3). The pre
+    // periods (p < 4) are the PRE-TRENDS CHECK: nonzero pre
+    // coefficients mean the arms were already diverging and the DiD
+    // identification fails — the readout every credible rollout
+    // analysis publishes before the effect estimate. Same exact-micro
+    // machinery as ev_did: cents sums per (arm, period), balanced
+    // denominators = the arm's FULL user census (a user with no
+    // events in p contributes 0 — the balanced-panel convention),
+    // DECIMAL-routed mean division. One corpus scan into the 16-cell
+    // (arm, period) frame; everything downstream is broadcast-scale.
+    "ev_event_study" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("um"),
+          centsCol.as("cents"))
+        .withColumn("arm", armCol)
+      val bounds = ev.agg(min(col("um")).as("mn"), max(col("um")).as("mx"))
+      val binned = ev.crossJoin(broadcast(bounds))
+        .withColumn("p", expr("((um - mn) * 8) DIV (mx - mn + 1)"))
+      val census = ev.select("user_id", "arm").distinct()
+        .groupBy("arm").agg(count(lit(1)).as("n_users"))
+      // dense (arm × period) frame: a cell with no events is a REAL
+      // zero-mean observation, not a missing row
+      val cells = census
+        .crossJoin(broadcast(s.range(0, 8).select(col("id").as("p"))))
+        .join(binned.groupBy("arm", "p").agg(sum(col("cents")).as("sc")),
+          Seq("arm", "p"), "left")
+        .na.fill(0L, Seq("sc"))
+        .withColumn("mean_micro", expr(
+          "CAST((CAST(sc AS DECIMAL(38,0)) * 1000000) DIV n_users AS BIGINT)"))
+      val byP = cells.groupBy("p").agg(
+        sum(when(col("arm") === 0, col("n_users"))).as("n_a"),
+        sum(when(col("arm") === 1, col("n_users"))).as("n_b"),
+        sum(when(col("arm") === 0, col("mean_micro"))).as("mean_a_micro"),
+        sum(when(col("arm") === 1, col("mean_micro"))).as("mean_b_micro"))
+        .withColumn("gap_micro", col("mean_b_micro") - col("mean_a_micro"))
+      val base = byP.filter(col("p") === 3)
+        .select(col("gap_micro").as("base_gap"))
+      byP.crossJoin(broadcast(base))
+        .select(col("p"), col("n_a"), col("n_b"),
+          col("mean_a_micro"), col("mean_b_micro"), col("gap_micro"),
+          (col("gap_micro") - col("base_gap")).as("coef_micro"),
+          when(col("p") < 4, lit(1L)).otherwise(lit(0L)).as("is_pre"))
+        .orderBy("p")
+    }),
+
     // MANN-WHITNEY U — the nonparametric two-sample test every
     // experimentation platform keeps beside the t-test for
     // heavy-tailed revenue metrics (Mann & Whitney 1947): ranks of
@@ -3581,6 +3630,51 @@ object EventQueries {
          |SELECT pt.n_rows, pt.point_mean_micro, st.boot_lo_micro,
          |  st.boot_med_micro, st.boot_hi_micro, st.n_replicas
          |FROM pt CROSS JOIN st""".stripMargin
+    },
+
+    // same binning / census / DECIMAL-mean machinery as ev_did, per
+    // relative period with the p=3 baseline contrast
+    "ev_event_study" -> {
+      val hex13 = hex13Sql
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS um,
+         |    CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS cents,
+         |    CAST($hex13 % 2 AS INT) AS arm
+         |  FROM events),
+         |b AS (SELECT min(um) AS mn, max(um) AS mx FROM ev),
+         |binned AS (
+         |  SELECT arm, ((um - (SELECT mn FROM b)) * 8)
+         |      // ((SELECT mx FROM b) - (SELECT mn FROM b) + 1) AS p,
+         |    cents
+         |  FROM ev),
+         |census AS (
+         |  SELECT arm, count(*)::BIGINT AS n_users
+         |  FROM (SELECT DISTINCT user_id, arm FROM ev) GROUP BY 1),
+         |sums AS (
+         |  SELECT arm, p, CAST(sum(cents) AS BIGINT) AS sc
+         |  FROM binned GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT c.arm, pp.p, c.n_users, COALESCE(s.sc, 0) AS sc,
+         |    CAST((CAST(COALESCE(s.sc, 0) AS HUGEINT) * 1000000)
+         |      // c.n_users AS BIGINT) AS mean_micro
+         |  FROM census c
+         |  CROSS JOIN (SELECT i AS p FROM range(0, 8) r(i)) pp
+         |  LEFT JOIN sums s ON s.arm = c.arm AND s.p = pp.p),
+         |byp AS (
+         |  SELECT p,
+         |    CAST(sum(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 0 THEN mean_micro END) AS BIGINT)
+         |      AS mean_a_micro,
+         |    CAST(sum(CASE WHEN arm = 1 THEN mean_micro END) AS BIGINT)
+         |      AS mean_b_micro
+         |  FROM cells GROUP BY 1),
+         |g AS (SELECT *, mean_b_micro - mean_a_micro AS gap_micro FROM byp)
+         |SELECT p, n_a, n_b, mean_a_micro, mean_b_micro, gap_micro,
+         |  gap_micro - (SELECT gap_micro FROM g WHERE p = 3) AS coef_micro,
+         |  CASE WHEN p < 4 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS is_pre
+         |FROM g ORDER BY p""".stripMargin
     },
 
     "ev_did" -> {

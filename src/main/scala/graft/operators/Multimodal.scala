@@ -613,6 +613,69 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // BLOB LABELING — per-image connected components over bright
+    // pixels (threshold 115, 4-connectivity): the object-counting
+    // primitive of every vision pipeline (count regions, reject
+    // fragmented scans, size the largest object), and deliberately
+    // the IMAGE-LOCAL twin of the corpus-level dd_clusters operator —
+    // same min-label semantics, but here the graph is bounded by ONE
+    // image so the right tool is a per-row union-find inside the
+    // decode map (narrow, no shuffle, no iteration count), while the
+    // oracle reuses the recursive min-label CTE. label_sum = Σ over
+    // blobs of the blob's minimum pixel index — a structure checksum
+    // that pins the LABELING, not just the census.
+    "mm_pgm_blobs" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val img = PgmCodec.decode(PgmCodec.encode(payload))
+          val n = img.pixels.length
+          val bright = new Array[Boolean](n)
+          var nBright = 0L
+          var i = 0
+          while (i < n) {
+            if ((img.pixels(i) & 0xff) >= 115) { bright(i) = true; nBright += 1 }
+            i += 1
+          }
+          val parent = Array.tabulate(n)(identity)
+          def find(a: Int): Int = {
+            var r = a
+            while (parent(r) != r) r = parent(r)
+            var c = a
+            while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          def union(a: Int, b: Int): Unit = {
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          i = 0
+          while (i < n) {
+            if (bright(i)) {
+              val (x, y) = (i % 8, i / 8)
+              if (x > 0 && bright(i - 1)) union(i, i - 1)
+              if (y > 0 && bright(i - 8)) union(i, i - 8)
+            }
+            i += 1
+          }
+          val sizes = scala.collection.mutable.Map.empty[Int, Long]
+          i = 0
+          while (i < n) {
+            if (bright(i)) {
+              val r = find(i)
+              sizes(r) = sizes.getOrElse(r, 0L) + 1L
+            }
+            i += 1
+          }
+          val nBlobs = sizes.size.toLong
+          val maxBlob = if (sizes.isEmpty) 0L else sizes.values.max
+          val labelSum = sizes.keys.map(_.toLong).sum
+          (id, nBright, nBlobs, maxBlob, labelSum)
+        })
+        .toDF("doc_id", "n_bright", "n_blobs", "max_blob", "label_sum")
+        .orderBy("doc_id")
+    }),
+
     // WALSH–HADAMARD band energies — the engine's first FREQUENCY-
     // domain audio feature, chosen because the 8-point WHT's basis is
     // ±1 (Sylvester order, sign = (−1)^popcount(k & j)): every
@@ -1655,6 +1718,44 @@ object Multimodal {
          |  COALESCE(a.n_spans, 0)::BIGINT AS n_spans,
          |  COALESCE(a.max_span, 0)::BIGINT AS max_span,
          |  COALESCE(a.silent_in_spans, 0)::BIGINT AS silent_in_spans
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // the dd_clusters recursive min-label CTE, per image: self-loop +
+    // 4-neighbor edges over threshold-115 pixels, min label to a fixed
+    // point, census + min-pid checksum per blob
+    "mm_pgm_blobs" ->
+      s"""WITH RECURSIVE g AS (${rasterSql()}),
+         |px AS (
+         |  SELECT doc_id, CAST(i % 8 AS BIGINT) AS x,
+         |    CAST(i // 8 AS BIGINT) AS y, i AS pid
+         |  FROM g, UNNEST(range(0, 8 * h)) AS u(i)
+         |  WHERE ord(substring(raster, CAST(i + 1 AS INT), 1)) >= 115),
+         |e AS (
+         |  SELECT a.doc_id, a.pid AS src, b.pid AS dst
+         |  FROM px a JOIN px b ON a.doc_id = b.doc_id
+         |   AND ((abs(a.x - b.x) = 1 AND a.y = b.y)
+         |     OR (a.x = b.x AND abs(a.y - b.y) = 1))
+         |  UNION ALL SELECT doc_id, pid, pid FROM px),
+         |lbl AS (
+         |  SELECT doc_id, src AS pid, min(dst) AS l FROM e GROUP BY 1, 2
+         |  UNION
+         |  SELECT e.doc_id, e.src, min(lbl.l)
+         |  FROM e JOIN lbl ON e.doc_id = lbl.doc_id AND e.dst = lbl.pid
+         |  GROUP BY 1, 2),
+         |fin AS (SELECT doc_id, pid, min(l) AS l FROM lbl GROUP BY 1, 2),
+         |blobs AS (
+         |  SELECT doc_id, l, count(*)::BIGINT AS sz
+         |  FROM fin GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(sz) AS BIGINT) AS n_bright,
+         |    count(*)::BIGINT AS n_blobs,
+         |    CAST(max(sz) AS BIGINT) AS max_blob,
+         |    CAST(sum(l) AS BIGINT) AS label_sum
+         |  FROM blobs GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(a.n_bright, 0) AS n_bright,
+         |  COALESCE(a.n_blobs, 0) AS n_blobs,
+         |  COALESCE(a.max_blob, 0) AS max_blob,
+         |  COALESCE(a.label_sum, 0) AS label_sum
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // Sylvester signs re-derived per (k, j): (−1)^popcount(k AND j),

@@ -224,6 +224,39 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // DYNAMIC PARTITION OVERWRITE through the driver gate — the
+    // warehouse maintenance verb behind every partition-scoped
+    // backfill ("re-land yesterday's click partition, leave the rest
+    // of the table alone"): the corpus lands partitioned by
+    // event_type, then a REVISED click slice (even event_ids only —
+    // a deterministic deletion) overwrites in DYNAMIC mode, which
+    // replaces ONLY the partitions the new frame carries — static
+    // mode (the default) would TRUNCATE the whole table first, the
+    // classic backfill-eats-the-table accident this row's oracle
+    // would catch (the untouched partitions must survive verbatim).
+    // Session conf is saved and restored so no other row inherits
+    // dynamic semantics. At 100 TB: rewrite cost scales with the
+    // revised partition, never the table.
+    "src_dynamic_overwrite" -> ((s, dir) => {
+      val path = tmp("ev_dynpart")
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.mode(SaveMode.Overwrite)
+        .partitionBy("event_type").parquet(path)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try ev.filter(col("event_type") === "click" &&
+            col("event_id") % 2 === 0)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_type").parquet(path)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          Agg.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Bucketed-table co-located join through the driver gate: fact and
     // dim land bucketed (and bucket-sorted) by the join key — the
     // lakehouse layout that deletes the join shuffle at 100 TB, because
@@ -379,6 +412,15 @@ object SourceQueries {
     "src_partitioned_pruning" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    // the post-backfill table: clicks only where event_id is even,
+    // every other partition untouched
+    "src_dynamic_overwrite" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  ${OracleSql.dsum("value")} AS sum_value
+         |FROM events
+         |WHERE event_type <> 'click'
+         |   OR event_id % 2 = 0
+         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // The bucketed layout is value-transparent: the oracle is the plain
     // join + rollup over the original parquet.
     "src_bucketed_join" ->
