@@ -233,6 +233,65 @@ class Round17OpsSpec extends AnyFunSuite {
       "nothing was excluded — the boundary split is degenerate here")
   }
 
+  test("ev_event_study: baseline pinned at zero, panel balanced") {
+    val rows = SparkEntry.queries("ev_event_study")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 7L))
+    val base = rows.find(_.getLong(0) == 3L).get
+    assert(base.getLong(base.fieldIndex("coef_micro")) == 0L,
+      "the p=3 contrast against itself must be exactly zero")
+    // balanced panel: the same census denominates every period
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).distinct.size == 1)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("is_pre")) ==
+        (if (r.getLong(0) < 4) 1L else 0L))
+    }
+  }
+
+  test("mm_pgm_blobs: census consistent with a per-image flood fill") {
+    import graft.functions.PgmCodec
+    val got = SparkEntry.queries("mm_pgm_blobs")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val px = PgmCodec.decode(PgmCodec.encode(text.getBytes("UTF-8"))).pixels
+      // independent BFS flood fill (queue-based, not union-find)
+      val n = px.length
+      val bright = px.map(b => (b & 0xff) >= 115)
+      val seen = new Array[Boolean](n)
+      var blobs = 0L
+      var maxBlob = 0L
+      var labelSum = 0L
+      for (start <- 0 until n if bright(start) && !seen(start)) {
+        blobs += 1
+        var size = 0L
+        var minPid = start.toLong
+        val q = scala.collection.mutable.Queue(start)
+        seen(start) = true
+        while (q.nonEmpty) {
+          val c = q.dequeue()
+          size += 1
+          if (c < minPid) minPid = c.toLong
+          val (x, y) = (c % 8, c / 8)
+          Seq((x - 1, y), (x + 1, y), (x, y - 1), (x, y + 1)).foreach {
+            case (nx, ny) =>
+              val ni = ny * 8 + nx
+              if (nx >= 0 && nx < 8 && ny >= 0 && ni < n &&
+                  bright(ni) && !seen(ni)) { seen(ni) = true; q.enqueue(ni) }
+          }
+        }
+        if (size > maxBlob) maxBlob = size
+        labelSum += minPid
+      }
+      val (gb, gn, gm, gl) = got(id)
+      assert(gb == bright.count(identity).toLong && gn == blobs &&
+        gm == maxBlob && gl == labelSum,
+        s"doc $id: union-find vs flood fill diverge")
+    }
+  }
+
   test("ev_shapley_attribution: efficiency and monotone-game axioms hold") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       val rows = SparkEntry.queries("ev_shapley_attribution")(spark, dir)
