@@ -2052,23 +2052,28 @@ object EventQueries {
     // machinery as ev_did: cents sums per (arm, period), balanced
     // denominators = the arm's FULL user census (a user with no
     // events in p contributes 0 — the balanced-panel convention),
-    // DECIMAL-routed mean division. One corpus scan into the 16-cell
-    // (arm, period) frame; everything downstream is broadcast-scale.
+    // DECIMAL-routed mean division. Two corpus passes (the min/max
+    // bounds, then ONE per-(user, period) pre-aggregate); the arm
+    // hash runs per user-period GROUP, not per event, and the census
+    // derives from the same user-bounded frame — everything after is
+    // broadcast-scale.
     "ev_event_study" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), expr("unix_micros(ts)").as("um"),
           centsCol.as("cents"))
-        .withColumn("arm", armCol)
       val bounds = ev.agg(min(col("um")).as("mn"), max(col("um")).as("mx"))
-      val binned = ev.crossJoin(broadcast(bounds))
+      val perUp = ev.crossJoin(broadcast(bounds))
         .withColumn("p", expr("((um - mn) * 8) DIV (mx - mn + 1)"))
-      val census = ev.select("user_id", "arm").distinct()
+        .groupBy("user_id", "p").agg(sum(col("cents")).as("sc"))
+        .withColumn("arm", armCol)
+        .localCheckpoint(false) // users×8 rows; census + sums reuse it
+      val census = perUp.select("user_id", "arm").distinct()
         .groupBy("arm").agg(count(lit(1)).as("n_users"))
       // dense (arm × period) frame: a cell with no events is a REAL
       // zero-mean observation, not a missing row
       val cells = census
         .crossJoin(broadcast(s.range(0, 8).select(col("id").as("p"))))
-        .join(binned.groupBy("arm", "p").agg(sum(col("cents")).as("sc")),
+        .join(perUp.groupBy("arm", "p").agg(sum(col("sc")).as("sc")),
           Seq("arm", "p"), "left")
         .na.fill(0L, Seq("sc"))
         .withColumn("mean_micro", expr(

@@ -1730,11 +1730,17 @@ object Multimodal {
          |    CAST(i // 8 AS BIGINT) AS y, i AS pid
          |  FROM g, UNNEST(range(0, 8 * h)) AS u(i)
          |  WHERE ord(substring(raster, CAST(i + 1 AS INT), 1)) >= 115),
-         |e AS (
+         |adj AS (
          |  SELECT a.doc_id, a.pid AS src, b.pid AS dst
-         |  FROM px a JOIN px b ON a.doc_id = b.doc_id
-         |   AND ((abs(a.x - b.x) = 1 AND a.y = b.y)
-         |     OR (a.x = b.x AND abs(a.y - b.y) = 1))
+         |  FROM px a JOIN px b
+         |    ON a.doc_id = b.doc_id AND b.pid = a.pid + 1 AND a.x < 7
+         |  UNION ALL
+         |  SELECT a.doc_id, a.pid, b.pid
+         |  FROM px a JOIN px b
+         |    ON a.doc_id = b.doc_id AND b.pid = a.pid + 8),
+         |e AS (
+         |  SELECT doc_id, src, dst FROM adj
+         |  UNION ALL SELECT doc_id, dst, src FROM adj
          |  UNION ALL SELECT doc_id, pid, pid FROM px),
          |lbl AS (
          |  SELECT doc_id, src AS pid, min(dst) AS l FROM e GROUP BY 1, 2

@@ -234,22 +234,24 @@ object SourceQueries {
     // mode (the default) would TRUNCATE the whole table first, the
     // classic backfill-eats-the-table accident this row's oracle
     // would catch (the untouched partitions must survive verbatim).
-    // Session conf is saved and restored so no other row inherits
-    // dynamic semantics. At 100 TB: rewrite cost scales with the
+    // The mode rides a per-WRITE datasource option, not the session
+    // conf — a session-global toggle would leak dynamic semantics
+    // into any concurrently-executing partitioned overwrite (parallel
+    // ScalaTest suites share the session). Path keyed by dir like
+    // src_parquet_meta, so two corpus dirs in one JVM can't clobber
+    // each other's landing. At 100 TB: rewrite cost scales with the
     // revised partition, never the table.
     "src_dynamic_overwrite" -> ((s, dir) => {
-      val path = tmp("ev_dynpart")
+      val path = tmp("ev_dynpart_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
       val ev = Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value")
       ev.write.mode(SaveMode.Overwrite)
         .partitionBy("event_type").parquet(path)
-      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try ev.filter(col("event_type") === "click" &&
-            col("event_id") % 2 === 0)
+      ev.filter(col("event_type") === "click" &&
+          col("event_id") % 2 === 0)
         .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_type").parquet(path)
-      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
       s.read.parquet(path)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
