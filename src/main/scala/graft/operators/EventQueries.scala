@@ -2110,6 +2110,47 @@ object EventQueries {
     // of per-value products either way. No floats, no sqrt — the
     // z-normalization is the reader's step, the engine reports the
     // exact statistic.
+    // QUANTILE TREATMENT EFFECTS — the DISTRIBUTIONAL readout the
+    // mean tests (t/DiD/CUPED) and the rank test (Mann–Whitney) both
+    // compress away: per τ ∈ {25, 50, 75, 90}, the difference of the
+    // two arms' exact per-user-spend quantiles (Athey–Imbens
+    // distributional-effect practice — an effect concentrated in the
+    // p90 tail with a flat median is invisible to a t-test and
+    // directionless in U). Quantile = min value whose per-arm
+    // cumulative count reaches ⌈τ·n/100⌉ — the q_exact_quantiles walk
+    // over the value-bounded per-arm census (the ev_mann_whitney
+    // frame): the unpartitioned cumulative runs over the VALUE census
+    // (distinct spend totals — the q_exact_quantiles rule: windows
+    // over value-bounded frames, never user rows), and the 4-row tau
+    // frame broadcasts into it. Everything integer: cents in, cents
+    // out, qte = the reader-visible subtraction.
+    "ev_qte" -> ((s, dir) => {
+      val perUser = perUserCents(s, dir).withColumn("arm", armCol)
+      val census = perUser.groupBy("v")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint(false)
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("v")
+      val cum = census
+        .withColumn("cuma", sum(col("ca")).over(wCum))
+        .withColumn("cumb", sum(col("cb")).over(wCum))
+      val tot = census.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val taus = tot.select(explode(array(lit(25L), lit(50L), lit(75L),
+          lit(90L))).as("tau"), col("na"), col("nb"))
+        .withColumn("ra", expr("(tau * na + 99) DIV 100"))
+        .withColumn("rb", expr("(tau * nb + 99) DIV 100"))
+      val qa = cum.join(broadcast(taus.select("tau", "ra")),
+          col("cuma") >= col("ra"))
+        .groupBy("tau").agg(min(col("v")).as("q_a_cents"))
+      val qb = cum.join(broadcast(taus.select("tau", "rb")),
+          col("cumb") >= col("rb"))
+        .groupBy("tau").agg(min(col("v")).as("q_b_cents"))
+      taus.select("tau", "na", "nb")
+        .join(qa, "tau").join(qb, "tau")
+        .withColumn("qte_cents", col("q_b_cents") - col("q_a_cents"))
+        .orderBy("tau")
+    }),
+
     "ev_mann_whitney" -> ((s, dir) => {
       val perUser = perUserCents(s, dir).withColumn("arm", armCol)
       val census = perUser.groupBy("v")
@@ -3721,6 +3762,42 @@ object EventQueries {
          |      - sum(CASE WHEN arm = 0 THEN pre_micro END)) AS BIGINT)
          |    AS did_micro
          |FROM arms""".stripMargin
+    },
+
+    // same per-user census; per-arm cumulative walk to the ceil rank
+    "ev_qte" -> {
+      val hex13 = hex13Sql
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT))
+         |      AS BIGINT) AS v,
+         |    CAST($hex13 % 2 AS INT) AS arm
+         |  FROM events GROUP BY user_id),
+         |census AS (
+         |  SELECT v,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM pu GROUP BY v),
+         |cum AS (
+         |  SELECT v,
+         |    sum(ca) OVER (ORDER BY v) AS cuma,
+         |    sum(cb) OVER (ORDER BY v) AS cumb
+         |  FROM census),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |        CAST(sum(cb) AS BIGINT) AS nb FROM census),
+         |taus AS (
+         |  SELECT tau, na, nb,
+         |    (tau * na + 99) // 100 AS ra,
+         |    (tau * nb + 99) // 100 AS rb
+         |  FROM (SELECT unnest([25, 50, 75, 90]::BIGINT[]) AS tau), tot),
+         |qa AS (SELECT t.tau, min(c.v) AS q_a_cents
+         |       FROM taus t JOIN cum c ON c.cuma >= t.ra GROUP BY 1),
+         |qb AS (SELECT t.tau, min(c.v) AS q_b_cents
+         |       FROM taus t JOIN cum c ON c.cumb >= t.rb GROUP BY 1)
+         |SELECT t.tau, t.na, t.nb, qa.q_a_cents, qb.q_b_cents,
+         |  qb.q_b_cents - qa.q_a_cents AS qte_cents
+         |FROM taus t JOIN qa USING (tau) JOIN qb USING (tau)
+         |ORDER BY tau""".stripMargin
     },
 
     "ev_mann_whitney" -> {
