@@ -2094,22 +2094,6 @@ object EventQueries {
         .orderBy("p")
     }),
 
-    // MANN-WHITNEY U — the nonparametric two-sample test every
-    // experimentation platform keeps beside the t-test for
-    // heavy-tailed revenue metrics (Mann & Whitney 1947): ranks of
-    // per-user spend across both md5-parity arms, with midrank tie
-    // handling kept INTEGRAL by doubling (avg tie rank = (2·below +
-    // count + 1)/2, so 2·rank is always whole). U is reported doubled
-    // (u2 = 2U) and the common-language effect size — P(spend_a >
-    // spend_b) with ½ credit at ties — in exact ppm. Dataflow: one
-    // shuffle by user into per-user totals, then the rank machinery
-    // runs on the DISTINCT-VALUE census (value, n_a, n_b) — at this
-    // corpus 150 rows; at 100 TB the cumulative-below pass over the
-    // value census would ride the radix-bucket two-stage discipline
-    // (QuantileQueries) instead of one ordered frame, and U is a sum
-    // of per-value products either way. No floats, no sqrt — the
-    // z-normalization is the reader's step, the engine reports the
-    // exact statistic.
     // QUANTILE TREATMENT EFFECTS — the DISTRIBUTIONAL readout the
     // mean tests (t/DiD/CUPED) and the rank test (Mann–Whitney) both
     // compress away: per τ ∈ {25, 50, 75, 90}, the difference of the
@@ -2137,8 +2121,15 @@ object EventQueries {
       val tot = census.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
       val taus = tot.select(explode(array(lit(25L), lit(50L), lit(75L),
           lit(90L))).as("tau"), col("na"), col("nb"))
-        .withColumn("ra", expr("(tau * na + 99) DIV 100"))
-        .withColumn("rb", expr("(tau * nb + 99) DIV 100"))
+        // an empty arm would make rank 0 match every census row and
+        // report the OTHER arm's minimum as its "quantile" — an
+        // engine-agreeing wrong number the gate can't see; fail loudly
+        .withColumn("ra", expr("CASE WHEN na >= 1 THEN " +
+          "(tau * na + 99) DIV 100 ELSE CAST(raise_error(" +
+          "'ev_qte: arm a is empty') AS BIGINT) END"))
+        .withColumn("rb", expr("CASE WHEN nb >= 1 THEN " +
+          "(tau * nb + 99) DIV 100 ELSE CAST(raise_error(" +
+          "'ev_qte: arm b is empty') AS BIGINT) END"))
       val qa = cum.join(broadcast(taus.select("tau", "ra")),
           col("cuma") >= col("ra"))
         .groupBy("tau").agg(min(col("v")).as("q_a_cents"))
@@ -2151,6 +2142,22 @@ object EventQueries {
         .orderBy("tau")
     }),
 
+    // MANN-WHITNEY U — the nonparametric two-sample test every
+    // experimentation platform keeps beside the t-test for
+    // heavy-tailed revenue metrics (Mann & Whitney 1947): ranks of
+    // per-user spend across both md5-parity arms, with midrank tie
+    // handling kept INTEGRAL by doubling (avg tie rank = (2·below +
+    // count + 1)/2, so 2·rank is always whole). U is reported doubled
+    // (u2 = 2U) and the common-language effect size — P(spend_a >
+    // spend_b) with ½ credit at ties — in exact ppm. Dataflow: one
+    // shuffle by user into per-user totals, then the rank machinery
+    // runs on the DISTINCT-VALUE census (value, n_a, n_b) — at this
+    // corpus 150 rows; at 100 TB the cumulative-below pass over the
+    // value census would ride the radix-bucket two-stage discipline
+    // (QuantileQueries) instead of one ordered frame, and U is a sum
+    // of per-value products either way. No floats, no sqrt — the
+    // z-normalization is the reader's step, the engine reports the
+    // exact statistic.
     "ev_mann_whitney" -> ((s, dir) => {
       val perUser = perUserCents(s, dir).withColumn("arm", armCol)
       val census = perUser.groupBy("v")
@@ -3787,8 +3794,12 @@ object EventQueries {
          |        CAST(sum(cb) AS BIGINT) AS nb FROM census),
          |taus AS (
          |  SELECT tau, na, nb,
-         |    (tau * na + 99) // 100 AS ra,
-         |    (tau * nb + 99) // 100 AS rb
+         |    CASE WHEN na >= 1 THEN (tau * na + 99) // 100
+         |      ELSE CAST(error('ev_qte: arm a is empty') AS BIGINT)
+         |    END AS ra,
+         |    CASE WHEN nb >= 1 THEN (tau * nb + 99) // 100
+         |      ELSE CAST(error('ev_qte: arm b is empty') AS BIGINT)
+         |    END AS rb
          |  FROM (SELECT unnest([25, 50, 75, 90]::BIGINT[]) AS tau), tot),
          |qa AS (SELECT t.tau, min(c.v) AS q_a_cents
          |       FROM taus t JOIN cum c ON c.cuma >= t.ra GROUP BY 1),

@@ -75,6 +75,20 @@ object SketchQueries {
   val CmsRows = 4
   val CmsBuckets = 16
 
+  /** The (r, b, c) count-min cell table of a frame exposing an md5
+    * column `h` — hex nibble i+1 of the ONE digest is row i's bucket.
+    * One definition of the geometry: sk_cms_heavy, sk_cms_merge and
+    * sk_cms_join_size all build their tables here, so a geometry
+    * change cannot be applied to one sketch and not another.
+    */
+  private def cmsCellTable(hashed: DataFrame): DataFrame = hashed
+    .select(explode(array((0 until CmsRows).map(i =>
+      struct(lit(i).as("r"),
+        conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as("b"))): _*))
+      .as("cell"))
+    .select(col("cell.r").as("r"), col("cell.b").as("b"))
+    .groupBy("r", "b").agg(count(lit(1)).as("c"))
+
   /** KMV: distinct-count estimate from the k = 64 smallest 52-bit
     * hashes; est = (k−1)·2⁵² / h_(k) (the classic k-minimum-values
     * unbiased form, integer-floored by this spec).
@@ -270,12 +284,7 @@ object SketchQueries {
             .as("cell"))
         .select(col("key"), col("exact_cnt"),
           col("cell.r").as("r"), col("cell.b").as("b"))
-      val cells = w.select(explode(array((0 until CmsRows).map(i =>
-          struct(lit(i).as("r"),
-            conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as("b"))): _*))
-          .as("cell"))
-        .select(col("cell.r").as("r"), col("cell.b").as("b"))
-        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val cells = cmsCellTable(w)
       val top = w.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("key").asc).limit(10)
       cellsOf(top.withColumn("h", md5(col("key"))))
@@ -293,15 +302,9 @@ object SketchQueries {
     // 100 TB this is how a stored per-shard CMS absorbs a new shard:
     // 64 numbers added to 64 numbers.
     "sk_cms_merge" -> ((s, dir) => {
-      def cellsOf(docs: DataFrame): DataFrame = docs
+      def cellsOf(docs: DataFrame): DataFrame = cmsCellTable(docs
         .select(explode(TextOps.tokens(col("text"))).as("key"))
-        .withColumn("h", md5(col("key")))
-        .select(explode(array((0 until CmsRows).map(i =>
-            struct(lit(i).as("r"),
-              conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as("b"))): _*))
-          .as("cell"))
-        .select(col("cell.r").as("r"), col("cell.b").as("b"))
-        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+        .withColumn("h", md5(col("key"))))
       def h = substring(md5(col("doc_id").cast("string")), 1, 1)
       val docs = Tables.documents(s, dir)
       cellsOf(docs.filter(h < "8"))
@@ -458,39 +461,43 @@ object SketchQueries {
     // correction (w·ip − |A|·|B|)/(w−1) removes the expected
     // collision term per row and the MEDIAN across the 4 rows is the
     // unbiased point estimate a planner actually uses (94× off → ~1×
-    // at this width, measured). All products DECIMAL/HUGEINT-routed
-    // (cell × cell reaches ~|A|·|B|/w — past BIGINT for corpus-scale
-    // joins); the corrected numerator can be NEGATIVE, so its
-    // truncating division is spelled sign-explicitly and identically
-    // on both engines.
+    // at this width, measured). All products DECIMAL/HUGEINT-routed;
+    // the BIGINT output edge is NOT bounded — est_r ~ |A|·|B|/w, past
+    // int64 once |A|·|B| > 9.2·10¹⁸ — and deliberately FAILS LOUDLY
+    // there on both engines (ANSI cast / HUGEINT cast): a deployment
+    // joining >10⁹-row sides through this sketch must widen the
+    // output to DECIMAL or estimate on a sample, and the loud edge is
+    // what tells it so. The corrected numerator can be NEGATIVE, so
+    // its division truncates TOWARD ZERO, spelled sign-explicitly and
+    // identically on both engines.
     "sk_cms_join_size" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      def cms(df: DataFrame, keyCol: String): DataFrame = df
-        .select(md5(col(keyCol).cast("string")).as("h"))
-        .select(explode(array((0 until CmsRows).map(i =>
-          struct(lit(i).as("r"),
-            conv(substring(col("h"), i + 1, 1), 16, 10).cast("int")
-              .as("b"))): _*)).as("cell"))
-        .select(col("cell.r").as("r"), col("cell.b").as("b"))
-        .groupBy("r", "b").agg(count(lit(1)).as("c"))
-      val na = Tables.orders(s, dir).agg(count(lit(1)).as("n_a"))
-      val nb = Tables.customer(s, dir).agg(count(lit(1)).as("n_b"))
-      val estR = cms(Tables.orders(s, dir), "o_custkey")
-        .withColumnRenamed("c", "ca")
-        .join(cms(Tables.customer(s, dir), "c_custkey")
-          .withColumnRenamed("c", "cb"), Seq("r", "b"))
+      def cms(df: DataFrame, keyCol: String): DataFrame =
+        cmsCellTable(df.select(md5(col(keyCol).cast("string")).as("h")))
+          .localCheckpoint(false) // counts + inner product reuse it
+      val cmsA = cms(Tables.orders(s, dir), "o_custkey")
+      val cmsB = cms(Tables.customer(s, dir), "c_custkey")
+      // insertion counts come from the sketches themselves (any one
+      // row's cells sum to them) — no extra source scan
+      def nOf(cells: DataFrame, name: String) =
+        cells.filter(col("r") === 0).agg(sum(col("c")).as(name))
+      val estR = cmsA.withColumnRenamed("c", "ca")
+        .join(cmsB.withColumnRenamed("c", "cb"), Seq("r", "b"))
         .groupBy("r")
         .agg(expr("CAST(sum(CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)")
           .as("est_r"))
-        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .crossJoin(broadcast(nOf(cmsA, "n_a")))
+        .crossJoin(broadcast(nOf(cmsB, "n_b")))
         .withColumn("corr_num", expr(
-          "CAST(16 * CAST(est_r AS DECIMAL(38,0)) " +
+          s"CAST($CmsBuckets * CAST(est_r AS DECIMAL(38,0)) " +
             "- CAST(n_a AS DECIMAL(38,0)) * n_b AS BIGINT)"))
         .withColumn("unbiased_r", expr(
-          "CASE WHEN corr_num >= 0 THEN corr_num DIV 15 " +
-            "ELSE -((-corr_num) DIV 15) END"))
-      // median of the 4 per-row estimates = floored mean of the two
-      // middle order statistics (the 4-row frame is broadcast-scale)
+          s"CASE WHEN corr_num >= 0 THEN corr_num DIV ${CmsBuckets - 1} " +
+            s"ELSE -((-corr_num) DIV ${CmsBuckets - 1}) END"))
+        .localCheckpoint(false) // three consumers: select, min, median
+      // median of the 4 per-row estimates = mean of the two middle
+      // order statistics, truncated toward zero like every signed
+      // division in this row (the 4-row frame is broadcast-scale)
       val wOrd = Window.orderBy(col("unbiased_r"), col("r"))
       val med = estR.withColumn("rk", row_number().over(wOrd))
         .filter(col("rk").isin(2, 3))
@@ -812,13 +819,13 @@ object SketchQueries {
          |  GROUP BY 1),
          |ub AS (
          |  SELECT er.r, er.est_r,
-         |    CAST(16 * CAST(er.est_r AS HUGEINT)
+         |    CAST($CmsBuckets * CAST(er.est_r AS HUGEINT)
          |      - CAST(nn.n_a AS HUGEINT) * nn.n_b AS BIGINT) AS corr_num
          |  FROM er CROSS JOIN nn),
          |ue AS (
          |  SELECT r, est_r,
-         |    CASE WHEN corr_num >= 0 THEN corr_num // 15
-         |         ELSE -((-corr_num) // 15) END AS unbiased_r
+         |    CASE WHEN corr_num >= 0 THEN corr_num // ${CmsBuckets - 1}
+         |         ELSE -((-corr_num) // ${CmsBuckets - 1}) END AS unbiased_r
          |  FROM ub),
          |md AS (
          |  SELECT CAST(CASE WHEN sum(unbiased_r) >= 0
