@@ -609,6 +609,37 @@ object StarQueries2 {
         .orderBy("o_orderkey")
     }),
 
+    // IGNORE NULLS window navigation — the LOCF/NOCB pair (last/next
+    // observation carried forward/backward), THE warehouse gap-fill
+    // idiom plain lag/lead can't express (they step a fixed offset,
+    // nulls included): every event is annotated with the user's most
+    // recent purchase amount before it and the next one after it,
+    // via last(ignoreNulls) over the preceding frame and
+    // first(ignoreNulls) over the strictly-following frame. Amounts
+    // in integer cents (the monetary convention); (ts, event_id) is
+    // a total order so the carried values are engine-exact. NULL
+    // before a user's first / after their last purchase is the honest
+    // output. One partitioned window pass — the LOCF plan at any
+    // scale.
+    "q_window_ignore_nulls" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "purchase",
+            expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)"))
+            .as("p_cents"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+      base.select(col("event_id"), col("user_id"),
+          last(col("p_cents"), ignoreNulls = true).over(wPrev)
+            .as("locf_cents"),
+          first(col("p_cents"), ignoreNulls = true).over(wNext)
+            .as("nocb_cents"))
+        .orderBy("event_id")
+    }),
+
     // Column profiling — the other data-profiling staple: one summary
     // row per column (rows, non-nulls, distincts, min/max). Numeric
     // extremes go through DECIMAL(18,2) before stringifying so both
@@ -1064,6 +1095,23 @@ object StarQueries2 {
         |FROM orders WHERE o_orderkey < 3000
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_window_ignore_nulls" ->
+      """SELECT event_id, user_id,
+        |  last_value(p_cents IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS locf_cents,
+        |  first_value(p_cents IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |    AS nocb_cents
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)
+        |    END AS p_cents
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
     "q_ntile" ->
       """WITH cuts AS (
         |  SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS c1,
