@@ -1587,6 +1587,45 @@ object Similarity {
           Agg.dsum(col("para2")).as("sum_para2"),
           Agg.dsum(col("orth2")).as("sum_orth2"))
         .orderBy("cent_id")
+    }),
+
+    // RESIDUAL-CODED PQ (round 12) — the production IVF-PQ detail
+    // ss_ivfpq_search composes but does not exercise: FAISS-style
+    // indexes quantize the RESIDUAL x − c(x) against the coarse
+    // centroid, not x itself, because within-cell residuals have less
+    // variance than raw vectors and the same byte budget buys less
+    // distortion. This row trains a second codebook set on the
+    // IVF-residuals (same 2-round Lloyd over 8 subspaces — the
+    // pqTrainedCb machinery, generic over its dims frame) and reports
+    // the trained total distortion of BOTH codings plus the signed
+    // gain in ppm — measured, not asserted (on near-isotropic
+    // synthetic embeddings the win is modest; the row prices it
+    // honestly, and the spec pins only the sign on this corpus).
+    // Scale: the residual reshape is one broadcast-join pass over the
+    // dims; training cost is identical to ss_pq_train.
+    "ss_pq_residual" -> ((s, dir) => {
+      val (cents, asg) = trainedIvf(s, dir)
+      val rdims = kmDims(s, dir).join(asg, "vec_id")
+        .join(broadcast(cents), Seq("cent_id", "dim"))
+        .select(col("vec_id"),
+          expr("CAST((dim - 1) DIV 8 AS INT)").as("s"),
+          expr("CAST((dim - 1) % 8 AS INT)").as("j"),
+          (col("x") - col("c")).as("x"))
+        .localCheckpoint(false)
+      val resTot = pqCodesOf(pqDistOf(rdims, pqTrainedCb(rdims)))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("dist_micro")).as("res_dist_micro"))
+      val (_, rawCodes, _) = pqParts(s, dir)
+      val rawTot = rawCodes.agg(sum(col("dist_micro")).as("raw_dist_micro"))
+      resTot.crossJoin(broadcast(rawTot))
+        .withColumn("gain_ppm", expr(
+          "CAST(CASE WHEN raw_dist_micro >= res_dist_micro THEN " +
+            "((CAST(raw_dist_micro AS DECIMAL(38,0)) - res_dist_micro) " +
+            "* 1000000) DIV raw_dist_micro " +
+            "ELSE -(((CAST(res_dist_micro AS DECIMAL(38,0)) " +
+            "- raw_dist_micro) * 1000000) DIV raw_dist_micro) " +
+            "END AS BIGINT)"))
+        .select("n_cells", "raw_dist_micro", "res_dist_micro", "gain_ppm")
     })
   )
 
@@ -1754,54 +1793,68 @@ object Similarity {
     * loop and this unrolled chain share every op tree, so all doubles
     * and micro-integers are bit-equal.
     */
-  private val pqCtes: String = {
+  /** One PQ Lloyd chain — seed → [[PqTrainRounds]] rounds → trained
+    * dist + codes — over a caller-supplied `d` relation body
+    * (vec_id, s, j, x), every CTE name carrying prefix `q` so two
+    * chains compose in one statement (ss_pq_residual runs the raw
+    * and the IVF-residual chains side by side).
+    */
+  private def pqChainSql(q: String, dBody: String): String = {
     val head =
-      """WITH d AS MATERIALIZED (
-        |  SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
-        |    CAST((i - 1) % 8 AS INT) AS j, e[i] AS x
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |       UNNEST(range(1, len(e) + 1)) AS u(i)),
-        |pc0 AS MATERIALIZED (SELECT vec_id AS cent_id, s, j, x AS c FROM d WHERE vec_id < 8)""".stripMargin
+      s"""${q}d AS MATERIALIZED ($dBody),
+         |${q}pc0 AS MATERIALIZED (SELECT vec_id AS cent_id, s, j, x AS c FROM ${q}d WHERE vec_id < 8)""".stripMargin
     val rounds = (1 to PqTrainRounds).map { r =>
-      s"""pd$r AS MATERIALIZED (
+      s"""${q}pd$r AS MATERIALIZED (
          |  SELECT d.vec_id, cent_id, d.s,
          |    CAST(sum(CAST(floor((d.x - p.c) * (d.x - p.c) * 1000000000000.0)
          |      AS BIGINT)) AS BIGINT) AS dm
-         |  FROM d JOIN pc${r - 1} p ON d.s = p.s AND d.j = p.j
+         |  FROM ${q}d d JOIN ${q}pc${r - 1} p ON d.s = p.s AND d.j = p.j
          |  GROUP BY 1, 2, 3),
-         |pa$r AS MATERIALIZED (
+         |${q}pa$r AS MATERIALIZED (
          |  SELECT vec_id, s, cent_id FROM (
          |    SELECT vec_id, s, cent_id,
          |      row_number() OVER (PARTITION BY vec_id, s
          |        ORDER BY dm, cent_id) AS rn
-         |    FROM pd$r) WHERE rn = 1),
-         |pm$r AS MATERIALIZED (
+         |    FROM ${q}pd$r) WHERE rn = 1),
+         |${q}pm$r AS MATERIALIZED (
          |  SELECT a.cent_id, d.s, d.j,
          |    CAST(sum(CAST(floor(d.x * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
          |    count(*) AS n
-         |  FROM d JOIN pa$r a ON d.vec_id = a.vec_id AND d.s = a.s
+         |  FROM ${q}d d JOIN ${q}pa$r a ON d.vec_id = a.vec_id AND d.s = a.s
          |  GROUP BY 1, 2, 3),
-         |pc$r AS MATERIALIZED (
+         |${q}pc$r AS MATERIALIZED (
          |  SELECT p.cent_id, p.s, p.j,
          |    COALESCE(CAST(m.sm AS DOUBLE) / m.n / CAST(1000000.0 AS DOUBLE), p.c) AS c
-         |  FROM pc${r - 1} p LEFT JOIN pm$r m
+         |  FROM ${q}pc${r - 1} p LEFT JOIN ${q}pm$r m
          |    ON p.cent_id = m.cent_id AND p.s = m.s AND p.j = m.j)""".stripMargin
     }
     val fin =
-      s"""dist AS MATERIALIZED (
+      s"""${q}dist AS MATERIALIZED (
          |  SELECT d.vec_id, cent_id, d.s,
          |    CAST(sum(CAST(floor((d.x - p.c) * (d.x - p.c) * 1000000000000.0)
          |      AS BIGINT)) AS BIGINT) AS dist_micro
-         |  FROM d JOIN pc$PqTrainRounds p ON d.s = p.s AND d.j = p.j
+         |  FROM ${q}d d JOIN ${q}pc$PqTrainRounds p ON d.s = p.s AND d.j = p.j
          |  GROUP BY 1, 2, 3),
-         |codes AS MATERIALIZED (
+         |${q}codes AS MATERIALIZED (
          |  SELECT vec_id, s, cent_id AS code, dist_micro FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
          |      ORDER BY dist_micro, cent_id) AS rn
-         |    FROM dist)
+         |    FROM ${q}dist)
          |  WHERE rn = 1)""".stripMargin
     ((head +: rounds) :+ fin).mkString(",\n")
   }
+
+  /** The raw-vector `d` reshape of [[pqChainSql]] — embeddings cut
+    * into 8 subspaces of 8 dims.
+    */
+  private val pqRawDBody: String =
+    """
+      |  SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
+      |    CAST((i - 1) % 8 AS INT) AS j, e[i] AS x
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |       UNNEST(range(1, len(e) + 1)) AS u(i)""".stripMargin
+
+  private val pqCtes: String = "WITH " + pqChainSql("", pqRawDBody)
 
   /** DuckDB mirror of [[trainedCents]]: cd = long-format dims, c0 =
     * the seed, then [[KmTrainRounds]] unrolled Lloyd rounds
@@ -2863,6 +2916,35 @@ object Similarity {
          |    ORDER BY cos4 DESC, vec_id ASC) AS INT) AS rank,
          |  vec_id, cos4
          |FROM bm$BeamSteps ORDER BY query_id, rank""".stripMargin
+    },
+
+    // both chains in one statement: the raw PQ CTEs (unprefixed, the
+    // ss_pq_train relations), the Lloyd + trained-assignment chain,
+    // and the r-prefixed residual PQ chain over (cd.x − trained c)
+    "ss_pq_residual" -> {
+      val residualDBody =
+        s"""
+           |  SELECT cd.vec_id, CAST((cd.dim - 1) // 8 AS INT) AS s,
+           |    CAST((cd.dim - 1) % 8 AS INT) AS j, cd.x - p.c AS x
+           |  FROM cd JOIN asg USING (vec_id)
+           |  JOIN c$KmTrainRounds p
+           |    ON p.cent_id = asg.cent_id AND p.dim = cd.dim""".stripMargin
+      s"""$pqCtes,
+         |$trainedAssignCtes,
+         |${pqChainSql("r", residualDBody)},
+         |rt AS (SELECT count(*)::BIGINT AS n_cells,
+         |         CAST(sum(dist_micro) AS BIGINT) AS res_dist_micro
+         |       FROM rcodes),
+         |wt AS (SELECT CAST(sum(dist_micro) AS BIGINT) AS raw_dist_micro
+         |       FROM codes)
+         |SELECT rt.n_cells, wt.raw_dist_micro, rt.res_dist_micro,
+         |  CAST(CASE WHEN wt.raw_dist_micro >= rt.res_dist_micro THEN
+         |    ((CAST(wt.raw_dist_micro AS HUGEINT) - rt.res_dist_micro)
+         |      * 1000000) // wt.raw_dist_micro
+         |  ELSE -(((CAST(rt.res_dist_micro AS HUGEINT)
+         |      - wt.raw_dist_micro) * 1000000) // wt.raw_dist_micro)
+         |  END AS BIGINT) AS gain_ppm
+         |FROM rt CROSS JOIN wt""".stripMargin
     },
 
     // same op tree: three dot products, Pythagoras split, dsum edges
