@@ -53,13 +53,11 @@ object EventQueries {
     */
   val PowerZSumSqMicro = 7848878L
 
-  /** THE cents convention of every monetary row (floor(value·100) —
-    * value is non-negative in this corpus, so floor ≡ truncation and
-    * plain DIV on sums stays floor-safe). One definition: a rounding
-    * or scale change must not be applied five times.
+  /** THE cents convention of every monetary row — delegates to the
+    * shared [[Agg.centsOf]] (one definition across modules).
     */
   private def centsCol: org.apache.spark.sql.Column =
-    expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)")
+    Agg.centsOf(col("value"))
 
   /** Per-user total spend in cents — the metric frame shared by
     * ev_mann_whitney and ev_power_mde (CUPED/DiD split it pre/post and

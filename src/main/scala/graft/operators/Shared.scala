@@ -13,6 +13,15 @@ object Agg {
     * back to double (see SCALE.md determinism rules).
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** THE cents convention of every monetary row: floor(value·100) as
+    * BIGINT (value is non-negative in this corpus, so floor ≡
+    * truncation and plain DIV on sums stays floor-safe). One
+    * definition — a rounding or scale change must not be applied N
+    * times across modules.
+    */
+  def centsOf(value: Column): Column =
+    floor(value * lit(100.0).cast("double")).cast("long")
 }
 
 object Vec {

@@ -167,13 +167,26 @@ object Similarity {
   private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     cached(s, dir, "pq")(pqPartsFresh(s, dir))
 
-  /** Cached trained-IVF pair: (long-format centroids, full assignment). */
-  private def trainedIvf(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  /** The (vec_id, dim, x) long-format dims, materialized once per
+    * (session, dir) — trainedIvf and the residual-PQ reshape both
+    * read it, and without the shared cache each paid its own
+    * embeddings scan + posexplode.
+    */
+  private def cachedKmDims(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "kmdims")(kmDims(s, dir).localCheckpoint(false))
+
+  /** Cached trained-IVF pair: (long-format centroids, full assignment).
+    * The dims cache is resolved BEFORE entering this entry's compute —
+    * nested computeIfAbsent on one ConcurrentHashMap is illegal (the
+    * CacheRegistry rule that bit in round 11).
+    */
+  private def trainedIvf(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val dims = cachedKmDims(s, dir)
     cached(s, dir, "ivf") {
-      val dims = kmDims(s, dir).localCheckpoint(false)
       val cents = trainedCents(dims)
       (cents, assignL2(dims, cents).localCheckpoint(false))
     }
+  }
 
   /** Rows per centroid in the edge-build training sample. */
   val TrainSamplePerCell = 50
@@ -191,12 +204,12 @@ object Similarity {
     * Used by the kNN edge build; the search queries keep the 4-cell
     * index their oracles unroll.
     */
-  private def sqrtIvfAssignment(s: SparkSession, dir: String): DataFrame =
+  private def sqrtIvfAssignment(s: SparkSession, dir: String): DataFrame = {
+    val dims = cachedKmDims(s, dir) // resolved outside the cache compute
     cached(s, dir, "ivfSqrt") {
       import org.apache.spark.sql.expressions.Window
       val n = Tables.embeddings(s, dir).count()
       val k = math.ceil(math.sqrt(n.toDouble)).toInt
-      val dims = kmDims(s, dir).localCheckpoint(false)
       // sample = first 50·k vectors in (md5(vec_id), vec_id) order;
       // seeds = the first k of the sample. The global window runs on
       // the (vec_id, h) projection only — at 100 TB this is the
@@ -216,6 +229,7 @@ object Similarity {
         .select(col("vec_id").as("cent_id"), col("dim"), col("x").as("c"))
       assignL2(dims, lloydRounds(trainDims, cents0)).localCheckpoint(false)
     }
+  }
 
   /** The ss_ivf_nprobe body, parameterized by probe count: rank the
     * trained cells per query by the SAME exact micro-L2 the assignment
@@ -1605,7 +1619,7 @@ object Similarity {
     // dims; training cost is identical to ss_pq_train.
     "ss_pq_residual" -> ((s, dir) => {
       val (cents, asg) = trainedIvf(s, dir)
-      val rdims = kmDims(s, dir).join(asg, "vec_id")
+      val rdims = cachedKmDims(s, dir).join(asg, "vec_id")
         .join(broadcast(cents), Seq("cent_id", "dim"))
         .select(col("vec_id"),
           expr("CAST((dim - 1) DIV 8 AS INT)").as("s"),

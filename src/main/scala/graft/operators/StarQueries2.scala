@@ -612,30 +612,36 @@ object StarQueries2 {
     // IGNORE NULLS window navigation — the LOCF/NOCB pair (last/next
     // observation carried forward/backward), THE warehouse gap-fill
     // idiom plain lag/lead can't express (they step a fixed offset,
-    // nulls included): every event is annotated with the user's most
-    // recent purchase amount before it and the next one after it,
-    // via last(ignoreNulls) over the preceding frame and
-    // first(ignoreNulls) over the strictly-following frame. Amounts
-    // in integer cents (the monetary convention); (ts, event_id) is
+    // nulls included): every event is annotated with the user's
+    // purchase amount AT-OR-BEFORE it (a purchase row carries its own
+    // amount) and the one STRICTLY AFTER it. Amounts in integer cents
+    // (Agg.centsOf — the one monetary convention); (ts, event_id) is
     // a total order so the carried values are engine-exact. NULL
     // before a user's first / after their last purchase is the honest
-    // output. One partitioned window pass — the LOCF plan at any
-    // scale.
+    // output. Scale note with teeth: Spark evaluates a
+    // (k FOLLOWING, UNBOUNDED FOLLOWING) frame NON-incrementally —
+    // O(m²) per m-event partition — so the NOCB leg runs as a
+    // DESCENDING-order growing frame ending at −1 (value-identical:
+    // "last non-null strictly before me in reverse order" IS "first
+    // non-null strictly after me"), which Spark streams in one
+    // incremental pass; the oracle keeps the declarative
+    // strictly-following form.
     "q_window_ignore_nulls" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"),
-          when(col("event_type") === "purchase",
-            expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)"))
+          when(col("event_type") === "purchase", Agg.centsOf(col("value")))
             .as("p_cents"))
-      val ord = Window.partitionBy(col("user_id"))
+      val wPrev = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val wPrev = ord.rowsBetween(Window.unboundedPreceding, 0)
-      val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNextRev = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
       base.select(col("event_id"), col("user_id"),
           last(col("p_cents"), ignoreNulls = true).over(wPrev)
             .as("locf_cents"),
-          first(col("p_cents"), ignoreNulls = true).over(wNext)
+          last(col("p_cents"), ignoreNulls = true).over(wNextRev)
             .as("nocb_cents"))
         .orderBy("event_id")
     }),

@@ -241,10 +241,11 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(row.getLong(row.fieldIndex("n_cells")) == nVecs * 8,
       "every (vector, subspace) cell must be coded exactly once")
     assert(row.getLong(row.fieldIndex("res_dist_micro")) > 0L)
-    // NOT a theorem at 2 Lloyd rounds — an EMPIRICAL pin (3.7% gain
-    // at sf0.01, measured): within-cell residuals have less variance
-    // than raw vectors, so the same byte budget buys less distortion.
-    // A testdata refresh can move this; re-measure before weakening.
+    // NOT a theorem at 2 Lloyd rounds — an EMPIRICAL pin measured on
+    // BOTH corpora (positive here at sf0.001; 3.7% at sf0.01):
+    // within-cell residuals have less variance than raw vectors, so
+    // the same byte budget buys less distortion. A testdata refresh
+    // can move this; re-measure before weakening.
     assert(row.getLong(row.fieldIndex("gain_ppm")) > 0L,
       "residual PQ did not beat raw PQ — re-measure the corpus")
   }
