@@ -1634,10 +1634,10 @@ object Similarity {
       resTot.crossJoin(broadcast(rawTot))
         .withColumn("gain_ppm", expr(
           "CAST(CASE WHEN raw_dist_micro >= res_dist_micro THEN " +
-            "((CAST(raw_dist_micro AS DECIMAL(38,0)) - res_dist_micro) " +
-            "* 1000000) DIV raw_dist_micro " +
-            "ELSE -(((CAST(res_dist_micro AS DECIMAL(38,0)) " +
-            "- raw_dist_micro) * 1000000) DIV raw_dist_micro) " +
+            "((CAST(raw_dist_micro AS DECIMAL(38,0)) - res_dist_micro) * 1000000) " +
+            "DIV raw_dist_micro " +
+            "ELSE -(((CAST(res_dist_micro AS DECIMAL(38,0)) - raw_dist_micro) * 1000000) " +
+            "DIV raw_dist_micro) " +
             "END AS BIGINT)"))
         .select("n_cells", "raw_dist_micro", "res_dist_micro", "gain_ppm")
     })
@@ -2953,10 +2953,10 @@ object Similarity {
          |       FROM codes)
          |SELECT rt.n_cells, wt.raw_dist_micro, rt.res_dist_micro,
          |  CAST(CASE WHEN wt.raw_dist_micro >= rt.res_dist_micro THEN
-         |    ((CAST(wt.raw_dist_micro AS HUGEINT) - rt.res_dist_micro)
-         |      * 1000000) // wt.raw_dist_micro
-         |  ELSE -(((CAST(rt.res_dist_micro AS HUGEINT)
-         |      - wt.raw_dist_micro) * 1000000) // wt.raw_dist_micro)
+         |    ((CAST(wt.raw_dist_micro AS HUGEINT) - rt.res_dist_micro) * 1000000)
+         |      // wt.raw_dist_micro
+         |  ELSE -(((CAST(rt.res_dist_micro AS HUGEINT) - wt.raw_dist_micro) * 1000000)
+         |      // wt.raw_dist_micro)
          |  END AS BIGINT) AS gain_ppm
          |FROM rt CROSS JOIN wt""".stripMargin
     },
