@@ -72,6 +72,35 @@ object SourceQueries {
         .orderBy("file")
     }),
 
+    // COLUMN-STATISTICS AUDIT over the same landing — the other half
+    // of the footer contract: src_parquet_meta proves the footers'
+    // ROW COUNTS, this row proves their MIN/MAX CLAIMS, which are the
+    // substrate of every data-skipping decision (a scan that trusts a
+    // wrong footer bound silently drops rows; PLANS.md's PushedFilters
+    // evidence is only as good as these statistics). Spark side =
+    // the scan truth per file; the oracle reads the per-column-chunk
+    // statistics from the footers and folds them per file — equality
+    // says the skipping substrate tells the truth.
+    "src_parquet_stats" -> ((s, dir) => {
+      val out = graft.CacheRegistry.cached[String](
+          pqMetaCache, s, dir, "pqMetaLanding") {
+        val p = tmp("docs_pq_meta_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+        Tables.documents(s, dir)
+          .repartition(8, col("doc_id"))
+          .write.mode(SaveMode.Overwrite).parquet(p)
+        p
+      }
+      pqMetaLanding.set(out)
+      s.read.parquet(out)
+        .groupBy(regexp_extract(input_file_name(), "part-[0-9]+", 0)
+          .as("file"))
+        .agg(min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          min(col("doc_id")).cast("long").as("min_id"),
+          max(col("doc_id")).cast("long").as("max_id"))
+        .orderBy("file")
+    }),
+
     // CSV: header + quoted commas (n_comment contains free text).
     "src_csv_roundtrip" -> ((s, dir) => {
       val base = Tables.nation(s, dir)
@@ -358,6 +387,24 @@ object SourceQueries {
     * re-scan the data — the footer-vs-scan cross-check.
     */
   def oracleSql: Map[String, String] = staticOracleSql +
+    ("src_parquet_stats" ->
+      s"""WITH st AS (
+         |  SELECT regexp_extract(file_name, 'part-[0-9]+', 0) AS file,
+         |    path_in_schema,
+         |    CAST(stats_min_value AS BIGINT) AS mn,
+         |    CAST(stats_max_value AS BIGINT) AS mx
+         |  FROM parquet_metadata('${pqMetaLanding.get()}/*.parquet')
+         |  WHERE path_in_schema IN ('n_chars', 'doc_id'))
+         |SELECT file,
+         |  CAST(min(CASE WHEN path_in_schema = 'n_chars' THEN mn END)
+         |    AS BIGINT) AS min_chars,
+         |  CAST(max(CASE WHEN path_in_schema = 'n_chars' THEN mx END)
+         |    AS BIGINT) AS max_chars,
+         |  CAST(min(CASE WHEN path_in_schema = 'doc_id' THEN mn END)
+         |    AS BIGINT) AS min_id,
+         |  CAST(max(CASE WHEN path_in_schema = 'doc_id' THEN mx END)
+         |    AS BIGINT) AS max_id
+         |FROM st GROUP BY file ORDER BY file""".stripMargin) +
     ("src_parquet_meta" ->
       s"""WITH rg AS (
          |  -- parquet_metadata() is per COLUMN CHUNK: dedupe to one
