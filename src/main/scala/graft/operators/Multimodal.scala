@@ -613,6 +613,43 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // MORPHOLOGICAL EROSION — the third classical vision family after
+    // convolution (sobel) and labeling (blobs): a bright pixel
+    // survives iff it is INTERIOR (all four 4-neighbors in bounds)
+    // and its full 4-neighborhood is bright — the noise-strip /
+    // boundary-peel primitive that turns a speckled mask into its
+    // core (one erode before blob counting kills 1-pixel noise).
+    // Pure boolean integer logic on the same decode map as every
+    // image row; the oracle re-derives each neighborhood test from
+    // raster-position arithmetic (the sobel pattern). Survivors are
+    // a subset of bright by construction — the census shows the peel.
+    "mm_pgm_erode" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val px = PgmCodec.decode(PgmCodec.encode(payload)).pixels
+          val n = px.length
+          val h = n / 8
+          def bright(i: Int) = (px(i) & 0xff) >= 115
+          var nBright = 0L
+          var nEroded = 0L
+          var i = 0
+          while (i < n) {
+            if (bright(i)) {
+              nBright += 1
+              val (x, y) = (i % 8, i / 8)
+              if (x > 0 && x < 7 && y > 0 && y < h - 1 &&
+                  bright(i - 1) && bright(i + 1) &&
+                  bright(i - 8) && bright(i + 8)) nEroded += 1
+            }
+            i += 1
+          }
+          (id, nBright, nEroded, nBright - nEroded)
+        })
+        .toDF("doc_id", "n_bright", "n_survivors", "n_peeled")
+        .orderBy("doc_id")
+    }),
+
     // BLOB LABELING — per-image connected components over bright
     // pixels (threshold 115, 4-connectivity): the object-counting
     // primitive of every vision pipeline (count regions, reject
@@ -1720,6 +1757,34 @@ object Multimodal {
          |  COALESCE(a.silent_in_spans, 0)::BIGINT AS silent_in_spans
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // interior 4-neighborhood test by raster-position arithmetic
+    "mm_pgm_erode" ->
+      s"""WITH g AS (${rasterSql()}),
+         |px AS (
+         |  SELECT doc_id, i,
+         |    CAST(i % 8 AS BIGINT) AS x, CAST(i // 8 AS BIGINT) AS y, h,
+         |    CASE WHEN ord(substring(raster, CAST(i + 1 AS INT), 1)) >= 115
+         |         THEN 1 ELSE 0 END AS b,
+         |    CASE WHEN i % 8 > 0 AND ord(substring(raster,
+         |           CAST(i AS INT), 1)) >= 115 THEN 1 ELSE 0 END AS bl,
+         |    CASE WHEN i % 8 < 7 AND ord(substring(raster,
+         |           CAST(i + 2 AS INT), 1)) >= 115 THEN 1 ELSE 0 END AS br,
+         |    CASE WHEN i >= 8 AND ord(substring(raster,
+         |           CAST(i - 7 AS INT), 1)) >= 115 THEN 1 ELSE 0 END AS bu,
+         |    CASE WHEN i < 8 * (h - 1) AND ord(substring(raster,
+         |           CAST(i + 9 AS INT), 1)) >= 115 THEN 1 ELSE 0 END AS bd
+         |  FROM g, UNNEST(range(0, 8 * h)) AS u(i))
+         |SELECT doc_id,
+         |  CAST(sum(b) AS BIGINT) AS n_bright,
+         |  CAST(sum(CASE WHEN b = 1 AND x > 0 AND x < 7
+         |      AND y > 0 AND y < h - 1
+         |      AND bl = 1 AND br = 1 AND bu = 1 AND bd = 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+         |  CAST(sum(b) - sum(CASE WHEN b = 1 AND x > 0 AND x < 7
+         |      AND y > 0 AND y < h - 1
+         |      AND bl = 1 AND br = 1 AND bu = 1 AND bd = 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_peeled
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the dd_clusters recursive min-label CTE, per image: self-loop +
     // 4-neighbor edges over threshold-115 pixels, min label to a fixed
     // point, census + min-pid checksum per blob
