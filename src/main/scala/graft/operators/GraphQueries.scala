@@ -176,6 +176,72 @@ object GraphQueries {
     pr.select(col("id"), col("pr"))
   }
 
+  val HitsRounds = 4 // fixed HITS rounds (same doctrine as [[Iters]])
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    * list — the second classical link-analysis model next to PageRank,
+    * and the one that separates the two roles PageRank conflates: on
+    * the near-dup endorsement graph (doc_a → doc_b, earlier doc
+    * endorses later duplicate) a high HUB is an early template many
+    * later docs copy, a high AUTHORITY is a late aggregation stitched
+    * from many earlier sources — exactly the two boilerplate shapes a
+    * corpus audit wants told apart.
+    *
+    * Update: a′(v) = Σ_{u→v} h(u), then h′(u) = Σ_{u→v} a′(v) (the
+    * standard in-round ordering), each side re-normalized to max = 10⁶
+    * (L∞ instead of the textbook L2 — L2 needs a sqrt; L∞ keeps the
+    * whole fixed point in exact integers and the RANKING identical,
+    * since normalization is a positive scalar either way). The
+    * normalizing product is DECIMAL(38,0)/HUGEINT-routed (raw sums are
+    * node-count-bounded ≈ 2·10¹⁶ at 100 TB — in range, but ·10⁶ is
+    * not), with a loud BIGINT cast at the ≤10⁶ output edge.
+    *
+    * Dataflow per round: two keyed join+aggregates (one per role) +
+    * two 1-row max aggregates broadcast back — the dd_pagerank loop
+    * shape with the same per-round localCheckpoint lineage cut. Nodes
+    * without in-edges hold authority 0, without out-edges hub 0 (true
+    * zeros of the model, not artifacts).
+    */
+  def hitsMicro(edgesIn: DataFrame, iters: Int = HitsRounds): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    // raw → max-normalized micro frame; mx ≥ 0 always, greatest(,1)
+    // only guards the all-zero frame (empty edge side)
+    def norm(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(coalesce(max(col("r")), lit(0L)).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"), expr(
+          "CAST((CAST(r AS DECIMAL(38,0)) * 1000000) " +
+            "DIV greatest(mx, CAST(1 AS BIGINT)) AS BIGINT)").as("v"))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.select(col("id"), lit(1000000L).as("v"))
+      .localCheckpoint(true)
+    var auth = hub
+    for (_ <- 1 to iters) {
+      val ar = nodes.join(
+          edges.join(hub.withColumnRenamed("id", "hid"),
+              col("src") === col("hid"))
+            .groupBy(col("dst").as("id")).agg(sum(col("v")).as("s")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("r"))
+      auth = norm(ar)
+      val hr = nodes.join(
+          edges.join(auth.withColumnRenamed("id", "aid"),
+              col("dst") === col("aid"))
+            .groupBy(col("src").as("id")).agg(sum(col("v")).as("s")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("r"))
+      hub = norm(hr)
+    }
+    auth.withColumnRenamed("v", "auth_micro")
+      .join(hub.withColumnRenamed("v", "hub_micro"), "id")
+      .select(col("id").as("doc_id"), col("auth_micro"), col("hub_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Exact triangle count over an undirected (doc_a, doc_b) pair list
     * using degree orientation: every edge is directed from its lower-
     * to its higher-degree endpoint (ties broken by id), wedges are
@@ -306,6 +372,12 @@ object GraphQueries {
     "dd_triangles" -> ((s, dir) =>
       triangleCount(Dedup.verifiedPairs(s, dir, dedup = true)
         .select(col("doc_a"), col("doc_b")))),
+
+    // HITS on the same directed endorsement graph as
+    // dd_pagerank_directed — see [[hitsMicro]].
+    "dd_hits" -> ((s, dir) =>
+      hitsMicro(Dedup.verifiedPairs(s, dir, dedup = true)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))),
 
     // ADAMIC–ADAR LINK PREDICTION over the mutual-kNN graph: for
     // every non-edge pair with ≥1 common neighbor, AA(u,w) =
@@ -482,6 +554,39 @@ object GraphQueries {
          |FROM e e1
          |JOIN e e2 ON e1.b = e2.a
          |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    // Unrolled HITS rounds: per round, raw authority sums (ar) →
+    // max-normalized micro (a) → raw hub sums off the NEW a (hr) →
+    // normalized h; HUGEINT mirrors the Spark DECIMAL(38,0) routing
+    // token for token.
+    "dd_hits" -> {
+      def round(prevH: String, r: Int) =
+        s"""ar$r AS MATERIALIZED (
+           |  SELECT n.id, COALESCE(c.s, 0) AS r FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.v) AS s
+           |    FROM edges e JOIN $prevH p ON e.src = p.id
+           |    GROUP BY e.dst) c ON n.id = c.id),
+           |a$r AS MATERIALIZED (
+           |  SELECT id, CAST((CAST(r AS HUGEINT) * 1000000) //
+           |    greatest((SELECT max(r) FROM ar$r), 1) AS BIGINT) AS v
+           |  FROM ar$r),
+           |hr$r AS MATERIALIZED (
+           |  SELECT n.id, COALESCE(c.s, 0) AS r FROM nodes n LEFT JOIN (
+           |    SELECT e.src AS id, sum(p.v) AS s
+           |    FROM edges e JOIN a$r p ON e.dst = p.id
+           |    GROUP BY e.src) c ON n.id = c.id),
+           |h$r AS MATERIALIZED (
+           |  SELECT id, CAST((CAST(r AS HUGEINT) * 1000000) //
+           |    greatest((SELECT max(r) FROM hr$r), 1) AS BIGINT) AS v
+           |  FROM hr$r)""".stripMargin
+      s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS v FROM nodes),
+         |${(1 to HitsRounds).map(i => round(s"h${i - 1}", i)).mkString(",\n")}
+         |SELECT a.id AS doc_id, a.v AS auth_micro, h.v AS hub_micro
+         |FROM a$HitsRounds a JOIN h$HitsRounds h USING (id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "ss_adamic_adar" ->
       s"""WITH RECURSIVE ${Similarity.ivfKnnEdgesCtes(3)},

@@ -894,6 +894,45 @@ object Similarity {
         .orderBy("cent_id")
     }),
 
+    // SILHOUETTE cluster-validity score over the trained IVF
+    // assignment — the standard "is k right / did training separate
+    // anything" readout (Rousseeuw 1987), in its SIMPLIFIED
+    // centroid-distance form (Hruschka et al.): a(i) = squared-L2 to
+    // the OWN centroid, b(i) = min squared-L2 to any OTHER centroid,
+    // s(i) = (b−a)/max(a,b). The pairwise-distance original is O(n²)
+    // and exists only as an audit at toy scale; the centroid form is
+    // O(n·k) — one broadcast join against the k·d codebook, the same
+    // relation the assignment itself computed, which is why it's THE
+    // production clustering-health metric. Distances stay the exact
+    // micro-integers of l2VecDist; s(i) lands in ppm via a
+    // DECIMAL(38,0)-routed cross-multiply (dm ≤ 2.6·10¹⁴ at unit
+    // scale, so dm·10⁶ overflows BIGINT — the MicroDomainLintSpec
+    // class). Because assignment IS nearest-centroid, b ≥ a and every
+    // s(i) ∈ [0, 10⁶] — a boundary point scores 0, a well-separated
+    // one → 10⁶; per-cell mean + min expose both the cell's health
+    // and its worst member. max(a,b) = 0 (a vector exactly ON two
+    // centroids) resolves to 0 on both engines rather than dividing.
+    "ss_silhouette" -> ((s, dir) => {
+      val (cents, asg) = trainedIvf(s, dir)
+      val dist = l2VecDist(cachedKmDims(s, dir), cents)
+      val own = asg.join(dist, Seq("vec_id", "cent_id"))
+        .select(col("vec_id"), col("cent_id"), col("dm").as("a_dm"))
+      val oth = dist
+        .join(asg.withColumnRenamed("cent_id", "own_cent"), "vec_id")
+        .filter(col("cent_id") =!= col("own_cent"))
+        .groupBy("vec_id").agg(min(col("dm")).as("b_dm"))
+      own.join(oth, "vec_id")
+        .withColumn("sp", expr(
+          """CASE WHEN greatest(a_dm, b_dm) = 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST((CAST(b_dm - a_dm AS DECIMAL(38,0)) * 1000000)
+            |     DIV greatest(a_dm, b_dm) AS BIGINT) END""".stripMargin))
+        .groupBy("cent_id")
+        .agg(count(lit(1)).as("n_vec"),
+          expr("sum(sp) DIV count(1)").as("mean_sil_ppm"),
+          min(col("sp")).as("min_sil_ppm"))
+        .orderBy("cent_id")
+    }),
+
     // The trained per-subspace PQ codebooks — PqTrainRounds Lloyd
     // rounds in each of the 8 subspaces at once (the subspace id just
     // rides the grouping keys; one job trains all 8 codebooks). This
@@ -2527,6 +2566,29 @@ object Similarity {
     "ss_kmeans_train" ->
       s"""WITH $lloydCtes
          |SELECT cent_id, dim, c FROM c$KmTrainRounds ORDER BY cent_id, dim""".stripMargin,
+    // ad = every (vector, trained centroid) micro-L2; own/other split
+    // by the asg assignment; HUGEINT mirrors the DECIMAL(38,0) routing.
+    "ss_silhouette" ->
+      s"""WITH $trainedAssignCtes,
+         |own AS (
+         |  SELECT asg.vec_id, asg.cent_id, ad.dm AS a_dm
+         |  FROM asg JOIN ad
+         |    ON ad.vec_id = asg.vec_id AND ad.cent_id = asg.cent_id),
+         |oth AS (
+         |  SELECT ad.vec_id, min(ad.dm) AS b_dm
+         |  FROM ad JOIN asg
+         |    ON ad.vec_id = asg.vec_id AND ad.cent_id <> asg.cent_id
+         |  GROUP BY ad.vec_id),
+         |sil AS (
+         |  SELECT own.cent_id,
+         |    CASE WHEN greatest(a_dm, b_dm) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST((CAST(b_dm - a_dm AS HUGEINT) * 1000000)
+         |         // greatest(a_dm, b_dm) AS BIGINT) END AS sp
+         |  FROM own JOIN oth USING (vec_id))
+         |SELECT cent_id, count(*)::BIGINT AS n_vec,
+         |  CAST(sum(sp) // count(*) AS BIGINT) AS mean_sil_ppm,
+         |  CAST(min(sp) AS BIGINT) AS min_sil_ppm
+         |FROM sil GROUP BY cent_id ORDER BY cent_id""".stripMargin,
     "ss_pq_train" ->
       s"""$pqCtes
          |SELECT cent_id, s, j, c FROM pc$PqTrainRounds

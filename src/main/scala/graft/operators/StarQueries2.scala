@@ -905,6 +905,48 @@ object StarQueries2 {
         .select(col("l_returnflag"), col("n"), col("slope_micro"),
           col("intercept_micro"), col("r2_ppm"))
         .orderBy("l_returnflag")
+    }),
+
+    // RECURSIVE CTE — the bill-of-materials explosion, the canonical
+    // hierarchical query no join chain of fixed length can express
+    // (Spark 4 finally ships WITH RECURSIVE; before it this took a
+    // driver-side loop like dd_clusters). The hierarchy is an 8-ary
+    // forest DERIVED from the part keys (parent(c) = c DIV 8, roots =
+    // keys < 8 — parent < child always, so the recursion provably
+    // terminates), quantities from the key residue, leaf costs from
+    // the real p_retailprice in house cents. Each level multiplies
+    // path quantity (≤ 3^depth — depth is log₈ n, so ~3⁰¹⁰ at 2·10⁹
+    // parts) and the rollup product is DECIMAL(38,0)-routed with a
+    // loud BIGINT output edge on both engines. Scale: Spark executes
+    // the recursion as log₈(n) joins of the frontier against the
+    // part scan — each a keyed equi-join (broadcastable frontier at
+    // the top, shuffle join below), no quadratic term anywhere;
+    // Σ n_parts over roots = |part| exactly (every part has one
+    // root-ward chain), pinned in Round18OpsSpec.
+    "q_recursive_bom" -> ((s, dir) => {
+      graft.Graft.sql(s, dir,
+        """WITH RECURSIVE bom AS (
+          |  SELECT p_partkey AS root, p_partkey AS part,
+          |         CAST(1 AS BIGINT) AS qty,
+          |         CAST(floor(p_retailprice * CAST(100.0 AS DOUBLE))
+          |              AS BIGINT) AS cents,
+          |         0 AS depth
+          |  FROM part WHERE p_partkey < 8
+          |  UNION ALL
+          |  SELECT b.root, c.p_partkey,
+          |         b.qty * (c.p_partkey % 3 + 1),
+          |         CAST(floor(c.p_retailprice * CAST(100.0 AS DOUBLE))
+          |              AS BIGINT),
+          |         b.depth + 1
+          |  FROM bom b JOIN part c
+          |    ON c.p_partkey DIV 8 = b.part AND c.p_partkey >= 8
+          |)
+          |SELECT root, count(*) AS n_parts,
+          |       CAST(max(depth) AS INT) AS max_depth,
+          |       CAST(sum(qty) AS BIGINT) AS total_units,
+          |       CAST(sum(CAST(qty AS DECIMAL(38,0)) * cents) AS BIGINT)
+          |         AS rollup_cents
+          |FROM bom GROUP BY root ORDER BY root""".stripMargin)
     })
   )
 
@@ -1413,6 +1455,32 @@ object StarQueries2 {
         |    CAST(least((CAST((CAST(slope_micro AS HUGEINT) * slope_micro)
         |      // 1000000 AS HUGEINT) * den) // deny, 1000000) AS BIGINT)
         |  END AS r2_ppm
-        |FROM sl ORDER BY l_returnflag""".stripMargin
+        |FROM sl ORDER BY l_returnflag""".stripMargin,
+
+    // Same recursion, DuckDB spelling (// for integer division,
+    // HUGEINT for the rollup product).
+    "q_recursive_bom" ->
+      """WITH RECURSIVE bom AS (
+        |  SELECT p_partkey AS root, p_partkey AS part,
+        |         CAST(1 AS BIGINT) AS qty,
+        |         CAST(floor(p_retailprice * CAST(100.0 AS DOUBLE))
+        |              AS BIGINT) AS cents,
+        |         0 AS depth
+        |  FROM part WHERE p_partkey < 8
+        |  UNION ALL
+        |  SELECT b.root, c.p_partkey,
+        |         b.qty * (c.p_partkey % 3 + 1),
+        |         CAST(floor(c.p_retailprice * CAST(100.0 AS DOUBLE))
+        |              AS BIGINT),
+        |         b.depth + 1
+        |  FROM bom b JOIN part c
+        |    ON c.p_partkey // 8 = b.part AND c.p_partkey >= 8
+        |)
+        |SELECT root, count(*)::BIGINT AS n_parts,
+        |       CAST(max(depth) AS INT) AS max_depth,
+        |       CAST(sum(qty) AS BIGINT) AS total_units,
+        |       CAST(sum(CAST(qty AS HUGEINT) * cents) AS BIGINT)
+        |         AS rollup_cents
+        |FROM bom GROUP BY root ORDER BY root""".stripMargin
   )
 }
