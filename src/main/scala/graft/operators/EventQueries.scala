@@ -1103,6 +1103,61 @@ object EventQueries {
         .orderBy("arm")
     }),
 
+    // WELCH TWO-SAMPLE MEAN TEST (large-sample z² form) — the
+    // parametric CONTINUOUS-metric companion to ev_ab_experiment's
+    // two-proportion z and ev_mann_whitney's rank test: does mean
+    // per-user spend differ between the md5-parity arms? Exact
+    // DECIMAL(19,0) power sums per arm (the q_ols_regression moment
+    // discipline), means in micro-cents, Bessel-corrected sample
+    // variances in exact cents² (the n·(n−1) denominator is
+    // DECIMAL-routed — n² wraps BIGINT past ~3·10⁹ users), se² =
+    // v_a/n_a + v_b/n_b in micro-cents², and t² = d²/se² in micro via
+    // one DECIMAL cross-multiply. Significance compares t2_micro to
+    // the fixed χ²₁(0.95) literal 3.841459 — the ev_power_mde /
+    // ta_watermark_score no-quantile-function-executes rule (at
+    // experiment scale Welch df ≈ ∞ so the z² form holds; fractional
+    // Satterthwaite df matters only for tiny arms and would drag an F
+    // inverse into the gate). Spend is strictly positive on this
+    // stream, so every quotient here is positive and floor- vs
+    // truncating-division cannot diverge; d² is non-negative by
+    // construction. One corpus scan → per-user agg → 2-row arm frame
+    // → 1-row pivot: map-side-combined all the way.
+    "ev_welch_t2" -> ((s, dir) => {
+      perUserCents(s, dir).withColumn("arm", armCol)
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(CAST(v AS DECIMAL(19,0)))").as("sx"),
+          expr("sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))")
+            .as("sxx"))
+        .withColumn("mean_micro",
+          expr("CAST((CAST(sx AS DECIMAL(38,0)) * 1000000) DIV n AS BIGINT)"))
+        .withColumn("var_cents2", expr(
+          """CASE WHEN n >= 2 THEN CAST((n * sxx - sx * sx)
+            |  DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT) END"""
+            .stripMargin))
+        .agg(
+          max(when(col("arm") === 0, col("n"))).as("n_a"),
+          max(when(col("arm") === 1, col("n"))).as("n_b"),
+          max(when(col("arm") === 0, col("mean_micro"))).as("mean_a_micro"),
+          max(when(col("arm") === 1, col("mean_micro"))).as("mean_b_micro"),
+          max(when(col("arm") === 0, col("var_cents2"))).as("var_a_cents2"),
+          max(when(col("arm") === 1, col("var_cents2"))).as("var_b_cents2"))
+        .withColumn("se2_micro", expr(
+          """CAST((CAST(var_a_cents2 AS DECIMAL(38,0)) * 1000000)
+            |  DIV n_a AS BIGINT)
+            |+ CAST((CAST(var_b_cents2 AS DECIMAL(38,0)) * 1000000)
+            |  DIV n_b AS BIGINT)""".stripMargin))
+        .withColumn("t2_micro", expr(
+          """CASE WHEN se2_micro > 0 THEN
+            |  CAST((CAST(mean_a_micro - mean_b_micro AS DECIMAL(38,0))
+            |    * (mean_a_micro - mean_b_micro)) DIV se2_micro AS BIGINT)
+            |END""".stripMargin))
+        .withColumn("significant", col("t2_micro") >= lit(3841459L))
+        .select(col("n_a"), col("n_b"), col("mean_a_micro"),
+          col("mean_b_micro"), col("var_a_cents2"), col("var_b_cents2"),
+          col("se2_micro"), col("t2_micro"), col("significant"))
+    }),
+
     // RATE-LIMIT AUDIT — the abuse-detection read a platform runs
     // offline to calibrate its online limiter: for every event, how
     // many of the SAME user's events landed in the trailing 60 s —
@@ -2858,6 +2913,55 @@ object EventQueries {
          |  ((CAST(sum(converted) AS BIGINT) * 1000000) // count(*))::BIGINT
          |    AS conv_ppm
          |FROM u GROUP BY arm ORDER BY arm""".stripMargin
+    },
+    // HUGEINT mirrors the Spark DECIMAL routing; spend is strictly
+    // positive so // (floor) equals Spark's truncating DIV throughout.
+    "ev_welch_t2" -> {
+      val hex13 = hex13Sql
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT))
+         |      AS BIGINT) AS v,
+         |    CAST($hex13 % 2 AS INT) AS arm
+         |  FROM events GROUP BY user_id),
+         |arms AS (
+         |  SELECT arm, count(*)::BIGINT AS n,
+         |    sum(CAST(v AS HUGEINT)) AS sx,
+         |    sum(CAST(v AS HUGEINT) * v) AS sxx
+         |  FROM pu GROUP BY arm),
+         |der AS (
+         |  SELECT arm, n,
+         |    CAST((CAST(sx AS HUGEINT) * 1000000) // n AS BIGINT) AS mean_micro,
+         |    CASE WHEN n >= 2 THEN CAST((n * sxx - sx * sx)
+         |      // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END AS var_cents2
+         |  FROM arms),
+         |p AS (
+         |  SELECT
+         |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+         |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+         |    max(CASE WHEN arm = 0 THEN mean_micro END) AS mean_a_micro,
+         |    max(CASE WHEN arm = 1 THEN mean_micro END) AS mean_b_micro,
+         |    max(CASE WHEN arm = 0 THEN var_cents2 END) AS var_a_cents2,
+         |    max(CASE WHEN arm = 1 THEN var_cents2 END) AS var_b_cents2
+         |  FROM der),
+         |se AS (
+         |  SELECT *,
+         |    CAST((CAST(var_a_cents2 AS HUGEINT) * 1000000) // n_a AS BIGINT)
+         |    + CAST((CAST(var_b_cents2 AS HUGEINT) * 1000000) // n_b AS BIGINT)
+         |      AS se2_micro
+         |  FROM p)
+         |SELECT n_a, n_b, mean_a_micro, mean_b_micro, var_a_cents2,
+         |  var_b_cents2, se2_micro,
+         |  CASE WHEN se2_micro > 0 THEN
+         |    CAST((CAST(mean_a_micro - mean_b_micro AS HUGEINT)
+         |      * (mean_a_micro - mean_b_micro)) // se2_micro AS BIGINT)
+         |  END AS t2_micro,
+         |  CASE WHEN se2_micro > 0 THEN
+         |    CAST((CAST(mean_a_micro - mean_b_micro AS HUGEINT)
+         |      * (mean_a_micro - mean_b_micro)) // se2_micro AS BIGINT)
+         |      >= 3841459
+         |  END AS significant
+         |FROM se""".stripMargin
     },
     // Same sentinel-split sweep, read out per concurrency level.
     "ev_conc_histogram" ->

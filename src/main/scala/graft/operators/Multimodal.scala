@@ -650,6 +650,60 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // OTSU GLOBAL THRESHOLD — the automatic binarization every
+    // fixed-threshold row (erode/blobs at 115) hand-waves: pick the
+    // per-image threshold t maximizing between-class variance
+    // σ_B²(t) = (s0·n − s·w0)² / (w0·w1·n²) over the 256-bin gray
+    // histogram (Otsu 1979). All integer: the score lands in micro
+    // via one BigInt cross-multiply per candidate (num² ≈ 255²·n⁴
+    // overflows int64 past ~10³ pixels — the MicroDomainLintSpec
+    // class, BigInt/HUGEINT-routed on both engines), argmax ties to
+    // the smallest t. The strict-improvement scan makes the winner
+    // always a PRESENT gray value (the score is constant between
+    // consecutive present values and each run starts at one), which
+    // is exactly the candidate set the oracle enumerates — the
+    // histogram-sized argmax, not a 256-way unnest per pixel. A
+    // degenerate single-value image has no valid split and yields
+    // NULLs on both engines. Narrow per-row map like every decode
+    // row; the histogram is image-local state (256 longs).
+    "mm_pgm_otsu" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val px = PgmCodec.decode(PgmCodec.encode(payload)).pixels
+          val n = px.length.toLong
+          val hist = new Array[Long](256)
+          var i = 0
+          while (i < px.length) { hist(px(i) & 0xff) += 1; i += 1 }
+          var total = 0L
+          i = 0
+          while (i < 256) { total += i.toLong * hist(i); i += 1 }
+          var s0 = 0L; var w0 = 0L
+          var bestT = -1; var bestScore = -1L; var bestW0 = 0L
+          var t = 0
+          while (t < 255) {
+            w0 += hist(t); s0 += t.toLong * hist(t)
+            if (w0 > 0L && w0 < n) {
+              val num = BigInt(s0) * n - BigInt(total) * w0
+              val score = ((num * num * 1000000L) /
+                (BigInt(w0) * (n - w0) * n * n)).toLong
+              if (score > bestScore) {
+                bestScore = score; bestT = t; bestW0 = w0
+              }
+            }
+            t += 1
+          }
+          if (bestT < 0)
+            (id, None: Option[Int], None: Option[Long],
+              None: Option[Long], None: Option[Long])
+          else
+            (id, Some(bestT), Some(bestW0), Some(n - bestW0),
+              Some(bestScore))
+        })
+        .toDF("doc_id", "otsu_t", "n_below", "n_above", "sb2_micro")
+        .orderBy("doc_id")
+    }),
+
     // BLOB LABELING — per-image connected components over bright
     // pixels (threshold 115, 4-connectivity): the object-counting
     // primitive of every vision pipeline (count regions, reject
@@ -1785,6 +1839,47 @@ object Multimodal {
          |      AND bl = 1 AND br = 1 AND bu = 1 AND bd = 1
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_peeled
          |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // histogram → cumulative (w0, s0) per present gray value →
+    // micro-score argmax; HUGEINT mirrors the Spark BigInt routing
+    "mm_pgm_otsu" ->
+      s"""WITH g AS (${rasterSql()}),
+         |pxv AS (
+         |  SELECT doc_id, ord(substring(raster, CAST(i + 1 AS INT), 1)) AS v
+         |  FROM g, UNNEST(range(0, 8 * h)) AS u(i)),
+         |hist AS (
+         |  SELECT doc_id, v, count(*)::BIGINT AS c
+         |  FROM pxv GROUP BY doc_id, v),
+         |tot AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(v * c) AS BIGINT) AS s
+         |  FROM hist GROUP BY doc_id),
+         |cum AS (
+         |  SELECT doc_id, v,
+         |    CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS BIGINT)
+         |      AS w0,
+         |    CAST(sum(v * c) OVER (PARTITION BY doc_id ORDER BY v) AS BIGINT)
+         |      AS s0
+         |  FROM hist),
+         |numc AS (
+         |  SELECT c.doc_id, c.v AS t, c.w0, t2.n - c.w0 AS w1, t2.n AS n,
+         |    CAST(c.s0 AS HUGEINT) * t2.n - CAST(t2.s AS HUGEINT) * c.w0 AS num
+         |  FROM cum c JOIN tot t2 USING (doc_id)
+         |  WHERE c.w0 > 0 AND c.w0 < t2.n AND c.v <= 254),
+         |cand AS (
+         |  SELECT doc_id, t, w0, w1,
+         |    CAST((num * num * CAST(1000000 AS HUGEINT))
+         |      // (CAST(w0 AS HUGEINT) * w1 * n * n) AS BIGINT) AS sb2_micro
+         |  FROM numc),
+         |best AS (
+         |  SELECT doc_id, t, w0, w1, sb2_micro,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY sb2_micro DESC, t ASC) AS rk
+         |  FROM cand)
+         |SELECT d.doc_id, CAST(b.t AS INT) AS otsu_t,
+         |  b.w0 AS n_below, b.w1 AS n_above, b.sb2_micro
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+         |  ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // the dd_clusters recursive min-label CTE, per image: self-loop +
     // 4-neighbor edges over threshold-115 pixels, min label to a fixed
     // point, census + min-pid checksum per blob

@@ -67,6 +67,71 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_pgm_otsu: argmax matches a per-image brute force over all 255 splits") {
+    import graft.functions.PgmCodec
+    val got = SparkEntry.queries("mm_pgm_otsu")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val px = PgmCodec.decode(
+        PgmCodec.encode(text.getBytes("UTF-8"))).pixels
+      val n = px.length.toLong
+      val hist = new Array[Long](256)
+      px.foreach(b => hist(b & 0xff) += 1)
+      val total = (0 until 256).map(i => i.toLong * hist(i)).sum
+      var (s0, w0) = (0L, 0L)
+      var best = (-1, -1L, 0L)
+      for (t <- 0 until 255) {
+        w0 += hist(t); s0 += t.toLong * hist(t)
+        if (w0 > 0 && w0 < n) {
+          val num = BigInt(s0) * n - BigInt(total) * w0
+          val sc = ((num * num * 1000000L) /
+            (BigInt(w0) * (n - w0) * n * n)).toLong
+          if (sc > best._2) best = (t, sc, w0)
+        }
+      }
+      val (gt, gb, ga, gs) = got(id)
+      assert(gt == best._1 && gs == best._2 && gb == best._3,
+        s"doc $id: got t=$gt score=$gs, brute force t=${best._1} score=${best._2}")
+      assert(gb + ga == n, s"doc $id: class census must partition the raster")
+      assert(hist(gt) > 0, s"doc $id: winner $gt is not a present gray value")
+    }
+  }
+
+  test("ev_welch_t2: micro statistic tracks the double-precision Welch z^2") {
+    val r = SparkEntry.queries("ev_welch_t2")(spark, sf).collect().head
+    val (nA, nB) = (r.getLong(0), r.getLong(1))
+    val nUsers = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(nA + nB == nUsers, "arms must partition the user base")
+    assert(nA >= 2 && nB >= 2, "degenerate arm — the variance leg is untested")
+    // recompute in doubles from the same per-user cents frame
+    val spends = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT)"))
+        .as("v"),
+        first(expr("pmod(CAST(conv(substring(md5(CAST(user_id AS STRING)), " +
+          "1, 13), 16, 10) AS BIGINT), 2L)")).as("arm"))
+      .collect().map(x => (x.getLong(2), x.getLong(1).toDouble))
+    def stats(arm: Long) = {
+      val xs = spends.filter(_._1 == arm).map(_._2)
+      val m = xs.sum / xs.length
+      (xs.length, m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (na2, ma, va) = stats(0)
+    val (nb2, mb, vb) = stats(1)
+    assert(na2.toLong == nA && nb2.toLong == nB)
+    val t2 = (ma - mb) * (ma - mb) / (va / na2 + vb / nb2)
+    val gotT2 = r.getLong(7).toDouble / 1e6
+    assert(math.abs(gotT2 - t2) <= 0.01 * math.max(1.0, t2),
+      s"t2 micro=$gotT2 vs double=$t2 — truncation drifted past 1%")
+    assert(r.getBoolean(8) == (r.getLong(7) >= 3841459L))
+  }
+
   test("ss_silhouette: census, domain, and agreement with a direct recompute") {
     val got = SparkEntry.queries("ss_silhouette")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
