@@ -1244,6 +1244,49 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // AUTOCORRELATION PITCH PROBE — the time-domain fundamental-
+    // frequency estimator (the core of YIN/ACF pitch trackers):
+    // R(L) = Σ s_i·s_{i+L} over candidate lags L ∈ [2, 13], winner =
+    // argmax (ties to the smallest lag — the octave-error-averse
+    // choice), reported with the zero-lag energy R(0) and the
+    // normalized peak r_ppm = R(L*)·10⁶/R(0) ∈ [−10⁶, 10⁶] (the
+    // voicing-confidence dial a VAD thresholds; sign-explicit
+    // division — R(L) can be negative on noise — and BigInt-routed,
+    // since R·10⁶ wraps int64 past ~10⁴-sample clips). All exact
+    // integer products of the synth samples inside the same narrow
+    // decode map as zcr; the oracle re-derives R(L) as a per-(doc,
+    // lag) self-join on sample index — the declarative form whose
+    // O(n·|lags|) pair volume is exactly the map's work.
+    "mm_wav_pitch" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val w = WavCodec.decode(WavCodec.encode(payload))
+          val sm = w.samples
+          val n = sm.length
+          var r0 = 0L
+          var i = 0
+          while (i < n) { r0 += sm(i).toLong * sm(i); i += 1 }
+          var bestLag = -1
+          var bestR = Long.MinValue
+          var lag = 2
+          while (lag <= 13) {
+            var r = 0L
+            var j = 0
+            while (j + lag < n) { r += sm(j).toLong * sm(j + lag); j += 1 }
+            if (r > bestR) { bestR = r; bestLag = lag }
+            lag += 1
+          }
+          val rppm =
+            if (r0 == 0L) None
+            else Some(((BigInt(bestR).abs * 1000000L) / r0).toLong *
+              (if (bestR < 0) -1L else 1L))
+          (id, bestLag, r0, bestR, rppm)
+        })
+        .toDF("doc_id", "best_lag", "r0", "r_lag", "r_ppm")
+        .orderBy("doc_id")
+    }),
+
     // Feature extraction through the typed mapPartitions path: 16-bin
     // gray histogram of the decoded raster resized to 8×8.
     "mm_features" -> ((s, dir) => {
@@ -1587,6 +1630,41 @@ object Multimodal {
         |      // (length(doc.text) - 1) END AS zcr_ppm
         |FROM documents doc LEFT JOIN c ON doc.doc_id = c.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
+    // per-(doc, lag) self-join on sample index; argmax ties to the
+    // smallest lag; sign-explicit HUGEINT-routed normalized peak
+    "mm_wav_pitch" ->
+      """WITH v AS (
+        |  SELECT doc_id, i,
+        |    CAST((ord(substring(text, CAST(i + 1 AS INT), 1)) - 128) * 256
+        |      AS BIGINT) AS s
+        |  FROM documents, UNNEST(range(0, length(text))) AS u(i)),
+        |e AS (
+        |  SELECT doc_id, CAST(sum(s * s) AS BIGINT) AS r0
+        |  FROM v GROUP BY doc_id),
+        |lags AS (SELECT CAST(l AS INT) AS lag FROM UNNEST(range(2, 14)) AS t(l)),
+        |rj AS (
+        |  SELECT a.doc_id, l.lag, CAST(sum(a.s * b.s) AS BIGINT) AS r
+        |  FROM v a CROSS JOIN lags l
+        |  JOIN v b ON b.doc_id = a.doc_id AND b.i = a.i + l.lag
+        |  GROUP BY a.doc_id, l.lag),
+        |rl AS (
+        |  SELECT d.doc_id, l.lag, COALESCE(rj.r, 0) AS r
+        |  FROM documents d CROSS JOIN lags l
+        |  LEFT JOIN rj ON rj.doc_id = d.doc_id AND rj.lag = l.lag),
+        |best AS (
+        |  SELECT doc_id, lag, r,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY r DESC, lag ASC) AS rk
+        |  FROM rl)
+        |SELECT b.doc_id, b.lag AS best_lag, e.r0, b.r AS r_lag,
+        |  CASE WHEN e.r0 = 0 THEN NULL
+        |    WHEN b.r >= 0
+        |      THEN CAST((CAST(b.r AS HUGEINT) * 1000000) // e.r0 AS BIGINT)
+        |    ELSE -CAST((CAST(-b.r AS HUGEINT) * 1000000) // e.r0 AS BIGINT)
+        |  END AS r_ppm
+        |FROM best b JOIN e ON b.doc_id = e.doc_id
+        |WHERE b.rk = 1
+        |ORDER BY b.doc_id""".stripMargin,
     // The WAV widening is (ord − 128)·256 per char (all-ASCII corpus ⇒
     // char position = byte position = sample position), so every audio
     // feature is re-derivable in SQL; rms/silence divisions round at

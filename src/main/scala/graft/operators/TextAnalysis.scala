@@ -416,6 +416,36 @@ object TextAnalysis {
     // spanning most of a document — valid candidates for the degree
     // statistics, which stay computed over ALL runs, but not
     // keyphrases).
+    // SOUNDEX PHONETIC BLOCKING — the record-linkage classic (the
+    // blocking key behind every "Smith/Smyth/Schmidt" name-matching
+    // pass, and the phonetic sibling of dd_sorted_neighborhood's
+    // lexical key): census of the vocabulary folded to its soundex
+    // codes — how many distinct words and token occurrences share a
+    // code, with the lexical extremes as witnesses of what each
+    // bucket conflates. Spark's codegen'd soundex() implements the
+    // classic American algorithm INCLUDING the H/W-transparency rule
+    // (same codes separated by h/w collapse — 'Ashcraft' → A261,
+    // probed) and vowels-as-separators ('Honeyman' → H555); the
+    // oracle reconstructs it in RE2-safe SQL (no backreferences in
+    // DuckDB's regex engine, so the run collapse is six literal-digit
+    // regexp_replace passes over the '0'-vowel/'9'-hw code string).
+    // The contract is pinned on the [a-z]+ vocabulary both engines
+    // filter to — Spark's non-letter edge cases (pass-through inputs)
+    // stay out of the gate by construction. Scale: one token
+    // explode into a map-side-combined vocab count, then the fold
+    // runs on the VOCABULARY (distinct words), not the corpus.
+    "ta_soundex" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .withColumn("sdx", soundex(col("word")))
+        .groupBy("sdx")
+        .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_tokens"),
+          min(col("word")).as("first_word"), max(col("word")).as("last_word"))
+        .orderBy("sdx")
+    }),
+
     "ta_rake" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, dir)
@@ -2285,6 +2315,33 @@ object TextAnalysis {
          |FROM (SELECT id, pr, row_number() OVER (ORDER BY pr DESC, id ASC) AS rk
          |      FROM pr${GraphQueries.Iters})
          |WHERE rk <= $TextRankK ORDER BY rk""".stripMargin
+    },
+    // Classic soundex rebuilt RE2-safe: code string via translate
+    // (vowels→0, h/w→9), then one literal-digit regexp_replace per
+    // code d collapsing d(9*d)+ runs (handles both plain repeats and
+    // h/w-separated repeats — RE2 has no backreferences), drop the
+    // first position's code, strip 0/9, take 3, right-pad.
+    "ta_soundex" -> {
+      val mapped = "translate(upper(word), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
+        "'01230129022455012623019202')"
+      val collapsed = (1 to 6).foldLeft(mapped) { (acc, d) =>
+        s"regexp_replace($acc, '$d(9*$d)+', '$d', 'g')"
+      }
+      s"""WITH w AS (
+         |  SELECT unnest($toksSql) AS word FROM documents),
+         |wf AS (
+         |  SELECT word, count(*)::BIGINT AS n FROM w
+         |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+         |sx AS (
+         |  SELECT word, n,
+         |    substring(upper(word), 1, 1) || rpad(substring(
+         |      replace(replace(substring($collapsed, 2), '9', ''), '0', ''),
+         |      1, 3), 3, '0') AS sdx
+         |  FROM wf)
+         |SELECT sdx, count(*)::BIGINT AS n_words,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  min(word) AS first_word, max(word) AS last_word
+         |FROM sx GROUP BY sdx ORDER BY sdx""".stripMargin
     },
     "ta_rake" ->
       s"""WITH toks AS (

@@ -49,8 +49,8 @@ class MicroDomainLintSpec extends AnyFunSuite {
       "ARI/Rand ppm quotients: operands are DECIMAL(38,0)/HUGEINT via the CAST on the OPENING line of the same multi-line expression — line-local detection sees only the continuation"),
     "operators/EventQueries.scala" -> (43,
       "three classes: (a) multi-line DECIMAL/HUGEINT-routed continuations (gini, cuped, bootstrap, power-MDE, acf, ewma, cusum k_micro); (b) user/DAU/cohort-count numerators bounded by user cardinality ~1e10 << 9.2e12; (c) per-(type,hour)/calendar-frame cell counts and covered-micros <= 3.6e9 per hour"),
-    "operators/Multimodal.scala" -> (5,
-      "per-image pixel-energy sums and per-clip sample counts (media-file-bounded <= ~1e9); the deflate energy ratio and the Otsu score cross-multiply (num^2 ~ 255^2*n^4) are explicitly BigInt-routed — arbitrary precision, cannot wrap"),
+    "operators/Multimodal.scala" -> (6,
+      "per-image pixel-energy sums and per-clip sample counts (media-file-bounded <= ~1e9); the deflate energy ratio, the Otsu score cross-multiply (num^2 ~ 255^2*n^4) and the pitch normalized peak are explicitly BigInt-routed — arbitrary precision, cannot wrap"),
     "operators/PipelineQueries.scala" -> (17,
       "per-label/class/cluster DOC counts (~2e10 docs << 9.2e12), per-shard byte fills bounded by the pack target, and exp2micro outputs e2m <= 1e6 (a share^0.3 in micro)"),
     "operators/PrefQueries.scala" -> (1,

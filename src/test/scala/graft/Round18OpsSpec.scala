@@ -132,6 +132,57 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(r.getBoolean(8) == (r.getLong(7) >= 3841459L))
   }
 
+  test("ta_soundex: probed reference cases and vocabulary partition") {
+    import spark.implicits._
+    // the exact edge cases probed against spark-sql when the oracle's
+    // RE2-safe reconstruction was written — if Spark's soundex ever
+    // changes semantics (h/w transparency, vowel separators, same-code
+    // first letter), this pins the drift before the oracle gate does
+    val cases = Seq(
+      "tymczak" -> "T522", "pfister" -> "P236", "ashcraft" -> "A261",
+      "robert" -> "R163", "honeyman" -> "H555", "cyc" -> "C200",
+      "bfpv" -> "B000", "sgps" -> "S120", "hannah" -> "H500",
+      "zzyzx" -> "Z200", "aeiou" -> "A000", "hw" -> "H000")
+    val got = cases.map(_._1).toDF("w")
+      .select(soundex(col("w"))).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2),
+      s"Spark soundex drifted: ${cases.map(_._1).zip(got)}")
+    val rows = SparkEntry.queries("ta_soundex")(spark, sf).collect()
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .select(countDistinct(col("w"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum == vocab,
+      "code buckets must partition the vocabulary")
+    rows.foreach { r =>
+      assert(r.getString(0).matches("[A-Z][0-9]{3}"), s"malformed code $r")
+      assert(r.getString(3) <= r.getString(4)) }
+  }
+
+  test("mm_wav_pitch: argmax matches a brute force over the synth samples") {
+    val got = SparkEntry.queries("mm_wav_pitch")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val s = text.map(c => (c.toInt - 128).toLong * 256)
+      val r0 = s.map(x => x * x).sum
+      val byLag = (2 to 13).map { lag =>
+        lag -> (0 until s.length - lag).map(j => s(j) * s(j + lag)).sum
+      }
+      val (bl, br) = byLag.maxBy { case (lag, r) => (r, -lag) }
+      val (gl, g0, gr, gp) = got(id)
+      assert(gl == bl && g0 == r0 && gr == br,
+        s"doc $id: got lag=$gl r=$gr, brute lag=$bl r=$br")
+      // Cauchy–Schwarz: |R(L)| ≤ R(0) ⇒ the voicing dial stays in ±1e6
+      assert(math.abs(gp) <= 1000000L, s"doc $id: r_ppm escaped the bound")
+      assert((gp >= 0) == (gr >= 0), s"doc $id: r_ppm sign flipped")
+    }
+  }
+
   test("ss_silhouette: census, domain, and agreement with a direct recompute") {
     val got = SparkEntry.queries("ss_silhouette")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
