@@ -1244,6 +1244,48 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // INTEGRAL IMAGE (summed-area table, Crow 1984 / Viola–Jones) —
+    // the O(1)-box-sum precompute behind Haar features and fast box
+    // blur: sat(x,y) = Σ pixels in [0,x]×[0,y], any rectangle read
+    // back as 4 corner lookups. The map builds the SAT per image and
+    // reads the four quadrant boxes THROUGH the corner algebra (plus
+    // the full-frame box = total) — the oracle computes the same
+    // quadrants as direct conditional sums, so a wrong SAT recurrence
+    // or corner sign shows up as a value mismatch, not a shape one.
+    // Per-row state is one image's SAT; the quadrants tile the frame,
+    // so q_tl+q_tr+q_bl+q_br = total by construction (pinned in
+    // Round18OpsSpec).
+    "mm_pgm_integral" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val px = PgmCodec.decode(PgmCodec.encode(payload)).pixels
+          val w = 8
+          val h = px.length / 8
+          val sat = Array.ofDim[Long](h + 1, w + 1) // 1-based, zero border
+          var y = 0
+          while (y < h) {
+            var x = 0
+            var rowSum = 0L
+            while (x < w) {
+              rowSum += px(y * 8 + x) & 0xff
+              sat(y + 1)(x + 1) = sat(y)(x + 1) + rowSum
+              x += 1
+            }
+            y += 1
+          }
+          def box(x1: Int, y1: Int, x2: Int, y2: Int): Long =
+            sat(y2 + 1)(x2 + 1) - sat(y1)(x2 + 1) -
+              sat(y2 + 1)(x1) + sat(y1)(x1)
+          val ym = h / 2 // top rows [0, ym), bottom [ym, h)
+          (id, box(0, 0, 7, h - 1),
+            box(0, 0, 3, ym - 1), box(4, 0, 7, ym - 1),
+            box(0, ym, 3, h - 1), box(4, ym, 7, h - 1))
+        })
+        .toDF("doc_id", "total", "q_tl", "q_tr", "q_bl", "q_br")
+        .orderBy("doc_id")
+    }),
+
     // AUTOCORRELATION PITCH PROBE — the time-domain fundamental-
     // frequency estimator (the core of YIN/ACF pitch trackers):
     // R(L) = Σ s_i·s_{i+L} over candidate lags L ∈ [2, 13], winner =
@@ -1630,6 +1672,26 @@ object Multimodal {
         |      // (length(doc.text) - 1) END AS zcr_ppm
         |FROM documents doc LEFT JOIN c ON doc.doc_id = c.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
+    // direct conditional sums — the declarative dual of the SAT's
+    // corner algebra (a wrong recurrence diverges in values)
+    "mm_pgm_integral" ->
+      s"""WITH g AS (${rasterSql()}),
+         |px AS (
+         |  SELECT doc_id, CAST(i % 8 AS BIGINT) AS x,
+         |    CAST(i // 8 AS BIGINT) AS y, h,
+         |    CAST(ord(substring(raster, CAST(i + 1 AS INT), 1)) AS BIGINT) AS v
+         |  FROM g, UNNEST(range(0, 8 * h)) AS u(i))
+         |SELECT doc_id,
+         |  CAST(sum(v) AS BIGINT) AS total,
+         |  CAST(sum(CASE WHEN x < 4 AND y < h // 2 THEN v ELSE 0 END)
+         |    AS BIGINT) AS q_tl,
+         |  CAST(sum(CASE WHEN x >= 4 AND y < h // 2 THEN v ELSE 0 END)
+         |    AS BIGINT) AS q_tr,
+         |  CAST(sum(CASE WHEN x < 4 AND y >= h // 2 THEN v ELSE 0 END)
+         |    AS BIGINT) AS q_bl,
+         |  CAST(sum(CASE WHEN x >= 4 AND y >= h // 2 THEN v ELSE 0 END)
+         |    AS BIGINT) AS q_br
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // per-(doc, lag) self-join on sample index; argmax ties to the
     // smallest lag; sign-explicit HUGEINT-routed normalized peak
     "mm_wav_pitch" ->

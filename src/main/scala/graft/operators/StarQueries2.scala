@@ -907,6 +907,30 @@ object StarQueries2 {
         .orderBy("l_returnflag")
     }),
 
+    // EXACT DISTINCT VIA BITMAPS — the two-level bitmap pattern every
+    // warehouse uses to make COUNT(DISTINCT) scale (Spark 4 ships the
+    // primitives: bitmap_bucket_number / bitmap_bit_position /
+    // bitmap_construct_agg / bitmap_count): stage 1 groups by (key,
+    // bucket-of-32768) and ORs each value's bit into a ≤4 KB bitmap —
+    // map-side combinable with BOUNDED per-group state, unlike
+    // count(distinct)'s expand-and-reshuffle of every raw value —
+    // stage 2 sums the per-bucket popcounts, a frame of
+    // |keys|·⌈domain/32768⌉ rows regardless of row count. Same exact
+    // answer as COUNT(DISTINCT) (the oracle), shuffle bytes smaller
+    // by ~the duplication factor; n_rows rides along for contrast.
+    "q_bitmap_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_partkey"))
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_partkey)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+          .as("bm"), count(lit(1)).as("n"))
+        .groupBy("l_returnflag")
+        .agg(expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").as("n_distinct"),
+          sum(col("n")).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     // RECURSIVE CTE — the bill-of-materials explosion, the canonical
     // hierarchical query no join chain of fixed length can express
     // (Spark 4 finally ships WITH RECURSIVE; before it this took a
@@ -1456,6 +1480,15 @@ object StarQueries2 {
         |      // 1000000 AS HUGEINT) * den) // deny, 1000000) AS BIGINT)
         |  END AS r2_ppm
         |FROM sl ORDER BY l_returnflag""".stripMargin,
+
+    // The bitmap plan is Spark-physical; the SEMANTICS are plain
+    // exact distinct — which is the point of the row.
+    "q_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey)::BIGINT AS n_distinct,
+        |  count(*)::BIGINT AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Same recursion, DuckDB spelling (// for integer division,
     // HUGEINT for the rollup product).

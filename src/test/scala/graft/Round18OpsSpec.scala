@@ -132,6 +132,50 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(r.getBoolean(8) == (r.getLong(7) >= 3841459L))
   }
 
+  test("q_bitmap_distinct: bitmap plan equals the raw distinct, and shuffles bounded frames") {
+    val got = SparkEntry.queries("q_bitmap_distinct")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == direct.sortBy(_._1).toSeq,
+      "two-level bitmap count diverged from COUNT(DISTINCT)")
+    // the stage-1 frame is (key, bucket)-bounded: with a 32768-wide
+    // bucket and this part-key domain it must be ≤ keys · ⌈domain/32768⌉
+    val nBuckets = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        expr("bitmap_bucket_number(l_partkey)").as("b"))
+      .distinct().count()
+    val dom = Tables.part(spark, sf)
+      .agg(max(col("p_partkey"))).collect().head.getLong(0) + 1
+    assert(nBuckets <= got.length * ((dom + 32767) / 32768 + 1),
+      "stage-1 bitmap frame larger than the bounded-domain claim")
+  }
+
+  test("mm_pgm_integral: quadrants tile the frame and match direct sums") {
+    import graft.functions.PgmCodec
+    val got = SparkEntry.queries("mm_pgm_integral")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)
+        == r.getLong(1), s"quadrants must tile the frame: $r")
+    }
+    // spot-check the SAT corner algebra against a direct pixel sum
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(5).collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    docs.foreach { d =>
+      val px = PgmCodec.decode(
+        PgmCodec.encode(d.getString(1).getBytes("UTF-8"))).pixels
+      val h = px.length / 8
+      val tl = (for (y <- 0 until h / 2; x <- 0 until 4)
+        yield (px(y * 8 + x) & 0xff).toLong).sum
+      assert(byId(d.getLong(0)).getLong(2) == tl,
+        s"doc ${d.getLong(0)}: SAT top-left box diverged from direct sum")
+    }
+  }
+
   test("ta_soundex: probed reference cases and vocabulary partition") {
     import spark.implicits._
     // the exact edge cases probed against spark-sql when the oracle's
