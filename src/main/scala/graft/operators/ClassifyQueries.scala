@@ -63,6 +63,41 @@ object ClassifyQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // k-NN CLASSIFICATION over the labeled embeddings — the
+    // non-parametric counterpart to the NB/LR rows and THE standard
+    // "are these embeddings any good for this label" probe (a label a
+    // 5-NN vote can't recover isn't linearly separable either).
+    // Leave-one-out over the trained √n-cell IVF kNN graph
+    // ([[Similarity.ivfKnnEdges]], k = 5 — single-probe candidates,
+    // the production ANN-classification serving shape): majority vote
+    // of the 5 neighbors' labels, ties to the smallest label (argmax
+    // = max-count then min-label, the two-HashAggregate trick — never
+    // a struct-max). Report = per-label census with accuracy in ppm
+    // (DECIMAL-routed: correct-counts are corpus-scale). Vectors in
+    // singleton cells have no neighbors and stay out of the census
+    // (the vote is undefined, not wrong) — on this corpus the √n
+    // cells cover everything. Scale: the edge build is the O(n^1.5)
+    // substrate every ss_graph row rides; the vote adds two keyed
+    // aggregations and a broadcast-size label join.
+    "ss_knn_classify" -> ((s, dir) => {
+      val lbl = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val votes = Similarity.ivfKnnEdges(s, dir, 5)
+        .join(lbl.select(col("vec_id").as("nbr"), col("label").as("nlbl")),
+          "nbr")
+        .groupBy("src", "nlbl").agg(count(lit(1)).as("c"))
+      val best = votes.groupBy("src").agg(max(col("c")).as("c"))
+      val pred = votes.join(best, Seq("src", "c"))
+        .groupBy("src", "c").agg(min(col("nlbl")).as("pred"))
+      pred.join(lbl.select(col("vec_id").as("src"), col("label")), "src")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("acc_ppm", expr(
+          "CAST((CAST(n_correct AS DECIMAL(38,0)) * 1000000) DIV n AS BIGINT)"))
+        .orderBy("label")
+    }),
+
     // NB TRAIN — the per-language model card: document/token mass,
     // observed vocabulary, smoothing denominator, and the fixed-point
     // log₂ prior. One counting pass over the corpus; the output is a
@@ -241,6 +276,29 @@ object ClassifyQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    // rides the shared trained-√n-cell kNN chain; vote argmax =
+    // max-count then min-label, mirrored token for token
+    "ss_knn_classify" ->
+      s"""WITH RECURSIVE ${Similarity.ivfKnnEdgesCtes(5)},
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |votes AS (
+         |  SELECT k.src, l.label AS nlbl, count(*)::BIGINT AS c
+         |  FROM knn0 k JOIN lbl l ON l.vec_id = k.nbr
+         |  GROUP BY 1, 2),
+         |best AS (SELECT src, max(c) AS c FROM votes GROUP BY src),
+         |pred AS (
+         |  SELECT v.src, min(v.nlbl) AS pred
+         |  FROM votes v JOIN best b ON v.src = b.src AND v.c = b.c
+         |  GROUP BY v.src),
+         |j AS (
+         |  SELECT l.label, CASE WHEN p.pred = l.label THEN 1 ELSE 0 END AS ok
+         |  FROM pred p JOIN lbl l ON l.vec_id = p.src)
+         |SELECT label, count(*)::BIGINT AS n,
+         |  CAST(sum(ok) AS BIGINT) AS n_correct,
+         |  CAST((CAST(sum(ok) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+         |    AS acc_ppm
+         |FROM j GROUP BY label ORDER BY label""".stripMargin,
 
     "ta_nb_train" ->
       s"""WITH RECURSIVE $modelCtes

@@ -132,6 +132,30 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(r.getBoolean(8) == (r.getLong(7) >= 3841459L))
   }
 
+  test("ss_knn_classify: census bounds, ppm domain, and vote legitimacy") {
+    val got = SparkEntry.queries("ss_knn_classify")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(got.map(_._2).sum <= n, "census exceeded the corpus")
+    assert(got.map(_._2).sum >= n / 2,
+      "less than half the corpus voted — the kNN graph collapsed")
+    got.foreach { case (_, cnt, correct, ppm) =>
+      assert(correct <= cnt && ppm >= 0L && ppm <= 1000000L)
+      assert(ppm == correct * 1000000L / cnt, "ppm drifted from its counts")
+    }
+    // every prediction must be a label that actually appears among the
+    // voter's 5 neighbors (legitimacy of the argmax)
+    val lbl = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val votes = operators.Similarity.ivfKnnEdges(spark, sf, 5)
+      .join(lbl.select(col("vec_id").as("nbr"), col("label").as("nlbl")), "nbr")
+      .select(col("nlbl")).distinct().collect().map(_.getInt(0)).toSet
+    val classes = lbl.select(col("label")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(got.map(_._1).toSet.subsetOf(votes ++ classes),
+      "a reported label class never appears in the data")
+  }
+
   test("q_bitmap_distinct: bitmap plan equals the raw distinct, and shuffles bounded frames") {
     val got = SparkEntry.queries("q_bitmap_distinct")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
