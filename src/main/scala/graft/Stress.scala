@@ -339,6 +339,22 @@ object Stress {
         }
         amp("documents", Seq("doc_id"))
         amp("embeddings", Seq("vec_id"))
+        // Star-schema legs for the round-12 rows. part amplifies with
+        // CONTIGUOUS key offsets (i·|part|, not the sparse 10⁸ stride)
+        // so the key-derived BOM hierarchy (parent = key DIV 8) chains
+        // the copies into ONE deeper forest — the recursion actually
+        // gains levels (depth = log₈ n) instead of orphaning every
+        // copy's parents. lineitem amplifies rows under the SAME part
+        // key domain — the rising-duplication regime where the bitmap
+        // distinct's stage-1 frame must stay constant while row count
+        // grows.
+        val partBase = Tables.load(spark, src, "part")
+        val nPart = partBase.count()
+        (0 until f).map(i => partBase.withColumn("p_partkey",
+            col("p_partkey") + lit(i * nPart)))
+          .reduce(_.union(_)).write.mode("overwrite")
+          .parquet(s"$dst/part.parquet")
+        amp("lineitem", Seq("l_orderkey"))
         names.foreach { n =>
           spillMem.set(0L); spillDisk.set(0L); peakTask.set(0L)
           val t0 = System.nanoTime()

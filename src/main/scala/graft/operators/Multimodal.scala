@@ -322,6 +322,14 @@ object Multimodal {
   private val jpegSidecar = new java.util.concurrent.atomic.AtomicReference[String](
     "/graft_jpeg_sidecar_never_landed")
 
+  /** PNG landing dir the CURRENT process last built — same
+    * dump-time-assembly contract as [[jpegSidecar]]: the
+    * mm_png_chunks oracle re-walks these exact files in DuckDB, and
+    * the never-landed default makes a query-less dump fail loudly.
+    */
+  private val pngChunkLanding = new java.util.concurrent.atomic.AtomicReference[String](
+    "/graft_png_landing_never_landed")
+
   /** The mm_decode_jpeg pipeline off the real .jpg landing: ingest
     * via `binaryFile`, decode the actual JPEG bytes (JDK imageio),
     * join the documents table for the arithmetically-reconstructable
@@ -474,6 +482,70 @@ object Multimodal {
         .toDF("doc_id", "n_samples", "energy", "peak_abs", "payload")
         .select(col("doc_id"), col("n_samples"), col("energy"),
           col("peak_abs"), md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // PNG CONTAINER AUDIT — the chunk-level structure walk of the
+    // REAL .png landing (the mm_png_files files), from two fully
+    // independent walkers: Spark parses length/type/data/CRC chunk
+    // frames off the raw bytes, VERIFIES every CRC32 (fail-loud — a
+    // flipped bit anywhere in a chunk kills the query, not just a
+    // pixel) and requires the walk to consume the file exactly; the
+    // oracle re-walks the SAME files in DuckDB via read_blob + a
+    // recursive CTE over the hex string (big-endian lengths decoded
+    // by positional nibble arithmetic — the hex13 idiom). Storage
+    // audit rationale: every downstream decode trusts container
+    // framing the way src_parquet_meta trusts footers; this row makes
+    // the framing itself a gated claim. Census per file: chunk count,
+    // IDAT count/bytes (multi-IDAT files are legal and real), IHDR
+    // dims. Narrow per-file map over the shared idempotent landing.
+    "mm_png_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val out = tmp("png_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      ensureLandingOnce(s, dir, out) {
+        landFiles(s, dir, out, PngSubsetPred, "png")(b =>
+          graft.functions.PngCodec.encode(PgmCodec.decode(PgmCodec.encode(b))))
+      }
+      pngChunkLanding.set(out)
+      s.read.format("binaryFile").load(out)
+        .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          col("content"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) =>
+          def be32(o: Int): Long =
+            ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+              ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+          require(b.length > 8 && (b(0) & 0xff) == 0x89 &&
+            b(1) == 'P' && b(2) == 'N' && b(3) == 'G',
+            s"bad PNG signature for doc $id")
+          val crc = new java.util.zip.CRC32
+          var off = 8
+          var nChunks = 0L; var nIdat = 0L; var idatBytes = 0L
+          var w = 0L; var h = 0L
+          var sawEnd = false
+          while (!sawEnd) {
+            require(off + 12 <= b.length, s"truncated chunk header, doc $id")
+            val len = be32(off)
+            require(len >= 0 && off + 12 + len <= b.length,
+              s"chunk overruns file, doc $id")
+            val typ = new String(b, off + 4, 4, "US-ASCII")
+            crc.reset()
+            crc.update(b, off + 4, 4 + len.toInt)
+            require(crc.getValue == be32(off + 8 + len.toInt),
+              s"CRC mismatch on $typ, doc $id")
+            nChunks += 1
+            if (typ == "IDAT") { nIdat += 1; idatBytes += len }
+            if (typ == "IHDR") { w = be32(off + 8); h = be32(off + 12) }
+            if (typ == "IEND") sawEnd = true
+            off += 12 + len.toInt
+          }
+          require(off == b.length, s"trailing bytes after IEND, doc $id")
+          (id, b.length.toLong, nChunks, nIdat, idatBytes, w, h)
+        })
+        .toDF("doc_id", "n_bytes", "n_chunks", "n_idat", "idat_bytes",
+          "width", "height")
         .orderBy("doc_id")
     }),
 
@@ -2156,5 +2228,39 @@ object Multimodal {
        |  CAST(d.h AS INT) AS height, sc.sum_abs_err, sc.max_abs_err,
        |  sc.pixels_md5
        |FROM sub d JOIN sc ON sc.doc_id = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin)
+       |ORDER BY d.doc_id""".stripMargin) + ("mm_png_chunks" -> {
+    // fully independent re-walk of the SAME landing files: read_blob
+    // + a recursive CTE over the hex string (DuckDB's blob type has
+    // no byte slicing; hex + positional nibble decode does — big-
+    // endian u32 at byte offset o = Σ nibble(2o+i)·16^(7−i))
+    def be32(off: String): String = (0 until 8).map { i =>
+      s"(strpos('0123456789ABCDEF', substring(hx, ($off) * 2 + ${i + 1}, 1)) - 1)::BIGINT * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+    s"""WITH RECURSIVE f AS (
+       |  SELECT CAST(regexp_extract(filename, '(\\d+)\\.png$$', 1) AS BIGINT)
+       |      AS doc_id,
+       |    hex(content) AS hx, size AS n_bytes
+       |  FROM read_blob('${pngChunkLanding.get()}/shard=*/*.png')),
+       |walk AS (
+       |  SELECT doc_id, hx, n_bytes, CAST(8 AS BIGINT) AS off,
+       |    CAST(0 AS BIGINT) AS n_chunks, CAST(0 AS BIGINT) AS n_idat,
+       |    CAST(0 AS BIGINT) AS idat_bytes, CAST(0 AS BIGINT) AS w,
+       |    CAST(0 AS BIGINT) AS h, FALSE AS done
+       |  FROM f
+       |  UNION ALL
+       |  SELECT doc_id, hx, n_bytes, off + 12 + len,
+       |    n_chunks + 1,
+       |    n_idat + CASE WHEN typ = '49444154' THEN 1 ELSE 0 END,
+       |    idat_bytes + CASE WHEN typ = '49444154' THEN len ELSE 0 END,
+       |    CASE WHEN typ = '49484452' THEN ${be32("off + 8")} ELSE w END,
+       |    CASE WHEN typ = '49484452' THEN ${be32("off + 12")} ELSE h END,
+       |    typ = '49454E44'
+       |  FROM (
+       |    SELECT *, ${be32("off")} AS len,
+       |      substring(hx, (off + 4) * 2 + 1, 8) AS typ
+       |    FROM walk WHERE NOT done) t)
+       |SELECT doc_id, n_bytes, n_chunks, n_idat, idat_bytes,
+       |  w AS width, h AS height
+       |FROM walk WHERE done ORDER BY doc_id""".stripMargin
+  })
 }

@@ -948,7 +948,11 @@ object StarQueries2 {
     // Σ n_parts over roots = |part| exactly (every part has one
     // root-ward chain), pinned in Round18OpsSpec.
     "q_recursive_bom" -> ((s, dir) => {
-      graft.Graft.sql(s, dir,
+      // register only the table the recursion reads (Graft.sql's
+      // open-everything convenience would drag 9 unused scans into
+      // every execution and break under partial-table stress dirs)
+      Tables.part(s, dir).createOrReplaceTempView("part")
+      s.sql(
         """WITH RECURSIVE bom AS (
           |  SELECT p_partkey AS root, p_partkey AS part,
           |         CAST(1 AS BIGINT) AS qty,

@@ -132,6 +132,29 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(r.getBoolean(8) == (r.getLong(7) >= 3841459L))
   }
 
+  test("mm_png_chunks: framing invariants over the real landing") {
+    val got = SparkEntry.queries("mm_png_chunks")(spark, sf).collect()
+    val expected = Tables.documents(spark, sf)
+      .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 4) < '2000'"))
+      .select(col("doc_id"),
+        expr("greatest(1L, CAST((length(text) + 7) DIV 8 AS BIGINT))").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.length == expected.size,
+      "chunk walk must cover exactly the landed subset")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      // IHDR dims must match the arithmetic raster dims — the encoder
+      // can't change the image, only its framing
+      assert(r.getLong(5) == 8L && r.getLong(6) == expected(id),
+        s"doc $id: IHDR dims diverged from the arithmetic raster")
+      assert(r.getLong(3) >= 1L && r.getLong(4) > 0L,
+        s"doc $id: a PNG with no IDAT payload")
+      // signature(8) + per-chunk 12-byte framing + data ≤ file size
+      assert(8 + r.getLong(2) * 12 + r.getLong(4) <= r.getLong(1),
+        s"doc $id: framing accounting exceeds the file")
+    }
+  }
+
   test("ss_knn_classify: census bounds, ppm domain, and vote legitimacy") {
     val got = SparkEntry.queries("ss_knn_classify")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
