@@ -552,6 +552,64 @@ object Dedup {
     // the W-neighbor pairing is an EQUI-join on rank via a 1..W
     // explode — never a range self-join. Threshold is the integer
     // cross-multiply 2·|∩| ≥ |∪| (no float, no micro literal).
+    // PHONETIC-BLOCKED ENTITY RESOLUTION — the third blocking scheme
+    // next to LSH (dd_minhash) and sorted-neighborhood
+    // (dd_sorted_neighborhood): block records by SOUNDEX code (the
+    // ta_soundex contract), generate within-block candidate pairs
+    // through the salted bounded-buffer [[PairGen]] (a hot code is a
+    // mega-block — the same skew PairGen exists for), verify with
+    // exact Levenshtein ≤ 2 (both engines' classic built-in). The
+    // RECORD SET is the corpus vocabulary plus four deterministic
+    // corruptions per word (last letter doubled, trailing 'e',
+    // trailing 'h', trailing 'eaea' — the record-linkage-benchmark
+    // dirty-data idiom, derived not random): each corruption provably
+    // keeps the source's soundex code (a doubled code collapses,
+    // vowel/'h' tails strip), so true links always co-block and the
+    // machinery demonstrably FIRES — on the raw vocabulary alone
+    // every code is a singleton and the operator would gate on an
+    // empty frame (the ss_ivf_range_clustered lesson: a green row
+    // whose path never executes proves nothing). The 'eaea' tail is
+    // the NEGATIVE control: same-sounding (same block) but ≥3 edits
+    // from every sibling, so the verify stage must reject it — the
+    // census shows matches strictly below pairs, i.e. blocking and
+    // verification each doing distinct work. Census per block: pair
+    // volume vs C(n,2) — a PairGen exactness pin — match count,
+    // first-match witness. Scale: vocab is Heaps-bounded (token
+    // TYPES); blocks shuffle-partition on the code; verify is
+    // per-pair O(len²) on short strings.
+    "dd_er_blocking" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .distinct()
+      val vocab = base.select(col("w"))
+        .unionAll(base.select(
+          concat(col("w"), substring(col("w"), -1, 1)).as("w")))
+        .unionAll(base.select(concat(col("w"), lit("e")).as("w")))
+        .unionAll(base.select(concat(col("w"), lit("h")).as("w")))
+        .unionAll(base.select(concat(col("w"), lit("eaea")).as("w")))
+        .distinct()
+        .withColumn("sdx", soundex(col("w")))
+        .localCheckpoint(false) // census + pair generation both read it
+      val pairs = PairGen.saltedPairs(
+          vocab.select(col("sdx"), struct(col("w").as("w")).as("v")),
+          Seq("sdx"), "w")
+        .select(col("a.w").as("w1"), col("b.w").as("w2"))
+        .withColumn("lev", levenshtein(col("w1"), col("w2")))
+      val agg = pairs.withColumn("sdx", soundex(col("w1")))
+        .groupBy("sdx")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("lev") <= 2, 1L).otherwise(0L)).as("n_matches"),
+          min(when(col("lev") <= 2,
+            concat_ws("|", col("w1"), col("w2")))).as("first_match"))
+      vocab.groupBy("sdx").agg(count(lit(1)).as("n_words"))
+        .filter(col("n_words") >= 2)
+        .join(agg, Seq("sdx"))
+        .select(col("sdx"), col("n_words"), col("n_pairs"),
+          col("n_matches"), col("first_match"))
+        .orderBy("sdx")
+    }),
+
     "dd_sorted_neighborhood" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
@@ -1972,6 +2030,39 @@ object Dedup {
          |FROM agg WHERE n_docs >= 2
          |ORDER BY n_docs DESC, n_occ DESC, chunk_md5 ASC LIMIT 50""".stripMargin,
     "dd_ngram_jaccard" -> ngramJaccardSqlFrom("documents"),
+    // plain within-block self-join states the SEMANTICS; the Spark
+    // side's salted PairGen is the scale form (row-identical)
+    "dd_er_blocking" ->
+      s"""WITH w0 AS (
+         |  SELECT word FROM (
+         |    SELECT DISTINCT unnest(${OracleSql.toks}) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]+$$')),
+         |w AS (
+         |  SELECT DISTINCT word FROM (
+         |    SELECT word FROM w0
+         |    UNION ALL
+         |    SELECT word || substring(word, length(word), 1) FROM w0
+         |    UNION ALL SELECT word || 'e' FROM w0
+         |    UNION ALL SELECT word || 'h' FROM w0
+         |    UNION ALL SELECT word || 'eaea' FROM w0)),
+         |v AS (
+         |  SELECT word, ${OracleSql.soundexSql("word")} AS sdx FROM w),
+         |pairs AS (
+         |  SELECT a.sdx, a.word AS w1, b.word AS w2,
+         |    levenshtein(a.word, b.word) AS lev
+         |  FROM v a JOIN v b ON a.sdx = b.sdx AND a.word < b.word),
+         |agg AS (
+         |  SELECT sdx, count(*)::BIGINT AS n_pairs,
+         |    CAST(sum(CASE WHEN lev <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_matches,
+         |    min(CASE WHEN lev <= 2 THEN w1 || '|' || w2 END) AS first_match
+         |  FROM pairs GROUP BY sdx),
+         |census AS (
+         |  SELECT sdx, count(*)::BIGINT AS n_words FROM v GROUP BY sdx)
+         |SELECT c.sdx, c.n_words, a.n_pairs, a.n_matches, a.first_match
+         |FROM census c JOIN agg a ON c.sdx = a.sdx
+         |WHERE c.n_words >= 2
+         |ORDER BY c.sdx""".stripMargin,
     // plain global row_number here — the oracle states the SEMANTICS;
     // the Spark side's two-phase block-offset rank is the scale form
     "dd_sorted_neighborhood" ->

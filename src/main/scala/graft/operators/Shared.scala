@@ -73,6 +73,27 @@ object OracleSql {
   /** DuckDB mirror of [[Agg.dsum]]. */
   def dsum(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** DuckDB mirror of Spark's codegen'd `soundex()` on [A-Za-z]+
+    * input, RE2-safe (no backreferences): letters map to code digits
+    * via translate (vowels→'0' separators, H/W→'9' transparent), one
+    * literal-digit regexp_replace per code d collapses d(9*d)+ runs
+    * (plain repeats AND h/w-separated repeats at once), then the
+    * first position's code is dropped, 0/9 stripped, 3 digits kept,
+    * right-padded. ONE definition — ta_soundex and dd_er_blocking
+    * both fold through it; probed edge cases pinned in
+    * Round18OpsSpec.
+    */
+  def soundexSql(wordExpr: String): String = {
+    val mapped = s"translate(upper($wordExpr), " +
+      "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230129022455012623019202')"
+    val collapsed = (1 to 6).foldLeft(mapped) { (acc, d) =>
+      s"regexp_replace($acc, '$d(9*$d)+', '$d', 'g')"
+    }
+    s"substring(upper($wordExpr), 1, 1) || rpad(substring(" +
+      s"replace(replace(substring($collapsed, 2), '9', ''), '0', ''), " +
+      "1, 3), 3, '0')"
+  }
+
   /** DuckDB mirror of [[graft.functions.Log2Micro.log2micro]]: emits a
     * chain of CTE clauses computing the deterministic fixed-point
     * log2-in-micro-units of `num/den` for every row of `rel` (which

@@ -2316,33 +2316,22 @@ object TextAnalysis {
          |      FROM pr${GraphQueries.Iters})
          |WHERE rk <= $TextRankK ORDER BY rk""".stripMargin
     },
-    // Classic soundex rebuilt RE2-safe: code string via translate
-    // (vowels→0, h/w→9), then one literal-digit regexp_replace per
-    // code d collapsing d(9*d)+ runs (handles both plain repeats and
-    // h/w-separated repeats — RE2 has no backreferences), drop the
-    // first position's code, strip 0/9, take 3, right-pad.
-    "ta_soundex" -> {
-      val mapped = "translate(upper(word), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
-        "'01230129022455012623019202')"
-      val collapsed = (1 to 6).foldLeft(mapped) { (acc, d) =>
-        s"regexp_replace($acc, '$d(9*$d)+', '$d', 'g')"
-      }
+    // Classic soundex rebuilt RE2-safe — the shared
+    // [[OracleSql.soundexSql]] reconstruction (one definition with
+    // dd_er_blocking).
+    "ta_soundex" ->
       s"""WITH w AS (
          |  SELECT unnest($toksSql) AS word FROM documents),
          |wf AS (
          |  SELECT word, count(*)::BIGINT AS n FROM w
          |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
          |sx AS (
-         |  SELECT word, n,
-         |    substring(upper(word), 1, 1) || rpad(substring(
-         |      replace(replace(substring($collapsed, 2), '9', ''), '0', ''),
-         |      1, 3), 3, '0') AS sdx
+         |  SELECT word, n, ${OracleSql.soundexSql("word")} AS sdx
          |  FROM wf)
          |SELECT sdx, count(*)::BIGINT AS n_words,
          |  CAST(sum(n) AS BIGINT) AS n_tokens,
          |  min(word) AS first_word, max(word) AS last_word
-         |FROM sx GROUP BY sdx ORDER BY sdx""".stripMargin
-    },
+         |FROM sx GROUP BY sdx ORDER BY sdx""".stripMargin,
     "ta_rake" ->
       s"""WITH toks AS (
          |  SELECT doc_id, i AS pos, t[i] AS w,

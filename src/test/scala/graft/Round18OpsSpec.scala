@@ -132,6 +132,38 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(r.getBoolean(8) == (r.getLong(7) >= 3841459L))
   }
 
+  test("dd_er_blocking: PairGen exactness and verify soundness per block") {
+    val got = SparkEntry.queries("dd_er_blocking")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // the negative-control corruption must be rejected somewhere:
+    // blocking and verification each do distinct work
+    assert(got.map(_.getLong(3)).sum < got.map(_.getLong(2)).sum,
+      "every candidate matched — the verify stage discriminates nothing")
+    assert(got.map(_.getLong(3)).sum > 0L, "the verify stage matched nothing")
+    got.foreach { r =>
+      val (n, pairs, matches) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(pairs == n * (n - 1) / 2,
+        s"block ${r.getString(0)}: pair volume != C(n,2) — PairGen dropped " +
+          "or duplicated a within-block pair")
+      assert(matches <= pairs)
+      if (matches > 0) {
+        val Array(w1, w2) = r.getString(4).split("\\|")
+        assert(w1 < w2, "witness pair must be ordered")
+        // the witness must genuinely pass the verify threshold
+        val lev = {
+          val (a, b) = (w1, w2)
+          val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+            if (i == 0) j else if (j == 0) i else 0)
+          for (i <- 1 to a.length; j <- 1 to b.length)
+            d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+              d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          d(a.length)(b.length)
+        }
+        assert(lev <= 2, s"witness ${r.getString(4)} fails the threshold")
+      }
+    }
+  }
+
   test("mm_png_chunks: framing invariants over the real landing") {
     val got = SparkEntry.queries("mm_png_chunks")(spark, sf).collect()
     val expected = Tables.documents(spark, sf)
