@@ -81,7 +81,7 @@ object ClassifyQueries {
     // aggregations and a broadcast-size label join.
     "ss_knn_classify" -> ((s, dir) => {
       val lbl = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
-      val votes = Similarity.ivfKnnEdges(s, dir, 5)
+      val votes = Similarity.ivfKnnEdgesCached(s, dir, 5)
         .join(lbl.select(col("vec_id").as("nbr"), col("label").as("nlbl")),
           "nbr")
         .groupBy("src", "nlbl").agg(count(lit(1)).as("c"))

@@ -400,7 +400,7 @@ object GraphQueries {
     // Σ deg(v)² with deg ≤ k by construction (mutual top-3 lists), so
     // the wedge generator is O(k²·n) — hub-proof at any corpus size.
     "ss_adamic_adar" -> ((s, dir) => {
-      val e0 = Similarity.ivfKnnEdges(s, dir, 3).localCheckpoint(false)
+      val e0 = Similarity.ivfKnnEdgesCached(s, dir, 3)
       val pairs = e0.as("f").join(e0.as("r"),
           col("f.src") === col("r.nbr") && col("f.nbr") === col("r.src"))
         .filter(col("f.src") < col("f.nbr"))

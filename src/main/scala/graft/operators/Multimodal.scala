@@ -1358,6 +1358,53 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // ADAPTIVE (LOCAL-MEAN) THRESHOLDING — the binarization that
+    // survives uneven illumination where any global threshold (fixed
+    // 115, or mm_pgm_otsu's optimum) fails: an interior pixel is
+    // foreground iff it exceeds the MEAN of its 3×3 neighborhood,
+    // kept exact by cross-multiplication (9·v > Σ₉ — no division
+    // near a comparison, the zcr discipline). excess = 9·v − Σ₉ in
+    // ninths gives the margin census. Same interior domain as sobel
+    // (x ∈ [1,6], y ∈ [1,h−2]); narrow per-row map, 9 taps per pixel
+    // — at production resolutions the box mean comes off
+    // mm_pgm_integral's SAT in O(1) per pixel regardless of window
+    // size, which is why the two rows ship together.
+    "mm_pgm_adaptive" -> ((s, dir) => {
+      import s.implicits._
+      payloads(s, dir)
+        .mapPartitions(_.map { case (id, payload) =>
+          val px = PgmCodec.decode(PgmCodec.encode(payload)).pixels
+          val h = px.length / 8
+          def v(x: Int, y: Int): Long = (px(y * 8 + x) & 0xff).toLong
+          var nInterior = 0L; var nAbove = 0L
+          var maxExcess = Long.MinValue; var sumExcess = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < 7) {
+              var s9 = 0L
+              var dy = -1
+              while (dy <= 1) {
+                var dx = -1
+                while (dx <= 1) { s9 += v(x + dx, y + dy); dx += 1 }
+                dy += 1
+              }
+              val excess = 9L * v(x, y) - s9
+              nInterior += 1
+              if (excess > 0) { nAbove += 1; sumExcess += excess }
+              if (excess > maxExcess) maxExcess = excess
+              x += 1
+            }
+            y += 1
+          }
+          (id, nInterior, nAbove, sumExcess,
+            if (nInterior == 0) None: Option[Long] else Some(maxExcess))
+        })
+        .toDF("doc_id", "n_interior", "n_above_local", "sum_excess",
+          "max_excess")
+        .orderBy("doc_id")
+    }),
+
     // AUTOCORRELATION PITCH PROBE — the time-domain fundamental-
     // frequency estimator (the core of YIN/ACF pitch trackers):
     // R(L) = Σ s_i·s_{i+L} over candidate lags L ∈ [2, 13], winner =
@@ -1744,6 +1791,37 @@ object Multimodal {
         |      // (length(doc.text) - 1) END AS zcr_ppm
         |FROM documents doc LEFT JOIN c ON doc.doc_id = c.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
+    // nine raster-position taps per interior cell (the sobel pattern);
+    // foreground test and margins mirror the 9·v − Σ₉ integers
+    "mm_pgm_adaptive" -> {
+      def px(dx: Int, dy: Int) =
+        s"ord(substring(raster, CAST((y + ${dy}) * 8 + x + ${dx} + 1 AS INT), 1))"
+      val s9 = (for (dy <- -1 to 1; dx <- -1 to 1) yield px(dx, dy))
+        .mkString(" + ")
+      s"""WITH g AS (${rasterSql()}),
+         |cells AS (
+         |  SELECT doc_id,
+         |    CAST(i % 8 AS BIGINT) AS x, CAST(i // 8 AS BIGINT) AS y, raster
+         |  FROM g, UNNEST(range(0, 8 * h)) AS u(i)
+         |  WHERE i % 8 BETWEEN 1 AND 6 AND i // 8 BETWEEN 1 AND h - 2),
+         |ex AS (
+         |  SELECT doc_id, 9 * ${px(0, 0)} - ($s9) AS excess FROM cells),
+         |agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_interior,
+         |    CAST(sum(CASE WHEN excess > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_above_local,
+         |    CAST(sum(CASE WHEN excess > 0 THEN excess ELSE 0 END) AS BIGINT)
+         |      AS sum_excess,
+         |    CAST(max(excess) AS BIGINT) AS max_excess
+         |  FROM ex GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_interior, 0)::BIGINT AS n_interior,
+         |  COALESCE(a.n_above_local, 0)::BIGINT AS n_above_local,
+         |  COALESCE(a.sum_excess, 0)::BIGINT AS sum_excess,
+         |  a.max_excess
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // direct conditional sums — the declarative dual of the SAT's
     // corner algebra (a wrong recurrence diverges in values)
     "mm_pgm_integral" ->

@@ -376,7 +376,7 @@ object RankQueries {
     // edge frame on the reversed key — edge-sized, co-partitioned,
     // never touching vectors again. Output: undirected mutual pairs.
     "ss_mutual_knn" -> ((s, dir) => {
-      val e = Similarity.ivfKnnEdges(s, dir, 3).localCheckpoint(false)
+      val e = Similarity.ivfKnnEdgesCached(s, dir, 3)
       e.as("f").join(e.as("r"),
           col("f.src") === col("r.nbr") && col("f.nbr") === col("r.src"))
         .filter(col("f.src") < col("f.nbr"))
@@ -428,7 +428,7 @@ object RankQueries {
     // vectors each hop reaches — min-hop per node, so revisits don't
     // double-count.
     "ss_graph_expand" -> ((s, dir) => {
-      val knn = Similarity.ivfKnnEdges(s, dir, 3)
+      val knn = Similarity.ivfKnnEdgesCached(s, dir, 3)
       // materialize the edge list ONCE: the recursion's temp view is
       // otherwise a PLAN, and every hop of the recursive CTE would
       // re-run the whole edge build (measured: 5× the build cost)

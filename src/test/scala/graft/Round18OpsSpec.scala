@@ -164,6 +164,33 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_pgm_adaptive: brute-force 3x3 local-mean agreement") {
+    import graft.functions.PgmCodec
+    val got = SparkEntry.queries("mm_pgm_adaptive")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(8).collect()
+    docs.foreach { d =>
+      val px = PgmCodec.decode(
+        PgmCodec.encode(d.getString(1).getBytes("UTF-8"))).pixels
+      val h = px.length / 8
+      def v(x: Int, y: Int) = (px(y * 8 + x) & 0xff).toLong
+      var (nI, nA, sE) = (0L, 0L, 0L)
+      for (y <- 1 until h - 1; x <- 1 until 7) {
+        val s9 = (for (dy <- -1 to 1; dx <- -1 to 1)
+          yield v(x + dx, y + dy)).sum
+        val e = 9 * v(x, y) - s9
+        nI += 1; if (e > 0) { nA += 1; sE += e }
+      }
+      val r = got(d.getLong(0))
+      assert(r.getLong(1) == nI && r.getLong(2) == nA && r.getLong(3) == sE,
+        s"doc ${d.getLong(0)}: local-mean census diverged from brute force")
+    }
+    // foreground under a local mean is strictly rarer than half the
+    // interior only on flat images; here just pin the domain
+    got.values.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("mm_png_chunks: framing invariants over the real landing") {
     val got = SparkEntry.queries("mm_png_chunks")(spark, sf).collect()
     val expected = Tables.documents(spark, sf)
