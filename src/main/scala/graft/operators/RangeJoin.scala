@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -67,8 +67,77 @@ object RangeJoin {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("interval_id")
+    }),
+
+    // SPATIAL RADIUS JOIN — binning's 2-D sibling and the other
+    // classic join Spark lacks natively: "every supplier within
+    // radius r of each customer". The naive form is a distance-
+    // predicate cross join (quadratic death); the scale form
+    // quantizes the plane into r×r cells, replicates the SMALL side
+    // to its 3×3 cell neighborhood (if d ≤ r the cell indices differ
+    // by ≤ 1 — the cover is exact, not heuristic), equi-joins on the
+    // cell, and verifies with the exact predicate. Coordinates are
+    // the house md5 fixture (salted positional-nibble decodes onto a
+    // 10⁶-unit micro-grid — TPC-H has no geography), distance is
+    // integer squared Euclidean (no trig anywhere near the gate; on
+    // a real geo deployment this is the planar-projection form and
+    // the cells are geohash/S2 prefixes). Per matched customer:
+    // match count, nearest squared distance, nearest supplier
+    // (ties → smallest id, the argmin-as-two-aggregations trick).
+    // Scale: cells shuffle-partition; the 9× replication rides the
+    // broadcast-size side; the big side never explodes.
+    "q_spatial_radius_join" -> ((s, dir) => {
+      val r = SpatialRadius
+      def coord(salt: String, c: Column): Column =
+        pmod(conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 13),
+          16, 10).cast("long"), lit(1000000L))
+      val cust = Tables.customer(s, dir).select(col("c_custkey").as("cid"),
+        coord("gx", col("c_custkey")).as("cx"),
+        coord("gy", col("c_custkey")).as("cy"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey").as("sid"),
+        coord("hx", col("s_suppkey")).as("sx"),
+        coord("hy", col("s_suppkey")).as("sy"))
+      val sup9 = sup
+        .select(col("sid"), col("sx"), col("sy"),
+          explode(expr("sequence(-1, 1)")).as("dx"))
+        .select(col("sid"), col("sx"), col("sy"), col("dx"),
+          explode(expr("sequence(-1, 1)")).as("dy"))
+        .select(col("sid"), col("sx"), col("sy"),
+          (expr(s"sx DIV $r") + col("dx")).as("cellx"),
+          (expr(s"sy DIV $r") + col("dy")).as("celly"))
+      val cand = cust
+        .withColumn("cellx", expr(s"cx DIV $r"))
+        .withColumn("celly", expr(s"cy DIV $r"))
+        .join(broadcast(sup9), Seq("cellx", "celly"))
+        .withColumn("d2",
+          expr("(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)"))
+        .filter(col("d2") <= lit(r * r))
+      val best = cand.groupBy("cid")
+        .agg(count(lit(1)).as("n_within"), min(col("d2")).as("nearest_d2"))
+      val nearest = cand
+        .join(best.select(col("cid"), col("nearest_d2").as("d2")),
+          Seq("cid", "d2"))
+        .groupBy("cid", "d2").agg(min(col("sid")).as("nearest_sid"))
+      best.join(nearest.select(col("cid"), col("nearest_sid")), "cid")
+        .select(col("cid").as("c_custkey"), col("n_within"),
+          col("nearest_d2"), col("nearest_sid"))
+        .orderBy("c_custkey")
     })
   )
+
+  /** Radius of the spatial join in micro-grid units (grid = 10⁶²):
+    * ~0.3% of the grid width — sparse but firing (≈0.28 expected
+    * matches per customer at sf0.01, ≈2.8 at sf0.1).
+    */
+  val SpatialRadius = 30000L
+
+  /** Positional nibble decode of md5(e) — the hex13 idiom over an
+    * arbitrary SQL expression (EventQueries pins the user_id form).
+    */
+  private def hex13Of(e: String): String = (0 until 13).map { i =>
+    val pow = Math.pow(16.0, (12 - i).toDouble).toLong
+    s"(strpos('0123456789abcdef', substring(md5($e), ${i + 1}, 1)) - 1)::BIGINT * $pow"
+  }.mkString("(", " + ", ")")
 
   val oracleSql: Map[String, String] = Map(
     // The oracle states the semantics directly as an inequality join.
@@ -80,6 +149,41 @@ object RangeJoin {
         |SELECT interval_id, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
         |FROM iv JOIN events e ON e.ts >= start_ts AND e.ts < end_ts
-        |GROUP BY interval_id ORDER BY interval_id""".stripMargin
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    // the oracle states the semantics as the distance-predicate join
+    // (quadratic is fine at oracle scale; the cell cover is the
+    // Spark-side physical form, row-identical by the |Δcell| ≤ 1
+    // argument)
+    "q_spatial_radius_join" -> {
+      val r = SpatialRadius
+      s"""WITH c AS (
+         |  SELECT c_custkey AS cid,
+         |    ${hex13Of("'gx' || CAST(c_custkey AS VARCHAR)")} % 1000000 AS cx,
+         |    ${hex13Of("'gy' || CAST(c_custkey AS VARCHAR)")} % 1000000 AS cy
+         |  FROM customer),
+         |s2 AS (
+         |  SELECT s_suppkey AS sid,
+         |    ${hex13Of("'hx' || CAST(s_suppkey AS VARCHAR)")} % 1000000 AS sx,
+         |    ${hex13Of("'hy' || CAST(s_suppkey AS VARCHAR)")} % 1000000 AS sy
+         |  FROM supplier),
+         |cand AS (
+         |  SELECT cid, sid,
+         |    (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+         |  FROM c CROSS JOIN s2
+         |  WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= ${r * r}),
+         |best AS (
+         |  SELECT cid, count(*)::BIGINT AS n_within,
+         |    CAST(min(d2) AS BIGINT) AS nearest_d2
+         |  FROM cand GROUP BY cid),
+         |nearest AS (
+         |  SELECT cand.cid, CAST(min(cand.sid) AS BIGINT) AS nearest_sid
+         |  FROM cand JOIN best ON cand.cid = best.cid
+         |    AND cand.d2 = best.nearest_d2
+         |  GROUP BY cand.cid)
+         |SELECT b.cid AS c_custkey, b.n_within, b.nearest_d2, n.nearest_sid
+         |FROM best b JOIN nearest n ON b.cid = n.cid
+         |ORDER BY c_custkey""".stripMargin
+    }
   )
 }

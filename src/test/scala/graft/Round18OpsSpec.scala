@@ -132,6 +132,37 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(r.getBoolean(8) == (r.getLong(7) >= 3841459L))
   }
 
+  test("q_spatial_radius_join: cell cover equals the brute-force radius join") {
+    val r = operators.RangeJoin.SpatialRadius
+    val got = SparkEntry.queries("q_spatial_radius_join")(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    def coord(salt: String, c: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 13),
+        16, 10).cast("long"), lit(1000000L))
+    val cust = Tables.customer(spark, sf).select(col("c_custkey").as("cid"),
+      coord("gx", col("c_custkey")).as("cx"),
+      coord("gy", col("c_custkey")).as("cy"))
+    val sup = Tables.supplier(spark, sf).select(col("s_suppkey").as("sid"),
+      coord("hx", col("s_suppkey")).as("sx"),
+      coord("hy", col("s_suppkey")).as("sy"))
+    val brute = cust.crossJoin(sup)
+      .withColumn("d2", expr("(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)"))
+      .filter(col("d2") <= lit(r * r))
+      .collect().map(x => (x.getLong(0), x.getLong(3), x.getLong(6)))
+    val byCust = brute.groupBy(_._1)
+    assert(got.nonEmpty, "radius join never fired — fixture density broke")
+    assert(got.map(_._1).toSet == byCust.keySet,
+      "cell cover missed or invented a matched customer vs brute force")
+    got.foreach { case (cid, n, d2, sid) =>
+      val mine = byCust(cid)
+      assert(n == mine.length, s"customer $cid: count ${n} vs ${mine.length}")
+      val minD2 = mine.map(_._3).min
+      assert(d2 == minD2 && d2 <= r * r)
+      assert(sid == mine.filter(_._3 == minD2).map(_._2).min,
+        s"customer $cid: nearest tie-break diverged")
+    }
+  }
+
   test("dd_er_blocking: PairGen exactness and verify soundness per block") {
     val got = SparkEntry.queries("dd_er_blocking")(spark, sf).collect()
     assert(got.nonEmpty)
