@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, DedupClusters, RangeJoin}
+import graft.operators.{Dedup, DedupClusters, GraphQueries, RangeJoin}
 import graft.plans.AsOfJoin
 
 /** Library-hygiene checks: the operator APIs must handle EMPTY inputs
@@ -19,6 +19,11 @@ class EmptyInputSpec extends AnyFunSuite {
   test("connectedComponents on an empty pair list returns no labels") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(DedupClusters.connectedComponents(empty).count() == 0)
+  }
+
+  test("HITS on an empty edge list returns no rows (and never divides)") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphQueries.hitsMicro(empty).count() == 0)
   }
 
   test("as-of join with an empty right side keeps all left rows null-extended") {
