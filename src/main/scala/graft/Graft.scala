@@ -139,6 +139,21 @@ object Graft {
   def pageRank(pairs: DataFrame, iters: Int = operators.GraphQueries.Iters): DataFrame =
     operators.GraphQueries.pageRankMicro(pairs, iters)
 
+  /** HITS hubs & authorities in integer micro-units over a directed
+    * (src, dst) edge list (see [[graft.operators.GraphQueries.hitsMicro]]).
+    */
+  def hits(edges: DataFrame,
+      iters: Int = operators.GraphQueries.HitsRounds): DataFrame =
+    operators.GraphQueries.hitsMicro(edges, iters)
+
+  /** 2-D radius join via the exact r-cell cover — all (left, right)
+    * pairs within squared Euclidean distance r² on integer coordinate
+    * columns (see [[graft.operators.RangeJoin.radiusJoin]]).
+    */
+  def radiusJoin(left: DataFrame, right: DataFrame, lx: String, ly: String,
+      rx: String, ry: String, r: Long): DataFrame =
+    operators.RangeJoin.radiusJoin(left, right, lx, ly, rx, ry, r)
+
   /** TextRank keywords of a corpus: (rk, word, pr_micro), top `k`
     * (see [[graft.operators.TextAnalysis.textRank]]).
     */

@@ -48,6 +48,38 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** 2-D RADIUS JOIN as a library operator: all (left, right) row
+    * pairs whose integer coordinate columns lie within squared
+    * Euclidean distance r² — the planar/geohash join, binning's 2-D
+    * sibling. Exact r-cell cover: each left row keys to ONE r×r
+    * cell (floor division via the pmod identity, so NEGATIVE
+    * coordinates cover correctly too — truncating DIV would tear the
+    * |Δcell| ≤ 1 property around zero), the right side replicates to
+    * its 3×3 neighborhood, the equi-join on the cell is the only
+    * wide op, and the exact d² predicate verifies post-join. Output:
+    * left ⨯ right columns (names must be distinct) plus `d2`. Pass a
+    * `broadcast(right)` hint when that side is dimension-sized.
+    */
+  def radiusJoin(left: DataFrame, right: DataFrame,
+      lx: String, ly: String, rx: String, ry: String, r: Long): DataFrame = {
+    require(r > 0, s"radius must be positive, got $r")
+    def cell(c: String) = expr(s"($c - pmod($c, $r)) DIV $r") // floor div
+    val r9 = right
+      .withColumn("_dx", explode(expr("sequence(-1, 1)")))
+      .withColumn("_dy", explode(expr("sequence(-1, 1)")))
+      .withColumn("_cellx", cell(rx) + col("_dx"))
+      .withColumn("_celly", cell(ry) + col("_dy"))
+      .drop("_dx", "_dy")
+    left
+      .withColumn("_cellx", cell(lx))
+      .withColumn("_celly", cell(ly))
+      .join(r9, Seq("_cellx", "_celly"))
+      .withColumn("d2",
+        expr(s"($lx - $rx) * ($lx - $rx) + ($ly - $ry) * ($ly - $ry)"))
+      .filter(col("d2") <= lit(r * r))
+      .drop("_cellx", "_celly")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Event density around anchor events: the first 40 events open
     // 2-hour windows; count the events and distinct users inside each.
@@ -97,21 +129,7 @@ object RangeJoin {
       val sup = Tables.supplier(s, dir).select(col("s_suppkey").as("sid"),
         coord("hx", col("s_suppkey")).as("sx"),
         coord("hy", col("s_suppkey")).as("sy"))
-      val sup9 = sup
-        .select(col("sid"), col("sx"), col("sy"),
-          explode(expr("sequence(-1, 1)")).as("dx"))
-        .select(col("sid"), col("sx"), col("sy"), col("dx"),
-          explode(expr("sequence(-1, 1)")).as("dy"))
-        .select(col("sid"), col("sx"), col("sy"),
-          (expr(s"sx DIV $r") + col("dx")).as("cellx"),
-          (expr(s"sy DIV $r") + col("dy")).as("celly"))
-      val cand = cust
-        .withColumn("cellx", expr(s"cx DIV $r"))
-        .withColumn("celly", expr(s"cy DIV $r"))
-        .join(broadcast(sup9), Seq("cellx", "celly"))
-        .withColumn("d2",
-          expr("(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)"))
-        .filter(col("d2") <= lit(r * r))
+      val cand = radiusJoin(cust, broadcast(sup), "cx", "cy", "sx", "sy", r)
       val best = cand.groupBy("cid")
         .agg(count(lit(1)).as("n_within"), min(col("d2")).as("nearest_d2"))
       val nearest = cand

@@ -119,6 +119,44 @@ class GraftApiSpec extends AnyFunSuite {
     assert(r1.getAs[Int]("at_value") == 50)
   }
 
+  test("hits: a pure source is the best hub, a pure sink the best authority") {
+    // star out of 1 (1→2, 1→3, 1→4) plus 2→4: node 1 endorses
+    // everything (hub), node 4 is endorsed by the strongest hubs
+    // (authority); node 1 has no in-edges → authority exactly 0
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    val got = Graft.hits(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == 0L, "a node with no in-edges must hold authority 0")
+    assert(got(1L)._2 == 1000000L, "the pure source must be the max hub")
+    assert(got(4L)._1 == 1000000L, "the doubly-endorsed sink is max authority")
+    assert(got(4L)._2 == 0L, "a node with no out-edges must hold hub 0")
+    assert(got.values.forall { case (a, h) =>
+      a >= 0 && a <= 1000000L && h >= 0 && h <= 1000000L })
+  }
+
+  test("radiusJoin: exact cell cover incl. negative coordinates") {
+    val left = Seq((1L, -5L, -5L), (2L, 0L, 0L), (3L, 95L, 5L))
+      .toDF("lid", "lx", "ly")
+    val right = Seq((10L, -12L, -5L), (11L, 9L, 1L), (12L, 200L, 200L))
+      .toDF("rid", "rx", "ry")
+    val got = Graft.radiusJoin(left, right, "lx", "ly", "rx", "ry", 10L)
+      .select("lid", "rid", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: pairs within d² ≤ 100
+    val expect = (for {
+      (l, lx, ly) <- Seq((1L, -5L, -5L), (2L, 0L, 0L), (3L, 95L, 5L))
+      (r, rx, ry) <- Seq((10L, -12L, -5L), (11L, 9L, 1L), (12L, 200L, 200L))
+      d2 = (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)
+      if d2 <= 100
+    } yield (l, r, d2)).toSet
+    assert(got == expect,
+      s"cell cover diverged from brute force: got $got expect $expect")
+    // the (-5,-5)↔(-12,-5) pair sits across cells −1/−2 — the
+    // negative-coordinate cover case the floor division guarantees
+    assert(expect.exists(_._1 == 1L))
+  }
+
   test("textRank: a hub word in a star graph ranks first") {
     val docs = Seq("hub alpha", "hub beta", "hub gamma", "hub delta")
       .toDF("text")
