@@ -330,6 +330,20 @@ object Multimodal {
   private val pngChunkLanding = new java.util.concurrent.atomic.AtomicReference[String](
     "/graft_png_landing_never_landed")
 
+  /** Ensure the shared real-PNG subset landing exists (idempotent,
+    * once per (session, dir)) and return its path — ONE definition of
+    * the dir/predicate/encode chain so mm_png_files and mm_png_chunks
+    * provably walk the same files.
+    */
+  private def pngSubsetLanding(s: SparkSession, dir: String): String = {
+    val out = tmp("png_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    ensureLandingOnce(s, dir, out) {
+      landFiles(s, dir, out, PngSubsetPred, "png")(b =>
+        graft.functions.PngCodec.encode(PgmCodec.decode(PgmCodec.encode(b))))
+    }
+    out
+  }
+
   /** The mm_decode_jpeg pipeline off the real .jpg landing: ingest
     * via `binaryFile`, decode the actual JPEG bytes (JDK imageio),
     * join the documents table for the arithmetically-reconstructable
@@ -392,18 +406,13 @@ object Multimodal {
     "mm_png_files" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
-      val out = tmp("png_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
-      // idempotent landing ([[landFiles]]); the whole check-and-build
-      // runs ONCE per (session, dir) — [[ensureLandingOnce]] memoizes
-      // after completion, so repeat bench runs skip the count job +
-      // recursive listing too. Unlike the phash rows, the scan +
-      // decode below runs FRESH every execution — this row is the
-      // cache-bypassing construction measurement for the real-file
-      // decode stage (the dd_simhash64_build convention).
-      ensureLandingOnce(s, dir, out) {
-        landFiles(s, dir, out, PngSubsetPred, "png")(b =>
-          graft.functions.PngCodec.encode(PgmCodec.decode(PgmCodec.encode(b))))
-      }
+      // idempotent landing ([[pngSubsetLanding]]); the whole
+      // check-and-build runs ONCE per (session, dir). Unlike the
+      // phash rows, the scan + decode below runs FRESH every
+      // execution — this row is the cache-bypassing construction
+      // measurement for the real-file decode stage (the
+      // dd_simhash64_build convention).
+      val out = pngSubsetLanding(s, dir)
       val decoded = s.read.format("binaryFile").load(out)
         .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
             .cast("long").as("doc_id"),
@@ -501,11 +510,7 @@ object Multimodal {
     // dims. Narrow per-file map over the shared idempotent landing.
     "mm_png_chunks" -> ((s, dir) => {
       import s.implicits._
-      val out = tmp("png_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
-      ensureLandingOnce(s, dir, out) {
-        landFiles(s, dir, out, PngSubsetPred, "png")(b =>
-          graft.functions.PngCodec.encode(PgmCodec.decode(PgmCodec.encode(b))))
-      }
+      val out = pngSubsetLanding(s, dir)
       pngChunkLanding.set(out)
       s.read.format("binaryFile").load(out)
         .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
@@ -1868,13 +1873,14 @@ object Multimodal {
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY r DESC, lag ASC) AS rk
         |  FROM rl)
-        |SELECT b.doc_id, b.lag AS best_lag, e.r0, b.r AS r_lag,
-        |  CASE WHEN e.r0 = 0 THEN NULL
+        |SELECT b.doc_id, b.lag AS best_lag,
+        |  COALESCE(e.r0, 0) AS r0, b.r AS r_lag,
+        |  CASE WHEN COALESCE(e.r0, 0) = 0 THEN NULL
         |    WHEN b.r >= 0
         |      THEN CAST((CAST(b.r AS HUGEINT) * 1000000) // e.r0 AS BIGINT)
         |    ELSE -CAST((CAST(-b.r AS HUGEINT) * 1000000) // e.r0 AS BIGINT)
         |  END AS r_ppm
-        |FROM best b JOIN e ON b.doc_id = e.doc_id
+        |FROM best b LEFT JOIN e ON b.doc_id = e.doc_id
         |WHERE b.rk = 1
         |ORDER BY b.doc_id""".stripMargin,
     // The WAV widening is (ord − 128)·256 per char (all-ASCII corpus ⇒

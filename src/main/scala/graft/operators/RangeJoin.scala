@@ -130,6 +130,7 @@ object RangeJoin {
         coord("hx", col("s_suppkey")).as("sx"),
         coord("hy", col("s_suppkey")).as("sy"))
       val cand = radiusJoin(cust, broadcast(sup), "cx", "cy", "sx", "sy", r)
+        .localCheckpoint(false) // best + nearest + the final join read it
       val best = cand.groupBy("cid")
         .agg(count(lit(1)).as("n_within"), min(col("d2")).as("nearest_d2"))
       val nearest = cand

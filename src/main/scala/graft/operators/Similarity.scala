@@ -322,14 +322,17 @@ object Similarity {
     * index) whose per-cell joins go quadratic as the corpus grows.
     * Consumed by ss_graph_expand's recursive expansion.
     */
-  /** [[ivfKnnEdges]] memoized per (session, dir, k) — round-12: five
-    * consumers (beam walk, mutual-kNN, graph expand, Adamic–Adar, the
-    * kNN classifier) each re-ran the O(n^1.5) cell self-join + window
-    * per execution; now the first pays it into checkpoint blocks and
-    * the rest read them. ss_greedy_walk stays on the UNCACHED builder
-    * — the designated fresh-construction measurement for this
-    * substrate (the dd_simhash64_build convention), so bench still
-    * prices the edge build every round.
+  /** [[ivfKnnEdges]] memoized per (session, dir, k) — round-12: each
+    * consumer re-ran the O(n^1.5) cell self-join + window per
+    * execution; now the first call per k pays it into checkpoint
+    * blocks. The k=3 entry is SHARED by four rows (beam walk,
+    * mutual-kNN, graph expand, Adamic–Adar); the kNN classifier's
+    * k=5 entry has no second reader, so its memo only amortizes
+    * repeat executions (bench pass 2, multi-query sessions) — it
+    * still pays one full build per session. ss_greedy_walk stays on
+    * the UNCACHED builder — the designated fresh-construction
+    * measurement for this substrate (the dd_simhash64_build
+    * convention), so bench still prices the edge build every round.
     */
   def ivfKnnEdgesCached(s: SparkSession, dir: String, k: Int): DataFrame =
     cached[DataFrame](s, dir, s"knnEdges$k") {
