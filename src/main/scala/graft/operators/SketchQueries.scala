@@ -237,6 +237,66 @@ object SketchQueries {
         exact)
     }),
 
+    // SLIDING-WINDOW CARDINALITY — the production "distinct users over
+    // the trailing 24 h, per hour" read, answered from HOURLY REGISTER
+    // SKETCHES instead of 24 overlapping full scans: registers are a
+    // max-monoid, so the trailing merge is max(rho) over a 23-hour
+    // RANGE window per register — one pass over an (hours × 256)
+    // model frame, never a re-read of the events (the naive form
+    // re-scans every row ~24×; the sketch form's cost is independent
+    // of the window length). The register series densifies to the
+    // (distinct hour × occupied register) grid first — a sparse
+    // window would drop a register from hours it wasn't refreshed in,
+    // silently undercounting. Per-hour estimates ride the established
+    // fixed-point read (same integers as sk_hll_estimate); the exact
+    // trailing distinct rides along as the audit column, so the gate
+    // pins BOTH the windowed merge and the estimator.
+    "sk_hll_sliding" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      val hourly = hllRegRho(
+          ev.select(col("hour"), md5(col("user_id").cast("string")).as("h")))
+        .groupBy("hour", "reg").agg(max(col("rho")).as("rho"))
+        .localCheckpoint(false) // grid + window read it
+      val hours = ev.select("hour").distinct()
+      val dense = hours.crossJoin(broadcast(hourly.select("reg").distinct()))
+        .join(hourly, Seq("hour", "reg"), "left")
+        .withColumn("hour_us", unix_micros(col("hour")))
+      val w = Window.partitionBy(col("reg")).orderBy(col("hour_us"))
+        .rangeBetween(-23L * 3600L * 1000000L, 0L)
+      val merged = dense
+        .withColumn("rho24", max(col("rho")).over(w)) // max ignores nulls
+        .filter(col("rho24").isNotNull)
+      val est = merged.groupBy("hour")
+        .agg(count(lit(1)).as("n_set"),
+          sum(expr(s"shiftleft(1L, $HllRhoCap - least(rho24, $HllRhoCap))"))
+            .as("z_set"))
+        .withColumn("zcap", col("z_set") +
+          (lit(HllRegisters.toLong) - col("n_set")) * lit(1L << HllRhoCap))
+        .withColumn("raw_est", expr(s"$HllNumer DIV (1000000 * zcap)"))
+        // small-range (linear counting) branch — the q_approx_distinct
+        // correction verbatim: trailing-24h user counts sit far below
+        // m = 256, exactly the regime where the raw estimator
+        // overshoots (measured ~1.6× here before the branch)
+        .withColumn("lrm", graft.functions.Log2Micro.log2micro(
+          lit(HllRegisters.toLong),
+          greatest(lit(HllRegisters.toLong) - col("n_set"), lit(1L))))
+        .withColumn("est_distinct", expr(
+          s"CASE WHEN n_set < $HllRegisters AND raw_est <= ${5 * HllRegisters / 2} " +
+            s"THEN ($HllRegisters * lrm * 693147) DIV 1000000000000 " +
+            "ELSE raw_est END"))
+      val exact = hours.as("hs")
+        .join(ev.distinct().as("e"),
+          expr("e.hour > hs.hour - INTERVAL 24 HOURS AND e.hour <= hs.hour"))
+        .groupBy(col("hs.hour").as("hour"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "hour")
+        .select(col("hour"), col("n_set"), col("zcap"),
+          col("est_distinct"), col("exact_distinct"))
+        .orderBy("hour")
+    }),
+
     // Merge-of-partials-equals-rescan, the sketch's reason to exist:
     // two corpus halves (the pipe_agg_maintenance md5 split, so both
     // engines see identical halves) are sketched INDEPENDENTLY — as a
@@ -664,6 +724,54 @@ object SketchQueries {
          |$regRhoSql,
          |regs AS (SELECT reg, max(rho) AS rho FROM rr GROUP BY reg),
          |$estimateSql""".stripMargin,
+    // hours × hourly-register inequality join states the trailing-
+    // merge semantics; the Spark side's RANGE window over the dense
+    // grid is the one-pass scale form (row-identical)
+    "sk_hll_sliding" -> {
+      val zc = s"(z_set + ($HllRegisters - n_set) * ${1L << HllRhoCap})"
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT date_trunc('hour', ts) AS hour,
+         |    md5(CAST(user_id AS VARCHAR)) AS h, user_id
+         |  FROM events),
+         |rr AS (
+         |  SELECT hour, ${hexLong("h", 1, 2)}::INT AS reg,
+         |    CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END::INT AS rho
+         |  FROM (SELECT hour, h, ${hexLong("h", 3, 13)} AS v FROM ev)),
+         |hourly AS (SELECT hour, reg, max(rho) AS rho FROM rr GROUP BY 1, 2),
+         |hours AS (SELECT DISTINCT hour FROM ev),
+         |merged AS (
+         |  SELECT hs.hour, hh.reg, max(hh.rho) AS rho24
+         |  FROM hours hs JOIN hourly hh
+         |    ON hh.hour > hs.hour - INTERVAL 24 HOURS AND hh.hour <= hs.hour
+         |  GROUP BY 1, 2),
+         |z AS (
+         |  SELECT hour, count(*)::BIGINT AS n_set,
+         |    sum((1::BIGINT << ($HllRhoCap - least(rho24, $HllRhoCap))))::BIGINT
+         |      AS z_set
+         |  FROM merged GROUP BY hour),
+         |zn AS (
+         |  SELECT hour, n_set, z_set,
+         |    CAST($HllRegisters AS BIGINT) AS num,
+         |    greatest($HllRegisters - n_set, 1)::BIGINT AS den
+         |  FROM z),
+         |${OracleSql.log2microCtes("sl", "zn", Seq("hour"))},
+         |ze AS (
+         |  SELECT zn.hour, n_set, z_set, sl_lg.lrm,
+         |    ($HllNumer // (1000000::BIGINT * $zc))::BIGINT AS raw_est
+         |  FROM zn JOIN sl_lg USING (hour)),
+         |exact AS (
+         |  SELECT hs.hour, count(DISTINCT e.user_id)::BIGINT AS exact_distinct
+         |  FROM hours hs JOIN ev e
+         |    ON e.hour > hs.hour - INTERVAL 24 HOURS AND e.hour <= hs.hour
+         |  GROUP BY hs.hour)
+         |SELECT ze.hour, ze.n_set, $zc::BIGINT AS zcap,
+         |  CASE WHEN n_set < $HllRegisters AND raw_est <= ${5 * HllRegisters / 2}
+         |    THEN ($HllRegisters * lrm * 693147) // 1000000000000
+         |    ELSE raw_est END::BIGINT AS est_distinct,
+         |  exact.exact_distinct
+         |FROM ze JOIN exact ON ze.hour = exact.hour
+         |ORDER BY ze.hour""".stripMargin
+    },
     // The merge query's oracle IS the direct full-corpus estimate:
     // equality is the merge-equals-rescan contract.
     "sk_hll_merge" ->

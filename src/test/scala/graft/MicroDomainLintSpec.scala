@@ -59,8 +59,8 @@ class MicroDomainLintSpec extends AnyFunSuite {
       "per-doc token/char ratios (doc-length-bounded <= ~1e8) and doc-count/labeled-sample numerators (~2e10 << 9.2e12)"),
     "operators/Shared.scala" -> (2,
       "log2micro/exp2micro SQL CTE internals: fixed-point domain-capped by contract (exponent <= 63, |x| <= 64e6) — products <= ~7e13"),
-    "operators/SketchQueries.scala" -> (1,
-      "HLL denominator 1e6*zcap: zcap is the capped register-sum <= registers*1e6 ~1e9 (model frame, corpus-independent)"),
+    "operators/SketchQueries.scala" -> (2,
+      "HLL denominators 1e6*zcap (global + sliding-window reads): zcap is the capped register-sum <= registers*2^20 ~2.7e8 (model frame, corpus-independent)"),
     "operators/StarQueries2.scala" -> (9,
       "HLL zcap site (register-frame bound, as SketchQueries) plus closed-form-OLS continuations whose operands are DECIMAL/HUGEINT on the opening line"),
     "operators/TextAnalysis.scala" -> (11,
