@@ -412,6 +412,41 @@ object DedupClusters {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL CONNECTED COMPONENTS — the clustering leg of the
+    // incremental-maintenance family (pipe_agg/join_maintenance,
+    // pipe_incremental_dedup cover aggregates/joins/pair-finding;
+    // this is the LABEL merge): yesterday's labels survive as STAR
+    // EDGES (id → component-min), today's delta pairs union in, and
+    // one CC pass over [stars ∪ delta] must equal CC over the full
+    // pair graph — the union-find merge theorem as a gated contract
+    // (the sk_hll_merge convention: the oracle IS the direct full
+    // recompute). Base = pairs with both endpoints in the md5-<'8'
+    // half (the established split both engines see identically);
+    // delta = every pair touching the other half. At 100 TB
+    // yesterday's labels are a materialized table and today's job
+    // scans ONLY delta pairs + that table — the base pair graph (the
+    // expensive verify output) is never re-read; here both halves
+    // compute fresh because rows carry no cross-session state, but
+    // the gate pins exactly the equality that makes the materialized
+    // form safe to ship.
+    "dd_incremental_cc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.verifiedPairs(s, dir, dedup = false)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(false) // base + delta splits both read it
+      def inBase(c: String) =
+        substring(md5(col(c).cast("string")), 1, 1) < "8"
+      val base = pairs.filter(inBase("doc_a") && inBase("doc_b"))
+      val delta = pairs.filter(!(inBase("doc_a") && inBase("doc_b")))
+      val stars = connectedComponents(base)
+        .select(col("id").as("doc_a"), col("label").as("doc_b"))
+      connectedComponents(stars.unionAll(delta))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          count(lit(1)).over(Window.partitionBy(col("label")))
+            .as("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     // SOFT DEDUP — the down-weighting alternative to dropping: every
     // member of a near-dup cluster keeps 1/cluster_size of its
     // sampling mass (weight_ppm = 10⁶ DIV size), so the cluster as a
@@ -890,6 +925,27 @@ object DedupClusters {
          |LEFT JOIN corelab c ON c.id = e.vec_id
          |LEFT JOIN border b ON b.id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
+    // The incremental merge's oracle is the DIRECT full-graph CC —
+    // equality IS the merge-equals-recompute contract (same SQL as
+    // dd_clusters below, deliberately).
+    "dd_incremental_cc" ->
+      s"""WITH RECURSIVE pairs AS (${Dedup.ngramJaccardPairsSql}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (
+         |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+         |SELECT a.id AS doc_id, a.cluster_id,
+         |  b.cluster_size
+         |FROM comp a
+         |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) b
+         |  USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     // Same clusters from first principles: transitive closure with a
     // recursive CTE (UNION, not UNION ALL — dedup makes cycles
     // terminate), component id = min reachable doc_id.

@@ -132,6 +132,31 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(r.getBoolean(8) == (r.getLong(7) >= 3841459L))
   }
 
+  test("dd_incremental_cc: the star+delta merge equals the full recompute, and both splits are non-trivial") {
+    val got = SparkEntry.queries("dd_incremental_cc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val full = SparkEntry.queries("dd_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == full.toSeq,
+      "incremental merge diverged from the full CC — the star-edge " +
+        "carryover lost structure")
+    // the contract is vacuous if either split is empty: both the base
+    // half and the delta must contribute pairs on this corpus
+    val pairs = operators.Dedup.ngramJaccardPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def inBase(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      hex.charAt(0) < '8'
+    }
+    val nBase = pairs.count { case (a, b) => inBase(a) && inBase(b) }
+    assert(nBase > 0 && nBase < pairs.length,
+      s"degenerate split ($nBase of ${pairs.length} pairs in base) — " +
+        "the merge path was not exercised")
+  }
+
   test("sk_hll_sliding: every hour answered, error bounded, registers capped") {
     val got = SparkEntry.queries("sk_hll_sliding")(spark, sf).collect()
     val nHours = Tables.events(spark, sf)
