@@ -896,10 +896,12 @@ object Similarity {
     // vec_id at that dm — never a struct-min, which falls out of
     // HashAggregate). Output is k rows regardless of corpus size.
     "ss_diversity_sample" -> ((s, dir) => {
-      val dims = kmDims(s, dir).localCheckpoint(false)
-      val cents = trainedCents(dims)
-      val dist = l2VecDist(dims, cents)
-      val asg = assignL2(dims, cents)
+      // rides the session-cached trained IVF (ss_kmeans_train is the
+      // designated fresh-construction measurement; this row's own
+      // work is the distance frame + three k-row aggregations —
+      // round-12: it was re-running the full Lloyd loop per execution)
+      val (cents, asg) = trainedIvf(s, dir)
+      val dist = l2VecDist(cachedKmDims(s, dir), cents)
       val cell = dist.join(asg, Seq("vec_id", "cent_id"))
       val best = cell.groupBy("cent_id").agg(min(col("dm")).as("dm"))
       val rep = cell.join(best, Seq("cent_id", "dm"))
