@@ -1013,8 +1013,7 @@ object Similarity {
     "ss_ood_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val (cents, _) = trainedIvf(s, dir)
-      val dims = kmDims(s, dir)
-      val dist = l2VecDist(dims, cents).localCheckpoint(false)
+      val dist = l2VecDist(cachedKmDims(s, dir), cents).localCheckpoint(false)
       val best = dist.groupBy("vec_id").agg(min(col("dm")).as("dm"))
       val asg = dist.join(best, Seq("vec_id", "dm"))
         .groupBy("vec_id", "dm").agg(min(col("cent_id")).as("cent_id"))
@@ -1300,7 +1299,7 @@ object Similarity {
     "ss_embed_drift" -> ((s, dir) => {
       val half = when(substring(md5(col("vec_id").cast("string")), 1, 1) < "8",
         "ref").otherwise("cur")
-      val agg = kmDims(s, dir)
+      val agg = cachedKmDims(s, dir)
         .select(col("dim"), half.as("half"),
           floor(col("x") * lit(1000000.0)).cast("long").as("xm"))
         .groupBy("dim", "half")
