@@ -306,6 +306,66 @@ object SketchQueries {
         .orderBy("hour")
     }),
 
+    // SLIDING-WINDOW FREQUENCIES — sk_hll_sliding's twin for the
+    // count sketch: trailing-24h count-min estimates of the hot
+    // `props.k` values per hour, from HOURLY 4×16 cell tables summed
+    // over a per-cell RANGE window (cells are a +-monoid). The window
+    // runs over the STATIC full 4×16 grid densified per hour — the
+    // min-over-rows read needs all four rows present, zeros included
+    // (a missing cell would silently drop the tightest bound). Probe
+    // set = the 5 globally hottest values; the exact trailing count
+    // rides along via the 24× anchor expansion (the equi-keyed form),
+    // with COALESCE 0 for anchors where the value never fired — there
+    // the estimate is pure collision mass, the one-sided error made
+    // visible. est ≥ exact everywhere is the count-min theorem,
+    // pinned in Round18OpsSpec.
+    "sk_cms_sliding" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("hour"),
+          get_json_object(col("props"), "$.k").as("key"))
+        .localCheckpoint(false) // cells + top + exact all read it
+      def cellsOf(df: DataFrame, extra: Seq[String]): DataFrame = df
+        .withColumn("h", md5(col("key")))
+        .select((extra.map(col) :+ explode(array((0 until CmsRows).map(i =>
+          struct(lit(i).as("r"),
+            conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as("b"))): _*))
+          .as("cell")): _*)
+        .select((extra.map(col) :+ col("cell.r").as("r") :+
+          col("cell.b").as("b")): _*)
+      val hourly = cellsOf(ev, Seq("hour"))
+        .groupBy("hour", "r", "b").agg(count(lit(1)).as("c"))
+      val hours = ev.select("hour").distinct()
+      val grid = s.range(0, CmsRows.toLong)
+        .select(col("id").cast("int").as("r"))
+        .crossJoin(s.range(0, CmsBuckets.toLong)
+          .select(col("id").cast("int").as("b")))
+      val dense = hours.crossJoin(broadcast(grid))
+        .join(hourly, Seq("hour", "r", "b"), "left")
+        .withColumn("hour_us", unix_micros(col("hour")))
+      val w = Window.partitionBy(col("r"), col("b")).orderBy(col("hour_us"))
+        .rangeBetween(-23L * 3600L * 1000000L, 0L)
+      val merged = dense
+        .withColumn("c24", sum(coalesce(col("c"), lit(0L))).over(w))
+      val top = ev.groupBy("key").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("key").asc).limit(5).select("key")
+      val est = merged
+        .join(broadcast(cellsOf(top, Seq("key"))), Seq("r", "b"))
+        .groupBy("hour", "key").agg(min(col("c24")).as("est_cnt"))
+      val exact = ev.groupBy("hour", "key").agg(count(lit(1)).as("n"))
+        .join(broadcast(top), Seq("key"))
+        .select(col("key"), col("n"),
+          explode(sequence(lit(0), lit(23))).as("kk"), col("hour"))
+        .select(col("key"), col("n"),
+          expr("hour + make_dt_interval(0, kk, 0, 0)").as("hour"))
+        .join(hours, "hour")
+        .groupBy("hour", "key").agg(sum(col("n")).as("exact_cnt"))
+      est.join(exact, Seq("hour", "key"), "left")
+        .select(col("hour"), col("key"), col("est_cnt"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+        .orderBy("hour", "key")
+    }),
+
     // Merge-of-partials-equals-rescan, the sketch's reason to exist:
     // two corpus halves (the pipe_agg_maintenance md5 split, so both
     // engines see identical halves) are sketched INDEPENDENTLY — as a
@@ -788,6 +848,61 @@ object SketchQueries {
          |$regRhoSql,
          |regs AS (SELECT reg, max(rho) AS rho FROM rr GROUP BY reg),
          |$estimateSql""".stripMargin,
+    // dense grid + inequality-join window states the trailing-sum
+    // semantics; the Spark side's per-cell RANGE window is the
+    // one-pass scale form (row-identical)
+    "sk_cms_sliding" -> {
+      val evCells = (0 until CmsRows).map(i =>
+        s"{'r': $i, 'b': ${hexLong("h", i + 1, 1)}::INT}").mkString(", ")
+      val probeCells = (0 until CmsRows).map(i =>
+        s"{'r': $i, 'b': ${hexLong("md5(key)", i + 1, 1)}::INT}").mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT date_trunc('hour', ts) AS hour,
+         |    json_extract_string(props, '$$.k') AS key
+         |  FROM events),
+         |hourly AS (
+         |  SELECT hour, cell.r AS r, cell.b AS b, count(*)::BIGINT AS c FROM (
+         |    SELECT hour, unnest([$evCells]) AS cell
+         |    FROM (SELECT hour, md5(key) AS h FROM ev))
+         |  GROUP BY 1, 2, 3),
+         |hours AS (SELECT DISTINCT hour FROM ev),
+         |grid AS (
+         |  SELECT CAST(rr.r AS INT) AS r, CAST(bb.b AS INT) AS b
+         |  FROM (SELECT unnest(range(0, $CmsRows)) AS r) rr,
+         |       (SELECT unnest(range(0, $CmsBuckets)) AS b) bb),
+         |merged AS (
+         |  SELECT hs.hour, g.r, g.b,
+         |    CAST(COALESCE(sum(hh.c), 0) AS BIGINT) AS c24
+         |  FROM hours hs CROSS JOIN grid g
+         |  LEFT JOIN hourly hh ON hh.r = g.r AND hh.b = g.b
+         |    AND hh.hour > hs.hour - INTERVAL 24 HOURS AND hh.hour <= hs.hour
+         |  GROUP BY 1, 2, 3),
+         |top AS (
+         |  SELECT key FROM (
+         |    SELECT key, count(*) AS n FROM ev GROUP BY key
+         |    ORDER BY n DESC, key ASC LIMIT 5)),
+         |probe AS (
+         |  SELECT key, cell.r AS r, cell.b AS b FROM (
+         |    SELECT key, unnest([$probeCells]) AS cell FROM top)),
+         |est AS (
+         |  SELECT m.hour, p.key, min(m.c24)::BIGINT AS est_cnt
+         |  FROM merged m JOIN probe p ON p.r = m.r AND p.b = m.b
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT anchor AS hour, key, CAST(sum(n) AS BIGINT) AS exact_cnt
+         |  FROM (
+         |    SELECT hn.hour + kk * INTERVAL 1 HOUR AS anchor, hn.key, hn.n
+         |    FROM (SELECT hour, key, count(*)::BIGINT AS n FROM ev
+         |          WHERE key IN (SELECT key FROM top) GROUP BY 1, 2) hn,
+         |         UNNEST(range(0, 24)) AS u(kk))
+         |  WHERE anchor IN (SELECT hour FROM hours)
+         |  GROUP BY 1, 2)
+         |SELECT e2.hour, e2.key, e2.est_cnt,
+         |  COALESCE(x.exact_cnt, 0) AS exact_cnt
+         |FROM est e2 LEFT JOIN exact x
+         |  ON x.hour = e2.hour AND x.key = e2.key
+         |ORDER BY e2.hour, e2.key""".stripMargin
+    },
     "sk_cms_heavy" ->
       s"""WITH w AS (
          |  SELECT key, md5(key) AS h FROM (

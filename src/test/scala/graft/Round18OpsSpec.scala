@@ -173,6 +173,21 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sk_cms_sliding: one-sided everywhere, every (hour, probe) answered") {
+    val got = SparkEntry.queries("sk_cms_sliding")(spark, sf).collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nHours = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(got.length == nHours * 5, "a probe lost an anchor hour")
+    // count-min theorem: est ≥ exact at EVERY anchor, including the
+    // pure-collision anchors where the value never fired
+    got.foreach { case (h, k, est, exact) =>
+      assert(est >= exact, s"($h, $k): est $est < exact $exact — " +
+        "a window cell went missing from the min") }
+    assert(got.exists { case (_, _, est, exact) => exact == 0 && est >= 0 },
+      "no pure-collision anchor — the one-sided error is invisible")
+  }
+
   test("q_spatial_radius_join: cell cover equals the brute-force radius join") {
     val r = operators.RangeJoin.SpatialRadius
     val got = SparkEntry.queries("q_spatial_radius_join")(spark, sf).collect()
