@@ -334,10 +334,17 @@ object Similarity {
     * measurement for this substrate (the dd_simhash64_build
     * convention), so bench still prices the edge build every round.
     */
-  def ivfKnnEdgesCached(s: SparkSession, dir: String, k: Int): DataFrame =
+  def ivfKnnEdgesCached(s: SparkSession, dir: String, k: Int): DataFrame = {
+    // resolve the cached dependency OUTSIDE this cache's compute —
+    // nested computeIfAbsent on one registry map is illegal (the
+    // round-11 CacheRegistry rule; a cold-start ivfKnnEdgesCached
+    // otherwise throws CHM "Recursive update" reaching
+    // sqrtIvfAssignment, exactly the trainedIvf/kmDims precedent)
+    sqrtIvfAssignment(s, dir)
     cached[DataFrame](s, dir, s"knnEdges$k") {
       ivfKnnEdges(s, dir, k).localCheckpoint(false)
     }
+  }
 
   def ivfKnnEdges(s: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
