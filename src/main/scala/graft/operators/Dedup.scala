@@ -853,7 +853,28 @@ object Dedup {
     // OUTPUT (those pairs genuinely qualify); the generation buffers
     // stay bounded via the salted pair-gen below.
     "dd_jaccard_prefix" -> ((s, dir) =>
-      jaccardPrefixPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+      jaccardPrefixPairsFrom(postingsSubstrate(s, dir).docs)
+        .orderBy("doc_a", "doc_b")),
+
+    // Cache-bypassing CONSTRUCTION row for the shingle→df→postings
+    // substrate (round-13 verdict #2; the dd_truth_build convention):
+    // dd_jaccard_prefix / dd_containment / dd_containment_capped read
+    // the registry-memoized frames; this row rebuilds both fresh every
+    // execution — the checkpoints ARE the construction cost — and its
+    // oracle gates the substrate's exact contents: per doc, the
+    // distinct-shingle count, the rarest shingle under the global
+    // (df asc, shingle asc) order (= shs[1], so the sorted array is
+    // genuinely computed), and the max df over its shingles.
+    "dd_postings_build" -> ((s, dir) => {
+      val sub = postingsSubstrateOf(
+        Tables.documents(s, dir), checkpointDocSh = true)
+      val maxDf = sub.docSh.groupBy("doc_id").agg(max(col("sdf")).as("max_df"))
+      sub.docs
+        .select(col("doc_id"), col("n").as("n_shingles"),
+          element_at(col("shs"), 1).as("rarest_shingle"))
+        .join(maxDf, "doc_id")
+        .orderBy("doc_id")
+    }),
 
     // Cache-bypassing CONSTRUCTION row for the sampled exact truth set
     // (the dd_simhash64_build convention): dd_lsh_recall /
@@ -903,17 +924,11 @@ object Dedup {
     // (5·inter ≥ 4·|A|). Output: (doc_small ⊂~ doc_big), both
     // directions possible, self excluded.
     "dd_containment" -> ((s, dir) => {
-      val docSh = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
-      val sdf = docSh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
-      val docs = docSh.join(sdf, "shingle")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
-        .select(col("doc_id"),
-          transform(col("st"), e => e.getField("shingle")).as("shs"))
-        .withColumn("n", size(col("shs")).cast("long"))
-        .localCheckpoint(false)
+      // rides the memoized shingle→df→postings substrate (round-13
+      // verdict #2) — construction priced by dd_postings_build
+      val sub = postingsSubstrate(s, dir)
+      val docSh = sub.docSh
+      val docs = sub.docs
       // prefix = the ⌊n/5⌋+1 rarest shingles of the SMALL side
       val pre = docs
         .withColumn("plen", (expr("n DIV 5") + 1).cast("int"))
@@ -958,19 +973,12 @@ object Dedup {
     // are those whose small side is boilerplate-only, exactly the
     // docs exact dedup removes upstream in the production ordering.
     "dd_containment_capped" -> ((s, dir) => {
-      val docSh = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
-      val sdf = docSh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
-      val docShC = docSh.join(sdf, "shingle")
-      val docs = docShC
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
-        .select(col("doc_id"),
-          transform(col("st"), e => e.getField("shingle")).as("shs"))
-        .withColumn("n", size(col("shs")).cast("long"))
-        .localCheckpoint(false)
-      val cold = docShC.filter(col("sdf") <= lit(ContainmentDfCap))
+      // rides the memoized shingle→df→postings substrate (round-13
+      // verdict #2) — docSh carries sdf, so the cold filter is a
+      // scan of the materialized postings, not a rebuild
+      val sub = postingsSubstrate(s, dir)
+      val docs = sub.docs
+      val cold = sub.docSh.filter(col("sdf") <= lit(ContainmentDfCap))
       val coldArr = cold
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
@@ -1417,6 +1425,60 @@ object Dedup {
         .as("n_docs_over_cap"))
   }
 
+  /** Shingle→df→rarity-postings substrate shared by the exact-join
+    * family (dd_jaccard_prefix, dd_containment, dd_containment_capped):
+    *
+    *  - `docSh`: the exploded distinct-shingle postings joined with
+    *    each shingle's document frequency — (doc_id, shingle, sdf);
+    *  - `docs`: per-doc shingle arrays in one global rarity order
+    *    (sdf asc, shingle asc) with their length — (doc_id, shs, n).
+    *
+    * Round-13 verdict #2: the three consumers each rebuilt this
+    * identical prefix (shingle explode + df aggregate + sorted-array
+    * collect) per execution — at 100 TB that's re-shingling the corpus
+    * three times per analysis session. [[postingsSubstrate]] memoizes
+    * it per (session, dir) through [[graft.CacheRegistry]] (the
+    * verifiedPairs / trained-IVF convention: compute once per corpus
+    * snapshot, every consumer scans the materialization; staleness via
+    * `Tables.invalidate`). dd_postings_build stays the cache-BYPASSING
+    * construction row (the dd_truth_build convention) so the bench
+    * keeps pricing the substrate build itself and the oracle keeps
+    * gating its exact contents.
+    */
+  private[operators] final case class PostingsSubstrate(
+      docSh: DataFrame, docs: DataFrame)
+
+  private[operators] def postingsSubstrateOf(
+      documents: DataFrame, checkpointDocSh: Boolean): PostingsSubstrate = {
+    val raw = documents
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+    val sdf = raw.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    val joined = raw.join(sdf, "shingle")
+    // single-query consumers skip this checkpoint (measured: a
+    // native-expression re-shingle costs about what the checkpoint
+    // write+read does); the CACHED substrate takes it so cross-query
+    // consumers scan postings blocks instead of re-shingling
+    val docSh = if (checkpointDocSh) joined.localCheckpoint(false) else joined
+    val docs = docSh
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), e => e.getField("shingle")).as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+      // consumed repeatedly (prefix explode + both verify sides, per
+      // consumer) — materialize once instead of re-running the df join
+      .localCheckpoint(false)
+    PostingsSubstrate(docSh, docs)
+  }
+
+  private val postingsCache = graft.CacheRegistry.newCache()
+  private[operators] def postingsSubstrate(
+      s: SparkSession, dir: String): PostingsSubstrate =
+    graft.CacheRegistry.cached[PostingsSubstrate](
+      postingsCache, s, dir, "postings")(
+      postingsSubstrateOf(Tables.documents(s, dir), checkpointDocSh = true))
+
   /** The exact PPJoin similarity join over an arbitrary document frame
     * (the dd_jaccard_prefix body — see that query's comment for the
     * algorithm): rarity-ordered prefixes, length + positional filters,
@@ -1424,27 +1486,15 @@ object Dedup {
     * the doc frame so dd_lsh_recall can point the same ground-truth
     * machinery at a hash sample.
     */
-  private[operators] def jaccardPrefixPairs(documents: DataFrame): DataFrame = {
-    // The shingle explode feeds the df aggregate and the rarity join
-    // leg; the downstream `docs` frame (sorted per-doc arrays) is
-    // the one whose checkpoint pays — it is consumed three times
-    // (prefix explode + both verify sides) and carries the sorted
-    // text-sized arrays. (Measured: also checkpointing THIS exploded
-    // frame is a wash at sf0.1 — a native-expression re-shingle
-    // costs about what the checkpoint write+read does.)
-    val docSh = documents
-      .select(col("doc_id"),
-        explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
-    val sdf = docSh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
-    val docs = docSh.join(sdf, "shingle")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("st"))
-      .select(col("doc_id"),
-        transform(col("st"), e => e.getField("shingle")).as("shs"))
-      .withColumn("n", size(col("shs")).cast("long"))
-      // consumed three times (prefix explode + both verify sides) —
-      // materialize once instead of recomputing the df join per leg
-      .localCheckpoint(false)
+  private[operators] def jaccardPrefixPairs(documents: DataFrame): DataFrame =
+    jaccardPrefixPairsFrom(
+      postingsSubstrateOf(documents, checkpointDocSh = false).docs)
+
+  /** PPJoin body over a prebuilt rarity-array frame ([[PostingsSubstrate]]
+    * `docs`) — the corpus rows ride the memoized substrate, the sample
+    * rows build their own (sample df ≠ corpus df).
+    */
+  private[operators] def jaccardPrefixPairsFrom(docs: DataFrame): DataFrame = {
     // prefix length = n − ⌈0.5·n⌉ + 1; p = the shingle's 1-based
     // position in the doc's rarity order, for positional filtering
     val pre = docs
@@ -2216,6 +2266,14 @@ object Dedup {
          |SELECT '3_near', count(*), CAST(sum(len($toksSql)) AS BIGINT) FROM near
          |ORDER BY tier""".stripMargin,
     "dd_jaccard_prefix" -> jaccardPrefixSqlFrom("documents"),
+    "dd_postings_build" ->
+      s"""WITH dt AS (${shinglesSqlFrom("documents")}),
+         |sdf AS (SELECT shingle, count(*) AS sdf FROM dt GROUP BY shingle)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  (list(d.shingle ORDER BY f.sdf, d.shingle))[1] AS rarest_shingle,
+         |  CAST(max(f.sdf) AS BIGINT) AS max_df
+         |FROM dt d JOIN sdf f ON d.shingle = f.shingle
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
     "dd_truth_build" ->
       s"""WITH sample AS (
          |  SELECT * FROM documents
