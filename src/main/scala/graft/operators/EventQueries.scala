@@ -82,10 +82,8 @@ object EventQueries {
   /** DuckDB mirror of `conv(substring(md5(user_id), 1, 13), 16, 10)`:
     * the 13-nibble positional decode (the SketchQueries idiom).
     */
-  private val hex13Sql: String = (0 until 13).map { i =>
-    val pow = Math.pow(16.0, (12 - i).toDouble).toLong
-    s"(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1)::BIGINT * $pow"
-  }.mkString("(", " + ", ")")
+  private val hex13Sql: String =
+    OracleSql.hexLong("md5(CAST(user_id AS VARCHAR))", 1, 13)
 
   /** Shared first-order transition-matrix derivation of the Markov
     * trilogy (ev_markov / ev_markov_stationary / ev_absorption):

@@ -208,14 +208,20 @@ object GraphQueries {
       .union(edges.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
     // raw → max-normalized micro frame; mx ≥ 0 always, greatest(,1)
-    // only guards the all-zero frame (empty edge side)
-    def norm(raw: DataFrame): DataFrame = {
+    // only guards the all-zero frame (empty edge side). The
+    // localCheckpoint sits on the RAW frame (round-12 ADVICE: it used
+    // to land after the crossJoin, so the max aggregate and the
+    // projection each re-ran the keyed join+aggregate — twice per
+    // side per round); the normalized projection is a cheap scan of
+    // the checkpointed blocks, so consumers re-derive it instead of
+    // paying a second materialization.
+    def norm(rawIn: DataFrame): DataFrame = {
+      val raw = rawIn.localCheckpoint(true)
       val mx = raw.agg(coalesce(max(col("r")), lit(0L)).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("id"), expr(
           "CAST((CAST(r AS DECIMAL(38,0)) * 1000000) " +
             "DIV greatest(mx, CAST(1 AS BIGINT)) AS BIGINT)").as("v"))
-        .localCheckpoint(true)
     }
     var hub = nodes.select(col("id"), lit(1000000L).as("v"))
       .localCheckpoint(true)

@@ -63,19 +63,40 @@ object RangeJoin {
   def radiusJoin(left: DataFrame, right: DataFrame,
       lx: String, ly: String, rx: String, ry: String, r: Long): DataFrame = {
     require(r > 0, s"radius must be positive, got $r")
-    def cell(c: String) = expr(s"($c - pmod($c, $r)) DIV $r") // floor div
+    // Public-API hardening (round-12 ADVICE): the helper/output
+    // columns used to be injected with withColumn — silently REPLACING
+    // same-named caller columns — and the distance predicate spliced
+    // raw names into expr() strings, so a name needing backticks
+    // corrupted results instead of failing. Fail loudly on both.
+    val internal = Seq("_cellx", "_celly", "_dx", "_dy", "d2")
+    for (c <- left.columns ++ right.columns)
+      require(!internal.contains(c),
+        s"radiusJoin: input column '$c' collides with an internal/" +
+          s"output column (${internal.mkString(", ")}) — rename it first")
+    for (c <- Seq(lx, ly, rx, ry))
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"radiusJoin: coordinate column '$c' is not a plain identifier")
+    // LONG arithmetic throughout (round-12 ADVICE): INT coordinates
+    // would square into silent 32-bit overflow under non-ANSI Spark;
+    // the diffs are cast before squaring so d2 is exact for any
+    // |coord| < 2^31 (and ANSI mode makes a LONG overflow loud).
+    // floor div, integer-exact for ANY long coordinate (identifier
+    // splice is safe: names were just validated as plain identifiers)
+    def cell(c: String) = expr(
+      s"(CAST($c AS BIGINT) - pmod(CAST($c AS BIGINT), ${r}L)) DIV ${r}L")
     val r9 = right
       .withColumn("_dx", explode(expr("sequence(-1, 1)")))
       .withColumn("_dy", explode(expr("sequence(-1, 1)")))
       .withColumn("_cellx", cell(rx) + col("_dx"))
       .withColumn("_celly", cell(ry) + col("_dy"))
       .drop("_dx", "_dy")
+    val dx = col(lx).cast("long") - col(rx).cast("long")
+    val dy = col(ly).cast("long") - col(ry).cast("long")
     left
       .withColumn("_cellx", cell(lx))
       .withColumn("_celly", cell(ly))
       .join(r9, Seq("_cellx", "_celly"))
-      .withColumn("d2",
-        expr(s"($lx - $rx) * ($lx - $rx) + ($ly - $ry) * ($ly - $ry)"))
+      .withColumn("d2", dx * dx + dy * dy)
       .filter(col("d2") <= lit(r * r))
       .drop("_cellx", "_celly")
   }
@@ -151,12 +172,11 @@ object RangeJoin {
   val SpatialRadius = 30000L
 
   /** Positional nibble decode of md5(e) — the hex13 idiom over an
-    * arbitrary SQL expression (EventQueries pins the user_id form).
+    * arbitrary SQL expression, folded through the ONE shared
+    * [[OracleSql.hexLong]] definition (round-12 ADVICE).
     */
-  private def hex13Of(e: String): String = (0 until 13).map { i =>
-    val pow = Math.pow(16.0, (12 - i).toDouble).toLong
-    s"(strpos('0123456789abcdef', substring(md5($e), ${i + 1}, 1)) - 1)::BIGINT * $pow"
-  }.mkString("(", " + ", ")")
+  private def hex13Of(e: String): String =
+    OracleSql.hexLong(s"md5($e)", 1, 13)
 
   val oracleSql: Map[String, String] = Map(
     // The oracle states the semantics directly as an inequality join.

@@ -70,6 +70,19 @@ object OracleSql {
   /** W1-filtered whitespace tokens of `text`. */
   val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** DuckDB mirror of `conv(substring(H, start, len), 16, 10)`: the
+    * positional-nibble decode of a lowercase-hex expression `h` —
+    * Σ nibble(h[start+i]) · 16^(len−1−i) as BIGINT. ONE definition
+    * (round-12 ADVICE): SketchQueries, EventQueries, and RangeJoin
+    * all fold through it so a fix to the idiom cannot drift across
+    * modules.
+    */
+  def hexLong(h: String, start: Int, len: Int): String =
+    (0 until len).map { i =>
+      val pow = Math.pow(16.0, (len - 1 - i).toDouble).toLong
+      s"(strpos('0123456789abcdef', substring($h, ${start + i}, 1)) - 1)::BIGINT * $pow"
+    }.mkString("(", " + ", ")")
+
   /** DuckDB mirror of [[Agg.dsum]]. */
   def dsum(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
 

@@ -744,10 +744,7 @@ object SketchQueries {
     * 16¹² stay exact).
     */
   private[operators] def hexLong(h: String, start: Int, len: Int): String =
-    (0 until len).map { i =>
-      val pow = Math.pow(16.0, (len - 1 - i).toDouble).toLong
-      s"(strpos('0123456789abcdef', substring($h, ${start + i}, 1)) - 1)::BIGINT * $pow"
-    }.mkString("(", " + ", ")")
+    OracleSql.hexLong(h, start, len) // one shared idiom (round-12 ADVICE)
 
   /** Shared oracle CTE: word-3-gram shingles with multiplicity (the
     * non-DISTINCT sibling of Dedup's shingle CTE) and their digest.

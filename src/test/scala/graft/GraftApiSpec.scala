@@ -157,6 +157,37 @@ class GraftApiSpec extends AnyFunSuite {
     assert(expect.exists(_._1 == 1L))
   }
 
+  test("radiusJoin rejects colliding and non-identifier column names") {
+    val left = Seq((1L, 0L, 0L)).toDF("lid", "lx", "ly")
+    val right = Seq((2L, 1L, 1L)).toDF("rid", "rx", "ry")
+    // an input column named like an internal/output column would have
+    // been silently replaced pre-round-13; now it fails loudly
+    val lBad = left.withColumn("d2", lit(7L))
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.radiusJoin(lBad, right, "lx", "ly", "rx", "ry", 10L)
+    }
+    assert(e1.getMessage.contains("d2"))
+    // a coordinate name that is not a plain identifier would have been
+    // spliced raw into the cell expression
+    val lDot = left.withColumnRenamed("lx", "l x")
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.radiusJoin(lDot, right, "l x", "ly", "rx", "ry", 10L)
+    }
+    assert(e2.getMessage.contains("identifier"))
+  }
+
+  test("radiusJoin squares INT coordinates in LONG (no 32-bit overflow)") {
+    // 50000² = 2.5e9 overflows INT; the diffs are cast to LONG before
+    // squaring, so the pair is correctly EXCLUDED (d2 > r²), not
+    // wrapped into a spurious match
+    val left = Seq((1, 0, 0)).toDF("lid", "lx", "ly")
+    val right = Seq((2, 50000, 0)).toDF("rid", "rx", "ry")
+    val rows = Graft.radiusJoin(left, right, "lx", "ly", "rx", "ry", 60000L)
+      .select("lid", "rid", "d2").collect()
+    assert(rows.length == 1 && rows(0).getLong(2) == 2500000000L,
+      s"expected exact LONG d2=2.5e9, got ${rows.toSeq}")
+  }
+
   test("textRank: a hub word in a star graph ranks first") {
     val docs = Seq("hub alpha", "hub beta", "hub gamma", "hub delta")
       .toDF("text")
