@@ -188,6 +188,54 @@ object Similarity {
     }
   }
 
+  /** On-disk IVF index root for `dir` — parquet index tables under
+    * the (gitignored) build tree, the local stand-in for the index
+    * bucket/catalog a 100 TB deployment serves from.
+    */
+  private def indexRoot(dir: String): String =
+    "target/graft_index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Round-13 verdict #4 — the ANN index persistence lifecycle. Write
+    * the trained index as PARQUET TABLES: the long-format coarse
+    * codebook, the full corpus assignment PARTITIONED BY cent_id (the
+    * physical layout behind ss_ivf_search's "a query reads ONE
+    * partition" claim — each IVF cell is a partition directory), and
+    * the trained PQ codebooks. This is how the index is actually
+    * served at scale: train once, publish tables, searches read the
+    * tables with ZERO training in their lineage. Everything written
+    * is deterministic (exact micro-integer argmins; centroid doubles
+    * from identical op trees; parquet round-trips doubles exactly),
+    * so a read-back search is row-identical to an in-session one.
+    */
+  private def writeIvfIndex(s: SparkSession, dir: String): String = {
+    val root = indexRoot(dir)
+    val dims = kmDims(s, dir).localCheckpoint(false)
+    val cents = trainedCents(dims)
+    cents.write.mode("overwrite").parquet(s"$root/centroids")
+    assignL2(dims, cents).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$root/assignments")
+    pqTrainedCb(pqDims(s, dir)).write.mode("overwrite")
+      .parquet(s"$root/pq_codebook")
+    root
+  }
+
+  /** Index path with publish-once semantics per (session, dir):
+    * search rows call this, so they train+write only if no build row
+    * has published the index yet this session.
+    */
+  private def persistedIvfIndex(s: SparkSession, dir: String): String =
+    cached[String](s, dir, "ivfIndexPath")(writeIvfIndex(s, dir))
+
+  /** The corpus assignment read back from the PUBLISHED index tables —
+    * no Lloyd anywhere in the returned frame's lineage (the partition
+    * column comes back as the pruning key; cast restores its width).
+    */
+  private def persistedAssignment(s: SparkSession, dir: String): DataFrame = {
+    val root = persistedIvfIndex(s, dir)
+    s.read.parquet(s"$root/assignments")
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+  }
+
   /** Rows per centroid in the edge-build training sample. */
   val TrainSamplePerCell = 50
 
@@ -642,6 +690,64 @@ object Similarity {
     "ss_ivf_search" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val asg = trainedIvf(s, dir)._2
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val assigned = v.join(asg, "vec_id")
+      val q = assigned.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      q.as("q")
+        .join(assigned.as("c"),
+          col("q.cent_id") === col("c.cent_id") &&
+            col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"),
+          round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 4)
+            .as("score"))
+        .withColumn("rk", row_number().over(wTop).cast("int"))
+        .filter(col("rk") <= 3)
+        .orderBy("query_id", "rk")
+    }),
+
+    // INDEX PERSISTENCE — BUILD (round-13 verdict #4): train the IVF
+    // coarse quantizer + PQ codebooks FRESH (cache-bypassing, the
+    // dd_truth_build convention — this row prices the full
+    // train-and-publish), write them as parquet index tables
+    // (assignment partitioned by cent_id), and report a census read
+    // back FROM DISK — so the oracle gates the published tables'
+    // contents, not the in-memory frames: per cell the assigned-vector
+    // count, the codebook's dim count and micro-coordinate sum, plus
+    // the PQ codebook's global row count and micro-sum.
+    "ss_ivf_persist_build" -> ((s, dir) => {
+      val root = writeIvfIndex(s, dir)
+      // mark the published index fresh so search rows don't retrain
+      cached[String](s, dir, "ivfIndexPath")(root)
+      val cents = s.read.parquet(s"$root/centroids")
+      val asg = s.read.parquet(s"$root/assignments")
+        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+      val pqStats = s.read.parquet(s"$root/pq_codebook")
+        .agg(count(lit(1)).as("pq_rows"),
+          sum(floor(col("c") * lit(1000000.0)).cast("long")).as("pq_sum_micro"))
+      asg.groupBy("cent_id").agg(count(lit(1)).as("n_vectors"))
+        .join(cents.groupBy("cent_id").agg(count(lit(1)).as("n_dims"),
+          sum(floor(col("c") * lit(1000000.0)).cast("long"))
+            .as("cent_sum_micro")), "cent_id")
+        .crossJoin(broadcast(pqStats))
+        .select("cent_id", "n_vectors", "n_dims", "cent_sum_micro",
+          "pq_rows", "pq_sum_micro")
+        .orderBy("cent_id")
+    }),
+
+    // INDEX PERSISTENCE — SEARCH: the ss_ivf_search body with the
+    // assignment READ BACK from the published parquet index — zero
+    // training in the lineage (IvfPersistSpec pins the plan: index
+    // scans, no checkpointed-RDD scan), so this row's time is the
+    // probe cost a serving tier actually pays. Row-identical to
+    // ss_ivf_search (same oracle SQL) because everything persisted is
+    // deterministic and parquet round-trips it exactly.
+    "ss_ivf_persist_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val asg = persistedAssignment(s, dir)
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("e"))
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
@@ -2016,6 +2122,25 @@ object Similarity {
   private val trainedAssignCtes: String =
     s"$lloydCtes,\n$trainedAssignAsgn"
 
+  /** The IVF single-probe search statement — shared verbatim by
+    * ss_ivf_search and ss_ivf_persist_search (the persisted index is
+    * deterministic, so both rows state the same semantics).
+    */
+  private val ivfSearchSql: String =
+    s"""WITH $trainedAssignCtes,
+       |v AS ($vSql),
+       |av AS (SELECT v.vec_id, v.e, v.nrm, asg.cent_id
+       |       FROM v JOIN asg USING (vec_id))
+       |SELECT query_id, cand_id, score, CAST(rk AS INT) AS rk FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS score,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) DESC,
+       |               c.vec_id ASC) AS rk
+       |  FROM (SELECT * FROM av WHERE vec_id >= 100 AND vec_id < 105) q
+       |  JOIN av c ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id)
+       |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
   /** Trained assignment with cells = ⌈√n⌉, trained on the first-50·k
     * md5-order sample (the [[sqrtIvfAssignment]] mirror): training
     * rounds run over `cdt` (the sample), the final `ad`/`asg`
@@ -2425,20 +2550,33 @@ object Similarity {
     "ss_lsh_topk" -> topkSql("q.bucket = c.bucket AND q.vec_id <> c.vec_id"),
     // Aggregated top-k must produce exactly the window form's rows.
     "ss_topk_agg" -> topkSql("q.vec_id <> c.vec_id"),
-    "ss_ivf_search" ->
+    "ss_ivf_search" -> ivfSearchSql,
+    // row-identical by design: the persisted index is deterministic
+    // and parquet round-trips it exactly, so the read-back search
+    // shares ss_ivf_search's oracle verbatim
+    "ss_ivf_persist_search" -> ivfSearchSql,
+    // census over the published tables = census over the trained
+    // relations (deterministic write), plus the PQ chain's stats
+    "ss_ivf_persist_build" ->
       s"""WITH $trainedAssignCtes,
-         |v AS ($vSql),
-         |av AS (SELECT v.vec_id, v.e, v.nrm, asg.cent_id
-         |       FROM v JOIN asg USING (vec_id))
-         |SELECT query_id, cand_id, score, CAST(rk AS INT) AS rk FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS score,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) DESC,
-         |               c.vec_id ASC) AS rk
-         |  FROM (SELECT * FROM av WHERE vec_id >= 100 AND vec_id < 105) q
-         |  JOIN av c ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id)
-         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+         |${pqChainSql("", pqRawDBody)},
+         |census AS (
+         |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors
+         |  FROM asg GROUP BY 1),
+         |cstats AS (
+         |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_dims,
+         |    CAST(sum(CAST(floor(c * 1000000.0) AS BIGINT)) AS BIGINT)
+         |      AS cent_sum_micro
+         |  FROM c$KmTrainRounds GROUP BY 1),
+         |pqs AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS pq_rows,
+         |    CAST(sum(CAST(floor(c * 1000000.0) AS BIGINT)) AS BIGINT)
+         |      AS pq_sum_micro
+         |  FROM pc$PqTrainRounds)
+         |SELECT census.cent_id, n_vectors, n_dims, cent_sum_micro,
+         |  pq_rows, pq_sum_micro
+         |FROM census JOIN cstats USING (cent_id) CROSS JOIN pqs
+         |ORDER BY cent_id""".stripMargin,
     // Probe ranking reads straight off `ad` (every vector's exact
     // micro-L2 distance to every trained centroid — the same relation
     // the assignment argmin consumes).
