@@ -1357,6 +1357,14 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_id, band_idx, band_hash) LSH band keys of `documents` — the
+    * signature pipeline exposed for the streaming admission row
+    * (st_incremental_dedup band-hashes each micro-batch with exactly
+    * the pipeline the batch dual states).
+    */
+  private[graft] def bandFrameOf(documents: DataFrame): DataFrame =
+    bands(signaturesOf(documents))
+
   /** Verified near-dup pairs (LSH candidates → exact 3-gram Jaccard
     * ≥ 0.5) — the textbook LSH→verify pipeline, exposed for
     * [[DedupClusters]]'s connected components as well as the
@@ -1788,6 +1796,44 @@ object Dedup {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Batch dual of the STREAMING admission row (st_incremental_dedup)
+    * — pipe_incremental_dedup's split extended with first-occurrence
+    * self-dedup over the delta: a delta doc is exact_dup if its
+    * fingerprint is in the corpus OR in an EARLIER (smaller doc_id)
+    * delta doc; near_dup if any band collides with the corpus index
+    * OR an earlier delta doc's bands. "Earlier" is doc_id order — the
+    * stream stages the delta as ascending doc_id ranges, so stream
+    * arrival order IS doc_id order and the dual is exact.
+    */
+  private[graft] def incrementalAdmissionSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |sigs AS (SELECT doc_id,
+       |    $sigSelect
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |newd AS (
+       |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 7),
+       |oldfp AS (
+       |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 7),
+       |exact AS (
+       |  SELECT DISTINCT n.doc_id FROM newd n
+       |  WHERE n.fp IN (SELECT fp FROM oldfp)
+       |     OR EXISTS (SELECT 1 FROM newd p
+       |                WHERE p.fp = n.fp AND p.doc_id < n.doc_id)),
+       |nearc AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id % 10 = 7
+       |    AND (b.doc_id % 10 <> 7 OR b.doc_id < a.doc_id))
+       |SELECT n.doc_id,
+       |  CASE WHEN n.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+       |       WHEN n.doc_id IN (SELECT doc_id FROM nearc) THEN 'near_dup'
+       |       ELSE 'kept' END AS status
+       |FROM newd n ORDER BY n.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dd_exact" ->

@@ -543,6 +543,142 @@ object StreamingQueries {
     // that counts everything flips red on the hash; an engine that
     // never drops flips red on the require). Update mode + the
     // by-batch-id store merge, as in st_restart_upsert.
+    // STREAMING LSH ADMISSION (round-13 verdict #5) — the
+    // pipe_incremental_dedup shape as a live admission stream: each
+    // micro-batch of NEW docs is fingerprinted and band-hashed
+    // (only the delta pays shingling, per batch), checked against
+    // (a) the STATIC corpus index — fingerprint set + band index,
+    // computed once and materialized, the precomputed signature
+    // index a 100 TB deployment serves — and (b) the GROWING delta
+    // index accumulated from earlier micro-batches, plus
+    // first-occurrence self-dedup inside the batch. The admission
+    // index lives in the SINK (by-batch-id parquet tables), not the
+    // Spark state store, deliberately: at scale a fingerprint index
+    // is a SERVED TABLE that outlives any one stream job (the
+    // ss_ivf_persist lifecycle for dedup), and the by-batch-id
+    // layout is what makes replay idempotent. Crash contract =
+    // st_restart_upsert verbatim: the crash injects in batch 1 AFTER
+    // the sink writes but BEFORE the commit log records them — the
+    // replayed batch re-reads only indexes from batches < 1 (its own
+    // pre-crash writes are excluded by batch id, then overwritten),
+    // so recovery is exactly-once by construction and the require
+    // proves the replay happened. Stream arrival order = doc_id
+    // order (ascending range staging + pinned mtimes, the
+    // st_restart_watermark trick), so the batch dual in doc_id order
+    // is the oracle verbatim.
+    "st_incremental_dedup" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val isNew = pmod(col("doc_id"), lit(10)) === 7
+      val docs = Tables.documents(s, dir)
+      val delta = docs.filter(isNew)
+      val staged = stage(delta.repartitionByRange(4, col("doc_id")),
+        s"$dir/documents.parquet", s"${stageRoot(dir)}/doc_admission")
+      // pin oldest-first processing so micro-batch order is doc_id
+      // order (FileStreamSource processes files in mtime order; range
+      // partition i holds the i-th doc_id quantile and part files
+      // sort by name in partition order)
+      val parts = Option(new java.io.File(staged).listFiles()).toSeq
+        .flatten.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L) }
+      val nFiles = parts.length
+      require(nFiles >= 2,
+        s"staged $nFiles parquet files — the batch-1 crash injection " +
+          "needs at least 2 one-file micro-batches")
+      // static corpus index, materialized once per execution — the
+      // served fingerprint/band tables of the nightly-crawl shape
+      val corpusFp = docs.filter(!isNew)
+        .select(md5(col("text")).as("fp")).distinct()
+        .localCheckpoint(false)
+      val corpusBnd = Dedup.bandFrameOf(docs.filter(!isNew))
+        .select("band_idx", "band_hash").distinct()
+        .localCheckpoint(false)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = s"${stageRoot(dir)}/admission_ckpt_$run"
+      val store = s"${stageRoot(dir)}/admission_store_$run"
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+      // accumulated delta index from batches STRICTLY BEFORE b — a
+      // replayed batch must not see its own pre-crash writes
+      def prior(s2: SparkSession, sub: String, b: Long,
+                schema: org.apache.spark.sql.types.StructType): DataFrame = {
+        val paths = Option(new java.io.File(s"$store/$sub").listFiles())
+          .toSeq.flatten
+          .filter(f => f.getName.startsWith("b") &&
+            f.getName.drop(1).forall(_.isDigit) &&
+            f.getName.drop(1).toLong < b)
+          .map(_.getPath)
+        if (paths.isEmpty)
+          s2.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else s2.read.parquet(paths: _*)
+      }
+      def start(injectCrash: Boolean) = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          batchesSeen.incrementAndGet()
+          val s2 = df.sparkSession
+          val fps = df.select(col("doc_id"), md5(col("text")).as("fp"))
+            .localCheckpoint(false)
+          val bnd = Dedup.bandFrameOf(df).localCheckpoint(false)
+          val priorFp = prior(s2, "fps", batchId, fps.schema)
+          val priorBnd = prior(s2, "bands", batchId, bnd.schema)
+          val exactIds = fps.join(corpusFp, Seq("fp"), "left_semi")
+            .select("doc_id")
+            .union(fps.join(priorFp.select("fp"), Seq("fp"), "left_semi")
+              .select("doc_id"))
+            .union(fps.as("a").join(fps.as("b"),
+                col("a.fp") === col("b.fp") &&
+                  col("b.doc_id") < col("a.doc_id"))
+              .select(col("a.doc_id")))
+            .distinct().withColumn("exact_dup", lit(true))
+          val bk = Seq("band_idx", "band_hash")
+          val nearIds = bnd.join(corpusBnd, bk, "left_semi")
+            .select("doc_id")
+            .union(bnd.join(priorBnd.select(bk.map(col): _*), bk, "left_semi")
+              .select("doc_id"))
+            .union(bnd.as("a").join(bnd.as("b"),
+                col("a.band_idx") === col("b.band_idx") &&
+                  col("a.band_hash") === col("b.band_hash") &&
+                  col("b.doc_id") < col("a.doc_id"))
+              .select(col("a.doc_id")))
+            .distinct().withColumn("near_dup", lit(true))
+          val status = df.select(col("doc_id"))
+            .join(exactIds, Seq("doc_id"), "left")
+            .join(nearIds, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              when(col("exact_dup"), "exact_dup")
+                .when(col("near_dup"), "near_dup")
+                .otherwise("kept").as("status"))
+          // idempotent by-batch-id writes: status + this batch's
+          // index contribution (replay overwrites identically)
+          status.write.mode(SaveMode.Overwrite)
+            .parquet(s"$store/status/b$batchId")
+          fps.write.mode(SaveMode.Overwrite)
+            .parquet(s"$store/fps/b$batchId")
+          bnd.write.mode(SaveMode.Overwrite)
+            .parquet(s"$store/bands/b$batchId")
+          if (injectCrash && batchId == 1L) {
+            crashed.set(true)
+            throw new IllegalStateException(
+              "injected crash: after sink writes, before commit-log entry")
+          }
+        }
+        .start()
+      val q1 = start(injectCrash = true)
+      try { q1.processAllAvailable(); () }
+      catch { case _: Exception => () } finally q1.stop()
+      require(crashed.get(), "crash injection never fired — staged file " +
+        "count changed? the recovery contract was not exercised")
+      val q2 = start(injectCrash = false)
+      try q2.processAllAvailable() finally q2.stop()
+      require(batchesSeen.get() >= nFiles + 1L,
+        s"expected batch 1 to REPLAY after restart, saw only " +
+          s"${batchesSeen.get()} foreachBatch calls for $nFiles files")
+      s.read.parquet(s"$store/status/b*").orderBy("doc_id")
+    }),
+
     "st_late_drop" -> ((s, dir) => {
             val ev = Tables.events(s, dir)
       val staged = s"${stageRoot(dir)}/ev_late_drop"
@@ -617,6 +753,9 @@ object StreamingQueries {
 
   // The batch duals' SQL verbatim — THAT is the contract.
   val oracleSql: Map[String, String] = Map(
+    // batch dual of the streaming admission (first-occurrence
+    // self-dedup in doc_id order = stream arrival order)
+    "st_incremental_dedup" -> graft.operators.Dedup.incrementalAdmissionSql,
     "st_new_users" ->
       """SELECT CAST(fd AS VARCHAR) AS day, count(*)::BIGINT AS new_users
         |FROM (SELECT user_id, min(CAST(ts AS DATE)) AS fd
