@@ -63,6 +63,41 @@ object Stress {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("suffix")) {
+      // dd_suffix_spans log-round scaling probe (round-13 verdict #3):
+      // sweep the span length L — each doubling adds exactly ONE
+      // class-doubling round, so wall-clock should step roughly
+      // linearly in log2(L), not in L. Usage:
+      //   runMain graft.Stress suffix [sfDir] [L ...]
+      val spark = SparkSession.builder().master("local[32]")
+        .appName("graft-stress-suffix")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val rest = args.drop(1)
+        val dir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val ls = rest.drop(1).map(_.toInt).toSeq match {
+          case Seq() => Seq(32, 64, 128); case x => x
+        }
+        val docs = Tables.load(spark, dir, "documents")
+        // warm-up: scan + codegen paid outside the timings
+        docs.count()
+        for (l <- ls) {
+          val rounds = (Integer.numberOfTrailingZeros(l)
+            - Integer.numberOfTrailingZeros(4))
+          val t0 = System.nanoTime()
+          val spans = graft.operators.Dedup.suffixSpansOf(docs, l).count()
+          println(f"STRESS suffix_spans dir=$dir L=$l rounds=$rounds " +
+            f"spans=$spans time=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+      } finally spark.stop()
+      return
+    }
     if (args.headOption.contains("pairgen")) {
       // local[8] at a 2 GB heap = 256 MB per concurrent task — harsher
       // than any sane production sizing (local[32] would grant 64 MB a

@@ -684,6 +684,37 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // EXACT repeated-SUBSTRING dedup via distributed suffix-class
+    // doubling (round-13 verdict #3 — the Lee et al. 2022 operator at
+    // its native granularity: raw characters, not n-gram proxies):
+    // emit every MAXIMAL span of ≥ [[SuffixSpanL]] consecutive chars
+    // that also occurs in ANOTHER document. dd_repeated_spans counts
+    // duplicated word-5-grams; this row finds the exact char ranges a
+    // cutter would remove. Algorithm = prefix doubling over per-doc
+    // suffixes, re-expressed shuffle-native: positions start in
+    // single-char equality classes, and each of the log₂(L) fixed
+    // unrolled rounds (the lloydRounds pattern) refines
+    // cls_{k+1}(p) = class of (cls_k(p), cls_k(p+2^k)) — a
+    // doc-partitioned lead() window (per-task sort, NEVER global),
+    // one pair-keyed aggregate, one join back. Class ids are the
+    // min packed (doc_id·2²⁰ + pos) of each group — a plain hash
+    // aggregate, so no global ranking anywhere (a textbook suffix
+    // array densifies ranks with a corpus-wide sort per round; only
+    // EQUALITY matters here, and equality classes shuffle-partition).
+    // Exactness: by induction a round-k class identifies the exact
+    // (content, truncation-shape) of min(2^k, len−p+1) chars, so for
+    // positions with ≥ L chars remaining, class equality IS L-char
+    // substring equality — no hashing, no collisions, and the oracle
+    // states the semantics as the brute-force substring join.
+    // Duplicated starts (class spans ≥2 distinct docs) merge into
+    // maximal spans by the gaps-and-islands rule per doc. Scale:
+    // corpus×len rows (the dd_cdc_chunks class) through log₂(L)
+    // rounds of linear shuffles; the positional pack asserts
+    // pos < 2²⁰ loudly (the dd_winnowing contract).
+    "dd_suffix_spans" -> ((s, dir) =>
+      suffixSpansOf(Tables.documents(s, dir), SuffixSpanL)
+        .orderBy("doc_id", "span_start")),
+
     // Paragraph-level corpus dedup with reassembly (the C4 rule: drop
     // every occurrence of a repeated paragraph except the first, then
     // keep the cleaned document). The test corpus has no newlines, so
@@ -1431,6 +1462,86 @@ object Dedup {
       count(lit(1)).as("n_docs"),
       sum(when(col("max_df") > ContainmentDfCap, 1L).otherwise(0L))
         .as("n_docs_over_cap"))
+  }
+
+  /** Minimum duplicated-span length in CHARS for dd_suffix_spans — a
+    * power of two, so the class-doubling loop is exactly log₂(L)
+    * fixed rounds (32 chars ≈ a 6-word run on this corpus; production
+    * dials it to Lee et al.'s 50-token threshold and pays one more
+    * round per doubling).
+    */
+  val SuffixSpanL = 32
+
+  /** The dd_suffix_spans body over an arbitrary document frame,
+    * parameterized by the span length (a power of two ≥ 2) so
+    * [[graft.Stress]] can sweep L and measure the log₂(L)-round
+    * scaling directly. See the query's comment for the algorithm and
+    * exactness argument.
+    */
+  private[graft] def suffixSpansOf(documents: DataFrame, spanL: Int): DataFrame = {
+    // base-4 classes seed the loop (one short-string aggregate beats
+    // two extra long-key rounds; the doubling structure — and its
+    // log₂ cost curve — is unchanged, just entered two levels up)
+    val base = 4
+    require(spanL >= 2 * base && (spanL & (spanL - 1)) == 0,
+      s"spanL must be a power of two >= ${2 * base}, got $spanL")
+    import org.apache.spark.sql.expressions.Window
+    val pk = 1048576L
+    val d = documents.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .localCheckpoint(false) // gram explode + the final len filter
+    // one row per position, packed to TWO LONGS (ord, cls) for the
+    // whole loop — doc_id/p recompute from ord by div/mod, so each
+    // round shuffles 16 bytes a position, not the full projection
+    val grams = d
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, len), i -> substring(text, i, $base))"))
+        .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+      .withColumn("ord",
+        col("doc_id") * lit(pk) + col("p") +
+          coalesce(assert_true(col("p") < lit(pk),
+            lit("dd_suffix_spans: position >= 2^20 breaks the packed " +
+              "class-id contract")).cast("long"), lit(0L)))
+    // seed: base-char equality classes, id = min packed position (a
+    // truncated tail gram is a shorter string, so truncation shapes
+    // are distinct classes from the start)
+    val c0 = grams.groupBy("g").agg(min(col("ord")).as("cls"))
+    var t = grams.join(c0, "g").select(col("ord"), col("cls"))
+      .localCheckpoint(false)
+    // positions are dense (one row per p), so a doc-partitioned lead
+    // by w ROWS is the class at position p+w — per-task sort, never
+    // global
+    val wDoc = Window.partitionBy(expr(s"ord DIV $pk")).orderBy(col("ord"))
+    var w = base
+    while (w < spanL) {
+      // cls'(p) = class of (cls(p), cls(p+w)); -1 marks past-the-end
+      // so truncation shapes stay distinguishable
+      val paired = t
+        .withColumn("clsb", coalesce(lead(col("cls"), w).over(wDoc), lit(-1L)))
+        .select(col("ord"), col("cls").as("clsa"), col("clsb"))
+      val ids = paired.groupBy("clsa", "clsb").agg(min(col("ord")).as("ncls"))
+      t = paired.join(ids, Seq("clsa", "clsb"))
+        .select(col("ord"), col("ncls").as("cls"))
+      w *= 2
+    }
+    // starts with a full L-char window whose class spans >= 2 docs,
+    // merged into maximal spans per doc (gaps-and-islands)
+    val pos = t.select(expr(s"ord DIV $pk").as("doc_id"),
+      expr(s"CAST(ord % $pk AS INT)").as("p"), col("cls"))
+    val full = pos.join(d.select(col("doc_id"), col("len")), "doc_id")
+      .filter(col("p") + lit(spanL - 1) <= col("len"))
+      .select("doc_id", "p", "cls")
+    val dupCls = full.select("cls", "doc_id").distinct()
+      .groupBy("cls").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("cls")
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    full.join(dupCls, Seq("cls"), "left_semi")
+      .withColumn("grp", col("p") - row_number().over(wIsl))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("p")).as("s0"), max(col("p")).as("s1"))
+      .select(col("doc_id"), col("s0").cast("long").as("span_start"),
+        (col("s1") - col("s0") + spanL).cast("long").as("span_len"))
   }
 
   /** Shingle→df→rarity-postings substrate shared by the exact-join
@@ -2311,6 +2422,27 @@ object Dedup {
          |UNION ALL
          |SELECT '3_near', count(*), CAST(sum(len($toksSql)) AS BIGINT) FROM near
          |ORDER BY tier""".stripMargin,
+    // brute-force statement of the suffix-class result: every start
+    // whose L-gram occurs in >= 2 distinct docs, islands merged
+    "dd_suffix_spans" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+         |           WHERE length(text) >= 1),
+         |pos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+         |    substring(text, CAST(i AS INT), $SuffixSpanL) AS g
+         |  FROM d, UNNEST(range(1, len - ${SuffixSpanL - 2})) AS u(i)),
+         |gd AS (SELECT g FROM (
+         |  SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g) t
+         |  WHERE nd >= 2),
+         |dup AS (SELECT doc_id, p FROM pos JOIN gd USING (g)),
+         |isl AS (
+         |  SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM dup)
+         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+         |  CAST(max(p) - min(p) + $SuffixSpanL AS BIGINT) AS span_len
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
     "dd_jaccard_prefix" -> jaccardPrefixSqlFrom("documents"),
     "dd_postings_build" ->
       s"""WITH dt AS (${shinglesSqlFrom("documents")}),
