@@ -1498,11 +1498,18 @@ object Dedup {
         s"transform(sequence(1, len), i -> substring(text, i, $base))"))
         .as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+      // BOTH halves of the packing contract fail loudly: pos < 2²⁰
+      // (the field width) and doc_id < 2⁴³ (so doc_id·2²⁰ + p stays
+      // inside a positive LONG — a silent overflow would collide
+      // class ids and corrupt spans instead of erroring)
       .withColumn("ord",
         col("doc_id") * lit(pk) + col("p") +
           coalesce(assert_true(col("p") < lit(pk),
             lit("dd_suffix_spans: position >= 2^20 breaks the packed " +
-              "class-id contract")).cast("long"), lit(0L)))
+              "class-id contract")).cast("long"), lit(0L)) +
+          coalesce(assert_true(col("doc_id") < lit(8796093022208L),
+            lit("dd_suffix_spans: doc_id >= 2^43 overflows the packed " +
+              "(doc_id, pos) LONG")).cast("long"), lit(0L)))
     // seed: base-char equality classes, id = min packed position (a
     // truncated tail gram is a shorter string, so truncation shapes
     // are distinct classes from the start)
@@ -1516,10 +1523,18 @@ object Dedup {
     var w = base
     while (w < spanL) {
       // cls'(p) = class of (cls(p), cls(p+w)); -1 marks past-the-end
-      // so truncation shapes stay distinguishable
+      // so truncation shapes stay distinguishable. `paired` feeds BOTH
+      // the class-id aggregate and the join-back, and every round
+      // stacks a window + two shuffles on the previous one —
+      // localCheckpoint (the lloydRounds lineage-cut pattern) makes
+      // each round read 16-byte materialized rows instead of
+      // re-deriving (and possibly recomputing twice) a log₂(L)-deep
+      // plan; without it the wall-clock claim rests on Spark exchange
+      // reuse holding across the dual consumption.
       val paired = t
         .withColumn("clsb", coalesce(lead(col("cls"), w).over(wDoc), lit(-1L)))
         .select(col("ord"), col("cls").as("clsa"), col("clsb"))
+        .localCheckpoint(false)
       val ids = paired.groupBy("clsa", "clsb").agg(min(col("ord")).as("ncls"))
       t = paired.join(ids, Seq("clsa", "clsb"))
         .select(col("ord"), col("ncls").as("cls"))
@@ -1532,6 +1547,8 @@ object Dedup {
     val full = pos.join(d.select(col("doc_id"), col("len")), "doc_id")
       .filter(col("p") + lit(spanL - 1) <= col("len"))
       .select("doc_id", "p", "cls")
+      // dual-consumed (dupCls aggregate + the semi-join probe side)
+      .localCheckpoint(false)
     val dupCls = full.select("cls", "doc_id").distinct()
       .groupBy("cls").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("cls")

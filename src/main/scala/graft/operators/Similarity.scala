@@ -188,12 +188,20 @@ object Similarity {
     }
   }
 
-  /** On-disk IVF index root for `dir` — parquet index tables under
-    * the (gitignored) build tree, the local stand-in for the index
-    * bucket/catalog a 100 TB deployment serves from.
+  /** On-disk IVF index root for `dir` — parquet index tables, the
+    * local stand-in for the index bucket/catalog a 100 TB deployment
+    * serves from. Anchored to an ABSOLUTE base (the
+    * `graft.index.root` system property, else the JVM tmpdir — the
+    * StreamingQueries.stageRoot convention) so the published-index
+    * location cannot depend on the launching process's CWD: a search
+    * row run from a different working directory than the build row
+    * must find the same published tables, not silently retrain a
+    * second copy.
     */
   private def indexRoot(dir: String): String =
-    "target/graft_index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    sys.props.getOrElse("graft.index.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_index") +
+      "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Round-13 verdict #4 — the ANN index persistence lifecycle. Write
     * the trained index as PARQUET TABLES: the long-format coarse

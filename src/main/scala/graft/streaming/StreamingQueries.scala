@@ -676,7 +676,19 @@ object StreamingQueries {
       require(batchesSeen.get() >= nFiles + 1L,
         s"expected batch 1 to REPLAY after restart, saw only " +
           s"${batchesSeen.get()} foreachBatch calls for $nFiles files")
-      s.read.parquet(s"$store/status/b*").orderBy("doc_id")
+      // EAGERLY materialize the read-back, then remove this run's
+      // UUID-scoped checkpoint/store trees — without the cleanup every
+      // bench pass (reps × re-measure) accumulates full copies of the
+      // delta fingerprint/band/status tables under tmp. The staged
+      // source stays (it is generation-keyed and reused across runs).
+      val out = s.read.parquet(s"$store/status/b*").orderBy("doc_id")
+        .localCheckpoint(true)
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+        f.delete(); ()
+      }
+      Seq(ckpt, store).foreach(p => rmTree(new java.io.File(p)))
+      out
     }),
 
     "st_late_drop" -> ((s, dir) => {

@@ -178,8 +178,10 @@ class GraftApiSpec extends AnyFunSuite {
 
   test("radiusJoin squares INT coordinates in LONG (no 32-bit overflow)") {
     // 50000² = 2.5e9 overflows INT; the diffs are cast to LONG before
-    // squaring, so the pair is correctly EXCLUDED (d2 > r²), not
-    // wrapped into a spurious match
+    // squaring, so this in-radius pair (d2 = 2.5e9 ≤ r² = 3.6e9) is
+    // INCLUDED with the exact d2 — an INT square would have wrapped
+    // d2 to a wrong (negative) value and either dropped the pair or
+    // reported a corrupted distance
     val left = Seq((1, 0, 0)).toDF("lid", "lx", "ly")
     val right = Seq((2, 50000, 0)).toDF("rid", "rx", "ry")
     val rows = Graft.radiusJoin(left, right, "lx", "ly", "rx", "ry", 60000L)

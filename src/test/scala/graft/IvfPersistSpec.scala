@@ -14,7 +14,12 @@ class IvfPersistSpec extends AnyFunSuite {
   test("build publishes the three index tables; census is non-empty") {
     val build = SparkEntry.queries("ss_ivf_persist_build")(spark, dir)
     assert(build.count() > 0)
-    val root = "target/graft_index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // the engine's absolute anchor (graft.index.root prop / tmpdir) —
+    // resolved the same way Similarity.indexRoot does, so this spec
+    // keeps passing regardless of the launching CWD
+    val root = sys.props.getOrElse("graft.index.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_index") +
+      "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
     for (t <- Seq("centroids", "assignments", "pq_codebook"))
       assert(new java.io.File(s"$root/$t").isDirectory, s"missing index table $t")
     // the assignment is partitioned BY CELL — the physical layout that
