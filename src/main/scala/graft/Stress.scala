@@ -98,6 +98,49 @@ object Stress {
       } finally spark.stop()
       return
     }
+    if (args.headOption.contains("suffixskew")) {
+      // Repeated-boilerplate skew fixture (round-13 verdict #1): ONE
+      // 32-char span duplicated across g ≈ 10⁵ docs, so the suffix
+      // class holding the boilerplate start has g members — the hot
+      // key of the class-pair join-back (paired ⋈ ids on (clsa,clsb):
+      // g probe rows against ONE id row per class; AQE skew-split is
+      // the mitigation under test) and of the dupCls semi-join. Docs
+      // are md5-pad ‖ boiler ‖ md5-pad, so every doc carries exactly
+      // one duplicated island (boundary windows shorten monotonically
+      // into shared pad suffixes/prefixes and merge with the boiler
+      // island; pads are unique) — expected spans == g exactly.
+      // Usage: runMain graft.Stress suffixskew [g]
+      val spark = SparkSession.builder().master("local[32]")
+        .appName("graft-stress-suffixskew")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val g = args.drop(1).headOption.map(_.toLong).getOrElse(100000L)
+        val boiler = "THE SAME 32-CHAR BOILERPLATE RUN"
+        require(boiler.length == 32, s"boiler must be 32 chars, is ${boiler.length}")
+        val docs = spark.range(0, g).select(
+            col("id").as("doc_id"),
+            concat(md5(col("id").cast("string")), lit(boiler),
+              md5(concat(col("id").cast("string"), lit("x")))).as("text"))
+          .localCheckpoint(true) // timing measures the operator, not range+md5
+        val t0 = System.nanoTime()
+        val spans = graft.operators.Dedup.suffixSpansOf(docs, 32).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS suffix_skew g=$g spans=$spans time=$sec%.2f")
+        require(spans == g,
+          s"expected exactly one boilerplate island per doc ($g), got $spans")
+        // generous backstop: a quadratic blowup or spill collapse on
+        // the hot class would blow far past this; normal runs are
+        // tens of seconds
+        require(sec < 300.0, f"suffix skew fixture took $sec%.1f s — hot-key path degraded")
+      } finally spark.stop()
+      return
+    }
     if (args.headOption.contains("pairgen")) {
       // local[8] at a 2 GB heap = 256 MB per concurrent task — harsher
       // than any sane production sizing (local[32] would grant 64 MB a

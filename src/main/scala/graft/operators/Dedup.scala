@@ -715,6 +715,17 @@ object Dedup {
       suffixSpansOf(Tables.documents(s, dir), SuffixSpanL)
         .orderBy("doc_id", "span_start")),
 
+    // SPAN CUT + REASSEMBLY (round-14: the Lee et al. pipeline's last
+    // mile) — dd_suffix_spans finds the exact duplicated char ranges;
+    // this row REMOVES every occurrence after the first and emits the
+    // cleaned corpus: per doc the span/cut census, distinct cut-char
+    // count, and the stitched text's length + fingerprint. Algorithm,
+    // keep-first rule, overlap handling, and the conservation law
+    // (clean_len + cut_chars = len) in [[suffixCleanOf]]'s doc.
+    "pipe_suffix_clean" -> ((s, dir) =>
+      suffixCleanOf(Tables.documents(s, dir), SuffixSpanL)
+        .orderBy("doc_id")),
+
     // Paragraph-level corpus dedup with reassembly (the C4 rule: drop
     // every occurrence of a repeated paragraph except the first, then
     // keep the cleaned document). The test corpus has no newlines, so
@@ -1561,6 +1572,89 @@ object Dedup {
         (col("s1") - col("s0") + spanL).cast("long").as("span_len"))
   }
 
+  /** The pipe_suffix_clean body: consume [[suffixSpansOf]]'s maximal
+    * duplicated spans, drop every occurrence after the first, and
+    * stitch each doc's surviving text — the last mile of the Lee et
+    * al. 2022 pipeline (dd_suffix_spans FINDS the char ranges; this
+    * operator REMOVES them and emits the cleaned corpus).
+    *
+    * Keep-first is the dd_paragraph_dedup idiom at char level: spans
+    * group by their exact TEXT, the surviving occurrence is the one
+    * with min packed ord = doc_id·2²⁰ + span_start — ONE
+    * hash-aggregated min per distinct span string (never a window
+    * over the occurrence group: a boilerplate span repeated 10⁹×
+    * absorbs map-side). Granularity note: the unit of "occurrence"
+    * is the MAXIMAL merged span, so two docs sharing content but
+    * merged to different extents hold distinct keys and both survive
+    * — the conservative cut (never removes more than an exact
+    * occurrence of a seen maximal span), stated identically in the
+    * oracle.
+    *
+    * Two stitching subtleties, both oracle-gated:
+    *  - adjacent islands can OVERLAP in covered chars (their start
+    *    gap can be < L while each span extends L−1 past its last
+    *    start), so the fold clamps segment length at 0 and advances
+    *    the cursor monotonically to span_start + span_len (ends
+    *    strictly increase with starts, so max() is not needed);
+    *  - cut_chars counts DISTINCT covered positions (exploded,
+    *    deduplicated), not Σ span_len — the overlap would
+    *    double-count — giving the conservation law the spec asserts:
+    *    clean_len + cut_chars = len for every doc.
+    *
+    * Scale: the span frame is output-bounded (spans, not positions);
+    * the winner agg shuffles one row per distinct span text; the
+    * cut-position explode is bounded by covered chars ≤ corpus chars;
+    * reassembly collects per-doc span lists (bounded by doc length —
+    * the safe collect_list shape) and folds them in one projection.
+    */
+  private[graft] def suffixCleanOf(documents: DataFrame, spanL: Int): DataFrame = {
+    val pk = 1048576L
+    val d = documents.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+    val spans = suffixSpansOf(documents, spanL)
+      // consumed by the winner grouping AND the per-doc span census
+      .localCheckpoint(false)
+    val withText = spans.join(d, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        expr("substring(text, CAST(span_start AS INT), CAST(span_len AS INT))")
+          .as("span_text"),
+        (col("doc_id") * lit(pk) + col("span_start")).as("ord"))
+      .localCheckpoint(false) // winner agg + cut join both read it
+    val winners = withText.groupBy("span_text").agg(min(col("ord")).as("keep_ord"))
+    val cuts = withText.join(winners, Seq("span_text"))
+      .filter(col("ord") =!= col("keep_ord"))
+      .select("doc_id", "span_start", "span_len")
+      .localCheckpoint(false) // census explode + reassembly both read it
+    val cutChars = cuts
+      .select(col("doc_id"),
+        explode(expr("sequence(span_start, span_start + span_len - 1)")).as("i"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("cut_chars"))
+    val cutsPerDoc = cuts.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_len"))))
+        .as("cs"), count(lit(1)).as("n_cut"))
+    val spansPerDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    d.join(spansPerDoc, Seq("doc_id"), "left")
+      .join(cutsPerDoc, Seq("doc_id"), "left")
+      .join(cutChars, Seq("doc_id"), "left")
+      .withColumn("ct", expr(
+        """aggregate(
+          |  coalesce(cs, CAST(array() AS ARRAY<STRUCT<span_start: BIGINT, span_len: BIGINT>>)),
+          |  struct(CAST(1 AS BIGINT) AS prev, '' AS acc),
+          |  (st, c) -> struct(
+          |    c.span_start + c.span_len AS prev,
+          |    concat(st.acc, substring(text, CAST(st.prev AS INT),
+          |      CAST(greatest(c.span_start - st.prev, CAST(0 AS BIGINT)) AS INT))) AS acc),
+          |  st -> concat(st.acc, substring(text, CAST(st.prev AS INT),
+          |    CAST(greatest(len - st.prev + 1, CAST(0 AS BIGINT)) AS INT))))""".stripMargin))
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"),
+        length(col("ct")).cast("long").as("clean_len"),
+        md5(col("ct")).as("clean_fp"))
+  }
+
   /** Shingle→df→rarity-postings substrate shared by the exact-join
     * family (dd_jaccard_prefix, dd_containment, dd_containment_capped):
     *
@@ -1802,6 +1896,30 @@ object Dedup {
        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_bands,
        |  CAST(max(eq) AS DOUBLE) / $OphBuckets AS est_jaccard
        |FROM oph_cpairs GROUP BY 1, 2""".stripMargin
+
+  /** The dd_suffix_spans CTE chain (d/pos/gd/dup/isl/spans) — the
+    * brute-force statement of the suffix-class result, shared by the
+    * spans oracle and the pipe_suffix_clean cut oracle built on it.
+    */
+  private val suffixSpanCtes: String =
+    s"""d AS (SELECT doc_id, text, length(text) AS len FROM documents
+       |      WHERE length(text) >= 1),
+       |pos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+       |    substring(text, CAST(i AS INT), $SuffixSpanL) AS g
+       |  FROM d, UNNEST(range(1, len - ${SuffixSpanL - 2})) AS u(i)),
+       |gd AS (SELECT g FROM (
+       |  SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g) t
+       |  WHERE nd >= 2),
+       |dup AS (SELECT doc_id, p FROM pos JOIN gd USING (g)),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |  FROM dup),
+       |spans AS (
+       |  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       |    CAST(max(p) - min(p) + $SuffixSpanL AS BIGINT) AS span_len
+       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
 
   private def shinglesSqlFrom(src: String) =
     s"""SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
@@ -2442,24 +2560,56 @@ object Dedup {
     // brute-force statement of the suffix-class result: every start
     // whose L-gram occurs in >= 2 distinct docs, islands merged
     "dd_suffix_spans" ->
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
-         |           WHERE length(text) >= 1),
-         |pos AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS p,
-         |    substring(text, CAST(i AS INT), $SuffixSpanL) AS g
-         |  FROM d, UNNEST(range(1, len - ${SuffixSpanL - 2})) AS u(i)),
-         |gd AS (SELECT g FROM (
-         |  SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g) t
-         |  WHERE nd >= 2),
-         |dup AS (SELECT doc_id, p FROM pos JOIN gd USING (g)),
-         |isl AS (
-         |  SELECT doc_id, p,
-         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
-         |  FROM dup)
-         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
-         |  CAST(max(p) - min(p) + $SuffixSpanL AS BIGINT) AS span_len
-         |FROM isl GROUP BY doc_id, grp
+      s"""WITH $suffixSpanCtes
+         |SELECT doc_id, span_start, span_len FROM spans
          |ORDER BY doc_id, span_start""".stripMargin,
+    // keep-first cut + char-exact reassembly over the spans above.
+    // The oracle stitches CHAR BY CHAR (every position not covered by
+    // a cut span, concatenated in order) — deliberately a different
+    // construction from the Spark side's segment fold, so a fold bug
+    // (overlap mis-clamp, off-by-one cursor) diverges the hash.
+    "pipe_suffix_clean" ->
+      s"""WITH $suffixSpanCtes,
+         |wt AS (
+         |  SELECT s.doc_id, s.span_start, s.span_len,
+         |    substring(d.text, CAST(s.span_start AS INT),
+         |      CAST(s.span_len AS INT)) AS span_text,
+         |    s.doc_id * 1048576 + s.span_start AS ord
+         |  FROM spans s JOIN d USING (doc_id)),
+         |win AS (SELECT span_text, min(ord) AS keep_ord
+         |        FROM wt GROUP BY span_text),
+         |cuts AS (
+         |  SELECT doc_id, span_start, span_len FROM wt JOIN win USING (span_text)
+         |  WHERE ord <> keep_ord),
+         |covered AS (
+         |  SELECT DISTINCT c.doc_id, CAST(i AS BIGINT) AS i
+         |  FROM cuts c,
+         |       UNNEST(range(c.span_start, c.span_start + c.span_len)) AS u(i)),
+         |chars AS (
+         |  SELECT d.doc_id, CAST(i AS BIGINT) AS i,
+         |    substring(d.text, CAST(i AS INT), 1) AS ch
+         |  FROM d, UNNEST(range(1, d.len + 1)) AS u(i)),
+         |clean AS (
+         |  SELECT ch.doc_id,
+         |    COALESCE(string_agg(ch.ch, '' ORDER BY ch.i)
+         |      FILTER (WHERE cov.i IS NULL), '') AS ct
+         |  FROM chars ch LEFT JOIN covered cov
+         |    ON ch.doc_id = cov.doc_id AND ch.i = cov.i
+         |  GROUP BY ch.doc_id),
+         |census AS (
+         |  SELECT d.doc_id,
+         |    (SELECT count(*) FROM spans s WHERE s.doc_id = d.doc_id) AS n_spans,
+         |    (SELECT count(*) FROM cuts c WHERE c.doc_id = d.doc_id) AS n_cut,
+         |    (SELECT count(*) FROM covered v WHERE v.doc_id = d.doc_id)
+         |      AS cut_chars
+         |  FROM d)
+         |SELECT c.doc_id, CAST(c.n_spans AS BIGINT) AS n_spans,
+         |  CAST(c.n_cut AS BIGINT) AS n_cut,
+         |  CAST(c.cut_chars AS BIGINT) AS cut_chars,
+         |  CAST(length(cl.ct) AS BIGINT) AS clean_len,
+         |  md5(cl.ct) AS clean_fp
+         |FROM census c JOIN clean cl USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
     "dd_jaccard_prefix" -> jaccardPrefixSqlFrom("documents"),
     "dd_postings_build" ->
       s"""WITH dt AS (${shinglesSqlFrom("documents")}),
