@@ -244,6 +244,35 @@ object Similarity {
       .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
   }
 
+  /** Rebalance alarm threshold for ss_ivf_admit, in ppm of the mean
+    * post-admission occupancy: a cell past 2× mean flags — the point
+    * where the O(n/k)-per-probe serving claim starts degrading toward
+    * the fat cell (ss_ivf_occupancy's skew_ppm band, applied per cell).
+    */
+  val AdmitRebalancePpm = 2000000L
+
+  /** The ss_ivf_admit DELTA ASSIGNMENT: "new" vectors (a doc-id-sliced
+    * batch, re-keyed +10⁶ and deterministically transformed — REVERSED
+    * coordinates, so the cell argmin is a genuine recomputation, not a
+    * copy of the base assignment) assigned against the PUBLISHED
+    * read-back centroids. NO RETRAIN anywhere in this frame's lineage:
+    * the centroid side is a parquet scan of the published table
+    * (IvfPersistSpec pins it — no ExistingRDD, i.e. no Lloyd
+    * checkpoint scan), which is the admission contract a serving tier
+    * lives by: index updates must never silently retrain the coarse
+    * quantizer the existing partitions were built with.
+    */
+  private[graft] def admitDeltaAssignment(s: SparkSession, dir: String): DataFrame = {
+    val root = persistedIvfIndex(s, dir)
+    val centsRb = s.read.parquet(s"$root/centroids")
+    val deltaDims = Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(10)) === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        posexplode(reverse(toDouble(col("embedding")))).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"), col("x"))
+    assignL2(deltaDims, centsRb)
+  }
+
   /** Rows per centroid in the edge-build training sample. */
   val TrainSamplePerCell = 50
 
@@ -773,6 +802,55 @@ object Similarity {
         .withColumn("rk", row_number().over(wTop).cast("int"))
         .filter(col("rk") <= 3)
         .orderBy("query_id", "rk")
+    }),
+
+    // INDEX PERSISTENCE — INCREMENTAL ADMISSION (round-13 verdict #2):
+    // a delta batch of new vectors is assigned against the PUBLISHED
+    // read-back centroids (zero retraining — the admission path's
+    // plan is pinned in IvfPersistSpec) and appended as a cent_id-
+    // partitioned DELTA SEGMENT beside the immutable base assignment
+    // (the LSM convention a serving tier actually uses: base segments
+    // never mutate, deltas accumulate per cell partition, compaction
+    // folds them in — overwrite-by-segment here keeps the row
+    // idempotent across bench reps without touching the base tables
+    // the persist build/search rows gate). The report reads BOTH
+    // segments back from disk and is the occupancy-drift alarm:
+    // per cell the base/delta/total counts and the post-admission
+    // occupancy in ppm of the mean (ss_ivf_occupancy's skew band
+    // applied per cell), with a rebalance flag past
+    // [[AdmitRebalancePpm]] — the trigger that tells operations
+    // "retrain/split this cell before the probe cost degrades".
+    // Scale: the delta assignment is one broadcast join + argmin
+    // aggregate over delta×k rows; census aggregates shuffle one row
+    // per cell; nothing corpus-wide re-runs.
+    "ss_ivf_admit" -> ((s, dir) => {
+      val root = persistedIvfIndex(s, dir)
+      admitDeltaAssignment(s, dir).write.mode("overwrite")
+        .partitionBy("cent_id").parquet(s"$root/assignments_delta")
+      val base = s.read.parquet(s"$root/assignments")
+        .select(col("cent_id").cast("long").as("cent_id"))
+        .groupBy("cent_id").agg(count(lit(1)).as("n_base"))
+      val delta = s.read.parquet(s"$root/assignments_delta")
+        .select(col("cent_id").cast("long").as("cent_id"))
+        .groupBy("cent_id").agg(count(lit(1)).as("n_delta"))
+      // full outer: a delta can land in a base-empty cell (the
+      // centroid exists; the base assignment just never used it)
+      val cells = base.join(delta, Seq("cent_id"), "full_outer")
+        .select(col("cent_id"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+        .withColumn("n_total", col("n_base") + col("n_delta"))
+        .localCheckpoint(false) // census + the totals aggregate
+      val tot = cells.agg(count(lit(1)).as("k_cells"),
+        sum(col("n_total")).as("n_after"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("cent_id"), col("n_base"), col("n_delta"), col("n_total"),
+          // DECIMAL ride: n_total·10⁶·k ~ n·10⁶·k wraps int64 exactly
+          // in the one-fat-cell case the alarm exists for
+          expr("CAST(CAST(n_total AS DECIMAL(38,0)) * 1000000 * k_cells " +
+            "DIV n_after AS BIGINT)").as("occ_ppm_of_mean"))
+        .withColumn("rebalance", col("occ_ppm_of_mean") > lit(AdmitRebalancePpm))
+        .orderBy("cent_id")
     }),
 
     // The IVF cost/recall dial itself: probe the NProbe nearest cells
@@ -2585,6 +2663,46 @@ object Similarity {
          |  pq_rows, pq_sum_micro
          |FROM census JOIN cstats USING (cent_id) CROSS JOIN pqs
          |ORDER BY cent_id""".stripMargin,
+    // delta admission = the SAME micro-L2 argmin the base assignment
+    // uses, over reversed-coordinate deltas against the FINAL trained
+    // centroids (c$KmTrainRounds — the published table's content);
+    // census + per-cell ppm mirror ss_ivf_occupancy's integer ride
+    "ss_ivf_admit" ->
+      s"""WITH $trainedAssignCtes,
+         |dd AS (
+         |  SELECT vec_id + 1000000 AS vec_id, CAST(i AS INT) AS dim,
+         |    e[len(e) - i + 1] AS x
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |        WHERE vec_id % 10 = 3),
+         |       UNNEST(range(1, len(e) + 1)) AS u(i)),
+         |add0 AS (
+         |  SELECT dd.vec_id, cent_id,
+         |    CAST(sum(CAST(floor((dd.x - p.c) * (dd.x - p.c) * 1000000000000.0)
+         |      AS BIGINT)) AS BIGINT) AS dm
+         |  FROM dd JOIN c$KmTrainRounds p ON dd.dim = p.dim
+         |  GROUP BY 1, 2),
+         |asgd AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS rn
+         |    FROM add0) WHERE rn = 1),
+         |bc AS (SELECT cent_id, count(*)::BIGINT AS n_base FROM asg GROUP BY 1),
+         |dc AS (SELECT cent_id, count(*)::BIGINT AS n_delta FROM asgd GROUP BY 1),
+         |cells AS (
+         |  SELECT COALESCE(bc.cent_id, dc.cent_id) AS cent_id,
+         |    COALESCE(n_base, 0) AS n_base, COALESCE(n_delta, 0) AS n_delta,
+         |    COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_total
+         |  FROM bc FULL OUTER JOIN dc ON bc.cent_id = dc.cent_id),
+         |tot AS (SELECT count(*)::BIGINT AS k_cells,
+         |               CAST(sum(n_total) AS BIGINT) AS n_after FROM cells)
+         |SELECT cent_id, CAST(n_base AS BIGINT) AS n_base,
+         |  CAST(n_delta AS BIGINT) AS n_delta,
+         |  CAST(n_total AS BIGINT) AS n_total,
+         |  CAST(CAST(n_total AS HUGEINT) * 1000000 * k_cells // n_after
+         |    AS BIGINT) AS occ_ppm_of_mean,
+         |  CAST(CAST(n_total AS HUGEINT) * 1000000 * k_cells // n_after
+         |    AS BIGINT) > $AdmitRebalancePpm AS rebalance
+         |FROM cells, tot ORDER BY cent_id""".stripMargin,
     // Probe ranking reads straight off `ad` (every vector's exact
     // micro-L2 distance to every trained centroid — the same relation
     // the assignment argmin consumes).

@@ -36,6 +36,42 @@ class IvfPersistSpec extends AnyFunSuite {
       "persisted-index search diverged from the live-trained search")
   }
 
+  test("admission assigns against read-back centroids — no retrain (plan-pinned)") {
+    // the delta-assignment path itself (what ss_ivf_admit writes):
+    // centroid side must be a published-table scan, never a Lloyd
+    // lineage (checkpointed-RDD scan)
+    val plan = graft.operators.Similarity.admitDeltaAssignment(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_index"),
+      "admission does not read the published centroid table")
+    assert(!plan.contains("ExistingRDD"),
+      "training lineage leaked into the delta-admission plan")
+  }
+
+  test("ss_ivf_admit: delta segment published, census consistent, drift flags sane") {
+    val out = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // every cell row conserves counts and the ppm field is the
+    // advertised integer formula
+    val k = out.length.toLong
+    val nAfter = out.map(_.getAs[Long]("n_total")).sum
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_total") ==
+        r.getAs[Long]("n_base") + r.getAs[Long]("n_delta"))
+      val ppm = (BigInt(r.getAs[Long]("n_total")) * 1000000 * k / nAfter).toLong
+      assert(r.getAs[Long]("occ_ppm_of_mean") == ppm)
+      assert(r.getAs[Boolean]("rebalance") ==
+        (ppm > graft.operators.Similarity.AdmitRebalancePpm))
+    }
+    // the delta segment exists on disk, cent_id-partitioned
+    val root = sys.props.getOrElse("graft.index.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_index") +
+      "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val cells = new java.io.File(s"$root/assignments_delta").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+    assert(cells.nonEmpty, "delta segment not partitioned by cent_id")
+  }
+
   test("no training in the persisted search's lineage (plan-pinned)") {
     val plan = SparkEntry.queries("ss_ivf_persist_search")(spark, dir)
       .queryExecution.executedPlan.toString
