@@ -234,6 +234,14 @@ object Similarity {
   private def persistedIvfIndex(s: SparkSession, dir: String): String =
     cached[String](s, dir, "ivfIndexPath")(writeIvfIndex(s, dir))
 
+  /** The published-index root for cross-module consumers
+    * (st_ivf_admit's streaming admission) — publish-once semantics,
+    * resolved on the DRIVER before any stream starts so foreachBatch
+    * bodies never trigger a train-and-publish mid-stream.
+    */
+  private[graft] def publishedIndexRoot(s: SparkSession, dir: String): String =
+    persistedIvfIndex(s, dir)
+
   /** The corpus assignment read back from the PUBLISHED index tables —
     * no Lloyd anywhere in the returned frame's lineage (the partition
     * column comes back as the pruning key; cast restores its width).
@@ -511,7 +519,7 @@ object Similarity {
           * lit(1000000000000.0)).cast("long").as("dm"))
       .groupBy("vec_id", "cent_id").agg(sum(col("dm")).as("dm"))
 
-  private def assignL2(dims: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignL2(dims: DataFrame, cents: DataFrame): DataFrame = {
     val dist = l2VecDist(dims, cents)
     val best = dist.groupBy("vec_id").agg(min(col("dm")).as("dm"))
     dist.join(best, Seq("vec_id", "dm"))
@@ -2208,6 +2216,40 @@ object Similarity {
   private val trainedAssignCtes: String =
     s"$lloydCtes,\n$trainedAssignAsgn"
 
+  /** The DELTA admission assignment in DuckDB (dd/add0/asgd): the
+    * ss_ivf_admit delta — doc-id slice %10=3, re-keyed +10⁶, REVERSED
+    * coordinates — through the exact micro-L2 argmin against the
+    * FINAL trained centroids. Shared by the ss_ivf_admit census
+    * oracle and the st_ivf_admit streaming dual.
+    */
+  private val deltaAsgdCtes: String =
+    s"""dd AS (
+       |  SELECT vec_id + 1000000 AS vec_id, CAST(i AS INT) AS dim,
+       |    e[len(e) - i + 1] AS x
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |        WHERE vec_id % 10 = 3),
+       |       UNNEST(range(1, len(e) + 1)) AS u(i)),
+       |add0 AS (
+       |  SELECT dd.vec_id, cent_id,
+       |    CAST(sum(CAST(floor((dd.x - p.c) * (dd.x - p.c) * 1000000000000.0)
+       |      AS BIGINT)) AS BIGINT) AS dm
+       |  FROM dd JOIN c$KmTrainRounds p ON dd.dim = p.dim
+       |  GROUP BY 1, 2),
+       |asgd AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS rn
+       |    FROM add0) WHERE rn = 1)""".stripMargin
+
+  /** st_ivf_admit's oracle: the per-vector admission record — the
+    * batch dual of the streaming micro-batch admission (same delta,
+    * same argmin, order-free), the established st_* contract.
+    */
+  private[graft] val streamAdmitSql: String =
+    s"""WITH $lloydCtes,
+       |$deltaAsgdCtes
+       |SELECT vec_id, cent_id FROM asgd ORDER BY vec_id""".stripMargin
+
   /** The IVF single-probe search statement — shared verbatim by
     * ss_ivf_search and ss_ivf_persist_search (the persisted index is
     * deterministic, so both rows state the same semantics).
@@ -2669,23 +2711,7 @@ object Similarity {
     // census + per-cell ppm mirror ss_ivf_occupancy's integer ride
     "ss_ivf_admit" ->
       s"""WITH $trainedAssignCtes,
-         |dd AS (
-         |  SELECT vec_id + 1000000 AS vec_id, CAST(i AS INT) AS dim,
-         |    e[len(e) - i + 1] AS x
-         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-         |        WHERE vec_id % 10 = 3),
-         |       UNNEST(range(1, len(e) + 1)) AS u(i)),
-         |add0 AS (
-         |  SELECT dd.vec_id, cent_id,
-         |    CAST(sum(CAST(floor((dd.x - p.c) * (dd.x - p.c) * 1000000000000.0)
-         |      AS BIGINT)) AS BIGINT) AS dm
-         |  FROM dd JOIN c$KmTrainRounds p ON dd.dim = p.dim
-         |  GROUP BY 1, 2),
-         |asgd AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT vec_id, cent_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS rn
-         |    FROM add0) WHERE rn = 1),
+         |$deltaAsgdCtes,
          |bc AS (SELECT cent_id, count(*)::BIGINT AS n_base FROM asg GROUP BY 1),
          |dc AS (SELECT cent_id, count(*)::BIGINT AS n_delta FROM asgd GROUP BY 1),
          |cells AS (

@@ -37,6 +37,16 @@ object StreamingQueries {
   private def stageRoot(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
+  /** Remove a run-scoped checkpoint/store tree after its results are
+    * materialized — the admission rows mint UUID-scoped dirs per
+    * execution, and without cleanup every bench pass accumulates
+    * full copies under tmp.
+    */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** Write `df` to `staged` once per SOURCE generation: the staged
     * copy is reused only while it is newer than the source parquet —
     * a driver-side testdata regeneration at the same path invalidates
@@ -683,10 +693,88 @@ object StreamingQueries {
       // source stays (it is generation-keyed and reused across runs).
       val out = s.read.parquet(s"$store/status/b*").orderBy("doc_id")
         .localCheckpoint(true)
-      def rmTree(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
-        f.delete(); ()
-      }
+      Seq(ckpt, store).foreach(p => rmTree(new java.io.File(p)))
+      out
+    }),
+
+    // STREAMING ANN ADMISSION (round-13 verdict stretch #7) — the
+    // st_incremental_dedup crash-replay harness pointed at the
+    // PUBLISHED IVF index: new vectors (the ss_ivf_admit delta —
+    // doc-id slice, re-keyed, reversed coordinates) arrive as a
+    // vec_id-ordered file stream and each micro-batch is assigned
+    // against the READ-BACK centroids (published BEFORE the stream
+    // starts; no retrain in any batch — the serving contract) and
+    // appended BY BATCH ID to the admission log the delta segment
+    // compacts from. Exactly-once under crash-replay: the crash
+    // injects in batch 1 after the sink write but before the commit
+    // log records it; the restart re-processes batch 1 and its
+    // by-batch-id overwrite replaces the pre-crash write identically.
+    // Admission is per-vector stateless (unlike the dedup row there is
+    // no prior-index read to scope), so the double-admission failure
+    // mode is LOG INFLATION — the require proves the replayed log
+    // still holds exactly one row per delta vector. Oracle = the batch
+    // dual (same delta, same micro-L2 argmin, order-free).
+    "st_ivf_admit" -> ((s, dir) => {
+      import graft.operators.{Similarity, TextOps}
+      // publish-once, resolved on the driver before the stream starts
+      val root = Similarity.publishedIndexRoot(s, dir)
+      val delta = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(10)) === 3)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          reverse(TextOps.toDouble(col("embedding"))).as("e"))
+      val expected = delta.count()
+      val staged = stage(delta.repartitionByRange(4, col("vec_id")),
+        s"$dir/embeddings.parquet", s"${stageRoot(dir)}/vec_admission")
+      val parts = Option(new java.io.File(staged).listFiles()).toSeq
+        .flatten.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L) }
+      val nFiles = parts.length
+      require(nFiles >= 2,
+        s"staged $nFiles parquet files — the batch-1 crash injection " +
+          "needs at least 2 one-file micro-batches")
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = s"${stageRoot(dir)}/vec_admission_ckpt_$run"
+      val store = s"${stageRoot(dir)}/vec_admission_store_$run"
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+      def start(injectCrash: Boolean) = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          batchesSeen.incrementAndGet()
+          val s2 = df.sparkSession
+          val dims = df
+            .select(col("vec_id"), posexplode(col("e")).as(Seq("p", "x")))
+            .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"),
+              col("x"))
+          val cents = s2.read.parquet(s"$root/centroids")
+          Similarity.assignL2(dims, cents)
+            .write.mode(SaveMode.Overwrite).parquet(s"$store/asg/b$batchId")
+          if (injectCrash && batchId == 1L) {
+            crashed.set(true)
+            throw new IllegalStateException(
+              "injected crash: after sink writes, before commit-log entry")
+          }
+        }
+        .start()
+      val q1 = start(injectCrash = true)
+      try { q1.processAllAvailable(); () }
+      catch { case _: Exception => () } finally q1.stop()
+      require(crashed.get(), "crash injection never fired — staged file " +
+        "count changed? the recovery contract was not exercised")
+      val q2 = start(injectCrash = false)
+      try q2.processAllAvailable() finally q2.stop()
+      require(batchesSeen.get() >= nFiles + 1L,
+        s"expected batch 1 to REPLAY after restart, saw only " +
+          s"${batchesSeen.get()} foreachBatch calls for $nFiles files")
+      val out = s.read.parquet(s"$store/asg/b*").orderBy("vec_id")
+        .localCheckpoint(true)
+      val n = out.count()
+      require(n == expected,
+        s"admission log holds $n rows for $expected delta vectors — " +
+          "a replayed batch double-admitted (exactly-once broken)")
       Seq(ckpt, store).foreach(p => rmTree(new java.io.File(p)))
       out
     }),
@@ -768,6 +856,10 @@ object StreamingQueries {
     // batch dual of the streaming admission (first-occurrence
     // self-dedup in doc_id order = stream arrival order)
     "st_incremental_dedup" -> graft.operators.Dedup.incrementalAdmissionSql,
+    // batch dual of the streaming IVF admission (per-vector argmin
+    // against the trained centroids — order-free, so stream batching
+    // cannot change it)
+    "st_ivf_admit" -> graft.operators.Similarity.streamAdmitSql,
     "st_new_users" ->
       """SELECT CAST(fd AS VARCHAR) AS day, count(*)::BIGINT AS new_users
         |FROM (SELECT user_id, min(CAST(ts AS DATE)) AS fd
