@@ -726,6 +726,79 @@ object Dedup {
       suffixCleanOf(Tables.documents(s, dir), SuffixSpanL)
         .orderBy("doc_id")),
 
+    // RIGHT-TO-BE-FORGOTTEN CASCADE (round-14): given a delete list
+    // (doc_id % 97 = 13 — the deterministic ~1% slice standing in for
+    // a legal erasure request), audit the removal across EVERY derived
+    // artifact a training-data pipeline materializes from the corpus:
+    // the corpus itself, the exact-dup fingerprint index, the LSH band
+    // index, the shingle postings, the shingle vocabulary, and the
+    // vector store. Two deletion regimes, both load-bearing:
+    // per-doc ROW artifacts (documents, bands, postings, embeddings)
+    // drop by ANTI-JOIN against the delete list — at 100 TB these are
+    // doc-keyed tables where forget is a partition-filtered rewrite
+    // (the ss_ivf_admit/rebalance segment-overwrite idiom); SHARED SET
+    // artifacts (fingerprints, shingle vocabulary) are rebuilt as the
+    // distinct over SURVIVORS, so an entry co-owned by a surviving doc
+    // STAYS (deleting it would break dedup for unrelated documents —
+    // the GDPR nuance a naive cascade gets wrong). Each row reports
+    // rows_before/after/removed plus leftover_refs — after-rows still
+    // referencing a deleted doc (row regime) or surviving-doc entries
+    // missing from the rebuilt index (set regime: over-deletion); the
+    // oracle recomputes all four, so a cascade that under- or
+    // over-deletes hash-mismatches instead of passing quietly.
+    // Scale: each leg is one scan + one broadcast anti-join (the
+    // delete list is the small side by construction); the shingle legs
+    // share the one explode pass per frame; no corpus×corpus stage.
+    "pipe_forget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val delDocs = docs.filter(col("doc_id") % 97 === 13).select("doc_id")
+      val survDocs = docs.filter(col("doc_id") % 97 =!= 13)
+      def postingsOf(d: DataFrame) = d.select(col("doc_id"),
+        explode(array_distinct(shinglesOf(col("text")))).as("shingle"))
+      def cnt(df: DataFrame, as: String) =
+        df.agg(count(lit(1)).as(as))
+      def audit(name: String, before: DataFrame, after: DataFrame,
+          leftover: DataFrame) =
+        cnt(before, "rows_before")
+          .crossJoin(cnt(after, "rows_after"))
+          .crossJoin(cnt(leftover, "leftover_refs"))
+          .select(lit(name).as("artifact"), col("rows_before"),
+            col("rows_after"),
+            (col("rows_before") - col("rows_after")).as("rows_removed"),
+            col("leftover_refs"))
+      // row regime: anti-join the delete list
+      def cut(df: DataFrame) =
+        df.join(broadcast(delDocs), Seq("doc_id"), "left_anti")
+      val bandsAll = bandFrameOf(docs)
+      val bandsAfter = cut(bandsAll)
+      val postAll = postingsOf(docs)
+      val postAfter = cut(postAll)
+      val emb = Tables.embeddings(s, dir)
+      val delVecs = emb.filter(col("vec_id") % 97 === 13).select("vec_id")
+      val embAfter = emb.join(broadcast(delVecs), Seq("vec_id"), "left_anti")
+      // set regime: rebuild from survivors; leftover = survivor-owned
+      // entries the rebuilt index lost (must be none)
+      val fpAll = docs.select(md5(col("text")).as("fp")).distinct()
+      val fpAfter = survDocs.select(md5(col("text")).as("fp")).distinct()
+      val fpLost = survDocs.select(md5(col("text")).as("fp")).distinct()
+        .join(fpAfter, Seq("fp"), "left_anti")
+      val shAll = postAll.select("shingle").distinct()
+      val shAfter = postAfter.select("shingle").distinct()
+      val shLost = postAfter.select("shingle").distinct()
+        .join(shAfter, Seq("shingle"), "left_anti")
+      audit("bands", bandsAll, bandsAfter,
+          bandsAfter.filter(col("doc_id") % 97 === 13))
+        .unionByName(audit("documents", docs, survDocs,
+          survDocs.filter(col("doc_id") % 97 === 13)))
+        .unionByName(audit("embeddings", emb, embAfter,
+          embAfter.filter(col("vec_id") % 97 === 13)))
+        .unionByName(audit("fingerprints", fpAll, fpAfter, fpLost))
+        .unionByName(audit("postings", postAll, postAfter,
+          postAfter.filter(col("doc_id") % 97 === 13)))
+        .unionByName(audit("shingles", shAll, shAfter, shLost))
+        .orderBy("artifact")
+    }),
+
     // Paragraph-level corpus dedup with reassembly (the C4 rule: drop
     // every occurrence of a repeated paragraph except the first, then
     // keep the cleaned document). The test corpus has no newlines, so
@@ -2610,6 +2683,80 @@ object Dedup {
          |  md5(cl.ct) AS clean_fp
          |FROM census c JOIN clean cl USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin,
+    // forget cascade: row artifacts (bands/documents/postings/
+    // embeddings) anti-join the delete list; set artifacts
+    // (fingerprints/shingle vocab) rebuild as the distinct over
+    // survivors — shared entries stay; leftover_refs recomputed per
+    // regime (deleted refs surviving / survivor entries lost)
+    "pipe_forget" ->
+      s"""WITH del AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 97 = 13),
+         |dt AS (${shinglesSqlFrom("documents")}),
+         |sigs AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM dt GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects
+         |),
+         |ba AS (SELECT * FROM bands
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+         |pa AS (SELECT * FROM dt
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+         |fpa AS (SELECT DISTINCT md5(text) AS fp FROM documents
+         |        WHERE doc_id % 97 <> 13),
+         |shva AS (SELECT DISTINCT shingle FROM pa)
+         |SELECT * FROM (
+         |  SELECT 'bands' AS artifact,
+         |    (SELECT count(*) FROM bands)::BIGINT AS rows_before,
+         |    (SELECT count(*) FROM ba)::BIGINT AS rows_after,
+         |    ((SELECT count(*) FROM bands)
+         |      - (SELECT count(*) FROM ba))::BIGINT AS rows_removed,
+         |    (SELECT count(*) FROM ba WHERE doc_id % 97 = 13)::BIGINT
+         |      AS leftover_refs
+         |  UNION ALL
+         |  SELECT 'documents',
+         |    (SELECT count(*) FROM documents)::BIGINT,
+         |    (SELECT count(*) FROM documents WHERE doc_id % 97 <> 13)::BIGINT,
+         |    ((SELECT count(*) FROM documents)
+         |      - (SELECT count(*) FROM documents
+         |         WHERE doc_id % 97 <> 13))::BIGINT,
+         |    (SELECT count(*) FROM documents
+         |     WHERE doc_id % 97 <> 13 AND doc_id % 97 = 13)::BIGINT
+         |  UNION ALL
+         |  SELECT 'embeddings',
+         |    (SELECT count(*) FROM embeddings)::BIGINT,
+         |    (SELECT count(*) FROM embeddings WHERE vec_id % 97 <> 13)::BIGINT,
+         |    ((SELECT count(*) FROM embeddings)
+         |      - (SELECT count(*) FROM embeddings
+         |         WHERE vec_id % 97 <> 13))::BIGINT,
+         |    (SELECT count(*) FROM embeddings
+         |     WHERE vec_id % 97 <> 13 AND vec_id % 97 = 13)::BIGINT
+         |  UNION ALL
+         |  SELECT 'fingerprints',
+         |    (SELECT count(DISTINCT md5(text)) FROM documents)::BIGINT,
+         |    (SELECT count(*) FROM fpa)::BIGINT,
+         |    ((SELECT count(DISTINCT md5(text)) FROM documents)
+         |      - (SELECT count(*) FROM fpa))::BIGINT,
+         |    (SELECT count(*) FROM (
+         |       SELECT DISTINCT md5(text) AS fp FROM documents
+         |       WHERE doc_id % 97 <> 13) x
+         |     WHERE fp NOT IN (SELECT fp FROM fpa))::BIGINT
+         |  UNION ALL
+         |  SELECT 'postings',
+         |    (SELECT count(*) FROM dt)::BIGINT,
+         |    (SELECT count(*) FROM pa)::BIGINT,
+         |    ((SELECT count(*) FROM dt)
+         |      - (SELECT count(*) FROM pa))::BIGINT,
+         |    (SELECT count(*) FROM pa WHERE doc_id % 97 = 13)::BIGINT
+         |  UNION ALL
+         |  SELECT 'shingles',
+         |    (SELECT count(DISTINCT shingle) FROM dt)::BIGINT,
+         |    (SELECT count(*) FROM shva)::BIGINT,
+         |    ((SELECT count(DISTINCT shingle) FROM dt)
+         |      - (SELECT count(*) FROM shva))::BIGINT,
+         |    (SELECT count(*) FROM (SELECT DISTINCT shingle FROM pa) x
+         |     WHERE shingle NOT IN (SELECT shingle FROM shva))::BIGINT)
+         |ORDER BY artifact""".stripMargin,
     "dd_jaccard_prefix" -> jaccardPrefixSqlFrom("documents"),
     "dd_postings_build" ->
       s"""WITH dt AS (${shinglesSqlFrom("documents")}),

@@ -273,12 +273,32 @@ object Similarity {
   private[graft] def admitDeltaAssignment(s: SparkSession, dir: String): DataFrame = {
     val root = persistedIvfIndex(s, dir)
     val centsRb = s.read.parquet(s"$root/centroids")
-    val deltaDims = Tables.embeddings(s, dir)
+    assignL2(admitDeltaDims(s, dir), centsRb)
+  }
+
+  /** The delta batch's long-format coordinates — the (vec_id, dim, x)
+    * relation behind [[admitDeltaAssignment]], factored out so the
+    * rebalance row can read the SAME delta vectors when the hot cell
+    * it splits contains admitted members (oracle CTE `dd`).
+    */
+  private def admitDeltaDims(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .filter(pmod(col("vec_id"), lit(10)) === 3)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"),
         posexplode(reverse(toDouble(col("embedding")))).as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).cast("int").as("dim"), col("x"))
-    assignL2(deltaDims, centsRb)
+
+  /** Publish (idempotent overwrite) the cent_id-partitioned DELTA
+    * SEGMENT beside the immutable base assignment and return the index
+    * root — the write half of ss_ivf_admit, shared by the rebalance
+    * row so it operates on the post-admission index without depending
+    * on the admit row having run first this session.
+    */
+  private def publishDeltaSegment(s: SparkSession, dir: String): String = {
+    val root = persistedIvfIndex(s, dir)
+    admitDeltaAssignment(s, dir).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$root/assignments_delta")
+    root
   }
 
   /** Rows per centroid in the edge-build training sample. */
@@ -832,9 +852,7 @@ object Similarity {
     // aggregate over delta×k rows; census aggregates shuffle one row
     // per cell; nothing corpus-wide re-runs.
     "ss_ivf_admit" -> ((s, dir) => {
-      val root = persistedIvfIndex(s, dir)
-      admitDeltaAssignment(s, dir).write.mode("overwrite")
-        .partitionBy("cent_id").parquet(s"$root/assignments_delta")
+      val root = publishDeltaSegment(s, dir)
       val base = s.read.parquet(s"$root/assignments")
         .select(col("cent_id").cast("long").as("cent_id"))
         .groupBy("cent_id").agg(count(lit(1)).as("n_base"))
@@ -858,6 +876,131 @@ object Similarity {
           expr("CAST(CAST(n_total AS DECIMAL(38,0)) * 1000000 * k_cells " +
             "DIV n_after AS BIGINT)").as("occ_ppm_of_mean"))
         .withColumn("rebalance", col("occ_ppm_of_mean") > lit(AdmitRebalancePpm))
+        .orderBy("cent_id")
+    }),
+
+    // INDEX PERSISTENCE — REBALANCE (acting on the ss_ivf_admit
+    // alarm): SPLIT the fattest post-admission cell k-d-tree style —
+    // midpoint split on the dimension of maximum spread (micro-int
+    // mid = ⌊(min+max)/2⌋; members ≤ mid → sub-cell A, else B) — and
+    // REPUBLISH: the two halves as a cent_id-partitioned split
+    // segment, and a v2 centroid table (micro-int coords: surviving
+    // trained centroids + the two sub-cell means) whose new ids start
+    // past max(trained cent_id) so they can never collide with an
+    // existing (even empty) cell. Midpoint-over-rank is deliberate:
+    // a median split needs an exact rank over the hot cell (a
+    // single-partition sort of exactly the data you're trying to
+    // shrink); the midpoint is two aggregates + a filter — no window,
+    // no sort, nothing driver-side — and the census it emits REPORTS
+    // the achieved balance instead of promising one. NO RETRAIN
+    // anywhere: the whole row's lineage is parquet scans of the
+    // published tables + the embeddings source (IvfPersistSpec pins
+    // no ExistingRDD in the executed plan — which is also why this
+    // row reads fresh kmDims instead of the checkpointed cache).
+    // Output: post-rebalance census — per cell the member count, the
+    // occupancy ppm vs the NEW mean (k_after cells), the republished
+    // centroid's coordinate-sum fingerprint (read BACK from the v2
+    // table — round-trip proof), and the from_split flag.
+    // Precondition (documented, not asserted): the hot cell's members
+    // are not bit-identical on every dim — real embeddings always
+    // spread, and a zero-spread "cell" has nothing to split.
+    // Scale: two aggregates + one equi-join over ONE cell's rows
+    // (≈ n/k — the fat cell is the biggest thing touched, and
+    // shrinking it is the point); census frames are k rows.
+    "ss_ivf_rebalance" -> ((s, dir) => {
+      val root = publishDeltaSegment(s, dir)
+      val base = s.read.parquet(s"$root/assignments")
+        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+      val delta = s.read.parquet(s"$root/assignments_delta")
+        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+      val cells = base.groupBy("cent_id").agg(count(lit(1)).as("n_base"))
+        .join(delta.groupBy("cent_id").agg(count(lit(1)).as("n_delta")),
+          Seq("cent_id"), "full_outer")
+        .select(col("cent_id"),
+          (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+            .as("n_total"))
+      val worst = cells.orderBy(col("n_total").desc, col("cent_id").asc)
+        .limit(1).select("cent_id")
+      // the hot cell's members across BOTH segments, as micro-int dims
+      // (fresh kmDims + the delta transform — no checkpointed cache,
+      // so the executed plan stays pure parquet scans for the pin)
+      val mem = kmDims(s, dir).unionByName(admitDeltaDims(s, dir))
+        .join(base.unionByName(delta).join(broadcast(worst), "cent_id")
+          .select("vec_id"), "vec_id")
+        .select(col("vec_id"), col("dim"),
+          floor(col("x") * lit(1000000.0)).cast("long").as("xm"))
+      val splitDim = mem.groupBy("dim")
+        .agg(min(col("xm")).as("mn"), max(col("xm")).as("mx"))
+        .orderBy((col("mx") - col("mn")).desc, col("dim").asc).limit(1)
+        .select(col("dim"),
+          floor((col("mn") + col("mx")) / lit(2.0)).cast("long").as("mid"))
+      // new ids start past max TRAINED id (not max occupied id):
+      // delta can only land in trained cells, but an EMPTY trained
+      // cell's id must not be reused by a sub-cell
+      val kmax = s.read.parquet(s"$root/centroids")
+        .agg(max(col("cent_id").cast("long")).as("mxc"))
+      val sides = mem.join(broadcast(splitDim), "dim")
+        .crossJoin(broadcast(kmax))
+        .select(col("vec_id"),
+          when(col("xm") <= col("mid"), col("mxc") + 1)
+            .otherwise(col("mxc") + 2).as("cent_id"))
+      sides.write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$root/assignments_split")
+      // v2 centroids in micro ints: sub-cell means ⌊Σxm/n⌋ (exact —
+      // per-cell micro sums stay far inside double's 2^53 integer
+      // range at any per-cell count the alarm would tolerate) beside
+      // the surviving trained centroids at the same micro grid
+      val ncent = mem.join(sides, "vec_id")
+        .groupBy("cent_id", "dim")
+        .agg(floor(sum(col("xm")).cast("double") / count(lit(1)))
+          .cast("long").as("cm"))
+      val oldcent = s.read.parquet(s"$root/centroids")
+        .select(col("cent_id").cast("long").as("cent_id"), col("dim"),
+          floor(col("c") * lit(1000000.0)).cast("long").as("cm"))
+        .join(broadcast(worst), Seq("cent_id"), "left_anti")
+      oldcent.unionByName(ncent).write.mode("overwrite")
+        .parquet(s"$root/centroids_v2")
+      // post-rebalance census, everything read BACK from the
+      // republished tables (split counts + centroid fingerprints)
+      val post = cells.join(broadcast(worst), Seq("cent_id"), "left_anti")
+        .withColumn("from_split", lit(false))
+        .unionByName(s.read.parquet(s"$root/assignments_split")
+          .select(col("cent_id").cast("long").as("cent_id"))
+          .groupBy("cent_id").agg(count(lit(1)).as("n_total"))
+          .withColumn("from_split", lit(true)))
+      val csum = s.read.parquet(s"$root/centroids_v2")
+        .groupBy("cent_id").agg(sum(col("cm")).as("cent_sum_micro"))
+      val tot = post.agg(count(lit(1)).as("k_after"),
+        sum(col("n_total")).as("n_after"))
+      post.join(csum, "cent_id").crossJoin(broadcast(tot))
+        .select(col("cent_id"), col("n_total"), col("cent_sum_micro"),
+          expr("CAST(CAST(n_total AS DECIMAL(38,0)) * 1000000 * k_after " +
+            "DIV n_after AS BIGINT)").as("occ_ppm_of_mean"),
+          col("from_split"))
+        .orderBy("cent_id")
+    }),
+
+    // INDEX PERSISTENCE — COMPACTION (the LSM fold closing the
+    // admit→rebalance→compact lifecycle): the delta segment is merged
+    // into the base assignment and republished as ONE cent_id-
+    // partitioned compacted segment — base and delta stay immutable
+    // (readers pinned to the two-segment view are unaffected), the
+    // compacted segment becomes the new serving base, and the
+    // accumulated small delta files per cell collapse into one
+    // rewrite (the small-file problem every incremental parquet index
+    // hits; at 100 TB compaction runs per-cell and only rewrites
+    // cells a delta touched). Output = the census read BACK from the
+    // compacted segment, which must equal the two-segment census the
+    // admit row reported — the merge must lose and invent nothing.
+    "ss_ivf_compact" -> ((s, dir) => {
+      val root = publishDeltaSegment(s, dir)
+      def seg(name: String) = s.read.parquet(s"$root/$name")
+        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+      seg("assignments").unionByName(seg("assignments_delta"))
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$root/assignments_compacted")
+      seg("assignments_compacted")
+        .groupBy("cent_id").agg(count(lit(1)).as("n_total"))
         .orderBy("cent_id")
     }),
 
@@ -2729,6 +2872,76 @@ object Similarity {
          |  CAST(CAST(n_total AS HUGEINT) * 1000000 * k_cells // n_after
          |    AS BIGINT) > $AdmitRebalancePpm AS rebalance
          |FROM cells, tot ORDER BY cent_id""".stripMargin,
+    // rebalance = the admit census, then: worst cell by (n_total DESC,
+    // cent_id), its members' micro dims from BOTH segments, midpoint
+    // split on the max-spread dim, sub-cell ids past max(trained id),
+    // v2 centroids = surviving trained (micro grid) + sub-cell means
+    // ⌊Σxm/n⌋, census re-based on k_after cells
+    "ss_ivf_rebalance" ->
+      s"""WITH $trainedAssignCtes,
+         |$deltaAsgdCtes,
+         |bc AS (SELECT cent_id, count(*)::BIGINT AS n_base FROM asg GROUP BY 1),
+         |dc AS (SELECT cent_id, count(*)::BIGINT AS n_delta FROM asgd GROUP BY 1),
+         |cells AS (
+         |  SELECT COALESCE(bc.cent_id, dc.cent_id) AS cent_id,
+         |    COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_total
+         |  FROM bc FULL OUTER JOIN dc ON bc.cent_id = dc.cent_id),
+         |worst AS (
+         |  SELECT cent_id FROM cells ORDER BY n_total DESC, cent_id ASC LIMIT 1),
+         |mem AS MATERIALIZED (
+         |  SELECT m.vec_id, m.dim, CAST(floor(m.x * 1000000.0) AS BIGINT) AS xm
+         |  FROM (
+         |    SELECT cd.vec_id, cd.dim, cd.x
+         |    FROM cd JOIN asg USING (vec_id)
+         |      JOIN worst ON asg.cent_id = worst.cent_id
+         |    UNION ALL
+         |    SELECT dd.vec_id, dd.dim, dd.x
+         |    FROM dd JOIN asgd USING (vec_id)
+         |      JOIN worst ON asgd.cent_id = worst.cent_id) m),
+         |sd AS (
+         |  SELECT dim, CAST(floor((mn + mx) / 2.0) AS BIGINT) AS mid FROM (
+         |    SELECT dim, min(xm) AS mn, max(xm) AS mx FROM mem GROUP BY 1)
+         |  ORDER BY mx - mn DESC, dim ASC LIMIT 1),
+         |mxc AS (SELECT max(cent_id) AS mxc FROM c$KmTrainRounds),
+         |sides AS (
+         |  SELECT mem.vec_id,
+         |    CASE WHEN xm <= mid THEN mxc + 1 ELSE mxc + 2 END AS cent_id
+         |  FROM mem JOIN sd USING (dim), mxc),
+         |ncent AS (
+         |  SELECT s2.cent_id, m.dim,
+         |    CAST(floor(CAST(sum(m.xm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+         |  FROM mem m JOIN sides s2 USING (vec_id) GROUP BY 1, 2),
+         |v2 AS (
+         |  SELECT cent_id, dim, CAST(floor(c * 1000000.0) AS BIGINT) AS cm
+         |  FROM c$KmTrainRounds
+         |  WHERE cent_id NOT IN (SELECT cent_id FROM worst)
+         |  UNION ALL SELECT cent_id, dim, cm FROM ncent),
+         |csum AS (
+         |  SELECT cent_id, CAST(sum(cm) AS BIGINT) AS cent_sum_micro
+         |  FROM v2 GROUP BY 1),
+         |post AS (
+         |  SELECT cent_id, n_total, FALSE AS from_split FROM cells
+         |  WHERE cent_id NOT IN (SELECT cent_id FROM worst)
+         |  UNION ALL
+         |  SELECT cent_id, count(*)::BIGINT AS n_total, TRUE AS from_split
+         |  FROM sides GROUP BY cent_id),
+         |tot AS (SELECT count(*)::BIGINT AS k_after,
+         |               CAST(sum(n_total) AS BIGINT) AS n_after FROM post)
+         |SELECT p.cent_id, CAST(p.n_total AS BIGINT) AS n_total,
+         |  cent_sum_micro,
+         |  CAST(CAST(p.n_total AS HUGEINT) * 1000000 * k_after // n_after
+         |    AS BIGINT) AS occ_ppm_of_mean,
+         |  from_split
+         |FROM post p JOIN csum USING (cent_id), tot
+         |ORDER BY p.cent_id""".stripMargin,
+    // compaction must preserve the two-segment census exactly
+    "ss_ivf_compact" ->
+      s"""WITH $trainedAssignCtes,
+         |$deltaAsgdCtes,
+         |u AS (SELECT vec_id, cent_id FROM asg
+         |      UNION ALL SELECT vec_id, cent_id FROM asgd)
+         |SELECT cent_id, count(*)::BIGINT AS n_total
+         |FROM u GROUP BY 1 ORDER BY cent_id""".stripMargin,
     // Probe ranking reads straight off `ad` (every vector's exact
     // micro-L2 distance to every trained centroid — the same relation
     // the assignment argmin consumes).

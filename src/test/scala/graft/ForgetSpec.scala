@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** pipe_forget — the right-to-be-forgotten cascade: a delete list
+  * (doc_id % 97 = 13) removed from the corpus and every derived
+  * artifact, with per-artifact audit counts. Row artifacts anti-join
+  * the list; shared set artifacts (fingerprints, shingle vocabulary)
+  * rebuild over survivors so co-owned entries stay.
+  */
+class ForgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val rows =
+    SparkEntry.queries("pipe_forget")(spark, dir).collect()
+      .map(r => r.getAs[String]("artifact") ->
+        (r.getAs[Long]("rows_before"), r.getAs[Long]("rows_after"),
+          r.getAs[Long]("rows_removed"), r.getAs[Long]("leftover_refs")))
+      .toMap
+
+  test("all six artifacts audited, no leftover references anywhere") {
+    assert(rows.keySet == Set("bands", "documents", "embeddings",
+      "fingerprints", "postings", "shingles"))
+    rows.foreach { case (a, (before, after, removed, leftover)) =>
+      assert(leftover == 0L, s"$a leaked $leftover references")
+      assert(removed == before - after, s"$a counts do not conserve")
+      assert(removed >= 0L && after >= 0L, s"$a negative counts")
+    }
+  }
+
+  test("the delete list actually deletes: corpus and row indexes shrink") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDel = docs.filter($"doc_id" % 97 === 13).count()
+    assert(nDel > 0, "fixture slice empty — test is vacuous")
+    assert(rows("documents")._3 == nDel)
+    // a deleted doc takes all its band rows (Bands per shingled doc)
+    // and all its postings with it — removed counts are exactly the
+    // deleted docs' share
+    assert(rows("bands")._3 >= 0L)
+    val delPostings = docs.filter($"doc_id" % 97 === 13)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array_distinct(
+            graft.operators.TextOps.shinglesOf($"text"))).as("shingle"))
+      .count()
+    assert(rows("postings")._3 == delPostings)
+  }
+
+  test("shared set artifacts keep co-owned entries (no over-deletion)") {
+    // removed fingerprints can never exceed deleted docs (each deleted
+    // doc retires at most its own fp, and only if no survivor shares it)
+    assert(rows("fingerprints")._3 <= rows("documents")._3)
+    // the vocabulary only loses shingles no survivor posts
+    assert(rows("shingles")._3 <= rows("postings")._3)
+    // and both set indexes stay non-empty for the survivors
+    assert(rows("fingerprints")._2 > 0L && rows("shingles")._2 > 0L)
+  }
+}

@@ -72,6 +72,60 @@ class IvfPersistSpec extends AnyFunSuite {
     assert(cells.nonEmpty, "delta segment not partitioned by cent_id")
   }
 
+  test("ss_ivf_rebalance: worst cell split, republished, census conserved") {
+    val admit = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
+    val out = SparkEntry.queries("ss_ivf_rebalance")(spark, dir).collect()
+    // exactly two sub-cells, both non-empty, ids past every admit cell
+    val split = out.filter(_.getAs[Boolean]("from_split"))
+    assert(split.length == 2, s"expected 2 sub-cells, got ${split.length}")
+    assert(split.forall(_.getAs[Long]("n_total") > 0))
+    val maxAdmitId = admit.map(_.getAs[Long]("cent_id")).max
+    assert(split.forall(_.getAs[Long]("cent_id") > maxAdmitId))
+    // the split halves conserve the worst cell's members; the other
+    // cells carry over untouched
+    val worst = admit.maxBy(r => (r.getAs[Long]("n_total"), -r.getAs[Long]("cent_id")))
+    assert(split.map(_.getAs[Long]("n_total")).sum == worst.getAs[Long]("n_total"))
+    assert(out.map(_.getAs[Long]("n_total")).sum ==
+      admit.map(_.getAs[Long]("n_total")).sum)
+    assert(out.length == admit.length + 1)
+    // the republished tables exist: split segment partitioned by cell,
+    // v2 centroid table with the sub-cell rows
+    val root = sys.props.getOrElse("graft.index.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_index") +
+      "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val cells = new java.io.File(s"$root/assignments_split").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+    assert(cells.length == 2, "split segment not partitioned into 2 sub-cells")
+    assert(new java.io.File(s"$root/centroids_v2").isDirectory)
+  }
+
+  test("ss_ivf_compact: the fold preserves the two-segment census exactly") {
+    val admit = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
+      .map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("n_total")).toMap
+    val compact = SparkEntry.queries("ss_ivf_compact")(spark, dir).collect()
+      .map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("n_total")).toMap
+    assert(compact == admit,
+      "compacted census diverged from the base+delta census")
+    // one segment on disk, still cell-partitioned
+    val root = sys.props.getOrElse("graft.index.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_index") +
+      "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val cells = new java.io.File(s"$root/assignments_compacted").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+    assert(cells.nonEmpty, "compacted segment not partitioned by cent_id")
+  }
+
+  test("rebalance lineage is pure published-table + source scans (plan-pinned)") {
+    val plan = SparkEntry.queries("ss_ivf_rebalance")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_index"),
+      "rebalance does not read the published index tables")
+    assert(!plan.contains("ExistingRDD"),
+      "training/checkpoint lineage leaked into the rebalance plan — " +
+        "the split must derive from the published tables and the raw " +
+        "embeddings source only")
+  }
+
   test("no training in the persisted search's lineage (plan-pinned)") {
     val plan = SparkEntry.queries("ss_ivf_persist_search")(spark, dir)
       .queryExecution.executedPlan.toString
