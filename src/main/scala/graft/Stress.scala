@@ -89,12 +89,59 @@ object Stress {
         docs.count()
         for (l <- ls) {
           val rounds = (Integer.numberOfTrailingZeros(l)
-            - Integer.numberOfTrailingZeros(4))
+            - Integer.numberOfTrailingZeros(graft.operators.Dedup.SuffixSeedBase))
           val t0 = System.nanoTime()
           val spans = graft.operators.Dedup.suffixSpansOf(docs, l).count()
           println(f"STRESS suffix_spans dir=$dir L=$l rounds=$rounds " +
             f"spans=$spans time=${(System.nanoTime() - t0) / 1e9}%.2f")
         }
+      } finally spark.stop()
+      return
+    }
+    if (args.headOption.contains("suffixab")) {
+      // Seed-base A/B for suffixSpansOf (round 14): the same L timed
+      // with two seed gram widths, interleaved ABBA-BAAB inside one
+      // JVM so the monotone in-session drift (pending-GC checkpoint
+      // blocks from earlier legs pressure later ones) cancels between
+      // arms instead of biasing whichever ran last. Report = per-arm
+      // min (the bench's min-of-N convention — least-interfered leg).
+      // Usage: runMain graft.Stress suffixab [sfDir] [L] [baseA] [baseB]
+      val spark = SparkSession.builder().master("local[32]")
+        .appName("graft-stress-suffixab")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val rest = args.drop(1)
+        val dir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        val l = rest.drop(1).headOption.map(_.toInt).getOrElse(32)
+        val bA = rest.drop(2).headOption.map(_.toInt).getOrElse(4)
+        val bB = rest.drop(3).headOption.map(_.toInt).getOrElse(8)
+        val docs = Tables.load(spark, dir, "documents")
+        docs.count() // warm-up: scan + codegen outside the timings
+        def leg(b: Int): Double = {
+          val t0 = System.nanoTime()
+          val spans = graft.operators.Dedup.suffixSpansOf(docs, l, b).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"STRESS suffix_ab dir=$dir L=$l base=$b spans=$spans " +
+            f"time=$sec%.2f")
+          sec
+        }
+        // per-arm min of interleaved legs: leg times on this host vary
+        // up to 5× from outside interference (forcing a GC between
+        // legs does NOT stabilize them — measured, SCALE.md round 14),
+        // so the min is the only comparable statistic, and alternation
+        // keeps slow phases from landing all in one arm
+        val order = Seq(bA, bB, bB, bA, bB, bA, bA, bB)
+        val times = order.map(b => b -> leg(b))
+        val minA = times.filter(_._1 == bA).map(_._2).min
+        val minB = times.filter(_._1 == bB).map(_._2).min
+        println(f"STRESS suffix_ab_summary L=$l base$bA=$minA%.2f " +
+          f"base$bB=$minB%.2f (per-arm min of 4 interleaved legs)")
       } finally spark.stop()
       return
     }

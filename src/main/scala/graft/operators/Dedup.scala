@@ -766,12 +766,15 @@ object Dedup {
             col("rows_after"),
             (col("rows_before") - col("rows_after")).as("rows_removed"),
             col("leftover_refs"))
-      // row regime: anti-join the delete list
+      // row regime: anti-join the delete list. The two derived-index
+      // frames each feed three counts (before / after / leftover) —
+      // localCheckpoint so the signature and explode pipelines run
+      // once and the counts scan materialized rows
       def cut(df: DataFrame) =
         df.join(broadcast(delDocs), Seq("doc_id"), "left_anti")
-      val bandsAll = bandFrameOf(docs)
+      val bandsAll = bandFrameOf(docs).localCheckpoint(false)
       val bandsAfter = cut(bandsAll)
-      val postAll = postingsOf(docs)
+      val postAll = postingsOf(docs).localCheckpoint(false)
       val postAfter = cut(postAll)
       val emb = Tables.embeddings(s, dir)
       val delVecs = emb.filter(col("vec_id") % 97 === 13).select("vec_id")
@@ -1556,17 +1559,27 @@ object Dedup {
     */
   val SuffixSpanL = 32
 
+  /** Seed gram width for [[suffixSpansOf]]'s prefix doubling: classes
+    * enter the loop at base-char granularity, so rounds =
+    * log₂(L/base). Power of two; every supported L must satisfy
+    * L ≥ 2·base.
+    */
+  val SuffixSeedBase = 8
+
   /** The dd_suffix_spans body over an arbitrary document frame,
     * parameterized by the span length (a power of two ≥ 2) so
     * [[graft.Stress]] can sweep L and measure the log₂(L)-round
     * scaling directly. See the query's comment for the algorithm and
     * exactness argument.
     */
-  private[graft] def suffixSpansOf(documents: DataFrame, spanL: Int): DataFrame = {
-    // base-4 classes seed the loop (one short-string aggregate beats
-    // two extra long-key rounds; the doubling structure — and its
-    // log₂ cost curve — is unchanged, just entered two levels up)
-    val base = 4
+  private[graft] def suffixSpansOf(documents: DataFrame, spanL: Int,
+      base: Int = SuffixSeedBase): DataFrame = {
+    // base-[[SuffixSeedBase]] classes seed the loop (one short-string
+    // aggregate beats extra long-key rounds; the doubling structure —
+    // and its log₂ cost curve — is unchanged, just entered
+    // log₂(base) levels up; base 8 vs 4 A/B-measured in SCALE.md
+    // round 14 via `graft.Stress suffixab`). The base parameter
+    // exists for that A/B harness only; queries use the default.
     require(spanL >= 2 * base && (spanL & (spanL - 1)) == 0,
       s"spanL must be a power of two >= ${2 * base}, got $spanL")
     import org.apache.spark.sql.expressions.Window
