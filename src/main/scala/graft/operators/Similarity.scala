@@ -301,6 +301,82 @@ object Similarity {
     root
   }
 
+  /** The rebalance PUBLISH (the write half of ss_ivf_rebalance — see
+    * that query's comment for the algorithm and the scale argument):
+    * split the fattest post-admission cell at the midpoint of its
+    * max-spread dimension and write the two republished tables —
+    * `assignments_split` (the halves, cent_id-partitioned) and
+    * `centroids_v2` (micro-int grid: surviving trained centroids +
+    * the sub-cell means). Returns (root, two-segment census, worst
+    * cell) so the rebalance row can report without recomputing the
+    * publish; ss_ivf_search_v2 reaches the artifacts through the
+    * memoized [[rebalancedIndexRoot]] instead.
+    */
+  private def writeRebalance(
+      s: SparkSession, dir: String): (String, DataFrame, DataFrame) = {
+    val root = publishDeltaSegment(s, dir)
+    val base = s.read.parquet(s"$root/assignments")
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+    val delta = s.read.parquet(s"$root/assignments_delta")
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+    val cells = base.groupBy("cent_id").agg(count(lit(1)).as("n_base"))
+      .join(delta.groupBy("cent_id").agg(count(lit(1)).as("n_delta")),
+        Seq("cent_id"), "full_outer")
+      .select(col("cent_id"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n_total"))
+    val worst = cells.orderBy(col("n_total").desc, col("cent_id").asc)
+      .limit(1).select("cent_id")
+    // the hot cell's members across BOTH segments, as micro-int dims
+    // (fresh kmDims + the delta transform — no checkpointed cache,
+    // so the executed plan stays pure parquet scans for the pin)
+    val mem = kmDims(s, dir).unionByName(admitDeltaDims(s, dir))
+      .join(base.unionByName(delta).join(broadcast(worst), "cent_id")
+        .select("vec_id"), "vec_id")
+      .select(col("vec_id"), col("dim"),
+        floor(col("x") * lit(1000000.0)).cast("long").as("xm"))
+    val splitDim = mem.groupBy("dim")
+      .agg(min(col("xm")).as("mn"), max(col("xm")).as("mx"))
+      .orderBy((col("mx") - col("mn")).desc, col("dim").asc).limit(1)
+      .select(col("dim"),
+        floor((col("mn") + col("mx")) / lit(2.0)).cast("long").as("mid"))
+    // new ids start past max TRAINED id (not max occupied id):
+    // delta can only land in trained cells, but an EMPTY trained
+    // cell's id must not be reused by a sub-cell
+    val kmax = s.read.parquet(s"$root/centroids")
+      .agg(max(col("cent_id").cast("long")).as("mxc"))
+    val sides = mem.join(broadcast(splitDim), "dim")
+      .crossJoin(broadcast(kmax))
+      .select(col("vec_id"),
+        when(col("xm") <= col("mid"), col("mxc") + 1)
+          .otherwise(col("mxc") + 2).as("cent_id"))
+    sides.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$root/assignments_split")
+    // v2 centroids in micro ints: sub-cell means ⌊Σxm/n⌋ (exact —
+    // per-cell micro sums stay far inside double's 2^53 integer
+    // range at any per-cell count the alarm would tolerate) beside
+    // the surviving trained centroids at the same micro grid
+    val ncent = mem.join(sides, "vec_id")
+      .groupBy("cent_id", "dim")
+      .agg(floor(sum(col("xm")).cast("double") / count(lit(1)))
+        .cast("long").as("cm"))
+    val oldcent = s.read.parquet(s"$root/centroids")
+      .select(col("cent_id").cast("long").as("cent_id"), col("dim"),
+        floor(col("c") * lit(1000000.0)).cast("long").as("cm"))
+      .join(broadcast(worst), Seq("cent_id"), "left_anti")
+    oldcent.unionByName(ncent).write.mode("overwrite")
+      .parquet(s"$root/centroids_v2")
+    (root, cells, worst)
+  }
+
+  /** Index root with the rebalance artifacts published — memoized per
+    * (session, dir) the way [[persistedIvfIndex]] is, so the serving
+    * row (ss_ivf_search_v2) publishes at most once per session and the
+    * rebalance row stays the one that PRICES the publish.
+    */
+  private def rebalancedIndexRoot(s: SparkSession, dir: String): String =
+    cached[String](s, dir, "ivfRebalanced")(writeRebalance(s, dir)._1)
+
   /** Rows per centroid in the edge-build training sample. */
   val TrainSamplePerCell = 50
 
@@ -908,58 +984,10 @@ object Similarity {
     // (≈ n/k — the fat cell is the biggest thing touched, and
     // shrinking it is the point); census frames are k rows.
     "ss_ivf_rebalance" -> ((s, dir) => {
-      val root = publishDeltaSegment(s, dir)
-      val base = s.read.parquet(s"$root/assignments")
-        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
-      val delta = s.read.parquet(s"$root/assignments_delta")
-        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
-      val cells = base.groupBy("cent_id").agg(count(lit(1)).as("n_base"))
-        .join(delta.groupBy("cent_id").agg(count(lit(1)).as("n_delta")),
-          Seq("cent_id"), "full_outer")
-        .select(col("cent_id"),
-          (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
-            .as("n_total"))
-      val worst = cells.orderBy(col("n_total").desc, col("cent_id").asc)
-        .limit(1).select("cent_id")
-      // the hot cell's members across BOTH segments, as micro-int dims
-      // (fresh kmDims + the delta transform — no checkpointed cache,
-      // so the executed plan stays pure parquet scans for the pin)
-      val mem = kmDims(s, dir).unionByName(admitDeltaDims(s, dir))
-        .join(base.unionByName(delta).join(broadcast(worst), "cent_id")
-          .select("vec_id"), "vec_id")
-        .select(col("vec_id"), col("dim"),
-          floor(col("x") * lit(1000000.0)).cast("long").as("xm"))
-      val splitDim = mem.groupBy("dim")
-        .agg(min(col("xm")).as("mn"), max(col("xm")).as("mx"))
-        .orderBy((col("mx") - col("mn")).desc, col("dim").asc).limit(1)
-        .select(col("dim"),
-          floor((col("mn") + col("mx")) / lit(2.0)).cast("long").as("mid"))
-      // new ids start past max TRAINED id (not max occupied id):
-      // delta can only land in trained cells, but an EMPTY trained
-      // cell's id must not be reused by a sub-cell
-      val kmax = s.read.parquet(s"$root/centroids")
-        .agg(max(col("cent_id").cast("long")).as("mxc"))
-      val sides = mem.join(broadcast(splitDim), "dim")
-        .crossJoin(broadcast(kmax))
-        .select(col("vec_id"),
-          when(col("xm") <= col("mid"), col("mxc") + 1)
-            .otherwise(col("mxc") + 2).as("cent_id"))
-      sides.write.mode("overwrite").partitionBy("cent_id")
-        .parquet(s"$root/assignments_split")
-      // v2 centroids in micro ints: sub-cell means ⌊Σxm/n⌋ (exact —
-      // per-cell micro sums stay far inside double's 2^53 integer
-      // range at any per-cell count the alarm would tolerate) beside
-      // the surviving trained centroids at the same micro grid
-      val ncent = mem.join(sides, "vec_id")
-        .groupBy("cent_id", "dim")
-        .agg(floor(sum(col("xm")).cast("double") / count(lit(1)))
-          .cast("long").as("cm"))
-      val oldcent = s.read.parquet(s"$root/centroids")
-        .select(col("cent_id").cast("long").as("cent_id"), col("dim"),
-          floor(col("c") * lit(1000000.0)).cast("long").as("cm"))
-        .join(broadcast(worst), Seq("cent_id"), "left_anti")
-      oldcent.unionByName(ncent).write.mode("overwrite")
-        .parquet(s"$root/centroids_v2")
+      val (root, cells, worst) = writeRebalance(s, dir)
+      // mark the rebalance artifacts fresh so the serving row
+      // (ss_ivf_search_v2) doesn't republish — the persist_build idiom
+      cached[String](s, dir, "ivfRebalanced")(root)
       // post-rebalance census, everything read BACK from the
       // republished tables (split counts + centroid fingerprints)
       val post = cells.join(broadcast(worst), Seq("cent_id"), "left_anti")
@@ -1002,6 +1030,90 @@ object Similarity {
       seg("assignments_compacted")
         .groupBy("cent_id").agg(count(lit(1)).as("n_total"))
         .orderBy("cent_id")
+    }),
+
+    // INDEX PERSISTENCE — FORGET (the pipe_forget cascade reaching
+    // the ANN serving tier): erase a delete list (vec_id % 97 = 13,
+    // the pipe_forget slice — and its re-keyed admitted twin, since a
+    // forgotten source vector must also leave the delta segment) from
+    // BOTH index segments and republish the survivors as a
+    // cent_id-partitioned forgotten segment — physically a
+    // partition-filtered rewrite, the same segment-overwrite idiom as
+    // admit/compact; at 100 TB only cells holding deleted vectors
+    // rewrite. Output = per cell the survivor count plus n_forgotten
+    // and leftover (survivors still matching the delete predicate —
+    // must be 0), all read BACK from the republished segment so an
+    // incomplete erasure cannot pass.
+    "ss_ivf_forget" -> ((s, dir) => {
+      val root = publishDeltaSegment(s, dir)
+      def seg(name: String) = s.read.parquet(s"$root/$name")
+        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+      val both = seg("assignments").unionByName(seg("assignments_delta"))
+      // delete predicate: the raw slice and its +10⁶ admitted re-key
+      val deleted = (col("vec_id") % 97 === 13) ||
+        ((col("vec_id") - lit(1000000L)) % 97 === 13 &&
+          col("vec_id") >= lit(1000000L))
+      both.filter(!deleted).write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$root/assignments_forgotten")
+      val survivors = seg("assignments_forgotten")
+      val forgot = both.filter(deleted)
+        .groupBy("cent_id").agg(count(lit(1)).as("n_forgotten"))
+      survivors.groupBy("cent_id").agg(
+          count(lit(1)).as("n_total"),
+          count(when(deleted, lit(1))).as("leftover"))
+        .join(forgot, Seq("cent_id"), "full_outer")
+        .select(col("cent_id"),
+          coalesce(col("n_total"), lit(0L)).as("n_total"),
+          coalesce(col("n_forgotten"), lit(0L)).as("n_forgotten"),
+          coalesce(col("leftover"), lit(0L)).as("leftover"))
+        .orderBy("cent_id")
+    }),
+
+    // SERVING CONTINUITY AFTER REBALANCE: the same top-3 search as
+    // ss_ivf_persist_search, served from the POST-REBALANCE index —
+    // the v2 assignment is (base ∪ delta) with the split cell's
+    // members superseded by the split segment (membership in the
+    // split segment IS the supersede marker; no census recompute).
+    // Candidates include the admitted delta vectors (re-keyed +10⁶,
+    // reversed coordinates — their norms computed AFTER reversal so
+    // both engines sum the same fp order). Everything in the lineage
+    // is a read-back of published tables + the raw embeddings source
+    // (the rebalance publish itself resolves driver-side through the
+    // memoized root — at most once per session, priced by the
+    // rebalance row). What this proves: a probe against the split
+    // index still returns exact per-cell top-k — rebalance changed
+    // WHERE vectors live, not what a search finds in their cell.
+    "ss_ivf_search_v2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = rebalancedIndexRoot(s, dir)
+      def seg(name: String) = s.read.parquet(s"$root/$name")
+        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+      val split = seg("assignments_split")
+      val v2asg = seg("assignments").unionByName(seg("assignments_delta"))
+        .join(split.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(split)
+      val vBase = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      val vDelta = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(10)) === 3)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          reverse(toDouble(col("embedding"))).as("e"))
+      val v = vBase.unionByName(vDelta)
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val assigned = v.join(v2asg, "vec_id")
+      val q = assigned.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      q.as("q")
+        .join(assigned.as("c"),
+          col("q.cent_id") === col("c.cent_id") &&
+            col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"),
+          round(dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm")), 4)
+            .as("score"))
+        .withColumn("rk", row_number().over(wTop).cast("int"))
+        .filter(col("rk") <= 3)
+        .orderBy("query_id", "rk")
     }),
 
     // The IVF cost/recall dial itself: probe the NProbe nearest cells
@@ -2384,6 +2496,41 @@ object Similarity {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dm, cent_id) AS rn
        |    FROM add0) WHERE rn = 1)""".stripMargin
 
+  /** The rebalance SPLIT chain in DuckDB (cells → worst → member
+    * micro dims → max-spread midpoint → sides), shared by the
+    * ss_ivf_rebalance census oracle and the ss_ivf_search_v2 serving
+    * oracle. Expects asg/asgd/cd/dd in scope (trainedAssignCtes +
+    * deltaAsgdCtes).
+    */
+  private val rebalanceSplitCtes: String =
+    s"""bc AS (SELECT cent_id, count(*)::BIGINT AS n_base FROM asg GROUP BY 1),
+       |dc AS (SELECT cent_id, count(*)::BIGINT AS n_delta FROM asgd GROUP BY 1),
+       |cells AS (
+       |  SELECT COALESCE(bc.cent_id, dc.cent_id) AS cent_id,
+       |    COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_total
+       |  FROM bc FULL OUTER JOIN dc ON bc.cent_id = dc.cent_id),
+       |worst AS (
+       |  SELECT cent_id FROM cells ORDER BY n_total DESC, cent_id ASC LIMIT 1),
+       |mem AS MATERIALIZED (
+       |  SELECT m.vec_id, m.dim, CAST(floor(m.x * 1000000.0) AS BIGINT) AS xm
+       |  FROM (
+       |    SELECT cd.vec_id, cd.dim, cd.x
+       |    FROM cd JOIN asg USING (vec_id)
+       |      JOIN worst ON asg.cent_id = worst.cent_id
+       |    UNION ALL
+       |    SELECT dd.vec_id, dd.dim, dd.x
+       |    FROM dd JOIN asgd USING (vec_id)
+       |      JOIN worst ON asgd.cent_id = worst.cent_id) m),
+       |sd AS (
+       |  SELECT dim, CAST(floor((mn + mx) / 2.0) AS BIGINT) AS mid FROM (
+       |    SELECT dim, min(xm) AS mn, max(xm) AS mx FROM mem GROUP BY 1)
+       |  ORDER BY mx - mn DESC, dim ASC LIMIT 1),
+       |mxc AS (SELECT max(cent_id) AS mxc FROM c$KmTrainRounds),
+       |sides AS (
+       |  SELECT mem.vec_id,
+       |    CASE WHEN xm <= mid THEN mxc + 1 ELSE mxc + 2 END AS cent_id
+       |  FROM mem JOIN sd USING (dim), mxc)""".stripMargin
+
   /** st_ivf_admit's oracle: the per-vector admission record — the
     * batch dual of the streaming micro-batch admission (same delta,
     * same argmin, order-free), the established st_* contract.
@@ -2880,33 +3027,7 @@ object Similarity {
     "ss_ivf_rebalance" ->
       s"""WITH $trainedAssignCtes,
          |$deltaAsgdCtes,
-         |bc AS (SELECT cent_id, count(*)::BIGINT AS n_base FROM asg GROUP BY 1),
-         |dc AS (SELECT cent_id, count(*)::BIGINT AS n_delta FROM asgd GROUP BY 1),
-         |cells AS (
-         |  SELECT COALESCE(bc.cent_id, dc.cent_id) AS cent_id,
-         |    COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_total
-         |  FROM bc FULL OUTER JOIN dc ON bc.cent_id = dc.cent_id),
-         |worst AS (
-         |  SELECT cent_id FROM cells ORDER BY n_total DESC, cent_id ASC LIMIT 1),
-         |mem AS MATERIALIZED (
-         |  SELECT m.vec_id, m.dim, CAST(floor(m.x * 1000000.0) AS BIGINT) AS xm
-         |  FROM (
-         |    SELECT cd.vec_id, cd.dim, cd.x
-         |    FROM cd JOIN asg USING (vec_id)
-         |      JOIN worst ON asg.cent_id = worst.cent_id
-         |    UNION ALL
-         |    SELECT dd.vec_id, dd.dim, dd.x
-         |    FROM dd JOIN asgd USING (vec_id)
-         |      JOIN worst ON asgd.cent_id = worst.cent_id) m),
-         |sd AS (
-         |  SELECT dim, CAST(floor((mn + mx) / 2.0) AS BIGINT) AS mid FROM (
-         |    SELECT dim, min(xm) AS mn, max(xm) AS mx FROM mem GROUP BY 1)
-         |  ORDER BY mx - mn DESC, dim ASC LIMIT 1),
-         |mxc AS (SELECT max(cent_id) AS mxc FROM c$KmTrainRounds),
-         |sides AS (
-         |  SELECT mem.vec_id,
-         |    CASE WHEN xm <= mid THEN mxc + 1 ELSE mxc + 2 END AS cent_id
-         |  FROM mem JOIN sd USING (dim), mxc),
+         |$rebalanceSplitCtes,
          |ncent AS (
          |  SELECT s2.cent_id, m.dim,
          |    CAST(floor(CAST(sum(m.xm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
@@ -2942,6 +3063,71 @@ object Similarity {
          |      UNION ALL SELECT vec_id, cent_id FROM asgd)
          |SELECT cent_id, count(*)::BIGINT AS n_total
          |FROM u GROUP BY 1 ORDER BY cent_id""".stripMargin,
+    // forget = census over both segments minus the delete slice (raw
+    // ids and their +10⁶ admitted re-keys); leftover recomputed as
+    // survivors still matching the predicate (0 by construction —
+    // the oracle proves the engine's erasure, not the arithmetic)
+    "ss_ivf_forget" ->
+      s"""WITH $trainedAssignCtes,
+         |$deltaAsgdCtes,
+         |u AS (SELECT vec_id, cent_id FROM asg
+         |      UNION ALL SELECT vec_id, cent_id FROM asgd),
+         |fl AS (SELECT vec_id, cent_id,
+         |         (vec_id % 97 = 13 OR
+         |          (vec_id >= 1000000 AND (vec_id - 1000000) % 97 = 13))
+         |           AS deleted
+         |       FROM u),
+         |sv AS (SELECT cent_id,
+         |         count(*)::BIGINT AS n_total,
+         |         CAST(coalesce(sum(CASE WHEN deleted THEN 1 END), 0)
+         |           AS BIGINT) AS leftover
+         |       FROM fl WHERE NOT deleted GROUP BY 1),
+         |fg AS (SELECT cent_id, count(*)::BIGINT AS n_forgotten
+         |       FROM fl WHERE deleted GROUP BY 1)
+         |SELECT COALESCE(sv.cent_id, fg.cent_id) AS cent_id,
+         |  COALESCE(n_total, 0)::BIGINT AS n_total,
+         |  COALESCE(n_forgotten, 0)::BIGINT AS n_forgotten,
+         |  COALESCE(leftover, 0)::BIGINT AS leftover
+         |FROM sv FULL OUTER JOIN fg ON sv.cent_id = fg.cent_id
+         |ORDER BY cent_id""".stripMargin,
+    // post-rebalance serving: v2 assignment = (asg ∪ asgd) with split
+    // members superseded by their sides row; candidates include the
+    // reversed-coordinate delta vectors, norms computed AFTER the
+    // reversal (same fp summation order as the engine)
+    "ss_ivf_search_v2" ->
+      s"""WITH $trainedAssignCtes,
+         |$deltaAsgdCtes,
+         |$rebalanceSplitCtes,
+         |v2a AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id FROM asg
+         |    UNION ALL SELECT vec_id, cent_id FROM asgd) u
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM sides)
+         |  UNION ALL SELECT vec_id, cent_id FROM sides),
+         |vb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    sqrt(list_dot_product(embedding::DOUBLE[],
+         |                          embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |vd AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_reverse(embedding::DOUBLE[]) AS e,
+         |    sqrt(list_dot_product(list_reverse(embedding::DOUBLE[]),
+         |                          list_reverse(embedding::DOUBLE[]))) AS nrm
+         |  FROM embeddings WHERE vec_id % 10 = 3),
+         |vv AS (SELECT * FROM vb UNION ALL SELECT * FROM vd),
+         |av AS (SELECT vv.vec_id, vv.e, vv.nrm, v2a.cent_id
+         |       FROM vv JOIN v2a USING (vec_id))
+         |SELECT query_id, cand_id, score, CAST(rk AS INT) AS rk FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4)
+         |                 DESC,
+         |               c.vec_id ASC) AS rk
+         |  FROM (SELECT * FROM av WHERE vec_id >= 100 AND vec_id < 105) q
+         |  JOIN av c ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id)
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // Probe ranking reads straight off `ad` (every vector's exact
     // micro-L2 distance to every trained centroid — the same relation
     // the assignment argmin consumes).

@@ -779,6 +779,81 @@ object StreamingQueries {
       out
     }),
 
+    // STREAMING ERASURE (pipe_forget's arrival path): right-to-be-
+    // forgotten requests don't come in batches — they arrive
+    // continuously, and the serving index must converge to the erased
+    // state across restarts. The pipe_forget delete slice
+    // (doc_id % 97 = 13) arrives as a doc_id-ordered file stream; each
+    // micro-batch writes its doc_ids as a TOMBSTONE segment BY BATCH
+    // ID (idempotent overwrite — the established exactly-once
+    // contract), the crash injects in batch 1 after the tombstone
+    // write but before the commit log records it, and the restart's
+    // replay overwrites the same segment identically. Erasure is
+    // naturally idempotent, so the failure mode under replay is
+    // tombstone-log INFLATION (double-counted deletes corrupting
+    // audit totals) — the require pins the log to exactly one row per
+    // request. Output = the surviving fingerprint index (corpus
+    // anti-join tombstones), the state a forget-compliant serving
+    // tier reads; oracle = the batch dual. Scale: tombstones are the
+    // small side by construction — each batch is one broadcast-scale
+    // write, the anti-join is the only corpus-wide pass.
+    "st_forget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val delReq = docs.filter(col("doc_id") % 97 === 13)
+        .select(col("doc_id"))
+      val expectedDel = delReq.count()
+      val staged = stage(delReq.repartitionByRange(4, col("doc_id")),
+        s"$dir/documents.parquet", s"${stageRoot(dir)}/forget_req")
+      val parts = Option(new java.io.File(staged).listFiles()).toSeq
+        .flatten.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L) }
+      val nFiles = parts.length
+      require(nFiles >= 2,
+        s"staged $nFiles parquet files — the batch-1 crash injection " +
+          "needs at least 2 one-file micro-batches")
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = s"${stageRoot(dir)}/forget_ckpt_$run"
+      val store = s"${stageRoot(dir)}/forget_store_$run"
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+      def start(injectCrash: Boolean) = s.readStream.schema(delReq.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          batchesSeen.incrementAndGet()
+          df.select("doc_id")
+            .write.mode(SaveMode.Overwrite).parquet(s"$store/tomb/b$batchId")
+          if (injectCrash && batchId == 1L) {
+            crashed.set(true)
+            throw new IllegalStateException(
+              "injected crash: after tombstone write, before commit-log entry")
+          }
+        }
+        .start()
+      val q1 = start(injectCrash = true)
+      try { q1.processAllAvailable(); () }
+      catch { case _: Exception => () } finally q1.stop()
+      require(crashed.get(), "crash injection never fired — staged file " +
+        "count changed? the recovery contract was not exercised")
+      val q2 = start(injectCrash = false)
+      try q2.processAllAvailable() finally q2.stop()
+      require(batchesSeen.get() >= nFiles + 1L,
+        s"expected batch 1 to REPLAY after restart, saw only " +
+          s"${batchesSeen.get()} foreachBatch calls for $nFiles files")
+      val tomb = s.read.parquet(s"$store/tomb/b*").localCheckpoint(true)
+      val nT = tomb.count()
+      require(nT == expectedDel,
+        s"tombstone log holds $nT rows for $expectedDel requests — " +
+          "a replayed batch double-recorded (exactly-once broken)")
+      val out = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id").localCheckpoint(true)
+      Seq(ckpt, store).foreach(p => rmTree(new java.io.File(p)))
+      out
+    }),
+
     "st_late_drop" -> ((s, dir) => {
             val ev = Tables.events(s, dir)
       val staged = s"${stageRoot(dir)}/ev_late_drop"
@@ -860,6 +935,11 @@ object StreamingQueries {
     // against the trained centroids — order-free, so stream batching
     // cannot change it)
     "st_ivf_admit" -> graft.operators.Similarity.streamAdmitSql,
+    // the batch dual of streaming erasure: the surviving fingerprint
+    // index once every tombstone has been applied
+    "st_forget" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents
+        |WHERE doc_id % 97 <> 13 ORDER BY doc_id""".stripMargin,
     "st_new_users" ->
       """SELECT CAST(fd AS VARCHAR) AS day, count(*)::BIGINT AS new_users
         |FROM (SELECT user_id, min(CAST(ts AS DATE)) AS fd

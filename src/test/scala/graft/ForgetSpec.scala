@@ -48,6 +48,21 @@ class ForgetSpec extends AnyFunSuite {
     assert(rows("postings")._3 == delPostings)
   }
 
+  test("st_forget: streamed erasure converges to the batch survivors") {
+    import org.apache.spark.sql.functions.{col, md5}
+    // the row's own requires prove crash-replay exactly-once (batch-1
+    // crash + restart, tombstone log pinned to one row per request);
+    // here: the surviving index equals the batch anti-join
+    val out = SparkEntry.queries("st_forget")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 97 =!= 13)
+      .select(col("doc_id"), md5(col("text")).as("fp")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    assert(out == expected, "streamed erasure diverged from the batch dual")
+    assert(out.nonEmpty)
+  }
+
   test("shared set artifacts keep co-owned entries (no over-deletion)") {
     // removed fingerprints can never exceed deleted docs (each deleted
     // doc retires at most its own fp, and only if no survivor shares it)

@@ -115,6 +115,43 @@ class IvfPersistSpec extends AnyFunSuite {
     assert(cells.nonEmpty, "compacted segment not partitioned by cent_id")
   }
 
+  test("ss_ivf_forget: erasure conserves counts, leaves no trace, republishes") {
+    val admit = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
+    val out = SparkEntry.queries("ss_ivf_forget")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("leftover") == 0L,
+      s"cell ${r.getAs[Long]("cent_id")} retains deleted vectors"))
+    assert(out.map(_.getAs[Long]("n_forgotten")).sum > 0L,
+      "fixture slice deleted nothing — test is vacuous")
+    // survivors + forgotten = the pre-erasure two-segment census
+    assert(out.map(r => r.getAs[Long]("n_total") + r.getAs[Long]("n_forgotten")).sum
+      == admit.map(_.getAs[Long]("n_total")).sum)
+    val root = sys.props.getOrElse("graft.index.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_index") +
+      "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val cells = new java.io.File(s"$root/assignments_forgotten").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+    assert(cells.nonEmpty, "forgotten segment not partitioned by cent_id")
+  }
+
+  test("ss_ivf_search_v2: serving continues from the rebalanced index") {
+    val out = SparkEntry.queries("ss_ivf_search_v2")(spark, dir).collect()
+    // every query answers with a full exact top-3 from its v2 cell
+    assert(out.length == 15, s"expected 5 queries x top-3, got ${out.length}")
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(100L, 101L, 102L, 103L, 104L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq == Seq(1, 2, 3))
+    }
+    // the plan serves from published tables, no training/checkpoint
+    // lineage (the publish itself resolved driver-side, at most once)
+    val plan = SparkEntry.queries("ss_ivf_search_v2")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_index"))
+    assert(!plan.contains("ExistingRDD"),
+      "training/checkpoint lineage leaked into the v2 serving plan")
+  }
+
   test("rebalance lineage is pure published-table + source scans (plan-pinned)") {
     val plan = SparkEntry.queries("ss_ivf_rebalance")(spark, dir)
       .queryExecution.executedPlan.toString
