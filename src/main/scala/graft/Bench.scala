@@ -83,6 +83,56 @@ object Bench {
         s""","load_exception":"started at $loadStart after ${waited}s wait cap — totals may carry load noise""""
       else if (waited > 0) s""","load_waited_s":$waited"""
       else ""
+    // Host-speed CALIBRATION (round 14): loadavg inside this container
+    // misses EXTERNAL contention — a round-14 session measured the
+    // identical binary running the same leg in 10 s and 39 s at
+    // loadavg 0.4, and a full suite drifting uniformly ~2× across
+    // ~200 untouched rows that all passed the loadavg gate. The probe
+    // is a fixed CPU-bound job (200M xxhash64 over all cores, no data
+    // dependence, min of 2): its time moves with whatever is actually
+    // stealing cycles. Recorded at start AND end; the regression gate
+    // divides current times by the slowdown ratio vs the PREVIOUS
+    // bench's calibration — clamped at ≥1 so a faster host can never
+    // mask a real regression, and built from min(start,end) so a
+    // transient quiet moment keeps the divisor honest.
+    def calibrate(): Double = {
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 200000000L, 1L, cpus.toInt)
+          .selectExpr("sum(xxhash64(id))").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      t.min
+    }
+    // previous bench's calibration (absent before round 14 → no
+    // calibration gate, ratio 1 — the pre-calibration behavior).
+    // Parsed here, before the quiet-window wait, so the wait can gate
+    // on the probe as well as on loadavg.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench.json")
+    val calibPrev: Option[Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"calibration":\{"start":([0-9.eE+-]+),"end":([0-9.eE+-]+)""".r
+        .findFirstMatchIn(txt)
+        .map(m => math.min(m.group(1).toDouble, m.group(2).toDouble))
+    } catch { case _: Throwable => None }
+    // Calibration gate: loadavg inside the container can read 0.4
+    // while external contention runs the same code 4× slower (the
+    // round-14 case study: probe 2.283 s at suite start, 0.115 s at
+    // suite end, one run). When the previous bench recorded a probe
+    // time, wait (bounded, same cap) until the probe runs within 2×
+    // of it before timing anything.
+    var calibStart = calibrate()
+    var calibWaited = 0
+    val calibWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX_S", "300").toInt
+    while (calibPrev.exists(p => calibStart > p * 2) && calibWaited < calibWaitMax) {
+      System.err.println(f"[bench] calibration ${calibStart}%.3f s > " +
+        f"2x prev ${calibPrev.get}%.3f s — waiting for external load to " +
+        s"drain (${calibWaited}s/${calibWaitMax}s)")
+      Thread.sleep(15000); calibWaited += 15
+      calibStart = calibrate()
+    }
     // Dev-loop subset: regex over query names (the driver sets no
     // filter and always times the full suite).
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
@@ -123,7 +173,6 @@ object Bench {
     val outFile =
       if (filter.isEmpty) sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_subset.json")
-    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench.json")
     val prev: Map[String, Double] = try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)),
@@ -139,8 +188,12 @@ object Bench {
         }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
     def r3(x: Double) = math.round(x * 1000) / 1000.0
+    val calibEnd = calibrate()
+    val calibNow = math.min(calibStart, calibEnd)
+    val calRatio = math.max(1.0, calibPrev.map(calibNow / _).getOrElse(1.0))
     def trips(prevT: Double, nowT: Double): Boolean =
-      prevT > 0 && nowT > prevT * 1.5 && nowT - prevT > 0.3
+      prevT > 0 && nowT / calRatio > prevT * 1.5 &&
+        nowT / calRatio - prevT > 0.3
     // Load-aware gate (round-12 verdict #7): a row that trips the
     // thresholds is RE-MEASURED standalone (min of 2 back-to-back
     // runs, after the suite's load has drained) before it may enter
@@ -176,8 +229,9 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_${reps}_interleaved","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
       s""""loadavg":{"start":$loadStart,"initial":$loadInitial,"end":$loadEnd$loadNote},""" +
+      s""""calibration":{"start":${r3(calibStart)},"end":${r3(calibEnd)},"prev":${calibPrev.map(r3).getOrElse(-1.0)},"ratio":${r3(calRatio)},"waited_s":$calibWaited},""" +
       s""""regressions":$regsJson,"noise_cleared":$clearedJson,""" +
-      s""""regression_rule":">1.5x and >0.3s vs $prevPath (${prev.size} prior queries), confirmed by standalone re-measure",""" +
+      s""""regression_rule":">1.5x and >0.3s vs $prevPath (${prev.size} prior queries), host-speed-normalized by calibration ratio ${r3(calRatio)}, confirmed by standalone re-measure",""" +
       s""""baseline_comparable":{"workload":"wordcount (the reference's only job)","sec":$wcSec,"n_queries_in_total":${results.size}}}"""
     // The full per-query map (~3.4 KB for 113 queries) overflows the
     // driver's captured stdout tail, so the LAST stdout line must be a
@@ -187,7 +241,7 @@ object Bench {
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(!_._3)},""" +
       s""""n_regressions":${regs.size},"n_noise_cleared":${cleared.size},""" +
-      s""""loadavg_start":$loadStart,""" +
+      s""""loadavg_start":$loadStart,"calibration_sec":${r3(calibNow)},"calibration_ratio":${r3(calRatio)},""" +
       s""""timing":"min_of_${reps}_interleaved","baseline_comparable":{"workload":"wordcount","sec":$wcSec},""" +
       s""""detail":"bench.json"}"""
     println(json)
