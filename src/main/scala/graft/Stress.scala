@@ -145,6 +145,71 @@ object Stress {
       } finally spark.stop()
       return
     }
+    if (args.headOption.contains("ivfskew")) {
+      // Fat-cell fixture for the IVF rebalance path (round 14): a
+      // synthetic corpus whose coarse quantizer provably concentrates
+      // 90% of vectors in ONE cell — vec_ids 0..3 ARE the four
+      // well-separated cluster centers (the IVF seeds), members 90/5/
+      // 3/2% across clusters, jitter deterministic (xxhash64-derived,
+      // no RNG). What it proves, by require: (a) the ss_ivf_admit
+      // occupancy alarm FIRES on a genuinely fat cell (on the uniform
+      // testdata it stays quiet); (b) ss_ivf_rebalance answers it —
+      // exactly two sub-cells, worst-cell occupancy strictly reduced;
+      // (c) bounded wall-clock on a cell 3.6× the mean (the claim in
+      // the operator comment: the split touches one cell's rows, so a
+      // fat cell costs what the fat cell holds, nothing quadratic).
+      // Usage: runMain graft.Stress ivfskew [n]
+      val spark = SparkSession.builder().master("local[32]")
+        .appName("graft-stress-ivfskew")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val n = args.drop(1).headOption.map(_.toLong).getOrElse(50000L)
+        require(n < 1000000L, "n must stay below the delta re-key offset")
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfskew_$n"
+        spark.range(0L, n)
+          .selectExpr(
+            "id AS vec_id",
+            """transform(sequence(0, 63), d -> CAST(
+                 (CASE WHEN d DIV 16 = (
+                    CASE WHEN id < 4 THEN id
+                         WHEN id % 100 < 90 THEN 0
+                         WHEN id % 100 < 95 THEN 1
+                         WHEN id % 100 < 98 THEN 2
+                         ELSE 3 END)
+                  THEN 10.0 ELSE 0.0 END)
+                 + (pmod(xxhash64(id * 64 + d), 1000) / 1000.0 - 0.5) * 0.1
+               AS FLOAT)) AS embedding""",
+            "CAST(0 AS INT) AS label")
+          .coalesce(4)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        Tables.invalidate(dir)
+        val t0 = System.nanoTime()
+        val admit = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
+        val reb = SparkEntry.queries("ss_ivf_rebalance")(spark, dir).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val preMax = admit.map(_.getAs[Long]("occ_ppm_of_mean")).max
+        val postMax = reb.map(_.getAs[Long]("occ_ppm_of_mean")).max
+        val split = reb.filter(_.getAs[Boolean]("from_split"))
+        println(f"STRESS ivf_skew n=$n cells_pre=${admit.length} " +
+          f"pre_max_ppm=$preMax post_max_ppm=$postMax " +
+          f"split_sizes=${split.map(_.getAs[Long]("n_total")).mkString("/")} " +
+          f"time=$sec%.2f")
+        require(admit.exists(_.getAs[Boolean]("rebalance")),
+          s"fixture failed to trip the occupancy alarm (max $preMax ppm)")
+        require(split.length == 2, s"expected 2 sub-cells, got ${split.length}")
+        require(postMax < preMax,
+          s"split did not reduce worst-cell occupancy ($preMax -> $postMax)")
+        require(sec < 300.0,
+          f"fat-cell rebalance took $sec%.1f s — the one-cell cost claim degraded")
+      } finally spark.stop()
+      return
+    }
     if (args.headOption.contains("suffixskew")) {
       // Repeated-boilerplate skew fixture (round-13 verdict #1): ONE
       // 32-char span duplicated across g ≈ 10⁵ docs, so the suffix
