@@ -26,7 +26,10 @@ class CollectLintSpec extends AnyFunSuite {
     "operators/TextAnalysis.scala" -> (1,
       "unigram-Viterbi vocab map: model-sized (vocab-capped), never corpus-sized"),
     "operators/QuantileQueries.scala" -> (2,
-      "radix-descent histograms: <=2^16 bucket rows per pass by construction")
+      "radix-descent histograms: <=2^16 bucket rows per pass by construction"),
+    "Stress.scala" -> (2,
+      "ivfskew fixture verdicts: per-cell census frames (k and k+1 rows " +
+        "— cell counts, never corpus rows)")
   )
 
   test("every .collect() in main source is allowlisted with its bound") {
