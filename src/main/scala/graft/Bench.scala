@@ -9,9 +9,33 @@ import org.apache.spark.sql.SparkSession
   * A short untimed warm-up executes first so the recorded numbers
   * measure the queries, not JVM/classloader/codegen startup (~5 s on
   * first action otherwise).
+  *
+  * TIMEOUT-PROOF BY CONSTRUCTION (round-15 verdict #1 — BENCH_r14 was
+  * rc=124 with no artifact because everything was written once, at
+  * the very end):
+  *  - every completed (pass, query, sec) appends immediately to
+  *    `<out>.progress.jsonl`, so a kill at ANY point leaves per-query
+  *    data on disk;
+  *  - a JVM shutdown hook (SIGTERM from `timeout` runs hooks) writes
+  *    the same JSON artifact + compact summary from whatever
+  *    completed, marked `"partial":true`;
+  *  - the loadavg + calibration gate waits share ONE joint cap
+  *    (default 120 s, `SPARK_GRAFT_GATE_WAIT_MAX_S`) instead of
+  *    2×300 s;
+  *  - a wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default
+  *    1200 s) degrades the run instead of overrunning it: pass 2+
+  *    stops where the budget bites (min over completed passes per
+  *    query) and flagged-row standalone re-measures are skipped;
+  *  - sustained ≥2× calibration contention after the gate cap drops
+  *    reps to 1 up front (`"degraded_reps"` in the JSON) — a
+  *    contended host can't afford interleaved passes, and the totals
+  *    would be contention-voided anyway (SCALE.md round-14
+  *    postmortem).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0Main = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - t0Main) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle-partition count sized for the benchmark data scale (AQE
@@ -36,9 +60,101 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
+    def r3(x: Double) = math.round(x * 1000) / 1000.0
+
+    // Dev-loop subset: regex over query names (the driver sets no
+    // filter and always times the full suite). Resolved up front
+    // because the out-file choice (and the shutdown hook) needs it.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.pattern.matcher(n).matches()) }
+    // A dev-loop subset run must not poison the audit baseline: only
+    // write bench.json when the FULL suite ran (or the caller asked
+    // for a specific out file explicitly). `outFile` is a mutable ref:
+    // a contended run redirects itself to bench_contended.json below
+    // (the round-14 canonical-baseline discipline, now enforced in
+    // code instead of by hand), and the shutdown hook reads the final
+    // choice.
+    val outFileRef = new java.util.concurrent.atomic.AtomicReference[String](
+      if (filter.isEmpty) sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_subset.json"))
+    def outFile: String = outFileRef.get()
+    val progressFile = outFile + ".progress.jsonl"
+
+    def writeFile(path: String, txt: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(path),
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: $e") }
+    // Incremental flush: one JSON line per event, appended + fsynced as
+    // it happens — the kill-proof record the final artifact is built
+    // from. Opened in truncate mode once so stale progress from a
+    // previous run can't mix in.
+    writeFile(progressFile, "")
+    def progress(line: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(progressFile), (line + "\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+
+    // Completed per-(pass, query) seconds, readable from the shutdown
+    // hook's thread while the main thread is mid-query.
+    val completed = new java.util.concurrent.ConcurrentHashMap[(Int, String), Double]()
+    val phase = new java.util.concurrent.atomic.AtomicReference[String]("startup")
+    val doneNormally = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def assembleQueries(): Seq[(String, Double, Boolean)] = {
+      import scala.jdk.CollectionConverters._
+      val byName = completed.asScala.toSeq.groupBy(_._1._2)
+      names.flatMap { case (name, _) =>
+        byName.get(name).map { ts =>
+          val vals = ts.map(_._2)
+          // a -1 in any completed pass marks the query failed
+          val best = if (vals.contains(-1.0)) -1.0 else vals.min
+          (name, best, best >= 0)
+        }
+      }
+    }
+    def queriesJson(rs: Seq[(String, Double, Boolean)]): (String, String, Double) = {
+      val qs = rs.map { case (k, v, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val errs = rs.collect { case (k, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = rs.collect { case (_, v, true) => v }.sum
+      (qs, errs, total)
+    }
+    // Shutdown hook: on SIGTERM/timeout mid-run, write a PARSEABLE
+    // partial artifact from whatever completed — the r14 failure mode
+    // (rc=124, parsed:null, nothing on disk) must be impossible. Kept
+    // free of Spark calls: the hook may race Spark's own shutdown.
+    val hook = new Thread(() => {
+      if (!doneNormally.get()) {
+        val rs = assembleQueries()
+        val (qs, errs, total) = queriesJson(rs)
+        val json =
+          s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":true,""" +
+          s""""killed_during":"${phase.get()}","n_queries_completed":${rs.size},""" +
+          s""""n_queries_planned":${names.size},"queries":$qs,"errors":$errs,""" +
+          s""""sf":"$sfDir","timing":"min_over_completed_passes"}"""
+        writeFile(outFile, json + "\n")
+        println(json)
+        System.out.flush()
+      }
+    }, "bench-partial-writer")
+    Runtime.getRuntime.addShutdownHook(hook)
+
     // Warm-up: one small action through parquet scan + shuffle + codegen.
     try SparkEntry.queries("wordcount")(spark, sfDir).count()
     catch { case _: Throwable => () }
+
+    // Wall-clock budget: the driver kills overruns (r14: rc=124), so
+    // the bench must degrade INSIDE the budget rather than lose
+    // everything outside it. The two gate waits together get at most
+    // min(gateCap, budget/10).
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toInt
+    def overBudget: Boolean = budgetS > 0 && elapsedS > budgetS
 
     // A failed query must be distinguishable from a fast one: its time
     // is recorded as -1 and excluded from the total, and its name lands
@@ -50,7 +166,7 @@ object Bench {
     // inside the same multi-second load spike on a shared box (round-5
     // artifact: three 4–8× phantom regressions that identical code
     // didn't reproduce); passes minutes apart can't both be covered.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val repsWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // Host-load telemetry (round-12 verdict #7): the session-5 case
     // study measured identical code benching 196.9–251.9 s purely on
     // host load; recording /proc/loadavg next to the numbers lets the
@@ -61,20 +177,20 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")),
         java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble
     } catch { case _: Throwable => -1.0 }
-    // Quiet-window discipline (round-13 verdict #6): BENCH_r13 started
-    // at loadavg 4.44 and needed 4 standalone re-clears — a headline
-    // total measured under load is not comparable round-over-round.
-    // When the 1-min loadavg is above the gate at start, WAIT for the
-    // spike to drain (poll; bounded) before timing anything; if it
-    // never drains, proceed and record the exception explicitly so
-    // the judge sees the condition instead of inferring it.
+    // Quiet-window discipline (round-13 verdict #6), now under a JOINT
+    // cap with the calibration gate: r14's two independent 300 s caps
+    // could burn 600 s before the first timed query — a large slice of
+    // whatever budget the driver gives the whole run. Both gates now
+    // draw from one bounded wait pool.
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
-    val loadWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX_S", "300").toInt
+    val gateCap = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_GATE_WAIT_MAX_S", "120").toInt,
+      if (budgetS > 0) budgetS / 10 else Int.MaxValue)
     val loadInitial = loadavg()
     var waited = 0
-    while (loadavg() > loadGate && waited < loadWaitMax) {
+    while (loadavg() > loadGate && waited < gateCap) {
       System.err.println(f"[bench] loadavg ${loadavg()}%.2f > $loadGate%.1f " +
-        s"— waiting for a quiet window (${waited}s/${loadWaitMax}s)")
+        s"— waiting for a quiet window (${waited}s/${gateCap}s)")
       Thread.sleep(15000); waited += 15
     }
     val loadStart = loadavg()
@@ -94,12 +210,18 @@ object Bench {
     // divides current times by the slowdown ratio vs the PREVIOUS
     // bench's calibration — clamped at ≥1 so a faster host can never
     // mask a real regression, and built from min(start,end) so a
-    // transient quiet moment keeps the divisor honest.
+    // transient quiet moment keeps the divisor honest. head() (not
+    // count()) forces the hash aggregate to actually evaluate —
+    // count() lets Catalyst prune the unused aggregate and time a
+    // bare range scan instead of the documented CPU workload (and
+    // max, not sum: summing 200M xxhash64 values overflows LONG under
+    // ANSI the moment the aggregate really runs — which proved the
+    // old probe never did).
     def calibrate(): Double = {
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         spark.range(0L, 200000000L, 1L, cpus.toInt)
-          .selectExpr("sum(xxhash64(id))").count()
+          .selectExpr("max(xxhash64(id))").head()
         (System.nanoTime() - t0) / 1e9
       }
       t.min
@@ -109,53 +231,79 @@ object Bench {
     // Parsed here, before the quiet-window wait, so the wait can gate
     // on the probe as well as on loadavg.
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench.json")
+    // Probe version gate: the v1 probe's aggregate was pruned away
+    // (it timed a bare range scan, ~0.1 s); v2 really hashes (~3× the
+    // v1 time on a quiet host). Comparing across versions would read
+    // the fixed workload change as permanent 3× "contention", so a
+    // prior recorded by a different probe is ignored — the
+    // pre-calibration behavior, for exactly one round.
+    val probeVersion = "v2"
     val calibPrev: Option[Double] = try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)),
         java.nio.charset.StandardCharsets.UTF_8)
-      """"calibration":\{"start":([0-9.eE+-]+),"end":([0-9.eE+-]+)""".r
+      val prevProbe = """"probe":"(v[0-9]+)"""".r
+        .findFirstMatchIn(txt).map(_.group(1))
+      if (!prevProbe.contains(probeVersion)) None
+      else """"calibration":\{"probe":"v[0-9]+","start":([0-9.eE+-]+),"end":([0-9.eE+-]+)""".r
         .findFirstMatchIn(txt)
         .map(m => math.min(m.group(1).toDouble, m.group(2).toDouble))
     } catch { case _: Throwable => None }
-    // Calibration gate: loadavg inside the container can read 0.4
-    // while external contention runs the same code 4× slower (the
-    // round-14 case study: probe 2.283 s at suite start, 0.115 s at
-    // suite end, one run). When the previous bench recorded a probe
-    // time, wait (bounded, same cap) until the probe runs within 2×
-    // of it before timing anything.
+    // Calibration gate: wait (inside the joint cap) until the probe
+    // runs within 2× of the previous bench's recording. If contention
+    // does NOT drain, don't stall — degrade to reps=1 and say so:
+    // the interleaved second pass would double a wall-clock the host
+    // can't afford, and its totals would be contention-voided anyway.
+    phase.set("calibration")
     var calibStart = calibrate()
     var calibWaited = 0
-    val calibWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX_S", "300").toInt
-    while (calibPrev.exists(p => calibStart > p * 2) && calibWaited < calibWaitMax) {
+    while (calibPrev.exists(p => calibStart > p * 2) &&
+        waited + calibWaited < gateCap) {
       System.err.println(f"[bench] calibration ${calibStart}%.3f s > " +
         f"2x prev ${calibPrev.get}%.3f s — waiting for external load to " +
-        s"drain (${calibWaited}s/${calibWaitMax}s)")
+        s"drain (${waited + calibWaited}s/${gateCap}s joint)")
       Thread.sleep(15000); calibWaited += 15
       calibStart = calibrate()
     }
-    // Dev-loop subset: regex over query names (the driver sets no
-    // filter and always times the full suite).
-    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => filter.forall(_.pattern.matcher(n).matches()) }
-    val passes = (1 to reps).map { _ =>
-      names.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    val contended = calibPrev.exists(p => calibStart > p * 2)
+    val reps = if (contended) 1 else repsWanted
+    // Canonical-baseline discipline (round-14 postmortem, now code):
+    // totals measured under sustained ≥2× calibration contention are
+    // contention-voided — they must not become the regression prior
+    // every future run is judged against. Redirect the artifact; the
+    // printed JSON (what the driver captures) is unchanged.
+    if (contended && outFile == "bench.json") {
+      outFileRef.set("bench_contended.json")
+      System.err.println("[bench] sustained >=2x calibration contention — " +
+        "writing to bench_contended.json, leaving the canonical " +
+        "bench.json prior untouched")
+    }
+    progress(s"""{"event":"start","sf":"$sfDir","loadavg":$loadStart,""" +
+      s""""calibration":${r3(calibStart)},"reps":$reps,"n_queries":${names.size}}""")
+
+    val byName = names.toMap
+    phase.set("passes")
+    // Per-pass maps built incrementally into `completed` so the hook
+    // and the final assembly read one source of truth. The budget
+    // check bites BETWEEN queries: pass 1 always runs to completion
+    // (a total must exist); later passes stop where the budget bites
+    // and the per-query min simply spans fewer passes there.
+    var budgetBit = false
+    (1 to reps).foreach { pass =>
+      names.foreach { case (name, fn) =>
+        if (pass == 1 || !overBudget) {
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false }
+          val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          completed.put((pass, name), sec)
+          progress(s"""{"pass":$pass,"query":"$name","sec":${r3(sec)}}""")
+        } else budgetBit = true
       }
     }
-    val results = names.zipWithIndex.map { case ((name, _), i) =>
-      val times = passes.map(_(i))
-      val best = if (times.contains(-1.0)) -1.0 else times.min
-      (name, best, best >= 0)
-    }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val results = assembleQueries()
+    val (qs, errs, total) = queriesJson(results)
     // The reference's published numbers (BASELINE.md) time its single
     // workload — WordCount end-to-end — so surface that one separately
     // next to the full suite total (one entry per SparkEntry query).
@@ -167,12 +315,6 @@ object Bench {
     // flagged row must be explained in SCALE.md or fixed. min-of-2
     // interleaved timing already filters one-off load spikes; a query
     // that still trips both thresholds moved for a reason.
-    // A dev-loop subset run must not poison the audit baseline: only
-    // write bench.json when the FULL suite ran (or the caller asked
-    // for a specific out file explicitly).
-    val outFile =
-      if (filter.isEmpty) sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_subset.json")
     val prev: Map[String, Double] = try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)),
@@ -187,7 +329,7 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
-    def r3(x: Double) = math.round(x * 1000) / 1000.0
+    phase.set("end_calibration")
     val calibEnd = calibrate()
     val calibNow = math.min(calibStart, calibEnd)
     val calRatio = math.max(1.0, calibPrev.map(calibNow / _).getOrElse(1.0))
@@ -202,18 +344,24 @@ object Bench {
     // spot-check re-measured at baseline. A row cleared by its
     // standalone re-measure is reported in `noise_cleared` (with both
     // numbers) instead of silently dropped, so a real regression
-    // can't hide behind — or be faked by — scheduler noise.
+    // can't hide behind — or be faked by — scheduler noise. Skipped
+    // wholesale when the budget already bit: unexplained flags in a
+    // degraded run are labeled, not silently confirmed.
+    phase.set("remeasure")
     val flagged = results.collect {
       case (k, v, true) if prev.get(k).exists(p => trips(p, v)) => (k, v)
     }
-    val byName = names.toMap
     val remeasured = flagged.map { case (k, v) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { byName(k)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => v }
+      if (overBudget) (k, v, v)
+      else {
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { byName(k)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => v }
+        }
+        progress(s"""{"remeasure":"$k","suite":${r3(v)},"standalone":${r3(times.min)}}""")
+        (k, v, math.min(v, times.min))
       }
-      (k, v, math.min(v, times.min))
     }
     val regs = remeasured.collect {
       case (k, _, best) if prev.get(k).exists(p => trips(p, best)) =>
@@ -226,10 +374,15 @@ object Bench {
     val regsJson = regs.mkString("{", ",", "}")
     val clearedJson = cleared.mkString("{", ",", "}")
     val loadEnd = loadavg()
+    val degradeNote =
+      (if (contended) s""","degraded_reps":$reps""" else "") +
+      (if (budgetBit) s""","budget_exceeded_s":$budgetS""" else "")
+    val timingNote =
+      if (reps == 1) "single_pass" else s"min_of_${reps}_interleaved"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_${reps}_interleaved","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"$timingNote","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
       s""""loadavg":{"start":$loadStart,"initial":$loadInitial,"end":$loadEnd$loadNote},""" +
-      s""""calibration":{"start":${r3(calibStart)},"end":${r3(calibEnd)},"prev":${calibPrev.map(r3).getOrElse(-1.0)},"ratio":${r3(calRatio)},"waited_s":$calibWaited},""" +
+      s""""calibration":{"probe":"$probeVersion","start":${r3(calibStart)},"end":${r3(calibEnd)},"prev":${calibPrev.map(r3).getOrElse(-1.0)},"ratio":${r3(calRatio)},"waited_s":${waited + calibWaited}}$degradeNote,""" +
       s""""regressions":$regsJson,"noise_cleared":$clearedJson,""" +
       s""""regression_rule":">1.5x and >0.3s vs $prevPath (${prev.size} prior queries), host-speed-normalized by calibration ratio ${r3(calRatio)}, confirmed by standalone re-measure",""" +
       s""""baseline_comparable":{"workload":"wordcount (the reference's only job)","sec":$wcSec,"n_queries_in_total":${results.size}}}"""
@@ -242,14 +395,12 @@ object Bench {
       s""""sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(!_._3)},""" +
       s""""n_regressions":${regs.size},"n_noise_cleared":${cleared.size},""" +
       s""""loadavg_start":$loadStart,"calibration_sec":${r3(calibNow)},"calibration_ratio":${r3(calRatio)},""" +
-      s""""timing":"min_of_${reps}_interleaved","baseline_comparable":{"workload":"wordcount","sec":$wcSec},""" +
+      s""""timing":"$timingNote"$degradeNote,"baseline_comparable":{"workload":"wordcount","sec":$wcSec},""" +
       s""""detail":"bench.json"}"""
     println(json)
     System.err.println(json)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    writeFile(outFile, json + "\n")
+    doneNormally.set(true)
     println(compact)
     System.out.flush()
     spark.stop()
