@@ -62,6 +62,31 @@ object Stress {
     require(pairs >= dupDocs * (dupDocs - 1) / 2)
   }
 
+  /** Host-speed calibration for the fixture wall-clock backstops
+    * (round-15 verdict #5): the suffixskew fixture measured 202 s
+    * under documented host contention vs its 300 s require — a 1.5×
+    * margin that flakes on a worse day. Same probe as graft.Bench v2
+    * (200M xxhash64 over all cores, min of 2, aggregate forced via
+    * head()); measured backstop times divide by
+    * max(1, probe / quiet-host reference) before comparing, so a 2×
+    * slower host doubles the effective budget instead of failing a
+    * fixture whose code didn't change.
+    */
+  private def hostSlowdown(spark: SparkSession): Double = {
+    val probe = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("max(xxhash64(id))").head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    // quiet-host reference for the v2 probe on this container's 32
+    // threads (measured 0.22–0.41 s; the max keeps a FASTER host from
+    // shrinking the budget)
+    val ratio = math.max(1.0, probe / 0.25)
+    println(f"STRESS host_probe=$probe%.3f s slowdown_ratio=$ratio%.2f")
+    ratio
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("suffix")) {
       // dd_suffix_spans log-round scaling probe (round-13 verdict #3):
@@ -123,13 +148,13 @@ object Stress {
         val bB = rest.drop(3).headOption.map(_.toInt).getOrElse(8)
         val docs = Tables.load(spark, dir, "documents")
         docs.count() // warm-up: scan + codegen outside the timings
-        def leg(b: Int): Double = {
+        def leg(b: Int): (Long, Double) = {
           val t0 = System.nanoTime()
           val spans = graft.operators.Dedup.suffixSpansOf(docs, l, b).count()
           val sec = (System.nanoTime() - t0) / 1e9
           println(f"STRESS suffix_ab dir=$dir L=$l base=$b spans=$spans " +
             f"time=$sec%.2f")
-          sec
+          (spans, sec)
         }
         // per-arm min of interleaved legs: leg times on this host vary
         // up to 5× from outside interference (forcing a GC between
@@ -138,10 +163,20 @@ object Stress {
         // keeps slow phases from landing all in one arm
         val order = Seq(bA, bB, bB, bA, bB, bA, bA, bB)
         val times = order.map(b => b -> leg(b))
-        val minA = times.filter(_._1 == bA).map(_._2).min
-        val minB = times.filter(_._1 == bB).map(_._2).min
+        // exactness across bases is the PREMISE of the A/B (the seed
+        // base may change cost, never output) — assert it before
+        // printing a timing comparison that would otherwise compare
+        // two different computations
+        val spanCounts = times.map(_._2._1).distinct
+        require(spanCounts.size == 1,
+          s"seed bases produced different span counts: " +
+            times.map { case (b, (sp, _)) => s"base$b=$sp" }.distinct
+              .mkString(", "))
+        val minA = times.filter(_._1 == bA).map(_._2._2).min
+        val minB = times.filter(_._1 == bB).map(_._2._2).min
         println(f"STRESS suffix_ab_summary L=$l base$bA=$minA%.2f " +
-          f"base$bB=$minB%.2f (per-arm min of 4 interleaved legs)")
+          f"base$bB=$minB%.2f spans=${spanCounts.head} " +
+          "(per-arm min of 4 interleaved legs; span equality asserted)")
       } finally spark.stop()
       return
     }
@@ -189,24 +224,39 @@ object Stress {
           .coalesce(4)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         Tables.invalidate(dir)
+        val slow = hostSlowdown(spark)
         val t0 = System.nanoTime()
         val admit = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
         val reb = SparkEntry.queries("ss_ivf_rebalance")(spark, dir).collect()
+        val rebq = SparkEntry.queries("ss_ivf_rebalance_q")(spark, dir).collect()
         val sec = (System.nanoTime() - t0) / 1e9
         val preMax = admit.map(_.getAs[Long]("occ_ppm_of_mean")).max
         val postMax = reb.map(_.getAs[Long]("occ_ppm_of_mean")).max
         val split = reb.filter(_.getAs[Boolean]("from_split"))
+        val qMax = rebq.map(_.getAs[Long]("occ_ppm_of_mean")).max
+        val nSplits = rebq.head.getAs[Long]("n_splits")
         println(f"STRESS ivf_skew n=$n cells_pre=${admit.length} " +
           f"pre_max_ppm=$preMax post_max_ppm=$postMax " +
           f"split_sizes=${split.map(_.getAs[Long]("n_total")).mkString("/")} " +
-          f"time=$sec%.2f")
+          f"quiesce_max_ppm=$qMax n_splits=$nSplits cells_q=${rebq.length} " +
+          f"time=$sec%.2f (normalized ${sec / slow}%.2f)")
         require(admit.exists(_.getAs[Boolean]("rebalance")),
           s"fixture failed to trip the occupancy alarm (max $preMax ppm)")
         require(split.length == 2, s"expected 2 sub-cells, got ${split.length}")
         require(postMax < preMax,
           s"split did not reduce worst-cell occupancy ($preMax -> $postMax)")
-        require(sec < 300.0,
-          f"fat-cell rebalance took $sec%.1f s — the one-cell cost claim degraded")
+        // the round-15 contract: the quiescence loop must leave the
+        // alarm QUIET, not merely reduced — one midpoint split of a
+        // 90% cell provably cannot (r14 measured 2,057,909 ppm vs the
+        // 2,000,000 threshold after the single split)
+        require(qMax <= graft.operators.Similarity.AdmitRebalancePpm,
+          s"rebalance-to-quiescence left the alarm FIRING ($qMax ppm > " +
+            s"${graft.operators.Similarity.AdmitRebalancePpm} after $nSplits splits)")
+        require(nSplits >= 2,
+          s"fixture expected the loop to need >=2 splits on a 90% cell, ran $nSplits")
+        require(sec / slow < 300.0,
+          f"fat-cell rebalance took $sec%.1f s (host-normalized ${sec / slow}%.1f) " +
+            "— the one-cell cost claim degraded")
       } finally spark.stop()
       return
     }
@@ -240,16 +290,22 @@ object Stress {
             concat(md5(col("id").cast("string")), lit(boiler),
               md5(concat(col("id").cast("string"), lit("x")))).as("text"))
           .localCheckpoint(true) // timing measures the operator, not range+md5
+        val slow = hostSlowdown(spark)
         val t0 = System.nanoTime()
         val spans = graft.operators.Dedup.suffixSpansOf(docs, 32).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"STRESS suffix_skew g=$g spans=$spans time=$sec%.2f")
+        println(f"STRESS suffix_skew g=$g spans=$spans time=$sec%.2f " +
+          f"(normalized ${sec / slow}%.2f)")
         require(spans == g,
           s"expected exactly one boilerplate island per doc ($g), got $spans")
-        // generous backstop: a quadratic blowup or spill collapse on
-        // the hot class would blow far past this; normal runs are
-        // tens of seconds
-        require(sec < 300.0, f"suffix skew fixture took $sec%.1f s — hot-key path degraded")
+        // generous backstop, host-speed-normalized (round-15 verdict
+        // #5: the raw 202 s contended measurement left only 1.5×
+        // margin on the raw 300 s): a quadratic blowup or spill
+        // collapse on the hot class would blow far past this; quiet
+        // runs are tens of seconds
+        require(sec / slow < 300.0,
+          f"suffix skew fixture took $sec%.1f s (host-normalized " +
+            f"${sec / slow}%.1f) — hot-key path degraded")
       } finally spark.stop()
       return
     }

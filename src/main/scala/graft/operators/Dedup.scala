@@ -741,14 +741,25 @@ object Dedup {
     // distinct over SURVIVORS, so an entry co-owned by a surviving doc
     // STAYS (deleting it would break dedup for unrelated documents —
     // the GDPR nuance a naive cascade gets wrong). Each row reports
-    // rows_before/after/removed plus leftover_refs — after-rows still
-    // referencing a deleted doc (row regime) or surviving-doc entries
-    // missing from the rebuilt index (set regime: over-deletion); the
-    // oracle recomputes all four, so a cascade that under- or
-    // over-deletes hash-mismatches instead of passing quietly.
+    // rows_before/after/removed plus leftover_refs — and the audit is
+    // NOT computed against the cascade's own lineage (that check is a
+    // tautology: a frame anti-joined by a predicate trivially holds no
+    // rows matching it — the round-14 advice finding). Instead every
+    // "after" artifact is REPUBLISHED to parquet and re-SCANNED (the
+    // ss_ivf_forget read-back idiom), so leftover_refs audits the
+    // object a downstream consumer actually reads: after-rows in the
+    // published file still matching the delete predicate (row regime)
+    // or survivor-recomputed entries the published index lost (set
+    // regime: over-deletion — the survivor recompute is an
+    // INDEPENDENT lineage from the published file, so a lossy or
+    // wrong write shows up as leftover > 0 and hash-mismatches the
+    // oracle's zeros). Physically this prices forget as what it is at
+    // 100 TB: a rewrite of each doc-keyed artifact (partition-
+    // filtered in production; full republish at test scale).
     // Scale: each leg is one scan + one broadcast anti-join (the
-    // delete list is the small side by construction); the shingle legs
-    // share the one explode pass per frame; no corpus×corpus stage.
+    // delete list is the small side by construction) + one republish;
+    // the shingle legs share the one explode pass per frame; no
+    // corpus×corpus stage.
     "pipe_forget" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val delDocs = docs.filter(col("doc_id") % 97 === 13).select("doc_id")
@@ -766,33 +777,48 @@ object Dedup {
             col("rows_after"),
             (col("rows_before") - col("rows_after")).as("rows_removed"),
             col("leftover_refs"))
-      // row regime: anti-join the delete list. The two derived-index
-      // frames each feed three counts (before / after / leftover) —
-      // localCheckpoint so the signature and explode pipelines run
-      // once and the counts scan materialized rows
+      // republish + read back: the audit's "after" frame is always a
+      // parquet scan of the published artifact, never the write's own
+      // lineage (idempotent overwrite per (session tmp, sf dir) — the
+      // segment-overwrite idiom, safe across bench reps)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_forget_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      def publish(df: DataFrame, name: String): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$root/$name")
+        s.read.parquet(s"$root/$name")
+      }
+      // row regime: anti-join the delete list, republish, re-scan.
+      // The two derived-index frames each feed the before count AND
+      // the cut — localCheckpoint so the signature and explode
+      // pipelines run once
       def cut(df: DataFrame) =
         df.join(broadcast(delDocs), Seq("doc_id"), "left_anti")
       val bandsAll = bandFrameOf(docs).localCheckpoint(false)
-      val bandsAfter = cut(bandsAll)
+      val bandsAfter = publish(cut(bandsAll), "bands")
       val postAll = postingsOf(docs).localCheckpoint(false)
-      val postAfter = cut(postAll)
+      val postAfter = publish(cut(postAll), "postings")
+      val docsAfter = publish(survDocs, "documents")
       val emb = Tables.embeddings(s, dir)
       val delVecs = emb.filter(col("vec_id") % 97 === 13).select("vec_id")
-      val embAfter = emb.join(broadcast(delVecs), Seq("vec_id"), "left_anti")
-      // set regime: rebuild from survivors; leftover = survivor-owned
-      // entries the rebuilt index lost (must be none)
+      val embAfter = publish(
+        emb.join(broadcast(delVecs), Seq("vec_id"), "left_anti"), "embeddings")
+      // set regime: rebuild from survivors and republish; leftover =
+      // survivor-owned entries the PUBLISHED index lost, recomputed
+      // from the raw corpus (independent lineage vs the read-back)
       val fpAll = docs.select(md5(col("text")).as("fp")).distinct()
-      val fpAfter = survDocs.select(md5(col("text")).as("fp")).distinct()
+      val fpAfter = publish(
+        survDocs.select(md5(col("text")).as("fp")).distinct(), "fingerprints")
       val fpLost = survDocs.select(md5(col("text")).as("fp")).distinct()
         .join(fpAfter, Seq("fp"), "left_anti")
       val shAll = postAll.select("shingle").distinct()
-      val shAfter = postAfter.select("shingle").distinct()
-      val shLost = postAfter.select("shingle").distinct()
+      val shAfter = publish(postAll.join(broadcast(delDocs), Seq("doc_id"),
+        "left_anti").select("shingle").distinct(), "shingles")
+      val shLost = postingsOf(survDocs).select("shingle").distinct()
         .join(shAfter, Seq("shingle"), "left_anti")
       audit("bands", bandsAll, bandsAfter,
           bandsAfter.filter(col("doc_id") % 97 === 13))
-        .unionByName(audit("documents", docs, survDocs,
-          survDocs.filter(col("doc_id") % 97 === 13)))
+        .unionByName(audit("documents", docs, docsAfter,
+          docsAfter.filter(col("doc_id") % 97 === 13)))
         .unionByName(audit("embeddings", emb, embAfter,
           embAfter.filter(col("vec_id") % 97 === 13)))
         .unionByName(audit("fingerprints", fpAll, fpAfter, fpLost))
@@ -1580,6 +1606,13 @@ object Dedup {
     // log₂(base) levels up; base 8 vs 4 A/B-measured in SCALE.md
     // round 14 via `graft.Stress suffixab`). The base parameter
     // exists for that A/B harness only; queries use the default.
+    // base must itself be a power of two: the doubling loop steps
+    // w = base, 2·base, 4·base … and exits at w == spanL only when
+    // spanL/base is a power of two — a non-power base (reachable via
+    // the suffixab CLI) would overshoot spanL and silently return
+    // classes wider than L.
+    require(base >= 1 && (base & (base - 1)) == 0,
+      s"seed base must be a power of two >= 1, got $base")
     require(spanL >= 2 * base && (spanL & (spanL - 1)) == 0,
       s"spanL must be a power of two >= ${2 * base}, got $spanL")
     import org.apache.spark.sql.expressions.Window

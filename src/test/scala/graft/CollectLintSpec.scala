@@ -27,9 +27,9 @@ class CollectLintSpec extends AnyFunSuite {
       "unigram-Viterbi vocab map: model-sized (vocab-capped), never corpus-sized"),
     "operators/QuantileQueries.scala" -> (2,
       "radix-descent histograms: <=2^16 bucket rows per pass by construction"),
-    "Stress.scala" -> (2,
-      "ivfskew fixture verdicts: per-cell census frames (k and k+1 rows " +
-        "— cell counts, never corpus rows)")
+    "Stress.scala" -> (3,
+      "ivfskew fixture verdicts: per-cell census frames (k, k+1, and " +
+        "k+n_splits rows — cell counts, never corpus rows)")
   )
 
   test("every .collect() in main source is allowlisted with its bound") {

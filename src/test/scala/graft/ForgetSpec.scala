@@ -7,6 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * artifact, with per-artifact audit counts. Row artifacts anti-join
   * the list; shared set artifacts (fingerprints, shingle vocabulary)
   * rebuild over survivors so co-owned entries stay.
+  *
+  * The leftover assertions here are NON-vacuous because the operator
+  * republishes each "after" artifact to parquet and computes leftover
+  * against the READ-BACK file (row regime: published rows still
+  * matching the delete predicate; set regime: survivor entries
+  * recomputed from the raw corpus that the published index lost) —
+  * a lossy or wrong write surfaces as leftover > 0 here and as an
+  * oracle hash mismatch in the driver gate.
   */
 class ForgetSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.session
