@@ -377,6 +377,129 @@ object Similarity {
   private def rebalancedIndexRoot(s: SparkSession, dir: String): String =
     cached[String](s, dir, "ivfRebalanced")(writeRebalance(s, dir)._1)
 
+  /** Split-iteration bound for [[writeRebalanceQ]]: the loop stops at
+    * quiescence (worst-cell occupancy ≤ [[AdmitRebalancePpm]]) or
+    * after this many splits, whichever first — a pathological
+    * distribution (all vectors bit-identical) can't be split quiet,
+    * so the bound keeps the operator terminating; the n_splits output
+    * column says which exit was taken.
+    */
+  val MaxRebalanceSplits = 32
+
+  /** REBALANCE-TO-QUIESCENCE (round-15 verdict #2 — one midpoint
+    * split of a 90%-fat cell provably leaves the alarm firing;
+    * ivfskew measured 3,272,581 → 2,057,909 ppm vs the 2,000,000
+    * threshold): a bounded loop that re-splits the CURRENT worst cell
+    * (same k-d midpoint split as [[writeRebalance]] — two aggregates
+    * + a filter per round, no window, no corpus-wide sort) until the
+    * worst cell's occupancy is ≤ [[AdmitRebalancePpm]] or
+    * [[MaxRebalanceSplits]] splits ran. Returns (final read-back
+    * census frame extended with from_split, n_splits).
+    *
+    * Driver-side state per round is O(1): one k-row census aggregate
+    * feeds a 1-row head() (worst cell + totals) — never a corpus
+    * collect. The working assignment re-checkpoints per round (16-
+    * byte rows, the suffix-spans lineage-cut idiom) so round r never
+    * re-derives rounds 1..r-1. When any split fired, the final
+    * assignment republishes as `assignments_q` and the v3 centroid
+    * table (surviving trained + final sub-cell means, micro grid) as
+    * `centroids_q`; the returned census is read BACK from the
+    * published tables either way (assignments_q, or the untouched
+    * base+delta segments when zero splits were needed — which is the
+    * uniform-testdata case: the alarm never fires there, so the
+    * oracle states the quiescent-already census and the split loop's
+    * body is gated by the ivfskew Stress fixture's below-threshold
+    * require instead).
+    *
+    * Scale: each round touches ONE cell's rows (≈ n/k·occupancy — the
+    * fat cell is the biggest thing scanned, and shrinking it is the
+    * point); rounds are ≤ MaxRebalanceSplits; census frames are k
+    * rows. At 100 TB this is exactly the background "split hot
+    * shards until quiet" job an index serving tier runs.
+    */
+  private[graft] def writeRebalanceQ(
+      s: SparkSession, dir: String): (DataFrame, Int) = {
+    val root = publishDeltaSegment(s, dir)
+    def seg(name: String) = s.read.parquet(s"$root/$name")
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+    val baseAsg = seg("assignments").unionByName(seg("assignments_delta"))
+    // all vectors' micro dims (base + delta transform); only the worst
+    // cell's slice is ever materialized per round via the semi-join
+    val dimsAll = kmDims(s, dir).unionByName(admitDeltaDims(s, dir))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x") * lit(1000000.0)).cast("long").as("xm"))
+    // sub-cell ids start past max TRAINED id (the writeRebalance rule)
+    val trainedMax = s.read.parquet(s"$root/centroids")
+      .agg(max(col("cent_id").cast("long"))).head().getLong(0)
+    var nextId = trainedMax + 1
+    var asg = baseAsg.localCheckpoint(false)
+    var splits = 0
+    var quiet = false
+    while (!quiet && splits < MaxRebalanceSplits) {
+      val cells = asg.groupBy("cent_id").agg(count(lit(1)).as("n_total"))
+        .localCheckpoint(false) // feeds the totals agg + the worst head
+      val tot = cells.agg(count(lit(1)), sum(col("n_total"))).head()
+      val (k, n) = (tot.getLong(0), tot.getLong(1))
+      val worst = cells.orderBy(col("n_total").desc, col("cent_id").asc).head()
+      val worstPpm =
+        (BigInt(worst.getAs[Long]("n_total")) * 1000000 * k / n).toLong
+      if (worstPpm <= AdmitRebalancePpm) quiet = true
+      else {
+        val worstId = worst.getAs[Long]("cent_id")
+        val mem = dimsAll.join(
+            asg.filter(col("cent_id") === worstId).select("vec_id"), "vec_id")
+          .localCheckpoint(false) // split-dim agg + sides both read it
+        val sd = mem.groupBy("dim")
+          .agg(min(col("xm")).as("mn"), max(col("xm")).as("mx"))
+          .orderBy((col("mx") - col("mn")).desc, col("dim").asc).limit(1)
+          .select(col("dim"),
+            floor((col("mn") + col("mx")) / lit(2.0)).cast("long").as("mid"))
+        val sides = mem.join(broadcast(sd), "dim")
+          .select(col("vec_id"),
+            when(col("xm") <= col("mid"), lit(nextId))
+              .otherwise(lit(nextId + 1)).as("cent_id"))
+        asg = asg.filter(col("cent_id") =!= worstId).unionByName(sides)
+          .localCheckpoint(false)
+        nextId += 2; splits += 1
+      }
+    }
+    val finalAsg =
+      if (splits == 0) baseAsg
+      else {
+        asg.write.mode("overwrite").partitionBy("cent_id")
+          .parquet(s"$root/assignments_q")
+        // v3 centroids: surviving trained cells at the micro grid +
+        // final sub-cell means over the PUBLISHED membership (each
+        // vector lives in exactly one final cell, so the end-state
+        // mean equals the per-round accumulation)
+        val rb = seg("assignments_q").localCheckpoint(false)
+        val live = rb.select("cent_id").distinct()
+        val ncent = dimsAll.join(rb.filter(col("cent_id") > trainedMax), "vec_id")
+          .groupBy("cent_id", "dim")
+          .agg(floor(sum(col("xm")).cast("double") / count(lit(1)))
+            .cast("long").as("cm"))
+        s.read.parquet(s"$root/centroids")
+          .select(col("cent_id").cast("long").as("cent_id"), col("dim"),
+            floor(col("c") * lit(1000000.0)).cast("long").as("cm"))
+          .join(live, Seq("cent_id"), "left_semi")
+          .unionByName(ncent)
+          .write.mode("overwrite").parquet(s"$root/centroids_q")
+        seg("assignments_q")
+      }
+    val cells = finalAsg.groupBy("cent_id").agg(count(lit(1)).as("n_total"))
+      .localCheckpoint(false)
+    val tot = cells.agg(count(lit(1)).as("k_after"),
+      sum(col("n_total")).as("n_after"))
+    val census = cells.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_total"),
+        expr("CAST(CAST(n_total AS DECIMAL(38,0)) * 1000000 * k_after " +
+          "DIV n_after AS BIGINT)").as("occ_ppm_of_mean"),
+        (col("cent_id") > lit(trainedMax)).as("from_split"),
+        lit(splits.toLong).as("n_splits"))
+      .orderBy("cent_id")
+    (census, splits)
+  }
+
   /** Rows per centroid in the edge-build training sample. */
   val TrainSamplePerCell = 50
 
@@ -1007,6 +1130,24 @@ object Similarity {
           col("from_split"))
         .orderBy("cent_id")
     }),
+
+    // INDEX PERSISTENCE — REBALANCE TO QUIESCENCE (the other half of
+    // the alarm→action contract: ss_ivf_rebalance proves ONE split
+    // reduces the worst cell; this row keeps splitting until the
+    // ss_ivf_admit alarm is actually QUIET — worst-cell occupancy ≤
+    // AdmitRebalancePpm — or MaxRebalanceSplits ran). Algorithm,
+    // bounds, publish layout, and the scale argument in
+    // [[writeRebalanceQ]]. On the uniform testdata the post-admission
+    // alarm never fires, so this row's oracle states the
+    // quiescent-already census (n_splits = 0, nothing republished,
+    // census read back from the base+delta segments) — and POISONS
+    // itself if that premise ever breaks: the oracle emits NULL
+    // n_splits when its own worst-cell ppm exceeds the threshold, so
+    // a testdata change that trips the alarm hash-mismatches loudly
+    // instead of silently comparing different regimes. The split
+    // loop's body is exercised with loud requires by the ivfskew
+    // Stress fixture (90%-fat cell → alarm must end BELOW threshold).
+    "ss_ivf_rebalance_q" -> ((s, dir) => writeRebalanceQ(s, dir)._1),
 
     // INDEX PERSISTENCE — COMPACTION (the LSM fold closing the
     // admit→rebalance→compact lifecycle): the delta segment is merged
@@ -3055,6 +3196,32 @@ object Similarity {
          |  from_split
          |FROM post p JOIN csum USING (cent_id), tot
          |ORDER BY p.cent_id""".stripMargin,
+    // rebalance-to-quiescence on quiescent-already data = the admit
+    // census with from_split=false, n_splits=0 — with the premise
+    // SELF-CHECKED: if the worst cell's ppm ever exceeds the alarm
+    // threshold (i.e. the engine-side loop would split), n_splits
+    // goes NULL and the row hash-mismatches loudly instead of
+    // comparing a 0-split oracle against a split engine
+    "ss_ivf_rebalance_q" ->
+      s"""WITH $trainedAssignCtes,
+         |$deltaAsgdCtes,
+         |bc AS (SELECT cent_id, count(*)::BIGINT AS n_base FROM asg GROUP BY 1),
+         |dc AS (SELECT cent_id, count(*)::BIGINT AS n_delta FROM asgd GROUP BY 1),
+         |cells AS (
+         |  SELECT COALESCE(bc.cent_id, dc.cent_id) AS cent_id,
+         |    COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_total
+         |  FROM bc FULL OUTER JOIN dc ON bc.cent_id = dc.cent_id),
+         |tot AS (SELECT count(*)::BIGINT AS k_cells,
+         |               CAST(sum(n_total) AS BIGINT) AS n_after FROM cells),
+         |occ AS (SELECT cent_id, CAST(n_total AS BIGINT) AS n_total,
+         |          CAST(CAST(n_total AS HUGEINT) * 1000000 * k_cells // n_after
+         |            AS BIGINT) AS occ_ppm_of_mean
+         |        FROM cells, tot),
+         |prem AS (SELECT CASE WHEN max(occ_ppm_of_mean) > $AdmitRebalancePpm
+         |                THEN NULL ELSE 0 END::BIGINT AS n_splits FROM occ)
+         |SELECT cent_id, n_total, occ_ppm_of_mean, FALSE AS from_split,
+         |  n_splits
+         |FROM occ, prem ORDER BY cent_id""".stripMargin,
     // compaction must preserve the two-segment census exactly
     "ss_ivf_compact" ->
       s"""WITH $trainedAssignCtes,

@@ -99,6 +99,23 @@ class IvfPersistSpec extends AnyFunSuite {
     assert(new java.io.File(s"$root/centroids_v2").isDirectory)
   }
 
+  test("ss_ivf_rebalance_q: quiescent-already census on uniform data") {
+    val admit = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
+    val out = SparkEntry.queries("ss_ivf_rebalance_q")(spark, dir).collect()
+    // uniform testdata never trips the alarm (the oracle's premise —
+    // the split-loop body is gated by the ivfskew Stress fixture's
+    // below-threshold require), so the loop must exit at 0 splits
+    // with the admit census unchanged
+    assert(out.forall(_.getAs[Long]("n_splits") == 0L))
+    assert(out.forall(!_.getAs[Boolean]("from_split")))
+    assert(out.map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("n_total")).toMap ==
+      admit.map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("n_total")).toMap,
+      "0-split quiescence changed the census")
+    val worst = out.map(_.getAs[Long]("occ_ppm_of_mean")).max
+    assert(worst <= graft.operators.Similarity.AdmitRebalancePpm,
+      s"loop exited with the alarm firing ($worst ppm) without splitting")
+  }
+
   test("ss_ivf_compact: the fold preserves the two-segment census exactly") {
     val admit = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
       .map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("n_total")).toMap
