@@ -779,6 +779,138 @@ object StreamingQueries {
       out
     }),
 
+    // STREAMING EXACT-SUBSTRING ADMISSION (round-15 verdict #4 — the
+    // last batch/index/streaming asymmetry: dd_suffix_spans /
+    // pipe_suffix_clean had no incremental tier): delta docs (the
+    // st_incremental_dedup slice, doc_id % 10 = 7) arrive as a
+    // doc_id-ordered file stream and each micro-batch is probed
+    // against the PUBLISHED L-gram index of the static corpus — the
+    // servable form of the suffix-class index: a position of a new
+    // doc duplicates an existing L-char span iff its L-gram equals
+    // some indexed L-gram, so the probe is exact with no prefix
+    // doubling per batch (the doubling built the batch index once;
+    // admission only needs membership). Production stores 128-bit
+    // gram fingerprints; the test index keeps the gram strings so the
+    // oracle states set membership verbatim. Matches against (a) the
+    // static index, (b) earlier batches' delta grams (batch-id-scoped
+    // prior reads — the st_incremental_dedup recovery contract), and
+    // (c) same-batch docs with smaller doc_id; ranged staging makes
+    // batch order doc_id order, so (b) ∪ (c) ≡ "delta docs with
+    // smaller doc_id" and the batch dual is order-free SQL. Matched
+    // positions merge per doc into maximal spans (gaps-and-islands,
+    // per-doc window — never global). Crash contract verbatim: inject
+    // in batch 1 after the sink writes, before the commit log;
+    // replay's by-batch-id overwrite replaces the pre-crash writes
+    // identically, and the require pins the span log to one row per
+    // (doc, span_start) — inflation is the failure mode. Scale: per
+    // batch one gram explode (batch chars rows) + two semi-joins
+    // against served tables + a per-doc window; nothing corpus-wide
+    // re-runs per batch.
+    "st_suffix_admit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spanL = graft.operators.Dedup.SuffixSpanL
+      val isNew = pmod(col("doc_id"), lit(10)) === 7
+      val docs = Tables.documents(s, dir)
+      def gramsOf(d: DataFrame) = d
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .filter(col("len") >= spanL)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, len - ${spanL - 1}), i -> substring(text, i, $spanL))"))
+          .as(Seq("p0", "g")))
+        .select(col("doc_id"), (col("p0") + 1).cast("int").as("p"), col("g"))
+      val delta = docs.filter(isNew).select("doc_id", "text")
+      val staged = stage(delta.repartitionByRange(4, col("doc_id")),
+        s"$dir/documents.parquet", s"${stageRoot(dir)}/suffix_admission")
+      val parts = Option(new java.io.File(staged).listFiles()).toSeq
+        .flatten.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L) }
+      val nFiles = parts.length
+      require(nFiles >= 2,
+        s"staged $nFiles parquet files — the batch-1 crash injection " +
+          "needs at least 2 one-file micro-batches")
+      // the published static index: distinct L-grams of the non-delta
+      // corpus, materialized once per execution (the corpusFp idiom)
+      val staticIdx = gramsOf(docs.filter(!isNew)).select("g").distinct()
+        .localCheckpoint(false)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = s"${stageRoot(dir)}/suffix_admission_ckpt_$run"
+      val store = s"${stageRoot(dir)}/suffix_admission_store_$run"
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+      // delta-gram index accumulated from batches STRICTLY BEFORE b —
+      // a replayed batch must not see its own pre-crash writes
+      def prior(s2: SparkSession, b: Long,
+                schema: org.apache.spark.sql.types.StructType): DataFrame = {
+        val paths = Option(new java.io.File(s"$store/grams").listFiles())
+          .toSeq.flatten
+          .filter(f => f.getName.startsWith("b") &&
+            f.getName.drop(1).forall(_.isDigit) &&
+            f.getName.drop(1).toLong < b)
+          .map(_.getPath)
+        if (paths.isEmpty)
+          s2.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else s2.read.parquet(paths: _*)
+      }
+      def start(injectCrash: Boolean) = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          batchesSeen.incrementAndGet()
+          val s2 = df.sparkSession
+          val bg = gramsOf(df).localCheckpoint(false)
+          val gOnly = bg.select("g").distinct().localCheckpoint(false)
+          val priorG = prior(s2, batchId, gOnly.schema)
+          val matched = bg.join(staticIdx, Seq("g"), "left_semi")
+            .select("doc_id", "p")
+            .union(bg.join(priorG, Seq("g"), "left_semi").select("doc_id", "p"))
+            .union(bg.as("a").join(bg.as("b"),
+                col("a.g") === col("b.g") && col("b.doc_id") < col("a.doc_id"),
+                "left_semi")
+              .select(col("doc_id"), col("p")))
+            .distinct()
+          val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+          val spans = matched
+            .withColumn("grp", col("p") - row_number().over(wIsl))
+            .groupBy("doc_id", "grp")
+            .agg(min(col("p")).as("s0"), max(col("p")).as("s1"))
+            .select(col("doc_id"), col("s0").cast("long").as("span_start"),
+              (col("s1") - col("s0") + spanL).cast("long").as("span_len"))
+          // idempotent by-batch-id writes: spans + this batch's gram
+          // contribution (replay overwrites identically)
+          spans.write.mode(SaveMode.Overwrite)
+            .parquet(s"$store/spans/b$batchId")
+          gOnly.write.mode(SaveMode.Overwrite)
+            .parquet(s"$store/grams/b$batchId")
+          if (injectCrash && batchId == 1L) {
+            crashed.set(true)
+            throw new IllegalStateException(
+              "injected crash: after sink writes, before commit-log entry")
+          }
+        }
+        .start()
+      val q1 = start(injectCrash = true)
+      try { q1.processAllAvailable(); () }
+      catch { case _: Exception => () } finally q1.stop()
+      require(crashed.get(), "crash injection never fired — staged file " +
+        "count changed? the recovery contract was not exercised")
+      val q2 = start(injectCrash = false)
+      try q2.processAllAvailable() finally q2.stop()
+      require(batchesSeen.get() >= nFiles + 1L,
+        s"expected batch 1 to REPLAY after restart, saw only " +
+          s"${batchesSeen.get()} foreachBatch calls for $nFiles files")
+      val out = s.read.parquet(s"$store/spans/b*")
+        .orderBy("doc_id", "span_start").localCheckpoint(true)
+      val n = out.count()
+      val nDistinct = out.dropDuplicates("doc_id", "span_start").count()
+      require(n == nDistinct,
+        s"span log holds $n rows but $nDistinct distinct (doc, start) — " +
+          "a replayed batch double-admitted (exactly-once broken)")
+      Seq(ckpt, store).foreach(p => rmTree(new java.io.File(p)))
+      out
+    }),
+
     // STREAMING ERASURE (pipe_forget's arrival path): right-to-be-
     // forgotten requests don't come in batches — they arrive
     // continuously, and the serving index must converge to the erased
@@ -935,6 +1067,39 @@ object StreamingQueries {
     // against the trained centroids — order-free, so stream batching
     // cannot change it)
     "st_ivf_admit" -> graft.operators.Similarity.streamAdmitSql,
+    // batch dual of the streaming exact-substring admission: a delta
+    // doc's position is matched iff its 32-gram appears in the static
+    // corpus or in an earlier-admitted delta doc (batch order =
+    // doc_id order, so "earlier" is doc_id < — order-free SQL);
+    // matched positions merge to maximal spans per doc
+    "st_suffix_admit" -> {
+      val l = graft.operators.Dedup.SuffixSpanL
+      s"""WITH del AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents
+         |  WHERE doc_id % 10 = 7),
+         |sidx AS MATERIALIZED (
+         |  SELECT DISTINCT substring(text, CAST(p AS INT), $l) AS g
+         |  FROM (SELECT text, length(text) AS len FROM documents
+         |        WHERE doc_id % 10 <> 7),
+         |       UNNEST(range(1, len - ${l - 2})) AS u(p)),
+         |dg AS MATERIALIZED (
+         |  SELECT doc_id, CAST(p AS INT) AS p,
+         |    substring(text, CAST(p AS INT), $l) AS g
+         |  FROM del, UNNEST(range(1, len - ${l - 2})) AS u(p)),
+         |hit AS (
+         |  SELECT DISTINCT d.doc_id, d.p FROM dg d
+         |  WHERE EXISTS (SELECT 1 FROM sidx s WHERE s.g = d.g)
+         |     OR EXISTS (SELECT 1 FROM dg d2
+         |                WHERE d2.g = d.g AND d2.doc_id < d.doc_id)),
+         |isl AS (
+         |  SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM hit)
+         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+         |  CAST(max(p) - min(p) + $l AS BIGINT) AS span_len
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
     // the batch dual of streaming erasure: the surviving fingerprint
     // index once every tombstone has been applied
     "st_forget" ->

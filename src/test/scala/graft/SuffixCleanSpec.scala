@@ -66,4 +66,42 @@ class SuffixCleanSpec extends AnyFunSuite {
     assert(r2.getAs[String]("clean_fp") == fp,
       "doc 2's stitched text is not prefix+suffix with the span removed")
   }
+  test("st_suffix_admit: streamed spans equal the order-free batch dual (sf0.001)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val l = Dedup.SuffixSpanL
+    // the row's own requires prove crash-replay exactly-once; here:
+    // the replayed span log equals the batch dual computed directly —
+    // delta positions whose L-gram appears in the static corpus or in
+    // a smaller-id delta doc, merged to maximal islands per doc
+    val out = SparkEntry.queries("st_suffix_admit")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_len"))).toSet
+    val docs = Tables.documents(spark, dir)
+    def grams(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= l)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, len - ${l - 1}), i -> substring(text, i, $l))"))
+        .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("p"), col("g"))
+    val isNew = pmod(col("doc_id"), lit(10)) === 7
+    val dg = grams(docs.filter(isNew)).localCheckpoint(false)
+    val sidx = grams(docs.filter(!isNew)).select("g").distinct()
+    val hit = dg.join(sidx, Seq("g"), "left_semi").select("doc_id", "p")
+      .union(dg.as("a").join(dg.as("b"),
+          col("a.g") === col("b.g") && col("b.doc_id") < col("a.doc_id"),
+          "left_semi").select(col("doc_id"), col("p")))
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val expected = hit.withColumn("grp", col("p") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("p")).as("s0"), max(col("p")).as("s1"))
+      .select(col("doc_id"), col("s0").cast("long"),
+        (col("s1") - col("s0") + l).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expected, "streamed admission spans diverged from the batch dual")
+    assert(out.nonEmpty, "fixture produced no spans - the test is vacuous")
+  }
 }
