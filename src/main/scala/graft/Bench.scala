@@ -129,6 +129,10 @@ object Bench {
     // partial artifact from whatever completed — the r14 failure mode
     // (rc=124, parsed:null, nothing on disk) must be impossible. Kept
     // free of Spark calls: the hook may race Spark's own shutdown.
+    // The partial goes to stdout (what the driver parses) and to
+    // bench_partial.json — NEVER over the canonical bench.json, whose
+    // per-query values are the regression priors a partial
+    // (pass-1-only, kill-adjacent) run must not replace.
     val hook = new Thread(() => {
       if (!doneNormally.get()) {
         val rs = assembleQueries()
@@ -138,7 +142,9 @@ object Bench {
           s""""killed_during":"${phase.get()}","n_queries_completed":${rs.size},""" +
           s""""n_queries_planned":${names.size},"queries":$qs,"errors":$errs,""" +
           s""""sf":"$sfDir","timing":"min_over_completed_passes"}"""
-        writeFile(outFile, json + "\n")
+        val partialFile =
+          if (outFile == "bench.json") "bench_partial.json" else outFile
+        writeFile(partialFile, json + "\n")
         println(json)
         System.out.flush()
       }
