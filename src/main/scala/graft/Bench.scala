@@ -223,7 +223,19 @@ object Bench {
     // max, not sum: summing 200M xxhash64 values overflows LONG under
     // ANSI the moment the aggregate really runs — which proved the
     // old probe never did).
+    // One UNTIMED throwaway probe first: the round-15 full runs showed
+    // the start probe reading 0.41–0.74 s against a same-JVM end probe
+    // of 0.11–0.22 s on the same host — JIT/codegen warmup of the
+    // probe pipeline itself, which would read as permanent 3–6×
+    // "contention" at suite start and falsely trip the 2× gate
+    // against a warm prior.
+    var calibrated = false
     def calibrate(): Double = {
+      if (!calibrated) {
+        spark.range(0L, 200000000L, 1L, cpus.toInt)
+          .selectExpr("max(xxhash64(id))").head()
+        calibrated = true
+      }
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         spark.range(0L, 200000000L, 1L, cpus.toInt)
