@@ -57,6 +57,8 @@ class MicroDomainLintSpec extends AnyFunSuite {
       "Bradley-Terry tie split: per-pair preference count <= n_users ~1e10 times the event-type-vocabulary constant — product ~1e17 < 9.2e18"),
     "operators/QualityQueries.scala" -> (14,
       "per-doc token/char ratios (doc-length-bounded <= ~1e8) and doc-count/labeled-sample numerators (~2e10 << 9.2e12)"),
+    "operators/Similarity.scala" -> (1,
+      "rebalance-to-quiescence worst-cell ppm: explicitly BigInt-routed (arbitrary precision, cannot wrap), computed driver-side on a 1-row census head"),
     "operators/Shared.scala" -> (2,
       "log2micro/exp2micro SQL CTE internals: fixed-point domain-capped by contract (exponent <= 63, |x| <= 64e6) — products <= ~7e13"),
     "operators/SketchQueries.scala" -> (2,
