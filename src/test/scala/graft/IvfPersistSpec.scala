@@ -116,6 +116,47 @@ class IvfPersistSpec extends AnyFunSuite {
       s"loop exited with the alarm firing ($worst ppm) without splitting")
   }
 
+  test("ss_ivf_rebalance_q: the split loop quiets a fat cell (synthetic skew)") {
+    import org.apache.spark.sql.functions._
+    // the graft.Stress ivfskew corpus at CI scale: vec_ids 0..3 are the
+    // four well-separated cluster centers (the IVF seeds), members
+    // 90/5/3/2% across clusters, deterministic jitter — the alarm MUST
+    // fire post-admission and the loop MUST leave it quiet
+    val n = 3000L
+    val skewDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfskew_spec_$n"
+    spark.range(0L, n)
+      .selectExpr(
+        "id AS vec_id",
+        """transform(sequence(0, 63), d -> CAST(
+             (CASE WHEN d DIV 16 = (
+                CASE WHEN id < 4 THEN id
+                     WHEN id % 100 < 90 THEN 0
+                     WHEN id % 100 < 95 THEN 1
+                     WHEN id % 100 < 98 THEN 2
+                     ELSE 3 END)
+              THEN 10.0 ELSE 0.0 END)
+             + (pmod(xxhash64(id * 64 + d), 1000) / 1000.0 - 0.5) * 0.1
+           AS FLOAT)) AS embedding""",
+        "CAST(0 AS INT) AS label")
+      .coalesce(2)
+      .write.mode("overwrite").parquet(s"$skewDir/embeddings.parquet")
+    Tables.invalidate(skewDir)
+    val admit = SparkEntry.queries("ss_ivf_admit")(spark, skewDir).collect()
+    assert(admit.exists(_.getAs[Boolean]("rebalance")),
+      "fixture failed to trip the occupancy alarm")
+    val out = SparkEntry.queries("ss_ivf_rebalance_q")(spark, skewDir).collect()
+    val nSplits = out.head.getAs[Long]("n_splits")
+    val worst = out.map(_.getAs[Long]("occ_ppm_of_mean")).max
+    assert(nSplits >= 1L, "loop never split despite a firing alarm")
+    assert(worst <= graft.operators.Similarity.AdmitRebalancePpm,
+      s"loop exited with the alarm FIRING ($worst ppm after $nSplits splits)")
+    // census conserves the population across splits
+    assert(out.map(_.getAs[Long]("n_total")).sum ==
+      admit.map(_.getAs[Long]("n_total")).sum, "splits lost or invented members")
+    // the republished artifacts exist and the split cells carry new ids
+    assert(out.filter(_.getAs[Boolean]("from_split")).length >= 2)
+  }
+
   test("ss_ivf_compact: the fold preserves the two-segment census exactly") {
     val admit = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
       .map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("n_total")).toMap
