@@ -822,16 +822,11 @@ object StreamingQueries {
     // re-runs per batch.
     "st_suffix_admit" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val spanL = graft.operators.Dedup.SuffixSpanL
+      import graft.operators.Dedup
+      val spanL = Dedup.SuffixSpanL
       val isNew = pmod(col("doc_id"), lit(10)) === 7
       val docs = Tables.documents(s, dir)
-      def gramsOf(d: DataFrame) = d
-        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-        .filter(col("len") >= spanL)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, len - ${spanL - 1}), i -> substring(text, i, $spanL))"))
-          .as(Seq("p0", "g")))
-        .select(col("doc_id"), (col("p0") + 1).cast("int").as("p"), col("g"))
+      def gramsOf(d: DataFrame) = Dedup.suffixGramsOf(d, spanL)
       val delta = docs.filter(isNew).select("doc_id", "text")
       val staged = stage(delta.repartitionByRange(4, col("doc_id")),
         s"$dir/documents.parquet", s"${stageRoot(dir)}/suffix_admission")
@@ -843,16 +838,13 @@ object StreamingQueries {
       require(nFiles >= 2,
         s"staged $nFiles parquet files — the batch-1 crash injection " +
           "needs at least 2 one-file micro-batches")
-      // the published static index: distinct L-grams of the non-delta
-      // corpus — the dominant cost of this row (corpus-chars rows of
-      // L-char strings), so it is memoized per (session, dir) like
-      // every served index (bench reps and repeated admissions probe
-      // the SAME static corpus; rebuilding it per execution would
-      // price the index build into every admission)
-      val staticIdx = graft.CacheRegistry.cached[DataFrame](
-        servedCache, s, dir, "suffixGramIdx")(
-        gramsOf(docs.filter(!isNew)).select("g").distinct()
-          .localCheckpoint(false))
+      // the published static index (the dd_suffix_index_build parquet
+      // table, publish-once per session — resolved on the DRIVER
+      // before any stream starts, the st_ivf_admit rule): every
+      // micro-batch probes the READ-BACK table, so admission never
+      // silently rebuilds the index it serves from
+      val staticIdx = s.read.parquet(
+        graft.operators.Dedup.publishedSuffixGramIndex(s, dir))
       val run = java.util.UUID.randomUUID().toString.take(8)
       val ckpt = s"${stageRoot(dir)}/suffix_admission_ckpt_$run"
       val store = s"${stageRoot(dir)}/suffix_admission_store_$run"
