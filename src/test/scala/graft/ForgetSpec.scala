@@ -5,8 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** pipe_forget — the right-to-be-forgotten cascade: a delete list
   * (doc_id % 97 = 13) removed from the corpus and every derived
   * artifact, with per-artifact audit counts. Row artifacts anti-join
-  * the list; shared set artifacts (fingerprints, shingle vocabulary)
-  * rebuild over survivors so co-owned entries stay.
+  * the list; shared set artifacts (fingerprints, shingle vocabulary,
+  * and since round 16 the served suffix gram index) rebuild over
+  * survivors so co-owned entries stay.
   *
   * The leftover assertions here are NON-vacuous because the operator
   * republishes each "after" artifact to parquet and computes leftover
@@ -27,9 +28,9 @@ class ForgetSpec extends AnyFunSuite {
           r.getAs[Long]("rows_removed"), r.getAs[Long]("leftover_refs")))
       .toMap
 
-  test("all six artifacts audited, no leftover references anywhere") {
+  test("all seven artifacts audited, no leftover references anywhere") {
     assert(rows.keySet == Set("bands", "documents", "embeddings",
-      "fingerprints", "postings", "shingles"))
+      "fingerprints", "postings", "shingles", "suffix_grams"))
     rows.foreach { case (a, (before, after, removed, leftover)) =>
       assert(leftover == 0L, s"$a leaked $leftover references")
       assert(removed == before - after, s"$a counts do not conserve")
