@@ -73,17 +73,24 @@ object Stress {
     * fixture whose code didn't change.
     */
   private def hostSlowdown(spark: SparkSession): Double = {
+    // probe parallelism follows the SESSION's core count (round-15
+    // advice: hard-coded 32 partitions + a 32-thread quiet reference
+    // meant any other host inflated the ratio and silently loosened
+    // every backstop — the max(1,·) clamp only ever weakens)
+    val cores = spark.sparkContext.defaultParallelism
     val probe = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, 32)
+      spark.range(0L, 200000000L, 1L, cores)
         .selectExpr("max(xxhash64(id))").head()
       (System.nanoTime() - t0) / 1e9
     }.min
-    // quiet-host reference for the v2 probe on this container's 32
-    // threads (measured 0.22–0.41 s; the max keeps a FASTER host from
-    // shrinking the budget)
-    val ratio = math.max(1.0, probe / 0.25)
-    println(f"STRESS host_probe=$probe%.3f s slowdown_ratio=$ratio%.2f")
+    // quiet reference measured on THIS container's 32 threads
+    // (0.22-0.41 s); the CPU-bound probe scales ~1/cores, so the
+    // reference scales with the core ratio on other hosts
+    val quietRef = 0.25 * (32.0 / cores)
+    val ratio = math.max(1.0, probe / quietRef)
+    println(f"STRESS host_probe=$probe%.3f s (cores=$cores, " +
+      f"quiet_ref=$quietRef%.3f) slowdown_ratio=$ratio%.2f")
     ratio
   }
 
@@ -207,15 +214,20 @@ object Stress {
         val n = args.drop(1).headOption.map(_.toLong).getOrElse(50000L)
         require(n < 1000000L, "n must stay below the delta re-key offset")
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfskew_$n"
+        // 90% / 8% / 1.5% / 0.5% — the fat cell trips the split alarm
+        // (>2,000,000 ppm of mean) and the dust clusters land (post
+        // Lloyd training, which blends the designed fractions) at
+        // least one cell below the 200,000 ppm merge floor, so the
+        // round-16 merge dual must fold it
         spark.range(0L, n)
           .selectExpr(
             "id AS vec_id",
             """transform(sequence(0, 63), d -> CAST(
                  (CASE WHEN d DIV 16 = (
                     CASE WHEN id < 4 THEN id
-                         WHEN id % 100 < 90 THEN 0
-                         WHEN id % 100 < 95 THEN 1
-                         WHEN id % 100 < 98 THEN 2
+                         WHEN id % 1000 < 900 THEN 0
+                         WHEN id % 1000 < 980 THEN 1
+                         WHEN id % 1000 < 995 THEN 2
                          ELSE 3 END)
                   THEN 10.0 ELSE 0.0 END)
                  + (pmod(xxhash64(id * 64 + d), 1000) / 1000.0 - 0.5) * 0.1
@@ -229,6 +241,7 @@ object Stress {
         val admit = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
         val reb = SparkEntry.queries("ss_ivf_rebalance")(spark, dir).collect()
         val rebq = SparkEntry.queries("ss_ivf_rebalance_q")(spark, dir).collect()
+        val mq = SparkEntry.queries("ss_ivf_rebalance_mq")(spark, dir).collect()
         val sec = (System.nanoTime() - t0) / 1e9
         val preMax = admit.map(_.getAs[Long]("occ_ppm_of_mean")).max
         val postMax = reb.map(_.getAs[Long]("occ_ppm_of_mean")).max
@@ -254,6 +267,25 @@ object Stress {
             s"${graft.operators.Similarity.AdmitRebalancePpm} after $nSplits splits)")
         require(nSplits >= 2,
           s"fixture expected the loop to need >=2 splits on a 90% cell, ran $nSplits")
+        // round-16 merge-dual contract: the two dust cells (1.5%,
+        // 0.5%) fold into their nearest surviving centroids; the end
+        // state has the alarm quiet AND no sub-floor cell AND k
+        // shrunk by exactly the folded count vs the split-only census
+        val mqMax = mq.map(_.getAs[Long]("occ_ppm_of_mean")).max
+        val mqMin = mq.map(_.getAs[Long]("occ_ppm_of_mean")).min
+        val nMerges = mq.head.getAs[Long]("n_merges")
+        println(f"STRESS ivf_skew_mq cells=${mq.length} n_merges=$nMerges " +
+          f"n_splits=${mq.head.getAs[Long]("n_splits")} " +
+          f"max_ppm=$mqMax min_ppm=$mqMin")
+        require(nMerges >= 1,
+          s"no cell folded despite sub-floor dust cells in the mix, ran $nMerges")
+        require(mq.length == rebq.length - nMerges,
+          s"k after merge (${mq.length}) != split-only k (${rebq.length}) - $nMerges")
+        require(mqMax <= graft.operators.Similarity.AdmitRebalancePpm,
+          s"merge dual left the split alarm FIRING ($mqMax ppm)")
+        require(mqMin >= graft.operators.Similarity.AdmitMergeFloorPpm,
+          s"merge dual left a sub-floor cell ($mqMin ppm < " +
+            s"${graft.operators.Similarity.AdmitMergeFloorPpm})")
         require(sec / slow < 300.0,
           f"fat-cell rebalance took $sec%.1f s (host-normalized ${sec / slow}%.1f) " +
             "— the one-cell cost claim degraded")
@@ -434,6 +466,75 @@ object Stress {
           f"dppm=$d time=$secs%.1f ok=$ok")
         require(ok, s"downscale branch not forced or drifted: shift=" +
           s"$expectShift dppm=$d")
+      } finally spark.stop()
+      return
+    }
+    if (args.headOption.contains("sf1")) {
+      // ROUND-16 VERDICT #6 — one sf1-scale probe of the heavy
+      // families: all bench pricing is sf0.1; this mode copy-amplifies
+      // sf0.1 by 10× (≈ sf1 row counts: 50k docs / 15M chars / 20k
+      // vectors) into a temp dir and times each heavy query ONCE at
+      // both scales in the same warmed session, printing the
+      // sf1/sf0.1 ratio next to the host calibration. Data-linear
+      // (≈10×) confirms the plans; super-linear names the next work.
+      // Copy-amplification is the dup-heavy worst case for the suffix
+      // family (every doc gains 9 exact clones, so ~every position
+      // sits in a duplicated span, and the distinct-gram set does NOT
+      // grow) — the probe exercises the doubling loop's linear term
+      // under maximal span merging; ratios are read with that regime
+      // in mind (SCALE.md round 16).
+      //   Usage: runMain graft.Stress sf1 [query ...]
+      val spark = SparkSession.builder().master("local[32]")
+        .appName("graft-stress-sf1")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val src = "/root/testdata/sf0.1"
+        val f = 10
+        val dst = java.nio.file.Files.createTempDirectory("graft_sf1_").toString
+        // the curve-mode amplification: sparse 10⁸ id offsets keep
+        // every mod-10/mod-97 slice class (so the delta/forget slices
+        // amplify with the corpus) and stay far inside the doc_id·2²⁰
+        // positional pack's long range
+        Seq(("documents", "doc_id"), ("embeddings", "vec_id")).foreach {
+          case (name, idCol) =>
+            val base = Tables.load(spark, src, name)
+            (0 until f).map(i =>
+                base.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L)))
+              .reduce(_.union(_)).write.mode("overwrite")
+              .parquet(s"$dst/$name.parquet")
+        }
+        val heavy =
+          if (args.length > 1) args.drop(1).toSeq
+          else Seq("ss_ivf_admit", "ss_ivf_rebalance_q", "ss_ivf_rebalance_mq",
+            "dd_suffix_index_build", "st_suffix_admit",
+            "dd_suffix_spans", "pipe_suffix_clean")
+        // warm once at sf0.1 (codegen + the memoized publishes, so the
+        // sf0.1 denominators time the query, not session startup)
+        heavy.foreach { q =>
+          try SparkEntry.queries(q)(spark, src).count()
+          catch { case e: Throwable =>
+            System.err.println(s"warmup $q FAILED: ${e.getMessage}") }
+        }
+        val slow = hostSlowdown(spark)
+        heavy.foreach { q =>
+          def once(dir: String): (Long, Double) = {
+            val t0 = System.nanoTime()
+            val rows = SparkEntry.queries(q)(spark, dir).count()
+            (rows, (System.nanoTime() - t0) / 1e9)
+          }
+          val (r01, t01) = once(src)
+          val (r1, t1) = once(dst)
+          println(f"STRESS sf1_probe q=$q sf01_rows=$r01 sf01_sec=$t01%.2f " +
+            f"sf1_rows=$r1 sf1_sec=$t1%.2f ratio=${t1 / t01}%.2f " +
+            f"slowdown=$slow%.2f")
+        }
       } finally spark.stop()
       return
     }

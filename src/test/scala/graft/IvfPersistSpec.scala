@@ -157,6 +157,76 @@ class IvfPersistSpec extends AnyFunSuite {
     assert(out.filter(_.getAs[Boolean]("from_split")).length >= 2)
   }
 
+  test("ss_ivf_rebalance_mq: no-op on uniform data (both premises quiet)") {
+    val admit = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
+    val out = SparkEntry.queries("ss_ivf_rebalance_mq")(spark, dir).collect()
+    assert(out.forall(_.getAs[Long]("n_splits") == 0L))
+    assert(out.forall(_.getAs[Long]("n_merges") == 0L))
+    assert(out.map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("n_total")).toMap ==
+      admit.map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("n_total")).toMap,
+      "no-op merge dual changed the census")
+    val occ = out.map(_.getAs[Long]("occ_ppm_of_mean"))
+    assert(occ.max <= graft.operators.Similarity.AdmitRebalancePpm)
+    assert(occ.min >= graft.operators.Similarity.AdmitMergeFloorPpm,
+      "uniform testdata has a sub-floor cell — the oracle premise broke")
+  }
+
+  test("ss_ivf_rebalance_mq: dust cells fold after the fat-cell split (synthetic skew)") {
+    // the round-16 Stress ivfskew mix at CI scale: 90% fat cell (must
+    // split), 8% healthy, 1.5% + 0.5% dust clusters — post-training
+    // at least one of their cells sits below the merge floor
+    val n = 3000L
+    val skewDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfskew_mq_spec_$n"
+    spark.range(0L, n)
+      .selectExpr(
+        "id AS vec_id",
+        """transform(sequence(0, 63), d -> CAST(
+             (CASE WHEN d DIV 16 = (
+                CASE WHEN id < 4 THEN id
+                     WHEN id % 1000 < 900 THEN 0
+                     WHEN id % 1000 < 980 THEN 1
+                     WHEN id % 1000 < 995 THEN 2
+                     ELSE 3 END)
+              THEN 10.0 ELSE 0.0 END)
+             + (pmod(xxhash64(id * 64 + d), 1000) / 1000.0 - 0.5) * 0.1
+           AS FLOAT)) AS embedding""",
+        "CAST(0 AS INT) AS label")
+      .coalesce(2)
+      .write.mode("overwrite").parquet(s"$skewDir/embeddings.parquet")
+    Tables.invalidate(skewDir)
+    val admit = SparkEntry.queries("ss_ivf_admit")(spark, skewDir).collect()
+    assert(admit.exists(_.getAs[Boolean]("rebalance")),
+      "fixture failed to trip the occupancy alarm")
+    val rebq = SparkEntry.queries("ss_ivf_rebalance_q")(spark, skewDir).collect()
+    val out = SparkEntry.queries("ss_ivf_rebalance_mq")(spark, skewDir).collect()
+    // the designed fractions map through Lloyd training non-linearly
+    // (measured: the 1.5% cluster's cell lands at ~148k ppm, the 0.5%
+    // cluster's cell absorbs blob margin and lands healthy), so the
+    // contract is shape-generic: at least one dust cell folds and k
+    // shrinks by EXACTLY the folded count
+    val nMerges = out.head.getAs[Long]("n_merges")
+    assert(nMerges >= 1L, "no cell folded despite a sub-floor dust cell")
+    assert(out.length == rebq.length - nMerges,
+      s"k after merge (${out.length}) != split-only k (${rebq.length}) - $nMerges")
+    // population conserved through split + fold
+    assert(out.map(_.getAs[Long]("n_total")).sum ==
+      admit.map(_.getAs[Long]("n_total")).sum, "merge lost or invented members")
+    val occ = out.map(_.getAs[Long]("occ_ppm_of_mean"))
+    assert(occ.max <= graft.operators.Similarity.AdmitRebalancePpm,
+      s"merge dual left the split alarm firing (${occ.max} ppm)")
+    assert(occ.min >= graft.operators.Similarity.AdmitMergeFloorPpm,
+      s"merge dual left a sub-floor cell (${occ.min} ppm)")
+    // the republished end-state artifacts exist, cell-partitioned
+    val root = sys.props.getOrElse("graft.index.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_index") +
+      "/" + skewDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val cells = new java.io.File(s"$root/assignments_mq").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+    assert(cells.length == out.length,
+      "published merged segment cell count diverged from the census")
+    assert(new java.io.File(s"$root/centroids_mq").isDirectory)
+  }
+
   test("ss_ivf_compact: the fold preserves the two-segment census exactly") {
     val admit = SparkEntry.queries("ss_ivf_admit")(spark, dir).collect()
       .map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("n_total")).toMap
