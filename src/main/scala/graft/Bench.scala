@@ -34,6 +34,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // offline replay of a progress log through the round-16 per-block
+    // normalization — no Spark session, used to validate the gate
+    // against recorded contended runs (verdict #4's acceptance check)
+    if (args.headOption.contains("replay")) { BenchReplay.run(args.drop(1)); return }
     val t0Main = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - t0Main) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +83,13 @@ object Bench {
       if (filter.isEmpty) sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_subset.json"))
     def outFile: String = outFileRef.get()
-    val progressFile = outFile + ".progress.jsonl"
+    // progress file NAMES THE ARTIFACT IT FEEDS (round-15 advice:
+    // deriving it once from the initial outFile meant a contended
+    // run's lines landed in bench.json.progress.jsonl and the next
+    // canonical run truncated the log that explained the last one) —
+    // recomputed per write, and the already-written lines move with
+    // the redirect.
+    def progressFile: String = outFile + ".progress.jsonl"
 
     def writeFile(path: String, txt: String): Unit =
       try java.nio.file.Files.write(
@@ -98,6 +108,15 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.APPEND)
       catch { case _: Throwable => () }
+    def redirectOut(newFile: String): Unit = {
+      val oldProgress = progressFile
+      outFileRef.set(newFile)
+      try java.nio.file.Files.move(
+        java.nio.file.Paths.get(oldProgress),
+        java.nio.file.Paths.get(progressFile),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: Throwable => () }
+    }
 
     // Completed per-(pass, query) seconds, readable from the shutdown
     // hook's thread while the main thread is mid-query.
@@ -142,9 +161,12 @@ object Bench {
           s""""killed_during":"${phase.get()}","n_queries_completed":${rs.size},""" +
           s""""n_queries_planned":${names.size},"queries":$qs,"errors":$errs,""" +
           s""""sf":"$sfDir","timing":"min_over_completed_passes"}"""
-        val partialFile =
-          if (outFile == "bench.json") "bench_partial.json" else outFile
-        writeFile(partialFile, json + "\n")
+        // A partial NEVER lands on a path that could hold a complete
+        // prior artifact (round-15 advice: the literal-compare guard
+        // protected only "bench.json" — a kill mid-contended-run, or
+        // mid-run under an explicit SPARK_GRAFT_BENCH_OUT, overwrote
+        // the complete prior at that path with a pass-1-only partial).
+        writeFile(outFile + ".partial.json", json + "\n")
         println(json)
         System.out.flush()
       }
@@ -291,7 +313,7 @@ object Bench {
     // every future run is judged against. Redirect the artifact; the
     // printed JSON (what the driver captures) is unchanged.
     if (contended && outFile == "bench.json") {
-      outFileRef.set("bench_contended.json")
+      redirectOut("bench_contended.json")
       System.err.println("[bench] sustained >=2x calibration contention — " +
         "writing to bench_contended.json, leaving the canonical " +
         "bench.json prior untouched")
@@ -301,6 +323,27 @@ object Bench {
 
     val byName = names.toMap
     phase.set("passes")
+    // PER-BLOCK contention probes (round-16 verdict #4): the r15
+    // driver run proved endpoint-only probes are blind to mid-run
+    // contention — 255 phantom flags under calibration_ratio 1.0,
+    // because the start probe endpoint happened to be quiet-adjacent
+    // while 11× contention covered the middle. One single-shot v2
+    // probe (~0.1 s quiet) every BlockProbeEvery queries goes into
+    // progress.jsonl AND into the regression gate: each query
+    // normalizes by the nearest probe, so a contended window poisons
+    // a block, not the run. min(before, after) keeps the divisor
+    // honest — a transient quiet instant adjacent to the query caps
+    // how much normalization it can claim.
+    val BlockProbeEvery = 25
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("max(xxhash64(id))").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val blockProbes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    val measSeq = scala.collection.mutable.Map[(Int, String), Int]()
+    var seq = 0
     // Per-pass maps built incrementally into `completed` so the hook
     // and the final assembly read one source of truth. The budget
     // check bites BETWEEN queries: pass 1 always runs to completion
@@ -310,13 +353,24 @@ object Bench {
     (1 to reps).foreach { pass =>
       names.foreach { case (name, fn) =>
         if (pass == 1 || !overBudget) {
+          if (seq % BlockProbeEvery == 0 && seq > 0) {
+            val p = probeOnce()
+            blockProbes += ((seq, p))
+            progress(s"""{"probe":${r3(p)},"seq":$seq,"pass":$pass,""" +
+              s""""t":${System.currentTimeMillis() / 1000}}""")
+          }
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e"); false }
           val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
           completed.put((pass, name), sec)
-          progress(s"""{"pass":$pass,"query":"$name","sec":${r3(sec)}}""")
+          measSeq((pass, name)) = seq
+          seq += 1
+          // wall-clock stamp: post-hoc contention forensics need to
+          // know WHEN a query ran, not just how long it took
+          progress(s"""{"pass":$pass,"query":"$name","sec":${r3(sec)},""" +
+            s""""t":${System.currentTimeMillis() / 1000}}""")
         } else budgetBit = true
       }
     }
@@ -351,9 +405,32 @@ object Bench {
     val calibEnd = calibrate()
     val calibNow = math.min(calibStart, calibEnd)
     val calRatio = math.max(1.0, calibPrev.map(calibNow / _).getOrElse(1.0))
-    def trips(prevT: Double, nowT: Double): Boolean =
-      prevT > 0 && nowT / calRatio > prevT * 1.5 &&
-        nowT / calRatio - prevT > 0.3
+    // Per-query host-speed ratio from the NEAREST block probes (the
+    // round-16 gate): a query measured inside a contended window
+    // normalizes by that window's probe, not by the run's endpoints.
+    // min(before, after) caps the claimable normalization; clamped
+    // ≥ 1 so a faster host can never mask a real regression.
+    def nearestProbe(sq: Int): Double = {
+      val before = blockProbes.takeWhile(_._1 <= sq).lastOption
+        .map(_._2).getOrElse(calibStart)
+      val after = blockProbes.dropWhile(_._1 <= sq).headOption
+        .map(_._2).getOrElse(calibEnd)
+      math.min(before, after)
+    }
+    def ratioFor(name: String, value: Double): Double = calibPrev match {
+      case Some(p) =>
+        import scala.jdk.CollectionConverters._
+        val sq = completed.asScala.collectFirst {
+          case ((pass, n), v) if n == name && v == value =>
+            measSeq.getOrElse((pass, n), 0)
+        }
+        math.max(1.0, sq.map(nearestProbe).getOrElse(calibNow) / p)
+      case None => 1.0
+    }
+    val endRatio = math.max(1.0, calibPrev.map(calibEnd / _).getOrElse(1.0))
+    def trips(prevT: Double, nowT: Double, ratio: Double): Boolean =
+      prevT > 0 && nowT / ratio > prevT * 1.5 &&
+        nowT / ratio - prevT > 0.3
     // Load-aware gate (round-12 verdict #7): a row that trips the
     // thresholds is RE-MEASURED standalone (min of 2 back-to-back
     // runs, after the suite's load has drained) before it may enter
@@ -367,7 +444,8 @@ object Bench {
     // degraded run are labeled, not silently confirmed.
     phase.set("remeasure")
     val flagged = results.collect {
-      case (k, v, true) if prev.get(k).exists(p => trips(p, v)) => (k, v)
+      case (k, v, true) if prev.get(k).exists(p => trips(p, v, ratioFor(k, v))) =>
+        (k, v)
     }
     val remeasured = flagged.map { case (k, v) =>
       if (overBudget) (k, v, v)
@@ -381,12 +459,18 @@ object Bench {
         (k, v, math.min(v, times.min))
       }
     }
+    // a standalone re-measure ran near the END probe; its value
+    // normalizes by endRatio, a suite value by its nearest block probe
+    def bestRatio(k: String, suite: Double, best: Double): Double =
+      if (best < suite) endRatio else ratioFor(k, suite)
     val regs = remeasured.collect {
-      case (k, _, best) if prev.get(k).exists(p => trips(p, best)) =>
+      case (k, suite, best)
+          if prev.get(k).exists(p => trips(p, best, bestRatio(k, suite, best))) =>
         s""""$k":{"prev":${r3(prev(k))},"now":${r3(best)},"ratio":${r3(best / prev(k))}}"""
     }
     val cleared = remeasured.collect {
-      case (k, suite, best) if !prev.get(k).exists(p => trips(p, best)) =>
+      case (k, suite, best)
+          if !prev.get(k).exists(p => trips(p, best, bestRatio(k, suite, best))) =>
         s""""$k":{"prev":${r3(prev(k))},"suite":${r3(suite)},"standalone":${r3(best)}}"""
     }
     val regsJson = regs.mkString("{", ",", "}")
@@ -400,9 +484,9 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"$timingNote","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
       s""""loadavg":{"start":$loadStart,"initial":$loadInitial,"end":$loadEnd$loadNote},""" +
-      s""""calibration":{"probe":"$probeVersion","start":${r3(calibStart)},"end":${r3(calibEnd)},"prev":${calibPrev.map(r3).getOrElse(-1.0)},"ratio":${r3(calRatio)},"waited_s":${waited + calibWaited}}$degradeNote,""" +
+      s""""calibration":{"probe":"$probeVersion","start":${r3(calibStart)},"end":${r3(calibEnd)},"prev":${calibPrev.map(r3).getOrElse(-1.0)},"ratio":${r3(calRatio)},"waited_s":${waited + calibWaited},"block_probes":${blockProbes.size},"block_probe_min":${if (blockProbes.isEmpty) -1.0 else r3(blockProbes.map(_._2).min)},"block_probe_max":${if (blockProbes.isEmpty) -1.0 else r3(blockProbes.map(_._2).max)}}$degradeNote,""" +
       s""""regressions":$regsJson,"noise_cleared":$clearedJson,""" +
-      s""""regression_rule":">1.5x and >0.3s vs $prevPath (${prev.size} prior queries), host-speed-normalized by calibration ratio ${r3(calRatio)}, confirmed by standalone re-measure",""" +
+      s""""regression_rule":">1.5x and >0.3s vs $prevPath (${prev.size} prior queries), host-speed-normalized per query by the NEAREST interleaved block probe (every $BlockProbeEvery queries, min(before,after), clamped >=1), confirmed by standalone re-measure",""" +
       s""""baseline_comparable":{"workload":"wordcount (the reference's only job)","sec":$wcSec,"n_queries_in_total":${results.size}}}"""
     // The full per-query map (~3.4 KB for 113 queries) overflows the
     // driver's captured stdout tail, so the LAST stdout line must be a
@@ -422,5 +506,105 @@ object Bench {
     println(compact)
     System.out.flush()
     spark.stop()
+  }
+}
+
+/** Offline replay of a Bench progress log through the round-16
+  * per-block normalization (`runMain graft.Bench replay
+  * <progress.jsonl> <prior bench.json>`): re-derives the regression
+  * flags the gate WOULD raise, without touching Spark or the host.
+  *
+  * Normalization source, in preference order:
+  *  1. interleaved block probes (`{"probe":…,"seq":…}` lines, written
+  *     by round-16+ runs): each query divides by
+  *     max(1, min(nearest-before, nearest-after) / prior probe) — the
+  *     live gate's rule verbatim;
+  *  2. probe-less logs (pre-round-16, e.g. the r15 driver's contended
+  *     run): BLOCK-MEDIAN fallback — queries are grouped in log order
+  *     into blocks of 25 and each divides by the clamped median of
+  *     its block's now/prev ratios. Self-calibrating: a window where
+  *     everything is uniformly 5× slower has block median ≈ 5 and
+  *     raises nothing; a genuine single-query regression still sticks
+  *     out of its own block. Replay-only — the live gate always has
+  *     probes.
+  *
+  * Acceptance check this tool exists for (round-16 verdict #4):
+  * replaying the r15 contended progress log. Measured result
+  * (SCALE.md round 16): 255 endpoint-normalized phantom flags drop
+  * to 90 block-median candidates — and the remaining 90 are
+  * IRREDUCIBLE post-hoc, because that run's contention was per-query
+  * bursty, not block-shaped (e.g. dd_ablation measured 11.1× its
+  * prior while its 24 block neighbors' median was 1.19×; no
+  * statistic over neighbors or probes can tell that from a real 11×
+  * regression). That is exactly why the LIVE gate's flags are
+  * candidates, not verdicts: each gets a standalone min-of-2
+  * re-measure after the suite (r12 rule), which the r15 driver run
+  * skipped under degraded budget. Replay therefore reports its flags
+  * as would-re-measure candidates.
+  */
+object BenchReplay {
+  def run(args: Array[String]): Unit = {
+    val Array(progressPath, prevPath) = args.take(2)
+    def slurp(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val progressTxt = slurp(progressPath)
+    val prevTxt = slurp(prevPath)
+    val prev: Map[String, Double] =
+      """"queries":\{(.*?)\}""".r.findFirstMatchIn(prevTxt).map(_.group(1))
+        .map { qm =>
+          """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(qm)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+    val prevProbe: Option[Double] =
+      """"calibration":\{"probe":"v[0-9]+","start":([0-9.eE+-]+),"end":([0-9.eE+-]+)""".r
+        .findFirstMatchIn(prevTxt)
+        .map(m => math.min(m.group(1).toDouble, m.group(2).toDouble))
+    // (seq-in-log, kind) — measurements keep only their pass-1 /
+    // first occurrence per query (min over passes like the live gate)
+    val measLine =
+      """\{"pass":(\d+),"query":"([^"]+)","sec":(-?[0-9.eE+-]+)[,}].*""".r
+    val probeLine = """\{"probe":([0-9.eE+-]+),"seq":(\d+).*""".r
+    case class M(idx: Int, name: String, sec: Double)
+    var idx = 0
+    val meas = scala.collection.mutable.ArrayBuffer[M]()
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    progressTxt.linesIterator.foreach {
+      case measLine(_, name, sec) =>
+        meas += M(idx, name, sec.toDouble); idx += 1
+      case probeLine(p, _) => probes += ((idx, p.toDouble))
+      case _ => ()
+    }
+    val best = meas.filter(_.sec >= 0).groupBy(_.name)
+      .map { case (n, ms) => n -> ms.minBy(_.sec) }
+    def ratioOf(m: M): Double =
+      if (probes.nonEmpty && prevProbe.isDefined) {
+        val before = probes.takeWhile(_._1 <= m.idx).lastOption.map(_._2)
+        val after = probes.dropWhile(_._1 <= m.idx).headOption.map(_._2)
+        val near = (before.toSeq ++ after.toSeq).min
+        math.max(1.0, near / prevProbe.get)
+      } else {
+        // block-median fallback over the 25-query neighborhood
+        val block = meas.slice(m.idx / 25 * 25, m.idx / 25 * 25 + 25)
+        val ratios = block.flatMap(b =>
+          prev.get(b.name).filter(_ > 0).map(p => b.sec / p)).sorted
+        if (ratios.isEmpty) 1.0
+        else math.max(1.0, ratios(ratios.size / 2))
+      }
+    val flags = best.toSeq.sortBy(_._1).flatMap { case (name, m) =>
+      prev.get(name).filter(_ > 0).flatMap { p =>
+        val r = ratioOf(m)
+        if (m.sec / r > p * 1.5 && m.sec / r - p > 0.3)
+          Some(s""""$name":{"prev":$p,"now":${m.sec},"block_ratio":${math.round(r * 1000) / 1000.0}}""")
+        else None
+      }
+    }
+    val mode = if (probes.nonEmpty && prevProbe.isDefined) "nearest_probe"
+      else "block_median"
+    println(s"""{"replay":"$progressPath","prior":"$prevPath","mode":"$mode",""" +
+      s""""n_measured":${best.size},"n_with_prior":${best.keySet.count(prev.contains)},""" +
+      s""""n_remeasure_candidates":${flags.size},""" +
+      s""""note":"candidates, not verdicts - the live gate standalone-re-measures each before it may enter regressions",""" +
+      s""""flags":{${flags.mkString(",")}}}""")
   }
 }
