@@ -191,9 +191,10 @@ object Stress {
       // Fat-cell fixture for the IVF rebalance path (round 14): a
       // synthetic corpus whose coarse quantizer provably concentrates
       // 90% of vectors in ONE cell — vec_ids 0..3 ARE the four
-      // well-separated cluster centers (the IVF seeds), members 90/5/
-      // 3/2% across clusters, jitter deterministic (xxhash64-derived,
-      // no RNG). What it proves, by require: (a) the ss_ivf_admit
+      // well-separated cluster centers (the IVF seeds), members
+      // 90/8/1.5/0.5% across clusters (round 16: dust cells for the
+      // merge dual), jitter deterministic (xxhash64-derived, no RNG).
+      // What it proves, by require: (a) the ss_ivf_admit
       // occupancy alarm FIRES on a genuinely fat cell (on the uniform
       // testdata it stays quiet); (b) ss_ivf_rebalance answers it —
       // exactly two sub-cells, worst-cell occupancy strictly reduced;

@@ -869,10 +869,15 @@ object Dedup {
       val sgRecompute = suffixGramsOf(staticSurv, SuffixSpanL)
         .select("g").distinct()
         .select(gramFp(col("g")): _*)
-      val sgLeft = sgRecompute
-        .join(sgAfter, Seq("fp1", "fp2"), "left_anti")
-        .unionByName(sgAfter.select("fp1", "fp2")
-          .join(sgRecompute, Seq("fp1", "fp2"), "left_anti"))
+      // symmetric difference in ONE shuffle: both sides are distinct
+      // sets, so a tagged union aggregates to 1 (recompute-only =
+      // over-deletion), 2 (published-only = under-deletion), or 3
+      // (agreeing) per fingerprint — cheaper than two sort-merge
+      // anti-joins over the ~corpus-gram-sized sets
+      val sgLeft = sgRecompute.select(col("fp1"), col("fp2"), lit(1L).as("m"))
+        .unionByName(sgAfter.select(col("fp1"), col("fp2"), lit(2L).as("m")))
+        .groupBy("fp1", "fp2").agg(sum(col("m")).as("ms"))
+        .filter(col("ms") =!= 3L)
       audit("bands", bandsAll, bandsAfter,
           bandsAfter.filter(col("doc_id") % 97 === 13))
         .unionByName(audit("documents", docs, docsAfter,
