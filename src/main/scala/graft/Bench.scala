@@ -499,6 +499,20 @@ object Bench {
       s""""loadavg_start":$loadStart,"calibration_sec":${r3(calibNow)},"calibration_ratio":${r3(calRatio)},""" +
       s""""timing":"$timingNote"$degradeNote,"baseline_comparable":{"workload":"wordcount","sec":$wcSec},""" +
       s""""detail":"bench.json"}"""
+    // END-POINT guard (round 16): the start gate alone proved
+    // insufficient — a run can gate quiet at 0.191 and finish at 0.44
+    // with 2.2 s mid-run bursts (measured this round), leaving the
+    // canonical with silently inflated priors. The canonical-baseline
+    // rule is START AND END ≤ 2× the armed quiet prior; a run that
+    // decays past it mid-flight quarantines itself exactly like a
+    // contended start.
+    if (outFile == "bench.json" &&
+        calibPrev.exists(p => calibEnd > p * 2)) {
+      redirectOut("bench_contended.json")
+      System.err.println(f"[bench] end calibration ${calibEnd}%.3f s > " +
+        f"2x prev ${calibPrev.get}%.3f s — contention arrived mid-run; " +
+        "quarantining to bench_contended.json")
+    }
     println(json)
     System.err.println(json)
     writeFile(outFile, json + "\n")
