@@ -405,6 +405,9 @@ object Bench {
     val calibEnd = calibrate()
     val calibNow = math.min(calibStart, calibEnd)
     val calRatio = math.max(1.0, calibPrev.map(calibNow / _).getOrElse(1.0))
+    val blockProbeMedian =
+      if (blockProbes.isEmpty) calibNow
+      else blockProbes.map(_._2).sorted.apply(blockProbes.size / 2)
     // Per-query host-speed ratio from the NEAREST block probes (the
     // round-16 gate): a query measured inside a contended window
     // normalizes by that window's probe, not by the run's endpoints.
@@ -484,7 +487,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"$timingNote","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
       s""""loadavg":{"start":$loadStart,"initial":$loadInitial,"end":$loadEnd$loadNote},""" +
-      s""""calibration":{"probe":"$probeVersion","start":${r3(calibStart)},"end":${r3(calibEnd)},"prev":${calibPrev.map(r3).getOrElse(-1.0)},"ratio":${r3(calRatio)},"waited_s":${waited + calibWaited},"block_probes":${blockProbes.size},"block_probe_min":${if (blockProbes.isEmpty) -1.0 else r3(blockProbes.map(_._2).min)},"block_probe_max":${if (blockProbes.isEmpty) -1.0 else r3(blockProbes.map(_._2).max)}}$degradeNote,""" +
+      s""""calibration":{"probe":"$probeVersion","start":${r3(calibStart)},"end":${r3(calibEnd)},"prev":${calibPrev.map(r3).getOrElse(-1.0)},"ratio":${r3(calRatio)},"waited_s":${waited + calibWaited},"block_probes":${blockProbes.size},"block_probe_min":${if (blockProbes.isEmpty) -1.0 else r3(blockProbes.map(_._2).min)},"block_probe_median":${r3(blockProbeMedian)},"block_probe_max":${if (blockProbes.isEmpty) -1.0 else r3(blockProbes.map(_._2).max)}}$degradeNote,""" +
       s""""regressions":$regsJson,"noise_cleared":$clearedJson,""" +
       s""""regression_rule":">1.5x and >0.3s vs $prevPath (${prev.size} prior queries), host-speed-normalized per query by the NEAREST interleaved block probe (every $BlockProbeEvery queries, min(before,after), clamped >=1), confirmed by standalone re-measure",""" +
       s""""baseline_comparable":{"workload":"wordcount (the reference's only job)","sec":$wcSec,"n_queries_in_total":${results.size}}}"""
@@ -499,19 +502,23 @@ object Bench {
       s""""loadavg_start":$loadStart,"calibration_sec":${r3(calibNow)},"calibration_ratio":${r3(calRatio)},""" +
       s""""timing":"$timingNote"$degradeNote,"baseline_comparable":{"workload":"wordcount","sec":$wcSec},""" +
       s""""detail":"bench.json"}"""
-    // END-POINT guard (round 16): the start gate alone proved
-    // insufficient — a run can gate quiet at 0.191 and finish at 0.44
-    // with 2.2 s mid-run bursts (measured this round), leaving the
-    // canonical with silently inflated priors. The canonical-baseline
-    // rule is START AND END ≤ 2× the armed quiet prior; a run that
-    // decays past it mid-flight quarantines itself exactly like a
-    // contended start.
+    // MID-RUN guard (round 16): the start gate alone proved
+    // insufficient — a run gated quiet at 0.191 and finished at 0.44
+    // with 2.2 s mid-run bursts; a second run had BOTH endpoints
+    // quiet (0.209/0.202) around a 0.45-median contended middle and
+    // would have raised the canonical total 460 → 602 s. Endpoints
+    // are two samples; the interleaved block probes are the run's
+    // actual speed record, so the canonical rule is: start, end, AND
+    // the block-probe MEDIAN within 2× the armed quiet prior (median,
+    // not max — min-of-2 interleaved passes absorb isolated bursts; a
+    // contended MAJORITY of the run cannot be absorbed). Runs failing
+    // any of the three quarantine to bench_contended.json.
     if (outFile == "bench.json" &&
-        calibPrev.exists(p => calibEnd > p * 2)) {
+        calibPrev.exists(p => calibEnd > p * 2 || blockProbeMedian > p * 2)) {
       redirectOut("bench_contended.json")
-      System.err.println(f"[bench] end calibration ${calibEnd}%.3f s > " +
-        f"2x prev ${calibPrev.get}%.3f s — contention arrived mid-run; " +
-        "quarantining to bench_contended.json")
+      System.err.println(f"[bench] end ${calibEnd}%.3f s / block median " +
+        f"$blockProbeMedian%.3f s vs 2x prev ${calibPrev.get}%.3f s — " +
+        "contention covered the run; quarantining to bench_contended.json")
     }
     println(json)
     System.err.println(json)

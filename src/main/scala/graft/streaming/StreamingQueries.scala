@@ -1008,6 +1008,114 @@ object StreamingQueries {
       out
     }),
 
+    // STREAMING ERASURE OF A SHARED SET ARTIFACT (round 16 — the
+    // suffix dual of st_forget): a SET index cannot tombstone rows,
+    // because an entry is co-owned by MANY docs and must leave only
+    // when its LAST owner is erased — the reason pipe_forget's batch
+    // leg REBUILDS the gram index over survivors. The streaming
+    // answer is the LSM refcount: the served base segment stores
+    // (prefix, gram fingerprint) → n_owners over the static slice;
+    // each erasure micro-batch appends a DECREMENT segment (one −1
+    // per (deleted doc, distinct gram), written BY BATCH ID —
+    // idempotent overwrite, the established exactly-once contract);
+    // the served view is base ∪ decrements, grouped per fingerprint,
+    // HAVING Σ > 0. Per batch the work is the DELETED DOCS' chars —
+    // never a corpus rebuild; base-vs-decrement compaction is the
+    // pipe_forget republish, the two faces of one artifact. Crash
+    // injects in batch 1 after the decrement write, before the commit
+    // log; replay overwrites the same segment identically, and the
+    // require pins the decrement log to exactly one row per
+    // (doc, gram) — INFLATION is the SET-artifact failure mode
+    // (double decrements would over-delete grams co-owned by
+    // survivors). Output: the post-erasure index census per prefix
+    // (the dd_suffix_index_build shape) from the served view; oracle
+    // = distinct grams of the static survivors, stated from the raw
+    // corpus.
+    "st_suffix_forget" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val spanL = Dedup.SuffixSpanL
+      val docs = Tables.documents(s, dir)
+      val static = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      // per-doc distinct grams, fingerprinted: the ownership unit the
+      // refcount counts (a doc repeating a gram internally still owns
+      // it once)
+      def docGrams(d: DataFrame) = Dedup.suffixGramsOf(d, spanL)
+        .select(col("doc_id"), col("g")).distinct()
+        .select(Seq(col("doc_id"), substring(col("g"), 1, 1).as("c")) ++
+          Dedup.gramFp(col("g")): _*)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = s"${stageRoot(dir)}/suffix_forget_ckpt_$run"
+      val store = s"${stageRoot(dir)}/suffix_forget_store_$run"
+      // served base refcount segment, built on the driver before the
+      // stream starts (the st_suffix_admit static-index rule)
+      docGrams(static)
+        .groupBy("c", "fp1", "fp2").agg(count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$store/base")
+      val base = s.read.parquet(s"$store/base")
+      val delReq = static.filter(col("doc_id") % 97 === 13).select("doc_id")
+      // inflation pin denominator: exactly one decrement per
+      // (deleted doc, owned gram)
+      val expectedDecs = docGrams(static.join(broadcast(delReq), "doc_id"))
+        .count()
+      val staged = stage(delReq.repartitionByRange(4, col("doc_id")),
+        s"$dir/documents.parquet", s"${stageRoot(dir)}/suffix_forget_req")
+      val parts = Option(new java.io.File(staged).listFiles()).toSeq
+        .flatten.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L) }
+      val nFiles = parts.length
+      require(nFiles >= 2,
+        s"staged $nFiles parquet files — the batch-1 crash injection " +
+          "needs at least 2 one-file micro-batches")
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+      def start(injectCrash: Boolean) = s.readStream.schema(delReq.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          batchesSeen.incrementAndGet()
+          val s2 = df.sparkSession
+          // the batch's deleted docs' grams — batch-sized work: one
+          // broadcast semi of the corpus down to the batch docs, one
+          // gram explode of THOSE docs only
+          docGrams(Tables.documents(s2, dir)
+              .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+              .join(broadcast(df.select("doc_id")), "doc_id"))
+            .select(col("c"), col("fp1"), col("fp2"), lit(-1L).as("n"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$store/dec/b$batchId")
+          if (injectCrash && batchId == 1L) {
+            crashed.set(true)
+            throw new IllegalStateException(
+              "injected crash: after decrement write, before commit-log entry")
+          }
+        }
+        .start()
+      val q1 = start(injectCrash = true)
+      try { q1.processAllAvailable(); () }
+      catch { case _: Exception => () } finally q1.stop()
+      require(crashed.get(), "crash injection never fired — staged file " +
+        "count changed? the recovery contract was not exercised")
+      val q2 = start(injectCrash = false)
+      try q2.processAllAvailable() finally q2.stop()
+      require(batchesSeen.get() >= nFiles + 1L,
+        s"expected batch 1 to REPLAY after restart, saw only " +
+          s"${batchesSeen.get()} foreachBatch calls for $nFiles files")
+      val decs = s.read.parquet(s"$store/dec/b*").localCheckpoint(true)
+      val nDecs = decs.count()
+      require(nDecs == expectedDecs,
+        s"decrement log holds $nDecs rows for $expectedDecs " +
+          "(doc, gram) pairs — a replayed batch double-decremented " +
+          "(over-deletion of co-owned grams)")
+      val out = base.unionByName(decs)
+        .groupBy("c", "fp1", "fp2").agg(sum(col("n")).as("owners"))
+        .filter(col("owners") > 0)
+        .groupBy("c").agg(count(lit(1)).as("n_grams"))
+        .orderBy("c").localCheckpoint(true)
+      Seq(ckpt, store).foreach(p => rmTree(new java.io.File(p)))
+      out
+    }),
+
     "st_late_drop" -> ((s, dir) => {
             val ev = Tables.events(s, dir)
       val staged = s"${stageRoot(dir)}/ev_late_drop"
@@ -1127,6 +1235,20 @@ object StreamingQueries {
     "st_forget" ->
       """SELECT doc_id, md5(text) AS fp FROM documents
         |WHERE doc_id % 97 <> 13 ORDER BY doc_id""".stripMargin,
+    // the refcounted SET-erasure dual: once every decrement has been
+    // applied, the served gram index is exactly the distinct grams of
+    // the static survivors — stated per first-char prefix from the
+    // raw corpus (the dd_suffix_index_build census shape)
+    "st_suffix_forget" -> {
+      val l = graft.operators.Dedup.SuffixSpanL
+      s"""WITH sga AS (
+         |  SELECT DISTINCT substring(text, CAST(p AS INT), $l) AS g
+         |  FROM (SELECT text, length(text) AS len FROM documents
+         |        WHERE doc_id % 10 <> 7 AND doc_id % 97 <> 13),
+         |       UNNEST(range(1, len - ${l - 2})) AS u(p))
+         |SELECT substring(g, 1, 1) AS c, count(*)::BIGINT AS n_grams
+         |FROM sga GROUP BY 1 ORDER BY c""".stripMargin
+    },
     "st_new_users" ->
       """SELECT CAST(fd AS VARCHAR) AS day, count(*)::BIGINT AS new_users
         |FROM (SELECT user_id, min(CAST(ts AS DATE)) AS fd

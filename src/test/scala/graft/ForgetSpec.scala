@@ -72,6 +72,27 @@ class ForgetSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("st_suffix_forget: refcounted SET erasure converges to survivor grams") {
+    import org.apache.spark.sql.functions._
+    // the row's own requires prove crash-replay exactly-once (batch-1
+    // crash + restart, decrement log pinned to one row per
+    // (doc, gram)); here: the served base-minus-decrements view's
+    // census equals the survivor gram set computed directly
+    val out = SparkEntry.queries("st_suffix_forget")(spark, dir).collect()
+      .map(r => r.getAs[String]("c") -> r.getAs[Long]("n_grams")).toMap
+    val surv = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7 && col("doc_id") % 97 =!= 13)
+    val expected = graft.operators.Dedup
+      .suffixGramsOf(surv, graft.operators.Dedup.SuffixSpanL)
+      .select("g").distinct()
+      .groupBy(substring(col("g"), 1, 1).as("c"))
+      .agg(count(lit(1)).as("n_grams")).collect()
+      .map(r => r.getAs[String]("c") -> r.getAs[Long]("n_grams")).toMap
+    assert(out == expected,
+      "refcounted streamed erasure diverged from the survivor gram census")
+    assert(out.nonEmpty)
+  }
+
   test("shared set artifacts keep co-owned entries (no over-deletion)") {
     // removed fingerprints can never exceed deleted docs (each deleted
     // doc retires at most its own fp, and only if no survivor shares it)
