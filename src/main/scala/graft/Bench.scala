@@ -111,20 +111,43 @@ object Bench {
     def redirectOut(newFile: String): Unit = {
       val oldProgress = progressFile
       outFileRef.set(newFile)
-      try java.nio.file.Files.move(
-        java.nio.file.Paths.get(oldProgress),
-        java.nio.file.Paths.get(progressFile),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      catch { case _: Throwable => () }
+      // APPEND the moved lines to any existing destination log instead
+      // of replacing it (round-16 advice: REPLACE_EXISTING made each
+      // quarantined run destroy the previous bench_contended.json
+      // .progress.jsonl — the forensic record the round-15/16
+      // postmortems were built from). A `{"event":"run_boundary"}`
+      // line separates runs so replay tooling can split them.
+      try {
+        val src = java.nio.file.Paths.get(oldProgress)
+        val dst = java.nio.file.Paths.get(progressFile)
+        if (java.nio.file.Files.exists(dst)) {
+          java.nio.file.Files.write(dst,
+            (s"""{"event":"run_boundary","t":${System.currentTimeMillis() / 1000}}""" + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.APPEND)
+          java.nio.file.Files.write(dst, java.nio.file.Files.readAllBytes(src),
+            java.nio.file.StandardOpenOption.APPEND)
+          java.nio.file.Files.delete(src)
+        } else java.nio.file.Files.move(src, dst)
+      } catch { case _: Throwable => () }
     }
 
     // Completed per-(pass, query) seconds, readable from the shutdown
     // hook's thread while the main thread is mid-query.
     val completed = new java.util.concurrent.ConcurrentHashMap[(Int, String), Double]()
+    // suite-order sequence number of each measurement — written by the
+    // main loop, read by assembleQueries (including from the shutdown
+    // hook's thread) and by the regression gate's nearest-probe lookup
+    val measSeq = new java.util.concurrent.ConcurrentHashMap[(Int, String), Int]()
     val phase = new java.util.concurrent.atomic.AtomicReference[String]("startup")
     val doneNormally = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-    def assembleQueries(): Seq[(String, Double, Boolean)] = {
+    // (name, best seconds, ok, seq of the winning pass's measurement).
+    // The winning pass is chosen by (value, pass) — deterministic even
+    // if two passes record bit-identical times (round-16 advice: the
+    // old reverse-match by floating-point equality picked the probe
+    // window by map iteration order on ties).
+    def assembleQueries(): Seq[(String, Double, Boolean, Int)] = {
       import scala.jdk.CollectionConverters._
       val byName = completed.asScala.toSeq.groupBy(_._1._2)
       names.flatMap { case (name, _) =>
@@ -132,16 +155,18 @@ object Bench {
           val vals = ts.map(_._2)
           // a -1 in any completed pass marks the query failed
           val best = if (vals.contains(-1.0)) -1.0 else vals.min
-          (name, best, best >= 0)
+          val winPass = ts.minBy { case ((pass, _), v) => (v, pass) }._1._1
+          val sq = measSeq.getOrDefault((winPass, name), 0)
+          (name, best, best >= 0, sq)
         }
       }
     }
-    def queriesJson(rs: Seq[(String, Double, Boolean)]): (String, String, Double) = {
-      val qs = rs.map { case (k, v, _) => "\"" + k + "\":" + v }
+    def queriesJson(rs: Seq[(String, Double, Boolean, Int)]): (String, String, Double) = {
+      val qs = rs.map { case (k, v, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val errs = rs.collect { case (k, _, false) => "\"" + k + "\"" }
+      val errs = rs.collect { case (k, _, false, _) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
-      val total = rs.collect { case (_, v, true) => v }.sum
+      val total = rs.collect { case (_, v, true, _) => v }.sum
       (qs, errs, total)
     }
     // Shutdown hook: on SIGTERM/timeout mid-run, write a PARSEABLE
@@ -342,7 +367,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val blockProbes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
-    val measSeq = scala.collection.mutable.Map[(Int, String), Int]()
     var seq = 0
     // Per-pass maps built incrementally into `completed` so the hook
     // and the final assembly read one source of truth. The budget
@@ -365,7 +389,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: $e"); false }
           val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
           completed.put((pass, name), sec)
-          measSeq((pass, name)) = seq
+          measSeq.put((pass, name), seq)
           seq += 1
           // wall-clock stamp: post-hoc contention forensics need to
           // know WHEN a query ran, not just how long it took
@@ -379,7 +403,7 @@ object Bench {
     // The reference's published numbers (BASELINE.md) time its single
     // workload — WordCount end-to-end — so surface that one separately
     // next to the full suite total (one entry per SparkEntry query).
-    val wcSec = results.collectFirst { case ("wordcount", v, true) => v }.getOrElse(-1.0)
+    val wcSec = results.collectFirst { case ("wordcount", v, true, _) => v }.getOrElse(-1.0)
     // Round-over-round self-audit (round-11 verdict #3): diff against
     // the PREVIOUS bench.json (read before it is overwritten below) and
     // name every query that got BOTH >1.5× slower and >0.3 s slower —
@@ -420,14 +444,11 @@ object Bench {
         .map(_._2).getOrElse(calibEnd)
       math.min(before, after)
     }
-    def ratioFor(name: String, value: Double): Double = calibPrev match {
-      case Some(p) =>
-        import scala.jdk.CollectionConverters._
-        val sq = completed.asScala.collectFirst {
-          case ((pass, n), v) if n == name && v == value =>
-            measSeq.getOrElse((pass, n), 0)
-        }
-        math.max(1.0, sq.map(nearestProbe).getOrElse(calibNow) / p)
+    // seq is carried through assembleQueries from the winning pass's
+    // measurement (no reverse-match by floating-point equality —
+    // round-16 advice finding)
+    def ratioFor(sq: Int): Double = calibPrev match {
+      case Some(p) => math.max(1.0, nearestProbe(sq) / p)
       case None => 1.0
     }
     val endRatio = math.max(1.0, calibPrev.map(calibEnd / _).getOrElse(1.0))
@@ -447,11 +468,11 @@ object Bench {
     // degraded run are labeled, not silently confirmed.
     phase.set("remeasure")
     val flagged = results.collect {
-      case (k, v, true) if prev.get(k).exists(p => trips(p, v, ratioFor(k, v))) =>
-        (k, v)
+      case (k, v, true, sq) if prev.get(k).exists(p => trips(p, v, ratioFor(sq))) =>
+        (k, v, sq)
     }
-    val remeasured = flagged.map { case (k, v) =>
-      if (overBudget) (k, v, v)
+    val remeasured = flagged.map { case (k, v, sq) =>
+      if (overBudget) (k, v, sq, v)
       else {
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -459,21 +480,21 @@ object Bench {
           catch { case _: Throwable => v }
         }
         progress(s"""{"remeasure":"$k","suite":${r3(v)},"standalone":${r3(times.min)}}""")
-        (k, v, math.min(v, times.min))
+        (k, v, sq, math.min(v, times.min))
       }
     }
     // a standalone re-measure ran near the END probe; its value
     // normalizes by endRatio, a suite value by its nearest block probe
-    def bestRatio(k: String, suite: Double, best: Double): Double =
-      if (best < suite) endRatio else ratioFor(k, suite)
+    def bestRatio(sq: Int, suite: Double, best: Double): Double =
+      if (best < suite) endRatio else ratioFor(sq)
     val regs = remeasured.collect {
-      case (k, suite, best)
-          if prev.get(k).exists(p => trips(p, best, bestRatio(k, suite, best))) =>
+      case (k, suite, sq, best)
+          if prev.get(k).exists(p => trips(p, best, bestRatio(sq, suite, best))) =>
         s""""$k":{"prev":${r3(prev(k))},"now":${r3(best)},"ratio":${r3(best / prev(k))}}"""
     }
     val cleared = remeasured.collect {
-      case (k, suite, best)
-          if !prev.get(k).exists(p => trips(p, best, bestRatio(k, suite, best))) =>
+      case (k, suite, sq, best)
+          if !prev.get(k).exists(p => trips(p, best, bestRatio(sq, suite, best))) =>
         s""""$k":{"prev":${r3(prev(k))},"suite":${r3(suite)},"standalone":${r3(best)}}"""
     }
     val regsJson = regs.mkString("{", ",", "}")
@@ -491,17 +512,6 @@ object Bench {
       s""""regressions":$regsJson,"noise_cleared":$clearedJson,""" +
       s""""regression_rule":">1.5x and >0.3s vs $prevPath (${prev.size} prior queries), host-speed-normalized per query by the NEAREST interleaved block probe (every $BlockProbeEvery queries, min(before,after), clamped >=1), confirmed by standalone re-measure",""" +
       s""""baseline_comparable":{"workload":"wordcount (the reference's only job)","sec":$wcSec,"n_queries_in_total":${results.size}}}"""
-    // The full per-query map (~3.4 KB for 113 queries) overflows the
-    // driver's captured stdout tail, so the LAST stdout line must be a
-    // short self-contained summary; the full map goes to bench.json and
-    // stderr. Print order: full line first, compact line last.
-    val compact =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec",""" +
-      s""""sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(!_._3)},""" +
-      s""""n_regressions":${regs.size},"n_noise_cleared":${cleared.size},""" +
-      s""""loadavg_start":$loadStart,"calibration_sec":${r3(calibNow)},"calibration_ratio":${r3(calRatio)},""" +
-      s""""timing":"$timingNote"$degradeNote,"baseline_comparable":{"workload":"wordcount","sec":$wcSec},""" +
-      s""""detail":"bench.json"}"""
     // MID-RUN guard (round 16): the start gate alone proved
     // insufficient — a run gated quiet at 0.191 and finished at 0.44
     // with 2.2 s mid-run bursts; a second run had BOTH endpoints
@@ -513,13 +523,31 @@ object Bench {
     // not max — min-of-2 interleaved passes absorb isolated bursts; a
     // contended MAJORITY of the run cannot be absorbed). Runs failing
     // any of the three quarantine to bench_contended.json.
-    if (outFile == "bench.json" &&
-        calibPrev.exists(p => calibEnd > p * 2 || blockProbeMedian > p * 2)) {
+    val quarantined = outFile == "bench.json" &&
+      calibPrev.exists(p => calibEnd > p * 2 || blockProbeMedian > p * 2)
+    if (quarantined) {
       redirectOut("bench_contended.json")
       System.err.println(f"[bench] end ${calibEnd}%.3f s / block median " +
         f"$blockProbeMedian%.3f s vs 2x prev ${calibPrev.get}%.3f s — " +
         "contention covered the run; quarantining to bench_contended.json")
     }
+    // The full per-query map (~3.4 KB for 113 queries) overflows the
+    // driver's captured stdout tail, so the LAST stdout line must be a
+    // short self-contained summary; the full map goes to the artifact
+    // file and stderr. Built AFTER the quarantine decision (round-16
+    // advice: the old compact line hardcoded "detail":"bench.json"
+    // even when the run self-quarantined, so an automated consumer
+    // attributed contended totals to the untouched canonical
+    // artifact) — `detail` names the file this run actually wrote and
+    // a quarantined run says so in-band.
+    val compact =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec",""" +
+      s""""sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(!_._3)},""" +
+      s""""n_regressions":${regs.size},"n_noise_cleared":${cleared.size},""" +
+      s""""loadavg_start":$loadStart,"calibration_sec":${r3(calibNow)},"calibration_ratio":${r3(calRatio)},""" +
+      s""""timing":"$timingNote"$degradeNote,"baseline_comparable":{"workload":"wordcount","sec":$wcSec},""" +
+      (if (quarantined || contended) s""""quarantined":true,""" else "") +
+      s""""detail":"$outFile"}"""
     println(json)
     System.err.println(json)
     writeFile(outFile, json + "\n")

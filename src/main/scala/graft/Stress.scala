@@ -120,8 +120,10 @@ object Stress {
         // warm-up: scan + codegen paid outside the timings
         docs.count()
         for (l <- ls) {
+          // mirror suffixSpansOf's auto seed clamp: base = min(SeedBase, l/2)
+          val seedBase = math.min(graft.operators.Dedup.SuffixSeedBase, l / 2)
           val rounds = (Integer.numberOfTrailingZeros(l)
-            - Integer.numberOfTrailingZeros(graft.operators.Dedup.SuffixSeedBase))
+            - Integer.numberOfTrailingZeros(seedBase))
           val t0 = System.nanoTime()
           val spans = graft.operators.Dedup.suffixSpansOf(docs, l).count()
           println(f"STRESS suffix_spans dir=$dir L=$l rounds=$rounds " +

@@ -853,22 +853,32 @@ object Dedup {
       // by a surviving static doc must STAY. before = the PUBLISHED
       // serving index read back; after = the fingerprint index
       // rebuilt over static-slice survivors and republished; leftover
-      // audits BOTH failure directions against an independent
-      // survivor recompute from the raw corpus: under-deletion
+      // audits BOTH failure directions against a survivor recompute
+      // independent of the published FILE: under-deletion
       // (published entries no survivor owns — the forgotten doc's
       // grams linger in the serving tier, the GDPR breach) plus
       // over-deletion (survivor-owned grams the republish lost —
       // dedup broken for unrelated documents).
       val staticSurv = survDocs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
       val sgBefore = s.read.parquet(publishedSuffixGramIndex(s, dir))
+      // ONE survivor gram pass, localCheckpointed, feeds both the
+      // republish and the audit recompute (round-17 optimization; the
+      // round-16 form ran the corpus-chars explode + distinct twice).
+      // The audit's independence contract is FROM THE PUBLISHED FILE,
+      // and that is preserved: sgRecompute reads the checkpointed
+      // in-memory survivor grams while sgAfter is the parquet re-scan
+      // of what was written — a lossy, truncated or corrupted publish
+      // still surfaces as leftover > 0 / a hash mismatch. (What the
+      // shared frame no longer double-checks is the gram computation
+      // itself, which was the identical expression tree run twice —
+      // no verification was lost, one full pass was.)
+      val survGrams = suffixGramsOf(staticSurv, SuffixSpanL)
+        .select("g").distinct().localCheckpoint(false)
       val sgAfter = publish(
-        suffixGramsOf(staticSurv, SuffixSpanL)
-          .select("g").distinct()
+        survGrams
           .select(substring(col("g"), 1, 1).as("c") +: gramFp(col("g")): _*),
         "suffix_grams")
-      val sgRecompute = suffixGramsOf(staticSurv, SuffixSpanL)
-        .select("g").distinct()
-        .select(gramFp(col("g")): _*)
+      val sgRecompute = survGrams.select(gramFp(col("g")): _*)
       // symmetric difference in ONE shuffle: both sides are distinct
       // sets, so a tagged union aggregates to 1 (recompute-only =
       // over-deletion), 2 (published-only = under-deletion), or 3
@@ -1652,9 +1662,17 @@ object Dedup {
   /** Seed gram width for [[suffixSpansOf]]'s prefix doubling: classes
     * enter the loop at base-char granularity, so rounds =
     * log₂(L/base). Power of two; every supported L must satisfy
-    * L ≥ 2·base.
+    * L ≥ 2·base (the auto default clamps to spanL/2 for smaller L).
+    * Round 17: 8 → 16, A/B-measured with `graft.Stress suffixab
+    * sf0.1 32 8 16` (interleaved, span equality asserted): per-arm
+    * min 9.70 s (base 8, two doubling rounds) vs 8.45 s (base 16,
+    * ONE round) — one fewer round (a window + two corpus-position
+    * shuffles) beats the wider 16-char seed keys in the one seed
+    * aggregate, and the gap widens with data (the saved round
+    * shuffles corpus-position rows; the seed-key widening is
+    * amortized by the explode both arms pay).
     */
-  val SuffixSeedBase = 8
+  val SuffixSeedBase = 16
 
   /** One row per position with ≥ [[SuffixSpanL]]-like `spanL` chars
     * remaining: (doc_id, p, g) where g is the full L-char gram at p —
@@ -1673,17 +1691,25 @@ object Dedup {
       .select(col("doc_id"), (col("p0") + 1).cast("int").as("p"), col("g"))
 
   /** 128-bit gram fingerprint: two independent codegen'd xxhash64
-    * lanes (the raw gram, and the gram salted with a constant — a
-    * different hash function over the same bytes). Collision odds for
-    * two DISTINCT grams are ~2⁻¹²⁸ per pair — at 10¹² indexed grams
-    * (100 TB scale) the birthday bound is ~10⁻¹⁵, so fingerprint
-    * equality is gram equality for every practical corpus, and the
-    * index stores 16 bytes + a 1-char partition prefix instead of the
-    * raw L chars (round-16 verdict #3: the raw-gram publish was a
-    * corpus-chars × L-bytes artifact, ~4-8× the fingerprinted form).
+    * lanes. The salt comes FIRST in the second lane — Spark's
+    * multi-arg xxhash64 folds the running hash in as the seed, so
+    * `xxhash64(lit(1L), g)` hashes the gram under a different seed
+    * (a genuinely different hash function), whereas the round-16 form
+    * `xxhash64(g, lit(1L))` made fp2 a pure function of fp1 (any fp1
+    * collision was automatically an (fp1,fp2) collision — 64-bit, not
+    * 128-bit, resistance; the round-16 advice-high finding). With
+    * independent lanes, collision odds for two DISTINCT grams are
+    * ~2⁻¹²⁸ per pair — at 10¹² indexed grams (100 TB scale) the
+    * birthday bound is ~10⁻¹⁵, so fingerprint equality is gram
+    * equality for every practical corpus, and the index stores
+    * 16 bytes + a 1-char partition prefix instead of the raw L chars
+    * (round-16 verdict #3: the raw-gram publish was a corpus-chars ×
+    * L-bytes artifact, ~4-8× the fingerprinted form). Output-invariant
+    * by construction: fingerprints only ever key joins/groupings;
+    * every declared row reports counts over them.
     */
   private[graft] def gramFp(g: Column): Seq[Column] =
-    Seq(xxhash64(g).as("fp1"), xxhash64(g, lit(1L)).as("fp2"))
+    Seq(xxhash64(g).as("fp1"), xxhash64(lit(1L), g).as("fp2"))
 
   /** Publish (once per session × dir, idempotent overwrite) the served
     * L-gram index of the STATIC corpus slice (doc_id % 10 ≠ 7 — the
@@ -1719,22 +1745,25 @@ object Dedup {
     * exactness argument.
     */
   private[graft] def suffixSpansOf(documents: DataFrame, spanL: Int,
-      base: Int = SuffixSeedBase): DataFrame = {
-    // base-[[SuffixSeedBase]] classes seed the loop (one short-string
-    // aggregate beats extra long-key rounds; the doubling structure —
-    // and its log₂ cost curve — is unchanged, just entered
-    // log₂(base) levels up; base 8 vs 4 A/B-measured in SCALE.md
-    // round 14 via `graft.Stress suffixab`). The base parameter
-    // exists for that A/B harness only; queries use the default.
-    // base must itself be a power of two: the doubling loop steps
-    // w = base, 2·base, 4·base … and exits at w == spanL only when
-    // spanL/base is a power of two — a non-power base (reachable via
-    // the suffixab CLI) would overshoot spanL and silently return
-    // classes wider than L.
-    require(base >= 1 && (base & (base - 1)) == 0,
-      s"seed base must be a power of two >= 1, got $base")
-    require(spanL >= 2 * base && (spanL & (spanL - 1)) == 0,
-      s"spanL must be a power of two >= ${2 * base}, got $spanL")
+      base: Int = 0): DataFrame = {
+    // base 0 = auto: the measured-best [[SuffixSeedBase]], clamped to
+    // spanL/2 so CLI sweeps at small L keep a valid power-of-two seed
+    val seedBase = if (base > 0) base else math.min(SuffixSeedBase, spanL / 2)
+    // seedBase-char classes seed the loop (one short-string aggregate
+    // beats extra long-key rounds; the doubling structure — and its
+    // log₂ cost curve — is unchanged, just entered log₂(seedBase)
+    // levels up; base 4 vs 8 A/B-measured in SCALE.md round 14, 8 vs
+    // 16 in round 17, via `graft.Stress suffixab`). The base
+    // parameter exists for that A/B harness only; queries use the
+    // auto default. seedBase must itself be a power of two: the
+    // doubling loop steps w = seedBase, 2·seedBase, 4·seedBase … and
+    // exits at w == spanL only when spanL/seedBase is a power of two
+    // — a non-power base (reachable via the suffixab CLI) would
+    // overshoot spanL and silently return classes wider than L.
+    require(seedBase >= 1 && (seedBase & (seedBase - 1)) == 0,
+      s"seed base must be a power of two >= 1, got $seedBase")
+    require(spanL >= 2 * seedBase && (spanL & (spanL - 1)) == 0,
+      s"spanL must be a power of two >= ${2 * seedBase}, got $spanL")
     import org.apache.spark.sql.expressions.Window
     val pk = 1048576L
     val d = documents.filter(length(col("text")) >= 1)
@@ -1745,7 +1774,7 @@ object Dedup {
     // round shuffles 16 bytes a position, not the full projection
     val grams = d
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, len), i -> substring(text, i, $base))"))
+        s"transform(sequence(1, len), i -> substring(text, i, $seedBase))"))
         .as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
       // BOTH halves of the packing contract fail loudly: pos < 2²⁰
@@ -1770,7 +1799,7 @@ object Dedup {
     // by w ROWS is the class at position p+w — per-task sort, never
     // global
     val wDoc = Window.partitionBy(expr(s"ord DIV $pk")).orderBy(col("ord"))
-    var w = base
+    var w = seedBase
     while (w < spanL) {
       // cls'(p) = class of (cls(p), cls(p+w)); -1 marks past-the-end
       // so truncation shapes stay distinguishable. `paired` feeds BOTH
@@ -1799,9 +1828,21 @@ object Dedup {
       .select("doc_id", "p", "cls")
       // dual-consumed (dupCls aggregate + the semi-join probe side)
       .localCheckpoint(false)
-    val dupCls = full.select("cls", "doc_id").distinct()
-      .groupBy("cls").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("cls")
+    // "class spans ≥2 distinct docs" without a corpus-position
+    // distinct: cls = min packed ord of the class, so cls DIV 2²⁰ IS
+    // the representative member's doc — a second doc exists iff some
+    // member's doc differs from it. The filter drops the (vast)
+    // majority of positions MAP-SIDE — every singleton class and every
+    // intra-doc-only class representative — before the one small
+    // distinct; the round-16 form shuffled ALL eligible positions
+    // twice (distinct over (cls, doc_id), then a count per cls).
+    // Exactness: a class containing an eligible (full-L-window)
+    // position contains ONLY eligible positions (truncation shapes are
+    // distinct classes by construction), so the representative of any
+    // class seen in `full` is itself in `full` and the two phrasings
+    // agree row-for-row.
+    val dupCls = full.filter(col("doc_id") =!= expr(s"cls DIV $pk"))
+      .select("cls").distinct()
     val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     full.join(dupCls, Seq("cls"), "left_semi")
       .withColumn("grp", col("p") - row_number().over(wIsl))
@@ -2958,9 +2999,13 @@ object Dedup {
          |    (SELECT count(*) FROM sga)::BIGINT,
          |    ((SELECT count(*) FROM sgb)
          |      - (SELECT count(*) FROM sga))::BIGINT,
-         |    ((SELECT count(*) FROM sga WHERE g NOT IN (SELECT g FROM sga))
-         |     + (SELECT count(*) FROM sga WHERE g NOT IN (SELECT g FROM sga))
-         |    )::BIGINT)
+         |    -- leftover contract: the rebuilt index IS the survivor gram
+         |    -- set, so the survivor-vs-published symmetric difference the
+         |    -- Spark side measures (recompute vs parquet read-back) is
+         |    -- identically zero; the oracle states that expectation as a
+         |    -- literal rather than a self-referential subquery (round-16
+         |    -- advice: `sga EXCEPT sga` twice verified nothing)
+         |    0::BIGINT)
          |ORDER BY artifact""".stripMargin,
     "dd_jaccard_prefix" -> jaccardPrefixSqlFrom("documents"),
     "dd_postings_build" ->
